@@ -1,0 +1,277 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{GeomFunctions => G, TypeCascade => TC}
+import graft.operators.{DeleteJob, UpdateJob}
+
+/** Operator-coverage query registry (one entry per SURVEY.md §2 item /
+  * north-star extension) with DuckDB oracle SQL for the driver's
+  * hash-compare at sf0.01.
+  *
+  * Conventions:
+  *  - every computed column is aliased identically in Spark and SQL
+  *    (the driver sorts columns by name before hashing);
+  *  - aggregates over doubles are restricted to integral-valued columns
+  *    (l_quantity) or deterministic arithmetic so IEEE results are
+  *    bit-identical across engines;
+  *  - every ORDER-sensitive output carries a total ordering key.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- q1
+  /** T9/S1 path's analytical readback + hash aggregate (2C): TPC-H Q1-ish
+    * pricing summary. */
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  count(*) AS count_order,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  /** T3 type cascade: locale float parse (European separators), INFINITY
+    * forbidden-as-number, blank -> NULL. Reference `etl/etl.py:264-271`. */
+  private def q2TypingFloat(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // deterministic European-format string: "17.0" -> "17,0"
+        when(col("l_orderkey") % 97 === 0, lit("INFINITY"))
+          .when(col("l_orderkey") % 89 === 0, lit("  "))
+          .otherwise(regexp_replace(col("l_quantity").cast("string"),
+            "\\.", ",")).as("qty_raw"))
+    raw.select(
+      col("l_orderkey"), col("l_linenumber"),
+      TC.parseLocaleFloat(col("qty_raw"), decimalSep = ",",
+        thousandSep = ".").as("qty_parsed"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q2Sql =
+    """WITH raw AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_orderkey % 97 = 0 THEN 'INFINITY'
+      |         WHEN l_orderkey % 89 = 0 THEN '  '
+      |         ELSE replace(CAST(l_quantity AS VARCHAR), '.', ',') END
+      |      AS qty_raw
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN upper(trim(replace(replace(qty_raw, '.', ''), ',', '.')))
+      |         IN ('INFINITY','-INFINITY','+INFINITY','INF','-INF','+INF','NAN')
+      |       THEN NULL
+      |       ELSE TRY_CAST(trim(replace(replace(qty_raw, '.', ''), ',', '.'))
+      |                     AS DOUBLE) END AS qty_parsed
+      |FROM raw
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** T3 date cascade: dual-format parse + canonical UTC render.
+    * Reference `etl/etl.py:16,219-231`. */
+  private def q3Dates(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      // datetime-shaped for even keys, date-shaped for odd (fallback path)
+      when(col("o_orderkey") % 2 === 0,
+        date_format(col("o_orderdate"), "dd/MM/yyyy HH:mm:ss"))
+        .otherwise(date_format(col("o_orderdate"), "dd/MM/yyyy"))
+        .as("date_raw"))
+    raw.select(
+      col("o_orderkey"),
+      TC.parseDate(col("date_raw"), "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy")
+        .as("parsed_ts"),
+      date_format(
+        TC.parseDate(col("date_raw"), "dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy"),
+        "yyyy-MM-dd HH:mm:ss'+00'").as("carto_rendered"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q3Sql =
+    """WITH raw AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 2 = 0
+      |         THEN strftime(o_orderdate, '%d/%m/%Y %H:%M:%S')
+      |         ELSE strftime(o_orderdate, '%d/%m/%Y') END AS date_raw
+      |  FROM orders),
+      |parsed AS (
+      |  SELECT o_orderkey,
+      |    COALESCE(try_strptime(date_raw, '%d/%m/%Y %H:%M:%S'),
+      |             try_strptime(date_raw, '%d/%m/%Y')) AS parsed_ts
+      |  FROM raw)
+      |SELECT o_orderkey, parsed_ts,
+      |  strftime(parsed_ts, '%Y-%m-%d %H:%M:%S+00') AS carto_rendered
+      |FROM parsed ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  /** T4/S4/S5 geometry synthesis: string coords -> locale parse -> bounds
+    * check -> point -> st_x/st_y. Reference `etl/etl.py:175-192`. */
+  private def q4Geom(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "customer").select(
+      col("c_custkey"),
+      // deterministic lon in [-200, 199.9] (some out of range -> NULL)
+      (((col("c_custkey") * 7) % 4000 - 2000) / lit(10.0))
+        .cast("string").as("lon_raw"),
+      (((col("c_custkey") * 13) % 2000 - 1000) / lit(10.0))
+        .cast("string").as("lat_raw"))
+    val geom = G.synthesizePoint(col("lon_raw"), col("lat_raw"))
+    raw.select(
+      col("c_custkey"),
+      G.stX(geom).as("x"),
+      G.stY(geom).as("y"),
+      G.stAsText(geom).as("wkt"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q4Sql =
+    """WITH raw AS (
+      |  SELECT c_custkey,
+      |    CAST(((c_custkey * 7) % 4000 - 2000) / 10.0 AS VARCHAR) AS lon_raw,
+      |    CAST(((c_custkey * 13) % 2000 - 1000) / 10.0 AS VARCHAR) AS lat_raw
+      |  FROM customer),
+      |parsed AS (
+      |  SELECT c_custkey,
+      |    TRY_CAST(lon_raw AS DOUBLE) AS lon,
+      |    TRY_CAST(lat_raw AS DOUBLE) AS lat
+      |  FROM raw),
+      |geom AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN abs(lon) <= 180 AND abs(lat) <= 90 THEN lon END AS x,
+      |    CASE WHEN abs(lon) <= 180 AND abs(lat) <= 90 THEN lat END AS y
+      |  FROM parsed)
+      |SELECT c_custkey, x, y,
+      |  CASE WHEN x IS NOT NULL THEN
+      |    'POINT(' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ')'
+      |  END AS wkt
+      |FROM geom ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** 2C joins: fact ⋈ dims with broadcast hints; revenue per region. */
+  private def q5Join(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val nation = broadcast(t(s, dir, "nation"))
+    val region = broadcast(t(s, dir, "region"))
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("r_name"))
+  }
+
+  private val q5Sql =
+    """SELECT r_name, count(*) AS n_orders,
+      |  count(DISTINCT c_custkey) AS n_customers
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  /** 2C window functions: top-3 orders per customer (total ordering). */
+  private def q6Window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  private val q6Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  /** T10/S2 keyed update: set-oriented MERGE semantics (anti-join + union),
+    * last-writer-wins per key. Reference `etl/etl.py:315-351`. */
+  private def q7Update(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+    UpdateJob.merge(base, updates, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q7Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+      |       ELSE o_orderstatus END AS o_orderstatus
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  /** T11/S3 keyed delete: DELETE WHERE id IN (...) as left-anti join.
+    * Reference `etl/etl.py:354-372`. */
+  private def q8Delete(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+    val keys = base.filter(col("l_orderkey") % 13 === 0)
+      .select(col("l_orderkey")).distinct()
+    DeleteJob.deleteByKeys(base, keys, Seq("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q8Sql =
+    """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey NOT IN (
+      |  SELECT l_orderkey FROM lineitem WHERE l_orderkey % 13 = 0)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_typing_float" -> (q2TypingFloat _),
+    "q3_dates" -> (q3Dates _),
+    "q4_geom_point" -> (q4Geom _),
+    "q5_join_broadcast" -> (q5Join _),
+    "q6_window_topk" -> (q6Window _),
+    "q7_update_merge" -> (q7Update _),
+    "q8_delete_antijoin" -> (q8Delete _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_typing_float" -> q2Sql,
+    "q3_dates" -> q3Sql,
+    "q4_geom_point" -> q4Sql,
+    "q5_join_broadcast" -> q5Sql,
+    "q6_window_topk" -> q6Sql,
+    "q7_update_merge" -> q7Sql,
+    "q8_delete_antijoin" -> q8Sql,
+  )
+}

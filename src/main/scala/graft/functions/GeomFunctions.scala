@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Point-geometry synthesis, restating the reference's generated PostGIS
+  * calls (`etl/etl.py:175-192`: `st_transform(st_setsrid(st_makepoint(x,y),
+  * srid), 4326)`) as Spark built-in expressions over a simple geometry
+  * model: `struct(x double, y double, srid int)`.
+  *
+  * Bounds validation mirrors `etl/etl.py:13-14,236-262`:
+  * abs(lon) > 180 or abs(lat) > 90 -> NULL geometry. (The reference's
+  * quirk Q9 — coord 0.0 treated as missing — is deliberately NOT
+  * inherited; Null Island rows survive here.)
+  */
+object GeomFunctions {
+  val MaxLon = 180.0
+  val MaxLat = 90.0
+
+  /** Build a point with an SRID tag. NULL if either coordinate is NULL. */
+  def stPoint(x: Column, y: Column, srid: Column): Column =
+    when(x.isNotNull && y.isNotNull,
+      struct(x.as("x"), y.as("y"), srid.cast("int").as("srid")))
+
+  def stPoint(x: Column, y: Column): Column = stPoint(x, y, lit(4326))
+
+  /** Re-tag SRID without transforming (PostGIS st_setsrid). */
+  def stSetSrid(geom: Column, srid: Column): Column =
+    when(geom.isNotNull,
+      struct(geom("x").as("x"), geom("y").as("y"),
+        srid.cast("int").as("srid")))
+
+  def stX(geom: Column): Column = geom("x")
+  def stY(geom: Column): Column = geom("y")
+  def stSrid(geom: Column): Column = geom("srid")
+
+  /** Reproject between the two SRIDs the engine supports natively:
+    * 4326 (WGS84 lon/lat) and 3857 (web mercator meters). Identity when
+    * source == target (the reference only ever needs 4326 -> 4326,
+    * `etl/etl.py:21,190-192`; 3857 support is the scale extension used by
+    * the overview/LOD pipeline). Unknown SRID pairs -> NULL geometry. */
+  def stTransform(geom: Column, target: Column): Column = {
+    val src = geom("srid")
+    val x = geom("x")
+    val y = geom("y")
+    val R = lit(6378137.0)
+    val toRad = lit(math.Pi / 180.0)
+    // 4326 -> 3857
+    val mercX = x * toRad * R
+    val mercY = log(tan(lit(math.Pi / 4.0) + y * toRad / lit(2.0))) * R
+    // 3857 -> 4326
+    val lonX = x / R / toRad
+    val latY = (atan(exp(y / R)) - lit(math.Pi / 4.0)) * lit(2.0) / toRad
+    when(geom.isNull, lit(null))
+      .when(src === target, geom)
+      .when(src === 4326 && target === 3857,
+        struct(mercX.as("x"), mercY.as("y"), target.cast("int").as("srid")))
+      .when(src === 3857 && target === 4326,
+        struct(lonX.as("x"), latY.as("y"), target.cast("int").as("srid")))
+      .otherwise(lit(null))
+  }
+
+  /** WGS84 bounds validation: out-of-range coordinate -> NULL. */
+  def validLonLat(lon: Column, lat: Column): Column =
+    lon.isNotNull && lat.isNotNull &&
+      abs(lon) <= MaxLon && abs(lat) <= MaxLat
+
+  /** The reference's full geometry-synthesis pipeline (T4): parse coords
+    * from string columns, bounds-check, build point at `srid`, reproject
+    * to 4326. `etl/etl.py:175-192`. */
+  def synthesizePoint(
+      lonRaw: Column,
+      latRaw: Column,
+      srid: Int = 4326,
+      decimalSep: String = ".",
+      thousandSep: String = ","): Column = {
+    val lon = TypeCascade.parseLocaleFloat(lonRaw, decimalSep, thousandSep)
+    val lat = TypeCascade.parseLocaleFloat(latRaw, decimalSep, thousandSep)
+    when(validLonLat(lon, lat),
+      stTransform(stPoint(lon, lat, lit(srid)), lit(4326)))
+  }
+
+  /** WKT rendering (POINT only — the reference's only geometry kind). */
+  def stAsText(geom: Column): Column =
+    when(geom.isNotNull,
+      concat(lit("POINT("), geom("x").cast("string"), lit(" "),
+        geom("y").cast("string"), lit(")")))
+
+  /** Snap a coordinate to a grid cell index at a given cell size — the
+    * building block of the overview/LOD pyramid (S8). */
+  def gridCell(coord: Column, cellSize: Column): Column =
+    floor(coord / cellSize)
+}

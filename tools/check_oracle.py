@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <name>.parquet result dumped by graft.Verify, runs the
+corresponding oracle SQL (oracle_sql.json) in DuckDB over the sf_dir
+parquet tables, and compares: schema (column names sorted), row count,
+and values (rows sorted, NaN-safe, float-tolerant hash like the driver).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as pds
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(f"{v:.10g}")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
+    return v
+
+
+def table_rows(tbl, cols):
+    data = {c: tbl.column(c).to_pylist() for c in cols}
+    n = tbl.num_rows
+    rows = [tuple(norm_cell(data[c][i]) for c in cols) for i in range(n)]
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return rows
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sf_dir / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = out_dir / name
+        if not res_dir.exists():
+            print(f"FAIL {name}: no spark result dir")
+            failures += 1
+            continue
+        spark_tbl = pds.dataset(res_dir, format="parquet").to_table()
+        try:
+            duck_tbl = con.execute(sql).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        s_cols = sorted(spark_tbl.column_names)
+        d_cols = sorted(duck_tbl.column_names)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: schema mismatch spark={s_cols} duck={d_cols}")
+            failures += 1
+            continue
+        if spark_tbl.num_rows != duck_tbl.num_rows:
+            print(f"FAIL {name}: rows spark={spark_tbl.num_rows} "
+                  f"duck={duck_tbl.num_rows}")
+            failures += 1
+            continue
+        s_rows = table_rows(spark_tbl, s_cols)
+        d_rows = table_rows(duck_tbl, d_cols)
+        if s_rows != d_rows:
+            bad = sum(1 for a, b in zip(s_rows, d_rows) if a != b)
+            print(f"FAIL {name}: {bad}/{len(s_rows)} rows differ")
+            for a, b in zip(s_rows, d_rows):
+                if a != b:
+                    print(f"  spark: {a}\n  duck:  {b}")
+                    break
+            failures += 1
+            continue
+        print(f"OK   {name} ({spark_tbl.num_rows} rows)")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
