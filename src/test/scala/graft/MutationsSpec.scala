@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DeleteJob, UpdateJob}
+
+/** Set-oriented restatements of the reference's UPDATE/DELETE sinks
+  * (`etl/etl.py:315-372`): MERGE semantics, last-writer-wins, NULL
+  * update values, anti-join delete. */
+class MutationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)
+  ).toDF("id", "name", "v")
+
+  test("merge updates matched rows, carries unmatched through") {
+    val updates = Seq((2, "B")).toDF("id", "name")
+    val out = UpdateJob.merge(base, updates, Seq("id"))
+      .orderBy("id").collect()
+    out.map(_.getString(1)).toSeq shouldBe Seq("a", "B", "c")
+    // untouched column carried through unchanged
+    out.map(_.getDouble(2)).toSeq shouldBe Seq(10.0, 20.0, 30.0)
+  }
+
+  test("merge writes NULL update values (quirk Q10: geom set even to NULL)") {
+    val updates = Seq((1, Option.empty[String])).toDF("id", "name")
+    val out = UpdateJob.merge(base, updates, Seq("id")).orderBy("id").collect()
+    out(0).isNullAt(1) shouldBe true
+    out(1).getString(1) shouldBe "b"
+  }
+
+  test("merge duplicate keys: last writer wins by order column") {
+    val updates = Seq((2, "first", 1L), (2, "second", 2L))
+      .toDF("id", "name", "pos")
+    val out = UpdateJob.merge(base, updates, Seq("id"), orderCol = Some("pos"))
+      .orderBy("id").collect()
+    out(1).getString(1) shouldBe "second"
+  }
+
+  test("upsert inserts unmatched keys and updates matched") {
+    val updates = Seq((2, "B", 99.0), (4, "d", 40.0)).toDF("id", "name", "v")
+    val out = UpdateJob.upsert(base, updates, Seq("id")).orderBy("id").collect()
+    out.map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 3, 4)
+    out(1).getDouble(2) shouldBe 99.0
+    out(3).getString(1) shouldBe "d"
+  }
+
+  test("deleteByKeys removes exactly the keyed rows") {
+    val keys = Seq(1, 3, 999).toDF("id")
+    val out = DeleteJob.deleteByKeys(base, keys, Seq("id")).collect()
+    out.map(_.getInt(0)).toSeq shouldBe Seq(2)
+  }
+
+  test("deleteByKeys with duplicate keys in the key file") {
+    val keys = Seq(2, 2, 2).toDF("id")
+    DeleteJob.deleteByKeys(base, keys, Seq("id")).count() shouldBe 2
+  }
+}
