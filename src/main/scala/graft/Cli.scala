@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.{DeleteByKeyJob, IngestObserver, InsertJob, ParquetTable, UpdateByKeyJob}
+import graft.sources.IngestConfig
+
+/** Command-line entry point — the analog of the reference's
+  * `sample01/run_etl.py` driver (insert | update | delete over a CSV into
+  * a parquet table), plus `show` for readback.
+  *
+  * Usage:
+  *   graft.Cli insert <csv> <tableDir> [--delimiter '|'] [--encoding enc]
+  *     [--x-column lon] [--y-column lat] [--date-columns a,b]
+  *     [--decimal-sep ','] [--thousand-sep '.'] [--id-column id]
+  *     [--no-geometry] [--force-the-geom col]
+  *   graft.Cli update <csv> <tableDir> --id-column <key> [...]
+  *   graft.Cli delete <csv> <tableDir> --id-column <key> [...]
+  *   graft.Cli show <tableDir> [n]
+  */
+object Cli {
+  private def parseFlags(args: List[String]): Map[String, String] = args match {
+    case Nil => Map.empty
+    case "--no-geometry" :: rest => parseFlags(rest) + ("no-geometry" -> "true")
+    case flag :: value :: rest if flag.startsWith("--") =>
+      parseFlags(rest) + (flag.drop(2) -> value)
+    case other :: _ =>
+      throw new IllegalArgumentException(s"unexpected argument: $other")
+  }
+
+  def configFrom(flags: Map[String, String], table: String): IngestConfig =
+    IngestConfig(
+      tableName = table,
+      delimiter = flags.getOrElse("delimiter", ","),
+      encoding = flags.getOrElse("encoding", "UTF-8"),
+      columns = flags.get("columns").map(_.split(",").toSeq).getOrElse(Nil),
+      dateColumns = flags.get("date-columns").map(_.split(",").toSeq).getOrElse(Nil),
+      datetimeFormat = flags.getOrElse("datetime-format", "d/M/yyyy H:mm:ss"),
+      dateFormat = flags.getOrElse("date-format", "d/M/yyyy"),
+      xColumn = flags.getOrElse("x-column", "longitude"),
+      yColumn = flags.getOrElse("y-column", "latitude"),
+      srid = flags.getOrElse("srid", "4326").toInt,
+      forceNoGeometry = flags.contains("no-geometry"),
+      forceTheGeom = flags.get("force-the-geom"),
+      floatDecimalSeparator = flags.getOrElse("decimal-sep", "."),
+      floatThousandSeparator = flags.getOrElse("thousand-sep", ","),
+      chunkSize = flags.getOrElse("chunk-size", "1000").toInt,
+      idColumn = flags.get("id-column"))
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Cli <insert|update|delete|show> ...")
+      sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val observer: IngestObserver =
+      (t, m) => println(s"[$t] $m")
+    try args(0) match {
+      case "insert" =>
+        val flags = parseFlags(args.drop(3).toList)
+        val r = new InsertJob(args(1), args(2),
+          configFrom(flags, args(2)), observer).run()
+        println(s"inserted ${r.writtenRows} rows")
+      case "update" =>
+        val flags = parseFlags(args.drop(3).toList)
+        val r = new UpdateByKeyJob(args(1), args(2),
+          configFrom(flags, args(2)), observer).run()
+        println(s"applied ${r.writtenRows} updates")
+      case "delete" =>
+        val flags = parseFlags(args.drop(3).toList)
+        val r = new DeleteByKeyJob(args(1), args(2),
+          configFrom(flags, args(2)), observer).run()
+        println(s"deleted by ${r.totalRows} keys")
+      case "show" =>
+        val n = if (args.length > 2) args(2).toInt else 20
+        ParquetTable.read(spark, args(1)).show(n, truncate = false)
+      case other =>
+        System.err.println(s"unknown command: $other"); sys.exit(2)
+    } finally spark.stop()
+  }
+}

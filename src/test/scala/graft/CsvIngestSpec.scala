@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import graft.sources.{CsvIngest, IngestConfig}
+import graft.operators._
+
+/** End-to-end ingest pipeline over a sample01-shaped fixture
+  * (pipe-delimited, ISO-8859-1, blank coords, out-of-range coords,
+  * accented text - mirrors the reference's `sample01/sample01.csv`
+  * shape without copying its data). */
+class CsvIngestSpec extends SparkSpec {
+
+  private def writeFixture(dir: Path): String = {
+    val rows = Seq(
+      "Name | Longitude | LATITUDE |amount| when",
+      "alpha|2,17|41,38|10|01/09/2017 2:47:25",
+      "bèta|-3,70|40,42|20,5|02/09/2017",
+      "gamma|181|91|30|03/09/2017 10:00:00",
+      "delta|||40|zzz",
+      "épsilon|13,40|52,52||05/09/2017")
+    val f = dir.resolve("sample.csv")
+    Files.write(f, rows.mkString("\n").getBytes(Charset.forName("ISO-8859-1")))
+    f.toString
+  }
+
+  private val cfg = IngestConfig(
+    tableName = "t_sample",
+    delimiter = "|",
+    encoding = "ISO-8859-1",
+    dateColumns = Seq("when"),
+    xColumn = "longitude",
+    yColumn = "latitude",
+    floatDecimalSeparator = ",",
+    floatThousandSeparator = ".")
+
+  test("scan normalizes headers and keeps strings") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val df = CsvIngest.scan(spark, writeFixture(dir), cfg)
+    df.columns.toSeq shouldBe Seq("name", "longitude", "latitude", "amount", "when")
+    df.schema.fields.forall(_.dataType.typeName == "string") shouldBe true
+    df.count() shouldBe 5
+  }
+
+  test("column kind inference: amount numeric, name string, when date") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val df = CsvIngest.scan(spark, writeFixture(dir), cfg)
+    val kinds = CsvIngest.inferColumnKinds(df, cfg)
+    kinds("amount") shouldBe CsvIngest.NumericCol
+    kinds("name") shouldBe CsvIngest.StringCol
+    kinds("when") shouldBe CsvIngest.DateCol
+  }
+
+  test("full ingest: geometry, typed columns, ISO-8859-1 text") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val out = CsvIngest.ingest(spark, writeFixture(dir), cfg)
+      .orderBy("name").collect()
+    out.length shouldBe 5
+    val byName = out.map(r => r.getString(r.fieldIndex("name")) -> r).toMap
+    // accented text survived the encoding
+    byName.keySet should contain allOf ("bèta", "épsilon")
+    // comma-decimal amount parsed
+    byName("bèta").getAs[Double]("amount") shouldBe 20.5
+    // valid point
+    byName("alpha").getAs[org.apache.spark.sql.Row]("the_geom")
+      .getDouble(0) shouldBe 2.17
+    // out-of-range coords -> NULL geom; blank coords -> NULL geom
+    byName("gamma").isNullAt(0) shouldBe true
+    byName("delta").isNullAt(0) shouldBe true
+    // date formats: datetime, date-only fallback, invalid->NULL
+    byName("alpha").getAs[java.sql.Timestamp]("when").toString shouldBe
+      "2017-09-01 02:47:25.0"
+    byName("bèta").getAs[java.sql.Timestamp]("when").toString shouldBe
+      "2017-09-02 00:00:00.0"
+    byName("delta").isNullAt(byName("delta").fieldIndex("when")) shouldBe true
+    // blank amount -> NULL
+    byName("épsilon").isNullAt(byName("épsilon").fieldIndex("amount")) shouldBe true
+  }
+
+  test("insert -> update -> delete job lifecycle against a parquet table") {
+    val dir = Files.createTempDirectory("graft_jobs")
+    val csv = writeFixture(dir)
+    val table = dir.resolve("t_sample").toString
+    val events = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val obs: IngestObserver = (t, m) => events += ((t, m))
+
+    val insCfg = cfg.copy(idColumn = Some("name"))
+    new InsertJob(csv, table, insCfg, obs).run().totalRows shouldBe 5
+    ParquetTable.read(spark, table).count() shouldBe 5
+    events.map(_._1) should contain ("total_rows")
+
+    // update: change alpha's amount via a second csv (last-writer-wins)
+    val updCsv = dir.resolve("upd.csv")
+    Files.write(updCsv, "name|amount\nalpha|111\nalpha|999\n".getBytes)
+    new UpdateByKeyJob(updCsv.toString, table,
+      insCfg.copy(delimiter = "|", forceNoGeometry = true)).run()
+    val updated = ParquetTable.read(spark, table)
+    updated.filter(col("name") === "alpha")
+      .select("amount").head().getDouble(0) shouldBe 999.0
+    updated.count() shouldBe 5
+
+    // delete two keys
+    val delCsv = dir.resolve("del.csv")
+    Files.write(delCsv, "name\ngamma\ndelta\n".getBytes)
+    new DeleteByKeyJob(delCsv.toString, table, insCfg).run()
+    ParquetTable.read(spark, table).count() shouldBe 3
+  }
+}
