@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{GeomFunctions => G, TypeCascade => TC}
-import graft.operators.{DeleteJob, UpdateJob}
+import graft.operators.{DeleteJob, Geocoding, LookupTableGeocoder, Overviews, UpdateJob}
 
 /** Operator-coverage query registry (one entry per SURVEY.md §2 item /
   * north-star extension) with DuckDB oracle SQL for the driver's
@@ -251,6 +251,81 @@ object Queries {
       |  SELECT l_orderkey FROM lineitem WHERE l_orderkey % 13 = 0)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q9
+  /** S8 overview pyramid: grid-snapped LOD aggregation at zoom 4 over
+    * synthesized customer points. Reference `etl/etl.py:166-173`. */
+  private def q9Overviews(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").select(
+      (((col("c_custkey") * 7) % 4000 - 2000) / lit(10.0)).as("lon"),
+      (((col("c_custkey") * 13) % 2000 - 1000) / lit(10.0)).as("lat"),
+      col("c_acctbal"))
+      .filter(abs(col("lon")) <= 180 && abs(col("lat")) <= 90)
+    Overviews.level(pts, "lon", "lat", zoom = 4, valueCols = Seq("c_acctbal"))
+      .select(col("cell_x"), col("cell_y"), col("n_points"),
+        col("centroid_lon"), col("centroid_lat"),
+        col("sum_c_acctbal"), col("avg_c_acctbal"), col("zoom"))
+      .orderBy(col("cell_x"), col("cell_y"))
+  }
+
+  private val q9Sql =
+    """WITH pts AS (
+      |  SELECT ((c_custkey * 7) % 4000 - 2000) / 10.0 AS lon,
+      |         ((c_custkey * 13) % 2000 - 1000) / 10.0 AS lat,
+      |         c_acctbal
+      |  FROM customer
+      |  WHERE abs(((c_custkey * 7) % 4000 - 2000) / 10.0) <= 180
+      |    AND abs(((c_custkey * 13) % 2000 - 1000) / 10.0) <= 90)
+      |SELECT
+      |  CAST(least(floor((lon + 180.0) / 360.0 * 16.0), 15) AS BIGINT) AS cell_x,
+      |  CAST(least(floor((lat + 90.0) / 180.0 * 16.0), 15) AS BIGINT) AS cell_y,
+      |  count(*) AS n_points,
+      |  avg(lon) AS centroid_lon,
+      |  avg(lat) AS centroid_lat,
+      |  sum(c_acctbal) AS sum_c_acctbal,
+      |  avg(c_acctbal) AS avg_c_acctbal,
+      |  4 AS zoom
+      |FROM pts GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin
+
+  // --------------------------------------------------------------- q10
+  /** T16/T17/S6 geocoding: lookup-table join geocoder + the reference's
+    * three-way found/not_found/invalid routing
+    * (`etl/geocoding.py:145-166`). */
+  private def q10Geocode(s: SparkSession, dir: String): DataFrame = {
+    val lookup = t(s, dir, "nation").select(
+      col("n_name").as("address"),
+      (col("n_nationkey") * lit(7.3) - lit(80.0)).as("lon"),
+      (col("n_nationkey") * lit(3.1) - lit(35.0)).as("lat"))
+    val input = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit(""))
+          .when(col("c_custkey") % 10 === 1, lit("atlantis"))
+          .otherwise(col("n_name")).as("addr"))
+    Geocoding.routed(new LookupTableGeocoder(lookup), input, "addr")
+      .select(col("c_custkey"), col("addr"), col("geo_lon"), col("geo_lat"),
+        col("status"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q10Sql =
+    """WITH lookup AS (
+      |  SELECT lower(trim(n_name)) AS addr_key,
+      |         n_nationkey * CAST(7.3 AS DOUBLE) - 80.0 AS geo_lon,
+      |         n_nationkey * CAST(3.1 AS DOUBLE) - 35.0 AS geo_lat
+      |  FROM nation),
+      |input AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN ''
+      |         WHEN c_custkey % 10 = 1 THEN 'atlantis'
+      |         ELSE n_name END AS addr
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT c_custkey, addr, geo_lon, geo_lat,
+      |  CASE WHEN addr IS NULL OR trim(addr) = '' THEN 'invalid'
+      |       WHEN geo_lon IS NOT NULL THEN 'found'
+      |       ELSE 'not_found' END AS status
+      |FROM input LEFT JOIN lookup ON lower(trim(addr)) = addr_key
+      |ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,6 +337,8 @@ object Queries {
     "q6_window_topk" -> (q6Window _),
     "q7_update_merge" -> (q7Update _),
     "q8_delete_antijoin" -> (q8Delete _),
+    "q9_overviews" -> (q9Overviews _),
+    "q10_geocode" -> (q10Geocode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,5 +350,7 @@ object Queries {
     "q6_window_topk" -> q6Sql,
     "q7_update_merge" -> q7Sql,
     "q8_delete_antijoin" -> q8Sql,
+    "q9_overviews" -> q9Sql,
+    "q10_geocode" -> q10Sql,
   )
 }
