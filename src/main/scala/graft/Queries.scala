@@ -326,6 +326,103 @@ object Queries {
       |FROM input LEFT JOIN lookup ON lower(trim(addr)) = addr_key
       |ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------------------- q11
+  /** Text analysis (north-star): token counts, punct/stopword ratios,
+    * composite quality score — map-only projection over documents. */
+  private def q11TextStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextAnalysis => TA}
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TA.tokenCount(col("text")).as("n_tokens"),
+      TA.bpeishTokenCount(col("text")).as("n_bpeish"),
+      TA.punctRatio(col("text")).as("punct_ratio"),
+      TA.stopwordRatio(col("text")).as("stopword_ratio"),
+      TA.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q11Sql = {
+    val stop = graft.functions.TextAnalysis.EnglishStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(tk) AS n_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpeish,
+       |  CASE WHEN length(text) > 0
+       |       THEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)
+       |       ELSE 0.0 END AS punct_ratio,
+       |  CASE WHEN len(tk) > 0
+       |       THEN CAST(len(list_filter(tk, t -> lower(t) IN ($stop))) AS DOUBLE) / len(tk)
+       |       ELSE 0.0 END AS stopword_ratio,
+       |  0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       |  + 0.3 * (1.0 - least(4.0 * (CASE WHEN length(text) > 0
+       |       THEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)
+       |       ELSE 0.0 END), 1.0))
+       |  + 0.3 * least(5.0 * (CASE WHEN len(tk) > 0
+       |       THEN CAST(len(list_filter(tk, t -> lower(t) IN ($stop))) AS DOUBLE) / len(tk)
+       |       ELSE 0.0 END), 1.0) AS quality
+       |FROM toks ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q12
+  /** Language-ID heuristic vs the table's lang label: confusion counts. */
+  private def q12LangId(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextAnalysis => TA}
+    t(s, dir, "documents")
+      .select(col("lang"), TA.languageId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  private val q12Sql = {
+    val langScores = graft.functions.TextAnalysis.LangMarkers.map {
+      case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(tk, t -> lower(t) IN ($list))) AS s_$lang"
+    }.mkString(",\n       |    ")
+    val langs = graft.functions.TextAnalysis.LangMarkers.map(_._1)
+    val whens = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT lang,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+       |  FROM documents),
+       |scored AS (
+       |  SELECT lang,
+       |    $langScores
+       |  FROM toks),
+       |pred AS (
+       |  SELECT lang,
+       |    CASE WHEN ${langs.map(l => s"s_$l").mkString(" + ")} = 0 THEN 'und'
+       |         $whens
+       |         ELSE 'und' END AS lang_pred
+       |  FROM (SELECT *, greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS mx
+       |        FROM scored))
+       |SELECT lang, lang_pred, count(*) AS n
+       |FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q13
+  /** Document fingerprint (rolling-hash analog, md5-based so the oracle
+    * computes the identical 64-bit prefix). */
+  private def q13Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextAnalysis => TA}
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TA.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q13Sql =
+    """SELECT doc_id,
+      |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -339,6 +436,9 @@ object Queries {
     "q8_delete_antijoin" -> (q8Delete _),
     "q9_overviews" -> (q9Overviews _),
     "q10_geocode" -> (q10Geocode _),
+    "q11_text_stats" -> (q11TextStats _),
+    "q12_text_langid" -> (q12LangId _),
+    "q13_fingerprint" -> (q13Fingerprint _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -352,5 +452,8 @@ object Queries {
     "q8_delete_antijoin" -> q8Sql,
     "q9_overviews" -> q9Sql,
     "q10_geocode" -> q10Sql,
+    "q11_text_stats" -> q11Sql,
+    "q12_text_langid" -> q12Sql,
+    "q13_fingerprint" -> q13Sql,
   )
 }

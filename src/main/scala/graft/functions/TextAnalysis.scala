@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extension, SURVEY.md §7): tokenization, quality scoring, language ID,
+  * fingerprinting. All pure `Column` expressions — codegen-friendly, no
+  * UDFs, and every function has an exactly-equivalent ANSI/DuckDB SQL
+  * form used by the driver's oracle.
+  *
+  * At 100 TB these run as map-only projections (no shuffle); the only
+  * aggregation is whatever the caller groups by afterwards.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. Empty/blank text -> empty array. */
+  def tokens(text: Column): Column =
+    when(trim(text) === "" || text.isNull, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: runs of word chars OR single non-word-non-space
+    * chars (the shape of GPT-style pre-tokenizers). Counts pieces without
+    * materializing them. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** ASCII-punctuation character ratio (0 for empty text). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
+    when(length(text) > 0, punct.cast("double") / length(text))
+      .otherwise(lit(0.0))
+  }
+
+  /** Small fixed English stopword list (public, standard). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Fraction of tokens that are stopwords (0 for empty text). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => lower(t).isin(stopwords.map(x => x: Any): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.4 * length saturation (chars/500 capped at 1)
+    * + 0.3 * (1 - min(1, 4*punct_ratio))
+    * + 0.3 * min(1, 5*stopword_ratio).
+    * The exact weights are this engine's own policy (the point is a
+    * deterministic, oracle-checkable scoring pipeline). */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(length(text).cast("double") / lit(500.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - least(lit(4.0) * punctRatio(text), lit(1.0))) +
+      lit(0.3) * least(lit(5.0) * stopwordRatio(text), lit(1.0))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language
+    * heuristic. Public common-word lists. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "dans", "est", "pour", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "den", "von"))
+
+  /** Language ID: argmax of per-language stopword hit counts; ties and
+    * zero-hit texts -> "und" (undetermined). Deterministic: a language
+    * wins only with a STRICTLY greater count than every later language
+    * and >= every earlier one (priority order = LangMarkers order). */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => lower(t).isin(words.map(x => x: Any): _*)))
+    }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    val maxScore = greatest(scores.map(_._2): _*)
+    // first language (in LangMarkers priority order) holding the max score
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(anyHit && s === maxScore, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: 64-bit-ish hash of whitespace-normalized,
+    * lowercased text — md5-based so the oracle (DuckDB) computes the
+    * identical value. First 16 hex chars = 64 bits of the digest. */
+  def fingerprint(text: Column): Column =
+    substring(md5(normalizeText(text)), 1, 16)
+
+  /** Normalization for fingerprint/dedup: lowercase + collapse whitespace
+    * + trim. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Character n-gram shingles of the normalized text (for Jaccard /
+    * MinHash dedup). Text shorter than n -> single shingle of the whole
+    * text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = normalizeText(text)
+    when(length(norm) <= n, array(norm)).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(norm) - lit(n - 1)),
+        i => norm.substr(i, lit(n)))))
+  }
+}
