@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextAnalysis => TA}
+import graft.operators.Dedup
+
+/** Dedup operator coverage (north-star extension): exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine — each oracle-checked against
+  * DuckDB on a corpus with deterministically synthesized duplicates
+  * (the base `documents` table has no dups: 500 distinct texts).
+  *
+  * Corpus construction (both engines):
+  *   base docs
+  *   + exact copies of doc_id % 7 == 0 at id+10000
+  *   + near-dup copies of doc_id % 5 == 0 at id+20000 (3 tokens appended)
+  */
+object QueriesDedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** documents + exact dups + near dups. */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val exact = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+    base.unionAll(exact).unionAll(near)
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text || ' zz yy xx' FROM documents
+      |  WHERE doc_id % 5 = 0)""".stripMargin
+
+  // --------------------------------------------------------------- q14
+  /** Exact dedup: fingerprint groups with >1 copy + keeper id. */
+  private def q14Exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupGroups(corpus(s, dir), "doc_id", "text")
+      .orderBy(col("fp"))
+
+  private val q14Sql =
+    s"""WITH $corpusSql
+       |SELECT substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp,
+       |  count(*) AS n_copies, min(doc_id) AS keeper
+       |FROM corpus
+       |GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin
+
+  // --------------------------------------------------------------- q15
+  /** n-gram Jaccard on constructed pairs: each near-dup against its
+    * original, plus adjacent-doc non-dup controls. */
+  private def q15Ngram(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val pairsIds = docs(s, dir).select(col("doc_id"))
+      .withColumn("id2",
+        when(col("doc_id") % 5 === 0, col("doc_id") + 20000)
+          .otherwise(col("doc_id") + 1))
+      .withColumnRenamed("doc_id", "id1")
+    val sh = c.select(col("doc_id"),
+      TA.charShingles(col("text"), 4).as("sh"))
+    pairsIds
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        Dedup.jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .orderBy(col("id1"))
+  }
+
+  private val shinglesSqlDef =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(t) <= 4 THEN [t]
+      |         ELSE list_distinct(list_transform(range(1, length(t) - 2),
+      |                i -> substr(t, i, 4))) END AS s
+      |  FROM (SELECT doc_id,
+      |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |        FROM corpus))""".stripMargin
+
+  private val q15Sql =
+    s"""WITH $corpusSql,
+       |$shinglesSqlDef,
+       |pairs AS (
+       |  SELECT doc_id AS id1,
+       |    CASE WHEN doc_id % 5 = 0 THEN doc_id + 20000
+       |         ELSE doc_id + 1 END AS id2
+       |  FROM documents)
+       |SELECT p.id1, p.id2,
+       |  CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+       |       THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |            / len(list_distinct(list_concat(a.s, b.s)))
+       |       ELSE 0.0 END AS jaccard
+       |FROM pairs p
+       |JOIN sh a ON a.doc_id = p.id1
+       |JOIN sh b ON b.doc_id = p.id2
+       |ORDER BY p.id1""".stripMargin
+
+  // --------------------------------------------------------------- q16
+  /** MinHash+LSH near-dup pipeline: shingle -> 8-hash signature -> 4
+    * bands -> bucket-join candidates -> exact-Jaccard >= 0.5. */
+  private def q16Minhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(corpus(s, dir), "doc_id", "text",
+      shingleSize = 4, k = 8, bands = 4, threshold = 0.5)
+      .orderBy(col("id1"), col("id2"))
+
+  private val q16Sql = {
+    val sigItems = (0 until 8).map(i =>
+      s"list_min(list_transform(s, x -> md5('$i:' || x)))").mkString(",\n       |    ")
+    val bandItems = (0 until 4).map(b =>
+      s"md5(g[${2 * b + 1}] || '|' || g[${2 * b + 2}])").mkString(", ")
+    s"""WITH $corpusSql,
+       |$shinglesSqlDef,
+       |sig AS (
+       |  SELECT doc_id, s, [
+       |    $sigItems] AS g
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, s, unnest([$bandItems]) AS band
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT c.id1, c.id2,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+       |FROM cand c
+       |JOIN sh a ON a.doc_id = c.id1
+       |JOIN sh b ON b.doc_id = c.id2
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q17
+  /** SimHash near-dup: 32-bit sketch, 2-half banding, Hamming <= 8. */
+  private def q17Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(corpus(s, dir), "doc_id", "text", maxHamming = 8)
+      .orderBy(col("id1"), col("id2"))
+
+  private val q17Sql = {
+    val bitTerms = (0 until 32).map { b =>
+      s"""CASE WHEN len(tk) > 0 AND 2 * len(list_filter(tk,
+         |      t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT >> $b) & 1) = 1))
+         |      >= len(tk) THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END""".stripMargin
+    }.mkString("\n       |    + ")
+    s"""WITH $corpusSql,
+       |toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+       |  FROM corpus),
+       |sketch AS (
+       |  SELECT doc_id,
+       |    $bitTerms AS sh
+       |  FROM toks),
+       |banded AS (
+       |  SELECT doc_id, sh,
+       |    unnest(['lo:' || CAST(sh & 65535 AS VARCHAR),
+       |            'hi:' || CAST(sh >> 16 AS VARCHAR)]) AS band
+       |  FROM sketch),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT c.id1, c.id2, bit_count(xor(x.sh, y.sh)) AS hamming
+       |FROM cand c
+       |JOIN sketch x ON x.doc_id = c.id1
+       |JOIN sketch y ON y.doc_id = c.id2
+       |WHERE bit_count(xor(x.sh, y.sh)) <= 8
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q18
+  /** Embedding-cosine near-dup: perturbed copies of vec_id % 10 == 0
+    * (first element +0.05) must pair with their originals at cos>=0.99. */
+  private def q18Embedding(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val copies = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + lit(0.05)),
+          slice(col("e"), 2, 10000)).as("e"))
+    Dedup.embeddingNearDups(base.unionAll(copies), "vec_id", "e",
+        threshold = 0.99)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val q18Sql =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, e FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 10000, list_concat([e[1] + 0.05], e[2:]) FROM base
+      |  WHERE vec_id % 10 = 0)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  list_cosine_similarity(a.e, b.e) AS cos
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.e, b.e) >= 0.99
+      |ORDER BY id1, id2""".stripMargin
+
+  // -------------------------------------------------------------- export
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_dedup_exact" -> (q14Exact _),
+    "q15_dedup_ngram_jaccard" -> (q15Ngram _),
+    "q16_dedup_minhash_lsh" -> (q16Minhash _),
+    "q17_dedup_simhash" -> (q17Simhash _),
+    "q18_dedup_embedding" -> (q18Embedding _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q14_dedup_exact" -> q14Sql,
+    "q15_dedup_ngram_jaccard" -> q15Sql,
+    "q16_dedup_minhash_lsh" -> q16Sql,
+    "q17_dedup_simhash" -> q17Sql,
+    "q18_dedup_embedding" -> q18Sql,
+  )
+}

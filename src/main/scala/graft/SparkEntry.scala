@@ -16,7 +16,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.registry
+    Queries.registry ++ QueriesDedup.registry
 
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ QueriesDedup.oracles
 }

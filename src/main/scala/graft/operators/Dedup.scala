@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for LLM training-data pipelines (north-star
+  * extension, SURVEY.md §7): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup.
+  *
+  * Hashing is md5-based everywhere so the driver's DuckDB oracle computes
+  * bit-identical values (Spark's murmur `hash()` is engine-specific; md5
+  * is not).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = one hash-aggregate on a 64-bit fingerprint (shuffle
+  *    keyed by fingerprint — skew-free because fingerprints are uniform).
+  *  - MinHash/LSH: signatures are map-only; candidate generation shuffles
+  *    once on band key (explode bands -> self-join per bucket). Bucket
+  *    sizes are bounded by band width; pathological buckets can be salted
+  *    or capped. No all-pairs O(n²) stage ever runs on the full corpus —
+  *    exact Jaccard runs only on LSH candidates.
+  *  - SimHash: map-only sketch + 2-band exact-match candidate join
+  *    (classic Hamming-ball trick), verification on candidates only.
+  *  - embedding near-dup: brute force is quadratic and only for small
+  *    inputs/verification; the scale path is LSH bucketing (Similarity
+  *    module) before cosine.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup on normalized text: keep the smallest id per fingerprint.
+    * Returns the surviving rows (all original columns). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Duplicate groups: fingerprint -> group size + keeper id. */
+  def dupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
+      .filter(col("n_copies") > 1)
+
+  // ---------------------------------------------------------- minhash
+
+  /** MinHash signature over a shingle array: element i is
+    * min(md5(i || ':' || shingle)) — k independent permutations
+    * approximated by k salted hashes. Returns array<string> of length k. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
+    }: _*)
+
+  /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band. Two docs sharing ANY band key are candidates. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r))
+      md5(concat_ws("|", parts: _*))
+    }: _*)
+
+  /** Candidate pairs from band keys: explode -> self-join per bucket.
+    * Input needs (idCol, bandKeysCol); output (id1, id2) distinct with
+    * id1 < id2. The shuffle is keyed by band key — bounded buckets, no
+    * full cross product. */
+  def candidatePairs(df: DataFrame, idCol: String, bandKeysCol: String): DataFrame = {
+    val exploded = df.select(col(idCol), explode(col(bandKeysCol)).as("__band"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.__band") === col("b.__band") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    * candidates -> exact-Jaccard verify at `threshold`.
+    * Returns (id1, id2, jaccard). */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 4, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSig = df.select(col(idCol),
+      TextAnalysis.charShingles(col(textCol), shingleSize).as("__sh"))
+      .withColumn("__sig", minhashSignature(col("__sh"), k))
+      .withColumn("__bands", lshBandKeys(col("__sig"), bands, rowsPerBand))
+    val pairs = candidatePairs(withSig, idCol, "__bands")
+    val sh = withSig.select(col(idCol), col("__sh"))
+    pairs
+      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("__sh", "__sh1"), "id1")
+      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("__sh", "__sh2"), "id2")
+      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------- simhash
+
+  /** 32-bit SimHash over a token array: per bit, tokens vote +1/-1 by
+    * their md5-derived bit; majority(>=0) sets the bit. Returns long.
+    * Empty token array -> 0. */
+  def simhash32(tokens: Column): Column = {
+    val n = size(tokens)
+    (0 until 32).map { b =>
+      val hits = size(filter(tokens, t =>
+        shiftright(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), b)
+          .bitwiseAND(1) === 1))
+      when(n > 0 && hits * 2 >= n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup: candidates share at least one 16-bit half exactly
+    * (2-band Hamming trick), verified by bit_count(xor) <= maxHamming.
+    * Returns (id1, id2, hamming). */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val sketch = df.select(col(idCol),
+      simhash32(TextAnalysis.tokens(col(textCol))).as("__sh"))
+    val banded = sketch.withColumn("__bands", array(
+      concat(lit("lo:"), (col("__sh").bitwiseAND(lit(0xffffL))).cast("string")),
+      concat(lit("hi:"), shiftright(col("__sh"), 16).cast("string"))))
+    val pairs = candidatePairs(banded, idCol, "__bands")
+    val s = sketch
+    pairs
+      .join(s.withColumnRenamed(idCol, "id1").withColumnRenamed("__sh", "__s1"), "id1")
+      .join(s.withColumnRenamed(idCol, "id2").withColumnRenamed("__sh", "__s2"), "id2")
+      .withColumn("hamming", bit_count(col("__s1").bitwiseXOR(col("__s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  // ------------------------------------------------------- embeddings
+
+  /** Cosine similarity between two double arrays (deterministic in-order
+    * summation via `aggregate`). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Brute-force embedding near-dup pairs at `threshold`. Quadratic —
+    * verification-scale only; use Similarity.lshBuckets first at scale. */
+  def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val e = df.select(col(idCol),
+      transform(col(embCol), x => x.cast("double")).as("__e"))
+    val a = e.select(col(idCol).as("id1"), col("__e").as("__e1"))
+    val b = e.select(col(idCol).as("id2"), col("__e").as("__e2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("__e1"), col("__e2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+}
