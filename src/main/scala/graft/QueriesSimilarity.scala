@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Similarity-search coverage (north-star extension): exact brute-force
+  * cosine top-k and LSH-bucketed approximate top-k over the `embeddings`
+  * table (64-dim float vectors). Query set: vec_id % 50 == 0. */
+object QueriesSimilarity {
+
+  private val Dims = 64
+  private val Planes = 4
+  private val TopK = 5
+  private val AnnK = 3
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  // --------------------------------------------------------------- q19
+  private def q19BruteForce(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val queries = all.filter(col("vec_id") % 50 === 0)
+    Similarity.bruteForceTopK(queries, all, "vec_id", "e", TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q19Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id % 50 = 0)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.e, c.e) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rank
+       |  FROM q JOIN e c ON c.vec_id != q.vec_id)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  // --------------------------------------------------------------- q20
+  private def q20AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val planes = Similarity.planeCoefficients(Planes, Dims)
+    val all = emb(s, dir)
+    val queries = all.filter(col("vec_id") % 50 === 0)
+    Similarity.lshTopK(queries, all, "vec_id", "e", AnnK, planes)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q20Sql = {
+    val planes = Similarity.planeCoefficients(Planes, Dims)
+    // dot(e, plane_p) expanded as a left-associated term chain so the
+    // summation order matches Spark's in-order aggregate fold
+    def dot(p: Int): String =
+      (0 until Dims).map(d => s"e[${d + 1}] * (${"%.17g".format(planes(p)(d))})")
+        .mkString(" + ")
+    val bucket = (0 until Planes)
+      .map(p => s"(CASE WHEN ${dot(p)} >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, e, $bucket AS bucket FROM e),
+       |q AS (SELECT * FROM b WHERE vec_id % 50 = 0)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.e, c.e) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rank
+       |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
+       |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------- export
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_sim_bruteforce_topk" -> (q19BruteForce _),
+    "q20_sim_ann_lsh" -> (q20AnnLsh _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q19_sim_bruteforce_topk" -> q19Sql,
+    "q20_sim_ann_lsh" -> q20Sql,
+  )
+}
