@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** Relational-breadth coverage (SURVEY.md §2C): set operations, rollup,
+  * global sort-limit, semi join, as-of join, range join. */
+object QueriesRelational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // --------------------------------------------------------------- q21
+  /** Set ops: rich customers (acctbal > 5000) vs ordering customers —
+    * union / intersect / except cardinalities. */
+  private def q21SetOps(s: SparkSession, dir: String): DataFrame = {
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"))
+    val ordering = t(s, dir, "orders")
+      .select(col("o_custkey").as("k")).distinct()
+    val u = rich.union(ordering).distinct()
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("union"))
+    val i = rich.intersect(ordering)
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("intersect"))
+    val e = rich.except(ordering)
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("except"))
+    u.unionAll(i).unionAll(e).select(col("tag"), col("n")).orderBy(col("tag"))
+  }
+
+  private val q21Sql =
+    """WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+      |ordering AS (SELECT DISTINCT o_custkey AS k FROM orders)
+      |SELECT 'union' AS tag, count(*) AS n FROM (SELECT k FROM rich UNION SELECT k FROM ordering)
+      |UNION ALL
+      |SELECT 'intersect', count(*) FROM (SELECT k FROM rich INTERSECT SELECT k FROM ordering)
+      |UNION ALL
+      |SELECT 'except', count(*) FROM (SELECT k FROM rich EXCEPT SELECT k FROM ordering)
+      |ORDER BY tag""".stripMargin
+
+  // --------------------------------------------------------------- q22
+  /** Rollup aggregation with subtotals + grand total. */
+  private def q22Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val q22Sql =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- q23
+  /** Global top-k: TakeOrderedAndProject, not a full sort. */
+  private def q23SortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val q23Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------- q24
+  /** Left-semi join: suppliers with any late-shipped lineitem. */
+  private def q24SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val late = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    t(s, dir, "supplier")
+      .join(late, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q24Sql =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_suppkey = s_suppkey
+      |    AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00')
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --------------------------------------------------------------- q25
+  /** As-of join: each purchase event gets the user's most recent prior
+    * click (union+window implementation, one shuffle, no pair blowup). */
+  private def q25AsOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    AsOfJoin.asOf(purchases, clicks, Seq("user_id"),
+        leftTimeCol = "ts", rightTimeCol = "click_ts",
+        rightPayloadCols = Seq("click_id", "click_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("right_click_id").as("click_id"),
+        col("right_click_ts").as("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q25Sql =
+    """WITH purchases AS (
+      |  SELECT event_id, user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |clicks AS (
+      |  SELECT user_id, ts AS click_ts, event_id AS click_id FROM events
+      |  WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |  c.click_id, c.click_ts
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // --------------------------------------------------------------- q26
+  /** Range join: histogram of event values against a bucket dimension
+    * (broadcast nested-loop on purpose — the dim is 10 rows). */
+  private def q26RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val buckets = s.range(0, 10).select(
+      col("id").as("bucket"),
+      (col("id") * 50.0).as("lo"),
+      ((col("id") + 1) * 50.0).as("hi"))
+    t(s, dir, "events")
+      .join(broadcast(buckets),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q26Sql =
+    """WITH buckets AS (
+      |  SELECT CAST(range AS BIGINT) AS bucket,
+      |         range * CAST(50.0 AS DOUBLE) AS lo,
+      |         (range + 1) * CAST(50.0 AS DOUBLE) AS hi
+      |  FROM range(0, 10))
+      |SELECT bucket, count(*) AS n, sum(value) AS sum_value
+      |FROM events JOIN buckets ON value >= lo AND value < hi
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------- export
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_setops" -> (q21SetOps _),
+    "q22_rollup" -> (q22Rollup _),
+    "q23_sort_limit" -> (q23SortLimit _),
+    "q24_semijoin" -> (q24SemiJoin _),
+    "q25_asof_join" -> (q25AsOf _),
+    "q26_range_join" -> (q26RangeJoin _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_setops" -> q21Sql,
+    "q22_rollup" -> q22Sql,
+    "q23_sort_limit" -> q23Sql,
+    "q24_semijoin" -> q24Sql,
+    "q25_asof_join" -> q25Sql,
+    "q26_range_join" -> q26Sql,
+  )
+}

@@ -16,8 +16,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.registry ++ QueriesDedup.registry ++ QueriesSimilarity.registry
+    Queries.registry ++ QueriesDedup.registry ++
+      QueriesSimilarity.registry ++ QueriesRelational.registry
 
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ QueriesDedup.oracles ++ QueriesSimilarity.oracles
+    Queries.oracles ++ QueriesDedup.oracles ++
+      QueriesSimilarity.oracles ++ QueriesRelational.oracles
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Test-table access for the driver-generated parquet dirs
   * (`/root/testdata/sf*` — see TESTDATA.md). */
@@ -8,8 +10,16 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read nanos as long and convert with integer
+    * division (a double division would lose precision at ~1.7e18 ns). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
