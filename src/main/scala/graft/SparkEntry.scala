@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.registry ++ QueriesDedup.registry ++
-      QueriesSimilarity.registry ++ QueriesRelational.registry
+      QueriesSimilarity.registry ++ QueriesRelational.registry ++
+      QueriesStreaming.registry
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesDedup.oracles ++
-      QueriesSimilarity.oracles ++ QueriesRelational.oracles
+      QueriesSimilarity.oracles ++ QueriesRelational.oracles ++
+      QueriesStreaming.oracles
 }

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming pipelines over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference's only stream-ish traits are chunk-resume offsets and
+  * the progress observer (carto-etl `etl/etl.py:37-56,159-164`);
+  * checkpointed Structured Streaming subsumes both (SURVEY.md §2C). The
+  * transforms below are written against plain DataFrames so the SAME
+  * code runs in batch (oracle-checkable, q27/q28) and behind
+  * `readStream` (StreamingSpec drives it with MemoryStream).
+  *
+  * Scale: windowed counts shuffle once on (window, type) with partial
+  * aggregation; sessionization state is per-user and bounded by the gap
+  * timeout — watermarks bound state retention in both.
+  */
+object EventPipeline {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-based stream source over an events directory (parquet parts). */
+  def fromStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts per event type. Works identically in batch
+    * and streaming; in streaming the watermark bounds state/lateness. */
+  def windowedTypeCounts(events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      streaming: Boolean = true): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay)
+              else events
+    src.groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Gap-based sessions via the built-in session_window (the idiomatic
+    * form; see `sessionizeWithState` for the custom-state form). */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes",
+      streaming: Boolean = true): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay)
+              else events
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+  }
+
+  // ---- custom-state sessionization (flatMapGroupsWithState) ----------
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization: per-user GroupState accumulates the
+    * open session; a gap larger than `gapMillis` (or state timeout in
+    * streaming) closes it. Demonstrates KeyValueGroupedDataset +
+    * flatMapGroupsWithState for semantics session_window can't express
+    * (e.g. per-session derived metrics mid-stream). */
+  def sessionizeWithState(events: Dataset[Ev], gapMillis: Long)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          // batch mode: all of a user's events arrive in one call
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st == null) st = SessionState(t, t, 0, 0.0)
+            else if (t - st.last > gapMillis) {
+              out += Session(userId, new java.sql.Timestamp(st.start),
+                new java.sql.Timestamp(st.last), st.n, st.sum)
+              st = SessionState(t, t, 0, 0.0)
+            }
+            st = st.copy(last = t, n = st.n + 1, sum = st.sum + e.value)
+          }
+          if (st != null) {
+            out += Session(userId, new java.sql.Timestamp(st.start),
+              new java.sql.Timestamp(st.last), st.n, st.sum)
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+}

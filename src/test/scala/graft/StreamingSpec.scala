@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventPipeline
+import graft.streaming.EventPipeline.Ev
+
+/** Streaming behavior: the batch-oracle-checked transforms (q27/q28)
+  * driven as real streams with MemoryStream — micro-batch progression,
+  * watermark-based finalization, custom-state sessionization. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long, typ: String,
+      v: Double): Ev = Ev(id, ts(t), user, typ, v)
+
+  test("windowed counts accumulate across micro-batches (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val query = EventPipeline.windowedTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:20:00", 2, "click", 2.0),
+        ev(3, "2024-01-01 11:05:00", 1, "view", 3.0))
+      query.processAllAvailable()
+      stream.addData(ev(4, "2024-01-01 10:40:00", 3, "click", 4.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT window_start, event_type, n FROM win_counts
+          |WHERE event_type = 'click'
+          |ORDER BY window_start, n""".stripMargin).collect()
+      // update mode re-emits the 10:00 click window: first 2, then 3
+      rows.map(_.getLong(2)).toSeq shouldBe Seq(2, 3)
+    } finally query.stop()
+  }
+
+  test("watermark drops data later than the delay (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val query = EventPipeline.windowedTypeCounts(stream.toDF(),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("wm_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(ev(1, "2024-01-01 10:05:00", 1, "click", 1.0))
+      query.processAllAvailable()
+      // advance event time far: watermark passes 10:00-11:00 window end
+      stream.addData(ev(2, "2024-01-01 13:00:00", 1, "click", 1.0))
+      query.processAllAvailable()
+      // this event is 3h late, behind the watermark -> dropped
+      stream.addData(ev(3, "2024-01-01 10:06:00", 2, "click", 9.0))
+      query.processAllAvailable()
+      val finalized = spark.sql(
+        "SELECT n FROM wm_counts WHERE window_start = TIMESTAMP '2024-01-01 10:00:00'")
+        .collect()
+      finalized.map(_.getLong(0)).toSeq shouldBe Seq(1) // late row excluded
+    } finally query.stop()
+  }
+
+  test("session_window and flatMapGroupsWithState agree in batch") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:10:00", 1, "view", 2.0),
+      ev(3, "2024-01-01 11:30:00", 1, "click", 3.0), // 80 min gap -> new
+      ev(4, "2024-01-01 10:00:00", 2, "click", 4.0)).toDS()
+    val viaWindow = EventPipeline.sessions(events.toDF(), streaming = false)
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+    val viaState = EventPipeline.sessionizeWithState(events, 30 * 60 * 1000L)
+      .orderBy("user_id", "session_start").collect()
+      .map(s => (s.user_id, s.session_start, s.n_events))
+    viaWindow.toSeq shouldBe viaState.toSeq
+    viaWindow.length shouldBe 3
+    viaWindow(0)._3 shouldBe 2 // user1 first session has 2 events
+  }
+
+  test("file-source streaming ingest of the events table shape") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    val batch = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:40:00", 2, "view", 2.0)).toDF()
+    batch.write.parquet(dir.resolve("part1").toString)
+    val stream = EventPipeline.fromStream(spark, dir.toString + "/*")
+    stream.isStreaming shouldBe true
+    val query = EventPipeline.windowedTypeCounts(stream)
+      .writeStream.format("memory").queryName("file_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      query.processAllAvailable()
+      spark.table("file_counts").count() shouldBe 2
+    } finally query.stop()
+  }
+}
