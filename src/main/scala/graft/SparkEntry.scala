@@ -18,10 +18,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.registry ++ QueriesDedup.registry ++
       QueriesSimilarity.registry ++ QueriesRelational.registry ++
-      QueriesStreaming.registry
+      QueriesStreaming.registry ++ QueriesMultimodal.registry
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesDedup.oracles ++
       QueriesSimilarity.oracles ++ QueriesRelational.oracles ++
-      QueriesStreaming.oracles
+      QueriesStreaming.oracles ++ QueriesMultimodal.oracles
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal._
+
+/** Multimodal plumbing: binary schema, per-partition decode batching,
+  * deterministic fake features, resize/frame-sample stubs. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = asMediaTable(
+    Seq((1L, "hello world"), (2L, ""), (3L, "third document"))
+      .toDF("doc_id", "text"), "doc_id", "text", "image").as[MediaRow]
+
+  test("binary media table schema") {
+    val df = media.toDF()
+    df.schema("content").dataType.typeName shouldBe "binary"
+    df.schema("kind").dataType.typeName shouldBe "string"
+  }
+
+  test("feature extraction is deterministic and md5-consistent") {
+    val feats = extractFeatures(media, () => new DeterministicFakeDecoder)
+      .collect().sortBy(_.doc_id)
+    feats.map(_.n_bytes).toSeq shouldBe Seq(11L, 0L, 14L)
+    // digest matches JVM md5 of the utf-8 bytes
+    feats(0).digest shouldBe Multimodal.DeterministicFakeDecoder
+      .md5Hex("hello world".getBytes("UTF-8"))
+    // dims in the fake decoder's declared ranges
+    all(feats.map(_.width).toSeq) should (be >= 1 and be <= 1920)
+    all(feats.map(_.height).toSeq) should (be >= 1 and be <= 1080)
+    // deterministic across runs
+    val again = extractFeatures(media, () => new DeterministicFakeDecoder)
+      .collect().sortBy(_.doc_id)
+    again.map(f => (f.digest, f.width, f.height)).toSeq shouldBe
+      feats.map(f => (f.digest, f.width, f.height)).toSeq
+  }
+
+  test("decoder initialized per partition, not per row") {
+    val counter = spark.sparkContext.longAccumulator("decoder_opens")
+    val parts = media.repartition(2)
+    extractFeatures(parts, () => new DeterministicFakeDecoder {
+      override def open(): Unit = counter.add(1)
+    }).collect()
+    counter.value shouldBe 2 // one open() per partition
+  }
+
+  test("resize stub keeps aspect and bounds") {
+    resizeDims(1920, 1080, 512) shouldBe ((512, 288))
+    resizeDims(1080, 1920, 512) shouldBe ((288, 512))
+    resizeDims(100, 50, 512) shouldBe ((100, 50))
+  }
+
+  test("frame sampling stub") {
+    sampleFrameIndices(10, 3) shouldBe Seq(0, 3, 6, 9)
+    sampleFrameIndices(0, 3) shouldBe Seq.empty
+  }
+}
