@@ -1,0 +1,90 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal, Or}
+
+/** SQL-surface registration: exposes the engine's functions to
+  * `spark.sql(...)` callers via SparkSessionExtensions
+  * (`.withExtensions(new GraftExtensions)`) or post-hoc on a live
+  * session (`GraftExtensions.register(spark)`).
+  *
+  * Functions:
+  *   graft_simhash32(array<string>) -> bigint   (custom codegen'd node)
+  *   graft_fingerprint(string)      -> string   (composed built-ins)
+  *   st_point(lon, lat)             -> struct   (composed built-ins)
+  *   st_x(geom) / st_y(geom)        -> double
+  *   st_astext(geom)                -> string
+  *
+  * No optimizer rules or strategies are injected: reference parity needs
+  * none (SURVEY.md §4) — Catalyst's existing rules handle these plans.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  /** Builders return UnresolvedFunction trees over built-ins — the
+    * analyzer resolves them like any SQL text would, so the same Catalyst
+    * implementations back both the DataFrame and SQL surfaces. */
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(Seq(name), args.toSeq, isDistinct = false)
+
+  private def lit(v: Any): Expression = Literal(v)
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", name) // usage text optional; class tag only
+
+  /** st_point(lon, lat[, srid]) as a named struct; NULL if either
+    * coordinate is NULL (GeomFunctions.stPoint semantics). */
+  private def stPoint(exprs: Seq[Expression]): Expression = {
+    val xd = fn("double", exprs(0))
+    val yd = fn("double", exprs(1))
+    val srid = if (exprs.length >= 3) fn("int", exprs(2)) else lit(4326)
+    val struct = fn("named_struct",
+      lit("x"), xd, lit("y"), yd, lit("srid"), fn("int", srid))
+    If(Or(IsNull(xd), IsNull(yd)),
+      fn("named_struct", lit("x"), fn("double", Literal(null)),
+        lit("y"), fn("double", Literal(null)),
+        lit("srid"), fn("int", Literal(null))),
+      struct)
+  }
+
+  private def fingerprint(text: Expression): Expression =
+    fn("substring",
+      fn("md5", fn("regexp_replace",
+        fn("lower", fn("trim", text)), lit("\\s+"), lit(" "))),
+      lit(1), lit(16))
+
+  private def wkt(g: Expression): Expression =
+    If(IsNull(g), Literal(null, org.apache.spark.sql.types.StringType),
+      fn("concat", lit("POINT("),
+        fn("string", UnresolvedExtractValue(g, lit("x"))), lit(" "),
+        fn("string", UnresolvedExtractValue(g, lit("y"))), lit(")")))
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash32", info("graft_simhash32", "simhash"),
+      (exprs: Seq[Expression]) => SimHash32Expression(exprs.head)),
+    ("graft_fingerprint", info("graft_fingerprint", "fingerprint"),
+      (exprs: Seq[Expression]) => fingerprint(exprs.head)),
+    ("st_point", info("st_point", "point"),
+      (exprs: Seq[Expression]) => stPoint(exprs)),
+    ("st_x", info("st_x", "x"),
+      (exprs: Seq[Expression]) => UnresolvedExtractValue(exprs.head, lit("x"))),
+    ("st_y", info("st_y", "y"),
+      (exprs: Seq[Expression]) => UnresolvedExtractValue(exprs.head, lit("y"))),
+    ("st_astext", info("st_astext", "wkt"),
+      (exprs: Seq[Expression]) => wkt(exprs.head)),
+  )
+
+  /** Register on an already-built session (tests, REPL). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+}

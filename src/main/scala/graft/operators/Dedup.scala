@@ -110,8 +110,19 @@ object Dedup {
 
   /** 32-bit SimHash over a token array: per bit, tokens vote +1/-1 by
     * their md5-derived bit; majority(>=0) sets the bit. Returns long.
-    * Empty token array -> 0. */
-  def simhash32(tokens: Column): Column = {
+    * Empty token array -> 0.
+    *
+    * Backed by the codegen'd SimHash32Expression (one pass, one md5 per
+    * token) — the Column-composition equivalent costs 32 array scans.
+    * Equivalence is pinned by ExpressionsSpec. */
+  def simhash32(tokens: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.SimHash32Expression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(tokens)))
+
+  /** Reference Column-composition form of simhash32 (kept for the
+    * equivalence spec; 32 filtered scans — do not use in hot paths). */
+  private[graft] def simhash32Composed(tokens: Column): Column = {
     val n = size(tokens)
     (0 until 32).map { b =>
       val hits = size(filter(tokens, t =>

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.GraftExtensions
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+/** Custom Catalyst expression + SQL function registration. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SimHash32Expression matches the Column-composition form") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c", "", "single",
+      "the quick brown fox jumps over the lazy cat").toDF("text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val rows = docs.select(
+      Dedup.simhash32(toks).as("fast"),
+      Dedup.simhash32Composed(toks).as("composed")).collect()
+    rows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+    // empty text -> 0
+    docs.filter(col("text") === "")
+      .select(Dedup.simhash32(toks)).head().getLong(0) shouldBe 0L
+  }
+
+  test("expression participates in whole-stage codegen (no fallback)") {
+    // non-foldable input (a literal array constant-folds the whole node —
+    // ConstantFolding can evaluate SimHash32Expression, which is itself a
+    // useful property) over a codegen'd scan
+    val df = spark.range(1)
+      .select(Dedup.simhash32(
+        split(concat(lit("a b c "), col("id").cast("string")), " ")).as("sh"))
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' marks operators fused into a WholeStageCodegen stage
+    plan should include ("*(1) Project")
+    plan should include ("graft_simhash32")
+    // and evaluation under codegen equals interpreted eval
+    df.head().getLong(0) should not be 0L
+  }
+
+  test("functions are SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    Seq(("x y z", 1.5, 2.5)).toDF("text", "lon", "lat")
+      .createOrReplaceTempView("ext_t")
+    val r = spark.sql(
+      """SELECT graft_simhash32(split(text, ' ')) AS sh,
+        |  graft_fingerprint(text) AS fp,
+        |  st_x(st_point(lon, lat)) AS x,
+        |  st_y(st_point(lon, lat)) AS y,
+        |  st_astext(st_point(lon, lat)) AS wkt
+        |FROM ext_t""".stripMargin).head()
+    r.getLong(0) should not be 0L
+    r.getString(1) should have length 16
+    r.getDouble(2) shouldBe 1.5
+    r.getDouble(3) shouldBe 2.5
+    r.getString(4) shouldBe "POINT(1.5 2.5)"
+  }
+
+  test("SQL simhash equals DataFrame simhash") {
+    GraftExtensions.register(spark)
+    Seq("alpha beta gamma").toDF("text").createOrReplaceTempView("ext_t2")
+    val sqlV = spark.sql(
+      "SELECT graft_simhash32(split(text, ' ')) FROM ext_t2").head().getLong(0)
+    val dfV = Seq("alpha beta gamma").toDF("text")
+      .select(Dedup.simhash32(split(col("text"), " "))).head().getLong(0)
+    sqlV shouldBe dfV
+  }
+}
