@@ -63,8 +63,10 @@ object QueriesDedup {
         when(col("doc_id") % 5 === 0, col("doc_id") + 20000)
           .otherwise(col("doc_id") + 1))
       .withColumnRenamed("doc_id", "id1")
+    // persisted: consumed by both join branches (id1 and id2); without
+    // the cache the shingle pass runs twice over the corpus
     val sh = c.select(col("doc_id"),
-      TA.charShingles(col("text"), 4).as("sh"))
+      TA.charShingles(col("text"), 4).as("sh")).persist()
     pairsIds
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
@@ -102,18 +104,23 @@ object QueriesDedup {
        |ORDER BY p.id1""".stripMargin
 
   // --------------------------------------------------------------- q16
-  /** MinHash+LSH near-dup pipeline: shingle -> 8-hash signature -> 4
-    * bands -> bucket-join candidates -> exact-Jaccard >= 0.5. */
+  /** MinHash+LSH near-dup pipeline: shingle -> 16-hash signature -> 4
+    * bands of 4 -> bucket-join candidates -> exact-Jaccard >= 0.5.
+    * 4-row bands keep P(candidate) = 4*sim^4: ~0.5% for ~0.26-similar
+    * word-salad controls vs ~97% for >=0.85 near-dups — bench showed
+    * 2-row bands admit ~20% of ALL pairs on this shared-vocab corpus. */
   private def q16Minhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(corpus(s, dir), "doc_id", "text",
-      shingleSize = 4, k = 8, bands = 4, threshold = 0.5)
+      shingleSize = 4, k = 16, bands = 4, threshold = 0.5)
       .orderBy(col("id1"), col("id2"))
 
   private val q16Sql = {
-    val sigItems = (0 until 8).map(i =>
+    val sigItems = (0 until 16).map(i =>
       s"list_min(list_transform(s, x -> md5('$i:' || x)))").mkString(",\n       |    ")
-    val bandItems = (0 until 4).map(b =>
-      s"md5(g[${2 * b + 1}] || '|' || g[${2 * b + 2}])").mkString(", ")
+    val bandItems = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"g[${4 * b + r + 1}]").mkString(" || '|' || ")
+      s"md5($parts)"
+    }.mkString(", ")
     s"""WITH $corpusSql,
        |$shinglesSqlDef,
        |sig AS (
@@ -179,10 +186,16 @@ object QueriesDedup {
 
   // --------------------------------------------------------------- q18
   /** Embedding-cosine near-dup: perturbed copies of vec_id % 10 == 0
-    * (first element +0.05) must pair with their originals at cos>=0.99. */
+    * (first element +0.05) must pair with their originals at cos>=0.99.
+    * Brute-force is the verification-scale operator, so the demo corpus
+    * is the vec_id % 5 subset (the LSH path in Similarity is the scale
+    * route — pairing the full corpus quadratically is exactly what the
+    * operator's scaladoc says not to do). */
   private def q18Embedding(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.load(s, dir, "embeddings").select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val base = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
     val copies = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 10000).as("vec_id"),
         concat(array(element_at(col("e"), 1) + lit(0.05)),
@@ -195,7 +208,7 @@ object QueriesDedup {
   private val q18Sql =
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      |  FROM embeddings),
+      |  FROM embeddings WHERE vec_id % 5 = 0),
       |corpus AS (
       |  SELECT vec_id, e FROM base
       |  UNION ALL

@@ -39,7 +39,17 @@ object GeomFunctions {
     * source == target (the reference only ever needs 4326 -> 4326,
     * `etl/etl.py:21,190-192`; 3857 support is the scale extension used by
     * the overview/LOD pipeline). Unknown SRID pairs -> NULL geometry. */
-  def stTransform(geom: Column, target: Column): Column = {
+  def stTransform(geom: Column, target: Column): Column =
+    stTransformImpl(geom, target)
+
+  /** Literal-aware overload: when source and target SRID are statically
+    * equal (the reference's only case — 4326 -> 4326), skip the runtime
+    * branch entirely instead of emitting a trivially-true predicate. */
+  def stTransform(geom: Column, target: Int, source: Int): Column =
+    if (target == source) geom
+    else stTransformImpl(geom, lit(target))
+
+  private def stTransformImpl(geom: Column, target: Column): Column = {
     val src = geom("srid")
     val x = geom("x")
     val y = geom("y")
@@ -77,7 +87,7 @@ object GeomFunctions {
     val lon = TypeCascade.parseLocaleFloat(lonRaw, decimalSep, thousandSep)
     val lat = TypeCascade.parseLocaleFloat(latRaw, decimalSep, thousandSep)
     when(validLonLat(lon, lat),
-      stTransform(stPoint(lon, lat, lit(srid)), lit(4326)))
+      stTransform(stPoint(lon, lat, lit(srid)), 4326, srid))
   }
 
   /** WKT rendering (POINT only — the reference's only geometry kind). */

