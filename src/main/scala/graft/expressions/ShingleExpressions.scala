@@ -1,0 +1,129 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Imperative helpers behind the shingle/minhash hot path. Semantics are
+  * pinned to the Column-composition forms (and therefore to the DuckDB
+  * oracle SQL): distinct char n-grams in first-occurrence order;
+  * md5-hex minima per salted permutation; band key = md5 of the
+  * pipe-joined minima. */
+object ShingleUtil {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = HexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Distinct char n-grams of `s` in first-occurrence order; a string of
+    * length <= n yields itself as the only shingle. Matches
+    * `TextAnalysis.charShingles` over an already-normalized string —
+    * positions are code-point-based (UTF8String.substring), like Spark's
+    * length()/substr(). */
+  def charShingles(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len <= n) return new GenericArrayData(Array[Any](s))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    val last = len - n
+    while (i <= last) {
+      seen.add(s.substring(i, i + n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** LSH band keys in one pass: for salt i in [0, bands*rowsPerBand),
+    * m_i = min over shingles of md5Hex(i + ":" + shingle); band key b =
+    * md5Hex(m_{4b} + "|" + ... + "|" + m_{4b+3}). One md5 per
+    * (shingle, salt) — the Column form traverses the array once per salt
+    * and allocates a concat per element. */
+  def minhashBands(shingles: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val k = bands * rowsPerBand
+    val n = shingles.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[String](k)
+    var i = 0
+    while (i < n) {
+      val shingleBytes = shingles.getUTF8String(i).getBytes
+      var salt = 0
+      while (salt < k) {
+        md.reset()
+        md.update((salt + ":").getBytes(StandardCharsets.UTF_8))
+        md.update(shingleBytes)
+        val h = hex(md.digest())
+        if (mins(salt) == null || h.compareTo(mins(salt)) < 0) mins(salt) = h
+        salt += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      // null mins (empty shingle array) are skipped, matching concat_ws
+      val joined = (0 until rowsPerBand)
+        .map(r => mins(b * rowsPerBand + r)).filter(_ != null).mkString("|")
+      md.reset()
+      out(b) = UTF8String.fromString(
+        hex(md.digest(joined.getBytes(StandardCharsets.UTF_8))))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd distinct-char-n-gram shingling (one pass, no per-element
+  * Column lambda machinery). Input must already be normalized
+  * (lower/trim/collapse-whitespace) — see TextAnalysis.charShingles. */
+case class CharShinglesExpression(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "shingle size must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.charShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ShingleUtil.charShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShinglesExpression =
+    copy(child = newChild)
+}
+
+/** Codegen'd MinHash-LSH band keys: the full salt-hash-min-band chain in
+  * one traversal of the shingle array. */
+case class MinHashBandsExpression(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands > 0 && rowsPerBand > 0)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.minhashBands(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ShingleUtil.minhashBands($c, $bands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpression =
+    copy(child = newChild)
+}

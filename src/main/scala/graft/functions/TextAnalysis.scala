@@ -95,8 +95,18 @@ object TextAnalysis {
 
   /** Character n-gram shingles of the normalized text (for Jaccard /
     * MinHash dedup). Text shorter than n -> single shingle of the whole
-    * text. */
-  def charShingles(text: Column, n: Int): Column = {
+    * text. Backed by the codegen'd CharShinglesExpression (single pass;
+    * the sequence+substr+array_distinct composition re-walks the string
+    * per position and the distinct is O(n^2)); equivalence pinned in
+    * ExpressionsSpec. */
+  def charShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.CharShinglesExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(
+          normalizeText(text)), n))
+
+  /** Column-composition form of charShingles (spec reference only). */
+  private[graft] def charShinglesComposed(text: Column, n: Int): Column = {
     val norm = normalizeText(text)
     when(length(norm) <= n, array(norm)).otherwise(
       array_distinct(transform(

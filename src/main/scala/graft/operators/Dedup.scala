@@ -119,7 +119,10 @@ object Dedup {
       .withColumn("__n", size(col("__sh")))
       .persist()
     val withBands = withSh.withColumn("__bands",
-      lshBandKeysFromShingles(col("__sh"), bands, rowsPerBand))
+      org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.expressions.MinHashBandsExpression(
+          org.apache.spark.sql.graftshim.ColumnBridge.expression(col("__sh")),
+          bands, rowsPerBand)))
       .select(col(idCol), col("__bands"))
       .persist()
     val pairs = candidatePairs(withBands, idCol, "__bands")

@@ -57,6 +57,32 @@ class ExpressionsSpec extends SparkSpec {
     r.getString(4) shouldBe "POINT(1.5 2.5)"
   }
 
+  test("CharShinglesExpression matches the composed form") {
+    val texts = Seq("The  Quick Brown fox", "ab", "abcd", "abcde",
+      " spaced   out  text ", "").toDF("text")
+    val rows = texts.select(
+      TextAnalysis.charShingles(col("text"), 4).as("fast"),
+      TextAnalysis.charShinglesComposed(col("text"), 4).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      r.getSeq[String](0).sorted shouldBe r.getSeq[String](1).sorted
+    }
+  }
+
+  test("MinHashBandsExpression matches the composed band keys") {
+    val texts = Seq("the quick brown fox jumps", "abcdefgh", "xy")
+      .toDF("text")
+    val sh = TextAnalysis.charShingles(col("text"), 4)
+    val fast = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.MinHashBandsExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(sh), 4, 4))
+    val rows = texts.select(fast.as("fast"),
+      Dedup.lshBandKeysFromShingles(sh, 4, 4).as("composed")).collect()
+    rows.foreach { r =>
+      r.getSeq[String](0) shouldBe r.getSeq[String](1)
+    }
+  }
+
   test("SQL simhash equals DataFrame simhash") {
     GraftExtensions.register(spark)
     Seq("alpha beta gamma").toDF("text").createOrReplaceTempView("ext_t2")
