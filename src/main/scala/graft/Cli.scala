@@ -66,12 +66,18 @@ object Cli {
       case "insert" =>
         val flags = parseFlags(args.drop(3).toList)
         val r = new InsertJob(args(1), args(2),
-          configFrom(flags, args(2)), observer).run()
-        println(s"inserted ${r.writtenRows} rows")
+          configFrom(flags, args(2)), observer,
+          rejectedPath = flags.get("rejected-path")).run(
+          startChunk = flags.getOrElse("start-chunk", "1").toInt,
+          endChunk = flags.get("end-chunk").map(_.toInt))
+        println(s"inserted ${r.writtenRows} rows" +
+          (if (r.rejectedRows > 0) s" (${r.rejectedRows} rejected)" else ""))
       case "update" =>
         val flags = parseFlags(args.drop(3).toList)
         val r = new UpdateByKeyJob(args(1), args(2),
-          configFrom(flags, args(2)), observer).run()
+          configFrom(flags, args(2)), observer).run(
+          startRow = flags.getOrElse("start-row", "1").toInt,
+          endRow = flags.get("end-row").map(_.toInt))
         println(s"applied ${r.writtenRows} updates")
       case "delete" =>
         val flags = parseFlags(args.drop(3).toList)

@@ -142,6 +142,23 @@ object QueriesRelational {
       |FROM events JOIN buckets ON value >= lo AND value < hi
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------- q30
+  /** Cube aggregation: all grouping-set combinations of status x
+    * priority (completes the rollup/cube/grouping-sets family with q22). */
+  private def q30Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val q30Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  sum(o_totalprice) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -151,6 +168,7 @@ object QueriesRelational {
     "q24_semijoin" -> (q24SemiJoin _),
     "q25_asof_join" -> (q25AsOf _),
     "q26_range_join" -> (q26RangeJoin _),
+    "q30_cube" -> (q30Cube _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -160,5 +178,6 @@ object QueriesRelational {
     "q24_semijoin" -> q24Sql,
     "q25_asof_join" -> q25Sql,
     "q26_range_join" -> q26Sql,
+    "q30_cube" -> q30Sql,
   )
 }

@@ -61,20 +61,54 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
     * the reference's chunked INSERT loop; `chunkSize` sizes the write
     * partitions so each task's output file stays bounded.
     *
-    * Like the reference (quirk Q8) this costs an extra pass for the
-    * total-rows progress event — but here the pre-pass also powers column
-    * kind inference, so the scan is not wasted. */
-  def run(): JobResult = {
+    * `startChunk`/`endChunk` (1-based, inclusive) resume a partial load
+    * exactly like the reference's offsets (`etl/etl.py:148,37-56` —
+    * minus its quirk Q2, which mis-applied them within every chunk).
+    * Chunk membership is row-position based; the global row numbering is
+    * a single-partition window, fine for CSV-resume scale — at cluster
+    * scale resumability comes from Structured Streaming checkpoints
+    * (SURVEY §4) instead.
+    *
+    * Rows Spark's CSV parser flags as malformed are diverted to
+    * `rejectedPath` (or dropped with a notify) rather than failing the
+    * load — the set-oriented form of the reference's continue-on-failure
+    * sends (quirk Q4). */
+  def run(startChunk: Int = 1, endChunk: Option[Int] = None): JobResult = {
+    import org.apache.spark.sql.expressions.Window
     val session = org.apache.spark.sql.SparkSession.active
-    val raw = CsvIngest.scan(session, csvPath, cfg)
+    // cached: Spark disallows queries that touch only the corrupt-record
+    // column of a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
+    // the scan feeds four consumers below anyway
+    val raw0 = CsvIngest.scanWithCorrupt(session, csvPath, cfg).persist()
+    val bad = raw0.filter(col(CsvIngest.CorruptCol).isNotNull)
+    val rejected = bad.count()
+    if (rejected > 0) {
+      rejectedPath.foreach(p => bad.write.mode(SaveMode.Append).parquet(p))
+      observer.notify("error", s"$rejected malformed rows diverted")
+    }
+    val raw = raw0.filter(col(CsvIngest.CorruptCol).isNull)
+      .drop(CsvIngest.CorruptCol)
     val total = raw.count()
     observer.notify("total_rows", total.toString)
-    val typed = CsvIngest.typedProjection(raw, cfg,
-      CsvIngest.inferColumnKinds(raw, cfg))
-    val parts = math.max(1, math.min(10000, (total / math.max(1, cfg.chunkSize)).toInt))
+    val sliced =
+      if (startChunk <= 1 && endChunk.isEmpty) raw
+      else {
+        val w = Window.orderBy(monotonically_increasing_id())
+        // Column `/` is double division — floor for integral chunk ids
+        val chunk = floor((row_number().over(w) - 1) / cfg.chunkSize) + 1
+        raw.withColumn("__chunk", chunk)
+          .filter(col("__chunk") >= startChunk &&
+            endChunk.map(e => col("__chunk") <= e).getOrElse(lit(true)))
+          .drop("__chunk")
+      }
+    val typed = CsvIngest.typedProjection(sliced, cfg,
+      CsvIngest.inferColumnKinds(sliced, cfg))
+    val written = typed.count()
+    val parts = math.max(1, math.min(10000, (written / math.max(1, cfg.chunkSize)).toInt))
     ParquetTable.append(typed.repartition(parts), tablePath)
-    observer.notify("progress", s"written $total")
-    JobResult(total, total, 0)
+    raw0.unpersist()
+    observer.notify("progress", s"written $written")
+    JobResult(total, written, rejected)
   }
 }
 
@@ -84,11 +118,24 @@ class UpdateByKeyJob(csvPath: String, tablePath: String, cfg: IngestConfig,
 
   /** The reference updates row-at-a-time in file order so the last row per
     * key wins (`etl/etl.py:315-351`); here: one MERGE with an explicit
-    * file-position order column, committed atomically. */
-  def run(): JobResult = {
+    * file-position order column, committed atomically.
+    *
+    * `startRow`/`endRow` (1-based, inclusive) replicate the reference's
+    * row-range resume (T7, `etl/etl.py:320-330`). */
+  def run(startRow: Int = 1, endRow: Option[Int] = None): JobResult = {
+    import org.apache.spark.sql.expressions.Window
     val session = org.apache.spark.sql.SparkSession.active
-    val raw = CsvIngest.scan(session, csvPath, cfg)
-      .withColumn("__pos", monotonically_increasing_id())
+    val scanned = CsvIngest.scan(session, csvPath, cfg)
+    val sliced =
+      if (startRow <= 1 && endRow.isEmpty)
+        scanned.withColumn("__pos", monotonically_increasing_id())
+      else {
+        val w = Window.orderBy(monotonically_increasing_id())
+        scanned.withColumn("__pos", row_number().over(w).cast("long"))
+          .filter(col("__pos") >= startRow &&
+            endRow.map(e => col("__pos") <= e).getOrElse(lit(true)))
+      }
+    val raw = sliced
     val total = raw.count()
     observer.notify("total_rows", total.toString)
     val kinds = CsvIngest.inferColumnKinds(raw.drop("__pos"), cfg)

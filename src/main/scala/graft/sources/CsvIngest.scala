@@ -55,6 +55,8 @@ object CsvIngest {
   case object DateCol extends ColKind
   case object StringCol extends ColKind
 
+  val CorruptCol = "__corrupt_record"
+
   /** T1+T2: raw scan — all columns string-typed, headers normalized. */
   def scan(spark: SparkSession, path: String, cfg: IngestConfig): DataFrame = {
     val df = spark.read
@@ -66,6 +68,27 @@ object CsvIngest {
       .option("maxCharsPerColumn", "-1")
       .csv(path)
     TypeCascade.normalizeHeaders(df)
+  }
+
+  /** Scan in PERMISSIVE mode with a corrupt-record column so malformed
+    * lines survive as rejectable rows instead of failing the load
+    * (reference quirk Q4: continue-on-failure). */
+  def scanWithCorrupt(spark: SparkSession, path: String,
+      cfg: IngestConfig): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val header = scan(spark, path, cfg).schema.fieldNames
+    val schema = StructType(
+      header.map(StructField(_, StringType)) :+ StructField(CorruptCol, StringType))
+    val df = spark.read
+      .option("header", "true")
+      .option("delimiter", cfg.delimiter)
+      .option("encoding", cfg.encoding)
+      .option("maxCharsPerColumn", "-1")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema)
+      .csv(path)
+    df
   }
 
   /** Decide each requested column's kind in ONE distributed aggregate pass

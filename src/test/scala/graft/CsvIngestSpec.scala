@@ -78,6 +78,60 @@ class CsvIngestSpec extends SparkSpec {
     byName("épsilon").isNullAt(byName("épsilon").fieldIndex("amount")) shouldBe true
   }
 
+  test("insert resume: start/end chunk slice rows like the reference offsets") {
+    spark.version // init the shared session (jobs use SparkSession.active)
+    val dir = Files.createTempDirectory("graft_chunks")
+    val csv = writeFixture(dir)
+    val table = dir.resolve("t_chunk").toString
+    // chunkSize 2 over 5 rows -> chunks: (1,2) (3,4) (5)
+    val small = cfg.copy(chunkSize = 2)
+    new InsertJob(csv, table, small).run(startChunk = 2).totalRows shouldBe 5
+    ParquetTable.read(spark, table).count() shouldBe 3 // rows 3..5
+    val table2 = dir.resolve("t_chunk2").toString
+    new InsertJob(csv, table2, small).run(startChunk = 1, endChunk = Some(1))
+    ParquetTable.read(spark, table2).count() shouldBe 2 // rows 1..2
+  }
+
+  test("malformed rows divert to the rejected side output, load continues") {
+    val dir = Files.createTempDirectory("graft_rej")
+    val f = dir.resolve("bad.csv")
+    // row 2 has an unterminated quote -> malformed under the csv parser
+    Files.write(f, "name|amount\nok|1\n\"broken|2\nalso_ok|3\n".getBytes)
+    val table = dir.resolve("t_rej").toString
+    val rej = dir.resolve("rejected").toString
+    val r = new InsertJob(f.toString, table,
+      cfg.copy(forceNoGeometry = true), IngestObserver.silent,
+      rejectedPath = Some(rej)).run()
+    r.rejectedRows shouldBe 1
+    r.writtenRows shouldBe 2
+    ParquetTable.read(spark, table).count() shouldBe 2
+    spark.read.parquet(rej).count() shouldBe 1
+  }
+
+  test("update row-range slice (start_row/end_row)") {
+    spark.version // init the shared session (jobs use SparkSession.active)
+    val dir = Files.createTempDirectory("graft_rowrange")
+    val csv = writeFixture(dir)
+    val table = dir.resolve("t_rows").toString
+    val insCfg = cfg.copy(idColumn = Some("name"))
+    new InsertJob(csv, table, insCfg).run()
+    // update only file rows 2..3 (bèta, gamma): set amount
+    val updCsv = dir.resolve("upd.csv")
+    Files.write(updCsv,
+      "name|amount\nalpha|111\nbèta|222\ngamma|333\ndelta|444\n"
+        .getBytes(Charset.forName("ISO-8859-1")))
+    new UpdateByKeyJob(updCsv.toString, table,
+      insCfg.copy(forceNoGeometry = true)).run(startRow = 2, endRow = Some(3))
+    val amounts = ParquetTable.read(spark, table)
+      .select(col("name"), col("amount")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    amounts("alpha") shouldBe 10.0 // untouched (row 1 outside range)
+    amounts("bèta") shouldBe 222.0
+    amounts("gamma") shouldBe 333.0
+    amounts("delta") shouldBe 40.0 // untouched (row 4 outside range)
+  }
+
   test("insert -> update -> delete job lifecycle against a parquet table") {
     val dir = Files.createTempDirectory("graft_jobs")
     val csv = writeFixture(dir)
