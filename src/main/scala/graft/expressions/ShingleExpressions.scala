@@ -34,7 +34,9 @@ object ShingleUtil {
   def charShingles(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
     if (len <= n) return new GenericArrayData(Array[Any](s))
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    // sorted set: downstream set ops (jaccard intersect) get sorted
+    // inputs for merge-based counting; all consumers are order-agnostic
+    val seen = new java.util.TreeSet[UTF8String]()
     var i = 0
     val last = len - n
     while (i <= last) {
@@ -46,6 +48,21 @@ object ShingleUtil {
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Intersection size of two SORTED distinct arrays (two-pointer merge,
+    * no hash set, early exit). */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** LSH band keys in one pass: for salt i in [0, bands*rowsPerBand),
@@ -106,6 +123,28 @@ case class CharShinglesExpression(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): CharShinglesExpression =
     copy(child = newChild)
+}
+
+/** Codegen'd intersection size over two SORTED distinct string arrays
+  * (CharShinglesExpression output is sorted). Two-pointer merge beats
+  * array_intersect's hash-set build per row. */
+case class SortedIntersectSizeExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ShingleUtil.sortedIntersectSize(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.expressions.ShingleUtil.sortedIntersectSize($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSizeExpression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd MinHash-LSH band keys: the full salt-hash-min-band chain in

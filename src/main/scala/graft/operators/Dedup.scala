@@ -137,7 +137,10 @@ object Dedup {
       .join(sh.select(col(idCol).as("id2"), col("__sh").as("__sh2"),
         col("__n").as("__n2")), "id2")
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("__sh1"), col("__sh2")))
+        org.apache.spark.sql.graftshim.ColumnBridge.column(
+          graft.expressions.SortedIntersectSizeExpression(
+            org.apache.spark.sql.graftshim.ColumnBridge.expression(col("__sh1")),
+            org.apache.spark.sql.graftshim.ColumnBridge.expression(col("__sh2"))))
           .cast("double").as("__i"),
         col("__n1"), col("__n2"))
       .persist()

@@ -83,6 +83,22 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("SortedIntersectSize equals array_intersect size on shingles") {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val pairs = Seq(
+      ("the quick brown fox", "the quick brown cat"),
+      ("abcdefg", "xyz"), ("same", "same"), ("", "x")).toDF("a", "b")
+    val sa = TextAnalysis.charShingles(col("a"), 4)
+    val sb = TextAnalysis.charShingles(col("b"), 4)
+    val fast = ColumnBridge.column(
+      graft.expressions.SortedIntersectSizeExpression(
+        ColumnBridge.expression(sa), ColumnBridge.expression(sb)))
+    val rows = pairs.select(fast.as("fast"),
+      org.apache.spark.sql.functions.size(array_intersect(sa, sb)).as("ref"))
+      .collect()
+    rows.foreach(r => r.getInt(0) shouldBe r.getInt(1))
+  }
+
   test("SQL simhash equals DataFrame simhash") {
     GraftExtensions.register(spark)
     Seq("alpha beta gamma").toDF("text").createOrReplaceTempView("ext_t2")
