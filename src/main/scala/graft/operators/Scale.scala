@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: the shuffle-shaping tools a 100 TB deployment needs
+  * beyond what AQE does automatically (SURVEY §4, ARCHITECTURE.md).
+  *
+  *  - Salting: a skewed aggregation key (one customer with 10^9 rows)
+  *    makes one reducer the straggler. Two-phase salted aggregation
+  *    splits each key across `saltFactor` sub-keys (map-side partials
+  *    land on different reducers), then combines. AQE's skew handling
+  *    covers joins; skewed AGGREGATIONS still need this.
+  *  - Bucketing: two fact tables bucketed + sorted on the join key are
+  *    co-located — the join runs with ZERO Exchange (verified by plan
+  *    assertion in ScaleSpec). The 100 TB analog of the reference's
+  *    "index your id column" advice (`README.md:148,167`).
+  */
+object Scale {
+
+  /** Two-phase salted sum/count aggregation. Results are EXACTLY equal
+    * to the unsalted `df.groupBy(keys).agg(sum/count)` — only the
+    * shuffle distribution changes. Extend with more partial-izable
+    * aggregates as needed (min/max/sum/count all decompose). */
+  def saltedAggregate(df: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], saltFactor: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(abs(hash(monotonically_increasing_id())), lit(saltFactor)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        sumCols.map(c => sum(col(c)).as(s"__sum_$c")): _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__cnt")).as("n"),
+        sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
+  }
+
+  /** Write a table bucketed + sorted on `key` so future equi-joins and
+    * aggregations on `key` skip the shuffle. Catalog-managed (bucket
+    * metadata lives in the metastore). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key. The plan contains no
+    * Exchange when both sides share the bucket spec. */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, rightTable: String, key: String,
+      joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+}

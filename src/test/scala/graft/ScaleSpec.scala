@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+
+/** Scale utilities: salted aggregation correctness and the
+  * zero-Exchange bucketed-join plan shape. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregate equals plain aggregate on a skewed key") {
+    // 10k rows for key "hot", a handful elsewhere — the skew shape
+    val skewed = spark.range(10000).select(lit("hot").as("k"),
+        (col("id") % 7).cast("double").as("v"))
+      .unionAll(spark.range(5).select(concat(lit("cold"), col("id")).as("k"),
+        col("id").cast("double").as("v")))
+    val salted = Scale.saltedAggregate(skewed, Seq("k"), Seq("v"), 8)
+      .orderBy("k").collect()
+    val plain = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .orderBy("k").collect()
+    salted.length shouldBe plain.length
+    salted.zip(plain).foreach { case (s, p) =>
+      s.getString(0) shouldBe p.getString(0)
+      s.getLong(1) shouldBe p.getLong(1)
+      s.getDouble(2) shouldBe p.getDouble(2) +- 1e-9
+    }
+    // and the salted phase-1 actually fans the hot key out
+    val phase1Groups = skewed.withColumn("__salt",
+      pmod(abs(hash(monotonically_increasing_id())), lit(8)))
+      .filter(col("k") === "hot").select("__salt").distinct().count()
+    phase1Groups should be > 1L
+  }
+
+  test("bucketed join runs without a shuffle exchange") {
+    val left = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 2).as("a"))
+    val right = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 3).as("b"))
+    Scale.writeBucketed(left, "bkt_left", "k", 4)
+    Scale.writeBucketed(right, "bkt_right", "k", 4)
+    // tiny test tables would broadcast (planner then ignores buckets);
+    // force the shuffle-join path the assertion is about
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "bkt_left", "bkt_right", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include ("SortMergeJoin")
+      // co-located buckets: no hash-partitioning exchange on either side
+      plan should not include ("Exchange hashpartitioning")
+      joined.count() shouldBe 1000
+      // control: the same join on plain (non-bucketed) frames shuffles
+      val controlPlan = left.join(right, Seq("k"))
+        .queryExecution.executedPlan.toString
+      controlPlan should include ("Exchange hashpartitioning")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}
