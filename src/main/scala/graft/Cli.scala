@@ -27,7 +27,24 @@ object Cli {
       throw new IllegalArgumentException(s"unexpected argument: $other")
   }
 
-  def configFrom(flags: Map[String, String], table: String): IngestConfig =
+  /** Flags override values from an optional `--config etl.conf` INI file
+    * (the reference's configuration path, translated by IniConfig). */
+  def configFrom(flags: Map[String, String], table: String): IngestConfig = {
+    val base = flags.get("config")
+      .map(graft.sources.IniConfig.loadIngestConfig)
+    base match {
+      case Some(b) => b.copy(
+        tableName = table,
+        delimiter = flags.getOrElse("delimiter", b.delimiter),
+        encoding = flags.getOrElse("encoding", b.encoding),
+        forceNoGeometry = flags.contains("no-geometry") || b.forceNoGeometry,
+        idColumn = flags.get("id-column").orElse(b.idColumn),
+        chunkSize = flags.get("chunk-size").map(_.toInt).getOrElse(b.chunkSize))
+      case None => flagsOnlyConfig(flags, table)
+    }
+  }
+
+  private def flagsOnlyConfig(flags: Map[String, String], table: String): IngestConfig =
     IngestConfig(
       tableName = table,
       delimiter = flags.getOrElse("delimiter", ","),
