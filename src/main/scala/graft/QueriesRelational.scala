@@ -159,6 +159,31 @@ object QueriesRelational {
       |ORDER BY o_orderstatus ASC NULLS FIRST,
       |  o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- q31
+  /** Statistical aggregates: exact interpolated percentiles, stddev/
+    * variance, correlation/covariance per group. */
+  private def q31Stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        stddev_samp(col("l_quantity")).as("sd_qty"),
+        var_samp(col("l_quantity")).as("var_qty"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_qp"))
+      .orderBy(col("l_returnflag"))
+
+  private val q31Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  stddev_samp(l_quantity) AS sd_qty,
+      |  var_samp(l_quantity) AS var_qty,
+      |  corr(l_quantity, l_extendedprice) AS corr_qp,
+      |  covar_samp(l_quantity, l_extendedprice) AS cov_qp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -169,6 +194,7 @@ object QueriesRelational {
     "q25_asof_join" -> (q25AsOf _),
     "q26_range_join" -> (q26RangeJoin _),
     "q30_cube" -> (q30Cube _),
+    "q31_stats" -> (q31Stats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -179,5 +205,6 @@ object QueriesRelational {
     "q25_asof_join" -> q25Sql,
     "q26_range_join" -> q26Sql,
     "q30_cube" -> q30Sql,
+    "q31_stats" -> q31Sql,
   )
 }
