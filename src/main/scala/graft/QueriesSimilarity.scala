@@ -72,15 +72,54 @@ object QueriesSimilarity {
        |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q32
+  /** IVF ANN: coarse quantizer = every 25th vector as a centroid
+    * (deterministic "training" so the oracle reproduces it); queries
+    * probe their nearest centroid's inverted list. */
+  private def q32Ivf(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val centroids = all.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("centroid"))
+    val queries = all.filter(col("vec_id") % 50 === 0)
+    Similarity.ivfTopK(queries, all, "vec_id", "e", AnnK, centroids)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q32Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS centroid_id, e AS cv FROM e WHERE vec_id % 25 = 0),
+       |assigned AS (
+       |  SELECT vec_id, e, centroid_id FROM (
+       |    SELECT v.vec_id, v.e, c.centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_cosine_similarity(v.e, c.cv) DESC, c.centroid_id)
+       |        AS crn
+       |    FROM e v CROSS JOIN cent c)
+       |  WHERE crn = 1),
+       |q AS (SELECT * FROM assigned WHERE vec_id % 50 = 0)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.e, c.e) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rank
+       |  FROM q JOIN assigned c
+       |    ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id)
+       |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_sim_bruteforce_topk" -> (q19BruteForce _),
     "q20_sim_ann_lsh" -> (q20AnnLsh _),
+    "q32_sim_ann_ivf" -> (q32Ivf _),
   )
 
   val oracles: Map[String, String] = Map(
     "q19_sim_bruteforce_topk" -> q19Sql,
     "q20_sim_ann_lsh" -> q20Sql,
+    "q32_sim_ann_ivf" -> q32Sql,
   )
 }

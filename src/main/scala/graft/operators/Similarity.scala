@@ -70,6 +70,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    * every vector to its nearest centroid; a query only scores vectors
+    * in its own centroid's list. `centroids` is any small DataFrame of
+    * (centroid_id, centroid embedding) — at real scale produced by
+    * k-means; callers wanting deterministic/oracle-checkable behavior
+    * pass a fixed subset of the corpus.
+    *
+    * Scale: assignment is a broadcast cross of corpus x centroids
+    * (k centroids are tiny) + one shuffle keyed by centroid for the
+    * probe join; nprobe>1 would widen recall by probing the next
+    * nearest centroids. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    def assign(df: DataFrame, outId: String): DataFrame = {
+      val c = broadcast(centroids.select(col("centroid_id"),
+        col("centroid").as("__cv")))
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("__cscore").desc, col("centroid_id"))
+      df.select(col(idCol).as(outId), col(embCol).as("__v"))
+        .join(c)
+        .withColumn("__cscore", cosine(col("__v"), col("__cv")))
+        .withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") === 1)
+        .select(col(outId), col("__v"), col("centroid_id"))
+    }
+
+    val qa = assign(queries, "query_id")
+    val ca = assign(corpus, "neighbor_id")
+      .withColumnRenamed("__v", "__cvv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    qa.join(ca, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__v"), col("__cvv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Approximate top-k: candidates limited to the query's LSH bucket.
     * Same output shape as bruteForceTopK (rank within bucket). */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
