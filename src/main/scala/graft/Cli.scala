@@ -101,6 +101,26 @@ object Cli {
         val r = new DeleteByKeyJob(args(1), args(2),
           configFrom(flags, args(2)), observer).run()
         println(s"deleted by ${r.totalRows} keys")
+      case "geocode" =>
+        // geocode <csv> <lookupCsv(address,lon,lat)> <outDir>
+        //   [--address-column addr] [...csv flags]
+        // writes outDir partitioned by status (found/not_found/invalid) —
+        // the reference's three result files as table partitions
+        val flags = parseFlags(args.drop(4).toList)
+        val cfg = configFrom(flags, args(3))
+        val input = graft.sources.CsvIngest.scan(spark, args(1), cfg)
+        val lookup = graft.sources.CsvIngest.scan(spark, args(2),
+          cfg.copy(delimiter = flags.getOrElse("lookup-delimiter", ",")))
+          .select(org.apache.spark.sql.functions.col("address"),
+            org.apache.spark.sql.functions.col("lon").cast("double").as("lon"),
+            org.apache.spark.sql.functions.col("lat").cast("double").as("lat"))
+        val addrCol = flags.getOrElse("address-column", "address")
+        val routed = graft.operators.Geocoding.routed(
+          new graft.operators.LookupTableGeocoder(lookup), input, addrCol)
+        routed.write.mode("overwrite").partitionBy("status").parquet(args(3))
+        val counts = routed.groupBy("status").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+        println(s"geocoded: $counts")
       case "show" =>
         val n = if (args.length > 2) args(2).toInt else 20
         ParquetTable.read(spark, args(1)).show(n, truncate = false)
