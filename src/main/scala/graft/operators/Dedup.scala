@@ -201,8 +201,20 @@ object Dedup {
   // ------------------------------------------------------- embeddings
 
   /** Cosine similarity between two double arrays (deterministic in-order
-    * summation via `aggregate`). */
-  def cosine(a: Column, b: Column): Column = {
+    * summation). Backed by the codegen'd CosineSimilarityExpression — the
+    * higher-order-function composition costs ~30µs per 64-dim pair
+    * (interpreted lambdas + intermediate arrays); the tight loop is ~100ns
+    * with identical summation order. Equivalence pinned by
+    * ExpressionsSpec. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.CosineSimilarityExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(b)))
+
+  /** Reference Column-composition form of cosine (kept for the
+    * equivalence spec; interpreted lambdas — do not use in hot paths). */
+  private[graft] def cosineComposed(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
@@ -211,24 +223,16 @@ object Dedup {
 
   /** Brute-force embedding near-dup pairs at `threshold`. Quadratic —
     * verification-scale only; use Similarity.lshBuckets first at scale.
-    * Norms are computed once per vector (not per pair): 3x fewer array
-    * folds in the quadratic stage. */
+    * The codegen'd single-pass cosine makes per-pair norm recomputation
+    * cheaper than the old carry-the-norms join plumbing. */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
     val e = df.select(col(idCol),
       transform(col(embCol), x => x.cast("double")).as("__e"))
-      .withColumn("__n",
-        sqrt(aggregate(transform(col("__e"), x => x * x), lit(0.0), _ + _)))
-    val a = e.select(col(idCol).as("id1"), col("__e").as("__e1"),
-      col("__n").as("__n1"))
-    val b = e.select(col(idCol).as("id2"), col("__e").as("__e2"),
-      col("__n").as("__n2"))
-    val dot = aggregate(zip_with(col("__e1"), col("__e2"),
-      (x, y) => x * y), lit(0.0), _ + _)
+    val a = e.select(col(idCol).as("id1"), col("__e").as("__e1"))
+    val b = e.select(col(idCol).as("id2"), col("__e").as("__e2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos",
-        when(col("__n1") > 0 && col("__n2") > 0,
-          dot / (col("__n1") * col("__n2"))).otherwise(lit(0.0)))
+      .withColumn("cos", cosine(col("__e1"), col("__e2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB):
   *  - brute force is O(|queries| x |corpus|): fine when the query set is
-  *    small (broadcast the queries, stream the corpus — one map-side pass,
-  *    partial top-k per partition via the window, no corpus shuffle).
+  *    small (broadcast the queries, stream the corpus — one map-side pass).
+  *    The top-k itself is a bounded-heap aggregation (CollectTopK, k items
+  *    per query per partition map-side), so the only shuffle carries
+  *    |queries| x partitions x k rows — never the full scored cross
+  *    product, which a row_number window would sort-shuffle in full.
   *  - LSH: bucket signature is map-only; the join is keyed by bucket, so
   *    each query only meets its bucket's candidates. More planes = smaller
   *    buckets = faster + less recall; multi-probe (flip one bit) would
@@ -40,6 +43,30 @@ object Similarity {
   /** Cosine similarity with deterministic in-order summation. */
   def cosine(a: Column, b: Column): Column = Dedup.cosine(a, b)
 
+  /** Rank the k best (cos desc, neighbor_id asc) neighbors per query_id
+    * from a scored (query_id, neighbor_id, cos) frame.
+    *
+    * Uses Spark's bounded-heap CollectTopK aggregate instead of a
+    * row_number window: the partial (map-side) buffer never holds more
+    * than k items per query, so the exchange carries
+    * |queries| x partitions x k rows — the window form would shuffle and
+    * sort EVERY scored row. eval() returns the heap sorted by the
+    * requested ordering, so posexplode's position is the rank. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    // ordering struct: cos desc, then neighbor_id asc via negation; the
+    // raw neighbor_id rides along in the last slot for the projection.
+    val item = struct(col("cos"), (-col("neighbor_id")).as("__neg"),
+      col("neighbor_id"))
+    // reverse=false: keep the k LARGEST items, eval() sorted descending
+    // (pinned by SimilaritySpec) — so posexplode position 0 is rank 1.
+    val topk = ColumnBridge.collectTopK(item, k, reverse = false)
+    scored.groupBy(col("query_id")).agg(topk.as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.cos").as("cos"))
+  }
+
   /** LSH bucket key: sign bits of the embedding against each plane,
     * rendered "b0b1b2...". `embCol` must be array<double>. */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
@@ -57,17 +84,12 @@ object Similarity {
     * the corpus is scanned once with no shuffle before the final top-k. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(embCol).as("__qe")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("__qe"), col("__ce")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns
@@ -78,38 +100,38 @@ object Similarity {
     * pass a fixed subset of the corpus.
     *
     * Scale: assignment is a broadcast cross of corpus x centroids
-    * (k centroids are tiny) + one shuffle keyed by centroid for the
-    * probe join; nprobe>1 would widen recall by probing the next
-    * nearest centroids. */
+    * (k centroids are tiny) followed by a map-side-partial `max_by`
+    * argmax — the n×k expansion collapses to n rows before the single
+    * shuffle (a window-argmax here would sort-shuffle all n×k rows);
+    * the probe join then shuffles once keyed by centroid. nprobe>1
+    * would widen recall by probing the next nearest centroids. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int,
       centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
     def assign(df: DataFrame, outId: String): DataFrame = {
       val c = broadcast(centroids.select(col("centroid_id"),
         col("centroid").as("__cv")))
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("__cscore").desc, col("centroid_id"))
       df.select(col(idCol).as(outId), col(embCol).as("__v"))
         .join(c)
         .withColumn("__cscore", cosine(col("__v"), col("__cv")))
-        .withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") === 1)
+        // argmax by (score desc, centroid_id asc): max of the orderable
+        // struct (score, -centroid_id). Partial aggregation reduces each
+        // partition's n×k rows to n before the exchange.
+        .groupBy(col(outId))
+        .agg(
+          first(col("__v")).as("__v"),
+          max_by(col("centroid_id"),
+            struct(col("__cscore"), -col("centroid_id"))).as("centroid_id"))
         .select(col(outId), col("__v"), col("centroid_id"))
     }
 
     val qa = assign(queries, "query_id")
     val ca = assign(corpus, "neighbor_id")
       .withColumnRenamed("__v", "__cvv")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    qa.join(ca, Seq("centroid_id"))
+    val scored = qa.join(ca, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("__v"), col("__cvv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k: candidates limited to the query's LSH bucket.
@@ -117,7 +139,6 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int,
       planes: Array[Array[Double]]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"),
       lshBucket(col(embCol), planes).as("__qb"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
@@ -125,10 +146,6 @@ object Similarity {
     val scored = q.join(c, col("__qb") === col("__cb") &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("__qe"), col("__ce")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(scored, k)
   }
 }

@@ -15,4 +15,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Bounded-heap top-k aggregate (Spark's private[sql] CollectTopK):
+    * keeps at most k items per group in the partial (map-side) buffer,
+    * so a top-k never shuffles the full scored input. reverse=true =
+    * largest first; eval() returns the heap sorted in that order. */
+  def collectTopK(item: Column, k: Int, reverse: Boolean): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopKShim
+        .collectTopK(ExpressionUtils.expression(item), k, reverse)
+        .toAggregateExpression())
 }
