@@ -65,6 +65,47 @@ object ShingleUtil {
     c
   }
 
+  /** Hash each (distinct) shingle to a 64-bit key — first 8 bytes of its
+    * md5, big-endian signed — and return the keys sorted ascending.
+    * Distinct strings map to distinct longs (64-bit md5-prefix collision
+    * odds are ~n²/2⁶⁵ — negligible at any per-document shingle count), so
+    * set intersections over the long keys equal set intersections over
+    * the strings, at primitive-array merge cost with zero per-element
+    * allocation. */
+  def hashShingles(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(shingles.getUTF8String(i).getBytes)
+      out(i) = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      md.reset()
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Intersection size of two SORTED long arrays (two-pointer merge). */
+  def sortedLongIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** LSH band keys in one pass: for salt i in [0, bands*rowsPerBand),
     * m_i = min over shingles of md5Hex(i + ":" + shingle); band key b =
     * md5Hex(m_{4b} + "|" + ... + "|" + m_{4b+3}). One md5 per
@@ -165,4 +206,48 @@ case class MinHashBandsExpression(child: Expression, bands: Int, rowsPerBand: In
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpression =
     copy(child = newChild)
+}
+
+/** Codegen'd 64-bit hashing of a (distinct) string-shingle array into a
+  * sorted long array — the allocation-free input format for
+  * SortedLongIntersectSizeExpression. */
+case class HashedShinglesExpression(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.hashShingles(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ShingleUtil.hashShingles($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShinglesExpression =
+    copy(child = newChild)
+}
+
+/** Codegen'd intersection size over two SORTED long arrays: primitive
+  * two-pointer merge, zero per-element allocation (the UTF8String form
+  * allocates a wrapper per element access — measured dominant in the
+  * MinHash verify stage at sf0.1). */
+case class SortedLongIntersectSizeExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_long_intersect_size"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ShingleUtil.sortedLongIntersectSize(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.expressions.ShingleUtil.sortedLongIntersectSize($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectSizeExpression =
+    copy(left = newLeft, right = newRight)
 }

@@ -82,9 +82,40 @@ object Dedup {
   /** Candidate pairs from band keys: explode -> self-join per bucket.
     * Input needs (idCol, bandKeysCol); output (id1, id2) distinct with
     * id1 < id2. The shuffle is keyed by band key — bounded buckets, no
-    * full cross product. */
-  def candidatePairs(df: DataFrame, idCol: String, bandKeysCol: String): DataFrame = {
-    val exploded = df.select(col(idCol), explode(col(bandKeysCol)).as("__band"))
+    * full cross product.
+    *
+    * `maxBucketSize` caps skew: buckets holding more than that many docs
+    * are DROPPED before the self-join (standard MinHash-dedup practice —
+    * a boilerplate bucket of 10⁶ docs is 10¹² pairs in one reducer; its
+    * members are "similar to everything", not useful near-dup signal).
+    * The oversized-bucket list is computed with one cheap partial
+    * aggregation, broadcast to a left-anti join (no extra shuffle of the
+    * exploded rows), and the drop count is logged. Default = no cap.
+    *
+    * `numPartitions` optionally fixes the band-shuffle parallelism
+    * (otherwise spark.sql.shuffle.partitions decides). */
+  def candidatePairs(df: DataFrame, idCol: String, bandKeysCol: String,
+      maxBucketSize: Int = Int.MaxValue,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val raw = df.select(col(idCol), explode(col(bandKeysCol)).as("__band"))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) raw
+      else {
+        val oversized = raw.groupBy(col("__band"))
+          .agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") > maxBucketSize)
+        val dropped = oversized.count()
+        if (dropped > 0) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"candidatePairs: dropping $dropped LSH bucket(s) larger than " +
+              s"$maxBucketSize docs")
+        }
+        raw.join(broadcast(oversized.select(col("__band"))),
+          Seq("__band"), "left_anti")
+      }
+    val exploded = numPartitions
+      .map(n => capped.repartition(n, col("__band")))
+      .getOrElse(capped)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.__band") === col("b.__band") &&
@@ -109,44 +140,63 @@ object Dedup {
     * for multi-use intermediates. Without it the lazy DAG recomputes the
     * shingle+band chain on four join branches and evaluates the jaccard
     * expression twice (filter + project): measured 522s -> ~55s at
-    * sf0.1. */
+    * sf0.1.
+    *
+    * Verify-stage economics (the cost center at any scale):
+    *  - shingle sets are hashed ONCE per doc to sorted long keys
+    *    (HashedShinglesExpression), so each pair costs a primitive
+    *    two-pointer merge with zero allocation — the UTF8String merge
+    *    allocated a wrapper per element (measured ~25s of q16's 38s).
+    *  - pairs are pre-filtered by set-size ratio BEFORE the merge:
+    *    J(A,B) >= t implies min(|A|,|B|)/max(|A|,|B|) >= t, so the
+    *    filter is result-preserving and pushes into the join stage.
+    *  - |A union B| = |A| + |B| - |A intersect B| with set sizes cached:
+    *    one merge per pair; the intersect SIZE is what gets persisted,
+    *    so downstream jaccard arithmetic never re-touches arrays.
+    *
+    * `maxBucketSize` (see candidatePairs) drops pathological LSH buckets;
+    * `storageLevel` tunes the intermediate caches (MEMORY_AND_DISK keeps
+    * a 100 TB run from OOMing executors; pass MEMORY_ONLY to pin);
+    * `numPartitions` fixes the band-shuffle parallelism. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 4, k: Int = 8, bands: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      maxBucketSize: Int = Int.MaxValue,
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => C, expression => E}
     val rowsPerBand = k / bands
-    val withSh = df.select(col(idCol),
+    // persisted so the three downstream expressions evaluate over cached
+    // shingle arrays — unpersisted, CollapseProject would inline (and
+    // re-run) the shingling into every reference
+    val shingled = df.select(col(idCol),
       TextAnalysis.charShingles(col(textCol), shingleSize).as("__sh"))
-      .withColumn("__n", size(col("__sh")))
-      .persist()
-    val withBands = withSh.withColumn("__bands",
-      org.apache.spark.sql.graftshim.ColumnBridge.column(
-        graft.expressions.MinHashBandsExpression(
-          org.apache.spark.sql.graftshim.ColumnBridge.expression(col("__sh")),
-          bands, rowsPerBand)))
-      .select(col(idCol), col("__bands"))
-      .persist()
-    val pairs = candidatePairs(withBands, idCol, "__bands")
-    val sh = withSh
-    // |A union B| = |A| + |B| - |A intersect B| with set sizes cached:
-    // one array op per pair instead of intersect + union. The intersect
-    // SIZE is what gets persisted, so the jaccard arithmetic downstream
-    // never re-touches the arrays.
+      .persist(storageLevel)
+    val prepared = shingled.select(col(idCol),
+      C(graft.expressions.MinHashBandsExpression(E(col("__sh")), bands,
+        rowsPerBand)).as("__bands"),
+      C(graft.expressions.HashedShinglesExpression(E(col("__sh")))).as("__hs"),
+      size(col("__sh")).as("__n"))
+      .persist(storageLevel)
+    val pairs = candidatePairs(prepared.select(col(idCol), col("__bands")),
+      idCol, "__bands", maxBucketSize, numPartitions)
+    val p = prepared
     val scored = pairs
-      .join(sh.select(col(idCol).as("id1"), col("__sh").as("__sh1"),
+      .join(p.select(col(idCol).as("id1"), col("__hs").as("__h1"),
         col("__n").as("__n1")), "id1")
-      .join(sh.select(col(idCol).as("id2"), col("__sh").as("__sh2"),
+      .join(p.select(col(idCol).as("id2"), col("__hs").as("__h2"),
         col("__n").as("__n2")), "id2")
+      .filter(least(col("__n1"), col("__n2")).cast("double") /
+        greatest(col("__n1"), col("__n2")) >= threshold)
       .select(col("id1"), col("id2"),
-        org.apache.spark.sql.graftshim.ColumnBridge.column(
-          graft.expressions.SortedIntersectSizeExpression(
-            org.apache.spark.sql.graftshim.ColumnBridge.expression(col("__sh1")),
-            org.apache.spark.sql.graftshim.ColumnBridge.expression(col("__sh2"))))
-          .cast("double").as("__i"),
+        C(graft.expressions.SortedLongIntersectSizeExpression(
+          E(col("__h1")), E(col("__h2")))).cast("double").as("__i"),
         col("__n1"), col("__n2"))
-      .persist()
+      .persist(storageLevel)
     scored.count() // materialize so upstream caches can be released
-    withSh.unpersist()
-    withBands.unpersist()
+    shingled.unpersist()
+    prepared.unpersist()
     val j = col("__i") / (col("__n1") + col("__n2") - col("__i"))
     scored.filter(j >= threshold)
       .select(col("id1"), col("id2"), j.as("jaccard"))

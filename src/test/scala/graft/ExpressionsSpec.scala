@@ -99,6 +99,44 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => r.getInt(0) shouldBe r.getInt(1))
   }
 
+  test("CosineSimilarityExpression matches the composed form") {
+    val pairs = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),          // zero norm -> 0.0
+      (Seq(-1.5, 2.5, 0.25), Seq(3.125, -0.5, 7.0)),
+      (Seq(1e-300, 1e300), Seq(1e300, 1e-300))).toDF("a", "b")
+    val rows = pairs.select(
+      Dedup.cosine(col("a"), col("b")).as("fast"),
+      Dedup.cosineComposed(col("a"), col("b")).as("composed")).collect()
+    // bit-exact: same in-order summation
+    rows.foreach(r => r.getDouble(0) shouldBe r.getDouble(1))
+  }
+
+  test("CosineSimilarityExpression: length mismatch -> null") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    df.select(Dedup.cosine(col("a"), col("b"))).head().isNullAt(0) shouldBe true
+  }
+
+  test("hashed-long shingle intersect equals string-shingle intersect") {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val pairs = Seq(
+      ("the quick brown fox", "the quick brown cat"),
+      ("abcdefg", "xyz"), ("same", "same"), ("", "x"),
+      ("lorem ipsum dolor sit amet", "ipsum dolor sit")).toDF("a", "b")
+    val sa = TextAnalysis.charShingles(col("a"), 4)
+    val sb = TextAnalysis.charShingles(col("b"), 4)
+    def hashed(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      graft.expressions.HashedShinglesExpression(ColumnBridge.expression(c)))
+    val fast = ColumnBridge.column(
+      graft.expressions.SortedLongIntersectSizeExpression(
+        ColumnBridge.expression(hashed(sa)), ColumnBridge.expression(hashed(sb))))
+    val rows = pairs.select(fast.as("fast"),
+      org.apache.spark.sql.functions.size(array_intersect(sa, sb)).as("ref"))
+      .collect()
+    rows.foreach(r => r.getInt(0) shouldBe r.getInt(1))
+  }
+
   test("SQL simhash equals DataFrame simhash") {
     GraftExtensions.register(spark)
     Seq("alpha beta gamma").toDF("text").createOrReplaceTempView("ext_t2")

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Dedup, Similarity}
+
+/** Top-k similarity + LSH candidate-generation scale behavior: the
+  * bounded-heap top-k must equal the window form, the IVF plan must not
+  * sort-shuffle the centroid expansion, and pathological LSH buckets must
+  * be droppable. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, dims: Int = 8) = {
+    // deterministic pseudo-random vectors (md5-free: fine for specs)
+    (0 until n).map { i =>
+      (i.toLong, (0 until dims).map(d => math.sin(i * 31 + d * 7).abs).toSeq)
+    }.toDF("vec_id", "e")
+  }
+
+  test("bruteForceTopK equals the row_number window form") {
+    val all = vecs(60)
+    val queries = all.filter(col("vec_id") % 10 === 0)
+    val fast = Similarity.bruteForceTopK(queries, all, "vec_id", "e", 4)
+      .orderBy(col("query_id"), col("rank")).collect()
+
+    // reference: global window over every scored pair
+    val ref = queries.select(col("vec_id").as("query_id"), col("e").as("__qe"))
+      .join(all.select(col("vec_id").as("neighbor_id"), col("e").as("__ce")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("__qe"), col("__ce")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank")).collect()
+
+    fast.length shouldBe ref.length
+    fast.zip(ref).foreach { case (f, r) => f shouldBe r }
+  }
+
+  test("top-k plan has no Window sort over the scored cross product") {
+    val all = vecs(20)
+    val queries = all.filter(col("vec_id") % 5 === 0)
+    val plan = Similarity.bruteForceTopK(queries, all, "vec_id", "e", 3)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include ("collect_top_k")
+  }
+
+  test("ivfTopK assignment aggregates instead of window-sorting n×k rows") {
+    val all = vecs(40)
+    val centroids = all.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("centroid"))
+    val queries = all.filter(col("vec_id") % 20 === 0)
+    val df = Similarity.ivfTopK(queries, all, "vec_id", "e", 3, centroids)
+    df.queryExecution.executedPlan.toString should not include "Window"
+    // every query gets rows and ranks start at 1
+    val rows = df.collect()
+    rows.map(_.getLong(0)).distinct.sorted shouldBe Array(0L, 20L)
+    rows.filter(_.getLong(0) == 0L).map(_.getInt(1)).min shouldBe 1
+  }
+
+  test("candidatePairs caps pathological buckets and keeps the rest") {
+    // 12 docs share band "hot" (66 pairs); 2 docs share band "ok"
+    val hot = (1 to 12).map(i => (i.toLong, Seq("hot")))
+    val ok = Seq((100L, Seq("ok")), (101L, Seq("ok")))
+    val df = (hot ++ ok).toDF("id", "bands")
+
+    val uncapped = Dedup.candidatePairs(df, "id", "bands")
+    uncapped.count() shouldBe 66 + 1
+
+    val capped = Dedup.candidatePairs(df, "id", "bands", maxBucketSize = 10)
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows shouldBe Array((100L, 101L))
+  }
+
+  test("minhashNearDups: cap/storage/partition knobs preserve results") {
+    val base = (0 until 40).map(i =>
+      (i.toLong, s"document number $i with some shared vocabulary tokens"))
+    val dups = Seq((1000L, base(3)._2), (1001L, base(7)._2 + " extra"))
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+
+    val default = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      shingleSize = 4, k = 16, bands = 4, threshold = 0.5)
+      .orderBy("id1", "id2").collect()
+    // a cap far above any bucket + explicit knobs must not change results
+    val tuned = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      shingleSize = 4, k = 16, bands = 4, threshold = 0.5,
+      maxBucketSize = 10000,
+      storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_ONLY,
+      numPartitions = Some(8))
+      .orderBy("id1", "id2").collect()
+    default should not be empty
+    tuned shouldBe default
+    // the exact-copy pair survives with jaccard 1.0
+    default.exists(r => r.getLong(0) == 3L && r.getLong(1) == 1000L &&
+      r.getDouble(2) == 1.0) shouldBe true
+  }
+
+  test("size-ratio prefilter is result-preserving at the threshold") {
+    // doc pair with size ratio below threshold can never reach jaccard >=
+    // threshold; verify the pipeline output equals an unfiltered
+    // brute-force jaccard over all candidate pairs
+    val corpus = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff"),
+      (2L, "aaaa bbbb cccc dddd eeee ffgg"),
+      (3L, "aaaa"),                       // tiny doc: ratio prunes it
+      (4L, "zzzz yyyy xxxx wwww vvvv uuuu")).toDF("doc_id", "text")
+    val out = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      shingleSize = 4, k = 16, bands = 4, threshold = 0.5).collect()
+    // 1-2 are near dups; 3 must not appear even though it may share a band
+    out.map(r => (r.getLong(0), r.getLong(1))) should contain ((1L, 2L))
+    out.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L) shouldBe false
+  }
+}
