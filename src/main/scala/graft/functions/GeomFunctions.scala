@@ -77,17 +77,26 @@ object GeomFunctions {
 
   /** The reference's full geometry-synthesis pipeline (T4): parse coords
     * from string columns, bounds-check, build point at `srid`, reproject
-    * to 4326. `etl/etl.py:175-192`. */
+    * to 4326. `etl/etl.py:175-192`.
+    *
+    * `zeroCoordAsMissing` opts into reference quirk Q9
+    * (`etl/etl.py:255-262`: Python `or` makes 0.0 falsy, so a 0.0
+    * coordinate falls back to "missing" -> NULL geometry). Default keeps
+    * Null Island points valid. */
   def synthesizePoint(
       lonRaw: Column,
       latRaw: Column,
       srid: Int = 4326,
       decimalSep: String = ".",
-      thousandSep: String = ","): Column = {
+      thousandSep: String = ",",
+      zeroCoordAsMissing: Boolean = false): Column = {
     val lon = TypeCascade.parseLocaleFloat(lonRaw, decimalSep, thousandSep)
     val lat = TypeCascade.parseLocaleFloat(latRaw, decimalSep, thousandSep)
-    when(validLonLat(lon, lat),
-      stTransform(stPoint(lon, lat, lit(srid)), 4326, srid))
+    val valid =
+      if (zeroCoordAsMissing)
+        validLonLat(lon, lat) && lon =!= 0.0 && lat =!= 0.0
+      else validLonLat(lon, lat)
+    when(valid, stTransform(stPoint(lon, lat, lit(srid)), 4326, srid))
   }
 
   /** WKT rendering (POINT only — the reference's only geometry kind). */

@@ -63,6 +63,25 @@ object TypeCascade {
       .otherwise(t.try_cast("double"))
   }
 
+  /** Locale-aware integral parse: same separator normalization as
+    * parseLocaleFloat, then try-cast to long — "1.5" (or any
+    * non-integral text) is NULL. Used by the opt-in integer inference
+    * (IngestConfig.inferIntegers, the fixed-mode alternative to
+    * reference quirk Q5). */
+  def parseLocaleLong(
+      c: Column,
+      decimalSep: String = ".",
+      thousandSep: String = ","): Column = {
+    val noThousand =
+      if (thousandSep.isEmpty) c
+      else regexp_replace(c, java.util.regex.Pattern.quote(thousandSep), "")
+    val normalized =
+      if (decimalSep == ".") noThousand
+      else regexp_replace(noThousand,
+        java.util.regex.Pattern.quote(decimalSep), ".")
+    trim(normalized).try_cast("long")
+  }
+
   /** Dual-format date parse: try datetimeFmt, then dateFmt; unparseable ->
     * NULL. Reference renders to UTC second precision (`etl/etl.py:16,219-231`).
     * Formats are Java DateTimeFormatter patterns. */

@@ -16,8 +16,33 @@ object IngestObserver {
 /** Result of one job run. `rejectedRows` are CSV-malformed lines routed to
   * the side output instead of failing the load — the set-oriented
   * restatement of the reference's continue-on-failure sends (quirk Q4,
-  * `etl/etl.py:290-293`). */
-case class JobResult(totalRows: Long, writtenRows: Long, rejectedRows: Long)
+  * `etl/etl.py:290-293`). `failedRows` are rows in write batches that
+  * exhausted the retry budget (reference `max_attempts`,
+  * `etl/etl.py:273-293`). */
+case class JobResult(totalRows: Long, writtenRows: Long, rejectedRows: Long,
+    failedRows: Long = 0)
+
+/** Write-path retry budget — the reference's send loop
+  * (`etl/etl.py:273-293`): each statement is attempted `max_attempts`
+  * times (default 3, `etl/etl.py:23`), every failed attempt notifies
+  * `error`, and an exhausted budget reports failure WITHOUT aborting the
+  * run (the caller continues with the next batch). */
+object Retry {
+  def withAttempts(maxAttempts: Int, observer: IngestObserver,
+      what: String)(f: => Unit): Boolean = {
+    var attempt = 0
+    while (attempt < math.max(1, maxAttempts)) {
+      try { f; return true }
+      catch {
+        case e: Exception =>
+          attempt += 1
+          observer.notify("error", s"$what: retrying (${e.getMessage})")
+      }
+    }
+    observer.notify("error", s"Failed $what")
+    false
+  }
+}
 
 /** Parquet-backed table with an atomic overwrite commit (write staging dir
   * then swap) — the durability contract the reference delegates to
@@ -51,11 +76,48 @@ object ParquetTable {
   }
 }
 
+/** Contiguous 1-based global row numbers in scan order WITHOUT a
+  * single-partition window: one tiny per-partition count pass (collected
+  * to the driver — numPartitions rows), then a window partitioned by the
+  * scan partition id (parallel) plus the partition's offset. The source's
+  * split layout is deterministic for a given file + config, so the two
+  * passes see identical partitioning. */
+object RowNumbers {
+  def global(df: DataFrame, posCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val withPid = df.withColumn("__gr_pid", spark_partition_id())
+    val counts = withPid.groupBy(col("__gr_pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val offsetRows = counts.map(_._1).zip(offsets).toIndexedSeq
+    val offsetDf = spark.createDataFrame(offsetRows)
+      .toDF("__gr_pid", "__gr_off")
+    val w = Window.partitionBy(col("__gr_pid"))
+      .orderBy(monotonically_increasing_id())
+    withPid.join(broadcast(offsetDf), Seq("__gr_pid"))
+      .withColumn(posCol, row_number().over(w).cast("long") + col("__gr_off"))
+      .drop("__gr_pid", "__gr_off")
+  }
+}
+
 /** The reference's three entry points (`etl/etl.py:296,315,354`) as
-  * set-oriented Spark pipelines over a parquet table. */
+  * set-oriented Spark pipelines over a parquet table.
+  *
+  * `writer` is the physical append (injectable so specs can exercise the
+  * retry budget); `commitBatches` > 1 opts into the reference's
+  * chunk-commit model — the write is split into that many batches, each
+  * retried `cfg.maxAttempts` times, and a batch that exhausts its budget
+  * diverts to `failedBatchPath` while the run continues
+  * (`etl/etl.py:273-293`). The default single batch keeps the one
+  * distributed write (task-level retries handle transient executor
+  * failures; the budget guards job-level sink failures). */
 class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
     observer: IngestObserver = IngestObserver.silent,
-    rejectedPath: Option[String] = None) {
+    rejectedPath: Option[String] = None,
+    writer: (DataFrame, String) => Unit = ParquetTable.append,
+    commitBatches: Int = 1,
+    failedBatchPath: Option[String] = None) {
 
   /** Scan -> type -> geometry -> append. One distributed write replaces
     * the reference's chunked INSERT loop; `chunkSize` sizes the write
@@ -64,17 +126,16 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
     * `startChunk`/`endChunk` (1-based, inclusive) resume a partial load
     * exactly like the reference's offsets (`etl/etl.py:148,37-56` —
     * minus its quirk Q2, which mis-applied them within every chunk).
-    * Chunk membership is row-position based; the global row numbering is
-    * a single-partition window, fine for CSV-resume scale — at cluster
-    * scale resumability comes from Structured Streaming checkpoints
-    * (SURVEY §4) instead.
+    * Chunk membership is row-position based; numbering comes from
+    * RowNumbers.global (per-partition offsets — parallel, never a
+    * single-partition window). At cluster scale resumability can also
+    * come from Structured Streaming checkpoints (SURVEY §4).
     *
     * Rows Spark's CSV parser flags as malformed are diverted to
     * `rejectedPath` (or dropped with a notify) rather than failing the
     * load — the set-oriented form of the reference's continue-on-failure
     * sends (quirk Q4). */
   def run(startChunk: Int = 1, endChunk: Option[Int] = None): JobResult = {
-    import org.apache.spark.sql.expressions.Window
     val session = org.apache.spark.sql.SparkSession.active
     // cached: Spark disallows queries that touch only the corrupt-record
     // column of a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
@@ -93,22 +154,65 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
     val sliced =
       if (startChunk <= 1 && endChunk.isEmpty) raw
       else {
-        val w = Window.orderBy(monotonically_increasing_id())
         // Column `/` is double division — floor for integral chunk ids
-        val chunk = floor((row_number().over(w) - 1) / cfg.chunkSize) + 1
-        raw.withColumn("__chunk", chunk)
+        val chunk = floor((col("__rownum") - 1) / cfg.chunkSize) + 1
+        RowNumbers.global(raw, "__rownum")
+          .withColumn("__chunk", chunk)
           .filter(col("__chunk") >= startChunk &&
             endChunk.map(e => col("__chunk") <= e).getOrElse(lit(true)))
-          .drop("__chunk")
+          .drop("__chunk", "__rownum")
       }
     val typed = CsvIngest.typedProjection(sliced, cfg,
       CsvIngest.inferColumnKinds(sliced, cfg))
-    val written = typed.count()
-    val parts = math.max(1, math.min(10000, (written / math.max(1, cfg.chunkSize)).toInt))
-    ParquetTable.append(typed.repartition(parts), tablePath)
+    val parts = {
+      val rows = typed.count()
+      math.max(1, math.min(10000, (rows / math.max(1, cfg.chunkSize)).toInt))
+    }
+    var written = 0L
+    var failed = 0L
+    if (commitBatches <= 1) {
+      val ok = Retry.withAttempts(cfg.maxAttempts, observer, "append") {
+        writer(typed.repartition(parts), tablePath)
+      }
+      if (ok) written = typed.count()
+      else {
+        failed = typed.count()
+        failedBatchPath.foreach(p =>
+          typed.write.mode(SaveMode.Append).parquet(p))
+      }
+    } else {
+      // reference chunk-commit: batches are row-range chunk groups
+      // (chunkSize rows per chunk, chunks round-robined over batches),
+      // each retried independently; failures divert and the run continues
+      val batched = RowNumbers.global(typed, "__rownum")
+        .withColumn("__batch",
+          pmod(floor((col("__rownum") - 1) / cfg.chunkSize), lit(commitBatches)))
+        .drop("__rownum")
+        .persist()
+      try {
+        for (b <- 0 until commitBatches) {
+          val batch = batched.filter(col("__batch") === b).drop("__batch")
+          val n = batch.count()
+          if (n > 0) {
+            val ok = Retry.withAttempts(cfg.maxAttempts, observer,
+              s"batch ${b + 1}") {
+              writer(batch, tablePath)
+            }
+            if (ok) {
+              written += n
+              observer.notify("progress", s"batch ${b + 1}")
+            } else {
+              failed += n
+              failedBatchPath.foreach(p =>
+                batch.write.mode(SaveMode.Append).parquet(p))
+            }
+          }
+        }
+      } finally batched.unpersist()
+    }
     raw0.unpersist()
     observer.notify("progress", s"written $written")
-    JobResult(total, written, rejected)
+    JobResult(total, written, rejected, failed)
   }
 }
 
@@ -123,18 +227,15 @@ class UpdateByKeyJob(csvPath: String, tablePath: String, cfg: IngestConfig,
     * `startRow`/`endRow` (1-based, inclusive) replicate the reference's
     * row-range resume (T7, `etl/etl.py:320-330`). */
   def run(startRow: Int = 1, endRow: Option[Int] = None): JobResult = {
-    import org.apache.spark.sql.expressions.Window
     val session = org.apache.spark.sql.SparkSession.active
     val scanned = CsvIngest.scan(session, csvPath, cfg)
     val sliced =
       if (startRow <= 1 && endRow.isEmpty)
         scanned.withColumn("__pos", monotonically_increasing_id())
-      else {
-        val w = Window.orderBy(monotonically_increasing_id())
-        scanned.withColumn("__pos", row_number().over(w).cast("long"))
+      else
+        RowNumbers.global(scanned, "__pos")
           .filter(col("__pos") >= startRow &&
             endRow.map(e => col("__pos") <= e).getOrElse(lit(true)))
-      }
     val raw = sliced
     val total = raw.count()
     observer.notify("total_rows", total.toString)

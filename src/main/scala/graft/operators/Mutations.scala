@@ -27,12 +27,18 @@ object UpdateJob {
     * the greatest `orderCol` wins (the reference applies updates in file
     * order, so last row per key wins — SURVEY §7.5); otherwise an
     * arbitrary-but-deterministic `dropDuplicates` picks one.
+    *
+    * `preserveNullUpdates` is the fixed-mode alternative to reference
+    * quirk Q10 (`etl/etl.py:334`: UPDATE always SETs the_geom, even to
+    * NULL): when true, a NULL update value keeps the base value instead
+    * of overwriting it. Default false — reference-faithful overwrite.
     */
   def merge(
       base: DataFrame,
       updates: DataFrame,
       keys: Seq[String],
-      orderCol: Option[String] = None): DataFrame = {
+      orderCol: Option[String] = None,
+      preserveNullUpdates: Boolean = false): DataFrame = {
     val deduped = orderCol match {
       case Some(oc) =>
         import org.apache.spark.sql.expressions.Window
@@ -48,9 +54,12 @@ object UpdateJob {
     // __matched marker (not value-null checks) so NULL update values work
     base.join(renamed, keys.toSeq, "left_outer")
       .select(base.columns.toIndexedSeq.map { c =>
-        if (updCols.contains(c))
-          when(col("__matched"), col(s"__u_$c")).otherwise(col(c)).as(c)
-        else
+        if (updCols.contains(c)) {
+          val updated =
+            if (preserveNullUpdates) coalesce(col(s"__u_$c"), col(c))
+            else col(s"__u_$c")
+          when(col("__matched"), updated).otherwise(col(c)).as(c)
+        } else
           col(c)
       }: _*)
   }

@@ -32,7 +32,20 @@ case class IngestConfig(
     /** Reference `chunk_size` — becomes the ingest write-partition row
       * target, the unit of retry/atomic append (`etl/etl.py:22,37-56`). */
     chunkSize: Int = 1000,
-    idColumn: Option[String] = None) {
+    idColumn: Option[String] = None,
+    /** Reference `max_attempts` (`etl/etl.py:23`): per-batch write retry
+      * budget; an exhausted budget reports `error` and the run continues
+      * (`etl/etl.py:273-293`). */
+    maxAttempts: Int = 3,
+    /** Compat Q9 (`etl/etl.py:255-262`: Python `or` treats 0.0 as falsy):
+      * when true, an exact-0.0 coordinate counts as missing -> NULL
+      * geometry. Default false — Null Island rows keep their point. */
+    zeroCoordAsMissing: Boolean = false,
+    /** Fixed-mode alternative to reference quirk Q5 (`etl/etl.py:264-271`
+      * renders every numeric as a float): when true, columns whose every
+      * non-blank value is integral type as long instead of double.
+      * Default false — reference-faithful all-floats typing. */
+    inferIntegers: Boolean = false) {
 
   def normColumns: Seq[String] = columns.map(_.trim.toLowerCase)
   def normDateColumns: Seq[String] = dateColumns.map(_.trim.toLowerCase)
@@ -52,6 +65,7 @@ object CsvIngest {
 
   sealed trait ColKind
   case object NumericCol extends ColKind
+  case object IntegerCol extends ColKind
   case object DateCol extends ColKind
   case object StringCol extends ColKind
 
@@ -105,16 +119,22 @@ object CsvIngest {
     val aggs = rest.flatMap { c =>
       val parsed = TypeCascade.parseLocaleFloat(col(c),
         cfg.floatDecimalSeparator, cfg.floatThousandSeparator)
+      val parsedInt = TypeCascade.parseLocaleLong(col(c),
+        cfg.floatDecimalSeparator, cfg.floatThousandSeparator)
       val nonBlank = trim(col(c)).isNotNull && trim(col(c)) =!= ""
       Seq(
         count(when(nonBlank, 1)).as(s"nb_$c"),
-        count(when(nonBlank && parsed.isNull, 1)).as(s"bad_$c"))
+        count(when(nonBlank && parsed.isNull, 1)).as(s"bad_$c"),
+        count(when(nonBlank && parsedInt.isNull, 1)).as(s"badint_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val kinds = rest.map { c =>
       val nonBlank = row.getAs[Long](s"nb_$c")
       val unparseable = row.getAs[Long](s"bad_$c")
-      c -> (if (nonBlank > 0 && unparseable == 0) NumericCol else StringCol)
+      val unparseableInt = row.getAs[Long](s"badint_$c")
+      c -> (if (nonBlank == 0 || unparseable > 0) StringCol
+            else if (cfg.inferIntegers && unparseableInt == 0) IntegerCol
+            else NumericCol)
     }
     (kinds ++ dateCols.map(_ -> DateCol)).toMap
   }
@@ -135,12 +155,15 @@ object CsvIngest {
         case Some(g) => col(g.trim.toLowerCase).as("the_geom")
         case None => GeomFunctions.synthesizePoint(
           col(cfg.xColumn.trim.toLowerCase), col(cfg.yColumn.trim.toLowerCase),
-          cfg.srid, cfg.floatDecimalSeparator, cfg.floatThousandSeparator)
+          cfg.srid, cfg.floatDecimalSeparator, cfg.floatThousandSeparator,
+          cfg.zeroCoordAsMissing)
           .as("the_geom")
       }
     val typed = outCols.map { c =>
       kinds.getOrElse(c, StringCol) match {
         case NumericCol => TypeCascade.parseLocaleFloat(col(c),
+          cfg.floatDecimalSeparator, cfg.floatThousandSeparator).as(c)
+        case IntegerCol => TypeCascade.parseLocaleLong(col(c),
           cfg.floatDecimalSeparator, cfg.floatThousandSeparator).as(c)
         case DateCol => TypeCascade.parseDate(col(c),
           cfg.datetimeFormat, cfg.dateFormat).as(c)

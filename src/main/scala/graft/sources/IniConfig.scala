@@ -73,7 +73,12 @@ object IniConfig {
       floatDecimalSeparator = get("float_comma_separator").getOrElse("."),
       floatThousandSeparator = get("float_thousand_separator").getOrElse(","),
       chunkSize = get("chunk_size").map(_.toInt).getOrElse(1000),
-      idColumn = get("id_column"))
+      idColumn = get("id_column"),
+      maxAttempts = get("max_attempts").map(_.toInt).getOrElse(3),
+      // graft extensions (not in the reference key set): opt-in compat /
+      // fixed-mode toggles
+      zeroCoordAsMissing = get("zero_coord_as_missing").exists(boolOf),
+      inferIntegers = get("infer_integers").exists(boolOf))
   }
 
   def loadIngestConfig(path: String): IngestConfig =

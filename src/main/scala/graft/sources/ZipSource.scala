@@ -43,9 +43,16 @@ object ZipSource {
   }
 
   /** Parse one member (CSV with header) of the archives into a typed
-    * scan, header-normalized like CsvIngest. */
+    * scan, header-normalized like CsvIngest.
+    *
+    * `outputColumns` (when non-empty) fits the result to exactly those
+    * columns in that order, filling columns the member lacks with the
+    * empty string and dropping extras — the reference's result-zip
+    * cleaning for HERE `_out.txt`/`_err.txt` members
+    * (`etl/geocoding.py:100-129`: `__get_row__` emits '' for missing
+    * output columns). */
   def readZipCsv(spark: SparkSession, path: String, memberSuffix: String,
-      cfg: IngestConfig): DataFrame = {
+      cfg: IngestConfig, outputColumns: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val lines = readMembers(spark, path, cfg.encoding)
       .filter(col("member_name").endsWith(memberSuffix))
@@ -57,6 +64,14 @@ object ZipSource {
       .option("delimiter", cfg.delimiter)
       .option("inferSchema", "false")
       .csv(lines)
-    graft.functions.TypeCascade.normalizeHeaders(df)
+    val normalized = graft.functions.TypeCascade.normalizeHeaders(df)
+    if (outputColumns.isEmpty) normalized
+    else {
+      val present = normalized.columns.toSet
+      normalized.select(outputColumns.map { c0 =>
+        val c = c0.trim.toLowerCase
+        if (present.contains(c)) col(c).as(c) else lit("").as(c)
+      }: _*)
+    }
   }
 }

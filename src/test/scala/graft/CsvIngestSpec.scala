@@ -132,6 +132,91 @@ class CsvIngestSpec extends SparkSpec {
     amounts("delta") shouldBe 40.0 // untouched (row 4 outside range)
   }
 
+  test("transiently-failing append succeeds within the retry budget") {
+    val dir = Files.createTempDirectory("graft_retry")
+    val csv = writeFixture(dir)
+    val table = dir.resolve("t_retry").toString
+    val events = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val obs: IngestObserver = (t, m) => events += ((t, m))
+    var calls = 0
+    val flaky: (org.apache.spark.sql.DataFrame, String) => Unit = { (df, p) =>
+      calls += 1
+      if (calls == 1) throw new java.io.IOException("transient sink hiccup")
+      ParquetTable.append(df, p)
+    }
+    val r = new InsertJob(csv, table, cfg, obs, writer = flaky).run()
+    calls shouldBe 2
+    r.writtenRows shouldBe 5
+    r.failedRows shouldBe 0
+    ParquetTable.read(spark, table).count() shouldBe 5
+    // the failed attempt was reported, reference-style (etl.py:280-283)
+    events.exists(e => e._1 == "error" && e._2.contains("retrying")) shouldBe true
+  }
+
+  test("permanently-failing batch diverts and the run completes") {
+    val dir = Files.createTempDirectory("graft_permfail")
+    val csv = writeFixture(dir)
+    val table = dir.resolve("t_perm").toString
+    val failedDir = dir.resolve("failed").toString
+    val events = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val obs: IngestObserver = (t, m) => events += ((t, m))
+    // batch 0 always fails; other batches write through
+    val partial: (org.apache.spark.sql.DataFrame, String) => Unit = { (df, p) =>
+      val minName = df.agg(min(col("name"))).head().getString(0)
+      if (minName == "alpha") throw new java.io.IOException("batch sink down")
+      ParquetTable.append(df, p)
+    }
+    // chunkSize 2 over 5 rows -> chunks {alpha,bèta} {gamma,delta}
+    // {épsilon} round-robined over 3 batches; the alpha batch fails
+    val r = new InsertJob(csv, table, cfg.copy(maxAttempts = 2, chunkSize = 2),
+      obs, writer = partial, commitBatches = 3,
+      failedBatchPath = Some(failedDir)).run()
+    r.totalRows shouldBe 5
+    r.failedRows shouldBe 2L
+    r.writtenRows + r.failedRows shouldBe 5
+    // run completed, surviving batches landed, failed rows diverted
+    ParquetTable.read(spark, table).count() shouldBe r.writtenRows
+    spark.read.parquet(failedDir).count() shouldBe r.failedRows
+    events.exists(e => e._1 == "error" && e._2.startsWith("Failed")) shouldBe true
+  }
+
+  test("resume slice plans without a single-partition window") {
+    val dir = Files.createTempDirectory("graft_rownum")
+    val csv = writeFixture(dir)
+    val scanned = CsvIngest.scan(spark, csv, cfg)
+    val numbered = RowNumbers.global(scanned, "__rownum")
+    // contiguous 1..N in file order
+    numbered.select("name", "__rownum").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("alpha" -> 1L, "bèta" -> 2L, "gamma" -> 3L, "delta" -> 4L,
+        "épsilon" -> 5L)
+    // the window is partitioned by the scan partition id — never a
+    // global (single-partition) sort
+    val planned = numbered.queryExecution.executedPlan.toString
+    planned should include ("__gr_pid")
+    planned should not include "Window [row_number() windowspecdefinition(monotonically_increasing_id()"
+  }
+
+  test("integer inference keeps integral columns long (fixed-mode Q5)") {
+    val dir = Files.createTempDirectory("graft_int")
+    val f = dir.resolve("ints.csv")
+    Files.write(f, "id|qty|price\n1|10|1,5\n2|20|2,25\n3|30|3,0\n"
+      .getBytes(Charset.forName("ISO-8859-1")))
+    val intCfg = cfg.copy(dateColumns = Nil, forceNoGeometry = true,
+      inferIntegers = true)
+    val df = CsvIngest.scan(spark, f.toString, intCfg)
+    val kinds = CsvIngest.inferColumnKinds(df, intCfg)
+    kinds("id") shouldBe CsvIngest.IntegerCol
+    kinds("qty") shouldBe CsvIngest.IntegerCol
+    kinds("price") shouldBe CsvIngest.NumericCol
+    val typed = CsvIngest.typedProjection(df, intCfg, kinds)
+    typed.schema("qty").dataType.typeName shouldBe "long"
+    typed.schema("price").dataType.typeName shouldBe "double"
+    // default (reference quirk Q5): everything numeric is double
+    val refKinds = CsvIngest.inferColumnKinds(df, intCfg.copy(inferIntegers = false))
+    refKinds("qty") shouldBe CsvIngest.NumericCol
+  }
+
   test("insert -> update -> delete job lifecycle against a parquet table") {
     val dir = Files.createTempDirectory("graft_jobs")
     val csv = writeFixture(dir)

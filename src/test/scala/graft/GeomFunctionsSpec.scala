@@ -35,6 +35,17 @@ class GeomFunctionsSpec extends SparkSpec {
     eval(G.stX(g)).getDouble(0) shouldBe 0.0
   }
 
+  // compat flag restores reference quirk Q9 (etl.py:255-262: 0.0 falsy)
+  test("zeroCoordAsMissing compat flag nulls zero-coord geometry") {
+    isNull(G.synthesizePoint(lit("0"), lit("0"),
+      zeroCoordAsMissing = true)) shouldBe true
+    isNull(G.synthesizePoint(lit("1"), lit("0"),
+      zeroCoordAsMissing = true)) shouldBe true
+    // non-zero coords unaffected by the flag
+    isNull(G.synthesizePoint(lit("1"), lit("2"),
+      zeroCoordAsMissing = true)) shouldBe false
+  }
+
   test("missing/unparseable coord -> NULL geometry") {
     isNull(G.synthesizePoint(lit(""), lit("2"))) shouldBe true
     isNull(G.synthesizePoint(lit("abc"), lit("2"))) shouldBe true

@@ -29,6 +29,15 @@ class MutationsSpec extends SparkSpec {
     out(1).getString(1) shouldBe "b"
   }
 
+  test("preserveNullUpdates keeps base values under NULL updates (fixed Q10)") {
+    val updates = Seq((1, Option.empty[String]), (2, Some("B")))
+      .toDF("id", "name")
+    val out = UpdateJob.merge(base, updates, Seq("id"),
+      preserveNullUpdates = true).orderBy("id").collect()
+    out(0).getString(1) shouldBe "a" // NULL update preserved base
+    out(1).getString(1) shouldBe "B" // non-NULL update applied
+  }
+
   test("merge duplicate keys: last writer wins by order column") {
     val updates = Seq((2, "first", 1L), (2, "second", 2L))
       .toDF("id", "name", "pos")

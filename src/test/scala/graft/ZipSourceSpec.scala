@@ -33,6 +33,20 @@ class ZipSourceSpec extends SparkSpec {
       .getString(2) should include ("no match")
   }
 
+  test("output-column fitting: missing columns fill '', extras drop") {
+    val dir = writeZip()
+    val cfg = IngestConfig(tableName = "geo", delimiter = "|")
+    // the configured output shape asks for a column the member lacks
+    // (seqnumber) and omits one it has (displaylongitude) — reference
+    // __get_row__ semantics (geocoding.py:118-129)
+    val out = ZipSource.readZipCsv(spark, dir, "_out.txt", cfg,
+      outputColumns = Seq("recid", "seqnumber", "displaylatitude"))
+    out.columns.toSeq shouldBe Seq("recid", "seqnumber", "displaylatitude")
+    val r = out.filter(col("recid") === "1").head()
+    r.getString(1) shouldBe ""      // missing column filled with ''
+    r.getString(2) shouldBe "53.35"
+  }
+
   test("readZipCsv parses a member as a normalized-header scan") {
     val dir = writeZip()
     val cfg = IngestConfig(tableName = "geo", delimiter = "|")
