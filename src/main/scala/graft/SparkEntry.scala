@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.registry ++ QueriesDedup.registry ++
       QueriesSimilarity.registry ++ QueriesRelational.registry ++
-      QueriesStreaming.registry ++ QueriesMultimodal.registry
+      QueriesStreaming.registry ++ QueriesMultimodal.registry ++
+      QueriesCoverage.registry
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesDedup.oracles ++
       QueriesSimilarity.oracles ++ QueriesRelational.oracles ++
-      QueriesStreaming.oracles ++ QueriesMultimodal.oracles
+      QueriesStreaming.oracles ++ QueriesMultimodal.oracles ++
+      QueriesCoverage.oracles
 }
