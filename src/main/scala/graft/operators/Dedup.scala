@@ -232,9 +232,15 @@ object Dedup {
     * (2-band Hamming trick), verified by bit_count(xor) <= maxHamming.
     * Returns (id1, id2, hamming). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8,
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // persisted: the sketch feeds the banding branch plus both
+    // verification join branches — unpersisted, the scan+tokenize+md5
+    // chain runs three times
     val sketch = df.select(col(idCol),
       simhash32(TextAnalysis.tokens(col(textCol))).as("__sh"))
+      .persist(storageLevel)
     val banded = sketch.withColumn("__bands", array(
       concat(lit("lo:"), (col("__sh").bitwiseAND(lit(0xffffL))).cast("string")),
       concat(lit("hi:"), shiftright(col("__sh"), 16).cast("string"))))

@@ -108,22 +108,8 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int,
       centroids: DataFrame): DataFrame = {
-    def assign(df: DataFrame, outId: String): DataFrame = {
-      val c = broadcast(centroids.select(col("centroid_id"),
-        col("centroid").as("__cv")))
-      df.select(col(idCol).as(outId), col(embCol).as("__v"))
-        .join(c)
-        .withColumn("__cscore", cosine(col("__v"), col("__cv")))
-        // argmax by (score desc, centroid_id asc): max of the orderable
-        // struct (score, -centroid_id). Partial aggregation reduces each
-        // partition's n×k rows to n before the exchange.
-        .groupBy(col(outId))
-        .agg(
-          first(col("__v")).as("__v"),
-          max_by(col("centroid_id"),
-            struct(col("__cscore"), -col("centroid_id"))).as("centroid_id"))
-        .select(col(outId), col("__v"), col("centroid_id"))
-    }
+    def assign(df: DataFrame, outId: String): DataFrame =
+      assignToCentroids(df, idCol, embCol, centroids, outId)
 
     val qa = assign(queries, "query_id")
     val ca = assign(corpus, "neighbor_id")
@@ -132,6 +118,71 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("__v"), col("__cvv")))
     rankTopK(scored, k)
+  }
+
+  /** Nearest-centroid assignment (the IVF coarse quantizer): broadcast
+    * the small centroid set, score n×k pairs map-side, and take the
+    * argmax by (cosine desc, centroid_id asc) with a `max_by`
+    * aggregation — partial aggregation collapses each partition's n×k
+    * expansion to n rows before the single exchange (a window-argmax
+    * here would sort-shuffle all n×k rows). Output:
+    * (outId, __v embedding, centroid_id). */
+  def assignToCentroids(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, outId: String): DataFrame = {
+    val c = broadcast(centroids.select(col("centroid_id"),
+      col("centroid").as("__cv")))
+    df.select(col(idCol).as(outId), col(embCol).as("__v"))
+      .join(c)
+      .withColumn("__cscore", cosine(col("__v"), col("__cv")))
+      .groupBy(col(outId))
+      .agg(
+        first(col("__v")).as("__v"),
+        max_by(col("centroid_id"),
+          struct(col("__cscore"), -col("centroid_id"))).as("centroid_id"))
+      .select(col(outId), col("__v"), col("centroid_id"))
+  }
+
+  /** Lloyd's k-means over cosine assignment — the trainer that produces
+    * IVF centroids at scale (round-1 callers supplied fixed corpus
+    * subsets; this closes that gap). Deterministic initialization:
+    * the k lowest-id vectors. Each iteration is one broadcast
+    * assignment (see assignToCentroids) plus one mean-update — the
+    * update explodes (centroid_id, dim) pairs and averages per cell, a
+    * skew-free shuffle of k×dims groups regardless of corpus size.
+    *
+    * Not oracle-checked: floating-point reduction order in the mean
+    * makes centroids bit-nondeterministic across partitionings (cluster
+    * MEMBERSHIP on separated data is stable — SimilaritySpec pins
+    * that). */
+  def trainCentroids(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, iterations: Int = 5): DataFrame = {
+    require(k > 0 && iterations >= 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("__tid"),
+      transform(col(embCol), x => x.cast("double")).as("__te"))
+      .persist()
+    // init: the k lowest-id vectors via orderBy+limit (a distributed
+    // TakeOrderedAndProject — k rows to the driver, never a full sort)
+    val init = vecs.orderBy(col("__tid")).limit(k)
+      .select(col("__te")).as[Seq[Double]].collect()
+    var cents = init.zipWithIndex
+      .map { case (e, i) => (i.toLong, e) }.toSeq
+      .toDF("centroid_id", "centroid")
+    for (_ <- 0 until iterations) {
+      val assigned = assignToCentroids(vecs, "__tid", "__te", cents, "__aid")
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("x"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("x")))),
+          s => s.getField("x")).as("centroid"))
+      cents = cents.localCheckpoint(eager = true) // cut the lineage per round
+    }
+    vecs.unpersist()
+    cents
   }
 
   /** Approximate top-k: candidates limited to the query's LSH bucket.

@@ -98,6 +98,27 @@ class SimilaritySpec extends SparkSpec {
       r.getDouble(2) == 1.0) shouldBe true
   }
 
+  test("trainCentroids recovers well-separated clusters") {
+    // three tight clusters far apart in 4-d; k-means must put each
+    // cluster's members on one centroid regardless of FP reduction order
+    val bases = Vector(
+      Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0))
+    val pts = (0 until 30).map { i =>
+      (i.toLong, bases(i % 3).updated(3, 0.01 * (i / 3)))
+    }.toDF("vec_id", "e")
+    val cents = Similarity.trainCentroids(pts, "vec_id", "e", k = 3,
+      iterations = 4)
+    cents.count() shouldBe 3
+    val assigned = Similarity.assignToCentroids(pts, "vec_id", "e",
+      cents, "vec_id").collect()
+    // each input cluster maps to exactly one centroid
+    val byCluster = assigned.groupBy(r => r.getLong(0) % 3)
+      .map { case (c, rows) => c -> rows.map(_.getLong(2)).distinct }
+    byCluster.values.foreach(_.length shouldBe 1)
+    byCluster.values.flatten.toSeq.distinct.length shouldBe 3
+  }
+
   test("size-ratio prefilter is result-preserving at the threshold") {
     // doc pair with size ratio below threshold can never reach jaccard >=
     // threshold; verify the pipeline output equals an unfiltered

@@ -129,6 +129,35 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming CSV ingest: files process exactly once across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvstream")
+    val table = dir.resolve("table").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val cfg = graft.sources.IngestConfig(tableName = "s",
+      delimiter = "|", xColumn = "lon", yColumn = "lat")
+    java.nio.file.Files.write(dir.resolve("a.csv"),
+      "Name|lon|lat|amount\nalpha|1.5|2.5|10\nbeta|3.5|4.5|20\n".getBytes)
+
+    val q1 = graft.streaming.CsvStreamIngest.runAvailableNow(
+      spark, dir.toString + "/*.csv", table, ckpt, cfg)
+    q1.awaitTermination()
+    val first = spark.read.parquet(table)
+    first.count() shouldBe 2
+    // typed projection applied: amount voted numeric, geometry first
+    first.columns.head shouldBe "the_geom"
+    first.schema("amount").dataType.typeName shouldBe "double"
+
+    // a new file lands while the query is down; restart ingests ONLY it
+    java.nio.file.Files.write(dir.resolve("b.csv"),
+      "Name|lon|lat|amount\ngamma|5.5|6.5|30\n".getBytes)
+    val q2 = graft.streaming.CsvStreamIngest.runAvailableNow(
+      spark, dir.toString + "/*.csv", table, ckpt, cfg)
+    q2.awaitTermination()
+    val all = spark.read.parquet(table)
+    all.count() shouldBe 3 // exactly once: 2 + 1, no reprocessing
+    all.filter(col("name") === "gamma").count() shouldBe 1
+  }
+
   test("file-source streaming ingest of the events table shape") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
