@@ -118,7 +118,11 @@ object Cli {
         val routed = graft.operators.Geocoding.routed(
           new graft.operators.LookupTableGeocoder(lookup), input, addrCol)
         routed.write.mode("overwrite").partitionBy("status").parquet(args(3))
-        val counts = routed.groupBy("status").count().collect()
+        // status counts read back from the written partitions (metadata +
+        // footer scan) — re-aggregating `routed` would re-run the whole
+        // scan+join pipeline a second time
+        val counts = spark.read.parquet(args(3))
+          .groupBy("status").count().collect()
           .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
         println(s"geocoded: $counts")
       case "show" =>

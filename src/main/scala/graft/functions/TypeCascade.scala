@@ -111,6 +111,23 @@ object TypeCascade {
       asFloat
     }
 
+  /** Per-VALUE cascade rendering — the reference's literal typing
+    * (`etl/etl.py:194-217`): each value independently renders as a float
+    * if it parses ("1" -> "1.0") and as raw text otherwise, blank ->
+    * NULL. A Spark column is monotyped, so the faithful restatement is a
+    * string column holding the rendered literals (exactly what the
+    * reference interpolates into SQL text). Opt-in via
+    * IngestConfig.valueLevelTypes. */
+  def valueLevelRender(
+      c: Column,
+      decimalSep: String = ".",
+      thousandSep: String = ","): Column = {
+    val f = parseLocaleFloat(c, decimalSep, thousandSep)
+    when(trim(c) === "" || c.isNull, lit(null).cast("string"))
+      .when(f.isNotNull, f.cast("string"))
+      .otherwise(c)
+  }
+
   /** SQL string escaping (reference `etl/etl.py:233-234`): ' -> ''.
     * Only needed at a SQL-text-generating edge (e.g. JDBC passthrough). */
   def escapeSqlQuotes(c: Column): Column = regexp_replace(c, "'", "''")

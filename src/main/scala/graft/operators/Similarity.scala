@@ -103,16 +103,19 @@ object Similarity {
     * (k centroids are tiny) followed by a map-side-partial `max_by`
     * argmax — the n×k expansion collapses to n rows before the single
     * shuffle (a window-argmax here would sort-shuffle all n×k rows);
-    * the probe join then shuffles once keyed by centroid. nprobe>1
-    * would widen recall by probing the next nearest centroids. */
+    * the probe join then shuffles once keyed by centroid. `nprobe` > 1
+    * widens recall by probing the query's next-nearest centroids too
+    * (corpus vectors still live in exactly one inverted list, so no
+    * duplicate candidate pairs arise). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int,
-      centroids: DataFrame): DataFrame = {
-    def assign(df: DataFrame, outId: String): DataFrame =
-      assignToCentroids(df, idCol, embCol, centroids, outId)
-
-    val qa = assign(queries, "query_id")
-    val ca = assign(corpus, "neighbor_id")
+      centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    val qa =
+      if (nprobe <= 1) assignToCentroids(queries, idCol, embCol, centroids,
+        "query_id")
+      else assignTopNCentroids(queries, idCol, embCol, centroids,
+        "query_id", nprobe)
+    val ca = assignToCentroids(corpus, idCol, embCol, centroids, "neighbor_id")
       .withColumnRenamed("__v", "__cvv")
     val scored = qa.join(ca, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -140,6 +143,29 @@ object Similarity {
         max_by(col("centroid_id"),
           struct(col("__cscore"), -col("centroid_id"))).as("centroid_id"))
       .select(col(outId), col("__v"), col("centroid_id"))
+  }
+
+  /** Multi-probe assignment: each row gets its `n` nearest centroids
+    * (cosine desc, centroid_id asc), one output row per probe. Same
+    * bounded-heap shape as rankTopK — the partial buffer holds n
+    * centroid ids per row, never the scored expansion. */
+  def assignTopNCentroids(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, outId: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val c = broadcast(centroids.select(col("centroid_id"),
+      col("centroid").as("__cv")))
+    val item = struct(col("__cscore"), (-col("centroid_id")).as("__neg"),
+      col("centroid_id"))
+    df.select(col(idCol).as(outId), col(embCol).as("__v"))
+      .join(c)
+      .withColumn("__cscore", cosine(col("__v"), col("__cv")))
+      .groupBy(col(outId))
+      .agg(first(col("__v")).as("__v"),
+        ColumnBridge.collectTopK(item, n, reverse = false).as("__cands"))
+      .select(col(outId), col("__v"),
+        explode(col("__cands")).as("__cand"))
+      .select(col(outId), col("__v"),
+        col("__cand.centroid_id").as("centroid_id"))
   }
 
   /** Lloyd's k-means over cosine assignment — the trainer that produces

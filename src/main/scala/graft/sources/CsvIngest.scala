@@ -45,7 +45,13 @@ case class IngestConfig(
       * renders every numeric as a float): when true, columns whose every
       * non-blank value is integral type as long instead of double.
       * Default false — reference-faithful all-floats typing. */
-    inferIntegers: Boolean = false) {
+    inferIntegers: Boolean = false,
+    /** Reference per-VALUE typing (`etl/etl.py:194-217`): each value
+      * renders independently (float-parseable -> "1.0", else raw text)
+      * into a string column — a mixed column keeps its numeric values
+      * numeric-rendered instead of the column-vote downgrade to string.
+      * Default false — column-vote typing. */
+    valueLevelTypes: Boolean = false) {
 
   def normColumns: Seq[String] = columns.map(_.trim.toLowerCase)
   def normDateColumns: Seq[String] = dateColumns.map(_.trim.toLowerCase)
@@ -161,12 +167,14 @@ object CsvIngest {
       }
     val typed = outCols.map { c =>
       kinds.getOrElse(c, StringCol) match {
+        case DateCol => TypeCascade.parseDate(col(c),
+          cfg.datetimeFormat, cfg.dateFormat).as(c)
+        case _ if cfg.valueLevelTypes => TypeCascade.valueLevelRender(
+          col(c), cfg.floatDecimalSeparator, cfg.floatThousandSeparator).as(c)
         case NumericCol => TypeCascade.parseLocaleFloat(col(c),
           cfg.floatDecimalSeparator, cfg.floatThousandSeparator).as(c)
         case IntegerCol => TypeCascade.parseLocaleLong(col(c),
           cfg.floatDecimalSeparator, cfg.floatThousandSeparator).as(c)
-        case DateCol => TypeCascade.parseDate(col(c),
-          cfg.datetimeFormat, cfg.dateFormat).as(c)
         case StringCol => TypeCascade.blankToNull(col(c)).as(c)
       }
     }

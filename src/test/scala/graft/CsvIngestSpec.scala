@@ -217,6 +217,34 @@ class CsvIngestSpec extends SparkSpec {
     refKinds("qty") shouldBe CsvIngest.NumericCol
   }
 
+  test("value-level typing renders mixed columns per value (reference mode)") {
+    val dir = Files.createTempDirectory("graft_vl")
+    val f = dir.resolve("mixed.csv")
+    Files.write(f, "id|mixed\na|1\nb|abc\nc|2,5\nd|\n".getBytes(
+      Charset.forName("ISO-8859-1")))
+    val vlCfg = cfg.copy(dateColumns = Nil, forceNoGeometry = true,
+      valueLevelTypes = true)
+    val df = CsvIngest.scan(spark, f.toString, vlCfg)
+    val typed = CsvIngest.typedProjection(df, vlCfg,
+      CsvIngest.inferColumnKinds(df, vlCfg))
+    typed.schema("mixed").dataType.typeName shouldBe "string"
+    val vals = typed.select("id", "mixed").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    // "1" renders as the float literal, text stays raw, blank -> NULL
+    vals("a") shouldBe "1.0"
+    vals("b") shouldBe "abc"
+    vals("c") shouldBe "2.5"
+    vals("d") shouldBe null
+    // default column-vote mode downgrades the whole column to string,
+    // keeping raw "1" (the fixed behavior)
+    val voted = CsvIngest.typedProjection(df,
+      vlCfg.copy(valueLevelTypes = false),
+      CsvIngest.inferColumnKinds(df, vlCfg.copy(valueLevelTypes = false)))
+    voted.filter(col("id") === "a").head()
+      .getString(voted.columns.indexOf("mixed")) shouldBe "1"
+  }
+
   test("insert -> update -> delete job lifecycle against a parquet table") {
     val dir = Files.createTempDirectory("graft_jobs")
     val csv = writeFixture(dir)

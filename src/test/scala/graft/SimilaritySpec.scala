@@ -98,6 +98,25 @@ class SimilaritySpec extends SparkSpec {
       r.getDouble(2) == 1.0) shouldBe true
   }
 
+  test("ivfTopK nprobe widens recall toward brute force") {
+    val all = vecs(60)
+    val queries = all.filter(col("vec_id") % 15 === 0)
+    val centroids = all.filter(col("vec_id") % 6 === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("centroid"))
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = resultSet(
+      Similarity.bruteForceTopK(queries, all, "vec_id", "e", 3))
+    val p1 = resultSet(
+      Similarity.ivfTopK(queries, all, "vec_id", "e", 3, centroids))
+    val p3 = resultSet(
+      Similarity.ivfTopK(queries, all, "vec_id", "e", 3, centroids,
+        nprobe = 3))
+    // more probes can only add candidates: recall is monotone
+    (p1 intersect exact).size should be <= (p3 intersect exact).size
+    p3.size should be >= p1.size
+  }
+
   test("trainCentroids recovers well-separated clusters") {
     // three tight clusters far apart in 4-d; k-means must put each
     // cluster's members on one centroid regardless of FP reduction order
