@@ -34,13 +34,27 @@ object ShingleUtil {
   def charShingles(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
     if (len <= n) return new GenericArrayData(Array[Any](s))
+    // code-point byte offsets computed once: UTF8String.substring(i, j)
+    // scans from byte 0 to find char i, which makes a sliding window
+    // O(len²); one offset pass keeps each shingle slice O(n)
+    val bytes = s.getBytes
+    val offsets = new Array[Int](len + 1)
+    var ci = 0
+    var b = 0
+    while (b < bytes.length) {
+      offsets(ci) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      ci += 1
+    }
+    offsets(len) = bytes.length
     // sorted set: downstream set ops (jaccard intersect) get sorted
     // inputs for merge-based counting; all consumers are order-agnostic
     val seen = new java.util.TreeSet[UTF8String]()
     var i = 0
     val last = len - n
     while (i <= last) {
-      seen.add(s.substring(i, i + n))
+      val from = offsets(i)
+      seen.add(UTF8String.fromBytes(bytes, from, offsets(i + n) - from))
       i += 1
     }
     val out = new Array[Any](seen.size)
