@@ -17,14 +17,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If
   *   st_x(geom) / st_y(geom)        -> double
   *   st_astext(geom)                -> string
   *
-  * No optimizer rules or strategies are injected: reference parity needs
-  * none (SURVEY.md §4) — Catalyst's existing rules handle these plans.
+  * One optimizer rule is injected beyond reference parity (which needs
+  * none, SURVEY.md §4): TopKHeapRewrite turns `row_number() <= k`
+  * window filters into the bounded-heap aggregation — SQL users get
+  * the scalable top-k plan without rewriting their queries.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.TopKHeapRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -81,10 +85,16 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => wkt(exprs.head)),
   )
 
-  /** Register on an already-built session (tests, REPL). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session (tests, REPL). Functions go
+    * into the function registry; the top-k rule via
+    * experimental.extraOptimizations (idempotent). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TopKHeapRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TopKHeapRewrite
+  }
 }
