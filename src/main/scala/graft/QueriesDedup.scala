@@ -115,11 +115,21 @@ object QueriesDedup {
       .orderBy(col("id1"), col("id2"))
 
   private val q16Sql = {
+    import graft.expressions.MinHashScheme
+    // same affine permutation family as MinHashBandsExpression: one md5
+    // per shingle, ((a_i*h1)%P + (b_i*h2)%P + c_i) % P minima over the
+    // two 4-byte md5 prefixes, pipe-joined band keys — all operands
+    // < 2^31 so BIGINT math matches Spark's long math
+    val h1 = "(('0x' || substr(md5(x), 1, 8))::BIGINT & 2147483647)"
+    val h2 = "(('0x' || substr(md5(x), 9, 8))::BIGINT & 2147483647)"
     val sigItems = (0 until 16).map(i =>
-      s"list_min(list_transform(s, x -> md5('$i:' || x)))").mkString(",\n       |    ")
+      s"list_min(list_transform(s, x -> ((${MinHashScheme.a(i)} * $h1) " +
+        s"% ${MinHashScheme.P} + (${MinHashScheme.b(i)} * $h2) " +
+        s"% ${MinHashScheme.P} + ${MinHashScheme.c(i)}) % ${MinHashScheme.P}))")
+      .mkString(",\n       |    ")
     val bandItems = (0 until 4).map { b =>
-      val parts = (0 until 4).map(r => s"g[${4 * b + r + 1}]").mkString(" || '|' || ")
-      s"md5($parts)"
+      (0 until 4).map(r => s"CAST(g[${4 * b + r + 1}] AS VARCHAR)")
+        .mkString(" || '|' || ")
     }.mkString(", ")
     s"""WITH $corpusSql,
        |$shinglesSqlDef,

@@ -12,6 +12,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle SQL): distinct char n-grams in first-occurrence order;
   * md5-hex minima per salted permutation; band key = md5 of the
   * pipe-joined minima. */
+/** The affine MinHash permutation family shared by the Scala hot path,
+  * the Column-composition reference form, and the DuckDB oracle SQL:
+  * permutation i maps TWO independent 31-bit shingle hashes (the first
+  * and second 4-byte md5 prefixes) to
+  * ((a(i)·h1) mod P + (b(i)·h2) mod P + c(i)) mod P.
+  * Two independent hash inputs make the family pairwise independent —
+  * a single-h variant was measured to correlate band collisions
+  * (candidate pairs 680k -> 1.2M on the sf0.1 corpus). Every operand
+  * stays below 2³¹, so each product fits a signed 64-bit integer and
+  * the arithmetic reproduces bit-for-bit in any engine with md5 and
+  * BIGINT math. P = 2³¹−1 (prime); coefficients derive from the
+  * permutation index so every engine re-creates them from the formula. */
+object MinHashScheme {
+  val P: Long = 2147483647L
+
+  /** splitmix64 finalizer — coefficients must be UNRELATED across
+    * permutation indices: a first cut used (i+1)·const for a/b/c, which
+    * makes permutation i exactly (i+1)× permutation 0 mod P — minima
+    * collide in lockstep and candidate pairs tripled. The mixed
+    * coefficients are computed driver-side and embedded as literals in
+    * both engines' expressions, so the formula only needs to be
+    * deterministic Scala. */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  def a(i: Int): Long = Math.floorMod(mix(3L * i + 1), P - 1) + 1
+  def b(i: Int): Long = Math.floorMod(mix(3L * i + 2), P - 1) + 1
+  def c(i: Int): Long = Math.floorMod(mix(3L * i + 3), P)
+}
+
 object ShingleUtil {
   private val HexDigits = "0123456789abcdef".toCharArray
 
@@ -120,39 +153,52 @@ object ShingleUtil {
     c
   }
 
-  /** LSH band keys in one pass: for salt i in [0, bands*rowsPerBand),
-    * m_i = min over shingles of md5Hex(i + ":" + shingle); band key b =
-    * md5Hex(m_{4b} + "|" + ... + "|" + m_{4b+3}). One md5 per
-    * (shingle, salt) — the Column form traverses the array once per salt
-    * and allocates a concat per element. */
+  /** LSH band keys in one pass with ONE md5 per shingle: the k "salted
+    * permutations" are affine maps over a 31-bit md5-prefix hash —
+    * m_i = min over shingles of (A_i·h31 + B_i) mod P, band key b =
+    * the pipe-joined decimal minima of its rows. All operands stay
+    * below 2³¹ so every product fits a 64-bit signed integer and the
+    * arithmetic is reproducible bit-for-bit in any engine with md5 and
+    * BIGINT math (the DuckDB oracle mirrors it literally). The earlier
+    * scheme hashed every (shingle, salt) pair — k× the md5 cost, which
+    * measured as the dominant q16 stage once verification was fixed. */
   def minhashBands(shingles: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     val k = bands * rowsPerBand
     val n = shingles.numElements()
     val md = java.security.MessageDigest.getInstance("MD5")
-    val mins = new Array[String](k)
+    val as = Array.tabulate(k)(MinHashScheme.a)
+    val bs = Array.tabulate(k)(MinHashScheme.b)
+    val cs = Array.tabulate(k)(MinHashScheme.c)
+    val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val shingleBytes = shingles.getUTF8String(i).getBytes
-      var salt = 0
-      while (salt < k) {
-        md.reset()
-        md.update((salt + ":").getBytes(StandardCharsets.UTF_8))
-        md.update(shingleBytes)
-        val h = hex(md.digest())
-        if (mins(salt) == null || h.compareTo(mins(salt)) < 0) mins(salt) = h
-        salt += 1
+      val d = md.digest(shingles.getUTF8String(i).getBytes)
+      md.reset()
+      // first and second 4-byte md5 prefixes as unsigned ints, 31-bit
+      val h1 = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x7fffffffL
+      val h2 = (((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) & 0x7fffffffL
+      var s = 0
+      while (s < k) {
+        val v = ((as(s) * h1) % MinHashScheme.P +
+          (bs(s) * h2) % MinHashScheme.P + cs(s)) % MinHashScheme.P
+        if (v < mins(s)) mins(s) = v
+        s += 1
       }
       i += 1
     }
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {
-      // null mins (empty shingle array) are skipped, matching concat_ws
-      val joined = (0 until rowsPerBand)
-        .map(r => mins(b * rowsPerBand + r)).filter(_ != null).mkString("|")
-      md.reset()
-      out(b) = UTF8String.fromString(
-        hex(md.digest(joined.getBytes(StandardCharsets.UTF_8))))
+      val sb = new java.lang.StringBuilder()
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append('|')
+        sb.append(mins(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
       b += 1
     }
     new GenericArrayData(out)

@@ -48,35 +48,53 @@ object Dedup {
 
   // ---------------------------------------------------------- minhash
 
-  /** MinHash signature over a shingle array: element i is
-    * min(md5(i || ':' || shingle)) — k independent permutations
-    * approximated by k salted hashes. Returns array<string> of length k. */
+  import graft.expressions.MinHashScheme
+
+  /** Affine minhash of one shingle under permutation i (see
+    * MinHashScheme): ((a_i·h1) mod P + (b_i·h2) mod P + c_i) mod P over
+    * the two 31-bit md5-prefix hashes. Every operand < 2³¹ so the
+    * arithmetic is exact 64-bit in any engine. */
+  private def affineMin(shingles: Column, i: Int): Column =
+    array_min(transform(shingles, s => {
+      val digest = md5(s)
+      val h1 = conv(substring(digest, 1, 8), 16, 10).cast("long")
+        .bitwiseAND(lit(0x7fffffffL))
+      val h2 = conv(substring(digest, 9, 8), 16, 10).cast("long")
+        .bitwiseAND(lit(0x7fffffffL))
+      ((lit(MinHashScheme.a(i)) * h1) % lit(MinHashScheme.P) +
+        (lit(MinHashScheme.b(i)) * h2) % lit(MinHashScheme.P) +
+        lit(MinHashScheme.c(i))) % lit(MinHashScheme.P)
+    }))
+
+  /** MinHash signature over a shingle array: element i is the affine
+    * permutation minimum (MinHashScheme). Returns array<long>. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
-    }: _*)
+    array((0 until k).map(affineMin(shingles, _)): _*)
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
-    * and hash each band. Two docs sharing ANY band key are candidates. */
+    * and join each band's minima. Two docs sharing ANY band key are
+    * candidates. */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r))
-      md5(concat_ws("|", parts: _*))
+      val parts = (0 until rowsPerBand)
+        .map(r => sig.getItem(b * rowsPerBand + r).cast("string"))
+      concat_ws("|", parts: _*)
     }: _*)
 
-  /** Band keys computed directly from the shingle array, each salted hash
-    * evaluated exactly once. Going through an intermediate signature
-    * column looks cleaner but is a performance trap: CollapseProject
-    * inlines the whole k-hash signature expression into every getItem
-    * reference, recomputing it k times (measured 16x blowup at sf0.1). */
+  /** Band keys computed directly from the shingle array, each shingle
+    * hash evaluated per permutation. Going through an intermediate
+    * signature column looks cleaner but is a performance trap:
+    * CollapseProject inlines the whole k-hash signature expression into
+    * every getItem reference, recomputing it k times (measured 16x
+    * blowup at sf0.1). Reference form for the equivalence spec — the
+    * hot path is the single-pass MinHashBandsExpression. */
   def lshBandKeysFromShingles(shingles: Column, bands: Int,
       rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       val mins = (0 until rowsPerBand).map { r =>
-        val i = b * rowsPerBand + r
-        array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
+        affineMin(shingles, b * rowsPerBand + r).cast("string")
       }
-      md5(concat_ws("|", mins: _*))
+      concat_ws("|", mins: _*)
     }: _*)
 
   /** Candidate pairs from band keys: explode -> self-join per bucket.

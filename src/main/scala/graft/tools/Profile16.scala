@@ -30,33 +30,30 @@ object Profile16 {
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
-    val sh = corpus.select(col("doc_id"),
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => C, expression => E}
+    val shingled = corpus.select(col("doc_id"),
       TextAnalysis.charShingles(col("text"), 4).as("__sh"))
-    time("shingles")(sh.write.format("noop").mode("overwrite").save())
-
-    val shCached = sh.persist()
-    time("shingles+persist")(shCached.count())
-
-    val bands = shCached.withColumn("__bands",
-      Dedup.lshBandKeysFromShingles(col("__sh"), 4, 4))
-      .select(col("doc_id"), col("__bands"))
-    time("bands")(bands.write.format("noop").mode("overwrite").save())
-
-    val bandsCached = bands.persist()
-    time("bands+persist")(bandsCached.count())
-
-    val pairs = Dedup.candidatePairs(bandsCached, "doc_id", "__bands")
+    time("shingle noop warm0")(shingled.write.format("noop").mode("overwrite").save())
+    time("shingle noop")(shingled.write.format("noop").mode("overwrite").save())
+    val shp = shingled.persist()
+    time("shingle persist")(shp.count())
+    val prepared = shp.select(col("doc_id"),
+      C(graft.expressions.MinHashBandsExpression(E(col("__sh")), 4, 4)).as("__bands"),
+      C(graft.expressions.HashedShinglesExpression(E(col("__sh")))).as("__hs"),
+      size(col("__sh")).as("__n"))
+    time("prepared noop")(prepared.write.format("noop").mode("overwrite").save())
+    val prep = prepared.persist()
+    time("prepared persist")(prep.count())
+    val pairs = Dedup.candidatePairs(prep.select(col("doc_id"), col("__bands")), "doc_id", "__bands")
     time("candidates")(println("  n=" + pairs.count()))
-
-    val pairsCached = pairs.persist()
-    pairsCached.count()
-    val withSets = pairsCached
-      .join(shCached.select(col("doc_id").as("id1"), col("__sh").as("__sh1")), "id1")
-      .join(shCached.select(col("doc_id").as("id2"), col("__sh").as("__sh2")), "id2")
-    val verified = withSets
-      .withColumn("jaccard", Dedup.jaccard(col("__sh1"), col("__sh2")))
-      .filter(col("jaccard") >= 0.5)
-    time("verify-join")(println("  pairs=" + verified.count()))
+    val scored = pairs
+      .join(prep.select(col("doc_id").as("id1"), col("__hs").as("__h1"), col("__n").as("__n1")), "id1")
+      .join(prep.select(col("doc_id").as("id2"), col("__hs").as("__h2"), col("__n").as("__n2")), "id2")
+      .filter(least(col("__n1"), col("__n2")).cast("double") / greatest(col("__n1"), col("__n2")) >= 0.5)
+      .select(col("id1"), col("id2"),
+        C(graft.expressions.SortedLongIntersectSizeExpression(E(col("__h1")), E(col("__h2")))).cast("double").as("__i"),
+        col("__n1"), col("__n2"))
+    time("verify noop")(scored.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
