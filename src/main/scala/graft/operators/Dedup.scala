@@ -295,8 +295,30 @@ object Dedup {
     when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
   }
 
+  /** LSH-bucketed embedding near-dup: random-hyperplane buckets bound
+    * the pairwise work (the scale path the brute-force operator's doc
+    * promises). Pairs are generated ONLY within a bucket; `planes`
+    * controls bucket granularity (more planes = smaller buckets = fewer
+    * pairs + lower recall; near-identical vectors agree on every sign
+    * bit, so true near-dups at high thresholds stay bucketed together).
+    * Same output shape as embeddingNearDups. */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, planes: Array[Array[Double]]): DataFrame = {
+    val e = df.select(col(idCol),
+      transform(col(embCol), x => x.cast("double")).as("__e"))
+      .withColumn("__b", Similarity.lshBucket(col("__e"), planes))
+    val a = e.select(col(idCol).as("id1"), col("__e").as("__e1"),
+      col("__b").as("__b1"))
+    val b = e.select(col(idCol).as("id2"), col("__e").as("__e2"),
+      col("__b").as("__b2"))
+    a.join(b, col("__b1") === col("__b2") && col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("__e1"), col("__e2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** Brute-force embedding near-dup pairs at `threshold`. Quadratic —
-    * verification-scale only; use Similarity.lshBuckets first at scale.
+    * verification-scale only; use embeddingNearDupsLsh at scale.
     * The codegen'd single-pass cosine makes per-pair norm recomputation
     * cheaper than the old carry-the-norms join plumbing. */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,

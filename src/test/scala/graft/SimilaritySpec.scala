@@ -117,6 +117,28 @@ class SimilaritySpec extends SparkSpec {
     p3.size should be >= p1.size
   }
 
+  test("embeddingNearDupsLsh finds bucketed near-dups, bounds the work") {
+    val base = vecs(100)
+    // near-identical copies (tiny first-dim perturbation keeps the sign
+    // pattern): must share every hyperplane bucket with the original
+    val copies = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) * 1.001),
+          slice(col("e"), 2, 100)).as("e"))
+    val corpus = base.unionAll(copies)
+    val planes = Similarity.planeCoefficients(4, 8)
+    val lsh = Dedup.embeddingNearDupsLsh(corpus, "vec_id", "e", 0.999, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.embeddingNearDups(corpus, "vec_id", "e", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (i, i+1000) pair survives bucketing
+    (0 until 100 by 10).foreach { i =>
+      lsh should contain ((i.toLong, (i + 1000).toLong))
+    }
+    // LSH output is a subset of brute force (bucketing only prunes)
+    lsh.subsetOf(brute) shouldBe true
+  }
+
   test("trainCentroids recovers well-separated clusters") {
     // three tight clusters far apart in 4-d; k-means must put each
     // cluster's members on one centroid regardless of FP reduction order
