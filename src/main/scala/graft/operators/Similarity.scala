@@ -212,12 +212,33 @@ object Similarity {
   }
 
   /** Approximate top-k: candidates limited to the query's LSH bucket.
-    * Same output shape as bruteForceTopK (rank within bucket). */
+    * Same output shape as bruteForceTopK (rank within bucket).
+    *
+    * `multiProbe = true` additionally probes every Hamming-1 neighbor
+    * bucket (each sign bit flipped once): a near neighbor that landed
+    * just across one hyperplane is recovered without rebucketing the
+    * corpus. Probe fan-out is 1 + planes rows per QUERY only — the
+    * corpus side still lives in exactly one bucket, so no duplicate
+    * candidate pairs arise and the join stays bucket-keyed. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, embCol: String, k: Int,
-      planes: Array[Array[Double]]): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"),
+      planes: Array[Array[Double]],
+      multiProbe: Boolean = false): DataFrame = {
+    val nPlanes = planes.length
+    val q0 = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"),
       lshBucket(col(embCol), planes).as("__qb"))
+    val q =
+      if (!multiProbe) q0
+      else {
+        val flipped = (0 until nPlanes).map { i =>
+          concat(substring(col("__qb"), 1, i),
+            when(substring(col("__qb"), i + 1, 1) === "1", lit("0"))
+              .otherwise(lit("1")),
+            substring(col("__qb"), i + 2, nPlanes - i - 1))
+        }
+        q0.select(col("query_id"), col("__qe"),
+          explode(array(col("__qb") +: flipped: _*)).as("__qb"))
+      }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
       lshBucket(col(embCol), planes).as("__cb"))
     val scored = q.join(c, col("__qb") === col("__cb") &&

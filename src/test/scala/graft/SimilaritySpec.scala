@@ -117,6 +117,21 @@ class SimilaritySpec extends SparkSpec {
     p3.size should be >= p1.size
   }
 
+  test("multi-probe LSH widens recall over exact-bucket probing") {
+    val all = vecs(80)
+    val queries = all.filter(col("vec_id") % 20 === 0)
+    val planes = Similarity.planeCoefficients(4, 8)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactTop = hits(Similarity.bruteForceTopK(queries, all, "vec_id", "e", 3))
+    val single = hits(Similarity.lshTopK(queries, all, "vec_id", "e", 3, planes))
+    val multi = hits(Similarity.lshTopK(queries, all, "vec_id", "e", 3, planes,
+      multiProbe = true))
+    // more probes -> at least as many candidates and at least the recall
+    multi.size should be >= single.size
+    (multi intersect exactTop).size should be >= (single intersect exactTop).size
+  }
+
   test("embeddingNearDupsLsh finds bucketed near-dups, bounds the work") {
     val base = vecs(100)
     // near-identical copies (tiny first-dim perturbation keeps the sign
