@@ -211,13 +211,19 @@ object Dedup {
         C(graft.expressions.SortedLongIntersectSizeExpression(
           E(col("__h1")), E(col("__h2")))).cast("double").as("__i"),
         col("__n1"), col("__n2"))
-      .persist(storageLevel)
-    scored.count() // materialize so upstream caches can be released
+    val j = col("__i") / (col("__n1") + col("__n2") - col("__i"))
+    // eager localCheckpoint materializes the (small) surviving pair set
+    // and truncates lineage, so BOTH upstream caches release here — the
+    // round-1 shape persisted the full scored pair table and never
+    // freed it, leaking cache for the session's lifetime. The merge
+    // intersect is cheap enough now that its filter/project double
+    // evaluation costs less than materializing every candidate pair.
+    val result = scored.filter(j >= threshold)
+      .select(col("id1"), col("id2"), j.as("jaccard"))
+      .localCheckpoint(eager = true)
     shingled.unpersist()
     prepared.unpersist()
-    val j = col("__i") / (col("__n1") + col("__n2") - col("__i"))
-    scored.filter(j >= threshold)
-      .select(col("id1"), col("id2"), j.as("jaccard"))
+    result
   }
 
   // ---------------------------------------------------------- simhash
@@ -264,12 +270,17 @@ object Dedup {
       concat(lit("hi:"), shiftright(col("__sh"), 16).cast("string"))))
     val pairs = candidatePairs(banded, idCol, "__bands")
     val s = sketch
-    pairs
+    // eager checkpoint of the (small) result releases the sketch cache
+    // immediately instead of leaking it for the session lifetime
+    val result = pairs
       .join(s.withColumnRenamed(idCol, "id1").withColumnRenamed("__sh", "__s1"), "id1")
       .join(s.withColumnRenamed(idCol, "id2").withColumnRenamed("__sh", "__s2"), "id2")
       .withColumn("hamming", bit_count(col("__s1").bitwiseXOR(col("__s2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
+      .localCheckpoint(eager = true)
+    sketch.unpersist()
+    result
   }
 
   // ------------------------------------------------------- embeddings
