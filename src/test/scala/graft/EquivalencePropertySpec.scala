@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import graft.functions.{TextAnalysis => TA}
+import graft.operators.Dedup
+
+/** Randomized equivalence hardening: every codegen'd hot-path expression
+  * must agree with its Column-composition reference form over a few
+  * hundred adversarial random inputs (unicode, whitespace runs, empty
+  * and short strings, negative/zero vectors). Seeded — failures
+  * reproduce. */
+class EquivalencePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(0xC0FFEE)
+  private val alphabets = Vector(
+    "abcdefg hij",                       // ascii + spaces
+    "абвгд её ж",                        // cyrillic (2-byte utf8)
+    "日本語テキスト",                     // cjk (3-byte utf8)
+    "a\tb  c\nd",                        // whitespace variety
+    "x")
+  private def randomText(): String = {
+    val ab = alphabets(rnd.nextInt(alphabets.length))
+    val n = rnd.nextInt(60)
+    (0 until n).map(_ => ab(rnd.nextInt(ab.length))).mkString
+  }
+
+  test("shingles/minhash-bands/simhash agree with composed forms on random text") {
+    val texts = (0 until 300).map(_ => randomText()).toDF("text")
+    val sh = TA.charShingles(col("text"), 4)
+    val bandsFast = ColumnBridge.column(
+      graft.expressions.MinHashBandsExpression(
+        ColumnBridge.expression(sh), 4, 4))
+    val toks = TA.tokens(col("text"))
+    val rows = texts.select(
+      sh.as("sh_fast"), TA.charShinglesComposed(col("text"), 4).as("sh_ref"),
+      bandsFast.as("b_fast"),
+      Dedup.lshBandKeysFromShingles(sh, 4, 4).as("b_ref"),
+      Dedup.simhash32(toks).as("sim_fast"),
+      Dedup.simhash32Composed(toks).as("sim_ref")).collect()
+    rows.foreach { r =>
+      r.getSeq[String](0).sorted shouldBe r.getSeq[String](1).sorted
+      r.getSeq[String](2) shouldBe r.getSeq[String](3)
+      r.getLong(4) shouldBe r.getLong(5)
+    }
+  }
+
+  test("hashed-long intersect equals string intersect on random pairs") {
+    val pairs = (0 until 300).map(_ => (randomText(), randomText()))
+      .toDF("a", "b")
+    val sa = TA.charShingles(col("a"), 4)
+    val sb = TA.charShingles(col("b"), 4)
+    def hashed(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      graft.expressions.HashedShinglesExpression(ColumnBridge.expression(c)))
+    val fast = ColumnBridge.column(
+      graft.expressions.SortedLongIntersectSizeExpression(
+        ColumnBridge.expression(hashed(sa)),
+        ColumnBridge.expression(hashed(sb))))
+    val slowStr = ColumnBridge.column(
+      graft.expressions.SortedIntersectSizeExpression(
+        ColumnBridge.expression(sa), ColumnBridge.expression(sb)))
+    val rows = pairs.select(fast.as("fast"),
+      org.apache.spark.sql.functions.size(array_intersect(sa, sb)).as("ref"),
+      slowStr.as("merge")).collect()
+    rows.foreach { r =>
+      r.getInt(0) shouldBe r.getInt(1)
+      r.getInt(2) shouldBe r.getInt(1)
+    }
+  }
+
+  test("codegen'd cosine equals composed cosine on random vectors") {
+    val vecs = (0 until 300).map { _ =>
+      val d = 1 + rnd.nextInt(16)
+      def v() = (0 until d).map(_ => (rnd.nextDouble() - 0.5) *
+        math.pow(10, rnd.nextInt(6) - 3)).toSeq
+      val a = v()
+      (a, if (rnd.nextInt(5) == 0) Seq.fill(d)(0.0) else v())
+    }.toDF("a", "b")
+    val rows = vecs.select(
+      Dedup.cosine(col("a"), col("b")).as("fast"),
+      Dedup.cosineComposed(col("a"), col("b")).as("ref")).collect()
+    rows.foreach(r => r.getDouble(0) shouldBe r.getDouble(1))
+  }
+}
