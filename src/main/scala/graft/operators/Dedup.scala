@@ -115,6 +115,7 @@ object Dedup {
   def candidatePairs(df: DataFrame, idCol: String, bandKeysCol: String,
       maxBucketSize: Int = Int.MaxValue,
       numPartitions: Option[Int] = None): DataFrame = {
+    require(maxBucketSize > 0, "maxBucketSize must be positive")
     val raw = df.select(col(idCol), explode(col(bandKeysCol)).as("__band"))
     val capped =
       if (maxBucketSize == Int.MaxValue) raw
@@ -183,6 +184,10 @@ object Dedup {
       storageLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
       numPartitions: Option[Int] = None): DataFrame = {
+    require(bands > 0 && k > 0 && k % bands == 0,
+      s"k ($k) must be a positive multiple of bands ($bands)")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in [0, 1]")
     import org.apache.spark.sql.graftshim.ColumnBridge.{column => C, expression => E}
     val rowsPerBand = k / bands
     // persisted so the three downstream expressions evaluate over cached
@@ -259,6 +264,8 @@ object Dedup {
       maxHamming: Int = 8,
       storageLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 32,
+      s"maxHamming ($maxHamming) must be in [0, 32]")
     // persisted: the sketch feeds the banding branch plus both
     // verification join branches — unpersisted, the scan+tokenize+md5
     // chain runs three times
