@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Scaling-curve smoke: runs the ex-weak operators (minhash-LSH dedup,
+  * IVF ANN) on 1x/3x/10x blowups of the sf0.1 tables (id-offset copies,
+  * so duplicate density RISES with scale — the adversarial direction for
+  * LSH) and prints wall time + output size per scale. A measured curve,
+  * not an extrapolation argument. Usage:
+  *   runMain graft.tools.ScaleSmoke [sfDir] [maxFactor]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val maxFactor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def blowup(base: DataFrame, idCol: String, factor: Int): DataFrame =
+      (0 until factor).map { i =>
+        base.withColumn(idCol, col(idCol) + lit(i * 10000000L))
+      }.reduce(_ unionAll _)
+        // model a multi-split corpus (single test file = one partition)
+        .repartition(32)
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+
+    for (f <- Seq(1, 3, maxFactor).distinct.filter(_ <= maxFactor)) {
+      val corpus = blowup(docs, "doc_id", f)
+      val n = corpus.count()
+      val (pairs, tMinhash) = time {
+        Dedup.minhashNearDups(corpus, "doc_id", "text",
+          shingleSize = 4, k = 16, bands = 4, threshold = 0.5,
+          maxBucketSize = 10000).count()
+      }
+      println(f"minhash  ${f}%2dx docs=$n%8d pairs=$pairs%9d  $tMinhash%7.1f s")
+
+      val vecs = blowup(emb, "vec_id", f)
+      val nv = vecs.count()
+      val centroids = vecs.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("centroid_id"), col("e").as("centroid"))
+      val queries = vecs.filter(col("vec_id") % 50 === 0)
+      val (topk, tIvf) = time {
+        Similarity.ivfTopK(queries, vecs, "vec_id", "e", 3, centroids).count()
+      }
+      println(f"ivf      ${f}%2dx vecs=$nv%8d topk=$topk%10d  $tIvf%7.1f s")
+    }
+    spark.stop()
+  }
+}
