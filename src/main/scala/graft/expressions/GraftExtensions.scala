@@ -73,6 +73,18 @@ object GraftExtensions {
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_simhash32", info("graft_simhash32", "simhash"),
       (exprs: Seq[Expression]) => SimHash32Expression(exprs.head)),
+    ("graft_cosine", info("graft_cosine", "cosine similarity"),
+      (exprs: Seq[Expression]) =>
+        CosineSimilarityExpression(exprs(0), exprs(1))),
+    ("graft_char_shingles", info("graft_char_shingles", "char n-grams"),
+      (exprs: Seq[Expression]) => CharShinglesExpression(
+        fn("regexp_replace", fn("lower", fn("trim", exprs.head)),
+          lit("\\s+"), lit(" ")),
+        exprs(1) match {
+          case Literal(n: Int, _) => n
+          case other => throw new IllegalArgumentException(
+            s"graft_char_shingles: n must be an integer literal, got $other")
+        })),
     ("graft_fingerprint", info("graft_fingerprint", "fingerprint"),
       (exprs: Seq[Expression]) => fingerprint(exprs.head)),
     ("st_point", info("st_point", "point"),

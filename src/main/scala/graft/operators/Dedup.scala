@@ -30,14 +30,19 @@ object Dedup {
 
   // ------------------------------------------------------------ exact
 
-  /** Exact dedup on normalized text: keep the smallest id per fingerprint.
-    * Returns the surviving rows (all original columns). */
+  /** Exact dedup on normalized text: keep the smallest-id row per
+    * fingerprint. Returns the surviving rows (all original columns).
+    * Implemented as a `min_by` aggregation — partial aggregation keeps
+    * one candidate row per fingerprint per partition map-side, so the
+    * exchange carries at most one row per (fingerprint, partition); the
+    * window form would sort-shuffle every row of every duplicate
+    * group. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val fp = TextAnalysis.fingerprint(col(textCol))
-    val w = Window.partitionBy(fp).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val packed = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(fp.as("__fp"))
+      .agg(min_by(packed, col(idCol)).as("__row"))
+      .select(df.columns.map(c => col(s"__row.$c").as(c)).toIndexedSeq: _*)
   }
 
   /** Duplicate groups: fingerprint -> group size + keeper id. */

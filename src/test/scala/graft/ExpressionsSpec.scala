@@ -137,6 +137,21 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach(r => r.getInt(0) shouldBe r.getInt(1))
   }
 
+  test("SQL graft_cosine / graft_char_shingles equal the DataFrame forms") {
+    GraftExtensions.register(spark)
+    Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0), "The  Quick brown"))
+      .toDF("a", "b", "text").createOrReplaceTempView("ext_t3")
+    val r = spark.sql(
+      """SELECT graft_cosine(a, b) AS cos,
+        |  graft_char_shingles(text, 4) AS sh FROM ext_t3""".stripMargin).head()
+    val ref = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0), "The  Quick brown"))
+      .toDF("a", "b", "text")
+      .select(Dedup.cosine(col("a"), col("b")),
+        TextAnalysis.charShingles(col("text"), 4)).head()
+    r.getDouble(0) shouldBe ref.getDouble(0)
+    r.getSeq[String](1) shouldBe ref.getSeq[String](1)
+  }
+
   test("SQL simhash equals DataFrame simhash") {
     GraftExtensions.register(spark)
     Seq("alpha beta gamma").toDF("text").createOrReplaceTempView("ext_t2")

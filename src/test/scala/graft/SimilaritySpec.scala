@@ -61,6 +61,19 @@ class SimilaritySpec extends SparkSpec {
     rows.filter(_.getLong(0) == 0L).map(_.getInt(1)).min shouldBe 1
   }
 
+  test("exactDedup keeps the smallest-id row per fingerprint, no window") {
+    val docs = Seq(
+      (5L, "same text here", "e"), (2L, "same  TEXT here ", "b"),
+      (9L, "same text here", "x"), (3L, "unique one", "u"))
+      .toDF("doc_id", "text", "tag")
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    out.queryExecution.executedPlan.toString should not include "Window"
+    val rows = out.orderBy("doc_id").collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(2L, 3L)
+    // full original row survives (all columns, the keeper's values)
+    rows(0).getString(2) shouldBe "b"
+  }
+
   test("candidatePairs caps pathological buckets and keeps the rest") {
     // 12 docs share band "hot" (66 pairs); 2 docs share band "ok"
     val hot = (1 to 12).map(i => (i.toLong, Seq("hot")))
