@@ -62,6 +62,21 @@ object EventPipeline {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming exact dedup: emit the FIRST occurrence of each key,
+    * dropping later duplicates that arrive within the watermark bound
+    * (`dropDuplicatesWithinWatermark` — state expires once a key's
+    * event time falls behind the watermark, so dedup state is bounded
+    * instead of growing with the stream). Batch callers use
+    * Dedup.exactDedup; this is the exactly-once stream form the
+    * reference's resume offsets can't express. */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes",
+      streaming: Boolean = true): DataFrame =
+    if (streaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   // ---- custom-state sessionization (flatMapGroupsWithState) ----------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

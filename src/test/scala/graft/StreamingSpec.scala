@@ -41,6 +41,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup emits each key once within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val query = EventPipeline.dedupedStream(stream.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(1, "2024-01-01 10:00:30", 1, "click", 1.0), // dup in batch
+        ev(2, "2024-01-01 10:01:00", 2, "view", 2.0))
+      query.processAllAvailable()
+      stream.addData(
+        ev(2, "2024-01-01 10:02:00", 2, "view", 2.0), // dup across batches
+        ev(3, "2024-01-01 10:03:00", 3, "click", 3.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      ids shouldBe Seq(1L, 2L, 3L)
+    } finally query.stop()
+  }
+
   test("watermark drops data later than the delay (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
