@@ -123,8 +123,19 @@ object TypeCascade {
       decimalSep: String = ".",
       thousandSep: String = ","): Column = {
     val f = parseLocaleFloat(c, decimalSep, thousandSep)
+    // plain decimal rendering: a straight double->string cast emits
+    // Java scientific notation at |x| >= 1e7 ("1.2345678E7"), which the
+    // reference's str(float(...)) never does below 1e16. Route through
+    // a scale-17 decimal (shortest-repr digits preserved), strip the
+    // padding zeros, and keep a trailing ".0" for integral values.
+    // |x| >= ~1e21 overflows the decimal and falls back to the cast.
+    val plain = f.cast(org.apache.spark.sql.types.DecimalType(38, 17))
+      .cast("string")
+    val stripped = regexp_replace(plain, "0+$", "")
+    val fixed = when(stripped.endsWith("."), concat(stripped, lit("0")))
+      .otherwise(stripped)
     when(trim(c) === "" || c.isNull, lit(null).cast("string"))
-      .when(f.isNotNull, f.cast("string"))
+      .when(f.isNotNull, coalesce(fixed, f.cast("string")))
       .otherwise(c)
   }
 

@@ -40,9 +40,17 @@ object Dedup {
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
     val packed = struct(df.columns.map(col).toIndexedSeq: _*)
+    // ordering key wrapped so it is never NULL: min_by SKIPS null-keyed
+    // rows, which would fabricate an all-NULL output row for a group
+    // whose every id is NULL. struct(isNotNull, id) reproduces the
+    // window form's NULLS FIRST + id asc exactly.
+    val orderKey = struct(col(idCol).isNotNull, col(idCol))
     df.groupBy(fp.as("__fp"))
-      .agg(min_by(packed, col(idCol)).as("__row"))
-      .select(df.columns.map(c => col(s"__row.$c").as(c)).toIndexedSeq: _*)
+      .agg(min_by(packed, orderKey).as("__row"))
+      // getField, not col("__row.c"): a column name containing dots
+      // would otherwise parse as a nested-field path
+      .select(df.columns.map(c => col("__row").getField(c).as(c))
+        .toIndexedSeq: _*)
   }
 
   /** Duplicate groups: fingerprint -> group size + keeper id. */
@@ -125,17 +133,31 @@ object Dedup {
     val capped =
       if (maxBucketSize == Int.MaxValue) raw
       else {
-        val oversized = raw.groupBy(col("__band"))
+        // one aggregation pass: oversized keys are pathological-few by
+        // definition, so collect them (the earlier count()-then-join
+        // form recomputed the full aggregation twice). Fallback to an
+        // anti-join only if the collect cap trips.
+        val CollectCap = 10000
+        val oversizedKeys = raw.groupBy(col("__band"))
           .agg(count(lit(1)).as("__bc"))
           .filter(col("__bc") > maxBucketSize)
-        val dropped = oversized.count()
-        if (dropped > 0) {
+          .select(col("__band")).limit(CollectCap + 1)
+          .collect().map(_.get(0))
+        if (oversizedKeys.nonEmpty) {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"candidatePairs: dropping $dropped LSH bucket(s) larger than " +
-              s"$maxBucketSize docs")
+            s"candidatePairs: dropping ${oversizedKeys.length} LSH " +
+              s"bucket(s) larger than $maxBucketSize docs")
         }
-        raw.join(broadcast(oversized.select(col("__band"))),
-          Seq("__band"), "left_anti")
+        if (oversizedKeys.isEmpty) raw
+        else if (oversizedKeys.length <= CollectCap)
+          raw.filter(!col("__band").isin(oversizedKeys.toIndexedSeq: _*))
+        else {
+          val oversized = raw.groupBy(col("__band"))
+            .agg(count(lit(1)).as("__bc"))
+            .filter(col("__bc") > maxBucketSize)
+          raw.join(broadcast(oversized.select(col("__band"))),
+            Seq("__band"), "left_anti")
+        }
       }
     val exploded = numPartitions
       .map(n => capped.repartition(n, col("__band")))

@@ -54,6 +54,36 @@ object ParquetTable {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** Append via stage-then-publish with a deterministic batch tag —
+    * safe under the retry budget, which plain SaveMode.Append is NOT:
+    * a failed attempt can leave part files behind, and re-running the
+    * whole append then silently duplicates rows. Here each attempt
+    * first removes any files a previous partial publish of the SAME
+    * tag left in the target, writes to a stage directory, then renames
+    * part files in (per-file atomic on posix/HDFS; object stores
+    * without atomic rename want a manifest-based table format
+    * instead). */
+  def appendStaged(df: DataFrame, path: String, tag: String): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    val stage = new org.apache.hadoop.fs.Path(path + s"__stage_$tag")
+    fs.delete(stage, true)
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    fs.mkdirs(target)
+    fs.listStatus(target)
+      .filter(_.getPath.getName.startsWith(s"$tag-"))
+      .foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .foreach { f =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(target, s"$tag-${f.getPath.getName}"))
+      }
+    fs.delete(stage, true)
+  }
+
   /** Atomic replace: materialize to `<path>__staging`, then swap dirs.
     * Readers see either the old or the new table, never a partial write.
     * At cluster scale the same protocol is what table formats (Delta/
@@ -104,10 +134,12 @@ object RowNumbers {
 /** The reference's three entry points (`etl/etl.py:296,315,354`) as
   * set-oriented Spark pipelines over a parquet table.
   *
-  * `writer` is the physical append (injectable so specs can exercise the
-  * retry budget); `commitBatches` > 1 opts into the reference's
-  * chunk-commit model — the write is split into that many batches, each
-  * retried `cfg.maxAttempts` times, and a batch that exhausts its budget
+  * `writer(df, path, batchTag)` is the physical append (injectable so
+  * specs can exercise the retry budget); the default is the staged
+  * idempotent publish — a retried batch can never duplicate rows.
+  * `commitBatches` > 1 opts into the reference's chunk-commit model —
+  * the write is split into that many batches, each retried
+  * `cfg.maxAttempts` times, and a batch that exhausts its budget
   * diverts to `failedBatchPath` while the run continues
   * (`etl/etl.py:273-293`). The default single batch keeps the one
   * distributed write (task-level retries handle transient executor
@@ -115,7 +147,7 @@ object RowNumbers {
 class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
     observer: IngestObserver = IngestObserver.silent,
     rejectedPath: Option[String] = None,
-    writer: (DataFrame, String) => Unit = ParquetTable.append,
+    writer: (DataFrame, String, String) => Unit = ParquetTable.appendStaged,
     commitBatches: Int = 1,
     failedBatchPath: Option[String] = None) {
 
@@ -164,19 +196,18 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
       }
     val typed = CsvIngest.typedProjection(sliced, cfg,
       CsvIngest.inferColumnKinds(sliced, cfg))
-    val parts = {
-      val rows = typed.count()
-      math.max(1, math.min(10000, (rows / math.max(1, cfg.chunkSize)).toInt))
-    }
+    val typedRows = typed.count()
     var written = 0L
     var failed = 0L
     if (commitBatches <= 1) {
+      val parts = math.max(1,
+        math.min(10000, (typedRows / math.max(1, cfg.chunkSize)).toInt))
       val ok = Retry.withAttempts(cfg.maxAttempts, observer, "append") {
-        writer(typed.repartition(parts), tablePath)
+        writer(typed.repartition(parts), tablePath, "b0")
       }
-      if (ok) written = typed.count()
+      if (ok) written = typedRows
       else {
-        failed = typed.count()
+        failed = typedRows
         failedBatchPath.foreach(p =>
           typed.write.mode(SaveMode.Append).parquet(p))
       }
@@ -196,7 +227,7 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
           if (n > 0) {
             val ok = Retry.withAttempts(cfg.maxAttempts, observer,
               s"batch ${b + 1}") {
-              writer(batch, tablePath)
+              writer(batch, tablePath, s"b$b")
             }
             if (ok) {
               written += n

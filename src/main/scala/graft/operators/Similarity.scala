@@ -43,6 +43,15 @@ object Similarity {
   /** Cosine similarity with deterministic in-order summation. */
   def cosine(a: Column, b: Column): Column = Dedup.cosine(a, b)
 
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   /** Rank the k best (cos desc, neighbor_id asc) neighbors per query_id
     * from a scored (query_id, neighbor_id, cos) frame.
     *
@@ -51,20 +60,35 @@ object Similarity {
     * than k items per query, so the exchange carries
     * |queries| x partitions x k rows — the window form would shuffle and
     * sort EVERY scored row. eval() returns the heap sorted by the
-    * requested ordering, so posexplode's position is the rank. */
+    * requested ordering, so posexplode's position is the rank.
+    *
+    * The heap's id-asc tie-break rides in the ordering struct as the
+    * NEGATED id, which is only order-correct for integral ids (and
+    * Long.MinValue is the one unrepresentable edge). Non-integral id
+    * types fall back to the window form, which orders any orderable
+    * type — correctness over speed for the exotic case. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
-    // ordering struct: cos desc, then neighbor_id asc via negation; the
-    // raw neighbor_id rides along in the last slot for the projection.
-    val item = struct(col("cos"), (-col("neighbor_id")).as("__neg"),
-      col("neighbor_id"))
-    // reverse=false: keep the k LARGEST items, eval() sorted descending
-    // (pinned by SimilaritySpec) — so posexplode position 0 is rank 1.
-    val topk = ColumnBridge.collectTopK(item, k, reverse = false)
-    scored.groupBy(col("query_id")).agg(topk.as("__topk"))
-      .select(col("query_id"), posexplode(col("__topk")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.neighbor_id").as("neighbor_id"), col("col.cos").as("cos"))
+    if (!isIntegral(scored.schema("neighbor_id").dataType)) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    } else {
+      // ordering struct: cos desc, then neighbor_id asc via negation;
+      // the raw neighbor_id rides along in the last slot.
+      val item = struct(col("cos"), (-col("neighbor_id")).as("__neg"),
+        col("neighbor_id"))
+      // reverse=false: keep the k LARGEST items, eval() sorted
+      // descending (pinned by SimilaritySpec) — posexplode pos 0 = rank 1
+      val topk = ColumnBridge.collectTopK(item, k, reverse = false)
+      scored.groupBy(col("query_id")).agg(topk.as("__topk"))
+        .select(col("query_id"), posexplode(col("__topk")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"),
+          col("col.neighbor_id").as("neighbor_id"), col("col.cos").as("cos"))
+    }
   }
 
   /** LSH bucket key: sign bits of the embedding against each plane,
@@ -132,6 +156,10 @@ object Similarity {
     * (outId, __v embedding, centroid_id). */
   def assignToCentroids(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, outId: String): DataFrame = {
+    // the argmax tie-break negates centroid_id — order-correct only for
+    // integral ids (trainCentroids emits long ids)
+    require(isIntegral(centroids.schema("centroid_id").dataType),
+      "centroid_id must be an integral type")
     val c = broadcast(centroids.select(col("centroid_id"),
       col("centroid").as("__cv")))
     df.select(col(idCol).as(outId), col(embCol).as("__v"))
@@ -152,6 +180,8 @@ object Similarity {
   def assignTopNCentroids(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, outId: String, n: Int): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
+    require(isIntegral(centroids.schema("centroid_id").dataType),
+      "centroid_id must be an integral type")
     val c = broadcast(centroids.select(col("centroid_id"),
       col("centroid").as("__cv")))
     val item = struct(col("__cscore"), (-col("centroid_id")).as("__neg"),

@@ -30,7 +30,9 @@ object CsvStreamIngest {
       .option("delimiter", cfg.delimiter)
       .option("encoding", cfg.encoding)
       .option("maxCharsPerColumn", "-1")
-      // bootstrap schema is pre-normalization header names
+      // bootstrap schema carries the (already normalized) header names;
+      // normalizeHeaders below is then a no-op rename, kept for the
+      // collision-dedup guarantee
       .schema(org.apache.spark.sql.types.StructType(
         bootstrap.schema.fields.map(f =>
           org.apache.spark.sql.types.StructField(f.name,

@@ -139,10 +139,11 @@ class CsvIngestSpec extends SparkSpec {
     val events = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val obs: IngestObserver = (t, m) => events += ((t, m))
     var calls = 0
-    val flaky: (org.apache.spark.sql.DataFrame, String) => Unit = { (df, p) =>
-      calls += 1
-      if (calls == 1) throw new java.io.IOException("transient sink hiccup")
-      ParquetTable.append(df, p)
+    val flaky: (org.apache.spark.sql.DataFrame, String, String) => Unit = {
+      (df, p, tag) =>
+        calls += 1
+        if (calls == 1) throw new java.io.IOException("transient sink hiccup")
+        ParquetTable.appendStaged(df, p, tag)
     }
     val r = new InsertJob(csv, table, cfg, obs, writer = flaky).run()
     calls shouldBe 2
@@ -153,6 +154,40 @@ class CsvIngestSpec extends SparkSpec {
     events.exists(e => e._1 == "error" && e._2.contains("retrying")) shouldBe true
   }
 
+  test("retried append never duplicates a partial failed publish") {
+    val dir = Files.createTempDirectory("graft_nodup")
+    val csv = writeFixture(dir)
+    val table = dir.resolve("t_nodup").toString
+    var calls = 0
+    // attempt 1 publishes PART of the batch into the target (simulating
+    // a mid-commit crash), then fails; attempt 2 runs the real staged
+    // publish, which must clean the orphan before re-publishing
+    val crashy: (org.apache.spark.sql.DataFrame, String, String) => Unit = {
+      (df, p, tag) =>
+        calls += 1
+        if (calls == 1) {
+          df.limit(2).write.mode("overwrite")
+            .parquet(dir.resolve("half").toString)
+          val fs = new org.apache.hadoop.fs.Path(p)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(p))
+          new java.io.File(dir.resolve("half").toString).listFiles()
+            .filter(_.getName.startsWith("part-")).foreach { f =>
+              fs.rename(
+                new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+                new org.apache.hadoop.fs.Path(p, s"$tag-${f.getName}"))
+            }
+          throw new java.io.IOException("crashed mid-commit")
+        }
+        ParquetTable.appendStaged(df, p, tag)
+    }
+    val r = new InsertJob(csv, table, cfg, IngestObserver.silent,
+      writer = crashy).run()
+    r.writtenRows shouldBe 5
+    // exactly the batch's rows: the orphaned partial publish was cleaned
+    ParquetTable.read(spark, table).count() shouldBe 5
+  }
+
   test("permanently-failing batch diverts and the run completes") {
     val dir = Files.createTempDirectory("graft_permfail")
     val csv = writeFixture(dir)
@@ -161,10 +196,11 @@ class CsvIngestSpec extends SparkSpec {
     val events = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val obs: IngestObserver = (t, m) => events += ((t, m))
     // batch 0 always fails; other batches write through
-    val partial: (org.apache.spark.sql.DataFrame, String) => Unit = { (df, p) =>
-      val minName = df.agg(min(col("name"))).head().getString(0)
-      if (minName == "alpha") throw new java.io.IOException("batch sink down")
-      ParquetTable.append(df, p)
+    val partial: (org.apache.spark.sql.DataFrame, String, String) => Unit = {
+      (df, p, tag) =>
+        val minName = df.agg(min(col("name"))).head().getString(0)
+        if (minName == "alpha") throw new java.io.IOException("batch sink down")
+        ParquetTable.appendStaged(df, p, tag)
     }
     // chunkSize 2 over 5 rows -> chunks {alpha,bèta} {gamma,delta}
     // {épsilon} round-robined over 3 batches; the alpha batch fails
@@ -220,8 +256,9 @@ class CsvIngestSpec extends SparkSpec {
   test("value-level typing renders mixed columns per value (reference mode)") {
     val dir = Files.createTempDirectory("graft_vl")
     val f = dir.resolve("mixed.csv")
-    Files.write(f, "id|mixed\na|1\nb|abc\nc|2,5\nd|\n".getBytes(
-      Charset.forName("ISO-8859-1")))
+    Files.write(f,
+      "id|mixed\na|1\nb|abc\nc|2,5\nd|\ne|12345678\nf|0\n".getBytes(
+        Charset.forName("ISO-8859-1")))
     val vlCfg = cfg.copy(dateColumns = Nil, forceNoGeometry = true,
       valueLevelTypes = true)
     val df = CsvIngest.scan(spark, f.toString, vlCfg)
@@ -236,6 +273,10 @@ class CsvIngestSpec extends SparkSpec {
     vals("b") shouldBe "abc"
     vals("c") shouldBe "2.5"
     vals("d") shouldBe null
+    // plain rendering, never Java scientific notation (reference
+    // str(float) fidelity below 1e16)
+    vals("e") shouldBe "12345678.0"
+    vals("f") shouldBe "0.0"
     // default column-vote mode downgrades the whole column to string,
     // keeping raw "1" (the fixed behavior)
     val voted = CsvIngest.typedProjection(df,
