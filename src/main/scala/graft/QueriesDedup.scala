@@ -155,6 +155,64 @@ object QueriesDedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // --------------------------------------------------------------- q37
+  /** Word-shingle MinHash near-dup — the canonical LLM-corpus dedup
+    * recipe (n-gram word windows; 5 words here, the corpus' texts run
+    * ~50 tokens). Same affine LSH machinery as q16 over a different
+    * shingle unit. */
+  private def q37MinhashWords(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupsWords(corpus(s, dir), "doc_id", "text",
+      shingleWords = 5, k = 16, bands = 4, threshold = 0.5)
+      .orderBy(col("id1"), col("id2"))
+
+  private val wordShinglesSqlDef =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) <= 5 THEN [t]
+      |         ELSE list_distinct(list_transform(range(1, len(tk) - 3),
+      |                i -> array_to_string(tk[i:i+4], ' '))) END AS s
+      |  FROM (SELECT doc_id, t, string_split(t, ' ') AS tk
+      |        FROM (SELECT doc_id,
+      |                regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |              FROM corpus)))""".stripMargin
+
+  private val q37Sql = {
+    import graft.expressions.MinHashScheme
+    val h1 = "(('0x' || substr(md5(x), 1, 8))::BIGINT & 2147483647)"
+    val h2 = "(('0x' || substr(md5(x), 9, 8))::BIGINT & 2147483647)"
+    val sigItems = (0 until 16).map(i =>
+      s"list_min(list_transform(s, x -> ((${MinHashScheme.a(i)} * $h1) " +
+        s"% ${MinHashScheme.P} + (${MinHashScheme.b(i)} * $h2) " +
+        s"% ${MinHashScheme.P} + ${MinHashScheme.c(i)}) % ${MinHashScheme.P}))")
+      .mkString(",\n       |    ")
+    val bandItems = (0 until 4).map { b =>
+      (0 until 4).map(r => s"CAST(g[${4 * b + r + 1}] AS VARCHAR)")
+        .mkString(" || '|' || ")
+    }.mkString(", ")
+    s"""WITH $corpusSql,
+       |$wordShinglesSqlDef,
+       |sig AS (
+       |  SELECT doc_id, s, [
+       |    $sigItems] AS g
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, s, unnest([$bandItems]) AS band
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT c.id1, c.id2,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+       |FROM cand c
+       |JOIN sh a ON a.doc_id = c.id1
+       |JOIN sh b ON b.doc_id = c.id2
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   // --------------------------------------------------------------- q17
   /** SimHash near-dup: 32-bit sketch, 2-half banding, Hamming <= 8. */
   private def q17Simhash(s: SparkSession, dir: String): DataFrame =
@@ -236,6 +294,7 @@ object QueriesDedup {
     "q14_dedup_exact" -> (q14Exact _),
     "q15_dedup_ngram_jaccard" -> (q15Ngram _),
     "q16_dedup_minhash_lsh" -> (q16Minhash _),
+    "q37_dedup_minhash_words" -> (q37MinhashWords _),
     "q17_dedup_simhash" -> (q17Simhash _),
     "q18_dedup_embedding" -> (q18Embedding _),
   )
@@ -244,6 +303,7 @@ object QueriesDedup {
     "q14_dedup_exact" -> q14Sql,
     "q15_dedup_ngram_jaccard" -> q15Sql,
     "q16_dedup_minhash_lsh" -> q16Sql,
+    "q37_dedup_minhash_words" -> q37Sql,
     "q17_dedup_simhash" -> q17Sql,
     "q18_dedup_embedding" -> q18Sql,
   )

@@ -97,6 +97,37 @@ object ShingleUtil {
     new GenericArrayData(out)
   }
 
+  /** Distinct word n-grams of an already-normalized (lower/trim/
+    * single-space) string, sorted; `numTokens <= n` yields the whole
+    * string as the only shingle (mirroring charShingles' short-input
+    * rule). The unit of the canonical LLM-corpus dedup recipe
+    * (13-gram-style word windows). */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val tokens = if (str.isEmpty) Array.empty[String] else str.split(' ')
+    if (tokens.length <= n) return new GenericArrayData(Array[Any](s))
+    val seen = new java.util.TreeSet[UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val last = tokens.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Intersection size of two SORTED distinct arrays (two-pointer merge,
     * no hash set, early exit). */
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
@@ -265,6 +296,26 @@ case class MinHashBandsExpression(child: Expression, bands: Int, rowsPerBand: In
       c => s"graft.expressions.ShingleUtil.minhashBands($c, $bands, $rowsPerBand)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpression =
+    copy(child = newChild)
+}
+
+/** Codegen'd distinct word n-grams over an already-normalized string
+  * (see ShingleUtil.wordShingles). */
+case class WordShinglesExpression(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "shingle size must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ShingleUtil.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpression =
     copy(child = newChild)
 }
 

@@ -105,6 +105,27 @@ object TextAnalysis {
         org.apache.spark.sql.graftshim.ColumnBridge.expression(
           normalizeText(text)), n))
 
+  /** Word n-gram shingles of the normalized text — the canonical
+    * LLM-corpus dedup unit (13-gram-style word windows). `<= n` tokens
+    * -> single shingle of the whole normalized text, mirroring
+    * charShingles' short-input rule. Codegen'd single pass; equivalence
+    * pinned in ExpressionsSpec. */
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.WordShinglesExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(
+          normalizeText(text)), n))
+
+  /** Column-composition form of wordShingles (spec reference only). */
+  private[graft] def wordShinglesComposed(text: Column, n: Int): Column = {
+    val norm = normalizeText(text)
+    val tk = split(norm, " ")
+    when(size(tk) <= n, array(norm)).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(tk) - lit(n)),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
+  }
+
   /** Column-composition form of charShingles (spec reference only). */
   private[graft] def charShinglesComposed(text: Column, n: Int): Column = {
     val norm = normalizeText(text)

@@ -210,7 +210,32 @@ object Dedup {
       maxBucketSize: Int = Int.MaxValue,
       storageLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None): DataFrame =
+    minhashNearDupsOnShingles(df, idCol,
+      TextAnalysis.charShingles(col(textCol), shingleSize),
+      k, bands, threshold, maxBucketSize, storageLevel, numPartitions)
+
+  /** Word-shingle variant — the canonical LLM-corpus recipe (n-gram
+    * word windows, e.g. 13-gram dedup). Same pipeline, different
+    * shingle unit: word windows make near-dup detection robust to
+    * whitespace/punctuation noise that char shingles absorb into the
+    * set, and the shingle count scales with token count, not bytes. */
+  def minhashNearDupsWords(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 13, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.6,
+      maxBucketSize: Int = Int.MaxValue,
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      numPartitions: Option[Int] = None): DataFrame =
+    minhashNearDupsOnShingles(df, idCol,
+      TextAnalysis.wordShingles(col(textCol), shingleWords),
+      k, bands, threshold, maxBucketSize, storageLevel, numPartitions)
+
+  private def minhashNearDupsOnShingles(df: DataFrame, idCol: String,
+      shingles: Column, k: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int,
+      storageLevel: org.apache.spark.storage.StorageLevel,
+      numPartitions: Option[Int]): DataFrame = {
     require(bands > 0 && k > 0 && k % bands == 0,
       s"k ($k) must be a positive multiple of bands ($bands)")
     require(threshold >= 0.0 && threshold <= 1.0,
@@ -220,8 +245,7 @@ object Dedup {
     // persisted so the three downstream expressions evaluate over cached
     // shingle arrays — unpersisted, CollapseProject would inline (and
     // re-run) the shingling into every reference
-    val shingled = df.select(col(idCol),
-      TextAnalysis.charShingles(col(textCol), shingleSize).as("__sh"))
+    val shingled = df.select(col(idCol), shingles.as("__sh"))
       .persist(storageLevel)
     val prepared = shingled.select(col(idCol),
       C(graft.expressions.MinHashBandsExpression(E(col("__sh")), bands,

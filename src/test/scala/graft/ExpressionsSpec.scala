@@ -69,6 +69,22 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("WordShinglesExpression matches the composed form") {
+    val texts = Seq("The  Quick Brown fox jumps over dogs", "one two", "",
+      "a b c d e f g", "single").toDF("text")
+    val rows = texts.select(
+      TextAnalysis.wordShingles(col("text"), 3).as("fast"),
+      TextAnalysis.wordShinglesComposed(col("text"), 3).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      r.getSeq[String](0).sorted shouldBe r.getSeq[String](1).sorted
+    }
+    // windows are real word 3-grams
+    texts.filter(col("text") === "a b c d e f g")
+      .select(TextAnalysis.wordShingles(col("text"), 3)).head()
+      .getSeq[String](0) should contain ("c d e")
+  }
+
   test("MinHashBandsExpression matches the composed band keys") {
     val texts = Seq("the quick brown fox jumps", "abcdefgh", "xy")
       .toDF("text")
