@@ -58,6 +58,16 @@ object GraftExtensions {
       struct)
   }
 
+  private def normalizeExpr(text: Expression): Expression =
+    fn("regexp_replace", fn("lower", fn("trim", text)),
+      lit("\\s+"), lit(" "))
+
+  private def intLit(where: String, e: Expression): Int = e match {
+    case Literal(n: Int, _) => n
+    case other => throw new IllegalArgumentException(
+      s"$where: n must be an integer literal, got $other")
+  }
+
   private def fingerprint(text: Expression): Expression =
     fn("substring",
       fn("md5", fn("regexp_replace",
@@ -78,13 +88,10 @@ object GraftExtensions {
         CosineSimilarityExpression(exprs(0), exprs(1))),
     ("graft_char_shingles", info("graft_char_shingles", "char n-grams"),
       (exprs: Seq[Expression]) => CharShinglesExpression(
-        fn("regexp_replace", fn("lower", fn("trim", exprs.head)),
-          lit("\\s+"), lit(" ")),
-        exprs(1) match {
-          case Literal(n: Int, _) => n
-          case other => throw new IllegalArgumentException(
-            s"graft_char_shingles: n must be an integer literal, got $other")
-        })),
+        normalizeExpr(exprs.head), intLit("graft_char_shingles", exprs(1)))),
+    ("graft_word_shingles", info("graft_word_shingles", "word n-grams"),
+      (exprs: Seq[Expression]) => WordShinglesExpression(
+        normalizeExpr(exprs.head), intLit("graft_word_shingles", exprs(1)))),
     ("graft_fingerprint", info("graft_fingerprint", "fingerprint"),
       (exprs: Seq[Expression]) => fingerprint(exprs.head)),
     ("st_point", info("st_point", "point"),
