@@ -34,7 +34,16 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // per-query isolation, OUTSIDE the timed section: release cached
+      // plans and any persistent/localCheckpoint RDD blocks a query left
+      // behind, so heap accumulation from one query can't charge a GC
+      // burst to a later one (observed as a q27-q29 spike in round 2's
+      // 53 GiB-heap driver run that never reproduced locally)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

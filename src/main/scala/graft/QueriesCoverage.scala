@@ -94,7 +94,13 @@ object QueriesCoverage {
   // --------------------------------------------------------------- q36
   /** S7 CTE subquery through spark.sql over registered views — the
     * reference's WITH-clause delegation (carto-etl just ships the text;
-    * here Catalyst plans it natively). */
+    * here Catalyst plans it natively).
+    *
+    * l_quantity sums go through DECIMAL: double summation order differs
+    * between Spark's partial/final reduction and DuckDB's, so a double
+    * sum-of-sums is not bit-stable under the hash compare. DECIMAL
+    * addition is exact and order-independent; the final cast back to
+    * DOUBLE is then deterministic on both sides. */
   private def q36Cte(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
     t(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -104,10 +110,11 @@ object QueriesCoverage {
         |  WHERE o_totalprice > 200000),
         |counts AS (
         |  SELECT l_orderkey, count(*) AS n_items,
-        |    sum(l_quantity) AS sum_qty
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
         |  FROM lineitem_v GROUP BY l_orderkey)
         |SELECT b.o_custkey, count(*) AS n_orders,
-        |  sum(c.n_items) AS n_items, sum(c.sum_qty) AS sum_qty
+        |  sum(c.n_items) AS n_items,
+        |  CAST(sum(c.sum_qty) AS DOUBLE) AS sum_qty
         |FROM big_orders b JOIN counts c ON c.l_orderkey = b.o_orderkey
         |GROUP BY b.o_custkey
         |HAVING count(*) >= 2
@@ -120,10 +127,11 @@ object QueriesCoverage {
       |  WHERE o_totalprice > 200000),
       |counts AS (
       |  SELECT l_orderkey, count(*) AS n_items,
-      |    sum(l_quantity) AS sum_qty
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
       |  FROM lineitem GROUP BY l_orderkey)
       |SELECT b.o_custkey, count(*) AS n_orders,
-      |  sum(c.n_items) AS n_items, sum(c.sum_qty) AS sum_qty
+      |  sum(c.n_items) AS n_items,
+      |  CAST(sum(c.sum_qty) AS DOUBLE) AS sum_qty
       |FROM big_orders b JOIN counts c ON c.l_orderkey = b.o_orderkey
       |GROUP BY b.o_custkey
       |HAVING count(*) >= 2

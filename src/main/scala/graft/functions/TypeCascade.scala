@@ -129,6 +129,10 @@ object TypeCascade {
     // a scale-17 decimal (shortest-repr digits preserved), strip the
     // padding zeros, and keep a trailing ".0" for integral values.
     // |x| >= ~1e21 overflows the decimal and falls back to the cast.
+    // Known divergences from Python str(float): values >= 1e16 (Python
+    // goes scientific), values with |x| < 1e-4 (Python emits "1e-05",
+    // this path renders plain "0.00001"), and values needing more than
+    // 17 decimal places, which collapse to "0.0" here.
     val plain = f.cast(org.apache.spark.sql.types.DecimalType(38, 17))
       .cast("string")
     val stripped = regexp_replace(plain, "0+$", "")

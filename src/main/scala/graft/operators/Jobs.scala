@@ -109,14 +109,21 @@ object ParquetTable {
 /** Contiguous 1-based global row numbers in scan order WITHOUT a
   * single-partition window: one tiny per-partition count pass (collected
   * to the driver — numPartitions rows), then a window partitioned by the
-  * scan partition id (parallel) plus the partition's offset. The source's
-  * split layout is deterministic for a given file + config, so the two
-  * passes see identical partitioning. */
+  * scan partition id (parallel) plus the partition's offset.
+  *
+  * PRECONDITION: the counts pass and the window pass must observe the
+  * same partition layout and intra-partition row order. Deterministic
+  * file scans satisfy this on their own; plans containing shuffles or
+  * nondeterministic sources do not, so the input is persisted for the
+  * two passes (and released before returning the numbered frame is NOT
+  * possible — the returned plan still reads it — so callers' actions on
+  * the result consume the cached layout, and the cache is dropped
+  * lazily by LRU or an explicit unpersist downstream). */
 object RowNumbers {
   def global(df: DataFrame, posCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val withPid = df.withColumn("__gr_pid", spark_partition_id())
+    val withPid = df.withColumn("__gr_pid", spark_partition_id()).persist()
     val counts = withPid.groupBy(col("__gr_pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).init
@@ -169,6 +176,12 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
     * sends (quirk Q4). */
   def run(startChunk: Int = 1, endChunk: Option[Int] = None): JobResult = {
     val session = org.apache.spark.sql.SparkSession.active
+    // Batch tags must be unique PER RUN: appendStaged's idempotent cleanup
+    // deletes target files with the same tag prefix, so a constant tag
+    // would make a second append into the same table (resume, second CSV)
+    // delete the first run's rows. Within one run the tag is stable across
+    // retry attempts — that is what makes a retried batch idempotent.
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     // cached: Spark disallows queries that touch only the corrupt-record
     // column of a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
     // the scan feeds four consumers below anyway
@@ -203,7 +216,7 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
       val parts = math.max(1,
         math.min(10000, (typedRows / math.max(1, cfg.chunkSize)).toInt))
       val ok = Retry.withAttempts(cfg.maxAttempts, observer, "append") {
-        writer(typed.repartition(parts), tablePath, "b0")
+        writer(typed.repartition(parts), tablePath, s"$runId-b0")
       }
       if (ok) written = typedRows
       else {
@@ -227,7 +240,7 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
           if (n > 0) {
             val ok = Retry.withAttempts(cfg.maxAttempts, observer,
               s"batch ${b + 1}") {
-              writer(batch, tablePath, s"b$b")
+              writer(batch, tablePath, s"$runId-b$b")
             }
             if (ok) {
               written += n

@@ -18,8 +18,9 @@ object ColumnBridge {
 
   /** Bounded-heap top-k aggregate (Spark's private[sql] CollectTopK):
     * keeps at most k items per group in the partial (map-side) buffer,
-    * so a top-k never shuffles the full scored input. reverse=true =
-    * largest first; eval() returns the heap sorted in that order. */
+    * so a top-k never shuffles the full scored input. reverse=false
+    * keeps the k LARGEST (eval() returns them sorted descending);
+    * reverse=true keeps the k smallest (sorted ascending). */
   def collectTopK(item: Column, k: Int, reverse: Boolean): Column =
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopKShim

@@ -188,6 +188,22 @@ class CsvIngestSpec extends SparkSpec {
     ParquetTable.read(spark, table).count() shouldBe 5
   }
 
+  test("two appends into one table accumulate (per-run batch tags)") {
+    // a constant batch tag would make run 2's idempotent cleanup delete
+    // run 1's published files — the resume / second-CSV workflow
+    val dir = Files.createTempDirectory("graft_twice")
+    val csv = writeFixture(dir)
+    val table = dir.resolve("t_twice").toString
+    new InsertJob(csv, table, cfg).run()
+    ParquetTable.read(spark, table).count() shouldBe 5
+    new InsertJob(csv, table, cfg).run()
+    ParquetTable.read(spark, table).count() shouldBe 10
+    // and with the chunk-commit path too
+    new InsertJob(csv, table, cfg.copy(chunkSize = 2),
+      commitBatches = 2).run()
+    ParquetTable.read(spark, table).count() shouldBe 15
+  }
+
   test("permanently-failing batch diverts and the run completes") {
     val dir = Files.createTempDirectory("graft_permfail")
     val csv = writeFixture(dir)
