@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextAnalysis => TA}
+import graft.operators.{Dedup, Packing, Sampling, Sketches}
+
+/** Corpus-engineering operator coverage (north-star extension, round 3):
+  * the profiling / splitting / packing / cluster-assembly steps a
+  * training-data pipeline runs around dedup — each one oracle-checked
+  * because every hash is md5-derived and every float path is
+  * order-independent.
+  */
+object QueriesCorpus {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // --------------------------------------------------------------- q38
+  /** KMV distinct-count sketch per group: bounded-state approximate
+    * COUNT(DISTINCT) (k=256 longs per group) next to the exact count —
+    * the profiling aggregate that replaces an exact distinct shuffle at
+    * corpus scale. */
+  private def q38Kmv(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(Sketches.kmvDistinct(col("l_orderkey"), 256).as("est_distinct"),
+        countDistinct(col("l_orderkey")).as("n_exact"))
+      .orderBy(col("l_returnflag"))
+
+  private val q38Sql =
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag AS flag,
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag, hv,
+      |    row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn,
+      |    count(*) OVER (PARTITION BY flag) AS nd
+      |  FROM h),
+      |ex AS (
+      |  SELECT l_returnflag AS flag, count(DISTINCT l_orderkey) AS n_exact
+      |  FROM lineitem GROUP BY 1)
+      |SELECT r.flag AS l_returnflag,
+      |  CASE WHEN r.nd < 256 THEN CAST(r.nd AS DOUBLE)
+      |       ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+      |            / CAST(r.hv AS DOUBLE) END AS est_distinct,
+      |  ex.n_exact
+      |FROM r JOIN ex ON ex.flag = r.flag
+      |WHERE r.rn = CASE WHEN r.nd < 256 THEN r.nd ELSE 256 END
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- q39
+  /** Corpus-wide heavy hitters: top-20 most frequent (lowercased)
+    * tokens via partial counts + ONE bounded-heap top-k — no global
+    * sort anywhere in the plan. */
+  private def q39HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(TA.tokens(col("text"))).as("tok"))
+    Sketches.heavyHitters(toks, lower(col("tok")), 20, itemName = "token")
+  }
+
+  private val q39Sql =
+    """WITH toks AS (
+      |  SELECT unnest(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+      |  FROM documents),
+      |counts AS (
+      |  SELECT lower(tok) AS token, count(*) AS cnt FROM toks GROUP BY 1)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token DESC) AS BIGINT) AS rank,
+      |  token, cnt
+      |FROM counts ORDER BY cnt DESC, token DESC LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- q40
+  /** Near-dup cluster assembly: SimHash pairs (the q17 pipeline) fed
+    * into connected components — every clustered doc labeled with its
+    * cluster's minimum id (the keeper). The step that turns pairwise
+    * near-dup evidence into drop lists. */
+  private def q40Clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simhashNearDups(QueriesDedup.corpus(s, dir),
+      "doc_id", "text", maxHamming = 8)
+    Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q40Sql =
+    s"""WITH RECURSIVE ${QueriesDedup.simhashPairsCtes},
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id2, id1 FROM pairs),
+       |reach AS (
+       |  SELECT src AS node, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src AS node, r.lbl
+       |  FROM edges e JOIN reach r ON r.node = e.dst)
+       |SELECT node AS doc_id, min(lbl) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q41
+  /** Deterministic train/val/test split (80/10/10 by md5 bucket of the
+    * doc id) with per-split document and token counts — reproducible
+    * across runs, engines, partitionings, and appends. */
+  private def q41Split(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicSplit(
+        docs(s, dir).select(col("doc_id"),
+          TA.tokenCount(col("text")).as("__tok")),
+        "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+      .orderBy(col("split"))
+
+  private val q41Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+      |  FROM documents)
+      |SELECT CASE WHEN b < 80 THEN 'train'
+      |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+      |FROM t GROUP BY 1 ORDER BY split""".stripMargin
+
+  // --------------------------------------------------------------- q42
+  /** Sequence packing: documents in id order packed into 2048-token
+    * context windows via a distributed exclusive prefix sum (range
+    * partition + per-partition offsets — never a single-partition
+    * window), summarized per bin. */
+  private def q42Packing(s: SparkSession, dir: String): DataFrame =
+    Packing.packingSummary(
+        Packing.packByTokenBudget(docs(s, dir), "doc_id",
+          TA.tokenCount(col("text")), 2048),
+        "doc_id")
+      .orderBy(col("bin"))
+
+  private val q42Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok,
+      |    sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok AS pre
+      |  FROM t)
+      |SELECT CAST(floor(pre / CAST(2048 AS DOUBLE)) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // -------------------------------------------------------------- export
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_sketch_kmv" -> (q38Kmv _),
+    "q39_heavy_hitters" -> (q39HeavyHitters _),
+    "q40_dedup_clusters" -> (q40Clusters _),
+    "q41_hash_split" -> (q41Split _),
+    "q42_seq_packing" -> (q42Packing _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q38_sketch_kmv" -> q38Sql,
+    "q39_heavy_hitters" -> q39Sql,
+    "q40_dedup_clusters" -> q40Sql,
+    "q41_hash_split" -> q41Sql,
+    "q42_seq_packing" -> q42Sql,
+  )
+}

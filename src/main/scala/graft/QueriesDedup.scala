@@ -21,7 +21,7 @@ object QueriesDedup {
     Tables.load(s, dir, "documents")
 
   /** documents + exact dups + near dups. */
-  private def corpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("text"))
     val exact = base.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 10000).as("doc_id"), col("text"))
@@ -219,13 +219,17 @@ object QueriesDedup {
     Dedup.simhashNearDups(corpus(s, dir), "doc_id", "text", maxHamming = 8)
       .orderBy(col("id1"), col("id2"))
 
-  private val q17Sql = {
+  /** The full q17 pipeline as reusable CTEs ending in a verified
+    * `pairs (id1, id2, hamming)` table — q17 selects from it directly;
+    * q40's connected-components oracle builds its recursive closure on
+    * top of it. */
+  private[graft] val simhashPairsCtes: String = {
     val bitTerms = (0 until 32).map { b =>
       s"""CASE WHEN len(tk) > 0 AND 2 * len(list_filter(tk,
          |      t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT >> $b) & 1) = 1))
          |      >= len(tk) THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END""".stripMargin
     }.mkString("\n       |    + ")
-    s"""WITH $corpusSql,
+    s"""$corpusSql,
        |toks AS (
        |  SELECT doc_id,
        |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
@@ -243,14 +247,18 @@ object QueriesDedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.doc_id < b.doc_id)
-       |SELECT c.id1, c.id2, bit_count(xor(x.sh, y.sh)) AS hamming
-       |FROM cand c
-       |JOIN sketch x ON x.doc_id = c.id1
-       |JOIN sketch y ON y.doc_id = c.id2
-       |WHERE bit_count(xor(x.sh, y.sh)) <= 8
-       |ORDER BY id1, id2""".stripMargin
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.id1, c.id2, bit_count(xor(x.sh, y.sh)) AS hamming
+       |  FROM cand c
+       |  JOIN sketch x ON x.doc_id = c.id1
+       |  JOIN sketch y ON y.doc_id = c.id2
+       |  WHERE bit_count(xor(x.sh, y.sh)) <= 8)""".stripMargin
   }
+
+  private val q17Sql =
+    s"""WITH $simhashPairsCtes
+       |SELECT id1, id2, hamming FROM pairs ORDER BY id1, id2""".stripMargin
 
   // --------------------------------------------------------------- q18
   /** Embedding-cosine near-dup: perturbed copies of vec_id % 10 == 0

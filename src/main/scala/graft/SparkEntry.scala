@@ -19,11 +19,11 @@ object SparkEntry {
     Queries.registry ++ QueriesDedup.registry ++
       QueriesSimilarity.registry ++ QueriesRelational.registry ++
       QueriesStreaming.registry ++ QueriesMultimodal.registry ++
-      QueriesCoverage.registry
+      QueriesCoverage.registry ++ QueriesCorpus.registry
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesDedup.oracles ++
       QueriesSimilarity.oracles ++ QueriesRelational.oracles ++
       QueriesStreaming.oracles ++ QueriesMultimodal.oracles ++
-      QueriesCoverage.oracles
+      QueriesCoverage.oracles ++ QueriesCorpus.oracles
 }

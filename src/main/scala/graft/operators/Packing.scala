@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training pipelines (north-star extension):
+  * assign documents, in stable id order, to contiguous bins of at most
+  * `capacity` tokens — the standard "pack short documents into one
+  * context window" preprocessing step.
+  *
+  * The bin of a document is floor(exclusive_prefix_sum(tokens) /
+  * capacity): contiguous greedy packing. (A bin can exceed capacity only
+  * by the one document that straddles its boundary — the usual
+  * streaming-packing relaxation; exact first-fit is inherently
+  * sequential and not a distributed operator.)
+  *
+  * Scale design: the global prefix sum NEVER runs as a single-partition
+  * window. The frame is range-partitioned and sorted by id, then a tiny
+  * per-partition totals pass (numPartitions rows to the driver) yields
+  * each partition's starting offset, and the in-partition running sum is
+  * a window PARTITIONED BY the partition id — every partition scans in
+  * parallel. Same two-pass shape as RowNumbers.global, summing tokens
+  * instead of counting rows.
+  */
+object Packing {
+
+  /** (idCol, n_tokens, bin) for every row, bins packed in `idCol` order.
+    * `tokens` is any integral-valued Column (e.g.
+    * TextAnalysis.tokenCount(col("text"))). The input is persisted for
+    * the totals pass + window pass (same precondition note as
+    * RowNumbers.global); callers consume the result and the cache is
+    * dropped by LRU or a downstream unpersist. */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokens: Column,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    val base = df
+      .select(col(idCol), tokens.cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val totals = base.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val offDf = spark.createDataFrame(
+      totals.map(_._1).zip(offsets).toIndexedSeq).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offDf), Seq("__pid"))
+      // exclusive prefix: running sum including self, minus self
+      .withColumn("__pre",
+        sum(col("n_tokens")).over(w) + col("__off") - col("n_tokens"))
+      .withColumn("bin", floor(col("__pre") / capacity))
+      .select(col(idCol), col("n_tokens"), col("bin"))
+  }
+
+  /** Per-bin packing summary: how full each context window came out. */
+  def packingSummary(packed: DataFrame, idCol: String): DataFrame =
+    packed.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training pipelines
+  * (north-star extension): train/val/test assignment and downsampling
+  * keyed on a stable hash of the row id, never on an RNG.
+  *
+  * Why hash, not rand(): a training-data split must be REPRODUCIBLE —
+  * the same document lands in the same split on every run, every engine,
+  * any partitioning, and after incremental appends (new rows don't
+  * reshuffle old assignments). `rand(seed)` gives none of that (it is
+  * partitioning-dependent and engine-specific). md5 buckets give all of
+  * it and are reproducible in the DuckDB oracle.
+  *
+  * Scale: assignment is a map-only projection — no shuffle, no state;
+  * filters on the bucket push into the scan like any predicate.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets): first 8 hex chars of md5 of the
+    * value's string form, mod buckets. DuckDB-identical:
+    * `('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8))::BIGINT % buckets`. */
+  def hashBucket(c: Column, buckets: Int): Column = {
+    require(buckets > 0, "buckets must be positive")
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+  }
+
+  /** Named split assignment by cumulative bucket ranges over a
+    * 100-bucket hash, e.g. Seq("train" -> 80, "val" -> 10, "test" -> 10).
+    * Weights must sum to 100. Adds `splitCol` to the frame. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits need positive weights")
+    require(splits.map(_._2).sum == 100,
+      s"split weights must sum to 100, got ${splits.map(_._2).sum}")
+    val b = hashBucket(col(idCol), 100)
+    val bounds = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val expr = splits.zip(bounds).init.reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), hi)) =>
+        when(b < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Deterministic downsample: keep rows whose hash bucket (out of
+    * `outOf`) falls below `keep` — a stable `keep/outOf` fraction. */
+  def hashSample(df: DataFrame, idCol: String, keep: Int,
+      outOf: Int = 100): DataFrame = {
+    require(keep >= 0 && keep <= outOf, s"keep ($keep) must be in [0, $outOf]")
+    df.filter(hashBucket(col(idCol), outOf) < keep)
+  }
+}

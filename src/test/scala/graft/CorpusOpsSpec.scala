@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Packing, Sampling, Sketches}
+
+/** Round-3 corpus-engineering operators: KMV cardinality sketch, heavy
+  * hitters, connected components, deterministic splits, sequence
+  * packing. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- KMV
+
+  test("kmv sketch is exact below k and partitioning-invariant") {
+    val df = (1 to 10).map(_.toLong).toDF("v")
+    val exact = df.agg(Sketches.kmvDistinct(col("v"), k = 64)).head().getDouble(0)
+    exact shouldBe 10.0
+    // duplicates don't inflate the count
+    val dups = ((1 to 10) ++ (1 to 10)).map(_.toLong).toDF("v")
+    dups.agg(Sketches.kmvDistinct(col("v"), k = 64)).head()
+      .getDouble(0) shouldBe 10.0
+  }
+
+  test("kmv estimate is close and identical across partitionings") {
+    val df = (1 to 5000).map(_.toLong).toDF("v")
+    val est1 = df.repartition(1)
+      .agg(Sketches.kmvDistinct(col("v"), k = 256)).head().getDouble(0)
+    val est13 = df.repartition(13)
+      .agg(Sketches.kmvDistinct(col("v"), k = 256)).head().getDouble(0)
+    est1 shouldBe est13 // merge order cannot change a set-determined sketch
+    est1 shouldBe 5000.0 +- 750.0 // ~6% expected error at k=256; 15% margin
+  }
+
+  test("kmv per-group with empty-ish groups") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 7L)).toDF("g", "v")
+    val m = df.groupBy("g").agg(Sketches.kmvDistinct(col("v"), k = 16).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    m("a") shouldBe 2.0
+    m("b") shouldBe 1.0
+  }
+
+  // --------------------------------------------------- heavy hitters
+
+  test("heavy hitters ranks by count desc with deterministic ties") {
+    val items = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq.fill(3)("z") ++
+      Seq("w")).toDF("item")
+    val top = Sketches.heavyHitters(items, col("item"), 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    top shouldBe Array((1L, "x", 5L), (2L, "z", 3L), (3L, "y", 3L))
+  }
+
+  // ------------------------------------------- connected components
+
+  test("connected components labels chains and cliques with the min id") {
+    // chain 1-2-3-4-5 (diameter forces multiple rounds), clique {10,11,12},
+    // isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+  }
+
+  test("connected components handles reversed and duplicate edges") {
+    val pairs = Seq((5L, 3L), (3L, 5L), (5L, 3L), (1L, 9L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(3L -> 3L, 5L -> 3L, 1L -> 1L, 9L -> 1L)
+  }
+
+  // ------------------------------------------------------- sampling
+
+  test("deterministic split is stable and respects weights roughly") {
+    val df = (1 to 1000).map(_.toLong).toDF("id")
+    val s1 = Sampling.deterministicSplit(df, "id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = s1.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.sum shouldBe 1000L
+    counts("train").toDouble shouldBe 800.0 +- 80.0
+    counts("val").toDouble shouldBe 100.0 +- 50.0
+    counts("test").toDouble shouldBe 100.0 +- 50.0
+    // same ids -> same assignment on a re-run over differently
+    // partitioned input
+    val s2 = Sampling.deterministicSplit(df.repartition(7), "id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    s1.except(s2).isEmpty shouldBe true
+    s2.except(s1).isEmpty shouldBe true
+  }
+
+  test("hash sample keeps a stable subset") {
+    val df = (1 to 1000).map(_.toLong).toDF("id")
+    val kept = Sampling.hashSample(df, "id", keep = 10)
+    val n = kept.count()
+    n.toDouble shouldBe 100.0 +- 50.0
+    // subset property: sampling at 20 contains the sample at 10
+    val wider = Sampling.hashSample(df, "id", keep = 20)
+    kept.except(wider).isEmpty shouldBe true
+  }
+
+  // -------------------------------------------------------- packing
+
+  test("packing matches the sequential reference and is partition-safe") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"),
+      (4L, "j"), (5L, "k l m n o p"), (6L, "q r"), (7L, "s")).toDF("id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packByTokenBudget(df, "id",
+          graft.functions.TextAnalysis.tokenCount(col("text")), capacity = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+    val got = run(docs)
+    // sequential reference: exclusive prefix sums over id order
+    // toks: 3,2,4,1,6,2,1 -> pre: 0,3,5,9,10,16,18 -> bin(cap 5): 0,0,1,1,2,3,3
+    got shouldBe Array((1L, 3L, 0L), (2L, 2L, 0L), (3L, 4L, 1L),
+      (4L, 1L, 1L), (5L, 6L, 2L), (6L, 2L, 3L), (7L, 1L, 3L))
+    run(docs.repartition(5)) shouldBe got
+  }
+}
