@@ -45,15 +45,36 @@ object QueriesStreaming {
       |FROM numbered GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // --------------------------------------------------------------- q43
+  /** Stream-stream interval join in batch mode: view -> purchase
+    * attribution within 30 minutes per user (StreamingSpec drives the
+    * same transform through MemoryStream with watermarks on both
+    * sides). */
+  private def q43Attribution(s: SparkSession, dir: String): DataFrame =
+    EventPipeline.attributionJoin(Tables.load(s, dir, "events"),
+        "view", "purchase", streaming = false)
+      .orderBy(col("target_id"), col("source_id"))
+
+  private val q43Sql =
+    """SELECT v.event_id AS source_id, p.event_id AS target_id,
+      |  v.user_id, v.ts AS source_ts, p.ts AS target_ts, p.value
+      |FROM events v JOIN events p
+      |  ON p.user_id = v.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL '30 minutes'
+      |ORDER BY target_id, source_id""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_stream_window" -> (q27Window _),
     "q28_stream_sessions" -> (q28Sessions _),
+    "q43_stream_attribution" -> (q43Attribution _),
   )
 
   val oracles: Map[String, String] = Map(
     "q27_stream_window" -> q27Sql,
     "q28_stream_sessions" -> q28Sql,
+    "q43_stream_attribution" -> q43Sql,
   )
 }

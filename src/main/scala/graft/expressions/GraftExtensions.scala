@@ -12,7 +12,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If
   *
   * Functions:
   *   graft_simhash32(array<string>) -> bigint   (custom codegen'd node)
+  *   graft_cosine(a, b)             -> double   (custom codegen'd node)
+  *   graft_char_shingles(text, n)   -> array    (custom codegen'd node)
+  *   graft_word_shingles(text, n)   -> array    (custom codegen'd node)
   *   graft_fingerprint(string)      -> string   (composed built-ins)
+  *   graft_kmv_distinct(x[, k])     -> double   (KMV sketch aggregate)
   *   st_point(lon, lat)             -> struct   (composed built-ins)
   *   st_x(geom) / st_y(geom)        -> double
   *   st_astext(geom)                -> string
@@ -94,6 +98,16 @@ object GraftExtensions {
         normalizeExpr(exprs.head), intLit("graft_word_shingles", exprs(1)))),
     ("graft_fingerprint", info("graft_fingerprint", "fingerprint"),
       (exprs: Seq[Expression]) => fingerprint(exprs.head)),
+    // aggregate: the analyzer wraps a bare AggregateFunction returned
+    // from a builder in an AggregateExpression automatically. The child
+    // is md5-hashed to the KMV's 60-bit hash space in the builder, so
+    // SQL callers pass the raw column: graft_kmv_distinct(x[, k]).
+    ("graft_kmv_distinct", info("graft_kmv_distinct", "kmv distinct estimate"),
+      (exprs: Seq[Expression]) => KmvDistinctEstimate(
+        fn("bigint", fn("conv",
+          fn("substring", fn("md5", fn("string", exprs.head)), lit(1), lit(15)),
+          lit(16), lit(10))),
+        if (exprs.length >= 2) intLit("graft_kmv_distinct", exprs(1)) else 256)),
     ("st_point", info("st_point", "point"),
       (exprs: Seq[Expression]) => stPoint(exprs)),
     ("st_x", info("st_x", "x"),

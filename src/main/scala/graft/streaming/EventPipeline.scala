@@ -77,6 +77,37 @@ object EventPipeline {
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Stream-stream interval join (attribution): pair every `targetType`
+    * event with the same user's `sourceType` events that happened in the
+    * `within` window before it. In streaming, BOTH sides carry
+    * watermarks and the join condition bounds event time on both sides —
+    * exactly the shape Structured Streaming needs to expire join state
+    * (state retention = watermark delay + interval, not the whole
+    * stream). In batch the same code is a plain equi-join on user_id
+    * with a pushed range predicate — one shuffle, skew governed by the
+    * user_id key like any join.
+    *
+    * Output: (source_id, target_id, user_id, source_ts, target_ts,
+    * value) — value is the target event's. */
+  def attributionJoin(events: DataFrame, sourceType: String,
+      targetType: String, within: String = "30 minutes",
+      watermarkDelay: String = "10 minutes",
+      streaming: Boolean = true): DataFrame = {
+    def wm(df: DataFrame): DataFrame =
+      if (streaming) df.withWatermark("ts", watermarkDelay) else df
+    val src = wm(events.filter(col("event_type") === sourceType))
+      .select(col("event_id").as("source_id"), col("user_id"),
+        col("ts").as("source_ts"))
+    val tgt = wm(events.filter(col("event_type") === targetType))
+      .select(col("event_id").as("target_id"), col("user_id"),
+        col("ts").as("target_ts"), col("value"))
+    src.join(tgt, Seq("user_id"))
+      .filter(col("source_ts") <= col("target_ts") &&
+        col("source_ts") >= col("target_ts") - expr(s"INTERVAL '$within'"))
+      .select(col("source_id"), col("target_id"), col("user_id"),
+        col("source_ts"), col("target_ts"), col("value"))
+  }
+
   // ---- custom-state sessionization (flatMapGroupsWithState) ----------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -57,6 +57,24 @@ class ExpressionsSpec extends SparkSpec {
     r.getString(4) shouldBe "POINT(1.5 2.5)"
   }
 
+  test("graft_kmv_distinct is SQL-callable and matches the operator form") {
+    GraftExtensions.register(spark)
+    import graft.operators.Sketches
+    (1 to 500).map(i => (i % 2, i.toLong)).toDF("g", "v")
+      .createOrReplaceTempView("ext_kmv")
+    val sql = spark.sql(
+      """SELECT g, graft_kmv_distinct(v, 64) AS e FROM ext_kmv GROUP BY g
+        |ORDER BY g""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val df = spark.table("ext_kmv").groupBy(col("g"))
+      .agg(Sketches.kmvDistinct(col("v"), 64).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    sql shouldBe df
+    // 250 distinct per group, k=64 -> sketch estimate within ~20%
+    sql(0) shouldBe 250.0 +- 50.0
+    sql(1) shouldBe 250.0 +- 50.0
+  }
+
   test("CharShinglesExpression matches the composed form") {
     val texts = Seq("The  Quick Brown fox", "ab", "abcd", "abcde",
       " spaced   out  text ", "").toDF("text")

@@ -88,6 +88,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches batch and bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 0.0),
+      ev(2, "2024-01-01 10:20:00", 1, "purchase", 9.99), // joins with 1
+      ev(3, "2024-01-01 09:00:00", 1, "view", 0.0), // >30min before 2
+      ev(4, "2024-01-01 10:10:00", 2, "view", 0.0),
+      ev(5, "2024-01-01 11:10:00", 2, "purchase", 5.0), // no view in window
+      ev(6, "2024-01-01 11:05:00", 2, "view", 0.0)) // joins with 5
+    val stream = MemoryStream[Ev]
+    val query = EventPipeline.attributionJoin(stream.toDF(),
+        "view", "purchase")
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(data.take(4): _*)
+      query.processAllAvailable()
+      stream.addData(data.drop(4): _*)
+      // advance the watermark so pending join results finalize
+      stream.addData(ev(99, "2024-01-01 15:00:00", 9, "view", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("attr_join")
+        .select("source_id", "target_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val batch = EventPipeline.attributionJoin(data.toDF(),
+          "view", "purchase", streaming = false)
+        .select("source_id", "target_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      streamed shouldBe batch
+      streamed shouldBe Seq((1L, 2L), (6L, 5L))
+    } finally query.stop()
+  }
+
   test("session_window and flatMapGroupsWithState agree in batch") {
     import spark.implicits._
     val events = Seq(
