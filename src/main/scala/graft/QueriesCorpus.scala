@@ -20,13 +20,23 @@ object QueriesCorpus {
   /** KMV distinct-count sketch per group: bounded-state approximate
     * COUNT(DISTINCT) (k=256 longs per group) next to the exact count —
     * the profiling aggregate that replaces an exact distinct shuffle at
-    * corpus scale. */
-  private def q38Kmv(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(Sketches.kmvDistinct(col("l_orderkey"), 256).as("est_distinct"),
-        countDistinct(col("l_orderkey")).as("n_exact"))
+    * corpus scale.
+    *
+    * The two aggregates run as SEPARATE aggregations joined on the
+    * group key: combined in one `agg`, Spark plans the exact distinct
+    * via expand + (group, value) keying and drags the sketch through
+    * that full-distinct shuffle with it. Split, the sketch branch shows
+    * its real plan — map-side partial_graft_kmv_distinct, one exchange
+    * carrying k-long buffers per group per partition. */
+  private def q38Kmv(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val sketch = li.groupBy(col("l_returnflag"))
+      .agg(Sketches.kmvDistinct(col("l_orderkey"), 256).as("est_distinct"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    sketch.join(exact, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val q38Sql =
     """WITH h AS (
