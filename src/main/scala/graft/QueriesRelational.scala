@@ -184,9 +184,39 @@ object QueriesRelational {
       |  covar_samp(l_quantity, l_extendedprice) AS cov_qp
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q44
+  /** Pivot: per-cohort event counts spread across one column per event
+    * type (`groupBy().pivot(values)`). Explicit value list keeps the
+    * plan single-pass (no distinct-values pre-query) — at scale the
+    * pivot is one partial+final hash-aggregate, never a shuffle per
+    * column. Null cells (absent combos) coalesce to 0 like the SQL
+    * FILTER form. DataFrame.unpivot is the inverse; SqlSurfaceSpec
+    * pins the pivot->unpivot round-trip. */
+  private def q44Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    t(s, dir, "events")
+      .withColumn("cohort", col("user_id") % 10)
+      .groupBy(col("cohort"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("cohort") +:
+        types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
+      .orderBy(col("cohort"))
+  }
+
+  private val q44Sql =
+    """SELECT user_id % 10 AS cohort,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_pivot" -> (q44Pivot _),
     "q21_setops" -> (q21SetOps _),
     "q22_rollup" -> (q22Rollup _),
     "q23_sort_limit" -> (q23SortLimit _),
@@ -198,6 +228,7 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_pivot" -> q44Sql,
     "q21_setops" -> q21Sql,
     "q22_rollup" -> q22Sql,
     "q23_sort_limit" -> q23Sql,

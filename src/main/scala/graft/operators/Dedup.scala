@@ -448,6 +448,30 @@ object Dedup {
     } finally spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
   }
 
+  /** End-to-end near-dup pruning — the "dedup my corpus" call a
+    * pipeline user actually makes: word-shingle MinHash pairs ->
+    * connected components -> keep ONE representative per cluster (the
+    * minimum id) plus every unclustered row.
+    *
+    * Scale: the drop list holds only clustered non-representatives
+    * (|near-dups|, typically a small fraction of the corpus), so the
+    * final anti-join broadcasts in the common case; every stage is the
+    * audited plan of its underlying operator. Exact duplicates are
+    * near-dups at any threshold, so a separate exact pass is not
+    * needed — but running exactDedup FIRST is cheaper when exact-dup
+    * density is high (one hash-aggregate vs pair generation). */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 13, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.6,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val pairs = minhashNearDupsWords(df, idCol, textCol,
+      shingleWords, k, bands, threshold, maxBucketSize)
+    val losers = connectedComponents(pairs)
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------- embeddings
 
   /** Cosine similarity between two double arrays (deterministic in-order

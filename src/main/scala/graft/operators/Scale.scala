@@ -54,4 +54,19 @@ object Scale {
       leftTable: String, rightTable: String, key: String,
       joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** Hive-style partitioned layout: one directory per value of
+    * `partitionCols`. A filter on a partition column prunes whole
+    * directories at PLANNING time (the scan's PartitionFilters — no
+    * file even gets listed, let alone read), which is the first-order
+    * I/O lever at 100 TB: a date-partitioned corpus turns a
+    * one-day query into a one-directory scan. Keep partition
+    * cardinality bounded (dates, categories — never ids): each value
+    * is a directory and tiny files kill scan throughput. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -69,6 +69,20 @@ class CorpusOpsSpec extends SparkSpec {
     got shouldBe Map(3L -> 3L, 5L -> 3L, 1L -> 1L, 9L -> 1L)
   }
 
+  test("dropNearDups keeps one representative per near-dup cluster") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"), // near-dup of 1
+      (3L, base),            // exact dup of 1 (also a near-dup)
+      (10L, "completely different text about spark catalyst optimizer rules"),
+      (20L, "unrelated short document")).toDF("id", "text")
+    val kept = Dedup.dropNearDups(docs, "id", "text",
+        shingleWords = 3, k = 16, bands = 4, threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    kept shouldBe Seq(1L, 10L, 20L) // min id 1 survives its cluster
+  }
+
   // ------------------------------------------------------- sampling
 
   test("deterministic split is stable and respects weights roughly") {

@@ -32,6 +32,48 @@ class ScaleSpec extends SparkSpec {
     phase1Groups should be > 1L
   }
 
+  test("partitioned layout prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = spark.range(300).select(
+      col("id"),
+      element_at(array(lit("click"), lit("view"), lit("error")),
+        (col("id") % 3 + 1).cast("int")).as("event_type"),
+      (col("id") % 7).as("v"))
+    Scale.writePartitioned(events, dir, Seq("event_type"))
+    // one directory per value
+    new java.io.File(dir).listFiles().count(_.getName.startsWith(
+      "event_type=")) shouldBe 3
+    val filtered = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+    // the filter lands in PartitionFilters (directory pruning), not in
+    // a post-scan Filter over all rows
+    val scan = filtered.queryExecution.executedPlan.collectLeaves().head
+      .toString
+    scan should include ("PartitionFilters")
+    scan should include ("event_type")
+    filtered.count() shouldBe 100
+  }
+
+  test("pivot spreads groups to columns and unpivot inverts it") {
+    val df = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "view"))
+      .toDF("user", "event_type")
+    val types = Seq("click", "view")
+    val wide = df.groupBy(col("user")).pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    wide.orderBy("user").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, 2L, 1L), (2L, 0L, 1L))
+    // unpivot (melt) restores the long form
+    val long = wide.unpivot(Array(col("user")),
+        types.map(col).toArray, "event_type", "n")
+      .filter(col("n") > 0)
+    long.orderBy("user", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, "click", 2L), (1L, "view", 1L), (2L, "view", 1L))
+  }
+
   test("bucketed join runs without a shuffle exchange") {
     val left = spark.range(1000).select(col("id").as("k"),
       (col("id") * 2).as("a"))
