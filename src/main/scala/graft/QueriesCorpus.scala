@@ -160,9 +160,65 @@ object QueriesCorpus {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // --------------------------------------------------------------- q45
+  /** TF-IDF-weighted top terms per document (log-free ratio variant:
+    * score = tf * N/df — natural-log idf is libm-dependent and not
+    * bit-reproducible across engines, the ratio is pure IEEE
+    * arithmetic). tf/df are two hash-aggregates; per-doc top-3 via the
+    * bounded-heap CollectTopK, never a window sort. Output scoped to
+    * doc_id % 50 = 0 to keep the verification table small — df still
+    * computes over the whole corpus. */
+  private def q45Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val d = docs(s, dir)
+    val nDocs = d.count()
+    val terms = d.select(col("doc_id"),
+        explode(TA.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .filter(col("doc_id") % 50 === 0)
+      .withColumn("score",
+        col("tf").cast("double") * (lit(nDocs.toDouble) / col("df")))
+    val item = struct(col("score"), col("term"))
+    scored.groupBy(col("doc_id"))
+      .agg(ColumnBridge.collectTopK(item, 3, reverse = false).as("__tk"))
+      .select(col("doc_id"), posexplode(col("__tk")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.term").as("term"), col("col.score").as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val q45Sql =
+    """WITH terms AS (
+      |  SELECT doc_id, lower(unnest(
+      |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END)) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT t.doc_id, t.term,
+      |    CAST(t.tf AS DOUBLE) *
+      |      (CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df) AS score
+      |  FROM tf t JOIN dfreq d ON d.term = t.term
+      |  WHERE t.doc_id % 50 = 0),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term DESC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_tfidf" -> (q45Tfidf _),
     "q38_sketch_kmv" -> (q38Kmv _),
     "q39_heavy_hitters" -> (q39HeavyHitters _),
     "q40_dedup_clusters" -> (q40Clusters _),
@@ -171,6 +227,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_tfidf" -> q45Sql,
     "q38_sketch_kmv" -> q38Sql,
     "q39_heavy_hitters" -> q39Sql,
     "q40_dedup_clusters" -> q40Sql,
