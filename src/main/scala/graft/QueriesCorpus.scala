@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextAnalysis => TA}
 import graft.operators.{Dedup, Packing, Sampling, Sketches}
@@ -215,9 +215,51 @@ object QueriesCorpus {
       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- q46
+  /** Distance-bounded spatial join (the reference's PostGIS "points
+    * within radius" delegated capability): customer points to supplier
+    * points within 1 degree, via grid-cell bucketing — never a cross
+    * join (see SpatialJoin). Points are synthesized deterministically
+    * from the keys (same recipe family as q35), distance is planar
+    * degrees (sqrt is IEEE-exact, so the hash compare holds; metric
+    * haversine is spec-pinned, not oracle-hashed). */
+  private def q46Spatial(s: SparkSession, dir: String): DataFrame = {
+    def lon(k: Column) = ((k * 7) % 1000 - 500) / 10.0
+    def lat(k: Column) = ((k * 13) % 800 - 400) / 10.0
+    val cust = Tables.load(s, dir, "customer").select(
+      col("c_custkey"), lon(col("c_custkey")).as("lon"),
+      lat(col("c_custkey")).as("lat"))
+    val supp = Tables.load(s, dir, "supplier").select(
+      col("s_suppkey"), lon(col("s_suppkey") * 3 + 1).as("lon"),
+      lat(col("s_suppkey") * 3 + 1).as("lat"))
+    graft.operators.SpatialJoin.withinDistance(cust, supp,
+        "c_custkey", "s_suppkey", "lon", "lat", radiusDeg = 1.0)
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  private val q46Sql =
+    """WITH cust AS (
+      |  SELECT c_custkey,
+      |    ((c_custkey * 7) % 1000 - 500) / CAST(10 AS DOUBLE) AS lon,
+      |    ((c_custkey * 13) % 800 - 400) / CAST(10 AS DOUBLE) AS lat
+      |  FROM customer),
+      |supp AS (
+      |  SELECT s_suppkey,
+      |    (((s_suppkey * 3 + 1) * 7) % 1000 - 500) / CAST(10 AS DOUBLE) AS lon,
+      |    (((s_suppkey * 3 + 1) * 13) % 800 - 400) / CAST(10 AS DOUBLE) AS lat
+      |  FROM supplier)
+      |SELECT c.c_custkey, s.s_suppkey,
+      |  sqrt((c.lon - s.lon) * (c.lon - s.lon)
+      |     + (c.lat - s.lat) * (c.lat - s.lat)) AS dist
+      |FROM cust c JOIN supp s
+      |  ON (c.lon - s.lon) * (c.lon - s.lon)
+      |   + (c.lat - s.lat) * (c.lat - s.lat) <= 1.0
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_spatial_join" -> (q46Spatial _),
     "q45_tfidf" -> (q45Tfidf _),
     "q38_sketch_kmv" -> (q38Kmv _),
     "q39_heavy_hitters" -> (q39HeavyHitters _),
@@ -227,6 +269,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_spatial_join" -> q46Sql,
     "q45_tfidf" -> q45Sql,
     "q38_sketch_kmv" -> q38Sql,
     "q39_heavy_hitters" -> q39Sql,

@@ -55,6 +55,23 @@ object Scale {
       joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
 
+  /** Skew-safe equi-join: the fact side's rows get a uniform salt in
+    * [0, saltFactor); the dimension side is REPLICATED across every
+    * salt value; the join keys on (key, salt). A hot key's rows spread
+    * over saltFactor reducers instead of one straggler. Results are
+    * EXACTLY the plain inner join's (ScaleSpec pins it). Use when
+    * AQE's skew-join split doesn't apply (e.g. the skewed side feeds
+    * a co-partitioned downstream op); cost = dim side × saltFactor. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltFactor: Int = 16): DataFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    val salted = fact.withColumn("__salt",
+      pmod(abs(hash(monotonically_increasing_id())), lit(saltFactor)))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Hive-style partitioned layout: one directory per value of
     * `partitionCols`. A filter on a partition column prunes whole
     * directories at PLANNING time (the scan's PartitionFilters — no

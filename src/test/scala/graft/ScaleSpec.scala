@@ -32,6 +32,23 @@ class ScaleSpec extends SparkSpec {
     phase1Groups should be > 1L
   }
 
+  test("salted join equals the plain join on a skewed key") {
+    val fact = spark.range(5000).select(
+        when(col("id") % 10 === 0, lit("hot"))
+          .otherwise(concat(lit("k"), (col("id") % 97).cast("string")))
+          .as("k"),
+        col("id").as("v"))
+    val dim = Seq(("hot", 1L), ("k3", 2L), ("k50", 3L)).toDF("k", "d")
+    val salted = Scale.saltedJoin(fact, dim, "k", 8)
+      .select("k", "v", "d").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "v", "d").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    salted shouldBe plain
+    salted should not be empty
+  }
+
   test("partitioned layout prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = spark.range(300).select(
