@@ -213,9 +213,74 @@ object QueriesRelational {
       |  count(*) FILTER (WHERE event_type = 'error') AS error
       |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
 
+  // --------------------------------------------------------------- q47
+  /** Semi-structured JSON column handling: parse the events `props`
+    * JSON with a typed schema (`from_json` — a Catalyst-native parse,
+    * no UDF) and aggregate the extracted field. The schema-on-read
+    * path a pipeline uses for event payloads. */
+  private def q47Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val q47Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q48
+  /** Window-function family breadth in one pass: lag/lead over the
+    * customer's order timeline plus rank/dense_rank/ntile/
+    * percent_rank/cume_dist over the price ordering — two window
+    * specs, both partitioned by customer (PlanAuditSpec enforces no
+    * global windows engine-wide). percent_rank/cume_dist are exact
+    * rational arithmetic, bit-stable across engines. */
+  private def q48WindowFamily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+        ntile(4).over(byDate).as("quartile"),
+        rank().over(byPrice).as("price_rank"),
+        dense_rank().over(byPrice).as("price_dense_rank"),
+        percent_rank().over(byPrice).as("price_pct_rank"),
+        cume_dist().over(byPrice).as("price_cume_dist"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q48Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER wd AS prev_price,
+      |  lead(o_totalprice, 1) OVER wd AS next_price,
+      |  CAST(ntile(4) OVER wd AS INT) AS quartile,
+      |  CAST(rank() OVER wp AS INT) AS price_rank,
+      |  CAST(dense_rank() OVER wp AS INT) AS price_dense_rank,
+      |  percent_rank() OVER wp AS price_pct_rank,
+      |  cume_dist() OVER wp AS price_cume_dist
+      |FROM orders
+      |WINDOW
+      |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_json" -> (q47Json _),
+    "q48_window_family" -> (q48WindowFamily _),
     "q44_pivot" -> (q44Pivot _),
     "q21_setops" -> (q21SetOps _),
     "q22_rollup" -> (q22Rollup _),
@@ -228,6 +293,8 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_json" -> q47Sql,
+    "q48_window_family" -> q48Sql,
     "q44_pivot" -> q44Sql,
     "q21_setops" -> q21Sql,
     "q22_rollup" -> q22Sql,
