@@ -22,6 +22,16 @@ object Bench {
     // the query, not JIT + first-time codegen compilation
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Jackson/json-expression class loading is its own first-use cost
+    // (measured ~3-6 s landing on whichever query parses JSON first);
+    // warm it with a one-row parse, untimed like the rest of warmup
+    try {
+      import org.apache.spark.sql.functions.{col, from_json, lit}
+      spark.range(1)
+        .select(from_json(lit("""{"k":1}"""),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).as("j"))
+        .select(col("j.k")).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // dev-only filter: SPARK_GRAFT_ONLY=q16,q32 times a subset; the
     // driver never sets it, so driver runs always measure everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
