@@ -15,6 +15,8 @@ import graft.sources.IngestConfig
   *     [--no-geometry] [--force-the-geom col]
   *   graft.Cli update <csv> <tableDir> --id-column <key> [...]
   *   graft.Cli delete <csv> <tableDir> --id-column <key> [...]
+  *   graft.Cli dedup <tableDir> <outDir> [--id-column doc_id]
+  *     [--text-column text] [--shingle-words 13] [--threshold 0.6]
   *   graft.Cli show <tableDir> [n]
   */
 object Cli {
@@ -125,6 +127,24 @@ object Cli {
           .groupBy("status").count().collect()
           .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
         println(s"geocoded: $counts")
+      case "dedup" =>
+        // dedup <tableDir> <outDir> [--id-column id] [--text-column text]
+        //   [--shingle-words 13] [--threshold 0.6] [--max-bucket-size n]
+        // near-dup prune: keep one representative per MinHash cluster
+        val flags = parseFlags(args.drop(3).toList)
+        val idCol = flags.getOrElse("id-column", "doc_id")
+        val textCol = flags.getOrElse("text-column", "text")
+        val in = ParquetTable.read(spark, args(1))
+        val total = in.count()
+        val kept = graft.operators.Dedup.dropNearDups(in, idCol, textCol,
+          shingleWords = flags.getOrElse("shingle-words", "13").toInt,
+          threshold = flags.getOrElse("threshold", "0.6").toDouble,
+          maxBucketSize = flags.get("max-bucket-size").map(_.toInt)
+            .getOrElse(Int.MaxValue))
+        ParquetTable.overwriteAtomic(kept, args(2))
+        val surviving = spark.read.parquet(args(2)).count()
+        println(s"dedup: kept $surviving of $total rows " +
+          s"(dropped ${total - surviving} near-dups)")
       case "show" =>
         val n = if (args.length > 2) args(2).toInt else 20
         ParquetTable.read(spark, args(1)).show(n, truncate = false)

@@ -113,6 +113,21 @@ class CorpusOpsSpec extends SparkSpec {
     kept.except(wider).isEmpty shouldBe true
   }
 
+  // ---------------------------------------------------- empty inputs
+
+  test("new operators tolerate empty inputs") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    Dedup.connectedComponents(emptyPairs).count() shouldBe 0
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    Packing.packByTokenBudget(emptyDocs, "id",
+      graft.functions.TextAnalysis.tokenCount(col("text")), 100)
+      .count() shouldBe 0
+    Sketches.heavyHitters(Seq.empty[String].toDF("item"), col("item"), 5)
+      .count() shouldBe 0
+    emptyDocs.agg(Sketches.kmvDistinct(col("id"), 16))
+      .head().getDouble(0) shouldBe 0.0
+  }
+
   // -------------------------------------------------------- packing
 
   test("packing matches the sequential reference and is partition-safe") {
