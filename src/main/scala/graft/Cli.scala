@@ -134,7 +134,9 @@ object Cli {
         val flags = parseFlags(args.drop(3).toList)
         val idCol = flags.getOrElse("id-column", "doc_id")
         val textCol = flags.getOrElse("text-column", "text")
-        val in = ParquetTable.read(spark, args(1))
+        // persisted: consumed by the count, the pair pipeline, and the
+        // anti-join — uncached, the scan would run three times
+        val in = ParquetTable.read(spark, args(1)).persist()
         val total = in.count()
         val kept = graft.operators.Dedup.dropNearDups(in, idCol, textCol,
           shingleWords = flags.getOrElse("shingle-words", "13").toInt,
@@ -142,6 +144,9 @@ object Cli {
           maxBucketSize = flags.get("max-bucket-size").map(_.toInt)
             .getOrElse(Int.MaxValue))
         ParquetTable.overwriteAtomic(kept, args(2))
+        in.unpersist()
+        // parquet count() is satisfied from row-group metadata — not a
+        // data scan of the output
         val surviving = spark.read.parquet(args(2)).count()
         println(s"dedup: kept $surviving of $total rows " +
           s"(dropped ${total - surviving} near-dups)")

@@ -229,11 +229,14 @@ object QueriesRelational {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  // TRY_CAST keeps the oracle total: Spark's PERMISSIVE from_json
+  // yields NULL on malformed/non-numeric payloads, where a hard CAST
+  // would make DuckDB ERROR instead of diffing
   private val q47Sql =
     """SELECT event_type, count(*) AS n,
-      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-      |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
-      |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+      |  CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(TRY_CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  max(TRY_CAST(props->>'k' AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------- q48

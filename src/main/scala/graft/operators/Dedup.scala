@@ -441,11 +441,15 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents: not converged after $maxIter rounds " +
           "(labels are a sound over-segmentation, not final components)")
-    edges.unpersist()
     // labels is checkpointed (materialized) — the returned frame no
     // longer depends on the loop's temporary shuffle setting
     labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+    } finally {
+      // release the edge cache on BOTH paths: an OOM/cancel mid-loop
+      // must not leave the (large) symmetrized edge list cached
+      edges.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+    }
   }
 
   /** End-to-end near-dup pruning — the "dedup my corpus" call a

@@ -115,15 +115,18 @@ object ParquetTable {
   * same partition layout and intra-partition row order. Deterministic
   * file scans satisfy this on their own; plans containing shuffles or
   * nondeterministic sources do not, so the input is persisted for the
-  * two passes (and released before returning the numbered frame is NOT
-  * possible — the returned plan still reads it — so callers' actions on
-  * the result consume the cached layout, and the cache is dropped
-  * lazily by LRU or an explicit unpersist downstream). */
+  * two passes. Releasing before returning is not possible — the
+  * returned plan still reads the cache — so the level is MEMORY_ONLY:
+  * evicted blocks are genuinely dropped (a MEMORY_AND_DISK persist
+  * would spill to executor disk and outlive its use), and eviction is
+  * safe because recompute of a deterministic scan reproduces the same
+  * layout the precondition already demands. */
 object RowNumbers {
   def global(df: DataFrame, posCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val withPid = df.withColumn("__gr_pid", spark_partition_id()).persist()
+    val withPid = df.withColumn("__gr_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val counts = withPid.groupBy(col("__gr_pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).init
@@ -156,7 +159,8 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
     rejectedPath: Option[String] = None,
     writer: (DataFrame, String, String) => Unit = ParquetTable.appendStaged,
     commitBatches: Int = 1,
-    failedBatchPath: Option[String] = None) {
+    failedBatchPath: Option[String] = None,
+    runTag: Option[String] = None) {
 
   /** Scan -> type -> geometry -> append. One distributed write replaces
     * the reference's chunked INSERT loop; `chunkSize` sizes the write
@@ -181,7 +185,11 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
     // would make a second append into the same table (resume, second CSV)
     // delete the first run's rows. Within one run the tag is stable across
     // retry attempts — that is what makes a retried batch idempotent.
-    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // Crash recovery ACROSS JVMs: a run that died mid-publish leaves
+    // '<tag>-b<i>-part-*' orphans a fresh random tag can never clean —
+    // pass the dead run's `runTag` to the recovery run and its batches
+    // republish over the orphans instead of alongside them.
+    val runId = runTag.getOrElse(java.util.UUID.randomUUID().toString.take(8))
     // cached: Spark disallows queries that touch only the corrupt-record
     // column of a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
     // the scan feeds four consumers below anyway

@@ -28,10 +28,11 @@ object Packing {
 
   /** (idCol, n_tokens, bin) for every row, bins packed in `idCol` order.
     * `tokens` is any integral-valued Column (e.g.
-    * TextAnalysis.tokenCount(col("text"))). The input is persisted for
-    * the totals pass + window pass (same precondition note as
-    * RowNumbers.global); callers consume the result and the cache is
-    * dropped by LRU or a downstream unpersist. */
+    * TextAnalysis.tokenCount(col("text"))). The input is persisted
+    * MEMORY_ONLY for the totals pass + window pass — evictable (and
+    * eviction-safe: recompute of the range-partitioned sort reproduces
+    * the same layout), never parked on executor disk for the session
+    * lifetime (same reasoning as RowNumbers.global). */
   def packByTokenBudget(df: DataFrame, idCol: String, tokens: Column,
       capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
@@ -41,7 +42,7 @@ object Packing {
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val totals = base.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.scanLeft(0L)(_ + _._2).init

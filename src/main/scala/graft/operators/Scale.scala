@@ -18,14 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Deterministic salt in [0, saltFactor): hashed from the partition
+    * id plus EVERY column of the row. Salts feed shuffle keys, so they
+    * must be stable under stage retry — `monotonically_increasing_id`
+    * (or rand) is not: a re-executed map task would re-salt rows
+    * differently from the copies surviving reducers already fetched,
+    * duplicating or dropping rows. Content hashing is retry-stable;
+    * the one degenerate case (a hot key whose rows are bit-identical
+    * WITHIN a partition) stays unspread — spanning partitions still
+    * spreads via the partition-id term. */
+  private def deterministicSalt(df: DataFrame, saltFactor: Int): Column =
+    pmod(abs(hash(spark_partition_id() +: df.columns.map(col): _*)),
+      lit(saltFactor))
+
   /** Two-phase salted sum/count aggregation. Results are EXACTLY equal
     * to the unsalted `df.groupBy(keys).agg(sum/count)` — only the
     * shuffle distribution changes. Extend with more partial-izable
     * aggregates as needed (min/max/sum/count all decompose). */
   def saltedAggregate(df: DataFrame, keys: Seq[String],
       sumCols: Seq[String], saltFactor: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(abs(hash(monotonically_increasing_id())), lit(saltFactor)))
+    val salted = df.withColumn("__salt", deterministicSalt(df, saltFactor))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__cnt"),
@@ -65,8 +77,7 @@ object Scale {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltFactor: Int = 16): DataFrame = {
     require(saltFactor > 1, "saltFactor must be > 1")
-    val salted = fact.withColumn("__salt",
-      pmod(abs(hash(monotonically_increasing_id())), lit(saltFactor)))
+    val salted = fact.withColumn("__salt", deterministicSalt(fact, saltFactor))
     val replicated = dim.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -204,6 +204,32 @@ class CsvIngestSpec extends SparkSpec {
     ParquetTable.read(spark, table).count() shouldBe 15
   }
 
+  test("crash recovery with an explicit runTag republishes over orphans") {
+    // simulates a JVM death mid-publish: a dead run's partial files sit
+    // in the target under its tag; re-running with the SAME runTag must
+    // clean them, while a fresh random tag would duplicate them
+    val dir = Files.createTempDirectory("graft_crashrec")
+    val csv = writeFixture(dir)
+    val table = dir.resolve("t_rec").toString
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(table))
+    // dead run "r1" published 2 orphan rows before dying
+    val orphanSrc = dir.resolve("orphan").toString
+    spark.createDataFrame(Seq(("zombie1", 1.0), ("zombie2", 2.0)))
+      .toDF("name", "amount").write.parquet(orphanSrc)
+    new java.io.File(orphanSrc).listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        fs.rename(new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.fs.Path(table, s"r1-b0-${f.getName}"))
+      }
+    // recovery run reuses the dead run's tag -> orphans replaced
+    new InsertJob(csv, table, cfg, runTag = Some("r1")).run()
+    val rows = ParquetTable.read(spark, table)
+    rows.count() shouldBe 5
+    rows.filter(col("name").startsWith("zombie")).count() shouldBe 0
+  }
+
   test("permanently-failing batch diverts and the run completes") {
     val dir = Files.createTempDirectory("graft_permfail")
     val csv = writeFixture(dir)

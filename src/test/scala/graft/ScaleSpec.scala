@@ -25,9 +25,10 @@ class ScaleSpec extends SparkSpec {
       s.getLong(1) shouldBe p.getLong(1)
       s.getDouble(2) shouldBe p.getDouble(2) +- 1e-9
     }
-    // and the salted phase-1 actually fans the hot key out
+    // and the salted phase-1 actually fans the hot key out (salt is the
+    // retry-stable content hash — same formula as Scale.deterministicSalt)
     val phase1Groups = skewed.withColumn("__salt",
-      pmod(abs(hash(monotonically_increasing_id())), lit(8)))
+      pmod(abs(hash(spark_partition_id(), col("k"), col("v"))), lit(8)))
       .filter(col("k") === "hot").select("__salt").distinct().count()
     phase1Groups should be > 1L
   }
