@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): both shapes shuffle the BASE table on the key
   * unless the mutation side is broadcast-small — AQE converts the join to
   * a broadcast automatically when it is. For repeated mutation of the same
-  * stored table, bucket/partition it by key so only touched partitions
-  * rewrite (SURVEY §7.5).
+  * stored table, use PartitionedTable (key-bucketed layout + dynamic
+  * partition overwrite): only the buckets containing mutated keys are
+  * scanned and rewritten (SURVEY §7.5).
   */
 object UpdateJob {
 

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PartitionedTable
+
+/** Key-bucketed mutation: only touched bucket directories rewrite;
+  * untouched buckets keep their files byte-identical. */
+class PartitionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bucketFiles(path: String): Map[String, Set[String]] =
+    new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith(PartitionedTable.BucketCol + "="))
+      .map { d =>
+        d.getName -> d.listFiles().map(_.getName)
+          .filter(_.startsWith("part-")).toSet
+      }.toMap
+
+  test("mergeByKey rewrites only the buckets containing updated keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pt").toString
+    val path = dir + "/t"
+    val base = (1L to 1000L).map(i => (i, s"name$i", i * 1.0))
+      .toDF("id", "name", "amount")
+    PartitionedTable.write(base, path, "id", numBuckets = 8)
+    val before = bucketFiles(path)
+    before.size shouldBe 8
+
+    val updates = Seq((7L, 999.0), (13L, 888.0)).toDF("id", "amount")
+    PartitionedTable.mergeByKey(spark, path, updates, "id", numBuckets = 8)
+
+    val after = bucketFiles(path)
+    val touched = Seq(7L, 13L).map(k =>
+      s"${PartitionedTable.BucketCol}=" +
+        Seq((k, 0)).toDF("id", "x")
+          .select(PartitionedTable.bucketOf(col("id"), 8)).head().getInt(0)
+    ).toSet
+    // untouched bucket dirs: identical file sets (nothing rewritten)
+    before.keys.filterNot(touched).foreach { b =>
+      after(b) shouldBe before(b)
+    }
+    // touched dirs actually rewrote
+    touched.foreach { b => after(b) should not be before(b) }
+    // values merged, row count unchanged, non-updated column carried
+    val t = PartitionedTable.read(spark, path)
+    t.count() shouldBe 1000
+    t.filter(col("id") === 7).select("amount").head().getDouble(0) shouldBe 999.0
+    t.filter(col("id") === 7).select("name").head().getString(0) shouldBe "name7"
+    t.filter(col("id") === 14).select("amount").head().getDouble(0) shouldBe 14.0
+  }
+
+  test("deleteByKey removes rows and leaves untouched buckets alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ptd").toString
+    val path = dir + "/t"
+    val base = (1L to 500L).map(i => (i, i * 2.0)).toDF("id", "v")
+    PartitionedTable.write(base, path, "id", numBuckets = 8)
+    val before = bucketFiles(path)
+
+    PartitionedTable.deleteByKey(spark, path,
+      Seq(5L, 6L).toDF("id"), "id", numBuckets = 8)
+
+    val after = bucketFiles(path)
+    val touched = Seq(5L, 6L).map(k =>
+      s"${PartitionedTable.BucketCol}=" +
+        Seq((k, 0)).toDF("id", "x")
+          .select(PartitionedTable.bucketOf(col("id"), 8)).head().getInt(0)
+    ).toSet
+    before.keys.filterNot(touched).foreach { b =>
+      after(b) shouldBe before(b)
+    }
+    val t = PartitionedTable.read(spark, path)
+    t.count() shouldBe 498
+    t.filter(col("id").isin(5L, 6L)).count() shouldBe 0
+  }
+
+  test("empty mutation set touches nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pte").toString
+    val path = dir + "/t"
+    PartitionedTable.write(Seq((1L, 1.0)).toDF("id", "v"), path, "id", 4)
+    val before = bucketFiles(path)
+    PartitionedTable.deleteByKey(spark, path,
+      Seq.empty[Long].toDF("id"), "id", 4)
+    bucketFiles(path) shouldBe before
+  }
+}
