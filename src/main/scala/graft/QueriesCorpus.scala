@@ -256,9 +256,48 @@ object QueriesCorpus {
       |   + (c.lat - s.lat) * (c.lat - s.lat) <= 1.0
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  // --------------------------------------------------------------- q49
+  /** One-pass table profiling (ANALYZE statistics): every customer
+    * column's row/null counts, KMV distinct estimate, and numeric
+    * min/max from a single aggregation pass with bounded sketch state
+    * (see Profiler). */
+  private def q49Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.profile(Tables.load(s, dir, "customer"))
+      .orderBy(col("column"))
+
+  /** Per-column stats UNION — each column's KMV estimate uses the same
+    * ranked-distinct-hash formulation as q38. */
+  private val q49Sql = {
+    val cols = Seq(
+      ("c_custkey", true), ("c_name", false), ("c_nationkey", true),
+      ("c_acctbal", true), ("c_mktsegment", false))
+    cols.map { case (c, numeric) =>
+      val minMax =
+        if (numeric) s"CAST(min($c) AS DOUBLE), CAST(max($c) AS DOUBLE)"
+        else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  (SELECT CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+         |     ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |          / CAST(hv AS DOUBLE) END
+         |   FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |           count(*) OVER () AS nd
+         |         FROM (SELECT DISTINCT
+         |             ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |           FROM customer WHERE $c IS NOT NULL))
+         |   WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END
+         |  ) AS est_distinct,
+         |  $minMax
+         |FROM customer""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) t(\"column\", n_rows, n_nulls, est_distinct, min_num, max_num)" +
+        "\nORDER BY \"column\"")
+  }
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_profile" -> (q49Profile _),
     "q46_spatial_join" -> (q46Spatial _),
     "q45_tfidf" -> (q45Tfidf _),
     "q38_sketch_kmv" -> (q38Kmv _),
@@ -269,6 +308,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_profile" -> q49Sql,
     "q46_spatial_join" -> q46Sql,
     "q45_tfidf" -> q45Sql,
     "q38_sketch_kmv" -> q38Sql,

@@ -113,6 +113,28 @@ class CorpusOpsSpec extends SparkSpec {
     kept.except(wider).isEmpty shouldBe true
   }
 
+  // ------------------------------------------------------- profiler
+
+  test("profiler handles nulls, non-numerics, and empty tables") {
+    import graft.operators.Profiler
+    val df = Seq((Some(1L), Some("a"), Some(2.5)), (None, None, None),
+      (Some(1L), Some("b"), Some(7.5))).toDF("id", "s", "v")
+    val p = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    p("id").getLong(1) shouldBe 3 // n_rows
+    p("id").getLong(2) shouldBe 1 // n_nulls
+    p("id").getDouble(3) shouldBe 1.0 // distinct {1}
+    p("s").getDouble(3) shouldBe 2.0
+    p("s").isNullAt(4) shouldBe true // no numeric min for strings
+    p("v").getDouble(4) shouldBe 2.5
+    p("v").getDouble(5) shouldBe 7.5
+    // empty table: zero counts, no NPE
+    val empty = Profiler.profile(Seq.empty[(Long, String)].toDF("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    empty("a") shouldBe 0
+    empty("b") shouldBe 0
+  }
+
   // ---------------------------------------------------- empty inputs
 
   test("new operators tolerate empty inputs") {
