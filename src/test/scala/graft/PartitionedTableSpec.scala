@@ -72,6 +72,24 @@ class PartitionedTableSpec extends SparkSpec {
     t.filter(col("id").isin(5L, 6L)).count() shouldBe 0
   }
 
+  test("compaction merges small files without changing rows") {
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val path = dir + "/t"
+    (1L to 1000L).toDF("id").repartition(40).write.parquet(path)
+    val before = spark.read.parquet(path)
+    val sumBefore = before.agg(sum(col("id"))).head().getLong(0)
+    val r = Maintenance.compact(spark, path, targetFileMB = 128)
+    r.filesBefore shouldBe 40
+    r.filesAfter should be < 40
+    val after = spark.read.parquet(path)
+    after.count() shouldBe 1000
+    after.agg(sum(col("id"))).head().getLong(0) shouldBe sumBefore
+    // idempotent: already-compact tables are left alone (no rewrite)
+    val r2 = Maintenance.compact(spark, path, targetFileMB = 128)
+    r2.filesAfter shouldBe r2.filesBefore
+  }
+
   test("empty mutation set touches nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pte").toString
     val path = dir + "/t"
