@@ -275,9 +275,12 @@ object QueriesCorpus {
       val minMax =
         if (numeric) s"CAST(min($c) AS DOUBLE), CAST(max($c) AS DOUBLE)"
         else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+      // COALESCE keeps the est total for an all-null column: the
+      // correlated subquery returns no rows there, while the Spark
+      // sketch's empty buffer evaluates to 0.0
       s"""SELECT '$c' AS "column", count(*) AS n_rows,
          |  count(*) - count($c) AS n_nulls,
-         |  (SELECT CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+         |  COALESCE((SELECT CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
          |     ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
          |          / CAST(hv AS DOUBLE) END
          |   FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
@@ -286,7 +289,7 @@ object QueriesCorpus {
          |             ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT AS hv
          |           FROM customer WHERE $c IS NOT NULL))
          |   WHERE rn = CASE WHEN nd < 256 THEN nd ELSE 256 END
-         |  ) AS est_distinct,
+         |  ), CAST(0 AS DOUBLE)) AS est_distinct,
          |  $minMax
          |FROM customer""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",

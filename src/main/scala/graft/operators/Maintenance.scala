@@ -25,8 +25,14 @@ object Maintenance {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
-    val parts = fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    // data files = everything except metadata/hidden (_SUCCESS, .crc):
+    // appendStaged publishes '<tag>-part-*' names, so a 'part-' prefix
+    // filter would silently no-op on exactly the chunk-commit tables
+    // this utility exists for
+    def isDataFile(f: org.apache.hadoop.fs.FileStatus): Boolean =
+      f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")
+    val parts = fs.listStatus(p).filter(isDataFile)
     val bytes = parts.map(_.getLen).sum
     val target = math.max(1,
       math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
@@ -34,8 +40,7 @@ object Maintenance {
       return CompactionResult(parts.length, parts.length, bytes)
     val df = spark.read.parquet(path).coalesce(target)
     ParquetTable.overwriteAtomic(df, path)
-    val after = fs.listStatus(p)
-      .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val after = fs.listStatus(p).count(isDataFile)
     CompactionResult(parts.length, after, bytes)
   }
 }

@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   * because the bucket never leaves the storage layout).
   *
   * Mutation protocol: project the mutation set's touched buckets (a
-  * tiny distinct aggregate), scan ONLY those buckets (partition
-  * pruning — the other directories are never even listed), merge, and
-  * commit with dynamic partition overwrite, which replaces exactly the
-  * partitions present in the written frame. Untouched bucket
-  * directories keep their files byte-identical (spec-asserted).
+  * tiny distinct aggregate), read ONLY those bucket directories —
+  * addressed directly with basePath, so untouched directories are not
+  * even listed (a filter-based prune would still pay a full-tree
+  * partition-discovery listing) — merge, and commit with dynamic
+  * partition overwrite, which replaces exactly the partitions present
+  * in the written frame; buckets the mutation emptied are deleted
+  * explicitly (dynamic overwrite cannot express "this partition is
+  * now empty"). Untouched bucket directories keep their files
+  * byte-identical (spec-asserted).
   * Commit atomicity is per-partition (the Hive dynamic-overwrite
   * contract); cross-partition atomicity needs a manifest table format
   * (Delta/Iceberg) — same note as ParquetTable.overwriteAtomic.
@@ -55,26 +59,67 @@ object PartitionedTable {
     }
   }
 
-  /** The touched-buckets-only mutation core: prune the base scan to the
-    * buckets the mutation set hits, apply `op` to (prunedBase,
-    * mutations), and dynamic-overwrite exactly those partitions. */
+  /** The touched-buckets-only mutation core: read ONLY the touched
+    * bucket directories (addressed directly via basePath — untouched
+    * directories are not even listed), apply `op` to (prunedBase,
+    * mutations), and dynamic-overwrite exactly those partitions.
+    *
+    * `mutations` is materialized (persist + the touched-bucket
+    * collect) before use: it is consumed twice, and a nondeterministic
+    * mutations plan re-evaluated in phase 2 could otherwise produce
+    * keys outside the collected touched set — whose mutations would
+    * silently not apply.
+    *
+    * Empty-bucket rule: dynamic overwrite only replaces partitions
+    * PRESENT in the written frame, so a bucket whose rows are all
+    * deleted would keep its old files and the deletion would silently
+    * resurrect. Buckets touched but absent from the result are deleted
+    * explicitly after the commit. */
   private def mutateTouched(spark: SparkSession, path: String,
       mutations: DataFrame, key: String, numBuckets: Int)(
       op: (DataFrame, DataFrame) => DataFrame): Unit = {
     val keyed = mutations.withColumn(BucketCol,
-      bucketOf(col(key), numBuckets))
-    val touched = keyed.select(col(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-    val prunedBase = spark.read.parquet(path)
-      .filter(col(BucketCol).isin(touched: _*))
-    val result = op(prunedBase.drop(BucketCol), keyed.drop(BucketCol))
-    withDynamicOverwrite(spark) {
-      result.withColumn(BucketCol, bucketOf(col(key), numBuckets))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy(BucketCol)
-        .parquet(path)
-    }
+      bucketOf(col(key), numBuckets)).persist()
+    try {
+      val touched = keyed.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) return
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // buckets with no directory hold no rows — nothing to mutate there
+      val touchedDirs = touched.map(b => s"$path/$BucketCol=$b")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      if (touchedDirs.isEmpty) return
+      val prunedBase = spark.read.option("basePath", path)
+        .parquet(touchedDirs: _*)
+      val result = op(prunedBase.drop(BucketCol), keyed.drop(BucketCol))
+        .withColumn(BucketCol, bucketOf(col(key), numBuckets))
+        .persist()
+      try {
+        val kept = result.select(col(BucketCol)).distinct()
+          .collect().map(_.getInt(0)).toSet
+        withDynamicOverwrite(spark) {
+          result.write.mode(SaveMode.Overwrite)
+            .partitionBy(BucketCol)
+            .parquet(path)
+        }
+        // remove buckets the mutation emptied entirely
+        touched.filterNot(kept).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$BucketCol=$b"),
+            true)
+        }
+        // fully-emptied table: no partition dirs remain, which would
+        // leave nothing to infer a schema from — write a zero-row,
+        // schema-bearing file so the table stays readable
+        val anyBucketLeft = fs.listStatus(
+          new org.apache.hadoop.fs.Path(path))
+          .exists(_.getPath.getName.startsWith(s"$BucketCol="))
+        if (!anyBucketLeft) {
+          result.drop(BucketCol).limit(0).repartition(1)
+            .write.mode(SaveMode.Append).parquet(path)
+        }
+      } finally result.unpersist()
+    } finally keyed.unpersist()
   }
 
   /** Keyed MERGE rewriting ONLY the buckets containing updated keys.

@@ -27,7 +27,9 @@ object Profiler {
     val spark = df.sparkSession
     val cols = df.schema.fields
     val aggs = cols.flatMap { f =>
-      val c = col(f.name)
+      // backtick-escaped: col() parses dots as struct paths, and a
+      // generic ANALYZE must accept any legal column name
+      val c = col(s"`${f.name.replace("`", "``")}`")
       val numeric = f.dataType.isInstanceOf[NumericType]
       Seq(
         count(lit(1)).as(s"__n_${f.name}"),

@@ -19,17 +19,26 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   /** Deterministic salt in [0, saltFactor): hashed from the partition
-    * id plus EVERY column of the row. Salts feed shuffle keys, so they
-    * must be stable under stage retry — `monotonically_increasing_id`
-    * (or rand) is not: a re-executed map task would re-salt rows
+    * id plus the given columns. Salts feed shuffle keys, so they must
+    * be stable under stage retry — `monotonically_increasing_id` (or
+    * rand) is not: a re-executed map task would re-salt rows
     * differently from the copies surviving reducers already fetched,
-    * duplicating or dropping rows. Content hashing is retry-stable;
-    * the one degenerate case (a hot key whose rows are bit-identical
-    * WITHIN a partition) stays unspread — spanning partitions still
-    * spreads via the partition-id term. */
-  private def deterministicSalt(df: DataFrame, saltFactor: Int): Column =
-    pmod(abs(hash(spark_partition_id() +: df.columns.map(col): _*)),
+    * duplicating or dropping rows. Content hashing is retry-stable.
+    *
+    * `cols` should be the columns the operator consumes anyway (so
+    * column pruning survives — hashing EVERY column would force a
+    * full-row scan) and must exclude map-typed columns (Spark's hash
+    * rejects MapType); the map filter below enforces that. Degenerate
+    * case: rows bit-identical in the hashed columns WITHIN a partition
+    * share a salt — spanning partitions still spreads via the
+    * partition-id term. */
+  private def deterministicSalt(df: DataFrame, cols: Seq[String],
+      saltFactor: Int): Column = {
+    val hashable = cols.filterNot(c => df.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.MapType])
+    pmod(abs(hash(spark_partition_id() +: hashable.map(col): _*)),
       lit(saltFactor))
+  }
 
   /** Two-phase salted sum/count aggregation. Results are EXACTLY equal
     * to the unsalted `df.groupBy(keys).agg(sum/count)` — only the
@@ -37,7 +46,8 @@ object Scale {
     * aggregates as needed (min/max/sum/count all decompose). */
   def saltedAggregate(df: DataFrame, keys: Seq[String],
       sumCols: Seq[String], saltFactor: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", deterministicSalt(df, saltFactor))
+    val salted = df.withColumn("__salt",
+      deterministicSalt(df, keys ++ sumCols, saltFactor))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__cnt"),
@@ -77,7 +87,8 @@ object Scale {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltFactor: Int = 16): DataFrame = {
     require(saltFactor > 1, "saltFactor must be > 1")
-    val salted = fact.withColumn("__salt", deterministicSalt(fact, saltFactor))
+    val salted = fact.withColumn("__salt",
+      deterministicSalt(fact, fact.columns.toSeq, saltFactor))
     val replicated = dim.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

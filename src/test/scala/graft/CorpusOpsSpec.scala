@@ -133,6 +133,10 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     empty("a") shouldBe 0
     empty("b") shouldBe 0
+    // dotted column names resolve literally, not as struct paths
+    val dotted = Profiler.profile(Seq((1L, 2L)).toDF("user.id", "x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    dotted("user.id") shouldBe 1.0
   }
 
   // ---------------------------------------------------- empty inputs

@@ -72,6 +72,48 @@ class PartitionedTableSpec extends SparkSpec {
     t.filter(col("id").isin(5L, 6L)).count() shouldBe 0
   }
 
+  test("deleting every row of a bucket removes the bucket") {
+    // dynamic overwrite only replaces partitions PRESENT in the output,
+    // so a fully-emptied bucket needs the explicit delete path
+    val dir = java.nio.file.Files.createTempDirectory("graft_ptz").toString
+    val path = dir + "/t"
+    PartitionedTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      path, "id", numBuckets = 1)
+    PartitionedTable.deleteByKey(spark, path,
+      Seq(1L, 2L, 3L).toDF("id"), "id", numBuckets = 1)
+    PartitionedTable.read(spark, path).count() shouldBe 0
+    // and a partial empty-out across many buckets
+    val path2 = dir + "/t2"
+    PartitionedTable.write((1L to 100L).toDF("id")
+      .withColumn("v", col("id") * 2), path2, "id", numBuckets = 4)
+    PartitionedTable.deleteByKey(spark, path2,
+      (1L to 100L).filter { k =>
+        Seq((k, 0)).toDF("id", "x")
+          .select(PartitionedTable.bucketOf(col("id"), 4)).head().getInt(0) == 0
+      }.toDF("id"), "id", numBuckets = 4)
+    val t2 = PartitionedTable.read(spark, path2)
+    t2.select(PartitionedTable.bucketOf(col("id"), 4)).distinct()
+      .collect().map(_.getInt(0)).toSet should not contain 0
+    t2.count() should be > 0L
+  }
+
+  test("compaction handles tagged append files, not just part- names") {
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmpt").toString
+    val path = dir + "/t"
+    (1L to 500L).toDF("id").repartition(20).write.parquet(path)
+    // rename to the appendStaged publish shape '<tag>-part-*'
+    val d = new java.io.File(path)
+    d.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+      f.renameTo(new java.io.File(d, s"ab12-b0-${f.getName}"))
+    }
+    val r = Maintenance.compact(spark, path, targetFileMB = 128)
+    r.filesBefore shouldBe 20
+    r.filesAfter should be < 20
+    spark.read.parquet(path).count() shouldBe 500
+  }
+
   test("compaction merges small files without changing rows") {
     import graft.operators.Maintenance
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString

@@ -50,6 +50,17 @@ class ScaleSpec extends SparkSpec {
     salted should not be empty
   }
 
+  test("salting works on tables with map columns and prunable scans") {
+    // hash() rejects MapType — the salt must skip map columns
+    val fact = spark.range(100).select(
+      concat(lit("k"), (col("id") % 5).cast("string")).as("k"),
+      col("id").cast("double").as("v"),
+      map(lit("a"), col("id").cast("string")).as("attrs"))
+    val dim = Seq(("k1", 10L), ("k3", 30L)).toDF("k", "d")
+    Scale.saltedJoin(fact, dim, "k", 4).count() shouldBe 40
+    Scale.saltedAggregate(fact, Seq("k"), Seq("v"), 4).count() shouldBe 5
+  }
+
   test("partitioned layout prunes partitions at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = spark.range(300).select(
