@@ -83,6 +83,35 @@ class CorpusOpsSpec extends SparkSpec {
     kept shouldBe Seq(1L, 10L, 20L) // min id 1 survives its cluster
   }
 
+  test("incremental dedup accepts only corpus-novel documents") {
+    import graft.operators.IncrementalDedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val index = dir + "/fp_index"
+    val b1 = Seq((1L, "doc alpha"), (2L, "doc beta"), (3L, "doc alpha"))
+      .toDF("id", "text")
+    val kept1 = IncrementalDedup.acceptBatch(b1, "id", "text", index, "b1")
+    // within-batch dup (3 repeats 1's text) dropped, keeper is min id
+    kept1.select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L)
+    val b2 = Seq((10L, "doc beta"), (11L, "doc gamma")).toDF("id", "text")
+    val kept2 = IncrementalDedup.acceptBatch(b2, "id", "text", index, "b2")
+    // beta already accepted in batch 1 -> only gamma survives
+    kept2.select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(11L)
+    // re-delivery of batch 2 under a NEW tag: nothing is new
+    IncrementalDedup.acceptBatch(b2, "id", "text", index, "b2r")
+      .count() shouldBe 0
+    spark.read.parquet(index).count() shouldBe 3
+    // retry with the SAME tag is idempotent: recomputes the same
+    // survivors (its own prior publish is excluded from the novelty
+    // read) and republishes without doubling index rows
+    val b3 = Seq((20L, "doc delta")).toDF("id", "text")
+    IncrementalDedup.acceptBatch(b3, "id", "text", index, "b3")
+      .count() shouldBe 1
+    IncrementalDedup.acceptBatch(b3, "id", "text", index, "b3")
+      .count() shouldBe 1
+    spark.read.parquet(index).count() shouldBe 4
+  }
+
   // ------------------------------------------------------- sampling
 
   test("deterministic split is stable and respects weights roughly") {
