@@ -229,15 +229,20 @@ object QueriesRelational {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
-  // TRY_CAST keeps the oracle total: Spark's PERMISSIVE from_json
-  // yields NULL on malformed/non-numeric payloads, where a hard CAST
-  // would make DuckDB ERROR instead of diffing
+  // The oracle extracts k with core regexp + TRY_CAST rather than the
+  // '->>'/json functions: TRY_CAST stays total like Spark's PERMISSIVE
+  // from_json (NULL on malformed payloads, never an error), and core
+  // SQL avoids any dependency on DuckDB's JSON extension being
+  // loadable in the driver's offline environment
   private val q47Sql =
-    """SELECT event_type, count(*) AS n,
-      |  CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-      |  min(TRY_CAST(props->>'k' AS BIGINT)) AS min_k,
-      |  max(TRY_CAST(props->>'k' AS BIGINT)) AS max_k
-      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+    """WITH j AS (
+      |  SELECT event_type,
+      |    TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------- q48
   /** Window-function family breadth in one pass: lag/lead over the
