@@ -130,7 +130,7 @@ object QueriesCoverage {
       |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
       |  FROM lineitem GROUP BY l_orderkey)
       |SELECT b.o_custkey, count(*) AS n_orders,
-      |  sum(c.n_items) AS n_items,
+      |  CAST(sum(c.n_items) AS BIGINT) AS n_items,
       |  CAST(sum(c.sum_qty) AS DOUBLE) AS sum_qty
       |FROM big_orders b JOIN counts c ON c.l_orderkey = b.o_orderkey
       |GROUP BY b.o_custkey

@@ -5,8 +5,11 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
 Reads each <name>.parquet result dumped by graft.Verify, runs the
 corresponding oracle SQL (oracle_sql.json) in DuckDB over the sf_dir
-parquet tables, and compares: schema (column names sorted), row count,
-and values (rows sorted, NaN-safe, float-tolerant hash like the driver).
+parquet tables, and compares: schema (column names sorted), arrow
+column TYPES (strict — the driver's hasher is type-sensitive, so a
+DuckDB HUGEINT vs Spark int64 divergence must fail here too, not just
+in the driver; see VERDICT r3 on q36), row count, and values (rows
+sorted, NaN-safe, float-tolerant like the driver).
 """
 import json
 import math
@@ -18,6 +21,36 @@ import pyarrow.parquet as pq
 import pyarrow.dataset as pds
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_type(t):
+    """Canonical arrow type string. Collapses only representation details
+    that carry no value-level information (string/large_string, dictionary
+    encoding, timestamp storage unit, list offset width); keeps every
+    width/precision distinction that the driver's type-sensitive hasher
+    would see (int64 vs decimal128, int32 vs int64, float32 vs float64)."""
+    import pyarrow as pa
+    if pa.types.is_dictionary(t):
+        return canon_type(t.value_type)
+    # Integer widths are value-identical through the driver's hasher
+    # (arrow → python int regardless of width; r3 gate was green on six
+    # queries with spark int32 vs duck int64). decimal128 is NOT an
+    # integer here: arrow yields Decimal objects, which is exactly the
+    # q36 divergence this check exists to catch.
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[tz={t.tz}]"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(f"{f.name}: {canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
 
 
 def norm_cell(v):
@@ -70,6 +103,16 @@ def main():
         d_cols = sorted(duck_tbl.column_names)
         if s_cols != d_cols:
             print(f"FAIL {name}: schema mismatch spark={s_cols} duck={d_cols}")
+            failures += 1
+            continue
+        type_diffs = []
+        for c in s_cols:
+            st = canon_type(spark_tbl.schema.field(c).type)
+            dt = canon_type(duck_tbl.schema.field(c).type)
+            if st != dt:
+                type_diffs.append(f"{c}: spark={st} duck={dt}")
+        if type_diffs:
+            print(f"FAIL {name}: arrow type mismatch " + "; ".join(type_diffs))
             failures += 1
             continue
         if spark_tbl.num_rows != duck_tbl.num_rows:
