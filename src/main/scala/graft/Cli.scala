@@ -142,7 +142,7 @@ object Cli {
           shingleWords = flags.getOrElse("shingle-words", "13").toInt,
           threshold = flags.getOrElse("threshold", "0.6").toDouble,
           maxBucketSize = flags.get("max-bucket-size").map(_.toInt)
-            .getOrElse(Int.MaxValue))
+            .getOrElse(graft.operators.Dedup.DefaultMaxBucketSize))
         ParquetTable.overwriteAtomic(kept, args(2))
         in.unpersist()
         // parquet count() is satisfied from row-group metadata — not a

@@ -28,6 +28,18 @@ import graft.functions.TextAnalysis
   */
 object Dedup {
 
+  /** Default LSH bucket cap for the end-user near-dup entry points
+    * (minhashNearDups / minhashNearDupsWords / simhashNearDups /
+    * dropNearDups). A boilerplate-heavy real corpus routinely lands 10⁶
+    * docs in one band bucket — 10¹² pairs in a single reducer — so the
+    * safe-at-scale posture is a finite default: buckets above the cap
+    * are dropped (members are "similar to everything"; not useful
+    * near-dup signal) and the drop is logged. Pass
+    * `maxBucketSize = Int.MaxValue` explicitly to disable. 10k docs is
+    * ~5·10⁷ pairs per bucket worst-case — heavy but one-task-feasible;
+    * the low-level `candidatePairs` keeps the uncapped default. */
+  val DefaultMaxBucketSize: Int = 10000
+
   // ------------------------------------------------------------ exact
 
   /** Exact dedup on normalized text: keep the smallest-id row per
@@ -121,7 +133,10 @@ object Dedup {
     * members are "similar to everything", not useful near-dup signal).
     * The oversized-bucket list is computed with one cheap partial
     * aggregation, broadcast to a left-anti join (no extra shuffle of the
-    * exploded rows), and the drop count is logged. Default = no cap.
+    * exploded rows), and the drop count is logged. This low-level
+    * primitive defaults to NO cap (callers see exactly what they ask
+    * for); the end-user near-dup entry points default to
+    * [[DefaultMaxBucketSize]].
     *
     * `numPartitions` optionally fixes the band-shuffle parallelism
     * (otherwise spark.sql.shuffle.partitions decides). */
@@ -207,7 +222,7 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 4, k: Int = 8, bands: Int = 4,
       threshold: Double = 0.6,
-      maxBucketSize: Int = Int.MaxValue,
+      maxBucketSize: Int = DefaultMaxBucketSize,
       storageLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
       numPartitions: Option[Int] = None): DataFrame =
@@ -223,7 +238,7 @@ object Dedup {
   def minhashNearDupsWords(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 13, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.6,
-      maxBucketSize: Int = Int.MaxValue,
+      maxBucketSize: Int = DefaultMaxBucketSize,
       storageLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
       numPartitions: Option[Int] = None): DataFrame =
@@ -313,6 +328,7 @@ object Dedup {
     * Returns (id1, id2, hamming). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8,
+      maxBucketSize: Int = DefaultMaxBucketSize,
       storageLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 32,
@@ -326,7 +342,7 @@ object Dedup {
     val banded = sketch.withColumn("__bands", array(
       concat(lit("lo:"), (col("__sh").bitwiseAND(lit(0xffffL))).cast("string")),
       concat(lit("hi:"), shiftright(col("__sh"), 16).cast("string"))))
-    val pairs = candidatePairs(banded, idCol, "__bands")
+    val pairs = candidatePairs(banded, idCol, "__bands", maxBucketSize)
     val s = sketch
     // eager checkpoint of the (small) result releases the sketch cache
     // immediately instead of leaking it for the session lifetime
@@ -467,7 +483,7 @@ object Dedup {
   def dropNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 13, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.6,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val pairs = minhashNearDupsWords(df, idCol, textCol,
       shingleWords, k, bands, threshold, maxBucketSize)
     val losers = connectedComponents(pairs)

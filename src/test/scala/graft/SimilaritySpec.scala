@@ -94,13 +94,16 @@ class SimilaritySpec extends SparkSpec {
     val dups = Seq((1000L, base(3)._2), (1001L, base(7)._2 + " extra"))
     val corpus = (base ++ dups).toDF("doc_id", "text")
 
+    // default now carries the finite DefaultMaxBucketSize cap — on a
+    // corpus with no pathological bucket it must equal the explicitly
+    // UNCAPPED run (the cap only drops oversized buckets, never pairs
+    // from healthy ones), knobs or no knobs
     val default = Dedup.minhashNearDups(corpus, "doc_id", "text",
       shingleSize = 4, k = 16, bands = 4, threshold = 0.5)
       .orderBy("id1", "id2").collect()
-    // a cap far above any bucket + explicit knobs must not change results
     val tuned = Dedup.minhashNearDups(corpus, "doc_id", "text",
       shingleSize = 4, k = 16, bands = 4, threshold = 0.5,
-      maxBucketSize = 10000,
+      maxBucketSize = Int.MaxValue,
       storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_ONLY,
       numPartitions = Some(8))
       .orderBy("id1", "id2").collect()
