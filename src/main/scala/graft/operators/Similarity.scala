@@ -123,11 +123,9 @@ object Similarity {
     * k-means; callers wanting deterministic/oracle-checkable behavior
     * pass a fixed subset of the corpus.
     *
-    * Scale: assignment is a broadcast cross of corpus x centroids
-    * (k centroids are tiny) followed by a map-side-partial `max_by`
-    * argmax — the n×k expansion collapses to n rows before the single
-    * shuffle (a window-argmax here would sort-shuffle all n×k rows);
-    * the probe join then shuffles once keyed by centroid. `nprobe` > 1
+    * Scale: assignment is a map-only argmax against the (driver-
+    * collected, literal) centroid set — no exchange at all until the
+    * probe join, which shuffles once keyed by centroid. `nprobe` > 1
     * widens recall by probing the query's next-nearest centroids too
     * (corpus vectors still live in exactly one inverted list, so no
     * duplicate candidate pairs arise). */
@@ -147,30 +145,36 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Nearest-centroid assignment (the IVF coarse quantizer): broadcast
-    * the small centroid set, score n×k pairs map-side, and take the
-    * argmax by (cosine desc, centroid_id asc) with a `max_by`
-    * aggregation — partial aggregation collapses each partition's n×k
-    * expansion to n rows before the single exchange (a window-argmax
-    * here would sort-shuffle all n×k rows). Output:
-    * (outId, __v embedding, centroid_id). */
+  /** Nearest-centroid assignment (the IVF coarse quantizer): the
+    * centroid set is k small rows by contract, so collect it once and
+    * embed it as literal expressions — assignment is then a MAP-ONLY
+    * argmax (k codegen'd cosines + one `array_max` over
+    * struct(cos, -centroid_id, centroid_id), whose field-by-field
+    * ordering reproduces the cos-desc / id-asc tie-break). Zero
+    * exchange per assignment — which compounds ×iterations inside
+    * `trainCentroids`. (The previous broadcast-join + row-id `max_by`
+    * form shuffled every row WITH its embedding for an argmax whose
+    * partial aggregation reduced nothing: row-id groups are unique.)
+    * Output: (outId, __v embedding, centroid_id long — ids are cast
+    * driver-side so the argmax struct is uniformly typed). */
   def assignToCentroids(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, outId: String): DataFrame = {
     // the argmax tie-break negates centroid_id — order-correct only for
     // integral ids (trainCentroids emits long ids)
     require(isIntegral(centroids.schema("centroid_id").dataType),
       "centroid_id must be an integral type")
-    val c = broadcast(centroids.select(col("centroid_id"),
-      col("centroid").as("__cv")))
+    val cents = centroids
+      .select(col("centroid_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "centroids must be non-empty")
+    val scored = cents.map { case (id, vec) =>
+      struct(cosine(col("__v"), typedLit(vec)).as("cos"),
+        lit(-id).as("__neg"), lit(id).as("centroid_id"))
+    }
     df.select(col(idCol).as(outId), col(embCol).as("__v"))
-      .join(c)
-      .withColumn("__cscore", cosine(col("__v"), col("__cv")))
-      .groupBy(col(outId))
-      .agg(
-        first(col("__v")).as("__v"),
-        max_by(col("centroid_id"),
-          struct(col("__cscore"), -col("centroid_id"))).as("centroid_id"))
-      .select(col(outId), col("__v"), col("centroid_id"))
+      .withColumn("centroid_id",
+        array_max(array(scored.toIndexedSeq: _*)).getField("centroid_id"))
   }
 
   /** Multi-probe assignment: each row gets its `n` nearest centroids
@@ -201,7 +205,7 @@ object Similarity {
   /** Lloyd's k-means over cosine assignment — the trainer that produces
     * IVF centroids at scale (round-1 callers supplied fixed corpus
     * subsets; this closes that gap). Deterministic initialization:
-    * the k lowest-id vectors. Each iteration is one broadcast
+    * the k lowest-id vectors. Each iteration is one map-only
     * assignment (see assignToCentroids) plus one mean-update — the
     * update explodes (centroid_id, dim) pairs and averages per cell, a
     * skew-free shuffle of k×dims groups regardless of corpus size.

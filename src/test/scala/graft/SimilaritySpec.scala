@@ -61,6 +61,36 @@ class SimilaritySpec extends SparkSpec {
     rows.filter(_.getLong(0) == 0L).map(_.getInt(1)).min shouldBe 1
   }
 
+  test("assignToCentroids is map-only and matches a driver-side argmax") {
+    val all = vecs(50)
+    val centroids = all.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("centroid"))
+    val assigned = Similarity.assignToCentroids(all, "vec_id", "e",
+      centroids, "row_id")
+    // the literal-argmax form must plan ZERO exchanges: the single
+    // shuffle the old broadcast-join + row-id groupBy form paid carried
+    // every row with its full embedding, for a partial aggregation that
+    // reduced nothing (row-id groups are unique)
+    assigned.queryExecution.executedPlan.toString should not include "Exchange"
+
+    // independent oracle: plain-Scala cosine argmax, cos desc / id asc
+    val data = all.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cs = centroids.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+    }
+    val expected = data.map { case (id, v) =>
+      id -> cs.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, s) => (-s, cid) }._1
+    }.toMap
+    val got = assigned.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got shouldBe expected
+  }
+
   test("exactDedup keeps the smallest-id row per fingerprint, no window") {
     val docs = Seq(
       (5L, "same text here", "e"), (2L, "same  TEXT here ", "b"),
