@@ -389,9 +389,8 @@ object Dedup {
     require(maxIter > 0, "maxIter must be positive")
     val spark = pairs.sparkSession
     val e0 = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
-    // symmetrize so every node appears on the src side; persisted — the
-    // edge list is reused every round
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize so every node appears on the src side
+    val edgesRaw = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Size the loop's shuffles to the graph, not the session default:
@@ -399,20 +398,42 @@ object Dedup {
     // multiplies fixed per-task overhead by (stages x rounds). ~250k
     // edge rows per task keeps tasks meaningful; a 100 TB edge list
     // keeps the session's full parallelism (the formula only clamps
-    // DOWN). Restored in the finally — queries run sequentially per
-    // session (Verify/Bench do), so the temporary setting is safe.
-    val edgeCount = edges.count()
+    // DOWN). Scoped per-frame via explicit repartition(loopParts, ...)
+    // — never by mutating session-global spark.sql.shuffle.partitions,
+    // which a concurrent caller in a shared session would observe.
+    val edgeCount = edgesRaw.count()
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(1L,
       math.min(defaultParts.toLong, edgeCount / 250000L + 1)).toInt
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    // Cache the edge list PARTITIONED BY THE PER-ROUND JOIN KEY: every
+    // round's label join then reuses the cached hash(dst, loopParts)
+    // layout with no exchange on the (large) edge side. The previous
+    // shape cached the distinct()'s (src, dst) partitioning, which
+    // satisfies no join distribution — both sides reshuffled every
+    // round. One extra node-sized shuffle at init buys an edge-sized
+    // shuffle saved per round.
+    val edges = edgesRaw.repartition(loopParts, col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize from edgesRaw's cache, then drop it
+    edgesRaw.unpersist()
+    // A localCheckpoint's blocks are RDD-level, not InMemoryRelation —
+    // release a superseded round's label table by unpersisting the RDD
+    // inside its LogicalRDD leaf. Without this, N rounds retain N label
+    // tables for the session's lifetime (r3 VERDICT item 5).
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(blocking = false))
     try {
     // init folds the first propagation round in: every node starts at
-    // min(self, direct neighbors) straight off the edge aggregate
+    // min(self, direct neighbors) straight off the edge aggregate. The
+    // repartition pins the labels-by-node layout the loop maintains, so
+    // round 1's joins already match partition counts on both sides.
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("__m"))
       .select(col("src").as("node"),
         least(col("__m"), col("src")).as("cluster"))
+      .repartition(loopParts, col("node"))
       .localCheckpoint(eager = true)
     val numericIds = labels.schema("cluster").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -425,7 +446,10 @@ object Dedup {
       val propagated = edges
         .join(labels.select(col("node").as("dst"), col("cluster")), "dst")
         .select(col("src").as("node"), col("cluster"))
+      // explicit loop-sized repartition replaces the session-default
+      // exchange the union would otherwise force under groupBy
       val stepped = propagated.union(labels)
+        .repartition(loopParts, col("node"))
         .groupBy(col("node")).agg(min(col("cluster")).as("cluster"))
       // pointer jumping: a label is itself a node id, so follow it one
       // hop through the PREVIOUS round's (already materialized) label
@@ -450,6 +474,10 @@ object Dedup {
           .filter(col("cluster") =!= col("__old"))
           .isEmpty
       }
+      // round k is materialized (eager checkpoint) and the convergence
+      // probe above was the last reader of round k-1 — release its
+      // blocks now so at most two label tables are ever resident
+      releaseCheckpoint(labels)
       labels = next
       iter += 1
     }
@@ -457,14 +485,12 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents: not converged after $maxIter rounds " +
           "(labels are a sound over-segmentation, not final components)")
-    // labels is checkpointed (materialized) — the returned frame no
-    // longer depends on the loop's temporary shuffle setting
     labels
     } finally {
       // release the edge cache on BOTH paths: an OOM/cancel mid-loop
       // must not leave the (large) symmetrized edge list cached
       edges.unpersist()
-      spark.conf.set("spark.sql.shuffle.partitions", defaultParts)
+      edgesRaw.unpersist()
     }
   }
 

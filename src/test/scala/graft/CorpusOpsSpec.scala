@@ -69,6 +69,23 @@ class CorpusOpsSpec extends SparkSpec {
     got shouldBe Map(3L -> 3L, 5L -> 3L, 1L -> 1L, 9L -> 1L)
   }
 
+  test("connected components leaves session conf and caches alone") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // a 16-node chain forces several pointer-jumping rounds — enough to
+    // catch both a conf flip and per-round label-checkpoint retention
+    val pairs = (1L until 16L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs)
+    labels.collect().map(_.getLong(1)).distinct shouldBe Array(1L)
+    // the loop must not mutate session-global shuffle sizing
+    spark.conf.get("spark.sql.shuffle.partitions") shouldBe before
+    // superseded rounds release their checkpoint blocks as the loop
+    // advances and the edge cache releases on exit: only the RETURNED
+    // label table's checkpoint may remain resident
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    leaked.size should be <= 1
+  }
+
   test("dropNearDups keeps one representative per near-dup cluster") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
