@@ -1,10 +1,12 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Geocoding, LookupTableGeocoder}
+import graft.operators.{BatchGeocodeConfig, BatchGeocodeJob, Geocoding,
+  LookupTableGeocoder}
 
 /** Lookup-table geocoder unit behavior (the oracle covers q10
-  * end-to-end; this pins the operator-level contracts). */
+  * end-to-end; this pins the operator-level contracts), plus the HTTP
+  * batch-job lifecycle driven against a loopback server. */
 class GeocodingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -44,5 +46,152 @@ class GeocodingSpec extends SparkSpec {
     val out = new LookupTableGeocoder(dup).geocode(input.filter(col("id") === 1), "addr")
       .collect()
     out.length shouldBe 1 // no fan-out from the duplicate key
+  }
+
+  // ------------------------------------ HTTP batch lifecycle (loopback)
+
+  /** In-memory zip builder for the fake server's result payload. */
+  private def zip(members: (String, String)*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(out)
+    members.foreach { case (name, text) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(text.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    out.toByteArray
+  }
+
+  private def readZipMembers(path: java.nio.file.Path): Map[String, String] = {
+    val zis = new java.util.zip.ZipInputStream(
+      java.nio.file.Files.newInputStream(path))
+    val members = Iterator.continually(zis.getNextEntry)
+      .takeWhile(_ != null)
+      .map { e =>
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](8192)
+        var n = zis.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = zis.read(b) }
+        e.getName -> new String(buf.toByteArray, "UTF-8")
+      }.toMap
+    zis.close()
+    members
+  }
+
+  test("batch job lifecycle: submit, poll to completed, download, re-ingest") {
+    val readme = "raw member copied verbatim\nno rewriting here"
+    val resultZip = zip(
+      "req-42_out.txt" ->
+        ("recId|displayLatitude|displayLongitude|SeqNumber\n" +
+          "1|53.35|-6.26|0\n2|40.42|-3.70|1\n"),
+      "req-42_err.txt" -> "recId|searchText\n3|atlantis\n",
+      "README.md" -> readme)
+
+    var submittedQuery: String = null
+    var submittedBody: Array[Byte] = null
+    var statusPolls = 0
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/jobs/", { exchange =>
+      val path = exchange.getRequestURI.getPath
+      val query = Option(exchange.getRequestURI.getQuery).getOrElse("")
+      def respond(code: Int, body: Array[Byte]): Unit = {
+        exchange.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+        if (body.nonEmpty) exchange.getResponseBody.write(body)
+        exchange.close()
+      }
+      if (exchange.getRequestMethod == "POST" && path == "/jobs/") {
+        submittedQuery = query
+        submittedBody = exchange.getRequestBody.readAllBytes()
+        respond(200, ("<Response><MetaInfo><RequestId>req-42</RequestId>" +
+          "</MetaInfo><Status>accepted</Status></Response>").getBytes("UTF-8"))
+      } else if (path == "/jobs/req-42" && query.contains("action=status")) {
+        statusPolls += 1
+        val s = if (statusPolls < 2) "running" else "completed"
+        respond(200, (s"<Response><Status>$s</Status></Response>")
+          .getBytes("UTF-8"))
+      } else if (path == "/jobs/req-42/all") {
+        respond(200, resultZip)
+      } else respond(404, Array.emptyByteArray)
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val cfg = BatchGeocodeConfig(
+        baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}/jobs/",
+        appId = "app", appCode = "code", pollIntervalMs = 5L)
+      val csv = "recId|searchText|country\n1|Dublin|IE\n2|Madrid|ES\n3|atlantis|XX\n"
+      val job = new BatchGeocodeJob(cfg).submit(csv.getBytes("UTF-8"))
+
+      job.requestId shouldBe Some("req-42")
+      job.status shouldBe Some("accepted")
+      // the reference's run parameters all travel in the query string
+      submittedQuery should include ("action=run")
+      submittedQuery should include ("gen=9")
+      // URI.getQuery hands the handler the DECODED string
+      submittedQuery should include ("outcols=recId,displayLatitude,displayLongitude")
+      submittedQuery should include ("app_id=app")
+      new String(submittedBody, "UTF-8") shouldBe csv
+
+      job.awaitCompletion().status shouldBe Some("completed")
+      statusPolls should be >= 2
+
+      val dir = java.nio.file.Files.createTempDirectory("graft_geo")
+      val saved = job.download(dir).get
+      saved.getFileName.toString shouldBe "req-42sss.zip"
+      val members = readZipMembers(saved)
+      members.keySet shouldBe Set("req-42_out.txt", "req-42_err.txt", "README.md")
+      // _out: HERE's SeqNumber column cleaned away, header = outcols
+      members("req-42_out.txt") shouldBe
+        "recId|displayLatitude|displayLongitude\n1|53.35|-6.26\n2|40.42|-3.70\n"
+      // _err: columns the member lacks fill with "" (reference __get_row__)
+      members("req-42_err.txt") shouldBe
+        "recId|displayLatitude|displayLongitude\n3||\n"
+      // non-result members copy verbatim
+      members("README.md") shouldBe readme
+
+      // the rewritten zip round-trips through the existing zip CSV source
+      val ingested = graft.sources.ZipSource.readZipCsv(spark, dir.toString,
+        "_out.txt", graft.sources.IngestConfig("geo", delimiter = "|"),
+        outputColumns = Seq("recId", "displayLatitude", "displayLongitude"))
+      ingested.columns.toSeq shouldBe Seq("recid", "displaylatitude", "displaylongitude")
+      ingested.count() shouldBe 2
+      ingested.orderBy("recid").collect().map(_.getString(1)).toSeq shouldBe
+        Seq("53.35", "40.42")
+    } finally server.stop(0)
+  }
+
+  test("batch job download returns None on 404; bad submit raises Details") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/jobs/", { exchange =>
+      val body: Array[Byte] =
+        if (exchange.getRequestMethod == "POST")
+          ("<Response><Details>invalid app credentials</Details></Response>")
+            .getBytes("UTF-8")
+        else Array.emptyByteArray
+      val code = if (exchange.getRequestMethod == "POST") 200 else 404
+      exchange.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val cfg = BatchGeocodeConfig(
+        baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}/jobs/",
+        appId = "app", appCode = "code")
+      val bad = intercept[java.io.IOException] {
+        new BatchGeocodeJob(cfg).submit("recId\n1\n".getBytes("UTF-8"))
+      }
+      bad.getMessage should include ("invalid app credentials")
+
+      // not-ready download: the reference records the 404 and returns
+      val job = new BatchGeocodeJob(cfg)
+      job.requestId = Some("req-42")
+      job.download(java.nio.file.Files.createTempDirectory("graft_geo404")) shouldBe None
+      job.status shouldBe Some("404")
+    } finally server.stop(0)
   }
 }
