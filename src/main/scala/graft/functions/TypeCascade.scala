@@ -117,29 +117,22 @@ object TypeCascade {
     * NULL. A Spark column is monotyped, so the faithful restatement is a
     * string column holding the rendered literals (exactly what the
     * reference interpolates into SQL text). Opt-in via
-    * IngestConfig.valueLevelTypes. */
+    * IngestConfig.valueLevelTypes.
+    *
+    * Rendering is CPython str(float) via the codegen'd
+    * [[graft.expressions.PyFloatReprExpression]]: positional digits for
+    * decimal exponents in [-4, 16), Python-style scientific notation
+    * ("1e-05", "1.5e+16") outside — including the |x| < 1e-4 and
+    * >= 1e16 ranges where the previous scale-17 decimal rendering
+    * diverged from the reference. */
   def valueLevelRender(
       c: Column,
       decimalSep: String = ".",
       thousandSep: String = ","): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => CB, expression => E}
     val f = parseLocaleFloat(c, decimalSep, thousandSep)
-    // plain decimal rendering: a straight double->string cast emits
-    // Java scientific notation at |x| >= 1e7 ("1.2345678E7"), which the
-    // reference's str(float(...)) never does below 1e16. Route through
-    // a scale-17 decimal (shortest-repr digits preserved), strip the
-    // padding zeros, and keep a trailing ".0" for integral values.
-    // |x| >= ~1e21 overflows the decimal and falls back to the cast.
-    // Known divergences from Python str(float): values >= 1e16 (Python
-    // goes scientific), values with |x| < 1e-4 (Python emits "1e-05",
-    // this path renders plain "0.00001"), and values needing more than
-    // 17 decimal places, which collapse to "0.0" here.
-    val plain = f.cast(org.apache.spark.sql.types.DecimalType(38, 17))
-      .cast("string")
-    val stripped = regexp_replace(plain, "0+$", "")
-    val fixed = when(stripped.endsWith("."), concat(stripped, lit("0")))
-      .otherwise(stripped)
     when(trim(c) === "" || c.isNull, lit(null).cast("string"))
-      .when(f.isNotNull, coalesce(fixed, f.cast("string")))
+      .when(f.isNotNull, CB(graft.expressions.PyFloatReprExpression(E(f))))
       .otherwise(c)
   }
 

@@ -33,6 +33,43 @@ class TypeCascadeSpec extends SparkSpec {
     evalOne[String](TypeCascade.escapeSqlQuotes(lit("a"))) shouldBe "a"
   }
 
+  // -- CPython str(float) rendering (valueLevelRender fidelity) ---------
+  test("value-level rendering matches CPython str(float) in every regime") {
+    // expected strings generated with CPython repr() — positional
+    // digits in [1e-4, 1e16), scientific outside, shortest round-trip
+    val cases = Seq(
+      "0" -> "0.0", "1" -> "1.0", "17" -> "17.0", "2.5" -> "2.5",
+      "0.1" -> "0.1", "12345678" -> "12345678.0",
+      "0.0001" -> "0.0001", "-0.0001" -> "-0.0001",
+      // the |x| < 1e-4 exponent switch the r2/r3 ADVICE flagged
+      "0.00001" -> "1e-05", "0.000015" -> "1.5e-05",
+      "-0.000025" -> "-2.5e-05", "1e-7" -> "1e-07",
+      "0.000012345678901234567" -> "1.2345678901234568e-05",
+      "1e-100" -> "1e-100", "5e-324" -> "5e-324",
+      "2.5e-10" -> "2.5e-10",
+      // >= 1e16 goes scientific with an explicit '+'
+      "10000000000000000" -> "1e+16", "15000000000000000" -> "1.5e+16",
+      "1e22" -> "1e+22", "1.7976931348623157e308" -> "1.7976931348623157e+308",
+      // just under the switch stays positional
+      "1000000000000000" -> "1000000000000000.0",
+      "123456789012345.6" -> "123456789012345.6",
+      "9999999999999998" -> "9999999999999998.0",
+      // shortest-repr classics
+      "0.30000000000000004" -> "0.30000000000000004",
+      "3.141592653589793" -> "3.141592653589793")
+    cases.foreach { case (in, expected) =>
+      withClue(s"render($in): ") {
+        evalOne[String](TypeCascade.valueLevelRender(lit(in))) shouldBe expected
+      }
+    }
+    // non-float text passes through raw; blank -> NULL (unchanged)
+    evalOne[String](TypeCascade.valueLevelRender(lit("abc"))) shouldBe "abc"
+    eval(TypeCascade.valueLevelRender(lit(" "))).isNullAt(0) shouldBe true
+    // European separators still feed the same renderer
+    evalOne[String](TypeCascade.valueLevelRender(lit("2,5"),
+      decimalSep = ",", thousandSep = ".")) shouldBe "2.5"
+  }
+
   // -- numeric cascade (test_parse_int/float/float_comma_column) --------
   test("int renders as double 1.0 (reference quirk Q5)") {
     parseFloat("1") shouldBe 1.0
