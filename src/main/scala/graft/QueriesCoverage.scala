@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{GeomFunctions => G, TypeCascade => TC}
-import graft.operators.RowNumbers
+import graft.operators.{IngestObserver, InsertJob, ParquetTable, RowNumbers}
 import graft.sources.{CsvIngest, IngestConfig}
 
 /** Oracle coverage for the file/lifecycle operators that round 1 left
@@ -137,6 +137,123 @@ object QueriesCoverage {
       |HAVING count(*) >= 2
       |ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------- q50-q53 (job lifecycle)
+  // File/lifecycle operators the r3 VERDICT listed as spec-only (T6
+  // chunk resume, T8 count pre-pass, T12 retry/side outputs), driven
+  // from a nation-derived CSV fixture so the DuckDB oracle can check
+  // values: nation is a fixed 25-row dimension at every sf.
+
+  /** Deterministic pipe-delimited CSV of nation (ordered by key) in a
+    * fresh temp dir; `badEveryFifth` injects an unterminated-quote line
+    * after every key % 5 == 0 row (the csv parser's malformed shape,
+    * same as CsvIngestSpec). Returns (csvPath, workDir). */
+  private def nationCsvFixture(s: SparkSession, dir: String,
+      badEveryFifth: Boolean): (String, java.nio.file.Path) = {
+    val work = java.nio.file.Files.createTempDirectory("graft_cov")
+    val rows = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey")).collect()
+    val sb = new StringBuilder("n_nationkey|n_name|n_regionkey\n")
+    rows.foreach { r =>
+      sb.append(r.get(0)).append('|').append(r.getString(1)).append('|')
+        .append(r.get(2)).append('\n')
+      if (badEveryFifth && r.get(0).toString.toLong % 5 == 0)
+        sb.append("\"badline-").append(r.get(0)).append("|x\n")
+    }
+    val csv = work.resolve("nation.csv")
+    java.nio.file.Files.write(csv, sb.toString.getBytes("UTF-8"))
+    (csv.toString, work)
+  }
+
+  private def nationCfg = IngestConfig(tableName = "nation_cov",
+    delimiter = "|", columns = Seq("n_nationkey", "n_name", "n_regionkey"),
+    forceNoGeometry = true, chunkSize = 4)
+
+  /** Typed readback projection shared by q50/q52 (ingest types numeric
+    * columns as double — reference quirk Q5). */
+  private def typedNation(df: DataFrame): DataFrame =
+    df.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  private val typedNationSql =
+    """SELECT CAST(n_nationkey AS DOUBLE) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS DOUBLE) AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // --------------------------------------------------------------- q50
+  /** T6 chunk resume: two row-range slices (chunks 1-3, then 4..end)
+    * into ONE table must reproduce the full single-shot load — the
+    * readback equals nation. Distinct per-run batch tags keep the second
+    * append from cleaning the first's files (the r2 data-loss bug's
+    * regression oracle). */
+  private def q50ChunkResume(s: SparkSession, dir: String): DataFrame = {
+    val (csv, work) = nationCsvFixture(s, dir, badEveryFifth = false)
+    val table = work.resolve("t_resume").toString
+    new InsertJob(csv, table, nationCfg).run(startChunk = 1,
+      endChunk = Some(3))
+    new InsertJob(csv, table, nationCfg).run(startChunk = 4)
+    typedNation(ParquetTable.read(s, table))
+  }
+
+  // --------------------------------------------------------------- q51
+  /** T8 count pre-pass: the observer's total_rows metric must equal the
+    * written readback count (and both equal DuckDB's count of the same
+    * source rows). */
+  private def q51CountPrepass(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (csv, work) = nationCsvFixture(s, dir, badEveryFifth = false)
+    val table = work.resolve("t_count").toString
+    var observed = -1L
+    val obs: IngestObserver = (t, m) =>
+      if (t == "total_rows") observed = m.toLong
+    new InsertJob(csv, table, nationCfg, obs).run()
+    val readback = ParquetTable.read(s, table).count()
+    Seq(("observed_total", observed), ("written_readback", readback))
+      .toDF("metric", "n").orderBy(col("metric"))
+  }
+
+  private val q51Sql =
+    """SELECT 'observed_total' AS metric, CAST(count(*) AS BIGINT) AS n
+      |FROM nation
+      |UNION ALL
+      |SELECT 'written_readback', CAST(count(*) AS BIGINT) FROM nation
+      |ORDER BY metric""".stripMargin
+
+  // --------------------------------------------------------------- q52
+  /** T12 write-retry budget: a sink that fails every attempt exhausts
+    * maxAttempts and diverts the WHOLE typed batch to failedBatchPath
+    * while the run continues — the side output's contents equal the
+    * typed input exactly. */
+  private def q52FailedBatch(s: SparkSession, dir: String): DataFrame = {
+    val (csv, work) = nationCsvFixture(s, dir, badEveryFifth = false)
+    val table = work.resolve("t_failed").toString
+    val failedDir = work.resolve("failed_batches").toString
+    val alwaysFail: (DataFrame, String, String) => Unit =
+      (_, _, _) => throw new java.io.IOException("sink down")
+    new InsertJob(csv, table, nationCfg.copy(maxAttempts = 2),
+      writer = alwaysFail, failedBatchPath = Some(failedDir)).run()
+    typedNation(s.read.parquet(failedDir))
+  }
+
+  // --------------------------------------------------------------- q53
+  /** T12 continue-on-failure: malformed CSV lines divert to the rejected
+    * side output with the raw line preserved in the corrupt column; the
+    * clean rows still load. Output = sorted raw rejected lines. */
+  private def q53RejectedRows(s: SparkSession, dir: String): DataFrame = {
+    val (csv, work) = nationCsvFixture(s, dir, badEveryFifth = true)
+    val table = work.resolve("t_rej").toString
+    val rejDir = work.resolve("rejected").toString
+    new InsertJob(csv, table, nationCfg,
+      rejectedPath = Some(rejDir)).run()
+    s.read.parquet(rejDir)
+      .select(col(CsvIngest.CorruptCol).as("line"))
+      .orderBy(col("line"))
+  }
+
+  private val q53Sql =
+    """SELECT concat('"badline-', CAST(n_nationkey AS VARCHAR), '|x') AS line
+      |FROM nation WHERE n_nationkey % 5 = 0 ORDER BY line""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -144,6 +261,10 @@ object QueriesCoverage {
     "q34_header_norm" -> (q34HeaderNorm _),
     "q35_projection" -> (q35Projection _),
     "q36_cte" -> (q36Cte _),
+    "q50_chunk_resume" -> (q50ChunkResume _),
+    "q51_count_prepass" -> (q51CountPrepass _),
+    "q52_failed_batch" -> (q52FailedBatch _),
+    "q53_rejected_rows" -> (q53RejectedRows _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,5 +272,9 @@ object QueriesCoverage {
     "q34_header_norm" -> q34Sql,
     "q35_projection" -> q35Sql,
     "q36_cte" -> q36Sql,
+    "q50_chunk_resume" -> typedNationSql,
+    "q51_count_prepass" -> q51Sql,
+    "q52_failed_batch" -> typedNationSql,
+    "q53_rejected_rows" -> q53Sql,
   )
 }
