@@ -34,11 +34,19 @@ object GeomFunctions {
   def stY(geom: Column): Column = geom("y")
   def stSrid(geom: Column): Column = geom("srid")
 
-  /** Reproject between the two SRIDs the engine supports natively:
-    * 4326 (WGS84 lon/lat) and 3857 (web mercator meters). Identity when
-    * source == target (the reference only ever needs 4326 -> 4326,
-    * `etl/etl.py:21,190-192`; 3857 support is the scale extension used by
-    * the overview/LOD pipeline). Unknown SRID pairs -> NULL geometry. */
+  /** Reproject between the SRIDs the engine supports natively: 4326
+    * (WGS84 lon/lat), 3857 (web mercator meters), and the WGS84 UTM
+    * zones 32601-32660 (north) / 32701-32760 (south) via the standard
+    * Krüger series (expressions/UtmExpressions — < 0.1 mm in-zone).
+    * Identity when source == target (the reference only ever needs
+    * 4326 -> 4326, `etl/etl.py:21,190-192`; the rest is the scale
+    * extension used by the overview/LOD pipeline). Unknown SRID
+    * pairs -> NULL geometry.
+    *
+    * Dispatch shape: the two hot pairs (4326<->3857) keep their direct
+    * closed forms; any pair involving a UTM zone pivots through WGS84
+    * (src -> lon/lat -> target), the same composition every projection
+    * library performs. */
   def stTransform(geom: Column, target: Column): Column =
     stTransformImpl(geom, target)
 
@@ -49,7 +57,14 @@ object GeomFunctions {
     if (target == source) geom
     else stTransformImpl(geom, lit(target))
 
+  private def isUtm(srid: Column): Column =
+    (srid >= 32601 && srid <= 32660) || (srid >= 32701 && srid <= 32760)
+
+  private def supportedSrid(srid: Column): Column =
+    srid === 4326 || srid === 3857 || isUtm(srid)
+
   private def stTransformImpl(geom: Column, target: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => CB, expression => E}
     val src = geom("srid")
     val x = geom("x")
     val y = geom("y")
@@ -61,12 +76,24 @@ object GeomFunctions {
     // 3857 -> 4326
     val lonX = x / R / toRad
     val latY = (atan(exp(y / R)) - lit(math.Pi / 4.0)) * lit(2.0) / toRad
+    // general path (reached only when a UTM zone is involved — the
+    // direct branches below win otherwise): the whole src -> WGS84 ->
+    // target pivot is ONE expression node. A Column-level composition
+    // of the same dispatch duplicates the pivot subtree at every
+    // field/array reference, which grows multiplicatively when
+    // transforms nest — measured as an optimizer hang on nested
+    // round-trips.
+    val piv = CB(graft.expressions.GeomPivotExpression(E(x), E(y),
+      E(src.cast("int")), E(target.cast("int"))))
     when(geom.isNull, lit(null))
       .when(src === target, geom)
       .when(src === 4326 && target === 3857,
         struct(mercX.as("x"), mercY.as("y"), target.cast("int").as("srid")))
       .when(src === 3857 && target === 4326,
         struct(lonX.as("x"), latY.as("y"), target.cast("int").as("srid")))
+      .when(supportedSrid(src) && supportedSrid(target),
+        struct(piv.getItem(0).as("x"), piv.getItem(1).as("y"),
+          target.cast("int").as("srid")))
       .otherwise(lit(null))
   }
 

@@ -85,4 +85,82 @@ class GeomFunctionsSpec extends SparkSpec {
     evalOne[Long](G.gridCell(lit(12.34), lit(0.5))) shouldBe 24L
     evalOne[Long](G.gridCell(lit(-12.34), lit(0.5))) shouldBe -25L
   }
+
+  // ---------------------------------------------------- UTM (326xx/327xx)
+
+  test("st_transform to UTM matches an independent WGS84 formulation") {
+    // Snyder's Working-Manual TM example point (40°30'N 73°30'W, zone
+    // 18, k0 = 0.9996) on the WGS84 ellipsoid. Expected values computed
+    // with the classic Redfearn/Thomas eccentricity series — a fully
+    // independent formulation from the Krüger third-flattening series
+    // implemented here; the two agree to < 1 mm, so 5 mm is a strict
+    // oracle. (Snyder's own printed figures, 627106.5 / 4484124.4, are
+    // Clarke 1866 — 3.4 m away on WGS84.)
+    val p = G.stPoint(lit(-73.5), lit(40.5))
+    val utm = G.stTransform(p, lit(32618))
+    val r = eval(G.stX(utm), G.stY(utm), G.stSrid(utm))
+    r.getDouble(0) shouldBe 627103.0873 +- 0.005
+    r.getDouble(1) shouldBe 4484335.4018 +- 0.005
+    r.getInt(2) shouldBe 32618
+  }
+
+  test("southern-hemisphere UTM carries the 10,000 km false northing") {
+    // Sydney-ish: zone 56S; expected values from the independent
+    // Redfearn series (see above). Northing = 10,000,000 + k0*A*xi
+    // (xi < 0 south of the equator) -> strictly below 10,000 km.
+    val p = G.stPoint(lit(151.2), lit(-33.87))
+    val utm = G.stTransform(p, lit(32756))
+    val r = eval(G.stX(utm), G.stY(utm))
+    r.getDouble(0) shouldBe 333510.650 +- 0.005
+    r.getDouble(1) shouldBe 6250800.241 +- 0.005
+    r.getDouble(1) should be < 10000000.0
+    // round-trip through the zone recovers the coordinate
+    val back = G.stTransform(utm, lit(4326))
+    val b = eval(G.stX(back), G.stY(back))
+    b.getDouble(0) shouldBe 151.2 +- 1e-7
+    b.getDouble(1) shouldBe -33.87 +- 1e-7
+  }
+
+  test("UTM round-trips across the zone and latitude range") {
+    // forward->inverse error stays far under 1e-7 degrees (~1 cm)
+    // across in-zone longitudes and the UTM latitude band
+    for {
+      (lon, srid) <- Seq((-75.0, 32618), (-72.1, 32618), (9.3, 32632),
+        (151.2, 32756), (-177.0, 32701))
+      lat <- Seq(-79.5, -33.9, -0.5, 0.0, 40.5, 69.9, 83.5)
+    } {
+      val south = srid >= 32701
+      if ((south && lat <= 0) || (!south && lat >= -1.0)) {
+        val p = G.stPoint(lit(lon), lit(lat))
+        val back = G.stTransform(G.stTransform(p, lit(srid)), lit(4326))
+        val r = eval(G.stX(back), G.stY(back))
+        withClue(s"($lon, $lat) via $srid: ") {
+          r.getDouble(0) shouldBe lon +- 1e-7
+          r.getDouble(1) shouldBe lat +- 1e-7
+        }
+      }
+    }
+  }
+
+  test("UTM <-> web mercator pivots through WGS84") {
+    val p = G.stPoint(lit(-73.5), lit(40.5))
+    val viaUtm = G.stTransform(G.stTransform(p, lit(32618)), lit(3857))
+    val direct = G.stTransform(p, lit(3857))
+    val r = eval(G.stX(viaUtm), G.stY(viaUtm), G.stX(direct), G.stY(direct))
+    r.getDouble(0) shouldBe r.getDouble(2) +- 1e-4 // sub-mm in meters
+    r.getDouble(1) shouldBe r.getDouble(3) +- 1e-4
+    // UTM -> UTM re-zones exactly
+    val rezoned = G.stTransform(G.stTransform(p, lit(32618)), lit(32617))
+    val back = G.stTransform(rezoned, lit(4326))
+    val b = eval(G.stX(back), G.stY(back))
+    b.getDouble(0) shouldBe -73.5 +- 1e-7
+    b.getDouble(1) shouldBe 40.5 +- 1e-7
+  }
+
+  test("unknown srid pairs still null with UTM in the matrix") {
+    val weird = G.stPoint(lit(1.0), lit(2.0), lit(27700))
+    isNull(G.stTransform(weird, lit(32618))) shouldBe true
+    val utm = G.stTransform(G.stPoint(lit(1.0), lit(2.0)), lit(32631))
+    isNull(G.stTransform(utm, lit(27700))) shouldBe true
+  }
 }
