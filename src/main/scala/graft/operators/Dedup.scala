@@ -494,6 +494,86 @@ object Dedup {
     }
   }
 
+  /** Connected components by alternating large-star/small-star
+    * contraction [Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14] — the upgrade path over
+    * [[connectedComponents]] when the EDGE list itself is the
+    * bottleneck: each round rewires edges toward component minima, so
+    * the edge set CONTRACTS as the loop advances (pointer jumping
+    * re-joins the full edge list every round). Same output contract:
+    * (node, cluster = min reachable id).
+    *
+    * Round = two aggregate+join pairs over the current edge set:
+    *  - large-star: per node u over the symmetrized neighborhood,
+    *    m = min(Γ(u) ∪ {u}); every neighbor w > u rewires to (w, m).
+    *  - small-star: per node u over the canonical (dst < src) edges,
+    *    m = min(Γ(u) ∪ {u}); every w ∈ Γ(u) ∪ {u}, w ≠ m rewires
+    *    to (w, m).
+    * Both emit canonical dst < src edges, so only large-star pays the
+    * symmetrize union. Convergence = edge multiset unchanged (count
+    * probe, then exceptAll emptiness only when counts tie); converged
+    * edges form stars, so labels read directly off (src -> dst), with
+    * centers and any filtered self-loop nodes coalescing to
+    * themselves. */
+  def connectedComponentsContracting(pairs: DataFrame,
+      id1Col: String = "id1", id2Col: String = "id2",
+      maxIter: Int = 100): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
+    val e0 = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("src") =!= col("dst")).select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("__m"))
+        .select(col("src"), least(col("src"), col("__m")).as("__m"))
+      sym.filter(col("dst") > col("src"))
+        .join(m, "src")
+        .select(col("dst").as("src"), col("__m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("src")).agg(min(col("dst")).as("__m"))
+      val viaNeighbors = e.join(m, "src")
+        .select(col("dst").as("src"), col("__m").as("dst"))
+      val viaSelf = m.select(col("src"), col("__m").as("dst"))
+      viaNeighbors.union(viaSelf)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var edges = canon(e0).distinct().localCheckpoint(eager = true)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
+      // release the superseded round (see connectedComponents)
+      edges.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(blocking = false))
+      edges = next
+      edgeCount = nextCount
+      iter += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsContracting: not converged after $maxIter " +
+          "rounds (labels are a sound over-segmentation, not final)")
+    val parents = edges.groupBy(col("src")).agg(min(col("dst")).as("__p"))
+      .select(col("src").as("node"), col("__p"))
+    nodes.join(parents, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__p"), col("node")).as("cluster"))
+  }
+
   /** End-to-end near-dup pruning — the "dedup my corpus" call a
     * pipeline user actually makes: word-shingle MinHash pairs ->
     * connected components -> keep ONE representative per cluster (the

@@ -69,6 +69,38 @@ class CorpusOpsSpec extends SparkSpec {
     got shouldBe Map(3L -> 3L, 5L -> 3L, 1L -> 1L, 9L -> 1L)
   }
 
+  test("contracting CC equals pointer-jumping CC on varied graph shapes") {
+    // chain (multi-round), clique, isolated pair, reversed + duplicate
+    // edges, plus a seeded pseudo-random graph — both algorithms must
+    // produce the identical (node -> min-id) labeling
+    val chainEtc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L),
+      (31L, 30L), (30L, 31L), (31L, 30L))
+    // deterministic LCG edges over ~60 nodes (no Math.random: seeded)
+    var seed = 12345L
+    def nextId(): Long = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      math.abs(seed % 60) + 100
+    }
+    val random = Seq.fill(120)((nextId(), nextId())).filter(p => p._1 != p._2)
+    for (edges <- Seq(chainEtc, random, chainEtc ++ random)) {
+      val pairs = edges.toDF("id1", "id2")
+      val jumped = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val contracted = Dedup.connectedComponentsContracting(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      contracted shouldBe jumped
+    }
+    // empty input
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    Dedup.connectedComponentsContracting(empty).count() shouldBe 0L
+    // self-loops only: every node is its own singleton component
+    val selfOnly = Seq((7L, 7L), (8L, 8L)).toDF("id1", "id2")
+    Dedup.connectedComponentsContracting(selfOnly)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(7L -> 7L, 8L -> 8L)
+  }
+
   test("connected components leaves session conf and caches alone") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
