@@ -1,9 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Imperative vector math behind the similarity hot paths. */
 object VectorUtil {
@@ -32,6 +32,36 @@ object VectorUtil {
     }
     val den = math.sqrt(na) * math.sqrt(nb)
     if (den > 0) dot / den else 0.0
+  }
+
+  /** Nearest-centroid argmax by (cosine desc, id asc) in one pass over
+    * the centroid matrix — the single-node form of the IVF coarse
+    * quantizer. `ids` is array<long>, `mat` array<array<double>>, both
+    * literals at the call site. Null cosines (dimension mismatch) are
+    * skipped; no valid centroid -> null. Cosine arithmetic is
+    * [[cosine]] itself, so the choice is bit-identical to composing k
+    * CosineSimilarityExpressions and taking array_max. */
+  def centroidArgmax(emb: ArrayData, ids: ArrayData,
+      mat: ArrayData): java.lang.Long = {
+    val k = ids.numElements()
+    var bestId = 0L
+    var bestCos = 0.0
+    var found = false
+    var i = 0
+    while (i < k) {
+      val c = cosine(emb, mat.getArray(i))
+      if (c != null) {
+        val cv = c.doubleValue()
+        val id = ids.getLong(i)
+        if (!found || cv > bestCos || (cv == bestCos && id < bestId)) {
+          found = true
+          bestCos = cv
+          bestId = id
+        }
+      }
+      i += 1
+    }
+    if (found) bestId else null
   }
 }
 
@@ -63,4 +93,36 @@ case class CosineSimilarityExpression(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarityExpression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd nearest-centroid argmax: long centroid id of the best
+  * (cosine desc, id asc) match of `first` (array<double>) against the
+  * literal centroid `third` matrix with `second` ids. ONE expression
+  * node regardless of k — composing k cosine expressions plus an
+  * array_max makes the optimizer fold/analyze a k-wide tree per query
+  * (measured ~1.6 s of planning at k=80 on q32). */
+case class CentroidArgmaxExpression(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_centroid_argmax"
+
+  override protected def nullSafeEval(emb: Any, ids: Any, mat: Any): Any =
+    VectorUtil.centroidArgmax(emb.asInstanceOf[ArrayData],
+      ids.asInstanceOf[ArrayData], mat.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (emb, ids, mat) => {
+      val tmp = ctx.freshName("graftArgmax")
+      s"""
+      java.lang.Long $tmp = graft.expressions.VectorUtil.centroidArgmax($emb, $ids, $mat);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): CentroidArgmaxExpression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -147,34 +147,34 @@ object Similarity {
 
   /** Nearest-centroid assignment (the IVF coarse quantizer): the
     * centroid set is k small rows by contract, so collect it once and
-    * embed it as literal expressions — assignment is then a MAP-ONLY
-    * argmax (k codegen'd cosines + one `array_max` over
-    * struct(cos, -centroid_id, centroid_id), whose field-by-field
-    * ordering reproduces the cos-desc / id-asc tie-break). Zero
-    * exchange per assignment — which compounds ×iterations inside
-    * `trainCentroids`. (The previous broadcast-join + row-id `max_by`
-    * form shuffled every row WITH its embedding for an argmax whose
-    * partial aggregation reduced nothing: row-id groups are unique.)
-    * Output: (outId, __v embedding, centroid_id long — ids are cast
-    * driver-side so the argmax struct is uniformly typed). */
+    * embed it as ONE literal matrix behind the codegen'd
+    * CentroidArgmaxExpression — assignment is a MAP-ONLY argmax
+    * (cos desc, centroid_id asc; cosine arithmetic is VectorUtil's, so
+    * choices are bit-identical to composing k cosine expressions).
+    * Zero exchange per assignment — which compounds ×iterations inside
+    * `trainCentroids` — and one expression node regardless of k, so no
+    * k-wide tree for the optimizer to fold per query. (The original
+    * broadcast-join + row-id `max_by` form shuffled every row WITH its
+    * embedding for an argmax whose partial aggregation reduced
+    * nothing: row-id groups are unique.) Output: (outId, __v embedding,
+    * centroid_id long — ids are cast driver-side so the matrix is
+    * uniformly typed). */
   def assignToCentroids(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, outId: String): DataFrame = {
-    // the argmax tie-break negates centroid_id — order-correct only for
-    // integral ids (trainCentroids emits long ids)
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => CB, expression => E}
     require(isIntegral(centroids.schema("centroid_id").dataType),
       "centroid_id must be an integral type")
     val cents = centroids
       .select(col("centroid_id").cast("long"), col("centroid"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
     require(cents.nonEmpty, "centroids must be non-empty")
-    val scored = cents.map { case (id, vec) =>
-      struct(cosine(col("__v"), typedLit(vec)).as("cos"),
-        lit(-id).as("__neg"), lit(id).as("centroid_id"))
-    }
+    val ids = typedLit[Seq[Long]](cents.map(_._1).toSeq)
+    val mat = typedLit[Seq[Seq[Double]]](cents.map(_._2).toSeq)
     df.select(col(idCol).as(outId), col(embCol).as("__v"))
       .withColumn("centroid_id",
-        array_max(array(scored.toIndexedSeq: _*)).getField("centroid_id"))
+        CB(graft.expressions.CentroidArgmaxExpression(
+          E(col("__v")), E(ids), E(mat))))
   }
 
   /** Multi-probe assignment: each row gets its `n` nearest centroids
