@@ -194,15 +194,21 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
     // column of a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
     // the scan feeds four consumers below anyway
     val raw0 = CsvIngest.scanWithCorrupt(session, csvPath, cfg).persist()
-    val bad = raw0.filter(col(CsvIngest.CorruptCol).isNotNull)
-    val rejected = bad.count()
+    // one aggregate pass for both the malformed count and the clean
+    // total (separate counts cost a full job each — fixed scheduling
+    // latency that dominates small loads and repeats per resume slice)
+    val countsRow = raw0.agg(
+      count(lit(1)).as("__all"),
+      count(col(CsvIngest.CorruptCol)).as("__bad")).head()
+    val rejected = countsRow.getLong(1)
+    val total = countsRow.getLong(0) - rejected
     if (rejected > 0) {
+      val bad = raw0.filter(col(CsvIngest.CorruptCol).isNotNull)
       rejectedPath.foreach(p => bad.write.mode(SaveMode.Append).parquet(p))
       observer.notify("error", s"$rejected malformed rows diverted")
     }
     val raw = raw0.filter(col(CsvIngest.CorruptCol).isNull)
       .drop(CsvIngest.CorruptCol)
-    val total = raw.count()
     observer.notify("total_rows", total.toString)
     val sliced =
       if (startChunk <= 1 && endChunk.isEmpty) raw
@@ -217,7 +223,10 @@ class InsertJob(csvPath: String, tablePath: String, cfg: IngestConfig,
       }
     val typed = CsvIngest.typedProjection(sliced, cfg,
       CsvIngest.inferColumnKinds(sliced, cfg))
-    val typedRows = typed.count()
+    // typedProjection is a row-preserving map-only select, so on a full
+    // (unsliced) load the typed count IS the clean total — no extra job
+    val typedRows =
+      if (startChunk <= 1 && endChunk.isEmpty) total else typed.count()
     var written = 0L
     var failed = 0L
     if (commitBatches <= 1) {

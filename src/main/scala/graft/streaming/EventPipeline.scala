@@ -108,6 +108,41 @@ object EventPipeline {
         col("source_ts"), col("target_ts"), col("value"))
   }
 
+  /** Left-outer attribution: every source event emits EXACTLY once —
+    * joined per conversion inside the window, or with NULL target
+    * columns once the watermark proves no conversion can still arrive
+    * (Structured Streaming's outer-join null emission). Two contract
+    * points the inner form doesn't exercise:
+    *  - the range predicate must live in the JOIN CONDITION, not a
+    *    post-filter: filtering after a left join silently drops the
+    *    unmatched rows the outer join exists to keep, and in streaming
+    *    the ON-clause event-time bound is what lets join state expire
+    *    AND null rows finalize;
+    *  - the join key cannot be a USING column (both sides keep their
+    *    own user_id; the source side's survives the null-extension).
+    * Same output shape as [[attributionJoin]]. */
+  def attributionJoinOuter(events: DataFrame, sourceType: String,
+      targetType: String, within: String = "30 minutes",
+      watermarkDelay: String = "10 minutes",
+      streaming: Boolean = true): DataFrame = {
+    def wm(df: DataFrame): DataFrame =
+      if (streaming) df.withWatermark("ts", watermarkDelay) else df
+    val src = wm(events.filter(col("event_type") === sourceType))
+      .select(col("event_id").as("source_id"), col("user_id"),
+        col("ts").as("source_ts"))
+    val tgt = wm(events.filter(col("event_type") === targetType))
+      .select(col("event_id").as("target_id"),
+        col("user_id").as("__t_user"), col("ts").as("target_ts"),
+        col("value"))
+    src.join(tgt,
+        col("user_id") === col("__t_user") &&
+          col("source_ts") <= col("target_ts") &&
+          col("source_ts") >= col("target_ts") - expr(s"INTERVAL '$within'"),
+        "left_outer")
+      .select(col("source_id"), col("target_id"), col("user_id"),
+        col("source_ts"), col("target_ts"), col("value"))
+  }
+
   // ---- custom-state sessionization (flatMapGroupsWithState) ----------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

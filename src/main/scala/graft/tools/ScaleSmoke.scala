@@ -41,12 +41,27 @@ object ScaleSmoke {
     for (f <- Seq(1, 3, maxFactor).distinct.filter(_ <= maxFactor)) {
       val corpus = blowup(docs, "doc_id", f)
       val n = corpus.count()
-      val (pairs, tMinhash) = time {
+      // minhashNearDups returns an eagerly-checkpointed frame, so the
+      // timed call covers the whole pipeline and the count is free
+      val (pairsDf, tMinhash) = time {
         Dedup.minhashNearDups(corpus, "doc_id", "text",
           shingleSize = 4, k = 16, bands = 4, threshold = 0.5,
-          maxBucketSize = 10000).count()
+          maxBucketSize = 10000)
       }
+      val pairs = pairsDf.count()
       println(f"minhash  ${f}%2dx docs=$n%8d pairs=$pairs%9d  $tMinhash%7.1f s")
+
+      // cluster assembly, both algorithms over the SAME materialized
+      // pair set: pointer jumping (full edge list per round) vs
+      // large-star/small-star (edge list contracts per round)
+      val (cJump, tJump) = time {
+        Dedup.connectedComponents(pairsDf).count()
+      }
+      println(f"cc-jump  ${f}%2dx nodes=$cJump%8d              $tJump%7.1f s")
+      val (cStar, tStar) = time {
+        Dedup.connectedComponentsContracting(pairsDf).count()
+      }
+      println(f"cc-star  ${f}%2dx nodes=$cStar%8d              $tStar%7.1f s")
 
       val vecs = blowup(emb, "vec_id", f)
       val nv = vecs.count()

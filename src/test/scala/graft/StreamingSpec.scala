@@ -122,6 +122,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("outer stream-stream join emits unmatched sources as nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 0.0), // joins with 2
+      ev(2, "2024-01-01 10:20:00", 1, "purchase", 9.99),
+      ev(3, "2024-01-01 09:00:00", 1, "view", 0.0), // >30min -> NULL row
+      ev(4, "2024-01-01 10:10:00", 2, "view", 0.0)) // no purchase -> NULL
+    val stream = MemoryStream[Ev]
+    val query = EventPipeline.attributionJoinOuter(stream.toDF(),
+        "view", "purchase")
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(data: _*)
+      query.processAllAvailable()
+      // null-extended rows finalize only once the watermark proves the
+      // window empty. The GLOBAL watermark is the MIN across the two
+      // filtered inputs, so BOTH event types need late advancers — a
+      // view-only advancer leaves the purchase side's watermark (and
+      // with it the null emission) stuck at the last real purchase.
+      stream.addData(
+        ev(99, "2024-01-01 15:00:00", 9, "view", 0.0),
+        ev(101, "2024-01-01 15:00:00", 9, "purchase", 0.0))
+      query.processAllAvailable()
+      stream.addData(
+        ev(100, "2024-01-01 20:00:00", 9, "view", 0.0),
+        ev(102, "2024-01-01 20:00:00", 9, "purchase", 0.0))
+      query.processAllAvailable()
+      def render(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+      val streamed = render(spark.table("attr_outer")
+        .filter(col("user_id") =!= 9) // watermark-advancer rows
+        .select("source_id", "target_id").collect())
+      val batch = render(EventPipeline.attributionJoinOuter(data.toDF(),
+          "view", "purchase", streaming = false)
+        .select("source_id", "target_id").collect())
+      streamed shouldBe batch
+      streamed shouldBe Seq((1L, 2L), (3L, -1L), (4L, -1L))
+    } finally query.stop()
+  }
+
   test("session_window and flatMapGroupsWithState agree in batch") {
     import spark.implicits._
     val events = Seq(
