@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If
   *   st_point(lon, lat)             -> struct   (composed built-ins)
   *   st_x(geom) / st_y(geom)        -> double
   *   st_astext(geom)                -> string
+  *   st_transform(geom, srid)       -> struct   (4326/3857/UTM 326xx-327xx)
   *
   * One optimizer rule is injected beyond reference parity (which needs
   * none, SURVEY.md §4): TopKHeapRewrite turns `row_number() <= k`
@@ -116,7 +117,38 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => UnresolvedExtractValue(exprs.head, lit("y"))),
     ("st_astext", info("st_astext", "wkt"),
       (exprs: Seq[Expression]) => wkt(exprs.head)),
+    // st_transform(geom, target_srid): the full SRID matrix (4326 /
+    // 3857 / UTM 326xx-327xx). Built from raw unresolved nodes — a
+    // Column-bridge round-trip here leaves column-node wrappers the SQL
+    // analyzer cannot extract fields from. All supported pairs route
+    // through the single-node GeomPivotExpression (identity for
+    // src == target inside the scalar).
+    ("st_transform", info("st_transform", "reproject"),
+      (exprs: Seq[Expression]) => stTransformSql(exprs(0), exprs(1))),
   )
+
+  private def stTransformSql(g: Expression, targetRaw: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And, CaseWhen, EqualTo,
+      GreaterThanOrEqual, IsNull, LessThanOrEqual, Or}
+    val t = fn("int", targetRaw)
+    val s = fn("int", UnresolvedExtractValue(g, lit("srid")))
+    def supported(e: Expression): Expression =
+      Or(Or(EqualTo(e, lit(4326)), EqualTo(e, lit(3857))),
+        Or(And(GreaterThanOrEqual(e, lit(32601)), LessThanOrEqual(e, lit(32660))),
+          And(GreaterThanOrEqual(e, lit(32701)), LessThanOrEqual(e, lit(32760)))))
+    val piv = GeomPivotExpression(
+      fn("double", UnresolvedExtractValue(g, lit("x"))),
+      fn("double", UnresolvedExtractValue(g, lit("y"))), s, t)
+    val out = fn("named_struct",
+      lit("x"), fn("element_at", piv, lit(1)),
+      lit("y"), fn("element_at", piv, lit(2)),
+      lit("srid"), t)
+    CaseWhen(
+      Seq(
+        (IsNull(g), Literal(null)),
+        (And(supported(s), supported(t)), out)),
+      Some(Literal(null)))
+  }
 
   /** Register on an already-built session (tests, REPL). Functions go
     * into the function registry; the top-k rule via

@@ -57,6 +57,23 @@ class ExpressionsSpec extends SparkSpec {
     r.getString(4) shouldBe "POINT(1.5 2.5)"
   }
 
+  test("st_transform is SQL-callable across the SRID matrix") {
+    GraftExtensions.register(spark)
+    Seq((-73.5, 40.5)).toDF("lon", "lat").createOrReplaceTempView("ext_geo")
+    val r = spark.sql(
+      """SELECT
+        |  st_x(st_transform(st_point(lon, lat), 32618)) AS utm_x,
+        |  st_x(st_transform(st_transform(st_point(lon, lat), 32618),
+        |       4326)) AS back_x,
+        |  st_y(st_transform(st_point(lon, lat), 3857)) AS merc_y,
+        |  st_transform(st_point(lon, lat), 27700) AS unknown
+        |FROM ext_geo""".stripMargin).head()
+    r.getDouble(0) shouldBe 627103.0873 +- 0.005 // Redfearn cross-check
+    r.getDouble(1) shouldBe -73.5 +- 1e-7
+    r.getDouble(2) shouldBe 4938869.18 +- 0.01 // ln(tan(65.25 deg)) * R
+    r.isNullAt(3) shouldBe true
+  }
+
   test("graft_kmv_distinct is SQL-callable and matches the operator form") {
     GraftExtensions.register(spark)
     import graft.operators.Sketches
