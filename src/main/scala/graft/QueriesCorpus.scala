@@ -87,8 +87,10 @@ object QueriesCorpus {
     * cluster's minimum id (the keeper). The step that turns pairwise
     * near-dup evidence into drop lists. */
   private def q40Clusters(s: SparkSession, dir: String): DataFrame = {
+    // uncapped for oracle parity (the DuckDB side enumerates band
+    // buckets with no size cap), as in q16/q17/q37
     val pairs = Dedup.simhashNearDups(QueriesDedup.corpus(s, dir),
-      "doc_id", "text", maxHamming = 8)
+      "doc_id", "text", maxHamming = 8, maxBucketSize = Int.MaxValue)
     Dedup.connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))

@@ -110,8 +110,12 @@ object QueriesDedup {
     * word-salad controls vs ~97% for >=0.85 near-dups — bench showed
     * 2-row bands admit ~20% of ALL pairs on this shared-vocab corpus. */
   private def q16Minhash(s: SparkSession, dir: String): DataFrame =
+    // explicitly UNCAPPED: the DuckDB oracle enumerates band buckets
+    // with no size cap, so the oracle-checked form must not drop any
+    // (the finite DefaultMaxBucketSize stays for end-user calls)
     Dedup.minhashNearDups(corpus(s, dir), "doc_id", "text",
-      shingleSize = 4, k = 16, bands = 4, threshold = 0.5)
+      shingleSize = 4, k = 16, bands = 4, threshold = 0.5,
+      maxBucketSize = Int.MaxValue)
       .orderBy(col("id1"), col("id2"))
 
   private val q16Sql = {
@@ -161,8 +165,10 @@ object QueriesDedup {
     * ~50 tokens). Same affine LSH machinery as q16 over a different
     * shingle unit. */
   private def q37MinhashWords(s: SparkSession, dir: String): DataFrame =
+    // uncapped for oracle parity, as in q16
     Dedup.minhashNearDupsWords(corpus(s, dir), "doc_id", "text",
-      shingleWords = 5, k = 16, bands = 4, threshold = 0.5)
+      shingleWords = 5, k = 16, bands = 4, threshold = 0.5,
+      maxBucketSize = Int.MaxValue)
       .orderBy(col("id1"), col("id2"))
 
   private val wordShinglesSqlDef =
@@ -216,7 +222,9 @@ object QueriesDedup {
   // --------------------------------------------------------------- q17
   /** SimHash near-dup: 32-bit sketch, 2-half banding, Hamming <= 8. */
   private def q17Simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(corpus(s, dir), "doc_id", "text", maxHamming = 8)
+    // uncapped for oracle parity, as in q16
+    Dedup.simhashNearDups(corpus(s, dir), "doc_id", "text", maxHamming = 8,
+      maxBucketSize = Int.MaxValue)
       .orderBy(col("id1"), col("id2"))
 
   /** The full q17 pipeline as reusable CTEs ending in a verified

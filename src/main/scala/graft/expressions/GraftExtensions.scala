@@ -146,6 +146,9 @@ object GraftExtensions {
     CaseWhen(
       Seq(
         (IsNull(g), Literal(null)),
+        // identity first, like the Column surface: src == target is a
+        // no-op for ANY srid, supported or not
+        (EqualTo(s, t), g),
         (And(supported(s), supported(t)), out)),
       Some(Literal(null)))
   }

@@ -22,15 +22,41 @@ object PyFloatRepr {
 
   def repr(d: Double): UTF8String = UTF8String.fromString(render(d))
 
+  /** Significant-digit count of a Double.toString rendering — the probe
+    * seed. Java 17's toString is not always minimal, so the probe still
+    * walks down one step at a time, but starts 1-2 steps from the
+    * answer instead of up to 17 Formatter+parse rounds away. */
+  private def sigDigits(s: String): Int = {
+    val e = s.indexOf('E')
+    val mant = if (e >= 0) s.substring(0, e) else s
+    val digits = mant.filter(_.isDigit).dropWhile(_ == '0')
+    val trimmed = digits.reverse.dropWhile(_ == '0').reverse
+    math.max(1, trimmed.length)
+  }
+
   def render(d: Double): String = {
     if (java.lang.Double.isNaN(d)) return "nan"
     if (d == java.lang.Double.POSITIVE_INFINITY) return "inf"
     if (d == java.lang.Double.NEGATIVE_INFINITY) return "-inf"
-    var p = 0
-    var s = String.format(java.util.Locale.ROOT, "%.0e", Double.box(d))
-    while (java.lang.Double.parseDouble(s) != d && p < 17) {
-      p += 1
-      s = String.format(java.util.Locale.ROOT, "%." + p + "e", Double.box(d))
+    def fmt(p: Int): String =
+      String.format(java.util.Locale.ROOT, "%." + p + "e", Double.box(d))
+    def roundTrips(s: String): Boolean = java.lang.Double.parseDouble(s) == d
+    // round-trip success is monotone in precision, so seed near the
+    // expected shortest length and walk toward the boundary
+    var p = math.min(16, math.max(0,
+      sigDigits(java.lang.Double.toString(d)) - 1))
+    var s = fmt(p)
+    if (roundTrips(s)) {
+      var done = false
+      while (p > 0 && !done) {
+        val shorter = fmt(p - 1)
+        if (roundTrips(shorter)) { p -= 1; s = shorter } else done = true
+      }
+    } else {
+      while (!roundTrips(s) && p < 17) {
+        p += 1
+        s = fmt(p)
+      }
     }
     val ei = s.indexOf('e')
     val exp = Integer.parseInt(s.substring(ei + 1))

@@ -53,7 +53,13 @@ object VectorUtil {
       if (c != null) {
         val cv = c.doubleValue()
         val id = ids.getLong(i)
-        if (!found || cv > bestCos || (cv == bestCos && id < bestId)) {
+        // Double.compare reproduces Spark's double ordering exactly —
+        // including NaN > everything — so a NaN-poisoned embedding
+        // still resolves deterministically to the smallest id among
+        // the NaN scores, like the old max_by/array_max forms (a
+        // plain `>` would stick on the first NaN seen)
+        val cmp = java.lang.Double.compare(cv, bestCos)
+        if (!found || cmp > 0 || (cmp == 0 && id < bestId)) {
           found = true
           bestCos = cv
           bestId = id

@@ -70,8 +70,9 @@ final class BatchGeocodeJob(cfg: BatchGeocodeConfig) {
       "outcols" -> cfg.outputColumns.mkString(","),
       "outputCombined" -> "false",
       "maxresults" -> cfg.maxResults.toString) ++ credParams
-    val (_, body) =
+    val (code, body) =
       BatchGeocodeJob.http("POST", url(cfg.baseUrl, "", params), Some(csvBody))
+    BatchGeocodeJob.requireOk(code, body, "submit")
     requestId = BatchGeocodeJob.xmlText(body, "RequestId")
     if (requestId.isEmpty)
       throw new IOException("batch geocode submit rejected: " +
@@ -83,8 +84,9 @@ final class BatchGeocodeJob(cfg: BatchGeocodeConfig) {
   /** Re-read the job status (`action=status`). */
   def refresh(): this.type = {
     val id = requestId.getOrElse(throw new IOException("no requestId"))
-    val (_, body) = BatchGeocodeJob.http("GET",
+    val (code, body) = BatchGeocodeJob.http("GET",
       url(cfg.baseUrl, id, ("action" -> "status") +: credParams), None)
+    BatchGeocodeJob.requireOk(code, body, s"status poll for $id")
     status = BatchGeocodeJob.xmlText(body, "Status")
     this
   }
@@ -116,6 +118,10 @@ final class BatchGeocodeJob(cfg: BatchGeocodeConfig) {
     val (code, body) = BatchGeocodeJob.http("GET",
       url(cfg.baseUrl, s"$id/all", credParams), None)
     if (code == 404) { status = Some("404"); return None }
+    // 404 is the reference's not-ready signal; anything else non-200
+    // is an ERROR body (HTML from a proxy, XML Details, ...) that must
+    // not be rewritten into an empty-but-"successful" result zip
+    BatchGeocodeJob.requireOk(code, body, s"download for $id")
     val cleaned = BatchGeocodeJob.rewriteResultZip(body,
       cfg.outputColumns, cfg.outputDelimiter)
     val target = targetDir.resolve(s"${id}sss.zip")
@@ -135,9 +141,18 @@ final class BatchGeocodeJob(cfg: BatchGeocodeConfig) {
 
 object BatchGeocodeJob {
 
+  /** Raise on any non-2xx status with a snippet of the error body —
+    * proxies return HTML, the service returns XML Details; neither
+    * should be parsed as a success payload. */
+  private[graft] def requireOk(code: Int, body: Array[Byte],
+      what: String): Unit =
+    if (code < 200 || code >= 300)
+      throw new IOException(s"batch geocode $what: HTTP $code " +
+        new String(body.take(200), StandardCharsets.UTF_8))
+
   /** Minimal HTTP round-trip on the JDK client (no added deps):
     * returns (status code, response body — error stream on >=400). */
-  private[operators] def http(method: String, url: String,
+  private[graft] def http(method: String, url: String,
       body: Option[Array[Byte]]): (Int, Array[Byte]) = {
     val conn =
       URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
@@ -164,7 +179,7 @@ object BatchGeocodeJob {
   }
 
   /** First text content of `tag` in an XML document (DTDs disabled). */
-  private[operators] def xmlText(doc: Array[Byte],
+  private[graft] def xmlText(doc: Array[Byte],
       tag: String): Option[String] = {
     if (doc.isEmpty) return None
     val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
@@ -178,7 +193,7 @@ object BatchGeocodeJob {
     * `outputColumns` (header first; per row, a named column's value or
     * "" when the member lacks it — exact-name match, like the
     * reference's DictReader lookup); other members byte-identical. */
-  private[operators] def rewriteResultZip(zipBytes: Array[Byte],
+  private[graft] def rewriteResultZip(zipBytes: Array[Byte],
       outputColumns: Seq[String], delimiter: String): Array[Byte] = {
     require(delimiter.length == 1, "delimiter must be a single character")
     val delim = delimiter.charAt(0)
@@ -209,11 +224,33 @@ object BatchGeocodeJob {
     out.toByteArray
   }
 
+  /** Record-split honoring RFC-4180 quoting: newlines inside a quoted
+    * field belong to the record, not the record separator (doubled
+    * quotes toggle the state twice, so they can't close a field). */
+  private[graft] def splitRecords(text: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (ch == '"') { inQuotes = !inQuotes; sb.append(ch) }
+      else if ((ch == '\n' || ch == '\r') && !inQuotes) {
+        if (ch == '\r' && i + 1 < text.length && text.charAt(i + 1) == '\n')
+          i += 1
+        out += sb.result()
+        sb.clear()
+      } else sb.append(ch)
+      i += 1
+    }
+    out += sb.result()
+    out.toIndexedSeq
+  }
+
   /** Re-emit a header+rows CSV with exactly `outputColumns`. */
-  private[operators] def fitCsv(text: String, outputColumns: Seq[String],
+  private[graft] def fitCsv(text: String, outputColumns: Seq[String],
       delim: Char): String = {
-    val lines = text.split("\r?\n").toIndexedSeq
-      .filter(_.nonEmpty)
+    val lines = splitRecords(text).filter(_.nonEmpty)
     val sb = new StringBuilder
     sb.append(outputColumns.map(renderField(_, delim)).mkString(delim.toString))
       .append('\n')
@@ -234,7 +271,7 @@ object BatchGeocodeJob {
 
   /** RFC-4180-style parse of one line: double quotes delimit fields,
     * doubled quotes escape a literal quote. */
-  private[operators] def splitCsvLine(line: String,
+  private[graft] def splitCsvLine(line: String,
       delim: Char): IndexedSeq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder

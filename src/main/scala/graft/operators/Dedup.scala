@@ -359,6 +359,15 @@ object Dedup {
 
   // ------------------------------------------------- cluster assembly
 
+  /** A localCheckpoint's blocks are RDD-level, not InMemoryRelation —
+    * release a superseded iteration's frame by unpersisting the RDD
+    * inside its LogicalRDD leaf. Shared by both CC loops; without it,
+    * N rounds retain N label/edge tables for the session's lifetime. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Connected components over a near-dup pair table — the final step of
     * every LLM dedup pipeline: pairs (id1, id2) become clusters, each
     * node labeled with the minimum id reachable from it, and the keeper
@@ -416,14 +425,6 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count() // materialize from edgesRaw's cache, then drop it
     edgesRaw.unpersist()
-    // A localCheckpoint's blocks are RDD-level, not InMemoryRelation —
-    // release a superseded round's label table by unpersisting the RDD
-    // inside its LogicalRDD leaf. Without this, N rounds retain N label
-    // tables for the session's lifetime (r3 VERDICT item 5).
-    def releaseCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.logical.collectFirst {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }.foreach(_.unpersist(blocking = false))
     try {
     // init folds the first propagation round in: every node starts at
     // min(self, direct neighbors) straight off the edge aggregate. The
@@ -556,10 +557,7 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
       val nextCount = next.count()
       converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
-      // release the superseded round (see connectedComponents)
-      edges.queryExecution.logical.collectFirst {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }.foreach(_.unpersist(blocking = false))
+      releaseCheckpoint(edges) // superseded round's blocks
       edges = next
       edgeCount = nextCount
       iter += 1

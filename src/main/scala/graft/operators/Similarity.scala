@@ -158,7 +158,13 @@ object Similarity {
     * embedding for an argmax whose partial aggregation reduced
     * nothing: row-id groups are unique.) Output: (outId, __v embedding,
     * centroid_id long — ids are cast driver-side so the matrix is
-    * uniformly typed). */
+    * uniformly typed).
+    *
+    * PRECONDITION: `idCol` is unique per row. The map-only form emits
+    * one assignment per INPUT ROW; duplicate ids would duplicate their
+    * rows downstream (the old groupBy form collapsed them, but
+    * arbitrarily — via first(__v) — and at the cost of the row-id
+    * exchange this rework removed). */
   def assignToCentroids(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, outId: String): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge.{column => CB, expression => E}

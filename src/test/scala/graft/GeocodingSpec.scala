@@ -162,6 +162,43 @@ class GeocodingSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("result-zip CSV fitting honors quoted newlines and delimiters") {
+    import graft.operators.BatchGeocodeJob
+    // an embedded newline inside a quoted field is ONE record
+    val text = "recId|displayLatitude|note\n1|53.3|\"Main St\nApt 4\"\n2|40.4|plain\n"
+    val fitted = BatchGeocodeJob.fitCsv(text, Seq("recId", "note"), '|')
+    fitted shouldBe "recId|note\n1|\"Main St\nApt 4\"\n2|plain\n"
+    // doubled quotes stay escaped through parse + re-render
+    val quoted = BatchGeocodeJob.fitCsv(
+      "recId|note\n1|\"say \"\"hi\"\"|ok\"\n", Seq("note"), '|')
+    quoted shouldBe "note\n\"say \"\"hi\"\"|ok\"\n"
+  }
+
+  test("batch job download raises on a non-404 error instead of writing an empty zip") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/jobs/", { exchange =>
+      val body = "<html>bad gateway</html>".getBytes("UTF-8")
+      exchange.sendResponseHeaders(502, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val cfg = BatchGeocodeConfig(
+        baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}/jobs/",
+        appId = "app", appCode = "code")
+      val job = new BatchGeocodeJob(cfg)
+      job.requestId = Some("req-42")
+      val err = intercept[java.io.IOException] {
+        job.download(java.nio.file.Files.createTempDirectory("graft_geo502"))
+      }
+      err.getMessage should include ("HTTP 502")
+      err.getMessage should include ("bad gateway")
+    } finally server.stop(0)
+  }
+
   test("batch job download returns None on 404; bad submit raises Details") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
