@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{PiiRedaction, TextAnalysis => TA}
+import graft.operators.Decontamination
+
+/** Corpus-quality operator coverage (north-star extension, round 4):
+  * the filter/scrub/decontaminate passes that sit between dedup and
+  * training — Gopher-style repetition rules, PII masking, and eval-set
+  * n-gram decontamination. All three are oracle-checked: the repetition
+  * fractions are exact small-integer ratios, the PII regexes use only
+  * Java-regex ∩ RE2 syntax, and the decontamination join counts are
+  * integers.
+  */
+object QueriesQuality {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Shared normalized-token-list CTE for the DuckDB oracles (mirrors
+    * TextAnalysis.normalizeText + whitespace split). */
+  private val normSql =
+    """norm AS (
+      |  SELECT doc_id, t, string_split(t, ' ') AS tk
+      |  FROM (SELECT doc_id,
+      |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |        FROM documents))""".stripMargin
+
+  // --------------------------------------------------------------- q54
+  /** Gopher-rule repetition filter: one codegen'd map-only pass emits
+    * the three repetition fractions + the keep verdict per document
+    * (Rae et al. 2021 §A1.1 thresholds, adapted). At 100 TB this is a
+    * pure projection over the scan — no shuffle, no state. */
+  private def q54Repetition(s: SparkSession, dir: String): DataFrame = {
+    val r = TA.repetitionStats(col("text"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        r.getField("top_word_fraction").as("top_word_fraction"),
+        r.getField("dup_2gram_fraction").as("dup_2gram_fraction"),
+        r.getField("dup_3gram_fraction").as("dup_3gram_fraction"))
+      .withColumn("keep",
+        col("top_word_fraction") <= 0.3 &&
+          col("dup_2gram_fraction") <= 0.2 &&
+          col("dup_3gram_fraction") <= 0.18)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q54Sql =
+    s"""WITH $normSql,
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(list_max(list_transform(list_distinct(tk),
+       |           w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE)
+       |      / len(tk) AS topf,
+       |    CASE WHEN len(tk) < 2 THEN 0.0 ELSE
+       |      CAST(len(tk) - 1 - len(list_distinct(list_transform(
+       |             range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])))
+       |           AS DOUBLE) / (len(tk) - 1) END AS d2,
+       |    CASE WHEN len(tk) < 3 THEN 0.0 ELSE
+       |      CAST(len(tk) - 2 - len(list_distinct(list_transform(
+       |             range(1, len(tk) - 1),
+       |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+       |           AS DOUBLE) / (len(tk) - 2) END AS d3
+       |  FROM norm)
+       |SELECT doc_id, topf AS top_word_fraction, d2 AS dup_2gram_fraction,
+       |  d3 AS dup_3gram_fraction,
+       |  (topf <= 0.3 AND d2 <= 0.2 AND d3 <= 0.18) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q55
+  /** PII scrub: deterministic synthetic PII (email + phone + IPv4,
+    * derived from doc_id) is planted on every third document in BOTH
+    * engines, then detected and masked. Counts use the same regexes as
+    * the masks, so n_* == 0 rows prove the patterns don't false-hit the
+    * base corpus. Map-only at any scale. */
+  private def q55Pii(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string")))
+        .otherwise(col("text")).as("text"))
+    planted.select(col("doc_id"),
+      PiiRedaction.emailCount(col("text")).as("n_emails"),
+      PiiRedaction.phoneCount(col("text")).as("n_phones"),
+      PiiRedaction.ipv4Count(col("text")).as("n_ips"),
+      PiiRedaction.redact(col("text")).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q55Sql = {
+    // single-quoted DuckDB literals keep backslashes verbatim, and the
+    // patterns contain no quotes — embed as-is
+    val email = PiiRedaction.EmailPattern
+    val phone = PiiRedaction.PhonePattern
+    val ip = PiiRedaction.Ipv4Pattern
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN
+       |      text || ' contact user' || doc_id || '@example.com or call 555-01'
+       |        || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+       |        || ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$email')) AS n_emails,
+       |  len(regexp_extract_all(text, '$phone')) AS n_phones,
+       |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g') AS redacted
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q56
+  /** Eval-set decontamination: the eval set is the first 20 normalized
+    * tokens of every 17th document (a "leaked prompt" fixture built
+    * identically in both engines); any doc sharing a word 13-gram with
+    * it is flagged. Inverted-index join, eval side broadcast — the
+    * corpus never shuffles. */
+  private def q56Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val evalSet = d.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ",
+          slice(split(TA.normalizeText(col("text")), " "), 1, 20))
+          .as("eval_text"))
+    Decontamination.contaminatedDocs(d, "doc_id", "text",
+      evalSet, "eval_id", "eval_text", n = 13)
+      .orderBy(col("doc_id"))
+  }
+
+  // word 13-grams with WordShinglesExpression's short-input rule:
+  // <= 13 tokens -> the whole normalized string is the only shingle
+  private val q56Sql =
+    s"""WITH $normSql,
+       |docg AS (
+       |  SELECT doc_id AS id, unnest(
+       |    CASE WHEN len(tk) <= 13 THEN [t]
+       |    ELSE list_distinct(list_transform(range(1, len(tk) - 11),
+       |           i -> array_to_string(tk[i:i+12], ' '))) END) AS g
+       |  FROM norm),
+       |evt AS (
+       |  SELECT doc_id AS eval_id, array_to_string(tk[1:20], ' ') AS et,
+       |    tk[1:20] AS etk
+       |  FROM norm WHERE doc_id % 17 = 0),
+       |evg AS (
+       |  SELECT eval_id AS id, unnest(
+       |    CASE WHEN len(etk) <= 13 THEN [et]
+       |    ELSE list_distinct(list_transform(range(1, len(etk) - 11),
+       |           i -> array_to_string(etk[i:i+12], ' '))) END) AS g
+       |  FROM evt)
+       |SELECT d.id AS doc_id, count(DISTINCT d.g) AS n_hits,
+       |  min(e.id) AS min_eval_id
+       |FROM docg d JOIN evg e ON d.g = e.g
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_quality_repetition" -> (q54Repetition _),
+    "q55_pii_redact" -> (q55Pii _),
+    "q56_decontaminate" -> (q56Decontaminate _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q54_quality_repetition" -> q54Sql,
+    "q55_pii_redact" -> q55Sql,
+    "q56_decontaminate" -> q56Sql,
+  )
+}

@@ -19,11 +19,13 @@ object SparkEntry {
     Queries.registry ++ QueriesDedup.registry ++
       QueriesSimilarity.registry ++ QueriesRelational.registry ++
       QueriesStreaming.registry ++ QueriesMultimodal.registry ++
-      QueriesCoverage.registry ++ QueriesCorpus.registry
+      QueriesCoverage.registry ++ QueriesCorpus.registry ++
+      QueriesQuality.registry
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesDedup.oracles ++
       QueriesSimilarity.oracles ++ QueriesRelational.oracles ++
       QueriesStreaming.oracles ++ QueriesMultimodal.oracles ++
-      QueriesCoverage.oracles ++ QueriesCorpus.oracles
+      QueriesCoverage.oracles ++ QueriesCorpus.oracles ++
+      QueriesQuality.oracles
 }

@@ -116,6 +116,38 @@ object TextAnalysis {
         org.apache.spark.sql.graftshim.ColumnBridge.expression(
           normalizeText(text)), n))
 
+  /** Gopher-style repetition quality stats (Rae et al. 2021 §A1.1):
+    * struct(top_word_fraction, dup_2gram_fraction, dup_3gram_fraction)
+    * over the normalized token stream, in ONE codegen'd pass (see
+    * RepetitionStatsExpression). Map-only at any scale. */
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.RepetitionStatsExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(
+          normalizeText(text))))
+
+  /** Column-composition form of repetitionStats (spec reference only):
+    * same three fractions via higher-order functions. Quadratic in the
+    * token count (per-token count scan) — the expression form is the
+    * production path. */
+  private[graft] def repetitionStatsComposed(text: Column): Column = {
+    val tk = split(normalizeText(text), " ")
+    def ngrams(k: Int): Column =
+      transform(sequence(lit(1), size(tk) - lit(k - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(k))))
+    def dupFrac(k: Int): Column =
+      when(size(tk) < k, lit(0.0)).otherwise(
+        (size(ngrams(k)) - size(array_distinct(ngrams(k)))).cast("double") /
+          size(ngrams(k)))
+    val top = when(size(tk) === 0 || (size(tk) === 1 && element_at(tk, 1) === ""),
+      lit(0.0)).otherwise(
+      array_max(transform(array_distinct(tk),
+        w => size(filter(tk, x => x === w)))).cast("double") / size(tk))
+    struct(top.as("top_word_fraction"),
+      dupFrac(2).as("dup_2gram_fraction"),
+      dupFrac(3).as("dup_3gram_fraction"))
+  }
+
   /** Column-composition form of wordShingles (spec reference only). */
   private[graft] def wordShinglesComposed(text: Column, n: Int): Column = {
     val norm = normalizeText(text)

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{PiiRedaction, TextAnalysis => TA}
+import graft.operators.Decontamination
+
+/** Corpus-quality operators: Gopher repetition rules, PII redaction,
+  * eval-set decontamination (round-4 north-star extensions). */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------- repetition stats
+
+  test("repetitionStats: hand-computed fractions") {
+    // 6 tokens: 'a' x4 -> top 4/6; 2-grams [a a, a a, a b, b a, a c]
+    // -> 5 total, 4 distinct -> 0.2; 3-grams [a a a, a a b, a b a,
+    // b a c] -> 4 total 4 distinct -> 0.0
+    val r = evalOne[org.apache.spark.sql.Row](
+      TA.repetitionStats(lit("a a a b a c")))
+    r.getDouble(0) shouldBe (4.0 / 6.0)
+    r.getDouble(1) shouldBe 0.2
+    r.getDouble(2) shouldBe 0.0
+  }
+
+  test("repetitionStats: degenerate repeated word") {
+    val r = evalOne[org.apache.spark.sql.Row](
+      TA.repetitionStats(lit("spam spam spam spam")))
+    r.getDouble(0) shouldBe 1.0
+    r.getDouble(1) shouldBe (2.0 / 3.0)
+    r.getDouble(2) shouldBe 0.5
+  }
+
+  test("repetitionStats: short and empty inputs") {
+    val one = evalOne[org.apache.spark.sql.Row](TA.repetitionStats(lit("word")))
+    one.getDouble(0) shouldBe 1.0
+    one.getDouble(1) shouldBe 0.0
+    one.getDouble(2) shouldBe 0.0
+    val empty = evalOne[org.apache.spark.sql.Row](TA.repetitionStats(lit("  ")))
+    empty.getDouble(0) shouldBe 0.0
+    empty.getDouble(1) shouldBe 0.0
+    empty.getDouble(2) shouldBe 0.0
+  }
+
+  test("repetitionStats: expression equals composed reference on corpus") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val both = docs.select(
+      TA.repetitionStats(col("text")).as("e"),
+      TA.repetitionStatsComposed(col("text")).as("c"))
+    both.filter(col("e") =!= col("c")).count() shouldBe 0L
+  }
+
+  // ------------------------------------------------------ PII redaction
+
+  test("PII: masks and counts all three classes") {
+    val t = lit("mail Bob.Smith+x@corp.example.org or 415-555-0123, " +
+      "backup 555-0199, host 192.168.1.10 done")
+    evalOne[Int](PiiRedaction.emailCount(t)) shouldBe 1
+    evalOne[Int](PiiRedaction.phoneCount(t)) shouldBe 2
+    evalOne[Int](PiiRedaction.ipv4Count(t)) shouldBe 1
+    evalOne[String](PiiRedaction.redact(t)) shouldBe
+      "mail <EMAIL> or <PHONE>, backup <PHONE>, host <IP> done"
+  }
+
+  test("PII: clean text untouched, zero counts") {
+    val t = lit("the quick brown fox, order 12-34, version 1.2 beta")
+    evalOne[Int](PiiRedaction.emailCount(t)) shouldBe 0
+    evalOne[Int](PiiRedaction.phoneCount(t)) shouldBe 0
+    evalOne[Int](PiiRedaction.ipv4Count(t)) shouldBe 0
+    evalOne[String](PiiRedaction.redact(t)) shouldBe
+      "the quick brown fox, order 12-34, version 1.2 beta"
+  }
+
+  test("PII: word boundaries reject embedded digit runs") {
+    // 7 digits before the dash: \b…XXX-XXXX must not half-match
+    val t = lit("ticket 1234567-8901234 ref")
+    evalOne[Int](PiiRedaction.phoneCount(t)) shouldBe 0
+    // recall-over-precision: the leading quad of a longer dotted run
+    // still matches (RE2 has no lookahead to forbid a trailing .digit)
+    evalOne[Int](PiiRedaction.ipv4Count(lit("v 1.2.3.4.5 x"))) shouldBe 1
+  }
+
+  // --------------------------------------------------- decontamination
+
+  test("decontamination: flags exactly the docs sharing a 13-gram") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")        // 30 tokens
+    val leaked = (1 to 30).map(i => s"w$i").take(15).mkString(" ")
+    val clean = (100 to 129).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((1L, words), (2L, clean), (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val eval = Seq((900L, leaked)).toDF("eval_id", "eval_text")
+
+    val out = Decontamination.contaminatedDocs(
+      corpus, "doc_id", "text", eval, "eval_id", "eval_text", n = 13)
+      .collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    // 15-token eval prompt -> 3 distinct 13-grams, all present in doc 1
+    out.head.getLong(1) shouldBe 3L
+    out.head.getLong(2) shouldBe 900L
+  }
+
+  test("decontaminate drops flagged docs and keeps the rest") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val clean = (100 to 129).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((1L, words), (2L, clean)).toDF("doc_id", "text")
+    val eval = Seq((900L, words)).toDF("eval_id", "eval_text")
+    val kept = Decontamination.decontaminate(
+      corpus, "doc_id", "text", eval, "eval_id", "eval_text")
+    kept.select("doc_id").as[Long].collect().toSeq shouldBe Seq(2L)
+  }
+
+  test("decontamination: short-doc whole-text rule") {
+    // both sides under 13 tokens -> whole normalized text is the shingle;
+    // exact (normalized) equality is the only way to match
+    val corpus = Seq((1L, "Hello  WORLD"), (2L, "another doc"))
+      .toDF("doc_id", "text")
+    val eval = Seq((7L, "hello world")).toDF("eval_id", "eval_text")
+    val out = Decontamination.contaminatedDocs(
+      corpus, "doc_id", "text", eval, "eval_id", "eval_text", n = 13)
+      .collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(1L)
+  }
+}
