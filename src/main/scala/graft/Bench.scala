@@ -38,13 +38,40 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    // per-query task-metric split on stderr (stdout stays the one JSON
+    // line): separates task-closure deserialization, execution, GC, and
+    // scheduler gap so a run-level anomaly is attributable — added while
+    // root-causing a progressive whole-run slowdown where jstack showed
+    // executor threads burning CPU in ResultTask closure deserialization
+    val taskAgg = new java.util.concurrent.atomic.AtomicLongArray(4)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          taskAgg.addAndGet(0, m.executorDeserializeTime)
+          taskAgg.addAndGet(1, m.executorRunTime)
+          taskAgg.addAndGet(2, m.jvmGCTime)
+          if (te.taskInfo != null)
+            taskAgg.addAndGet(3,
+              te.taskInfo.finishTime - te.taskInfo.launchTime)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     val results = selected.map { case (name, fn) =>
+      (0 until 4).foreach(taskAgg.set(_, 0L))
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench-metrics] $name wall=$elapsed%.2fs " +
+        f"taskDeser=${taskAgg.get(0) / 1e3}%.2fs " +
+        f"taskRun=${taskAgg.get(1) / 1e3}%.2fs " +
+        f"taskGc=${taskAgg.get(2) / 1e3}%.2fs " +
+        f"taskWall=${taskAgg.get(3) / 1e3}%.2fs")
       // per-query isolation, OUTSIDE the timed section: release cached
       // plans and any persistent/localCheckpoint RDD blocks a query left
       // behind, so heap accumulation from one query can't charge a GC

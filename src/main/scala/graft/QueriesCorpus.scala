@@ -299,9 +299,36 @@ object QueriesCorpus {
         "\nORDER BY \"column\"")
   }
 
+  // --------------------------------------------------------------- q58
+  /** Mixture sampling: each source contributes docs in stable
+    * md5-of-id order until a 700-token budget — the data-mixture step
+    * of corpus assembly, reproducible across runs/engines/appends. */
+  private def q58Mixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      TA.tokenCount(col("text")).as("tok"))
+    Sampling.tokenBudgetSample(d, "doc_id", "tok", "source", budget = 700L)
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  // CAST the window sum: DuckDB promotes sum(BIGINT) to HUGEINT where
+  // Spark's sum(int) is long (the q36 house rule)
+  private val q58Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, tok,
+      |    CAST(sum(tok) OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS cum_tokens
+      |  FROM d)
+      |SELECT doc_id, source, tok, cum_tokens FROM c
+      |WHERE cum_tokens <= 700 ORDER BY source, cum_tokens""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_mixture_sample" -> (q58Mixture _),
     "q49_profile" -> (q49Profile _),
     "q46_spatial_join" -> (q46Spatial _),
     "q45_tfidf" -> (q45Tfidf _),
@@ -313,6 +340,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_mixture_sample" -> q58Sql,
     "q49_profile" -> q49Sql,
     "q46_spatial_join" -> q46Sql,
     "q45_tfidf" -> q45Sql,

@@ -304,9 +304,34 @@ object QueriesDedup {
       |WHERE list_cosine_similarity(a.e, b.e) >= 0.99
       |ORDER BY id1, id2""".stripMargin
 
+  // --------------------------------------------------------------- q57
+  /** Exact-substring duplication (Lee et al. 2021 as an inverted
+    * index): 20-token sliding spans shared by >= 2 docs of the dup
+    * corpus — catches verbatim quotes document-level similarity
+    * misses. */
+  private def q57Spans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(corpus(s, dir), "doc_id", "text",
+      windowTokens = 20, minDocs = 2)
+      .orderBy(col("span"))
+
+  private val q57Sql =
+    s"""WITH $corpusSql,
+       |sh AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(tk) <= 20 THEN [t]
+       |    ELSE list_distinct(list_transform(range(1, len(tk) - 18),
+       |           i -> array_to_string(tk[i:i+19], ' '))) END) AS span
+       |  FROM (SELECT doc_id, t, string_split(t, ' ') AS tk
+       |        FROM (SELECT doc_id,
+       |                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |              FROM corpus)))
+       |SELECT span, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM sh GROUP BY 1 HAVING count(*) >= 2 ORDER BY span""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_dup_spans" -> (q57Spans _),
     "q14_dedup_exact" -> (q14Exact _),
     "q15_dedup_ngram_jaccard" -> (q15Ngram _),
     "q16_dedup_minhash_lsh" -> (q16Minhash _),
@@ -316,6 +341,7 @@ object QueriesDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_dup_spans" -> q57Sql,
     "q14_dedup_exact" -> q14Sql,
     "q15_dedup_ngram_jaccard" -> q15Sql,
     "q16_dedup_minhash_lsh" -> q16Sql,

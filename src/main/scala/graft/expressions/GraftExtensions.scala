@@ -17,6 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If
   *   graft_word_shingles(text, n)   -> array    (custom codegen'd node)
   *   graft_fingerprint(string)      -> string   (composed built-ins)
   *   graft_kmv_distinct(x[, k])     -> double   (KMV sketch aggregate)
+  *   graft_repetition_stats(text)   -> struct   (Gopher repetition rules)
+  *   graft_redact_pii(text)         -> string   (email/phone/IPv4 mask)
   *   st_point(lon, lat)             -> struct   (composed built-ins)
   *   st_x(geom) / st_y(geom)        -> double
   *   st_astext(geom)                -> string
@@ -79,6 +81,16 @@ object GraftExtensions {
         fn("lower", fn("trim", text)), lit("\\s+"), lit(" "))),
       lit(1), lit(16))
 
+  private def redactPii(text: Expression): Expression = {
+    import graft.functions.PiiRedaction
+    fn("regexp_replace",
+      fn("regexp_replace",
+        fn("regexp_replace", text,
+          lit(PiiRedaction.EmailPattern), lit("<EMAIL>")),
+        lit(PiiRedaction.PhonePattern), lit("<PHONE>")),
+      lit(PiiRedaction.Ipv4Pattern), lit("<IP>"))
+  }
+
   private def wkt(g: Expression): Expression =
     If(IsNull(g), Literal(null, org.apache.spark.sql.types.StringType),
       fn("concat", lit("POINT("),
@@ -99,6 +111,11 @@ object GraftExtensions {
         normalizeExpr(exprs.head), intLit("graft_word_shingles", exprs(1)))),
     ("graft_fingerprint", info("graft_fingerprint", "fingerprint"),
       (exprs: Seq[Expression]) => fingerprint(exprs.head)),
+    ("graft_repetition_stats", info("graft_repetition_stats", "repetition quality"),
+      (exprs: Seq[Expression]) =>
+        RepetitionStatsExpression(normalizeExpr(exprs.head))),
+    ("graft_redact_pii", info("graft_redact_pii", "pii mask"),
+      (exprs: Seq[Expression]) => redactPii(exprs.head)),
     // aggregate: the analyzer wraps a bare AggregateFunction returned
     // from a builder in an AggregateExpression automatically. The child
     // is md5-hashed to the KMV's 60-bit hash space in the builder, so

@@ -71,6 +71,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
       .filter(col("n_copies") > 1)
 
+  /** Exact-substring duplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — their suffix-array
+    * pass, re-expressed as the Spark-idiomatic inverted index): every
+    * `windowTokens`-token sliding span of every doc, counted across
+    * docs; spans appearing in >= minDocs docs are duplicated content.
+    * Complements MinHash: catches a long verbatim quote inside two
+    * otherwise-different documents, which document-level similarity
+    * misses.
+    *
+    * One explode + one hash-aggregate. Each (doc, span) pair is
+    * distinct by construction (WordShinglesExpression dedups within
+    * doc), so n_docs = count(*) — no countDistinct expand. Partial
+    * aggregation collapses each span to one row per partition map-side;
+    * the exchange key is the span string (uniform md5-grade spread —
+    * a span shared by millions of docs arrives pre-counted as one row
+    * per partition, so even pathological boilerplate cannot skew a
+    * reducer). Docs shorter than the window contribute their whole
+    * normalized text as one span, so short exact-dups still surface. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50, minDocs: Int = 2): DataFrame = {
+    require(windowTokens > 0 && minDocs >= 2, "windowTokens > 0, minDocs >= 2")
+    df.select(col(idCol).as("__doc_id"),
+        explode(TextAnalysis.wordShingles(col(textCol), windowTokens)).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col("__doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   // ---------------------------------------------------------- minhash
 
   import graft.expressions.MinHashScheme

@@ -52,4 +52,30 @@ object Sampling {
     require(keep >= 0 && keep <= outOf, s"keep ($keep) must be in [0, $outOf]")
     df.filter(hashBucket(col(idCol), outOf) < keep)
   }
+
+  /** Mixture sampling: per-group (training-mix source) deterministic
+    * selection in stable md5-of-id order until each group's cumulative
+    * token count reaches `budget` (rows kept while the inclusive
+    * running total <= budget). The data-mixture step of corpus
+    * assembly: every source contributes a bounded, reproducible token
+    * quota, stable across runs/engines/partitionings. (Unlike
+    * hashSample, NOT append-stable: a fixed quota means a newly
+    * appended doc that sorts early can displace a boundary doc —
+    * inherent to quota sampling, not an implementation choice.)
+    *
+    * Adds `cumCol` (the running total) to the output. One window pass
+    * partitioned by the group column — parallel across groups; a
+    * single group's rows meet in one partition, which is the correct
+    * grain (the running total is inherently sequential per group) and
+    * bounded by the largest source, not the corpus. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, tokenCol: String,
+      groupCol: String, budget: Long,
+      cumCol: String = "cum_tokens"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")))
+    df.withColumn(cumCol, sum(col(tokenCol)).over(w))
+      .filter(col(cumCol) <= budget)
+  }
 }

@@ -249,4 +249,46 @@ class CorpusOpsSpec extends SparkSpec {
       (4L, 1L, 1L), (5L, 6L, 2L), (6L, 2L, 3L), (7L, 1L, 3L))
     run(docs.repartition(5)) shouldBe got
   }
+
+  test("duplicated spans finds shared windows and the whole-text rule") {
+    val shared = (1 to 25).map(i => s"t$i").mkString(" ") // 25 tokens
+    val docs = Seq(
+      (1L, s"$shared unique tail one"),
+      (2L, s"prefix two $shared"),
+      (3L, (100 to 130).map(i => s"u$i").mkString(" ")), // unrelated
+      (4L, "short doc"), (5L, "short  DOC")              // whole-text dups
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      windowTokens = 20, minDocs = 2)
+      .orderBy("span").collect()
+    // docs 1+2 share the 25-token run => its 6 distinct 20-gram windows;
+    // docs 4+5 share their whole normalized text
+    out.length shouldBe 7
+    out.count(_.getLong(1) == 2L) shouldBe 7
+    out.map(_.getString(0)) should contain ("short doc")
+    out.filter(_.getString(0) != "short doc")
+      .map(_.getLong(2)).toSet shouldBe Set(1L)
+  }
+
+  test("token-budget mixture sample respects quotas deterministically") {
+    val docs = (1 to 60).map { i =>
+      (i.toLong, s"src${i % 3}", 100)
+    }.toDF("doc_id", "source", "tok")
+    val out = Sampling.tokenBudgetSample(
+      docs, "doc_id", "tok", "source", budget = 650L)
+    // 100-token docs: running total hits 600 at 6 docs; the 7th crosses
+    val perSrc = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("cum_tokens").as("cum"))
+      .collect()
+    perSrc.length shouldBe 3
+    perSrc.foreach { r =>
+      r.getLong(1) shouldBe 6L
+      r.getLong(2) shouldBe 600L
+    }
+    // stable across partitionings and reruns
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    Sampling.tokenBudgetSample(docs.repartition(7), "doc_id", "tok",
+        "source", budget = 650L)
+      .select("doc_id").as[Long].collect().sorted.toSeq shouldBe ids
+  }
 }

@@ -79,6 +79,18 @@ class QualitySpec extends SparkSpec {
     evalOne[Int](PiiRedaction.ipv4Count(lit("v 1.2.3.4.5 x"))) shouldBe 1
   }
 
+  test("repetition stats and PII mask are SQL-callable after registration") {
+    graft.expressions.GraftExtensions.register(spark)
+    Seq(("spam  SPAM spam", "mail a@b.io or 555-0199 at 10.0.0.1"))
+      .toDF("rep", "pii").createOrReplaceTempView("quality_t")
+    val r = spark.sql(
+      """SELECT graft_repetition_stats(rep).top_word_fraction AS topf,
+        |  graft_redact_pii(pii) AS clean
+        |FROM quality_t""".stripMargin).head()
+    r.getDouble(0) shouldBe 1.0
+    r.getString(1) shouldBe "mail <EMAIL> or <PHONE> at <IP>"
+  }
+
   // --------------------------------------------------- decontamination
 
   test("decontamination: flags exactly the docs sharing a 13-gram") {
