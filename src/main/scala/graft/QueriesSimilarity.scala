@@ -111,13 +111,49 @@ object QueriesSimilarity {
 
   // -------------------------------------------------------------- export
 
+  // --------------------------------------------------------------- q59
+  /** Int8 embedding quantization: per-vector max-abs scale + code sum +
+    * saturation count (array itself summarized to integers so the
+    * driver hash stays engine-portable). Map-only compression pass. */
+  private def q59Quantize(s: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(col("e"))
+    emb(s, dir).select(col("vec_id"), q.as("__q"))
+      .select(col("vec_id"),
+        col("__q.scale").as("scale"),
+        aggregate(col("__q.q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        size(filter(col("__q.q"),
+          x => x === 127 || x === -127)).as("n_sat"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q59Sql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, e,
+      |    list_max(list_transform(e, x -> abs(x))) AS scale
+      |  FROM e),
+      |qt AS (
+      |  SELECT vec_id, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+      |    ELSE list_transform(e,
+      |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) END AS qv
+      |  FROM sc)
+      |SELECT vec_id, scale,
+      |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+      |  len(list_filter(qv, x -> x = 127 OR x = -127)) AS n_sat
+      |FROM qt ORDER BY vec_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_quantize_int8" -> (q59Quantize _),
     "q19_sim_bruteforce_topk" -> (q19BruteForce _),
     "q20_sim_ann_lsh" -> (q20AnnLsh _),
     "q32_sim_ann_ivf" -> (q32Ivf _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_quantize_int8" -> q59Sql,
     "q19_sim_bruteforce_topk" -> q19Sql,
     "q20_sim_ann_lsh" -> q20Sql,
     "q32_sim_ann_ivf" -> q32Sql,

@@ -286,4 +286,33 @@ object Similarity {
       .withColumn("cos", cosine(col("__qe"), col("__ce")))
     rankTopK(scored, k)
   }
+
+  // ---------------------------------------------------- int8 quantization
+
+  /** Int8 quantization of an embedding (max-abs scaling): struct(scale,
+    * q) where q_i = floor(127·x_i/scale + 0.5) in [-127, 127]. The
+    * storage/transport compression step for corpus-scale embedding
+    * tables — 4× smaller than float32, dequantized error bounded by
+    * scale/254 per element. Map-only; no shuffle at any scale.
+    *
+    * Portability: elements are cast to double BEFORE the max/divide so
+    * both engines run identical IEEE double ops, and rounding is the
+    * explicit `floor(x + 0.5)` (half-up) rather than `round()`, whose
+    * half-way rule differs across engines. An all-zero vector gets
+    * scale 0 and all-zero codes. */
+  def quantizeInt8(vec: Column): Column = {
+    val ed = transform(vec, x => x.cast("double"))
+    val scale = array_max(transform(ed, x => abs(x)))
+    val q = when(scale === lit(0.0), transform(ed, _ => lit(0)))
+      .otherwise(transform(ed,
+        x => floor(x * lit(127.0) / scale + lit(0.5)).cast("int")))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Inverse of quantizeInt8 (up to the quantization error). */
+  def dequantizeInt8(quant: Column): Column = {
+    val scale = quant.getField("scale")
+    transform(quant.getField("q"),
+      x => x.cast("double") * scale / lit(127.0))
+  }
 }

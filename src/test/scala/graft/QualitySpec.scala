@@ -120,6 +120,36 @@ class QualitySpec extends SparkSpec {
     kept.select("doc_id").as[Long].collect().toSeq shouldBe Seq(2L)
   }
 
+  test("quality pass runs unchanged under Structured Streaming") {
+    // map-only ops (repetition stats, PII mask) need no watermark or
+    // state — the same Columns drive readStream, and the stream output
+    // equals the batch output row-for-row
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "spam spam spam mail a@b.io now"),
+      (2L, "a normal doc with no repeats or pii at all"))
+    def pass(df: org.apache.spark.sql.DataFrame) = {
+      val r = TA.repetitionStats(col("text"))
+      df.select(col("doc_id"),
+        r.getField("top_word_fraction").as("topf"),
+        PiiRedaction.redact(col("text")).as("clean"))
+    }
+    val stream = MemoryStream[(Long, String)]
+    val q = pass(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_stream").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("quality_stream")
+        .orderBy("doc_id").collect().toSeq
+      val want = pass(rows.toDF("doc_id", "text"))
+        .orderBy("doc_id").collect().toSeq
+      got shouldBe want
+      got.head.getString(2) should include ("<EMAIL>")
+    } finally q.stop()
+  }
+
   test("decontamination: short-doc whole-text rule") {
     // both sides under 13 tokens -> whole normalized text is the shingle;
     // exact (normalized) equality is the only way to match

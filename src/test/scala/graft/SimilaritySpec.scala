@@ -236,4 +236,33 @@ class SimilaritySpec extends SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1))) should contain ((1L, 2L))
     out.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L) shouldBe false
   }
+
+  test("int8 quantization round-trips within the error bound") {
+    val vecs = Seq(
+      (1L, Seq(0.5, -1.0, 0.25, 0.0)),
+      (2L, Seq(0.001, 0.002, -0.003, 0.0015)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0)) // zero vector: scale 0, codes 0
+    ).toDF("id", "v")
+    val out = vecs.select(col("id"), col("v"),
+        Similarity.quantizeInt8(col("v")).as("q"))
+      .withColumn("d", Similarity.dequantizeInt8(col("q")))
+      .collect().map(r => (r.getLong(0), r)).toMap
+
+    // codes in [-127, 127], max-abs element maps to ±127 exactly
+    val q1 = out(1L).getStruct(2).getSeq[Int](1)
+    q1 shouldBe Seq(64, -127, 32, 0)
+    out(1L).getStruct(2).getDouble(0) shouldBe 1.0
+    // reconstruction error bounded by scale/254 per element
+    for (id <- Seq(1L, 2L)) {
+      val v = out(id).getSeq[Double](1)
+      val d = out(id).getSeq[Double](3)
+      val scale = out(id).getStruct(2).getDouble(0)
+      v.zip(d).foreach { case (a, b) =>
+        math.abs(a - b) should be <= scale / 254.0 + 1e-12
+      }
+    }
+    // zero vector: all-zero codes, zero reconstruction
+    out(3L).getStruct(2).getSeq[Int](1) shouldBe Seq(0, 0, 0, 0)
+    out(3L).getSeq[Double](3) shouldBe Seq(0.0, 0.0, 0.0, 0.0)
+  }
 }
