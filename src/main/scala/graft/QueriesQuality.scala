@@ -160,15 +160,44 @@ object QueriesQuality {
        |FROM docg d JOIN evg e ON d.g = e.g
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q60
+  /** CCNet-style bigram-LM perplexity scoring: train on the corpus,
+    * score every doc by mean negative log-probability (Laplace
+    * smoothing). The per-doc sum folds SORTED log values so both
+    * engines add identical floats in identical order. */
+  private def q60LmScore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.scoreDocs(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q60Sql =
+    s"""WITH $normSql,
+       |bg0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+       |  FROM norm WHERE len(tk) >= 2),
+       |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+       |bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+       |hc AS (SELECT w1, count(*) AS c_h FROM bg GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS v
+       |      FROM (SELECT unnest(tk) AS w FROM norm)),
+       |lp AS (
+       |  SELECT bg.doc_id, ln((bgc.c_bg + 1.0) / (hc.c_h + v.v)) AS lnp
+       |  FROM bg JOIN bgc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN v)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  -list_aggregate(list_sort(list(lnp)), 'sum') / count(*) AS score
+       |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_quality_repetition" -> (q54Repetition _),
     "q55_pii_redact" -> (q55Pii _),
     "q56_decontaminate" -> (q56Decontaminate _),
+    "q60_lm_score" -> (q60LmScore _),
   )
 
   val oracles: Map[String, String] = Map(
     "q54_quality_repetition" -> q54Sql,
     "q55_pii_redact" -> q55Sql,
     "q56_decontaminate" -> q56Sql,
+    "q60_lm_score" -> q60Sql,
   )
 }

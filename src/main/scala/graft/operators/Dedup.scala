@@ -99,6 +99,28 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** duplicatedSpans' scale path: aggregate 64-bit md5-prefix span
+    * hashes (`span_h`) instead of span strings. A 50-token span is
+    * ~300 bytes; its hash is 8 — the exchange (whose row count is the
+    * DISTINCT span count, i.e. nearly the corpus n-gram count on a
+    * mostly-unique corpus) shrinks ~40×, which is the difference
+    * between a 2 PB and a 50 TB shuffle on a 100 TB corpus. Collisions
+    * (~n²/2⁶⁵) can only merge two span groups, same trade the hashed
+    * minhash verify already accepts. Join `span_h` back to
+    * `wordShingles` output to recover the text of flagged spans —
+    * that second pass touches only flagged docs. */
+  def duplicatedSpanHashes(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50, minDocs: Int = 2): DataFrame = {
+    require(windowTokens > 0 && minDocs >= 2, "windowTokens > 0, minDocs >= 2")
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => C, expression => E}
+    val hashes = C(graft.expressions.HashedShinglesExpression(
+      E(TextAnalysis.wordShingles(col(textCol), windowTokens))))
+    df.select(col(idCol).as("__doc_id"), explode(hashes).as("span_h"))
+      .groupBy(col("span_h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("__doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   // ---------------------------------------------------------- minhash
 
   import graft.expressions.MinHashScheme

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** CCNet-style n-gram language-model quality scoring (north-star
+  * extension): train a bigram LM on the corpus itself, score every doc
+  * by its mean negative log-probability (a perplexity proxy) — the
+  * classic "filter web text by LM perplexity" pass (Wenzek et al. 2020,
+  * CCNet; reused by most open-corpus pipelines).
+  *
+  * Scale shape: two hash-aggregates build the model (bigram counts,
+  * history counts — both map-side-combined, keyed by uniform token
+  * keys), one scalar vocab aggregate, then scoring is a join keyed by
+  * the bigram (model table is ~vocab-bounded, usually broadcastable;
+  * at web scale it degrades to a shuffle equi-join) and one per-doc
+  * aggregate whose state is bounded by document length.
+  *
+  * Determinism: the per-doc log-prob sum runs over the SORTED log
+  * values (collect → sort → in-order fold), so both engines add the
+  * same floats in the same order — the only cross-engine noise is
+  * libm's 1-ulp `ln`, far inside the oracle's 10-significant-digit
+  * tolerance. Laplace (+1) smoothing keeps unseen bigrams finite.
+  */
+object LanguageModel {
+
+  /** Ordered, NON-distinct token bigrams over an already-MATERIALIZED
+    * token-array column (LM counts need multiplicity —
+    * WordShinglesExpression dedups, so this is its own composition).
+    * Fewer than 2 tokens -> empty.
+    *
+    * `tk` must be a bound column, not an inline `split(...)`
+    * expression: Catalyst inlines an inline expression into every
+    * lambda element access, which turns this into O(len²) regex+split
+    * work per document — the same pitfall that motivated the codegen'd
+    * shingle expressions (measured here as 21 s -> ~2 s at sf0.1). */
+  private[graft] def bigramsFromTokens(tk: Column): Column =
+    when(size(tk) < 2,
+      array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"),
+          element_at(tk, i + 1).as("w2"))))
+
+  /** One row per scoreable doc (>= 1 bigram):
+    * (doc_id, n_bigrams, score) where score = -mean ln P(w2|w1),
+    * P = (c(w1,w2) + 1) / (c(w1·) + V). Lower = more predictable text;
+    * filter high-score docs as noise, very-low-score docs as
+    * boilerplate, per the CCNet recipe. */
+  def scoreDocs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialize the token array once per row (projection boundary)
+    // before any lambda indexes into it — see bigramsFromTokens
+    val toks = df.select(col(idCol).as("doc_id"),
+      split(TextAnalysis.normalizeText(col(textCol)), " ").as("__tk"))
+    // persisted: consumed by three subtrees (bigram counts, history
+    // counts, scoring join) — without the cache the explode runs 3×
+    // (the q15 shingle pattern; caller/bench sweep releases it)
+    val bg = toks.select(col("doc_id"),
+        explode(bigramsFromTokens(col("__tk"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist()
+    val bgCounts = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val histCounts = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_h"))
+    // vocab size: a one-row aggregate broadcast-cross-joined in (NOT an
+    // eager collect — keeps the scorer one lazy DAG and mirrors the
+    // oracle's CROSS JOIN v literally)
+    val vocabDf = toks.select(explode(col("__tk")).as("w"))
+      .agg(countDistinct(col("w")).as("__v"))
+    val lnp = log((col("c_bg") + lit(1.0)) / (col("c_h") + col("__v")))
+    bg.join(bgCounts, Seq("w1", "w2"))
+      .join(histCounts, Seq("w1"))
+      .crossJoin(broadcast(vocabDf))
+      .select(col("doc_id"), lnp.as("lnp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-aggregate(sort_array(collect_list(col("lnp"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1))).as("score"))
+  }
+}

@@ -270,6 +270,24 @@ class CorpusOpsSpec extends SparkSpec {
       .map(_.getLong(2)).toSet shouldBe Set(1L)
   }
 
+  test("hashed span dedup finds the same groups as the string form") {
+    val shared = (1 to 25).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared unique tail one"),
+      (2L, s"prefix two $shared"),
+      (3L, (100 to 130).map(i => s"u$i").mkString(" ")),
+      (4L, "short doc"), (5L, "short  DOC")
+    ).toDF("doc_id", "text")
+    def groups(df: org.apache.spark.sql.DataFrame) =
+      df.select("n_docs", "first_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val strings = groups(Dedup.duplicatedSpans(
+      docs, "doc_id", "text", windowTokens = 20, minDocs = 2))
+    val hashed = groups(Dedup.duplicatedSpanHashes(
+      docs, "doc_id", "text", windowTokens = 20, minDocs = 2))
+    hashed shouldBe strings
+  }
+
   test("token-budget mixture sample respects quotas deterministically") {
     val docs = (1 to 60).map { i =>
       (i.toLong, s"src${i % 3}", 100)

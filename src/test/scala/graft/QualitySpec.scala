@@ -120,6 +120,36 @@ class QualitySpec extends SparkSpec {
     kept.select("doc_id").as[Long].collect().toSeq shouldBe Seq(2L)
   }
 
+  // ------------------------------------------------------ LM scoring
+
+  test("bigram LM score matches hand computation") {
+    import graft.operators.LanguageModel
+    // corpus: d1 = "a b a b", d2 = "a b c"
+    // c(a,b)=3 c(b,a)=1 c(b,c)=1; histories a->3, b->2; V=3
+    // P(a,b)=4/6, P(b,a)=2/5, P(b,c)=2/5
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = LanguageModel.scoreDocs(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    got.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1L, 3L), (2L, 2L))
+    val p_ab = 4.0 / 6.0; val p_ba = 2.0 / 5.0; val p_bc = 2.0 / 5.0
+    got(0).getDouble(2) shouldBe
+      -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3 +- 1e-12
+    got(1).getDouble(2) shouldBe
+      -(math.log(p_ab) + math.log(p_bc)) / 2 +- 1e-12
+    // repeated boilerplate scores as more predictable (lower) than the
+    // doc that ends in a rarer continuation
+    got(0).getDouble(2) should be < got(1).getDouble(2)
+  }
+
+  test("LM scorer skips docs with fewer than two tokens") {
+    import graft.operators.LanguageModel
+    val docs = Seq((1L, "only"), (2L, ""), (3L, "two words"))
+      .toDF("doc_id", "text")
+    LanguageModel.scoreDocs(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+  }
+
   test("quality pass runs unchanged under Structured Streaming") {
     // map-only ops (repetition stats, PII mask) need no watermark or
     // state — the same Columns drive readStream, and the stream output
