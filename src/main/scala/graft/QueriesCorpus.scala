@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextAnalysis => TA}
-import graft.operators.{Dedup, Packing, Sampling, Sketches}
+import graft.operators.{Dedup, Packing, Sampling, Sketches, Vocab}
 
 /** Corpus-engineering operator coverage (north-star extension, round 3):
   * the profiling / splitting / packing / cluster-assembly steps a
@@ -325,9 +325,85 @@ object QueriesCorpus {
       |SELECT doc_id, source, tok, cum_tokens FROM c
       |WHERE cum_tokens <= 700 ORDER BY source, cum_tokens""".stripMargin
 
+  // shared normalized-token CTE (mirrors TextAnalysis.normalizeText +
+  // whitespace split — the same fragment QueriesQuality uses)
+  private val normSql =
+    """norm AS (
+      |  SELECT doc_id, string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      |  FROM documents)""".stripMargin
+
+  // --------------------------------------------------------------- q61
+  /** Deterministic training-order shuffle: a stable global permutation
+    * of the corpus keyed on md5(seed:id) — the shuffle-before-sharding
+    * step, reproducible across engines. Positions come from the
+    * two-pass row-number scheme (never a single-partition window). */
+  private def q61Order(s: SparkSession, dir: String): DataFrame =
+    Sampling.trainingOrder(
+        docs(s, dir).select(col("doc_id"), col("source")), "doc_id", seed = 42L)
+      .select(col("doc_id"), col("source"), col("pos"))
+      .orderBy(col("doc_id"))
+
+  private val q61Sql =
+    """SELECT doc_id, source,
+      |  row_number() OVER (
+      |    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR))) AS pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q62
+  /** Strided context windows: chunk every document into 128-token
+    * windows at stride 64 (50% overlap) — map-only, the md5 window
+    * hash keys each chunk for downstream chunk-grain dedup. */
+  private def q62Windows(s: SparkSession, dir: String): DataFrame =
+    Packing.sequenceWindows(docs(s, dir), "doc_id", "text",
+        maxLen = 128, stride = 64)
+      .orderBy(col("doc_id"), col("win_id"))
+
+  private val q62Sql =
+    s"""WITH $normSql,
+       |w AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(tk), 64),
+       |    s -> struct_pack(s := s, w := tk[s+1:s+128]))) AS win
+       |  FROM norm)
+       |SELECT doc_id,
+       |  CAST(win.s // 64 AS BIGINT) AS win_id,
+       |  CAST(win.s AS BIGINT) AS start_tok,
+       |  CAST(len(win.w) AS BIGINT) AS win_tokens,
+       |  md5(array_to_string(win.w, ' ')) AS win_hash
+       |FROM w ORDER BY doc_id, win_id""".stripMargin
+
+  // --------------------------------------------------------------- q63
+  /** Tokenizer prep: build the top-500 corpus vocabulary, then profile
+    * every document's OOV rate against it. The vocabulary is
+    * driver-bounded (V rows); scoring is a broadcast join — document
+    * text never shuffles in either pass. */
+  private def q63Oov(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Vocab.oovStats(d, "doc_id", "text", Vocab.topVocab(d, "text", 500))
+      .orderBy(col("doc_id"))
+  }
+
+  // CAST n_oov: DuckDB sums of BIGINT promote to HUGEINT (q36 house
+  // rule); oov_rate is an integer ratio so it compares exactly
+  private val q63Sql =
+    s"""WITH $normSql,
+       |tok AS (SELECT doc_id, unnest(tk) AS token FROM norm),
+       |tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+       |voc AS (SELECT token FROM tf ORDER BY tf DESC, token ASC LIMIT 500)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS oov_rate
+       |FROM tok t LEFT JOIN voc v USING (token)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_training_order" -> (q61Order _),
+    "q62_seq_windows" -> (q62Windows _),
+    "q63_vocab_oov" -> (q63Oov _),
     "q58_mixture_sample" -> (q58Mixture _),
     "q49_profile" -> (q49Profile _),
     "q46_spatial_join" -> (q46Spatial _),
@@ -340,6 +416,9 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_training_order" -> q61Sql,
+    "q62_seq_windows" -> q62Sql,
+    "q63_vocab_oov" -> q63Sql,
     "q58_mixture_sample" -> q58Sql,
     "q49_profile" -> q49Sql,
     "q46_spatial_join" -> q46Sql,

@@ -65,4 +65,38 @@ object Packing {
         sum(col("n_tokens")).as("total_tokens"),
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
+
+  /** Strided sliding context windows over each document's token stream
+    * — the "chunk long documents into max_len training sequences with
+    * overlap" step that complements packByTokenBudget (which handles
+    * the short side). Window w starts at token w·stride and spans up to
+    * `maxLen` tokens; a window starts at every stride boundary below
+    * the token count, so the tail window may be shorter.
+    *
+    * Output: (idCol, win_id, start_tok, win_tokens, win_hash) — the
+    * md5 of the space-joined window both keys the chunk deterministically
+    * and lets downstream exact-dedup run at chunk grain. Map-only: the
+    * token array is materialized ONCE per row in a projection before
+    * the window lambdas index into it (an inline split would recompute
+    * the regex per element access — the q60/shingle pitfall), then one
+    * explode. No shuffle, no state, at any corpus size. */
+  def sequenceWindows(df: DataFrame, idCol: String, textCol: String,
+      maxLen: Int, stride: Int): DataFrame = {
+    require(maxLen > 0, "maxLen must be positive")
+    require(stride > 0, "stride must be positive")
+    val toks = df.select(col(idCol),
+      split(graft.functions.TextAnalysis.normalizeText(col(textCol)), " ")
+        .as("__tk"))
+    val starts = sequence(lit(0), size(col("__tk")) - 1, lit(stride))
+    // two-arg transform: (start, index) — the index IS the window id,
+    // which keeps the division out of the float path entirely
+    val wins = transform(starts, (s, i) => struct(i.as("win_id"),
+      s.as("start"), slice(col("__tk"), s + 1, lit(maxLen)).as("w")))
+    toks.select(col(idCol), explode(wins).as("win"))
+      .select(col(idCol),
+        col("win.win_id").cast("long").as("win_id"),
+        col("win.start").cast("long").as("start_tok"),
+        size(col("win.w")).cast("long").as("win_tokens"),
+        md5(array_join(col("win.w"), " ")).as("win_hash"))
+  }
 }

@@ -78,4 +78,25 @@ object Sampling {
     df.withColumn(cumCol, sum(col(tokenCol)).over(w))
       .filter(col(cumCol) <= budget)
   }
+
+  /** Deterministic global training-order shuffle: every row gets a
+    * stable 1-based position by sorting on md5(seed || ':' || id) — the
+    * "shuffle the corpus before sharding into training files" step,
+    * reproducible across runs, engines, and partitionings (same
+    * hash-not-rand reasoning as the splits above; a different seed is a
+    * fresh epoch-independent permutation).
+    *
+    * Scale: one range-partitioned sort on uniform 128-bit keys (the
+    * same primitive as Spark's global ORDER BY — skew-free by
+    * construction), then positions via RowNumbers.global's two-pass
+    * scheme: a numPartitions-row counts pass and a per-partition
+    * window. Never a single-partition window. */
+  def trainingOrder(df: DataFrame, idCol: String, seed: Long,
+      posCol: String = "pos"): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    val ordered = df.withColumn("__ord", key)
+      .repartitionByRange(col("__ord"))
+      .sortWithinPartitions(col("__ord"))
+    RowNumbers.global(ordered, posCol).drop("__ord")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Packing, Sampling, Sketches}
+import graft.operators.{Dedup, Packing, Sampling, Sketches, Vocab}
 
 /** Round-3 corpus-engineering operators: KMV cardinality sketch, heavy
   * hitters, connected components, deterministic splits, sequence
@@ -286,6 +286,67 @@ class CorpusOpsSpec extends SparkSpec {
     val hashed = groups(Dedup.duplicatedSpanHashes(
       docs, "doc_id", "text", windowTokens = 20, minDocs = 2))
     hashed shouldBe strings
+  }
+
+  test("training order is a stable permutation, invariant to partitioning") {
+    val docs = (1L to 100L).toDF("doc_id")
+    val ordered = Sampling.trainingOrder(docs, "doc_id", seed = 7L)
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a permutation: every position 1..n exactly once
+    ordered.map(_._2).sorted.toSeq shouldBe (1L to 100L)
+    // not the identity (md5 scrambles)
+    ordered.sortBy(_._1).map(_._2).toSeq should not be (1L to 100L)
+    // partitioning-invariant
+    val re = Sampling.trainingOrder(docs.repartition(7), "doc_id", seed = 7L)
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    re.sortBy(_._1).toSeq shouldBe ordered.sortBy(_._1).toSeq
+    // a different seed is a different permutation
+    val other = Sampling.trainingOrder(docs, "doc_id", seed = 8L)
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    other.sortBy(_._1).map(_._2).toSeq should not be
+      ordered.sortBy(_._1).map(_._2).toSeq
+  }
+
+  test("sequence windows chunk with stride and a short tail") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val wins = Packing.sequenceWindows(docs, "doc_id", "text",
+        maxLen = 4, stride = 3)
+      .orderBy("win_id")
+      .select("win_id", "start_tok", "win_tokens", "win_hash").collect()
+    // starts 0,3,6,9 over 10 tokens: sizes 4,4,4,1
+    wins.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L))
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    wins(0).getString(3) shouldBe md5hex("w1 w2 w3 w4")
+    wins(3).getString(3) shouldBe md5hex("w10")
+  }
+
+  test("sequence windows normalize case and whitespace first") {
+    val docs = Seq((1L, "  A  b\tC ")).toDF("doc_id", "text")
+    val wins = Packing.sequenceWindows(docs, "doc_id", "text",
+      maxLen = 2, stride = 2).orderBy("win_id").collect()
+    wins.map(r => (r.getLong(1), r.getLong(3))).toSeq shouldBe
+      Seq((0L, 2L), (1L, 1L)) // tokens: a b c
+  }
+
+  test("vocabulary ranks by frequency with deterministic tie-break") {
+    val docs = Seq((1L, "b b b a a c c z"), (2L, "a")).toDF("doc_id", "text")
+    // tf: a=3, b=3, c=2, z=1 — top-3 by (tf desc, token asc) = a, b, c
+    val voc = Vocab.topVocab(docs, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    voc.toSeq shouldBe Seq(("a", 3L), ("b", 3L), ("c", 2L))
+  }
+
+  test("oov stats count tokens outside the vocabulary") {
+    val docs = Seq((1L, "a b oovy a"), (2L, "zed zed")).toDF("doc_id", "text")
+    val voc = Seq("a", "b").toDF("token")
+    val got = Vocab.oovStats(docs, "doc_id", "text", voc)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got.toSeq shouldBe Seq((1L, 4L, 1L, 0.25), (2L, 2L, 2L, 1.0))
   }
 
   test("token-budget mixture sample respects quotas deterministically") {
