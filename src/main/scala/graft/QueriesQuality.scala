@@ -1,31 +1,132 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{PiiRedaction, TextAnalysis => TA}
 import graft.operators.Decontamination
 
 /** Corpus-quality operator coverage (north-star extension, round 4):
   * the filter/scrub/decontaminate passes that sit between dedup and
-  * training — Gopher-style repetition rules, PII masking, and eval-set
-  * n-gram decontamination. All three are oracle-checked: the repetition
-  * fractions are exact small-integer ratios, the PII regexes use only
-  * Java-regex ∩ RE2 syntax, and the decontamination join counts are
-  * integers.
+  * training — Gopher-style repetition rules, PII masking, eval-set
+  * n-gram decontamination, LM perplexity scoring, and the end-to-end
+  * quality funnel that strings them together with first-drop
+  * attribution. All oracle-checked: the repetition fractions are exact
+  * small-integer ratios, the PII regexes use only Java-regex ∩ RE2
+  * syntax, the decontamination join counts are integers, and the LM
+  * score folds sorted floats (plus a threshold sitting in a measured
+  * ~1e-2 score gap, 10 orders above cross-engine float noise).
+  *
+  * The oracle SQL is assembled from shared CTE fragments (norm /
+  * planted / repetition / contamination / LM) so the funnel's oracle is
+  * BY CONSTRUCTION the composition of the already-hash-proven
+  * single-stage oracles.
   */
 object QueriesQuality {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Shared normalized-token-list CTE for the DuckDB oracles (mirrors
-    * TextAnalysis.normalizeText + whitespace split). */
-  private val normSql =
-    """norm AS (
-      |  SELECT doc_id, t, string_split(t, ' ') AS tk
-      |  FROM (SELECT doc_id,
-      |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-      |        FROM documents))""".stripMargin
+  /** Shared normalized-token-list CTE (mirrors TA.normalizeText +
+    * whitespace split), parameterized on the source relation so the
+    * funnel can run it over the PII-planted corpus. */
+  private def normSqlFrom(src: String): String =
+    s"""norm AS (
+       |  SELECT doc_id, t, string_split(t, ' ') AS tk
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |        FROM $src))""".stripMargin
+
+  private val normSql = normSqlFrom("documents")
+
+  // Gopher repetition metrics over `norm` (q54 + funnel)
+  private val repMSql =
+    """m AS (
+      |  SELECT doc_id,
+      |    CAST(list_max(list_transform(list_distinct(tk),
+      |           w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE)
+      |      / len(tk) AS topf,
+      |    CASE WHEN len(tk) < 2 THEN 0.0 ELSE
+      |      CAST(len(tk) - 1 - len(list_distinct(list_transform(
+      |             range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])))
+      |           AS DOUBLE) / (len(tk) - 1) END AS d2,
+      |    CASE WHEN len(tk) < 3 THEN 0.0 ELSE
+      |      CAST(len(tk) - 2 - len(list_distinct(list_transform(
+      |             range(1, len(tk) - 1),
+      |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+      |           AS DOUBLE) / (len(tk) - 2) END AS d3
+      |  FROM norm)""".stripMargin
+
+  // deterministic synthetic PII on every third doc (q55 + funnel).
+  // No continuation line may START with '||': fragments get
+  // stripMargin'd once here and once inside the composed query, and
+  // the second pass would eat one pipe of a line-leading '||'.
+  private val plantedSql =
+    """planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      text || ' contact user' || doc_id || '@example.com or call 555-01' ||
+      |        lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+      |        ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+      |    ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  /** The Spark side of `plantedSql`. */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string")))
+        .otherwise(col("text")).as("text"))
+
+  // word-13-gram contamination CTEs over `norm` (q56 + funnel);
+  // WordShinglesExpression's short-input rule: <= 13 tokens -> the
+  // whole normalized string is the only shingle
+  private val contCtesSql =
+    """docg AS (
+      |  SELECT doc_id AS id, unnest(
+      |    CASE WHEN len(tk) <= 13 THEN [t]
+      |    ELSE list_distinct(list_transform(range(1, len(tk) - 11),
+      |           i -> array_to_string(tk[i:i+12], ' '))) END) AS g
+      |  FROM norm),
+      |evt AS (
+      |  SELECT doc_id AS eval_id, array_to_string(tk[1:20], ' ') AS et,
+      |    tk[1:20] AS etk
+      |  FROM norm WHERE doc_id % 17 = 0),
+      |evg AS (
+      |  SELECT eval_id AS id, unnest(
+      |    CASE WHEN len(etk) <= 13 THEN [et]
+      |    ELSE list_distinct(list_transform(range(1, len(etk) - 11),
+      |           i -> array_to_string(etk[i:i+12], ' '))) END) AS g
+      |  FROM evt)""".stripMargin
+
+  /** The Spark side of `evt`: first-20-token prompts of every 17th doc. */
+  private def evalPrompts(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ",
+          slice(split(TA.normalizeText(col("text")), " "), 1, 20))
+          .as("eval_text"))
+
+  // bigram-LM CTEs over `norm` (q60 + funnel): Laplace-smoothed
+  // P(w2|w1); the per-doc fold runs over SORTED log values so both
+  // engines add identical floats in identical order
+  private val lmCtesSql =
+    """bg0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+      |  FROM norm WHERE len(tk) >= 2),
+      |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+      |bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+      |hc AS (SELECT w1, count(*) AS c_h FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(tk) AS w FROM norm)),
+      |lp AS (
+      |  SELECT bg.doc_id, ln((bgc.c_bg + 1.0) / (hc.c_h + v.v)) AS lnp
+      |  FROM bg JOIN bgc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN v)""".stripMargin
 
   // --------------------------------------------------------------- q54
   /** Gopher-rule repetition filter: one codegen'd map-only pass emits
@@ -48,21 +149,7 @@ object QueriesQuality {
 
   private val q54Sql =
     s"""WITH $normSql,
-       |m AS (
-       |  SELECT doc_id,
-       |    CAST(list_max(list_transform(list_distinct(tk),
-       |           w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE)
-       |      / len(tk) AS topf,
-       |    CASE WHEN len(tk) < 2 THEN 0.0 ELSE
-       |      CAST(len(tk) - 1 - len(list_distinct(list_transform(
-       |             range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])))
-       |           AS DOUBLE) / (len(tk) - 1) END AS d2,
-       |    CASE WHEN len(tk) < 3 THEN 0.0 ELSE
-       |      CAST(len(tk) - 2 - len(list_distinct(list_transform(
-       |             range(1, len(tk) - 1),
-       |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
-       |           AS DOUBLE) / (len(tk) - 2) END AS d3
-       |  FROM norm)
+       |$repMSql
        |SELECT doc_id, topf AS top_word_fraction, d2 AS dup_2gram_fraction,
        |  d3 AS dup_3gram_fraction,
        |  (topf <= 0.3 AND d2 <= 0.2 AND d3 <= 0.18) AS keep
@@ -74,23 +161,13 @@ object QueriesQuality {
     * engines, then detected and masked. Counts use the same regexes as
     * the masks, so n_* == 0 rows prove the patterns don't false-hit the
     * base corpus. Map-only at any scale. */
-  private def q55Pii(s: SparkSession, dir: String): DataFrame = {
-    val planted = docs(s, dir).select(col("doc_id"),
-      when(col("doc_id") % 3 === 0,
-        concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com or call 555-01"),
-          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
-          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
-          lit("."), (col("doc_id") % 100).cast("string")))
-        .otherwise(col("text")).as("text"))
-    planted.select(col("doc_id"),
+  private def q55Pii(s: SparkSession, dir: String): DataFrame =
+    plantedDocs(s, dir).select(col("doc_id"),
       PiiRedaction.emailCount(col("text")).as("n_emails"),
       PiiRedaction.phoneCount(col("text")).as("n_phones"),
       PiiRedaction.ipv4Count(col("text")).as("n_ips"),
       PiiRedaction.redact(col("text")).as("redacted"))
       .orderBy(col("doc_id"))
-  }
 
   private val q55Sql = {
     // single-quoted DuckDB literals keep backslashes verbatim, and the
@@ -98,14 +175,7 @@ object QueriesQuality {
     val email = PiiRedaction.EmailPattern
     val phone = PiiRedaction.PhonePattern
     val ip = PiiRedaction.Ipv4Pattern
-    s"""WITH planted AS (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id % 3 = 0 THEN
-       |      text || ' contact user' || doc_id || '@example.com or call 555-01'
-       |        || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
-       |        || ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
-       |    ELSE text END AS text
-       |  FROM documents)
+    s"""WITH $plantedSql
        |SELECT doc_id,
        |  len(regexp_extract_all(text, '$email')) AS n_emails,
        |  len(regexp_extract_all(text, '$phone')) AS n_phones,
@@ -125,36 +195,14 @@ object QueriesQuality {
     * corpus never shuffles. */
   private def q56Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val evalSet = d.filter(col("doc_id") % 17 === 0)
-      .select(col("doc_id").as("eval_id"),
-        concat_ws(" ",
-          slice(split(TA.normalizeText(col("text")), " "), 1, 20))
-          .as("eval_text"))
     Decontamination.contaminatedDocs(d, "doc_id", "text",
-      evalSet, "eval_id", "eval_text", n = 13)
+      evalPrompts(d), "eval_id", "eval_text", n = 13)
       .orderBy(col("doc_id"))
   }
 
-  // word 13-grams with WordShinglesExpression's short-input rule:
-  // <= 13 tokens -> the whole normalized string is the only shingle
   private val q56Sql =
     s"""WITH $normSql,
-       |docg AS (
-       |  SELECT doc_id AS id, unnest(
-       |    CASE WHEN len(tk) <= 13 THEN [t]
-       |    ELSE list_distinct(list_transform(range(1, len(tk) - 11),
-       |           i -> array_to_string(tk[i:i+12], ' '))) END) AS g
-       |  FROM norm),
-       |evt AS (
-       |  SELECT doc_id AS eval_id, array_to_string(tk[1:20], ' ') AS et,
-       |    tk[1:20] AS etk
-       |  FROM norm WHERE doc_id % 17 = 0),
-       |evg AS (
-       |  SELECT eval_id AS id, unnest(
-       |    CASE WHEN len(etk) <= 13 THEN [et]
-       |    ELSE list_distinct(list_transform(range(1, len(etk) - 11),
-       |           i -> array_to_string(etk[i:i+12], ' '))) END) AS g
-       |  FROM evt)
+       |$contCtesSql
        |SELECT d.id AS doc_id, count(DISTINCT d.g) AS n_hits,
        |  min(e.id) AS min_eval_id
        |FROM docg d JOIN evg e ON d.g = e.g
@@ -171,27 +219,85 @@ object QueriesQuality {
 
   private val q60Sql =
     s"""WITH $normSql,
-       |bg0 AS (
-       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-       |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
-       |  FROM norm WHERE len(tk) >= 2),
-       |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
-       |bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
-       |hc AS (SELECT w1, count(*) AS c_h FROM bg GROUP BY 1),
-       |v AS (SELECT count(DISTINCT w) AS v
-       |      FROM (SELECT unnest(tk) AS w FROM norm)),
-       |lp AS (
-       |  SELECT bg.doc_id, ln((bgc.c_bg + 1.0) / (hc.c_h + v.v)) AS lnp
-       |  FROM bg JOIN bgc USING (w1, w2) JOIN hc USING (w1) CROSS JOIN v)
+       |$lmCtesSql
        |SELECT doc_id, count(*) AS n_bigrams,
        |  -list_aggregate(list_sort(list(lnp)), 'sum') / count(*) AS score
        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q64
+  /** LM-noise threshold for the funnel: sits in a measured ~9e-3 gap
+    * of the sf0.01 planted-corpus score distribution (4.1% of docs
+    * above), so a cross-engine float divergence of ~1e-12 can never
+    * flip a verdict. */
+  private val LmNoiseTau = 4.0
+
+  /** The end-to-end quality funnel: every raw document is charged to
+    * the FIRST pipeline stage that drops it — repetition rules, then
+    * PII, then eval-set contamination, then LM perplexity — or 'kept'.
+    * Output is the per-stage doc and token census, i.e. the report a
+    * corpus-engineering run publishes alongside the cleaned corpus.
+    *
+    * Runs over the PII-planted corpus (the q55 fixture) so every stage
+    * has real work. Scale shape: two map-only flag passes fused into
+    * the scan, the broadcast contamination join (corpus never
+    * shuffles), the LM pass (two model aggregates + one scoring join),
+    * and a final ~5-row aggregate. */
+  private def q64Funnel(s: SparkSession, dir: String): DataFrame = {
+    val d = plantedDocs(s, dir)
+    graft.operators.QualityFunnel.census(
+      graft.operators.QualityFunnel.stageDocs(
+        d, "doc_id", "text", evalPrompts(d), LmNoiseTau))
+  }
+
+  private val q64Sql = {
+    val email = PiiRedaction.EmailPattern
+    val phone = PiiRedaction.PhonePattern
+    val ip = PiiRedaction.Ipv4Pattern
+    // CAST sum_tokens: DuckDB promotes sum(BIGINT) to HUGEINT (q36
+    // house rule)
+    s"""WITH $plantedSql,
+       |${normSqlFrom("planted")},
+       |$repMSql,
+       |pii AS (
+       |  SELECT doc_id,
+       |    (len(regexp_extract_all(text, '$email'))
+       |     + len(regexp_extract_all(text, '$phone'))
+       |     + len(regexp_extract_all(text, '$ip'))) > 0 AS has_pii
+       |  FROM planted),
+       |$contCtesSql,
+       |cont AS (
+       |  SELECT DISTINCT d.id AS doc_id
+       |  FROM docg d JOIN evg e ON d.g = e.g),
+       |$lmCtesSql,
+       |lm AS (
+       |  SELECT doc_id,
+       |    -list_aggregate(list_sort(list(lnp)), 'sum') / count(*) AS score
+       |  FROM lp GROUP BY 1),
+       |staged AS (
+       |  SELECT n.doc_id, len(n.tk) AS n_tokens,
+       |    CASE
+       |      WHEN NOT (m.topf <= 0.3 AND m.d2 <= 0.2 AND m.d3 <= 0.18)
+       |        THEN 'repetition'
+       |      WHEN p.has_pii THEN 'pii'
+       |      WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+       |      WHEN l.score > $LmNoiseTau THEN 'lm_noise'
+       |      ELSE 'kept' END AS stage
+       |  FROM norm n
+       |  JOIN m USING (doc_id)
+       |  JOIN pii p USING (doc_id)
+       |  LEFT JOIN cont c ON n.doc_id = c.doc_id
+       |  LEFT JOIN lm l ON n.doc_id = l.doc_id)
+       |SELECT stage, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM staged GROUP BY 1 ORDER BY stage""".stripMargin
+  }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_quality_repetition" -> (q54Repetition _),
     "q55_pii_redact" -> (q55Pii _),
     "q56_decontaminate" -> (q56Decontaminate _),
     "q60_lm_score" -> (q60LmScore _),
+    "q64_quality_funnel" -> (q64Funnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -199,5 +305,6 @@ object QueriesQuality {
     "q55_pii_redact" -> q55Sql,
     "q56_decontaminate" -> q56Sql,
     "q60_lm_score" -> q60Sql,
+    "q64_quality_funnel" -> q64Sql,
   )
 }

@@ -150,6 +150,57 @@ class QualitySpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
   }
 
+  // --------------------------------------------------------- funnel
+
+  test("quality funnel charges each doc to its first failing stage") {
+    import graft.operators.QualityFunnel
+    val repetitive = ("spam " * 40).trim            // fails Gopher rules
+    val repetitiveWithPii = repetitive + " a@b.com" // repetition wins: first drop
+    val clean = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val pii = clean + " reach me at someone@example.org"
+    // shares its full 20-token prompt with the eval set (doc 6 below)
+    val leaked = (1 to 20).map(i => s"ev$i").mkString(" ") + " trailing words here"
+    val docs = Seq(
+      (1L, repetitive), (2L, repetitiveWithPii), (3L, clean),
+      (4L, pii), (5L, leaked),
+      (6L, (1 to 20).map(i => s"ev$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val evalPrompts = docs.filter($"doc_id" === 6L)
+      .select($"doc_id".as("eval_id"), $"text".as("eval_text"))
+    val staged = QualityFunnel.stageDocs(docs, "doc_id", "text",
+        evalPrompts, lmTau = Double.MaxValue) // lm stage off: tiny-corpus scores are all "noise"
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    staged.toSeq shouldBe Seq(
+      (1L, "repetition"), (2L, "repetition"), (3L, "kept"),
+      (4L, "pii"), (5L, "contaminated"), (6L, "contaminated"))
+    // census is additive: stages partition the corpus
+    val census = QualityFunnel.census(
+      QualityFunnel.stageDocs(docs, "doc_id", "text", evalPrompts,
+        lmTau = Double.MaxValue)).collect()
+    census.map(_.getLong(1)).sum shouldBe 6L
+  }
+
+  test("quality funnel lm stage drops high-perplexity docs") {
+    import graft.operators.QualityFunnel
+    // boilerplate corpus + one doc of unique tokens: the unique doc has
+    // the highest mean -log P; a threshold between the two separates them
+    val boiler = (1 to 20).map(i => (i.toLong, "alpha beta gamma delta"))
+    val odd = (21L, "zu qo xi ve")
+    val docs = (boiler :+ odd).toDF("doc_id", "text")
+    val evalPrompts = docs.filter($"doc_id" < 0)
+      .select($"doc_id".as("eval_id"), $"text".as("eval_text"))
+    val scores = graft.operators.LanguageModel
+      .scoreDocs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val tau = (scores(1L) + scores(21L)) / 2
+    val staged = QualityFunnel.stageDocs(docs, "doc_id", "text",
+        evalPrompts, lmTau = tau)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    staged(21L) shouldBe "lm_noise"
+    staged(1L) shouldBe "kept"
+  }
+
   test("quality pass runs unchanged under Structured Streaming") {
     // map-only ops (repetition stats, PII mask) need no watermark or
     // state — the same Columns drive readStream, and the stream output
