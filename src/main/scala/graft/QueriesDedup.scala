@@ -330,7 +330,57 @@ object QueriesDedup {
 
   // -------------------------------------------------------------- export
 
+  // --------------------------------------------------------------- q65
+  /** SemDeDup (Abbas et al. 2023): cluster embeddings onto fixed
+    * centroids (the q32 fixture — every 25th vector), then flag
+    * within-cluster cosine dups at 0.99. The planted perturbed copies
+    * (q18's fixture, here over the FULL corpus — cluster scoping is
+    * exactly what makes that affordable) must land in their original's
+    * cluster and be flagged against it. */
+  private def q65SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val copies = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        concat(array(element_at(col("e"), 1) + lit(0.05)),
+          slice(col("e"), 2, 10000)).as("e"))
+    val centroids = base.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("centroid"))
+    Dedup.semDeDup(base.unionAll(copies), "vec_id", "e", centroids,
+        tau = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
+  private val q65Sql =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, e FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 10000, list_concat([e[1] + 0.05], e[2:]) FROM base
+      |  WHERE vec_id % 10 = 0),
+      |cent AS (
+      |  SELECT vec_id AS centroid_id, e AS cv FROM base WHERE vec_id % 25 = 0),
+      |assigned AS (
+      |  SELECT vec_id, e, centroid_id FROM (
+      |    SELECT v.vec_id, v.e, c.centroid_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY list_cosine_similarity(v.e, c.cv) DESC, c.centroid_id)
+      |        AS crn
+      |    FROM corpus v CROSS JOIN cent c)
+      |  WHERE crn = 1),
+      |p AS (
+      |  SELECT a.vec_id, a.centroid_id, b.vec_id AS b_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+      |  WHERE list_cosine_similarity(a.e, b.e) >= 0.99)
+      |SELECT vec_id, centroid_id, min(b_id) AS dup_of, count(*) AS n_close
+      |FROM p GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_semdedup" -> (q65SemDedup _),
     "q57_dup_spans" -> (q57Spans _),
     "q14_dedup_exact" -> (q14Exact _),
     "q15_dedup_ngram_jaccard" -> (q15Ngram _),
@@ -341,6 +391,7 @@ object QueriesDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_semdedup" -> q65Sql,
     "q57_dup_spans" -> q57Sql,
     "q14_dedup_exact" -> q14Sql,
     "q15_dedup_ngram_jaccard" -> q15Sql,

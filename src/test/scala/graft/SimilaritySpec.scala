@@ -237,6 +237,49 @@ class SimilaritySpec extends SparkSpec {
     out.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L) shouldBe false
   }
 
+  test("semDeDup flags within-cluster cosine dups against lower ids") {
+    // two well-separated clusters on orthogonal axes; ids 11/12 are
+    // near-copies of 10, id 21 a near-copy of 20, id 30 unique in its
+    // cluster
+    def v(axis: Int, eps: Double) =
+      (0 until 4).map(d => if (d == axis) 1.0 else eps).toSeq
+    val docs = Seq(
+      (10L, v(0, 0.0)), (11L, v(0, 0.01)), (12L, v(0, 0.02)),
+      (20L, v(1, 0.0)), (21L, v(1, 0.01)), (30L, v(1, 0.3)),
+    ).toDF("vec_id", "e")
+    val centroids = Seq((0L, v(0, 0.0)), (1L, v(1, 0.0)))
+      .toDF("centroid_id", "centroid")
+    val dups = Dedup.semDeDup(docs, "vec_id", "e", centroids, tau = 0.999)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 11 dups 10; 12 dups both 10 and 11; 21 dups 20; 30 survives
+    dups.toSeq shouldBe Seq(
+      (11L, 0L, 10L, 1L), (12L, 0L, 10L, 2L), (21L, 1L, 20L, 1L))
+    val kept = Dedup.dropSemanticDups(docs, "vec_id", "e", centroids,
+      tau = 0.999).select("vec_id").as[Long].collect().sorted
+    kept.toSeq shouldBe Seq(10L, 20L, 30L)
+  }
+
+  test("semDeDup cluster cap drops oversized clusters but keeps their rows") {
+    def v(axis: Int, eps: Double) =
+      (0 until 4).map(d => if (d == axis) 1.0 else eps).toSeq
+    // cluster 0 has 4 members (over the cap of 3), cluster 1 has 2
+    val docs = Seq(
+      (1L, v(0, 0.0)), (2L, v(0, 0.01)), (3L, v(0, 0.02)), (4L, v(0, 0.03)),
+      (20L, v(1, 0.0)), (21L, v(1, 0.01)),
+    ).toDF("vec_id", "e")
+    val centroids = Seq((0L, v(0, 0.0)), (1L, v(1, 0.0)))
+      .toDF("centroid_id", "centroid")
+    val dups = Dedup.semDeDup(docs, "vec_id", "e", centroids,
+        tau = 0.999, maxClusterSize = 3)
+      .select("vec_id").as[Long].collect().sorted
+    dups.toSeq shouldBe Seq(21L) // cluster 0 skipped entirely
+    // pruning must NOT delete the skipped cluster's rows
+    val kept = Dedup.dropSemanticDups(docs, "vec_id", "e", centroids,
+      tau = 0.999, maxClusterSize = 3).select("vec_id").as[Long].collect().sorted
+    kept.toSeq shouldBe Seq(1L, 2L, 3L, 4L, 20L)
+  }
+
   test("int8 quantization round-trips within the error bound") {
     val vecs = Seq(
       (1L, Seq(0.5, -1.0, 0.25, 0.0)),
