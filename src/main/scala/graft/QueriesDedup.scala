@@ -379,7 +379,58 @@ object QueriesDedup {
       |SELECT vec_id, centroid_id, min(b_id) AS dup_of, count(*) AS n_close
       |FROM p GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q66
+  /** Exact-substring removal (Lee et al. 2021, the rewrite half of
+    * q57): cut every 20-token span shared by >= 2 docs from all but
+    * its keeper doc. The exact copies (+10000) are cleared to '', the
+    * near copies (+20000) keep only their unique tail, base docs
+    * (keepers) come through untouched. */
+  private def q66SpanRemoval(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(corpus(s, dir), "doc_id", "text",
+        windowTokens = 20, minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  private val q66Sql =
+    s"""WITH $corpusSql,
+       |norm0 AS (
+       |  SELECT doc_id, t, string_split(t, ' ') AS tk
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |        FROM corpus)),
+       |occ AS (
+       |  SELECT doc_id, u.s AS s, u.e AS e, u.span AS span FROM (
+       |    SELECT doc_id, unnest(
+       |      CASE WHEN len(tk) <= 20
+       |        THEN [struct_pack(s := CAST(1 AS BIGINT),
+       |                e := CAST(len(tk) AS BIGINT), span := t)]
+       |      ELSE list_transform(range(1, len(tk) - 18),
+       |        i -> struct_pack(s := i, e := i + 19,
+       |               span := array_to_string(tk[i:i+19], ' ')))
+       |      END) AS u
+       |    FROM norm0)),
+       |fl AS (
+       |  SELECT span, min(doc_id) AS first_doc
+       |  FROM (SELECT DISTINCT doc_id, span FROM occ)
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT o.doc_id, list(struct_pack(s := o.s, e := o.e)) AS cv
+       |  FROM occ o JOIN fl ON o.span = fl.span AND o.doc_id != fl.first_doc
+       |  GROUP BY 1),
+       |kept AS (
+       |  SELECT n.doc_id, n.tk,
+       |    CASE WHEN c.cv IS NULL THEN range(1, len(n.tk) + 1)
+       |    ELSE list_filter(range(1, len(n.tk) + 1),
+       |      i -> len(list_filter(c.cv, x -> x.s <= i AND i <= x.e)) = 0)
+       |    END AS ki
+       |  FROM norm0 n LEFT JOIN cov c USING (doc_id))
+       |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(tk) - len(ki) AS BIGINT) AS n_removed,
+       |  coalesce(array_to_string(list_transform(ki, i -> tk[i]), ' '), '')
+       |    AS clean_text
+       |FROM kept ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_span_removal" -> (q66SpanRemoval _),
     "q65_semdedup" -> (q65SemDedup _),
     "q57_dup_spans" -> (q57Spans _),
     "q14_dedup_exact" -> (q14Exact _),
@@ -391,6 +442,7 @@ object QueriesDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_span_removal" -> q66Sql,
     "q65_semdedup" -> q65Sql,
     "q57_dup_spans" -> q57Sql,
     "q14_dedup_exact" -> q14Sql,

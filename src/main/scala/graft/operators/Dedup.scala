@@ -121,6 +121,71 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Exact-substring REMOVAL (the second half of Lee et al. 2021 —
+    * [[duplicatedSpans]] detects, this rewrites): every occurrence of a
+    * span shared by >= `minDocs` documents is cut from every doc except
+    * the keeper (min doc id for that span), and each doc's surviving
+    * tokens are re-joined into `clean_text`. Output one row per doc:
+    * (idCol, n_tokens, n_removed, clean_text).
+    *
+    * Span semantics match duplicatedSpans, including the short-input
+    * rule: a doc with <= windowTokens tokens contributes its whole
+    * normalized text as its only span, so a short doc duplicated
+    * elsewhere is cleared to '' unless it is the keeper. Overlapping
+    * flagged spans union their covered token ranges.
+    *
+    * Scale shape: the token array is materialized once (persisted —
+    * the occurrence pass and the rebuild both read it; caller
+    * releases); occurrences explode to (doc, start, end, span) and the
+    * flag pass is one distinct + hash-aggregate keyed by span;
+    * coverage joins occurrences back on the span key; the rebuild is a
+    * per-doc aggregate of covered ranges plus a map-only token filter.
+    * Nothing is ever quadratic in the corpus; the shuffle rows are the
+    * corpus n-gram count, the same bound as detection. For the ~40×
+    * cheaper exchange at web scale, key the flag/coverage joins on the
+    * 64-bit span hash ([[duplicatedSpanHashes]]) instead of the span
+    * string — the string form is kept here for oracle parity. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50, minDocs: Int = 2): DataFrame = {
+    require(windowTokens > 0 && minDocs >= 2, "windowTokens > 0, minDocs >= 2")
+    val w = windowTokens
+    val toks = df.select(col(idCol).as("__doc_id"),
+        split(TextAnalysis.normalizeText(col(textCol)), " ").as("__tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val n = size(col("__tk"))
+    val occ = toks.select(col("__doc_id"),
+        explode(when(n <= w,
+          array(struct(lit(1).as("s"), n.as("e"),
+            array_join(col("__tk"), " ").as("span"))))
+          .otherwise(transform(sequence(lit(1), n - w + 1),
+            s => struct(s.as("s"), (s + w - 1).as("e"),
+              array_join(slice(col("__tk"), s, lit(w)), " ").as("span")))))
+          .as("__o"))
+      .select(col("__doc_id"), col("__o.s").as("s"), col("__o.e").as("e"),
+        col("__o.span").as("span"))
+    val flagged = occ.select(col("__doc_id"), col("span")).distinct()
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col("__doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span"), col("first_doc"))
+    val cover = occ.join(flagged, Seq("span"))
+      .filter(col("__doc_id") =!= col("first_doc"))
+      .groupBy(col("__doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__cov"))
+    val idx = sequence(lit(1), n)
+    val keptIdx = when(col("__cov").isNull, idx)
+      .otherwise(filter(idx, i =>
+        !exists(col("__cov"), c =>
+          c.getField("s") <= i && i <= c.getField("e"))))
+    toks.join(cover, Seq("__doc_id"), "left")
+      .withColumn("__kept", keptIdx)
+      .select(col("__doc_id").as(idCol),
+        n.cast("long").as("n_tokens"),
+        (n - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("__kept"),
+          i => element_at(col("__tk"), i)), " ").as("clean_text"))
+  }
+
   // ---------------------------------------------------------- minhash
 
   import graft.expressions.MinHashScheme

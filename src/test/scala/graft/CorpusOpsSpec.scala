@@ -349,6 +349,45 @@ class CorpusOpsSpec extends SparkSpec {
     got.toSeq shouldBe Seq((1L, 4L, 1L, 0.25), (2L, 2L, 2L, 1.0))
   }
 
+  test("span removal cuts shared spans everywhere but the keeper doc") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared tail one two"),   // keeper of the shared spans
+      (2L, s"pre amble $shared"),      // loses the shared block
+      (3L, "all unique words here"),   // untouched
+      (4L, "dup dup"), (5L, "dup  DUP"), // short-doc whole-text rule
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text",
+        windowTokens = 10, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 keeps everything (it is min-id for every flagged span);
+    // doc 2 loses exactly the 12 shared tokens (overlapping 10-token
+    // spans union); docs 4/5 normalize to the same 2-token text -> doc 5
+    // cleared
+    out(0) shouldBe (1L, 15L, 0L, s"$shared tail one two")
+    out(1) shouldBe (2L, 14L, 12L, "pre amble")
+    out(2) shouldBe (3L, 4L, 0L, "all unique words here")
+    out(3) shouldBe (4L, 2L, 0L, "dup dup")
+    out(4) shouldBe (5L, 2L, 2L, "")
+  }
+
+  test("span removal unions overlapping flagged spans") {
+    // two docs share two OVERLAPPING 5-token spans (a 6-token block);
+    // the loser must lose the union, not double-count
+    val block = "b1 b2 b3 b4 b5 b6"
+    val docs = Seq(
+      (1L, s"$block x1 x2"),
+      (2L, s"y1 $block y2"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text",
+        windowTokens = 5, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    out(0) shouldBe (1L, 0L, s"$block x1 x2")
+    out(1) shouldBe (2L, 6L, "y1 y2")
+  }
+
   test("token-budget mixture sample respects quotas deterministically") {
     val docs = (1 to 60).map { i =>
       (i.toLong, s"src${i % 3}", 100)
