@@ -63,6 +63,24 @@ object ScaleSmoke {
       }
       println(f"cc-star  ${f}%2dx nodes=$cStar%8d              $tStar%7.1f s")
 
+      // exact-substring span removal: every copy makes every span a
+      // >=2-doc duplicate, so the flag set and coverage joins grow with
+      // the blowup — the worst case for the rewrite half
+      val (cleaned, tSpan) = time {
+        Dedup.removeDuplicatedSpans(corpus, "doc_id", "text",
+          windowTokens = 20, minDocs = 2)
+          .agg(sum(col("n_removed"))).head().getLong(0)
+      }
+      println(f"spanrm   ${f}%2dx docs=$n%8d cut=$cleaned%10d  $tSpan%7.1f s")
+
+      // LM scoring: the MODEL stays vocab-bounded under the blowup
+      // (same text repeated), only the scoring pass grows
+      val (scored, tLm) = time {
+        graft.operators.LanguageModel.scoreDocs(corpus, "doc_id", "text")
+          .count()
+      }
+      println(f"lmscore  ${f}%2dx docs=$n%8d scored=$scored%7d  $tLm%7.1f s")
+
       val vecs = blowup(emb, "vec_id", f)
       val nv = vecs.count()
       val centroids = vecs.filter(col("vec_id") % 25 === 0)
@@ -72,6 +90,14 @@ object ScaleSmoke {
         Similarity.ivfTopK(queries, vecs, "vec_id", "e", 3, centroids).count()
       }
       println(f"ivf      ${f}%2dx vecs=$nv%8d topk=$topk%10d  $tIvf%7.1f s")
+
+      // SemDeDup: blowup ids preserve mod-25, so the centroid count
+      // grows with f and cluster size stays ~constant — pair work grows
+      // linearly even though every vector now has f-1 exact copies
+      val (semDups, tSem) = time {
+        Dedup.semDeDup(vecs, "vec_id", "e", centroids, tau = 0.99).count()
+      }
+      println(f"semdedup ${f}%2dx vecs=$nv%8d dups=$semDups%9d  $tSem%7.1f s")
     }
     spark.stop()
   }
