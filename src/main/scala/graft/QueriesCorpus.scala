@@ -325,9 +325,12 @@ object QueriesCorpus {
       |SELECT doc_id, source, tok, cum_tokens FROM c
       |WHERE cum_tokens <= 700 ORDER BY source, cum_tokens""".stripMargin
 
-  // shared normalized-token CTE (mirrors TextAnalysis.normalizeText +
-  // whitespace split — the same fragment QueriesQuality uses)
-  private val normSql =
+  // normalized-token CTE (mirrors TextAnalysis.normalizeText +
+  // whitespace split). NOT the same fragment as QueriesQuality's
+  // `normSql`: this one exposes only `tk` (no `t` column) — named
+  // differently so a future composed oracle doesn't assume the fuller
+  // schema
+  private val normTkSql =
     """norm AS (
       |  SELECT doc_id, string_split(
       |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
@@ -360,7 +363,7 @@ object QueriesCorpus {
       .orderBy(col("doc_id"), col("win_id"))
 
   private val q62Sql =
-    s"""WITH $normSql,
+    s"""WITH $normTkSql,
        |w AS (
        |  SELECT doc_id, unnest(list_transform(range(0, len(tk), 64),
        |    s -> struct_pack(s := s, w := tk[s+1:s+128]))) AS win
@@ -386,7 +389,7 @@ object QueriesCorpus {
   // CAST n_oov: DuckDB sums of BIGINT promote to HUGEINT (q36 house
   // rule); oov_rate is an integer ratio so it compares exactly
   private val q63Sql =
-    s"""WITH $normSql,
+    s"""WITH $normTkSql,
        |tok AS (SELECT doc_id, unnest(tk) AS token FROM norm),
        |tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
        |voc AS (SELECT token FROM tf ORDER BY tf DESC, token ASC LIMIT 500)

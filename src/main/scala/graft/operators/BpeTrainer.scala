@@ -74,9 +74,12 @@ object BpeTrainer {
           i += 1
         }
       }
-      val best = counts.toSeq
-        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
-        .filter(_._2 >= 2)
+      // single O(P) pass for the argmax — sorting the pair map every
+      // round would cost O(P log P) × numMerges for one head
+      val best =
+        if (counts.isEmpty) None
+        else Some(counts.minBy { case ((a, b), c) => (-c, a, b) })
+          .filter(_._2 >= 2)
       best match {
         case None => done = true
         case Some((pair, _)) =>
@@ -125,14 +128,22 @@ object BpeTrainer {
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
+    // persisted: the exploded word stream feeds both the distinct-word
+    // vocab build and the join probe side — uncached, the corpus regex
+    // normalize + explode would run twice; released once the
+    // (per-doc-sized) result is materialized
     val words = df.select(col(idCol),
         explode(split(TextAnalysis.normalizeText(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val vocab = encodeVocab(spark, words.select(col("w")).distinct(), merges)
       .select(col("w"), col("n_tokens"))
-    words.join(vocab, Seq("w"))
+    val result = words.join(vocab, Seq("w"))
       .groupBy(col(idCol))
       .agg(sum(col("n_tokens")).as("n_bpe_tokens"),
         count(lit(1)).as("n_words"))
+      .localCheckpoint(eager = true)
+    words.unpersist()
+    result
   }
 }

@@ -134,9 +134,13 @@ object Dedup {
     * elsewhere is cleared to '' unless it is the keeper. Overlapping
     * flagged spans union their covered token ranges.
     *
-    * Scale shape: the token array is materialized once (persisted —
-    * the occurrence pass and the rebuild both read it; caller
-    * releases); occurrences explode to (doc, start, end, span) and the
+    * Scale shape: the token array is materialized once (MEMORY_ONLY —
+    * the occurrence pass and the rebuild both read it; the result is
+    * corpus-sized so the operator stays LAZY and cannot release the
+    * cache itself: blocks are evictable and a deterministic recompute
+    * reproduces them, so the cache is memory-bounded, never parked on
+    * disk — clearCache() reclaims it eagerly in long-lived sessions);
+    * occurrences explode to (doc, start, end, span) and the
     * flag pass is one distinct + hash-aggregate keyed by span;
     * coverage joins occurrences back on the span key; the rebuild is a
     * per-doc aggregate of covered ranges plus a map-only token filter.
@@ -793,50 +797,64 @@ object Dedup {
     require(maxClusterSize > 0, "maxClusterSize must be positive")
     val e = df.select(col(idCol),
       transform(col(embCol), x => x.cast("double")).as("__e"))
-    // persisted: the assignment feeds three subtrees (cap sizing + both
-    // pair-join sides) — uncached, each would recompute the argmax scan
+    // persisted: the assignment feeds the cap sizing and both pair-join
+    // sides — uncached, each subtree would recompute the argmax scan
     // AND re-ship the centroid-matrix literal with its codegen unit
-    // (measured ~1 s warm / ~3.5 s cold win at sf0.1; caller/bench
-    // sweep releases)
+    // (measured ~1 s warm / ~3.5 s cold win at sf0.1); released below
+    // once the (small) result is materialized, the minhashNearDups
+    // pattern — callers never see the cache
     val assigned = Similarity.assignToCentroids(
         e, idCol, "__e", centroids, outId = "__sd_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val capped =
       if (maxClusterSize == Int.MaxValue) assigned
       else {
-        val sizes = assigned.groupBy(col("centroid_id"))
+        // one aggregation (fills the cache as a side effect); the
+        // oversized set is bounded by the CENTROID count, so it fits
+        // the driver by construction — a collect + map-only isin
+        // filter, not an anti-join whose build side would re-run the
+        // same aggregation (the candidatePairs lesson)
+        val over = assigned.groupBy(col("centroid_id"))
           .agg(count(lit(1)).as("__csz"))
-        val over = sizes.filter(col("__csz") > maxClusterSize)
-        val nOver = over.count()
-        if (nOver > 0)
+          .filter(col("__csz") > maxClusterSize)
+          .select(col("centroid_id"))
+          .collect().map(_.getLong(0))
+        if (over.isEmpty) assigned
+        else {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"semDeDup: dropping $nOver cluster(s) larger than " +
+            s"semDeDup: dropping ${over.length} cluster(s) larger than " +
               s"$maxClusterSize vectors — raise k or maxClusterSize")
-        assigned.join(broadcast(over.select(col("centroid_id"))),
-          Seq("centroid_id"), "left_anti")
+          assigned.filter(!col("centroid_id").isin(over: _*))
+        }
       }
     val a = capped.select(col("centroid_id"),
       col("__sd_id").as("__a_id"), col("__v").as("__a_e"))
     val b = capped.select(col("centroid_id"),
       col("__sd_id").as("__b_id"), col("__v").as("__b_e"))
-    a.join(b, Seq("centroid_id"))
+    val result = a.join(b, Seq("centroid_id"))
       .filter(col("__b_id") < col("__a_id"))
       .filter(cosine(col("__a_e"), col("__b_e")) >= tau)
       .groupBy(col("__a_id"), col("centroid_id"))
       .agg(min(col("__b_id")).as("dup_of"), count(lit(1)).as("n_close"))
       .select(col("__a_id").as(idCol), col("centroid_id"),
         col("dup_of"), col("n_close"))
+      .localCheckpoint(eager = true)
+    assigned.unpersist()
+    result
   }
 
   /** SemDeDup end-to-end prune: drop every semantic dup, keep cluster
     * representatives (and vectors in dropped-oversized clusters — a
-    * capped cluster is NOT silently deleted). Broadcast anti-join of
-    * the loser set, same shape as dropNearDups. */
+    * capped cluster is NOT silently deleted). Plain anti-join on the
+    * loser set: at high tau on a duplicate-heavy corpus the losers are
+    * corpus-proportional (Abbas et al. report 30-50% dropped), so the
+    * join strategy is left to Spark/AQE — forcing broadcast here would
+    * collect an unbounded set to the driver. */
   def dropSemanticDups(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, tau: Double,
       maxClusterSize: Int = 10000): DataFrame = {
     val losers = semDeDup(df, idCol, embCol, centroids, tau,
       maxClusterSize).select(col(idCol))
-    df.join(broadcast(losers), Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -54,11 +54,14 @@ object LanguageModel {
       split(TextAnalysis.normalizeText(col(textCol)), " ").as("__tk"))
     // persisted: consumed by three subtrees (bigram counts, history
     // counts, scoring join) — without the cache the explode runs 3×
-    // (the q15 shingle pattern; caller/bench sweep releases it)
+    // (the q15 shingle pattern). MEMORY_ONLY so an evicted block
+    // recomputes instead of parking the corpus bigram stream on
+    // executor disk; released below once the (per-doc-sized) result is
+    // materialized — callers never see the cache
     val bg = toks.select(col("doc_id"),
         explode(bigramsFromTokens(col("__tk"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val bgCounts = bg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bg"))
     val histCounts = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_h"))
@@ -68,7 +71,7 @@ object LanguageModel {
     val vocabDf = toks.select(explode(col("__tk")).as("w"))
       .agg(countDistinct(col("w")).as("__v"))
     val lnp = log((col("c_bg") + lit(1.0)) / (col("c_h") + col("__v")))
-    bg.join(bgCounts, Seq("w1", "w2"))
+    val scored = bg.join(bgCounts, Seq("w1", "w2"))
       .join(histCounts, Seq("w1"))
       .crossJoin(broadcast(vocabDf))
       .select(col("doc_id"), lnp.as("lnp"))
@@ -76,5 +79,8 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"),
         (-aggregate(sort_array(collect_list(col("lnp"))), lit(0.0),
           (acc, x) => acc + x) / count(lit(1))).as("score"))
+      .localCheckpoint(eager = true)
+    bg.unpersist()
+    scored
   }
 }

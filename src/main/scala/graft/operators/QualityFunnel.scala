@@ -37,9 +37,11 @@ object QualityFunnel {
       (PiiRedaction.emailCount(col(textCol)) +
         PiiRedaction.phoneCount(col(textCol)) +
         PiiRedaction.ipv4Count(col(textCol)) > 0).as("has_pii"))
+    // contaminatedDocs renames its id column to the literal "doc_id" —
+    // rename back so any idCol works, not just "doc_id"
     val cont = Decontamination.contaminatedDocs(df, idCol, textCol,
         evalPrompts, "eval_id", "eval_text", n = 13)
-      .select(col(idCol), lit(true).as("contaminated"))
+      .select(col("doc_id").as(idCol), lit(true).as("contaminated"))
     val lm = LanguageModel.scoreDocs(df, idCol, textCol)
       .select(col("doc_id").as(idCol), col("score"))
     base.join(cont, Seq(idCol), "left")

@@ -25,6 +25,15 @@ object ScaleSmoke {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // Bench's per-query isolation, per STANZA here: release caches and
+    // persistent/checkpoint blocks an operator left behind so no
+    // stanza's retained heap (or disk spill) skews a later measurement
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     def blowup(base: DataFrame, idCol: String, factor: Int): DataFrame =
       (0 until factor).map { i =>
         base.withColumn(idCol, col(idCol) + lit(i * 10000000L))
@@ -62,6 +71,7 @@ object ScaleSmoke {
         Dedup.connectedComponentsContracting(pairsDf).count()
       }
       println(f"cc-star  ${f}%2dx nodes=$cStar%8d              $tStar%7.1f s")
+      sweep() // pairsDf's checkpoint blocks are done — first safe point
 
       // exact-substring span removal: every copy makes every span a
       // >=2-doc duplicate, so the flag set and coverage joins grow with
@@ -72,6 +82,7 @@ object ScaleSmoke {
           .agg(sum(col("n_removed"))).head().getLong(0)
       }
       println(f"spanrm   ${f}%2dx docs=$n%8d cut=$cleaned%10d  $tSpan%7.1f s")
+      sweep()
 
       // LM scoring: the MODEL stays vocab-bounded under the blowup
       // (same text repeated), only the scoring pass grows
@@ -80,6 +91,7 @@ object ScaleSmoke {
           .count()
       }
       println(f"lmscore  ${f}%2dx docs=$n%8d scored=$scored%7d  $tLm%7.1f s")
+      sweep()
 
       val vecs = blowup(emb, "vec_id", f)
       val nv = vecs.count()
@@ -98,6 +110,7 @@ object ScaleSmoke {
         Dedup.semDeDup(vecs, "vec_id", "e", centroids, tau = 0.99).count()
       }
       println(f"semdedup ${f}%2dx vecs=$nv%8d dups=$semDups%9d  $tSem%7.1f s")
+      sweep()
     }
     spark.stop()
   }
