@@ -401,9 +401,57 @@ object QueriesCorpus {
        |FROM tok t LEFT JOIN voc v USING (token)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q67
+  /** Corpus snapshot diff: the new snapshot drops every 13th doc,
+    * edits every 11th survivor, and adds 46 fresh ids — the diff must
+    * classify every id by content fingerprint without ever shuffling
+    * document text (both sides collapse to (id, md5-prefix) map-side,
+    * then one full-outer join on uniform keys). */
+  private def q67Diff(s: SparkSession, dir: String): DataFrame = {
+    val old = docs(s, dir).select(col("doc_id"), col("text"))
+    val survivors = old.filter(col("doc_id") % 13 =!= 0)
+    val newSnap = survivors
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(old.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(lit("added doc "), col("doc_id").cast("string")).as("text")))
+    graft.operators.CorpusDiff.diff(old, newSnap, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q67Sql =
+    """WITH old AS (SELECT doc_id, text FROM documents),
+      |newsnap AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM old WHERE doc_id % 13 != 0
+      |  UNION ALL
+      |  SELECT doc_id + 30000, 'added doc ' || doc_id
+      |  FROM old WHERE doc_id % 11 = 0),
+      |o AS (
+      |  SELECT doc_id,
+      |    substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)
+      |      AS old_fp
+      |  FROM old),
+      |n AS (
+      |  SELECT doc_id,
+      |    substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)
+      |      AS new_fp
+      |  FROM newsnap)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp,
+      |  CASE WHEN o.old_fp IS NULL THEN 'added'
+      |       WHEN n.new_fp IS NULL THEN 'removed'
+      |       WHEN o.old_fp != n.new_fp THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_corpus_diff" -> (q67Diff _),
     "q61_training_order" -> (q61Order _),
     "q62_seq_windows" -> (q62Windows _),
     "q63_vocab_oov" -> (q63Oov _),
@@ -419,6 +467,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_corpus_diff" -> q67Sql,
     "q61_training_order" -> q61Sql,
     "q62_seq_windows" -> q62Sql,
     "q63_vocab_oov" -> q63Sql,

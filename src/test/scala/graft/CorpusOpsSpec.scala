@@ -388,6 +388,28 @@ class CorpusOpsSpec extends SparkSpec {
     out(1) shouldBe (2L, 6L, "y1 y2")
   }
 
+  test("corpus diff classifies by content fingerprint, not text bytes") {
+    import graft.operators.CorpusDiff
+    val old = Seq(
+      (1L, "same doc"), (2L, "will change"), (3L, "will vanish"),
+      (4L, "Spacing   And Case"),
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "same doc"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "spacing and case"), // fingerprint-equal: normalization
+    ).toDF("doc_id", "text")
+    val d = CorpusDiff.diff(old, neu, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    d.toSeq shouldBe Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "unchanged"), (5L, "added"))
+    val s = CorpusDiff.summary(
+        CorpusDiff.diff(old, neu, "doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    s.toSeq shouldBe Seq(("added", 1L), ("changed", 1L),
+      ("removed", 1L), ("unchanged", 2L))
+  }
+
   test("token-budget mixture sample respects quotas deterministically") {
     val docs = (1 to 60).map { i =>
       (i.toLong, s"src${i % 3}", 100)
