@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventAnalytics, Quantiles, RuntimeFilter}
+
+/** Round-4 analytics / scale-infrastructure operators: explicit runtime
+  * filters, exact distributed quantiles, event-stream batch analytics
+  * (sessionization, funnels, cohort retention), stratified sampling,
+  * fuzzy joins, and data-layout clustering — each oracle-checked.
+  */
+object QueriesAnalytics {
+
+  // --------------------------------------------------------------- q68
+  /** Bloom-pruned semi-join: lineitem rows whose part is size 1,
+    * aggregated per returnflag. The bloom over the filtered part keys
+    * prunes lineitem MAP-SIDE before any exchange; the exact rescue
+    * semi-join makes the result identical to a plain IN-subquery —
+    * which is exactly what the oracle runs. */
+  private def q68Bloom(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val dim = Tables.load(s, dir, "part").filter(col("p_size") === 1)
+    RuntimeFilter.bloomSemiJoin(li, "l_partkey", dim, "p_partkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q68Sql =
+    """SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q69
+  /** Exact distributed percentiles of l_extendedprice — the shuffle
+    * carries one row per distinct value (never per row), cumulative
+    * counts via the two-pass distributed prefix sum, rank lookup via a
+    * broadcast of the six (q, rank) pairs. Both engines compute rank =
+    * ceil(q * n) with identical double arithmetic — no reliance on
+    * either engine's percentile internals. */
+  private def q69Percentiles(s: SparkSession, dir: String): DataFrame =
+    Quantiles.exactPercentiles(Tables.load(s, dir, "lineitem"),
+        "l_extendedprice", Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy(col("q"))
+
+  private val q69Sql =
+    """WITH qs AS (
+      |  SELECT unnest([CAST(0.01 AS DOUBLE), CAST(0.25 AS DOUBLE),
+      |    CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE),
+      |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q),
+      |counts AS (
+      |  SELECT l_extendedprice AS value, count(*) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      |cum AS (
+      |  SELECT value, c,
+      |    sum(c) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM counts),
+      |n AS (SELECT count(l_extendedprice) AS n FROM lineitem),
+      |ranks AS (
+      |  SELECT q,
+      |    GREATEST(1, CAST(ceil(q * CAST(n.n AS DOUBLE)) AS BIGINT)) AS rank
+      |  FROM qs, n)
+      |SELECT r.q, r.rank, cum.value
+      |FROM ranks r JOIN cum
+      |  ON r.rank > cum.cum - cum.c AND r.rank <= cum.cum
+      |ORDER BY q""".stripMargin
+
+  // --------------------------------------------------------------- q70
+  /** Gap-based batch sessionization of the events table (6 h gap): one
+    * row per (user, session) with bounds, event count, and summed
+    * value. One shuffle by user; windows are per-user — never a global
+    * sort. The batch complement of q28's streaming sessions. */
+  private def q70Sessions(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.sessionSummary(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", gapSeconds = 21600L)
+      .orderBy(col("user_id"), col("session_idx"))
+
+  private val q70Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, us, value,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END
+      |      AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (
+      |  SELECT user_id, us, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM m)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  min(us) AS start_us, max(us) AS end_us,
+      |  count(*) AS n_events, sum(value) AS total_value
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+
+  // --------------------------------------------------------------- q71
+  /** Ordered-step funnel view -> click -> purchase: each step must
+    * occur strictly after the user's first completion of the previous
+    * step. Per-stage shuffle joins on the user key — never more than
+    * one row per qualifying user per stage. */
+  private def q71Funnel(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.funnel(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("step_idx"))
+
+  private val q71Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(us) AS t FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.us) AS t
+      |  FROM e JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.us) AS t
+      |  FROM e JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS step_idx, 'view' AS step,
+      |    (SELECT count(*) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+      |ORDER BY step_idx""".stripMargin
+
+  // --------------------------------------------------------------- q72
+  /** Cohort retention: users bucketed by first-activity epoch week;
+    * for each (cohort_week, week_offset) the distinct active users and
+    * their share of the cohort. Two hash aggregations — integer week
+    * arithmetic, so the comparison is exact. */
+  private def q72Retention(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.cohortRetention(Tables.load(s, dir, "events"),
+        "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  private val q72Sql =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_week, count(*) AS n_cohort FROM cohorts GROUP BY 1),
+      |act AS (
+      |  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+      |    count(*) AS n_active
+      |  FROM weeks w JOIN cohorts c ON c.user_id = w.user_id GROUP BY 1, 2)
+      |SELECT a.cohort_week, a.week_offset, a.n_active, s.n_cohort,
+      |  CAST(a.n_active AS DOUBLE) / s.n_cohort AS retention
+      |FROM act a JOIN sizes s ON s.cohort_week = a.cohort_week
+      |ORDER BY a.cohort_week, a.week_offset""".stripMargin
+
+  // -------------------------------------------------------------- export
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_bloom_semijoin" -> (q68Bloom _),
+    "q69_percentiles" -> (q69Percentiles _),
+    "q70_sessionize" -> (q70Sessions _),
+    "q71_funnel" -> (q71Funnel _),
+    "q72_retention" -> (q72Retention _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q68_bloom_semijoin" -> q68Sql,
+    "q69_percentiles" -> q69Sql,
+    "q70_sessionize" -> q70Sql,
+    "q71_funnel" -> q71Sql,
+    "q72_retention" -> q72Sql,
+  )
+}

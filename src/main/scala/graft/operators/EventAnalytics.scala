@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-stream analytics: gap-based sessionization, ordered-step
+  * funnels, and cohort retention — the OLAP half of the engine's event
+  * processing (the streaming half lives in streaming/EventPipeline; q28
+  * computes sessions with watermarked state, this computes them over the
+  * full history).
+  *
+  * All time arithmetic is integer microseconds (unix_micros here,
+  * epoch_us in the DuckDB oracle) — never float seconds — so session
+  * boundaries, funnel orderings, and week bucketing compare exactly
+  * across engines.
+  *
+  * Scale design (100 TB of events): every operator here shuffles by
+  * user_id exactly once and then works within the per-user partition —
+  * windows are PARTITIONED BY user (parallel across users, sequential
+  * only within one user's events, which is the semantic grain), funnels
+  * are per-step shuffle joins on the user key (bounded by the step
+  * count), retention is two hash aggregations. Nothing ever sorts or
+  * windows the global event stream.
+  */
+object EventAnalytics {
+
+  /** Per-event session assignment: a new session starts when the gap to
+    * the user's previous event exceeds `gapSeconds`. Adds `__us` (event
+    * micros) and `session_idx` (1-based per-user session counter).
+    * Ties order deterministically by (ts, idCol). */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__new",
+        when(lag(col("__us"), 1).over(w).isNull
+          || col("__us") - lag(col("__us"), 1).over(w) > gapSeconds * 1000000L,
+          1).otherwise(0))
+      .withColumn("session_idx", sum(col("__new")).over(run))
+      .drop("__new")
+  }
+
+  /** Session summary table: one row per (user, session) with bounds,
+    * event count, and summed `valueCol`. */
+  def sessionSummary(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String, gapSeconds: Long): DataFrame =
+    sessionize(events, userCol, tsCol, idCol, gapSeconds)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(min(col("__us")).as("start_us"), max(col("__us")).as("end_us"),
+        count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+
+  /** Ordered-step funnel: how many users reached step i, where step i
+    * must occur STRICTLY after that user's first completion of step
+    * i−1. Output: (step_idx, step, n_users), one row per step.
+    *
+    * Each stage is one filter + shuffle join on the user key + min
+    * aggregate — the stage count bounds the job, and no stage ever
+    * carries more than one row per qualifying user. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = unix_micros(col(tsCol))
+    val e = events.select(col(userCol), us.as("__us"), col(typeCol))
+    // per-user arrival time of each step, chained on strictly-after
+    val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val hits = e.filter(col(typeCol) === step)
+        val chained = prev match {
+          case None => hits
+          case Some(p) => hits.join(p, Seq(userCol))
+            .filter(col("__us") > col("__t"))
+        }
+        Some(chained.groupBy(col(userCol)).agg(min(col("__us")).as("__t")))
+    }.flatten
+    stages.zip(steps).zipWithIndex.map { case ((stage, step), i) =>
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("int").as("step_idx"),
+          lit(step).as("step"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Epoch week bucket (integer division of event micros — exact in
+    * both engines; `us div` mirrors DuckDB's `//`). */
+  private def epochWeek(us: Column): Column =
+    ((us - pmod(us, lit(604800000000L))) / lit(604800000000L)).cast("long")
+
+  /** Cohort retention: users grouped by first-activity week (cohort);
+    * for each (cohort_week, week_offset), the distinct active users and
+    * their share of the cohort. */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val weeks = events
+      .select(col(userCol), epochWeek(unix_micros(col(tsCol))).as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col(userCol))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    weeks.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .withColumn("retention",
+        col("n_active").cast("double") / col("n_cohort"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact distributed quantiles (percentile_disc semantics): for each
+  * requested fraction q, the value at rank ceil(q·n) (1-clamped) in the
+  * sorted multiset — the SQL-standard discrete percentile, computed
+  * without ever sorting the full table globally.
+  *
+  * Scale design (100 TB): the only full-data pass is a hash aggregation
+  * to (value, count) — the shuffle carries one row per DISTINCT value,
+  * not per row. The distinct-value table is then range-partitioned by
+  * value and the cumulative counts come from the same two-pass
+  * distributed prefix sum as Packing/RowNumbers (a numPartitions-row
+  * totals pass + per-partition windows) — never a single-partition
+  * window. Rank lookup is a broadcast join of the (q, rank) pairs
+  * against the cumulative table: value v answers q iff
+  * cum(v) − count(v) < rank(q) <= cum(v).
+  *
+  * Versus approx_percentile: that is the right call when an error bound
+  * is acceptable; this operator is for the exact-answer case (medians
+  * for audits, SLA cutoffs) and costs one extra small shuffle of the
+  * distinct values. Determinism: counts and ranks are integers; the
+  * result is a value drawn FROM the input set — bit-stable across any
+  * partitioning, and reproducible in the DuckDB oracle with the same
+  * explicit ceil(q·n) arithmetic (no reliance on engine percentile
+  * internals).
+  */
+object Quantiles {
+
+  /** (q, rank, value) for each fraction in `qs` over `df(valueCol)`,
+    * NULLs excluded (percentile semantics). `qs` must be in (0, 1]. */
+  def exactPercentiles(df: DataFrame, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1], got $qs")
+    val spark = df.sparkSession
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("value")).agg(count(lit(1)).as("c"))
+    val base = counts
+      .repartitionByRange(col("value"))
+      .sortWithinPartitions(col("value"))
+      .withColumn("__pid", spark_partition_id())
+      // MEMORY_ONLY for the totals + window passes: evictable, and
+      // eviction-safe — recompute of the range-partitioned sort
+      // reproduces the same layout (the Packing/RowNumbers reasoning)
+      .persist(StorageLevel.MEMORY_ONLY)
+    val totals = base.groupBy(col("__pid")).agg(sum(col("c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = totals.map(_._2).sum
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val offDf = spark.createDataFrame(
+      totals.map(_._1).zip(offsets).toIndexedSeq).toDF("__pid", "__off")
+    // ceil in DOUBLE, mirrored verbatim by the oracle SQL: both
+    // engines compute ceil(q * (double) n) with the same IEEE ops
+    val ranks = qs.sorted.map(q =>
+      Row(q, math.max(1L, math.ceil(q * n.toDouble).toLong)))
+    val ranksDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(ranks, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("cum", sum(col("c")).over(w) + col("__off"))
+    cum.join(broadcast(ranksDf),
+        col("rank") > col("cum") - col("c") && col("rank") <= col("cum"))
+      .select(col("q"), col("rank"), col("value"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.BloomUtil
+import graft.operators.{Quantiles, RuntimeFilter}
+
+/** Round-4 analytics operators: bloom runtime filters and exact
+  * distributed quantiles. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ bloom core
+
+  test("bloom has no false negatives and a sane false-positive rate") {
+    val numBits = 1 << 16
+    val numHashes = 5
+    val words = new Array[Long](BloomUtil.wordsFor(numBits))
+    val n = 5000
+    (1 to n).foreach(i => BloomUtil.add(words, numBits, numHashes, i.toLong * 7919L))
+    // every inserted key answers true — bloom's defining guarantee
+    (1 to n).foreach { i =>
+      assert(BloomUtil.mightContain(words, numBits, numHashes, i.toLong * 7919L))
+    }
+    // disjoint probe set: fpp theory (1-e^{-kn/m})^k ~ 0.9% at
+    // m/n=13.1, k=5; assert under 3x that
+    val fps = (1 to 10000).count(i =>
+      BloomUtil.mightContain(words, numBits, numHashes, -i.toLong * 104729L))
+    assert(fps < 10000 * 0.03, s"false-positive count $fps too high")
+  }
+
+  test("bloom build aggregate is partitioning-invariant (OR-merge)") {
+    val keys = (1L to 2000L).toDF("k")
+    def build(parts: Int): Array[Byte] = keys.repartition(parts)
+      .select(org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.expressions.BloomBuildAggregate(
+          org.apache.spark.sql.graftshim.ColumnBridge.expression(
+            xxhash64(col("k"))), 1 << 14, 5).toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    build(1).toSeq shouldBe build(13).toSeq
+  }
+
+  // ------------------------------------------------- bloomSemiJoin
+
+  test("bloomSemiJoin equals a plain left-semi join") {
+    val fact = (1L to 3000L).map(i => (i, i % 100)).toDF("id", "key")
+    val dim = Seq(3L, 17L, 42L, 99L).toDF("dkey")
+    val got = RuntimeFilter.bloomSemiJoin(fact, "key", dim, "dkey")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = fact.join(dim, fact("key") === dim("dkey"), "left_semi")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    got shouldBe want
+    got.length shouldBe 3000 / 100 * 4
+  }
+
+  test("bloomSemiJoin with an empty dim side returns nothing") {
+    val fact = (1L to 50L).toDF("key")
+    val dim = Seq.empty[Long].toDF("dkey")
+    RuntimeFilter.bloomSemiJoin(fact, "key", dim, "dkey")
+      .count() shouldBe 0L
+  }
+
+  test("bloomSemiJoin handles string keys and null fact keys") {
+    val fact = Seq(Some("a"), Some("b"), None, Some("c"), Some("a"))
+      .toDF("key")
+    val dim = Seq("a", "c", "zz").toDF("dkey")
+    val got = RuntimeFilter.bloomSemiJoin(fact, "key", dim, "dkey")
+      .collect().map(_.getString(0)).sorted
+    got shouldBe Array("a", "a", "c")
+  }
+
+  // ------------------------------------------------------ quantiles
+
+  test("exactPercentiles matches the sorted-array reference") {
+    val values = Seq(5.0, 1.0, 3.0, 3.0, 2.0, 8.0, 13.0, 1.0, 3.0, 7.0)
+    val df = values.toDF("v")
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Quantiles.exactPercentiles(df, "v", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val sorted = values.sorted
+    qs.foreach { q =>
+      val rank = math.max(1, math.ceil(q * values.size).toInt)
+      got(q) shouldBe sorted(rank - 1)
+    }
+  }
+
+  test("exactPercentiles is partitioning-invariant and skips nulls") {
+    val df = ((1 to 1000).map(i => Some(i.toDouble)) ++
+      Seq.fill(50)(Option.empty[Double])).toDF("v")
+    def run(parts: Int) = Quantiles.exactPercentiles(
+        df.repartition(parts), "v", Seq(0.5, 0.99))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val one = run(1)
+    one shouldBe run(7)
+    // 1000 non-null values: median = 500, p99 = 990
+    one shouldBe Seq((0.5, 500L, 500.0), (0.99, 990L, 990.0))
+  }
+
+  test("exactPercentiles with heavy duplicates lands on set values") {
+    // 90 copies of 1.0, 10 copies of 2.0: p90 -> rank 90 -> 1.0,
+    // p91 -> rank 91 -> 2.0
+    val df = (Seq.fill(90)(1.0) ++ Seq.fill(10)(2.0)).toDF("v")
+    val got = Quantiles.exactPercentiles(df, "v", Seq(0.9, 0.91))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    got(0.9) shouldBe 1.0
+    got(0.91) shouldBe 2.0
+  }
+}

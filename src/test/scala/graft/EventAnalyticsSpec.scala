@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+/** Batch event analytics: gap sessionization, ordered funnels, cohort
+  * retention — hand-computed fixtures. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  // events: (user, event_id, ts-seconds, type, value)
+  private def ev(rows: (Long, Long, Long, String, Double)*) =
+    rows.map { case (u, id, t, ty, v) => (u, id, ts(t), ty, v) }
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+
+  // --------------------------------------------------- sessionize
+
+  test("sessionize splits on gaps and counts sessions per user") {
+    // user 1: events at 0s, 100s (same session, gap 100 <= 600),
+    // then 1000s (new session, gap 900 > 600)
+    // user 2: single event
+    val df = ev(
+      (1L, 1L, 0L, "view", 1.0), (1L, 2L, 100L, "view", 2.0),
+      (1L, 3L, 1000L, "view", 3.0), (2L, 4L, 50L, "view", 4.0))
+    val got = EventAnalytics.sessionize(df, "user_id", "ts", "event_id", 600L)
+      .select(col("user_id"), col("event_id"), col("session_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L))
+  }
+
+  test("sessionSummary aggregates bounds, counts, and value") {
+    val df = ev(
+      (1L, 1L, 0L, "view", 1.0), (1L, 2L, 100L, "view", 2.0),
+      (1L, 3L, 1000L, "view", 4.0))
+    val got = EventAnalytics.sessionSummary(
+        df, "user_id", "ts", "event_id", "value", 600L)
+      .orderBy("user_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    got shouldBe Array(
+      (1L, 1L, 0L, 100000000L, 2L, 3.0),
+      (1L, 2L, 1000000000L, 1000000000L, 1L, 4.0))
+  }
+
+  test("sessionize tie-breaks equal timestamps by event id") {
+    // both events at t=0: one session, deterministic regardless of
+    // input order
+    val df = ev((1L, 2L, 0L, "view", 1.0), (1L, 1L, 0L, "view", 1.0))
+    val got = EventAnalytics.sessionize(df, "user_id", "ts", "event_id", 600L)
+      .select(col("event_id"), col("session_idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 1L), (2L, 1L))
+  }
+
+  // ------------------------------------------------------- funnel
+
+  test("funnel counts users reaching each ordered step") {
+    val df = ev(
+      // user 1 completes view(10) -> click(20) -> purchase(30)
+      (1L, 1L, 10L, "view", 0.0), (1L, 2L, 20L, "click", 0.0),
+      (1L, 3L, 30L, "purchase", 0.0),
+      // user 2: click BEFORE view -> stops at view
+      (2L, 4L, 5L, "click", 0.0), (2L, 5L, 10L, "view", 0.0),
+      // user 3: view then click, no purchase
+      (3L, 6L, 1L, "view", 0.0), (3L, 7L, 2L, "click", 0.0),
+      // user 4: never views
+      (4L, 8L, 1L, "purchase", 0.0))
+    val got = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    got shouldBe Array((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L))
+  }
+
+  test("funnel requires strictly-after ordering (same-ts does not count)") {
+    val df = ev(
+      (1L, 1L, 10L, "view", 0.0), (1L, 2L, 10L, "click", 0.0))
+    val got = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .orderBy("step_idx").collect().map(r => (r.getInt(0), r.getLong(2)))
+    got shouldBe Array((1, 1L), (2, 0L))
+  }
+
+  // ---------------------------------------------------- retention
+
+  test("cohortRetention buckets by first-activity week") {
+    val wk = 604800L // seconds per week
+    val df = ev(
+      // users 1,2 start week 0; user 1 returns week 1; user 3 starts week 1
+      (1L, 1L, 10L, "view", 0.0), (2L, 2L, 20L, "view", 0.0),
+      (1L, 3L, wk + 5L, "view", 0.0), (3L, 4L, wk + 10L, "view", 0.0))
+    val got = EventAnalytics.cohortRetention(df, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    got shouldBe Array(
+      (0L, 0L, 2L, 2L, 1.0), // cohort week 0: both active at offset 0
+      (0L, 1L, 1L, 2L, 0.5), // user 1 retained into week 1
+      (1L, 0L, 1L, 1L, 1.0)) // cohort week 1: user 3
+  }
+}
