@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventAnalytics, Quantiles, RuntimeFilter}
+import graft.operators.{EventAnalytics, FuzzyJoin, Layout, Quantiles,
+  RuntimeFilter, Sampling}
 
 /** Round-4 analytics / scale-infrastructure operators: explicit runtime
   * filters, exact distributed quantiles, event-stream batch analytics
@@ -154,6 +155,72 @@ object QueriesAnalytics {
       |FROM act a JOIN sizes s ON s.cohort_week = a.cohort_week
       |ORDER BY a.cohort_week, a.week_offset""".stripMargin
 
+  // --------------------------------------------------------------- q73
+  /** Exact-count stratified sample: 20 docs per source in stable
+    * md5-of-id order, via a bounded-heap top-k per stratum (map-side
+    * state = 20 items per stratum per partition) — never a
+    * row_number window over the full corpus. */
+  private def q73Stratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.load(s, dir, "documents"),
+        "doc_id", "source", nPerStratum = 20)
+      .orderBy(col("source"), col("rk"))
+
+  private val q73Sql =
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id FROM r
+      |WHERE rk <= 20 ORDER BY source, rk""".stripMargin
+
+  // --------------------------------------------------------------- q74
+  /** Fuzzy self-join on customer names: all pairs within Levenshtein
+    * distance 1, found via deletion-neighborhood (FastSS) blocking —
+    * the candidate join shuffles len+1 short variant keys per row,
+    * never the n² cross product the oracle brute-forces. */
+  private def q74Fuzzy(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.selfJoin(
+        Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", maxDist = 1)
+      .orderBy(col("id1"), col("id2"))
+
+  private val q74Sql =
+    """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      | AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id1, id2""".stripMargin
+
+  // --------------------------------------------------------------- q75
+  /** Z-order keys over the synthetic customer grid cells (the q46
+    * point recipe before its /10 scaling): the codegen'd magic-mask
+    * interleave must equal the oracle's per-bit arithmetic sum — the
+    * key the clustered-write layout sorts by (see Layout/LayoutSpec
+    * for the write-side clustering property). */
+  private def q75Zorder(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        (col("c_custkey") * 7 % 1000).as("cx"),
+        (col("c_custkey") * 13 % 800).as("cy"))
+    c.withColumn("z", Layout.zkey(col("cx"), col("cy"), bits = 10))
+      .orderBy(col("z"), col("c_custkey"))
+  }
+
+  private val q75Sql = {
+    val terms = (0 until 10).flatMap(i => Seq(
+      s"((cx >> $i) & 1) * ${1L << (2 * i)}",
+      s"((cy >> $i) & 1) * ${1L << (2 * i + 1)}"))
+    s"""WITH c AS (
+       |  SELECT c_custkey, (c_custkey * 7) % 1000 AS cx,
+       |    (c_custkey * 13) % 800 AS cy
+       |  FROM customer)
+       |SELECT c_custkey, cx, cy,
+       |  ${terms.mkString(" + ")} AS z
+       |FROM c ORDER BY z, c_custkey""".stripMargin
+  }
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -162,6 +229,9 @@ object QueriesAnalytics {
     "q70_sessionize" -> (q70Sessions _),
     "q71_funnel" -> (q71Funnel _),
     "q72_retention" -> (q72Retention _),
+    "q73_stratified_sample" -> (q73Stratified _),
+    "q74_fuzzy_join" -> (q74Fuzzy _),
+    "q75_zorder" -> (q75Zorder _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -170,5 +240,8 @@ object QueriesAnalytics {
     "q70_sessionize" -> q70Sql,
     "q71_funnel" -> q71Sql,
     "q72_retention" -> q72Sql,
+    "q73_stratified_sample" -> q73Sql,
+    "q74_fuzzy_join" -> q74Sql,
+    "q75_zorder" -> q75Sql,
   )
 }

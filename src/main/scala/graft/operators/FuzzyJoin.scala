@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance self-join via deletion-neighborhood blocking (the
+  * FastSS scheme, Bocek et al. 2007): two strings within Levenshtein
+  * distance d share at least one common string in their ≤d-deletion
+  * neighborhoods, so candidate generation is an EQUI-join on deletion
+  * variants — never an all-pairs comparison.
+  *
+  * Scale design (100 TB): per row the map side emits O(len^d) variant
+  * keys (len+1 at d=1); the candidate join shuffles n·len^d short keys
+  * instead of materializing n² pairs, and the Levenshtein verify runs
+  * on candidates only. This is the same candidates-then-verify shape as
+  * the MinHash/SimHash dedup pipelines — deletion variants are the
+  * blocking key family that is COMPLETE for edit distance (unlike
+  * length or prefix blocking, which miss insert/shift cases; see the
+  * q74 scaladoc). Skewed variant keys (a deletion shared by a huge
+  * name family) bound the blow-up at freq², the same failure mode as
+  * LSH bands — cap with `maxBucketSize` like Dedup.candidatePairs.
+  */
+object FuzzyJoin {
+
+  /** All strings obtainable from each element of `arr` by deleting
+    * exactly one character (deduplicated). Empty strings produce no
+    * variants (guarded: Spark's `sequence` would otherwise count
+    * DOWNWARD from 1 to 0). */
+  private def deleteOnce(arr: Column): Column =
+    array_distinct(flatten(transform(arr, s =>
+      when(length(s) < 1, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(s)), i =>
+          concat(s.substr(lit(1), i - 1),
+            s.substr(i + 1, length(s))))))))
+
+  /** The ≤`maxDist`-deletion neighborhood of `s`, including `s`. */
+  def deletionVariants(s: Column, maxDist: Int): Column = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"deletion-neighborhood blocking supports maxDist 1..2, got $maxDist " +
+        "(keys grow O(len^d); use PassJoin segment blocking beyond)")
+    val levels = Iterator.iterate(array(s))(deleteOnce)
+      .take(maxDist + 1).toSeq
+    array_distinct(concat(levels: _*))
+  }
+
+  /** All pairs (id1 < id2) whose `strCol` values are within Levenshtein
+    * distance `maxDist`. Output: (id1, id2, dist). NULL strings never
+    * match (SQL comparison semantics). */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+    val keyed = base.select(col("__id"), col("__s"),
+      explode(deletionVariants(col("__s"), maxDist)).as("__v"))
+    val left = keyed.select(col("__v"), col("__id").as("id1"),
+      col("__s").as("s1"))
+    val right = keyed.select(col("__v"), col("__id").as("id2"),
+      col("__s").as("s2"))
+    left.join(right, Seq("__v"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("s1"), col("s2"))
+      .distinct() // a pair can share several variants; count it once
+      .filter(levenshtein(col("s1"), col("s2")) <= maxDist)
+      .select(col("id1"), col("id2"),
+        levenshtein(col("s1"), col("s2")).as("dist"))
+  }
+}

@@ -79,6 +79,32 @@ object Sampling {
       .filter(col(cumCol) <= budget)
   }
 
+  /** Exact-count stratified sample: the first `nPerStratum` ids of each
+    * stratum in stable md5-of-id order — per-class balancing with a
+    * deterministic, engine-reproducible pick (same hash-not-rand
+    * reasoning as the splits above). Output: (stratum, rk, id), rk
+    * 1-based within the stratum.
+    *
+    * Scale: implemented as a bounded-heap top-k per group (CollectTopK,
+    * reverse=true keeps the k SMALLEST md5 keys), so the partial
+    * (map-side) state is n items per stratum per partition and the
+    * exchange carries n rows per stratum per partition — a
+    * row_number-window form would shuffle and sort every row of every
+    * stratum. The classic "sample n docs per language/source" step. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      nPerStratum: Int): DataFrame = {
+    require(nPerStratum > 0, "nPerStratum must be positive")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val item = struct(md5(col(idCol).cast("string")).as("k"),
+      col(idCol).as("__id"))
+    df.groupBy(col(stratumCol))
+      .agg(ColumnBridge.collectTopK(item, nPerStratum, reverse = true)
+        .as("__tk"))
+      .select(col(stratumCol), posexplode(col("__tk")))
+      .select(col(stratumCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col.__id").as(idCol))
+  }
+
   /** Deterministic global training-order shuffle: every row gets a
     * stable 1-based position by sorting on md5(seed || ':' || id) — the
     * "shuffle the corpus before sharding into training files" step,
