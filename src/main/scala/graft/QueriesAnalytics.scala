@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{EventAnalytics, FuzzyJoin, Layout, Quantiles,
-  RuntimeFilter, Sampling}
+  RuntimeFilter, Sampling, SpatialJoin}
 
 /** Round-4 analytics / scale-infrastructure operators: explicit runtime
   * filters, exact distributed quantiles, event-stream batch analytics
@@ -221,6 +221,109 @@ object QueriesAnalytics {
        |FROM c ORDER BY z, c_custkey""".stripMargin
   }
 
+  // --------------------------------------------------------------- q76
+  /** Point-in-polygon containment join (ST_Contains): deterministic
+    * CCW triangles synthesized per nation, customer points from the
+    * q46 recipe; the polygon side explodes into bbox grid cells and
+    * the join shuffles once on the cell key — the oracle brute-forces
+    * the cross join with the identical edge sign tests. */
+  private def q76Pip(s: SparkSession, dir: String): DataFrame = {
+    val k = col("n_nationkey").cast("long")
+    val ax = (k * 7 % 100 - 50).cast("double")
+    val ay = (k * 11 % 80 - 40).cast("double")
+    val w = (k % 7 + 5).cast("double")
+    val h = (k % 5 + 5).cast("double")
+    val polys = Tables.load(s, dir, "nation").select(col("n_nationkey"),
+      array(struct(ax.as("x"), ay.as("y")),
+        struct((ax + w).as("x"), ay.as("y")),
+        struct(ax.as("x"), (ay + h).as("y"))).as("verts"))
+    val c = col("c_custkey")
+    val points = Tables.load(s, dir, "customer").select(c,
+      ((c * 7) % 1000 - 500 ).cast("double")./(10.0).as("px"),
+      ((c * 13) % 800 - 400).cast("double")./(10.0).as("py"))
+    SpatialJoin.pointInPolygon(points, polys, "c_custkey", "n_nationkey",
+        "px", "py", "verts", cellSize = 12.0)
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("n_points"), min(col("c_custkey")).as("min_cust"),
+        max(col("c_custkey")).as("max_cust"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val q76Sql =
+    """WITH tri AS (
+      |  SELECT n_nationkey,
+      |    CAST((n_nationkey * 7) % 100 - 50 AS DOUBLE) AS ax,
+      |    CAST((n_nationkey * 11) % 80 - 40 AS DOUBLE) AS ay,
+      |    CAST(n_nationkey % 7 + 5 AS DOUBLE) AS w,
+      |    CAST(n_nationkey % 5 + 5 AS DOUBLE) AS h
+      |  FROM nation),
+      |pts AS (
+      |  SELECT c_custkey,
+      |    CAST((c_custkey * 7) % 1000 - 500 AS DOUBLE) / 10.0 AS px,
+      |    CAST((c_custkey * 13) % 800 - 400 AS DOUBLE) / 10.0 AS py
+      |  FROM customer),
+      |hits AS (
+      |  SELECT t.n_nationkey, p.c_custkey
+      |  FROM tri t JOIN pts p
+      |    ON ((t.ax + t.w) - t.ax) * (p.py - t.ay)
+      |         - (t.ay - t.ay) * (p.px - t.ax) >= 0
+      |   AND (t.ax - (t.ax + t.w)) * (p.py - t.ay)
+      |         - ((t.ay + t.h) - t.ay) * (p.px - (t.ax + t.w)) >= 0
+      |   AND (t.ax - t.ax) * (p.py - (t.ay + t.h))
+      |         - (t.ay - (t.ay + t.h)) * (p.px - t.ax) >= 0)
+      |SELECT n_nationkey, count(*) AS n_points,
+      |  min(c_custkey) AS min_cust, max(c_custkey) AS max_cust
+      |FROM hits GROUP BY 1 ORDER BY n_nationkey""".stripMargin
+
+  // --------------------------------------------------------------- q77
+  /** Winsorized robust aggregation: l_extendedprice clamped to its
+    * exact [p01, p99] global cutoffs (one-row broadcast from q69's
+    * percentile machinery — the clamp itself is map-only), then
+    * per-returnflag counts of clamped rows and the winsorized sum. */
+  private def q77Winsorize(s: SparkSession, dir: String): DataFrame =
+    Quantiles.winsorize(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice")),
+        "l_extendedprice", lo = 0.01, hi = 0.99)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("__lo"), 1).otherwise(0))
+          .as("n_lo_clamped"),
+        sum(when(col("l_extendedprice") > col("__hi"), 1).otherwise(0))
+          .as("n_hi_clamped"),
+        sum(col("l_extendedprice_w")).as("sum_w"))
+      .orderBy(col("l_returnflag"))
+
+  private val q77Sql =
+    """WITH counts AS (
+      |  SELECT l_extendedprice AS value, count(*) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      |cum AS (
+      |  SELECT value, c,
+      |    sum(c) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM counts),
+      |n AS (SELECT count(l_extendedprice) AS n FROM lineitem),
+      |cuts AS (
+      |  SELECT
+      |    (SELECT value FROM cum, n
+      |     WHERE GREATEST(1, CAST(ceil(CAST(0.01 AS DOUBLE)
+      |             * CAST(n.n AS DOUBLE)) AS BIGINT)) > cum.cum - cum.c
+      |       AND GREATEST(1, CAST(ceil(CAST(0.01 AS DOUBLE)
+      |             * CAST(n.n AS DOUBLE)) AS BIGINT)) <= cum.cum) AS lo,
+      |    (SELECT value FROM cum, n
+      |     WHERE GREATEST(1, CAST(ceil(CAST(0.99 AS DOUBLE)
+      |             * CAST(n.n AS DOUBLE)) AS BIGINT)) > cum.cum - cum.c
+      |       AND GREATEST(1, CAST(ceil(CAST(0.99 AS DOUBLE)
+      |             * CAST(n.n AS DOUBLE)) AS BIGINT)) <= cum.cum) AS hi)
+      |SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CASE WHEN l_extendedprice < cuts.lo THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_lo_clamped,
+      |  CAST(sum(CASE WHEN l_extendedprice > cuts.hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hi_clamped,
+      |  sum(LEAST(GREATEST(l_extendedprice, cuts.lo), cuts.hi)) AS sum_w
+      |FROM lineitem, cuts
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -232,6 +335,8 @@ object QueriesAnalytics {
     "q73_stratified_sample" -> (q73Stratified _),
     "q74_fuzzy_join" -> (q74Fuzzy _),
     "q75_zorder" -> (q75Zorder _),
+    "q76_point_in_polygon" -> (q76Pip _),
+    "q77_winsorize" -> (q77Winsorize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +348,7 @@ object QueriesAnalytics {
     "q73_stratified_sample" -> q73Sql,
     "q74_fuzzy_join" -> q74Sql,
     "q75_zorder" -> q75Sql,
+    "q76_point_in_polygon" -> q76Sql,
+    "q77_winsorize" -> q77Sql,
   )
 }

@@ -74,4 +74,20 @@ object Quantiles {
         col("rank") > col("cum") - col("c") && col("rank") <= col("cum"))
       .select(col("q"), col("rank"), col("value"))
   }
+
+  /** Winsorize: clamp `valueCol` to its [lo, hi] exact percentile
+    * cutoffs (the robust-statistics outlier treatment). Adds
+    * `<valueCol>_w` (clamped value) plus `__lo`/`__hi` cutoff columns;
+    * the cutoffs are a one-row broadcast, so the clamp itself is
+    * map-only over the full table. */
+  def winsorize(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo < hi, s"lo ($lo) must be < hi ($hi)")
+    val cuts = exactPercentiles(df, valueCol, Seq(lo, hi))
+      .agg(max(when(col("q") === lo, col("value"))).as("__lo"),
+        max(when(col("q") === hi, col("value"))).as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+  }
 }

@@ -73,6 +73,56 @@ object SpatialJoin {
       .select(col(idL), col(idR), sqrt(dist2).as("dist"))
   }
 
+  /** Point-in-convex-polygon join — the PostGIS ST_Contains shape the
+    * reference delegates ("which region does each point fall in").
+    * Polygons arrive as an array<struct<x,y>> vertex column in CCW
+    * order; a point is inside (boundary-inclusive) iff every edge's
+    * cross product (b−a) × (p−a) is >= 0.
+    *
+    * Scale design: same never-a-cross-join scheme as withinDistance —
+    * the POLYGON side explodes into its bbox's grid cells (bounded by
+    * bbox area / cellSize²; size cells to the typical polygon), the
+    * point side keys into its single cell, the join shuffles once on
+    * the cell key, and the exact edge test runs on co-located
+    * candidates only. A point's cell is unique, so no pair dedupe is
+    * needed. Convex-only: concave polygons need a triangulation pass
+    * upstream (each triangle is convex), which keeps the per-row test
+    * branch-free — the right trade for codegen.
+    *
+    * Determinism: the edge test is the same multiply-subtract tree in
+    * both engines over identical doubles — bit-reproducible, so the
+    * oracle can brute-force cross join + the same sign tests. */
+  def pointInPolygon(points: DataFrame, polys: DataFrame,
+      idP: String, idG: String,
+      lonCol: String, latCol: String, vertsCol: String,
+      cellSize: Double): DataFrame = {
+    require(cellSize > 0, "cellSize must be positive")
+    val xs = transform(col(vertsCol), v => v("x"))
+    val ys = transform(col(vertsCol), v => v("y"))
+    val build = polys.select(col(idG), col(vertsCol),
+        cell(array_min(xs), cellSize).as("__cx0"),
+        cell(array_max(xs), cellSize).as("__cx1"),
+        cell(array_min(ys), cellSize).as("__cy0"),
+        cell(array_max(ys), cellSize).as("__cy1"))
+      .withColumn("__cx", explode(sequence(col("__cx0"), col("__cx1"))))
+      .withColumn("__cy", explode(sequence(col("__cy0"), col("__cy1"))))
+      .select(col(idG), col(vertsCol), col("__cx"), col("__cy"))
+    val probes = points.select(col(idP), col(lonCol).as("__px"),
+      col(latCol).as("__py"),
+      cell(col(lonCol), cellSize).as("__cx"),
+      cell(col(latCol), cellSize).as("__cy"))
+    val n = size(col(vertsCol))
+    val inside = forall(sequence(lit(0), n - 1), i => {
+      val a = element_at(col(vertsCol), i + 1)
+      val b = element_at(col(vertsCol), pmod(i + 1, n) + 1)
+      (b("x") - a("x")) * (col("__py") - a("y")) -
+        (b("y") - a("y")) * (col("__px") - a("x")) >= 0
+    })
+    probes.join(build, Seq("__cx", "__cy"))
+      .filter(inside)
+      .select(col(idP), col(idG))
+  }
+
   /** Great-circle distance in km (haversine, mean Earth radius).
     * Metric truth for geo use; NOT oracle-hashed (sin/cos are
     * libm-dependent) — pinned by spec against known city distances. */

@@ -97,6 +97,74 @@ class AnalyticsSpec extends SparkSpec {
     one shouldBe Seq((0.5, 500L, 500.0), (0.99, 990L, 990.0))
   }
 
+  // --------------------------------------------------- winsorize
+
+  test("winsorize clamps to exact percentile cutoffs") {
+    // values 1..100: p05 cutoff = 5, p95 cutoff = 95
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val w = graft.operators.Quantiles.winsorize(df, "v", 0.05, 0.95)
+    val got = w.select(col("v"), col("v_w")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    got(1.0) shouldBe 5.0
+    got(4.0) shouldBe 5.0
+    got(5.0) shouldBe 5.0
+    got(50.0) shouldBe 50.0
+    got(96.0) shouldBe 95.0
+    got(100.0) shouldBe 95.0
+  }
+
+  // --------------------------------------------- point in polygon
+
+  test("pointInPolygon matches brute-force on a grid of points") {
+    // CCW unit-ish triangles at assorted offsets, cellSize smaller
+    // than the triangles so bbox cell explosion is exercised
+    val polys = Seq(
+      (1L, Seq((0.0, 0.0), (10.0, 0.0), (0.0, 8.0))),
+      (2L, Seq((-20.0, -20.0), (-5.0, -20.0), (-20.0, -5.0))),
+      (3L, Seq((30.0, 30.0), (42.0, 30.0), (30.0, 39.0))))
+      .map { case (id, vs) => (id, vs.map(p => (p._1, p._2))) }
+      .toDF("gid", "raw")
+      .select(col("gid"), expr(
+        "transform(raw, p -> struct(p._1 as x, p._2 as y))").as("verts"))
+    val points = (for (x <- -25 to 45 by 2; y <- -25 to 45 by 2)
+      yield (x.toLong * 1000 + y, x.toDouble, y.toDouble))
+      .toDF("pid", "px", "py")
+    val got = graft.operators.SpatialJoin.pointInPolygon(
+        points, polys, "pid", "gid", "px", "py", "verts", cellSize = 4.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force in Scala: boundary-inclusive CCW half-plane test
+    val triList = Seq(
+      (1L, Seq((0.0, 0.0), (10.0, 0.0), (0.0, 8.0))),
+      (2L, Seq((-20.0, -20.0), (-5.0, -20.0), (-20.0, -5.0))),
+      (3L, Seq((30.0, 30.0), (42.0, 30.0), (30.0, 39.0))))
+    def inside(px: Double, py: Double, vs: Seq[(Double, Double)]) =
+      vs.indices.forall { i =>
+        val (ax, ay) = vs(i); val (bx, by) = vs((i + 1) % vs.size)
+        (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0
+      }
+    val want = (for {
+      (gid, vs) <- triList
+      r <- points.collect()
+      if inside(r.getDouble(1), r.getDouble(2), vs)
+    } yield (r.getLong(0), gid)).toSet
+    got shouldBe want
+    want should not be empty
+  }
+
+  test("pointInPolygon is boundary-inclusive") {
+    val polys = Seq((1L, Seq((0.0, 0.0), (4.0, 0.0), (0.0, 4.0))))
+      .toDF("gid", "raw")
+      .select(col("gid"), expr(
+        "transform(raw, p -> struct(p._1 as x, p._2 as y))").as("verts"))
+    val points = Seq((1L, 0.0, 0.0), (2L, 2.0, 2.0), (3L, 2.0, 0.0),
+      (4L, 2.1, 2.0), (5L, 5.0, 5.0)).toDF("pid", "px", "py")
+    val got = graft.operators.SpatialJoin.pointInPolygon(
+        points, polys, "pid", "gid", "px", "py", "verts", cellSize = 10.0)
+      .collect().map(_.getLong(0)).toSet
+    // vertex, hypotenuse midpoint, edge midpoint are in; outside out
+    got shouldBe Set(1L, 2L, 3L)
+  }
+
   test("exactPercentiles with heavy duplicates lands on set values") {
     // 90 copies of 1.0, 10 copies of 2.0: p90 -> rank 90 -> 1.0,
     // p91 -> rank 91 -> 2.0
