@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventAnalytics, FuzzyJoin, Layout, Quantiles,
+import graft.operators.{EventAnalytics, FuzzyJoin, Graph, Layout, Quantiles,
   RuntimeFilter, Sampling, SpatialJoin}
 
 /** Round-4 analytics / scale-infrastructure operators: explicit runtime
@@ -324,6 +324,36 @@ object QueriesAnalytics {
       |FROM lineitem, cuts
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q78
+  /** Triangle counting over a synthetic co-occurrence graph from
+    * lineitem keys — degree-ordered edge orientation bounds wedge
+    * enumeration at the m^(3/2) classic (a raw self-join pays
+    * hub-degree² instead); the oracle brute-forces the three-way
+    * canonical join. */
+  private def q78Triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.triangleCount(e, "src", "dst")
+  }
+
+  private val q78Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT
+      |    least(l_orderkey % 20000, (l_partkey * 7) % 20000) AS u,
+      |    greatest(l_orderkey % 20000, (l_partkey * 7) % 20000) AS v
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)
+      |    AND l_orderkey IS NOT NULL),
+      |nodes AS (
+      |  SELECT DISTINCT n FROM (
+      |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0))
+      |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+      |  (SELECT count(*) FROM e0) AS n_edges,
+      |  (SELECT count(*)
+      |   FROM e0 a JOIN e0 b ON b.u = a.u AND b.v > a.v
+      |        JOIN e0 c ON c.u = a.v AND c.v = b.v) AS n_triangles""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -337,6 +367,7 @@ object QueriesAnalytics {
     "q75_zorder" -> (q75Zorder _),
     "q76_point_in_polygon" -> (q76Pip _),
     "q77_winsorize" -> (q77Winsorize _),
+    "q78_triangles" -> (q78Triangles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -350,5 +381,6 @@ object QueriesAnalytics {
     "q75_zorder" -> q75Sql,
     "q76_point_in_polygon" -> q76Sql,
     "q77_winsorize" -> q77Sql,
+    "q78_triangles" -> q78Sql,
   )
 }

@@ -69,6 +69,19 @@ class EquivalencePropertySpec extends SparkSpec {
     }
   }
 
+  test("codegen'd morton interleave equals the per-bit composed form") {
+    val coords = (0 until 300).map(_ =>
+      (rnd.nextLong(1L << 20), rnd.nextLong(1L << 20))).toDF("x", "y")
+    val fast = graft.operators.Layout.zkey(col("x"), col("y"), bits = 20)
+    // reference: Σ ((x>>i)&1)<<2i + ((y>>i)&1)<<(2i+1)
+    val ref = (0 until 20).map { i =>
+      shiftright(col("x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(col("y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    coords.select(fast.as("f"), ref.as("r")).collect()
+      .foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
   test("codegen'd cosine equals composed cosine on random vectors") {
     val vecs = (0 until 300).map { _ =>
       val d = 1 + rnd.nextInt(16)

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Graph
+
+/** Triangle counting: known fixtures + randomized equivalence with a
+  * naive reference count. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def count(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val r = Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangle fixtures: K4, path, star, shared-edge pair") {
+    // K4: every 3-subset is a triangle -> 4
+    count(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      ) shouldBe ((4L, 6L, 4L))
+    // path 1-2-3-4: no triangles
+    count(Seq((1L, 2L), (2L, 3L), (3L, 4L))) shouldBe ((4L, 3L, 0L))
+    // star: hub with 4 leaves, no closing edges
+    count(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))) shouldBe ((5L, 4L, 0L))
+    // two triangles sharing edge 1-2
+    count(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      ) shouldBe ((4L, 5L, 2L))
+  }
+
+  test("duplicate, reversed, and self-loop edges are normalized away") {
+    count(Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (2L, 3L), (3L, 1L))
+      ) shouldBe ((3L, 3L, 1L))
+  }
+
+  test("triangle count matches naive enumeration on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val edges = (for {
+      u <- 0 until n; v <- (u + 1) until n if rnd.nextDouble() < 0.15
+    } yield (u.toLong, v.toLong)).toVector
+    val es = edges.toSet
+    val naive = (for {
+      x <- 0 until n; y <- (x + 1) until n; z <- (y + 1) until n
+      if es.contains((x.toLong, y.toLong)) &&
+        es.contains((x.toLong, z.toLong)) && es.contains((y.toLong, z.toLong))
+    } yield 1).size.toLong
+    val (_, nEdges, tris) = count(edges)
+    nEdges shouldBe edges.size.toLong
+    tris shouldBe naive
+    naive should be > 0L // fixture sanity: the graph actually has triangles
+  }
+}
