@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If
   *   graft_kmv_distinct(x[, k])     -> double   (KMV sketch aggregate)
   *   graft_repetition_stats(text)   -> struct   (Gopher repetition rules)
   *   graft_redact_pii(text)         -> string   (email/phone/IPv4 mask)
+  *   graft_zorder(x, y[, bits])     -> bigint   (z-order clustering key)
   *   st_point(lon, lat)             -> struct   (composed built-ins)
   *   st_x(geom) / st_y(geom)        -> double
   *   st_astext(geom)                -> string
@@ -142,6 +143,12 @@ object GraftExtensions {
     // src == target inside the scalar).
     ("st_transform", info("st_transform", "reproject"),
       (exprs: Seq[Expression]) => stTransformSql(exprs(0), exprs(1))),
+    // graft_zorder(x, y[, bits]): the z-order clustering key (see
+    // operators/Layout) — SQL users can ORDER BY it before a write
+    ("graft_zorder", info("graft_zorder", "z-order key"),
+      (exprs: Seq[Expression]) => MortonInterleave(
+        fn("bigint", exprs(0)), fn("bigint", exprs(1)),
+        if (exprs.length >= 3) intLit("graft_zorder", exprs(2)) else 32)),
   )
 
   private def stTransformSql(g: Expression, targetRaw: Expression): Expression = {

@@ -86,6 +86,31 @@ class EventAnalyticsSpec extends SparkSpec {
     got shouldBe Array((1, 1L), (2, 0L))
   }
 
+  // ------------------------------------- batch vs streaming parity
+
+  test("batch sessionize agrees with the streaming session_window form") {
+    // the same gap over the real events table must produce identical
+    // sessions from EventAnalytics (lag/cumsum) and EventPipeline
+    // (session_window, run in batch mode). Boundary semantics differ
+    // only at diff == gap exactly (lag rule merges, session_window
+    // splits) — measure-zero on microsecond event data.
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val batch = graft.operators.EventAnalytics.sessionSummary(
+        events, "user_id", "ts", "event_id", "value", gapSeconds = 7200L)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val stream = graft.streaming.EventPipeline.sessions(
+        events, gap = "7200 seconds", streaming = false)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    batch shouldBe stream
+    batch.size should be > 100
+  }
+
   // ---------------------------------------------------- retention
 
   test("cohortRetention buckets by first-activity week") {

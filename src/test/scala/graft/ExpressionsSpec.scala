@@ -92,6 +92,20 @@ class ExpressionsSpec extends SparkSpec {
     sql(1) shouldBe 250.0 +- 50.0
   }
 
+  test("graft_zorder is SQL-callable and matches the operator form") {
+    GraftExtensions.register(spark)
+    Seq((3L, 5L), (0L, 0L), (1023L, 511L)).toDF("x", "y")
+      .createOrReplaceTempView("ext_z")
+    val sql = spark.sql(
+      "SELECT graft_zorder(x, y, 10) AS z FROM ext_z ORDER BY z")
+      .collect().map(_.getLong(0)).toSeq
+    val df = spark.table("ext_z")
+      .select(graft.operators.Layout.zkey(col("x"), col("y"), 10).as("z"))
+      .orderBy(col("z")).collect().map(_.getLong(0)).toSeq
+    sql shouldBe df
+    sql should contain(39L) // z(3,5) hand-computed
+  }
+
   test("CharShinglesExpression matches the composed form") {
     val texts = Seq("The  Quick Brown fox", "ab", "abcd", "abcde",
       " spaced   out  text ", "").toDF("text")
