@@ -354,6 +354,77 @@ object QueriesAnalytics {
       |   FROM e0 a JOIN e0 b ON b.u = a.u AND b.v > a.v
       |        JOIN e0 c ON c.u = a.v AND c.v = b.v) AS n_triangles""".stripMargin
 
+  // --------------------------------------------------------------- q79
+  /** Trailing 24 h moving-window aggregates per event (RANGE frame on
+    * integer micros — the interval-window half of the window family
+    * that q48's ROWS frames don't cover). One shuffle by user. */
+  private def q79Trailing(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.trailingWindow(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", windowSeconds = 86400L)
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+
+  private val q79Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+      |SELECT event_id, user_id, us,
+      |  count(*) OVER w AS n_trailing,
+      |  sum(value) OVER w AS sum_trailing
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us, event_id""".stripMargin
+
+  // --------------------------------------------------------------- q80
+  /** SCD Type-2 merge: a deterministic update batch against a
+    * versioned customer dimension — no-op updates (every 14th key)
+    * must NOT version, changed updates close + reopen, unknown keys
+    * insert fresh open versions. The oracle rebuilds the same history
+    * as three explicit join arms. */
+  private def q80Scd2(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val dim = c.select(col("c_custkey"), col("c_mktsegment"),
+      lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    val changedOrNoop = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 14 === 0, col("c_mktsegment"))
+          .otherwise(concat(lit("NEW-"), col("c_mktsegment")))
+          .as("c_mktsegment"),
+        lit(1000L).as("ts"))
+    val freshKeys = c.filter(col("c_custkey") % 500 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        lit("FRESH").as("c_mktsegment"), lit(1000L).as("ts"))
+    operators.Scd2(dim, changedOrNoop.unionAll(freshKeys),
+        Seq("c_custkey"), Seq("c_mktsegment"), "ts")
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  private val q80Sql =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+      |    CAST(NULL AS BIGINT) AS valid_to
+      |  FROM customer),
+      |upd AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+      |         ELSE 'NEW-' || c_mktsegment END AS seg,
+      |    CAST(1000 AS BIGINT) AS ts
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'FRESH', 1000
+      |  FROM customer WHERE c_custkey % 500 = 0)
+      |SELECT * FROM (
+      |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+      |  FROM dim d LEFT JOIN upd u USING (c_custkey)
+      |  WHERE u.c_custkey IS NULL OR u.seg = d.c_mktsegment
+      |  UNION ALL
+      |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, u.ts
+      |  FROM dim d JOIN upd u USING (c_custkey)
+      |  WHERE u.seg != d.c_mktsegment
+      |  UNION ALL
+      |  SELECT u.c_custkey, u.seg, u.ts, CAST(NULL AS BIGINT)
+      |  FROM upd u LEFT JOIN dim d USING (c_custkey)
+      |  WHERE d.c_custkey IS NULL OR u.seg != d.c_mktsegment)
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -368,6 +439,8 @@ object QueriesAnalytics {
     "q76_point_in_polygon" -> (q76Pip _),
     "q77_winsorize" -> (q77Winsorize _),
     "q78_triangles" -> (q78Triangles _),
+    "q79_trailing_window" -> (q79Trailing _),
+    "q80_scd2" -> (q80Scd2 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -382,5 +455,7 @@ object QueriesAnalytics {
     "q76_point_in_polygon" -> q76Sql,
     "q77_winsorize" -> q77Sql,
     "q78_triangles" -> q78Sql,
+    "q79_trailing_window" -> q79Sql,
+    "q80_scd2" -> q80Sql,
   )
 }

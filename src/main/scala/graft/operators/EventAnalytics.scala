@@ -83,6 +83,24 @@ object EventAnalytics {
     }.reduce(_.unionAll(_))
   }
 
+  /** Per-event trailing time-window aggregates: for every event, the
+    * count and summed `valueCol` of the same user's events in the
+    * trailing `windowSeconds` (RANGE frame on integer micros, current
+    * row inclusive) — the moving-window complement of q48's ROWS-frame
+    * family. Tied timestamps all see the full tie group (RANGE
+    * semantics, identical in any engine). One shuffle by user. */
+  def trailingWindow(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"))
+      .rangeBetween(-windowSeconds * 1000000L, 0)
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .select(col(idCol), col(userCol), col("__us").as("us"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col(valueCol)).over(w).as("sum_trailing"))
+  }
+
   /** Epoch week bucket (integer division of event micros — exact in
     * both engines; `us div` mirrors DuckDB's `//`). */
   private def epochWeek(us: Column): Column =

@@ -75,6 +75,66 @@ object UpdateJob {
   }
 }
 
+/** Slowly-changing-dimension Type 2 merge: keyed updates close out the
+  * current version row and append a new one, preserving full history —
+  * the warehouse-standard change-tracking companion to UpdateJob's
+  * overwrite MERGE.
+  *
+  * Scale: one shuffle join of the CURRENT slice against the update
+  * batch on the key; historical (already-closed) rows pass through
+  * untouched with a map-only filter. Composes with PartitionedTable
+  * the same way as the other mutations — bucket by key and only
+  * touched buckets rewrite.
+  */
+object Scd2 {
+
+  /** Apply `updates` (key + the tracked attribute columns + `tsCol`)
+    * to a versioned dimension `dim` carrying `valid_from` /
+    * `valid_to` LONG columns (open version: valid_to IS NULL).
+    * A matched open row is closed (valid_to = update ts) and a new
+    * open version appended; updates whose tracked attributes all
+    * equal the current version are no-ops (no spurious versions).
+    * Updates for unknown keys insert a fresh open version.
+    *
+    * `updates` must be key-unique (one batch = one version step);
+    * dedupe upstream with UpdateJob.merge's orderCol pattern when the
+    * batch carries multiple rows per key. */
+  def apply(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+      attrs: Seq[String], tsCol: String): DataFrame = {
+    require(keys.nonEmpty && attrs.nonEmpty, "keys and attrs required")
+    val closed = dim.filter(col("valid_to").isNotNull)
+    val open = dim.filter(col("valid_to").isNull)
+    val u = updates.select(
+      (keys.map(col) ++ attrs.map(c => col(c).as(s"__u_$c")) :+
+        col(tsCol).as("__u_ts")): _*)
+    val joined = open.join(u, keys.toSeq, "full_outer")
+    val changed = attrs.map(c => !(col(s"__u_$c") <=> col(c)))
+      .reduce(_ || _)
+    val matchedChanged = col("__u_ts").isNotNull &&
+      col("valid_from").isNotNull && changed
+    // surviving open rows: untouched, or update was a no-op
+    val stillOpen = joined.filter(col("valid_from").isNotNull &&
+        (col("__u_ts").isNull || !changed))
+      .select(dim.columns.map(col).toIndexedSeq: _*)
+    // closed-out prior versions
+    val closedOut = joined.filter(matchedChanged)
+      .select(dim.columns.map {
+        case "valid_to" => col("__u_ts").as("valid_to")
+        case c => col(c)
+      }.toIndexedSeq: _*)
+    // new versions: changed updates + brand-new keys
+    val fresh = joined.filter(col("__u_ts").isNotNull &&
+        (col("valid_from").isNull || changed))
+      .select(dim.columns.map {
+        case "valid_from" => col("__u_ts").as("valid_from")
+        case "valid_to" => lit(null).cast("long").as("valid_to")
+        case c if attrs.contains(c) => col(s"__u_$c").as(c)
+        case c => col(c)
+      }.toIndexedSeq: _*)
+    closed.unionByName(stillOpen).unionByName(closedOut).unionByName(fresh)
+  }
+}
+
 object DeleteJob {
 
   /** DELETE FROM base WHERE key IN (keys) — left-anti join rewrite.

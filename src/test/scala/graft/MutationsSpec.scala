@@ -64,4 +64,58 @@ class MutationsSpec extends SparkSpec {
     val keys = Seq(2, 2, 2).toDF("id")
     DeleteJob.deleteByKeys(base, keys, Seq("id")).count() shouldBe 2
   }
+
+  // ------------------------------------------------------------ SCD2
+
+  private def scdDim = Seq(
+    (1L, "gold", 0L, Option.empty[Long]),
+    (2L, "silver", 0L, Option.empty[Long]),
+    // key 3 already has history: a closed row plus the open one
+    (3L, "bronze", 0L, Some(500L)),
+    (3L, "iron", 500L, Option.empty[Long])
+  ).toDF("id", "tier", "valid_from", "valid_to")
+
+  test("scd2 closes changed versions and appends new ones") {
+    val upd = Seq((1L, "platinum", 1000L)).toDF("id", "tier", "ts")
+    val got = graft.operators.Scd2(scdDim, upd, Seq("id"), Seq("tier"), "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    got shouldBe Set(
+      (1L, "gold", 0L, 1000L),      // closed out
+      (1L, "platinum", 1000L, -1L), // new open version
+      (2L, "silver", 0L, -1L),      // untouched
+      (3L, "bronze", 0L, 500L),     // history passes through
+      (3L, "iron", 500L, -1L))
+  }
+
+  test("scd2 no-op updates do not create versions") {
+    val upd = Seq((2L, "silver", 1000L)).toDF("id", "tier", "ts")
+    val got = graft.operators.Scd2(scdDim, upd, Seq("id"), Seq("tier"), "ts")
+    got.count() shouldBe scdDim.count()
+    got.filter(col("valid_from") === 1000L).count() shouldBe 0L
+  }
+
+  test("scd2 inserts unknown keys as fresh open versions") {
+    val upd = Seq((9L, "new", 1000L)).toDF("id", "tier", "ts")
+    val got = graft.operators.Scd2(scdDim, upd, Seq("id"), Seq("tier"), "ts")
+      .filter(col("id") === 9L)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.isNullAt(3)))
+    got shouldBe Array(("new", 1000L, true))
+  }
+
+  test("scd2 applied twice builds a three-version chain") {
+    val d0 = Seq((1L, "gold", 0L, Option.empty[Long]))
+      .toDF("id", "tier", "valid_from", "valid_to")
+    val d1 = graft.operators.Scd2(d0,
+      Seq((1L, "silver", 100L)).toDF("id", "tier", "ts"),
+      Seq("id"), Seq("tier"), "ts")
+    val d2 = graft.operators.Scd2(d1,
+      Seq((1L, "bronze", 200L)).toDF("id", "tier", "ts"),
+      Seq("id"), Seq("tier"), "ts")
+    val got = d2.orderBy("valid_from")
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    got shouldBe Array(("gold", 0L, 100L), ("silver", 100L, 200L),
+      ("bronze", 200L, -1L))
+  }
 }
