@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, FuzzyJoin, Graph, Quantiles, Similarity}
 
 /** Scaling-curve smoke: runs the ex-weak operators (minhash-LSH dedup,
   * IVF ANN) on 1x/3x/10x blowups of the sf0.1 tables (id-offset copies,
@@ -110,6 +110,50 @@ object ScaleSmoke {
         Dedup.semDeDup(vecs, "vec_id", "e", centroids, tau = 0.99).count()
       }
       println(f"semdedup ${f}%2dx vecs=$nv%8d dups=$semDups%9d  $tSem%7.1f s")
+      sweep()
+
+      // fuzzy join: names REGENERATED from the blown-up ids (an id-offset
+      // copy would duplicate every name exactly — quadratic dist-0
+      // buckets, not a scaling test), so neighbor density stays constant
+      // and candidate keys scale linearly
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"))
+      val names = blowup(cust, "c_custkey", f).select(col("c_custkey"),
+        format_string("Customer#%09d", col("c_custkey")).as("name"))
+      val nNames = names.count()
+      val (fz, tFz) = time {
+        FuzzyJoin.selfJoin(names, "c_custkey", "name", maxDist = 1).count()
+      }
+      println(f"fuzzy    ${f}%2dx names=$nNames%7d pairs=$fz%10d  $tFz%7.1f s")
+      sweep()
+
+      // triangles: id-offset copies are DISJOINT graph copies — wedge
+      // work scales linearly with f at constant degree
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_orderkey") % 20000).as("src"),
+          (col("l_partkey") * 7 % 20000).as("dst"))
+      val edges = (0 until f).map { i =>
+        li0.select((col("src") + lit(i * 10000000L)).as("src"),
+          (col("dst") + lit(i * 10000000L)).as("dst"))
+      }.reduce(_ unionAll _).repartition(32)
+      val (triRow, tTri) = time {
+        Graph.triangleCount(edges, "src", "dst").head()
+      }
+      println(f"triangle ${f}%2dx edges=${triRow.getLong(1)}%8d " +
+        f"tris=${triRow.getLong(2)}%9d  $tTri%7.1f s")
+      sweep()
+
+      // exact percentiles: copies leave the DISTINCT value set constant
+      // — the post-aggregation range shuffle must not grow with f
+      val prices = (0 until f).map(_ =>
+          spark.read.parquet(s"$dir/lineitem.parquet")
+            .select(col("l_extendedprice")))
+        .reduce(_ unionAll _).repartition(32)
+      val (pq, tPq) = time {
+        Quantiles.exactPercentiles(prices, "l_extendedprice",
+          Seq(0.5, 0.99)).count()
+      }
+      println(f"pctile   ${f}%2dx qrows=$pq%8d              $tPq%7.1f s")
       sweep()
     }
     spark.stop()

@@ -53,6 +53,36 @@ class AnalyticsSpec extends SparkSpec {
     got.length shouldBe 3000 / 100 * 4
   }
 
+  test("bloomSemiJoin probes the bloom BELOW any exchange (map-side)") {
+    // parquet-backed fact: a local Seq would be folded by
+    // ConvertToLocalRelation and the probe filter evaluated at plan time
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    (1L to 3000L).map(i => (i, i % 100)).toDF("id", "key")
+      .write.mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Seq(3L, 17L).toDF("dkey")
+    val plan0 = graft.operators.RuntimeFilter
+      .bloomSemiJoin(fact, "key", dim, "dkey")
+      .queryExecution.executedPlan
+    val plan = plan0 match { // AQE wrapper hides the physical tree
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val bloomFilters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.find(
+            _.isInstanceOf[graft.expressions.BloomMightContain]).isDefined => f
+    }
+    bloomFilters should not be empty
+    // the probe's subtree reaches the source with no shuffle in between
+    bloomFilters.foreach { f =>
+      f.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      } shouldBe empty
+    }
+  }
+
   test("bloomSemiJoin with an empty dim side returns nothing") {
     val fact = (1L to 50L).toDF("key")
     val dim = Seq.empty[Long].toDF("dkey")
