@@ -425,6 +425,39 @@ object QueriesAnalytics {
       |  WHERE d.c_custkey IS NULL OR u.seg != d.c_mktsegment)
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  // --------------------------------------------------------------- q81
+  /** Per-group exact percentiles: p50/p90/p99 of l_extendedprice
+    * within each returnflag — the grouped form of q69 (cumulative
+    * window partitioned by group; ranks from a broadcast of
+    * group-total × fraction pairs). */
+  private def q81Grouped(s: SparkSession, dir: String): DataFrame =
+    Quantiles.exactPercentilesByGroup(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))
+      .orderBy(col("l_returnflag"), col("q"))
+
+  private val q81Sql =
+    """WITH qs AS (
+      |  SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+      |    CAST(0.99 AS DOUBLE)]) AS q),
+      |counts AS (
+      |  SELECT l_returnflag AS g, l_extendedprice AS value, count(*) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+      |totals AS (SELECT g, sum(c) AS n FROM counts GROUP BY 1),
+      |cum AS (
+      |  SELECT g, value, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY value
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM counts),
+      |ranks AS (
+      |  SELECT t.g, qs.q,
+      |    GREATEST(1, CAST(ceil(qs.q * CAST(t.n AS DOUBLE)) AS BIGINT))
+      |      AS rank
+      |  FROM totals t, qs)
+      |SELECT r.g AS l_returnflag, r.q, r.rank, cum.value
+      |FROM ranks r JOIN cum
+      |  ON cum.g = r.g AND r.rank > cum.cum - cum.c AND r.rank <= cum.cum
+      |ORDER BY l_returnflag, q""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -441,6 +474,7 @@ object QueriesAnalytics {
     "q78_triangles" -> (q78Triangles _),
     "q79_trailing_window" -> (q79Trailing _),
     "q80_scd2" -> (q80Scd2 _),
+    "q81_grouped_percentiles" -> (q81Grouped _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -457,5 +491,6 @@ object QueriesAnalytics {
     "q78_triangles" -> q78Sql,
     "q79_trailing_window" -> q79Sql,
     "q80_scd2" -> q80Sql,
+    "q81_grouped_percentiles" -> q81Sql,
   )
 }

@@ -75,6 +75,44 @@ object Quantiles {
       .select(col("q"), col("rank"), col("value"))
   }
 
+  /** Per-group exact percentiles: (group, q, rank, value) for each
+    * fraction, percentile_disc semantics within each group.
+    *
+    * Here the cumulative window is PARTITIONED BY the group (parallel
+    * across groups; one group's DISTINCT values meet in one partition,
+    * which is the correct grain and bounded by per-group cardinality,
+    * not table size — the same reasoning as tokenBudgetSample). The
+    * single-series variant above exists for the one case where that
+    * grain would be the whole table. */
+  def exactPercentilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1], got $qs")
+    val spark = df.sparkSession
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("value"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    val qsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(qs.sorted.map(Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    // ceil(q * n) in DOUBLE, mirrored verbatim by the oracle SQL
+    val ranks = totals.crossJoin(broadcast(qsDf))
+      .withColumn("rank",
+        greatest(lit(1L), ceil(col("q") * col("n").cast("double"))))
+      .select(col(groupCol), col("q"), col("rank"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    cum.join(ranks,
+        cum(groupCol) === ranks(groupCol) &&
+          col("rank") > col("cum") - col("c") && col("rank") <= col("cum"))
+      .select(cum(groupCol), col("q"), col("rank"), col("value"))
+  }
+
   /** Winsorize: clamp `valueCol` to its [lo, hi] exact percentile
     * cutoffs (the robust-statistics outlier treatment). Adds
     * `<valueCol>_w` (clamped value) plus `__lo`/`__hi` cutoff columns;

@@ -127,6 +127,23 @@ class AnalyticsSpec extends SparkSpec {
     one shouldBe Seq((0.5, 500L, 500.0), (0.99, 990L, 990.0))
   }
 
+  test("exactPercentilesByGroup matches per-group sorted references") {
+    val df = (Seq.fill(10)("a").zipWithIndex.map { case (g, i) => (g, (i + 1).toDouble) } ++
+      Seq.fill(4)("b").zipWithIndex.map { case (g, i) => (g, (i + 1) * 100.0) })
+      .toDF("g", "v")
+    val got = graft.operators.Quantiles
+      .exactPercentilesByGroup(df, "g", "v", Seq(0.25, 0.5, 1.0))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(3)))
+      .toMap
+    // group a: 1..10; group b: 100,200,300,400
+    got(("a", 0.25)) shouldBe 3.0 // ceil(2.5) = 3
+    got(("a", 0.5)) shouldBe 5.0
+    got(("a", 1.0)) shouldBe 10.0
+    got(("b", 0.25)) shouldBe 100.0
+    got(("b", 0.5)) shouldBe 200.0
+    got(("b", 1.0)) shouldBe 400.0
+  }
+
   // --------------------------------------------------- winsorize
 
   test("winsorize clamps to exact percentile cutoffs") {
