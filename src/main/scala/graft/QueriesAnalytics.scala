@@ -458,6 +458,66 @@ object QueriesAnalytics {
       |  ON cum.g = r.g AND r.rank > cum.cum - cum.c AND r.rank <= cum.cum
       |ORDER BY l_returnflag, q""".stripMargin
 
+  // --------------------------------------------------------------- q82
+  /** URL canonicalization + per-domain census over deterministically
+    * messy synthetic URLs (uppercase scheme/host, default port,
+    * unsorted query params, fragments): the Spark normalizer and the
+    * DuckDB oracle run the IDENTICAL regex/list pipeline (Java ∩ RE2
+    * patterns), then aggregate by registered domain. */
+  private def q82Urls(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    val d = Tables.load(s, dir, "documents")
+    val raw = concat(lit("HTTPS://WWW.Site"),
+      (col("doc_id") % 50).cast("string"),
+      lit("-Example.COM:443/docs/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?b=2&a=1"),
+      when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+    d.select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), UrlFunctions.normalizeUrl(col("raw")).as("url"),
+        UrlFunctions.registeredDomain(col("raw")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_urls"),
+        min(col("url")).as("first_url"))
+      .orderBy(col("domain"))
+  }
+
+  private val q82Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '-Example.COM:443/docs/' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      |    '?b=2&a=1' ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS u
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(u,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+      |    regexp_replace(lower(regexp_extract(u,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)),
+      |      ':(443|80)$', '') AS host,
+      |    regexp_extract(u,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS path0,
+      |    regexp_extract(u,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS q
+      |  FROM raw),
+      |norm AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+      |    CASE WHEN q = '' THEN ''
+      |         ELSE '?' || array_to_string(list_sort(
+      |           list_filter(string_split(q, '&'), x -> x != '')), '&') END
+      |      AS url,
+      |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+      |  FROM parts)
+      |SELECT domain, count(*) AS n_docs,
+      |  count(DISTINCT url) AS n_urls, min(url) AS first_url
+      |FROM norm GROUP BY 1 ORDER BY domain""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -475,6 +535,7 @@ object QueriesAnalytics {
     "q79_trailing_window" -> (q79Trailing _),
     "q80_scd2" -> (q80Scd2 _),
     "q81_grouped_percentiles" -> (q81Grouped _),
+    "q82_url_normalize" -> (q82Urls _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -492,5 +553,6 @@ object QueriesAnalytics {
     "q79_trailing_window" -> q79Sql,
     "q80_scd2" -> q80Sql,
     "q81_grouped_percentiles" -> q81Sql,
+    "q82_url_normalize" -> q82Sql,
   )
 }
