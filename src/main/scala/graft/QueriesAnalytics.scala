@@ -518,9 +518,55 @@ object QueriesAnalytics {
       |  count(DISTINCT url) AS n_urls, min(url) AS first_url
       |FROM norm GROUP BY 1 ORDER BY domain""".stripMargin
 
+  // --------------------------------------------------------------- q85
+  /** Large×large interval overlap join via fixed-width binning
+    * (IntervalJoin.overlapJoin): every 50th order opens a 14-day
+    * window from its order date; each lineitem occupies a
+    * [ship, ship + (linenumber % 7) + 1]-day service interval; count +
+    * quantity of overlapping lineitems per window. q26's range join
+    * broadcasts one side — this is the both-sides-large formulation:
+    * explode to 16-day bins, hash-join on the bin, dedup-free via the
+    * max-start-bin rule, exact overlap as a post-filter. The oracle
+    * runs the plain theta join. */
+  private def q85Interval(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01")
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), epoch).cast("long").as("w_start"))
+      .withColumn("w_end", col("w_start") + 14)
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        datediff(to_date(col("l_shipdate")), epoch).cast("long").as("l_start"),
+        (datediff(to_date(col("l_shipdate")), epoch) +
+          (col("l_linenumber") % 7) + 1).cast("long").as("l_end"))
+    graft.operators.IntervalJoin.overlapJoin(
+        li, "l_start", "l_end", orders, "w_start", "w_end", binWidth = 16L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q85Sql =
+    """WITH w AS (
+      |  SELECT o_orderkey,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ws,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 14 AS we
+      |  FROM orders WHERE o_orderkey % 50 = 0),
+      |li AS (
+      |  SELECT l_quantity,
+      |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ls,
+      |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |      + (l_linenumber % 7) + 1 AS le
+      |  FROM lineitem)
+      |SELECT w.o_orderkey, count(*) AS n_items, sum(li.l_quantity) AS sum_qty
+      |FROM w JOIN li ON li.ls <= w.we AND w.ws <= li.le
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_interval_join" -> (q85Interval _),
     "q68_bloom_semijoin" -> (q68Bloom _),
     "q69_percentiles" -> (q69Percentiles _),
     "q70_sessionize" -> (q70Sessions _),
@@ -539,6 +585,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_interval_join" -> q85Sql,
     "q68_bloom_semijoin" -> q68Sql,
     "q69_percentiles" -> q69Sql,
     "q70_sessionize" -> q70Sql,

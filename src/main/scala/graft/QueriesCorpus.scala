@@ -448,9 +448,126 @@ object QueriesCorpus {
       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q83
+  /** BM25 keyword retrieval: top-10 documents for three keyword queries
+    * over the corpus (Retrieval.bm25TopK). The query side of q45's
+    * TF-IDF surface — idf is the log-free ratio variant, the per-doc
+    * score folds SORTED floats (q60 rule), and the token stream is
+    * pruned to query terms by a broadcast semi-join BEFORE the tf
+    * aggregate, so only (doc, matched-term) rows ever shuffle. */
+  private def q83Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      "hash_join" -> "hash", "hash_join" -> "join", "hash_join" -> "table",
+      "window_scan" -> "window", "window_scan" -> "scan", "window_scan" -> "agg",
+      "slow_filter" -> "slow", "slow_filter" -> "filter", "slow_filter" -> "query")
+      .toDF("query_id", "term")
+    graft.operators.Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
+        queries, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q83Sql =
+    """WITH q(query_id, term) AS (VALUES
+      |  ('hash_join','hash'), ('hash_join','join'), ('hash_join','table'),
+      |  ('window_scan','window'), ('window_scan','scan'), ('window_scan','agg'),
+      |  ('slow_filter','slow'), ('slow_filter','filter'), ('slow_filter','query')),
+      |toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |terms AS (SELECT doc_id, lower(unnest(tk)) AS term FROM toks),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms
+      |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    ((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+      |      ((tf.tf * (1.2 + 1.0)) /
+      |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+      |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      |    CROSS JOIN stats JOIN q USING (term)),
+      |perdoc AS (
+      |  SELECT query_id, doc_id,
+      |    list_aggregate(list_sort(list(s)), 'sum') AS score,
+      |    count(*) AS n_terms
+      |  FROM scored GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, doc_id, score, n_terms,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id DESC, n_terms DESC) AS rank
+      |  FROM perdoc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score, n_terms
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // --------------------------------------------------------------- q84
+  /** Count-min frequency sketch (d=4, w=512) over lineitem part keys,
+    * probed at a deterministic sample of parts and compared against the
+    * exact counts. The sketch state is 4x512 longs per partition
+    * REGARDLESS of input size — the frequency analog of q38's KMV
+    * cardinality sketch; estimates are integer-exact in both engines
+    * because bucket indices are md5-derived column math. */
+  private def q84Cms(s: SparkSession, dir: String): DataFrame = {
+    val d = 4; val w = 512
+    val li = Tables.load(s, dir, "lineitem")
+    val sketch = li.agg(Sketches.cmsSketch(col("l_partkey"), d, w).as("__sk"))
+    val probes = Tables.load(s, dir, "part")
+      .filter(col("p_partkey") % 97 === 0).select(col("p_partkey"))
+    val exact = li.join(broadcast(probes),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("__exact"))
+    probes.crossJoin(broadcast(sketch))
+      .withColumn("cms_count",
+        Sketches.cmsEstimate(col("__sk"), col("p_partkey"), d, w))
+      .join(exact, col("p_partkey") === col("l_partkey"), "left_outer")
+      .select(col("p_partkey"),
+        col("cms_count"),
+        coalesce(col("__exact"), lit(0L)).as("exact_count"),
+        (col("cms_count") - coalesce(col("__exact"), lit(0L))).as("overcount"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q84Sql =
+    """WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |b AS (
+      |  SELECT rows_.r,
+      |    ('0x' || substr(md5(CAST(rows_.r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)),
+      |      1, 15))::BIGINT % 512 AS bucket,
+      |    count(*) AS c
+      |  FROM lineitem CROSS JOIN rows_
+      |  WHERE l_partkey IS NOT NULL
+      |  GROUP BY 1, 2),
+      |probes AS (SELECT p_partkey FROM part WHERE p_partkey % 97 = 0),
+      |pb AS (
+      |  SELECT p.p_partkey, rows_.r,
+      |    ('0x' || substr(md5(CAST(rows_.r AS VARCHAR) || ':' || CAST(p.p_partkey AS VARCHAR)),
+      |      1, 15))::BIGINT % 512 AS bucket
+      |  FROM probes p CROSS JOIN rows_),
+      |est AS (
+      |  SELECT pb.p_partkey, min(COALESCE(b.c, 0)) AS cms_count
+      |  FROM pb LEFT JOIN b ON b.r = pb.r AND b.bucket = pb.bucket
+      |  GROUP BY 1),
+      |exact AS (
+      |  SELECT l_partkey, count(*) AS exact_count FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM probes) GROUP BY 1)
+      |SELECT e.p_partkey, e.cms_count,
+      |  COALESCE(x.exact_count, 0) AS exact_count,
+      |  e.cms_count - COALESCE(x.exact_count, 0) AS overcount
+      |FROM est e LEFT JOIN exact x ON x.l_partkey = e.p_partkey
+      |ORDER BY e.p_partkey""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_bm25" -> (q83Bm25 _),
+    "q84_sketch_cms" -> (q84Cms _),
     "q67_corpus_diff" -> (q67Diff _),
     "q61_training_order" -> (q61Order _),
     "q62_seq_windows" -> (q62Windows _),
@@ -467,6 +584,8 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q83_bm25" -> q83Sql,
+    "q84_sketch_cms" -> q84Sql,
     "q67_corpus_diff" -> q67Sql,
     "q61_training_order" -> q61Sql,
     "q62_seq_windows" -> q62Sql,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+import graft.functions.TextAnalysis
+
+/** Keyword retrieval over a document corpus: BM25 ranking (Robertson &
+  * Spärck Jones probabilistic relevance framework, the BM25 form of
+  * Robertson et al., TREC-3 1994). The query side of the TF-IDF surface
+  * (q45 weighs a document's own terms; this ranks documents AGAINST a
+  * query set) — what a training-data pipeline runs for targeted corpus
+  * probes ("find the documents about X") and eval-set curation.
+  *
+  * Scale design (100 TB corpus, a handful of queries):
+  *   - The query-term table is broadcast and semi-joined against the
+  *     token stream BEFORE the tf aggregate, so the only shuffle
+  *     carries (doc, matched-term) rows — the corpus vocabulary never
+  *     aggregates, and documents with no query term never leave the
+  *     map side.
+  *   - Document length and corpus stats (N, avgdl) are map-only + one
+  *     two-long aggregate; avgdl derives from an exact integer sum, so
+  *     it is bit-identical under any partitioning.
+  *   - Per-(query, doc) scores fold a SORTED score list (the q60 rule:
+  *     both engines add identical floats in identical order), and the
+  *     top-k per query is a bounded-heap CollectTopK — never a window
+  *     sort over the scored set.
+  *
+  * Determinism: idf is the log-free ratio variant
+  * (N - df + 0.5) / (df + 0.5) — monotone in df like the classic
+  * log idf, but pure IEEE arithmetic with no libm dependence (the q45
+  * rule). All inputs to the float math are exact integers (tf, df, dl,
+  * N) plus one exact-sum-derived double (avgdl).
+  */
+object Retrieval {
+
+  /** BM25 top-k documents per query.
+    *
+    * @param docs       corpus with an id column and a text column
+    * @param queryTerms (query_id, term) rows — one row per query term,
+    *                   terms lowercase; small (broadcast side)
+    * @param k          documents returned per query
+    * @return (query_id, rank, <idCol>, score, n_terms) — rank 1 = best;
+    *         ties break by id descending (mirrors q45's rule)
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val id = col(idCol)
+    val toks = docs.select(id.as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__tk"))
+
+    // Corpus stats: N over all docs, avgdl from the exact token-count
+    // sum (long) so the double division is partitioning-invariant.
+    val dl = toks.select(col("__id"), size(col("__tk")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .select(col("n"),
+        (col("sum_dl").cast("double") / col("n").cast("double")).as("avgdl"))
+
+    val qt = queryTerms.select(col("query_id"), col("term"))
+    val qTermSet = qt.select(col("term")).distinct()
+
+    // Token stream pruned to query terms BEFORE aggregation: the semi
+    // join is broadcast, so non-matching tokens die map-side.
+    val matchedTokens = toks
+      .select(col("__id"), explode(col("__tk")).as("__tok"))
+      .select(col("__id"), lower(col("__tok")).as("term"))
+      .join(broadcast(qTermSet), Seq("term"), "left_semi")
+    val tf = matchedTokens.groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // df per query term over the whole corpus (tf is already scoped).
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("__id"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), Seq("term"))
+      .withColumn("s",
+        ((col("n").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+          ((col("tf") * (lit(k1) + lit(1.0))) /
+            (col("tf") + lit(k1) *
+              (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))))
+
+    // Sorted fold (q60 rule) -> deterministic double sum per (query, doc).
+    val perDoc = scored.groupBy(col("query_id"), col("__id"))
+      .agg(
+        aggregate(sort_array(collect_list(col("s"))), lit(0.0), _ + _)
+          .as("score"),
+        count(lit(1)).as("n_terms"))
+
+    val item = struct(col("score"), col("__id"), col("n_terms"))
+    perDoc.groupBy(col("query_id"))
+      .agg(ColumnBridge.collectTopK(item, k, reverse = false).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.__id").as(idCol), col("col.score").as("score"),
+        col("col.n_terms").as("n_terms"))
+  }
+}

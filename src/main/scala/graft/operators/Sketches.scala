@@ -52,4 +52,35 @@ object Sketches {
       .select((col("pos") + 1).cast("long").as("rank"),
         col("col.__item").as(itemName), col("col.cnt").as("cnt"))
   }
+
+  /** The d md5-derived bucket indices of an item for a depth-d, width-w
+    * count-min sketch (row r hashes the string "r:<item>"). Pure column
+    * math, identical in DuckDB:
+    * `('0x' || substr(md5(r || ':' || CAST(x AS VARCHAR)), 1, 15))::BIGINT % w`.
+    */
+  def cmsBuckets(c: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { r =>
+      md5Hash60(concat(lit(s"$r:"), c.cast("string"))) % width
+    }: _*)
+
+  /** Count-min frequency sketch aggregate (see CountMinSketch): state is
+    * depth*width longs per group; result is the flattened counter matrix
+    * (row-major). Probe it with [[cmsEstimate]]. */
+  def cmsSketch(c: Column, depth: Int = 4, width: Int = 512): Column =
+    ColumnBridge.column(
+      graft.expressions.CountMinSketch(
+        ColumnBridge.expression(cmsBuckets(c, depth, width)), depth, width)
+        .toAggregateExpression())
+
+  /** Point-frequency estimate from a [[cmsSketch]] result: min over the
+    * d counters at the item's bucket positions. Map-side column math —
+    * probing never touches the aggregated data again. */
+  def cmsEstimate(sketch: Column, item: Column, depth: Int, width: Int): Column = {
+    val buckets = cmsBuckets(item, depth, width)
+    val counters = (0 until depth).map { r =>
+      element_at(sketch, (lit(r * width) + element_at(buckets, r + 1) + 1)
+        .cast("int"))
+    }
+    least(counters: _*)
+  }
 }
