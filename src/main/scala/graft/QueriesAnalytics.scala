@@ -563,9 +563,42 @@ object QueriesAnalytics {
       |FROM w JOIN li ON li.ls <= w.we AND w.ws <= li.le
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q86
+  /** Multi-source BFS hop distances (Graph.bfsDistances) over the q78
+    * co-occurrence graph: minimum hops (<= 6) from the 20 anchor nodes
+    * (node % 1000 = 0) to every reachable node. Per round only the
+    * FRONTIER joins the pre-partitioned adjacency cache; the oracle is
+    * the depth-capped recursive-CTE reachability with a final min. */
+  private def q86Bfs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    val sources = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .filter(col("node") % 1000 === 0).distinct()
+    Graph.bfsDistances(e, "src", "dst", sources, maxHops = 6)
+      .orderBy(col("node"))
+  }
+
+  private val q86Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT l_orderkey % 20000 AS a, (l_partkey * 7) % 20000 AS b
+      |  FROM lineitem
+      |  UNION
+      |  SELECT (l_partkey * 7) % 20000, l_orderkey % 20000 FROM lineitem),
+      |srcs AS (SELECT DISTINCT a AS node FROM e WHERE a % 1000 = 0),
+      |reach AS (
+      |  SELECT node, 0 AS d FROM srcs
+      |  UNION
+      |  SELECT e.b AS node, r.d + 1 AS d
+      |  FROM reach r JOIN e ON e.a = r.node WHERE r.d < 6)
+      |SELECT node, CAST(min(d) AS BIGINT) AS hops
+      |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_bfs" -> (q86Bfs _),
     "q85_interval_join" -> (q85Interval _),
     "q68_bloom_semijoin" -> (q68Bloom _),
     "q69_percentiles" -> (q69Percentiles _),
@@ -585,6 +618,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q86_bfs" -> q86Sql,
     "q85_interval_join" -> q85Sql,
     "q68_bloom_semijoin" -> q68Sql,
     "q69_percentiles" -> q69Sql,

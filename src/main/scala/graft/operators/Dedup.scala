@@ -480,9 +480,10 @@ object Dedup {
 
   /** A localCheckpoint's blocks are RDD-level, not InMemoryRelation —
     * release a superseded iteration's frame by unpersisting the RDD
-    * inside its LogicalRDD leaf. Shared by both CC loops; without it,
-    * N rounds retain N label/edge tables for the session's lifetime. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+    * inside its LogicalRDD leaf. Shared by both CC loops and
+    * Graph.bfsDistances; without it, N rounds retain N label/frontier
+    * tables for the session's lifetime. */
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))

@@ -76,4 +76,79 @@ object Graph {
       .crossJoin(broadcast(canon.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Multi-source BFS: minimum hop distance (<= maxHops) from any
+    * source node to every reachable node, over an undirected edge list.
+    * The traversal primitive behind reachability audits, influence
+    * radii, and lineage-distance queries — and the third iterative
+    * graph algorithm here after pointer-jumping and star-contraction
+    * connected components.
+    *
+    * Per round, exactly the FRONTIER (nodes first reached in the
+    * previous round) joins the adjacency list — not the full visited
+    * set; newly seen neighbors anti-join away everything already
+    * labeled. Rounds are bounded by maxHops, so join state and round
+    * count are both caller-capped.
+    *
+    * Scale design (100 TB edge list): the adjacency list is cached
+    * pre-partitioned by the join key, so each round's frontier join
+    * shuffles ONLY the frontier (the CC edge-cache trick); per-round
+    * frames localCheckpoint eagerly to cut lineage, and superseded
+    * frontier checkpoints release as the loop advances. The per-round
+    * convergence probe is a frontier count — one tiny action.
+    *
+    * @param sources one column `node`
+    * @return (node, hops) — hops 0 for the sources themselves
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops ($maxHops) must be >= 0")
+    val spark = edges.sparkSession
+    val canon = canonicalEdges(edges, src, dst)
+    // both directions, cached partitioned by the per-round join key
+    val sessionParts =
+      spark.sessionState.conf.numShufflePartitions.toLong
+    val edgeCount = canon.count()
+    val loopParts = math.max(1L,
+      math.min(sessionParts, edgeCount / 125000L + 1L)).toInt
+    val adj = canon.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(canon.select(col("v").as("a"), col("u").as("b")))
+      .repartition(loopParts, col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      var dist = sources.select(col("node").cast("long").as("node"))
+        .distinct()
+        .withColumn("hops", lit(0L))
+        .localCheckpoint(eager = true)
+      var frontier = dist
+      var hop = 0L
+      var frontierSize = frontier.count()
+      while (frontierSize > 0 && hop < maxHops) {
+        hop += 1
+        val next = frontier
+          .join(adj, col("node") === col("a"))
+          .select(col("b").as("node"))
+          .distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("hops", lit(hop))
+          .localCheckpoint(eager = true)
+        val newDist = dist.unionAll(next).localCheckpoint(eager = true)
+        // both inputs are materialized in newDist/next: release the
+        // superseded round state (keep adj until the finally). In
+        // round 1 frontier IS dist — the second release is a no-op.
+        Dedup.releaseCheckpoint(dist)
+        Dedup.releaseCheckpoint(frontier)
+        dist = newDist
+        frontier = next
+        frontierSize = frontier.count()
+      }
+      dist
+    } finally {
+      adj.unpersist(blocking = false)
+    }
+  }
 }

@@ -47,4 +47,57 @@ class GraphSpec extends SparkSpec {
     tris shouldBe naive
     naive should be > 0L // fixture sanity: the graph actually has triangles
   }
+
+  // ------------------------------------------------------------- BFS
+
+  private def bfs(
+      edges: Seq[(Long, Long)],
+      sources: Seq[Long],
+      maxHops: Int): Map[Long, Long] = {
+    val e = edges.toDF("src", "dst")
+    val s = sources.toDF("node")
+    Graph.bfsDistances(e, "src", "dst", s, maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfs labels a chain with hop counts from multiple sources") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    bfs(chain, Seq(1L, 9L), maxHops = 10) shouldBe Map(
+      1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      9L -> 0L, 8L -> 1L)
+  }
+
+  test("bfs respects the hop cap and traverses undirected") {
+    val chain = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)) // reversed dirs
+    bfs(chain, Seq(1L), maxHops = 2) shouldBe Map(
+      1L -> 0L, 2L -> 1L, 3L -> 2L)
+  }
+
+  test("bfs takes the minimum over converging paths") {
+    // 1-2-3-4 and a shortcut 1-4; plus a cycle back edge
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 1L))
+    bfs(g, Seq(1L), maxHops = 5) shouldBe Map(
+      1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L)
+  }
+
+  test("bfs matches a reference search on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edges = (for {
+      u <- 0 until n; v <- (u + 1) until n if rnd.nextDouble() < 0.04
+    } yield (u.toLong, v.toLong)).toVector
+    val sources = Seq(0L, 30L)
+    val maxHops = 4
+    // reference: level-synchronous BFS over an adjacency map
+    val adj = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var dist = sources.map(_ -> 0L).toMap
+    var frontier = sources.toSet
+    for (h <- 1 to maxHops) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .diff(dist.keySet)
+      dist = dist ++ frontier.map(_ -> h.toLong)
+    }
+    bfs(edges, sources, maxHops) shouldBe dist
+  }
 }
