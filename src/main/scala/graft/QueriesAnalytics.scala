@@ -595,9 +595,77 @@ object QueriesAnalytics {
       |SELECT node, CAST(min(d) AS BIGINT) AS hops
       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q87
+  /** Robust outlier census (Quantiles.madOutlierCensus): modified
+    * z-score M = 0.6745·(x − median)/MAD per returnflag group over a
+    * deterministically spiked price column (every 997th order × 25 —
+    * the planted heavy tail a mean/stddev rule would smear into its own
+    * cutoffs; the median/MAD cutoffs ignore it). Two exact-percentile
+    * passes + one census aggregate; the oracle composes the q81
+    * grouped-percentile CTE form twice. */
+  private def q87Mad(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val spiked = li.filter(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag"),
+        when(col("l_orderkey") % 997 === 0, col("l_extendedprice") * 25)
+          .otherwise(col("l_extendedprice")).as("x"))
+    Quantiles.madOutlierCensus(spiked, "l_returnflag", "x", threshold = 3.5)
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q87Sql =
+    """WITH src AS (
+      |  SELECT l_returnflag AS g,
+      |    CASE WHEN l_orderkey % 997 = 0 THEN l_extendedprice * 25
+      |         ELSE l_extendedprice END AS x
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |c1 AS (SELECT g, x AS value, count(*) AS c FROM src GROUP BY 1, 2),
+      |t1 AS (SELECT g, sum(c) AS n FROM c1 GROUP BY 1),
+      |cum1 AS (
+      |  SELECT g, value, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY value
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM c1),
+      |r1 AS (
+      |  SELECT g, GREATEST(1,
+      |    CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) AS rank
+      |  FROM t1),
+      |med AS (
+      |  SELECT r1.g, cum1.value AS med
+      |  FROM r1 JOIN cum1
+      |    ON cum1.g = r1.g AND r1.rank > cum1.cum - cum1.c
+      |      AND r1.rank <= cum1.cum),
+      |dev AS (
+      |  SELECT src.g, abs(src.x - med.med) AS dv, med.med AS med
+      |  FROM src JOIN med ON med.g = src.g),
+      |c2 AS (SELECT g, dv AS value, count(*) AS c FROM dev GROUP BY 1, 2),
+      |t2 AS (SELECT g, sum(c) AS n FROM c2 GROUP BY 1),
+      |cum2 AS (
+      |  SELECT g, value, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY value
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM c2),
+      |r2 AS (
+      |  SELECT g, GREATEST(1,
+      |    CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT)) AS rank
+      |  FROM t2),
+      |mad AS (
+      |  SELECT r2.g, cum2.value AS mad
+      |  FROM r2 JOIN cum2
+      |    ON cum2.g = r2.g AND r2.rank > cum2.cum - cum2.c
+      |      AND r2.rank <= cum2.cum)
+      |SELECT dev.g AS l_returnflag, count(*) AS n,
+      |  max(dev.med) AS median, max(mad.mad) AS mad,
+      |  CAST(sum(CASE WHEN CASE WHEN mad.mad = 0 THEN dev.dv > 0
+      |    ELSE 0.6745 * dev.dv / mad.mad > 3.5 END
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad ON mad.g = dev.g
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_mad_outliers" -> (q87Mad _),
     "q86_bfs" -> (q86Bfs _),
     "q85_interval_join" -> (q85Interval _),
     "q68_bloom_semijoin" -> (q68Bloom _),
@@ -618,6 +686,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_mad_outliers" -> q87Sql,
     "q86_bfs" -> q86Sql,
     "q85_interval_join" -> q85Sql,
     "q68_bloom_semijoin" -> q68Sql,

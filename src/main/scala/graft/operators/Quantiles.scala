@@ -128,4 +128,42 @@ object Quantiles {
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
   }
+
+  /** Robust per-group outlier census via the modified z-score
+    * (Iglewicz & Hoaglin 1993): M = 0.6745 · (x − median) / MAD, where
+    * MAD is the median absolute deviation; |M| > threshold flags an
+    * outlier. Unlike mean/stddev rules, a contaminated tail cannot
+    * drag the cutoffs — the estimator's breakdown point is 50%.
+    * Degenerate groups (MAD = 0, i.e. a majority at one value) fall
+    * back to flagging any nonzero deviation.
+    *
+    * Scale design: two exact-percentile passes (each shuffles one row
+    * per DISTINCT value per group — never per row, see
+    * [[exactPercentilesByGroup]]) plus a broadcast of the per-group
+    * cutoffs; the census is one final hash aggregate. All float math
+    * is per-row IEEE arithmetic on exact inputs, so the result is
+    * bit-stable and oracle-reproducible.
+    *
+    * @return (group, n, median, mad, n_outliers)
+    */
+  def madOutlierCensus(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).as("__x"))
+    val med = exactPercentilesByGroup(rows, groupCol, "__x", Seq(0.5))
+      .select(col(groupCol), col("value").as("__med"))
+    val dev = rows.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col("__x") - col("__med")))
+    val mad = exactPercentilesByGroup(dev, groupCol, "__dev", Seq(0.5))
+      .select(col(groupCol), col("value").as("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("__out",
+        when(col("__mad") === 0.0, col("__dev") > 0.0)
+          .otherwise(lit(0.6745) * col("__dev") / col("__mad") > threshold))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("__med")).as("median"),
+        max(col("__mad")).as("mad"),
+        sum(when(col("__out"), 1L).otherwise(0L)).as("n_outliers"))
+  }
 }

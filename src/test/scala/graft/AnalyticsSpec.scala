@@ -160,6 +160,31 @@ class AnalyticsSpec extends SparkSpec {
     got(100.0) shouldBe 95.0
   }
 
+  test("madOutlierCensus flags the planted spike, not the bulk") {
+    // group a: 1..9 plus a 1000 spike -> median 5, MAD 2,
+    // z(1000) = 0.6745*995/2 >> 3.5, z(bulk) <= 0.6745*4/2 = 1.35
+    // group b: majority at one value -> MAD 0 -> any deviation flags
+    val df = ((1 to 9).map(v => ("a", v.toDouble)) :+ ("a", 1000.0)) ++
+      Seq(("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 7.0))
+    val out = Quantiles.madOutlierCensus(df.toDF("g", "x"), "g", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    out("a") shouldBe ((10L, 5.0, 2.0, 1L))
+    out("b") shouldBe ((4L, 5.0, 0.0, 1L))
+  }
+
+  test("madOutlierCensus ignores nulls and is partitioning-invariant") {
+    val df = (Seq(("a", Some(3.0)), ("a", None), ("a", Some(4.0)),
+      ("a", Some(5.0)), ("a", Some(500.0)))).toDF("g", "x")
+    def run(parts: Int) =
+      Quantiles.madOutlierCensus(df.repartition(parts), "g", "x")
+        .collect().toSeq
+    run(1) shouldBe run(7)
+    val r = run(1).head
+    r.getLong(1) shouldBe 4L // null row excluded
+    r.getLong(4) shouldBe 1L // the 500 spike
+  }
+
   // --------------------------------------------- point in polygon
 
   test("pointInPolygon matches brute-force on a grid of points") {
