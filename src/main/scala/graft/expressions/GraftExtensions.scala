@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If
   *   graft_word_shingles(text, n)   -> array    (custom codegen'd node)
   *   graft_fingerprint(string)      -> string   (composed built-ins)
   *   graft_kmv_distinct(x[, k])     -> double   (KMV sketch aggregate)
+  *   graft_cms(x[, d, w])           -> array    (count-min sketch aggregate)
   *   graft_repetition_stats(text)   -> struct   (Gopher repetition rules)
   *   graft_redact_pii(text)         -> string   (email/phone/IPv4 mask)
   *   graft_zorder(x, y[, bits])     -> bigint   (z-order clustering key)
@@ -127,6 +128,26 @@ object GraftExtensions {
           fn("substring", fn("md5", fn("string", exprs.head)), lit(1), lit(15)),
           lit(16), lit(10))),
         if (exprs.length >= 2) intLit("graft_kmv_distinct", exprs(1)) else 256)),
+    // aggregate: count-min frequency sketch — graft_cms(x[, d, w]) ->
+    // array<bigint> of d*w counters (row-major; probe with the min over
+    // an item's d bucket positions). Bucket indices are md5-derived in
+    // the builder so SQL callers pass the raw column, exactly like the
+    // DataFrame surface (Sketches.cmsBuckets).
+    ("graft_cms", info("graft_cms", "count-min frequency sketch"),
+      (exprs: Seq[Expression]) => {
+        val d = if (exprs.length >= 2) intLit("graft_cms", exprs(1)) else 4
+        val w = if (exprs.length >= 3) intLit("graft_cms", exprs(2)) else 512
+        val buckets =
+          org.apache.spark.sql.catalyst.expressions.CreateArray(
+            (0 until d).map { r =>
+              fn("mod", fn("bigint", fn("conv",
+                fn("substring", fn("md5",
+                  fn("concat", lit(s"$r:"), fn("string", exprs.head))),
+                  lit(1), lit(15)),
+                lit(16), lit(10))), lit(w.toLong))
+            })
+        CountMinSketch(buckets, d, w)
+      }),
     ("st_point", info("st_point", "point"),
       (exprs: Seq[Expression]) => stPoint(exprs)),
     ("st_x", info("st_x", "x"),

@@ -92,6 +92,22 @@ class ExpressionsSpec extends SparkSpec {
     sql(1) shouldBe 250.0 +- 50.0
   }
 
+  test("graft_cms is SQL-callable and matches the operator form") {
+    GraftExtensions.register(spark)
+    import graft.operators.Sketches
+    (1 to 300).map(i => (i % 2, (i % 23).toLong)).toDF("g", "v")
+      .createOrReplaceTempView("ext_cms")
+    val sql = spark.sql(
+      """SELECT g, graft_cms(v, 3, 64) AS sk FROM ext_cms GROUP BY g
+        |ORDER BY g""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val df = spark.table("ext_cms").groupBy(col("g"))
+      .agg(Sketches.cmsSketch(col("v"), 3, 64).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    sql shouldBe df // bit-identical counter matrices
+    sql(0).sum shouldBe 3L * 150
+  }
+
   test("graft_zorder is SQL-callable and matches the operator form") {
     GraftExtensions.register(spark)
     Seq((3L, 5L), (0L, 0L), (1023L, 511L)).toDF("x", "y")
