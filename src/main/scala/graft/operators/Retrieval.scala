@@ -53,13 +53,15 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val id = col(idCol)
-    val toks = docs.select(id.as("__id"),
-      TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val withDl = docs
+      .select(id.as("__id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__id"), size(col("__tk")).cast("long").as("dl"),
+        col("__tk"))
 
     // Corpus stats: N over all docs, avgdl from the exact token-count
     // sum (long) so the double division is partitioning-invariant.
-    val dl = toks.select(col("__id"), size(col("__tk")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val stats = withDl
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
       .select(col("n"),
         (col("sum_dl").cast("double") / col("n").cast("double")).as("avgdl"))
 
@@ -67,12 +69,15 @@ object Retrieval {
     val qTermSet = qt.select(col("term")).distinct()
 
     // Token stream pruned to query terms BEFORE aggregation: the semi
-    // join is broadcast, so non-matching tokens die map-side.
-    val matchedTokens = toks
-      .select(col("__id"), explode(col("__tk")).as("__tok"))
-      .select(col("__id"), lower(col("__tok")).as("term"))
+    // join is broadcast, so non-matching tokens die map-side. dl rides
+    // the stream (one long per token row) and into the tf group key —
+    // it is functionally dependent on the doc id, so groups are
+    // unchanged and no corpus-sized length join is ever needed.
+    val matchedTokens = withDl
+      .select(col("__id"), col("dl"), explode(col("__tk")).as("__tok"))
+      .select(col("__id"), col("dl"), lower(col("__tok")).as("term"))
       .join(broadcast(qTermSet), Seq("term"), "left_semi")
-    val tf = matchedTokens.groupBy(col("__id"), col("term"))
+    val tf = matchedTokens.groupBy(col("__id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
     // df per query term over the whole corpus (tf is already scoped).
@@ -80,7 +85,6 @@ object Retrieval {
 
     val scored = tf
       .join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq("__id"))
       .crossJoin(broadcast(stats))
       .join(broadcast(qt), Seq("term"))
       .withColumn("s",
