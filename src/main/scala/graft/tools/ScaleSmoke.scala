@@ -143,6 +143,48 @@ object ScaleSmoke {
         f"tris=${triRow.getLong(2)}%9d  $tTri%7.1f s")
       sweep()
 
+      // BFS: the same disjoint graph copies, each with its own anchor
+      // set (offsets are multiples of 1000, so anchors replicate per
+      // copy) — frontier work scales linearly at constant diameter
+      val (bfsRows, tBfs) = time {
+        val sources = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node")))
+          .filter(col("node") % 1000 === 0).distinct()
+        Graph.bfsDistances(edges, "src", "dst", sources, maxHops = 6)
+          .count()
+      }
+      println(f"bfs      ${f}%2dx edges=${triRow.getLong(1)}%8d " +
+        f"reach=$bfsRows%9d  $tBfs%7.1f s")
+      sweep()
+
+      // interval join: copies shift DATES by 5000-day strides (id-offset
+      // alone would overlap every window with every copy — f² output,
+      // not a scaling test), so windows and intervals stay equally
+      // dense and output scales linearly
+      val li1 = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord1 = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 50 === 0)
+      val epochL = lit("1970-01-01")
+      val liIv = (0 until f).map { i =>
+        li1.select(col("l_quantity"),
+          (datediff(to_date(col("l_shipdate")), epochL) + lit(i * 5000))
+            .cast("long").as("l_start"),
+          (datediff(to_date(col("l_shipdate")), epochL) + lit(i * 5000) +
+            (col("l_linenumber") % 7) + 1).cast("long").as("l_end"))
+      }.reduce(_ unionAll _).repartition(32)
+      val ordIv = (0 until f).map { i =>
+        ord1.select((col("o_orderkey") + lit(i * 10000000L)).as("o_orderkey"),
+          (datediff(to_date(col("o_orderdate")), epochL) + lit(i * 5000))
+            .cast("long").as("w_start"))
+      }.reduce(_ unionAll _).withColumn("w_end", col("w_start") + 14)
+      val nWindows = ordIv.count()
+      val (ivPairs, tIv) = time {
+        graft.operators.IntervalJoin.overlapJoin(
+          liIv, "l_start", "l_end", ordIv, "w_start", "w_end", 16L).count()
+      }
+      println(f"interval ${f}%2dx windows=$nWindows%7d pairs=$ivPairs%10d  $tIv%7.1f s")
+      sweep()
+
       // exact percentiles: copies leave the DISTINCT value set constant
       // — the post-aggregation range shuffle must not grow with f
       val prices = (0 until f).map(_ =>
