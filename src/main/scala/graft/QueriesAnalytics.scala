@@ -662,9 +662,93 @@ object QueriesAnalytics {
       |FROM dev JOIN mad ON mad.g = dev.g
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q88
+  /** PageRank (3 iterations, damping 85/100) over the q78/q86
+    * co-occurrence graph, DIRECTED — in scaled-integer arithmetic
+    * (Graph.pageRank): ranks are BIGINT multiples of 1e-12 and every
+    * step is integer division, so the iterative result is bit-exact,
+    * partition-independent, and oracle-checkable — a float PageRank's
+    * in-neighbor sums are order-dependent and can never hash-match.
+    * The oracle unrolls the same three rounds as chained CTEs with
+    * `//`. Per round the engine shuffles only the n-row rank table —
+    * the out-degree-annotated adjacency is cached pre-partitioned on
+    * the join key (the BFS/CC edge-cache discipline). */
+  private def q88Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.pageRank(e, "src", "dst", iterations = 3)
+      .orderBy(col("node"))
+  }
+
+  private val q88Sql = {
+    def sumCte(k: Int): String =
+      s"""s$k AS (
+         |  SELECT e.d AS node, CAST(sum(r${k - 1}.r // deg.od) AS BIGINT) AS m
+         |  FROM r${k - 1} JOIN e ON e.s = r${k - 1}.node
+         |  JOIN deg ON deg.s = r${k - 1}.node
+         |  GROUP BY 1)""".stripMargin
+    def rankCte(k: Int): String =
+      s"""r$k AS (
+         |  SELECT nodes.n AS node,
+         |    ((1000000000000 // p.n) * 15) // 100
+         |      + (85 * COALESCE(s$k.m, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN p
+         |  LEFT JOIN s$k ON s$k.node = nodes.n)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_orderkey % 20000 AS s, (l_partkey * 7) % 20000 AS d
+       |  FROM lineitem
+       |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)),
+       |nodes AS (
+       |  SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+       |deg AS (SELECT s, count(*) AS od FROM e GROUP BY 1),
+       |p AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT nodes.n AS node, 1000000000000 // p.n AS r
+       |       FROM nodes CROSS JOIN p),
+       |${sumCte(1)},
+       |${rankCte(1)},
+       |${sumCte(2)},
+       |${rankCte(2)},
+       |${sumCte(3)},
+       |${rankCte(3)}
+       |SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3
+       |ORDER BY node""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q92
+  /** Daily resample + gap fill + forward fill of the events table
+    * (EventAnalytics.resampleDaily): one row per (user, epoch day) over
+    * each user's activity span; missing days get n_events = 0 and the
+    * last observed daily value carried forward. Integer epoch-day keys;
+    * the calendar explode is bounded per user by its own span and the
+    * fill window is per-user — never a global calendar or sort. */
+  private def q92GapFill(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.resampleDaily(Tables.load(s, dir, "events"),
+        "user_id", "ts", "value")
+      .orderBy(col("user_id"), col("day"))
+
+  private val q92Sql =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n_events, sum(value) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM spans)
+      |SELECT c.user_id, c.day,
+      |  COALESCE(d.n_events, 0) AS n_events, d.day_value,
+      |  last_value(d.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY c.user_id ORDER BY c.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM cal c LEFT JOIN daily d USING (user_id, day)
+      |ORDER BY user_id, day""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_pagerank" -> (q88Pagerank _),
+    "q92_gap_fill" -> (q92GapFill _),
     "q87_mad_outliers" -> (q87Mad _),
     "q86_bfs" -> (q86Bfs _),
     "q85_interval_join" -> (q85Interval _),
@@ -686,6 +770,8 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q88_pagerank" -> q88Sql,
+    "q92_gap_fill" -> q92Sql,
     "q87_mad_outliers" -> q87Sql,
     "q86_bfs" -> q86Sql,
     "q85_interval_join" -> q85Sql,

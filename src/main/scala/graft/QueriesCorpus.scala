@@ -507,6 +507,87 @@ object QueriesCorpus {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score, n_terms
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- q89
+  /** HyperLogLog distinct estimate (p=6, 64 byte-registers per group)
+    * of order keys per returnflag, against the exact count — the third
+    * member of the sketch family (q38 KMV cardinality, q84 CMS
+    * frequency; HLL is the 16×-smaller-state industry standard). The
+    * estimate divides an EXACT integer register sum (see
+    * HllDistinctEstimate's determinism note), so the oracle reproduces
+    * it bit-for-bit from the same md5 register arithmetic. Same
+    * split-aggregation discipline as q38: sketch and exact branches
+    * keep separate plans. */
+  private def q89Hll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val sketch = li.groupBy(col("l_returnflag"))
+      .agg(Sketches.hllDistinct(col("l_orderkey"), p = 6).as("est_distinct"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    sketch.join(exact, Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q89Sql =
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag AS flag,
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM lineitem),
+      |rho AS (
+      |  SELECT flag, hv % 64 AS j,
+      |    CASE WHEN hv // 64 = 0 THEN 55
+      |         ELSE 54 - CAST(floor(log2(hv // 64)) AS BIGINT) END AS rho
+      |  FROM h),
+      |regs AS (SELECT flag, j, max(rho) AS r FROM rho GROUP BY 1, 2),
+      |allregs AS (
+      |  SELECT f.flag, g.j, COALESCE(regs.r, 0) AS r
+      |  FROM (SELECT DISTINCT flag FROM h) f
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+      |  LEFT JOIN regs ON regs.flag = f.flag AND regs.j = g.j),
+      |sp AS (
+      |  SELECT flag,
+      |    CAST(sum(1::BIGINT << CAST(55 - r AS INT)) AS BIGINT) AS s
+      |  FROM allregs GROUP BY 1),
+      |ex AS (
+      |  SELECT l_returnflag AS flag, count(DISTINCT l_orderkey) AS n_exact
+      |  FROM lineitem GROUP BY 1)
+      |SELECT sp.flag AS l_returnflag,
+      |  ((CAST(0.709 AS DOUBLE) * (64.0 * 64.0)) * 36028797018963968.0)
+      |    / CAST(sp.s AS DOUBLE) AS est_distinct,
+      |  ex.n_exact
+      |FROM sp JOIN ex ON ex.flag = sp.flag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- q90
+  /** Deterministic weighted sample without replacement: 50 documents
+    * drawn with probability proportional to size (weight = n_chars/100
+    * + 1) via integer-key A-ES (Sampling.weightedSample — priority =
+    * min of weight-many md5 keys, exactly what the float u^(1/w) key
+    * simulates, but bit-reproducible). The pick is a bounded-heap
+    * top-k, never a global sort; the oracle brute-forces the same
+    * priorities with generate_series + LIMIT. */
+  private def q90Weighted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      docs(s, dir), "doc_id", expr("n_chars div 100 + 1"), k = 50,
+      maxWeight = 1000)
+
+  private val q90Sql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(LEAST(GREATEST(n_chars // 100 + 1, 1), 1000) AS BIGINT) AS w
+      |  FROM documents),
+      |ex AS (SELECT doc_id, w, unnest(generate_series(1, w)) AS j FROM w),
+      |pri AS (
+      |  SELECT doc_id, w,
+      |    min(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+      |      || CAST(j AS VARCHAR)), 1, 15))::BIGINT) AS priority
+      |  FROM ex GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id, w AS weight, priority FROM pri
+      |  ORDER BY priority, doc_id LIMIT 50)
+      |SELECT row_number() OVER (ORDER BY priority, doc_id) AS rk,
+      |  doc_id, weight, priority
+      |FROM top ORDER BY rk""".stripMargin
+
   // --------------------------------------------------------------- q84
   /** Count-min frequency sketch (d=4, w=512) over lineitem part keys,
     * probed at a deterministic sample of parts and compared against the
@@ -566,6 +647,8 @@ object QueriesCorpus {
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_sketch_hll" -> (q89Hll _),
+    "q90_weighted_sample" -> (q90Weighted _),
     "q83_bm25" -> (q83Bm25 _),
     "q84_sketch_cms" -> (q84Cms _),
     "q67_corpus_diff" -> (q67Diff _),
@@ -584,6 +667,8 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_sketch_hll" -> q89Sql,
+    "q90_weighted_sample" -> q90Sql,
     "q83_bm25" -> q83Sql,
     "q84_sketch_cms" -> q84Sql,
     "q67_corpus_diff" -> q67Sql,

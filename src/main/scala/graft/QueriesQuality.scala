@@ -292,7 +292,66 @@ object QueriesQuality {
        |FROM staged GROUP BY 1 ORDER BY stage""".stripMargin
   }
 
+  // --------------------------------------------------------------- q93
+  /** Declarative data-quality expectations (Expectations.run): six
+    * constraints over lineitem — four scalar checks compiled into ONE
+    * aggregation pass (completeness, range, accepted set, regex), a
+    * composite-key uniqueness check (one aggregate by the key, not a
+    * distinct-expand), and referential integrity to orders (one
+    * semi-join). Exact integer-count fractions; the publish gate of an
+    * ingestion pipeline, asserting where q49's profiler describes. */
+  private def q93Expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    import graft.operators.Expectations._
+    val li = Tables.load(s, dir, "lineitem")
+    Expectations.run(li,
+      expects = Seq(
+        complete("l_shipdate"),
+        inRange("l_discount", 0.0, 0.2),
+        inSet("l_returnflag", Seq("A", "N", "R")),
+        matches("l_linestatus", "^[OF]$")),
+      unique = Seq(Seq("l_orderkey", "l_linenumber")),
+      refs = Seq(("l_orderkey", Tables.load(s, dir, "orders"), "o_orderkey")))
+  }
+
+  private val q93Sql =
+    """WITH t AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ok_ship,
+      |    CAST(sum(CASE WHEN l_discount IS NOT NULL
+      |      AND l_discount >= 0.0 AND l_discount <= 0.2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ok_disc,
+      |    CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS ok_rf,
+      |    CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+      |      AND regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ok_ls
+      |  FROM lineitem),
+      |u AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ok
+      |  FROM (SELECT count(*) AS c FROM lineitem
+      |        GROUP BY l_orderkey, l_linenumber)),
+      |r AS (
+      |  SELECT (SELECT count(*) FROM lineitem) AS n,
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS ok),
+      |rows_ AS (
+      |  SELECT 'complete(l_shipdate)' AS check_name, n AS n_rows,
+      |    ok_ship AS n_ok FROM t
+      |  UNION ALL SELECT 'in_range(l_discount)', n, ok_disc FROM t
+      |  UNION ALL SELECT 'in_set(l_returnflag)', n, ok_rf FROM t
+      |  UNION ALL SELECT 'matches(l_linestatus)', n, ok_ls FROM t
+      |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', n, ok FROM u
+      |  UNION ALL SELECT 'ref(l_orderkey -> o_orderkey)', n, ok FROM r)
+      |SELECT check_name, n_rows, n_ok,
+      |  CAST(n_ok AS DOUBLE) / CAST(n_rows AS DOUBLE) AS fraction,
+      |  CAST(n_ok AS DOUBLE) / CAST(n_rows AS DOUBLE) >= 1.0 AS pass
+      |FROM rows_ ORDER BY check_name""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_expectations" -> (q93Expectations _),
     "q54_quality_repetition" -> (q54Repetition _),
     "q55_pii_redact" -> (q55Pii _),
     "q56_decontaminate" -> (q56Decontaminate _),
@@ -301,6 +360,7 @@ object QueriesQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q93_expectations" -> q93Sql,
     "q54_quality_repetition" -> q54Sql,
     "q55_pii_redact" -> q55Sql,
     "q56_decontaminate" -> q56Sql,

@@ -284,9 +284,60 @@ object QueriesRelational {
       |  wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q91
+  /** TPC-H Q5-shaped multiway star join: six tables, a pushed region
+    * filter, a pushed order-date range, the same-nation
+    * customer/supplier constraint, revenue per nation. The declarative
+    * showcase: Catalyst reorders the joins, broadcasts the small dims
+    * (region/nation/supplier), pushes both filters into the parquet
+    * scans, and AQE picks the big-side join strategy — nothing is
+    * hand-scheduled.
+    *
+    * Revenue determinism: extendedprice×(1−discount) summed as DOUBLE
+    * is partition-order dependent, so revenue rounds to cents and sums
+    * as DECIMAL — exact, associative, bit-identical in both engines
+    * (the q36 portability rule applied to money math). */
+  private def q91Star(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val cust = Tables.load(s, dir, "customer")
+    val supp = Tables.load(s, dir, "supplier")
+    val nat = Tables.load(s, dir, "nation")
+    val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 2)
+          .cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q91Sql =
+    """SELECT n_name, count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 2)
+      |    AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_star_join" -> (q91Star _),
     "q47_json" -> (q47Json _),
     "q48_window_family" -> (q48WindowFamily _),
     "q44_pivot" -> (q44Pivot _),
@@ -301,6 +352,7 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_star_join" -> q91Sql,
     "q47_json" -> q47Sql,
     "q48_window_family" -> q48Sql,
     "q44_pivot" -> q44Sql,

@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If
   *   graft_word_shingles(text, n)   -> array    (custom codegen'd node)
   *   graft_fingerprint(string)      -> string   (composed built-ins)
   *   graft_kmv_distinct(x[, k])     -> double   (KMV sketch aggregate)
+  *   graft_hll(x[, p])              -> double   (HyperLogLog aggregate)
   *   graft_cms(x[, d, w])           -> array    (count-min sketch aggregate)
   *   graft_repetition_stats(text)   -> struct   (Gopher repetition rules)
   *   graft_redact_pii(text)         -> string   (email/phone/IPv4 mask)
@@ -128,6 +129,14 @@ object GraftExtensions {
           fn("substring", fn("md5", fn("string", exprs.head)), lit(1), lit(15)),
           lit(16), lit(10))),
         if (exprs.length >= 2) intLit("graft_kmv_distinct", exprs(1)) else 256)),
+    // aggregate: HyperLogLog distinct estimate — graft_hll(x[, p]) ->
+    // double. Same md5-to-60-bit-hash builder convention as the KMV.
+    ("graft_hll", info("graft_hll", "hyperloglog distinct estimate"),
+      (exprs: Seq[Expression]) => HllDistinctEstimate(
+        fn("bigint", fn("conv",
+          fn("substring", fn("md5", fn("string", exprs.head)), lit(1), lit(15)),
+          lit(16), lit(10))),
+        if (exprs.length >= 2) intLit("graft_hll", exprs(1)) else 6)),
     // aggregate: count-min frequency sketch — graft_cms(x[, d, w]) ->
     // array<bigint> of d*w counters (row-major; probe with the min over
     // an item's d bucket positions). Bucket indices are md5-derived in

@@ -101,6 +101,51 @@ object EventAnalytics {
         sum(col(valueCol)).over(w).as("sum_trailing"))
   }
 
+  /** Daily resample with gap filling and forward fill — the time-series
+    * regularization step (metrics dashboards, per-entity training
+    * series): one row per (entity, epoch day) over each entity's
+    * [first, last] activity span, missing days synthesized with
+    * n_events = 0 and the value carried forward from the last active
+    * day (NULL before the first activity — nothing to carry).
+    *
+    * Day keys are integer epoch days (micros div 86400000000) — exact
+    * integer arithmetic end to end, same rule as the session/cohort
+    * operators above.
+    *
+    * Scale design (100 TB of events): the daily pre-aggregate shuffles
+    * once by (entity, day); the calendar synthesis is a per-entity
+    * sequence() explode bounded by each entity's own span (never a
+    * global calendar cross join); the forward fill is a per-entity
+    * window — parallel across entities, and the per-entity state is
+    * one row per day of span, which is the output's own size.
+    *
+    * @return (entity, day, n_events, day_value, filled_value) where
+    *         day_value is NULL on gap days and filled_value carries the
+    *         last observed day_value forward
+    */
+  def resampleDaily(events: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = events
+      .select(col(entityCol),
+        expr(s"unix_micros(cast($tsCol as timestamp)) div $dayUs").as("day"),
+        col(valueCol).as("__v"))
+      .groupBy(col(entityCol), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("day_value"))
+    val spans = daily.groupBy(col(entityCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val calendar = spans
+      .select(col(entityCol),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val fillW = Window.partitionBy(col(entityCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar
+      .join(daily, Seq(entityCol, "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_value",
+        last(col("day_value"), ignoreNulls = true).over(fillW))
+  }
+
   /** Epoch week bucket (integer division of event micros — exact in
     * both engines; `us div` mirrors DuckDB's `//`). */
   private def epochWeek(us: Column): Column =

@@ -77,6 +77,105 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** PageRank over a DIRECTED edge list, in scaled-integer arithmetic.
+    *
+    * Ranks are maintained as BIGINT multiples of 1/`scale` and every
+    * per-round operation is integer (`div`) arithmetic:
+    *
+    *   r0(v)   = scale div n
+    *   c(u->v) = r(u) div outdeg(u)            (per-edge contribution)
+    *   r'(v)   = t + (dampNum * sum_in(v)) div dampDen
+    *   t       = ((scale div n) * (dampDen - dampNum)) div dampDen
+    *
+    * Why integers: double-precision PageRank is order-dependent (the
+    * in-neighbor sum changes with partitioning), so two runs — or two
+    * engines — disagree in the low bits and no bit-exact oracle exists.
+    * Integer division truncation makes every step associative-free and
+    * exact, so the result is bit-stable across any cluster layout AND
+    * reproducible in plain SQL (the oracle unrolls the same iterations
+    * with `//`). Truncation under-counts each contribution by < 1/scale
+    * — at scale 1e12 the drift is far below any ranking use.
+    *
+    * Dangling nodes (no out-edges) absorb mass: their rank is not
+    * redistributed, matching the simple formulation the oracle mirrors.
+    * Self-loops and duplicate edges are dropped/collapsed first.
+    *
+    * Scale design (100 TB of edges): same loop discipline as
+    * [[bfsDistances]] — the (src, dst, outdeg) adjacency is cached
+    * pre-partitioned by the join key so each round shuffles ONLY the
+    * n-row rank table; per-round frames localCheckpoint eagerly and the
+    * superseded round's blocks release as the loop advances. Rounds are
+    * caller-fixed (`iterations`), so total work is iterations ×
+    * (one rank join + one sum aggregate).
+    *
+    * @return (node, rank_scaled BIGINT) — rank_scaled / scale ~ PageRank
+    */
+  def pageRank(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      iterations: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 0, s"iterations ($iterations) must be >= 0")
+    require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"need scale > 0 and 0 <= dampNum <= dampDen (got $scale, $dampNum/$dampDen)")
+    val spark = edges.sparkSession
+    val e = edges.select(col(src).cast("long").as("s"),
+        col(dst).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= col("d"))
+      .distinct()
+    val nodes = e.select(col("s").as("node"))
+      .unionAll(e.select(col("d").as("node")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val n = nodes.count() // also materializes the cache
+    if (n == 0) {
+      nodes.unpersist(blocking = false)
+      return spark.emptyDataFrame.select(lit(0L).as("node"),
+        lit(0L).as("rank_scaled")).limit(0)
+    }
+    val sessionParts = spark.sessionState.conf.numShufflePartitions.toLong
+    val outdeg = e.groupBy(col("s")).agg(count(lit(1)).as("od"))
+    val edgeCount = e.count()
+    val loopParts = math.max(1L,
+      math.min(sessionParts, edgeCount / 125000L + 1L)).toInt
+    // adjacency with the source's out-degree baked in, partitioned by
+    // the per-round join key: rounds shuffle only the rank table
+    val adj = e.join(outdeg, Seq("s"))
+      .repartition(loopParts, col("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      val teleport = ((scale / n) * (dampDen - dampNum)) / dampDen
+      var ranks = nodes
+        .withColumn("r", lit(scale / n))
+        .localCheckpoint(eager = true)
+      var i = 0
+      while (i < iterations) {
+        val sums = ranks
+          .join(adj, col("node") === col("s"))
+          .select(col("d"), expr("r div od").as("c"))
+          .groupBy(col("d")).agg(sum(col("c")).as("in_sum"))
+        val next = nodes
+          .join(sums, col("node") === col("d"), "left")
+          .select(col("node"),
+            (lit(teleport) +
+              expr(s"($dampNum * coalesce(in_sum, 0L)) div $dampDen"))
+              .as("r"))
+          .localCheckpoint(eager = true)
+        Dedup.releaseCheckpoint(ranks)
+        ranks = next
+        i += 1
+      }
+      ranks.select(col("node"), col("r").as("rank_scaled"))
+    } finally {
+      adj.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
   /** Multi-source BFS: minimum hop distance (<= maxHops) from any
     * source node to every reachable node, over an undirected edge list.
     * The traversal primitive behind reachability audits, influence

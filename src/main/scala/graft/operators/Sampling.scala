@@ -105,6 +105,50 @@ object Sampling {
         col("col.__id").as(idCol))
   }
 
+  /** Deterministic weighted sample WITHOUT replacement: the k rows with
+    * the smallest priority keys, where a row of integer weight w gets
+    * priority = min over j in 1..w of md5hash60(id || ':' || j).
+    *
+    * This is the integer-weight form of exponential-key reservoir
+    * sampling (Efraimidis–Spirakis A-ES): the minimum of w i.i.d.
+    * uniform keys is what u^(1/w) simulates, so a weight-w row wins a
+    * slot with the A-ES probability — but every key here is an exact
+    * md5-derived INTEGER, so selection is bit-deterministic across
+    * runs, engines, and partitionings (a float pow/ln key differs in
+    * the last ulp between engines and can flip a boundary pick; see
+    * the hash-not-rand note on [[hashBucket]]).
+    *
+    * Scale (100 TB): the explode fan-out is bounded by `maxWeight`
+    * (weights clamp to [1, maxWeight]); the per-id min is a map-side
+    * partial aggregate, and the final pick is one bounded-heap
+    * CollectTopK — k items of state per partition, never a global
+    * sort. Output: (rk, id, weight, priority), rk 1 = smallest key.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      maxWeight: Int = 1000): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(maxWeight >= 1, "maxWeight must be >= 1")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val w = least(greatest(weight.cast("long"), lit(1L)), lit(maxWeight.toLong))
+    val pri = df
+      .select(col(idCol), w.as("__w"))
+      .select(col(idCol), col("__w"),
+        explode(sequence(lit(1L), col("__w"))).as("__j"))
+      .select(col(idCol), col("__w"),
+        Sketches.md5Hash60(
+          concat(col(idCol).cast("string"), lit(":"),
+            col("__j").cast("string"))).as("__h"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(min(col("__h")).as("priority"))
+    val item = struct(col("priority"), col(idCol), col("__w"))
+    pri
+      .agg(ColumnBridge.collectTopK(item, k, reverse = true).as("__tk"))
+      .select(posexplode(col("__tk")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col(s"col.$idCol").as(idCol), col("col.__w").as("weight"),
+        col("col.priority").as("priority"))
+  }
+
   /** Deterministic global training-order shuffle: every row gets a
     * stable 1-based position by sorting on md5(seed || ':' || id) — the
     * "shuffle the corpus before sharding into training files" step,

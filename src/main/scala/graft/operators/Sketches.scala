@@ -31,6 +31,17 @@ object Sketches {
         ColumnBridge.expression(md5Hash60(c)), k)
         .toAggregateExpression())
 
+  /** Approximate COUNT(DISTINCT c) as a HyperLogLog sketch aggregate
+    * (see HllDistinctEstimate): 2^p byte registers of state per group
+    * (64 bytes at p = 6), ~1.04/sqrt(2^p) relative error, raw HLL
+    * estimator (no range corrections — documented there), exactly
+    * reproducible in the DuckDB oracle. Use in `.agg(...)`. */
+  def hllDistinct(c: Column, p: Int = 6): Column =
+    ColumnBridge.column(
+      graft.expressions.HllDistinctEstimate(
+        ColumnBridge.expression(md5Hash60(c)), p)
+        .toAggregateExpression())
+
   /** Corpus-wide top-k most frequent items: partial+final hash-aggregate
     * counts, then ONE bounded-heap top-k (CollectTopK) over the count
     * table — never a global sort. Ties break by item descending (the

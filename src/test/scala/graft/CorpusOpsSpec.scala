@@ -39,6 +39,63 @@ class CorpusOpsSpec extends SparkSpec {
     m("b") shouldBe 1.0
   }
 
+  // ------------------------------------------------------------- HLL
+
+  test("hll estimate is close, duplicate-insensitive, and partition-invariant") {
+    val df = (1 to 5000).map(_.toLong).toDF("v")
+    val est1 = df.repartition(1)
+      .agg(Sketches.hllDistinct(col("v"), p = 6)).head().getDouble(0)
+    val est13 = df.repartition(13)
+      .agg(Sketches.hllDistinct(col("v"), p = 6)).head().getDouble(0)
+    est1 shouldBe est13 // registers are set-determined; merge order is moot
+    est1 shouldBe 5000.0 +- 1500.0 // ~13% expected error at m=64; wide margin
+    // duplicates never move a max-register
+    val dups = ((1 to 5000) ++ (1 to 5000)).map(_.toLong).toDF("v")
+    dups.agg(Sketches.hllDistinct(col("v"), p = 6)).head()
+      .getDouble(0) shouldBe est1
+  }
+
+  test("hll per-group and higher precision tightens the estimate") {
+    val df = (1 to 20000).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+      .toDF("g", "v")
+    val m = df.groupBy("g").agg(Sketches.hllDistinct(col("v"), p = 10).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    m("a") shouldBe 10000.0 +- 1000.0 // ~3.3% at m=1024; 10% margin
+    m("b") shouldBe 10000.0 +- 1000.0
+  }
+
+  // -------------------------------------------------- weighted sample
+
+  test("weighted sample is deterministic and matches a brute-force pick") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 7) * 100L + 50L))
+      .toDF("doc_id", "n_chars")
+    val got = Sampling.weightedSample(df, "doc_id",
+        expr("n_chars div 100 + 1"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // brute force: same md5 priorities via plain Spark sort
+    val brute = df
+      .select(col("doc_id"),
+        expr("least(greatest(n_chars div 100 + 1, 1), 1000)").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1L), col("w"))).as("j"))
+      .select(col("doc_id"), col("w"),
+        Sketches.md5Hash60(concat(col("doc_id").cast("string"), lit(":"),
+          col("j").cast("string"))).as("h"))
+      .groupBy("doc_id", "w").agg(min(col("h")).as("priority"))
+      .orderBy(col("priority"), col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.map(t => (t._2, t._3, t._4)) shouldBe brute
+    got.map(_._1) shouldBe (1L to 20L) // rk is 1-based and ordered
+    // weight monotonicity in aggregate: the heavy class dominates picks
+    val heavy = df.withColumn("n_chars",
+      when(col("doc_id") <= 10, 100000L).otherwise(0L))
+    val picks = Sampling.weightedSample(heavy, "doc_id",
+        expr("n_chars div 100 + 1"), k = 10)
+      .collect().map(_.getLong(1)).toSet
+    picks.count(_ <= 10) should be >= 8 // 1000:1 weight ratio
+  }
+
   // --------------------------------------------------- heavy hitters
 
   test("heavy hitters ranks by count desc with deterministic ties") {

@@ -86,6 +86,29 @@ class EventAnalyticsSpec extends SparkSpec {
     got shouldBe Array((1, 1L), (2, 0L))
   }
 
+  // ----------------------------------------------------- resampleDaily
+
+  test("resampleDaily fills gaps with zero counts and carries value forward") {
+    val day = 86400L
+    // user 1: day 0 (two events, sum 3), day 3 (one event, 7) -> gap
+    // days 1-2 synthesized; user 2: single day, no gaps
+    val df = ev(
+      (1L, 1L, 10L, "view", 1.0), (1L, 2L, 20L, "view", 2.0),
+      (1L, 3L, 3 * day + 5L, "view", 7.0),
+      (2L, 4L, day + 1L, "view", 9.0))
+    val got = EventAnalytics.resampleDaily(df, "user_id", "ts", "value")
+      .orderBy("user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getDouble(4)))
+    got shouldBe Array(
+      (1L, 0L, 2L, Some(3.0), 3.0),
+      (1L, 1L, 0L, None, 3.0),      // gap: zero events, value carried
+      (1L, 2L, 0L, None, 3.0),
+      (1L, 3L, 1L, Some(7.0), 7.0), // fresh observation replaces carry
+      (2L, 1L, 1L, Some(9.0), 9.0))
+  }
+
   // ------------------------------------- batch vs streaming parity
 
   test("batch sessionize agrees with the streaming session_window form") {

@@ -92,6 +92,24 @@ class ExpressionsSpec extends SparkSpec {
     sql(1) shouldBe 250.0 +- 50.0
   }
 
+  test("graft_hll is SQL-callable and matches the operator form") {
+    GraftExtensions.register(spark)
+    import graft.operators.Sketches
+    (1 to 4000).map(i => (i % 2, i.toLong)).toDF("g", "v")
+      .createOrReplaceTempView("ext_hll")
+    val sql = spark.sql(
+      """SELECT g, graft_hll(v, 8) AS e FROM ext_hll GROUP BY g
+        |ORDER BY g""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val df = spark.table("ext_hll").groupBy(col("g"))
+      .agg(Sketches.hllDistinct(col("v"), 8).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    sql shouldBe df
+    // 2000 distinct per group, m=256 -> ~6.5% expected error; 20% margin
+    sql(0) shouldBe 2000.0 +- 400.0
+    sql(1) shouldBe 2000.0 +- 400.0
+  }
+
   test("graft_cms is SQL-callable and matches the operator form") {
     GraftExtensions.register(spark)
     import graft.operators.Sketches

@@ -100,4 +100,56 @@ class GraphSpec extends SparkSpec {
     }
     bfs(edges, sources, maxHops) shouldBe dist
   }
+
+  // ------------------------------------------------------- pagerank
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference: the same scaled-integer recurrence, driver-side. */
+  private def prRef(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val n = nodes.size
+    val od = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val teleport = ((scale / n) * 15L) / 100L
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val sums = e.groupBy(_._2).view.mapValues(
+        _.map(p => r(p._1) / od(p._1)).sum).toMap
+      r = nodes.map(v =>
+        v -> (teleport + (85L * sums.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pagerank matches the integer recurrence on a hand graph") {
+    // 1 -> 2, 1 -> 3, 2 -> 3, 3 -> 1 (3 gains most mass), plus
+    // a dangling sink 4 (absorbs mass; no out-edges)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 4L))
+    for (iters <- Seq(0, 1, 3)) {
+      withClue(s"iters=$iters: ") { pr(g, iters) shouldBe prRef(g, iters) }
+    }
+    // ranking sanity after convergence-ish: 3 above 2 (two in-edges vs one)
+    val r3 = pr(g, 3)
+    r3(3L) should be > r3(2L)
+  }
+
+  test("pagerank matches the reference on a seeded random digraph") {
+    val rnd = new scala.util.Random(11)
+    val n = 50
+    val edges = (for {
+      u <- 0 until n; v <- 0 until n if u != v && rnd.nextDouble() < 0.06
+    } yield (u.toLong, v.toLong)).toVector
+    pr(edges, 4) shouldBe prRef(edges, 4)
+  }
+
+  test("pagerank normalizes duplicates/self-loops and handles empty input") {
+    val g = Seq((1L, 2L), (1L, 2L), (1L, 1L), (2L, 1L))
+    pr(g, 2) shouldBe prRef(g, 2)
+    Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      "src", "dst", 2).count() shouldBe 0L
+  }
 }
