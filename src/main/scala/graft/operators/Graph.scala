@@ -122,18 +122,22 @@ object Graph {
     require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need scale > 0 and 0 <= dampNum <= dampDen (got $scale, $dampNum/$dampDen)")
     val spark = edges.sparkSession
+    // four consumers below (nodes, edge count, out-degrees, adjacency):
+    // persist, or the distinct recomputes for each
     val e = edges.select(col(src).cast("long").as("s"),
         col(dst).cast("long").as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull &&
         col("s") =!= col("d"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val nodes = e.select(col("s").as("node"))
       .unionAll(e.select(col("d").as("node")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val n = nodes.count() // also materializes the cache
+    val n = nodes.count() // also materializes both caches
     if (n == 0) {
       nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
       return spark.emptyDataFrame.select(lit(0L).as("node"),
         lit(0L).as("rank_scaled")).limit(0)
     }
@@ -173,6 +177,7 @@ object Graph {
     } finally {
       adj.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
     }
   }
 
