@@ -429,7 +429,43 @@ object QueriesDedup {
        |    AS clean_text
        |FROM kept ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q94
+  /** EXACT Jaccard >= 0.6 set-similarity self-join via prefix filtering
+    * (SetSimJoin.jaccardSelfJoin) over word sets of every 4th document
+    * — the provably-complete complement of q16's MinHash-LSH: candidate
+    * pairs come from an equi-join on each set's rare-token prefix
+    * (ascending global frequency), so buckets stay small by
+    * construction and no qualifying pair can be missed (the
+    * prefix-filter lemma; spec-asserted against brute force). The
+    * oracle brute-forces all pairs with list_intersect. */
+  private def q94SetSim(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") % 4 === 0)
+    graft.operators.SetSimJoin.jaccardSelfJoin(
+        d, "doc_id", TA.tokens(lower(col("text"))), tau = 0.6)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val q94Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(
+      |      regexp_split_to_array(lower(trim(text)), '\s+'))) AS toks
+      |  FROM documents
+      |  WHERE doc_id % 4 = 0 AND text IS NOT NULL AND trim(text) != ''),
+      |p AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+      |    CAST(len(a.toks) AS BIGINT) AS size1,
+      |    CAST(len(b.toks) AS BIGINT) AS size2
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |SELECT id1, id2, inter, size1, size2,
+      |  CAST(inter AS DOUBLE) / (size1 + size2 - inter) AS jaccard
+      |FROM p
+      |WHERE CAST(inter AS DOUBLE) / (size1 + size2 - inter) >= 0.6
+      |ORDER BY id1, id2""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_setsim_join" -> (q94SetSim _),
     "q66_span_removal" -> (q66SpanRemoval _),
     "q65_semdedup" -> (q65SemDedup _),
     "q57_dup_spans" -> (q57Spans _),
@@ -442,6 +478,7 @@ object QueriesDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q94_setsim_join" -> q94Sql,
     "q66_span_removal" -> q66Sql,
     "q65_semdedup" -> q65Sql,
     "q57_dup_spans" -> q57Sql,

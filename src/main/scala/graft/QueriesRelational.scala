@@ -334,9 +334,53 @@ object QueriesRelational {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // --------------------------------------------------------------- q96
+  /** Incremental aggregate maintenance (IncrementalAgg.mergeDelta): a
+    * published (returnflag, linestatus) rollup built from pre-cutoff
+    * lineitem is brought current by merging the post-cutoff delta's
+    * partial aggregates — the base fact rows are scanned ONCE ever (the
+    * 100 TB refresh pattern: delta scan + aggregate-sized shuffle, not
+    * a full recompute). count/sum/min/max re-aggregate exactly; the
+    * quantity sum is DECIMAL so merged == recomputed bit-for-bit, which
+    * is precisely what the oracle asserts by recomputing from scratch
+    * over the full table. */
+  private def q96Incremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val li = Tables.load(s, dir, "lineitem")
+      .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val base = li.filter(col("l_shipdate") < cutoff)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    val delta = li.filter(col("l_shipdate") >= cutoff)
+      .withColumnRenamed("qty", "sum_qty")
+      .withColumn("min_price", col("l_extendedprice"))
+      .withColumn("max_price", col("l_extendedprice"))
+    IncrementalAgg.mergeDelta(base, delta,
+        keys = Seq("l_returnflag", "l_linestatus"),
+        counts = Seq("n_items"), sums = Seq("sum_qty"),
+        mins = Seq("min_price"), maxs = Seq("max_price"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
+        col("sum_qty").cast("decimal(38,2)").as("sum_qty"),
+        col("min_price"), col("max_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q96Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      |    AS sum_qty,
+      |  min(l_extendedprice) AS min_price,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_incremental_agg" -> (q96Incremental _),
     "q91_star_join" -> (q91Star _),
     "q47_json" -> (q47Json _),
     "q48_window_family" -> (q48WindowFamily _),
@@ -352,6 +396,7 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q96_incremental_agg" -> q96Sql,
     "q91_star_join" -> q91Sql,
     "q47_json" -> q47Sql,
     "q48_window_family" -> q48Sql,

@@ -145,7 +145,48 @@ object QueriesSimilarity {
       |  len(list_filter(qv, x -> x = 127 OR x = -127)) AS n_sat
       |FROM qt ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q95
+  /** Higher-order array-function suite over the embedding column — the
+    * §2C "array/lambda scalar library" row: aggregate() (sequential
+    * left fold — mirrored by DuckDB's list_reduce over a prepended
+    * init, so the float->double fold order is IDENTICAL and the norm
+    * is bit-deterministic), filter(), transform(), array_max/array_sort
+    * /slice. All map-only whole-stage-codegen projections — the lambda
+    * functions never leave the scan stage. */
+  private def q95ArrayOps(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))
+          .as("norm"),
+        size(filter(col("embedding"), x => x > 0.0f)).as("n_pos"),
+        array_max(transform(col("embedding"), x => abs(x))).as("max_abs"),
+        element_at(array_sort(transform(col("embedding"), x => abs(x))),
+          -1).cast("double").as("top1_abs"),
+        element_at(array_sort(transform(col("embedding"), x => abs(x))),
+          -3).cast("double").as("top3_abs"))
+      .withColumn("max_abs", col("max_abs").cast("double"))
+      .orderBy(col("vec_id"))
+
+  private val q95Sql =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INT) AS dim,
+      |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, embedding::DOUBLE[]),
+      |    (acc, x) -> acc + x * x)) AS norm,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+      |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |    AS max_abs,
+      |  CAST(list_sort(list_transform(embedding, x -> abs(x)))[-1] AS DOUBLE)
+      |    AS top1_abs,
+      |  CAST(list_sort(list_transform(embedding, x -> abs(x)))[-3] AS DOUBLE)
+      |    AS top3_abs
+      |FROM embeddings WHERE vec_id % 40 = 0
+      |ORDER BY vec_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_array_ops" -> (q95ArrayOps _),
     "q59_quantize_int8" -> (q59Quantize _),
     "q19_sim_bruteforce_topk" -> (q19BruteForce _),
     "q20_sim_ann_lsh" -> (q20AnnLsh _),
@@ -153,6 +194,7 @@ object QueriesSimilarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_array_ops" -> q95Sql,
     "q59_quantize_int8" -> q59Sql,
     "q19_sim_bruteforce_topk" -> q19Sql,
     "q20_sim_ann_lsh" -> q20Sql,

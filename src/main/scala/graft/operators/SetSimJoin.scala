@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** EXACT set-similarity self-join via prefix filtering (the
+  * Chaudhuri/Bayardo "AllPairs"/PPJoin family): all pairs with Jaccard
+  * similarity >= tau over per-row token SETS — no sketching, no
+  * probability of a missed pair, unlike the MinHash-LSH path
+  * (Dedup.minhashNearDups), which trades exactness for fixed cost.
+  * This is the other standard near-dup primitive: use LSH for recall at
+  * corpus scale, prefix filtering when the contract is "every
+  * qualifying pair, provably".
+  *
+  * Completeness argument (the prefix-filter lemma): order every token
+  * by one GLOBAL order (ascending corpus frequency, ties by token — the
+  * rare-token-first order that minimizes candidate fan-out); if
+  * |A ∩ B| >= o, the (|A|-o+1)-prefix of A and the (|B|-o+1)-prefix of
+  * B must share a token. J(A,B) >= tau implies
+  * |A ∩ B| >= ceil(tau·max(|A|,|B|)) >= ceil(tau·|X|) for each side, so
+  * per-row prefixes of length |X| - ceil(tau·|X|) + 1 are sufficient
+  * (conservative and pair-independent). A seeded-random spec asserts
+  * candidates ⊇ brute-force hits.
+  *
+  * Scale design (100 TB corpus): candidate generation is an equi-join
+  * on PREFIX tokens only — and prefixes are dominated by rare tokens
+  * (ascending-frequency order), so join buckets are small by
+  * construction: the frequent tokens that would create quadratic
+  * buckets appear at the END of each ordered set, where prefixes don't
+  * reach. The size-compatibility filter (tau·|A| <= |B|) prunes before
+  * dedup; verification touches candidate pairs only and runs the
+  * codegen'd two-pointer sorted-merge intersect. The global token-order
+  * ranks are never materialized as a sorted table — each doc sorts its
+  * OWN tokens by (freq, token) locally after one broadcast-free
+  * frequency join.
+  */
+object SetSimJoin {
+
+  /** All unordered pairs (id1 < id2) with Jaccard(tokens) >= tau.
+    * `tokensCol` must evaluate to array<string>; duplicates inside a
+    * row are collapsed (set semantics), empty sets never match.
+    *
+    * Output: (id1, id2, inter, size1, size2, jaccard). */
+  def jaccardSelfJoin(df: DataFrame, idCol: String, tokensCol: Column,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau ($tau) must be in (0, 1]")
+    val sets = df
+      .select(col(idCol).as("__id"), array_distinct(tokensCol).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      // lexicographically sorted form for the two-pointer verify
+      .select(col("__id"), array_sort(col("__toks")).as("__toks"),
+        size(col("__toks")).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      // one corpus-wide token-frequency aggregate (the global order key)
+      val freq = sets.select(explode(col("__toks")).as("__tok"))
+        .groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+      // per-doc tokens in ascending (freq, token) order, then the
+      // prefix: |X| - ceil(tau*|X|) + 1 rarest tokens
+      val prefixLen = (col("__n") - ceil(lit(tau) * col("__n")) + 1)
+        .cast("int")
+      val ordered = sets
+        .select(col("__id"), col("__n"), explode(col("__toks")).as("__tok"))
+        .join(freq, Seq("__tok"))
+        .groupBy(col("__id"), col("__n"))
+        .agg(sort_array(collect_list(struct(col("__tf"), col("__tok"))))
+          .as("__ord"))
+        .select(col("__id"), col("__n"),
+          slice(transform(col("__ord"), s => s.getField("__tok")),
+            lit(1), prefixLen).as("__prefix"))
+      val probes = ordered
+        .select(col("__id"), col("__n"), explode(col("__prefix")).as("__tok"))
+      // candidates: shared prefix token, canonical order, size filter
+      val cands = probes.as("a")
+        .join(probes.as("b"), col("a.__tok") === col("b.__tok") &&
+          col("a.__id") < col("b.__id") &&
+          (lit(tau) * col("a.__n")) <= col("b.__n") &&
+          (lit(tau) * col("b.__n")) <= col("a.__n"))
+        .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+        .distinct()
+      // verify on candidates only: codegen'd sorted-merge intersect
+      val a = sets.select(col("__id").as("id1"), col("__toks").as("__ta"),
+        col("__n").as("size1"))
+      val b = sets.select(col("__id").as("id2"), col("__toks").as("__tb"),
+        col("__n").as("size2"))
+      val inter = ColumnBridge.column(
+        graft.expressions.SortedIntersectSizeExpression(
+          ColumnBridge.expression(col("__ta")),
+          ColumnBridge.expression(col("__tb"))))
+      // eager checkpoint: the (small) pair table materializes here so
+      // the sets cache can release in the finally (the Dedup pattern)
+      cands.join(a, Seq("id1")).join(b, Seq("id2"))
+        .withColumn("inter", inter.cast("long"))
+        .select(col("id1"), col("id2"), col("inter"),
+          col("size1").cast("long").as("size1"),
+          col("size2").cast("long").as("size2"),
+          (col("inter").cast("double") /
+            (col("size1") + col("size2") - col("inter")).cast("long"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= tau)
+        .localCheckpoint(eager = true)
+    } finally {
+      sets.unpersist(blocking = false)
+    }
+  }
+}

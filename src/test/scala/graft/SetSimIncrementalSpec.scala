@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IncrementalAgg, SetSimJoin}
+
+/** Exact set-similarity join (prefix filtering) and incremental
+  * aggregate maintenance: brute-force equivalence on seeded-random
+  * inputs — the completeness claims these operators make are exactly
+  * what these specs assert. */
+class SetSimIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------ set-similarity
+
+  /** Seeded random docs over a small vocab (forces real overlap). */
+  private def randomDocs(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    (1 to n).map { i =>
+      val k = 3 + rnd.nextInt(6)
+      (i.toLong, Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  private def brute(docsSeq: Seq[(Long, String)], tau: Double) =
+    (for {
+      (ia, ta) <- docsSeq; (ib, tb) <- docsSeq if ia < ib
+      sa = ta.split("\\s+").toSet; sb = tb.split("\\s+").toSet
+      if sa.nonEmpty && sb.nonEmpty
+      inter = (sa intersect sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= tau
+    } yield (ia, ib, inter.toLong, sa.size.toLong, sb.size.toLong)).toSet
+
+  test("prefix-filter join equals brute force on seeded random corpora") {
+    for (seed <- Seq(3, 17)) {
+      val docsSeq = randomDocs(seed, 80)
+      val df = docsSeq.toDF("doc_id", "text")
+      val got = SetSimJoin.jaccardSelfJoin(df, "doc_id",
+          split(col("text"), "\\s+"), tau = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      withClue(s"seed=$seed: ") { got shouldBe brute(docsSeq, 0.5) }
+    }
+  }
+
+  test("exact pairs: identical sets, disjoint sets, threshold boundary") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"),      // J = 1
+      (3L, "a b c d"),                   // J(1,3) = 3/4
+      (4L, "x y z"),                     // disjoint from 1-3
+      (5L, "")).toDF("doc_id", "text")   // empty: never matches
+    val got = SetSimJoin.jaccardSelfJoin(df, "doc_id",
+        graft.functions.TextAnalysis.tokens(col("text")), tau = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    got shouldBe Set((1L, 2L, 1.0), (1L, 3L, 0.75), (2L, 3L, 0.75))
+  }
+
+  test("duplicate tokens collapse to set semantics") {
+    val df = Seq((1L, "a a a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val got = SetSimJoin.jaccardSelfJoin(df, "doc_id",
+        split(col("text"), "\\s+"), tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    got shouldBe Array((1L, 2L, 1.0)) // both are the set {a, b}
+  }
+
+  // --------------------------------------- incremental aggregation
+
+  test("merged delta equals full recompute, including delta-only keys") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 500).map { i =>
+      (s"k${rnd.nextInt(12)}", rnd.nextInt(100).toLong,
+        math.round(rnd.nextDouble() * 1e4) / 100.0)
+    }
+    val df = rows.toDF("g", "v", "price")
+      .withColumn("vd", col("v").cast("decimal(18,2)"))
+    // split so some groups exist ONLY in the delta
+    val base0 = df.filter(col("g") =!= "k3" && col("v") < 50)
+    val delta = df.exceptAll(base0)
+    val base = base0.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("vd")).as("s"),
+        min(col("price")).as("mn"), max(col("price")).as("mx"))
+    val deltaRows = delta
+      .select(col("g"), col("vd").as("s"), col("price").as("mn"),
+        col("price").as("mx"))
+    val merged = IncrementalAgg.mergeDelta(base, deltaRows, Seq("g"),
+        counts = Seq("n"), sums = Seq("s"), mins = Seq("mn"),
+        maxs = Seq("mx"))
+      .select(col("g"), col("n"), col("s").cast("decimal(38,2)").as("s"),
+        col("mn"), col("mx"))
+    val full = df.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("vd")).as("s"),
+        min(col("price")).as("mn"), max(col("price")).as("mx"))
+      .select(col("g"), col("n"), col("s").cast("decimal(38,2)").as("s"),
+        col("mn"), col("mx"))
+    merged.collect().map(_.toSeq).toSet shouldBe
+      full.collect().map(_.toSeq).toSet
+  }
+
+  test("empty delta leaves the base aggregate unchanged") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("g", "v")
+      .withColumn("vd", col("v").cast("decimal(18,2)"))
+    val base = df.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("vd")).as("s"))
+    val empty = df.filter(lit(false))
+      .select(col("g"), col("vd").as("s"))
+    val merged = IncrementalAgg.mergeDelta(base, empty, Seq("g"),
+      counts = Seq("n"), sums = Seq("s"))
+    merged.collect().map(_.toSeq).toSet shouldBe
+      base.collect().map(_.toSeq).toSet
+  }
+}
