@@ -157,6 +157,31 @@ object ScaleSmoke {
         f"reach=$bfsRows%9d  $tBfs%7.1f s")
       sweep()
 
+      // PageRank: the same disjoint copies — per-round work (rank join
+      // + in-sum) scales linearly with edges at a FIXED round count,
+      // the iterative-op scaling shape that matters
+      val (prRows, tPr) = time {
+        graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+          .count()
+      }
+      println(f"pagerank ${f}%2dx edges=${triRow.getLong(1)}%8d " +
+        f"nodes=$prRows%9d  $tPr%7.1f s")
+      sweep()
+
+      // exact set-similarity join: copies share one vocabulary AND one
+      // text set, so every dup group grows f× and the TRUE pair count
+      // grows ~f² — the adversarial direction (same as the minhash
+      // stanza). The claim under test: wall time tracks candidate/output
+      // size, never docs² (prefix buckets grow f×, not corpus×corpus)
+      val (ssPairs, tSs) = time {
+        graft.operators.SetSimJoin.jaccardSelfJoin(
+          corpus.filter(col("doc_id") % 4 === 0), "doc_id",
+          graft.functions.TextAnalysis.tokens(lower(col("text"))),
+          tau = 0.6).count()
+      }
+      println(f"setsim   ${f}%2dx docs=${n / 4}%8d pairs=$ssPairs%9d  $tSs%7.1f s")
+      sweep()
+
       // interval join: copies shift DATES by 5000-day strides (id-offset
       // alone would overlap every window with every copy — f² output,
       // not a scaling test), so windows and intervals stay equally
