@@ -379,7 +379,12 @@ object QueriesAnalytics {
     * must NOT version, changed updates close + reopen, unknown keys
     * insert fresh open versions. The oracle rebuilds the same history
     * as three explicit join arms. */
-  private def q80Scd2(s: SparkSession, dir: String): DataFrame = {
+  /** The versioned customer dimension shared by q80 (the writer) and
+    * q97 (the point-in-time reader): base versions open at t=0, a
+    * deterministic update batch at t=1000 (no-ops every 14th key,
+    * segment changes on the other 7th-key multiples, fresh keys every
+    * 500th). */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
     val dim = c.select(col("c_custkey"), col("c_mktsegment"),
       lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
@@ -393,9 +398,11 @@ object QueriesAnalytics {
       .select((col("c_custkey") + 1000000).as("c_custkey"),
         lit("FRESH").as("c_mktsegment"), lit(1000L).as("ts"))
     operators.Scd2(dim, changedOrNoop.unionAll(freshKeys),
-        Seq("c_custkey"), Seq("c_mktsegment"), "ts")
-      .orderBy(col("c_custkey"), col("valid_from"))
+      Seq("c_custkey"), Seq("c_mktsegment"), "ts")
   }
+
+  private def q80Scd2(s: SparkSession, dir: String): DataFrame =
+    scd2History(s, dir).orderBy(col("c_custkey"), col("valid_from"))
 
   private val q80Sql =
     """WITH dim AS (
@@ -744,9 +751,71 @@ object QueriesAnalytics {
       |FROM cal c LEFT JOIN daily d USING (user_id, day)
       |ORDER BY user_id, day""".stripMargin
 
+  // --------------------------------------------------------------- q97
+  /** Point-in-time (temporal) join: each order resolves the q80
+    * customer-dimension VERSION valid at the order's own synthetic
+    * event time (o_orderkey % 2000 — half before the t=1000 update
+    * batch, half after), then a census per as-of segment. The read-side
+    * half of SCD Type-2: joining the CURRENT version would back-date
+    * history onto old facts. Plans as a plain equi-join on the
+    * dimension key with the validity range as a residual filter —
+    * never a range explosion. */
+  private def q97Pit(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        (col("o_orderkey") % 2000).as("ts_f"))
+    operators.Scd2.pointInTime(facts, scd2History(s, dir),
+        Seq("c_custkey"), "ts_f")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        min(col("o_orderkey")).as("min_order"),
+        max(col("o_orderkey")).as("max_order"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q97Sql =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+      |    CAST(NULL AS BIGINT) AS valid_to
+      |  FROM customer),
+      |upd AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+      |         ELSE 'NEW-' || c_mktsegment END AS seg,
+      |    CAST(1000 AS BIGINT) AS ts
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'FRESH', 1000
+      |  FROM customer WHERE c_custkey % 500 = 0),
+      |hist AS (
+      |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+      |  FROM dim d LEFT JOIN upd u USING (c_custkey)
+      |  WHERE u.c_custkey IS NULL OR u.seg = d.c_mktsegment
+      |  UNION ALL
+      |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, u.ts
+      |  FROM dim d JOIN upd u USING (c_custkey)
+      |  WHERE u.seg != d.c_mktsegment
+      |  UNION ALL
+      |  SELECT u.c_custkey, u.seg, u.ts, CAST(NULL AS BIGINT)
+      |  FROM upd u LEFT JOIN dim d USING (c_custkey)
+      |  WHERE d.c_custkey IS NULL OR u.seg != d.c_mktsegment),
+      |f AS (
+      |  SELECT o_orderkey, o_custkey AS c_custkey,
+      |    o_orderkey % 2000 AS ts_f
+      |  FROM orders)
+      |SELECT h.c_mktsegment, count(*) AS n_orders,
+      |  count(DISTINCT f.c_custkey) AS n_customers,
+      |  min(f.o_orderkey) AS min_order, max(f.o_orderkey) AS max_order
+      |FROM f LEFT JOIN hist h
+      |  ON h.c_custkey = f.c_custkey AND h.valid_from <= f.ts_f
+      |  AND (h.valid_to IS NULL OR f.ts_f < h.valid_to)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_pit_join" -> (q97Pit _),
     "q88_pagerank" -> (q88Pagerank _),
     "q92_gap_fill" -> (q92GapFill _),
     "q87_mad_outliers" -> (q87Mad _),
@@ -770,6 +839,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_pit_join" -> q97Sql,
     "q88_pagerank" -> q88Sql,
     "q92_gap_fill" -> q92Sql,
     "q87_mad_outliers" -> q87Sql,

@@ -254,9 +254,53 @@ object QueriesCoverage {
     """SELECT concat('"badline-', CAST(n_nationkey AS VARCHAR), '|x') AS line
       |FROM nation WHERE n_nationkey % 5 = 0 ORDER BY line""".stripMargin
 
+  // --------------------------------------------------------------- q98
+  /** T15 re-encoding + T18 INI config bootstrap + T1 CSV scan as one
+    * oracle row: an ISO-8859-1 CSV (accented names synthesized from
+    * nation — 'é'/'ñ' are Latin-1 bytes 0xE9/0xF1, NOT valid UTF-8) is
+    * ingested through a reference-keyed etl.conf
+    * (file_encoding/delimiter/columns parsed by IniConfig, the
+    * strptime-translating bootstrap), and the typed readback must
+    * reproduce the accents exactly — which only happens if the decoder
+    * honored the configured charset end to end. The oracle recomputes
+    * the same strings from nation directly. */
+  private def q98Encoding(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_enc")
+    val rows = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey")).collect()
+    val sb = new StringBuilder("n_nationkey|acc_name\n")
+    rows.foreach { r =>
+      val suffix = if (r.get(0).toString.toLong % 2 == 0) "-é" else "-ñ"
+      sb.append(r.get(0)).append('|').append(r.getString(1)).append(suffix)
+        .append('\n')
+    }
+    val csv = work.resolve("nation_latin1.csv")
+    java.nio.file.Files.write(csv, sb.toString.getBytes("ISO-8859-1"))
+    val ini = work.resolve("etl.conf")
+    java.nio.file.Files.write(ini, Seq(
+      "[etl]", "table_name=nation_enc", "delimiter=|",
+      "file_encoding=ISO-8859-1", "columns=n_nationkey,acc_name",
+      "force_no_geometry=true", "chunk_size=10")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val cfg = graft.sources.IniConfig.loadIngestConfig(ini.toString)
+    val table = work.resolve("t_enc").toString
+    new InsertJob(csv.toString, table, cfg).run()
+    ParquetTable.read(s, table)
+      .select(col("n_nationkey"), col("acc_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val q98Sql =
+    """SELECT CAST(n_nationkey AS DOUBLE) AS n_nationkey,
+      |  n_name || CASE WHEN n_nationkey % 2 = 0 THEN '-é' ELSE '-ñ' END
+      |    AS acc_name
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_encoding_config" -> (q98Encoding _),
     "q33_row_slice" -> (q33RowSlice _),
     "q34_header_norm" -> (q34HeaderNorm _),
     "q35_projection" -> (q35Projection _),
@@ -272,6 +316,7 @@ object QueriesCoverage {
     "q34_header_norm" -> q34Sql,
     "q35_projection" -> q35Sql,
     "q36_cte" -> q36Sql,
+    "q98_encoding_config" -> q98Sql,
     "q50_chunk_resume" -> typedNationSql,
     "q51_count_prepass" -> q51Sql,
     "q52_failed_batch" -> typedNationSql,

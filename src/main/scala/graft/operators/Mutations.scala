@@ -133,6 +133,39 @@ object Scd2 {
       }.toIndexedSeq: _*)
     closed.unionByName(stillOpen).unionByName(closedOut).unionByName(fresh)
   }
+
+  /** Point-in-time (temporal) lookup: resolve each fact row against the
+    * dimension VERSION that was valid at the fact's own timestamp —
+    * `valid_from <= ts < valid_to` (open version: valid_to IS NULL).
+    * The read-side complement of the Type-2 writer above: joining a
+    * fact to the CURRENT version back-dates history; this join
+    * reproduces what the dimension said when the fact happened.
+    *
+    * Facts with no matching key (or a timestamp before the key's first
+    * version) keep their row with NULL dimension attributes (left
+    * join).
+    *
+    * Scale: an equi-join on the dimension key — the validity range is a
+    * residual join filter, NOT the join condition, so this plans as a
+    * plain hash/broadcast join keyed on uniform dimension keys (never a
+    * range-explosion). Version count per key is bounded by update
+    * cadence, so per-key fan-in stays small. */
+  def pointInTime(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+      factTs: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one dimension key")
+    val f = facts.alias("__f")
+    val d = dim.alias("__d")
+    val keyCond = keys.map(k => col(s"__f.$k") === col(s"__d.$k"))
+      .reduce(_ && _)
+    val valid = col("__d.valid_from") <= col(s"__f.$factTs") &&
+      (col("__d.valid_to").isNull ||
+        col(s"__f.$factTs") < col("__d.valid_to"))
+    val dimAttrs = dim.columns.filterNot(keys.contains)
+      .filterNot(Seq("valid_from", "valid_to").contains)
+    f.join(d, keyCond && valid, "left")
+      .select(facts.columns.map(c => col(s"__f.$c")) ++
+        dimAttrs.map(c => col(s"__d.$c")): _*)
+  }
 }
 
 object DeleteJob {

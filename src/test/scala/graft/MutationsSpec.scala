@@ -118,4 +118,28 @@ class MutationsSpec extends SparkSpec {
     got shouldBe Array(("gold", 0L, 100L), ("silver", 100L, 200L),
       ("bronze", 200L, -1L))
   }
+
+  test("pointInTime resolves the version valid at each fact timestamp") {
+    val facts = Seq(
+      (101L, 3L, 100L),  // key 3 at t=100 -> bronze (closed at 500)
+      (102L, 3L, 500L),  // boundary: valid_from inclusive -> iron
+      (103L, 3L, 9999L), // open version -> iron
+      (104L, 1L, 50L),   // gold (never versioned)
+      (105L, 7L, 50L)    // unknown key -> NULL tier
+    ).toDF("fact_id", "id", "ts")
+    val got = graft.operators.Scd2.pointInTime(facts, scdDim,
+        Seq("id"), "ts")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) null else r.getString(3))).toMap
+    got shouldBe Map(101L -> "bronze", 102L -> "iron", 103L -> "iron",
+      104L -> "gold", 105L -> null)
+  }
+
+  test("pointInTime before a key's first version yields NULL attributes") {
+    val dim = Seq((1L, "gold", 100L, Option.empty[Long]))
+      .toDF("id", "tier", "valid_from", "valid_to")
+    val facts = Seq((1L, 1L, 50L)).toDF("fact_id", "id", "ts")
+    graft.operators.Scd2.pointInTime(facts, dim, Seq("id"), "ts")
+      .head().isNullAt(3) shouldBe true
+  }
 }
