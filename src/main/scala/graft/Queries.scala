@@ -267,6 +267,61 @@ object Queries {
       .orderBy(col("cell_x"), col("cell_y"))
   }
 
+  // --------------------------------------------------------------- q99
+  /** T14 async submit + poll driving S8 end to end: the reference's
+    * regenerate_overviews() → check_job() lifecycle
+    * (`etl/etl.py:166-173`) executed for real — the overview build runs
+    * as an async job-group-tagged action, the query POLLS the status
+    * handle to completion (the check_job loop every reference caller
+    * writes), and the materialized zoom-3 level is read back and
+    * checked against the oracle's own grid aggregation. Turns the last
+    * lifecycle operator the r3 verdict listed as spec-only into a
+    * driver-gate row. */
+  private def q99AsyncOverviews(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsyncJobs
+    val work = java.nio.file.Files.createTempDirectory("graft_async").toString
+    val pts = t(s, dir, "customer").select(
+      (((col("c_custkey") * 7) % 4000 - 2000) / lit(10.0)).as("lon"),
+      (((col("c_custkey") * 13) % 2000 - 1000) / lit(10.0)).as("lat"),
+      col("c_acctbal"))
+      .filter(abs(col("lon")) <= 180 && abs(col("lat")) <= 90)
+    val id = AsyncJobs.regenerateOverviews(pts, "lon", "lat", Seq(3), work,
+      valueCols = Seq("c_acctbal"))
+    val deadline = System.nanoTime() + 180L * 1000L * 1000L * 1000L
+    var st = AsyncJobs.checkJob(id)
+    while (st.exists(x => x == AsyncJobs.Pending || x == AsyncJobs.Running)
+        && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      st = AsyncJobs.checkJob(id)
+    }
+    if (!st.contains(AsyncJobs.Done))
+      throw new IllegalStateException(s"async overview job ended as $st")
+    s.read.parquet(s"$work/zoom=3")
+      .select(col("cell_x"), col("cell_y"), col("n_points"),
+        col("centroid_lon"), col("centroid_lat"),
+        col("sum_c_acctbal"), col("avg_c_acctbal"), col("zoom"))
+      .orderBy(col("cell_x"), col("cell_y"))
+  }
+
+  private val q99Sql =
+    """WITH pts AS (
+      |  SELECT ((c_custkey * 7) % 4000 - 2000) / 10.0 AS lon,
+      |         ((c_custkey * 13) % 2000 - 1000) / 10.0 AS lat,
+      |         c_acctbal
+      |  FROM customer
+      |  WHERE abs(((c_custkey * 7) % 4000 - 2000) / 10.0) <= 180
+      |    AND abs(((c_custkey * 13) % 2000 - 1000) / 10.0) <= 90)
+      |SELECT
+      |  CAST(least(floor((lon + 180.0) / 360.0 * 8.0), 7) AS BIGINT) AS cell_x,
+      |  CAST(least(floor((lat + 90.0) / 180.0 * 8.0), 7) AS BIGINT) AS cell_y,
+      |  count(*) AS n_points,
+      |  avg(lon) AS centroid_lon,
+      |  avg(lat) AS centroid_lat,
+      |  sum(c_acctbal) AS sum_c_acctbal,
+      |  avg(c_acctbal) AS avg_c_acctbal,
+      |  3 AS zoom
+      |FROM pts GROUP BY 1, 2 ORDER BY cell_x, cell_y""".stripMargin
+
   private val q9Sql =
     """WITH pts AS (
       |  SELECT ((c_custkey * 7) % 4000 - 2000) / 10.0 AS lon,
@@ -435,6 +490,7 @@ object Queries {
     "q7_update_merge" -> (q7Update _),
     "q8_delete_antijoin" -> (q8Delete _),
     "q9_overviews" -> (q9Overviews _),
+    "q99_async_overviews" -> (q99AsyncOverviews _),
     "q10_geocode" -> (q10Geocode _),
     "q11_text_stats" -> (q11TextStats _),
     "q12_text_langid" -> (q12LangId _),
@@ -451,6 +507,7 @@ object Queries {
     "q7_update_merge" -> q7Sql,
     "q8_delete_antijoin" -> q8Sql,
     "q9_overviews" -> q9Sql,
+    "q99_async_overviews" -> q99Sql,
     "q10_geocode" -> q10Sql,
     "q11_text_stats" -> q11Sql,
     "q12_text_langid" -> q12Sql,
