@@ -478,6 +478,58 @@ object Queries {
       |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q101
+  /** The SQL surface inside the correctness gate: a pure
+    * `spark.sql(...)` query over registered temp views using the
+    * engine's registered functions — the HLL sketch aggregate
+    * (`graft_hll`) and the content fingerprint (`graft_fingerprint`)
+    * side by side with built-ins. Everything q-numbered so far drives
+    * the DataFrame surface; this row proves a SQL-only caller gets the
+    * identical engine (GraftExtensions builders emit the same
+    * expression trees). */
+  private def q101SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftExtensions.register(s)
+    Seq("documents").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(
+      """SELECT source, count(*) AS n_docs,
+        |  graft_hll(doc_id, 6) AS est_doc_ids,
+        |  count(DISTINCT graft_fingerprint(text)) AS n_distinct_fp
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  private val q101Sql =
+    """WITH h AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM documents),
+      |rho AS (
+      |  SELECT source, hv % 64 AS j,
+      |    CASE WHEN hv // 64 = 0 THEN 55
+      |         ELSE 54 - CAST(floor(log2(hv // 64)) AS BIGINT) END AS rho
+      |  FROM h),
+      |regs AS (SELECT source, j, max(rho) AS r FROM rho GROUP BY 1, 2),
+      |allregs AS (
+      |  SELECT f.source, g.j, COALESCE(regs.r, 0) AS r
+      |  FROM (SELECT DISTINCT source FROM h) f
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+      |  LEFT JOIN regs ON regs.source = f.source AND regs.j = g.j),
+      |sp AS (
+      |  SELECT source,
+      |    CAST(sum(1::BIGINT << CAST(55 - r AS INT)) AS BIGINT) AS s
+      |  FROM allregs GROUP BY 1),
+      |base AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    count(DISTINCT substr(md5(regexp_replace(lower(trim(text)),
+      |      '\s+', ' ', 'g')), 1, 16)) AS n_distinct_fp
+      |  FROM documents GROUP BY 1)
+      |SELECT b.source, b.n_docs,
+      |  ((CAST(0.709 AS DOUBLE) * (64.0 * 64.0)) * 36028797018963968.0)
+      |    / CAST(sp.s AS DOUBLE) AS est_doc_ids,
+      |  b.n_distinct_fp
+      |FROM base b JOIN sp ON sp.source = b.source
+      |ORDER BY b.source""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -491,6 +543,7 @@ object Queries {
     "q8_delete_antijoin" -> (q8Delete _),
     "q9_overviews" -> (q9Overviews _),
     "q99_async_overviews" -> (q99AsyncOverviews _),
+    "q101_sql_surface" -> (q101SqlSurface _),
     "q10_geocode" -> (q10Geocode _),
     "q11_text_stats" -> (q11TextStats _),
     "q12_text_langid" -> (q12LangId _),
@@ -508,6 +561,7 @@ object Queries {
     "q8_delete_antijoin" -> q8Sql,
     "q9_overviews" -> q9Sql,
     "q99_async_overviews" -> q99Sql,
+    "q101_sql_surface" -> q101Sql,
     "q10_geocode" -> q10Sql,
     "q11_text_stats" -> q11Sql,
     "q12_text_langid" -> q12Sql,

@@ -812,9 +812,56 @@ object QueriesAnalytics {
       |  AND (h.valid_to IS NULL OR f.ts_f < h.valid_to)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q100
+  /** Deterministic label propagation (2 synchronous rounds) over the
+    * q78/q86 co-occurrence graph — community detection beside q40's
+    * connectivity clustering: most-frequent-neighbor-label with
+    * smallest-label tie-break, integer counts and labels throughout,
+    * so the iterative result is bit-stable and the oracle unrolls the
+    * same two rounds (randomized-order LPA could never hash-match).
+    * Per round only the label table and the (neighbor, label) counts
+    * shuffle against the pre-partitioned adjacency cache. */
+  private def q100Lpa(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.labelPropagation(e, "src", "dst", iterations = 2)
+      .orderBy(col("node"))
+  }
+
+  private val q100Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT
+      |    least(l_orderkey % 20000, (l_partkey * 7) % 20000) AS u,
+      |    greatest(l_orderkey % 20000, (l_partkey * 7) % 20000) AS v
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)
+      |    AND l_orderkey IS NOT NULL),
+      |adj AS (
+      |  SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+      |l0 AS (SELECT DISTINCT a AS node FROM adj),
+      |c1 AS (
+      |  SELECT adj.b AS node, l.node AS label, count(*) AS c
+      |  FROM l0 l JOIN adj ON adj.a = l.node GROUP BY 1, 2),
+      |r1 AS (
+      |  SELECT node, label FROM (
+      |    SELECT node, label,
+      |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) rn
+      |    FROM c1) WHERE rn = 1),
+      |c2 AS (
+      |  SELECT adj.b AS node, r.label, count(*) AS c
+      |  FROM r1 r JOIN adj ON adj.a = r.node GROUP BY 1, 2),
+      |r2 AS (
+      |  SELECT node, label FROM (
+      |    SELECT node, label,
+      |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) rn
+      |    FROM c2) WHERE rn = 1)
+      |SELECT node, label FROM r2 ORDER BY node""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_label_prop" -> (q100Lpa _),
     "q97_pit_join" -> (q97Pit _),
     "q88_pagerank" -> (q88Pagerank _),
     "q92_gap_fill" -> (q92GapFill _),
@@ -839,6 +886,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q100_label_prop" -> q100Sql,
     "q97_pit_join" -> q97Sql,
     "q88_pagerank" -> q88Sql,
     "q92_gap_fill" -> q92Sql,

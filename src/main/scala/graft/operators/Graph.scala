@@ -77,6 +77,69 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Synchronous label propagation (community detection, Raghavan et
+    * al. 2007) over an UNDIRECTED edge list, made fully deterministic:
+    * each round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — integer counts and
+    * integer labels, so (unlike the usual randomized-order LPA) the
+    * result is bit-stable under any partitioning and reproducible in
+    * plain SQL (the oracle unrolls the same rounds).
+    *
+    * Fixed `iterations` rather than convergence: synchronous LPA can
+    * oscillate on bipartite-ish structures, so a caller-bounded round
+    * count is the honest contract (and what the unrolled oracle can
+    * check).
+    *
+    * Scale design: same loop discipline as [[bfsDistances]]/[[pageRank]]
+    * — the both-directions adjacency is cached pre-partitioned on the
+    * join key, so each round shuffles only the n-row label table plus
+    * the (neighbor, label) count aggregate; per-round frames
+    * localCheckpoint eagerly and superseded rounds release.
+    *
+    * @return (node, label) — label = a community representative id
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 0, s"iterations ($iterations) must be >= 0")
+    val spark = edges.sparkSession
+    val canon = canonicalEdges(edges, src, dst)
+    val sessionParts = spark.sessionState.conf.numShufflePartitions.toLong
+    val edgeCount = canon.count()
+    val loopParts = math.max(1L,
+      math.min(sessionParts, edgeCount / 125000L + 1L)).toInt
+    val adj = canon.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(canon.select(col("v").as("a"), col("u").as("b")))
+      .repartition(loopParts, col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      var labels = adj.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(eager = true)
+      var i = 0
+      while (i < iterations) {
+        val counts = labels
+          .join(adj, col("node") === col("a"))
+          .groupBy(col("b"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val next = counts
+          .groupBy(col("b"))
+          .agg(min_by(col("label"),
+            struct((-col("c")).as("nc"), col("label").as("l"))).as("label"))
+          .select(col("b").as("node"), col("label"))
+          .localCheckpoint(eager = true)
+        Dedup.releaseCheckpoint(labels)
+        labels = next
+        i += 1
+      }
+      labels
+    } finally {
+      adj.unpersist(blocking = false)
+    }
+  }
+
   /** PageRank over a DIRECTED edge list, in scaled-integer arithmetic.
     *
     * Ranks are maintained as BIGINT multiples of 1/`scale` and every

@@ -101,6 +101,50 @@ class GraphSpec extends SparkSpec {
     bfs(edges, sources, maxHops) shouldBe dist
   }
 
+  // ----------------------------------------------- label propagation
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference: the same synchronous most-frequent/min-tie recurrence. */
+  private def lpaRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(labels).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("label propagation matches the reference recurrence") {
+    // two triangles bridged by one edge: communities keep their min ids
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    for (iters <- Seq(1, 2, 3)) {
+      withClue(s"iters=$iters: ") { lpa(g, iters) shouldBe lpaRef(g, iters) }
+    }
+    // after 2 rounds the two triangles carry distinct dominant labels
+    val l2 = lpa(g, 2)
+    l2(1L) should not be l2(6L)
+  }
+
+  test("label propagation matches the reference on a seeded random graph") {
+    val rnd = new scala.util.Random(23)
+    val n = 60
+    val edges = (for {
+      u <- 0 until n; v <- (u + 1) until n if rnd.nextDouble() < 0.05
+    } yield (u.toLong, v.toLong)).toVector
+    lpa(edges, 3) shouldBe lpaRef(edges, 3)
+  }
+
   // ------------------------------------------------------- pagerank
 
   private def pr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
