@@ -530,6 +530,43 @@ object Queries {
       |FROM base b JOIN sp ON sp.source = b.source
       |ORDER BY b.source""".stripMargin
 
+  // -------------------------------------------------------------- q102
+  /** Correlated subqueries through Catalyst's decorrelation: a scalar
+    * correlated count, a correlated EXISTS, and a NOT EXISTS over the
+    * same correlation key in ONE spark.sql query — the §4 claim
+    * ("subquery decorrelation is built in") as a driver-gate row.
+    * Catalyst rewrites all three into aggregate + left-outer/semi/anti
+    * joins on o_custkey; nothing executes per-row. */
+  private def q102Subqueries(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_totalprice > 400000) AS has_big,
+        |  NOT EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey) AS is_inactive
+        |FROM customer c
+        |WHERE c.c_custkey % 10 = 0
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q102Sql =
+    """SELECT c_custkey,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  EXISTS (SELECT 1 FROM orders o
+      |          WHERE o.o_custkey = c.c_custkey
+      |            AND o.o_totalprice > 400000) AS has_big,
+      |  NOT EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey) AS is_inactive
+      |FROM customer c
+      |WHERE c.c_custkey % 10 = 0
+      |ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -544,6 +581,7 @@ object Queries {
     "q9_overviews" -> (q9Overviews _),
     "q99_async_overviews" -> (q99AsyncOverviews _),
     "q101_sql_surface" -> (q101SqlSurface _),
+    "q102_subqueries" -> (q102Subqueries _),
     "q10_geocode" -> (q10Geocode _),
     "q11_text_stats" -> (q11TextStats _),
     "q12_text_langid" -> (q12LangId _),
@@ -562,6 +600,7 @@ object Queries {
     "q9_overviews" -> q9Sql,
     "q99_async_overviews" -> q99Sql,
     "q101_sql_surface" -> q101Sql,
+    "q102_subqueries" -> q102Sql,
     "q10_geocode" -> q10Sql,
     "q11_text_stats" -> q11Sql,
     "q12_text_langid" -> q12Sql,

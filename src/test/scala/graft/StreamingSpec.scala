@@ -275,4 +275,45 @@ class StreamingSpec extends SparkSpec {
       spark.table("file_counts").count() shouldBe 2
     } finally query.stop()
   }
+
+  test("transformWithState keeps named per-key state across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulTotals
+    import graft.streaming.StatefulTotals.UserEvent
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState's named state variables are state-store column
+    // families — RocksDB-provider-only (the HDFS-backed default store
+    // cannot host them). Scope the provider to this query's lifetime.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[UserEvent]
+    val query = StatefulTotals.runningTotals(stream.toDS())
+      .toDF()
+      .writeStream.format("memory").queryName("running_totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: user 1 twice, user 2 once
+      stream.addData(UserEvent(1L, 10.0), UserEvent(1L, 5.0),
+        UserEvent(2L, 7.0))
+      query.processAllAvailable()
+      // batch 2: user 1 again — its count/total must CONTINUE, not reset
+      stream.addData(UserEvent(1L, 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("running_totals")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // update mode appends one row per touched key per batch
+      rows.toSet shouldBe Set((1L, 2L, 15.0), (2L, 1L, 7.0), (1L, 3L, 16.0))
+      // the latest row per key carries the full running state
+      val latest = rows.groupBy(_._1).view.mapValues(_.last).toMap
+      latest(1L) shouldBe ((1L, 3L, 16.0))
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
