@@ -67,10 +67,12 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val deser = taskAgg.get(0) / 1e3
+      val gc = taskAgg.get(2) / 1e3
       System.err.println(f"[bench-metrics] $name wall=$elapsed%.2fs " +
-        f"taskDeser=${taskAgg.get(0) / 1e3}%.2fs " +
+        f"taskDeser=$deser%.2fs " +
         f"taskRun=${taskAgg.get(1) / 1e3}%.2fs " +
-        f"taskGc=${taskAgg.get(2) / 1e3}%.2fs " +
+        f"taskGc=$gc%.2fs " +
         f"taskWall=${taskAgg.get(3) / 1e3}%.2fs")
       // per-query isolation, OUTSIDE the timed section: release cached
       // plans and any persistent/localCheckpoint RDD blocks a query left
@@ -80,12 +82,21 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> elapsed
+      (name, elapsed, deser, gc)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // task-metric attribution for queries with meaningful deser/GC cost,
+    // so a host-throttled run (the r3/r4 failure mode: closure
+    // deserialization grinding at a fraction of normal speed) is
+    // self-adjudicating from the JSON alone, without the stderr log
+    val attrib = results.collect { case (k, _, d, g) if d + g > 0.3 =>
+      f""""$k":{"deser":$d%.2f,"gc":$g%.2f}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "metric"/"value" LAST: the driver's log capture keeps only the
+    // tail, so a truncated line must still carry the headline number
+    println(s"""{"queries":$qs,"attrib":$attrib,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}""")
     spark.stop()
   }
 }

@@ -506,7 +506,7 @@ object Queries {
       |rho AS (
       |  SELECT source, hv % 64 AS j,
       |    CASE WHEN hv // 64 = 0 THEN 55
-      |         ELSE 54 - CAST(floor(log2(hv // 64)) AS BIGINT) END AS rho
+      |         ELSE 55 - length(printf('%b', hv // 64)) END AS rho
       |  FROM h),
       |regs AS (SELECT source, j, max(rho) AS r FROM rho GROUP BY 1, 2),
       |allregs AS (

@@ -535,7 +535,7 @@ object QueriesCorpus {
       |rho AS (
       |  SELECT flag, hv % 64 AS j,
       |    CASE WHEN hv // 64 = 0 THEN 55
-      |         ELSE 54 - CAST(floor(log2(hv // 64)) AS BIGINT) END AS rho
+      |         ELSE 55 - length(printf('%b', hv // 64)) END AS rho
       |  FROM h),
       |regs AS (SELECT flag, j, max(rho) AS r FROM rho GROUP BY 1, 2),
       |allregs AS (

@@ -297,6 +297,42 @@ object QueriesCoverage {
       |    AS acc_name
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // -------------------------------------------------------------- q103
+  /** T13 observer/progress events as an oracle row — the last §2
+    * operator whose behavior the parquet-table gate could reach but
+    * didn't (r4 VERDICT "What's missing" #1). The reference's callback
+    * surface (`etl/etl.py:159-164`) emits total_rows once, then
+    * progress per committed chunk batch, with errors interleaved
+    * (`etl/etl.py:284-298`); here a 3-batch InsertJob over the clean
+    * 25-row nation CSV (chunkSize 4 → chunks round-robined over the
+    * batches, all three non-empty) must produce the exact sequence
+    *   total_rows 25 · batch 1 · batch 2 · batch 3 · written 25
+    * which the oracle restates from nation's own count. Event order is
+    * deterministic because batches commit sequentially in batch-id
+    * order and the observer is invoked on the driver. */
+  private def q103ObserverEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (csv, work) = nationCsvFixture(s, dir, badEveryFifth = false)
+    val table = work.resolve("t_obs").toString
+    val events = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val obs: IngestObserver = (t, m) =>
+      events.synchronized { events += ((t, m)) }
+    new InsertJob(csv, table, nationCfg, obs, commitBatches = 3).run()
+    events.toIndexedSeq.zipWithIndex
+      .map { case ((t, m), i) => (i + 1, t, m) }
+      .toDF("seq", "message_type", "message")
+      .orderBy(col("seq"))
+  }
+
+  private val q103Sql =
+    """WITH n AS (SELECT CAST(count(*) AS VARCHAR) AS c FROM nation)
+      |SELECT 1 AS seq, 'total_rows' AS message_type, c AS message FROM n
+      |UNION ALL SELECT 2, 'progress', 'batch 1'
+      |UNION ALL SELECT 3, 'progress', 'batch 2'
+      |UNION ALL SELECT 4, 'progress', 'batch 3'
+      |UNION ALL SELECT 5, 'progress', 'written ' || c FROM n
+      |ORDER BY seq""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -309,6 +345,7 @@ object QueriesCoverage {
     "q51_count_prepass" -> (q51CountPrepass _),
     "q52_failed_batch" -> (q52FailedBatch _),
     "q53_rejected_rows" -> (q53RejectedRows _),
+    "q103_observer_events" -> (q103ObserverEvents _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -321,5 +358,6 @@ object QueriesCoverage {
     "q51_count_prepass" -> q51Sql,
     "q52_failed_batch" -> typedNationSql,
     "q53_rejected_rows" -> q53Sql,
+    "q103_observer_events" -> q103Sql,
   )
 }

@@ -192,7 +192,16 @@ object BatchGeocodeJob {
   /** Rewrite a result zip: `_out.txt`/`_err.txt` members re-fitted to
     * `outputColumns` (header first; per row, a named column's value or
     * "" when the member lacks it — exact-name match, like the
-    * reference's DictReader lookup); other members byte-identical. */
+    * reference's DictReader lookup); other members byte-identical.
+    *
+    * A 200 body that is NOT a zip (proxy HTML, truncated transfer)
+    * yields zero entries from ZipInputStream rather than an error —
+    * silently rewriting that into an empty-but-"successful" result zip
+    * would lose the whole batch, so it raises instead (the reference's
+    * zipfile.ZipFile would raise BadZipFile at the same point,
+    * `/root/reference/etl/geocoding.py:88-116`). A corrupt MEMBER
+    * (damaged deflate stream / CRC mismatch) raises from the streaming
+    * read itself as java.util.zip.ZipException. */
   private[graft] def rewriteResultZip(zipBytes: Array[Byte],
       outputColumns: Seq[String], delimiter: String): Array[Byte] = {
     require(delimiter.length == 1, "delimiter must be a single character")
@@ -200,10 +209,12 @@ object BatchGeocodeJob {
     val zis = new ZipInputStream(new ByteArrayInputStream(zipBytes))
     val out = new ByteArrayOutputStream()
     val zos = new ZipOutputStream(out)
+    var members = 0
     Iterator.continually(zis.getNextEntry).takeWhile(_ != null)
       .filterNot(_.isDirectory)
       .foreach { entry =>
         val bytes = readAll(zis)
+        members += 1
         zos.putNextEntry(new ZipEntry(entry.getName))
         val name = entry.getName
         if (name.endsWith("_out.txt") || name.endsWith("_err.txt"))
@@ -213,6 +224,9 @@ object BatchGeocodeJob {
         zos.closeEntry()
       }
     zos.close()
+    if (members == 0)
+      throw new IOException("batch geocode result body is not a zip " +
+        s"archive (no members in ${zipBytes.length} bytes)")
     out.toByteArray
   }
 

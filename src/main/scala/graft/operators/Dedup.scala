@@ -512,9 +512,24 @@ object Dedup {
     * decreases iff any label changed — one overflow-free decimal
     * aggregate over the just-checkpointed labels, instead of a
     * changed-rows join. Non-numeric ids fall back to the join probe.
-    * `maxIter` bounds the loop, logging a warning if hit. */
+    * `maxIter` bounds the loop, logging a warning if hit.
+    *
+    * Variant auto-selection: pointer jumping re-joins the FULL
+    * symmetrized edge list every round, so its per-round cost is fixed
+    * at edge-count rows; the large/small-star variant
+    * ([[connectedComponentsContracting]]) pays two aggregate+join pairs
+    * per round but CONTRACTS the edge set as it goes. Above
+    * `contractAbove` symmetrized edges the fixed edge-sized shuffle
+    * dominates, so the call delegates to the contracting variant
+    * automatically — the caller doesn't need to know the lore. The
+    * default (2e9) is the point where even a 1000-executor cluster at
+    * the loop's own ~250k-rows-per-task sizing has every core saturated
+    * each round; below it the simpler loop's lower per-round constant
+    * wins (both variants produce the identical min-id labeling, pinned
+    * by spec). */
   def connectedComponents(pairs: DataFrame, id1Col: String = "id1",
-      id2Col: String = "id2", maxIter: Int = 50): DataFrame = {
+      id2Col: String = "id2", maxIter: Int = 50,
+      contractAbove: Long = 2000000000L): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
     val spark = pairs.sparkSession
     val e0 = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
@@ -531,6 +546,10 @@ object Dedup {
     // — never by mutating session-global spark.sql.shuffle.partitions,
     // which a concurrent caller in a shared session would observe.
     val edgeCount = edgesRaw.count()
+    if (edgeCount > contractAbove) {
+      edgesRaw.unpersist()
+      return connectedComponentsContracting(pairs, id1Col, id2Col)
+    }
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(1L,
       math.min(defaultParts.toLong, edgeCount / 250000L + 1)).toInt

@@ -126,9 +126,13 @@ object EventAnalytics {
   def resampleDaily(events: DataFrame, entityCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val dayUs = 86400000000L
+    // FLOOR division (pmod form), not `div` truncation: the two differ
+    // for negative epoch micros, so a pre-1970 timestamp would bucket
+    // one day later than DuckDB's `//` and break oracle day alignment
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     val daily = events
       .select(col(entityCol),
-        expr(s"unix_micros(cast($tsCol as timestamp)) div $dayUs").as("day"),
+        ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long").as("day"),
         col(valueCol).as("__v"))
       .groupBy(col(entityCol), col("day"))
       .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("day_value"))

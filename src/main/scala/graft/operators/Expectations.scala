@@ -101,12 +101,19 @@ object Expectations {
         .select(lit(name).as("check_name"), col("n_rows"), col("n_ok"),
           lit(1.0).as("__minf"))
     }
+    // Empty-table semantics are explicit: under ANSI mode 0/0 THROWS
+    // (and non-ANSI would yield a NULL pass — a verdict that neither
+    // passes nor fails), so the division is guarded and an empty
+    // 100 TB drop REJECTS (pass = false, fraction NULL): a vacuous
+    // pass would silently publish nothing, and a gate whose job is
+    // "safe to publish" must fail closed.
+    val frac = when(col("n_rows") === 0L, lit(null).cast("double"))
+      .otherwise(col("n_ok").cast("double") / col("n_rows").cast("double"))
     branches.reduce(_ unionAll _)
       .select(col("check_name"), col("n_rows"), col("n_ok"),
-        (col("n_ok").cast("double") / col("n_rows").cast("double"))
-          .as("fraction"),
-        (col("n_ok").cast("double") / col("n_rows").cast("double") >=
-          col("__minf")).as("pass"))
+        frac.as("fraction"),
+        when(col("n_rows") === 0L, lit(false))
+          .otherwise(frac >= col("__minf")).as("pass"))
       .orderBy(col("check_name"))
   }
 }

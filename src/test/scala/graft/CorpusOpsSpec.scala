@@ -158,6 +158,19 @@ class CorpusOpsSpec extends SparkSpec {
       Map(7L -> 7L, 8L -> 8L)
   }
 
+  test("connectedComponents auto-switches to the contracting variant") {
+    // contractAbove = 0 forces the edge-count threshold to trip on any
+    // non-empty graph; the delegated path must produce the identical
+    // labeling the default pointer-jumping path does
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val default = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val switched = Dedup.connectedComponents(pairs, contractAbove = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    switched shouldBe default
+  }
+
   test("connected components leaves session conf and caches alone") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet

@@ -60,4 +60,19 @@ class ExpectationsSpec extends SparkSpec {
     val r = Expectations.run(df, Seq(complete("name"))).head()
     r.getDouble(3) shouldBe 7.0 / 8.0
   }
+
+  test("an empty table fails closed (pass=false, never NULL)") {
+    // 0/0 must not yield a NULL verdict: an empty drop REJECTS, so a
+    // publish gate can't silently wave through a dataset with no rows
+    val empty = df.filter(col("id") < 0)
+    val rows = Expectations.run(empty,
+        expects = Seq(complete("name"), inRange("score", 0.0, 1.0)),
+        unique = Seq(Seq("id"))).collect()
+    rows should have length 3
+    rows.foreach { r =>
+      r.getLong(1) shouldBe 0L        // n_rows
+      r.isNullAt(4) shouldBe false    // pass is defined...
+      r.getBoolean(4) shouldBe false  // ...and rejects
+    }
+  }
 }

@@ -199,6 +199,72 @@ class GeocodingSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("status poll raises on a non-200 response with the error body") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/jobs/", { exchange =>
+      val body = "<html>service melting</html>".getBytes("UTF-8")
+      exchange.sendResponseHeaders(500, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val cfg = BatchGeocodeConfig(
+        baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}/jobs/",
+        appId = "app", appCode = "code")
+      val job = new BatchGeocodeJob(cfg)
+      job.requestId = Some("req-42")
+      val err = intercept[java.io.IOException] { job.refresh() }
+      err.getMessage should include ("HTTP 500")
+      err.getMessage should include ("status poll")
+      err.getMessage should include ("service melting")
+    } finally server.stop(0)
+  }
+
+  test("download raises on a 200 body that is not a zip archive") {
+    // a proxy can hand back 200 + HTML; ZipInputStream yields zero
+    // entries on it — that must raise, never save an empty result zip
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/jobs/", { exchange =>
+      val body = "<html>interstitial login page</html>".getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val cfg = BatchGeocodeConfig(
+        baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}/jobs/",
+        appId = "app", appCode = "code")
+      val job = new BatchGeocodeJob(cfg)
+      job.requestId = Some("req-42")
+      val dir = java.nio.file.Files.createTempDirectory("graft_geo_badzip")
+      val err = intercept[java.io.IOException] { job.download(dir) }
+      err.getMessage should include ("not a zip")
+      // nothing was saved
+      java.nio.file.Files.list(dir).count() shouldBe 0
+    } finally server.stop(0)
+  }
+
+  test("download raises on a zip with a corrupt member stream") {
+    // flip a byte inside the first member's deflate data: the streaming
+    // read must surface ZipException (bad stream or CRC), not emit a
+    // partial member as a clean result
+    val good = zip("req-42_out.txt" ->
+      "recId|displayLatitude|displayLongitude\n1|53.35|-6.26\n2|40.42|-3.70\n")
+    val corrupt = good.clone()
+    val nameLen = "req-42_out.txt".length
+    corrupt(30 + nameLen + 4) = (corrupt(30 + nameLen + 4) ^ 0xFF).toByte
+    intercept[java.io.IOException] {
+      graft.operators.BatchGeocodeJob.rewriteResultZip(corrupt,
+        Seq("recId", "displayLatitude"), "|")
+    }
+  }
+
   test("batch job download returns None on 404; bad submit raises Details") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
