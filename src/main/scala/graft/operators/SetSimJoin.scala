@@ -37,6 +37,41 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   */
 object SetSimJoin {
 
+  /** Normalized per-row token sets: (__id, __toks sorted-lexicographic,
+    * __n). Shared by the join and by diagnostics (ScaleSmoke measures
+    * prefix-bucket sizes on the REAL stage, not a reimplementation). */
+  private[graft] def tokenSets(df: DataFrame, idCol: String,
+      tokensCol: Column): DataFrame = df
+    .select(col(idCol).as("__id"), array_distinct(tokensCol).as("__toks"))
+    .filter(size(col("__toks")) > 0)
+    // lexicographically sorted form for the two-pointer verify
+    .select(col("__id"), array_sort(col("__toks")).as("__toks"),
+      size(col("__toks")).as("__n"))
+
+  /** The prefix-probe stage: one (id, setSize, prefixToken) row per
+    * prefix slot — the join keys candidate generation equi-joins on.
+    * Bucket sizes of `__tok` here ARE the operator's worst-case join
+    * fan-in, which is the quantity the skew stanza records. */
+  private[graft] def prefixProbes(sets: DataFrame, tau: Double): DataFrame = {
+    // one corpus-wide token-frequency aggregate (the global order key)
+    val freq = sets.select(explode(col("__toks")).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+    // per-doc tokens in ascending (freq, token) order, then the
+    // prefix: |X| - ceil(tau*|X|) + 1 rarest tokens
+    val prefixLen = (col("__n") - ceil(lit(tau) * col("__n")) + 1)
+      .cast("int")
+    sets
+      .select(col("__id"), col("__n"), explode(col("__toks")).as("__tok"))
+      .join(freq, Seq("__tok"))
+      .groupBy(col("__id"), col("__n"))
+      .agg(sort_array(collect_list(struct(col("__tf"), col("__tok"))))
+        .as("__ord"))
+      .select(col("__id"), col("__n"),
+        slice(transform(col("__ord"), s => s.getField("__tok")),
+          lit(1), prefixLen).as("__prefix"))
+      .select(col("__id"), col("__n"), explode(col("__prefix")).as("__tok"))
+  }
+
   /** All unordered pairs (id1 < id2) with Jaccard(tokens) >= tau.
     * `tokensCol` must evaluate to array<string>; duplicates inside a
     * row are collapsed (set semantics), empty sets never match.
@@ -45,32 +80,10 @@ object SetSimJoin {
   def jaccardSelfJoin(df: DataFrame, idCol: String, tokensCol: Column,
       tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau ($tau) must be in (0, 1]")
-    val sets = df
-      .select(col(idCol).as("__id"), array_distinct(tokensCol).as("__toks"))
-      .filter(size(col("__toks")) > 0)
-      // lexicographically sorted form for the two-pointer verify
-      .select(col("__id"), array_sort(col("__toks")).as("__toks"),
-        size(col("__toks")).as("__n"))
+    val sets = tokenSets(df, idCol, tokensCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     try {
-      // one corpus-wide token-frequency aggregate (the global order key)
-      val freq = sets.select(explode(col("__toks")).as("__tok"))
-        .groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
-      // per-doc tokens in ascending (freq, token) order, then the
-      // prefix: |X| - ceil(tau*|X|) + 1 rarest tokens
-      val prefixLen = (col("__n") - ceil(lit(tau) * col("__n")) + 1)
-        .cast("int")
-      val ordered = sets
-        .select(col("__id"), col("__n"), explode(col("__toks")).as("__tok"))
-        .join(freq, Seq("__tok"))
-        .groupBy(col("__id"), col("__n"))
-        .agg(sort_array(collect_list(struct(col("__tf"), col("__tok"))))
-          .as("__ord"))
-        .select(col("__id"), col("__n"),
-          slice(transform(col("__ord"), s => s.getField("__tok")),
-            lit(1), prefixLen).as("__prefix"))
-      val probes = ordered
-        .select(col("__id"), col("__n"), explode(col("__prefix")).as("__tok"))
+      val probes = prefixProbes(sets, tau)
       // candidates: shared prefix token, canonical order, size filter
       val cands = probes.as("a")
         .join(probes.as("b"), col("a.__tok") === col("b.__tok") &&

@@ -223,6 +223,66 @@ object ScaleSmoke {
       println(f"pctile   ${f}%2dx qrows=$pq%8d              $tPq%7.1f s")
       sweep()
     }
+
+    // ---------------- adversarial-skew stanzas (power-law fixtures) ----
+    // The uniform-copy curves above scale everything evenly; real 100 TB
+    // corpora are power-law. These stanzas plant the skew that breaks
+    // naive implementations — a token in EVERY document (frequency 2e4 ≥
+    // the 1e4 bar) and a 1e4-degree hub vertex — and record the bounded
+    // quantities the designs claim: prefix-bucket fan-in for setsim, the
+    // per-round aggregate row count for LPA.
+
+    // setsim: 20k docs, each 12 tokens from a 40k vocab (mean tf ~6)
+    // plus the universal token "hot" (tf 20000). An unfiltered
+    // token-bucket join would put 20000² pair work in hot's bucket; the
+    // ascending-frequency prefix order must keep "hot" out of every
+    // prefix, so the real fan-in is set by the RARE tokens.
+    {
+      val docsSkew = spark.range(20000).select(col("id").as("doc_id"),
+        array((0 until 12).map(j =>
+          concat(lit("t"), ((col("id") * 7 + lit(j * 13)) % 40000)
+            .cast("string"))) :+ lit("hot"): _*).as("toks"))
+      val sets = graft.operators.SetSimJoin
+        .tokenSets(docsSkew, "doc_id", col("toks"))
+      val probes = graft.operators.SetSimJoin.prefixProbes(sets, 0.6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val hotInPrefix = probes.filter(col("__tok") === "hot").count()
+      val buckets = probes.groupBy(col("__tok")).agg(count(lit(1)).as("c"))
+      val mb = buckets.agg(max(col("c")).as("m"),
+        sum(col("c") * (col("c") - 1) / 2).as("candBound")).head()
+      probes.unpersist()
+      val (pairsSkew, tSkew) = time {
+        graft.operators.SetSimJoin.jaccardSelfJoin(
+          docsSkew, "doc_id", col("toks"), tau = 0.6).count()
+      }
+      println(f"setskew  docs=20000 hotTf=20000 hotInPrefix=$hotInPrefix " +
+        f"maxBucket=${mb.getLong(0)} candBound=${mb.getAs[Number](1).longValue}%d " +
+        f"pairs=$pairsSkew  $tSkew%6.1f s")
+      sweep()
+    }
+
+    // LPA: background graph of 20k nodes at ~3 edges/node, then the
+    // same graph plus a 1e4-degree hub. The per-round (neighbor, label)
+    // aggregate processes one row per directed edge — so adding the hub
+    // must add ~1e4 aggregate rows (its own degree), not square
+    // anything; wall should move by the edge-count delta, not explode.
+    {
+      val bg = spark.range(60000).select(
+        ((col("id") * 31) % 20000).as("src"),
+        ((col("id") * 17 + 5) % 20000).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val hub = spark.range(10000).select(lit(20001L).as("src"),
+        (col("id") * 2 + 1).as("dst"))
+      for ((name, g) <- Seq("lpa-bg  " -> bg, "lpa-hub " -> bg.unionAll(hub))) {
+        val m = g.count()
+        val (lbl, tLpa) = time {
+          Graph.labelPropagation(g, "src", "dst", iterations = 4).count()
+        }
+        println(f"$name edges=$m%7d aggRowsPerRound=${2 * m}%8d " +
+          f"nodes=$lbl%7d  $tLpa%6.1f s")
+        sweep()
+      }
+    }
     spark.stop()
   }
 }
