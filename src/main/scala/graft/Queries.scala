@@ -567,6 +567,47 @@ object Queries {
       |WHERE c.c_custkey % 10 = 0
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q107
+  /** LATERAL join surface: a correlated LATERAL subquery (per-region
+    * nation aggregate — Catalyst decorrelates it into a plain
+    * aggregate + join, same machinery as q102), an inline VALUES
+    * relation, and a left join against it, all in one spark.sql
+    * statement. The remaining modern-SQL FROM-clause construct q101/
+    * q102 didn't cover; DuckDB runs the comma-LATERAL form of the
+    * identical query. */
+  private def q107Lateral(s: SparkSession, dir: String): DataFrame = {
+    Seq("region", "nation").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(
+      """WITH rates AS (
+        |  SELECT * FROM VALUES ('ASIA', 2), ('EUROPE', 3) AS t(r_name, mult))
+        |SELECT r.r_name, x.n_nations, x.first_nation,
+        |       coalesce(m.mult, 1) * x.n_nations AS weighted
+        |FROM region r,
+        |LATERAL (
+        |  SELECT count(*) AS n_nations, min(n_name) AS first_nation
+        |  FROM nation WHERE n_regionkey = r.r_regionkey) x
+        |LEFT JOIN rates m ON m.r_name = r.r_name
+        |ORDER BY r.r_name""".stripMargin)
+  }
+
+  // DuckDB refuses a LEFT JOIN in the same FROM clause as a comma-
+  // LATERAL ("non-inner join on correlated columns"), so the oracle
+  // stages the lateral half in a CTE; the relational content is
+  // identical to the Spark statement
+  private val q107Sql =
+    """WITH rates(r_name, mult) AS (VALUES ('ASIA', 2), ('EUROPE', 3)),
+      |base AS (
+      |  SELECT r.r_name, x.n_nations, x.first_nation
+      |  FROM region r,
+      |  LATERAL (
+      |    SELECT count(*) AS n_nations, min(n_name) AS first_nation
+      |    FROM nation WHERE n_regionkey = r.r_regionkey) x)
+      |SELECT b.r_name, b.n_nations, b.first_nation,
+      |       coalesce(m.mult, 1) * b.n_nations AS weighted
+      |FROM base b LEFT JOIN rates m ON m.r_name = b.r_name
+      |ORDER BY b.r_name""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -582,6 +623,7 @@ object Queries {
     "q99_async_overviews" -> (q99AsyncOverviews _),
     "q101_sql_surface" -> (q101SqlSurface _),
     "q102_subqueries" -> (q102Subqueries _),
+    "q107_lateral" -> (q107Lateral _),
     "q10_geocode" -> (q10Geocode _),
     "q11_text_stats" -> (q11TextStats _),
     "q12_text_langid" -> (q12LangId _),
@@ -601,6 +643,7 @@ object Queries {
     "q99_async_overviews" -> q99Sql,
     "q101_sql_surface" -> q101Sql,
     "q102_subqueries" -> q102Sql,
+    "q107_lateral" -> q107Sql,
     "q10_geocode" -> q10Sql,
     "q11_text_stats" -> q11Sql,
     "q12_text_langid" -> q12Sql,

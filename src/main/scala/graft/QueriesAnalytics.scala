@@ -465,6 +465,54 @@ object QueriesAnalytics {
       |  ON cum.g = r.g AND r.rank > cum.cum - cum.c AND r.rank <= cum.cum
       |ORDER BY l_returnflag, q""".stripMargin
 
+  // -------------------------------------------------------------- q104
+  /** Deterministic hash-sample percentiles
+    * (Quantiles.sampleQuantilesByGroup): per returnflag, the 500 rows
+    * with smallest md5 of the (orderkey, linenumber) primary key form a
+    * reproducible uniform sample; exact rank-lookup percentiles run on
+    * the sample. The bounded-state quantile path for when even
+    * one-row-per-distinct-value is too much shuffle — state is k rows
+    * per group, the sample is identical on every run/partitioning (a
+    * rand() sample is neither), and the oracle reproduces it exactly
+    * from the same md5 ordering. Rank error is O(n/√k) by bottom-k
+    * sampling theory. */
+  private def q104SampleQuantiles(s: SparkSession, dir: String): DataFrame =
+    Quantiles.sampleQuantilesByGroup(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice",
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")),
+        k = 500, qs = Seq(0.5, 0.9, 0.99))
+      .orderBy(col("l_returnflag"), col("q"))
+
+  private val q104Sql =
+    """WITH qs AS (
+      |  SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+      |    CAST(0.99 AS DOUBLE)]) AS q),
+      |sample AS (
+      |  SELECT g, value FROM (
+      |    SELECT l_returnflag AS g, l_extendedprice AS value,
+      |      row_number() OVER (PARTITION BY l_returnflag
+      |        ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+      |                     CAST(l_linenumber AS VARCHAR))) AS rk
+      |    FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      |  WHERE rk <= 500),
+      |counts AS (SELECT g, value, count(*) AS c FROM sample GROUP BY 1, 2),
+      |totals AS (SELECT g, sum(c) AS n FROM counts GROUP BY 1),
+      |cum AS (
+      |  SELECT g, value, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY value
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM counts),
+      |ranks AS (
+      |  SELECT t.g, qs.q,
+      |    GREATEST(1, CAST(ceil(qs.q * CAST(t.n AS DOUBLE)) AS BIGINT))
+      |      AS rank
+      |  FROM totals t, qs)
+      |SELECT r.g AS l_returnflag, r.q, r.rank, cum.value
+      |FROM ranks r JOIN cum
+      |  ON cum.g = r.g AND r.rank > cum.cum - cum.c AND r.rank <= cum.cum
+      |ORDER BY l_returnflag, q""".stripMargin
+
   // --------------------------------------------------------------- q82
   /** URL canonicalization + per-domain census over deterministically
     * messy synthetic URLs (uppercase scheme/host, default port,
@@ -870,6 +918,7 @@ object QueriesAnalytics {
     "q85_interval_join" -> (q85Interval _),
     "q68_bloom_semijoin" -> (q68Bloom _),
     "q69_percentiles" -> (q69Percentiles _),
+    "q104_sample_quantiles" -> (q104SampleQuantiles _),
     "q70_sessionize" -> (q70Sessions _),
     "q71_funnel" -> (q71Funnel _),
     "q72_retention" -> (q72Retention _),
@@ -895,6 +944,7 @@ object QueriesAnalytics {
     "q85_interval_join" -> q85Sql,
     "q68_bloom_semijoin" -> q68Sql,
     "q69_percentiles" -> q69Sql,
+    "q104_sample_quantiles" -> q104Sql,
     "q70_sessionize" -> q70Sql,
     "q71_funnel" -> q71Sql,
     "q72_retention" -> q72Sql,

@@ -38,6 +38,59 @@ object QueriesCorpus {
       .orderBy(col("l_returnflag"))
   }
 
+  // -------------------------------------------------------------- q106
+  /** KMV sketch SET OPERATIONS (Sketches.kmvOverlap): pairwise
+    * union/intersection/Jaccard estimates of the order-key populations
+    * behind each returnflag, from k=256-value sketches — the
+    * audience-overlap query that would otherwise need a distinct-value
+    * self-join of the fact table. Returnflags share order keys heavily
+    * (one order's lineitems can carry different flags), so the overlap
+    * is real and the estimator has something to estimate. The oracle
+    * rebuilds the identical bottom-k md5 sketches relationally. */
+  private def q106KmvOverlap(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvOverlap(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", col("l_orderkey"), k = 256)
+      .orderBy(col("g1"), col("g2"))
+
+  private val q106Sql =
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag AS g,
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+      |      AS hv
+      |  FROM lineitem),
+      |sk AS (
+      |  SELECT g, hv FROM (
+      |    SELECT g, hv,
+      |      row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+      |    FROM h) WHERE rn <= 256),
+      |pairs AS (
+      |  SELECT a.g AS g1, b.g AS g2
+      |  FROM (SELECT DISTINCT g FROM sk) a
+      |  JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g),
+      |uni AS (
+      |  SELECT g1, g2, hv, cnt,
+      |    row_number() OVER (PARTITION BY g1, g2 ORDER BY hv) AS rn
+      |  FROM (
+      |    SELECT p.g1, p.g2, s.hv, count(*) AS cnt
+      |    FROM pairs p JOIN sk s ON s.g = p.g1 OR s.g = p.g2
+      |    GROUP BY 1, 2, 3)),
+      |u AS (SELECT * FROM uni WHERE rn <= 256),
+      |stats AS (
+      |  SELECT g1, g2, count(*) AS n_u, max(hv) AS kth,
+      |    sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS n_common
+      |  FROM u GROUP BY 1, 2),
+      |est AS (
+      |  SELECT g1, g2, CAST(n_common AS INT) AS n_common,
+      |    CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+      |         ELSE CAST(255 AS DOUBLE) *
+      |              CAST(1152921504606846976 AS DOUBLE) /
+      |              CAST(kth AS DOUBLE) END AS est_union,
+      |    CAST(n_common AS DOUBLE) / CAST(n_u AS DOUBLE) AS jaccard_est
+      |  FROM stats)
+      |SELECT g1, g2, n_common, est_union,
+      |  jaccard_est * est_union AS est_intersection, jaccard_est
+      |FROM est ORDER BY g1, g2""".stripMargin
+
   private val q38Sql =
     """WITH h AS (
       |  SELECT DISTINCT l_returnflag AS flag,
@@ -660,6 +713,7 @@ object QueriesCorpus {
     "q46_spatial_join" -> (q46Spatial _),
     "q45_tfidf" -> (q45Tfidf _),
     "q38_sketch_kmv" -> (q38Kmv _),
+    "q106_kmv_overlap" -> (q106KmvOverlap _),
     "q39_heavy_hitters" -> (q39HeavyHitters _),
     "q40_dedup_clusters" -> (q40Clusters _),
     "q41_hash_split" -> (q41Split _),
@@ -680,6 +734,7 @@ object QueriesCorpus {
     "q46_spatial_join" -> q46Sql,
     "q45_tfidf" -> q45Sql,
     "q38_sketch_kmv" -> q38Sql,
+    "q106_kmv_overlap" -> q106Sql,
     "q39_heavy_hitters" -> q39Sql,
     "q40_dedup_clusters" -> q40Sql,
     "q41_hash_split" -> q41Sql,

@@ -334,6 +334,41 @@ object QueriesRelational {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // -------------------------------------------------------------- q105
+  /** ORC as a second columnar format, end to end: lineitem is written
+    * out partitioned by returnflag (ORC + hive-style partition dirs),
+    * read back with a partition-column filter, and aggregated. The
+    * read-back plan prunes to the one l_returnflag=R directory (the
+    * same partition-pruning contract as parquet — at 100 TB the scan
+    * reads 1/3 of the files, not a filtered full scan) and the values
+    * must survive the parquet → ORC → ORC-reader round trip exactly.
+    * sum(l_quantity) is exact in doubles (integral values, well under
+    * 2^53 — the q8-proven pattern). */
+  private def q105Orc(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_orc")
+      .resolve("lineitem_orc").toString
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").partitionBy("l_returnflag").orc(work)
+    s.read.orc(work)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  private val q105Sql =
+    """SELECT l_linestatus, count(*) AS n_items,
+      |  sum(l_quantity) AS sum_qty,
+      |  min(l_extendedprice) AS min_price,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q96
   /** Incremental aggregate maintenance (IncrementalAgg.mergeDelta): a
     * published (returnflag, linestatus) rollup built from pre-cutoff
@@ -429,6 +464,7 @@ object QueriesRelational {
     "q96c_incr_minmax" -> (q96cMinMax _),
     "q91_star_join" -> (q91Star _),
     "q47_json" -> (q47Json _),
+    "q105_orc_roundtrip" -> (q105Orc _),
     "q48_window_family" -> (q48WindowFamily _),
     "q44_pivot" -> (q44Pivot _),
     "q21_setops" -> (q21SetOps _),
@@ -448,6 +484,7 @@ object QueriesRelational {
     "q96c_incr_minmax" -> q96cSql,
     "q91_star_join" -> q91Sql,
     "q47_json" -> q47Sql,
+    "q105_orc_roundtrip" -> q105Sql,
     "q48_window_family" -> q48Sql,
     "q44_pivot" -> q44Sql,
     "q21_setops" -> q21Sql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -111,6 +111,39 @@ object Quantiles {
         cum(groupCol) === ranks(groupCol) &&
           col("rank") > col("cum") - col("c") && col("rank") <= col("cum"))
       .select(cum(groupCol), col("q"), col("rank"), col("value"))
+  }
+
+  /** Approximate per-group percentiles over a DETERMINISTIC bottom-k
+    * hash sample — the bounded-state alternative when even the
+    * one-row-per-distinct-value shuffle of [[exactPercentilesByGroup]]
+    * is too big (100 TB of high-cardinality doubles). Per group, keep
+    * the k rows whose md5(sampleKey) is smallest (a uniform
+    * pseudo-random but REPRODUCIBLE sample — same rows on every run and
+    * every partitioning, unlike rand()-based sampling), then run the
+    * exact rank-lookup percentiles on the sample. Standard bottom-k
+    * theory: the sample quantile's rank error is O(n/√k) — choose k
+    * for the error budget, state stays k rows per group.
+    *
+    * The rank-≤-k filter is the TopKHeapRewrite shape (single
+    * row_number, uniform ASC order, literal bound), so with the graft
+    * extensions installed the sample is built by a bounded-heap
+    * aggregate — at most k rows per group ever held, nothing sorted
+    * beyond k — rather than a full per-group sort.
+    *
+    * `sampleKey` must be row-unique within a group (e.g. the row's
+    * primary key rendered as a string); md5 of a unique key never
+    * ties, so the sample is fully determined. */
+  def sampleQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, sampleKey: Column, k: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(k > 0, s"sample size k ($k) must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(sampleKey.cast("string").cast("binary")))
+    val sample = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(groupCol), col(valueCol))
+    exactPercentilesByGroup(sample, groupCol, valueCol, qs)
   }
 
   /** Winsorize: clamp `valueCol` to its [lo, hi] exact percentile

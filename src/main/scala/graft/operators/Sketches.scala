@@ -42,6 +42,58 @@ object Sketches {
         ColumnBridge.expression(md5Hash60(c)), p)
         .toAggregateExpression())
 
+  /** Pairwise KMV set-operation estimates across groups — the
+    * audience-overlap question ("how many doc ids do sources A and B
+    * share?") answered from k-sized sketches instead of a
+    * distinct-value join. For every group pair (g1 < g2):
+    * est_union (bottom-k estimator over the merged sketch), n_common
+    * (sketch-sample intersection count), jaccard_est = n_common / |U|,
+    * est_intersection = jaccard_est · est_union — the standard KMV
+    * overlap estimator (Beyer et al., SIGMOD'07). When the merged
+    * sketch holds fewer than k values both sketches are complete sets
+    * and every figure is EXACT.
+    *
+    * Scale: per-group state is the k smallest distinct md5 hashes
+    * (bottom-k heap shape); the pair stage joins #groups² sketch ROWS
+    * of k longs each — never the data. Deterministic for a given input
+    * set (md5 order), so the DuckDB oracle reproduces it exactly. */
+  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: Column,
+      k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"kmv sketch size k ($k) must be >= 2")
+    val h = df.select(col(groupCol).as("g"), md5Hash60(valueCol).as("hv"))
+      .distinct()
+    val w = Window.partitionBy(col("g")).orderBy(col("hv"))
+    val sk = h.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(col("hv"))).as("sketch"))
+    val a = sk.select(col("g").as("g1"), col("sketch").as("s1"))
+    val b = sk.select(col("g").as("g2"), col("sketch").as("s2"))
+    a.join(b, col("g1") < col("g2"))
+      .withColumn("__u", slice(array_sort(array_union(col("s1"), col("s2"))),
+        1, k))
+      .withColumn("__nu", size(col("__u")))
+      .withColumn("n_common",
+        size(array_intersect(col("__u"),
+          array_intersect(col("s1"), col("s2")))))
+      .withColumn("est_union",
+        when(col("__nu") < k, col("__nu").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            lit(KmvTwo60) / element_at(col("__u"), col("__nu"))
+              .cast("double")))
+      .withColumn("jaccard_est",
+        col("n_common").cast("double") / col("__nu").cast("double"))
+      .withColumn("est_intersection",
+        col("jaccard_est") * col("est_union"))
+      .select(col("g1"), col("g2"), col("n_common"), col("est_union"),
+        col("est_intersection"), col("jaccard_est"))
+  }
+
+  /** 2^60 as double — the KMV hash-range constant (mirrors the oracle's
+    * CAST(1152921504606846976 AS DOUBLE)). */
+  private val KmvTwo60: Double = 1152921504606846976L.toDouble
+
   /** Corpus-wide top-k most frequent items: partial+final hash-aggregate
     * counts, then ONE bounded-heap top-k (CollectTopK) over the count
     * table — never a global sort. Ties break by item descending (the

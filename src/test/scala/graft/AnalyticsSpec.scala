@@ -237,6 +237,29 @@ class AnalyticsSpec extends SparkSpec {
     got shouldBe Set(1L, 2L, 3L)
   }
 
+  test("sampleQuantilesByGroup: exact below k, deterministic above it") {
+    val df = (Seq.tabulate(300)(i => ("a", i.toLong, (i + 1).toDouble)) ++
+      Seq.tabulate(8)(i => ("b", 1000L + i, (i + 1) * 10.0)))
+      .toDF("g", "id", "v")
+    def run(parts: Int) = Quantiles.sampleQuantilesByGroup(
+        df.repartition(parts), "g", "v", col("id"), k = 50,
+        qs = Seq(0.5, 1.0))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(3)))
+      .toMap
+    val got = run(1)
+    // group b has 8 < k rows: the "sample" is the whole group -> exact
+    got(("b", 0.5)) shouldBe 40.0
+    got(("b", 1.0)) shouldBe 80.0
+    // group a is subsampled (50 of 300): the result is a sample
+    // quantile, but DETERMINISTIC — identical across partitionings,
+    // and its max can never exceed the true max
+    run(7) shouldBe got
+    got(("a", 1.0)) should be <= 300.0
+    // a 50-row uniform sample's median lands near the true median 150
+    // with overwhelming margin (rank error O(n/sqrt(k)))
+    got(("a", 0.5)) should (be >= 50.0 and be <= 250.0)
+  }
+
   test("exactPercentiles with heavy duplicates lands on set values") {
     // 90 copies of 1.0, 10 copies of 2.0: p90 -> rank 90 -> 1.0,
     // p91 -> rank 91 -> 2.0

@@ -39,6 +39,36 @@ class CorpusOpsSpec extends SparkSpec {
     m("b") shouldBe 1.0
   }
 
+  test("kmvOverlap: exact set ops below k, close estimates above") {
+    // groups a = {1..40}, b = {21..60}: union 60, intersection 20,
+    // jaccard 1/3 — all under k=256, so every figure must be EXACT
+    val small = ((1 to 40).map(("a", _)) ++ (21 to 60).map(("b", _)))
+      .map { case (g, v) => (g, v.toLong) }.toDF("g", "v")
+    val r = Sketches.kmvOverlap(small, "g", col("v"), k = 256).head()
+    r.getAs[String]("g1") shouldBe "a"
+    r.getAs[String]("g2") shouldBe "b"
+    r.getAs[Int]("n_common") shouldBe 20
+    r.getAs[Double]("est_union") shouldBe 60.0
+    r.getAs[Double]("est_intersection") shouldBe 20.0 +- 1e-9
+    r.getAs[Double]("jaccard_est") shouldBe (20.0 / 60.0) +- 1e-12
+
+    // large overlapping sets: a = {1..6000}, b = {3001..9000} — union
+    // 9000, intersection 3000; the k=256 estimates must be within the
+    // sketch's error envelope and identical across partitionings
+    val big = ((1 to 6000).map(("a", _)) ++ (3001 to 9000).map(("b", _)))
+      .map { case (g, v) => (g, v.toLong) }.toDF("g", "v")
+    def est(parts: Int) =
+      Sketches.kmvOverlap(big.repartition(parts), "g", col("v"), k = 256)
+        .head()
+    val e1 = est(1)
+    val e9 = est(9)
+    e1.getAs[Double]("est_union") shouldBe e9.getAs[Double]("est_union")
+    e1.getAs[Double]("est_intersection") shouldBe
+      e9.getAs[Double]("est_intersection")
+    e1.getAs[Double]("est_union") shouldBe 9000.0 +- 1800.0
+    e1.getAs[Double]("est_intersection") shouldBe 3000.0 +- 900.0
+  }
+
   // ------------------------------------------------------------- HLL
 
   test("hll estimate is close, duplicate-insensitive, and partition-invariant") {
