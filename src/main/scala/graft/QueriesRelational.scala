@@ -334,6 +334,78 @@ object QueriesRelational {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // -------------------------------------------------------------- q108
+  /** MAP-typed column surface: per returnflag, a linestatus→count map
+    * built with map_from_entries over a SORTED entry list (collect_list
+    * order is partition-dependent — sort_array makes the map
+    * deterministic), then probed with element_at / size / map_keys /
+    * map_values + a fold. Complements q95's array lambdas with the map
+    * half of Spark's nested types. The oracle restates every extracted
+    * scalar relationally (DuckDB's MAP bracket semantics vary by
+    * version, so the oracle never builds a map). */
+  private def q108MapSurface(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("l_returnflag"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("l_linestatus"), col("cnt")))))
+        .as("m"))
+      .select(col("l_returnflag"),
+        size(col("m")).as("n_keys"),
+        element_at(col("m"), "O").as("n_o"),
+        element_at(col("m"), "F").as("n_f"),
+        concat_ws(",", map_keys(col("m"))).as("keys_csv"),
+        aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x)
+          .as("total"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q108Sql =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_linestatus) AS INT) AS n_keys,
+      |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+      |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+      |    AS keys_csv,
+      |  count(*) AS total
+      |FROM lineitem
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q109
+  /** UNPIVOT (melt) — the inverse of q44's pivot: a wide per-flag
+    * aggregate (three metric columns) unpivoted into tidy
+    * (flag, metric, value) rows with Dataset.unpivot, which plans as a
+    * single Expand node (map-only — one input row fans to three output
+    * rows, no shuffle beyond the source aggregate). The oracle is the
+    * UNION ALL restatement. */
+  private def q109Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).cast("double").as("n_rows"),
+        max(col("l_extendedprice")).as("max_price"))
+    wide.unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("n_rows"), col("max_price")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  private val q109Sql =
+    """WITH wide AS (
+      |  SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+      |    CAST(count(*) AS DOUBLE) AS n_rows,
+      |    max(l_extendedprice) AS max_price
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'n_rows', n_rows FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'max_price', max_price FROM wide
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   // -------------------------------------------------------------- q105
   /** ORC as a second columnar format, end to end: lineitem is written
     * out partitioned by returnflag (ORC + hive-style partition dirs),
@@ -465,6 +537,8 @@ object QueriesRelational {
     "q91_star_join" -> (q91Star _),
     "q47_json" -> (q47Json _),
     "q105_orc_roundtrip" -> (q105Orc _),
+    "q108_map_surface" -> (q108MapSurface _),
+    "q109_unpivot" -> (q109Unpivot _),
     "q48_window_family" -> (q48WindowFamily _),
     "q44_pivot" -> (q44Pivot _),
     "q21_setops" -> (q21SetOps _),
@@ -485,6 +559,8 @@ object QueriesRelational {
     "q91_star_join" -> q91Sql,
     "q47_json" -> q47Sql,
     "q105_orc_roundtrip" -> q105Sql,
+    "q108_map_surface" -> q108Sql,
+    "q109_unpivot" -> q109Sql,
     "q48_window_family" -> q48Sql,
     "q44_pivot" -> q44Sql,
     "q21_setops" -> q21Sql,
