@@ -608,6 +608,72 @@ object Queries {
       |FROM base b LEFT JOIN rates m ON m.r_name = b.r_name
       |ORDER BY b.r_name""".stripMargin
 
+  // -------------------------------------------------------------- q111
+  /** Spark-4 VARIANT type end to end: a semi-structured document
+    * (nested object + array, built deterministically from event
+    * columns) is parsed ONCE into a VARIANT and probed with typed
+    * variant_get paths — object navigation, array indexing, and a
+    * missing path (NULL, not an error) — then aggregated per type.
+    * VARIANT is Spark 4's schema-on-read answer for the JSON event
+    * payloads q47 handles with a fixed from_json schema; the oracle
+    * recomputes every extraction from the raw columns, so the parse →
+    * navigate round trip must be lossless. */
+  private def q111Variant(s: SparkSession, dir: String): DataFrame = {
+    val doc = concat(
+      lit("{\"meta\":{\"t\":\""), col("event_type"),
+      lit("\",\"u\":"), col("user_id").cast("string"),
+      lit("},\"ks\":["),
+      regexp_extract(col("props"), "\"k\":\\s*(-?\\d+)", 1),
+      lit(",7]}"))
+    t(s, dir, "events")
+      .withColumn("doc", doc)
+      .withColumn("v", expr("parse_json(doc)"))
+      .select(
+        expr("variant_get(v, '$.meta.t', 'string')").as("t"),
+        expr("variant_get(v, '$.meta.u', 'bigint')").as("u"),
+        expr("variant_get(v, '$.ks[0]', 'bigint')").as("k0"),
+        expr("variant_get(v, '$.ks[1]', 'bigint')").as("k1"),
+        expr("try_variant_get(v, '$.absent.path', 'bigint')").as("missing"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("sum_u"),
+        sum(col("k0")).as("sum_k"), sum(col("k1")).as("sum_seven"),
+        count(col("missing")).as("n_missing"))
+      .orderBy(col("t"))
+  }
+
+  private val q111Sql =
+    """SELECT event_type AS t, count(*) AS n,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_u,
+      |  CAST(sum(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+      |    AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(count(*) * 7 AS BIGINT) AS sum_seven,
+      |  CAST(0 AS BIGINT) AS n_missing
+      |FROM events GROUP BY 1 ORDER BY t""".stripMargin
+
+  // -------------------------------------------------------------- q112
+  /** Recursive CTE (new in Spark 4): the SAME WITH RECURSIVE statement
+    * runs in Spark and DuckDB — a binary-heap parent walk over nation
+    * keys (parent(n) = (n-1)/2), rooted at 0, aggregated per depth.
+    * The SQL-surface construct the engine lacked in every earlier
+    * round; iterative operators (CC, PageRank, BFS) remain the scale
+    * path, but the declarative form now exists for hierarchy walks. */
+  private def q112Recursive(s: SparkSession, dir: String): DataFrame = {
+    Seq("nation").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q112Sql)
+  }
+
+  private val q112Sql =
+    """WITH RECURSIVE walk(node, depth) AS (
+      |  SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+      |  UNION ALL
+      |  SELECT n.n_nationkey, w.depth + 1
+      |  FROM nation n JOIN walk w
+      |    ON CAST(floor((n.n_nationkey - 1) / 2.0) AS INTEGER) = w.node
+      |  WHERE n.n_nationkey > 0)
+      |SELECT depth, count(*) AS n_nodes, min(node) AS min_node,
+      |  max(node) AS max_node
+      |FROM walk GROUP BY depth ORDER BY depth""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -624,6 +690,8 @@ object Queries {
     "q101_sql_surface" -> (q101SqlSurface _),
     "q102_subqueries" -> (q102Subqueries _),
     "q107_lateral" -> (q107Lateral _),
+    "q111_variant" -> (q111Variant _),
+    "q112_recursive_cte" -> (q112Recursive _),
     "q10_geocode" -> (q10Geocode _),
     "q11_text_stats" -> (q11TextStats _),
     "q12_text_langid" -> (q12LangId _),
@@ -644,6 +712,8 @@ object Queries {
     "q101_sql_surface" -> q101Sql,
     "q102_subqueries" -> q102Sql,
     "q107_lateral" -> q107Sql,
+    "q111_variant" -> q111Sql,
+    "q112_recursive_cte" -> q112Sql,
     "q10_geocode" -> q10Sql,
     "q11_text_stats" -> q11Sql,
     "q12_text_langid" -> q12Sql,

@@ -64,17 +64,93 @@ object QueriesStreaming {
       | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL '30 minutes'
       |ORDER BY target_id, source_id""".stripMargin
 
+  // -------------------------------------------------------------- q110
+  /** Incremental aggregate maintenance driven by a REAL Structured
+    * Streaming run (not batch mode): the q96 published rollup is
+    * refreshed by a foreachBatch loop over a file-source delta stream —
+    * pre-cutoff lineitem publishes the base table, the post-cutoff
+    * delta lands as 4 parquet files consumed one per micro-batch
+    * (maxFilesPerTrigger=1 + AvailableNow), and every batch merges its
+    * partial aggregates into the published table via
+    * IncrementalAgg.mergeDelta + an atomic overwrite. The production
+    * 100 TB refresh shape: each trigger costs one DELTA scan plus an
+    * aggregate-sized merge; the base fact rows are scanned once ever.
+    * count/sum(decimal)/min/max merging is exact and batch-split
+    * independent, so the final table equals the oracle's from-scratch
+    * recompute bit for bit regardless of how files landed in
+    * micro-batches. */
+  private def q110StreamIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IncrementalAgg, ParquetTable}
+    val work = java.nio.file.Files.createTempDirectory("graft_sinc")
+    val pub = work.resolve("published").toString
+    val deltaDir = work.resolve("delta").toString
+    val ckpt = work.resolve("ckpt").toString
+    val li = Tables.load(s, dir, "lineitem")
+      .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    ParquetTable.overwriteAtomic(
+      li.filter(col("l_shipdate") < cutoff)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price")),
+      pub)
+    li.filter(col("l_shipdate") >= cutoff)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("qty").as("sum_qty"), col("l_extendedprice").as("min_price"),
+        col("l_extendedprice").as("max_price"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(deltaDir)
+    val schema = s.read.parquet(deltaDir).schema
+    val refresh: (DataFrame, Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty) {
+        val merged = IncrementalAgg.mergeDelta(
+          ParquetTable.read(s, pub), batch,
+          keys = Seq("l_returnflag", "l_linestatus"),
+          counts = Seq("n_items"), sums = Seq("sum_qty"),
+          mins = Seq("min_price"), maxs = Seq("max_price"))
+        // staging write materializes the merge while the old table is
+        // still in place; the dir swap is the commit point
+        ParquetTable.overwriteAtomic(merged, pub)
+      }
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(refresh)
+      .start()
+    if (!q.awaitTermination(180000L))
+      throw new IllegalStateException("incremental refresh stream timed out")
+    ParquetTable.read(s, pub)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
+        col("sum_qty").cast("decimal(38,2)").as("sum_qty"),
+        col("min_price"), col("max_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q110Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      |    AS sum_qty,
+      |  min(l_extendedprice) AS min_price,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_stream_window" -> (q27Window _),
     "q28_stream_sessions" -> (q28Sessions _),
     "q43_stream_attribution" -> (q43Attribution _),
+    "q110_stream_incremental" -> (q110StreamIncremental _),
   )
 
   val oracles: Map[String, String] = Map(
     "q27_stream_window" -> q27Sql,
     "q28_stream_sessions" -> q28Sql,
     "q43_stream_attribution" -> q43Sql,
+    "q110_stream_incremental" -> q110Sql,
   )
 }
