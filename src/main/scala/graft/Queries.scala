@@ -608,6 +608,70 @@ object Queries {
       |FROM base b LEFT JOIN rates m ON m.r_name = b.r_name
       |ORDER BY b.r_name""".stripMargin
 
+  // -------------------------------------------------------------- q113
+  /** CDC changelog apply (UpdateJob.applyChangelog): a Debezium-style
+    * upsert/delete event stream synthesized from orders (seq =
+    * orderkey; every 7th event a delete; every 11th targets a NEW key)
+    * is compacted to its net effect per key and applied to customer in
+    * one pass — deletes drop, last-writer upserts replace or insert.
+    * Completes the mutation family (q7 keyed update, q8 keyed delete,
+    * q80 SCD2, q96/q110 aggregate refresh) with the replication-log
+    * shape. Census of the applied table per nation; acctbal summed as
+    * round-then-DECIMAL (the q91-proven cross-engine-safe money
+    * pattern). */
+  private def q113CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+    val key = when(col("o_orderkey") % 11 === 0,
+      col("o_custkey") + 1000000L).otherwise(col("o_custkey"))
+    val changes = t(s, dir, "orders").select(
+      key.as("c_custkey"),
+      concat(lit("CDC#"), key.cast("string")).as("c_name"),
+      (col("o_custkey") % 25).cast("int").as("c_nationkey"),
+      col("o_totalprice").as("c_acctbal"),
+      lit("CDCSEG").as("c_mktsegment"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 7 === 0, lit("delete"))
+        .otherwise(lit("upsert")).as("op"))
+    UpdateJob.applyChangelog(base, changes, Seq("c_custkey"), "seq", "op")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("c_acctbal"), 2).cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_acctbal"),
+        min(col("c_name")).as("first_name"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q113Sql =
+    """WITH changes AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000000
+      |         ELSE o_custkey END AS c_custkey,
+      |    'CDC#' || CAST(CASE WHEN o_orderkey % 11 = 0
+      |         THEN o_custkey + 1000000 ELSE o_custkey END AS VARCHAR)
+      |      AS c_name,
+      |    CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+      |    o_totalprice AS c_acctbal,
+      |    o_orderkey AS seq,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'upsert' END
+      |      AS op
+      |  FROM orders),
+      |net AS (
+      |  SELECT * FROM (
+      |    SELECT c.*, row_number() OVER (PARTITION BY c_custkey
+      |      ORDER BY seq DESC, op DESC) AS rn
+      |    FROM changes c) WHERE rn = 1),
+      |applied AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM net)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM net
+      |  WHERE lower(op) NOT IN ('d', 'delete'))
+      |SELECT c_nationkey, count(*) AS n_rows,
+      |  CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)))
+      |    AS DECIMAL(38,2)) AS sum_acctbal,
+      |  min(c_name) AS first_name
+      |FROM applied GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- q111
   /** Spark-4 VARIANT type end to end: a semi-structured document
     * (nested object + array, built deterministically from event
@@ -691,6 +755,7 @@ object Queries {
     "q102_subqueries" -> (q102Subqueries _),
     "q107_lateral" -> (q107Lateral _),
     "q111_variant" -> (q111Variant _),
+    "q113_cdc_apply" -> (q113CdcApply _),
     "q112_recursive_cte" -> (q112Recursive _),
     "q10_geocode" -> (q10Geocode _),
     "q11_text_stats" -> (q11TextStats _),
@@ -713,6 +778,7 @@ object Queries {
     "q102_subqueries" -> q102Sql,
     "q107_lateral" -> q107Sql,
     "q111_variant" -> q111Sql,
+    "q113_cdc_apply" -> q113Sql,
     "q112_recursive_cte" -> q112Sql,
     "q10_geocode" -> q10Sql,
     "q11_text_stats" -> q11Sql,

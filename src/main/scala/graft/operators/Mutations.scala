@@ -73,6 +73,37 @@ object UpdateJob {
       updates.select(keys.map(col): _*).distinct(), keys.toSeq, "left_anti")
     survivors.unionByName(updates.select(base.columns.map(col): _*))
   }
+
+  /** CDC changelog apply: compact an ordered change stream
+    * (upsert/delete events, one `seqCol` position each) to its NET
+    * effect per key, then apply to the base in one pass — the
+    * replication-log consumer every warehouse table maintenance runs
+    * (Debezium/DMS-style feeds). Per key, the row with the greatest
+    * (seq, op) wins; a winning delete removes the key, a winning upsert
+    * replaces (or inserts) the full row. `changes` must carry the base
+    * schema plus `seqCol`/`opCol`; op values are matched
+    * case-insensitively ("d"/"delete" delete, anything else upserts).
+    *
+    * Scale (100 TB): the window shuffles the CHANGELOG by key (a day's
+    * changes, not the table); the base is touched only by a key
+    * anti-join (AQE broadcasts the net-key side when small) plus a
+    * union — never rewritten per event. Determinism: the (seq, op)
+    * order is total whenever seq is unique per key; equal-seq ties
+    * break by op descending, so upsert beats delete at the same
+    * position, deterministically. */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "need at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val net = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val isDelete = lower(col(opCol)).isin("d", "delete")
+    val upserts = net.filter(!isDelete).select(base.columns.map(col): _*)
+    base.join(net.select(keys.map(col): _*), keys.toSeq, "left_anti")
+      .unionByName(upserts)
+  }
 }
 
 /** Slowly-changing-dimension Type 2 merge: keyed updates close out the

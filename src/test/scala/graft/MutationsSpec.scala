@@ -142,4 +142,31 @@ class MutationsSpec extends SparkSpec {
     graft.operators.Scd2.pointInTime(facts, dim, Seq("id"), "ts")
       .head().isNullAt(3) shouldBe true
   }
+
+  test("applyChangelog compacts to net effect: last write, delete, insert") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (1L, "x1", 10L, "upsert"),  // superseded by the later delete
+      (1L, "x2", 20L, "delete"),  // net: key 1 removed
+      (2L, "y1", 5L, "upsert"),
+      (2L, "y2", 6L, "upsert"),   // net: last writer wins -> y2
+      (4L, "new", 1L, "upsert"),  // net: insert of an unseen key
+      (5L, "gone", 2L, "delete")  // delete of an absent key: no-op
+    ).toDF("id", "v", "seq", "op")
+    val got = graft.operators.UpdateJob
+      .applyChangelog(base, changes, Seq("id"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe Map(2L -> "y2", 3L -> "c", 4L -> "new")
+  }
+
+  test("applyChangelog ties at equal seq break by op: upsert beats delete") {
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val changes = Seq(
+      (1L, "u", 7L, "upsert"),
+      (1L, "d", 7L, "delete")).toDF("id", "v", "seq", "op")
+    graft.operators.UpdateJob
+      .applyChangelog(base, changes, Seq("id"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
+      Map(1L -> "u")
+  }
 }
