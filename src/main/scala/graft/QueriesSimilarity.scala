@@ -109,6 +109,66 @@ object QueriesSimilarity {
        |    ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id)
        |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
 
+  // -------------------------------------------------------------- q114
+  /** Product quantization ADC (Similarity.pqEncode/pqTopK): the FAISS
+    * IVF-PQ building block — 64-dim vectors compressed to m=4 subspace
+    * codes against a DETERMINISTIC codebook (every 31st vector's
+    * slices, positional ids), queries score by asymmetric distance
+    * (per-subspace LUT lookups, never a d-dim arithmetic pass).
+    * Codebook training at real scale is trainPqCodebooks (per-subspace
+    * k-means — FP-order nondeterministic, spec-checked); the fixed
+    * sample here makes encode+ADC fully oracle-reproducible, the same
+    * deterministic-"training" trick as q32's IVF row. */
+  private def q114Pq(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val m = 4
+    val subDim = Dims / m
+    val sampled = all.filter(col("vec_id") % 31 === 0)
+    val codebooks = (0 until m).map { sp =>
+      sampled.select(lit(sp).as("subspace"), col("vec_id").as("centroid_id"),
+        slice(col("e"), sp * subDim + 1, subDim).as("codeword"))
+    }.reduce(_ unionAll _)
+    val codes = Similarity.pqEncode(all, "vec_id", "e", codebooks)
+    val queries = all.filter(col("vec_id") % 50 === 0)
+    Similarity.pqTopK(queries, codes, "vec_id", "e", codebooks, TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q114Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |sub AS (SELECT unnest([0, 1, 2, 3]) AS sp),
+       |cw AS (
+       |  SELECT sp,
+       |    row_number() OVER (PARTITION BY sp ORDER BY vec_id) - 1 AS cid,
+       |    e[sp * 16 + 1 : sp * 16 + 16] AS w
+       |  FROM (SELECT vec_id, e FROM e WHERE vec_id % 31 = 0)
+       |  CROSS JOIN sub),
+       |codes AS (
+       |  SELECT vec_id, sp, cid FROM (
+       |    SELECT v.vec_id, c.sp, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id, c.sp
+       |        ORDER BY list_distance(v.e[c.sp * 16 + 1 : c.sp * 16 + 16],
+       |                               c.w), c.cid) AS rn
+       |    FROM e v CROSS JOIN cw c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id, e FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, k.vec_id AS neighbor_id,
+       |    sum(list_distance(q.e[k.sp * 16 + 1 : k.sp * 16 + 16], w.w) ** 2)
+       |      AS adist
+       |  FROM q
+       |  JOIN codes k ON k.vec_id != q.vec_id
+       |  JOIN cw w ON w.sp = k.sp AND w.cid = k.cid
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, adist FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   // -------------------------------------------------------------- export
 
   // --------------------------------------------------------------- q59
@@ -191,6 +251,7 @@ object QueriesSimilarity {
     "q19_sim_bruteforce_topk" -> (q19BruteForce _),
     "q20_sim_ann_lsh" -> (q20AnnLsh _),
     "q32_sim_ann_ivf" -> (q32Ivf _),
+    "q114_pq_adc" -> (q114Pq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -199,5 +260,6 @@ object QueriesSimilarity {
     "q19_sim_bruteforce_topk" -> q19Sql,
     "q20_sim_ann_lsh" -> q20Sql,
     "q32_sim_ann_ivf" -> q32Sql,
+    "q114_pq_adc" -> q114Sql,
   )
 }

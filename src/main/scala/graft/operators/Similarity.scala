@@ -300,6 +300,115 @@ object Similarity {
     * explicit `floor(x + 0.5)` (half-up) rather than `round()`, whose
     * half-way rule differs across engines. An all-zero vector gets
     * scale 0 and all-zero codes. */
+  // ----------------------------------------------- product quantization
+
+  /** Squared L2 over two same-length double arrays (left-associated
+    * fold, mirrored by the oracle's expansion). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Collect a (subspace, centroid_id, codeword) codebook frame to
+    * driver-side literal matrices, subspaces ascending, codewords in
+    * centroid_id order. Codebooks are m×k×(d/m) doubles by contract —
+    * driver-bounded (e.g. 8×256×8 = 16k values), the same contract as
+    * assignToCentroids' centroid collect. */
+  private def collectCodebooks(
+      codebooks: DataFrame): Array[(Int, Array[Seq[Double]])] =
+    codebooks
+      .select(col("subspace").cast("int"), col("centroid_id").cast("long"),
+        col("codeword"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (s, ws) => (s, ws.sortBy(_._2).map(_._3)) }
+
+  /** Train PQ codebooks (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", PAMI 2011): split the d-dim space into
+    * `m` contiguous subspaces and run the k-means trainer
+    * independently in each — the classic compressed-vector index build.
+    * Output: (subspace, centroid_id, codeword) with centroid_id dense
+    * 0..k-1 per subspace. FP caveats of [[trainCentroids]] apply
+    * (means are reduction-order sensitive → spec-checked, not
+    * oracle-checked; encode/score with FIXED codebooks is fully
+    * deterministic and IS oracle-checked in q114). */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+      m: Int, k: Int, dims: Int, iterations: Int = 5): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims ($dims) must divide into m ($m)")
+    val subDim = dims / m
+    (0 until m).map { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(embCol), s * subDim + 1, subDim).as("__sub"))
+      trainCentroids(sliced, idCol, "__sub", k, iterations)
+        .select(lit(s).as("subspace"), col("centroid_id"),
+          col("centroid").as("codeword"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** PQ-encode every vector: per subspace, the 0-based index of the
+    * nearest codeword by squared L2 (first index wins exact ties —
+    * deterministic). Output: (idCol, codes array<int> of length m).
+    * Storage per vector: m small ints instead of d doubles — 32× at
+    * d=64, m=8 with byte-range codebooks; at 100 TB this is the
+    * difference between an in-memory candidate scan and an I/O-bound
+    * one. Encode is MAP-ONLY (codebooks ride as literals — the
+    * assignToCentroids discipline), zero exchange. */
+  def pqEncode(df: DataFrame, idCol: String, embCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    require(cbs.nonEmpty, "codebooks must be non-empty")
+    val codeCols = cbs.map { case (s, words) =>
+      val subDim = words.head.length
+      val sl = slice(col(embCol), s * subDim + 1, subDim)
+      val mat = typedLit[Seq[Seq[Double]]](words.toSeq)
+      val dists = transform(mat, cw => sqDist(sl, cw))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    df.select(col(idCol), array(codeCols.toIndexedSeq: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query keeps
+    * its FULL vector and precomputes an m×k lookup table of squared
+    * L2 distances to every codeword (map-only, literal codebooks);
+    * scoring a corpus vector is then m table lookups summed — never a
+    * d-dim arithmetic pass. Output: (query_id, rank, neighbor_id,
+    * adist), k smallest approximate distances, ties by neighbor_id.
+    *
+    * Scale: the classic IVF-ADC split — the corpus side carries only
+    * (id, m-byte code); queries broadcast with their LUTs; the only
+    * aggregation is the bounded-heap top-k (k items per query per
+    * partition). Compose with [[assignToCentroids]] bucketing for
+    * IVF-PQ: probe-join on centroid_id first, then ADC-score within
+    * the list. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, idCol: String,
+      embCol: String, codebooks: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val cbs = collectCodebooks(codebooks)
+    require(cbs.nonEmpty, "codebooks must be non-empty")
+    val lut = array(cbs.map { case (s, words) =>
+      val subDim = words.head.length
+      val sl = slice(col(embCol), s * subDim + 1, subDim)
+      val mat = typedLit[Seq[Seq[Double]]](words.toSeq)
+      transform(mat, cw => sqDist(sl, cw))
+    }.toIndexedSeq: _*)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), lut.as("__lut")))
+    val c = codes.select(col(idCol).as("neighbor_id"),
+      col("codes").as("__codes"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", aggregate(
+        zip_with(col("__lut"), col("__codes"),
+          (tbl, cd) => element_at(tbl, cd + 1)),
+        lit(0.0), _ + _))
+    val item = struct(col("adist"), col("neighbor_id"))
+    // reverse=true: keep the k SMALLEST distances, sorted ascending
+    val topk = ColumnBridge.collectTopK(item, k, reverse = true)
+    scored.groupBy(col("query_id")).agg(topk.as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.adist").as("adist"))
+  }
+
   def quantizeInt8(vec: Column): Column = {
     val ed = transform(vec, x => x.cast("double"))
     val scale = array_max(transform(ed, x => abs(x)))

@@ -221,6 +221,60 @@ class SimilaritySpec extends SparkSpec {
     byCluster.values.flatten.toSeq.distinct.length shouldBe 3
   }
 
+  test("PQ: encode is deterministic and ADC recovers cluster neighbors") {
+    // two tight clusters far apart in 8-d: after PQ compression, every
+    // query's nearest ADC neighbors must come from its own cluster
+    val bases = Vector(
+      Seq(10.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 0.0, 0.0, 10.0, 10.0, 0.0, 0.0))
+    val pts = (0 until 20).map { i =>
+      (i.toLong, bases(i % 2).map(_ + 0.01 * (i / 2)))
+    }.toDF("vec_id", "e")
+    // deterministic codebooks: 4 sampled vectors' slices, m=2 subspaces
+    val sampled = pts.filter(col("vec_id") < 4)
+    val codebooks = (0 until 2).map { sp =>
+      sampled.select(lit(sp).as("subspace"), col("vec_id").as("centroid_id"),
+        slice(col("e"), sp * 4 + 1, 4).as("codeword"))
+    }.reduce(_ unionAll _)
+    val codes1 = Similarity.pqEncode(pts, "vec_id", "e", codebooks)
+    val codes7 = Similarity.pqEncode(pts.repartition(7), "vec_id", "e",
+      codebooks)
+    codes1.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap shouldBe
+      codes7.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes1.head().getSeq[Int](1).length shouldBe 2 // m codes per vector
+    val queries = pts.filter(col("vec_id") < 2)
+    val top = Similarity.pqTopK(queries, codes1, "vec_id", "e", codebooks,
+        k = 5).collect()
+    top.foreach { r =>
+      // same-cluster parity: neighbor id has the query's parity
+      (r.getLong(2) % 2) shouldBe (r.getLong(0) % 2)
+    }
+    // ranks ascend with distance per query
+    top.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      byRank shouldBe byRank.sorted
+    }
+  }
+
+  test("trainPqCodebooks produces dense per-subspace ids and round-trips") {
+    val bases = Vector(
+      Seq(10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    val pts = (0 until 16).map { i =>
+      (i.toLong, bases(i % 2).map(_ + 0.01 * i))
+    }.toDF("vec_id", "e")
+    val cb = Similarity.trainPqCodebooks(pts, "vec_id", "e",
+      m = 2, k = 2, dims = 8, iterations = 3)
+    cb.select(col("subspace")).distinct().count() shouldBe 2
+    cb.groupBy(col("subspace")).count().collect()
+      .foreach(_.getLong(1) shouldBe 2L)
+    // codewords have subspace length
+    cb.head().getSeq[Double](2).length shouldBe 4
+    // trained codebooks drive encode without error and yield m codes
+    Similarity.pqEncode(pts, "vec_id", "e", cb)
+      .head().getSeq[Int](1).length shouldBe 2
+  }
+
   test("size-ratio prefilter is result-preserving at the threshold") {
     // doc pair with size ratio below threshold can never reach jaccard >=
     // threshold; verify the pipeline output equals an unfiltered
