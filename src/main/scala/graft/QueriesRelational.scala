@@ -334,6 +334,42 @@ object QueriesRelational {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // -------------------------------------------------------------- q115
+  /** Salted skew handling inside the driver gate (Scale.saltedAggregate
+    * + Scale.saltedJoin were spec-only): lineitem collapsed onto THREE
+    * hot keys — the worst uniform-hash case, every row in 3 reducer
+    * groups — aggregated via the two-phase salted aggregate and joined
+    * via the replicate-dim salted join. Both claims are exactness
+    * claims, so the oracle is the PLAIN relational statement: salting
+    * may only change shuffle distribution, never results. */
+  private def q115SaltedSkew(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale
+    val li = t(s, dir, "lineitem")
+      .select((col("l_orderkey") % 3).cast("int").as("skew_key"),
+        col("l_quantity"))
+    val agg = Scale.saltedAggregate(li, Seq("skew_key"), Seq("l_quantity"))
+    val dim = s.range(0, 3).select(col("id").cast("int").as("skew_key"),
+      concat(lit("grp-"), col("id").cast("string")).as("label"))
+    val joined = Scale.saltedJoin(li, dim, "skew_key")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_join"), sum(col("l_quantity")).as("qty_join"))
+    agg.join(dim, Seq("skew_key")).join(joined, Seq("label"))
+      .select(col("skew_key"), col("label"), col("n"),
+        col("sum_l_quantity"), col("n_join"), col("qty_join"))
+      .orderBy(col("skew_key"))
+  }
+
+  private val q115Sql =
+    """WITH f AS (
+      |  SELECT CAST(l_orderkey % 3 AS INTEGER) AS skew_key, l_quantity
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT skew_key, count(*) AS n, sum(l_quantity) AS sum_l_quantity
+      |  FROM f GROUP BY 1)
+      |SELECT skew_key, 'grp-' || CAST(skew_key AS VARCHAR) AS label,
+      |  n, sum_l_quantity, n AS n_join, sum_l_quantity AS qty_join
+      |FROM a ORDER BY skew_key""".stripMargin
+
   // -------------------------------------------------------------- q108
   /** MAP-typed column surface: per returnflag, a linestatus→count map
     * built with map_from_entries over a SORTED entry list (collect_list
@@ -538,6 +574,7 @@ object QueriesRelational {
     "q47_json" -> (q47Json _),
     "q105_orc_roundtrip" -> (q105Orc _),
     "q108_map_surface" -> (q108MapSurface _),
+    "q115_salted_skew" -> (q115SaltedSkew _),
     "q109_unpivot" -> (q109Unpivot _),
     "q48_window_family" -> (q48WindowFamily _),
     "q44_pivot" -> (q44Pivot _),
@@ -560,6 +597,7 @@ object QueriesRelational {
     "q47_json" -> q47Sql,
     "q105_orc_roundtrip" -> q105Sql,
     "q108_map_surface" -> q108Sql,
+    "q115_salted_skew" -> q115Sql,
     "q109_unpivot" -> q109Sql,
     "q48_window_family" -> q48Sql,
     "q44_pivot" -> q44Sql,
