@@ -409,6 +409,56 @@ object Similarity {
         col("col.adist").as("adist"))
   }
 
+  /** Full IVF-PQ (the FAISS-standard composition, executable rather
+    * than a doc claim): corpus and queries are bucketed by the coarse
+    * quantizer ([[assignToCentroids]] / multi-probe), and ADC scoring
+    * runs WITHIN the probed inverted lists only — candidate work is
+    * list-sized, not corpus-sized, and each candidate costs m table
+    * lookups. `codes` must be pqEncode output for the same id space as
+    * `corpus`.
+    *
+    * Scale: probe join shuffles once keyed by centroid_id; the corpus
+    * side carries (id, centroid_id, m codes) — the compressed index a
+    * 100 TB deployment actually stores; full vectors are needed only
+    * on the (few) query rows. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+      idCol: String, embCol: String, centroids: DataFrame,
+      codebooks: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val cbs = collectCodebooks(codebooks)
+    require(cbs.nonEmpty, "codebooks must be non-empty")
+    val lut = array(cbs.map { case (s, words) =>
+      val subDim = words.head.length
+      val sl = slice(col("__v"), s * subDim + 1, subDim)
+      val mat = typedLit[Seq[Seq[Double]]](words.toSeq)
+      transform(mat, cw => sqDist(sl, cw))
+    }.toIndexedSeq: _*)
+    val qa =
+      if (nprobe <= 1)
+        assignToCentroids(queries, idCol, embCol, centroids, "query_id")
+      else assignTopNCentroids(queries, idCol, embCol, centroids,
+        "query_id", nprobe)
+    val q = qa.withColumn("__lut", lut).drop("__v")
+    val ca = assignToCentroids(corpus, idCol, embCol, centroids,
+        "neighbor_id")
+      .select(col("neighbor_id"), col("centroid_id"))
+      .join(codes.select(col(idCol).as("neighbor_id"),
+        col("codes").as("__codes")), Seq("neighbor_id"))
+    val scored = q.join(ca, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", aggregate(
+        zip_with(col("__lut"), col("__codes"),
+          (tbl, cd) => element_at(tbl, cd + 1)),
+        lit(0.0), _ + _))
+    val item = struct(col("adist"), col("neighbor_id"))
+    val topk = ColumnBridge.collectTopK(item, k, reverse = true)
+    scored.groupBy(col("query_id")).agg(topk.as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.adist").as("adist"))
+  }
+
   def quantizeInt8(vec: Column): Column = {
     val ed = transform(vec, x => x.cast("double"))
     val scale = array_max(transform(ed, x => abs(x)))

@@ -256,6 +256,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK scores within probed lists and finds cluster neighbors") {
+    val bases = Vector(
+      Seq(10.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 0.0, 0.0, 10.0, 10.0, 0.0, 0.0))
+    val pts = (0 until 20).map { i =>
+      (i.toLong, bases(i % 2).map(_ + 0.01 * (i / 2)))
+    }.toDF("vec_id", "e")
+    // coarse quantizer: one representative per cluster
+    val centroids = pts.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("centroid_id"), col("e").as("centroid"))
+    val sampled = pts.filter(col("vec_id") < 4)
+    val codebooks = (0 until 2).map { sp =>
+      sampled.select(lit(sp).as("subspace"), col("vec_id").as("centroid_id"),
+        slice(col("e"), sp * 4 + 1, 4).as("codeword"))
+    }.reduce(_ unionAll _)
+    val codes = Similarity.pqEncode(pts, "vec_id", "e", codebooks)
+    val queries = pts.filter(col("vec_id") < 2)
+    val top = Similarity.ivfPqTopK(queries, pts, codes, "vec_id", "e",
+      centroids, codebooks, k = 5).collect()
+    top.length shouldBe 10 // 2 queries x 5 (each list has 10 members)
+    top.foreach { r =>
+      (r.getLong(2) % 2) shouldBe (r.getLong(0) % 2) // same-cluster only
+    }
+  }
+
   test("trainPqCodebooks produces dense per-subspace ids and round-trips") {
     val bases = Vector(
       Seq(10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
