@@ -449,6 +449,18 @@ object Dedup {
       maxHamming: Int = 8,
       maxBucketSize: Int = DefaultMaxBucketSize,
       storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    simhashNearDupsFromTokens(df, idCol, TextAnalysis.tokens(col(textCol)),
+      maxHamming, maxBucketSize, storageLevel)
+
+  /** Token-expression-parameterized core of [[simhashNearDups]]: the
+    * text path feeds whitespace tokens, Multimodal.binaryNearDups feeds
+    * byte shingles — same sketch, banding, and verification. */
+  private[operators] def simhashNearDupsFromTokens(df: DataFrame,
+      idCol: String, tokensCol: Column,
+      maxHamming: Int,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      storageLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 32,
       s"maxHamming ($maxHamming) must be in [0, 32]")
@@ -456,7 +468,7 @@ object Dedup {
     // verification join branches — unpersisted, the scan+tokenize+md5
     // chain runs three times
     val sketch = df.select(col(idCol),
-      simhash32(TextAnalysis.tokens(col(textCol))).as("__sh"))
+      simhash32(tokensCol).as("__sh"))
       .persist(storageLevel)
     val banded = sketch.withColumn("__bands", array(
       concat(lit("lo:"), (col("__sh").bitwiseAND(lit(0xffffL))).cast("string")),

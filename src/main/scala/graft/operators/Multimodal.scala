@@ -100,4 +100,30 @@ object Multimodal {
   /** Deterministic frame sampling: every `stride`-th frame index. */
   def sampleFrameIndices(nFrames: Int, stride: Int): Seq[Int] =
     (0 until nFrames by math.max(1, stride)).toSeq
+
+  /** Byte-level near-duplicate detection over binary media columns:
+    * content bytes are reinterpreted losslessly as a Latin-1 string
+    * (one char per byte) and fed through the SimHash near-dup pipeline
+    * — byte-shingle SimHash is genuinely similarity-preserving over
+    * raw byte streams, so blobs differing by small edits (metadata
+    * patch, re-mux, truncated tail) land within `maxHamming` bits
+    * while unrelated blobs do not. This is the modality-agnostic
+    * half of media dedup (a REAL computation, not the stubbed codec
+    * path): content-identical-modulo-container dups are caught without
+    * decoding; perceptual (pixel-space) dedup additionally needs the
+    * decoder to emit frame features, which then feed the same pipeline
+    * or the embedding near-dup path. Same banded bucket-join scale
+    * shape as text SimHash, but over BYTE shingles (binary has no
+    * whitespace token structure — word tokenization would hash most
+    * blobs to one giant token). Output: (id1, id2, hamming). */
+  def binaryNearDups(media: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content", maxHamming: Int = 6,
+      shingleBytes: Int = 8): DataFrame =
+    Dedup.simhashNearDupsFromTokens(
+      media.withColumn("__bytes_as_text",
+        decode(col(contentCol), "ISO-8859-1")),
+      idCol,
+      graft.functions.TextAnalysis.charShingles(col("__bytes_as_text"),
+        shingleBytes),
+      maxHamming)
 }

@@ -82,6 +82,47 @@ class EquivalencePropertySpec extends SparkSpec {
       .foreach(r => r.getLong(0) shouldBe r.getLong(1))
   }
 
+  test("applyChangelog equals the event-by-event sequential fold") {
+    // property: net-effect compaction == applying every event one at a
+    // time in seq order (upsert via UpdateJob.upsert, delete via
+    // DeleteJob.deleteByKeys) — the correctness claim that lets a CDC
+    // consumer batch an arbitrary window of its log
+    import graft.operators.{DeleteJob, UpdateJob}
+    for (trial <- 0 until 3) {
+      val nKeys = 6
+      val base = (0 until nKeys).map(k => (k.toLong, s"base-$k"))
+        .toDF("id", "v")
+      val events = (0 until 15).map { i =>
+        val key = rnd.nextInt(nKeys + 2).toLong // some keys absent in base
+        val op = if (rnd.nextInt(3) == 0) "delete" else "upsert"
+        (key, s"t$trial-e$i", (i + 1).toLong, op)
+      }
+      val compacted = UpdateJob.applyChangelog(base,
+          events.toDF("id", "v", "seq", "op"), Seq("id"), "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // sequential reference fold on a plain Scala map
+      val ref = events.sortBy(_._3).foldLeft(
+        base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap) {
+        case (state, (k, v, _, op)) =>
+          if (op == "delete") state - k else state + (k -> v)
+      }
+      compacted shouldBe ref
+      // and the DataFrame single-event ops agree too (one spot event)
+      val (k0, v0, _, op0) = events.maxBy(_._3)
+      val oneOp =
+        if (op0 == "delete")
+          DeleteJob.deleteByKeys(base, Seq(k0).toDF("id"), Seq("id"))
+        else UpdateJob.upsert(base, Seq((k0, v0)).toDF("id", "v"), Seq("id"))
+      val oneRef =
+        if (op0 == "delete")
+          base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap - k0
+        else base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap +
+          (k0 -> v0)
+      oneOp.collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
+        oneRef
+    }
+  }
+
   test("codegen'd cosine equals composed cosine on random vectors") {
     val vecs = (0 until 300).map { _ =>
       val d = 1 + rnd.nextInt(16)

@@ -54,4 +54,24 @@ class MultimodalSpec extends SparkSpec {
     sampleFrameIndices(10, 3) shouldBe Seq(0, 3, 6, 9)
     sampleFrameIndices(0, 3) shouldBe Seq.empty
   }
+
+  test("binaryNearDups pairs lightly-edited blobs, not unrelated ones") {
+    // deterministic pseudo-random byte blobs (seeded LCG); blob 2 is
+    // blob 1 with a 4-byte "metadata patch", blob 3 is unrelated
+    var seed = 987654321L
+    def nextByte(): Byte = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 40).toByte
+    }
+    val base = Array.fill(400)(nextByte())
+    val edited = base.clone(); (0 until 4).foreach(i => edited(i) = 'X'.toByte)
+    val unrelated = Array.fill(400)(nextByte())
+    val media = Seq(
+      (1L, base), (2L, edited), (3L, unrelated))
+      .toDF("doc_id", "content")
+    val pairs = Multimodal.binaryNearDups(media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain ((1L, 2L))
+    pairs.flatMap(p => Set(p._1, p._2)) should not contain 3L
+  }
 }
