@@ -650,6 +650,48 @@ object QueriesAnalytics {
       |SELECT node, CAST(min(d) AS BIGINT) AS hops
       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q116
+  /** Weighted multi-source shortest paths (Graph.shortestPaths):
+    * Bellman-Ford with frontier-only relaxation over the q86 graph
+    * made DIRECTED and weighted (w = 1 + linenumber % 5, parallel
+    * edges collapsed to their cheapest). Both sides bound the walk at
+    * 4 edges — the engine by maxIter, the oracle by a hop counter in
+    * the recursive CTE — so the row set and distances are the
+    * ≤-4-edge minima by construction, exactly (integer weights: no FP
+    * anywhere, the pageRank determinism contract). Completes the
+    * graph family: connectivity (q40), communities (q100), ranking
+    * (q88), hops (q86), triangles (q78), and now weighted distance. */
+  private def q116Sssp(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"),
+      (lit(1) + col("l_linenumber") % 5).as("w"))
+    val sources = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .filter(col("node") % 1000 === 0).distinct()
+    Graph.shortestPaths(e, "src", "dst", "w", sources, maxIter = 4)
+      .orderBy(col("node"))
+  }
+
+  private val q116Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT l_orderkey % 20000 AS a, (l_partkey * 7) % 20000 AS b,
+      |    min(1 + l_linenumber % 5) AS w
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)
+      |  GROUP BY 1, 2),
+      |srcs AS (
+      |  SELECT DISTINCT node FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  WHERE node % 1000 = 0),
+      |walk AS (
+      |  SELECT node, 0 AS hops, CAST(0 AS BIGINT) AS d FROM srcs
+      |  UNION
+      |  SELECT e.b AS node, w.hops + 1 AS hops, w.d + e.w AS d
+      |  FROM walk w JOIN e ON e.a = w.node WHERE w.hops < 4)
+      |SELECT node, CAST(min(d) AS BIGINT) AS dist
+      |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q87
   /** Robust outlier census (Quantiles.madOutlierCensus): modified
     * z-score M = 0.6745·(x − median)/MAD per returnflag group over a
@@ -915,6 +957,7 @@ object QueriesAnalytics {
     "q92_gap_fill" -> (q92GapFill _),
     "q87_mad_outliers" -> (q87Mad _),
     "q86_bfs" -> (q86Bfs _),
+    "q116_sssp" -> (q116Sssp _),
     "q85_interval_join" -> (q85Interval _),
     "q68_bloom_semijoin" -> (q68Bloom _),
     "q69_percentiles" -> (q69Percentiles _),
@@ -941,6 +984,7 @@ object QueriesAnalytics {
     "q92_gap_fill" -> q92Sql,
     "q87_mad_outliers" -> q87Sql,
     "q86_bfs" -> q86Sql,
+    "q116_sssp" -> q116Sql,
     "q85_interval_join" -> q85Sql,
     "q68_bloom_semijoin" -> q68Sql,
     "q69_percentiles" -> q69Sql,

@@ -267,6 +267,85 @@ object Graph {
     * @param sources one column `node`
     * @return (node, hops) — hops 0 for the sources themselves
     */
+  /** Weighted multi-source shortest paths over a DIRECTED edge list
+    * (Bellman-Ford with the frontier optimization): distances are
+    * integer weights, so every round is exact min-arithmetic and the
+    * result is bit-stable under any partitioning — the same
+    * determinism contract as [[pageRank]]'s scaled integers, which is
+    * what makes an unrolled-SQL oracle possible.
+    *
+    * Round invariant (what the oracle unrolls): after round i, `dist`
+    * holds the minimum path cost using at most i edges from any
+    * source. Only nodes IMPROVED in round i-1 propagate in round i
+    * (the frontier optimization — relaxation work tracks the wave, not
+    * the whole node set), and parallel edges collapse to their
+    * cheapest at build time. With `maxIter` ≥ V-1 the result is the
+    * true shortest-path distance; a smaller bound gives the
+    * ≤-maxIter-edge distance, exactly and documentedly.
+    *
+    * Scale: the weighted adjacency is cached pre-partitioned on the
+    * per-round join key; each round shuffles the frontier (improved
+    * nodes only) plus a candidate min-aggregate bounded by the
+    * frontier's out-edges — the [[bfsDistances]] loop discipline, with
+    * weights. */
+  def shortestPaths(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      weight: String,
+      sources: DataFrame,
+      maxIter: Int): DataFrame = {
+    require(maxIter >= 0, s"maxIter ($maxIter) must be >= 0")
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"), col(weight).cast("long").as("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b") && col("w") >= 0)
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    val sessionParts = spark.sessionState.conf.numShufflePartitions.toLong
+    val edgeCount = e0.count()
+    val loopParts = math.max(1L,
+      math.min(sessionParts, edgeCount / 125000L + 1L)).toInt
+    val adj = e0.repartition(loopParts, col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      var dist = sources.select(col("node").cast("long").as("node"))
+        .distinct()
+        .withColumn("dist", lit(0L))
+        .localCheckpoint(eager = true)
+      var frontier = dist
+      var iter = 0
+      var frontierSize = frontier.count()
+      while (frontierSize > 0 && iter < maxIter) {
+        iter += 1
+        val cand = frontier.join(adj, col("node") === col("a"))
+          .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        val improved = cand
+          .join(dist.withColumnRenamed("dist", "__old"), Seq("node"), "left")
+          .filter(col("__old").isNull || col("dist") < col("__old"))
+          .select(col("node"), col("dist"))
+          .localCheckpoint(eager = true)
+        val newDist = dist
+          .join(improved.select(col("node")), Seq("node"), "left_anti")
+          .unionAll(improved)
+          .localCheckpoint(eager = true)
+        Dedup.releaseCheckpoint(dist)
+        Dedup.releaseCheckpoint(frontier)
+        dist = newDist
+        frontier = improved
+        frontierSize = frontier.count()
+      }
+      if (frontierSize > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"shortestPaths: frontier non-empty after $maxIter rounds " +
+            "(distances are the <=maxIter-edge minima, not final)")
+      dist
+    } finally {
+      adj.unpersist(blocking = false)
+    }
+  }
+
   def bfsDistances(
       edges: DataFrame,
       src: String,

@@ -196,4 +196,62 @@ class GraphSpec extends SparkSpec {
     Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"),
       "src", "dst", 2).count() shouldBe 0L
   }
+
+  test("shortestPaths: weighted relaxation beats fewer-hop costlier paths") {
+    // 1 -> 2 (w=10) direct, but 1 -> 3 -> 4 -> 2 costs 3; directed so
+    // 2 cannot reach back; parallel edge keeps the cheaper weight
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 2L, 12L), // parallel: min wins
+      (1L, 3L, 1L), (3L, 4L, 1L), (4L, 2L, 1L),
+      (2L, 5L, 2L), (9L, 1L, 1L)    // 9 -> 1 not traversed from source 1
+    ).toDF("src", "dst", "w")
+    val sources = Seq(1L).toDF("node")
+    val got = Graph.shortestPaths(edges, "src", "dst", "w", sources,
+        maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 2L, 5L -> 5L)
+  }
+
+  test("shortestPaths honors the maxIter edge bound exactly") {
+    // chain 1 -> 2 -> 3 -> 4, unit weights: with maxIter = 2 node 4 is
+    // unreached and distances are the <=2-edge minima
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.shortestPaths(chain, "src", "dst", "w",
+        Seq(1L).toDF("node"), maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
+  }
+
+  test("shortestPaths matches a reference Dijkstra on a seeded graph") {
+    var seed = 24681357L
+    def next(m: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.abs(seed % m).toInt
+    }
+    val n = 40
+    val edges = Seq.fill(160)((next(n).toLong, next(n).toLong,
+      (next(9) + 1).toLong)).filter(e => e._1 != e._2)
+    val sources = Seq(0L, 7L)
+    val got = Graph.shortestPaths(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", sources.toDF("node"), maxIter = n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: multi-source Dijkstra on the min-weight simple graph
+    val adj = edges.groupBy(e => (e._1, e._2))
+      .map { case ((a, b), es) => (a, b, es.map(_._3).min) }
+      .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    val dist = scala.collection.mutable.Map(sources.map(_ -> 0L): _*)
+    val pq = scala.collection.mutable.PriorityQueue(
+      sources.map(s => (0L, s)): _*)(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (dist(u) == d)
+        adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (dist.get(v).forall(_ > d + w)) {
+            dist(v) = d + w; pq.enqueue((d + w, v))
+          }
+        }
+    }
+    got shouldBe dist.toMap
+  }
 }
