@@ -102,17 +102,15 @@ object QueriesStreaming {
       .repartition(4)
       .write.mode("overwrite").parquet(deltaDir)
     val schema = s.read.parquet(deltaDir).schema
-    val refresh: (DataFrame, Long) => Unit = (batch, _) =>
-      if (!batch.isEmpty) {
-        val merged = IncrementalAgg.mergeDelta(
-          ParquetTable.read(s, pub), batch,
-          keys = Seq("l_returnflag", "l_linestatus"),
-          counts = Seq("n_items"), sums = Seq("sum_qty"),
-          mins = Seq("min_price"), maxs = Seq("max_price"))
-        // staging write materializes the merge while the old table is
-        // still in place; the dir swap is the commit point
-        ParquetTable.overwriteAtomic(merged, pub)
-      }
+    // exactly-once under micro-batch replay: the refresher skips batch
+    // ids whose marker is already in the published table (markers
+    // commit inside the same atomic dir swap as the data) — Spark's
+    // foreachBatch is at-least-once, so an unguarded merge would
+    // double-count the last batch after a crash-restart
+    val refresh = IncrementalAgg.idempotentRefresher(s, pub,
+      keys = Seq("l_returnflag", "l_linestatus"),
+      counts = Seq("n_items"), sums = Seq("sum_qty"),
+      mins = Seq("min_price"), maxs = Seq("max_price"))
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(deltaDir)
       .writeStream

@@ -53,4 +53,53 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(reAgg.head, reAgg.tail: _*)
   }
+
+  // no "=" in the name: Spark's path filter KEEPS underscore-prefixed
+  // names containing "=" (the partition-dir heuristic), and the parquet
+  // reader would then try to parse the marker as data
+  private val MarkerPrefix = "_applied_batch_"
+
+  /** Highest batch id already merged into the published table, or -1.
+    * The marker is an empty underscore-prefixed file (invisible to
+    * parquet readers) committed IN the same directory swap as the data,
+    * so marker and merge can never disagree. */
+  def appliedBatchId(spark: org.apache.spark.sql.SparkSession,
+      pubPath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(pubPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .map(_.stripPrefix(MarkerPrefix).toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** An exactly-once foreachBatch refresher for Structured Streaming:
+    * merges each micro-batch's rows into the published aggregate and
+    * SKIPS batches whose id is already recorded in the table — the
+    * marker file travels inside the atomic directory swap, so a batch
+    * is applied iff its marker is visible. This closes the replay hole
+    * in naive foreachBatch maintenance: Spark's foreachBatch contract
+    * is at-least-once (after a crash between sink commit and offset
+    * commit, the LAST batch re-runs), and an unguarded re-merge would
+    * double-count it. Restart-safe end to end: offsets come from the
+    * stream checkpoint, dedup comes from the marker.
+    *
+    * Empty batches still advance the marker (a skipped id must not be
+    * mistaken for an unapplied one on the next restart). */
+  def idempotentRefresher(spark: org.apache.spark.sql.SparkSession,
+      pubPath: String, keys: Seq[String],
+      counts: Seq[String], sums: Seq[String],
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    val applied = appliedBatchId(spark, pubPath)
+    if (batchId > applied) {
+      val base = graft.operators.ParquetTable.read(spark, pubPath)
+      val merged =
+        if (batch.isEmpty) base
+        else mergeDelta(base, batch, keys, counts, sums, mins, maxs)
+      ParquetTable.overwriteAtomic(merged, pubPath,
+        extraFiles = Seq(s"$MarkerPrefix$batchId"))
+    }
+  }
 }

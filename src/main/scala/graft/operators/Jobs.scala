@@ -88,8 +88,14 @@ object ParquetTable {
     * Readers see either the old or the new table, never a partial write.
     * At cluster scale the same protocol is what table formats (Delta/
     * Iceberg) implement with manifest files; here directory rename is the
-    * commit point. */
-  def overwriteAtomic(df: DataFrame, path: String): Unit = {
+    * commit point.
+    *
+    * `extraFiles`: empty underscore-prefixed marker files created in the
+    * staging dir BEFORE the swap, so they commit atomically with the
+    * data (IncrementalAgg's exactly-once batch markers; parquet readers
+    * ignore underscore-prefixed names). */
+  def overwriteAtomic(df: DataFrame, path: String,
+      extraFiles: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
@@ -98,6 +104,11 @@ object ParquetTable {
     val backup = new org.apache.hadoop.fs.Path(path + "__old")
     fs.delete(staging, true)
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    extraFiles.foreach { name =>
+      require(name.startsWith("_"),
+        s"marker file name ($name) must be underscore-prefixed")
+      fs.create(new org.apache.hadoop.fs.Path(staging, name), true).close()
+    }
     fs.delete(backup, true)
     if (fs.exists(target)) fs.rename(target, backup)
     if (!fs.rename(staging, target))

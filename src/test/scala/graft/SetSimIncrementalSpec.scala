@@ -112,4 +112,38 @@ class SetSimIncrementalSpec extends SparkSpec {
     merged.collect().map(_.toSeq).toSet shouldBe
       base.collect().map(_.toSeq).toSet
   }
+
+  test("idempotentRefresher skips replayed batch ids (exactly-once)") {
+    // foreachBatch is at-least-once: after a crash between sink commit
+    // and offset commit the last batch re-runs; the marker (committed
+    // inside the same atomic swap as the data) must make the re-run a
+    // no-op instead of a double merge
+    import graft.operators.ParquetTable
+    val work = java.nio.file.Files.createTempDirectory("graft_idem")
+    val pub = work.resolve("pub").toString
+    val base = Seq(("a", 2L), ("b", 1L)).toDF("g", "n")
+    ParquetTable.overwriteAtomic(base, pub)
+    val refresh = IncrementalAgg.idempotentRefresher(spark, pub,
+      keys = Seq("g"), counts = Seq("n"), sums = Nil)
+    def state() = ParquetTable.read(spark, pub).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val batch0 = Seq(("a", 0), ("a", 0), ("c", 0)).toDF("g", "x")
+    refresh(batch0, 0L)
+    state() shouldBe Map("a" -> 4L, "b" -> 1L, "c" -> 1L)
+    IncrementalAgg.appliedBatchId(spark, pub) shouldBe 0L
+
+    refresh(batch0, 0L) // replay of the SAME batch id: must be a no-op
+    state() shouldBe Map("a" -> 4L, "b" -> 1L, "c" -> 1L)
+
+    // an empty batch advances the marker without touching values
+    refresh(batch0.filter(lit(false)), 1L)
+    state() shouldBe Map("a" -> 4L, "b" -> 1L, "c" -> 1L)
+    IncrementalAgg.appliedBatchId(spark, pub) shouldBe 1L
+
+    // the next real batch still applies
+    refresh(Seq(("b", 0)).toDF("g", "x"), 2L)
+    state() shouldBe Map("a" -> 4L, "b" -> 2L, "c" -> 1L)
+    IncrementalAgg.appliedBatchId(spark, pub) shouldBe 2L
+  }
 }
