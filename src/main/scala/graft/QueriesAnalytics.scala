@@ -666,6 +666,11 @@ object QueriesAnalytics {
       (col("l_orderkey") % 20000).as("src"),
       (col("l_partkey") * 7 % 20000).as("dst"),
       (lit(1) + col("l_linenumber") % 5).as("w"))
+      // self-loop filter BEFORE source selection: the oracle's srcs CTE
+      // reads the filtered edge set, so a node appearing only in
+      // self-loop rows must not become a Spark-side source either
+      // (shortestPaths drops the loops internally regardless)
+      .filter(col("src") =!= col("dst"))
     val sources = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .filter(col("node") % 1000 === 0).distinct()

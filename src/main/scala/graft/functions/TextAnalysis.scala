@@ -105,6 +105,16 @@ object TextAnalysis {
         org.apache.spark.sql.graftshim.ColumnBridge.expression(
           normalizeText(text)), n))
 
+  /** Character n-gram shingles WITHOUT the normalization pass — for
+    * byte streams reinterpreted as strings (Multimodal.binaryNearDups),
+    * where lowercasing / whitespace-collapse would alias genuinely
+    * different byte values (0x41 vs 0x61, padding runs) into one
+    * sketch. Text semantics want [[charShingles]]. */
+  def rawCharShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.CharShinglesExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text), n))
+
   /** Word n-gram shingles of the normalized text — the canonical
     * LLM-corpus dedup unit (13-gram-style word windows). `<= n` tokens
     * -> single shingle of the whole normalized text, mirroring

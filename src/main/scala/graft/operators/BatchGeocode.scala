@@ -224,7 +224,15 @@ object BatchGeocodeJob {
         zos.closeEntry()
       }
     zos.close()
-    if (members == 0)
+    // zero entries is ambiguous: a VALID empty archive (end-of-central-
+    // directory signature PK\5\6, which Python's zipfile also opens
+    // without raising) means a legitimately empty batch result; any
+    // other zero-entry body is a non-zip payload (proxy HTML, truncated
+    // transfer) that must raise rather than be saved as "success"
+    val emptyArchive = zipBytes.length >= 4 &&
+      zipBytes(0) == 0x50.toByte && zipBytes(1) == 0x4B.toByte &&
+      zipBytes(2) == 0x05.toByte && zipBytes(3) == 0x06.toByte
+    if (members == 0 && !emptyArchive)
       throw new IOException("batch geocode result body is not a zip " +
         s"archive (no members in ${zipBytes.length} bytes)")
     out.toByteArray

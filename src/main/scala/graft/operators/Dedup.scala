@@ -560,7 +560,11 @@ object Dedup {
     val edgeCount = edgesRaw.count()
     if (edgeCount > contractAbove) {
       edgesRaw.unpersist()
-      return connectedComponentsContracting(pairs, id1Col, id2Col)
+      // forward the caller's round budget: the two loops count rounds
+      // differently (pointer jumps vs star contractions), but ignoring
+      // an explicit bound would let a delegated run exceed what the
+      // caller budgeted by the contracting default (100)
+      return connectedComponentsContracting(pairs, id1Col, id2Col, maxIter)
     }
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(1L,

@@ -131,8 +131,7 @@ object EventAnalytics {
     // one day later than DuckDB's `//` and break oracle day alignment
     val us = unix_micros(col(tsCol).cast("timestamp"))
     val daily = events
-      .select(col(entityCol),
-        ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long").as("day"),
+      .select(col(entityCol), floorDivExact(us, dayUs).as("day"),
         col(valueCol).as("__v"))
       .groupBy(col(entityCol), col("day"))
       .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("day_value"))
@@ -150,10 +149,19 @@ object EventAnalytics {
         last(col("day_value"), ignoreNulls = true).over(fillW))
   }
 
-  /** Epoch week bucket (integer division of event micros — exact in
-    * both engines; `us div` mirrors DuckDB's `//`). */
+  /** Exact floor division of epoch micros by a positive bucket width:
+    * the pmod form makes the numerator an exact multiple of d (floor
+    * semantics for negatives, matching DuckDB's `//`), and the divide
+    * runs in DECIMAL — Column `/` on longs is DOUBLE division, which
+    * loses exactness once |us| exceeds 2^53 (a one-bucket shift past
+    * ~year 2255). Exact multiples divide exactly in decimal at any
+    * magnitude; the final cast truncates an already-integral value. */
+  private def floorDivExact(us: Column, d: Long): Column =
+    ((us - pmod(us, lit(d))).cast("decimal(38,0)") / lit(d)).cast("long")
+
+  /** Epoch week bucket (exact floor division, mirrors DuckDB's `//`). */
   private def epochWeek(us: Column): Column =
-    ((us - pmod(us, lit(604800000000L))) / lit(604800000000L)).cast("long")
+    floorDivExact(us, 604800000000L)
 
   /** Cohort retention: users grouped by first-activity week (cohort);
     * for each (cohort_week, week_offset), the distinct active users and

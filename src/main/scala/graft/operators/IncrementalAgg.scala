@@ -92,6 +92,10 @@ object IncrementalAgg {
       counts: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
+    // a crash between the swap's two renames leaves the table (and its
+    // markers) only in __old; restore before reading, or a restart
+    // would see appliedBatchId = -1 and fail the base read
+    ParquetTable.recoverInterrupted(spark, pubPath)
     val applied = appliedBatchId(spark, pubPath)
     if (batchId > applied) {
       val base = graft.operators.ParquetTable.read(spark, pubPath)

@@ -94,6 +94,21 @@ object ParquetTable {
     * staging dir BEFORE the swap, so they commit atomically with the
     * data (IncrementalAgg's exactly-once batch markers; parquet readers
     * ignore underscore-prefixed names). */
+  /** Heal the one non-atomic window in the swap protocol: a crash
+    * BETWEEN `rename(target, backup)` and `rename(staging, target)`
+    * leaves the table (and any batch markers) only in `__old`. Restore
+    * it; if the target exists the backup is a superseded copy and this
+    * is a no-op. Returns true when a restore happened. Called by
+    * overwriteAtomic itself and by restart paths (the exactly-once
+    * refresher) before their first read. */
+  def recoverInterrupted(spark: SparkSession, path: String): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+    else false
+  }
+
   def overwriteAtomic(df: DataFrame, path: String,
       extraFiles: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
@@ -102,6 +117,7 @@ object ParquetTable {
     val fs = target.getFileSystem(hconf)
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     val backup = new org.apache.hadoop.fs.Path(path + "__old")
+    recoverInterrupted(spark, path) // heal a predecessor's crash window
     fs.delete(staging, true)
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     extraFiles.foreach { name =>

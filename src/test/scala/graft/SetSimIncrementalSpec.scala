@@ -145,5 +145,17 @@ class SetSimIncrementalSpec extends SparkSpec {
     refresh(Seq(("b", 0)).toDF("g", "x"), 2L)
     state() shouldBe Map("a" -> 4L, "b" -> 2L, "c" -> 1L)
     IncrementalAgg.appliedBatchId(spark, pub) shouldBe 2L
+
+    // crash window: target renamed away to __old (the state a death
+    // between the swap's two renames leaves) — the next refresh must
+    // self-heal, see the markers, and keep exactly-once semantics
+    val fs = new org.apache.hadoop.fs.Path(pub)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(pub),
+      new org.apache.hadoop.fs.Path(pub + "__old"))
+    refresh(Seq(("b", 0)).toDF("g", "x"), 2L) // replay after "crash"
+    state() shouldBe Map("a" -> 4L, "b" -> 2L, "c" -> 1L) // healed, no dup
+    refresh(Seq(("c", 0)).toDF("g", "x"), 3L)
+    state() shouldBe Map("a" -> 4L, "b" -> 2L, "c" -> 2L)
   }
 }
