@@ -334,6 +334,86 @@ object QueriesRelational {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // -------------------------------------------------------------- q117
+  /** Explicit GROUPING SETS + grouping() flags: q22/q30 pin rollup and
+    * cube; this pins the general form — a custom set list (detail,
+    * per-flag subtotal, grand total, but NOT per-status) with the
+    * grouping indicator columns that disambiguate a NULL group value
+    * from a subtotal row. Same SQL text in both engines. */
+  private def q117GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q117Sql)
+  }
+
+  private val q117Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+      |  count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), ())
+      |ORDER BY g_flag, g_status,
+      |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------- q118
+  /** Scalar string-function battery over nation names: pad, translate,
+    * repeat, reverse, edit distance, ascii/chr codes — one row pins
+    * seven functions' cross-engine semantics at once (all verified
+    * identical in DuckDB: 1-based substr, left-pad direction,
+    * levenshtein as plain edit distance). */
+  private def q118Strings(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(q118Sql)
+  }
+
+  private val q118Sql =
+    """SELECT n_nationkey,
+      |  lpad(n_name, 20, '*') AS padded,
+      |  translate(n_name, 'AEIOU', 'aeiou') AS translated,
+      |  repeat(substr(n_name, 1, 2), 3) AS repeated,
+      |  reverse(n_name) AS reversed,
+      |  CAST(levenshtein(n_name, 'UNITED STATES') AS INT) AS lev,
+      |  CAST(ascii(n_name) AS INT) AS first_code,
+      |  concat(chr(65 + CAST(n_nationkey % 26 AS INT)), '-', n_name)
+      |    AS coded
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // -------------------------------------------------------------- q119
+  /** Datetime-function battery over a 1-in-97 orders sample: month
+    * truncation, interval month addition (both engines clamp Jan 31 +
+    * 1 month to Feb 28), year/quarter extraction, day-of-week (Spark's
+    * Sunday=1 shifted to DuckDB's Sunday=0), day difference from an
+    * epoch date, and last_day. */
+  private def q119Datetime(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate + INTERVAL '1' MONTH AS DATE) AS next_month,
+        |  CAST(extract(YEAR FROM o_orderdate) AS INT) AS yr,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) - 1 AS INT) AS dow,
+        |  CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')
+        |    AS INT) AS days_since,
+        |  last_day(o_orderdate) AS month_end
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q119Sql =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+      |  CAST(extract(YEAR FROM o_orderdate) AS INT) AS yr,
+      |  CAST(extract(QUARTER FROM o_orderdate) AS INT) AS qtr,
+      |  CAST(extract(DOW FROM o_orderdate) AS INT) AS dow,
+      |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INT)
+      |    AS days_since,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+      |FROM orders WHERE o_orderkey % 97 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- q115
   /** Salted skew handling inside the driver gate (Scale.saltedAggregate
     * + Scale.saltedJoin were spec-only): lineitem collapsed onto THREE
@@ -575,6 +655,9 @@ object QueriesRelational {
     "q105_orc_roundtrip" -> (q105Orc _),
     "q108_map_surface" -> (q108MapSurface _),
     "q115_salted_skew" -> (q115SaltedSkew _),
+    "q117_grouping_sets" -> (q117GroupingSets _),
+    "q118_string_battery" -> (q118Strings _),
+    "q119_datetime_battery" -> (q119Datetime _),
     "q109_unpivot" -> (q109Unpivot _),
     "q48_window_family" -> (q48WindowFamily _),
     "q44_pivot" -> (q44Pivot _),
@@ -598,6 +681,9 @@ object QueriesRelational {
     "q105_orc_roundtrip" -> q105Sql,
     "q108_map_surface" -> q108Sql,
     "q115_salted_skew" -> q115Sql,
+    "q117_grouping_sets" -> q117Sql,
+    "q118_string_battery" -> q118Sql,
+    "q119_datetime_battery" -> q119Sql,
     "q109_unpivot" -> q109Sql,
     "q48_window_family" -> q48Sql,
     "q44_pivot" -> q44Sql,
