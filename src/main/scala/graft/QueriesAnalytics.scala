@@ -650,6 +650,23 @@ object QueriesAnalytics {
       |SELECT node, CAST(min(d) AS BIGINT) AS hops
       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q120
+  /** Per-user EWMA of event values (EventAnalytics.ewma, α = 0.25):
+    * the recursive smoothing metric no window frame can express,
+    * computed as one deterministic left fold per user — DuckDB's
+    * list_reduce runs the IDENTICAL fold (first element as init,
+    * accumulator-first lambda), so doubles match bit for bit. */
+  private def q120Ewma(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.ewma(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", alpha = 0.25)
+      .orderBy(col("user_id"))
+
+  private val q120Sql =
+    """SELECT user_id, count(*) AS n_events,
+      |  list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+      |    (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------------- q116
   /** Weighted multi-source shortest paths (Graph.shortestPaths):
     * Bellman-Ford with frontier-only relaxation over the q86 graph
@@ -963,6 +980,7 @@ object QueriesAnalytics {
     "q87_mad_outliers" -> (q87Mad _),
     "q86_bfs" -> (q86Bfs _),
     "q116_sssp" -> (q116Sssp _),
+    "q120_ewma" -> (q120Ewma _),
     "q85_interval_join" -> (q85Interval _),
     "q68_bloom_semijoin" -> (q68Bloom _),
     "q69_percentiles" -> (q69Percentiles _),
@@ -990,6 +1008,7 @@ object QueriesAnalytics {
     "q87_mad_outliers" -> q87Sql,
     "q86_bfs" -> q86Sql,
     "q116_sssp" -> q116Sql,
+    "q120_ewma" -> q120Sql,
     "q85_interval_join" -> q85Sql,
     "q68_bloom_semijoin" -> q68Sql,
     "q69_percentiles" -> q69Sql,

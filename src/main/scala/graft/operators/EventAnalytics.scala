@@ -149,6 +149,36 @@ object EventAnalytics {
         last(col("day_value"), ignoreNulls = true).over(fillW))
   }
 
+  /** Exponentially weighted moving average per entity — the smoothing
+    * primitive behind drift/anomaly monitors: s_1 = x_1,
+    * s_t = α·x_t + (1−α)·s_{t−1} over the entity's series in
+    * (tsCol, tieCol) order. Computed as ONE deterministic left fold
+    * over the entity's sorted value list (`aggregate` with the first
+    * element as init), so the IEEE operation sequence is fixed — the
+    * same fold DuckDB's list_reduce runs, giving bit-identical results
+    * (the q95 array-fold equivalence, applied to a recursive metric no
+    * window function can express).
+    *
+    * Scale: per-entity state is its own series (collect_list bounded
+    * by the entity's event count — fine for user/device series; an
+    * unbounded stream wants the transformWithState path instead).
+    * Output: (entityCol, n_events, ewma). */
+  def ewma(events: DataFrame, entityCol: String, tsCol: String,
+      tieCol: String, valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    val xs = transform(
+      array_sort(collect_list(struct(col(tsCol), col(tieCol),
+        col(valueCol).cast("double").as("__v")))),
+      s => s.getField("__v"))
+    events.groupBy(col(entityCol))
+      .agg(xs.as("__xs"))
+      .select(col(entityCol),
+        size(col("__xs")).cast("long").as("n_events"),
+        aggregate(slice(col("__xs"), lit(2), size(col("__xs")) - 1),
+          element_at(col("__xs"), 1),
+          (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc).as("ewma"))
+  }
+
   /** Exact floor division of epoch micros by a positive bucket width:
     * the pmod form makes the numerator an exact multiple of d (floor
     * semantics for negatives, matching DuckDB's `//`), and the divide

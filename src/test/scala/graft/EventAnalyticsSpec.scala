@@ -136,6 +136,26 @@ class EventAnalyticsSpec extends SparkSpec {
 
   // ---------------------------------------------------- retention
 
+  test("ewma equals the sequential recurrence and is partition-invariant") {
+    // s1 = x1; st = 0.25*xt + 0.75*s(t-1) in (ts, id) order
+    val rows = Seq(
+      ("u1", 3L, 2L, 30.0), ("u1", 1L, 1L, 10.0), ("u1", 2L, 3L, 20.0),
+      ("u2", 5L, 4L, 100.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    def run(parts: Int) = graft.operators.EventAnalytics
+      .ewma(df.repartition(parts), "user_id", "ts", "event_id", "value",
+        alpha = 0.25)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val got = run(1)
+    got shouldBe run(5)
+    val s1 = 10.0
+    val s2 = 0.25 * 20.0 + 0.75 * s1
+    val s3 = 0.25 * 30.0 + 0.75 * s2
+    got("u1") shouldBe ((3L, s3))
+    got("u2") shouldBe ((1L, 100.0)) // singleton series: ewma = x1
+  }
+
   test("cohortRetention buckets by first-activity week") {
     val wk = 604800L // seconds per week
     val df = ev(
