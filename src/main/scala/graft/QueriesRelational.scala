@@ -334,6 +334,28 @@ object QueriesRelational {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // -------------------------------------------------------------- q121
+  /** Distribution-rank window functions — the q48 family members not
+    * yet pinned: ntile bucketing, percent_rank, cume_dist, dense_rank,
+    * one WINDOW clause, same SQL text in both engines. The ORDER BY
+    * carries the unique o_orderkey tiebreak so no peer groups exist and
+    * cume_dist needs no cross-engine tie adjudication. */
+  private def q121WindowRanks(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q121Sql)
+  }
+
+  private val q121Sql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(ntile(4) OVER w AS INT) AS tile4,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- q117
   /** Explicit GROUPING SETS + grouping() flags: q22/q30 pin rollup and
     * cube; this pins the general form — a custom set list (detail,
@@ -656,6 +678,7 @@ object QueriesRelational {
     "q108_map_surface" -> (q108MapSurface _),
     "q115_salted_skew" -> (q115SaltedSkew _),
     "q117_grouping_sets" -> (q117GroupingSets _),
+    "q121_window_ranks" -> (q121WindowRanks _),
     "q118_string_battery" -> (q118Strings _),
     "q119_datetime_battery" -> (q119Datetime _),
     "q109_unpivot" -> (q109Unpivot _),
@@ -682,6 +705,7 @@ object QueriesRelational {
     "q108_map_surface" -> q108Sql,
     "q115_salted_skew" -> q115Sql,
     "q117_grouping_sets" -> q117Sql,
+    "q121_window_ranks" -> q121Sql,
     "q118_string_battery" -> q118Sql,
     "q119_datetime_battery" -> q119Sql,
     "q109_unpivot" -> q109Sql,
