@@ -334,6 +334,34 @@ object QueriesRelational {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // -------------------------------------------------------------- q122
+  /** Regex-function battery over a 1-in-7 documents sample:
+    * regexp_extract (group + no-match-to-'' rule), regexp_extract_all
+    * (an ARRAY column hashed element-wise by the gate), regexp_count
+    * (DuckDB restates via len(regexp_extract_all)), and global
+    * regexp_replace (DuckDB needs the 'g' flag for Spark's
+    * replace-all default). Patterns stay in the Java∩RE2 common
+    * subset — the UrlFunctions discipline. */
+  private def q122Regex(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT doc_id,
+        |  regexp_extract(text, '([A-Za-z]{7,})', 1) AS first_long,
+        |  regexp_extract_all(text, '([A-Za-z]{7,})', 1) AS long_words,
+        |  CAST(regexp_count(text, '[aeiou]') AS BIGINT) AS n_vowels,
+        |  regexp_replace(text, '[0-9]', '#') AS masked
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin)
+  }
+
+  private val q122Sql =
+    """SELECT doc_id,
+      |  regexp_extract(text, '([A-Za-z]{7,})', 1) AS first_long,
+      |  regexp_extract_all(text, '([A-Za-z]{7,})', 1) AS long_words,
+      |  CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT)
+      |    AS n_vowels,
+      |  regexp_replace(text, '[0-9]', '#', 'g') AS masked
+      |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- q121
   /** Distribution-rank window functions — the q48 family members not
     * yet pinned: ntile bucketing, percent_rank, cume_dist, dense_rank,
@@ -679,6 +707,7 @@ object QueriesRelational {
     "q115_salted_skew" -> (q115SaltedSkew _),
     "q117_grouping_sets" -> (q117GroupingSets _),
     "q121_window_ranks" -> (q121WindowRanks _),
+    "q122_regex_battery" -> (q122Regex _),
     "q118_string_battery" -> (q118Strings _),
     "q119_datetime_battery" -> (q119Datetime _),
     "q109_unpivot" -> (q109Unpivot _),
@@ -706,6 +735,7 @@ object QueriesRelational {
     "q115_salted_skew" -> q115Sql,
     "q117_grouping_sets" -> q117Sql,
     "q121_window_ranks" -> q121Sql,
+    "q122_regex_battery" -> q122Sql,
     "q118_string_battery" -> q118Sql,
     "q119_datetime_battery" -> q119Sql,
     "q109_unpivot" -> q109Sql,
