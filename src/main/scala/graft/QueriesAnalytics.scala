@@ -650,6 +650,63 @@ object QueriesAnalytics {
       |SELECT node, CAST(min(d) AS BIGINT) AS hops
       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q123
+  /** Entity resolution end to end (EntityResolution.resolve): a
+    * block-structured synthetic name per customer — the group id
+    * written TWICE (so names of different groups differ in ≥2 edits
+    * and can never fuzzy-chain across entities, unlike raw
+    * Customer#... names whose single-digit neighbors merge the whole
+    * table into one cluster) plus a per-parity spelling variant one
+    * edit away. Resolution must recover exactly the groups: match →
+    * transitive cluster → survive, census per entity. The oracle
+    * enumerates the same pairs with levenshtein and closes them with a
+    * recursive CTE (the q40 pattern). */
+  private def q123Entities(s: SparkSession, dir: String): DataFrame = {
+    val g = ((col("c_custkey") - col("c_custkey") % 10) / 10).cast("long")
+    val rows = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        concat(lit("E"), g.cast("string"), lit("."), g.cast("string"),
+          when(col("c_custkey") % 2 === 0, lit("")).otherwise(lit("x")))
+          .as("ent_name"))
+    graft.operators.EntityResolution.resolve(rows,
+        "c_custkey", "ent_name", maxDist = 1)
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("ent_name")).as("canonical_name"),
+        countDistinct(col("ent_name")).as("n_spellings"))
+      .orderBy(col("entity_id"))
+  }
+
+  private val q123Sql =
+    """WITH RECURSIVE c AS (
+      |  SELECT c_custkey,
+      |    'E' || CAST((c_custkey - c_custkey % 10) // 10 AS VARCHAR) ||
+      |    '.' || CAST((c_custkey - c_custkey % 10) // 10 AS VARCHAR) ||
+      |    CASE WHEN c_custkey % 2 = 0 THEN '' ELSE 'x' END AS ent_name
+      |  FROM customer),
+      |pairs AS (
+      |  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+      |  FROM c a JOIN c b
+      |    ON a.c_custkey < b.c_custkey
+      |   AND levenshtein(a.ent_name, b.ent_name) <= 1),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION ALL SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS node, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.src AS node, r.lbl
+      |  FROM edges e JOIN reach r ON r.node = e.dst),
+      |labels AS (SELECT node, min(lbl) AS ent FROM reach GROUP BY 1),
+      |assigned AS (
+      |  SELECT c.c_custkey, coalesce(l.ent, c.c_custkey) AS entity_id,
+      |    c.ent_name
+      |  FROM c LEFT JOIN labels l ON l.node = c.c_custkey)
+      |SELECT entity_id, count(*) AS n_members,
+      |  min(ent_name) AS canonical_name,
+      |  count(DISTINCT ent_name) AS n_spellings
+      |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- q120
   /** Per-user EWMA of event values (EventAnalytics.ewma, α = 0.25):
     * the recursive smoothing metric no window frame can express,
@@ -981,6 +1038,7 @@ object QueriesAnalytics {
     "q86_bfs" -> (q86Bfs _),
     "q116_sssp" -> (q116Sssp _),
     "q120_ewma" -> (q120Ewma _),
+    "q123_entity_resolution" -> (q123Entities _),
     "q85_interval_join" -> (q85Interval _),
     "q68_bloom_semijoin" -> (q68Bloom _),
     "q69_percentiles" -> (q69Percentiles _),
@@ -1009,6 +1067,7 @@ object QueriesAnalytics {
     "q86_bfs" -> q86Sql,
     "q116_sssp" -> q116Sql,
     "q120_ewma" -> q120Sql,
+    "q123_entity_resolution" -> q123Sql,
     "q85_interval_join" -> q85Sql,
     "q68_bloom_semijoin" -> q68Sql,
     "q69_percentiles" -> q69Sql,

@@ -125,4 +125,17 @@ class LayoutFuzzySpec extends SparkSpec {
     val df = Seq((1L, "tiny"), (2L, "tiny")).toDF("id", "grp")
     Sampling.stratifiedSample(df, "id", "grp", 10).count() shouldBe 2L
   }
+
+  test("entity resolution recovers blocks, labels singletons as themselves") {
+    import graft.operators.EntityResolution
+    // two spelling variants per entity, one distinct singleton
+    val rows = Seq(
+      (1L, "Acme Corp"), (2L, "Acme Corpx"), (3L, "Acme Corp"),
+      (10L, "Zeta LLC"), (11L, "Zeta LLCx"),
+      (99L, "Completely Different")).toDF("id", "name")
+    val got = EntityResolution.resolve(rows, "id", "name")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("entity_id")).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L)
+  }
 }
