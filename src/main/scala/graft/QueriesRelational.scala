@@ -334,6 +334,39 @@ object QueriesRelational {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // -------------------------------------------------------------- q124
+  /** Aggregate-function battery: bitwise AND/OR/XOR aggregates (the
+    * bitmap/flag-merge reductions), a sorted DISTINCT string
+    * aggregation (concat_ws over sort_array(collect_set) == DuckDB's
+    * string_agg DISTINCT ORDER BY), a sorted distinct list column, and
+    * bool_and/bool_or — closing the aggregate surface the earlier
+    * rows didn't pin. */
+  private def q124AggBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bit_and(col("l_orderkey")).as("band"),
+        bit_or(col("l_orderkey")).as("bor"),
+        bit_xor(col("l_orderkey")).as("bxor"),
+        concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
+          .as("statuses"),
+        sort_array(collect_set(col("l_linestatus"))).as("status_list"),
+        bool_and(col("l_quantity") > 0).as("all_positive"),
+        bool_or(col("l_quantity") > 49).as("any_big"))
+      .orderBy(col("l_returnflag"))
+
+  private val q124Sql =
+    """SELECT l_returnflag,
+      |  bit_and(l_orderkey) AS band,
+      |  bit_or(l_orderkey) AS bor,
+      |  bit_xor(l_orderkey) AS bxor,
+      |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+      |    AS statuses,
+      |  list_sort(list(DISTINCT l_linestatus)) AS status_list,
+      |  bool_and(l_quantity > 0) AS all_positive,
+      |  bool_or(l_quantity > 49) AS any_big
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- q122
   /** Regex-function battery over a 1-in-7 documents sample:
     * regexp_extract (group + no-match-to-'' rule), regexp_extract_all
@@ -708,6 +741,7 @@ object QueriesRelational {
     "q117_grouping_sets" -> (q117GroupingSets _),
     "q121_window_ranks" -> (q121WindowRanks _),
     "q122_regex_battery" -> (q122Regex _),
+    "q124_agg_battery" -> (q124AggBattery _),
     "q118_string_battery" -> (q118Strings _),
     "q119_datetime_battery" -> (q119Datetime _),
     "q109_unpivot" -> (q109Unpivot _),
@@ -736,6 +770,7 @@ object QueriesRelational {
     "q117_grouping_sets" -> q117Sql,
     "q121_window_ranks" -> q121Sql,
     "q122_regex_battery" -> q122Sql,
+    "q124_agg_battery" -> q124Sql,
     "q118_string_battery" -> q118Sql,
     "q119_datetime_battery" -> q119Sql,
     "q109_unpivot" -> q109Sql,
