@@ -726,9 +726,326 @@ object QueriesRelational {
       |  max(l_extendedprice) AS max_price
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------- q125
+  /** Array-lambda battery: per-order sorted quantity vectors pushed
+    * through the higher-order functions — transform, filter, zip_with,
+    * exists, forall — plus the scalar array probes (slice, reverse,
+    * distinct, contains, position, min/max, flatten). DuckDB restates
+    * the lambdas with list_transform/list_filter; zip_with(qs, 2·qs)
+    * is restated as 3·x (same values — the gate pins Spark's lambda
+    * plumbing, not the restatement); reverse of an ascending-sorted
+    * list is restated as a descending sort; array_position's
+    * 0-for-absent is coalesced (list_position yields NULL). All
+    * map-side per-group work after one grouping shuffle — the arrays
+    * are bounded by lines-per-order (≤7), not data size. */
+  private def q125ArrayBattery(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 31 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("bigint")))
+        .as("qs"))
+    base.select(
+      col("l_orderkey"),
+      col("qs"),
+      transform(col("qs"), x => x * 2).as("doubled"),
+      filter(col("qs"), x => x > 25).as("big"),
+      zip_with(col("qs"), transform(col("qs"), x => x * 2),
+        (a, b) => a + b).as("tripled"),
+      exists(col("qs"), x => x > 40).as("has_big"),
+      forall(col("qs"), x => x > 0).as("all_pos"),
+      size(col("qs")).cast("bigint").as("n"),
+      slice(col("qs"), 1, 3).as("first3"),
+      reverse(col("qs")).as("rev"),
+      array_distinct(col("qs")).as("dedup"),
+      array_contains(col("qs"), 10L).as("has10"),
+      array_position(col("qs"), 10L).as("pos10"),
+      array_max(col("qs")).as("mx"),
+      array_min(col("qs")).as("mn"),
+      flatten(array(slice(col("qs"), 1, 2), slice(col("qs"), 1, 2)))
+        .as("flat2"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  private val q125Sql =
+    """WITH base AS (
+      |  SELECT l_orderkey,
+      |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      |  FROM lineitem WHERE l_orderkey % 31 = 0 GROUP BY 1)
+      |SELECT l_orderkey, qs,
+      |  list_transform(qs, x -> x * 2) AS doubled,
+      |  list_filter(qs, x -> x > 25) AS big,
+      |  list_transform(qs, x -> x * 3) AS tripled,
+      |  len(list_filter(qs, x -> x > 40)) > 0 AS has_big,
+      |  len(list_filter(qs, x -> NOT (x > 0))) = 0 AS all_pos,
+      |  len(qs) AS n,
+      |  qs[1:3] AS first3,
+      |  list_sort(qs, 'DESC') AS rev,
+      |  list_sort(list_distinct(qs)) AS dedup,
+      |  list_contains(qs, 10) AS has10,
+      |  CAST(coalesce(list_position(qs, 10), 0) AS BIGINT) AS pos10,
+      |  list_aggregate(qs, 'max') AS mx,
+      |  list_aggregate(qs, 'min') AS mn,
+      |  qs[1:2] || qs[1:2] AS flat2
+      |FROM base ORDER BY l_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q126
+  /** Linear-regression aggregate battery (the SQL:2003 REGR_ family,
+    * identical names in both engines): slope/intercept/r2 plus the
+    * raw moment sums and population variants, grouped by returnflag.
+    * y = extendedprice regressed on x = quantity. All are one-pass
+    * mergeable aggregates (partial + final), so the plan is the same
+    * map-side-combine shape as q1 — nothing here shuffles more than
+    * 3 groups × a fixed-width moment vector at any scale. Floats meet
+    * the gate's 10-significant-digit compare; corr/covar at this
+    * magnitude were proven stable by q31. */
+  private def q126Regression(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q126Sql)
+  }
+
+  private val q126Sql =
+    """SELECT l_returnflag,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+      |    AS n_pairs,
+      |  regr_avgx(l_extendedprice, l_quantity) AS avgx,
+      |  regr_avgy(l_extendedprice, l_quantity) AS avgy,
+      |  regr_slope(l_extendedprice, l_quantity) AS slope,
+      |  regr_intercept(l_extendedprice, l_quantity) AS icept,
+      |  regr_r2(l_extendedprice, l_quantity) AS r2,
+      |  regr_sxx(l_extendedprice, l_quantity) AS sxx,
+      |  regr_syy(l_extendedprice, l_quantity) AS syy,
+      |  regr_sxy(l_extendedprice, l_quantity) AS sxy,
+      |  covar_pop(l_extendedprice, l_quantity) AS cov_p,
+      |  var_pop(l_quantity) AS var_p,
+      |  stddev_pop(l_quantity) AS sd_p
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q127
+  /** Scalar math-function battery over a 1-in-13 part sample:
+    * logs/exp/roots/powers, trig + angle conversion, sign/abs/
+    * greatest/least, floor/ceil (Spark returns BIGINT, DuckDB DOUBLE —
+    * cast both), round on an irrational (no representable halves, so
+    * the engines' half-rounding modes can't diverge), mod, bit_count,
+    * and shifts (Spark shiftleft/shiftright vs DuckDB's << >>
+    * operators). Everything is a codegen'd scalar — map-only at any
+    * scale. */
+  private def q127MathBattery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_partkey,
+        |  ln(p_retailprice) AS lnp,
+        |  log10(p_retailprice) AS l10,
+        |  exp(p_size / 10.0) AS ex,
+        |  sqrt(p_retailprice) AS sq,
+        |  cbrt(p_retailprice) AS cb,
+        |  power(p_size, 2.5) AS pw,
+        |  atan2(CAST(p_size AS DOUBLE), 7.0) AS at2,
+        |  sin(radians(p_size)) AS sn,
+        |  cos(radians(p_size)) AS cs,
+        |  degrees(atan(p_size / 10.0)) AS dg,
+        |  CAST(sign(p_size - 25) AS INT) AS sg,
+        |  CAST(abs(p_size - 25) AS INT) AS ab,
+        |  CAST(greatest(p_size, 25) AS INT) AS gt25,
+        |  CAST(least(p_size, 25) AS INT) AS lt25,
+        |  CAST(floor(p_retailprice / 100) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice / 100) AS BIGINT) AS ce,
+        |  round(sqrt(p_retailprice), 2) AS rsq,
+        |  CAST(mod(p_partkey, 7) AS BIGINT) AS md,
+        |  CAST(bit_count(p_partkey) AS INT) AS bc,
+        |  CAST(shiftleft(p_size, 2) AS INT) AS shl,
+        |  CAST(shiftright(p_partkey, 3) AS BIGINT) AS shr
+        |FROM part WHERE p_partkey % 13 = 0
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  private val q127Sql =
+    """SELECT p_partkey,
+      |  ln(p_retailprice) AS lnp,
+      |  log10(p_retailprice) AS l10,
+      |  exp(p_size / 10.0) AS ex,
+      |  sqrt(p_retailprice) AS sq,
+      |  cbrt(p_retailprice) AS cb,
+      |  power(p_size, 2.5) AS pw,
+      |  atan2(CAST(p_size AS DOUBLE), 7.0) AS at2,
+      |  sin(radians(p_size)) AS sn,
+      |  cos(radians(p_size)) AS cs,
+      |  degrees(atan(p_size / 10.0)) AS dg,
+      |  CAST(sign(p_size - 25) AS INT) AS sg,
+      |  CAST(abs(p_size - 25) AS INT) AS ab,
+      |  CAST(greatest(p_size, 25) AS INT) AS gt25,
+      |  CAST(least(p_size, 25) AS INT) AS lt25,
+      |  CAST(floor(p_retailprice / 100) AS BIGINT) AS fl,
+      |  CAST(ceil(p_retailprice / 100) AS BIGINT) AS ce,
+      |  round(sqrt(p_retailprice), 2) AS rsq,
+      |  CAST(mod(p_partkey, 7) AS BIGINT) AS md,
+      |  CAST(bit_count(p_partkey) AS INT) AS bc,
+      |  CAST(p_size << 2 AS INT) AS shl,
+      |  CAST(p_partkey >> 3 AS BIGINT) AS shr
+      |FROM part WHERE p_partkey % 13 = 0
+      |ORDER BY p_partkey""".stripMargin
+
+  // -------------------------------------------------------------- q128
+  /** Parquet schema evolution: two writers land different column
+    * subsets of orders under one table root (hive-style src=a / src=b
+    * partition dirs), and a mergeSchema read unifies them — missing
+    * columns come back NULL, the partition column is recovered from
+    * the path. This is the 100 TB table-evolution contract: adding a
+    * column never rewrites old files; readers merge footers, they
+    * don't migrate data. Oracle restates the union of projections
+    * directly over orders. */
+  private def q128SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val orders = t(s, dir, "orders").filter(col("o_orderkey") % 19 === 0)
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").parquet(root + "/src=a")
+    orders.select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(root + "/src=b")
+    s.read.option("mergeSchema", "true").option("basePath", root)
+      .parquet(root + "/src=a", root + "/src=b")
+      .select(col("src"), col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      .orderBy(col("src"), col("o_orderkey"))
+  }
+
+  private val q128Sql =
+    """SELECT 'a' AS src, o_orderkey, o_custkey,
+      |  CAST(NULL AS DOUBLE) AS o_totalprice
+      |FROM orders WHERE o_orderkey % 19 = 0
+      |UNION ALL
+      |SELECT 'b', o_orderkey, CAST(NULL AS BIGINT), o_totalprice
+      |FROM orders WHERE o_orderkey % 19 = 0
+      |ORDER BY src, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q129
+  /** Multiset set operations — INTERSECT ALL / EXCEPT ALL / UNION ALL
+    * cardinalities (q21 pins the DISTINCT variants). Operands are the
+    * supplier-key bags of low-quantity vs high-quantity line items,
+    * chosen so both sides carry real duplicates. The oracle restates
+    * bag semantics arithmetically (Σ min(ca,cb) for intersect,
+    * Σ max(ca−cb,0) for except) rather than trusting the other
+    * engine's ALL support — the restatement IS the semantic spec. */
+  private def q129SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_quantity") < 5).select(col("l_suppkey").as("k"))
+    val b = li.filter(col("l_quantity") > 45).select(col("l_suppkey").as("k"))
+    val e = a.exceptAll(b).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("except_all"))
+    val i = a.intersectAll(b).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("intersect_all"))
+    val u = a.unionAll(b).agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("union_all"))
+    e.unionAll(i).unionAll(u)
+      .select(col("tag"), col("n")).orderBy(col("tag"))
+  }
+
+  private val q129Sql =
+    """WITH a AS (SELECT l_suppkey AS k, count(*) AS ca FROM lineitem
+      |           WHERE l_quantity < 5 GROUP BY 1),
+      |     b AS (SELECT l_suppkey AS k, count(*) AS cb FROM lineitem
+      |           WHERE l_quantity > 45 GROUP BY 1)
+      |SELECT 'except_all' AS tag,
+      |  CAST(coalesce(sum(CASE WHEN ca > coalesce(cb, 0)
+      |    THEN ca - coalesce(cb, 0) ELSE 0 END), 0) AS BIGINT) AS n
+      |FROM a LEFT JOIN b USING (k)
+      |UNION ALL
+      |SELECT 'intersect_all',
+      |  CAST(coalesce(sum(least(ca, cb)), 0) AS BIGINT)
+      |FROM a JOIN b USING (k)
+      |UNION ALL
+      |SELECT 'union_all',
+      |  (SELECT count(*) FROM lineitem WHERE l_quantity < 5)
+      |    + (SELECT count(*) FROM lineitem WHERE l_quantity > 45)
+      |ORDER BY tag""".stripMargin
+
+  // -------------------------------------------------------------- q130
+  /** Equi-width histogram via Spark's width_bucket, with computed
+    * bucket edges and in-bucket extrema. DuckDB restates the floor
+    * arithmetic — for in-range positive inputs the two definitions
+    * coincide and overflow lands in bucket n+1 on both forms, which
+    * the oracle's least(...) clamp mirrors. One grouped aggregate:
+    * map-side combine into ≤13 buckets at any scale. (Equi-depth is
+    * deliberately NOT a global ntile here — q121 pins ntile semantics
+    * partitioned; global quantile boundaries at scale come from the
+    * distributed Quantiles operator, q77.) */
+  private def q130Histogram(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT
+        |  CAST(width_bucket(o_totalprice, 0, 600000, 12) AS INT)
+        |    AS bucket,
+        |  CAST((width_bucket(o_totalprice, 0, 600000, 12) - 1) * 50000
+        |    AS DOUBLE) AS edge_lo,
+        |  CAST(width_bucket(o_totalprice, 0, 600000, 12) * 50000
+        |    AS DOUBLE) AS edge_hi,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1, 2, 3
+        |ORDER BY bucket""".stripMargin)
+  }
+
+  private val q130Sql =
+    """WITH b AS (SELECT o_totalprice,
+      |    CAST(least(floor(o_totalprice / 50000) + 1, 13) AS INT)
+      |      AS bucket
+      |  FROM orders)
+      |SELECT bucket,
+      |  CAST((bucket - 1) * 50000 AS DOUBLE) AS edge_lo,
+      |  CAST(bucket * 50000 AS DOUBLE) AS edge_hi,
+      |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM b GROUP BY 1, 2, 3
+      |ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------- q131
+  /** Compression-codec matrix: the same lineitem slice written as
+    * parquet under snappy, gzip, zstd, and lz4, read back and
+    * aggregated — every codec must round-trip bit-identically (the
+    * oracle is one aggregate over the source crossed with the codec
+    * list). Money sums use the q91-proven decimal pattern so the
+    * comparison is exact, not float-tolerant. Codec choice is a 100 TB
+    * cost lever (zstd ~2× smaller than snappy at similar scan speed);
+    * this row proves all four paths are wired and lossless. */
+  private def q131Codecs(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_codec").toString
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 11 === 0)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val codecs = Seq("gzip", "lz4", "snappy", "zstd")
+    codecs.foreach { c =>
+      li.write.mode("overwrite").option("compression", c)
+        .parquet(root + "/" + c)
+    }
+    codecs.map { c =>
+      t(s, dir, "lineitem").sparkSession.read.parquet(root + "/" + c)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_qty"),
+          sum(round(col("l_extendedprice"), 2).cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_price"))
+        .withColumn("codec", lit(c))
+    }.reduce(_ unionAll _)
+      .select(col("codec"), col("n"), col("sum_qty"), col("sum_price"))
+      .orderBy(col("codec"))
+  }
+
+  private val q131Sql =
+    """WITH agg AS (SELECT count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      |      AS sum_qty,
+      |    CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+      |      AS DECIMAL(38,2)) AS sum_price
+      |  FROM lineitem WHERE l_orderkey % 11 = 0)
+      |SELECT c.codec, agg.n, agg.sum_qty, agg.sum_price
+      |FROM (VALUES ('gzip'), ('lz4'), ('snappy'), ('zstd')) c(codec), agg
+      |ORDER BY c.codec""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_array_battery" -> (q125ArrayBattery _),
+    "q126_regression_battery" -> (q126Regression _),
+    "q127_math_battery" -> (q127MathBattery _),
+    "q128_schema_evolution" -> (q128SchemaEvolution _),
+    "q129_setops_all" -> (q129SetOpsAll _),
+    "q130_histogram" -> (q130Histogram _),
+    "q131_codec_matrix" -> (q131Codecs _),
     "q96_incremental_agg" -> (q96Incremental _),
     "q96a_incr_count" -> (q96aCount _),
     "q96b_incr_sum" -> (q96bSum _),
@@ -758,6 +1075,13 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q125_array_battery" -> q125Sql,
+    "q126_regression_battery" -> q126Sql,
+    "q127_math_battery" -> q127Sql,
+    "q128_schema_evolution" -> q128Sql,
+    "q129_setops_all" -> q129Sql,
+    "q130_histogram" -> q130Sql,
+    "q131_codec_matrix" -> q131Sql,
     "q96_incremental_agg" -> q96Sql,
     "q96a_incr_count" -> q96aSql,
     "q96b_incr_sum" -> q96bSql,
