@@ -1013,7 +1013,7 @@ object QueriesRelational {
         .parquet(root + "/" + c)
     }
     codecs.map { c =>
-      t(s, dir, "lineitem").sparkSession.read.parquet(root + "/" + c)
+      s.read.parquet(root + "/" + c)
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)"))
             .cast("decimal(38,2)").as("sum_qty"),

@@ -152,7 +152,11 @@ object EventAnalytics {
   /** Exponentially weighted moving average per entity — the smoothing
     * primitive behind drift/anomaly monitors: s_1 = x_1,
     * s_t = α·x_t + (1−α)·s_{t−1} over the entity's series in
-    * (tsCol, tieCol) order. Computed as ONE deterministic left fold
+    * (tsCol, tieCol, value) order — the value itself is the final
+    * sort key, so the fold order stays fully deterministic even when
+    * (tsCol, tieCol) pairs repeat (callers wanting a different
+    * duplicate-timestamp policy should pass a unique tieCol, as q120
+    * does with event_id). Computed as ONE deterministic left fold
     * over the entity's sorted value list (`aggregate` with the first
     * element as init), so the IEEE operation sequence is fixed — the
     * same fold DuckDB's list_reduce runs, giving bit-identical results
