@@ -350,7 +350,57 @@ object QueriesQuality {
       |  CAST(n_ok AS DOUBLE) / CAST(n_rows AS DOUBLE) >= 1.0 AS pass
       |FROM rows_ ORDER BY check_name""".stripMargin
 
+  // -------------------------------------------------------------- q132
+  /** DSIR importance scoring (Xie et al. 2023): every document scored
+    * by log w = Σ [ln p_target(bigram) − ln p_raw(bigram)], target =
+    * the English subset, raw = the whole corpus (Laplace smoothing
+    * over the raw bigram vocabulary). The `selected` verdict uses a
+    * threshold sitting in a measured 0.149-wide gap of the sf0.01
+    * score distribution (between −2.541 and −2.392; ~358 of 500 docs
+    * select), so cross-engine float noise of ~1e-12 can never flip
+    * it — the LmNoiseTau trick. Cross-engine rank/top-k selection is
+    * deliberately NOT gated (float ranks are only bit-stable within
+    * one engine); `ImportanceScoring.selectTopK` is spec-pinned
+    * instead. */
+  private val DsirTau = -2.46
+
+  private def q132Dsir(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ImportanceScoring
+      .dsirScores(docs(s, dir), "doc_id", "text", col("lang") === "en")
+      .withColumn("selected", col("logw") > lit(DsirTau))
+      .orderBy(col("doc_id"))
+
+  private val q132Sql =
+    s"""WITH nrm AS (
+       |  SELECT doc_id, lang,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |      'g'), ' ') AS tk
+       |  FROM documents),
+       |bg0 AS (
+       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(tk)),
+       |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+       |  FROM nrm WHERE len(tk) >= 2),
+       |bg AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+       |rc AS (SELECT w1, w2, count(*) AS c_r FROM bg GROUP BY 1, 2),
+       |tc AS (SELECT w1, w2, count(*) AS c_t FROM bg
+       |       WHERE lang = 'en' GROUP BY 1, 2),
+       |sc AS (SELECT (SELECT count(*) FROM bg) AS n_r,
+       |         (SELECT count(*) FROM bg WHERE lang = 'en') AS n_t,
+       |         (SELECT count(*) FROM rc) AS v),
+       |lp AS (
+       |  SELECT bg.doc_id,
+       |    ln((coalesce(tc.c_t, 0) + 1.0) / (sc.n_t + sc.v))
+       |      - ln((rc.c_r + 1.0) / (sc.n_r + sc.v)) AS lnr
+       |  FROM bg JOIN rc USING (w1, w2) LEFT JOIN tc USING (w1, w2)
+       |  CROSS JOIN sc)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  list_aggregate(list_sort(list(lnr)), 'sum') AS logw,
+       |  list_aggregate(list_sort(list(lnr)), 'sum') > $DsirTau
+       |    AS selected
+       |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_dsir" -> (q132Dsir _),
     "q93_expectations" -> (q93Expectations _),
     "q54_quality_repetition" -> (q54Repetition _),
     "q55_pii_redact" -> (q55Pii _),
@@ -360,6 +410,7 @@ object QueriesQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q132_dsir" -> q132Sql,
     "q93_expectations" -> q93Sql,
     "q54_quality_repetition" -> q54Sql,
     "q55_pii_redact" -> q55Sql,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.AsOfJoin
 
@@ -1036,9 +1036,178 @@ object QueriesRelational {
       |FROM (VALUES ('gzip'), ('lz4'), ('snappy'), ('zstd')) c(codec), agg
       |ORDER BY c.codec""".stripMargin
 
+  // -------------------------------------------------------------- q133
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nullable
+    * keys are planted on both sides (every 10th supplier key nulled),
+    * then three cardinalities pin the semantics — the null-safe join
+    * matches NULL with NULL, the plain equi-join drops them, and the
+    * NULL×NULL block accounts for exactly the difference. Spark plans
+    * `<=>` as a proper equi-join key (coalesce-wrapped, sort-merge /
+    * hash — never a cartesian); the NULL-pair count is the product of
+    * two global aggregates, broadcast-crossed. */
+  private def q133NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def nullable(c: Column): Column =
+      when(col("l_suppkey") % 10 === 0, lit(null)).otherwise(c)
+    val a = li.filter(col("l_orderkey") % 23 === 0)
+      .select(nullable(col("l_suppkey")).as("ka"))
+    val b = li.filter(col("l_orderkey") % 29 === 0)
+      .select(nullable(col("l_suppkey")).as("kb"))
+    val nullSafe = a.join(b, a("ka") <=> b("kb"))
+      .agg(count(lit(1)).as("n_nullsafe"))
+    val equi = a.join(b, a("ka") === b("kb"))
+      .agg(count(lit(1)).as("n_equi"))
+    val nullPairs = a.filter(col("ka").isNull)
+      .agg(count(lit(1)).as("__na"))
+      .crossJoin(broadcast(
+        b.filter(col("kb").isNull).agg(count(lit(1)).as("__nb"))))
+      .select((col("__na") * col("__nb")).as("n_null_pairs"))
+    nullSafe.crossJoin(broadcast(equi)).crossJoin(broadcast(nullPairs))
+      .select(col("n_nullsafe"), col("n_equi"), col("n_null_pairs"))
+  }
+
+  private val q133Sql =
+    """WITH a AS (SELECT CASE WHEN l_suppkey % 10 = 0 THEN NULL
+      |             ELSE l_suppkey END AS ka
+      |           FROM lineitem WHERE l_orderkey % 23 = 0),
+      |     b AS (SELECT CASE WHEN l_suppkey % 10 = 0 THEN NULL
+      |             ELSE l_suppkey END AS kb
+      |           FROM lineitem WHERE l_orderkey % 29 = 0)
+      |SELECT
+      |  (SELECT count(*) FROM a JOIN b ON ka IS NOT DISTINCT FROM kb)
+      |    AS n_nullsafe,
+      |  (SELECT count(*) FROM a JOIN b ON ka = kb) AS n_equi,
+      |  (SELECT count(*) FROM a WHERE ka IS NULL)
+      |    * (SELECT count(*) FROM b WHERE kb IS NULL) AS n_null_pairs""".stripMargin
+
+  // -------------------------------------------------------------- q134
+  /** NULL-handling aggregate battery over synthesized NULLs (nullif):
+    * count(col) vs count(*) (NULL skip), an all-NULL group's sum
+    * (NULL, not 0), avg over the non-NULL subset, max's NULL skip,
+    * count(DISTINCT) ignoring NULLs, and IS NOT DISTINCT FROM as a
+    * value expression. The whole row is one grouped aggregate —
+    * map-side combined, 5 groups. */
+  private def q134NullBattery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(q134Sql)
+  }
+
+  private val q134Sql =
+    """SELECT n_regionkey,
+      |  count(*) AS n_all,
+      |  CAST(count(nullif(n_nationkey % 3, 0)) AS BIGINT) AS n_nonnull,
+      |  CAST(sum(CASE WHEN n_nationkey < 0 THEN n_nationkey END)
+      |    AS BIGINT) AS all_null_sum,
+      |  avg(nullif(n_nationkey % 5, 0)) AS avg_skip,
+      |  max(nullif(n_name, 'FRANCE')) AS mx_name,
+      |  CAST(count(DISTINCT nullif(n_nationkey % 3, 0)) AS BIGINT)
+      |    AS nd,
+      |  CAST(sum(CASE WHEN n_nationkey % 4 IS NOT DISTINCT FROM
+      |    nullif(n_nationkey % 4, 3) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_same
+      |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q135
+  /** Explode battery: posexplode (0-based position column) and
+    * explode_outer (empty array → one NULL row, the left-join shape
+    * of UNNEST) over per-order quantity vectors. DuckDB restates
+    * posexplode as a comma-LATERAL over range(len(qs)) and
+    * explode_outer by substituting [NULL] for the empty list. NULL
+    * ordering is pinned explicitly (NULLS FIRST) because the engines'
+    * defaults differ. Map-only after the grouping shuffle. */
+  private def q135ExplodeBattery(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 37 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("bigint")))
+        .as("qs"))
+    val pos = base
+      .select(col("l_orderkey"), posexplode(col("qs")))
+      .select(lit("pos").as("tag"), col("l_orderkey"),
+        col("pos").cast("int").as("pos"), col("col").as("val"))
+    val outer = base
+      .select(col("l_orderkey"),
+        explode_outer(filter(col("qs"), x => x > 45)).as("val"))
+      .select(lit("outer").as("tag"), col("l_orderkey"),
+        lit(-1).as("pos"), col("val"))
+    pos.unionAll(outer)
+      .orderBy(col("tag"), col("l_orderkey"), col("pos"),
+        col("val").asc_nulls_first)
+  }
+
+  private val q135Sql =
+    """WITH base AS (
+      |  SELECT l_orderkey,
+      |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      |  FROM lineitem WHERE l_orderkey % 37 = 0 GROUP BY 1),
+      |pos AS (
+      |  SELECT 'pos' AS tag, l_orderkey, CAST(p.i AS INT) AS pos,
+      |    p.v AS val
+      |  FROM (SELECT l_orderkey, unnest(list_transform(qs,
+      |          (x, i) -> struct_pack(i := i - 1, v := x))) AS p
+      |        FROM base)),
+      |outr AS (
+      |  SELECT 'outer' AS tag, l_orderkey, -1 AS pos,
+      |    unnest(CASE WHEN len(list_filter(qs, x -> x > 45)) = 0
+      |           THEN [CAST(NULL AS BIGINT)]
+      |           ELSE list_filter(qs, x -> x > 45) END) AS val
+      |  FROM base)
+      |SELECT tag, l_orderkey, pos, val FROM pos
+      |UNION ALL
+      |SELECT tag, l_orderkey, pos, val FROM outr
+      |ORDER BY tag, l_orderkey, pos, val ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------- q136
+  /** Timestamp-difference battery: timestampdiff in DAY/HOUR/MINUTE/
+    * SECOND (complete units, truncation toward ZERO — the DuckDB
+    * restatement subtracts the dividend-signed remainder before
+    * dividing, so negative ship-before-order gaps keep trunc
+    * semantics even though `//` floors), date_add days, epoch
+    * seconds, and date_format vs strftime. Map-only over the
+    * order×line join sample. */
+  private def q136TimestampDiff(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT o_orderkey, l_linenumber,
+        |  CAST(timestampdiff(DAY, o_orderdate, l_shipdate) AS BIGINT)
+        |    AS dd,
+        |  CAST(timestampdiff(HOUR, o_orderdate, l_shipdate) AS BIGINT)
+        |    AS dh,
+        |  CAST(timestampdiff(MINUTE, o_orderdate, l_shipdate) AS BIGINT)
+        |    AS dm,
+        |  CAST(timestampdiff(SECOND, o_orderdate, l_shipdate) AS BIGINT)
+        |    AS ds,
+        |  date_add(CAST(o_orderdate AS DATE), 30) AS plus30,
+        |  CAST(unix_timestamp(o_orderdate) AS BIGINT) AS epoch_s,
+        |  date_format(o_orderdate, 'yyyy-MM-dd HH:mm') AS fmt
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey % 83 = 0
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin)
+  }
+
+  private val q136Sql =
+    """SELECT o_orderkey, l_linenumber,
+      |  CAST((d - (d % 86400000000)) // 86400000000 AS BIGINT) AS dd,
+      |  CAST((d - (d % 3600000000)) // 3600000000 AS BIGINT) AS dh,
+      |  CAST((d - (d % 60000000)) // 60000000 AS BIGINT) AS dm,
+      |  CAST((d - (d % 1000000)) // 1000000 AS BIGINT) AS ds,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |  epoch_us(o_orderdate) // 1000000 AS epoch_s,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M') AS fmt
+      |FROM (SELECT o_orderkey, l_linenumber, o_orderdate,
+      |        epoch_us(l_shipdate) - epoch_us(o_orderdate) AS d
+      |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |      WHERE o_orderkey % 83 = 0)
+      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_nullsafe_join" -> (q133NullSafeJoin _),
+    "q134_null_battery" -> (q134NullBattery _),
+    "q135_explode_battery" -> (q135ExplodeBattery _),
+    "q136_timestampdiff" -> (q136TimestampDiff _),
     "q125_array_battery" -> (q125ArrayBattery _),
     "q126_regression_battery" -> (q126Regression _),
     "q127_math_battery" -> (q127MathBattery _),
@@ -1075,6 +1244,10 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q133_nullsafe_join" -> q133Sql,
+    "q134_null_battery" -> q134Sql,
+    "q135_explode_battery" -> q135Sql,
+    "q136_timestampdiff" -> q136Sql,
     "q125_array_battery" -> q125Sql,
     "q126_regression_battery" -> q126Sql,
     "q127_math_battery" -> q127Sql,

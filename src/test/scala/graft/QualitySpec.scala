@@ -242,4 +242,39 @@ class QualitySpec extends SparkSpec {
       .collect()
     out.map(_.getLong(0)).toSeq shouldBe Seq(1L)
   }
+
+  test("DSIR: target-like docs outscore off-target docs") {
+    import graft.operators.ImportanceScoring
+    // target dialect says "alpha beta", off-target says "zeta yota";
+    // a fresh raw doc written in the target dialect must score above
+    // one written in the off-target dialect
+    val docs = (
+      (1L to 10L).map(i => (i, "alpha beta alpha beta alpha", true)) ++
+      (11L to 20L).map(i => (i, "zeta yota zeta yota zeta", false)) ++
+      Seq((100L, "alpha beta alpha beta", false),
+          (101L, "zeta yota zeta yota", false))
+    ).toDF("doc_id", "text", "is_t")
+    val s = ImportanceScoring
+      .dsirScores(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    s(100L) should be > s(101L)
+    s(100L) should be > 0.0 // target-like: p_t > p_r on its bigrams
+    s(101L) should be < 0.0
+  }
+
+  test("DSIR: selectTopK keeps the k best with id tiebreak") {
+    import graft.operators.ImportanceScoring
+    val docs = (
+      (1L to 5L).map(i => (i, "alpha beta alpha", true)) ++
+      Seq((10L, "alpha beta alpha", false), // ties doc 11 exactly
+          (11L, "alpha beta alpha", false),
+          (12L, "zeta yota zeta", false))
+    ).toDF("doc_id", "text", "is_t")
+    val scores = ImportanceScoring
+      .dsirScores(docs, "doc_id", "text", col("is_t"))
+    val top = ImportanceScoring.selectTopK(
+        scores.filter(col("doc_id") >= 10L), 2)
+      .collect().map(_.getLong(0)).toSeq
+    top shouldBe Seq(10L, 11L) // equal scores -> smaller id first
+  }
 }
