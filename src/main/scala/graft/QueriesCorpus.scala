@@ -697,9 +697,106 @@ object QueriesCorpus {
       |FROM est e LEFT JOIN exact x ON x.l_partkey = e.p_partkey
       |ORDER BY e.p_partkey""".stripMargin
 
+  // -------------------------------------------------------------- q137
+  /** Pairwise source-overlap matrix: distinct word-3-gram containment
+    * between every pair of sources (`CorpusOverlap.sourceOverlap`) —
+    * the "which crawls are near-copies" corpus-analytics view. The
+    * inverted-index self-join's per-gram fan-out is bounded by
+    * (#sources choose 2), independent of corpus size. The sf0.01
+    * corpus shares 3-grams across all 190 pairs, so every cell gates
+    * real values. */
+  private def q137SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOverlap
+      .sourceOverlap(docs(s, dir), "source", "text", n = 3)
+      .orderBy(col("s1"), col("s2"))
+
+  private val q137Sql =
+    """WITH nrm AS (
+      |  SELECT source,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+      |      'g'), ' ') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source, unnest(list_transform(
+      |    range(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      |  FROM nrm WHERE len(tk) >= 3),
+      |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s1, s2, n_shared, x.n AS n_s1, y.n AS n_s2,
+      |  CAST(n_shared AS DOUBLE) / least(x.n, y.n) AS containment
+      |FROM pairs JOIN sizes x ON x.source = s1
+      |           JOIN sizes y ON y.source = s2
+      |ORDER BY s1, s2""".stripMargin
+
+  // -------------------------------------------------------------- q138
+  /** CCNet-style perplexity-bucketed mixing census: every doc's
+    * bigram-LM score (the q60 metric) is bucketed head/middle/tail
+    * and crossed with language — the table a mixture designer samples
+    * from ("keep all head, half of middle, drop tail"; Wenzek et al.
+    * 2020 §4.3). Thresholds sit in measured ~7e-4-wide gaps of the
+    * sf0.01 score distribution (ranks 193/334 of 500), nine orders of
+    * magnitude above cross-engine float noise, so no doc can change
+    * bucket between engines. */
+  private def q138CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scores = graft.operators.LanguageModel
+      .scoreDocs(docs(s, dir), "doc_id", "text")
+    val bucket = when(col("score") < 3.3785, "head")
+      .when(col("score") < 3.399, "middle").otherwise("tail")
+    docs(s, dir).select(col("doc_id"), col("lang"))
+      .join(scores, Seq("doc_id"))
+      .groupBy(col("lang"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).cast("bigint").as("n_bigrams"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private val q138Sql =
+    """WITH norm AS (
+      |  SELECT doc_id, t, string_split(t, ' ') AS tk
+      |  FROM (SELECT doc_id,
+      |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |        FROM documents)),
+      |bg0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+      |  FROM norm WHERE len(tk) >= 2),
+      |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+      |bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+      |hc AS (SELECT w1, count(*) AS c_h FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(tk) AS w FROM norm)),
+      |lp AS (
+      |  SELECT bg.doc_id, ln((bgc.c_bg + 1.0) / (hc.c_h + v.v)) AS lnp
+      |  FROM bg JOIN bgc USING (w1, w2) JOIN hc USING (w1)
+      |  CROSS JOIN v),
+      |scores AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    -list_aggregate(list_sort(list(lnp)), 'sum') / count(*)
+      |      AS score
+      |  FROM lp GROUP BY 1),
+      |bucketed AS (
+      |  SELECT d.lang,
+      |    CASE WHEN s.score < 3.3785 THEN 'head'
+      |         WHEN s.score < 3.399 THEN 'middle'
+      |         ELSE 'tail' END AS bucket,
+      |    s.n_bigrams, s.score
+      |  FROM documents d JOIN scores s USING (doc_id))
+      |SELECT lang, bucket, count(*) AS n_docs,
+      |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+      |  min(score) AS min_score, max(score) AS max_score
+      |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_source_overlap" -> (q137SourceOverlap _),
+    "q138_ccnet_buckets" -> (q138CcnetBuckets _),
     "q89_sketch_hll" -> (q89Hll _),
     "q90_weighted_sample" -> (q90Weighted _),
     "q83_bm25" -> (q83Bm25 _),
@@ -721,6 +818,8 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_source_overlap" -> q137Sql,
+    "q138_ccnet_buckets" -> q138Sql,
     "q89_sketch_hll" -> q89Sql,
     "q90_weighted_sample" -> q90Sql,
     "q83_bm25" -> q83Sql,

@@ -1201,9 +1201,105 @@ object QueriesRelational {
       |      WHERE o_orderkey % 83 = 0)
       |ORDER BY o_orderkey, l_linenumber""".stripMargin
 
+  // -------------------------------------------------------------- q139
+  /** Join-strategy hint battery: the same orders⋈customer join forced
+    * through BROADCAST, SHUFFLE_HASH, and MERGE hints must produce
+    * identical cardinalities (the oracle is ONE plain join crossed
+    * with the strategy list). JoinHintSpec pins that each hint
+    * actually lands its physical operator — this row pins that
+    * strategy choice never changes results. At 100 TB the hints are
+    * the manual override lane when AQE's estimates miss (a dim just
+    * over the broadcast threshold, a build side AQE can't see is
+    * small). */
+  private def q139JoinHints(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+    val c = t(s, dir, "customer")
+    def joined(hinted: DataFrame, tag: String): DataFrame =
+      o.join(hinted, o("o_custkey") === hinted("c_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("strategy", lit(tag))
+    joined(broadcast(c), "broadcast")
+      .unionAll(joined(c.hint("merge"), "merge"))
+      .unionAll(joined(c.hint("shuffle_hash"), "shuffle_hash"))
+      .select(col("strategy"), col("n")).orderBy(col("strategy"))
+  }
+
+  private val q139Sql =
+    """WITH j AS (SELECT count(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderkey % 7 = 0)
+      |SELECT t.strategy, j.n
+      |FROM (VALUES ('broadcast'), ('merge'), ('shuffle_hash'))
+      |  t(strategy), j
+      |ORDER BY t.strategy""".stripMargin
+
+  // -------------------------------------------------------------- q140
+  /** Time travel over a versioned table (`operators/VersionedTable`):
+    * three commits — a base snapshot, a mutated snapshot (delete +
+    * flat price bump — additive so round(·,2) is tie-free in both engines), an appended snapshot — then every version is read
+    * back PINNED and aggregated. Version dirs are immutable and appear
+    * atomically (stage → rename, live iff _SUCCESS), so a pinned
+    * reader is immune to later commits — the reproducible-
+    * training-snapshot contract. The oracle recomputes all three
+    * states straight from orders. */
+  private def q140TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_tt")
+      .resolve("orders_v").toString
+    val base = t(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val v0 = VersionedTable.commit(base, root)
+    val v1 = VersionedTable.commit(
+      VersionedTable.read(s, root, Some(v0))
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0), root)
+    val v2 = VersionedTable.commit(
+      VersionedTable.read(s, root, Some(v1)).unionAll(
+        t(s, dir, "orders").filter(col("o_orderkey") % 13 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))), root)
+    Seq(v0, v1, v2).map { v =>
+      VersionedTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_price"))
+        .withColumn("version", lit(v))
+    }.reduce(_ unionAll _)
+      .select(col("version"), col("n"), col("sum_price"))
+      .orderBy(col("version"))
+  }
+
+  private val q140Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 13 = 0),
+      |mut AS (
+      |  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice
+      |  FROM base WHERE o_orderkey % 3 != 0),
+      |app AS (
+      |  SELECT o_orderkey, o_totalprice FROM mut
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 13 = 1),
+      |agg AS (
+      |  SELECT 0 AS version, count(*) AS n,
+      |    CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+      |      AS DECIMAL(38,2)) AS sum_price FROM base
+      |  UNION ALL
+      |  SELECT 1, count(*),
+      |    CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+      |      AS DECIMAL(38,2)) FROM mut
+      |  UNION ALL
+      |  SELECT 2, count(*),
+      |    CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+      |      AS DECIMAL(38,2)) FROM app)
+      |SELECT CAST(version AS INT) AS version, n, sum_price
+      |FROM agg ORDER BY version""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_join_hints" -> (q139JoinHints _),
+    "q140_time_travel" -> (q140TimeTravel _),
     "q133_nullsafe_join" -> (q133NullSafeJoin _),
     "q134_null_battery" -> (q134NullBattery _),
     "q135_explode_battery" -> (q135ExplodeBattery _),
@@ -1244,6 +1340,8 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_join_hints" -> q139Sql,
+    "q140_time_travel" -> q140Sql,
     "q133_nullsafe_join" -> q133Sql,
     "q134_null_battery" -> q134Sql,
     "q135_explode_battery" -> q135Sql,

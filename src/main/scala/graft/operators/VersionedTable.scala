@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Versioned parquet table with time travel — the snapshot-isolation
+  * layer table formats (Delta/Iceberg) build with manifest files,
+  * realized here with the same directory-rename commit point as
+  * `ParquetTable.overwriteAtomic` (reference analogue: the PostgreSQL
+  * transaction the reference delegates every write to —
+  * /root/reference/etl/etl.py:222-233 — generalized to named
+  * snapshots instead of one mutable table).
+  *
+  * Layout: `<root>/v=N/` one immutable snapshot per commit. A version
+  * is LIVE iff its directory contains the `_SUCCESS` marker Spark
+  * writes on job completion; commits stage to `v=N__staging` and
+  * rename, so a version directory appears atomically and a crash
+  * mid-write leaves only an invisible staging dir (swept by vacuum).
+  * No mutable "latest" pointer exists to corrupt: the current version
+  * is max(live N), a pure read-side rule, so readers and writers never
+  * race on a marker file. (On object stores without atomic rename the
+  * commit point must move into a manifest write — same protocol, same
+  * read rule, documented trade as ParquetTable.)
+  *
+  * Readers pin a snapshot by number and are immune to later commits —
+  * time travel, reproducible training-data snapshots, and safe
+  * concurrent readers during compaction all fall out of immutability.
+  *
+  * Scale: a commit writes only its own snapshot (full or derived);
+  * version listing is one directory scan (O(versions), not O(files) —
+  * each version adds one dir); vacuum deletes whole version dirs.
+  */
+object VersionedTable {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Live version numbers, ascending (dirs with a _SUCCESS marker). */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val f = fs(spark, root)
+    val r = new Path(root)
+    if (!f.exists(r)) Seq.empty
+    else f.listStatus(r).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => !s.getPath.getName.contains("__staging"))
+      .filter(s => f.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toInt)
+      .sorted
+  }
+
+  /** Commit `df` as the next snapshot; returns its version number.
+    * Stage-then-rename: the snapshot becomes visible atomically, and
+    * only with its _SUCCESS marker (a crashed write never surfaces).
+    * A lost rename race (concurrent committer took N) retries at the
+    * next number. */
+  def commit(df: DataFrame, root: String): Int = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    f.mkdirs(new Path(root))
+    var attempt = versions(spark, root).lastOption.getOrElse(-1) + 1
+    while (true) {
+      val stage = new Path(root, s"v=${attempt}__staging")
+      f.delete(stage, true)
+      df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      if (f.rename(stage, new Path(root, s"v=$attempt"))) return attempt
+      f.delete(stage, true) // lost the race; someone committed v=N
+      attempt += 1
+    }
+    attempt
+  }
+
+  /** Read a pinned snapshot (time travel), or the latest when
+    * `version` is None. Throws on an empty table or a missing/dead
+    * version — reading a never-committed snapshot is a caller bug,
+    * not an empty frame. */
+  def read(spark: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val live = versions(spark, root)
+    require(live.nonEmpty, s"no committed versions under $root")
+    val v = version.getOrElse(live.last)
+    require(live.contains(v),
+      s"version $v not live under $root (live: ${live.mkString(",")})")
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  /** Drop all but the newest `keepLast` snapshots and sweep any
+    * leftover staging dirs. Returns the dropped version numbers.
+    * Readers pinned to a dropped version fail fast on next read —
+    * retention is the caller's contract, exactly as in Delta VACUUM. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast ($keepLast) must be >= 1")
+    val f = fs(spark, root)
+    val live = versions(spark, root)
+    val drop = live.dropRight(keepLast)
+    drop.foreach(v => f.delete(new Path(root, s"v=$v"), true))
+    // crashed commits leave only staging dirs — invisible, but sweep
+    if (f.exists(new Path(root)))
+      f.listStatus(new Path(root)).toSeq
+        .filter(_.getPath.getName.contains("__staging"))
+        .foreach(s => f.delete(s.getPath, true))
+    drop
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VersionedTable
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_vt")
+      .resolve("tbl").toString
+
+  test("commit numbers versions sequentially; read pins snapshots") {
+    val root = freshRoot()
+    val v0 = VersionedTable.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    val v1 = VersionedTable.commit(Seq((1, "a2")).toDF("k", "v"), root)
+    (v0, v1) shouldBe (0, 1)
+    VersionedTable.versions(spark, root) shouldBe Seq(0, 1)
+    // pinned reader sees the OLD snapshot unchanged after later commits
+    VersionedTable.read(spark, root, Some(0)).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq shouldBe
+      Seq((1, "a"), (2, "b"))
+    // latest = max live version
+    VersionedTable.read(spark, root).collect()
+      .map(_.getString(1)).toSeq shouldBe Seq("a2")
+  }
+
+  test("a reader's frame is immune to commits made after it was pinned") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1, 2, 3).toDF("x"), root)
+    val pinned = VersionedTable.read(spark, root, Some(0))
+    VersionedTable.commit(Seq(9).toDF("x"), root)
+    pinned.agg(sum($"x")).head().getLong(0) shouldBe 6L
+  }
+
+  test("missing/dead versions fail fast; empty table fails fast") {
+    val root = freshRoot()
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root)
+    }
+    VersionedTable.commit(Seq(1).toDF("x"), root)
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(7))
+    }
+  }
+
+  test("crashed commit (staging dir, no _SUCCESS rename) is invisible") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1).toDF("x"), root)
+    // simulate a crash: a staging dir that never got renamed
+    val stage = new java.io.File(root, "v=1__staging")
+    stage.mkdirs()
+    new java.io.File(stage, "part-00000.parquet").createNewFile()
+    VersionedTable.versions(spark, root) shouldBe Seq(0)
+    VersionedTable.read(spark, root).count() shouldBe 1L
+    // vacuum sweeps the corpse
+    VersionedTable.vacuum(spark, root, keepLast = 1) shouldBe Seq.empty
+    stage.exists() shouldBe false
+  }
+
+  test("vacuum drops oldest, keeps newest, reports the drop") {
+    val root = freshRoot()
+    (1 to 4).foreach(i => VersionedTable.commit(Seq(i).toDF("x"), root))
+    VersionedTable.vacuum(spark, root, keepLast = 2) shouldBe Seq(0, 1)
+    VersionedTable.versions(spark, root) shouldBe Seq(2, 3)
+    VersionedTable.read(spark, root, Some(3)).head().getInt(0) shouldBe 4
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(0))
+    }
+  }
+}
