@@ -792,9 +792,42 @@ object QueriesCorpus {
       |  min(score) AS min_score, max(score) AS max_score
       |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------- q141
+  /** Temperature-scaled mixture quotas (Conneau & Lample 2019 §3.1:
+    * w_s ∝ N_s^τ, τ = 0.5) over languages, budget 137 — Hamilton
+    * largest-remainder rounding makes the integer quotas sum exactly
+    * to the budget. The sf0.01 fixture's floor margins (min distance
+    * to an integer 0.15) and remainder-cut margin (0.13) are ~14
+    * orders above cross-engine pow/sum ulp noise, so no quota can
+    * flip. The oracle mirrors the engine's arithmetic order
+    * (weight = pow/Σ first, then × budget). */
+  private def q141TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureQuotas(docs(s, dir), "lang", 137L, 0.5)
+      .orderBy(col("lang"))
+
+  private val q141Sql =
+    """WITH c AS (SELECT lang AS g, count(*) AS n_docs
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT sum(pow(n_docs, 0.5)) AS tot FROM c),
+      |f AS (SELECT g, n_docs, pow(n_docs, 0.5) / tot AS weight,
+      |        floor(pow(n_docs, 0.5) / tot * 137) AS fq,
+      |        pow(n_docs, 0.5) / tot * 137
+      |          - floor(pow(n_docs, 0.5) / tot * 137) AS rem
+      |      FROM c CROSS JOIN t),
+      |e AS (SELECT 137 - CAST(sum(fq) AS BIGINT) AS extra FROM f),
+      |r AS (SELECT a.g, a.n_docs, a.weight, a.fq,
+      |        (SELECT count(*) FROM f b WHERE b.rem > a.rem
+      |          OR (b.rem = a.rem AND b.g < a.g)) AS rk
+      |      FROM f a)
+      |SELECT g AS lang, n_docs, weight,
+      |  CAST(fq + CASE WHEN rk < extra THEN 1 ELSE 0 END AS BIGINT)
+      |    AS quota
+      |FROM r CROSS JOIN e ORDER BY lang""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_temperature_mix" -> (q141TemperatureMix _),
     "q137_source_overlap" -> (q137SourceOverlap _),
     "q138_ccnet_buckets" -> (q138CcnetBuckets _),
     "q89_sketch_hll" -> (q89Hll _),
@@ -818,6 +851,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q141_temperature_mix" -> q141Sql,
     "q137_source_overlap" -> q137Sql,
     "q138_ccnet_buckets" -> q138Sql,
     "q89_sketch_hll" -> q89Sql,

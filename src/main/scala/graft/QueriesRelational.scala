@@ -1295,9 +1295,98 @@ object QueriesRelational {
       |SELECT CAST(version AS INT) AS version, n, sum_price
       |FROM agg ORDER BY version""".stripMargin
 
+  // -------------------------------------------------------------- q142
+  /** Parquet bloom-filter write path: lineitem written with a bloom
+    * filter on l_partkey (plus dictionary + stats as always), read
+    * back through a point-set filter, aggregated — values must
+    * round-trip exactly. At 100 TB the bloom is the point-lookup
+    * lever: a row group whose bloom rejects the probe key is skipped
+    * WITHOUT decoding (stats can't prune uniform keys, blooms can).
+    * The oracle is the same filter straight over lineitem. */
+  private def q142ParquetBloom(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom")
+      .resolve("li").toString
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#l_partkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
+      .parquet(root)
+    s.read.parquet(root)
+      .filter(col("l_partkey") % 997 === 0)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_qty"))
+      .orderBy(col("l_partkey"))
+  }
+
+  private val q142Sql =
+    """SELECT l_partkey, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+      |    AS sum_qty
+      |FROM lineitem WHERE l_partkey % 997 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q143
+  /** As-of join in all three merge_asof directions over the events
+    * stream: every view event fetches the purchase value backward
+    * (most recent prior), forward (earliest later), and nearest
+    * (closer side, ties backward) within its user. Timestamps go in
+    * as exact epoch micros so nearest's distance compare is integer
+    * arithmetic in both engines. Oracle restates each direction as an
+    * arg_max/arg_min over the user-keyed pair join ((user_id, ts) is
+    * unique, so the picks are deterministic); the nearest key packs
+    * (2·distance + forward-flag) into one integer so min() applies
+    * the documented tie rule. Engine side: three union+window passes,
+    * one shuffle each, no pair explosion. */
+  private def q143AsofDirections(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = t(s, dir, "events")
+      .withColumn("tm", unix_micros(col("ts")))
+    val l = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("tm"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tm").as("rm"), col("value"))
+    def run(direction: String, prefix: String) =
+      AsOfJoin.asOf(l, r, Seq("user_id"), "tm", "rm", Seq("value"),
+        rightPrefix = prefix, direction = direction)
+    run("backward", "bwd_")
+      .join(run("forward", "fwd_").select(col("event_id"),
+        col("fwd_value")), Seq("event_id"))
+      .join(run("nearest", "near_").select(col("event_id"),
+        col("near_value")), Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("bwd_value"),
+        col("fwd_value"), col("near_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q143Sql =
+    """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tm
+      |           FROM events WHERE event_type = 'view'),
+      |r AS (SELECT user_id, epoch_us(ts) AS rm, value
+      |      FROM events WHERE event_type = 'purchase'),
+      |pairs AS (SELECT l.event_id, l.tm, r.rm, r.value
+      |          FROM l JOIN r USING (user_id)),
+      |b AS (SELECT event_id, arg_max(value, rm) AS bwd_value
+      |      FROM pairs WHERE rm <= tm GROUP BY 1),
+      |f AS (SELECT event_id, arg_min(value, rm) AS fwd_value
+      |      FROM pairs WHERE rm >= tm GROUP BY 1),
+      |n AS (SELECT event_id, arg_min(value,
+      |        abs(rm - tm) * 2 + CASE WHEN rm > tm THEN 1 ELSE 0 END)
+      |        AS near_value
+      |      FROM pairs GROUP BY 1)
+      |SELECT l.event_id, l.user_id, b.bwd_value, f.fwd_value,
+      |  n.near_value
+      |FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+      |  LEFT JOIN n USING (event_id)
+      |ORDER BY l.event_id""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_parquet_bloom" -> (q142ParquetBloom _),
+    "q143_asof_directions" -> (q143AsofDirections _),
     "q139_join_hints" -> (q139JoinHints _),
     "q140_time_travel" -> (q140TimeTravel _),
     "q133_nullsafe_join" -> (q133NullSafeJoin _),
@@ -1340,6 +1429,8 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q142_parquet_bloom" -> q142Sql,
+    "q143_asof_directions" -> q143Sql,
     "q139_join_hints" -> q139Sql,
     "q140_time_travel" -> q140Sql,
     "q133_nullsafe_join" -> q133Sql,

@@ -91,6 +91,49 @@ object Sampling {
     * exchange carries n rows per stratum per partition — a
     * row_number-window form would shuffle and sort every row of every
     * stratum. The classic "sample n docs per language/source" step. */
+  /** Temperature-scaled mixture quotas (the multilingual-sampling rule
+    * of Conneau & Lample 2019 §3.1 / mT5: w_s ∝ N_s^τ): apportion a
+    * document `budget` across the values of `groupCol` by the
+    * τ-flattened size distribution, with Hamilton largest-remainder
+    * rounding so the integer quotas sum EXACTLY to the budget
+    * (remainder ties break on group name). τ = 1 is proportional,
+    * τ → 0 uniform; 0.3–0.7 is the usual upsample-the-tail band.
+    * Output: (group, n_docs, weight, quota).
+    *
+    * Scale: one map-side-combined count per group, then all arithmetic
+    * runs on the #groups-sized aggregate — the remainder rank is a
+    * groups² self-join (NOT a global window; #groups is mixture-sized,
+    * a few dozen), and every scalar (Στ, Σfloor) is a broadcast-crossed
+    * one-row aggregate. Feed the quotas to [[tokenBudgetSample]] /
+    * [[stratifiedSample]] to materialize the actual selection. */
+  def temperatureQuotas(df: DataFrame, groupCol: String, budget: Long,
+      tau: Double): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    require(tau > 0.0 && tau <= 1.0, s"tau ($tau) must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(pow(col("n_docs"), tau)).as("__tot"))
+    val f = counts.crossJoin(broadcast(tot))
+      .withColumn("weight", pow(col("n_docs"), tau) / col("__tot"))
+      .withColumn("__x", col("weight") * budget)
+      .withColumn("__fq", floor(col("__x")))
+      .withColumn("__rem", col("__x") - col("__fq"))
+      .drop("__tot")
+    val extra = f.agg((lit(budget) - sum(col("__fq"))).as("__extra"))
+    val rhs = f.select(col("g").as("__g2"), col("__rem").as("__rem2"))
+    val ranked = f.join(rhs,
+        col("__rem2") > col("__rem") ||
+          (col("__rem2") === col("__rem") && col("__g2") < col("g")),
+        "left")
+      .groupBy(col("g"), col("n_docs"), col("weight"), col("__fq"),
+        col("__rem"))
+      .agg(count(col("__g2")).as("__rk"))
+    ranked.crossJoin(broadcast(extra))
+      .select(col("g").as(groupCol), col("n_docs"), col("weight"),
+        (col("__fq") + when(col("__rk") < col("__extra"), 1L)
+          .otherwise(0L)).cast("long").as("quota"))
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       nPerStratum: Int): DataFrame = {
     require(nPerStratum > 0, "nPerStratum must be positive")
