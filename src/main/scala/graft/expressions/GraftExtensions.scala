@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If
   *   graft_kmv_distinct(x[, k])     -> double   (KMV sketch aggregate)
   *   graft_hll(x[, p])              -> double   (HyperLogLog aggregate)
   *   graft_cms(x[, d, w])           -> array    (count-min sketch aggregate)
+  *   graft_tdigest(x, q[, delta])   -> double   (t-digest quantile aggregate)
   *   graft_repetition_stats(text)   -> struct   (Gopher repetition rules)
   *   graft_redact_pii(text)         -> string   (email/phone/IPv4 mask)
   *   graft_zorder(x, y[, bits])     -> bigint   (z-order clustering key)
@@ -76,6 +77,15 @@ object GraftExtensions {
     case Literal(n: Int, _) => n
     case other => throw new IllegalArgumentException(
       s"$where: n must be an integer literal, got $other")
+  }
+
+  /** SQL fractional literals parse as DecimalType — accept both. */
+  private def doubleLit(where: String, e: Expression): Double = e match {
+    case Literal(d: Double, _) => d
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(n: Int, _) => n.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$where: q must be a numeric literal, got $other")
   }
 
   private def fingerprint(text: Expression): Expression =
@@ -157,6 +167,15 @@ object GraftExtensions {
             })
         CountMinSketch(buckets, d, w)
       }),
+    // aggregate: t-digest quantile estimate — graft_tdigest(x, q[, δ])
+    // -> double. The quantile member of the sketch family; state is
+    // ≤ ~2δ centroids per group per partition. An ESTIMATE (rank error
+    // spec-bounded), so no oracle row — see TDigestQuantile scaladoc.
+    ("graft_tdigest", info("graft_tdigest", "t-digest quantile estimate"),
+      (exprs: Seq[Expression]) => TDigestQuantile(
+        fn("double", exprs.head),
+        doubleLit("graft_tdigest", exprs(1)),
+        if (exprs.length >= 3) intLit("graft_tdigest", exprs(2)) else 100)),
     ("st_point", info("st_point", "point"),
       (exprs: Seq[Expression]) => stPoint(exprs)),
     ("st_x", info("st_x", "x"),

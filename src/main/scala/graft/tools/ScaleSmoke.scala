@@ -222,6 +222,64 @@ object ScaleSmoke {
       }
       println(f"pctile   ${f}%2dx qrows=$pq%8d              $tPq%7.1f s")
       sweep()
+
+      // source-overlap: copies multiply the gram stream linearly but
+      // the group count is CONSTANT, so pair-join fan-out per gram
+      // stays ≤ (#sources choose 2) and the output row count must not
+      // grow — wall should track the gram stream (linear), never docs²
+      val corpusSrc = (0 until f).map { i =>
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+              col("source"), col("text"))
+        }.reduce(_ unionAll _).repartition(32)
+      val (ovRows, tOv) = time {
+        graft.operators.CorpusOverlap
+          .sourceOverlap(corpusSrc, "source", "text", n = 3).count()
+      }
+      println(f"overlap  ${f}%2dx docs=$n%8d pairs=$ovRows%9d  $tOv%7.1f s")
+      sweep()
+
+      // DSIR importance scoring: same cost class as lmscore (two count
+      // aggregates + one bigram-keyed join + per-doc fold) — wall must
+      // scale with the bigram stream, the model tables stay
+      // vocab-bounded under copies
+      val corpusLang = (0 until f).map { i =>
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+              col("lang"), col("text"))
+        }.reduce(_ unionAll _).repartition(32)
+      val (dsirRows, tDsir) = time {
+        graft.operators.ImportanceScoring.dsirScores(
+          corpusLang, "doc_id", "text", col("lang") === "en").count()
+      }
+      println(f"dsir     ${f}%2dx docs=$n%8d scored=$dsirRows%7d  $tDsir%7.1f s")
+      sweep()
+
+      // as-of nearest: copies multiply events; the operator is ONE
+      // shuffle (window partitionBy) + per-key linear window scan, so
+      // wall must track event count — no pair explosion however many
+      // purchases precede a view
+      val evScale = (0 until f).map { i =>
+          spark.read.parquet(s"$dir/events.parquet")
+            .select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+              col("event_id"), col("event_type"),
+              // raw parquet carries TIMESTAMP_NTZ (Tables.load is what
+              // normalizes it in the engine paths) — cast for the hash
+              unix_micros(col("ts").cast("timestamp")).as("tm"),
+              col("value"))
+        }.reduce(_ unionAll _).repartition(32)
+      val nEv = evScale.count()
+      val (asofRows, tAsof) = time {
+        graft.operators.AsOfJoin.asOf(
+          evScale.filter(col("event_type") === "view")
+            .select(col("event_id"), col("user_id"), col("tm")),
+          evScale.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("tm").as("rm"), col("value")),
+          Seq("user_id"), "tm", "rm", Seq("value"),
+          direction = "nearest").count()
+      }
+      println(f"asofnear ${f}%2dx events=$nEv%8d out=$asofRows%9d  $tAsof%7.1f s")
+      sweep()
     }
 
     // ---------------- adversarial-skew stanzas (power-law fixtures) ----
