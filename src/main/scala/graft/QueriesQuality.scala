@@ -399,7 +399,118 @@ object QueriesQuality {
        |    AS selected
        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q144
+  /** The full Gopher quality-rule battery (Rae et al. 2021 §A1.1 —
+    * the rules BEYOND the repetition family that q54 pins): word
+    * count, mean word length, symbol ratio, bullet/ellipsis line
+    * fractions, alphabetic-word fraction, stopword count, combined
+    * keep verdict. Map-only projection; every ratio is one division
+    * of exact integers, so the doubles are bit-identical
+    * cross-engine and the verdict thresholds can't wobble. */
+  private def q144GopherBattery(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TA.gopherQuality(col("text")).as("g"))
+      .select(col("doc_id"),
+        col("g.n_words").as("n_words"),
+        col("g.mean_word_len").as("mean_word_len"),
+        col("g.symbol_ratio").as("symbol_ratio"),
+        col("g.bullet_frac").as("bullet_frac"),
+        col("g.ellipsis_frac").as("ellipsis_frac"),
+        col("g.alpha_frac").as("alpha_frac"),
+        col("g.n_stopwords").as("n_stopwords"),
+        col("g.keep").as("keep"))
+      .orderBy(col("doc_id"))
+
+  private val q144Sql = {
+    val stops = TA.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(trim(text), '\\s+') AS tk,
+       |    string_split(text, chr(10)) AS ln
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CASE WHEN len(tk) > 0 THEN
+       |      CAST(list_aggregate(list_transform(tk, w -> len(w)),
+       |        'sum') AS DOUBLE) / len(tk) ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN len(tk) > 0 THEN
+       |      CAST(len(regexp_extract_all(text, '#|\\.{3}|…')) AS DOUBLE)
+       |        / len(tk) ELSE 0.0 END AS symbol_ratio,
+       |    CASE WHEN len(ln) > 0 THEN
+       |      CAST(len(list_filter(ln,
+       |        l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+       |        / len(ln) ELSE 0.0 END AS bullet_frac,
+       |    CASE WHEN len(ln) > 0 THEN
+       |      CAST(len(list_filter(ln,
+       |        l -> regexp_matches(l, '(\\.{3}|…)\\s*$$'))) AS DOUBLE)
+       |        / len(ln) ELSE 0.0 END AS ellipsis_frac,
+       |    CASE WHEN len(tk) > 0 THEN
+       |      CAST(len(list_filter(tk,
+       |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |        / len(tk) ELSE 0.0 END AS alpha_frac,
+       |    CAST(len(list_filter(tk,
+       |      w -> list_contains([$stops], lower(w)))) AS BIGINT)
+       |      AS n_stopwords
+       |  FROM t0)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       |  ellipsis_frac, alpha_frac, n_stopwords,
+       |  (n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       |    AND n_stopwords >= 2) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- q145
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm): md5-hashed char-5-grams, window-4 minima, sorted
+    * distinct selection — guaranteed to share a fingerprint with any
+    * copied substring of length ≥ 8 at expected density 2/(w+1). The
+    * hash array is materialized at a projection boundary before
+    * window selection (the O(len²) inline pitfall); the fingerprint
+    * ARRAY itself crosses the gate (hashed element-wise, the q122
+    * precedent). */
+  private def q145Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), TA.winnowingHashes(col("text"), k = 5).as("h"))
+    hashed
+      .select(col("doc_id"), TA.winnowingSelect(col("h"), w = 4).as("fp"))
+      .select(col("doc_id"),
+        size(col("fp")).cast("bigint").as("n_fp"),
+        element_at(col("fp"), 1).as("min_fp"),
+        element_at(col("fp"), -1).as("max_fp"),
+        col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q145Sql =
+    """WITH nrm AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) - 4 <= 0 THEN CAST([] AS BIGINT[])
+      |    ELSE list_transform(range(1, len(t) - 3),
+      |      i -> ('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT)
+      |    END AS hs
+      |  FROM nrm),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+      |         WHEN len(hs) - 3 <= 0 THEN [list_min(hs)]
+      |    ELSE list_sort(list_distinct(list_transform(
+      |      range(1, len(hs) - 2), j -> list_min(hs[j:j+3])))) END AS fp
+      |  FROM h)
+      |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+      |  fp[1] AS min_fp, fp[len(fp)] AS max_fp, fp
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_gopher_battery" -> (q144GopherBattery _),
+    "q145_winnowing" -> (q145Winnowing _),
     "q132_dsir" -> (q132Dsir _),
     "q93_expectations" -> (q93Expectations _),
     "q54_quality_repetition" -> (q54Repetition _),
@@ -410,6 +521,8 @@ object QueriesQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_gopher_battery" -> q144Sql,
+    "q145_winnowing" -> q145Sql,
     "q132_dsir" -> q132Sql,
     "q93_expectations" -> q93Sql,
     "q54_quality_repetition" -> q54Sql,

@@ -1382,9 +1382,48 @@ object QueriesRelational {
       |  LEFT JOIN n USING (event_id)
       |ORDER BY l.event_id""".stripMargin
 
+  // -------------------------------------------------------------- q146
+  /** JSON battery beyond q47's schema-on-read: a nested document
+    * (scalar fields + array) is BUILT with to_json, then re-read four
+    * ways — get_json_object path extraction, json_tuple multi-field
+    * (string-typed by contract), from_json with an array-bearing
+    * schema, json_array_length. The oracle recomputes everything from
+    * the raw columns, so the build→parse round trip must be lossless
+    * (the q111 VARIANT pattern). The double→long array element uses
+    * trunc on the oracle side (Spark CAST truncates, DuckDB CAST
+    * rounds — the q36 house rule). */
+  private def q146JsonBattery(s: SparkSession, dir: String): DataFrame = {
+    val built = t(s, dir, "events").filter(col("event_id") % 11 === 0)
+      .select(col("event_id"),
+        to_json(struct(col("event_id").as("id"),
+          col("event_type").as("ty"),
+          array(col("user_id"), col("value").cast("long")).as("arr")))
+          .as("js"))
+    val parsed = from_json(col("js"), org.apache.spark.sql.types
+      .StructType.fromDDL("id LONG, ty STRING, arr ARRAY<BIGINT>"))
+    built.select(col("event_id"),
+        get_json_object(col("js"), "$.ty").as("ty_path"),
+        json_tuple(col("js"), "id", "ty"),
+        parsed.getField("arr").getItem(0).as("arr0"),
+        parsed.getField("arr").getItem(1).as("arr1"),
+        json_array_length(get_json_object(col("js"), "$.arr"))
+          .as("n_arr"))
+      .withColumnRenamed("c0", "id_t").withColumnRenamed("c1", "ty_t")
+      .orderBy(col("event_id"))
+  }
+
+  private val q146Sql =
+    """SELECT event_id, event_type AS ty_path,
+      |  CAST(event_id AS VARCHAR) AS id_t, event_type AS ty_t,
+      |  user_id AS arr0, CAST(trunc(value) AS BIGINT) AS arr1,
+      |  CAST(2 AS INT) AS n_arr
+      |FROM events WHERE event_id % 11 = 0
+      |ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_json_battery" -> (q146JsonBattery _),
     "q142_parquet_bloom" -> (q142ParquetBloom _),
     "q143_asof_directions" -> (q143AsofDirections _),
     "q139_join_hints" -> (q139JoinHints _),
@@ -1429,6 +1468,7 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_json_battery" -> q146Sql,
     "q142_parquet_bloom" -> q142Sql,
     "q143_asof_directions" -> q143Sql,
     "q139_join_hints" -> q139Sql,

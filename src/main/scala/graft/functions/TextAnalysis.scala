@@ -176,4 +176,86 @@ object TextAnalysis {
         sequence(lit(1), length(norm) - lit(n - 1)),
         i => norm.substr(i, lit(n)))))
   }
+
+  /** The full Gopher document-quality rule battery (Rae et al. 2021
+    * §A1.1 — the metrics BEYOND the repetition family, which
+    * [[repetitionStats]] covers): word count, mean word length,
+    * symbol-to-word ratio (#/ellipsis), bullet-start and ellipsis-end
+    * line fractions, alphabetic-word fraction, stopword count, plus
+    * the combined keep verdict at the paper's thresholds. One struct
+    * of pure Column expressions — map-only projection at any scale,
+    * and every metric is an exact int ratio (single division of exact
+    * integers), so cross-engine floats are bit-identical. */
+  def gopherQuality(text: Column): Column = {
+    val words = tokens(text)
+    val nWords = size(words).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val meanWordLen = when(nWords > 0,
+      aggregate(transform(words, w => length(w).cast("long")), lit(0L),
+        (a, x) => a + x).cast("double") / nWords).otherwise(lit(0.0))
+    val nSymbols = size(regexp_extract_all(text,
+      lit("#|\\.{3}|…"), lit(0))).cast("long")
+    val symbolRatio = when(nWords > 0,
+      nSymbols.cast("double") / nWords).otherwise(lit(0.0))
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") /
+        nLines).otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l => l.rlike("(\\.{3}|…)\\s*$"))).cast("double") /
+        nLines).otherwise(lit(0.0))
+    val alphaFrac = when(nWords > 0,
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
+        nWords).otherwise(lit(0.0))
+    val nStopwords = size(filter(words,
+      w => array_contains(
+        array(EnglishStopwords.map(lit): _*), lower(w)))).cast("long")
+    val keep = nWords >= 50 && nWords <= 100000 &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+      alphaFrac >= 0.8 && nStopwords >= 2
+    struct(nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      nStopwords.as("n_stopwords"), keep.as("keep"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    * algorithm): hash every char k-gram of the normalized text, slide
+    * a w-hash window, keep each window's minimum; the selected set is
+    * guaranteed to share a fingerprint with any copy of length
+    * ≥ w + k − 1, at expected density 2/(w+1) — position-robust
+    * substring fingerprints where [[fingerprint]] is whole-document.
+    * Hashes are the house md5-60-bit ints, so ties are ~impossible
+    * and the whole construction replays exactly in the DuckDB oracle.
+    * Returns the SORTED DISTINCT fingerprint array; shorter-than-one-
+    * window texts yield their single overall minimum; texts shorter
+    * than k yield the empty array. Map-only; per-doc work O(len · w)
+    * with small w. */
+  def winnowingHashes(text: Column, k: Int = 5): Column = {
+    require(k >= 2, s"winnowing needs k >= 2 (got $k)")
+    val norm = normalizeText(text)
+    val m = (length(norm) - lit(k - 1)).cast("int") // k-gram count
+    when(m <= 0, array().cast("array<long>")).otherwise(
+      transform(sequence(lit(1), m),
+        i => conv(substring(md5(norm.substr(i, lit(k))), 1, 15), 16, 10)
+          .cast("long")))
+  }
+
+  /** Window-minimum selection over an ALREADY-MATERIALIZED hash column
+    * from [[winnowingHashes]] — `hashes` must be a bound column, not
+    * an inline expression: Catalyst inlines an inline tree into every
+    * window's slice, turning selection O(len·w) into O(len²·md5) (the
+    * LanguageModel.bigramsFromTokens pitfall). Texts shorter than one
+    * window yield their single overall minimum; empty hash arrays stay
+    * empty. */
+  def winnowingSelect(hashes: Column, w: Int = 4): Column = {
+    require(w >= 1, s"winnowing needs w >= 1 (got $w)")
+    val nWin = size(hashes) - lit(w - 1)
+    when(size(hashes) === 0, array().cast("array<long>"))
+      .when(nWin <= 0, array(array_min(hashes)))
+      .otherwise(sort_array(array_distinct(
+        transform(sequence(lit(1), nWin),
+          j => array_min(slice(hashes, j, lit(w)))))))
+  }
 }
