@@ -1027,9 +1027,47 @@ object QueriesAnalytics {
       |    FROM c2) WHERE rn = 1)
       |SELECT node, label FROM r2 ORDER BY node""".stripMargin
 
+  // -------------------------------------------------------------- q147
+  /** k-core decomposition (bounded form, k=35, two peels) over the
+    * supplier–part co-occurrence graph: round 1 drops 180 of 400
+    * nodes, round 2 drops 4 more — both peel rounds do real work at
+    * sf0.01. The oracle unrolls the two rounds as nested CTEs (the
+    * round invariant is a pure function of the input graph — the
+    * q88/q116 unrolled-iteration pattern); the FIXPOINT form is
+    * GraphSpec-pinned (triangle-plus-tail, bounded-vs-fixpoint
+    * agreement). An early-converging engine run stays correct against
+    * a longer unroll because peeling is idempotent at the fixpoint. */
+  private def q147Kcore(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_suppkey").as("s"),
+        (col("l_partkey") % 300 + 10000).as("p"))
+    Graph.kCore(e, "s", "p", k = 35, maxRounds = 2)
+      .orderBy(col("node"))
+  }
+
+  private val q147Sql =
+    """WITH d0 AS (
+      |  SELECT l_suppkey AS a, l_partkey % 300 + 10000 AS b
+      |  FROM lineitem WHERE l_orderkey % 5 = 0),
+      |e0 AS (SELECT DISTINCT a, b FROM (
+      |  SELECT a, b FROM d0 WHERE a != b
+      |  UNION ALL SELECT b, a FROM d0 WHERE a != b)),
+      |d1 AS (SELECT a, count(*) AS c FROM e0 GROUP BY 1),
+      |a1 AS (SELECT a FROM d1 WHERE c >= 35),
+      |e1 AS (SELECT e0.a, e0.b FROM e0
+      |  JOIN a1 x ON e0.a = x.a JOIN a1 y ON e0.b = y.a),
+      |d2 AS (SELECT a, count(*) AS c FROM e1 GROUP BY 1),
+      |a2 AS (SELECT a FROM d2 WHERE c >= 35),
+      |e2 AS (SELECT e1.a, e1.b FROM e1
+      |  JOIN a2 x ON e1.a = x.a JOIN a2 y ON e1.b = y.a)
+      |SELECT a AS node, count(*) AS degree FROM e2
+      |GROUP BY 1 ORDER BY node""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_kcore" -> (q147Kcore _),
     "q100_label_prop" -> (q100Lpa _),
     "q97_pit_join" -> (q97Pit _),
     "q88_pagerank" -> (q88Pagerank _),
@@ -1059,6 +1097,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q147_kcore" -> q147Sql,
     "q100_label_prop" -> q100Sql,
     "q97_pit_join" -> q97Sql,
     "q88_pagerank" -> q88Sql,

@@ -1420,10 +1420,62 @@ object QueriesRelational {
       |FROM events WHERE event_id % 11 = 0
       |ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------------------- q148
+  /** Array set-operation battery (the q125 lambdas' complement):
+    * array_union / array_intersect / array_except — Spark's
+    * first-occurrence-order results are sort-normalized so the oracle
+    * can restate them with order-free list ops — plus arrays_zip
+    * (struct field extraction), sequence with a step, array_repeat,
+    * and array_compact over a planted NULL. Per-order vectors from
+    * two line-number halves give every pair real overlap. */
+  private def q148ArraySetOps(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 41 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(collect_set(when(col("l_linenumber") % 2 === 0,
+          col("l_quantity").cast("bigint")))).as("ev"),
+        sort_array(collect_set(when(col("l_linenumber") % 2 === 1,
+          col("l_quantity").cast("bigint")))).as("od"))
+    base.select(
+      col("l_orderkey"), col("ev"), col("od"),
+      sort_array(array_union(col("ev"), col("od"))).as("un"),
+      sort_array(array_intersect(col("ev"), col("od"))).as("inter"),
+      sort_array(array_except(col("ev"), col("od"))).as("exc"),
+      transform(arrays_zip(slice(col("ev"), 1, 2), slice(col("ev"), 1, 2)),
+        p => p.getField("0") + p.getField("1")).as("zip2"),
+      sequence(lit(2L), lit(11L), lit(3L)).as("seq3"),
+      array_repeat(size(col("ev")).cast("long"), 3).as("rep3"),
+      array_compact(concat(col("od"),
+        array(lit(null).cast("bigint")))).as("compacted"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  private val q148Sql =
+    """WITH base AS (
+      |  SELECT l_orderkey,
+      |    coalesce(list_sort(list(DISTINCT CAST(l_quantity AS BIGINT))
+      |      FILTER (l_linenumber % 2 = 0)), CAST([] AS BIGINT[])) AS ev,
+      |    coalesce(list_sort(list(DISTINCT CAST(l_quantity AS BIGINT))
+      |      FILTER (l_linenumber % 2 = 1)), CAST([] AS BIGINT[])) AS od
+      |  FROM lineitem WHERE l_orderkey % 41 = 0 GROUP BY 1)
+      |SELECT l_orderkey, ev, od,
+      |  list_sort(list_distinct(ev || od)) AS un,
+      |  list_sort(list_filter(list_distinct(ev),
+      |    x -> list_contains(od, x))) AS inter,
+      |  list_sort(list_filter(list_distinct(ev),
+      |    x -> NOT list_contains(od, x))) AS exc,
+      |  list_transform(ev[1:2], x -> x * 2) AS zip2,
+      |  [2, 5, 8, 11] AS seq3,
+      |  [len(ev), len(ev), len(ev)] AS rep3,
+      |  od AS compacted
+      |FROM base ORDER BY l_orderkey""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_json_battery" -> (q146JsonBattery _),
+    "q148_array_setops" -> (q148ArraySetOps _),
     "q142_parquet_bloom" -> (q142ParquetBloom _),
     "q143_asof_directions" -> (q143AsofDirections _),
     "q139_join_hints" -> (q139JoinHints _),
@@ -1469,6 +1521,7 @@ object QueriesRelational {
 
   val oracles: Map[String, String] = Map(
     "q146_json_battery" -> q146Sql,
+    "q148_array_setops" -> q148Sql,
     "q142_parquet_bloom" -> q142Sql,
     "q143_asof_directions" -> q143Sql,
     "q139_join_hints" -> q139Sql,

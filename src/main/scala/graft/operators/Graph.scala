@@ -397,4 +397,71 @@ object Graph {
       adj.unpersist(blocking = false)
     }
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * Batagelj–Zaveršnik bulk variant): repeatedly drop every node
+    * whose degree in the SURVIVING subgraph is < k until none remains
+    * below k (or `maxRounds` peels, for the bounded form). Returns the
+    * surviving nodes with their within-core degrees — the standard
+    * "dense cohesive subgraph" census (spam-ring mining, community
+    * cores, graph sparsification before expensive analytics).
+    *
+    * Edges are symmetrized, dedup'd, self-loop-free at build time, so
+    * the input may be a directed or multi edge list.
+    *
+    * Round invariant (what the q147 oracle unrolls): after round i the
+    * node set is exactly {v : deg(v) ≥ k in the subgraph induced by
+    * round i−1's survivors} — a pure function of the input graph, so
+    * the result is deterministic under any partitioning and the
+    * bounded form replays as i nested SQL CTEs. `maxRounds =
+    * Int.MaxValue` runs to the true k-core fixpoint (GraphSpec pins
+    * triangle-plus-tail and bounded-vs-fixpoint agreement).
+    *
+    * Scale (100 TB edge list): each round is one degree aggregate
+    * (map-side combined on node keys) plus two semi-joins that shrink
+    * the edge frame; per-round frames localCheckpoint eagerly and the
+    * superseded round releases (the [[shortestPaths]] loop
+    * discipline). Rounds are bounded by the degeneracy ordering depth
+    * — small for real graphs; the peel-everything-below-k bulk step
+    * (not one-node-at-a-time) is what makes it O(rounds) shuffles. */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      maxRounds: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(maxRounds >= 1, s"maxRounds ($maxRounds) must be >= 1")
+    val spark = edges.sparkSession
+    val dir = edges.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val sessionParts = spark.sessionState.conf.numShufflePartitions.toLong
+    var e = dir.unionAll(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val loopParts = math.max(1L, math.min(sessionParts,
+      e.count() / 125000L + 1L)).toInt
+    var round = 0
+    var removed = 1L
+    while (removed > 0 && round < maxRounds) {
+      round += 1
+      val deg = e.repartition(loopParts, col("a"))
+        .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      val alive = deg.filter(col("deg") >= k).select(col("a").as("node"))
+        .localCheckpoint(eager = true)
+      val nAlive = alive.count()
+      val nBefore = deg.count()
+      removed = nBefore - nAlive
+      if (removed > 0) {
+        val kept = e
+          .join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint(eager = true)
+        Dedup.releaseCheckpoint(e)
+        e = kept
+      }
+      Dedup.releaseCheckpoint(alive)
+    }
+    // within-core degrees of the surviving subgraph
+    e.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

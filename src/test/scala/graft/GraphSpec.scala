@@ -254,4 +254,30 @@ class GraphSpec extends SparkSpec {
     }
     got shouldBe dist.toMap
   }
+
+  test("kCore: 2-core of triangle-plus-tail is exactly the triangle") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val core = Graph.kCore(e, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    core shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+  }
+
+  test("kCore: fixpoint equals a sufficiently deep bounded peel; " +
+      "every surviving node meets the degree bar") {
+    // seeded pseudo-random graph with a dense core and sparse fringe
+    val e = (0 until 400).map { i =>
+      ((i * 31 % 40).toLong, (i * 17 % 40 + (i % 7)).toLong)
+    }.toDF("a", "b")
+    val fix = Graph.kCore(e, "a", "b", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deep = Graph.kCore(e, "a", "b", k = 4, maxRounds = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    deep shouldBe fix
+    all(fix.values) should be >= 4L
+    // one bounded peel is a SUPERSET of the fixpoint (peeling shrinks)
+    val one = Graph.kCore(e, "a", "b", k = 4, maxRounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    fix.keySet.subsetOf(one) shouldBe true
+  }
 }
