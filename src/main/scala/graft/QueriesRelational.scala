@@ -1471,11 +1471,112 @@ object QueriesRelational {
       |  od AS compacted
       |FROM base ORDER BY l_orderkey""".stripMargin
 
+  // -------------------------------------------------------------- q149
+  /** Incremental JOIN-view maintenance (IncrementalJoin.mergeDelta):
+    * a published orders⋈customer view is brought current after both
+    * sides receive append-only deltas, via the classic delta rule
+    * ΔJ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the base-vs-base join never
+    * re-runs; refresh shuffles the deltas only. The oracle recomputes
+    * the full join from scratch, so merged == recomputed must hold
+    * bit-for-bit (the q96 contract, for joins). */
+  private def q149IncrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalJoin
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_acctbal"), col("c_mktsegment"))
+    val aOld = o.filter(col("o_orderkey") % 4 =!= 0)
+    val aDelta = o.filter(col("o_orderkey") % 4 === 0)
+    val bOld = c.filter(col("c_custkey") % 10 =!= 0)
+    val bDelta = c.filter(col("c_custkey") % 10 === 0)
+    val published = aOld.join(bOld, Seq("c_custkey"))
+    IncrementalJoin
+      .mergeDelta(published, aOld, aDelta, bOld, bDelta, Seq("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("o_totalprice"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q149Sql =
+    """SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice,
+      |  c_acctbal, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q150
+  /** Window value-function battery — the q48 family members not yet
+    * pinned: first_value / last_value / nth_value under explicit ROWS
+    * frames, IGNORE NULLS variants over a planted-NULL column, and a
+    * short sliding average (sequential in-frame fold, so the doubles
+    * are bit-identical cross-engine). Same SQL text in both engines;
+    * unique (custkey, orderkey) order means no peer ambiguity. */
+  private def q150WindowValues(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_totalprice) OVER w AS fv,
+        |  last_value(o_totalprice) OVER wfull AS lv,
+        |  nth_value(o_totalprice, 2) OVER wfull AS nv2,
+        |  first_value(nullif(o_orderpriority, '1-URGENT')) IGNORE NULLS
+        |    OVER wfull AS fv_nn,
+        |  last_value(nullif(o_orderpriority, '1-URGENT')) IGNORE NULLS
+        |    OVER w AS lv_nn,
+        |  avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS slide_avg
+        |FROM orders WHERE o_orderkey % 13 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wfull AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // DuckDB 1.0 has no IGNORE NULLS — the oracle restates the two
+  // ignore-nulls fills structurally: first non-null of the whole
+  // partition from an ordered filtered list; running last-non-null as
+  // a bounded self-join + arg_max over prior non-null rows.
+  private val q150Sql =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    nullif(o_orderpriority, '1-URGENT') AS p,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderkey) AS rn
+      |  FROM orders WHERE o_orderkey % 13 = 0),
+      |g AS (
+      |  SELECT o_custkey,
+      |    list_filter(list(p ORDER BY rn), x -> x IS NOT NULL) AS nn
+      |  FROM s GROUP BY 1),
+      |lvnn AS (
+      |  SELECT a.o_orderkey, arg_max(b.p, b.rn) AS lv_nn
+      |  FROM s a LEFT JOIN s b
+      |    ON a.o_custkey = b.o_custkey AND b.rn <= a.rn
+      |      AND b.p IS NOT NULL
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    first_value(o_totalprice) OVER win AS fv,
+      |    last_value(o_totalprice) OVER wfull AS lv,
+      |    nth_value(o_totalprice, 2) OVER wfull AS nv2,
+      |    avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY rn
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS slide_avg
+      |  FROM s
+      |  WINDOW win AS (PARTITION BY o_custkey ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wfull AS (PARTITION BY o_custkey ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT w.o_orderkey, w.o_custkey, w.fv, w.lv, w.nv2,
+      |  g.nn[1] AS fv_nn, lvnn.lv_nn, w.slide_avg
+      |FROM w JOIN g USING (o_custkey) JOIN lvnn USING (o_orderkey)
+      |ORDER BY w.o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_json_battery" -> (q146JsonBattery _),
     "q148_array_setops" -> (q148ArraySetOps _),
+    "q149_incremental_join" -> (q149IncrementalJoin _),
+    "q150_window_values" -> (q150WindowValues _),
     "q142_parquet_bloom" -> (q142ParquetBloom _),
     "q143_asof_directions" -> (q143AsofDirections _),
     "q139_join_hints" -> (q139JoinHints _),
@@ -1522,6 +1623,8 @@ object QueriesRelational {
   val oracles: Map[String, String] = Map(
     "q146_json_battery" -> q146Sql,
     "q148_array_setops" -> q148Sql,
+    "q149_incremental_join" -> q149Sql,
+    "q150_window_values" -> q150Sql,
     "q142_parquet_bloom" -> q142Sql,
     "q143_asof_directions" -> q143Sql,
     "q139_join_hints" -> q139Sql,
