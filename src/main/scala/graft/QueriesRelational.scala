@@ -1570,6 +1570,50 @@ object QueriesRelational {
       |FROM w JOIN g USING (o_custkey) JOIN lvnn USING (o_orderkey)
       |ORDER BY w.o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------- q151
+  /** Map-lambda battery — the map half q108 left unpinned:
+    * transform_values / transform_keys / map_filter / map_zip_with,
+    * each probed through element_at or size so no raw MAP column
+    * (whose entry order is engine-internal) ever crosses the gate.
+    * The oracle restates every probe from the underlying counts. */
+  private def q151MapLambdas(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+    val m = map_from_entries(
+      sort_array(collect_list(struct(col("l_linestatus"), col("cnt")))))
+    counts.groupBy(col("l_returnflag")).agg(m.as("m"))
+      .select(col("l_returnflag"),
+        element_at(transform_values(col("m"), (_, v) => v * 2), "O")
+          .as("o_doubled"),
+        element_at(transform_keys(col("m"),
+          (k, _) => concat(k, lit("_x"))), "O_x").as("o_keyed"),
+        size(map_filter(col("m"), (_, v) => v > 1000)).cast("bigint")
+          .as("n_big"),
+        element_at(map_zip_with(col("m"),
+          transform_values(col("m"), (_, v) => v * 3),
+          (_, a, b) => a + b), "F").as("f_quad"),
+        aggregate(map_values(map_filter(col("m"), (k, _) => k =!= "P")),
+          lit(0L), (acc, x) => acc + x).as("non_p_total"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q151Sql =
+    """WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS cnt
+      |           FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag,
+      |  CAST(2 * sum(CASE WHEN l_linestatus = 'O' THEN cnt END)
+      |    AS BIGINT) AS o_doubled,
+      |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN cnt END) AS BIGINT)
+      |    AS o_keyed,
+      |  CAST(sum(CASE WHEN cnt > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_big,
+      |  CAST(4 * sum(CASE WHEN l_linestatus = 'F' THEN cnt END)
+      |    AS BIGINT) AS f_quad,
+      |  CAST(sum(CASE WHEN l_linestatus != 'P' THEN cnt END) AS BIGINT)
+      |    AS non_p_total
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1577,6 +1621,7 @@ object QueriesRelational {
     "q148_array_setops" -> (q148ArraySetOps _),
     "q149_incremental_join" -> (q149IncrementalJoin _),
     "q150_window_values" -> (q150WindowValues _),
+    "q151_map_lambdas" -> (q151MapLambdas _),
     "q142_parquet_bloom" -> (q142ParquetBloom _),
     "q143_asof_directions" -> (q143AsofDirections _),
     "q139_join_hints" -> (q139JoinHints _),
@@ -1625,6 +1670,7 @@ object QueriesRelational {
     "q148_array_setops" -> q148Sql,
     "q149_incremental_join" -> q149Sql,
     "q150_window_values" -> q150Sql,
+    "q151_map_lambdas" -> q151Sql,
     "q142_parquet_bloom" -> q142Sql,
     "q143_asof_directions" -> q143Sql,
     "q139_join_hints" -> q139Sql,
