@@ -425,7 +425,9 @@ object QueriesQuality {
     val stops = TA.EnglishStopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH t0 AS (
        |  SELECT doc_id, text,
-       |    string_split_regex(trim(text), '\\s+') AS tk,
+       |    CASE WHEN text IS NULL OR trim(text) = ''
+       |      THEN CAST([] AS VARCHAR[])
+       |      ELSE string_split_regex(trim(text), '\\s+') END AS tk,
        |    string_split(text, chr(10)) AS ln
        |  FROM documents),
        |m AS (
@@ -479,8 +481,8 @@ object QueriesQuality {
       .select(col("doc_id"), TA.winnowingSelect(col("h"), w = 4).as("fp"))
       .select(col("doc_id"),
         size(col("fp")).cast("bigint").as("n_fp"),
-        element_at(col("fp"), 1).as("min_fp"),
-        element_at(col("fp"), -1).as("max_fp"),
+        try_element_at(col("fp"), lit(1)).as("min_fp"),
+        try_element_at(col("fp"), lit(-1)).as("max_fp"),
         col("fp"))
       .orderBy(col("doc_id"))
   }

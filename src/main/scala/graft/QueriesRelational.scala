@@ -1584,15 +1584,15 @@ object QueriesRelational {
       sort_array(collect_list(struct(col("l_linestatus"), col("cnt")))))
     counts.groupBy(col("l_returnflag")).agg(m.as("m"))
       .select(col("l_returnflag"),
-        element_at(transform_values(col("m"), (_, v) => v * 2), "O")
-          .as("o_doubled"),
-        element_at(transform_keys(col("m"),
-          (k, _) => concat(k, lit("_x"))), "O_x").as("o_keyed"),
+        try_element_at(transform_values(col("m"), (_, v) => v * 2),
+          lit("O")).as("o_doubled"),
+        try_element_at(transform_keys(col("m"),
+          (k, _) => concat(k, lit("_x"))), lit("O_x")).as("o_keyed"),
         size(map_filter(col("m"), (_, v) => v > 1000)).cast("bigint")
           .as("n_big"),
-        element_at(map_zip_with(col("m"),
+        try_element_at(map_zip_with(col("m"),
           transform_values(col("m"), (_, v) => v * 3),
-          (_, a, b) => a + b), "F").as("f_quad"),
+          (_, a, b) => a + b), lit("F")).as("f_quad"),
         aggregate(map_values(map_filter(col("m"), (k, _) => k =!= "P")),
           lit(0L), (acc, x) => acc + x).as("non_p_total"))
       .orderBy(col("l_returnflag"))

@@ -208,8 +208,7 @@ object TextAnalysis {
       size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
         nWords).otherwise(lit(0.0))
     val nStopwords = size(filter(words,
-      w => array_contains(
-        array(EnglishStopwords.map(lit): _*), lower(w)))).cast("long")
+      w => lower(w).isin(EnglishStopwords: _*))).cast("long")
     val keep = nWords >= 50 && nWords <= 100000 &&
       meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
       symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&

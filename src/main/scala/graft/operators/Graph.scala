@@ -443,13 +443,16 @@ object Graph {
     var removed = 1L
     while (removed > 0 && round < maxRounds) {
       round += 1
+      // the degree aggregate runs ONCE per round: checkpointed, then
+      // both the survivor filter and the before-count read the
+      // materialized result (an uncached deg would re-run the full
+      // aggregate for the count — the one-aggregate-per-round cost
+      // model would silently double)
       val deg = e.repartition(loopParts, col("a"))
         .groupBy(col("a")).agg(count(lit(1)).as("deg"))
-      val alive = deg.filter(col("deg") >= k).select(col("a").as("node"))
         .localCheckpoint(eager = true)
-      val nAlive = alive.count()
-      val nBefore = deg.count()
-      removed = nBefore - nAlive
+      val alive = deg.filter(col("deg") >= k).select(col("a").as("node"))
+      removed = deg.count() - alive.count()
       if (removed > 0) {
         val kept = e
           .join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
@@ -459,7 +462,7 @@ object Graph {
         Dedup.releaseCheckpoint(e)
         e = kept
       }
-      Dedup.releaseCheckpoint(alive)
+      Dedup.releaseCheckpoint(deg)
     }
     // within-core degrees of the surviving subgraph
     e.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))

@@ -13,9 +13,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Layout: `<root>/v=N/` one immutable snapshot per commit. A version
   * is LIVE iff its directory contains the `_SUCCESS` marker Spark
-  * writes on job completion; commits stage to `v=N__staging` and
-  * rename, so a version directory appears atomically and a crash
-  * mid-write leaves only an invisible staging dir (swept by vacuum).
+  * writes on job completion; commits stage to a writer-unique
+  * `v__staging_<token>` dir and rename, so a version directory
+  * appears atomically, concurrent committers never touch each other's
+  * staging data, and a crash mid-write leaves only an invisible
+  * staging dir (age-swept by vacuum).
   * No mutable "latest" pointer exists to corrupt: the current version
   * is max(live N), a pure read-side rule, so readers and writers never
   * race on a marker file. (On object stores without atomic rename the
@@ -51,20 +53,24 @@ object VersionedTable {
   /** Commit `df` as the next snapshot; returns its version number.
     * Stage-then-rename: the snapshot becomes visible atomically, and
     * only with its _SUCCESS marker (a crashed write never surfaces).
-    * A lost rename race (concurrent committer took N) retries at the
-    * next number. */
+    * Each committer stages under its own unique suffix, so concurrent
+    * commits never touch each other's staging data; a lost rename
+    * race (someone else published v=N first) re-renames the SAME
+    * finished staging dir at the next number — the data is written
+    * once, only the rename retries. */
   def commit(df: DataFrame, root: String): Int = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(root, s"v__staging_$token")
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     var attempt = versions(spark, root).lastOption.getOrElse(-1) + 1
-    while (true) {
-      val stage = new Path(root, s"v=${attempt}__staging")
-      f.delete(stage, true)
-      df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-      if (f.rename(stage, new Path(root, s"v=$attempt"))) return attempt
-      f.delete(stage, true) // lost the race; someone committed v=N
-      attempt += 1
+    while (!f.rename(stage, new Path(root, s"v=$attempt"))) {
+      if (!f.exists(new Path(root, s"v=$attempt")))
+        throw new java.io.IOException(
+          s"commit rename failed for $root v=$attempt (staging: $stage)")
+      attempt += 1 // lost the race; someone committed this number
     }
     attempt
   }
@@ -83,20 +89,28 @@ object VersionedTable {
     spark.read.parquet(s"$root/v=$v")
   }
 
-  /** Drop all but the newest `keepLast` snapshots and sweep any
-    * leftover staging dirs. Returns the dropped version numbers.
-    * Readers pinned to a dropped version fail fast on next read —
-    * retention is the caller's contract, exactly as in Delta VACUUM. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Int] = {
+  /** Drop all but the newest `keepLast` snapshots and sweep staging
+    * corpses. Returns the dropped version numbers. Readers pinned to
+    * a dropped version fail fast on next read — retention is the
+    * caller's contract, exactly as in Delta VACUUM.
+    *
+    * A staging dir is only a corpse if its writer is gone — but a dir
+    * being WRITTEN now looks identical, so the sweep keeps anything
+    * modified within `stagingOlderThanMs` (default 24 h, the Delta
+    * VACUUM retention stance: never delete what a live writer might
+    * still own). */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+      stagingOlderThanMs: Long = 24L * 3600 * 1000): Seq[Int] = {
     require(keepLast >= 1, s"keepLast ($keepLast) must be >= 1")
     val f = fs(spark, root)
     val live = versions(spark, root)
     val drop = live.dropRight(keepLast)
     drop.foreach(v => f.delete(new Path(root, s"v=$v"), true))
-    // crashed commits leave only staging dirs — invisible, but sweep
+    val cutoff = System.currentTimeMillis() - stagingOlderThanMs
     if (f.exists(new Path(root)))
       f.listStatus(new Path(root)).toSeq
         .filter(_.getPath.getName.contains("__staging"))
+        .filter(_.getModificationTime < cutoff)
         .foreach(s => f.delete(s.getPath, true))
     drop
   }

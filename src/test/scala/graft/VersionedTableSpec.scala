@@ -48,13 +48,19 @@ class VersionedTableSpec extends SparkSpec {
     val root = freshRoot()
     VersionedTable.commit(Seq(1).toDF("x"), root)
     // simulate a crash: a staging dir that never got renamed
-    val stage = new java.io.File(root, "v=1__staging")
+    val stage = new java.io.File(root, "v__staging_dead1234")
     stage.mkdirs()
     new java.io.File(stage, "part-00000.parquet").createNewFile()
     VersionedTable.versions(spark, root) shouldBe Seq(0)
     VersionedTable.read(spark, root).count() shouldBe 1L
-    // vacuum sweeps the corpse
+    // a FRESH staging dir survives the default sweep (it could be a
+    // live writer's)...
     VersionedTable.vacuum(spark, root, keepLast = 1) shouldBe Seq.empty
+    stage.exists() shouldBe true
+    // ...and is swept once older than the retention window (negative
+    // threshold = everything is past the cutoff)
+    VersionedTable.vacuum(spark, root, keepLast = 1,
+      stagingOlderThanMs = -1000L)
     stage.exists() shouldBe false
   }
 
