@@ -474,18 +474,16 @@ object QueriesQuality {
     * window selection (the O(len²) inline pitfall); the fingerprint
     * ARRAY itself crosses the gate (hashed element-wise, the q122
     * precedent). */
-  private def q145Winnowing(s: SparkSession, dir: String): DataFrame = {
-    val hashed = docs(s, dir).filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), TA.winnowingHashes(col("text"), k = 5).as("h"))
-    hashed
-      .select(col("doc_id"), TA.winnowingSelect(col("h"), w = 4).as("fp"))
+  private def q145Winnowing(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        TA.winnowingFingerprints(col("text"), k = 5, w = 4).as("fp"))
       .select(col("doc_id"),
         size(col("fp")).cast("bigint").as("n_fp"),
         try_element_at(col("fp"), lit(1)).as("min_fp"),
         try_element_at(col("fp"), lit(-1)).as("max_fp"),
         col("fp"))
       .orderBy(col("doc_id"))
-  }
 
   private val q145Sql =
     """WITH nrm AS (

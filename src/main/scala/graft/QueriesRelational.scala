@@ -1614,6 +1614,99 @@ object QueriesRelational {
       |    AS non_p_total
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q152
+  /** FILTER (WHERE …) aggregate modifiers — the SQL:2003 selective
+    * aggregation form, identical text in both engines, across count /
+    * sum / avg / max / count-DISTINCT. Plans as conditional partial
+    * aggregates (map-side combined) — the idiomatic replacement for
+    * CASE-WHEN-inside-aggregate pivoting. */
+  private def q152FilterClause(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q152Sql)
+  }
+
+  private val q152Sql =
+    """SELECT l_returnflag,
+      |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      |  sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS sum_o,
+      |  avg(l_discount) FILTER (WHERE l_tax > 0.03) AS avg_disc,
+      |  max(l_extendedprice)
+      |    FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01') AS mx95,
+      |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_quantity < 10)
+      |    AS BIGINT) AS nd_small
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q153
+  /** unionByName with allowMissingColumns — schema-mismatched frames
+    * unify by NAME (not position), absent columns padded NULL: the
+    * multi-vintage ingest idiom (files written before a column existed
+    * union cleanly with files written after — the in-memory analogue
+    * of q128's mergeSchema read). Oracle restates as UNION ALL with
+    * explicit NULL projections. */
+  private def q153UnionByName(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") % 31 === 0)
+    val vintage1 = o.select(col("o_orderkey"), col("o_custkey"))
+      .withColumn("src", lit("v1"))
+    val vintage2 = o.select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("src", lit("v2"))
+    vintage1.unionByName(vintage2, allowMissingColumns = true)
+      .select(col("src"), col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      .orderBy(col("src"), col("o_orderkey"))
+  }
+
+  private val q153Sql =
+    """SELECT 'v1' AS src, o_orderkey, o_custkey,
+      |  CAST(NULL AS DOUBLE) AS o_totalprice
+      |FROM orders WHERE o_orderkey % 31 = 0
+      |UNION ALL
+      |SELECT 'v2', o_orderkey, CAST(NULL AS BIGINT), o_totalprice
+      |FROM orders WHERE o_orderkey % 31 = 0
+      |ORDER BY src, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q154
+  /** try_* ANSI-safe arithmetic battery: under Spark 4's ANSI default,
+    * overflow / division-by-zero / bad casts THROW — the try_ family
+    * is the NULL-on-failure escape hatch a 100 TB pipeline needs
+    * (one malformed row must not kill a 6-hour job). Each probe
+    * plants a real failure (bigint overflow, zero denominator, a
+    * non-numeric string) on a deterministic subset; the oracle
+    * restates every guard as an explicit CASE / TRY_CAST. */
+  private def q154TryOps(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  try_add(CAST(9223372036854775807 AS BIGINT),
+        |    CASE WHEN l_linenumber % 2 = 0 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END) AS t_add,
+        |  try_divide(l_extendedprice,
+        |    CAST(l_linenumber % 3 AS DOUBLE)) AS t_div,
+        |  try_multiply(CAST(4611686018427387904 AS BIGINT),
+        |    CAST(l_linenumber AS BIGINT)) AS t_mul,
+        |  try_cast(CASE WHEN l_linenumber % 2 = 0 THEN 'oops'
+        |    ELSE CAST(l_quantity AS STRING) END AS DOUBLE) AS t_cast,
+        |  try_subtract(CAST(-9223372036854775808 AS BIGINT),
+        |    CASE WHEN l_linenumber % 5 = 0 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END) AS t_sub
+        |FROM lineitem WHERE l_orderkey % 53 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
+  private val q154Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_linenumber % 2 = 0 THEN NULL
+      |       ELSE CAST(9223372036854775807 AS BIGINT) END AS t_add,
+      |  CASE WHEN l_linenumber % 3 = 0 THEN NULL
+      |       ELSE l_extendedprice / (l_linenumber % 3) END AS t_div,
+      |  CASE WHEN l_linenumber = 1
+      |       THEN CAST(4611686018427387904 AS BIGINT) END AS t_mul,
+      |  CASE WHEN l_linenumber % 2 = 0 THEN NULL
+      |       ELSE l_quantity END AS t_cast,
+      |  CASE WHEN l_linenumber % 5 = 0 THEN NULL
+      |       ELSE CAST(-9223372036854775808 AS BIGINT) END AS t_sub
+      |FROM lineitem WHERE l_orderkey % 53 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1622,6 +1715,9 @@ object QueriesRelational {
     "q149_incremental_join" -> (q149IncrementalJoin _),
     "q150_window_values" -> (q150WindowValues _),
     "q151_map_lambdas" -> (q151MapLambdas _),
+    "q152_filter_clause" -> (q152FilterClause _),
+    "q153_union_by_name" -> (q153UnionByName _),
+    "q154_try_ops" -> (q154TryOps _),
     "q142_parquet_bloom" -> (q142ParquetBloom _),
     "q143_asof_directions" -> (q143AsofDirections _),
     "q139_join_hints" -> (q139JoinHints _),
@@ -1671,6 +1767,9 @@ object QueriesRelational {
     "q149_incremental_join" -> q149Sql,
     "q150_window_values" -> q150Sql,
     "q151_map_lambdas" -> q151Sql,
+    "q152_filter_clause" -> q152Sql,
+    "q153_union_by_name" -> q153Sql,
+    "q154_try_ops" -> q154Sql,
     "q142_parquet_bloom" -> q142Sql,
     "q143_asof_directions" -> q143Sql,
     "q139_join_hints" -> q139Sql,

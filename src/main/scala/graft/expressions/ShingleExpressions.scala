@@ -169,6 +169,72 @@ object ShingleUtil {
       .fromPrimitiveArray(out)
   }
 
+  /** Winnowing fingerprints of an already-normalized string: sorted
+    * distinct window-minima of the 60-bit md5 k-gram hashes (see
+    * WinnowingExpression). < k chars -> empty; fewer k-grams than one
+    * window -> the single overall minimum — the exact edge rules of
+    * TextAnalysis.winnowingSelect, equivalence-spec-pinned. */
+  def winnowing(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val len = s.numChars()
+    val m = len - k + 1
+    if (m <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val bytes = s.getBytes
+    val offsets = new Array[Int](len + 1)
+    var ci = 0
+    var b = 0
+    while (b < bytes.length) {
+      offsets(ci) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      ci += 1
+    }
+    offsets(len) = bytes.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.update(bytes, offsets(i), offsets(i + k) - offsets(i))
+      val d = md.digest()
+      // first 15 hex digits = top 60 bits of the first 8 bytes
+      val v = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      hashes(i) = v >>> 4
+      md.reset()
+      i += 1
+    }
+    val nWin = m - w + 1
+    val mins: Array[Long] =
+      if (nWin <= 0) {
+        var mn = hashes(0); var t = 1
+        while (t < m) { if (hashes(t) < mn) mn = hashes(t); t += 1 }
+        Array(mn)
+      } else {
+        val out = new Array[Long](nWin)
+        var j = 0
+        while (j < nWin) {
+          var mn = hashes(j); var t = 1
+          while (t < w) {
+            val x = hashes(j + t); if (x < mn) mn = x; t += 1
+          }
+          out(j) = mn
+          j += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(mins)
+    var d = 1
+    var p = 1
+    while (p < mins.length) {
+      if (mins(p) != mins(p - 1)) { mins(d) = mins(p); d += 1 }
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(mins, d))
+  }
+
   /** Intersection size of two SORTED long arrays (two-pointer merge). */
   def sortedLongIntersectSize(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
@@ -361,4 +427,34 @@ case class SortedLongIntersectSizeExpression(left: Expression, right: Expression
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedLongIntersectSizeExpression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd winnowing fingerprint selection (Schleimer et al. 2003)
+  * in ONE primitive pass: md5-hash every char k-gram (code-point
+  * offsets computed once — the charShingles O(len²) guard), slide a
+  * w-hash window keeping each minimum, sort + dedup the selection.
+  * The Column-composition form (TextAnalysis.winnowingHashes +
+  * winnowingSelect) is the spec reference; interpreted HOF
+  * slice-per-window measured 7.6 s at sf0.1 vs ~2 s here, and the
+  * composition also needs a checkpoint to stop CollapseProject
+  * re-inlining the hash transform — this node has no such hazard.
+  * Hash = first 15 md5 hex digits as a 60-bit integer, replayed in
+  * DuckDB as ('0x' || substr(md5(substr(t,i,k)),1,15))::BIGINT. */
+case class WinnowingExpression(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"winnowing needs k >= 2, w >= 1 (got $k, $w)")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_winnowing"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.winnowing(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ShingleUtil.winnowing($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingExpression =
+    copy(child = newChild)
 }

@@ -243,6 +243,30 @@ class QualitySpec extends SparkSpec {
     out.map(_.getLong(0)).toSeq shouldBe Seq(1L)
   }
 
+  test("winnowing expression equals the composed hashes+select form") {
+    import graft.functions.{TextAnalysis => TA}
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "αβγδε ζη θικ multibyte text"), // code-point offsets
+      (3L, "abcdef"), // m=2 < w -> single overall minimum
+      (4L, "abc"), // < k -> empty
+      (5L, "aaaaaaaaaa") // repeated grams -> dedup
+    ).toDF("doc_id", "text")
+    val composed = d
+      .select(col("doc_id"), TA.winnowingHashes(col("text"), 5).as("h"))
+      .localCheckpoint(eager = true)
+      .select(col("doc_id"), TA.winnowingSelect(col("h"), 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expr = d
+      .select(col("doc_id"),
+        TA.winnowingFingerprints(col("text"), 5, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    expr shouldBe composed
+    expr(4L) shouldBe Seq.empty
+    expr(3L).length shouldBe 1
+    expr(5L).length shouldBe 1
+  }
+
   test("DSIR: target-like docs outscore off-target docs") {
     import graft.operators.ImportanceScoring
     // target dialect says "alpha beta", off-target says "zeta yota";
