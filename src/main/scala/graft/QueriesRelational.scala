@@ -1707,6 +1707,71 @@ object QueriesRelational {
       |FROM lineitem WHERE l_orderkey % 53 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // -------------------------------------------------------------- q155
+  /** Hive LATERAL VIEW syntax (with OUTER): the SQL-text spelling of
+    * q135's explode semantics — posexplode via LATERAL VIEW, and an
+    * OUTER view over a frequently-empty filtered array producing the
+    * NULL row. Pure parser/analyzer surface: the plan is the same
+    * Generate node the DataFrame API produces, so the oracle is the
+    * same indexed-lambda restatement as q135's. */
+  private def q155LateralView(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """WITH base AS (
+        |  SELECT l_orderkey,
+        |    sort_array(collect_list(CAST(l_quantity AS BIGINT))) AS qs
+        |  FROM lineitem WHERE l_orderkey % 43 = 0 GROUP BY l_orderkey)
+        |SELECT 'pos' AS tag, l_orderkey, CAST(p AS INT) AS pos, v AS val
+        |FROM base LATERAL VIEW posexplode(qs) t AS p, v
+        |UNION ALL
+        |SELECT 'outer', l_orderkey, -1, bigv
+        |FROM base LATERAL VIEW OUTER
+        |  explode(filter(qs, x -> x > 47)) t AS bigv
+        |ORDER BY tag, l_orderkey, pos, val ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val q155Sql =
+    """WITH base AS (
+      |  SELECT l_orderkey,
+      |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      |  FROM lineitem WHERE l_orderkey % 43 = 0 GROUP BY 1),
+      |pos AS (
+      |  SELECT 'pos' AS tag, l_orderkey, CAST(p.i AS INT) AS pos,
+      |    p.v AS val
+      |  FROM (SELECT l_orderkey, unnest(list_transform(qs,
+      |          (x, i) -> struct_pack(i := i - 1, v := x))) AS p
+      |        FROM base)),
+      |outr AS (
+      |  SELECT 'outer' AS tag, l_orderkey, -1 AS pos,
+      |    unnest(CASE WHEN len(list_filter(qs, x -> x > 47)) = 0
+      |           THEN [CAST(NULL AS BIGINT)]
+      |           ELSE list_filter(qs, x -> x > 47) END) AS val
+      |  FROM base)
+      |SELECT tag, l_orderkey, pos, val FROM pos
+      |UNION ALL
+      |SELECT tag, l_orderkey, pos, val FROM outr
+      |ORDER BY tag, l_orderkey, pos, val ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------- q156
+  /** Multi-key mixed-direction sort battery with explicit NULL
+    * placement: ASC NULLS LAST beside DESC NULLS FIRST over planted
+    * NULLs (the engines' defaults differ in BOTH dimensions — Spark
+    * is NULLS FIRST on ASC, DuckDB NULLS LAST — so every key pins
+    * its placement explicitly; same SQL text both engines). A unique
+    * final tiebreak makes the whole order total. */
+  private def q156SortBattery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q156Sql)
+  }
+
+  private val q156Sql =
+    """SELECT o_orderkey,
+      |  nullif(o_orderpriority, '3-MEDIUM') AS pri,
+      |  nullif(CAST(o_custkey % 7 AS INT), 3) AS bucket
+      |FROM orders WHERE o_orderkey % 17 = 0
+      |ORDER BY pri ASC NULLS LAST, bucket DESC NULLS FIRST,
+      |  o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1718,6 +1783,8 @@ object QueriesRelational {
     "q152_filter_clause" -> (q152FilterClause _),
     "q153_union_by_name" -> (q153UnionByName _),
     "q154_try_ops" -> (q154TryOps _),
+    "q155_lateral_view" -> (q155LateralView _),
+    "q156_sort_battery" -> (q156SortBattery _),
     "q142_parquet_bloom" -> (q142ParquetBloom _),
     "q143_asof_directions" -> (q143AsofDirections _),
     "q139_join_hints" -> (q139JoinHints _),
@@ -1770,6 +1837,8 @@ object QueriesRelational {
     "q152_filter_clause" -> q152Sql,
     "q153_union_by_name" -> q153Sql,
     "q154_try_ops" -> q154Sql,
+    "q155_lateral_view" -> q155Sql,
+    "q156_sort_battery" -> q156Sql,
     "q142_parquet_bloom" -> q142Sql,
     "q143_asof_directions" -> q143Sql,
     "q139_join_hints" -> q139Sql,
