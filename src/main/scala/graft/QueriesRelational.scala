@@ -1772,6 +1772,41 @@ object QueriesRelational {
       |ORDER BY pri ASC NULLS LAST, bucket DESC NULLS FIRST,
       |  o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------- q157
+  /** Ordered-set aggregate battery: percentile_cont / percentile_disc
+    * in the WITHIN GROUP syntax, median(), and mode(). The mode input
+    * plants a structurally dominant value (every order's line 1 maps
+    * to −1, ~10× any quantity's frequency), so the winner is unique
+    * under ANY regeneration of this data shape — a raw mode over
+    * natural columns would gate on a tie accident (the q96 lesson:
+    * the driver regenerates testdata between rounds). DuckDB restates
+    * with quantile_cont/quantile_disc/median/mode. */
+  private def q157OrderedSetAggs(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)
+        |    AS p25,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)
+        |    AS p75,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+        |    AS p50_disc,
+        |  median(l_quantity) AS med,
+        |  CAST(mode(CASE WHEN l_linenumber = 1 THEN -1
+        |    ELSE CAST(l_quantity AS INT) END) AS INT) AS planted_mode
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  private val q157Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+      |  median(l_quantity) AS med,
+      |  CAST(mode(CASE WHEN l_linenumber = 1 THEN -1
+      |    ELSE CAST(l_quantity AS INT) END) AS INT) AS planted_mode
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1785,6 +1820,7 @@ object QueriesRelational {
     "q154_try_ops" -> (q154TryOps _),
     "q155_lateral_view" -> (q155LateralView _),
     "q156_sort_battery" -> (q156SortBattery _),
+    "q157_ordered_set_aggs" -> (q157OrderedSetAggs _),
     "q142_parquet_bloom" -> (q142ParquetBloom _),
     "q143_asof_directions" -> (q143AsofDirections _),
     "q139_join_hints" -> (q139JoinHints _),
@@ -1839,6 +1875,7 @@ object QueriesRelational {
     "q154_try_ops" -> q154Sql,
     "q155_lateral_view" -> q155Sql,
     "q156_sort_battery" -> q156Sql,
+    "q157_ordered_set_aggs" -> q157Sql,
     "q142_parquet_bloom" -> q142Sql,
     "q143_asof_directions" -> q143Sql,
     "q139_join_hints" -> q139Sql,
