@@ -230,18 +230,24 @@ object TextAnalysis {
     * Returns the SORTED DISTINCT fingerprint array; shorter-than-one-
     * window texts yield their single overall minimum; texts shorter
     * than k yield the empty array. Map-only; per-doc work O(len · w)
-    * with small w. */
-  /** Production winnowing path: the whole hash → window-min → sort/
+    * with small w.
+    *
+    * This is the PRODUCTION path: the whole hash → window-min → sort/
     * dedup chain as ONE codegen'd pass (WinnowingExpression) — no HOF
     * interpretation, no CollapseProject re-inline hazard (measured
-    * 7.6 s → ~2 s at sf0.1 vs the composed form below, which is kept
-    * as the equivalence-spec reference). */
+    * 7.6 s → ~2 s at sf0.1 vs the composed winnowingHashes +
+    * winnowingSelect form below, which is kept as the
+    * equivalence-spec reference). */
   def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       graft.expressions.WinnowingExpression(
         org.apache.spark.sql.graftshim.ColumnBridge.expression(
           normalizeText(text)), k, w))
 
+  /** Composed-form reference, step 1: the 60-bit md5 hash of every
+    * char k-gram as an array (< k chars → empty). Pair with
+    * [[winnowingSelect]]; see [[winnowingFingerprints]] for the
+    * production single-pass node. */
   def winnowingHashes(text: Column, k: Int = 5): Column = {
     require(k >= 2, s"winnowing needs k >= 2 (got $k)")
     val norm = normalizeText(text)

@@ -54,25 +54,45 @@ object VersionedTable {
     * Stage-then-rename: the snapshot becomes visible atomically, and
     * only with its _SUCCESS marker (a crashed write never surfaces).
     * Each committer stages under its own unique suffix, so concurrent
-    * commits never touch each other's staging data; a lost rename
-    * race (someone else published v=N first) re-renames the SAME
-    * finished staging dir at the next number — the data is written
-    * once, only the rename retries. */
+    * commits never touch each other's staging data.
+    *
+    * Lost-race handling is TOKEN-verified, not rename-return-code-
+    * verified: Hadoop's FileSystem.rename does not fail when the
+    * destination exists — it moves the source INSIDE the existing
+    * directory and returns true (local FS and HDFS both). So each
+    * staging dir carries a writer-unique `_graft_commit_<token>`
+    * marker (underscore-prefixed — parquet readers ignore it); after
+    * a rename "succeeds", the committer checks the marker sits at the
+    * published root. If not, its dir was nested inside a rival's
+    * already-published v=N — it pulls the dir back out and retries at
+    * the next number. Data is written once; only renames retry. */
   def commit(df: DataFrame, root: String): Int = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
     val token = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(root, s"v__staging_$token")
+    val marker = s"_graft_commit_$token"
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    f.create(new Path(stage, marker), true).close()
     var attempt = versions(spark, root).lastOption.getOrElse(-1) + 1
-    while (!f.rename(stage, new Path(root, s"v=$attempt"))) {
-      if (!f.exists(new Path(root, s"v=$attempt")))
+    while (true) {
+      val target = new Path(root, s"v=$attempt")
+      if (f.rename(stage, target)) {
+        if (f.exists(new Path(target, marker))) return attempt
+        // nested inside a rival's already-published v=N: un-nest and
+        // retry at the next number
+        val nested = new Path(target, stage.getName)
+        if (!f.rename(nested, stage))
+          throw new java.io.IOException(
+            s"commit un-nest failed for $root v=$attempt ($nested)")
+      } else if (!f.exists(target)) {
         throw new java.io.IOException(
           s"commit rename failed for $root v=$attempt (staging: $stage)")
-      attempt += 1 // lost the race; someone committed this number
+      }
+      attempt += 1
     }
-    attempt
+    -1 // unreachable
   }
 
   /** Read a pinned snapshot (time travel), or the latest when
@@ -96,9 +116,11 @@ object VersionedTable {
     *
     * A staging dir is only a corpse if its writer is gone — but a dir
     * being WRITTEN now looks identical, so the sweep keeps anything
-    * modified within `stagingOlderThanMs` (default 24 h, the Delta
-    * VACUUM retention stance: never delete what a live writer might
-    * still own). */
+    * whose NEWEST file (recursive — a long write mutates nested
+    * _temporary task dirs without bumping the top dir's mtime) is
+    * within `stagingOlderThanMs` (default 24 h, the Delta VACUUM
+    * retention stance: never delete what a live writer might still
+    * own). */
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
       stagingOlderThanMs: Long = 24L * 3600 * 1000): Seq[Int] = {
     require(keepLast >= 1, s"keepLast ($keepLast) must be >= 1")
@@ -107,10 +129,22 @@ object VersionedTable {
     val drop = live.dropRight(keepLast)
     drop.foreach(v => f.delete(new Path(root, s"v=$v"), true))
     val cutoff = System.currentTimeMillis() - stagingOlderThanMs
+    def newestMtime(p: Path): Long = {
+      val s = f.getFileStatus(p)
+      var newest = s.getModificationTime
+      if (s.isDirectory) {
+        val it = f.listStatus(p).iterator
+        while (it.hasNext) {
+          val m = newestMtime(it.next().getPath)
+          if (m > newest) newest = m
+        }
+      }
+      newest
+    }
     if (f.exists(new Path(root)))
       f.listStatus(new Path(root)).toSeq
         .filter(_.getPath.getName.contains("__staging"))
-        .filter(_.getModificationTime < cutoff)
+        .filter(s => newestMtime(s.getPath) < cutoff)
         .foreach(s => f.delete(s.getPath, true))
     drop
   }

@@ -64,6 +64,28 @@ class VersionedTableSpec extends SparkSpec {
     stage.exists() shouldBe false
   }
 
+  test("a lost publish race is token-detected, un-nested, and retried " +
+      "(Hadoop rename moves INTO an existing dir instead of failing)") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1).toDF("x"), root) // v=0
+    // an adversary's NON-EMPTY v=1 exists but is not live (no
+    // _SUCCESS yet): the committer computes attempt=1, its rename
+    // NESTS the staging dir inside v=1 and returns true — the token
+    // check must catch it. (An EMPTY rival dir is legitimately
+    // replaced by POSIX rename — that case needs no detection.)
+    val rival = new java.io.File(root, "v=1")
+    rival.mkdirs()
+    new java.io.File(rival, "part-rival.parquet").createNewFile()
+    val v = VersionedTable.commit(Seq(7).toDF("x"), root)
+    v shouldBe 2
+    VersionedTable.versions(spark, root) shouldBe Seq(0, 2)
+    VersionedTable.read(spark, root, Some(2))
+      .head().getInt(0) shouldBe 7
+    // the un-nest left no staging debris inside the rival's dir
+    new java.io.File(root, "v=1").listFiles()
+      .filter(_.getName.contains("__staging")) shouldBe empty
+  }
+
   test("vacuum drops oldest, keeps newest, reports the drop") {
     val root = freshRoot()
     (1 to 4).foreach(i => VersionedTable.commit(Seq(i).toDF("x"), root))
