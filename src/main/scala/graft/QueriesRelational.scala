@@ -1807,6 +1807,67 @@ object QueriesRelational {
       |    ELSE CAST(l_quantity AS INT) END) AS INT) AS planted_mode
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q158
+  /** ISO week battery — the calendar corner q119 left unpinned:
+    * date_trunc('week') (Monday start in both engines), ISO week
+    * number, ISO week-numbering YEAR (which differs from the calendar
+    * year for early-January / late-December dates — the orders table
+    * spans seven year boundaries so the divergent rows are real), and
+    * day-of-year. DuckDB restates YEAROFWEEK as isoyear. */
+  private def q158WeekBattery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('week', o_orderdate) AS DATE) AS wk_start,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  CAST(extract(YEAROFWEEK FROM o_orderdate) AS INT) AS iso_year,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy
+        |FROM orders WHERE o_orderkey % 29 = 0
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q158Sql =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('week', o_orderdate) AS DATE) AS wk_start,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+      |  CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+      |  CAST(dayofyear(o_orderdate) AS INT) AS doy
+      |FROM orders WHERE o_orderkey % 29 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q159
+  /** Positional string-function battery — the q118 members not yet
+    * pinned: left/right, instr (DuckDB strpos — same 1-based,
+    * 0-absent contract), split_part, replace, and the predicate trio
+    * contains/startswith/endswith (endswith restated as LIKE —
+    * DuckDB's ends_with aliases are version-wobbly, LIKE is not). */
+  private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    s.sql(
+      """SELECT n_nationkey,
+        |  left(n_name, 3) AS l3,
+        |  right(n_name, 3) AS r3,
+        |  CAST(instr(n_name, 'AN') AS INT) AS pos_an,
+        |  split_part(n_name, ' ', 1) AS first_word,
+        |  replace(n_name, 'AN', '*') AS repl,
+        |  contains(n_name, 'IA') AS has_ia,
+        |  startswith(n_name, 'U') AS s_u,
+        |  endswith(n_name, 'A') AS e_a
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
+  }
+
+  private val q159Sql =
+    """SELECT n_nationkey,
+      |  left(n_name, 3) AS l3,
+      |  right(n_name, 3) AS r3,
+      |  CAST(strpos(n_name, 'AN') AS INT) AS pos_an,
+      |  split_part(n_name, ' ', 1) AS first_word,
+      |  replace(n_name, 'AN', '*') AS repl,
+      |  contains(n_name, 'IA') AS has_ia,
+      |  starts_with(n_name, 'U') AS s_u,
+      |  (n_name LIKE '%A') AS e_a
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1821,6 +1882,8 @@ object QueriesRelational {
     "q155_lateral_view" -> (q155LateralView _),
     "q156_sort_battery" -> (q156SortBattery _),
     "q157_ordered_set_aggs" -> (q157OrderedSetAggs _),
+    "q158_week_battery" -> (q158WeekBattery _),
+    "q159_char_funcs" -> (q159CharFuncs _),
     "q142_parquet_bloom" -> (q142ParquetBloom _),
     "q143_asof_directions" -> (q143AsofDirections _),
     "q139_join_hints" -> (q139JoinHints _),
@@ -1876,6 +1939,8 @@ object QueriesRelational {
     "q155_lateral_view" -> q155Sql,
     "q156_sort_battery" -> q156Sql,
     "q157_ordered_set_aggs" -> q157Sql,
+    "q158_week_battery" -> q158Sql,
+    "q159_char_funcs" -> q159Sql,
     "q142_parquet_bloom" -> q142Sql,
     "q143_asof_directions" -> q143Sql,
     "q139_join_hints" -> q139Sql,

@@ -268,6 +268,33 @@ object ScaleSmoke {
               unix_micros(col("ts").cast("timestamp")).as("tm"),
               col("value"))
         }.reduce(_ unionAll _).repartition(32)
+      // winnowing: one codegen'd map-only pass — wall must be linear
+      // in total text, fingerprint count linear (density 2/(w+1))
+      val (wfp, tWf) = time {
+        corpus.select(col("doc_id"),
+          graft.functions.TextAnalysis
+            .winnowingFingerprints(col("text"), 5, 4).as("fp"))
+          .agg(sum(size(col("fp")))).head().getLong(0)
+      }
+      println(f"winnow   ${f}%2dx docs=$n%8d fps=$wfp%9d  $tWf%7.1f s")
+      sweep()
+
+      // k-core: per-round cost is one degree aggregate + two
+      // shrinking semi-joins; copies scale edges linearly and leave
+      // the degree distribution intact, so rounds stay constant and
+      // wall tracks edge count
+      val edgesK = (0 until f).map { i =>
+          spark.read.parquet(s"$dir/lineitem.parquet")
+            .filter(col("l_orderkey") % 5 === 0)
+            .select((col("l_suppkey") + lit(i * 10000000L)).as("s"),
+              (col("l_partkey") % 300 + 10000 + i * 10000000L).as("p"))
+        }.reduce(_ unionAll _).repartition(32)
+      val (coreN, tK) = time {
+        Graph.kCore(edgesK, "s", "p", k = 35).count()
+      }
+      println(f"kcore    ${f}%2dx edges~${599063L * f / 5}%8d core=$coreN%7d  $tK%7.1f s")
+      sweep()
+
       val nEv = evScale.count()
       val (asofRows, tAsof) = time {
         graft.operators.AsOfJoin.asOf(
