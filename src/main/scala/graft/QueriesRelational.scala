@@ -1868,6 +1868,41 @@ object QueriesRelational {
       |  (n_name LIKE '%A') AS e_a
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // -------------------------------------------------------------- q160
+  /** GROUP BY ALL — both engines' sugar for "group by every
+    * non-aggregate select item" — plus a grouped HAVING over an
+    * aliased aggregate. Identical SQL text in both engines; pins that
+    * the sugar resolves the same grouping set. */
+  private def q160GroupByAll(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q160Sql)
+  }
+
+  private val q160Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ALL
+      |HAVING count(*) > 1000
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------- q161
+  /** Star-modifier projection: Spark's SELECT * EXCEPT(cols) vs
+    * DuckDB's * EXCLUDE(cols) — same semantics, different keyword, so
+    * the row pins that the pruned projection (and its column ORDER,
+    * which the gate's name-sort makes benign) matches an explicit
+    * column list. */
+  private def q161StarExcept(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT * EXCEPT (o_orderpriority, o_orderdate) FROM orders
+        |WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q161Sql =
+    """SELECT * EXCLUDE (o_orderpriority, o_orderdate) FROM orders
+      |WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1884,6 +1919,8 @@ object QueriesRelational {
     "q157_ordered_set_aggs" -> (q157OrderedSetAggs _),
     "q158_week_battery" -> (q158WeekBattery _),
     "q159_char_funcs" -> (q159CharFuncs _),
+    "q160_group_by_all" -> (q160GroupByAll _),
+    "q161_star_except" -> (q161StarExcept _),
     "q142_parquet_bloom" -> (q142ParquetBloom _),
     "q143_asof_directions" -> (q143AsofDirections _),
     "q139_join_hints" -> (q139JoinHints _),
@@ -1941,6 +1978,8 @@ object QueriesRelational {
     "q157_ordered_set_aggs" -> q157Sql,
     "q158_week_battery" -> q158Sql,
     "q159_char_funcs" -> q159Sql,
+    "q160_group_by_all" -> q160Sql,
+    "q161_star_except" -> q161Sql,
     "q142_parquet_bloom" -> q142Sql,
     "q143_asof_directions" -> q143Sql,
     "q139_join_hints" -> q139Sql,
