@@ -13,8 +13,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Layout: `<root>/v=N/` one immutable snapshot per commit. A version
   * is LIVE iff its directory contains the `_SUCCESS` marker Spark
-  * writes on job completion; commits stage to a writer-unique
-  * `v__staging_<token>` dir and rename, so a version directory
+  * writes on job completion; commits stage to a writer-unique,
+  * underscore-hidden `_staging_<token>` dir and rename, so a version directory
   * appears atomically, concurrent committers never touch each other's
   * staging data, and a crash mid-write leaves only an invisible
   * staging dir (age-swept by vacuum).
@@ -44,7 +44,6 @@ object VersionedTable {
     if (!f.exists(r)) Seq.empty
     else f.listStatus(r).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .filter(s => !s.getPath.getName.contains("__staging"))
       .filter(s => f.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("v=").toInt)
       .sorted
@@ -56,39 +55,46 @@ object VersionedTable {
     * Each committer stages under its own unique suffix, so concurrent
     * commits never touch each other's staging data.
     *
-    * Lost-race handling is TOKEN-verified, not rename-return-code-
-    * verified: Hadoop's FileSystem.rename does not fail when the
-    * destination exists — it moves the source INSIDE the existing
-    * directory and returns true (local FS and HDFS both). So each
-    * staging dir carries a writer-unique `_graft_commit_<token>`
-    * marker (underscore-prefixed — parquet readers ignore it); after
-    * a rename "succeeds", the committer checks the marker sits at the
-    * published root. If not, its dir was nested inside a rival's
-    * already-published v=N — it pulls the dir back out and retries at
-    * the next number. Data is written once; only renames retry. */
+    * Lost-race handling, layered (Hadoop's FileSystem.rename does NOT
+    * fail on an existing destination — it moves the source INSIDE it,
+    * on local FS via a full copy fallback):
+    *  1. the committer only attempts the rename when the target does
+    *     not exist yet, so the common lost race (rival's v=N already
+    *     visible) just retries at the next number with zero I/O;
+    *  2. the check-to-rename window is TOKEN-verified: the staging
+    *     dir carries a writer-unique `_graft_commit_<token>` marker;
+    *     if after a "successful" rename the marker is not at the
+    *     published root, the dir was nested inside a rival's v=N —
+    *     pull it back out and retry;
+    *  3. the staging dir itself is UNDERSCORE-prefixed, so even while
+    *     (or if a crash leaves it) nested inside a live snapshot,
+    *     Spark's hidden-file filter keeps it invisible to readers,
+    *     and vacuum sweeps such debris by age. */
   def commit(df: DataFrame, root: String): Int = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val stage = new Path(root, s"v__staging_$token")
+    val stage = new Path(root, s"_staging_$token")
     val marker = s"_graft_commit_$token"
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     f.create(new Path(stage, marker), true).close()
     var attempt = versions(spark, root).lastOption.getOrElse(-1) + 1
     while (true) {
       val target = new Path(root, s"v=$attempt")
-      if (f.rename(stage, target)) {
-        if (f.exists(new Path(target, marker))) return attempt
-        // nested inside a rival's already-published v=N: un-nest and
-        // retry at the next number
-        val nested = new Path(target, stage.getName)
-        if (!f.rename(nested, stage))
+      if (!f.exists(target)) {
+        if (f.rename(stage, target)) {
+          if (f.exists(new Path(target, marker))) return attempt
+          // a rival published v=N inside the check-to-rename window
+          // and the rename nested us: un-nest and retry
+          val nested = new Path(target, stage.getName)
+          if (!f.rename(nested, stage))
+            throw new java.io.IOException(
+              s"commit un-nest failed for $root v=$attempt ($nested)")
+        } else if (!f.exists(target)) {
           throw new java.io.IOException(
-            s"commit un-nest failed for $root v=$attempt ($nested)")
-      } else if (!f.exists(target)) {
-        throw new java.io.IOException(
-          s"commit rename failed for $root v=$attempt (staging: $stage)")
+            s"commit rename failed for $root v=$attempt (staging: $stage)")
+        }
       }
       attempt += 1
     }
@@ -129,23 +135,36 @@ object VersionedTable {
     val drop = live.dropRight(keepLast)
     drop.foreach(v => f.delete(new Path(root, s"v=$v"), true))
     val cutoff = System.currentTimeMillis() - stagingOlderThanMs
-    def newestMtime(p: Path): Long = {
-      val s = f.getFileStatus(p)
+    // recurse on the FileStatus rows listStatus already fetched (one
+    // metadata RPC per entry, not two); a file vanishing mid-walk
+    // PROVES a live writer — treat the dir as modified-now, keep it
+    def newestMtime(s: org.apache.hadoop.fs.FileStatus): Long = {
       var newest = s.getModificationTime
       if (s.isDirectory) {
-        val it = f.listStatus(p).iterator
-        while (it.hasNext) {
-          val m = newestMtime(it.next().getPath)
-          if (m > newest) newest = m
+        try {
+          val it = f.listStatus(s.getPath).iterator
+          while (it.hasNext) {
+            val m = newestMtime(it.next())
+            if (m > newest) newest = m
+          }
+        } catch {
+          case _: java.io.FileNotFoundException => return Long.MaxValue
         }
       }
       newest
     }
-    if (f.exists(new Path(root)))
-      f.listStatus(new Path(root)).toSeq
-        .filter(_.getPath.getName.contains("__staging"))
-        .filter(s => newestMtime(s.getPath) < cutoff)
-        .foreach(s => f.delete(s.getPath, true))
+    def isStaging(name: String): Boolean = name.startsWith("_staging_")
+    def sweep(dir: Path): Unit =
+      if (f.exists(dir))
+        f.listStatus(dir).toSeq
+          .filter(s => isStaging(s.getPath.getName))
+          .filter(s => newestMtime(s) < cutoff)
+          .foreach(s => f.delete(s.getPath, true))
+    sweep(new Path(root))
+    // a crashed loser of the publish race can leave (hidden) staging
+    // debris NESTED inside a live snapshot — sweep those too
+    versions(spark, root)
+      .foreach(v => sweep(new Path(root, s"v=$v")))
     drop
   }
 }

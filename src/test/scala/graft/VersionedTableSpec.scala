@@ -48,7 +48,7 @@ class VersionedTableSpec extends SparkSpec {
     val root = freshRoot()
     VersionedTable.commit(Seq(1).toDF("x"), root)
     // simulate a crash: a staging dir that never got renamed
-    val stage = new java.io.File(root, "v__staging_dead1234")
+    val stage = new java.io.File(root, "_staging_dead1234")
     stage.mkdirs()
     new java.io.File(stage, "part-00000.parquet").createNewFile()
     VersionedTable.versions(spark, root) shouldBe Seq(0)
@@ -64,15 +64,15 @@ class VersionedTableSpec extends SparkSpec {
     stage.exists() shouldBe false
   }
 
-  test("a lost publish race is token-detected, un-nested, and retried " +
-      "(Hadoop rename moves INTO an existing dir instead of failing)") {
+  test("a lost publish race skips the occupied number and leaves no " +
+      "debris (Hadoop rename would otherwise move INTO an existing dir)") {
     val root = freshRoot()
     VersionedTable.commit(Seq(1).toDF("x"), root) // v=0
     // an adversary's NON-EMPTY v=1 exists but is not live (no
-    // _SUCCESS yet): the committer computes attempt=1, its rename
-    // NESTS the staging dir inside v=1 and returns true — the token
-    // check must catch it. (An EMPTY rival dir is legitimately
-    // replaced by POSIX rename — that case needs no detection.)
+    // _SUCCESS yet): the committer computes attempt=1, the exists
+    // pre-check skips it without ever renaming (the token check
+    // remains as the backstop for the check-to-rename window, and
+    // the underscore staging prefix keeps even a nested dir hidden)
     val rival = new java.io.File(root, "v=1")
     rival.mkdirs()
     new java.io.File(rival, "part-rival.parquet").createNewFile()
@@ -81,9 +81,28 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.versions(spark, root) shouldBe Seq(0, 2)
     VersionedTable.read(spark, root, Some(2))
       .head().getInt(0) shouldBe 7
-    // the un-nest left no staging debris inside the rival's dir
+    // no staging debris inside the rival's dir
     new java.io.File(root, "v=1").listFiles()
-      .filter(_.getName.contains("__staging")) shouldBe empty
+      .filter(_.getName.contains("_staging")) shouldBe empty
+  }
+
+  test("nested staging debris inside a live snapshot is invisible to " +
+      "readers and age-swept by vacuum") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(1, 2).toDF("x"), root) // v=0 live
+    // simulate a crashed race loser: hidden staging dir nested inside
+    // the live snapshot, containing foreign parquet data
+    val nested = new java.io.File(root, "v=0/_staging_loser99")
+    nested.mkdirs()
+    Seq(99).toDF("x").write.mode("overwrite")
+      .parquet(nested.getPath + "/data")
+    // readers never see the foreign rows (underscore prefix)
+    VersionedTable.read(spark, root, Some(0))
+      .agg(sum($"x")).head().getLong(0) shouldBe 3L
+    // vacuum's nested sweep removes it once past the age window
+    VersionedTable.vacuum(spark, root, keepLast = 1,
+      stagingOlderThanMs = -1000L)
+    nested.exists() shouldBe false
   }
 
   test("vacuum drops oldest, keeps newest, reports the drop") {
