@@ -1903,6 +1903,76 @@ object QueriesRelational {
     """SELECT * EXCLUDE (o_orderpriority, o_orderdate) FROM orders
       |WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------- q162
+  /** str_to_map — the config-string/tag-blob parsing idiom: a
+    * deterministic "k1:v1,k2:v2" string is built from columns, parsed
+    * back, and probed. Probes go through element_at/size so no raw
+    * MAP ordering crosses the gate (the q151 rule); the oracle
+    * recomputes every probe from the source columns, so the
+    * build→parse round trip must be lossless. */
+  private def q162StrToMap(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH tagged AS (
+        |  SELECT o_orderkey,
+        |    concat('status:', o_orderstatus,
+        |      ',prio:', split_part(o_orderpriority, '-', 1),
+        |      ',cust:', CAST(o_custkey AS STRING)) AS tags
+        |  FROM orders WHERE o_orderkey % 47 = 0)
+        |SELECT o_orderkey,
+        |  element_at(str_to_map(tags, ',', ':'), 'status') AS status,
+        |  element_at(str_to_map(tags, ',', ':'), 'prio') AS prio,
+        |  CAST(element_at(str_to_map(tags, ',', ':'), 'cust') AS BIGINT)
+        |    AS cust,
+        |  CAST(size(str_to_map(tags, ',', ':')) AS INT) AS n_tags
+        |FROM tagged ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q162Sql =
+    """SELECT o_orderkey,
+      |  o_orderstatus AS status,
+      |  split_part(o_orderpriority, '-', 1) AS prio,
+      |  o_custkey AS cust,
+      |  CAST(3 AS INT) AS n_tags
+      |FROM orders WHERE o_orderkey % 47 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q163
+  /** parse_url battery: HOST / PATH / QUERY / specific query-param
+    * extraction over deterministic synthetic URLs built from columns
+    * — the log-ingest idiom beside q82's custom URL canonicalizer.
+    * DuckDB has no parse_url, so the oracle recomputes the parts from
+    * the same source columns the URL was built from (round-trip
+    * contract, as q146/q162). */
+  private def q163ParseUrl(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """WITH u AS (
+        |  SELECT c_custkey,
+        |    concat('https://shop', CAST(c_custkey % 7 AS STRING),
+        |      '.example.com/seg/', CAST(c_custkey % 13 AS STRING),
+        |      '?cust=', CAST(c_custkey AS STRING),
+        |      '&seg=', CAST(c_custkey % 5 AS STRING)) AS url
+        |  FROM customer WHERE c_custkey % 11 = 0)
+        |SELECT c_custkey,
+        |  parse_url(url, 'HOST') AS host,
+        |  parse_url(url, 'PATH') AS path,
+        |  parse_url(url, 'QUERY') AS query,
+        |  CAST(parse_url(url, 'QUERY', 'cust') AS BIGINT) AS cust_param,
+        |  parse_url(url, 'PROTOCOL') AS proto
+        |FROM u ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q163Sql =
+    """SELECT c_custkey,
+      |  'shop' || (c_custkey % 7) || '.example.com' AS host,
+      |  '/seg/' || (c_custkey % 13) AS path,
+      |  'cust=' || c_custkey || '&seg=' || (c_custkey % 5) AS query,
+      |  c_custkey AS cust_param,
+      |  'https' AS proto
+      |FROM customer WHERE c_custkey % 11 = 0
+      |ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1921,6 +1991,8 @@ object QueriesRelational {
     "q159_char_funcs" -> (q159CharFuncs _),
     "q160_group_by_all" -> (q160GroupByAll _),
     "q161_star_except" -> (q161StarExcept _),
+    "q162_str_to_map" -> (q162StrToMap _),
+    "q163_parse_url" -> (q163ParseUrl _),
     "q142_parquet_bloom" -> (q142ParquetBloom _),
     "q143_asof_directions" -> (q143AsofDirections _),
     "q139_join_hints" -> (q139JoinHints _),
@@ -1980,6 +2052,8 @@ object QueriesRelational {
     "q159_char_funcs" -> q159Sql,
     "q160_group_by_all" -> q160Sql,
     "q161_star_except" -> q161Sql,
+    "q162_str_to_map" -> q162Sql,
+    "q163_parse_url" -> q163Sql,
     "q142_parquet_bloom" -> q142Sql,
     "q143_asof_directions" -> q143Sql,
     "q139_join_hints" -> q139Sql,
