@@ -1915,16 +1915,15 @@ object QueriesRelational {
     s.sql(
       """WITH tagged AS (
         |  SELECT o_orderkey,
-        |    concat('status:', o_orderstatus,
+        |    str_to_map(concat('status:', o_orderstatus,
         |      ',prio:', split_part(o_orderpriority, '-', 1),
-        |      ',cust:', CAST(o_custkey AS STRING)) AS tags
+        |      ',cust:', CAST(o_custkey AS STRING)), ',', ':') AS m
         |  FROM orders WHERE o_orderkey % 47 = 0)
         |SELECT o_orderkey,
-        |  element_at(str_to_map(tags, ',', ':'), 'status') AS status,
-        |  element_at(str_to_map(tags, ',', ':'), 'prio') AS prio,
-        |  CAST(element_at(str_to_map(tags, ',', ':'), 'cust') AS BIGINT)
-        |    AS cust,
-        |  CAST(size(str_to_map(tags, ',', ':')) AS INT) AS n_tags
+        |  element_at(m, 'status') AS status,
+        |  element_at(m, 'prio') AS prio,
+        |  CAST(element_at(m, 'cust') AS BIGINT) AS cust,
+        |  CAST(size(m) AS INT) AS n_tags
         |FROM tagged ORDER BY o_orderkey""".stripMargin)
   }
 

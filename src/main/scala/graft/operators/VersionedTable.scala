@@ -82,23 +82,34 @@ object VersionedTable {
     var attempt = versions(spark, root).lastOption.getOrElse(-1) + 1
     while (true) {
       val target = new Path(root, s"v=$attempt")
-      if (!f.exists(target)) {
-        if (f.rename(stage, target)) {
-          if (f.exists(new Path(target, marker))) return attempt
-          // a rival published v=N inside the check-to-rename window
-          // and the rename nested us: un-nest and retry
-          val nested = new Path(target, stage.getName)
-          if (!f.rename(nested, stage))
-            throw new java.io.IOException(
-              s"commit un-nest failed for $root v=$attempt ($nested)")
-        } else if (!f.exists(target)) {
-          throw new java.io.IOException(
-            s"commit rename failed for $root v=$attempt (staging: $stage)")
-        }
-      }
+      if (!f.exists(target) && publishAttempt(f, stage, target, marker))
+        return attempt
       attempt += 1
     }
     -1 // unreachable
+  }
+
+  /** One publish attempt: rename staging to `target` and verify by
+    * token that it landed AT target (not nested inside a rival's
+    * already-published dir — see the commit scaladoc). Returns true
+    * on a verified publish; false after un-nesting a lost race (the
+    * staging dir is back in place for a retry). Package-visible so
+    * the race backstop is directly testable — the exists-precheck in
+    * `commit` makes it unreachable from the public API except inside
+    * the check-to-rename window. */
+  private[graft] def publishAttempt(f: org.apache.hadoop.fs.FileSystem,
+      stage: Path, target: Path, marker: String): Boolean = {
+    if (f.rename(stage, target)) {
+      if (f.exists(new Path(target, marker))) return true
+      val nested = new Path(target, stage.getName)
+      if (!f.rename(nested, stage))
+        throw new java.io.IOException(
+          s"commit un-nest failed for $target ($nested)")
+      false
+    } else if (!f.exists(target)) {
+      throw new java.io.IOException(
+        s"commit rename failed for $target (staging: $stage)")
+    } else false // rival visible and rename refused: plain lost race
   }
 
   /** Read a pinned snapshot (time travel), or the latest when
@@ -153,7 +164,10 @@ object VersionedTable {
       }
       newest
     }
-    def isStaging(name: String): Boolean = name.startsWith("_staging_")
+    // current naming plus the pre-token `v__staging_` format, so
+    // debris in roots written by older builds still gets swept
+    def isStaging(name: String): Boolean =
+      name.startsWith("_staging_") || name.startsWith("v__staging")
     def sweep(dir: Path): Unit =
       if (f.exists(dir))
         f.listStatus(dir).toSeq
@@ -162,8 +176,9 @@ object VersionedTable {
           .foreach(s => f.delete(s.getPath, true))
     sweep(new Path(root))
     // a crashed loser of the publish race can leave (hidden) staging
-    // debris NESTED inside a live snapshot — sweep those too
-    versions(spark, root)
+    // debris NESTED inside a live snapshot — sweep those too; the
+    // survivors are exactly live minus drop (no re-listing needed)
+    live.takeRight(keepLast)
       .foreach(v => sweep(new Path(root, s"v=$v")))
     drop
   }

@@ -86,6 +86,36 @@ class VersionedTableSpec extends SparkSpec {
       .filter(_.getName.contains("_staging")) shouldBe empty
   }
 
+  test("publishAttempt backstop: a rename nested into a rival's dir is " +
+      "token-detected, un-nested, and reported as a lost race") {
+    val root = freshRoot()
+    new java.io.File(root).mkdirs()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a finished staging dir with its marker
+    val stage = new java.io.File(root, "_staging_tok42")
+    stage.mkdirs()
+    new java.io.File(stage, "part-0.parquet").createNewFile()
+    new java.io.File(stage, "_graft_commit_tok42").createNewFile()
+    // a NON-EMPTY rival target: Hadoop rename nests instead of failing
+    val rival = new java.io.File(root, "v=5")
+    rival.mkdirs()
+    new java.io.File(rival, "part-rival.parquet").createNewFile()
+    val won = graft.operators.VersionedTable.publishAttempt(f,
+      new org.apache.hadoop.fs.Path(stage.getPath),
+      new org.apache.hadoop.fs.Path(rival.getPath), "_graft_commit_tok42")
+    won shouldBe false
+    // staging dir restored intact for the retry; rival unpolluted
+    new java.io.File(stage, "part-0.parquet").exists() shouldBe true
+    new java.io.File(stage, "_graft_commit_tok42").exists() shouldBe true
+    rival.listFiles().map(_.getName).toSet shouldBe Set("part-rival.parquet")
+    // and against an absent target the same attempt wins
+    val won2 = graft.operators.VersionedTable.publishAttempt(f,
+      new org.apache.hadoop.fs.Path(stage.getPath),
+      new org.apache.hadoop.fs.Path(root + "/v=6"), "_graft_commit_tok42")
+    won2 shouldBe true
+  }
+
   test("nested staging debris inside a live snapshot is invisible to " +
       "readers and age-swept by vacuum") {
     val root = freshRoot()
