@@ -616,9 +616,11 @@ object Queries {
     * one pass — deletes drop, last-writer upserts replace or insert.
     * Completes the mutation family (q7 keyed update, q8 keyed delete,
     * q80 SCD2, q96/q110 aggregate refresh) with the replication-log
-    * shape. Census of the applied table per nation; acctbal summed as
-    * round-then-DECIMAL (the q91-proven cross-engine-safe money
-    * pattern). */
+    * shape. Census of the applied table per nation; acctbal accumulates
+    * round-then-DECIMAL (exact) and leaves the gate as BIGINT cents —
+    * the r5 adjudication showed the driver's hasher rejects decimal128
+    * sum columns even when bit-identical (q96a/b/c split); q91/q140
+    * keep the decimal-typed coverage. */
   private def q113CdcApply(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "customer")
     val key = when(col("o_orderkey") % 11 === 0,
@@ -635,8 +637,8 @@ object Queries {
     UpdateJob.applyChangelog(base, changes, Seq("c_custkey"), "seq", "op")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(round(col("c_acctbal"), 2).cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_acctbal"),
+        (sum(round(col("c_acctbal"), 2).cast("decimal(18,2)")) * 100)
+          .cast("long").as("sum_acctbal_cents"),
         min(col("c_name")).as("first_name"))
       .orderBy(col("c_nationkey"))
   }
@@ -667,8 +669,8 @@ object Queries {
       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM net
       |  WHERE lower(op) NOT IN ('d', 'delete'))
       |SELECT c_nationkey, count(*) AS n_rows,
-      |  CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)))
-      |    AS DECIMAL(38,2)) AS sum_acctbal,
+      |  CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) * 100
+      |    AS BIGINT) AS sum_acctbal_cents,
       |  min(c_name) AS first_name
       |FROM applied GROUP BY 1 ORDER BY 1""".stripMargin
 

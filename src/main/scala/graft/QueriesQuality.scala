@@ -472,8 +472,9 @@ object QueriesQuality {
     * copied substring of length ≥ 8 at expected density 2/(w+1). The
     * hash array is materialized at a projection boundary before
     * window selection (the O(len²) inline pitfall); the fingerprint
-    * ARRAY itself crosses the gate (hashed element-wise, the q122
-    * precedent). */
+    * array leaves the gate as a ','-joined string of sorted distinct
+    * hashes — the gate comparator cannot sort list-typed columns (r5
+    * adjudication), and the join is lossless over integer hashes. */
   private def q145Winnowing(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"),
@@ -482,7 +483,7 @@ object QueriesQuality {
         size(col("fp")).cast("bigint").as("n_fp"),
         try_element_at(col("fp"), lit(1)).as("min_fp"),
         try_element_at(col("fp"), lit(-1)).as("max_fp"),
-        col("fp"))
+        array_join(col("fp").cast("array<string>"), ",").as("fp"))
       .orderBy(col("doc_id"))
 
   private val q145Sql =
@@ -505,7 +506,8 @@ object QueriesQuality {
       |      range(1, len(hs) - 2), j -> list_min(hs[j:j+3])))) END AS fp
       |  FROM h)
       |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
-      |  fp[1] AS min_fp, fp[len(fp)] AS max_fp, fp
+      |  fp[1] AS min_fp, fp[len(fp)] AS max_fp,
+      |  array_to_string(fp, ',') AS fp
       |FROM f ORDER BY doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -338,9 +338,11 @@ object QueriesRelational {
   /** Aggregate-function battery: bitwise AND/OR/XOR aggregates (the
     * bitmap/flag-merge reductions), a sorted DISTINCT string
     * aggregation (concat_ws over sort_array(collect_set) == DuckDB's
-    * string_agg DISTINCT ORDER BY), a sorted distinct list column, and
-    * bool_and/bool_or — closing the aggregate surface the earlier
-    * rows didn't pin. */
+    * string_agg DISTINCT ORDER BY), a sorted distinct list serialized
+    * to JSON (the gate comparator cannot sort list-typed columns — r5
+    * adjudication — so collect_set's array leaves as a canonical
+    * to_json string), and bool_and/bool_or — closing the aggregate
+    * surface the earlier rows didn't pin. */
   private def q124AggBattery(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -350,7 +352,8 @@ object QueriesRelational {
         bit_xor(col("l_orderkey")).as("bxor"),
         concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
           .as("statuses"),
-        sort_array(collect_set(col("l_linestatus"))).as("status_list"),
+        to_json(sort_array(collect_set(col("l_linestatus"))))
+          .as("status_list_json"),
         bool_and(col("l_quantity") > 0).as("all_positive"),
         bool_or(col("l_quantity") > 49).as("any_big"))
       .orderBy(col("l_returnflag"))
@@ -362,7 +365,8 @@ object QueriesRelational {
       |  bit_xor(l_orderkey) AS bxor,
       |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
       |    AS statuses,
-      |  list_sort(list(DISTINCT l_linestatus)) AS status_list,
+      |  '["' || string_agg(DISTINCT l_linestatus, '","'
+      |    ORDER BY l_linestatus) || '"]' AS status_list_json,
       |  bool_and(l_quantity > 0) AS all_positive,
       |  bool_or(l_quantity > 49) AS any_big
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
@@ -370,7 +374,9 @@ object QueriesRelational {
   // -------------------------------------------------------------- q122
   /** Regex-function battery over a 1-in-7 documents sample:
     * regexp_extract (group + no-match-to-'' rule), regexp_extract_all
-    * (an ARRAY column hashed element-wise by the gate), regexp_count
+    * (its ARRAY joined to a ','-string — the gate comparator cannot
+    * sort list columns, r5 adjudication; matches are [A-Za-z]+ so the
+    * join is lossless), regexp_count
     * (DuckDB restates via len(regexp_extract_all)), and global
     * regexp_replace (DuckDB needs the 'g' flag for Spark's
     * replace-all default). Patterns stay in the Java∩RE2 common
@@ -380,7 +386,8 @@ object QueriesRelational {
     s.sql(
       """SELECT doc_id,
         |  regexp_extract(text, '([A-Za-z]{7,})', 1) AS first_long,
-        |  regexp_extract_all(text, '([A-Za-z]{7,})', 1) AS long_words,
+        |  array_join(regexp_extract_all(text, '([A-Za-z]{7,})', 1), ',')
+        |    AS long_words,
         |  CAST(regexp_count(text, '[aeiou]') AS BIGINT) AS n_vowels,
         |  regexp_replace(text, '[0-9]', '#') AS masked
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin)
@@ -389,7 +396,9 @@ object QueriesRelational {
   private val q122Sql =
     """SELECT doc_id,
       |  regexp_extract(text, '([A-Za-z]{7,})', 1) AS first_long,
-      |  regexp_extract_all(text, '([A-Za-z]{7,})', 1) AS long_words,
+      |  coalesce(array_to_string(
+      |    regexp_extract_all(text, '([A-Za-z]{7,})', 1), ','), '')
+      |    AS long_words,
       |  CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT)
       |    AS n_vowels,
       |  regexp_replace(text, '[0-9]', '#', 'g') AS masked
@@ -647,9 +656,14 @@ object QueriesRelational {
     * partial aggregates — the base fact rows are scanned ONCE ever (the
     * 100 TB refresh pattern: delta scan + aggregate-sized shuffle, not
     * a full recompute). count/sum/min/max re-aggregate exactly; the
-    * quantity sum is DECIMAL so merged == recomputed bit-for-bit, which
-    * is precisely what the oracle asserts by recomputing from scratch
-    * over the full table. */
+    * quantity sum is DECIMAL internally so merged == recomputed
+    * bit-for-bit, which is precisely what the oracle asserts by
+    * recomputing from scratch over the full table. Gate shape note
+    * (r5 adjudication): the driver's hasher reproducibly rejects
+    * decimal128 SUM columns even when cell compare is bit-identical
+    * (q96a ints green / q96b decimal red / q96c doubles green), so the
+    * exact decimal sum is emitted as BIGINT cents — same information,
+    * integer-typed; q91/q140 retain the decimal-typed gate coverage. */
   private def q96Incremental(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.IncrementalAgg
     val li = Tables.load(s, dir, "lineitem")
@@ -664,18 +678,15 @@ object QueriesRelational {
       .withColumnRenamed("qty", "sum_qty")
       .withColumn("min_price", col("l_extendedprice"))
       .withColumn("max_price", col("l_extendedprice"))
-    // no final cast: the merged sum's NATURAL Spark type is already
-    // DECIMAL(38,2) (18,2 → partial sum 28,2 → re-agg sum 38,2),
-    // matching DuckDB's sum(DECIMAL(18,2)) result type exactly — the r4
-    // gate flagged this row's hash (values/types/order verified
-    // bit-identical in-repo), so the redundant Cast node is removed to
-    // align the decimal production path with the oracle's
+    // the merged decimal sum (exact by construction) leaves the gate as
+    // BIGINT cents: decimal(·,2) × 100 is integral and the cast exact
     IncrementalAgg.mergeDelta(base, delta,
         keys = Seq("l_returnflag", "l_linestatus"),
         counts = Seq("n_items"), sums = Seq("sum_qty"),
         mins = Seq("min_price"), maxs = Seq("max_price"))
       .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
-        col("sum_qty"), col("min_price"), col("max_price"))
+        (col("sum_qty") * 100).cast("long").as("sum_qty_cents"),
+        col("min_price"), col("max_price"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -692,7 +703,8 @@ object QueriesRelational {
 
   private def q96bSum(s: SparkSession, dir: String): DataFrame =
     q96Incremental(s, dir)
-      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_cents"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   private def q96cMinMax(s: SparkSession, dir: String): DataFrame =
@@ -703,8 +715,8 @@ object QueriesRelational {
 
   private val q96Sql =
     """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-      |    AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS sum_qty_cents,
       |  min(l_extendedprice) AS min_price,
       |  max(l_extendedprice) AS max_price
       |FROM lineitem
@@ -716,8 +728,8 @@ object QueriesRelational {
 
   private val q96bSql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-      |    AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS sum_qty_cents
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val q96cSql =
@@ -737,8 +749,13 @@ object QueriesRelational {
     * list is restated as a descending sort; array_position's
     * 0-for-absent is coalesced (list_position yields NULL). All
     * map-side per-group work after one grouping shuffle — the arrays
-    * are bounded by lines-per-order (≤7), not data size. */
+    * are bounded by lines-per-order (≤7), not data size. Every array
+    * output leaves the gate joined to a ','-string (elements are
+    * integers, so the join is lossless and order-preserving); the gate
+    * comparator cannot sort list-typed columns (r5 adjudication). */
   private def q125ArrayBattery(s: SparkSession, dir: String): DataFrame = {
+    def j(c: org.apache.spark.sql.Column) =
+      array_join(c.cast("array<string>"), ",")
     val base = t(s, dir, "lineitem")
       .filter(col("l_orderkey") % 31 === 0)
       .groupBy(col("l_orderkey"))
@@ -746,22 +763,22 @@ object QueriesRelational {
         .as("qs"))
     base.select(
       col("l_orderkey"),
-      col("qs"),
-      transform(col("qs"), x => x * 2).as("doubled"),
-      filter(col("qs"), x => x > 25).as("big"),
-      zip_with(col("qs"), transform(col("qs"), x => x * 2),
-        (a, b) => a + b).as("tripled"),
+      j(col("qs")).as("qs"),
+      j(transform(col("qs"), x => x * 2)).as("doubled"),
+      j(filter(col("qs"), x => x > 25)).as("big"),
+      j(zip_with(col("qs"), transform(col("qs"), x => x * 2),
+        (a, b) => a + b)).as("tripled"),
       exists(col("qs"), x => x > 40).as("has_big"),
       forall(col("qs"), x => x > 0).as("all_pos"),
       size(col("qs")).cast("bigint").as("n"),
-      slice(col("qs"), 1, 3).as("first3"),
-      reverse(col("qs")).as("rev"),
-      array_distinct(col("qs")).as("dedup"),
+      j(slice(col("qs"), 1, 3)).as("first3"),
+      j(reverse(col("qs"))).as("rev"),
+      j(array_distinct(col("qs"))).as("dedup"),
       array_contains(col("qs"), 10L).as("has10"),
       array_position(col("qs"), 10L).as("pos10"),
       array_max(col("qs")).as("mx"),
       array_min(col("qs")).as("mn"),
-      flatten(array(slice(col("qs"), 1, 2), slice(col("qs"), 1, 2)))
+      j(flatten(array(slice(col("qs"), 1, 2), slice(col("qs"), 1, 2))))
         .as("flat2"))
       .orderBy(col("l_orderkey"))
   }
@@ -771,54 +788,81 @@ object QueriesRelational {
       |  SELECT l_orderkey,
       |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
       |  FROM lineitem WHERE l_orderkey % 31 = 0 GROUP BY 1)
-      |SELECT l_orderkey, qs,
-      |  list_transform(qs, x -> x * 2) AS doubled,
-      |  list_filter(qs, x -> x > 25) AS big,
-      |  list_transform(qs, x -> x * 3) AS tripled,
+      |SELECT l_orderkey,
+      |  coalesce(array_to_string(qs, ','), '') AS qs,
+      |  coalesce(array_to_string(list_transform(qs, x -> x * 2), ','),
+      |    '') AS doubled,
+      |  coalesce(array_to_string(list_filter(qs, x -> x > 25), ','),
+      |    '') AS big,
+      |  coalesce(array_to_string(list_transform(qs, x -> x * 3), ','),
+      |    '') AS tripled,
       |  len(list_filter(qs, x -> x > 40)) > 0 AS has_big,
       |  len(list_filter(qs, x -> NOT (x > 0))) = 0 AS all_pos,
       |  len(qs) AS n,
-      |  qs[1:3] AS first3,
-      |  list_sort(qs, 'DESC') AS rev,
-      |  list_sort(list_distinct(qs)) AS dedup,
+      |  coalesce(array_to_string(qs[1:3], ','), '') AS first3,
+      |  coalesce(array_to_string(list_sort(qs, 'DESC'), ','), '') AS rev,
+      |  coalesce(array_to_string(list_sort(list_distinct(qs)), ','), '')
+      |    AS dedup,
       |  list_contains(qs, 10) AS has10,
       |  CAST(coalesce(list_position(qs, 10), 0) AS BIGINT) AS pos10,
       |  list_aggregate(qs, 'max') AS mx,
       |  list_aggregate(qs, 'min') AS mn,
-      |  qs[1:2] || qs[1:2] AS flat2
+      |  coalesce(array_to_string(qs[1:2] || qs[1:2], ','), '') AS flat2
       |FROM base ORDER BY l_orderkey""".stripMargin
 
   // -------------------------------------------------------------- q126
-  /** Linear-regression aggregate battery (the SQL:2003 REGR_ family,
-    * identical names in both engines): slope/intercept/r2 plus the
-    * raw moment sums and population variants, grouped by returnflag.
-    * y = extendedprice regressed on x = quantity. All are one-pass
-    * mergeable aggregates (partial + final), so the plan is the same
-    * map-side-combine shape as q1 — nothing here shuffles more than
-    * 3 groups × a fixed-width moment vector at any scale. Floats meet
-    * the gate's 10-significant-digit compare; corr/covar at this
-    * magnitude were proven stable by q31. */
+  /** Linear-regression battery restated from EXACT integer moments
+    * (the r5 adjudication: regr_* native accumulations differ between
+    * engines at the last 1–100 ulps — catastrophic-cancellation noise
+    * under different partial-sum orders — and the gate hash is
+    * bit-exact on doubles). Points are integerized first (quantity is
+    * integral; price goes through floor(), identical in IEEE both
+    * sides), the six moments n, Σx, Σy, Σxx, Σxy, Σyy accumulate as
+    * exact BIGINTs (associative — any partial-aggregation order yields
+    * the same integer), and slope/intercept/r² derive from those
+    * identical integers with the same double expression tree on both
+    * sides: int64→double conversion is correctly rounded IEEE in both
+    * engines and each +,-,*,/ is a separate correctly-rounded op, so
+    * the derived doubles are bit-identical by construction. Spark's
+    * native regr_* family stays pinned by RegrFamilySpec against these
+    * exact derivations. Same map-side-combine plan shape as q1:
+    * 3 groups × a fixed-width moment vector at any scale. */
   private def q126Regression(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
     s.sql(q126Sql)
   }
 
   private val q126Sql =
-    """SELECT l_returnflag,
-      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
-      |    AS n_pairs,
-      |  regr_avgx(l_extendedprice, l_quantity) AS avgx,
-      |  regr_avgy(l_extendedprice, l_quantity) AS avgy,
-      |  regr_slope(l_extendedprice, l_quantity) AS slope,
-      |  regr_intercept(l_extendedprice, l_quantity) AS icept,
-      |  regr_r2(l_extendedprice, l_quantity) AS r2,
-      |  regr_sxx(l_extendedprice, l_quantity) AS sxx,
-      |  regr_syy(l_extendedprice, l_quantity) AS syy,
-      |  regr_sxy(l_extendedprice, l_quantity) AS sxy,
-      |  covar_pop(l_extendedprice, l_quantity) AS cov_p,
-      |  var_pop(l_quantity) AS var_p,
-      |  stddev_pop(l_quantity) AS sd_p
-      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    """WITH pts AS (
+      |  SELECT l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS xi,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS yi
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(xi) AS BIGINT) AS sx,
+      |    CAST(sum(yi) AS BIGINT) AS sy,
+      |    CAST(sum(xi * xi) AS BIGINT) AS sxx,
+      |    CAST(sum(xi * yi) AS BIGINT) AS sxy,
+      |    CAST(sum(yi * yi) AS BIGINT) AS syy
+      |  FROM pts GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n_pairs, sx, sy, sxx, sxy, syy,
+      |    CAST(n_pairs AS DOUBLE) AS nd,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+      |    CAST(syy AS DOUBLE) AS syyd
+      |  FROM m)
+      |SELECT l_returnflag, n_pairs, sx, sy, sxx, sxy, syy,
+      |  sxd / nd AS avgx,
+      |  syd / nd AS avgy,
+      |  (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+      |  (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+      |    / nd AS icept,
+      |  ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) /
+      |    ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2
+      |FROM d ORDER BY l_returnflag""".stripMargin
 
   // -------------------------------------------------------------- q127
   /** Scalar math-function battery over a 1-in-13 part sample:
@@ -999,8 +1043,10 @@ object QueriesRelational {
     * parquet under snappy, gzip, zstd, and lz4, read back and
     * aggregated — every codec must round-trip bit-identically (the
     * oracle is one aggregate over the source crossed with the codec
-    * list). Money sums use the q91-proven decimal pattern so the
-    * comparison is exact, not float-tolerant. Codec choice is a 100 TB
+    * list). Money sums accumulate in exact DECIMAL then leave the gate
+    * as BIGINT cents (r5 adjudication: the driver's hasher rejects
+    * decimal128 sum columns even when bit-identical — q96a/b/c split;
+    * q91/q140 keep the decimal-typed coverage). Codec choice is a 100 TB
     * cost lever (zstd ~2× smaller than snappy at similar scan speed);
     * this row proves all four paths are wired and lossless. */
   private def q131Codecs(s: SparkSession, dir: String): DataFrame = {
@@ -1015,24 +1061,25 @@ object QueriesRelational {
     codecs.map { c =>
       s.read.parquet(root + "/" + c)
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"),
-          sum(round(col("l_extendedprice"), 2).cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_price"))
+          (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("long").as("sum_qty_cents"),
+          (sum(round(col("l_extendedprice"), 2).cast("decimal(18,2)")) * 100)
+            .cast("long").as("sum_price_cents"))
         .withColumn("codec", lit(c))
     }.reduce(_ unionAll _)
-      .select(col("codec"), col("n"), col("sum_qty"), col("sum_price"))
+      .select(col("codec"), col("n"), col("sum_qty_cents"),
+        col("sum_price_cents"))
       .orderBy(col("codec"))
   }
 
   private val q131Sql =
     """WITH agg AS (SELECT count(*) AS n,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-      |      AS sum_qty,
-      |    CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
-      |      AS DECIMAL(38,2)) AS sum_price
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS sum_qty_cents,
+      |    CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS sum_price_cents
       |  FROM lineitem WHERE l_orderkey % 11 = 0)
-      |SELECT c.codec, agg.n, agg.sum_qty, agg.sum_price
+      |SELECT c.codec, agg.n, agg.sum_qty_cents, agg.sum_price_cents
       |FROM (VALUES ('gzip'), ('lz4'), ('snappy'), ('zstd')) c(codec), agg
       |ORDER BY c.codec""".stripMargin
 
@@ -1316,15 +1363,15 @@ object QueriesRelational {
       .filter(col("l_partkey") % 997 === 0)
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("sum_qty"))
+        (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+          .cast("long").as("sum_qty_cents"))
       .orderBy(col("l_partkey"))
   }
 
   private val q142Sql =
     """SELECT l_partkey, count(*) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-      |    AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS sum_qty_cents
       |FROM lineitem WHERE l_partkey % 997 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1437,17 +1484,21 @@ object QueriesRelational {
           col("l_quantity").cast("bigint")))).as("ev"),
         sort_array(collect_set(when(col("l_linenumber") % 2 === 1,
           col("l_quantity").cast("bigint")))).as("od"))
+    // every array output leaves the gate as a ','-joined string — the
+    // gate comparator cannot sort list-typed columns (r5 adjudication)
+    def j(c: org.apache.spark.sql.Column) =
+      array_join(c.cast("array<string>"), ",")
     base.select(
-      col("l_orderkey"), col("ev"), col("od"),
-      sort_array(array_union(col("ev"), col("od"))).as("un"),
-      sort_array(array_intersect(col("ev"), col("od"))).as("inter"),
-      sort_array(array_except(col("ev"), col("od"))).as("exc"),
-      transform(arrays_zip(slice(col("ev"), 1, 2), slice(col("ev"), 1, 2)),
-        p => p.getField("0") + p.getField("1")).as("zip2"),
-      sequence(lit(2L), lit(11L), lit(3L)).as("seq3"),
-      array_repeat(size(col("ev")).cast("long"), 3).as("rep3"),
-      array_compact(concat(col("od"),
-        array(lit(null).cast("bigint")))).as("compacted"))
+      col("l_orderkey"), j(col("ev")).as("ev"), j(col("od")).as("od"),
+      j(sort_array(array_union(col("ev"), col("od")))).as("un"),
+      j(sort_array(array_intersect(col("ev"), col("od")))).as("inter"),
+      j(sort_array(array_except(col("ev"), col("od")))).as("exc"),
+      j(transform(arrays_zip(slice(col("ev"), 1, 2), slice(col("ev"), 1, 2)),
+        p => p.getField("0") + p.getField("1"))).as("zip2"),
+      j(sequence(lit(2L), lit(11L), lit(3L))).as("seq3"),
+      j(array_repeat(size(col("ev")).cast("long"), 3)).as("rep3"),
+      j(array_compact(concat(col("od"),
+        array(lit(null).cast("bigint"))))).as("compacted"))
       .orderBy(col("l_orderkey"))
   }
 
@@ -1459,16 +1510,20 @@ object QueriesRelational {
       |    coalesce(list_sort(list(DISTINCT CAST(l_quantity AS BIGINT))
       |      FILTER (l_linenumber % 2 = 1)), CAST([] AS BIGINT[])) AS od
       |  FROM lineitem WHERE l_orderkey % 41 = 0 GROUP BY 1)
-      |SELECT l_orderkey, ev, od,
-      |  list_sort(list_distinct(ev || od)) AS un,
-      |  list_sort(list_filter(list_distinct(ev),
-      |    x -> list_contains(od, x))) AS inter,
-      |  list_sort(list_filter(list_distinct(ev),
-      |    x -> NOT list_contains(od, x))) AS exc,
-      |  list_transform(ev[1:2], x -> x * 2) AS zip2,
-      |  [2, 5, 8, 11] AS seq3,
-      |  [len(ev), len(ev), len(ev)] AS rep3,
-      |  od AS compacted
+      |SELECT l_orderkey,
+      |  coalesce(array_to_string(ev, ','), '') AS ev,
+      |  coalesce(array_to_string(od, ','), '') AS od,
+      |  coalesce(array_to_string(list_sort(list_distinct(ev || od)), ','),
+      |    '') AS un,
+      |  coalesce(array_to_string(list_sort(list_filter(list_distinct(ev),
+      |    x -> list_contains(od, x))), ','), '') AS inter,
+      |  coalesce(array_to_string(list_sort(list_filter(list_distinct(ev),
+      |    x -> NOT list_contains(od, x))), ','), '') AS exc,
+      |  coalesce(array_to_string(list_transform(ev[1:2], x -> x * 2), ','),
+      |    '') AS zip2,
+      |  '2,5,8,11' AS seq3,
+      |  array_to_string([len(ev), len(ev), len(ev)], ',') AS rep3,
+      |  coalesce(array_to_string(od, ','), '') AS compacted
       |FROM base ORDER BY l_orderkey""".stripMargin
 
   // -------------------------------------------------------------- q149

@@ -120,17 +120,20 @@ object QueriesStreaming {
       .start()
     if (!q.awaitTermination(180000L))
       throw new IllegalStateException("incremental refresh stream timed out")
+    // gate shape: the exact decimal sum leaves as BIGINT cents (r5
+    // adjudication — the driver's hasher rejects decimal128 sums even
+    // when bit-identical; q91/q140 keep the decimal-typed coverage)
     ParquetTable.read(s, pub)
       .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
-        col("sum_qty").cast("decimal(38,2)").as("sum_qty"),
+        (col("sum_qty") * 100).cast("long").as("sum_qty_cents"),
         col("min_price"), col("max_price"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   private val q110Sql =
     """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-      |    AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS sum_qty_cents,
       |  min(l_extendedprice) AS min_price,
       |  max(l_extendedprice) AS max_price
       |FROM lineitem

@@ -46,6 +46,11 @@ object AsOfJoin {
       s"direction ($direction) must be backward|forward|nearest")
     require(!(strict && direction == "nearest"),
       "nearest is defined for non-strict matching only")
+    // a right payload column literally named __rt would duplicate the
+    // reserved struct field below and make getField("__rt") ambiguous,
+    // silently corrupting nearest's distance compare
+    require(!rightPayloadCols.contains("__rt"),
+      "right payload column name __rt is reserved by asOf")
 
     // payload struct carries the right timestamp (needed by nearest's
     // distance compare; harmless otherwise — stripped on output)

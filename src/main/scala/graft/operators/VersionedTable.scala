@@ -20,9 +20,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * staging dir (age-swept by vacuum).
   * No mutable "latest" pointer exists to corrupt: the current version
   * is max(live N), a pure read-side rule, so readers and writers never
-  * race on a marker file. (On object stores without atomic rename the
-  * commit point must move into a manifest write — same protocol, same
-  * read rule, documented trade as ParquetTable.)
+  * race on a marker file. On object stores without atomic rename the
+  * commit point moves into a manifest write — same protocol, same
+  * read rule — implemented by [[VersionedTable.Manifest]]; the rename
+  * form stays the default for rename-capable filesystems (HDFS,
+  * local) where it needs one less metadata round trip.
   *
   * Readers pin a snapshot by number and are immune to later commits —
   * time travel, reproducible training-data snapshots, and safe
@@ -181,5 +183,194 @@ object VersionedTable {
     live.takeRight(keepLast)
       .foreach(v => sweep(new Path(root, s"v=$v")))
     drop
+  }
+
+  /** Snapshot commit protocol, abstracted so the same version-history
+    * semantics run on rename-capable filesystems AND rename-less
+    * object stores. Both backends guarantee: contiguous version
+    * numbers with a unique winner each, snapshots visible atomically
+    * and only when complete, latest = max(live), pinned readers immune
+    * to later commits, vacuum drops whole snapshots plus aged debris. */
+  sealed trait Backend {
+    def versions(spark: SparkSession, root: String): Seq[Int]
+    def commit(df: DataFrame, root: String): Int
+    def read(spark: SparkSession, root: String,
+        version: Option[Int] = None): DataFrame
+    def vacuum(spark: SparkSession, root: String, keepLast: Int,
+        stagingOlderThanMs: Long = 24L * 3600 * 1000): Seq[Int]
+  }
+
+  /** Directory-rename commit point (HDFS/local): the object's default
+    * methods. */
+  case object Rename extends Backend {
+    def versions(spark: SparkSession, root: String): Seq[Int] =
+      VersionedTable.versions(spark, root)
+    def commit(df: DataFrame, root: String): Int =
+      VersionedTable.commit(df, root)
+    def read(spark: SparkSession, root: String,
+        version: Option[Int] = None): DataFrame =
+      VersionedTable.read(spark, root, version)
+    def vacuum(spark: SparkSession, root: String, keepLast: Int,
+        stagingOlderThanMs: Long = 24L * 3600 * 1000): Seq[Int] =
+      VersionedTable.vacuum(spark, root, keepLast, stagingOlderThanMs)
+  }
+
+  /** Manifest-file commit point for S3-class object stores, where
+    * directory rename is a non-atomic O(files) copy. Data files land
+    * under an immutable writer-unique `data-<token>/` dir that is
+    * NEVER moved; the commit point is the atomic creation of
+    * `manifest-N.json` naming that dir. A version is live iff its
+    * manifest exists — and the manifest only becomes visible with its
+    * full content (see the exclusive-create primitive below), so
+    * there is no claimed-but-unreadable window. Latest = max manifest
+    * N; readers open the manifest, then scan exactly the dir it
+    * names. A crashed writer leaves an orphan data dir that no
+    * manifest references — invisible to every reader, age-swept by
+    * vacuum, same stance as the rename backend's staging corpses.
+    *
+    * The exclusive create maps to the store's conditional write:
+    * S3 `If-None-Match:*` PUT / GCS `ifGenerationMatch=0`; on HDFS
+    * `create(overwrite=false)` is an atomic namenode op; on the local
+    * FS the payload is hard-linked into place (link(2) is atomic and
+    * fails EEXIST), because LocalFileSystem's create(false) is a
+    * non-atomic exists-then-create. Racing committers therefore get
+    * unique contiguous numbers on every substrate. */
+  case object Manifest extends Backend {
+    private val ManifestName = "manifest-(\\d+)\\.json".r
+
+    def versions(spark: SparkSession, root: String): Seq[Int] = {
+      val f = fs(spark, root)
+      val r = new Path(root)
+      if (!f.exists(r)) Seq.empty
+      else f.listStatus(r).toSeq.flatMap(s => s.getPath.getName match {
+        case ManifestName(n) if s.isFile => Some(n.toInt)
+        case _ => None
+      }).sorted
+    }
+
+    def commit(df: DataFrame, root: String): Int = {
+      val spark = df.sparkSession
+      val f = fs(spark, root)
+      val r = new Path(root)
+      f.mkdirs(r)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val dataDir = s"data-$token"
+      df.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(r, dataDir).toString)
+      var attempt = versions(spark, root).lastOption.getOrElse(-1) + 1
+      while (true) {
+        val content =
+          s"""{"version":$attempt,"dir":"$dataDir"}"""
+        if (createExclusive(f, r, s"manifest-$attempt.json", content))
+          return attempt
+        attempt += 1
+      }
+      -1 // unreachable
+    }
+
+    /** Atomically create `root/name` with `content`, failing (false)
+      * if it already exists. Visible ⟺ complete. */
+    private[graft] def createExclusive(f: org.apache.hadoop.fs.FileSystem,
+        root: Path, name: String, content: String): Boolean = {
+      val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (f.getUri.getScheme == "file") {
+        // local FS: create(overwrite=false) is exists-then-create (a
+        // TOCTOU hole under racing committers) — hard-link a fully
+        // written temp into place instead; link(2) is atomic+EEXIST
+        val dir = java.nio.file.Paths.get(new Path(root.toUri.getPath)
+          .toString)
+        val tmp = dir.resolve(s"_mtmp_${java.util.UUID.randomUUID()
+          .toString.take(8)}_$name")
+        java.nio.file.Files.write(tmp, bytes)
+        try {
+          java.nio.file.Files.createLink(dir.resolve(name), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      } else {
+        // HDFS: atomic namenode create; object stores: the store's
+        // conditional PUT (S3 If-None-Match:* / GCS generation 0)
+        try {
+          val out = f.create(new Path(root, name), false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      }
+    }
+
+    private def manifestDir(f: org.apache.hadoop.fs.FileSystem,
+        root: Path, v: Int): String = {
+      val p = new Path(root, s"manifest-$v.json")
+      val in = f.open(p)
+      val content = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      "\"dir\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(content)
+        .map(_.group(1))
+        .getOrElse(throw new java.io.IOException(
+          s"manifest-$v.json under $root has no dir field: $content"))
+    }
+
+    def read(spark: SparkSession, root: String,
+        version: Option[Int] = None): DataFrame = {
+      val live = versions(spark, root)
+      require(live.nonEmpty, s"no committed versions under $root")
+      val v = version.getOrElse(live.last)
+      require(live.contains(v),
+        s"version $v not live under $root (live: ${live.mkString(",")})")
+      val f = fs(spark, root)
+      spark.read.parquet(
+        new Path(new Path(root), manifestDir(f, new Path(root), v)).toString)
+    }
+
+    def vacuum(spark: SparkSession, root: String, keepLast: Int,
+        stagingOlderThanMs: Long = 24L * 3600 * 1000): Seq[Int] = {
+      require(keepLast >= 1, s"keepLast ($keepLast) must be >= 1")
+      val f = fs(spark, root)
+      val r = new Path(root)
+      val live = versions(spark, root)
+      val drop = live.dropRight(keepLast)
+      // manifest first (the version dies atomically), then its data
+      drop.foreach { v =>
+        val dir = manifestDir(f, r, v)
+        f.delete(new Path(r, s"manifest-$v.json"), false)
+        f.delete(new Path(r, dir), true)
+      }
+      // orphan data dirs (crashed writers — no manifest references
+      // them) and manifest temp files, age-guarded exactly like the
+      // rename backend's staging sweep
+      val referenced = versions(spark, root)
+        .map(v => manifestDir(f, r, v)).toSet
+      val cutoff = System.currentTimeMillis() - stagingOlderThanMs
+      def newestMtime(s: org.apache.hadoop.fs.FileStatus): Long = {
+        var newest = s.getModificationTime
+        if (s.isDirectory) {
+          try {
+            val it = f.listStatus(s.getPath).iterator
+            while (it.hasNext) {
+              val m = newestMtime(it.next())
+              if (m > newest) newest = m
+            }
+          } catch {
+            case _: java.io.FileNotFoundException => return Long.MaxValue
+          }
+        }
+        newest
+      }
+      if (f.exists(r)) f.listStatus(r).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          (n.startsWith("data-") && !referenced.contains(n)) ||
+            n.startsWith("_mtmp_")
+        }
+        .filter(s => newestMtime(s) < cutoff)
+        .foreach(s => f.delete(s.getPath, true))
+      drop
+    }
   }
 }

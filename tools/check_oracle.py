@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's correctness gate.
+"""Local mirror of the driver's correctness gate — STRICT by default.
 
 Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
@@ -8,11 +8,35 @@ corresponding oracle SQL (oracle_sql.json) in DuckDB over the sf_dir
 parquet tables, and compares: schema (column names sorted), arrow
 column TYPES (strict — the driver's hasher is type-sensitive, so a
 DuckDB HUGEINT vs Spark int64 divergence must fail here too, not just
-in the driver; see VERDICT r3 on q36), row count, and values (rows
-sorted, NaN-safe, float-tolerant like the driver).
+in the driver; see VERDICT r3 on q36), row count, and values.
+
+Strictness contract (r5 VERDICT item 2 — this mirror must PREDICT the
+driver, not flatter it):
+  * doubles FAIL when they disagree at 12 significant digits (a real
+    value error under any plausible driver tolerance) and WARN when
+    they agree at 12 but not bit-exactly (the "ulp zone"). Bit-exact
+    default was tried and over-predicts: r6 measurement showed eight
+    driver-GREEN rows (q26/q31/q60/q83/q114/q127/q132/q141) agreeing
+    with the LOCAL DuckDB only at 12–15 digits, while driver-RED q126
+    agreed at ~12 as well — so the driver's verdict cannot be any
+    fixed digit tolerance against locally-computed oracle values; its
+    own DuckDB build/threading lands on different last ulps. The ulp
+    zone is where the driver's verdict is build-dependent: new rows
+    must avoid it via exact restatements (integer moments, cents —
+    see ORACLE_NOTES.md), and the WARN is the tripwire;
+  * any list- or struct-typed output column is a hard FAIL regardless
+    of values (the driver's pandas sort_values crashes on ndarray
+    cells — q122/q124/q125/q145/q148 in r5 — so such a schema can
+    never go green at the gate);
+  * decimal columns that are the result of SUM aggregation are known
+    driver-red (r5 classes: q96b bit-identical yet rejected). This
+    mirror cannot see the driver's hasher, so decimals get a WARN
+    line (not a failure) to keep q91/q140-style coverage possible
+    while flagging new decimal outputs for review.
 """
 import json
 import math
+import struct
 import sys
 from pathlib import Path
 
@@ -53,26 +77,50 @@ def canon_type(t):
     return str(t)
 
 
-def norm_cell(v):
+def unsortable_cols(schema):
+    """Columns whose arrow type the driver's pandas sorter cannot take
+    (list/struct cells become numpy.ndarray/dict → unhashable in
+    sort_values). Presence of any such column is an automatic gate red."""
+    import pyarrow as pa
+    bad = []
+    for f in schema:
+        t = f.type
+        if pa.types.is_dictionary(t):
+            t = t.value_type
+        if (pa.types.is_list(t) or pa.types.is_large_list(t)
+                or pa.types.is_fixed_size_list(t) or pa.types.is_struct(t)
+                or pa.types.is_map(t)):
+            bad.append(f.name)
+    return bad
+
+
+def decimal_cols(schema):
+    import pyarrow as pa
+    return [f.name for f in schema if pa.types.is_decimal(f.type)]
+
+
+def norm_cell(v, g=12):
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return float(f"{v:.10g}")
+        if g is None:
+            return struct.pack("<d", v).hex()  # bit-exact
+        return f"{v:.{g}g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
+        return tuple(norm_cell(x, g) for x in v)
     if isinstance(v, dict):
-        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
+        return tuple(sorted((k, norm_cell(x, g)) for k, x in v.items()))
     return v
 
 
-def table_rows(tbl, cols):
+def table_rows(tbl, cols, g=12):
     data = {c: tbl.column(c).to_pylist() for c in cols}
     n = tbl.num_rows
-    rows = [tuple(norm_cell(data[c][i]) for c in cols) for i in range(n)]
+    rows = [tuple(norm_cell(data[c][i], g) for c in cols) for i in range(n)]
     rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return rows
 
@@ -93,6 +141,19 @@ def main():
             failures += 1
             continue
         spark_tbl = pds.dataset(res_dir, format="parquet").to_table()
+        bad_shape = unsortable_cols(spark_tbl.schema)
+        if bad_shape:
+            print(f"FAIL {name}: list/struct output column(s) "
+                  f"{bad_shape} — the driver's sorter crashes on these; "
+                  f"serialize to string (array_join/to_json)")
+            failures += 1
+            continue
+        dec = decimal_cols(spark_tbl.schema)
+        if dec:
+            print(f"WARN {name}: decimal column(s) {dec} — driver hasher "
+                  f"rejected decimal SUM outputs in r5; prefer BIGINT "
+                  f"cents unless this row is the designated decimal "
+                  f"coverage (q91/q140)")
         try:
             duck_tbl = con.execute(sql).arrow()
         except Exception as e:
@@ -131,7 +192,17 @@ def main():
                     break
             failures += 1
             continue
-        print(f"OK   {name} ({spark_tbl.num_rows} rows)")
+        # ulp-zone tripwire: values agree at 12 digits but not bitwise —
+        # the driver's verdict here depends on ITS DuckDB build; new
+        # rows should restate exactly (ORACLE_NOTES.md) instead
+        s_bits = table_rows(spark_tbl, s_cols, g=None)
+        d_bits = table_rows(duck_tbl, d_cols, g=None)
+        if s_bits != d_bits:
+            bad = sum(1 for a, b in zip(s_bits, d_bits) if a != b)
+            print(f"OK   {name} ({spark_tbl.num_rows} rows) "
+                  f"[WARN ulp-zone: {bad} rows differ past 12 digits]")
+        else:
+            print(f"OK   {name} ({spark_tbl.num_rows} rows)")
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
     sys.exit(1 if failures else 0)
 
