@@ -31,7 +31,7 @@ object QueriesDedup {
     base.unionAll(exact).unionAll(near)
   }
 
-  private val corpusSql =
+  private[graft] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -75,15 +75,19 @@ object QueriesDedup {
       .orderBy(col("id1"))
   }
 
-  private val shinglesSqlDef =
-    """sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN length(t) <= 4 THEN [t]
-      |         ELSE list_distinct(list_transform(range(1, length(t) - 2),
-      |                i -> substr(t, i, 4))) END AS s
-      |  FROM (SELECT doc_id,
-      |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-      |        FROM corpus))""".stripMargin
+  /** 4-char-shingle CTE over an arbitrary source relation (mirrors
+    * TA.charShingles' normalize-then-slide semantics). */
+  private[graft] def shinglesSqlFrom(src: String): String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(t) <= 4 THEN [t]
+       |         ELSE list_distinct(list_transform(range(1, length(t) - 2),
+       |                i -> substr(t, i, 4))) END AS s
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |        FROM $src))""".stripMargin
+
+  private val shinglesSqlDef = shinglesSqlFrom("corpus")
 
   private val q15Sql =
     s"""WITH $corpusSql,
@@ -118,12 +122,14 @@ object QueriesDedup {
       maxBucketSize = Int.MaxValue)
       .orderBy(col("id1"), col("id2"))
 
-  private val q16Sql = {
+  /** MinHash sig/banded/cand CTEs over an `sh(doc_id, s)` shingle
+    * relation — same affine permutation family as
+    * MinHashBandsExpression: one md5 per shingle,
+    * ((a_i*h1)%P + (b_i*h2)%P + c_i) % P minima over the two 4-byte
+    * md5 prefixes, pipe-joined band keys — all operands < 2^31 so
+    * BIGINT math matches Spark's long math. k=16, 4 bands of 4. */
+  private[graft] val minhashCandCtes: String = {
     import graft.expressions.MinHashScheme
-    // same affine permutation family as MinHashBandsExpression: one md5
-    // per shingle, ((a_i*h1)%P + (b_i*h2)%P + c_i) % P minima over the
-    // two 4-byte md5 prefixes, pipe-joined band keys — all operands
-    // < 2^31 so BIGINT math matches Spark's long math
     val h1 = "(('0x' || substr(md5(x), 1, 8))::BIGINT & 2147483647)"
     val h2 = "(('0x' || substr(md5(x), 9, 8))::BIGINT & 2147483647)"
     val sigItems = (0 until 16).map(i =>
@@ -135,9 +141,7 @@ object QueriesDedup {
       (0 until 4).map(r => s"CAST(g[${4 * b + r + 1}] AS VARCHAR)")
         .mkString(" || '|' || ")
     }.mkString(", ")
-    s"""WITH $corpusSql,
-       |$shinglesSqlDef,
-       |sig AS (
+    s"""sig AS (
        |  SELECT doc_id, s, [
        |    $sigItems] AS g
        |  FROM sh),
@@ -147,7 +151,13 @@ object QueriesDedup {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val q16Sql = {
+    s"""WITH $corpusSql,
+       |$shinglesSqlDef,
+       |$minhashCandCtes
        |SELECT c.id1, c.id2,
        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextAnalysis => TA}
+import graft.operators.{Decontamination, Dedup, Packing}
+
+/** The composed end-to-end training-data pipeline gate row (r5 VERDICT
+  * item 4): every stage is individually oracle-green elsewhere
+  * (q144 quality, q14 exact dedup, q16 MinHash-LSH, q56
+  * decontamination, q42 packing), but a real user runs them CHAINED —
+  * and composition bugs (column contracts between stages, persist
+  * scopes, dropped-row bookkeeping) are exactly what 166 isolated rows
+  * cannot catch. The oracle recomputes the full funnel from scratch in
+  * DuckDB and summarizes the survivors' packed context windows, so a
+  * single wrong drop at ANY stage shifts every downstream prefix sum
+  * and fails the row.
+  *
+  * Chain (on the q14 dedup corpus = documents + planted exact dups +
+  * planted near dups):
+  *   ingest → Gopher quality filter (keep verdict, Rae et al. 2021)
+  *   → exact dedup (min-id keeper per normalized fingerprint)
+  *   → MinHash-LSH near-dedup (drop the larger id of every ≥0.5-Jaccard
+  *     candidate pair, k=16, 4×4 bands)
+  *   → decontaminate (drop docs sharing a word-13-gram with the eval
+  *     prompts = first 20 tokens of every 17th base doc)
+  *   → pack survivors into 2048-token context windows in id order
+  *   → per-bin summary.
+  *
+  * Scale shape: quality is map-only; exact dedup is one hash agg;
+  * near-dedup is the banded bucket join (never all-pairs);
+  * decontamination broadcasts the eval grams; packing is the
+  * distributed two-pass prefix sum — no stage collects the corpus. */
+object QueriesPipeline {
+
+  private def q164Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val full = QueriesDedup.corpus(s, dir)
+    // 1. quality: Gopher keep verdict over the raw text
+    val alive1 = full.filter(TA.gopherQuality(col("text")).getField("keep"))
+    // 2. exact dedup: smallest id per normalized fingerprint survives
+    val alive2 = Dedup.exactDedup(alive1, "doc_id", "text")
+    // 3. near-dedup: uncapped for oracle parity (q16's stance); the
+    //    larger id of every verified candidate pair is dropped
+    val dropIds = Dedup.minhashNearDups(alive2, "doc_id", "text",
+        shingleSize = 4, k = 16, bands = 4, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .select(col("id2").as("doc_id")).distinct()
+    val alive3 = alive2.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    // 4. decontaminate against eval prompts drawn from the BASE docs
+    val evalSet = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ",
+          slice(split(TA.normalizeText(col("text")), " "), 1, 20))
+          .as("eval_text"))
+    val alive4 = Decontamination.decontaminate(alive3, "doc_id", "text",
+      evalSet, "eval_id", "eval_text", n = 13)
+    // 5. pack into 2048-token context windows, summarized per bin
+    Packing.packingSummary(
+        Packing.packByTokenBudget(alive4, "doc_id",
+          TA.tokenCount(col("text")), 2048),
+        "doc_id")
+      .orderBy(col("bin"))
+  }
+
+  private val q164Sql = {
+    val stops = TA.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH ${QueriesDedup.corpusSql},
+       |gq AS (
+       |  SELECT doc_id,
+       |    (CAST(len(tk) AS BIGINT) BETWEEN 50 AND 100000
+       |     AND (CAST(list_aggregate(list_transform(tk, w -> len(w)),
+       |            'sum') AS DOUBLE) / len(tk)) BETWEEN 3.0 AND 10.0
+       |     AND CAST(len(regexp_extract_all(text, '#|\\.{3}|…'))
+       |           AS DOUBLE) / len(tk) <= 0.1
+       |     AND CAST(len(list_filter(ln,
+       |           l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+       |           / len(ln) <= 0.9
+       |     AND CAST(len(list_filter(ln,
+       |           l -> regexp_matches(l, '(\\.{3}|…)\\s*$$'))) AS DOUBLE)
+       |           / len(ln) <= 0.3
+       |     AND CAST(len(list_filter(tk,
+       |           w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |           / len(tk) >= 0.8
+       |     AND len(list_filter(tk,
+       |           w -> list_contains([$stops], lower(w)))) >= 2) AS keep
+       |  FROM (SELECT doc_id, text,
+       |          CASE WHEN text IS NULL OR trim(text) = ''
+       |            THEN CAST([] AS VARCHAR[])
+       |            ELSE string_split_regex(trim(text), '\\s+') END AS tk,
+       |          string_split(text, chr(10)) AS ln
+       |        FROM corpus)
+       |  WHERE len(tk) > 0 AND len(ln) > 0),
+       |alive1 AS (
+       |  SELECT c.doc_id, c.text FROM corpus c
+       |  JOIN gq ON gq.doc_id = c.doc_id WHERE gq.keep),
+       |fp AS (
+       |  SELECT doc_id, text,
+       |    substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |      'g')), 1, 16) AS f
+       |  FROM alive1),
+       |keepers AS (SELECT f, min(doc_id) AS k FROM fp GROUP BY 1),
+       |alive2 AS (
+       |  SELECT fp.doc_id, fp.text FROM fp
+       |  JOIN keepers ON fp.f = keepers.f AND fp.doc_id = keepers.k),
+       |${QueriesDedup.shinglesSqlFrom("alive2")},
+       |${QueriesDedup.minhashCandCtes},
+       |neardrop AS (
+       |  SELECT DISTINCT c.id2 AS doc_id FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id1
+       |  JOIN sh b ON b.doc_id = c.id2
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+       |alive3 AS (
+       |  SELECT * FROM alive2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)),
+       |norm3 AS (
+       |  SELECT doc_id, t, string_split(t, ' ') AS tk
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |        FROM alive3)),
+       |docg AS (
+       |  SELECT doc_id AS id, unnest(
+       |    CASE WHEN len(tk) <= 13 THEN [t]
+       |    ELSE list_distinct(list_transform(range(1, len(tk) - 11),
+       |           i -> array_to_string(tk[i:i+12], ' '))) END) AS g
+       |  FROM norm3),
+       |normdoc AS (
+       |  SELECT doc_id, t, string_split(t, ' ') AS tk
+       |  FROM (SELECT doc_id,
+       |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |        FROM documents)),
+       |evt AS (
+       |  SELECT doc_id AS eval_id, array_to_string(tk[1:20], ' ') AS et,
+       |    tk[1:20] AS etk
+       |  FROM normdoc WHERE doc_id % 17 = 0),
+       |evg AS (
+       |  SELECT eval_id AS id, unnest(
+       |    CASE WHEN len(etk) <= 13 THEN [et]
+       |    ELSE list_distinct(list_transform(range(1, len(etk) - 11),
+       |           i -> array_to_string(etk[i:i+12], ' '))) END) AS g
+       |  FROM evt),
+       |contaminated AS (
+       |  SELECT DISTINCT d.id AS doc_id FROM docg d
+       |  JOIN evg e ON d.g = e.g),
+       |alive4 AS (
+       |  SELECT * FROM alive3
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       |    END AS tok
+       |  FROM alive4),
+       |c AS (
+       |  SELECT doc_id, tok,
+       |    sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      - tok AS pre
+       |  FROM t)
+       |SELECT CAST(floor(pre / CAST(2048 AS DOUBLE)) AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_pipeline_e2e" -> (q164Pipeline _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q164_pipeline_e2e" -> q164Sql,
+  )
+}

@@ -20,12 +20,14 @@ object SparkEntry {
       QueriesSimilarity.registry ++ QueriesRelational.registry ++
       QueriesStreaming.registry ++ QueriesMultimodal.registry ++
       QueriesCoverage.registry ++ QueriesCorpus.registry ++
-      QueriesQuality.registry ++ QueriesAnalytics.registry
+      QueriesQuality.registry ++ QueriesAnalytics.registry ++
+      QueriesPipeline.registry
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesDedup.oracles ++
       QueriesSimilarity.oracles ++ QueriesRelational.oracles ++
       QueriesStreaming.oracles ++ QueriesMultimodal.oracles ++
       QueriesCoverage.oracles ++ QueriesCorpus.oracles ++
-      QueriesQuality.oracles ++ QueriesAnalytics.oracles
+      QueriesQuality.oracles ++ QueriesAnalytics.oracles ++
+      QueriesPipeline.oracles
 }
