@@ -21,7 +21,7 @@ object SparkEntry {
       QueriesStreaming.registry ++ QueriesMultimodal.registry ++
       QueriesCoverage.registry ++ QueriesCorpus.registry ++
       QueriesQuality.registry ++ QueriesAnalytics.registry ++
-      QueriesPipeline.registry
+      QueriesPipeline.registry ++ QueriesGeo.registry
 
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesDedup.oracles ++
@@ -29,5 +29,5 @@ object SparkEntry {
       QueriesStreaming.oracles ++ QueriesMultimodal.oracles ++
       QueriesCoverage.oracles ++ QueriesCorpus.oracles ++
       QueriesQuality.oracles ++ QueriesAnalytics.oracles ++
-      QueriesPipeline.oracles
+      QueriesPipeline.oracles ++ QueriesGeo.oracles
 }

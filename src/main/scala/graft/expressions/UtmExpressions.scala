@@ -120,15 +120,19 @@ object UtmProjection {
       else if (src == 3857)
         (x / EarthR / Rad,
           (math.atan(math.exp(y / EarthR)) - math.Pi / 4.0) * 2.0 / Rad)
-      else {
+      else if (isUtmSrid(src)) {
         val arr = inverse(x, y, src)
         (arr.getDouble(0), arr.getDouble(1))
-      }
+      } else Projections.inverse(x, y, src) // registry CRS (27700, 2154, …)
     if (target == 4326) new GenericArrayData(Array(lon, lat))
     else if (target == 3857)
       new GenericArrayData(Array(lon * Rad * EarthR,
         math.log(math.tan(math.Pi / 4.0 + lat * Rad / 2.0)) * EarthR))
-    else forward(lon, lat, target)
+    else if (isUtmSrid(target)) forward(lon, lat, target)
+    else {
+      val (px, py) = Projections.forward(lon, lat, target)
+      new GenericArrayData(Array(px, py))
+    }
   }
 }
 

@@ -35,10 +35,14 @@ object GeomFunctions {
   def stSrid(geom: Column): Column = geom("srid")
 
   /** Reproject between the SRIDs the engine supports natively: 4326
-    * (WGS84 lon/lat), 3857 (web mercator meters), and the WGS84 UTM
+    * (WGS84 lon/lat), 3857 (web mercator meters), the WGS84 UTM
     * zones 32601-32660 (north) / 32701-32760 (south) via the standard
-    * Krüger series (expressions/UtmExpressions — < 0.1 mm in-zone).
-    * Identity when source == target (the reference only ever needs
+    * Krüger series (expressions/UtmExpressions — < 0.1 mm in-zone),
+    * and every EPSG code in [[graft.expressions.Projections.registry]]
+    * (parameterized Transverse Mercator + Lambert Conformal Conic on
+    * any ellipsoid with optional Helmert datum shift — OSGB 27700,
+    * Lambert-93 2154, NZTM 2193, ETRS89 LCC 3034, ETRS89/UTM 25832,
+    * …). Identity when source == target (the reference only ever needs
     * 4326 -> 4326, `etl/etl.py:21,190-192`; the rest is the scale
     * extension used by the overview/LOD pipeline). Unknown SRID
     * pairs -> NULL geometry.
@@ -60,8 +64,12 @@ object GeomFunctions {
   private def isUtm(srid: Column): Column =
     (srid >= 32601 && srid <= 32660) || (srid >= 32701 && srid <= 32760)
 
+  private val registeredSrids: Seq[Int] =
+    graft.expressions.Projections.registry.keys.toSeq.sorted
+
   private def supportedSrid(srid: Column): Column =
-    srid === 4326 || srid === 3857 || isUtm(srid)
+    srid === 4326 || srid === 3857 || isUtm(srid) ||
+      srid.isin(registeredSrids.map(Integer.valueOf): _*)
 
   private def stTransformImpl(geom: Column, target: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge.{column => CB, expression => E}

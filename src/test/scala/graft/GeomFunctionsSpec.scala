@@ -77,7 +77,9 @@ class GeomFunctionsSpec extends SparkSpec {
   test("st_transform identity when srids equal; unknown pair -> NULL") {
     val p = G.stPoint(lit(1.0), lit(2.0), lit(4326))
     eval(G.stTransform(p, lit(4326))).getStruct(0).getDouble(0) shouldBe 1.0
-    val weird = G.stPoint(lit(1.0), lit(2.0), lit(27700))
+    // 27700 graduated into the Projections registry in round 6 — a
+    // truly unregistered code is what NULLs now
+    val weird = G.stPoint(lit(1.0), lit(2.0), lit(999999))
     isNull(G.stTransform(weird, lit(3857))) shouldBe true
   }
 
@@ -158,9 +160,12 @@ class GeomFunctionsSpec extends SparkSpec {
   }
 
   test("unknown srid pairs still null with UTM in the matrix") {
-    val weird = G.stPoint(lit(1.0), lit(2.0), lit(27700))
+    val weird = G.stPoint(lit(1.0), lit(2.0), lit(999999))
     isNull(G.stTransform(weird, lit(32618))) shouldBe true
     val utm = G.stTransform(G.stPoint(lit(1.0), lit(2.0)), lit(32631))
-    isNull(G.stTransform(utm, lit(27700))) shouldBe true
+    isNull(G.stTransform(utm, lit(999999))) shouldBe true
+    // 27700 is registry-backed since round 6: UTM <-> OSGB pivots work
+    val osgb = G.stTransform(utm, lit(27700))
+    eval(G.stSrid(osgb)).getInt(0) shouldBe 27700
   }
 }
