@@ -674,6 +674,85 @@ object Queries {
       |  min(c_name) AS first_name
       |FROM applied GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q166
+  /** Full ANSI MERGE INTO (UpdateJob.mergeInto): all three branches
+    * with per-clause conditions in ONE statement — matched-DELETE
+    * (src nation 7), matched-UPDATE (only when the source balance is
+    * higher), not-matched-INSERT (except src nation 3), and
+    * not-matched-by-source-DELETE (MACHINERY customers with custkey %
+    * 10 = 0). Completes the mutation family: q7 keyed update, q8
+    * keyed delete, q80 SCD2, q113 CDC changelog — this is the
+    * statement-shaped composite. Source = per-custkey order rollup
+    * (key-unique by construction), every 11th key shifted to a new
+    * key so the insert branch fires. Census per nation; money leaves
+    * as BIGINT cents (the r5 decimal-hasher rule). */
+  private def q166MergeFull(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer")
+    val key0 = col("o_custkey")
+    val src = t(s, dir, "orders")
+      .groupBy(key0.as("k0"))
+      .agg(round(max(col("o_totalprice")), 2).as("top"))
+      .select(
+        when(col("k0") % 11 === 0, col("k0") + 1000000L)
+          .otherwise(col("k0")).as("c_custkey"),
+        concat(lit("MRG#"), col("k0").cast("string")).as("c_name"),
+        (col("k0") % 25).cast("int").as("c_nationkey"),
+        col("top").as("c_acctbal"),
+        lit("MERGED").as("c_mktsegment"))
+    UpdateJob.mergeInto(base, src, Seq("c_custkey"),
+        whenMatchedDelete = Some(col("src_c_nationkey") === 7),
+        whenMatchedUpdate = Some(col("src_c_acctbal") > col("c_acctbal")),
+        whenNotMatchedInsert = Some(col("src_c_nationkey") =!= 3),
+        whenNotMatchedBySourceDelete = Some(
+          col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 10 === 0))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(round(col("c_acctbal"), 2).cast("decimal(18,2)")) * 100)
+          .cast("long").as("sum_acctbal_cents"),
+        min(col("c_name")).as("first_name"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val q166Sql =
+    """WITH src AS (
+      |  SELECT CASE WHEN k0 % 11 = 0 THEN k0 + 1000000 ELSE k0 END
+      |      AS c_custkey,
+      |    'MRG#' || CAST(k0 AS VARCHAR) AS c_name,
+      |    CAST(k0 % 25 AS INTEGER) AS c_nationkey,
+      |    top AS c_acctbal,
+      |    'MERGED' AS c_mktsegment
+      |  FROM (SELECT o_custkey AS k0, round(max(o_totalprice), 2) AS top
+      |        FROM orders GROUP BY 1)),
+      |merged AS (
+      |  -- matched rows: delete src-nation-7, update when src balance
+      |  -- is higher, otherwise keep the base row
+      |  SELECT c.c_custkey,
+      |    CASE WHEN s.c_acctbal > c.c_acctbal THEN s.c_name
+      |         ELSE c.c_name END AS c_name,
+      |    CASE WHEN s.c_acctbal > c.c_acctbal THEN s.c_nationkey
+      |         ELSE c.c_nationkey END AS c_nationkey,
+      |    CASE WHEN s.c_acctbal > c.c_acctbal THEN s.c_acctbal
+      |         ELSE c.c_acctbal END AS c_acctbal,
+      |    CASE WHEN s.c_acctbal > c.c_acctbal THEN s.c_mktsegment
+      |         ELSE c.c_mktsegment END AS c_mktsegment
+      |  FROM customer c JOIN src s ON s.c_custkey = c.c_custkey
+      |  WHERE s.c_nationkey != 7
+      |  UNION ALL
+      |  -- base-only rows minus the not-matched-by-source deletes
+      |  SELECT c.* FROM customer c
+      |  WHERE c.c_custkey NOT IN (SELECT c_custkey FROM src)
+      |    AND NOT (c.c_mktsegment = 'MACHINERY' AND c.c_custkey % 10 = 0)
+      |  UNION ALL
+      |  -- source-only inserts, except src nation 3
+      |  SELECT s.* FROM src s
+      |  WHERE s.c_custkey NOT IN (SELECT c_custkey FROM customer)
+      |    AND s.c_nationkey != 3)
+      |SELECT c_nationkey, count(*) AS n_rows,
+      |  CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) * 100
+      |    AS BIGINT) AS sum_acctbal_cents,
+      |  min(c_name) AS first_name
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- q111
   /** Spark-4 VARIANT type end to end: a semi-structured document
     * (nested object + array, built deterministically from event
@@ -758,6 +837,7 @@ object Queries {
     "q107_lateral" -> (q107Lateral _),
     "q111_variant" -> (q111Variant _),
     "q113_cdc_apply" -> (q113CdcApply _),
+    "q166_merge_full" -> (q166MergeFull _),
     "q112_recursive_cte" -> (q112Recursive _),
     "q10_geocode" -> (q10Geocode _),
     "q11_text_stats" -> (q11TextStats _),
@@ -781,6 +861,7 @@ object Queries {
     "q107_lateral" -> q107Sql,
     "q111_variant" -> q111Sql,
     "q113_cdc_apply" -> q113Sql,
+    "q166_merge_full" -> q166Sql,
     "q112_recursive_cte" -> q112Sql,
     "q10_geocode" -> q10Sql,
     "q11_text_stats" -> q11Sql,

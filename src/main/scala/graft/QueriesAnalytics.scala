@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventAnalytics, FuzzyJoin, Graph, Layout, Quantiles,
+import graft.operators.{EventAnalytics, FuzzyJoin, Graph, Layout, Quantiles, TimeSeries,
   RuntimeFilter, Sampling, SpatialJoin}
 
 /** Round-4 analytics / scale-infrastructure operators: explicit runtime
@@ -353,6 +353,92 @@ object QueriesAnalytics {
       |  (SELECT count(*)
       |   FROM e0 a JOIN e0 b ON b.u = a.u AND b.v > a.v
       |        JOIN e0 c ON c.u = a.v AND c.v = b.v) AS n_triangles""".stripMargin
+
+  // -------------------------------------------------------------- q167
+  /** Per-node local clustering coefficient (Graph.clusteringCoefficient,
+    * Watts-Strogatz) over the q78 co-occurrence graph — the node-grain
+    * complement of q78's global triangle census. Every triangle is
+    * found once at its degree-ordered apex, then exploded to its three
+    * corners; the coefficient 2t/(d(d-1)) is one exact-integer
+    * division, so the doubles are bit-identical cross-engine. Output
+    * trimmed to node % 10 = 0 (the graph still computes in full). */
+  private def q167Clustering(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.clusteringCoefficient(e, "src", "dst")
+      .filter(col("node") % 10 === 0)
+      .orderBy(col("node"))
+  }
+
+  private val q167Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT
+      |    least(l_orderkey % 20000, (l_partkey * 7) % 20000) AS u,
+      |    greatest(l_orderkey % 20000, (l_partkey * 7) % 20000) AS v
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)
+      |    AND l_orderkey IS NOT NULL),
+      |deg AS (
+      |  SELECT n, count(*) AS d FROM (
+      |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+      |tri AS (
+      |  SELECT a.u AS x, a.v AS y, b.v AS z
+      |  FROM e0 a JOIN e0 b ON b.u = a.u AND b.v > a.v
+      |       JOIN e0 c ON c.u = a.v AND c.v = b.v),
+      |t AS (
+      |  SELECT n, count(*) AS t FROM (
+      |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri) GROUP BY 1)
+      |SELECT deg.n AS node, deg.d AS degree,
+      |  coalesce(t.t, 0) AS n_triangles,
+      |  CASE WHEN deg.d >= 2 THEN
+      |    CAST(coalesce(t.t, 0) * 2 AS DOUBLE)
+      |      / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+      |  ELSE 0.0 END AS coefficient
+      |FROM deg LEFT JOIN t ON t.n = deg.n
+      |WHERE deg.n % 10 = 0 ORDER BY node""".stripMargin
+
+  // -------------------------------------------------------------- q168
+  /** Per-user EWMA + jump census over the events stream
+    * (TimeSeries.ewma / jumpCensus): the ordered per-key fold family.
+    * The value sequence is totally ordered by (ts, event_id), the
+    * recurrence y = x/4 + 3y/4 uses exact binary fractions, and both
+    * engines fold the identical sequence in the identical order
+    * (Spark aggregate() HOF == DuckDB list_reduce with first-element
+    * init), so the float result is bit-stable cross-engine. n_jumps
+    * counts adjacent |delta| > 50 — integers, noise-immune. */
+  private def q168Ewma(s: SparkSession, dir: String): DataFrame = {
+    // NULL values are dropped explicitly: Spark's collect_list skips
+    // them silently while DuckDB's list() keeps them — the one
+    // cross-engine semantic gap in this fold
+    val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+    val ew = TimeSeries.ewma(ev, Seq("user_id"),
+      Seq(col("ts"), col("event_id")), col("value"), alpha = 0.25)
+    val jc = TimeSeries.jumpCensus(ev, Seq("user_id"),
+      Seq(col("ts"), col("event_id")), col("value"), tau = 50.0)
+      .select(col("user_id"), col("n_jumps"))
+    ew.join(jc, Seq("user_id"))
+      .select(col("user_id"), col("n_obs"), col("last_value"),
+        col("ewma"), col("n_jumps"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q168Sql =
+    """WITH xs AS (
+      |  SELECT user_id,
+      |    CAST(list(value ORDER BY ts, event_id) AS DOUBLE[]) AS xs
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+      |SELECT user_id,
+      |  CAST(len(xs) AS BIGINT) AS n_obs,
+      |  xs[len(xs)] AS last_value,
+      |  CASE WHEN len(xs) = 1 THEN xs[1]
+      |       ELSE list_reduce(xs, (acc, x) -> x * 0.25 + acc * 0.75)
+      |  END AS ewma,
+      |  CAST(len(list_filter(list_transform(range(1, len(xs)),
+      |    i -> abs(xs[i+1] - xs[i]) > 50.0), b -> b)) AS BIGINT)
+      |    AS n_jumps
+      |FROM xs ORDER BY user_id""".stripMargin
 
   // --------------------------------------------------------------- q79
   /** Trailing 24 h moving-window aggregates per event (RANGE frame on
@@ -1090,6 +1176,8 @@ object QueriesAnalytics {
     "q76_point_in_polygon" -> (q76Pip _),
     "q77_winsorize" -> (q77Winsorize _),
     "q78_triangles" -> (q78Triangles _),
+    "q167_clustering_coef" -> (q167Clustering _),
+    "q168_ewma" -> (q168Ewma _),
     "q79_trailing_window" -> (q79Trailing _),
     "q80_scd2" -> (q80Scd2 _),
     "q81_grouped_percentiles" -> (q81Grouped _),
@@ -1120,6 +1208,8 @@ object QueriesAnalytics {
     "q76_point_in_polygon" -> q76Sql,
     "q77_winsorize" -> q77Sql,
     "q78_triangles" -> q78Sql,
+    "q167_clustering_coef" -> q167Sql,
+    "q168_ewma" -> q168Sql,
     "q79_trailing_window" -> q79Sql,
     "q80_scd2" -> q80Sql,
     "q81_grouped_percentiles" -> q81Sql,

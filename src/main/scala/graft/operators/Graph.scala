@@ -77,6 +77,57 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient — the node-grain complement
+    * of [[triangleCount]]'s global census: c(v) = 2·t(v) / (d(v)·(d(v)−1))
+    * where t(v) = triangles through v, d(v) = degree (Watts–Strogatz
+    * 1998). Same degree-ordered wedge enumeration (each triangle found
+    * exactly once at its unique apex), then the found (a, b, apex)
+    * triangle EXPLODES to its three corners so every node is credited
+    * — one extra map + count vs the global form. The coefficient is a
+    * single division of exact integers, so the doubles are
+    * bit-identical cross-engine (the q144 discipline). Degree-1 and
+    * isolated-in-canon nodes get c = 0.0 by convention.
+    *
+    * Scale: wedge count is Σ C(out-deg, 2) over the DEGREE-ORDERED
+    * orientation — bounded by m^1.5 (Schank–Wagner), never deg².
+    * One shuffle per join, counts map-side combined on node keys. */
+  def clusteringCoefficient(edges: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val canon = canonicalEdges(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val deg = canon.select(col("u").as("n"))
+      .unionAll(canon.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .hint("shuffle_hash")
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .hint("shuffle_hash")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("lo"), col("v").as("hi")))
+        .otherwise(struct(col("v").as("lo"), col("u").as("hi")))
+        .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+    val left = oriented.select(col("lo").as("apex"), col("hi").as("a"))
+    val right = oriented.select(col("lo").as("apex"), col("hi").as("b"))
+    val wedges = left.hint("shuffle_hash").join(right, Seq("apex"))
+      .filter(col("a") < col("b"))
+    val closing = canon.select(col("u").as("a"), col("v").as("b"))
+    val tris = wedges.join(closing, Seq("a", "b"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("apex"), col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("n"), "left_outer")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          (coalesce(col("t"), lit(0L)) * 2L).cast("double") /
+            (col("d") * (col("d") - 1L)).cast("double"))
+          .otherwise(lit(0.0)).as("coefficient"))
+  }
+
   /** Synchronous label propagation (community detection, Raghavan et
     * al. 2007) over an UNDIRECTED edge list, made fully deterministic:
     * each round every node adopts the most frequent label among its

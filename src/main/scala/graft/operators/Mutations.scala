@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Set-oriented restatements of the reference's keyed mutation sinks.
@@ -72,6 +72,68 @@ object UpdateJob {
     val survivors = base.join(
       updates.select(keys.map(col): _*).distinct(), keys.toSeq, "left_anti")
     survivors.unionByName(updates.select(base.columns.map(col): _*))
+  }
+
+  /** Full ANSI MERGE INTO semantics in one pass — the three-branch
+    * statement (WHEN MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT
+    * MATCHED [AND cond] THEN INSERT, WHEN NOT MATCHED BY SOURCE [AND
+    * cond] THEN DELETE) that [[upsert]] (unconditional two-branch) and
+    * [[applyChangelog]] (op-column-driven) each cover a slice of.
+    *
+    * Clause conditions may reference base columns by name and source
+    * columns as `src_<name>`; `Some(lit(true))` is an unconditional
+    * clause, `None` omits the clause (ANSI default: matched rows
+    * without a matched clause stay, unmatched source rows without an
+    * insert clause are ignored, base-only rows without a
+    * not-matched-by-source clause stay). Matched evaluation order is
+    * delete-first (the fixed clause order; ANSI evaluates clauses in
+    * statement order). UPDATE and INSERT take the full source row
+    * (SET * / INSERT *). `source` must be key-unique — ANSI raises on
+    * multiple matches; here a `require` guards it via a count check
+    * only when `checkDuplicateSource` (a full pass; disable on trusted
+    * feeds).
+    *
+    * Plan shape (100 TB): ONE full-outer key join (the only shuffle;
+    * AQE broadcasts/skew-splits as sizes dictate) + a row-local
+    * 5-way CASE projection. The base is never rewritten per clause. */
+  def mergeInto(base: DataFrame, source: DataFrame, keys: Seq[String],
+      whenMatchedDelete: Option[Column] = None,
+      whenMatchedUpdate: Option[Column] = None,
+      whenNotMatchedInsert: Option[Column] = None,
+      whenNotMatchedBySourceDelete: Option[Column] = None,
+      checkDuplicateSource: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    if (checkDuplicateSource) {
+      val dups = source.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+      require(dups == 0L,
+        "mergeInto: source has duplicate keys (ANSI MERGE cardinality)")
+    }
+    val cols = base.columns.toSeq
+    val src = cols.foldLeft(source.select(cols.map(col): _*)) { (df, c) =>
+      df.withColumnRenamed(c, s"src_$c")
+    }.withColumn("src__present", lit(true))
+    val joined = base.withColumn("base__present", lit(true))
+      .join(src, keys.map(k => col(k) === col(s"src_$k"))
+        .reduce(_ && _), "full_outer")
+    val matched = col("base__present").isNotNull &&
+      col("src__present").isNotNull
+    val srcOnly = col("base__present").isNull
+    val baseOnly = col("src__present").isNull
+    val f = lit(false)
+    val delM = whenMatchedDelete.getOrElse(f)
+    val updM = whenMatchedUpdate.getOrElse(f)
+    val insN = whenNotMatchedInsert.getOrElse(f)
+    val delB = whenNotMatchedBySourceDelete.getOrElse(f)
+    val keep =
+      when(matched, !coalesce(delM, f))
+        .when(srcOnly, coalesce(insN, f))
+        .otherwise(!coalesce(delB, f))
+    val useSource =
+      (matched && !coalesce(delM, f) && coalesce(updM, f)) || srcOnly
+    joined.filter(keep)
+      .select(cols.map(c =>
+        when(useSource, col(s"src_$c")).otherwise(col(c)).as(c)): _*)
   }
 
   /** CDC changelog apply: compact an ordered change stream

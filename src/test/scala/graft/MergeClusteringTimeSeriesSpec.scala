@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, TimeSeries, UpdateJob}
+
+/** Unit pins for the round-6 operator additions: full ANSI MERGE INTO
+  * (clause presence/absence/conditions, cardinality guard), per-node
+  * clustering coefficient (hand-checkable graph), and the ordered
+  * per-key time-series folds (EWMA recurrence, jump census). */
+class MergeClusteringTimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0))
+    .toDF("k", "name", "bal")
+
+  test("mergeInto: all four clauses fire on their own rows") {
+    val src = Seq(
+      (1, "A", 5.0),   // matched, lower bal -> update cond false -> keep base
+      (2, "B", 99.0),  // matched, higher bal -> update
+      (3, "C", 31.0),  // matched, delete cond (name C)
+      (9, "I", 1.0))   // not matched -> insert
+      .toDF("k", "name", "bal")
+    val out = UpdateJob.mergeInto(base, src, Seq("k"),
+        whenMatchedDelete = Some(col("src_name") === "C"),
+        whenMatchedUpdate = Some(col("src_bal") > col("bal")),
+        whenNotMatchedInsert = Some(lit(true)),
+        whenNotMatchedBySourceDelete = Some(col("k") === 4))
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    out shouldBe Seq((1, "a", 10.0), (2, "B", 99.0), (9, "I", 1.0))
+  }
+
+  test("mergeInto: absent clauses are no-ops (ANSI defaults)") {
+    val src = Seq((2, "B", 99.0), (9, "I", 1.0)).toDF("k", "name", "bal")
+    // no clauses at all: nothing changes
+    UpdateJob.mergeInto(base, src, Seq("k"))
+      .orderBy("k").collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 2, 3, 4)
+    // only insert: base untouched, new key appended
+    UpdateJob.mergeInto(base, src, Seq("k"),
+        whenNotMatchedInsert = Some(lit(true)))
+      .orderBy("k").collect().map(_.getInt(0)).toSeq shouldBe
+      Seq(1, 2, 3, 4, 9)
+  }
+
+  test("mergeInto: matched delete wins over update; duplicate source rejected") {
+    val src = Seq((2, "B", 99.0)).toDF("k", "name", "bal")
+    val out = UpdateJob.mergeInto(base, src, Seq("k"),
+      whenMatchedDelete = Some(lit(true)),
+      whenMatchedUpdate = Some(lit(true)))
+    out.orderBy("k").collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 3, 4)
+    val dup = Seq((2, "B", 1.0), (2, "B2", 2.0)).toDF("k", "name", "bal")
+    intercept[IllegalArgumentException] {
+      UpdateJob.mergeInto(base, dup, Seq("k"),
+        whenMatchedUpdate = Some(lit(true)))
+    }
+  }
+
+  test("clusteringCoefficient: triangle-plus-tail hand check") {
+    // triangle 1-2-3 plus pendant 4 attached to 1
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val out = Graph.clusteringCoefficient(e, "s", "d")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // node 1: deg 3, 1 triangle, c = 2/(3*2) = 1/3
+    out(0) shouldBe ((1L, 3L, 1L, 1.0 / 3.0))
+    out(1) shouldBe ((2L, 2L, 1L, 1.0))
+    out(2) shouldBe ((3L, 2L, 1L, 1.0))
+    out(3) shouldBe ((4L, 1L, 0L, 0.0))
+  }
+
+  test("ewma recurrence and jump census fold in order") {
+    val df = Seq((1, 1, 8.0), (1, 2, 4.0), (1, 3, 100.0), (2, 1, 7.0))
+      .toDF("k", "t", "v")
+    val ew = TimeSeries.ewma(df, Seq("k"), Seq(col("t")), col("v"), 0.25)
+      .orderBy("k").collect()
+    // k=1: y1=8; y2=4*.25+8*.75=7; y3=100*.25+7*.75=30.25
+    ew(0).getLong(1) shouldBe 3L
+    ew(0).getDouble(2) shouldBe 100.0
+    ew(0).getDouble(3) shouldBe 30.25
+    // single-observation key: ewma = the value
+    ew(1).getLong(1) shouldBe 1L
+    ew(1).getDouble(3) shouldBe 7.0
+    val jc = TimeSeries.jumpCensus(df, Seq("k"), Seq(col("t")), col("v"),
+        tau = 50.0)
+      .orderBy("k").collect()
+    jc(0).getLong(2) shouldBe 1L // only the 4 -> 100 jump exceeds 50
+    jc(1).getLong(2) shouldBe 0L
+  }
+}
