@@ -163,6 +163,59 @@ object QueriesCorpus {
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q171
+  /** Canonical-document selection (Dedup.keepCanonicalPerCluster):
+    * the KEEP-THE-BEST half of near-dedup that q40's min-id drop
+    * lists approximate — each SimHash cluster keeps its
+    * highest-token-count member (ties to the smaller id), the
+    * production rule when duplicates differ in quality. Output is the
+    * multi-member clusters' survivor census; integer quality makes
+    * the argmax deterministic cross-engine. */
+  private def q171Canonical(s: SparkSession, dir: String): DataFrame = {
+    val corpus = QueriesDedup.corpus(s, dir)
+      .withColumn("tok",
+        when(col("text").isNull || trim(col("text")) === "", lit(0L))
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")))
+    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text",
+      maxHamming = 8, maxBucketSize = Int.MaxValue)
+    Dedup.keepCanonicalPerCluster(corpus, "doc_id", pairs, col("tok"))
+      .filter(col("n_members") > 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("doc_id").as("canon_doc"), col("tok").as("canon_tok"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val q171Sql =
+    s"""WITH RECURSIVE ${QueriesDedup.simhashPairsCtes},
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id2, id1 FROM pairs),
+       |reach AS (
+       |  SELECT src AS node, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src AS node, r.lbl
+       |  FROM edges e JOIN reach r ON r.node = e.dst),
+       |cl AS (
+       |  SELECT node AS doc_id, min(lbl) AS cluster_id
+       |  FROM reach GROUP BY node),
+       |tokc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       |    END AS tok
+       |  FROM corpus),
+       |members AS (
+       |  SELECT cl.cluster_id, t.doc_id, t.tok,
+       |    row_number() OVER (PARTITION BY cl.cluster_id
+       |      ORDER BY t.tok DESC, t.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+       |  FROM cl JOIN tokc t ON t.doc_id = cl.doc_id)
+       |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       |  doc_id AS canon_doc, CAST(tok AS BIGINT) AS canon_tok
+       |FROM members WHERE rn = 1 AND n_members > 1
+       |ORDER BY cluster_id""".stripMargin
+
   // --------------------------------------------------------------- q41
   /** Deterministic train/val/test split (80/10/10 by md5 bucket of the
     * doc id) with per-split document and token counts — reproducible
@@ -846,6 +899,7 @@ object QueriesCorpus {
     "q106_kmv_overlap" -> (q106KmvOverlap _),
     "q39_heavy_hitters" -> (q39HeavyHitters _),
     "q40_dedup_clusters" -> (q40Clusters _),
+    "q171_canonical_keep" -> (q171Canonical _),
     "q41_hash_split" -> (q41Split _),
     "q42_seq_packing" -> (q42Packing _),
   )
@@ -870,6 +924,7 @@ object QueriesCorpus {
     "q106_kmv_overlap" -> q106Sql,
     "q39_heavy_hitters" -> q39Sql,
     "q40_dedup_clusters" -> q40Sql,
+    "q171_canonical_keep" -> q171Sql,
     "q41_hash_split" -> q41Sql,
     "q42_seq_packing" -> q42Sql,
   )

@@ -1896,6 +1896,74 @@ object QueriesRelational {
     * 0-absent contract), split_part, replace, and the predicate trio
     * contains/startswith/endswith (endswith restated as LIKE —
     * DuckDB's ends_with aliases are version-wobbly, LIKE is not). */
+  // -------------------------------------------------------------- q170
+  /** Calendar-arithmetic battery — the date functions q3/q136/q158
+    * leave unpinned: month addition WITH end-of-month clamping
+    * (Jan 31 + 1 mo = Feb 29, identical rule both engines), last_day,
+    * quarter/week truncation (both engines truncate weeks to Monday),
+    * signed day differences, and quarter extraction. All
+    * integer/calendar outputs — no float hazard. */
+  private def q170Calendar(s: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate")
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey"),
+        add_months(d, 1).as("plus_1m"),
+        add_months(d, -13).as("minus_13m"),
+        last_day(d).as("month_end"),
+        date_trunc("quarter", d).cast("date").as("q_start"),
+        date_trunc("week", d).cast("date").as("w_start"),
+        datediff(lit("1998-12-31").cast("date"), d.cast("date"))
+          .cast("bigint").as("days_to_end"),
+        quarter(d).cast("bigint").as("qtr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q170Sql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+      |  CAST(o_orderdate - INTERVAL 13 MONTH AS DATE) AS minus_13m,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+      |  CAST(date_trunc('week', o_orderdate) AS DATE) AS w_start,
+      |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+      |    AS BIGINT) AS days_to_end,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+      |FROM orders WHERE o_orderkey % 17 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q169
+  /** Edit-distance battery: native levenshtein over deterministically
+    * mutated customer names (drop-first-char / append / global
+    * replace / reverse — one mutation class per key mod 4), plus the
+    * empty/self boundary cases and a normalized similarity ratio
+    * (one exact-int division, bit-identical doubles). Same SQL text
+    * in both engines — levenshtein/substr/replace/reverse/greatest
+    * agree natively. Complements the FastSS fuzzy JOIN (q74), which
+    * bounds edit distance pairwise at scale; this pins the scalar
+    * function surface itself. */
+  private def q169Levenshtein(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(q169Sql)
+  }
+
+  private val q169Sql =
+    """WITH m AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE CAST(c_custkey % 4 AS INT)
+      |      WHEN 0 THEN substr(c_name, 2)
+      |      WHEN 1 THEN c_name || 'X'
+      |      WHEN 2 THEN replace(c_name, '1', '7')
+      |      ELSE reverse(c_name) END AS mutated
+      |  FROM customer)
+      |SELECT c_custkey, mutated,
+      |  CAST(levenshtein(c_name, mutated) AS BIGINT) AS dist,
+      |  CAST(levenshtein(c_name, '') AS BIGINT) AS dist_empty,
+      |  CAST(levenshtein(c_name, c_name) AS BIGINT) AS dist_self,
+      |  1.0 - CAST(levenshtein(c_name, mutated) AS DOUBLE)
+      |    / greatest(length(c_name), length(mutated)) AS sim
+      |FROM m ORDER BY c_custkey""".stripMargin
+
   private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
@@ -2043,6 +2111,8 @@ object QueriesRelational {
     "q157_ordered_set_aggs" -> (q157OrderedSetAggs _),
     "q158_week_battery" -> (q158WeekBattery _),
     "q159_char_funcs" -> (q159CharFuncs _),
+    "q169_levenshtein" -> (q169Levenshtein _),
+    "q170_calendar" -> (q170Calendar _),
     "q160_group_by_all" -> (q160GroupByAll _),
     "q161_star_except" -> (q161StarExcept _),
     "q162_str_to_map" -> (q162StrToMap _),
@@ -2104,6 +2174,8 @@ object QueriesRelational {
     "q157_ordered_set_aggs" -> q157Sql,
     "q158_week_battery" -> q158Sql,
     "q159_char_funcs" -> q159Sql,
+    "q169_levenshtein" -> q169Sql,
+    "q170_calendar" -> q170Sql,
     "q160_group_by_all" -> q160Sql,
     "q161_star_except" -> q161Sql,
     "q162_str_to_map" -> q162Sql,

@@ -539,6 +539,37 @@ object Dedup {
     * each round; below it the simpler loop's lower per-round constant
     * wins (both variants produce the identical min-id labeling, pinned
     * by spec). */
+  /** Canonical-document selection: turn pairwise near-dup evidence
+    * into a KEEP-THE-BEST drop decision — production dedup keeps the
+    * highest-quality member of each duplicate cluster, not the
+    * smallest id. Clusters come from [[connectedComponents]] over the
+    * pair list; within a cluster the survivor is argmax by
+    * (qualityCol, then smaller id as the deterministic tie-break),
+    * computed with a max_by over a struct order key — partial
+    * aggregation keeps one candidate per cluster per partition
+    * map-side, so the exchange carries clusters, not members (the
+    * exactDedup discipline). Unpaired docs are their own singleton
+    * cluster and always survive.
+    *
+    * Returns the surviving rows (all original columns) plus
+    * `cluster_id` and `n_members`. */
+  def keepCanonicalPerCluster(df: DataFrame, idCol: String,
+      pairs: DataFrame, qualityCol: Column): DataFrame = {
+    val clusters = connectedComponents(pairs)
+      .select(col("node").as(idCol), col("cluster").as("__cl"))
+    val packed = struct(df.columns.map(col).toIndexedSeq: _*)
+    val orderKey = struct(qualityCol.as("q"), (-col(idCol)).as("negid"))
+    df.join(clusters, Seq(idCol), "left_outer")
+      .withColumn("__cluster",
+        coalesce(col("__cl"), col(idCol).cast("long")))
+      .groupBy(col("__cluster"))
+      .agg(max_by(packed, orderKey).as("__row"),
+        count(lit(1)).as("n_members"))
+      .select(df.columns.map(c => col("__row").getField(c).as(c))
+        .toIndexedSeq ++ Seq(col("__cluster").as("cluster_id"),
+          col("n_members")): _*)
+  }
+
   def connectedComponents(pairs: DataFrame, id1Col: String = "id1",
       id2Col: String = "id2", maxIter: Int = 50,
       contractAbove: Long = 2000000000L): DataFrame = {
