@@ -1896,6 +1896,28 @@ object QueriesRelational {
     * 0-absent contract), split_part, replace, and the predicate trio
     * contains/startswith/endswith (endswith restated as LIKE —
     * DuckDB's ends_with aliases are version-wobbly, LIKE is not). */
+  // -------------------------------------------------------------- q172
+  /** GROUPING()/GROUPING_ID flags on a two-level ROLLUP — the
+    * disambiguation half of the grouping-sets family (q22/q109/q117
+    * pin the aggregates; this pins how a consumer tells a real NULL
+    * key from a rollup subtotal). Same SQL text both engines; the
+    * flags are exact integers. */
+  private def q172GroupingId(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(q172Sql)
+  }
+
+  private val q172Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+      |    AS gid,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
   // -------------------------------------------------------------- q170
   /** Calendar-arithmetic battery — the date functions q3/q136/q158
     * leave unpinned: month addition WITH end-of-month clamping
@@ -2113,6 +2135,7 @@ object QueriesRelational {
     "q159_char_funcs" -> (q159CharFuncs _),
     "q169_levenshtein" -> (q169Levenshtein _),
     "q170_calendar" -> (q170Calendar _),
+    "q172_grouping_id" -> (q172GroupingId _),
     "q160_group_by_all" -> (q160GroupByAll _),
     "q161_star_except" -> (q161StarExcept _),
     "q162_str_to_map" -> (q162StrToMap _),
@@ -2176,6 +2199,7 @@ object QueriesRelational {
     "q159_char_funcs" -> q159Sql,
     "q169_levenshtein" -> q169Sql,
     "q170_calendar" -> q170Sql,
+    "q172_grouping_id" -> q172Sql,
     "q160_group_by_all" -> q160Sql,
     "q161_star_except" -> q161Sql,
     "q162_str_to_map" -> q162Sql,

@@ -245,10 +245,56 @@ object QueriesSimilarity {
       |FROM embeddings WHERE vec_id % 40 = 0
       |ORDER BY vec_id""".stripMargin
 
+  // -------------------------------------------------------------- q173
+  /** Embedding dimensionality reduction: JL random projection
+    * (64 -> 16, md5-derived coefficients, exact 1/4 scale) and
+    * matryoshka truncate-and-renormalize (first 8 dims). Every output
+    * double is an IN-ORDER fold over the same operands in both
+    * engines (the q168 discipline), so the gate compare is bit-exact;
+    * three projection components + the first renormalized coordinate
+    * keep the oracle restatement finite. Map-only at any scale. */
+  private def q173Project(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val proj = Similarity.randomProject(col("embedding"), 64, 16)
+    val trunc = Similarity.matryoshka(col("embedding"), 8)
+    e.select(col("vec_id"),
+        proj.as("p"), trunc.as("m"))
+      .select(col("vec_id"),
+        element_at(col("p"), 1).as("p0"),
+        element_at(col("p"), 8).as("p7"),
+        element_at(col("p"), 16).as("p15"),
+        element_at(col("m"), 1).as("m0"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q173Sql = {
+    // same md5 coefficient formula as Similarity.planeCoefficients:
+    // coef(p, d) = uint32(md5("p:d")[0:8]) / 2^31 - 1, scale 1/sqrt(16)
+    def comp(j: Int) =
+      s"""list_aggregate(list_transform(range(1, len(x) + 1),
+         |    i -> (('0x' || substr(md5('$j' || ':' ||
+         |        CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT
+         |      / 2147483648.0 - 1.0) * x[i]), 'sum') * 0.25""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  ${comp(0)} AS p0,
+       |  ${comp(7)} AS p7,
+       |  ${comp(15)} AS p15,
+       |  CASE WHEN sqrt(list_aggregate(list_transform(x[1:8],
+       |      v -> v * v), 'sum')) > 0.0
+       |    THEN x[1] / sqrt(list_aggregate(list_transform(x[1:8],
+       |      v -> v * v), 'sum'))
+       |    ELSE x[1] END AS m0
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_array_ops" -> (q95ArrayOps _),
     "q59_quantize_int8" -> (q59Quantize _),
     "q19_sim_bruteforce_topk" -> (q19BruteForce _),
+    "q173_jl_matryoshka" -> (q173Project _),
     "q20_sim_ann_lsh" -> (q20AnnLsh _),
     "q32_sim_ann_ivf" -> (q32Ivf _),
     "q114_pq_adc" -> (q114Pq _),
@@ -258,6 +304,7 @@ object QueriesSimilarity {
     "q95_array_ops" -> q95Sql,
     "q59_quantize_int8" -> q59Sql,
     "q19_sim_bruteforce_topk" -> q19Sql,
+    "q173_jl_matryoshka" -> q173Sql,
     "q20_sim_ann_lsh" -> q20Sql,
     "q32_sim_ann_ivf" -> q32Sql,
     "q114_pq_adc" -> q114Sql,

@@ -40,6 +40,44 @@ object Similarity {
     }
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDims` dimensions:
+    * y_j = (1/√outDims) · Σ_d R[j][d] · x[d], with R the deterministic
+    * md5-derived coefficient matrix ([[planeCoefficients]]) — the
+    * standard dense-Gaussian-free JL variant (Achlioptas 2001 shows
+    * bounded iid coefficients preserve the distance guarantees).
+    * Reduces ANN/clustering cost ~dims/outDims at a controlled
+    * distortion (ε ~ √(ln n / outDims)). Map-only; the per-dim dot
+    * product folds IN ORDER (zip_with + left fold from 0.0), so the
+    * projected doubles are bit-reproducible under any partitioning
+    * and replayable in the DuckDB oracle. */
+  def randomProject(emb: Column, inDims: Int, outDims: Int): Column = {
+    require(outDims >= 1 && inDims >= 1, "dims must be positive")
+    val coefs = planeCoefficients(outDims, inDims)
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val comps = (0 until outDims).map { j =>
+      val row = array(coefs(j).map(lit).toIndexedSeq: _*)
+      aggregate(
+        zip_with(row, emb, (c, x) => c * x.cast("double")),
+        lit(0.0), (acc, t) => acc + t) * lit(scale)
+    }
+    array(comps: _*)
+  }
+
+  /** Matryoshka truncation (Kusupati et al. 2022): keep the first `k`
+    * coordinates and L2-renormalize — the "shorten the embedding,
+    * keep the geometry" trick MRL-trained models support. In-order
+    * norm fold, same bit-reproducibility contract as
+    * [[randomProject]]. Zero-norm prefixes return the unnormalized
+    * truncation (all zeros) rather than NaNs. */
+  def matryoshka(emb: Column, k: Int): Column = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val pre = slice(emb, 1, k)
+    val norm = sqrt(aggregate(pre,
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(norm > 0.0, transform(pre, x => x.cast("double") / norm))
+      .otherwise(transform(pre, x => x.cast("double")))
+  }
+
   /** Cosine similarity with deterministic in-order summation. */
   def cosine(a: Column, b: Column): Column = Dedup.cosine(a, b)
 
