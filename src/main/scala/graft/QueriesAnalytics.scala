@@ -354,6 +354,53 @@ object QueriesAnalytics {
       |   FROM e0 a JOIN e0 b ON b.u = a.u AND b.v > a.v
       |        JOIN e0 c ON c.u = a.v AND c.v = b.v) AS n_triangles""".stripMargin
 
+  // -------------------------------------------------------------- q174
+  /** Hilbert-curve layout key (Layout.hkey / HilbertIndex) — the
+    * locality-preserving complement of q75's z-order: the oracle
+    * replays the iterative per-quadrant rotate-and-flip EXACTLY (8
+    * unrolled stages of the same integer recurrence, generated from
+    * one Scala template), so every index is integer-exact; the
+    * adjacency/bijectivity invariants live in LayoutFuzzySpec. Cells
+    * are derived 8-bit coordinates from customer keys. */
+  private def q174Hilbert(s: SparkSession, dir: String): DataFrame = {
+    val hx = (col("c_custkey") % 256).cast("long")
+    val hy = (col("c_custkey") * 7 % 256).cast("long")
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), hx.as("hx"), hy.as("hy"),
+        Layout.hkey(hx, hy, bits = 8).as("h"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q174Sql = {
+    // one stage per bit, s = 128 .. 1: the same rotate-and-flip
+    // recurrence HilbertUtil.index executes, with s inlined
+    val stages = (7 to 0 by -1).zipWithIndex.map { case (bit, i) =>
+      val sVal = 1L << bit
+      val prev = if (i == 0) "c0" else s"st${i - 1}"
+      s"""st$i AS (
+         |  SELECT k, hx, hy,
+         |    d + ${sVal * sVal} * xor(
+         |      3 * (CASE WHEN (x & $sVal) > 0 THEN 1 ELSE 0 END),
+         |      (CASE WHEN (y & $sVal) > 0 THEN 1 ELSE 0 END)) AS d,
+         |    CASE WHEN (y & $sVal) > 0 THEN x
+         |         WHEN (x & $sVal) > 0 THEN ${sVal - 1} - y
+         |         ELSE y END AS x,
+         |    CASE WHEN (y & $sVal) > 0 THEN y
+         |         WHEN (x & $sVal) > 0 THEN ${sVal - 1} - x
+         |         ELSE x END AS y
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT c_custkey AS k,
+       |    c_custkey % 256 AS hx, (c_custkey * 7) % 256 AS hy,
+       |    c_custkey % 256 AS x, (c_custkey * 7) % 256 AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM customer),
+       |$stages
+       |SELECT k AS c_custkey, hx, hy, d AS h
+       |FROM st7 ORDER BY c_custkey""".stripMargin
+  }
+
   // -------------------------------------------------------------- q167
   /** Per-node local clustering coefficient (Graph.clusteringCoefficient,
     * Watts-Strogatz) over the q78 co-occurrence graph — the node-grain
@@ -1177,6 +1224,7 @@ object QueriesAnalytics {
     "q77_winsorize" -> (q77Winsorize _),
     "q78_triangles" -> (q78Triangles _),
     "q167_clustering_coef" -> (q167Clustering _),
+    "q174_hilbert" -> (q174Hilbert _),
     "q168_ewma" -> (q168Ewma _),
     "q79_trailing_window" -> (q79Trailing _),
     "q80_scd2" -> (q80Scd2 _),
@@ -1209,6 +1257,7 @@ object QueriesAnalytics {
     "q77_winsorize" -> q77Sql,
     "q78_triangles" -> q78Sql,
     "q167_clustering_coef" -> q167Sql,
+    "q174_hilbert" -> q174Sql,
     "q168_ewma" -> q168Sql,
     "q79_trailing_window" -> q79Sql,
     "q80_scd2" -> q80Sql,

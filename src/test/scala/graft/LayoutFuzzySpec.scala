@@ -126,6 +126,62 @@ class LayoutFuzzySpec extends SparkSpec {
     Sampling.stratifiedSample(df, "id", "grp", 10).count() shouldBe 2L
   }
 
+  test("Hilbert index: bijective, unit-step adjacent, unlike Morton") {
+    import graft.expressions.{HilbertUtil, MortonUtil}
+    val bits = 5
+    val n = 1 << bits
+    // bijective over the full grid
+    val byD = (for (x <- 0 until n; y <- 0 until n)
+      yield HilbertUtil.index(x, y, bits) -> (x, y)).toMap
+    byD.size shouldBe n * n
+    // THE Hilbert property: consecutive indexes are 4-adjacent cells
+    (0 until n * n - 1).foreach { d =>
+      val (x1, y1) = byD(d.toLong)
+      val (x2, y2) = byD(d.toLong + 1)
+      (math.abs(x1 - x2) + math.abs(y1 - y2)) shouldBe 1
+    }
+    // position() is the exact inverse
+    (0 until n * n).foreach { d =>
+      HilbertUtil.position(d.toLong, bits) shouldBe
+        (byD(d.toLong)._1.toLong, byD(d.toLong)._2.toLong)
+    }
+    // Morton, by contrast, jumps at quadrant boundaries — the reason
+    // Hilbert prunes tighter on range predicates
+    val mByD = (for (x <- 0 until n; y <- 0 until n)
+      yield MortonUtil.interleave(x, y, bits) -> (x, y)).toMap
+    val mortonJumps = (0 until n * n - 1).count { d =>
+      val (x1, y1) = mByD(d.toLong)
+      val (x2, y2) = mByD(d.toLong + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    mortonJumps should be > 0
+  }
+
+  test("hilbertWrite clusters files with tight two-dim envelopes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hil")
+      .resolve("t").toString
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("cx"),
+      (col("id") / 64).cast("long").as("cy"))
+    Layout.hilbertWrite(df, col("cx"), col("cy"), bits = 6, root, 8)
+    // each written file covers a contiguous Hilbert segment: its cell
+    // count bounds its 2-d envelope area within a small constant (a
+    // Hilbert segment of length L fits in an O(L) box; Morton segments
+    // can span a whole quadrant). Loose factor-4 bound.
+    val withFile = spark.read.parquet(root)
+      .select(col("cx"), col("cy"),
+        col("_metadata.file_name").as("f"))
+    val envs = withFile.groupBy(col("f"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("cx")) - min(col("cx")) + 1).as("w"),
+        (max(col("cy")) - min(col("cy")) + 1).as("h"))
+      .collect()
+    envs.foreach { r =>
+      val (cnt, w, h) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      (w * h).toDouble should be <= cnt.toDouble * 4.0
+    }
+  }
+
   test("entity resolution recovers blocks, labels singletons as themselves") {
     import graft.operators.EntityResolution
     // two spelling variants per entity, one distinct singleton
