@@ -161,8 +161,18 @@ object QueriesRelational {
 
   // --------------------------------------------------------------- q31
   /** Statistical aggregates: exact interpolated percentiles, stddev/
-    * variance, correlation/covariance per group. */
-  private def q31Stats(s: SparkSession, dir: String): DataFrame =
+    * variance, correlation/covariance per group. Percentiles/stddev/
+    * var run the NATIVE aggregates over integral quantities (moments
+    * of integers — bit-exact cross-engine, five rounds of driver
+    * green). corr/cov were the row's ulp-zone residents (native float
+    * accumulation order differs per engine build), so they are
+    * restated on integerized points (x = quantity, y = floor(price))
+    * from exact BIGINT moments with identical double derivation both
+    * sides — the q126 discipline; native corr/covar_samp stay pinned
+    * by RegrFamilySpec. */
+  private def q31Stats(s: SparkSession, dir: String): DataFrame = {
+    val yi = floor(col("l_extendedprice")).cast("bigint")
+    val xi = col("l_quantity").cast("bigint")
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
@@ -170,19 +180,47 @@ object QueriesRelational {
         percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
         stddev_samp(col("l_quantity")).as("sd_qty"),
         var_samp(col("l_quantity")).as("var_qty"),
-        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
-        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_qp"))
+        count(lit(1)).cast("double").as("nd"),
+        sum(xi).cast("double").as("sxd"),
+        sum(yi).cast("double").as("syd"),
+        sum(xi * xi).cast("double").as("sxxd"),
+        sum(xi * yi).cast("double").as("sxyd"),
+        sum(yi * yi).cast("double").as("syyd"))
+      .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
+        col("sd_qty"), col("var_qty"),
+        ((col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+          (sqrt(col("nd") * col("sxxd") - col("sxd") * col("sxd")) *
+            sqrt(col("nd") * col("syyd") - col("syd") * col("syd"))))
+          .as("corr_qp"),
+        ((col("sxyd") - col("sxd") * col("syd") / col("nd")) /
+          (col("nd") - 1.0)).as("cov_qp"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val q31Sql =
-    """SELECT l_returnflag,
-      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
-      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
-      |  stddev_samp(l_quantity) AS sd_qty,
-      |  var_samp(l_quantity) AS var_qty,
-      |  corr(l_quantity, l_extendedprice) AS corr_qp,
-      |  covar_samp(l_quantity, l_extendedprice) AS cov_qp
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |    quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |    stddev_samp(l_quantity) AS sd_qty,
+      |    var_samp(l_quantity) AS var_qty,
+      |    CAST(count(*) AS DOUBLE) AS nd,
+      |    CAST(CAST(sum(xi) AS BIGINT) AS DOUBLE) AS sxd,
+      |    CAST(CAST(sum(yi) AS BIGINT) AS DOUBLE) AS syd,
+      |    CAST(CAST(sum(xi * xi) AS BIGINT) AS DOUBLE) AS sxxd,
+      |    CAST(CAST(sum(xi * yi) AS BIGINT) AS DOUBLE) AS sxyd,
+      |    CAST(CAST(sum(yi * yi) AS BIGINT) AS DOUBLE) AS syyd
+      |  FROM (SELECT l_returnflag, l_quantity,
+      |          CAST(l_quantity AS BIGINT) AS xi,
+      |          CAST(floor(l_extendedprice) AS BIGINT) AS yi
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag, p50_qty, p90_qty, sd_qty, var_qty,
+      |  (nd * sxyd - sxd * syd)
+      |    / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))
+      |    AS corr_qp,
+      |  (sxyd - sxd * syd / nd) / (nd - 1.0) AS cov_qp
+      |FROM m ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------- q44
   /** Pivot: per-cohort event counts spread across one column per event
@@ -1896,6 +1934,39 @@ object QueriesRelational {
     * 0-absent contract), split_part, replace, and the predicate trio
     * contains/startswith/endswith (endswith restated as LIKE —
     * DuckDB's ends_with aliases are version-wobbly, LIKE is not). */
+  // -------------------------------------------------------------- q176
+  /** Bitwise scalar battery — AND/OR/XOR/NOT, shifts, popcount — the
+    * flag-mask manipulation surface (the AGGREGATE bit ops are q124).
+    * Spark spells xor `^` and not `~`; DuckDB 1.0 spells them xor()
+    * (its `^` is exponentiation) and needs an explicit BIGINT for
+    * bit_count — everything else is common text. Exact integers. */
+  private def q176BitOps(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  o_orderkey ^ 1365 AS bxor,
+        |  ~o_orderkey AS bnot,
+        |  (o_orderkey & 255) << 3 AS shl,
+        |  o_orderkey >> 4 AS shr,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS pop
+        |FROM orders WHERE o_orderkey % 23 = 0
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q176Sql =
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS band,
+      |  o_orderkey | 4096 AS bor,
+      |  xor(o_orderkey, 1365) AS bxor,
+      |  ~o_orderkey AS bnot,
+      |  (o_orderkey & 255) << 3 AS shl,
+      |  o_orderkey >> 4 AS shr,
+      |  CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS pop
+      |FROM orders WHERE o_orderkey % 23 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- q172
   /** GROUPING()/GROUPING_ID flags on a two-level ROLLUP — the
     * disambiguation half of the grouping-sets family (q22/q109/q117
@@ -2136,6 +2207,7 @@ object QueriesRelational {
     "q169_levenshtein" -> (q169Levenshtein _),
     "q170_calendar" -> (q170Calendar _),
     "q172_grouping_id" -> (q172GroupingId _),
+    "q176_bit_ops" -> (q176BitOps _),
     "q160_group_by_all" -> (q160GroupByAll _),
     "q161_star_except" -> (q161StarExcept _),
     "q162_str_to_map" -> (q162StrToMap _),
@@ -2200,6 +2272,7 @@ object QueriesRelational {
     "q169_levenshtein" -> q169Sql,
     "q170_calendar" -> q170Sql,
     "q172_grouping_id" -> q172Sql,
+    "q176_bit_ops" -> q176Sql,
     "q160_group_by_all" -> q160Sql,
     "q161_star_except" -> q161Sql,
     "q162_str_to_map" -> q162Sql,

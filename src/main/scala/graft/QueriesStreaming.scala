@@ -139,6 +139,72 @@ object QueriesStreaming {
       |FROM lineitem
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------- q175
+  /** Streaming exact dedup through a REAL micro-batched run
+    * (EventPipeline.dedupedStream = dropDuplicatesWithinWatermark):
+    * the whole event stream is planted in duplicate (each row twice
+    * at the SAME event time — duplicates inside the watermark
+    * horizon, which is the operator's contract: state expires at the
+    * watermark, so only dups within the horizon dedup, exactly like
+    * at-least-once replay dups in production) and arrives over four
+    * TIME-ORDERED parquet files consumed one per trigger, so the
+    * watermark only advances between batches and never drops a
+    * legitimate first arrival. The gate output is payload-free
+    * (per-bucket distinct-key census), so WHICH physical copy
+    * survived — an arrival-order artifact — never reaches the hash.
+    * Files are written as sequential jobs because FileStreamSource
+    * orders by modification time (a bulk write ties arbitrarily).
+    * The 100 TB point: dedup state is bounded by the watermark
+    * horizon, not stream history. */
+  private def q175StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventPipeline
+    val work = java.nio.file.Files.createTempDirectory("graft_sdd")
+    val deltaDir = work.resolve("delta").toString
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    val ev0 = Tables.load(s, dir, "events")
+      .select(col("event_id").as("k"), col("ts"))
+    val ev = ev0.unionAll(ev0)
+    // four files written as SEQUENTIAL jobs: FileStreamSource orders
+    // pre-existing files by modification time, and one bulk write
+    // leaves tie-broken mtimes in arbitrary order — a later-quarter
+    // file consumed first would put earlier quarters behind the
+    // watermark and drop them. Fixed calendar boundaries keep the
+    // split deterministic; the sleep forces distinct mtimes even on
+    // coarse-granularity filesystems.
+    val bounds = Seq("2024-04-01", "2024-07-01", "2024-10-01")
+      .map(b => lit(b).cast("timestamp"))
+    val quarters = Seq(
+      ev.filter(col("ts") < bounds(0)),
+      ev.filter(col("ts") >= bounds(0) && col("ts") < bounds(1)),
+      ev.filter(col("ts") >= bounds(1) && col("ts") < bounds(2)),
+      ev.filter(col("ts") >= bounds(2)))
+    quarters.foreach { q =>
+      q.coalesce(1).write.mode("append").parquet(deltaDir)
+      Thread.sleep(1100L)
+    }
+    val schema = s.read.parquet(deltaDir).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+    val q = EventPipeline.dedupedStream(src, Seq("k"), "10 minutes")
+      .select(col("k"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000L))
+      throw new IllegalStateException("streaming dedup timed out")
+    s.read.parquet(outDir)
+      .groupBy((col("k") % 25).as("bucket"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q175Sql =
+    """SELECT event_id % 25 AS bucket, count(DISTINCT event_id) AS n_keys
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -146,10 +212,12 @@ object QueriesStreaming {
     "q28_stream_sessions" -> (q28Sessions _),
     "q43_stream_attribution" -> (q43Attribution _),
     "q110_stream_incremental" -> (q110StreamIncremental _),
+    "q175_stream_dedup" -> (q175StreamDedup _),
   )
 
   val oracles: Map[String, String] = Map(
     "q27_stream_window" -> q27Sql,
+    "q175_stream_dedup" -> q175Sql,
     "q28_stream_sessions" -> q28Sql,
     "q43_stream_attribution" -> q43Sql,
     "q110_stream_incremental" -> q110Sql,

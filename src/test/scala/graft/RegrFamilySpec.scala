@@ -76,4 +76,24 @@ class RegrFamilySpec extends SparkSpec {
         math.sqrt(er.getDouble(6) / er.getLong(1))) should be < 1e-9
     }
   }
+
+  test("native corr/covar_samp agree with their pop/exact identities") {
+    // corr² == regr_r2 and covar_samp == covar_pop · n/(n−1): pins the
+    // samp-variant wiring the q31 gate row no longer carries natively
+    // (its corr/cov were restated from exact moments in round 6)
+    val s = spark
+    Tables.load(s, sf, "lineitem").createOrReplaceTempView("li_regr2")
+    val r = s.sql(
+      """SELECT corr(yi, xi) AS c, regr_r2(yi, xi) AS r2,
+        |  covar_samp(yi, xi) AS cs, covar_pop(yi, xi) AS cp,
+        |  count(*) AS n
+        |FROM (SELECT CAST(l_quantity AS BIGINT) AS xi,
+        |        CAST(floor(l_extendedprice) AS BIGINT) AS yi
+        |      FROM li_regr2)""".stripMargin).head()
+    def rel(a: Double, b: Double): Double =
+      if (a == b) 0.0 else math.abs(a - b) / math.max(math.abs(a), math.abs(b))
+    rel(r.getDouble(0) * r.getDouble(0), r.getDouble(1)) should be < 1e-9
+    val n = r.getLong(4).toDouble
+    rel(r.getDouble(2), r.getDouble(3) * n / (n - 1.0)) should be < 1e-9
+  }
 }
