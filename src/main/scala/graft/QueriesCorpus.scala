@@ -851,9 +851,10 @@ object QueriesCorpus {
     * largest-remainder rounding makes the integer quotas sum exactly
     * to the budget. The sf0.01 fixture's floor margins (min distance
     * to an integer 0.15) and remainder-cut margin (0.13) are ~14
-    * orders above cross-engine pow/sum ulp noise, so no quota can
-    * flip. The oracle mirrors the engine's arithmetic order
-    * (weight = pow/Σ first, then × budget). */
+    * orders above cross-engine float ulp noise, so no quota can
+    * flip — and since round 6 the floats themselves are bit-exact:
+    * τ = 0.5 routes through correctly-rounded sqrt and the total is a
+    * sorted-order fold, mirrored verbatim by the oracle. */
   private def q141TemperatureMix(s: SparkSession, dir: String): DataFrame =
     Sampling.temperatureQuotas(docs(s, dir), "lang", 137L, 0.5)
       .orderBy(col("lang"))
@@ -861,11 +862,12 @@ object QueriesCorpus {
   private val q141Sql =
     """WITH c AS (SELECT lang AS g, count(*) AS n_docs
       |           FROM documents GROUP BY 1),
-      |t AS (SELECT sum(pow(n_docs, 0.5)) AS tot FROM c),
-      |f AS (SELECT g, n_docs, pow(n_docs, 0.5) / tot AS weight,
-      |        floor(pow(n_docs, 0.5) / tot * 137) AS fq,
-      |        pow(n_docs, 0.5) / tot * 137
-      |          - floor(pow(n_docs, 0.5) / tot * 137) AS rem
+      |t AS (SELECT list_aggregate(list_sort(list(sqrt(n_docs))), 'sum')
+      |        AS tot FROM c),
+      |f AS (SELECT g, n_docs, sqrt(n_docs) / tot AS weight,
+      |        floor(sqrt(n_docs) / tot * 137) AS fq,
+      |        sqrt(n_docs) / tot * 137
+      |          - floor(sqrt(n_docs) / tot * 137) AS rem
       |      FROM c CROSS JOIN t),
       |e AS (SELECT 137 - CAST(sum(fq) AS BIGINT) AS extra FROM f),
       |r AS (SELECT a.g, a.n_docs, a.weight, a.fq,

@@ -128,7 +128,12 @@ object QueriesRelational {
       .join(broadcast(buckets),
         col("value") >= col("lo") && col("value") < col("hi"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // the value sum accumulates round-then-DECIMAL (exact,
+      // order-free) and leaves as BIGINT cents — this row was the
+      // range-join family's last ulp-zone float (r6 hardening pass)
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value"), 2).cast("decimal(18,2)")) * 100)
+          .cast("long").as("sum_value_cents"))
       .orderBy(col("bucket"))
   }
 
@@ -138,7 +143,9 @@ object QueriesRelational {
       |         range * CAST(50.0 AS DOUBLE) AS lo,
       |         (range + 1) * CAST(50.0 AS DOUBLE) AS hi
       |  FROM range(0, 10))
-      |SELECT bucket, count(*) AS n, sum(value) AS sum_value
+      |SELECT bucket, count(*) AS n,
+      |  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) * 100
+      |    AS BIGINT) AS sum_value_cents
       |FROM events JOIN buckets ON value >= lo AND value < hi
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 

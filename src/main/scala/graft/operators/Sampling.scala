@@ -112,9 +112,18 @@ object Sampling {
     require(tau > 0.0 && tau <= 1.0, s"tau ($tau) must be in (0, 1]")
     val counts = df.groupBy(col(groupCol).as("g"))
       .agg(count(lit(1)).as("n_docs"))
-    val tot = counts.agg(sum(pow(col("n_docs"), tau)).as("__tot"))
+    // τ = 0.5 routes through sqrt (correctly-rounded IEEE in every
+    // engine) instead of pow (libm, build-dependent last ulps); the
+    // group total folds over the SORTED weight list so the float sum
+    // is order-deterministic — together they keep the whole quota
+    // computation bit-reproducible cross-engine (q31/q60 discipline)
+    def powTau(c: Column): Column =
+      if (tau == 0.5) sqrt(c) else pow(c, tau)
+    val tot = counts
+      .agg(aggregate(sort_array(collect_list(powTau(col("n_docs")))),
+        lit(0.0), (a, x) => a + x).as("__tot"))
     val f = counts.crossJoin(broadcast(tot))
-      .withColumn("weight", pow(col("n_docs"), tau) / col("__tot"))
+      .withColumn("weight", powTau(col("n_docs")) / col("__tot"))
       .withColumn("__x", col("weight") * budget)
       .withColumn("__fq", floor(col("__x")))
       .withColumn("__rem", col("__x") - col("__fq"))
