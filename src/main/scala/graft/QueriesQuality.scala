@@ -507,7 +507,7 @@ object QueriesQuality {
       |  FROM h)
       |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
       |  fp[1] AS min_fp, fp[len(fp)] AS max_fp,
-      |  array_to_string(fp, ',') AS fp
+      |  coalesce(array_to_string(fp, ','), '') AS fp
       |FROM f ORDER BY doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(

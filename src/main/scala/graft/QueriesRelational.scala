@@ -175,8 +175,9 @@ object QueriesRelational {
     * accumulation order differs per engine build), so they are
     * restated on integerized points (x = quantity, y = floor(price))
     * from exact BIGINT moments with identical double derivation both
-    * sides — the q126 discipline; native corr/covar_samp stay pinned
-    * by RegrFamilySpec. */
+    * sides — the q126 discipline (and its gate-row scale note: Σy²
+    * stays exact to ~9·10⁸ rows/group); native corr/covar_samp stay
+    * pinned by RegrFamilySpec. */
   private def q31Stats(s: SparkSession, dir: String): DataFrame = {
     val yi = floor(col("l_extendedprice")).cast("bigint")
     val xi = col("l_quantity").cast("bigint")
@@ -868,7 +869,12 @@ object QueriesRelational {
     * identical integers with the same double expression tree on both
     * sides: int64→double conversion is correctly rounded IEEE in both
     * engines and each +,-,*,/ is a separate correctly-rounded op, so
-    * the derived doubles are bit-identical by construction. Spark's
+    * the derived doubles are bit-identical by construction. (Gate-row
+    * scale note: Σy² as BIGINT is exact to ~9·10⁸ rows per group —
+    * ample for every gate/bench sf; a full-scale run of the same
+    * restatement would accumulate in DECIMAL(38,0). The production
+    * regression surface is Spark's native regr_* family, not this
+    * restatement.) Spark's
     * native regr_* family stays pinned by RegrFamilySpec against these
     * exact derivations. Same map-side-combine plan shape as q1:
     * 3 groups × a fixed-width moment vector at any scale. */

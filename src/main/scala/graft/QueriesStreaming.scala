@@ -172,7 +172,10 @@ object QueriesStreaming {
     // watermark and drop them. Fixed calendar boundaries keep the
     // split deterministic; the sleep forces distinct mtimes even on
     // coarse-granularity filesystems.
-    val bounds = Seq("2024-04-01", "2024-07-01", "2024-10-01")
+    // boundaries INSIDE the fixture's span (events run through
+    // January 2024 at every sf) so all four quarters are non-empty
+    // and the multi-batch watermark advance actually exercises
+    val bounds = Seq("2024-01-08", "2024-01-15", "2024-01-22")
       .map(b => lit(b).cast("timestamp"))
     val quarters = Seq(
       ev.filter(col("ts") < bounds(0)),

@@ -71,10 +71,16 @@ object Graph {
     // node/edge counts live IN the plan (single-row broadcast cross
     // joins) — separate driver .count() actions would serialize two
     // extra jobs into every caller's critical path
-    tris.agg(count(lit(1)).as("n_triangles"))
+    val out = tris.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       .crossJoin(broadcast(canon.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      // eager 1-row materialization so the edge cache can release NOW
+      // instead of leaking for the session lifetime (the r5 minhash
+      // cache-release discipline)
+      .localCheckpoint(eager = true)
+    canon.unpersist()
+    out
   }
 
   /** Per-node local clustering coefficient — the node-grain complement
@@ -119,13 +125,18 @@ object Graph {
     val perNode = tris
       .select(explode(array(col("apex"), col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("t"))
-    deg.join(perNode, Seq("n"), "left_outer")
+    val out = deg.join(perNode, Seq("n"), "left_outer")
       .select(col("n").as("node"), col("d").as("degree"),
         coalesce(col("t"), lit(0L)).as("n_triangles"),
         when(col("d") >= 2,
           (coalesce(col("t"), lit(0L)) * 2L).cast("double") /
             (col("d") * (col("d") - 1L)).cast("double"))
           .otherwise(lit(0.0)).as("coefficient"))
+      // node-count rows, eagerly materialized so the edge cache
+      // releases at return instead of leaking for the session
+      .localCheckpoint(eager = true)
+    canon.unpersist()
+    out
   }
 
   /** Synchronous label propagation (community detection, Raghavan et

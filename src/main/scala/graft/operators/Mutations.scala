@@ -103,6 +103,16 @@ object UpdateJob {
       whenNotMatchedBySourceDelete: Option[Column] = None,
       checkDuplicateSource: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "mergeInto needs at least one key column")
+    // a base column literally named src_<other base column> (or the
+    // presence markers) would collide with the renamed source side and
+    // make the clause conditions ambiguous — fail fast (the AsOfJoin
+    // __rt guard discipline)
+    require(!base.columns.exists(c => base.columns.contains(s"src_$c")),
+      "mergeInto: base column names may not collide with src_-prefixed " +
+        "forms of other base columns")
+    require(!base.columns.exists(c =>
+        c == "base__present" || c == "src__present"),
+      "mergeInto: base__present/src__present are reserved column names")
     if (checkDuplicateSource) {
       val dups = source.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()

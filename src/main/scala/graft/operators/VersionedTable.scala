@@ -229,12 +229,19 @@ object VersionedTable {
     * vacuum, same stance as the rename backend's staging corpses.
     *
     * The exclusive create maps to the store's conditional write:
-    * S3 `If-None-Match:*` PUT / GCS `ifGenerationMatch=0`; on HDFS
-    * `create(overwrite=false)` is an atomic namenode op; on the local
-    * FS the payload is hard-linked into place (link(2) is atomic and
-    * fails EEXIST), because LocalFileSystem's create(false) is a
-    * non-atomic exists-then-create. Racing committers therefore get
-    * unique contiguous numbers on every substrate. */
+    * on HDFS `create(overwrite=false)` is an atomic namenode op; on
+    * the local FS the payload is hard-linked into place (link(2) is
+    * atomic and fails EEXIST), because LocalFileSystem's create(false)
+    * is a non-atomic exists-then-create. IMPORTANT deployment caveat:
+    * stock Hadoop S3A implements create(false) as HEAD-then-PUT —
+    * check-then-act, NOT a conditional PUT — so on S3 the
+    * `createExclusive` seam must be backed by the store's conditional
+    * write (S3 `If-None-Match:*`, GCS `ifGenerationMatch=0`; S3
+    * supports it natively since 2024-08 and recent S3A exposes it via
+    * fs.s3a.create.conditional.enabled). With a conditional-create in
+    * that seam, racing committers get unique contiguous numbers on
+    * every substrate; without it, S3 keeps the rename backend's
+    * caveat. SnapshotBackendSpec races the local hard-link path. */
   case object Manifest extends Backend {
     private val ManifestName = "manifest-(\\d+)\\.json".r
 

@@ -194,9 +194,13 @@ def main():
             continue
         # ulp-zone tripwire: values agree at 12 digits but not bitwise —
         # the driver's verdict here depends on ITS DuckDB build; new
-        # rows should restate exactly (ORACLE_NOTES.md) instead
-        s_bits = table_rows(spark_tbl, s_cols, g=None)
-        d_bits = table_rows(duck_tbl, d_cols, g=None)
+        # rows should restate exactly (ORACLE_NOTES.md) instead. Only
+        # float-bearing outputs need the second (bit-exact) pass.
+        import pyarrow as pa
+        has_float = any(pa.types.is_floating(f.type)
+                        for f in spark_tbl.schema)
+        s_bits = table_rows(spark_tbl, s_cols, g=None) if has_float else []
+        d_bits = table_rows(duck_tbl, d_cols, g=None) if has_float else []
         if s_bits != d_bits:
             bad = sum(1 for a, b in zip(s_bits, d_bits) if a != b)
             print(f"OK   {name} ({spark_tbl.num_rows} rows) "
