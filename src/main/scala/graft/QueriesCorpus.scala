@@ -163,6 +163,31 @@ object QueriesCorpus {
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q177
+  /** Incremental cluster maintenance (Dedup.mergeClusters): the base
+    * corpus (original + exact-dup ids < 20000) is clustered once;
+    * the near-dup batch (ids ≥ 20000) then arrives and only the
+    * NEW-node-involving pairs are folded into the published
+    * assignment via the star-edge summary — the old pair set is never
+    * re-clustered. The oracle recomputes connected components from
+    * scratch over the FULL pair set (q40's recursive closure), so
+    * merged == recomputed is the assertion, the q96/q149 incremental
+    * contract applied to graph clustering. */
+  private def q177IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    val full = QueriesDedup.corpus(s, dir)
+    val oldCorpus = full.filter(col("doc_id") < 20000)
+    val oldPairs = Dedup.simhashNearDups(oldCorpus, "doc_id", "text",
+      maxHamming = 8, maxBucketSize = Int.MaxValue)
+    val oldAssign = Dedup.connectedComponents(oldPairs)
+    // the incoming batch's probe: every pair touching a new node
+    val newPairs = Dedup.simhashNearDups(full, "doc_id", "text",
+        maxHamming = 8, maxBucketSize = Int.MaxValue)
+      .filter(col("id1") >= 20000 || col("id2") >= 20000)
+    Dedup.mergeClusters(oldAssign, newPairs)
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------- q171
   /** Canonical-document selection (Dedup.keepCanonicalPerCluster):
     * the KEEP-THE-BEST half of near-dedup that q40's min-id drop
@@ -902,6 +927,7 @@ object QueriesCorpus {
     "q39_heavy_hitters" -> (q39HeavyHitters _),
     "q40_dedup_clusters" -> (q40Clusters _),
     "q171_canonical_keep" -> (q171Canonical _),
+    "q177_incremental_cc" -> (q177IncrementalCc _),
     "q41_hash_split" -> (q41Split _),
     "q42_seq_packing" -> (q42Packing _),
   )
@@ -927,6 +953,7 @@ object QueriesCorpus {
     "q39_heavy_hitters" -> q39Sql,
     "q40_dedup_clusters" -> q40Sql,
     "q171_canonical_keep" -> q171Sql,
+    "q177_incremental_cc" -> q40Sql,
     "q41_hash_split" -> q41Sql,
     "q42_seq_packing" -> q42Sql,
   )

@@ -184,7 +184,7 @@ object QueriesStreaming {
       ev.filter(col("ts") >= bounds(2)))
     quarters.foreach { q =>
       q.coalesce(1).write.mode("append").parquet(deltaDir)
-      Thread.sleep(1100L)
+      Thread.sleep(200L) // ms-granularity mtimes: keep file order strict
     }
     val schema = s.read.parquet(deltaDir).schema
     val src = s.readStream.schema(schema)

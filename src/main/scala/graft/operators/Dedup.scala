@@ -539,6 +539,36 @@ object Dedup {
     * each round; below it the simpler loop's lower per-round constant
     * wins (both variants produce the identical min-id labeling, pinned
     * by spec). */
+  /** Incremental cluster maintenance: fold NEW near-dup evidence into
+    * an existing component assignment WITHOUT re-clustering the old
+    * pair set — the companion of [[IncrementalDedup]]'s fingerprint
+    * index for the near-dup path. The old clustering is re-encoded as
+    * its star edges (node → cluster representative, one edge per
+    * node: a lossless, linear-size summary of old connectivity), the
+    * new pairs are unioned in, and one [[connectedComponents]] run
+    * over that union yields exactly the clustering a full recompute
+    * over (old pairs ∪ new pairs) would produce — because stars and
+    * the original edges have identical transitive closure. Cost
+    * scales with |nodes| + |new pairs| + rounds, never |old pairs|
+    * (at 100 TB the old pair set is the thing you cannot afford to
+    * rebuild; the star summary is one row per clustered doc).
+    *
+    * `newPairs` must contain every pair involving a NEW node (the
+    * banded LSH probe of the incoming batch against old + new
+    * sketches produces exactly that). Returns (node, cluster) with
+    * cluster = min member id, the [[connectedComponents]] contract. */
+  def mergeClusters(assignments: DataFrame, newPairs: DataFrame,
+      nodeCol: String = "node", clusterCol: String = "cluster",
+      id1Col: String = "id1", id2Col: String = "id2"): DataFrame = {
+    val stars = assignments
+      .select(col(nodeCol).cast("long").as("id1"),
+        col(clusterCol).cast("long").as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    connectedComponents(stars.unionByName(
+      newPairs.select(col(id1Col).cast("long").as("id1"),
+        col(id2Col).cast("long").as("id2"))))
+  }
+
   /** Canonical-document selection: turn pairwise near-dup evidence
     * into a KEEP-THE-BEST drop decision — production dedup keeps the
     * highest-quality member of each duplicate cluster, not the

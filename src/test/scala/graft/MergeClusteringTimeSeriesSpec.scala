@@ -69,6 +69,24 @@ class MergeClusteringTimeSeriesSpec extends SparkSpec {
     out(3) shouldBe ((4L, 1L, 0L, 0.0))
   }
 
+  test("mergeClusters == full recompute, including singleton bridging") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // old graph: {1,2,3} and {10,11}; new pairs bridge 3-10 and attach
+    // brand-new node 20 to 11; node 30 pairs with former singleton 31
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val newPairs = Seq((3L, 10L), (20L, 11L), (30L, 31L)).toDF("id1", "id2")
+    val oldAssign = Dedup.connectedComponents(oldPairs)
+    val merged = Dedup.mergeClusters(oldAssign, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(
+        oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    merged shouldBe full
+    merged(20L) shouldBe 1L // bridged mega-cluster keeps min id 1
+    merged(31L) shouldBe 30L
+  }
+
   test("ewma recurrence and jump census fold in order") {
     val df = Seq((1, 1, 8.0), (1, 2, 4.0), (1, 3, 100.0), (2, 1, 7.0))
       .toDF("k", "t", "v")
