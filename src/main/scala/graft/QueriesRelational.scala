@@ -1947,6 +1947,89 @@ object QueriesRelational {
     * 0-absent contract), split_part, replace, and the predicate trio
     * contains/startswith/endswith (endswith restated as LIKE —
     * DuckDB's ends_with aliases are version-wobbly, LIKE is not). */
+  // -------------------------------------------------------------- q178
+  /** Deterministic per-group mode (most frequent value, ties to the
+    * LARGEST value): both engines' native mode() leaves ties
+    * unspecified, so the gate form is the explicit two-level argmax —
+    * count per (group, value), then max_by over the (count, value)
+    * struct order — which is also the scalable plan (two map-side-
+    * combined aggregates, no sort). The oracle restates with a
+    * row_number window over the same total order. */
+  private def q178Mode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("bigint").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(max_by(col("v"), struct(col("cnt"), col("v"))).as("mode_qty"),
+        max(col("cnt")).as("mode_n"),
+        count(lit(1)).as("n_distinct"))
+      .orderBy(col("l_returnflag"))
+
+  private val q178Sql =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, v, cnt,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cnt DESC, v DESC) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n_distinct
+      |  FROM c)
+      |SELECT l_returnflag, v AS mode_qty, cnt AS mode_n, n_distinct
+      |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------- q179
+  /** Outer-explode battery: explode_outer / posexplode_outer keep the
+    * parent row with NULL element (and NULL position) when the array
+    * is empty or NULL — the left-join flavor plain explode silently
+    * drops. DuckDB restates via the CASE-to-[NULL] trick (its lateral
+    * unnest drops empties too). Arrays are per-order quantity lists;
+    * every 7th order's list is emptied and every 13th nulled to
+    * exercise all three branches. */
+  private def q179ExplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 31 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("bigint")))
+        .as("qs0"))
+      .withColumn("qs",
+        when(col("l_orderkey") % 13 === 0, lit(null).cast("array<bigint>"))
+          .when(col("l_orderkey") % 7 === 0,
+            array().cast("array<bigint>"))
+          .otherwise(col("qs0")))
+    base.select(col("l_orderkey"),
+        posexplode_outer(col("qs")).as(Seq("pos", "q")))
+      .select(col("l_orderkey"),
+        col("pos").cast("bigint").as("pos"), col("q"))
+      .orderBy(col("l_orderkey"), col("pos"))
+  }
+
+  private val q179Sql =
+    """WITH base AS (
+      |  SELECT l_orderkey,
+      |    CASE WHEN l_orderkey % 13 = 0 THEN NULL
+      |         WHEN l_orderkey % 7 = 0 THEN CAST([] AS BIGINT[])
+      |         ELSE list_sort(list(CAST(l_quantity AS BIGINT)))
+      |    END AS qs
+      |  FROM lineitem WHERE l_orderkey % 31 = 0 GROUP BY l_orderkey),
+      |padded AS (
+      |  SELECT l_orderkey,
+      |    CASE WHEN qs IS NULL OR len(qs) = 0
+      |         THEN [CAST(NULL AS BIGINT)] ELSE qs END AS qs,
+      |    (qs IS NULL OR len(qs) = 0) AS empty
+      |  FROM base),
+      |ex AS (
+      |  SELECT l_orderkey, empty,
+      |    unnest(list_transform(qs, (x, i) ->
+      |      struct_pack(p := i - 1, q := x))) AS e
+      |  FROM padded)
+      |SELECT l_orderkey,
+      |  CASE WHEN empty THEN CAST(NULL AS BIGINT)
+      |       ELSE CAST(e.p AS BIGINT) END AS pos,
+      |  e.q AS q
+      |FROM ex ORDER BY l_orderkey, pos""".stripMargin
+
   // -------------------------------------------------------------- q176
   /** Bitwise scalar battery — AND/OR/XOR/NOT, shifts, popcount — the
     * flag-mask manipulation surface (the AGGREGATE bit ops are q124).
@@ -2221,6 +2304,8 @@ object QueriesRelational {
     "q170_calendar" -> (q170Calendar _),
     "q172_grouping_id" -> (q172GroupingId _),
     "q176_bit_ops" -> (q176BitOps _),
+    "q178_mode" -> (q178Mode _),
+    "q179_explode_outer" -> (q179ExplodeOuter _),
     "q160_group_by_all" -> (q160GroupByAll _),
     "q161_star_except" -> (q161StarExcept _),
     "q162_str_to_map" -> (q162StrToMap _),
@@ -2286,6 +2371,8 @@ object QueriesRelational {
     "q170_calendar" -> q170Sql,
     "q172_grouping_id" -> q172Sql,
     "q176_bit_ops" -> q176Sql,
+    "q178_mode" -> q178Sql,
+    "q179_explode_outer" -> q179Sql,
     "q160_group_by_all" -> q160Sql,
     "q161_star_except" -> q161Sql,
     "q162_str_to_map" -> q162Sql,

@@ -12,6 +12,17 @@ import graft.operators.{Dedup, FuzzyJoin, Graph, Quantiles, Similarity}
   *   runMain graft.tools.ScaleSmoke [sfDir] [maxFactor]
   */
 object ScaleSmoke {
+  /** Synthetic near-dup pair set scaled by `f` (chains of 3). */
+  private def pairsDfScale(spark: SparkSession, dir: String,
+      f: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    (0 until f).map { i =>
+      spark.range(40000).select(
+        (col("id") + lit(i * 10000000L)).as("id1"),
+        (col("id") + lit(i * 10000000L + 40000L)).as("id2"))
+    }.reduce(_ unionAll _).repartition(32)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val maxFactor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
@@ -306,6 +317,51 @@ object ScaleSmoke {
           direction = "nearest").count()
       }
       println(f"asofnear ${f}%2dx events=$nEv%8d out=$asofRows%9d  $tAsof%7.1f s")
+      sweep()
+
+      // round-6 operators ------------------------------------------------
+      // mergeInto: full-outer key join + CASE — wall must track the
+      // larger side; source is a fixed-rate mutation feed
+      val baseCust = (0 until f).map { i =>
+          spark.read.parquet(s"$dir/customer.parquet")
+            .select((col("c_custkey") + lit(i * 10000000L)).as("c_custkey"),
+              col("c_name"), col("c_nationkey"), col("c_acctbal"),
+              col("c_mktsegment"))
+        }.reduce(_ unionAll _).repartition(32)
+      val srcCust = baseCust.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1.0)
+      val (mRows, tM) = time {
+        graft.operators.UpdateJob.mergeInto(baseCust, srcCust,
+          Seq("c_custkey"),
+          whenMatchedUpdate = Some(lit(true)),
+          whenNotMatchedBySourceDelete =
+            Some(col("c_custkey") % 100 === 7),
+          checkDuplicateSource = false).count()
+      }
+      println(f"mergeinto ${f}%2dx base=${baseCust.count()}%8d out=$mRows%8d  $tM%6.1f s")
+      sweep()
+
+      // ewma: one grouping shuffle + per-key fold — wall tracks events
+      val (ewRows, tEw) = time {
+        graft.operators.TimeSeries.ewma(
+          evScale.select(col("user_id"), col("tm").as("ts"), col("value"))
+            .filter(col("value").isNotNull),
+          Seq("user_id"), Seq(col("ts")), col("value"), 0.25).count()
+      }
+      println(f"ewma     ${f}%2dx events=$nEv%8d keys=$ewRows%8d  $tEw%6.1f s")
+      sweep()
+
+      // incremental CC: star summary + new pairs — wall must track the
+      // DELTA (new pairs), not the old pair set, so the old side is the
+      // FULL pair set and the delta stays constant across factors
+      val ccPairs = pairsDfScale(spark, dir, f)
+      val oldAssign = graft.operators.Dedup.connectedComponents(ccPairs)
+      val newEdges = spark.range(2000).select(
+        (col("id") * 3).as("id1"), (col("id") * 3 + 900000000L).as("id2"))
+      val (mcRows, tMc) = time {
+        graft.operators.Dedup.mergeClusters(oldAssign, newEdges).count()
+      }
+      println(f"mergecc  ${f}%2dx oldpairs=${ccPairs.count()}%8d merged=$mcRows%8d  $tMc%6.1f s")
       sweep()
     }
 
