@@ -1024,6 +1024,64 @@ object QueriesAnalytics {
        |ORDER BY node""".stripMargin
   }
 
+  // -------------------------------------------------------------- q180
+  /** Personalized PageRank (Haveliwala 2002): teleport mass
+    * concentrates on the source set (nodes ≡ 0 mod 100) instead of
+    * uniformly — the trust-propagation / "recommendations near these
+    * seeds" variant. Same scaled-integer arithmetic as q88, so the
+    * iterate is bit-exact and the oracle unrolls the identical three
+    * rounds with the source-conditional teleport. Non-seed nodes
+    * start (and teleport) at 0; rank flows only through edges. */
+  private def q180PersonalizedPr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    val seeds = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .filter(col("node") % 100 === 0).distinct()
+    Graph.pageRank(e, "src", "dst", iterations = 3,
+        teleportTo = Some(seeds))
+      .filter(col("rank_scaled") > 0)
+      .orderBy(col("node"))
+  }
+
+  private val q180Sql = {
+    def sumCte(k: Int): String =
+      s"""s$k AS (
+         |  SELECT e.d AS node, CAST(sum(r${k - 1}.r // deg.od) AS BIGINT) AS m
+         |  FROM r${k - 1} JOIN e ON e.s = r${k - 1}.node
+         |  JOIN deg ON deg.s = r${k - 1}.node
+         |  GROUP BY 1)""".stripMargin
+    def rankCte(k: Int): String =
+      s"""r$k AS (
+         |  SELECT nodes.n AS node,
+         |    (CASE WHEN nodes.n % 100 = 0
+         |       THEN ((1000000000000 // p.ns) * 15) // 100 ELSE 0 END)
+         |      + (85 * COALESCE(s$k.m, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN p
+         |  LEFT JOIN s$k ON s$k.node = nodes.n)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_orderkey % 20000 AS s, (l_partkey * 7) % 20000 AS d
+       |  FROM lineitem
+       |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)),
+       |nodes AS (
+       |  SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+       |deg AS (SELECT s, count(*) AS od FROM e GROUP BY 1),
+       |p AS (SELECT count(*) AS ns FROM nodes WHERE n % 100 = 0),
+       |r0 AS (SELECT nodes.n AS node,
+       |         CASE WHEN nodes.n % 100 = 0
+       |           THEN 1000000000000 // p.ns ELSE 0 END AS r
+       |       FROM nodes CROSS JOIN p),
+       |${sumCte(1)},
+       |${rankCte(1)},
+       |${sumCte(2)},
+       |${rankCte(2)},
+       |${sumCte(3)},
+       |${rankCte(3)}
+       |SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3
+       |WHERE r > 0 ORDER BY node""".stripMargin
+  }
+
   // --------------------------------------------------------------- q92
   /** Daily resample + gap fill + forward fill of the events table
     * (EventAnalytics.resampleDaily): one row per (user, epoch day) over
@@ -1225,6 +1283,7 @@ object QueriesAnalytics {
     "q78_triangles" -> (q78Triangles _),
     "q167_clustering_coef" -> (q167Clustering _),
     "q174_hilbert" -> (q174Hilbert _),
+    "q180_personalized_pr" -> (q180PersonalizedPr _),
     "q168_ewma" -> (q168Ewma _),
     "q79_trailing_window" -> (q79Trailing _),
     "q80_scd2" -> (q80Scd2 _),
@@ -1258,6 +1317,7 @@ object QueriesAnalytics {
     "q78_triangles" -> q78Sql,
     "q167_clustering_coef" -> q167Sql,
     "q174_hilbert" -> q174Sql,
+    "q180_personalized_pr" -> q180Sql,
     "q168_ewma" -> q168Sql,
     "q79_trailing_window" -> q79Sql,
     "q80_scd2" -> q80Sql,

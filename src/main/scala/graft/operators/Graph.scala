@@ -242,7 +242,8 @@ object Graph {
       iterations: Int,
       scale: Long = 1000000000000L,
       dampNum: Long = 85L,
-      dampDen: Long = 100L): DataFrame = {
+      dampDen: Long = 100L,
+      teleportTo: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0, s"iterations ($iterations) must be >= 0")
     require(scale > 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need scale > 0 and 0 <= dampNum <= dampDen (got $scale, $dampNum/$dampDen)")
@@ -277,9 +278,35 @@ object Graph {
       .repartition(loopParts, col("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     try {
-      val teleport = ((scale / n) * (dampDen - dampNum)) / dampDen
-      var ranks = nodes
-        .withColumn("r", lit(scale / n))
+      // personalized variant (teleportTo = Some(source nodes)): both
+      // the initial mass and the per-round teleport concentrate on the
+      // source set — the trust-propagation / recommendation form
+      // (Haveliwala 2002). Same integer arithmetic: |S| replaces n in
+      // the teleport quantum, non-sources get 0, so the iterate stays
+      // bit-exact and oracle-checkable.
+      val srcSet = teleportTo.map(t =>
+        broadcast(t.select(t.columns.head).toDF("node")
+          .select(col("node").cast("long").as("node")).distinct()
+          .localCheckpoint(eager = true)))
+      val tBase = srcSet.map(_.count()).getOrElse(n)
+      require(tBase > 0, "personalized teleport set is empty")
+      val teleport = ((scale / tBase) * (dampDen - dampNum)) / dampDen
+      def teleportCol(frame: DataFrame): DataFrame = srcSet match {
+        case None => frame.withColumn("__tp", lit(teleport))
+        case Some(ss) =>
+          frame.join(ss.withColumnRenamed("node", "__sn"),
+              col("node") === col("__sn"), "left")
+            .withColumn("__tp",
+              when(col("__sn").isNotNull, lit(teleport)).otherwise(lit(0L)))
+            .drop("__sn")
+      }
+      var ranks = teleportCol(nodes)
+        .withColumn("r", srcSet match {
+          case None => lit(scale / n)
+          case Some(_) =>
+            when(col("__tp") > 0, lit(scale / tBase)).otherwise(lit(0L))
+        })
+        .select(col("node"), col("r"))
         .localCheckpoint(eager = true)
       var i = 0
       while (i < iterations) {
@@ -287,10 +314,10 @@ object Graph {
           .join(adj, col("node") === col("s"))
           .select(col("d"), expr("r div od").as("c"))
           .groupBy(col("d")).agg(sum(col("c")).as("in_sum"))
-        val next = nodes
+        val next = teleportCol(nodes)
           .join(sums, col("node") === col("d"), "left")
           .select(col("node"),
-            (lit(teleport) +
+            (col("__tp") +
               expr(s"($dampNum * coalesce(in_sum, 0L)) div $dampDen"))
               .as("r"))
           .localCheckpoint(eager = true)
