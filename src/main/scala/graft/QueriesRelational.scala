@@ -1947,6 +1947,49 @@ object QueriesRelational {
     * 0-absent contract), split_part, replace, and the predicate trio
     * contains/startswith/endswith (endswith restated as LIKE —
     * DuckDB's ends_with aliases are version-wobbly, LIKE is not). */
+  // -------------------------------------------------------------- q181
+  /** String padding/construction battery — lpad/rpad (with truncation
+    * on over-length inputs), repeat, translate, ascii/chr, left/right
+    * — the last scalar-string functions without a pinned row (q159
+    * covers the positional family, q169 edit distance). Common SQL
+    * text except initcap, which DuckDB 1.0 lacks — restated there as
+    * a split/upper/join over single-space-normalized words. */
+  private def q181PadBattery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_custkey,
+        |  lpad(c_name, 25, '*') AS padl,
+        |  rpad(c_name, 25, '-') AS padr,
+        |  lpad(c_name, 8, '*') AS padl_trunc,
+        |  repeat(c_mktsegment, 2) AS rep2,
+        |  translate(c_name, '0123456789', 'XXXXXXXXXX') AS digits_masked,
+        |  ascii(c_mktsegment) AS first_code,
+        |  chr(65 + CAST(c_custkey % 26 AS INT)) AS letter,
+        |  left(c_name, 10) AS l10,
+        |  right(c_name, 4) AS r4,
+        |  initcap(lower(c_mktsegment)) AS cap
+        |FROM customer WHERE c_custkey % 11 = 0
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q181Sql =
+    """SELECT c_custkey,
+      |  lpad(c_name, 25, '*') AS padl,
+      |  rpad(c_name, 25, '-') AS padr,
+      |  lpad(c_name, 8, '*') AS padl_trunc,
+      |  repeat(c_mktsegment, 2) AS rep2,
+      |  translate(c_name, '0123456789', 'XXXXXXXXXX') AS digits_masked,
+      |  ascii(c_mktsegment) AS first_code,
+      |  chr(65 + CAST(c_custkey % 26 AS INT)) AS letter,
+      |  left(c_name, 10) AS l10,
+      |  right(c_name, 4) AS r4,
+      |  array_to_string(list_transform(
+      |    string_split(regexp_replace(lower(c_mktsegment), '\s+', ' ',
+      |      'g'), ' '),
+      |    w -> upper(w[1]) || w[2:]), ' ') AS cap
+      |FROM customer WHERE c_custkey % 11 = 0
+      |ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------------- q178
   /** Deterministic per-group mode (most frequent value, ties to the
     * LARGEST value): both engines' native mode() leaves ties
@@ -2305,6 +2348,7 @@ object QueriesRelational {
     "q172_grouping_id" -> (q172GroupingId _),
     "q176_bit_ops" -> (q176BitOps _),
     "q178_mode" -> (q178Mode _),
+    "q181_pad_battery" -> (q181PadBattery _),
     "q179_explode_outer" -> (q179ExplodeOuter _),
     "q160_group_by_all" -> (q160GroupByAll _),
     "q161_star_except" -> (q161StarExcept _),
@@ -2372,6 +2416,7 @@ object QueriesRelational {
     "q172_grouping_id" -> q172Sql,
     "q176_bit_ops" -> q176Sql,
     "q178_mode" -> q178Sql,
+    "q181_pad_battery" -> q181Sql,
     "q179_explode_outer" -> q179Sql,
     "q160_group_by_all" -> q160Sql,
     "q161_star_except" -> q161Sql,
