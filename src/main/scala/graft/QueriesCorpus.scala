@@ -175,14 +175,16 @@ object QueriesCorpus {
     * contract applied to graph clustering. */
   private def q177IncrementalCc(s: SparkSession, dir: String): DataFrame = {
     val full = QueriesDedup.corpus(s, dir)
-    val oldCorpus = full.filter(col("doc_id") < 20000)
-    val oldPairs = Dedup.simhashNearDups(oldCorpus, "doc_id", "text",
+    // ONE banded pair computation, split into the historical pair set
+    // (both endpoints old) and the incoming batch's probe output
+    // (pairs touching a new node ≥ 20000). simhashNearDups returns an
+    // eagerly-checkpointed frame, so both filters read materialized
+    // pairs rather than re-running the LSH join.
+    val allPairs = Dedup.simhashNearDups(full, "doc_id", "text",
       maxHamming = 8, maxBucketSize = Int.MaxValue)
+    val oldPairs = allPairs.filter(col("id1") < 20000 && col("id2") < 20000)
+    val newPairs = allPairs.filter(col("id1") >= 20000 || col("id2") >= 20000)
     val oldAssign = Dedup.connectedComponents(oldPairs)
-    // the incoming batch's probe: every pair touching a new node
-    val newPairs = Dedup.simhashNearDups(full, "doc_id", "text",
-        maxHamming = 8, maxBucketSize = Int.MaxValue)
-      .filter(col("id1") >= 20000 || col("id2") >= 20000)
     Dedup.mergeClusters(oldAssign, newPairs)
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
