@@ -1947,6 +1947,51 @@ object QueriesRelational {
     * 0-absent contract), split_part, replace, and the predicate trio
     * contains/startswith/endswith (endswith restated as LIKE —
     * DuckDB's ends_with aliases are version-wobbly, LIKE is not). */
+  // -------------------------------------------------------------- q182
+  /** Array-mutation battery — insert/remove/append/prepend/overlap,
+    * the write-side list operations q125 (lambdas) and q148 (set ops)
+    * leave unpinned. Arrays are per-order sorted quantity vectors;
+    * every output is ','-joined per the list-column gate rule. DuckDB
+    * restates insert as slice-concat-slice (1-based inclusive
+    * slices), remove as a filter, overlap via intersect size. */
+  private def q182ArrayMutation(s: SparkSession, dir: String): DataFrame = {
+    def j(c: org.apache.spark.sql.Column) =
+      array_join(c.cast("array<string>"), ",")
+    val base = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 37 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("bigint")))
+        .as("qs"))
+    base.select(
+      col("l_orderkey"),
+      j(col("qs")).as("qs"),
+      j(array_insert(col("qs"), lit(2), lit(999L))).as("ins2"),
+      j(array_remove(col("qs"), 10L)).as("rm10"),
+      j(array_append(col("qs"), lit(777L))).as("app"),
+      j(array_prepend(col("qs"), lit(111L))).as("pre"),
+      arrays_overlap(col("qs"),
+        array(lit(10L), lit(20L), lit(30L))).as("ovl"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  private val q182Sql =
+    """WITH base AS (
+      |  SELECT l_orderkey,
+      |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      |  FROM lineitem WHERE l_orderkey % 37 = 0 GROUP BY 1)
+      |SELECT l_orderkey,
+      |  coalesce(array_to_string(qs, ','), '') AS qs,
+      |  coalesce(array_to_string(
+      |    qs[1:1] || [CAST(999 AS BIGINT)] || qs[2:], ','), '') AS ins2,
+      |  coalesce(array_to_string(
+      |    list_filter(qs, x -> x != 10), ','), '') AS rm10,
+      |  coalesce(array_to_string(
+      |    qs || [CAST(777 AS BIGINT)], ','), '') AS app,
+      |  coalesce(array_to_string(
+      |    [CAST(111 AS BIGINT)] || qs, ','), '') AS pre,
+      |  len(list_intersect(qs, [10, 20, 30])) > 0 AS ovl
+      |FROM base ORDER BY l_orderkey""".stripMargin
+
   // -------------------------------------------------------------- q181
   /** String padding/construction battery — lpad/rpad (with truncation
     * on over-length inputs), repeat, translate, ascii/chr, left/right
@@ -2349,6 +2394,7 @@ object QueriesRelational {
     "q176_bit_ops" -> (q176BitOps _),
     "q178_mode" -> (q178Mode _),
     "q181_pad_battery" -> (q181PadBattery _),
+    "q182_array_mutation" -> (q182ArrayMutation _),
     "q179_explode_outer" -> (q179ExplodeOuter _),
     "q160_group_by_all" -> (q160GroupByAll _),
     "q161_star_except" -> (q161StarExcept _),
@@ -2417,6 +2463,7 @@ object QueriesRelational {
     "q176_bit_ops" -> q176Sql,
     "q178_mode" -> q178Sql,
     "q181_pad_battery" -> q181Sql,
+    "q182_array_mutation" -> q182Sql,
     "q179_explode_outer" -> q179Sql,
     "q160_group_by_all" -> q160Sql,
     "q161_star_except" -> q161Sql,
