@@ -1947,6 +1947,66 @@ object QueriesRelational {
     * 0-absent contract), split_part, replace, and the predicate trio
     * contains/startswith/endswith (endswith restated as LIKE —
     * DuckDB's ends_with aliases are version-wobbly, LIKE is not). */
+  // -------------------------------------------------------------- q183
+  /** Map-function battery: map_from_entries construction,
+    * transform_values, map_filter, map_concat, cardinality — the map
+    * WRITE operations beside q108/q151's read surface. Maps are
+    * unordered, so every map output leaves the gate as its SORTED
+    * "k=v" entry list joined to a string (order-free canonical form);
+    * the oracle recomputes the same strings from the raw
+    * (linenumber, quantity) pairs without needing DuckDB's map type
+    * at all. */
+  private def q183MapBattery(s: SparkSession, dir: String): DataFrame = {
+    def ser(m: org.apache.spark.sql.Column) =
+      array_join(sort_array(transform(map_entries(m),
+        e => concat(e.getField("key").cast("string"), lit("="),
+          e.getField("value").cast("string")))), ",")
+    // (orderkey, linenumber) is not unique in the fixture, and Spark
+    // throws on duplicate map keys — pre-aggregate to max(qty) per key
+    val base = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 43 === 0)
+      .groupBy(col("l_orderkey"), col("l_linenumber").cast("bigint").as("k"))
+      .agg(max(col("l_quantity").cast("bigint")).as("v"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(collect_list(struct(col("k"), col("v"))))
+        .as("m"))
+    base.select(
+      col("l_orderkey"),
+      ser(col("m")).as("m"),
+      ser(transform_values(col("m"), (_, v) => v * 2)).as("doubled"),
+      ser(map_filter(col("m"), (_, v) => v > 25)).as("big"),
+      ser(map_concat(col("m"),
+        map(lit(99L), lit(1L)))).as("with99"),
+      size(col("m")).cast("bigint").as("card"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  private val q183Sql =
+    """WITH kv AS (
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS k,
+      |    max(CAST(l_quantity AS BIGINT)) AS v
+      |  FROM lineitem WHERE l_orderkey % 43 = 0 GROUP BY 1, 2),
+      |base AS (
+      |  SELECT l_orderkey, list(k) AS ks, list(v) AS vs
+      |  FROM kv GROUP BY 1)
+      |SELECT l_orderkey,
+      |  array_to_string(list_sort(list_transform(range(1, len(ks) + 1),
+      |    i -> CAST(ks[i] AS VARCHAR) || '=' || CAST(vs[i] AS VARCHAR))),
+      |    ',') AS m,
+      |  array_to_string(list_sort(list_transform(range(1, len(ks) + 1),
+      |    i -> CAST(ks[i] AS VARCHAR) || '=' ||
+      |      CAST(vs[i] * 2 AS VARCHAR))), ',') AS doubled,
+      |  coalesce(array_to_string(list_sort(list_filter(
+      |    list_transform(range(1, len(ks) + 1),
+      |      i -> CASE WHEN vs[i] > 25 THEN CAST(ks[i] AS VARCHAR)
+      |        || '=' || CAST(vs[i] AS VARCHAR) END),
+      |    x -> x IS NOT NULL)), ','), '') AS big,
+      |  array_to_string(list_sort(list_transform(range(1, len(ks) + 1),
+      |    i -> CAST(ks[i] AS VARCHAR) || '=' || CAST(vs[i] AS VARCHAR))
+      |    || ['99=1']), ',') AS with99,
+      |  CAST(len(ks) AS BIGINT) AS card
+      |FROM base ORDER BY l_orderkey""".stripMargin
+
   // -------------------------------------------------------------- q182
   /** Array-mutation battery — insert/remove/append/prepend/overlap,
     * the write-side list operations q125 (lambdas) and q148 (set ops)
@@ -2395,6 +2455,7 @@ object QueriesRelational {
     "q178_mode" -> (q178Mode _),
     "q181_pad_battery" -> (q181PadBattery _),
     "q182_array_mutation" -> (q182ArrayMutation _),
+    "q183_map_battery" -> (q183MapBattery _),
     "q179_explode_outer" -> (q179ExplodeOuter _),
     "q160_group_by_all" -> (q160GroupByAll _),
     "q161_star_except" -> (q161StarExcept _),
@@ -2464,6 +2525,7 @@ object QueriesRelational {
     "q178_mode" -> q178Sql,
     "q181_pad_battery" -> q181Sql,
     "q182_array_mutation" -> q182Sql,
+    "q183_map_battery" -> q183Sql,
     "q179_explode_outer" -> q179Sql,
     "q160_group_by_all" -> q160Sql,
     "q161_star_except" -> q161Sql,
