@@ -149,18 +149,29 @@ object QueriesSimilarity {
        |  SELECT vec_id, sp, cid FROM (
        |    SELECT v.vec_id, c.sp, c.cid,
        |      row_number() OVER (PARTITION BY v.vec_id, c.sp
-       |        ORDER BY list_distance(v.e[c.sp * 16 + 1 : c.sp * 16 + 16],
-       |                               c.w), c.cid) AS rn
+       |        ORDER BY list_aggregate(list_transform(range(1, 17),
+       |          i -> (v.e[c.sp * 16 + i] - c.w[i])
+       |             * (v.e[c.sp * 16 + i] - c.w[i])), 'sum'),
+       |          c.cid) AS rn
        |    FROM e v CROSS JOIN cw c)
        |  WHERE rn = 1),
        |q AS (SELECT vec_id, e FROM e WHERE vec_id % 50 = 0),
        |scored AS (
-       |  SELECT q.vec_id AS query_id, k.vec_id AS neighbor_id,
-       |    sum(list_distance(q.e[k.sp * 16 + 1 : k.sp * 16 + 16], w.w) ** 2)
-       |      AS adist
-       |  FROM q
-       |  JOIN codes k ON k.vec_id != q.vec_id
-       |  JOIN cw w ON w.sp = k.sp AND w.cid = k.cid
+       |  -- squared distances fold IN ORDER (dims then subspaces),
+       |  -- mirroring Spark's sqDist/adcScore exactly — the previous
+       |  -- list_distance(..)**2 round-tripped through sqrt (1-ulp
+       |  -- noise) and the 4-way sum order was nondeterministic
+       |  SELECT query_id, neighbor_id,
+       |    list_aggregate(list(d2 ORDER BY sp), 'sum') AS adist
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, k.vec_id AS neighbor_id,
+       |      k.sp AS sp,
+       |      list_aggregate(list_transform(range(1, 17),
+       |        i -> (q.e[k.sp * 16 + i] - w.w[i])
+       |           * (q.e[k.sp * 16 + i] - w.w[i])), 'sum') AS d2
+       |    FROM q
+       |    JOIN codes k ON k.vec_id != q.vec_id
+       |    JOIN cw w ON w.sp = k.sp AND w.cid = k.cid)
        |  GROUP BY 1, 2)
        |SELECT query_id, rank, neighbor_id, adist FROM (
        |  SELECT query_id, neighbor_id, adist,
