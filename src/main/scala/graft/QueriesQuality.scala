@@ -510,7 +510,61 @@ object QueriesQuality {
       |  coalesce(array_to_string(fp, ','), '') AS fp
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q186
+  /** Tokenizer economics battery: per-language corpus totals of
+    * bytes, characters, whitespace tokens, and BPE-ish subword pieces
+    * (the `[A-Za-z0-9_]+|[^A-Za-z0-9_\s]` pre-tokenizer shape), plus
+    * the two ratios every tokenizer report leads with — bytes/token
+    * (compression) and fertility (subwords per word). The counts are
+    * exact integers and each ratio is a single IEEE division of the
+    * same two integers on both engines, so the doubles are
+    * bit-identical cross-engine. Map-only + one partial-aggregated
+    * groupBy on a 5-value key: at 100 TB this is a single scan. */
+  private def q186Fertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"),
+        expr("octet_length(text)").cast("long").as("bytes"),
+        length(col("text")).cast("long").as("chars"),
+        TA.tokenCount(col("text")).cast("long").as("ws"),
+        TA.bpeishTokenCount(col("text")).cast("long").as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bytes").as("sum_bytes"),
+        sum("chars").as("sum_chars"),
+        sum("ws").as("sum_ws_tokens"),
+        sum("bpe").as("sum_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("sum_bytes"),
+        col("sum_chars"), col("sum_ws_tokens"), col("sum_bpe_tokens"),
+        (col("sum_bytes").cast("double") / col("sum_bpe_tokens"))
+          .as("bytes_per_token"),
+        (col("sum_bpe_tokens").cast("double") / col("sum_ws_tokens"))
+          .as("fertility"))
+      .orderBy(col("lang"))
+
+  private val q186Sql =
+    """WITH m AS (
+      |  SELECT lang,
+      |    CAST(strlen(text) AS BIGINT) AS bytes,
+      |    CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END
+      |      AS BIGINT) AS ws,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS bpe
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+      |  CAST(sum(chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(ws) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(sum(bpe) AS BIGINT) AS sum_bpe_tokens,
+      |  CAST(sum(bytes) AS DOUBLE) / CAST(sum(bpe) AS BIGINT)
+      |    AS bytes_per_token,
+      |  CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS BIGINT)
+      |    AS fertility
+      |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_tokenizer_fertility" -> (q186Fertility _),
     "q144_gopher_battery" -> (q144GopherBattery _),
     "q145_winnowing" -> (q145Winnowing _),
     "q132_dsir" -> (q132Dsir _),
@@ -523,6 +577,7 @@ object QueriesQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q186_tokenizer_fertility" -> q186Sql,
     "q144_gopher_battery" -> q144Sql,
     "q145_winnowing" -> q145Sql,
     "q132_dsir" -> q132Sql,

@@ -2434,7 +2434,46 @@ object QueriesRelational {
 
   // -------------------------------------------------------------- export
 
+  // -------------------------------------------------------------- q187
+  /** Order-independent table checksum (Maintenance.tableChecksum),
+    * grouped by return flag: the anti-entropy primitive for comparing
+    * a 100 TB table against its replica/migration without moving it —
+    * one map-only canonicalize+hash pass, one partial-aggregated
+    * reduce, five longs per group out. Row hash = 60-bit md5 prefix
+    * mod 1e9+7 of the '|'-joined string casts; sum and xor are
+    * commutative so file/partition/shuffle order can't move them. The
+    * timestamp canonicalizes through DATE so both engines print
+    * 'yyyy-MM-dd'. The oracle recomputes the identical digest in
+    * DuckDB — which is exactly the cross-engine use case. */
+  private def q187TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("ship_day", col("l_shipdate").cast("date"))
+    graft.operators.Maintenance.tableChecksum(li,
+      cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "ship_day"),
+      groupCols = Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q187Sql =
+    """WITH h0 AS (
+      |  SELECT l_returnflag,
+      |    ('0x' || substr(md5(concat_ws('|',
+      |      coalesce(CAST(l_orderkey AS VARCHAR), ''),
+      |      coalesce(CAST(l_linenumber AS VARCHAR), ''),
+      |      coalesce(l_returnflag, ''),
+      |      coalesce(l_linestatus, ''),
+      |      coalesce(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), '')
+      |    )), 1, 15))::BIGINT % 1000000007 AS h
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(h) AS BIGINT) AS sum_mod,
+      |  CAST(bit_xor(h) AS BIGINT) AS xor_h,
+      |  min(h) AS min_h, max(h) AS max_h
+      |FROM h0 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_table_checksum" -> (q187TableChecksum _),
     "q146_json_battery" -> (q146JsonBattery _),
     "q148_array_setops" -> (q148ArraySetOps _),
     "q149_incremental_join" -> (q149IncrementalJoin _),
@@ -2505,6 +2544,7 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q187_table_checksum" -> q187Sql,
     "q146_json_battery" -> q146Sql,
     "q148_array_setops" -> q148Sql,
     "q149_incremental_join" -> q149Sql,

@@ -178,4 +178,27 @@ class MutationsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
       Map(1L -> "u")
   }
+
+  test("tableChecksum is order/partitioning-independent and value-sensitive") {
+    import graft.operators.Maintenance
+    val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "name")
+    val digest = Maintenance.tableChecksum(a, Seq("id", "name")).collect()(0)
+    // same rows, reversed order, different partitioning -> same digest
+    val b = Seq((3, "z"), (1, "x"), (2, "y")).toDF("id", "name")
+      .repartition(7)
+    Maintenance.tableChecksum(b, Seq("id", "name"))
+      .collect()(0) shouldBe digest
+    // one changed cell -> different sum and xor
+    val c = Seq((1, "x"), (2, "y"), (3, "Z")).toDF("id", "name")
+    val changed = Maintenance.tableChecksum(c, Seq("id", "name")).collect()(0)
+    changed.getLong(1) should not be digest.getLong(1)
+    changed.getLong(2) should not be digest.getLong(2)
+    // NULL canonicalizes to '' (engine-portable), still a defined digest
+    val withNull = Seq((1, Option.empty[String])).toDF("id", "name")
+    Maintenance.tableChecksum(withNull, Seq("id", "name"))
+      .collect()(0).getLong(0) shouldBe 1L
+    // grouped form: one digest row per group key
+    Maintenance.tableChecksum(a, Seq("id"), groupCols = Seq("name"))
+      .collect().length shouldBe 3
+  }
 }
