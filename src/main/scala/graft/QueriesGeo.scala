@@ -165,11 +165,97 @@ object QueriesGeo {
   /** The fixed-point iteration above folds to a deeply nested atan2
     * chain; it is still one scalar expression per row. */
 
+  // -------------------------------------------------------------- q188
+  /** Geohash spatial bucketing (GeomFunctions.geohashEncode): per-
+    * customer deterministic lat/lon (exact dyadic fractions — the
+    * synthesis arithmetic is bit-identical cross-engine), encoded at
+    * precision 5 and 7, plus the prefix-census that is the actual
+    * 100 TB use (GROUP BY a geohash prefix = hierarchical spatial
+    * partitioning with zero extra machinery). The oracle replays the
+    * same binary-expansion bit assembly in SQL — both sides are
+    * generated from one Scala loop, so engine and oracle cannot
+    * drift. Map-only encode + one small-key census join. */
+  private def q188Geohash(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val k = col("c_custkey")
+    val lat = lit(-90.0) + (k % 180).cast("double") +
+      (k % 64).cast("double") / lit(64.0)
+    val lon = lit(-180.0) + ((k * 7) % 360).cast("double") +
+      ((k * 31) % 128).cast("double") / lit(128.0)
+    val enc = c.select(k.as("c_custkey"), lat.as("lat"), lon.as("lon"),
+      GeomFunctions.geohashEncode(lat, lon, 5).as("gh5"),
+      GeomFunctions.geohashEncode(lat, lon, 7).as("gh7"))
+    val census = enc.groupBy(substring(col("gh5"), 1, 2).as("gh2"))
+      .agg(count(lit(1)).as("cell_n"))
+    enc.join(census, substring(col("gh5"), 1, 2) === census("gh2"))
+      .select(col("c_custkey"), col("lat"), col("lon"), col("gh5"),
+        col("gh7"), col("gh2"), col("cell_n"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** SQL restatement of the bit assembly, generated by the same loop
+    * shape as the engine's expression tree. `intsSql` scales the
+    * coordinates to cell integers; `charsSql` assembles the base-32
+    * chars from named integer columns. */
+  private def geohashIntsSql(lat: String, lon: String, precision: Int,
+      sfx: String): String = {
+    val bits = precision * 5
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    s"""CAST(least(floor(($lon + 180.0) / 360.0 * ${1L << lonBits}.0),
+       |      ${(1L << lonBits) - 1}.0) AS BIGINT) AS loni$sfx,
+       |    CAST(least(floor(($lat + 90.0) / 180.0 * ${1L << latBits}.0),
+       |      ${(1L << latBits) - 1}.0) AS BIGINT) AS lati$sfx""".stripMargin
+  }
+
+  private def geohashCharsSql(precision: Int, sfx: String): String = {
+    val bits = precision * 5
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    (0 until precision).map { c =>
+      val idx = (0 until 5).map { b =>
+        val m = 5 * c + b
+        if (m % 2 == 0)
+          s"((loni$sfx >> ${lonBits - 1 - m / 2}) & 1) * ${1 << (4 - b)}"
+        else
+          s"((lati$sfx >> ${latBits - 1 - (m - 1) / 2}) & 1) * ${1 << (4 - b)}"
+      }.mkString(" + ")
+      s"substr('${GeomFunctions.GeohashAlphabet}', CAST(($idx) AS INT) + 1, 1)"
+    }.mkString(" || ")
+  }
+
+  private val q188Sql: String = {
+    s"""WITH pts AS (
+       |  SELECT c_custkey,
+       |    -90.0 + (c_custkey % 180) + (c_custkey % 64) / 64.0 AS lat,
+       |    -180.0 + ((c_custkey * 7) % 360)
+       |      + ((c_custkey * 31) % 128) / 128.0 AS lon
+       |  FROM customer),
+       |ints AS (
+       |  SELECT c_custkey, lat, lon,
+       |    ${geohashIntsSql("lat", "lon", 5, "5")},
+       |    ${geohashIntsSql("lat", "lon", 7, "7")}
+       |  FROM pts),
+       |enc AS (
+       |  SELECT c_custkey, lat, lon,
+       |    ${geohashCharsSql(5, "5")} AS gh5,
+       |    ${geohashCharsSql(7, "7")} AS gh7
+       |  FROM ints),
+       |census AS (
+       |  SELECT substr(gh5, 1, 2) AS gh2, count(*) AS cell_n
+       |  FROM enc GROUP BY 1)
+       |SELECT c_custkey, lat, lon, gh5, gh7, gh2, cell_n
+       |FROM enc JOIN census ON substr(enc.gh5, 1, 2) = census.gh2
+       |ORDER BY c_custkey""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_srid_matrix" -> (q165SridMatrix _),
+    "q188_geohash" -> (q188Geohash _),
   )
 
   val oracles: Map[String, String] = Map(
     "q165_srid_matrix" -> q165Sql,
+    "q188_geohash" -> q188Sql,
   )
 }

@@ -144,4 +144,76 @@ object GeomFunctions {
     * building block of the overview/LOD pyramid (S8). */
   def gridCell(coord: Column, cellSize: Column): Column =
     floor(coord / cellSize)
+
+  // ------------------------------------------------------------ geohash
+
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash base-32 cell code (Niemeyer 2008) — the standard
+    * hierarchical spatial bucketing key: a prefix IS a containing
+    * cell, so `substr(gh, 1, p)` gives coarse-to-fine partition/
+    * cluster keys for free (geohash prefixes are the spatial analogue
+    * of q75/q174's Z-order/Hilbert file layout, in an
+    * interchange-friendly string form).
+    *
+    * Bit trick that keeps it oracle-exact: the interleaved geohash
+    * bits are nothing but the binary expansions of the unit-scaled
+    * coordinates, so instead of the textbook interval-halving LOOP we
+    * compute two integers
+    *   lonI = floor((lon+180)/360 * 2^ceil(bits/2))
+    *   latI = floor((lat+90)/180 * 2^floor(bits/2))
+    * and assemble each output char from (lonI,latI) bit shifts —
+    * straight-line integer arithmetic after two identically-rounded
+    * IEEE multiplies, bit-reproducible across engines and fully
+    * codegen'd (no HOF fold, no struct accumulator). */
+  def geohashEncode(lat: Column, lon: Column, precision: Int = 5): Column = {
+    require(precision >= 1 && precision <= 12,
+      s"geohash precision must be in [1,12] (got $precision)")
+    val bits = precision * 5
+    val lonBits = (bits + 1) / 2 // even bit positions, lon leads
+    val latBits = bits / 2
+    val lonI = least(
+      floor((lon + lit(180.0)) / lit(360.0) * lit((1L << lonBits).toDouble)),
+      lit(((1L << lonBits) - 1).toDouble)).cast("long")
+    val latI = least(
+      floor((lat + lit(90.0)) / lit(180.0) * lit((1L << latBits).toDouble)),
+      lit(((1L << latBits) - 1).toDouble)).cast("long")
+    val chars = (0 until precision).map { c =>
+      val idx = (0 until 5).map { b =>
+        val m = 5 * c + b // global bit index, msb-first
+        val bit =
+          if (m % 2 == 0) shiftright(lonI, lonBits - 1 - m / 2) % 2
+          else shiftright(latI, latBits - 1 - (m - 1) / 2) % 2
+        bit * lit((1 << (4 - b)).toLong)
+      }.reduce(_ + _)
+      lit(GeohashAlphabet).substr(idx.cast("int") + lit(1), lit(1))
+    }
+    concat(chars: _*)
+  }
+
+  /** Driver-side decode of a geohash cell to its (lat, lon) center —
+    * the spec-side inverse for round-trip checks (decode is a scalar
+    * utility; the distributed hot path only ever ENCODES to get
+    * bucket keys). */
+  def geohashDecodeCenter(gh: String): (Double, Double) = {
+    var laLo = -90.0; var laHi = 90.0
+    var loLo = -180.0; var loHi = 180.0
+    var even = true
+    gh.foreach { ch =>
+      val v = GeohashAlphabet.indexOf(ch)
+      require(v >= 0, s"invalid geohash char '$ch'")
+      (4 to 0 by -1).foreach { b =>
+        val bit = (v >> b) & 1
+        if (even) {
+          val mid = (loLo + loHi) / 2
+          if (bit == 1) loLo = mid else loHi = mid
+        } else {
+          val mid = (laLo + laHi) / 2
+          if (bit == 1) laLo = mid else laHi = mid
+        }
+        even = !even
+      }
+    }
+    ((laLo + laHi) / 2, (loLo + loHi) / 2)
+  }
 }

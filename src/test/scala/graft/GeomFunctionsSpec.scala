@@ -168,4 +168,29 @@ class GeomFunctionsSpec extends SparkSpec {
     val osgb = G.stTransform(utm, lit(27700))
     eval(G.stSrid(osgb)).getInt(0) shouldBe 27700
   }
+
+  test("geohash matches known reference cells and round-trips") {
+    import spark.implicits._
+    // canonical published examples (geohash.org): Jutland & La Paz
+    val known = Seq((57.64911, 10.40744, "u4pruydqqvj"),
+      (-16.5, -68.15, "6mpd1hq")) // southern/western hemisphere cell
+    val df = known.map { case (la, lo, _) => (la, lo) }.toDF("lat", "lon")
+    val out = df.select(
+      G.geohashEncode(col("lat"), col("lon"), 11).as("g11"),
+      G.geohashEncode(col("lat"), col("lon"), 7).as("g7"),
+      G.geohashEncode(col("lat"), col("lon"), 5).as("g5")).collect()
+    out(0).getString(0) shouldBe "u4pruydqqvj"
+    out(1).getString(1) shouldBe "6mpd1hq"
+    // prefix property: coarser precision IS the prefix
+    out(0).getString(2) shouldBe "u4pru"
+    // decode round trip: center of the precision-5 cell is within the
+    // cell half-extents of the input (lat 2.4km, lon 2.4km at p=5)
+    val (cla, clo) = G.geohashDecodeCenter(out(0).getString(2))
+    math.abs(cla - 57.64911) should be <= (180.0 / (1 << 12))
+    math.abs(clo - 10.40744) should be <= (360.0 / (1 << 13))
+    // poles/antimeridian clamp, not overflow
+    val edge = Seq((90.0, 180.0)).toDF("lat", "lon")
+      .select(G.geohashEncode(col("lat"), col("lon"), 5)).collect()
+    edge(0).getString(0) should have length 5
+  }
 }
