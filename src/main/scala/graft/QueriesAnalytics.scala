@@ -1255,9 +1255,85 @@ object QueriesAnalytics {
       |SELECT a AS node, count(*) AS degree FROM e2
       |GROUP BY 1 ORDER BY node""".stripMargin
 
+  // -------------------------------------------------------------- q189
+  /** Tukey-fence outlier census per return flag, entirely in exact
+    * integer cents: discrete quartiles come from
+    * Quantiles.exactPercentilesByGroup (rank-lookup, a value FROM the
+    * input set), the 1.5·IQR fences use `div` (non-negative operand ⇒
+    * floor == trunc, engine-identical), and the below/above counts are
+    * one more aggregate over the hashed cents — the standard
+    * robust-outlier screen (Tukey 1977) as a two-pass distributed
+    * plan: distinct-value shuffle for quartiles, map-side-combined
+    * count for the census. No doubles anywhere. */
+  private def q189OutlierFences(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.load(s, dir, "lineitem").select(col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val quart = Quantiles.exactPercentilesByGroup(
+      cents, "l_returnflag", "cents", Seq(0.25, 0.75))
+      .groupBy(col("l_returnflag"))
+      .agg(max(when(col("q") === 0.25, col("value"))).as("q1c"),
+        max(when(col("q") === 0.75, col("value"))).as("q3c"))
+      .withColumn("iqr", col("q3c") - col("q1c"))
+      .withColumn("lo", col("q1c") - expr("(3 * iqr) div 2"))
+      .withColumn("hi", col("q3c") + expr("(3 * iqr) div 2"))
+    cents.join(broadcast(quart), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("q1c"), col("q3c"), col("iqr"),
+        col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("cents") < col("lo"), 1)).as("n_below"),
+        count(when(col("cents") > col("hi"), 1)).as("n_above"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q189Sql =
+    """WITH cents0 AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem),
+      |counts AS (
+      |  SELECT l_returnflag AS g, cents AS value, count(*) AS c
+      |  FROM cents0 WHERE cents IS NOT NULL GROUP BY 1, 2),
+      |totals AS (SELECT g, sum(c) AS n FROM counts GROUP BY 1),
+      |cum AS (
+      |  SELECT g, value, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY value
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM counts),
+      |ranks AS (
+      |  SELECT t.g, qs.q,
+      |    GREATEST(1, CAST(ceil(qs.q * CAST(t.n AS DOUBLE)) AS BIGINT))
+      |      AS rank
+      |  FROM totals t,
+      |    (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.75 AS DOUBLE)])
+      |       AS q) qs),
+      |quart AS (
+      |  SELECT r.g,
+      |    max(CASE WHEN r.q = 0.25 THEN cum.value END) AS q1c,
+      |    max(CASE WHEN r.q = 0.75 THEN cum.value END) AS q3c
+      |  FROM ranks r JOIN cum
+      |    ON cum.g = r.g AND r.rank > cum.cum - cum.c
+      |      AND r.rank <= cum.cum
+      |  GROUP BY 1),
+      |fence AS (
+      |  SELECT g, q1c, q3c, q3c - q1c AS iqr,
+      |    q1c - (3 * (q3c - q1c)) // 2 AS lo,
+      |    q3c + (3 * (q3c - q1c)) // 2 AS hi
+      |  FROM quart)
+      |SELECT c0.l_returnflag, f.q1c, f.q3c, f.iqr, f.lo, f.hi,
+      |  count(*) AS n_total,
+      |  CAST(count(CASE WHEN c0.cents < f.lo THEN 1 END) AS BIGINT)
+      |    AS n_below,
+      |  CAST(count(CASE WHEN c0.cents > f.hi THEN 1 END) AS BIGINT)
+      |    AS n_above
+      |FROM cents0 c0 JOIN fence f ON c0.l_returnflag = f.g
+      |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_outlier_fences" -> (q189OutlierFences _),
     "q147_kcore" -> (q147Kcore _),
     "q100_label_prop" -> (q100Lpa _),
     "q97_pit_join" -> (q97Pit _),
@@ -1292,6 +1368,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q189_outlier_fences" -> q189Sql,
     "q147_kcore" -> q147Sql,
     "q100_label_prop" -> q100Sql,
     "q97_pit_join" -> q97Sql,
