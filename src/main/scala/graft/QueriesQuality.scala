@@ -510,6 +510,104 @@ object QueriesQuality {
       |  coalesce(array_to_string(fp, ','), '') AS fp
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q184
+  /** The C4 structural-rule battery (Raffel et al. 2020 §2.2) over a
+    * deterministically RESTRUCTURED corpus: the flat fixture docs are
+    * chunked into 5-word lines with arithmetic-planted hazards —
+    * punctuation-less lines ((doc+j)%4=0), short lines ((3·doc+j)%5=0
+    * truncates to 3 words), "javascript" lines ((doc+2j)%9=0),
+    * lorem-ipsum pages (doc%23=0), curly-brace pages (doc%17=0) — so
+    * every rule fires on a known subset and the oracle replays the
+    * identical synthesis. TA.c4Quality then scores each page in one
+    * map-only pass: per-line retention (terminal punct + ≥5 words +
+    * no javascript) and the page verdict (≥3 sentences, no lorem, no
+    * brace). Integers and booleans end to end. */
+  private def q184C4Battery(s: SparkSession, dir: String): DataFrame = {
+    val tk = TA.tokens(col("text"))
+    val did = col("doc_id")
+    val nl = (size(tk) / lit(5)).cast("int")
+    val body = when(nl >= 1, transform(sequence(lit(1), nl), j => {
+      val takeN = when((did * 3 + j) % 5 === 0, lit(3)).otherwise(lit(5))
+      val base = slice(tk, (j - 1) * lit(5) + 1, takeN)
+      val toks = when((did + j * 2) % 9 === 0,
+        concat(array(lit("javascript")), slice(base, lit(2), size(base) - 1)))
+        .otherwise(base)
+      val punct = when((did + j) % 4 =!= 0, lit(".")).otherwise(lit(""))
+      concat(concat_ws(" ", toks), punct)
+    })).otherwise(array().cast("array<string>"))
+    val lorem = when(did % 23 === 0,
+      array(lit("lorem ipsum dolor sit amet.")))
+      .otherwise(array().cast("array<string>"))
+    val brace = when(did % 17 === 0,
+      array(lit("config block { width: 5 }")))
+      .otherwise(array().cast("array<string>"))
+    val text2 = array_join(concat(body, lorem, brace), "\n")
+    docs(s, dir)
+      .select(did.as("doc_id"), TA.c4Quality(text2).as("g"))
+      .select(col("doc_id"),
+        col("g.n_lines").as("n_lines"), col("g.n_kept").as("n_kept"),
+        col("g.kept_words").as("kept_words"),
+        col("g.n_sentences").as("n_sentences"),
+        col("g.has_lorem").as("has_lorem"),
+        col("g.has_brace").as("has_brace"),
+        col("g.keep").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q184Sql =
+    """WITH t0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR trim(text) = ''
+      |      THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |b AS (SELECT doc_id, tk, len(tk) // 5 AS nl FROM t0),
+      |built AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, nl + 1), j ->
+      |      array_to_string(
+      |        CASE WHEN (doc_id + j * 2) % 9 = 0
+      |          THEN list_prepend('javascript',
+      |            (tk[(j-1)*5+1 : (j-1)*5 +
+      |              CASE WHEN (doc_id*3 + j) % 5 = 0 THEN 3 ELSE 5 END])
+      |              [2:])
+      |          ELSE tk[(j-1)*5+1 : (j-1)*5 +
+      |            CASE WHEN (doc_id*3 + j) % 5 = 0 THEN 3 ELSE 5 END]
+      |        END, ' ')
+      |      || CASE WHEN (doc_id + j) % 4 <> 0 THEN '.' ELSE '' END)
+      |    || CASE WHEN doc_id % 23 = 0
+      |         THEN ['lorem ipsum dolor sit amet.']
+      |         ELSE CAST([] AS VARCHAR[]) END
+      |    || CASE WHEN doc_id % 17 = 0
+      |         THEN ['config block { width: 5 }']
+      |         ELSE CAST([] AS VARCHAR[]) END AS lines
+      |  FROM b),
+      |m AS (
+      |  SELECT doc_id, lines,
+      |    list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+      |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+      |      AND NOT contains(lower(l), 'javascript')) AS kept,
+      |    contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+      |      AS has_lorem,
+      |    contains(array_to_string(lines, chr(10)), '{') AS has_brace
+      |  FROM built),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(kept) AS BIGINT) AS n_kept,
+      |    CAST(coalesce(list_aggregate(list_transform(kept,
+      |      l -> len(string_split_regex(trim(l), '\s+'))), 'sum'), 0)
+      |      AS BIGINT) AS kept_words,
+      |    CAST(coalesce(list_aggregate(list_transform(kept,
+      |      l -> len(regexp_extract_all(l, '[.!?]'))), 'sum'), 0)
+      |      AS BIGINT) AS n_sentences,
+      |    has_lorem, has_brace
+      |  FROM m)
+      |SELECT doc_id, n_lines, n_kept, kept_words, n_sentences,
+      |  has_lorem, has_brace,
+      |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- q186
   /** Tokenizer economics battery: per-language corpus totals of
     * bytes, characters, whitespace tokens, and BPE-ish subword pieces
@@ -564,6 +662,7 @@ object QueriesQuality {
       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_c4_battery" -> (q184C4Battery _),
     "q186_tokenizer_fertility" -> (q186Fertility _),
     "q144_gopher_battery" -> (q144GopherBattery _),
     "q145_winnowing" -> (q145Winnowing _),
@@ -577,6 +676,7 @@ object QueriesQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_c4_battery" -> q184Sql,
     "q186_tokenizer_fertility" -> q186Sql,
     "q144_gopher_battery" -> q144Sql,
     "q145_winnowing" -> q145Sql,

@@ -258,6 +258,39 @@ object TextAnalysis {
           .cast("long")))
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2) as one map-only
+    * struct: per-LINE retention (ends in a terminal punctuation mark,
+    * has ≥ 5 words, no "javascript"), and the page-level verdicts
+    * (≥ 3 sentences among retained lines, no "lorem ipsum", no curly
+    * brace). The dirty-word list is out of scope (fixture corpora are
+    * synthetic); the structural rules — the ones that do the bulk of
+    * C4's dropping — are all here. Counts are integers and the
+    * verdict is boolean logic over them, so the row is oracle-exact.
+    * At 100 TB this is one codegen'd projection pass, no shuffle. */
+  def c4Quality(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+      l => l =!= "")
+    val wordsOf = (l: Column) => size(split(l, "\\s+"))
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") && wordsOf(l) >= 5 &&
+        !lower(l).contains("javascript"))
+    val keptWords = aggregate(kept, lit(0L),
+      (acc, l) => acc + wordsOf(l).cast("long"))
+    val nSentences = aggregate(kept, lit(0L), (acc, l) =>
+      acc + size(regexp_extract_all(l, lit("[.!?]"), lit(0))).cast("long"))
+    val hasLorem = lower(t).contains("lorem ipsum")
+    val hasBrace = t.contains("{")
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      keptWords.as("kept_words"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (nSentences >= 3 && !hasLorem && !hasBrace).as("keep"))
+  }
+
   /** Window-minimum selection over an ALREADY-MATERIALIZED hash column
     * from [[winnowingHashes]] — `hashes` must be a bound column, not
     * an inline expression: Catalyst inlines an inline tree into every

@@ -301,4 +301,42 @@ class QualitySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     top shouldBe Seq(10L, 11L) // equal scores -> smaller id first
   }
+
+  test("c4Quality: hand-computed line and page rules") {
+    import graft.functions.{TextAnalysis => TA}
+    val page = Seq(
+      "The quick brown fox jumps over the lazy dog.", // kept, 1 sentence
+      "Short line.",                     // < 5 words -> dropped
+      "no terminal punctuation here at all", // no punct -> dropped
+      "Enable JavaScript to view this content.", // javascript -> dropped
+      "Is this a question? Yes! It ends well.",  // kept, 3 sentences
+      "Another perfectly fine sentence right here."  // kept, 1 sentence
+    ).mkString("\n")
+    val r = Seq(page).toDF("text")
+      .select(TA.c4Quality(col("text")).as("g")).select("g.*").collect()(0)
+    r.getLong(0) shouldBe 6L   // n_lines
+    r.getLong(1) shouldBe 3L   // n_kept
+    r.getLong(2) shouldBe (9L + 8L + 6L) // kept_words
+    r.getLong(3) shouldBe 5L   // n_sentences: 1 + 3 + 1
+    r.getBoolean(4) shouldBe false // lorem
+    r.getBoolean(5) shouldBe false // brace
+    r.getBoolean(6) shouldBe true  // >= 3 sentences, clean page
+    // page verdicts: lorem ipsum / curly brace / too few sentences
+    val lorem = Seq("Lorem Ipsum dolor sit amet friend.\nMore good text here today.")
+      .toDF("text").select(TA.c4Quality(col("text")).as("g"))
+      .select("g.has_lorem", "g.keep").collect()(0)
+    lorem.getBoolean(0) shouldBe true
+    lorem.getBoolean(1) shouldBe false
+    val brace = Seq("A fine sentence with words. Then code { here }.")
+      .toDF("text").select(TA.c4Quality(col("text")).as("g"))
+      .select("g.has_brace", "g.keep").collect()(0)
+    brace.getBoolean(0) shouldBe true
+    brace.getBoolean(1) shouldBe false
+    // empty/null text: zero counts, not-kept, no NULL leakage
+    val empty = Seq("").toDF("text")
+      .select(TA.c4Quality(col("text")).as("g")).select("g.*").collect()(0)
+    empty.getLong(0) shouldBe 0L
+    empty.getLong(3) shouldBe 0L
+    empty.getBoolean(6) shouldBe false
+  }
 }
