@@ -474,7 +474,77 @@ object QueriesDedup {
       |WHERE CAST(inter AS DOUBLE) / (size1 + size2 - inter) >= 0.6
       |ORDER BY id1, id2""".stripMargin
 
+  // -------------------------------------------------------------- q185
+  /** Corpus-wide line dedup (Dedup.dedupLines) over a corpus with
+    * REAL cross-document boilerplate: every doc gains its source's
+    * two header lines ("subscribe to srcN ...", "all rights reserved
+    * ...") — 25 docs share each pair — and an 8-token-chunk body.
+    * First occurrence in (doc_id, line_no) order wins corpus-wide, so
+    * exactly one doc per source keeps its headers; rebuilt text
+    * round-trips through md5 (same bytes ⇒ same digest in DuckDB).
+    * The oracle restates the synthesis and the first-wins rule with a
+    * row_number window. */
+  private def q185LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val tk = TA.tokens(col("text"))
+    val nb = (size(tk) / lit(8)).cast("int")
+    val body = when(nb >= 1, transform(sequence(lit(1), nb),
+      j => concat_ws(" ", slice(tk, (j - 1) * lit(8) + 1, lit(8)))))
+      .otherwise(array().cast("array<string>"))
+    val headers = array(
+      concat(lit("subscribe to "), col("source"),
+        lit(" newsletter today.")),
+      concat(lit("all rights reserved by "), col("source"), lit(".")))
+    val lined = docs(s, dir)
+      .select(col("doc_id"),
+        array_join(concat(headers, body), "\n").as("text"))
+    Dedup.dedupLines(lined, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q185Sql =
+    """WITH t0 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN text IS NULL OR trim(text) = ''
+      |      THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |built AS (
+      |  SELECT doc_id,
+      |    ['subscribe to ' || source || ' newsletter today.',
+      |     'all rights reserved by ' || source || '.']
+      |    || list_transform(range(1, len(tk) // 8 + 1),
+      |         j -> array_to_string(tk[(j-1)*8+1 : j*8], ' ')) AS lines
+      |  FROM t0),
+      |flat AS (
+      |  SELECT doc_id, s.ln AS ln, s.line AS line FROM (
+      |    SELECT doc_id, unnest(list_transform(lines,
+      |      (x, i) -> struct_pack(ln := i, line := x))) AS s
+      |    FROM built) u
+      |  WHERE trim(s.line) <> ''),
+      |kept AS (
+      |  SELECT doc_id, ln, line FROM (
+      |    SELECT doc_id, ln, line,
+      |      row_number() OVER (PARTITION BY line
+      |        ORDER BY doc_id, ln) AS rn
+      |    FROM flat) w WHERE rn = 1),
+      |reb AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(line, chr(10) ORDER BY ln) AS text
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_lines FROM flat
+      |        GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+      |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+      |  md5(coalesce(reb.text, '')) AS text_md5
+      |FROM documents d LEFT JOIN tot USING (doc_id)
+      |LEFT JOIN reb USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_line_dedup" -> (q185LineDedup _),
     "q94_setsim_join" -> (q94SetSim _),
     "q66_span_removal" -> (q66SpanRemoval _),
     "q65_semdedup" -> (q65SemDedup _),
@@ -488,6 +558,7 @@ object QueriesDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q185_line_dedup" -> q185Sql,
     "q94_setsim_join" -> q94Sql,
     "q66_span_removal" -> q66Sql,
     "q65_semdedup" -> q65Sql,

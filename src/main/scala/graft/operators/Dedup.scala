@@ -71,6 +71,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
       .filter(col("n_copies") > 1)
 
+  /** Corpus-wide exact LINE deduplication — C4's span-dedup step at
+    * line granularity, the standard boilerplate scrub (nav bars,
+    * cookie banners, footers repeat verbatim across millions of
+    * pages): every distinct non-blank trimmed line keeps exactly its
+    * FIRST occurrence in (id, line-number) order; all later copies are
+    * deleted and each document is rebuilt from its surviving lines.
+    *
+    * Shape: explode → ONE aggregate keyed by the line text whose
+    * value is `min(struct(id, lineNo, line))` — the winner carries its
+    * own text, so there is NO join back — → one per-doc rebuild
+    * aggregate. Two shuffles total. Skew is the defining hazard here
+    * (one footer line can occur 10⁸ times at 100 TB): partial
+    * aggregation collapses every hot line to one row per map
+    * partition before the exchange, so the reducer sees at most
+    * #partitions rows per line, never the raw multiplicity.
+    *
+    * Returns one row per input doc: (idCol, n_lines, n_kept, textCol)
+    * with the rebuilt text ('' when every line was a later copy). */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__ln", "__line")))
+      .withColumn("__line", trim(col("__line")))
+      .filter(col("__line") =!= "")
+    val winners = lines
+      .groupBy(col("__line").as("__key"))
+      .agg(min(struct(col("__id"), col("__ln"), col("__line")))
+        .as("__w"))
+      .select(col("__w").getField("__id").as("__id"),
+        col("__w").getField("__ln").as("__ln"),
+        col("__w").getField("__line").as("__line"))
+    val rebuilt = winners.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__ln"), col("__line")))),
+          s => s.getField("__line")), "\n").as("__text"))
+    val totals = lines.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"))
+    df.select(col(idCol).as("__id"))
+      .join(totals, Seq("__id"), "left")
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** Exact-substring duplication (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better" — their suffix-array
     * pass, re-expressed as the Spark-idiomatic inverted index): every

@@ -531,4 +531,26 @@ class CorpusOpsSpec extends SparkSpec {
         "source", budget = 650L)
       .select("doc_id").as[Long].collect().sorted.toSeq shouldBe ids
   }
+
+  test("dedupLines: corpus-wide first occurrence wins, docs rebuilt in order") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "footer\nalpha one\nbeta two"),
+      (2L, "footer\ngamma three\nbeta two"),
+      (3L, "  footer  \n\ndelta four"), // trims + blank line dropped
+      (4L, "footer")                    // fully deduped -> empty text
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).toSeq shouldBe Seq(
+      (1L, 3L, 3L, "footer\nalpha one\nbeta two"),
+      (2L, 3L, 1L, "gamma three"), // footer AND 'beta two' both lost
+      (3L, 2L, 1L, "delta four"),
+      (4L, 1L, 0L, ""))
+    // partitioning invariance: same winners on any layout
+    val re = Dedup.dedupLines(docs.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    re.map(_.getString(3)).toSeq shouldBe out.map(_.getString(3)).toSeq
+  }
 }
