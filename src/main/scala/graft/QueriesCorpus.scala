@@ -906,9 +906,49 @@ object QueriesCorpus {
       |    AS quota
       |FROM r CROSS JOIN e ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------- q190
+  /** Contrastive negative sampling (Sampling.ringNegatives): each doc
+    * takes its first 3 different-source successors within 10 steps on
+    * the md5(seed:id) ring. The oracle replays the ring with a
+    * row_number over the same md5 keys and a constant 10-offset range
+    * join — engine-identical because md5 hex ordering is plain ASCII
+    * both sides. Distributed shape under test: lead(N) restated as an
+    * explode + modular equi-join (no single-partition window). */
+  private def q190RingNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.ringNegatives(
+      docs(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", k = 3, lookahead = 10, seed = 7L)
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val q190Sql =
+    """WITH ord AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (
+      |      ORDER BY md5('7:' || CAST(doc_id AS VARCHAR))) AS pos
+      |  FROM documents),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |probes AS (
+      |  SELECT o.doc_id AS aid, o.source AS ag, i.i,
+      |    ((o.pos - 1 + i.i) % nn.n) + 1 AS tpos
+      |  FROM ord o CROSS JOIN nn
+      |  CROSS JOIN (SELECT unnest(range(1, 11)) AS i) i),
+      |hits AS (
+      |  SELECT p.aid, p.i, c.doc_id AS cid, c.source AS cg
+      |  FROM probes p JOIN ord c ON c.pos = p.tpos
+      |  WHERE c.source <> p.ag),
+      |rk AS (
+      |  SELECT aid, i, cid, cg,
+      |    row_number() OVER (PARTITION BY aid ORDER BY i) AS rank
+      |  FROM hits)
+      |SELECT aid AS doc_id, CAST(rank AS BIGINT) AS rank,
+      |  CAST(i AS BIGINT) AS "offset", cid AS neg_id,
+      |  cg AS neg_source
+      |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_ring_negatives" -> (q190RingNegatives _),
     "q141_temperature_mix" -> (q141TemperatureMix _),
     "q137_source_overlap" -> (q137SourceOverlap _),
     "q138_ccnet_buckets" -> (q138CcnetBuckets _),
@@ -935,6 +975,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q190_ring_negatives" -> q190Sql,
     "q141_temperature_mix" -> q141Sql,
     "q137_source_overlap" -> q137Sql,
     "q138_ccnet_buckets" -> q138Sql,

@@ -221,4 +221,50 @@ object Sampling {
       .sortWithinPartitions(col("__ord"))
     RowNumbers.global(ordered, posCol).drop("__ord")
   }
+
+  /** Deterministic negative sampling for contrastive training: place
+    * all rows on a pseudo-random RING (the [[trainingOrder]]
+    * permutation keyed md5(seed:id)), then give each anchor its first
+    * `k` successors within `lookahead` ring steps whose `groupCol`
+    * differs (e.g. a different source/cluster — "hard enough"
+    * negatives that are still guaranteed non-positives).
+    *
+    * Ring successors — not rand(): the sample is identical on every
+    * run, partitioing, and engine (the md5 permutation is uniform, so
+    * ring neighbors are a uniform draw without replacement), and each
+    * row does O(lookahead) work. The distributed shape is the
+    * standard "lead(N) without a single-partition window": explode
+    * the `lookahead` offsets and equi-join probe position (pos-1+i)
+    * mod n — one co-partitioned shuffle join, no global window. The
+    * per-anchor rank window is bounded by `lookahead` rows.
+    *
+    * Returns (idCol, rank 1..≤k, offset, neg_id, neg_group); anchors
+    * whose entire lookahead neighborhood shares their group emit
+    * fewer than k rows (raise `lookahead` if that matters). */
+  def ringNegatives(df: DataFrame, idCol: String, groupCol: String,
+      k: Int = 3, lookahead: Int = 10, seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(lookahead >= k,
+      s"lookahead ($lookahead) must be >= k ($k)")
+    import org.apache.spark.sql.expressions.Window
+    val base = trainingOrder(df.select(col(idCol), col(groupCol)),
+        idCol, seed, "__pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val n = base.count() // scalar job; also materializes the persist
+    val probes = base
+      .select(col("__pos"), col(idCol).as("__aid"),
+        col(groupCol).as("__ag"))
+      .withColumn("__i", explode(array((1 to lookahead).map(lit): _*)))
+      .withColumn("__tpos", pmod(col("__pos") - 1 + col("__i"), lit(n)) + 1)
+    val cands = base.select(col("__pos").as("__tpos"),
+      col(idCol).as("__cid"), col(groupCol).as("__cg"))
+    val w = Window.partitionBy(col("__aid")).orderBy(col("__i"))
+    probes.join(cands, Seq("__tpos"))
+      .filter(col("__cg") =!= col("__ag"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__aid").as(idCol), col("rank"),
+        col("__i").as("offset"), col("__cid").as("neg_id"),
+        col("__cg").as("neg_" + groupCol))
+  }
 }

@@ -553,4 +553,39 @@ class CorpusOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     re.map(_.getString(3)).toSeq shouldBe out.map(_.getString(3)).toSeq
   }
+
+  test("ringNegatives: k different-group successors, deterministic, bounded") {
+    val docs = (1L to 40L).map(i => (i, s"g${i % 4}"))
+      .toDF("doc_id", "grp")
+    val out = Sampling.ringNegatives(docs, "doc_id", "grp",
+      k = 2, lookahead = 6, seed = 11L)
+    val rows = out.collect()
+    // deterministic for this seed: 39 anchors find 2 negatives, one
+    // lands before a same-group run and finds only 1 (the documented
+    // fewer-than-k case)
+    rows.length shouldBe 79
+    rows.groupBy(_.getLong(0)).values.map(_.size).count(_ == 2) shouldBe 39
+    rows.foreach { r =>
+      r.getLong(3) should not be r.getLong(0) // never itself
+    }
+    // negatives really are cross-group
+    val g = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach(r => g(r.getLong(3)) should not be g(r.getLong(0)))
+    // rank ordering follows ring offset
+    rows.groupBy(_.getLong(0)).values.foreach { anchor =>
+      val sorted = anchor.sortBy(_.getInt(1))
+      sorted.map(_.getInt(2)).toSeq shouldBe
+        sorted.map(_.getInt(2)).sorted.toSeq
+    }
+    // deterministic across partitionings
+    val re = Sampling.ringNegatives(docs.repartition(7), "doc_id",
+      "grp", k = 2, lookahead = 6, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).sorted
+    re shouldBe rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+      .sorted
+    // degenerate: single group -> no negatives at all
+    val solo = (1L to 10L).map(i => (i, "only")).toDF("doc_id", "grp")
+    Sampling.ringNegatives(solo, "doc_id", "grp", k = 2, lookahead = 5,
+      seed = 1L).count() shouldBe 0L
+  }
 }
