@@ -1330,9 +1330,49 @@ object QueriesAnalytics {
       |FROM cents0 c0 JOIN fence f ON c0.l_returnflag = f.g
       |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------- q191
+  /** 2-D Pareto frontier (Skyline.frontier2D) of orders maximizing
+    * (price, recency) — the best-trade-off query, run entirely in
+    * exact integers (price cents × epoch days). The distributed shape
+    * under test is the textbook one this operator exists to avoid:
+    * the x-descending running max runs as parallel per-partition
+    * windows plus a partition-count-bounded prefix table — never a
+    * data-scale single-partition window. Oracle: the same scan as one
+    * window over grouped points. */
+  private def q191Skyline(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("price_cents"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("order_day"))
+    graft.operators.Skyline.frontier2D(o, "price_cents", "order_day")
+      .orderBy(col("price_cents"))
+  }
+
+  private val q191Sql =
+    """WITH pts0 AS (
+      |  SELECT
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_cents,
+      |    CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day
+      |  FROM orders
+      |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+      |pts AS (SELECT price_cents, max(order_day) AS order_day
+      |        FROM pts0 GROUP BY 1),
+      |m AS (
+      |  SELECT price_cents, order_day,
+      |    max(order_day) OVER (ORDER BY price_cents DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM pts)
+      |SELECT price_cents, order_day FROM m
+      |WHERE pm IS NULL OR order_day > pm
+      |ORDER BY price_cents""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_skyline" -> (q191Skyline _),
     "q189_outlier_fences" -> (q189OutlierFences _),
     "q147_kcore" -> (q147Kcore _),
     "q100_label_prop" -> (q100Lpa _),
@@ -1368,6 +1408,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_skyline" -> q191Sql,
     "q189_outlier_fences" -> q189Sql,
     "q147_kcore" -> q147Sql,
     "q100_label_prop" -> q100Sql,

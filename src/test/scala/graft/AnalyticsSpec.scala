@@ -269,4 +269,27 @@ class AnalyticsSpec extends SparkSpec {
     got(0.9) shouldBe 1.0
     got(0.91) shouldBe 2.0
   }
+
+  test("skyline frontier2D: hand-computed frontier, ties, invariance") {
+    import graft.operators.Skyline
+    val pts = Seq(
+      (10L, 5L), (10L, 3L),  // x-tie: only max y survives
+      (8L, 7L), (8L, 7L),    // duplicate frontier point collapses
+      (6L, 7L),              // equal y at lower x -> dominated
+      (5L, 9L), (3L, 1L),    // (3,1) dominated by everything
+      (1L, 12L)
+    ).toDF("x", "y")
+    val got = Skyline.frontier2D(pts, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    got shouldBe Seq((1L, 12L), (5L, 9L), (8L, 7L), (10L, 5L))
+    // partitioning invariance (prefix table must stitch correctly)
+    Skyline.frontier2D(pts.repartition(7), "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq shouldBe got
+    // single point and empty input
+    Skyline.frontier2D(Seq((1L, 1L)).toDF("x", "y"), "x", "y")
+      .count() shouldBe 1L
+    Skyline.frontier2D(Seq.empty[(Long, Long)].toDF("x", "y"), "x", "y")
+      .count() shouldBe 0L
+  }
 }
