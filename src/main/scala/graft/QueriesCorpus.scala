@@ -906,6 +906,56 @@ object QueriesCorpus {
       |    AS quota
       |FROM r CROSS JOIN e ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------- q192
+  /** Base-2 DDSketch quantiles (Sketches.ddSketchCounts/Quantiles)
+    * over price cents: the MERGEABLE quantile path — state is ≤65
+    * exact integer bucket counts whatever the data size, so per-
+    * partition/per-day sketches roll up with a tiny sum instead of
+    * exact-percentile's distinct-value shuffle. Deterministic by
+    * construction (unlike t-digest), hence oracle-checkable: the
+    * bit-length bucket is `length(bin(v))` vs DuckDB
+    * `length(printf('%b', v))`, the estimate 3·2^(b−2) exact. */
+  private def q192DdSketch(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.load(s, dir, "lineitem").select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val counts = graft.operators.Sketches.ddSketchCounts(cents, "cents")
+    graft.operators.Sketches
+      .ddSketchQuantiles(counts, Seq(0.5, 0.9, 0.99))
+      .orderBy(col("q"))
+  }
+
+  private val q192Sql =
+    """WITH v AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) AS c
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0),
+      |b AS (
+      |  SELECT CAST(CASE WHEN c = 0 THEN 0
+      |    ELSE length(printf('%b', c)) END AS INT) AS bucket,
+      |    count(*) AS cnt
+      |  FROM v GROUP BY 1),
+      |t AS (SELECT sum(cnt) AS n FROM b),
+      |cum AS (
+      |  SELECT bucket, cnt,
+      |    sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      |      AS cum
+      |  FROM b),
+      |ranks AS (
+      |  SELECT qs.q,
+      |    GREATEST(1, CAST(ceil(qs.q * CAST(t.n AS DOUBLE)) AS BIGINT))
+      |      AS rank
+      |  FROM t, (SELECT unnest([CAST(0.5 AS DOUBLE),
+      |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q) qs)
+      |SELECT r.q, r.rank, cum.bucket,
+      |  CAST(CASE WHEN cum.bucket <= 1 THEN cum.bucket
+      |    ELSE 3 * (CAST(1 AS BIGINT) << (cum.bucket - 2)) END
+      |    AS BIGINT) AS est
+      |FROM ranks r JOIN cum
+      |  ON r.rank > cum.cum - cum.cnt AND r.rank <= cum.cum
+      |ORDER BY q""".stripMargin
+
   // -------------------------------------------------------------- q190
   /** Contrastive negative sampling (Sampling.ringNegatives): each doc
     * takes its first 3 different-source successors within 10 steps on
@@ -949,6 +999,7 @@ object QueriesCorpus {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_ring_negatives" -> (q190RingNegatives _),
+    "q192_ddsketch" -> (q192DdSketch _),
     "q141_temperature_mix" -> (q141TemperatureMix _),
     "q137_source_overlap" -> (q137SourceOverlap _),
     "q138_ccnet_buckets" -> (q138CcnetBuckets _),
@@ -976,6 +1027,7 @@ object QueriesCorpus {
 
   val oracles: Map[String, String] = Map(
     "q190_ring_negatives" -> q190Sql,
+    "q192_ddsketch" -> q192Sql,
     "q141_temperature_mix" -> q141Sql,
     "q137_source_overlap" -> q137Sql,
     "q138_ccnet_buckets" -> q138Sql,

@@ -146,4 +146,56 @@ object Sketches {
     }
     least(counters: _*)
   }
+
+  // --------------------------------------------------- base-2 DDSketch
+
+  /** Mergeable quantile sketch state, DDSketch (Masson et al. VLDB'19)
+    * at γ=2 over NON-NEGATIVE integer values (cents, token counts,
+    * byte sizes): bucket(v) = bit length of v (0 stays bucket 0), so
+    * the sketch is at most 65 (bucket, count) rows however large the
+    * input — and merging two sketches is adding count vectors, which
+    * is what makes it the 100 TB quantile path (per-partition /
+    * per-day sketches roll up with a tiny groupBy-sum, unlike exact
+    * percentiles' distinct-value shuffle).
+    *
+    * γ=2 means a guaranteed ≤2× relative error — coarse but HONEST,
+    * and unlike t-digest the state is deterministic (bucket counts
+    * are exact integers independent of partitioning or merge order),
+    * so it oracle-checks bit-exactly where t-digest can only
+    * spec-check. The bit-length bucket needs no log(): `length(bin(v))`
+    * here, `length(printf('%b', v))` in DuckDB — integer all the way
+    * (the HLL-oracle trick, promoted to an operator). */
+  def ddSketchCounts(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    df.filter(v.isNotNull && v >= 0)
+      .groupBy(when(v === 0, lit(0))
+        .otherwise(length(bin(v))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile lookup over [[ddSketchCounts]] state: for each fraction,
+    * rank = max(1, ceil(q·n)) falls in the first bucket whose
+    * cumulative count reaches it; the estimate is the bucket's
+    * geometric midpoint 3·2^(b−2) (exact integer; buckets 0/1 are
+    * themselves). The state is ≤65 rows, so the cumulative window is
+    * constant-size by construction. */
+  def ddSketchQuantiles(counts: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = counts.sparkSession
+    val n = counts.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val qsDf = spark.createDataFrame(qs.sorted.map(Tuple1(_))).toDF("q")
+      .withColumn("rank",
+        greatest(lit(1L), ceil(col("q") * lit(n.toDouble))))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+    cum.join(qsDf,
+        col("rank") > col("cum") - col("cnt") && col("rank") <= col("cum"))
+      .select(col("q"), col("rank"), col("bucket"),
+        when(col("bucket") <= 1, col("bucket").cast("long"))
+          .otherwise(lit(3L) *
+            expr("shiftleft(CAST(1 AS BIGINT), bucket - 2)")).as("est"))
+  }
 }

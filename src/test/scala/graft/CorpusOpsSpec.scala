@@ -588,4 +588,34 @@ class CorpusOpsSpec extends SparkSpec {
     Sampling.ringNegatives(solo, "doc_id", "grp", k = 2, lookahead = 5,
       seed = 1L).count() shouldBe 0L
   }
+
+  test("ddSketch base-2: merge = whole-input sketch, 2x error bound") {
+    val vals = (1L to 5000L).map(v => Tuple1(v * v % 100000)).toDF("v")
+    val whole = Sketches.ddSketchCounts(vals, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // mergeability: sketch(A) + sketch(B) == sketch(A ∪ B), exactly
+    val a = vals.filter(col("v") % 3 === 0)
+    val b = vals.filter(col("v") % 3 =!= 0)
+    val merged = Sketches.ddSketchCounts(a, "v")
+      .unionAll(Sketches.ddSketchCounts(b, "v"))
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    merged shouldBe whole
+    // gamma=2 guarantee: estimate within [true/2, 2*true] of the
+    // exact rank-statistic for each fraction
+    val sorted = vals.collect().map(_.getLong(0)).sorted
+    val est = Sketches.ddSketchQuantiles(
+      Sketches.ddSketchCounts(vals, "v"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getLong(3)).toMap
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val truth = sorted(math.max(0,
+        math.ceil(q * sorted.length).toInt - 1)).max(1L)
+      est(q).toDouble should be >= truth / 2.0
+      est(q).toDouble should be <= truth * 2.0
+    }
+    // zero handling: bucket 0 representative is 0
+    val z = Seq(0L, 0L, 0L).map(Tuple1(_)).toDF("v")
+    Sketches.ddSketchQuantiles(Sketches.ddSketchCounts(z, "v"), Seq(0.5))
+      .collect()(0).getLong(3) shouldBe 0L
+  }
 }
