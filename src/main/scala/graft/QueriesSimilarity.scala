@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{Retrieval, Similarity}
 
 /** Similarity-search coverage (north-star extension): exact brute-force
   * cosine top-k and LSH-bucketed approximate top-k over the `embeddings`
@@ -182,6 +182,99 @@ object QueriesSimilarity {
 
   // -------------------------------------------------------------- export
 
+  // -------------------------------------------------------------- q193
+  /** MMR diversification (Retrieval.mmrDiversify) over int8-quantized
+    * embeddings: every 97th vector is a query; its top-12 candidates
+    * by integer code dot-product get greedily re-ranked to 5 picks at
+    * λ=1/2 (2·MMR = rel − max-sim-to-selected, all BIGINT — the
+    * integer arithmetic is what lets an ITERATIVE selection
+    * oracle-check bit-exactly). The oracle unrolls the five greedy
+    * steps (the q174 recurrence-unroll pattern), each step one
+    * window-argmax over the not-yet-picked candidates joined to the
+    * max pairwise sim against the picks so far. */
+  private def q193Mmr(s: SparkSession, dir: String): DataFrame = {
+    val qt = emb(s, dir).select(col("vec_id"),
+      Similarity.quantizeInt8(col("e")).getField("q").as("qv"))
+    val qry = qt.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    val rel = qt.filter(col("vec_id") % 97 =!= 0)
+      .crossJoin(broadcast(qry))
+      .select(col("qid"), col("vec_id").as("id"), col("qv"),
+        aggregate(zip_with(col("qqv"), col("qv"),
+          (x, y) => x.cast("long") * y), lit(0L), _ + _).as("rel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rel").desc, col("id"))
+    val top = rel.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 12).drop("rn")
+    Retrieval.mmrDiversify(top, "qid", "id", "rel", "qv", k = 5)
+      .orderBy(col("qid"), col("sel_rank"))
+  }
+
+  private val q193Sql: String = {
+    val steps = (2 to 5).map { r =>
+      s"""sel$r AS (
+         |  SELECT qid, id, rel, score2, $r AS sel_rank FROM (
+         |    SELECT c.qid, c.id, c.rel, c.rel - ms.m AS score2,
+         |      row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY c.rel - ms.m DESC, c.id) AS rn
+         |    FROM cands c
+         |    JOIN (SELECT p.qid, p.a AS id, max(p.s) AS m
+         |          FROM sims p
+         |          JOIN selupto${r - 1} s
+         |            ON s.qid = p.qid AND s.id = p.b
+         |          GROUP BY 1, 2) ms
+         |      ON ms.qid = c.qid AND ms.id = c.id
+         |    LEFT JOIN selupto${r - 1} sp
+         |      ON sp.qid = c.qid AND sp.id = c.id
+         |    WHERE sp.id IS NULL) z WHERE rn = 1),
+         |selupto$r AS (
+         |  SELECT * FROM selupto${r - 1} UNION ALL SELECT * FROM sel$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, e,
+       |    list_max(list_transform(e, x -> abs(x))) AS scale
+       |  FROM e),
+       |qt AS (
+       |  SELECT vec_id,
+       |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+       |    ELSE list_transform(e,
+       |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) END
+       |      AS qv
+       |  FROM sc),
+       |qry AS (SELECT vec_id AS qid, qv FROM qt WHERE vec_id % 97 = 0),
+       |cand0 AS (
+       |  SELECT q.qid, c.vec_id AS id, c.qv,
+       |    CAST(list_aggregate(list_transform(range(1, 65),
+       |      i -> CAST(q.qv[i] AS BIGINT) * c.qv[i]), 'sum') AS BIGINT)
+       |      AS rel
+       |  FROM qry q JOIN qt c ON c.vec_id % 97 <> 0),
+       |cands AS (
+       |  SELECT qid, id, qv, rel FROM (
+       |    SELECT qid, id, qv, rel, row_number() OVER (
+       |      PARTITION BY qid ORDER BY rel DESC, id) AS rn
+       |    FROM cand0) t WHERE rn <= 12),
+       |sims AS (
+       |  SELECT a.qid, a.id AS a, b.id AS b,
+       |    CAST(list_aggregate(list_transform(range(1, 65),
+       |      i -> CAST(a.qv[i] AS BIGINT) * b.qv[i]), 'sum') AS BIGINT)
+       |      AS s
+       |  FROM cands a JOIN cands b
+       |    ON a.qid = b.qid AND a.id <> b.id),
+       |sel1 AS (
+       |  SELECT qid, id, rel, rel AS score2, 1 AS sel_rank FROM (
+       |    SELECT qid, id, rel, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, id) AS rn FROM cands) t WHERE rn = 1),
+       |selupto1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT qid, CAST(sel_rank AS INT) AS sel_rank, id, rel, score2
+       |FROM selupto5 ORDER BY qid, sel_rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- q59
   /** Int8 embedding quantization: per-vector max-abs scale + code sum +
     * saturation count (array itself summarized to integers so the
@@ -304,6 +397,7 @@ object QueriesSimilarity {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_array_ops" -> (q95ArrayOps _),
     "q59_quantize_int8" -> (q59Quantize _),
+    "q193_mmr_diversify" -> (q193Mmr _),
     "q19_sim_bruteforce_topk" -> (q19BruteForce _),
     "q173_jl_matryoshka" -> (q173Project _),
     "q20_sim_ann_lsh" -> (q20AnnLsh _),
@@ -314,6 +408,7 @@ object QueriesSimilarity {
   val oracles: Map[String, String] = Map(
     "q95_array_ops" -> q95Sql,
     "q59_quantize_int8" -> q59Sql,
+    "q193_mmr_diversify" -> q193Sql,
     "q19_sim_bruteforce_topk" -> q19Sql,
     "q173_jl_matryoshka" -> q173Sql,
     "q20_sim_ann_lsh" -> q20Sql,

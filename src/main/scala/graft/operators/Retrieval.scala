@@ -109,4 +109,61 @@ object Retrieval {
         col("col.__id").as(idCol), col("col.score").as("score"),
         col("col.n_terms").as("n_terms"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) at λ = 1/2 over INTEGER-quantized vectors: from each
+    * query's candidate set, greedily pick k items maximizing
+    * 2·MMR = rel(d) − max_{s∈selected} sim(d, s) — relevance first,
+    * then "relevant but unlike what's already picked". The result
+    * diversifies retrieval/eval sets (k near-identical top hits
+    * collapse to one plus genuinely different follow-ups).
+    *
+    * Everything is exact BIGINT arithmetic (int8-code dot products),
+    * so the greedy argmax (score desc, id asc) can never flip on
+    * float noise — which is what makes a cross-engine oracle possible
+    * for an iterative selection. Caller contract: `df` is an already
+    * TOP-C-BOUNDED candidate set per query (the q83/q19 top-k shape);
+    * each group is collected per task — O(C·d) memory, C ≈ dozens —
+    * and greedy is O(k·C) dot products. Groups run in parallel;
+    * nothing global. */
+  def mmrDiversify(df: DataFrame, queryCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(queryCol).cast("long"),
+        col(idCol).cast("long"), col(relCol).cast("long"),
+        col(vecCol).cast("array<int>"))
+      .as[(Long, Long, Long, Seq[Int])]
+    val out = ds.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cs = it.toVector
+      def dot(a: Seq[Int], b: Seq[Int]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length && i < b.length) {
+          s += a(i).toLong * b(i).toLong; i += 1
+        }
+        s
+      }
+      var remaining = cs
+      var simMax = Map.empty[Long, Long]
+      val picks = Vector.newBuilder[(Long, Int, Long, Long, Long)]
+      var r = 1
+      while (r <= k && remaining.nonEmpty) {
+        val best = remaining.minBy { c =>
+          (-(c._3 - simMax.getOrElse(c._2, 0L)), c._2)
+        }
+        val score2 = best._3 - simMax.getOrElse(best._2, 0L)
+        picks += ((q, r, best._2, best._3, score2))
+        remaining = remaining.filterNot(_._2 == best._2)
+        remaining.foreach { c =>
+          val s = dot(c._4, best._4)
+          val prev = simMax.get(c._2)
+          simMax += c._2 -> (if (prev.isEmpty) s else math.max(prev.get, s))
+        }
+        r += 1
+      }
+      picks.result().iterator
+    }
+    out.toDF(queryCol, "sel_rank", idCol, relCol, "score2")
+  }
 }

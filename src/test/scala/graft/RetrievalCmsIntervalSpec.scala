@@ -151,4 +151,30 @@ class RetrievalCmsIntervalSpec extends SparkSpec {
       .select("rid").collect().map(_.getLong(0)).toSet
     out shouldBe Set(10L) // [0,10] meets [10,20]; [11,20] does not
   }
+
+  test("mmrDiversify: redundancy penalized, hand-computed greedy") {
+    import graft.operators.Retrieval
+    // candidates for one query: a & b are near-duplicates with top
+    // relevance; c is less relevant but orthogonal to both
+    val cands = Seq(
+      (1L, 1L, 100L, Seq(10, 0, 0)),   // a
+      (1L, 2L, 99L, Seq(10, 1, 0)),    // b ~ a (sim 100)
+      (1L, 3L, 60L, Seq(0, 0, 10)),    // c ⊥ a,b (sim 0)
+      (1L, 4L, 10L, Seq(0, 10, 0))
+    ).toDF("qid", "id", "rel", "qv")
+    val out = Retrieval.mmrDiversify(cands, "qid", "id", "rel", "qv", 3)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(4)))
+    // step1: pure relevance -> a (score 100)
+    // step2: b scores 99-100=-1, c scores 60-0=60 -> c wins DESPITE
+    // lower relevance (the point of MMR); step3: b (99-100=-1) vs
+    // d (10-0=10) -> d
+    out.toSeq shouldBe Seq((1, 1L, 100L), (2, 3L, 60L), (3, 4L, 10L))
+    // ties break on smaller id; k caps at candidate count
+    val tie = Seq((9L, 5L, 50L, Seq(1, 0)), (9L, 4L, 50L, Seq(0, 1)))
+      .toDF("qid", "id", "rel", "qv")
+    val t = Retrieval.mmrDiversify(tie, "qid", "id", "rel", "qv", 5)
+      .orderBy("sel_rank").collect().map(_.getLong(2)).toSeq
+    t shouldBe Seq(4L, 5L)
+  }
 }
