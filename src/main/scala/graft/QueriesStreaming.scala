@@ -208,9 +208,83 @@ object QueriesStreaming {
     """SELECT event_id % 25 AS bucket, count(DISTINCT event_id) AS n_keys
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q194
+  /** Stream-static enrichment (EventPipeline.enrichedDailyTotals), as
+    * a REAL multi-trigger run: four mtime-ordered quarter files feed
+    * a file stream that broadcast-joins the static customer dimension
+    * (key = user_id mod |customer| + 1) and aggregates watermarked
+    * per-(day, mktsegment) counts + exact cents. Two far-future
+    * sentinel files flush the watermark — the first advances it past
+    * January, the second's batch emits the finalized windows (append
+    * mode only emits below-watermark windows on a LATER batch);
+    * neither sentinel window can itself finalize and both fall to the
+    * < Feb filter. Oracle = the same join/agg in batch over the raw
+    * events. */
+  private def q194StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventPipeline
+    val work = java.nio.file.Files.createTempDirectory("graft_sse")
+    val deltaDir = work.resolve("delta").toString
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val bounds = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+      .map(b => lit(b).cast("timestamp"))
+    val quarters = Seq(
+      ev.filter(col("ts") < bounds(0)),
+      ev.filter(col("ts") >= bounds(0) && col("ts") < bounds(1)),
+      ev.filter(col("ts") >= bounds(1) && col("ts") < bounds(2)),
+      ev.filter(col("ts") >= bounds(2)))
+    quarters.foreach { q =>
+      q.coalesce(1).write.mode("append").parquet(deltaDir)
+      Thread.sleep(200L) // ms-granularity mtimes: keep file order strict
+    }
+    Seq("2024-02-15", "2024-03-01").foreach { d =>
+      s.range(1).select(lit(-1L).as("event_id"),
+          lit(d).cast("timestamp").as("ts"), lit(0L).as("user_id"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(deltaDir)
+      Thread.sleep(200L)
+    }
+    val cust = Tables.load(s, dir, "customer")
+    val n = cust.count()
+    val schema = s.read.parquet(deltaDir).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+    val q = EventPipeline.enrichedDailyTotals(src, cust,
+        pmod(col("user_id"), lit(n)) + 1, "c_custkey", "c_mktsegment")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000L))
+      throw new IllegalStateException("streaming enrichment timed out")
+    s.read.parquet(outDir)
+      .filter(col("window_start") < lit("2024-02-01").cast("timestamp"))
+      .orderBy(col("window_start"), col("c_mktsegment"))
+  }
+
+  private val q194Sql =
+    """WITH nn AS (SELECT count(*) AS n FROM customer),
+      |e AS (
+      |  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+      |    user_id,
+      |    CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM events),
+      |j AS (
+      |  SELECT e.window_start, c.c_mktsegment, e.cents
+      |  FROM e CROSS JOIN nn
+      |  JOIN customer c ON c.c_custkey = (e.user_id % nn.n) + 1)
+      |SELECT window_start, c_mktsegment, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_stream_enrich" -> (q194StreamEnrich _),
     "q27_stream_window" -> (q27Window _),
     "q28_stream_sessions" -> (q28Sessions _),
     "q43_stream_attribution" -> (q43Attribution _),
@@ -219,6 +293,7 @@ object QueriesStreaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "q194_stream_enrich" -> q194Sql,
     "q27_stream_window" -> q27Sql,
     "q175_stream_dedup" -> q175Sql,
     "q28_stream_sessions" -> q28Sql,

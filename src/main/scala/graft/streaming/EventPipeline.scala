@@ -32,6 +32,32 @@ object EventPipeline {
   def fromStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Stream-static enrichment + watermarked daily totals: the
+    * canonical "join the firehose to a dimension table" pipeline —
+    * the dimension is a plain batch DataFrame (broadcast, refreshed
+    * per micro-batch by Structured Streaming's stream-static join
+    * semantics; never shuffled), events map to a dimension key by
+    * `joinKey`, and the output is per-(day, attr) counts + exact
+    * cents. Identical code runs in batch for the oracle. At 100 TB
+    * the stream side only shuffles on the (window, attr) agg key with
+    * partial aggregation; the dimension rides the broadcast. */
+  def enrichedDailyTotals(events: DataFrame, dim: DataFrame,
+      joinKey: org.apache.spark.sql.Column,
+      dimKey: String, attr: String,
+      watermarkDelay: String = "1 day",
+      streaming: Boolean = true): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay)
+              else events
+    val cents = (round(col("value"), 2).cast("decimal(18,2)") * 100)
+      .cast("long")
+    src.join(broadcast(dim.select(col(dimKey), col(attr))),
+        joinKey === col(dimKey))
+      .groupBy(window(col("ts"), "1 day"), col(attr))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+      .select(col("window.start").as("window_start"), col(attr),
+        col("n"), col("sum_cents"))
+  }
+
   /** Tumbling-window counts per event type. Works identically in batch
     * and streaming; in streaming the watermark bounds state/lateness. */
   def windowedTypeCounts(events: DataFrame,

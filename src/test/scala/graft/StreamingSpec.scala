@@ -41,6 +41,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins dimension and sums exact cents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "AUTO"), (2L, "HOME")).toDF("k", "seg")
+    val stream = MemoryStream[Ev]
+    val query = EventPipeline.enrichedDailyTotals(stream.toDF(), dim,
+        pmod(col("user_id"), lit(2)) + 1, "k", "seg")
+      .writeStream.format("memory").queryName("enrich_totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(
+        ev(1, "2024-01-01 10:00:00", 2, "click", 1.10), // u2 -> k1 AUTO
+        ev(2, "2024-01-01 11:00:00", 4, "click", 2.25), // u4 -> k1 AUTO
+        ev(3, "2024-01-01 12:00:00", 3, "click", 5.00)) // u3 -> k2 HOME
+      query.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT seg, n, sum_cents FROM enrich_totals ORDER BY seg""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      rows.toSeq shouldBe Seq(("AUTO", 2L, 335L), ("HOME", 1L, 500L))
+    } finally query.stop()
+  }
+
   test("streaming dedup emits each key once within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
