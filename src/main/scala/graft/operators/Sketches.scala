@@ -182,15 +182,19 @@ object Sketches {
   def ddSketchQuantiles(counts: DataFrame, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantile fractions must be in (0, 1], got $qs")
-    import org.apache.spark.sql.expressions.Window
     val spark = counts.sparkSession
     val n = counts.agg(sum(col("cnt"))).collect()(0).getLong(0)
     val qsDf = spark.createDataFrame(qs.sorted.map(Tuple1(_))).toDF("q")
       .withColumn("rank",
         greatest(lit(1L), ceil(col("q") * lit(n.toDouble))))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+    // cumulative counts via triangle self-join over the ≤65-row state
+    // — constant work, and no global window / single-partition
+    // exchange anywhere in the operator (PlanAuditSpec invariant)
+    val cum = counts
+      .join(counts.select(col("bucket").as("__b2"),
+        col("cnt").as("__c2")), col("__b2") <= col("bucket"))
+      .groupBy(col("bucket"), col("cnt"))
+      .agg(sum(col("__c2")).as("cum"))
     cum.join(qsDf,
         col("rank") > col("cum") - col("cnt") && col("rank") <= col("cum"))
       .select(col("q"), col("rank"), col("bucket"),

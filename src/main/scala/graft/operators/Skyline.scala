@@ -36,15 +36,17 @@ object Skyline {
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_ONLY)
     // exclusive prefix max ACROSS partitions: one row per partition —
-    // this table is bounded by the partition COUNT, so its single-
-    // partition window is a constant-size scan, not a data-scale one
-    // (the RowNumbers offset table, expressed in-plan and type-generic)
-    val wp = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixDf = ordered.groupBy(col("__pid"))
-      .agg(max(col("y")).as("__m"))
-      .withColumn("__poff", max(col("__m")).over(wp))
-      .select(col("__pid"), col("__poff"))
+    // a table bounded by the partition COUNT. The exclusive running
+    // max over it is a triangle self-join (strictly-earlier pids),
+    // which plans as a broadcast nested-loop over ≤ numPartitions²
+    // constant-size rows — keeping the whole operator free of single-
+    // partition exchanges and global windows (PlanAuditSpec's
+    // registry-wide invariant), type-generic in y
+    val pm = ordered.groupBy(col("__pid")).agg(max(col("y")).as("__m"))
+    val prefixDf = pm.select(col("__pid"), col("__m"))
+      .join(pm.select(col("__pid").as("__qid"), col("__m").as("__qm")),
+        col("__qid") < col("__pid"), "left")
+      .groupBy(col("__pid")).agg(max(col("__qm")).as("__poff"))
     // exclusive running max WITHIN each partition (parallel windows)
     val w = Window.partitionBy(col("__pid")).orderBy(col("x").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
