@@ -608,6 +608,154 @@ object QueriesQuality {
       |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q195
+  /** Unicode script-mix battery (TA.scriptMix) over a corpus with
+    * deterministically planted script runs: zh docs gain CJK runs,
+    * fr/es/de gain accented runs, every 13th doc gains Cyrillic
+    * contamination — run lengths scale with doc_id so the dominant
+    * script actually flips on the longer runs. Integer counts from
+    * identical character-class regexes (ranges are literal characters
+    * — the one syntax Java regex and RE2 share), fixed-precedence
+    * dominant script, mixed flag. Map-only. */
+  private def q195ScriptMix(s: SparkSession, dir: String): DataFrame = {
+    val zh = when(col("lang") === "zh",
+      expr("repeat(' 中文语料', CAST(doc_id % 30 + 1 AS INT))"))
+      .otherwise(lit(""))
+    val acc = when(col("lang").isin("fr", "es", "de"),
+      expr("repeat(' éàñü', CAST(doc_id % 20 + 1 AS INT))"))
+      .otherwise(lit(""))
+    val cyr = when(col("doc_id") % 13 === 0,
+      expr("repeat(' русский', CAST(doc_id % 15 + 1 AS INT))"))
+      .otherwise(lit(""))
+    docs(s, dir)
+      .select(col("doc_id"),
+        TA.scriptMix(concat(col("text"), zh, acc, cyr)).as("g"))
+      .select(col("doc_id"),
+        col("g.n_latin").as("n_latin"), col("g.n_cjk").as("n_cjk"),
+        col("g.n_cyrillic").as("n_cyrillic"),
+        col("g.n_accented").as("n_accented"),
+        col("g.main_script").as("main_script"),
+        col("g.is_mixed").as("is_mixed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q195Sql =
+    """WITH built AS (
+      |  SELECT doc_id,
+      |    text
+      |    || CASE WHEN lang = 'zh' THEN
+      |         repeat(' 中文语料', CAST(doc_id % 30 + 1 AS INT))
+      |       ELSE '' END
+      |    || CASE WHEN lang IN ('fr', 'es', 'de') THEN
+      |         repeat(' éàñü', CAST(doc_id % 20 + 1 AS INT))
+      |       ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0 THEN
+      |         repeat(' русский', CAST(doc_id % 15 + 1 AS INT))
+      |       ELSE '' END AS t
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT)
+      |      AS n_latin,
+      |    CAST(len(regexp_extract_all(t, '[一-鿿]')) AS BIGINT)
+      |      AS n_cjk,
+      |    CAST(len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS BIGINT)
+      |      AS n_cyrillic,
+      |    CAST(len(regexp_extract_all(t, '[À-ÿ]')) AS BIGINT)
+      |      AS n_accented
+      |  FROM built)
+      |SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_accented,
+      |  CASE WHEN n_cjk >= n_cyrillic AND n_cjk >= n_accented
+      |         AND n_cjk >= n_latin AND n_cjk > 0 THEN 'cjk'
+      |       WHEN n_cyrillic >= n_accented AND n_cyrillic >= n_latin
+      |         AND n_cyrillic > 0 THEN 'cyrillic'
+      |       WHEN n_accented >= n_latin AND n_accented > 0
+      |         THEN 'accented'
+      |       WHEN n_latin > 0 THEN 'latin' ELSE 'none' END
+      |    AS main_script,
+      |  ((CASE WHEN n_latin > 0 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN n_accented > 0 THEN 1 ELSE 0 END)) >= 2
+      |    AS is_mixed
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q196
+  /** HTML extraction battery (TA.stripHtml) over deterministically
+    * HTML-wrapped docs: h1 head, classed paragraph, planted entities,
+    * and a script block on every 7th doc that must vanish WHOLESALE
+    * (tag-stripping alone would leak 'var x = 1;' into the text —
+    * the classic extraction bug). The oracle replays the identical
+    * regex chain (all patterns Java-regex ∩ RE2; DuckDB needs the
+    * explicit 'g' flag Spark applies implicitly); md5 round-trips the
+    * cleaned text. Map-only. */
+  private def q196HtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val tk = TA.tokens(col("text"))
+    val head = concat_ws(" ", slice(tk, 1, 5))
+    val rest = when(size(tk) > 5,
+      concat_ws(" ", slice(tk, lit(6), size(tk) - 5))).otherwise(lit(""))
+    val html = concat(
+      lit("<html><body><h1>"), head,
+      lit("</h1><p class=\"x\">"), rest,
+      lit(" &amp; more &lt;tags&gt;</p>"),
+      when(col("doc_id") % 7 === 0,
+        lit("<script>var x = 1;</script>")).otherwise(lit("")),
+      lit("</body></html>"))
+    docs(s, dir)
+      .select(col("doc_id"), html.as("h"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("h"), lit("<[^>]*>"), lit(0)))
+          .cast("long").as("n_tags"),
+        size(regexp_extract_all(col("h"),
+          lit("&(amp|lt|gt|quot|#39|nbsp);"), lit(0)))
+          .cast("long").as("n_entities"),
+        TA.stripHtml(col("h")).as("clean"))
+      .select(col("doc_id"), col("n_tags"), col("n_entities"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q196Sql =
+    """WITH t0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL OR trim(text) = ''
+      |      THEN CAST([] AS VARCHAR[])
+      |      ELSE string_split_regex(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |built AS (
+      |  SELECT doc_id,
+      |    '<html><body><h1>' || array_to_string(tk[1:5], ' ')
+      |    || '</h1><p class="x">'
+      |    || CASE WHEN len(tk) > 5
+      |         THEN array_to_string(tk[6:len(tk)], ' ') ELSE '' END
+      |    || ' &amp; more &lt;tags&gt;</p>'
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN '<script>var x = 1;</script>' ELSE '' END
+      |    || '</body></html>' AS h
+      |  FROM t0),
+      |stripped AS (
+      |  SELECT doc_id, h,
+      |    trim(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(
+      |        h,
+      |        '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+      |        '<[^>]*>', ' ', 'g'),
+      |        '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+      |        '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+      |        '&nbsp;', ' ', 'g'),
+      |        '\s+', ' ', 'g')) AS clean
+      |  FROM built)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(h, '<[^>]*>')) AS BIGINT) AS n_tags,
+      |  CAST(len(regexp_extract_all(h, '&(amp|lt|gt|quot|#39|nbsp);'))
+      |    AS BIGINT) AS n_entities,
+      |  CAST(length(clean) AS BIGINT) AS clean_len,
+      |  md5(clean) AS clean_md5
+      |FROM stripped ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- q186
   /** Tokenizer economics battery: per-language corpus totals of
     * bytes, characters, whitespace tokens, and BPE-ish subword pieces
@@ -663,6 +811,8 @@ object QueriesQuality {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_c4_battery" -> (q184C4Battery _),
+    "q195_script_mix" -> (q195ScriptMix _),
+    "q196_html_strip" -> (q196HtmlStrip _),
     "q186_tokenizer_fertility" -> (q186Fertility _),
     "q144_gopher_battery" -> (q144GopherBattery _),
     "q145_winnowing" -> (q145Winnowing _),
@@ -677,6 +827,8 @@ object QueriesQuality {
 
   val oracles: Map[String, String] = Map(
     "q184_c4_battery" -> q184Sql,
+    "q195_script_mix" -> q195Sql,
+    "q196_html_strip" -> q196Sql,
     "q186_tokenizer_fertility" -> q186Sql,
     "q144_gopher_battery" -> q144Sql,
     "q145_winnowing" -> q145Sql,

@@ -291,6 +291,62 @@ object TextAnalysis {
       (nSentences >= 3 && !hasLorem && !hasBrace).as("keep"))
   }
 
+  /** Shared Unicode script ranges — actual characters (not escape
+    * syntax), so the SAME Scala string drives Java regex and RE2. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "cjk" -> "一-鿿",
+    "cyrillic" -> "Ѐ-ӿ",
+    "accented" -> "À-ÿ")
+
+  /** Unicode script mix per document — the multilingual-corpus triage
+    * pass (is this page really the language its tag claims? is it
+    * script-contaminated?): per-script character counts over four
+    * ranges, the dominant script under a fixed precedence (cjk >
+    * cyrillic > accented > latin on ties — rarer scripts win so a
+    * 50/50 contamination surfaces), and a mixed flag when ≥ 2
+    * scripts appear. Counts are integers from identical
+    * character-class regexes both engines (ranges are literal chars,
+    * valid in Java regex and RE2 alike); map-only at any scale. */
+  def scriptMix(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    def cnt(range: String): Column =
+      size(regexp_extract_all(t, lit(s"[$range]"), lit(0))).cast("long")
+    val latin = cnt(ScriptRanges(0)._2)
+    val cjk = cnt(ScriptRanges(1)._2)
+    val cyr = cnt(ScriptRanges(2)._2)
+    val acc = cnt(ScriptRanges(3)._2)
+    val main = when(cjk >= cyr && cjk >= acc && cjk >= latin && cjk > 0,
+      lit("cjk"))
+      .when(cyr >= acc && cyr >= latin && cyr > 0, lit("cyrillic"))
+      .when(acc >= latin && acc > 0, lit("accented"))
+      .when(latin > 0, lit("latin"))
+      .otherwise(lit("none"))
+    val nScripts = Seq(latin, cjk, cyr, acc)
+      .map(c => when(c > 0, 1).otherwise(0)).reduce(_ + _)
+    struct(latin.as("n_latin"), cjk.as("n_cjk"), cyr.as("n_cyrillic"),
+      acc.as("n_accented"), main.as("main_script"),
+      (nScripts >= 2).as("is_mixed"))
+  }
+
+  /** HTML boilerplate strip (the trafilatura-lite text-extraction
+    * step): drop script/style blocks wholesale, strip every tag,
+    * decode the six standard entities, collapse whitespace. Pure
+    * regex/replace chain — one codegen'd map pass, and every pattern
+    * is Java-regex ∩ RE2 so the oracle runs the identical pipeline. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(coalesce(html, lit("")),
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) =>
+        regexp_replace(c, e, r) // entity names contain no regex metachars
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Window-minimum selection over an ALREADY-MATERIALIZED hash column
     * from [[winnowingHashes]] — `hashes` must be a bound column, not
     * an inline expression: Catalyst inlines an inline tree into every

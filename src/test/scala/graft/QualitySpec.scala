@@ -302,6 +302,41 @@ class QualitySpec extends SparkSpec {
     top shouldBe Seq(10L, 11L) // equal scores -> smaller id first
   }
 
+  test("scriptMix: dominant script precedence and mixed flag") {
+    import graft.functions.{TextAnalysis => TA}
+    def mix(t: String) = Seq(t).toDF("text")
+      .select(TA.scriptMix(col("text")).as("g")).select("g.*").collect()(0)
+    val cjk = mix("中文文本")
+    cjk.getString(4) shouldBe "cjk"
+    cjk.getBoolean(5) shouldBe false
+    val contaminated = mix("hello мир widely привет друг")
+    contaminated.getLong(0) shouldBe 11L // latin chars
+    contaminated.getLong(2) shouldBe 13L // cyrillic chars
+    contaminated.getString(4) shouldBe "cyrillic" // rarer script wins tie-free
+    contaminated.getBoolean(5) shouldBe true
+    // accented chars are NOT latin; é counts once in accented only
+    val fr = mix("café")
+    fr.getLong(0) shouldBe 3L
+    fr.getLong(3) shouldBe 1L
+    fr.getString(4) shouldBe "latin"
+    mix("12345 !!!").getString(4) shouldBe "none"
+  }
+
+  test("stripHtml: script blocks vanish wholesale, entities decode") {
+    import graft.functions.{TextAnalysis => TA}
+    def strip(t: String) = Seq(t).toDF("text")
+      .select(TA.stripHtml(col("text"))).collect()(0).getString(0)
+    strip("<p>Tom &amp; Jerry &lt;3</p>") shouldBe "Tom & Jerry <3"
+    // the classic leak: tag-stripping alone would keep 'var x = 1;'
+    strip("<h1>Title</h1><script>var x = 1;</script><p>Body</p>") shouldBe
+      "Title Body"
+    strip("<style>.a { color: red }</style>ok") shouldBe "ok"
+    // multiline script block ((?s) flag), attributes on the tag
+    strip("a<script type=\"x\">\nline1\nline2\n</script>b") shouldBe "a b"
+    strip("A&nbsp;B&#39;C&quot;D") shouldBe "A B'C\"D"
+    strip("") shouldBe ""
+  }
+
   test("c4Quality: hand-computed line and page rules") {
     import graft.functions.{TextAnalysis => TA}
     val page = Seq(
