@@ -906,6 +906,66 @@ object QueriesCorpus {
       |    AS quota
       |FROM r CROSS JOIN e ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------- q197
+  /** Size-balanced shard assignment (Packing.shardRoundRobin): docs
+    * dealt round-robin in (bpe-token-count desc, id) order across 7
+    * shards — sorted-round-robin LPT, the standard training-file
+    * balancer. The gate checks per-shard census (count, token totals,
+    * extremes); the oracle's plain row_number restates the repo's
+    * two-pass distributed row-number scheme. */
+  private def q197ShardBalance(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TA.bpeishTokenCount(col("text")).cast("long").as("tok"))
+    Packing.shardRoundRobin(d, "doc_id", col("tok"), numShards = 7)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("total_tokens"),
+        max(col("tok")).as("max_tokens"), min(col("tok")).as("min_tokens"))
+      .orderBy(col("shard"))
+  }
+
+  private val q197Sql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, tok,
+      |    row_number() OVER (ORDER BY tok DESC, doc_id) AS pos
+      |  FROM w)
+      |SELECT (pos - 1) % 7 AS shard, count(*) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+      |  max(tok) AS max_tokens, min(tok) AS min_tokens
+      |FROM o GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // -------------------------------------------------------------- q198
+  /** Empirical-CDF transform (Quantiles.ecdf) over quantity cents:
+    * the quantile-normalization feature map. One distinct-value
+    * aggregate + the two-pass prefix sum; ecdf = cum/n is a single
+    * integer division — bit-stable under any partitioning, so the
+    * doubles hash exactly. */
+  private def q198Ecdf(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(s, dir, "lineitem").select(
+      (col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    graft.operators.Quantiles.ecdf(v, "cents").orderBy(col("value"))
+  }
+
+  private val q198Sql =
+    """WITH v AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS value
+      |  FROM lineitem WHERE l_quantity IS NOT NULL),
+      |c AS (SELECT value, count(*) AS cnt FROM v GROUP BY 1),
+      |t AS (SELECT sum(cnt) AS n FROM c),
+      |cu AS (
+      |  SELECT value, cnt,
+      |    sum(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM c)
+      |SELECT value, cnt, CAST(cum AS BIGINT) AS cum,
+      |  CAST(cum AS DOUBLE) / CAST(t.n AS DOUBLE) AS ecdf
+      |FROM cu CROSS JOIN t ORDER BY value""".stripMargin
+
   // -------------------------------------------------------------- q192
   /** Base-2 DDSketch quantiles (Sketches.ddSketchCounts/Quantiles)
     * over price cents: the MERGEABLE quantile path — state is ≤65
@@ -1000,6 +1060,8 @@ object QueriesCorpus {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_ring_negatives" -> (q190RingNegatives _),
     "q192_ddsketch" -> (q192DdSketch _),
+    "q197_shard_balance" -> (q197ShardBalance _),
+    "q198_ecdf" -> (q198Ecdf _),
     "q141_temperature_mix" -> (q141TemperatureMix _),
     "q137_source_overlap" -> (q137SourceOverlap _),
     "q138_ccnet_buckets" -> (q138CcnetBuckets _),
@@ -1028,6 +1090,8 @@ object QueriesCorpus {
   val oracles: Map[String, String] = Map(
     "q190_ring_negatives" -> q190Sql,
     "q192_ddsketch" -> q192Sql,
+    "q197_shard_balance" -> q197Sql,
+    "q198_ecdf" -> q198Sql,
     "q141_temperature_mix" -> q141Sql,
     "q137_source_overlap" -> q137Sql,
     "q138_ccnet_buckets" -> q138Sql,

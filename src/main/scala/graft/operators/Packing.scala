@@ -99,4 +99,26 @@ object Packing {
         size(col("win.w")).cast("long").as("win_tokens"),
         md5(array_join(col("win.w"), " ")).as("win_hash"))
   }
+
+  /** Size-balanced shard assignment for training-file writers: order
+    * docs by (weight desc, id) and deal them round-robin across
+    * `numShards` — the classic sorted-round-robin approximation of
+    * LPT scheduling (largest items spread first, shard totals land
+    * within one max-item of each other for long-tailed corpora).
+    * Deterministic: same docs ⇒ same shards, any partitioning.
+    *
+    * The global order uses the repo's two-pass row-number scheme
+    * (range partition + per-partition window + driver-bounded offset
+    * table), never a single-partition window. Returns the input plus
+    * (pos, shard). */
+  def shardRoundRobin(df: DataFrame, idCol: String, weight: Column,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1 (got $numShards)")
+    val ordered = df.withColumn("__w", weight)
+      .repartitionByRange(col("__w").desc, col(idCol))
+      .sortWithinPartitions(col("__w").desc, col(idCol))
+    RowNumbers.global(ordered, "pos")
+      .withColumn("shard", pmod(col("pos") - 1, lit(numShards.toLong)))
+      .drop("__w")
+  }
 }

@@ -199,4 +199,32 @@ object Quantiles {
         max(col("__mad")).as("mad"),
         sum(when(col("__out"), 1L).otherwise(0L)).as("n_outliers"))
   }
+
+  /** Empirical CDF per distinct value: (value, cnt, cum, ecdf) with
+    * ecdf = P(X ≤ value) — the quantile-normalization / rank-feature
+    * transform (map a skewed feature to uniform [0,1] by its own
+    * distribution). Same scale shape as [[exactPercentiles]]: one
+    * distinct-value aggregate, then the two-pass distributed prefix
+    * sum; ecdf is a single integer division, bit-stable anywhere. */
+  def ecdf(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("value")).agg(count(lit(1)).as("cnt"))
+    val base = counts.repartitionByRange(col("value"))
+      .sortWithinPartitions(col("value"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_ONLY)
+    val totals = base.groupBy(col("__pid")).agg(sum(col("cnt")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = totals.map(_._2).sum
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val offDf = spark.createDataFrame(
+      totals.map(_._1).zip(offsets).toIndexedSeq).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("cum", sum(col("cnt")).over(w) + col("__off"))
+      .select(col("value"), col("cnt"), col("cum"),
+        (col("cum").cast("double") / lit(n.toDouble)).as("ecdf"))
+  }
 }

@@ -589,6 +589,41 @@ class CorpusOpsSpec extends SparkSpec {
       seed = 1L).count() shouldBe 0L
   }
 
+  test("shardRoundRobin: LPT-ish balance, deterministic, exact dealing") {
+    // weights 1..100: sorted round-robin across 4 shards
+    val docs = (1L to 100L).map(i => (i, i % 100 + 1)).toDF("doc_id", "w")
+    val out = Packing.shardRoundRobin(docs, "doc_id", col("w"), 4)
+    val byShard = out.groupBy("shard")
+      .agg(sum("w").as("tot"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    byShard.length shouldBe 4
+    byShard.foreach(_._3 shouldBe 25L)
+    // totals within one max-item of each other
+    val tots = byShard.map(_._2)
+    (tots.max - tots.min) should be <= 100L
+    // deterministic across partitionings
+    val re = Packing.shardRoundRobin(docs.repartition(9), "doc_id",
+      col("w"), 4).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.select("doc_id", "shard").collect()
+      .foreach(r => re(r.getLong(0)) shouldBe r.getLong(1))
+    // heaviest item (doc 99, w=100) goes to shard 0 (pos 1)
+    re(99L) shouldBe 0L
+  }
+
+  test("ecdf: hand-computed fractions over duplicated values") {
+    import graft.operators.Quantiles
+    val v = (Seq.fill(3)(10L) ++ Seq.fill(5)(20L) ++ Seq.fill(2)(30L))
+      .map(Tuple1(_)).toDF("v")
+    val out = Quantiles.ecdf(v, "v").orderBy("value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.toSeq shouldBe Seq(
+      (10L, 3L, 3L, 0.3), (20L, 5L, 8L, 0.8), (30L, 2L, 10L, 1.0))
+    // partitioning invariance (prefix offsets must stitch)
+    Quantiles.ecdf(v.repartition(7), "v").orderBy("value").collect()
+      .map(_.getDouble(3)).toSeq shouldBe Seq(0.3, 0.8, 1.0)
+  }
+
   test("ddSketch base-2: merge = whole-input sketch, 2x error bound") {
     val vals = (1L to 5000L).map(v => Tuple1(v * v % 100000)).toDF("v")
     val whole = Sketches.ddSketchCounts(vals, "v")
