@@ -1369,9 +1369,131 @@ object QueriesAnalytics {
       |WHERE pm IS NULL OR order_day > pm
       |ORDER BY price_cents""".stripMargin
 
+  // -------------------------------------------------------------- q199
+  /** Weighted discrete percentiles
+    * (Quantiles.weightedPercentilesByGroup): per returnflag, the
+    * price below which 50% / 90% of the shipped QUANTITY falls —
+    * mass-weighted, not row-weighted. Both value and weight are
+    * exact integer cents; the rank is ceil(q·ΣW) with the identical
+    * double ceil both engines. */
+  private def q199WeightedPctile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"),
+      (col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long").as("wq"))
+    Quantiles.weightedPercentilesByGroup(li, "l_returnflag", "cents",
+        "wq", Seq(0.5, 0.9))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  private val q199Sql =
+    """WITH b AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS value,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      |counts AS (
+      |  SELECT g, value, CAST(sum(w) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2),
+      |totals AS (SELECT g, sum(c) AS n FROM counts GROUP BY 1),
+      |cum AS (
+      |  SELECT g, value, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY value
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM counts),
+      |ranks AS (
+      |  SELECT t.g, qs.q,
+      |    GREATEST(1, CAST(ceil(qs.q * CAST(t.n AS DOUBLE)) AS BIGINT))
+      |      AS rank
+      |  FROM totals t,
+      |    (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)])
+      |       AS q) qs)
+      |SELECT r.g AS l_returnflag, r.q, r.rank, cum.value
+      |FROM ranks r JOIN cum
+      |  ON cum.g = r.g AND r.rank > cum.cum - cum.c
+      |    AND r.rank <= cum.cum
+      |ORDER BY l_returnflag, q""".stripMargin
+
+  // -------------------------------------------------------------- q200
+  /** Common-neighbor census (Graph.commonNeighborCensus) over the q78
+    * graph with the center-degree cap ACTUALLY engaged (cap 10): the
+    * link-prediction feature distribution, with the capped-center
+    * count in-row so the documented undercount is auditable. The
+    * oracle replays the cap. */
+  private def q200CommonNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.commonNeighborCensus(e, "src", "dst", maxCenterDegree = 10)
+      .orderBy(col("cn"))
+  }
+
+  private val q200Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT
+      |    least(l_orderkey % 20000, (l_partkey * 7) % 20000) AS u,
+      |    greatest(l_orderkey % 20000, (l_partkey * 7) % 20000) AS v
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)
+      |    AND l_orderkey IS NOT NULL),
+      |adj AS (SELECT u AS c, v AS x FROM e0
+      |        UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT c, count(*) AS d FROM adj GROUP BY 1),
+      |kept AS (SELECT adj.c, adj.x FROM adj JOIN deg USING (c)
+      |         WHERE deg.d <= 10),
+      |pairs AS (
+      |  SELECT a.x AS a, b.x AS b, count(*) AS cn
+      |  FROM kept a JOIN kept b ON a.c = b.c AND a.x < b.x
+      |  GROUP BY 1, 2),
+      |census AS (SELECT cn, count(*) AS n_pairs FROM pairs GROUP BY 1),
+      |capped AS (
+      |  SELECT CAST(sum(CASE WHEN d > 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_capped_centers
+      |  FROM deg)
+      |SELECT cn, n_pairs, n_capped_centers
+      |FROM census CROSS JOIN capped ORDER BY cn""".stripMargin
+
+  // -------------------------------------------------------------- q201
+  /** Equi-depth binning (Quantiles.equiDepthBuckets, k=10) over price
+    * cents: rank-derived histogram boundaries — ~n/10 rows per bucket
+    * however skewed the distribution, bucket = ceil(cum·k/n) in pure
+    * integer arithmetic (ntile's row-order-among-duplicates hazard
+    * engineered out). */
+  private def q201EquiDepth(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(s, dir, "lineitem").select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    Quantiles.equiDepthBuckets(v, "cents", k = 10).orderBy(col("bucket"))
+  }
+
+  private val q201Sql =
+    """WITH v AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) AS value
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |c AS (SELECT value, count(*) AS cnt FROM v GROUP BY 1),
+      |t AS (SELECT sum(cnt) AS n FROM c),
+      |cu AS (
+      |  SELECT value, cnt,
+      |    sum(cnt) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM c),
+      |b AS (
+      |  SELECT (cum * 10 + t.n - 1) // t.n AS bucket, value, cnt
+      |  FROM cu CROSS JOIN t)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  count(*) AS n_values, min(value) AS lo, max(value) AS hi
+      |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_weighted_pctile" -> (q199WeightedPctile _),
+    "q200_common_neighbors" -> (q200CommonNeighbors _),
+    "q201_equi_depth" -> (q201EquiDepth _),
     "q191_skyline" -> (q191Skyline _),
     "q189_outlier_fences" -> (q189OutlierFences _),
     "q147_kcore" -> (q147Kcore _),
@@ -1408,6 +1530,9 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q199_weighted_pctile" -> q199Sql,
+    "q200_common_neighbors" -> q200Sql,
+    "q201_equi_depth" -> q201Sql,
     "q191_skyline" -> q191Sql,
     "q189_outlier_fences" -> q189Sql,
     "q147_kcore" -> q147Sql,

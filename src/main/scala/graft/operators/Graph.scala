@@ -556,4 +556,38 @@ object Graph {
     // within-core degrees of the surviving subgraph
     e.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Common-neighbor census — the link-prediction feature
+    * distribution (Liben-Nowell & Kleinberg 2003): how many node
+    * pairs share exactly c neighbors, for each c. Wedges are
+    * enumerated at their center; a center of degree d fans out to
+    * C(d, 2) pairs, so the one scale hazard is a hub center —
+    * `maxCenterDegree` drops over-degree centers WHOLESALE (the LSH
+    * bucket-cap discipline: a bounded, documented undercount instead
+    * of an unbounded join, and hubs' wedges are the least informative
+    * for link prediction anyway). Work is Σ_{d ≤ cap} C(d, 2);
+    * output is the tiny (c → n_pairs) histogram plus the capped-
+    * center count so the undercount is always visible. */
+  def commonNeighborCensus(edges: DataFrame, src: String, dst: String,
+      maxCenterDegree: Int = 1000): DataFrame = {
+    require(maxCenterDegree >= 2,
+      s"maxCenterDegree must be >= 2 (got $maxCenterDegree)")
+    val canon = canonicalEdges(edges, src, dst)
+    val adj = canon.select(col("u").as("c"), col("v").as("x"))
+      .unionAll(canon.select(col("v").as("c"), col("u").as("x")))
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
+    val kept = adj.join(deg.filter(col("d") <= maxCenterDegree)
+      .select(col("c")), Seq("c"))
+    val pairs = kept.select(col("c"), col("x").as("a"))
+      .hint("shuffle_hash")
+      .join(kept.select(col("c"), col("x").as("b")), Seq("c"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    val census = pairs.groupBy(col("cn")).agg(count(lit(1)).as("n_pairs"))
+    census
+      .crossJoin(broadcast(deg.agg(
+        sum(when(col("d") > maxCenterDegree, 1L).otherwise(0L))
+          .as("n_capped_centers"))))
+      .select(col("cn"), col("n_pairs"), col("n_capped_centers"))
+  }
 }

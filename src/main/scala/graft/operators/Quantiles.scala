@@ -86,13 +86,37 @@ object Quantiles {
     * grain would be the whole table. */
   def exactPercentilesByGroup(df: DataFrame, groupCol: String,
       valueCol: String, qs: Seq[Double]): DataFrame = {
-    require(qs.nonEmpty, "qs must be non-empty")
-    require(qs.forall(q => q > 0.0 && q <= 1.0),
-      s"quantile fractions must be in (0, 1], got $qs")
-    val spark = df.sparkSession
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).as("value"))
       .agg(count(lit(1)).as("c"))
+    rankLookupByGroup(counts, groupCol, qs)
+  }
+
+  /** WEIGHTED discrete percentiles per group: the value at the
+    * smallest cumulative weight reaching ceil(q·W) — e.g. the
+    * token-weighted median document length, or the price below which
+    * q of the shipped QUANTITY falls. Identical machinery to
+    * [[exactPercentilesByGroup]] with the per-value count replaced by
+    * the weight sum; exact as long as weights are integers (cents,
+    * counts). */
+  def weightedPercentilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, qs: Seq[Double]): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("value"))
+      .agg(sum(col(weightCol)).as("c"))
+    rankLookupByGroup(counts, groupCol, qs)
+  }
+
+  /** Shared rank lookup over a (group, value, c) mass table: rank =
+    * max(1, ceil(q·Σc)); value v answers q iff the cumulative mass at
+    * v first reaches the rank. */
+  private def rankLookupByGroup(counts: DataFrame, groupCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1], got $qs")
+    val spark = counts.sparkSession
     val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
     val qsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(qs.sorted.map(Row(_)), 1),
@@ -111,6 +135,31 @@ object Quantiles {
         cum(groupCol) === ranks(groupCol) &&
           col("rank") > col("cum") - col("c") && col("rank") <= col("cum"))
       .select(cum(groupCol), col("q"), col("rank"), col("value"))
+  }
+
+  /** Equi-depth (equal-frequency) binning: every row's value lands in
+    * bucket ceil(cum·k / n) ∈ [1, k] — the rank-derived histogram
+    * that puts ~n/k rows in each bucket regardless of skew (where
+    * equi-WIDTH histograms collapse under a heavy tail). Integer
+    * arithmetic throughout ((cum·k + n − 1) div n == ceil for
+    * positive ints), so bucket boundaries are engine-exact — unlike
+    * ntile, whose splits depend on row order among duplicates.
+    * Returns per bucket: row mass, distinct values, lo/hi bounds.
+    * Same scale shape as [[ecdf]]. */
+  def equiDepthBuckets(df: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val withCum = ecdf(df, valueCol)
+    val n = math.max(1L, df.filter(col(valueCol).isNotNull).count())
+    withCum
+      // positive operands: div truncation == floor == ceil-rewrite
+      .withColumn("bucket", expr(s"(cum * $k + ${n - 1}L) div ${n}L"))
+      .select(col("bucket").cast("long").as("bucket"), col("value"),
+        col("cnt"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_values"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
   }
 
   /** Approximate per-group percentiles over a DETERMINISTIC bottom-k

@@ -363,6 +363,37 @@ object ScaleSmoke {
       }
       println(f"mergecc  ${f}%2dx oldpairs=${ccPairs.count()}%8d merged=$mcRows%8d  $tMc%6.1f s")
       sweep()
+
+      // line dedup WITH the adversarial universal footer: every doc
+      // carries the same boilerplate line, so the winner aggregate's
+      // hottest key has multiplicity = |docs|. Partial aggregation
+      // must collapse it map-side — wall tracks docs linearly, never
+      // the hot key's multiplicity
+      val lined = corpus.select(col("doc_id"),
+        concat(lit("universal footer line\n"),
+          regexp_replace(col("text"), " (\\w+ \\w+ \\w+ \\w+ \\w+)",
+            "\n$1")).as("text"))
+      val (ldRows, tLd) = time {
+        Dedup.dedupLines(lined, "doc_id", "text")
+          .agg(sum(col("n_kept"))).head().getLong(0)
+      }
+      println(f"linededup ${f}%2dx docs=$n%8d kept=$ldRows%9d  $tLd%6.1f s")
+      sweep()
+
+      // skyline: frontier of (price, recency) — distinct-x collapse +
+      // prefix-max; frontier output is tiny at every factor
+      val ordersF = blowup(spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("doc_id"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("x"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("y")),
+        "doc_id", f)
+      val (skyN, tSky) = time {
+        graft.operators.Skyline.frontier2D(ordersF, "x", "y").count()
+      }
+      println(f"skyline  ${f}%2dx rows=${ordersF.count()}%8d frontier=$skyN%5d  $tSky%6.1f s")
+      sweep()
     }
 
     // ---------------- adversarial-skew stanzas (power-law fixtures) ----

@@ -270,6 +270,45 @@ class AnalyticsSpec extends SparkSpec {
     got(0.91) shouldBe 2.0
   }
 
+  test("weightedPercentilesByGroup: mass-weighted rank lookup") {
+    // group g: value 10 carries weight 1, value 20 weight 8, 30 weight 1
+    // -> W=10; p50 rank 5 lands in 20's mass [2,9]; p95 rank 10 -> 30
+    val df = Seq(("g", 10L, 1L), ("g", 20L, 8L), ("g", 30L, 1L))
+      .toDF("grp", "v", "w")
+    val got = Quantiles.weightedPercentilesByGroup(df, "grp", "v", "w",
+        Seq(0.5, 0.95))
+      .collect().map(r => r.getDouble(1) -> r.getLong(3)).toMap
+    got(0.5) shouldBe 20L
+    got(0.95) shouldBe 30L
+    // unweighted row-median would have been 20 too, but p95 row-wise
+    // is 30 only because the tail weight is 1 row; check a case where
+    // weighting actually flips the median
+    val skew = Seq(("h", 10L, 1L), ("h", 20L, 1L), ("h", 30L, 98L))
+      .toDF("grp", "v", "w")
+    Quantiles.weightedPercentilesByGroup(skew, "grp", "v", "w", Seq(0.5))
+      .collect()(0).getLong(3) shouldBe 30L // 98% of mass sits at 30
+    Quantiles.exactPercentilesByGroup(skew, "grp", "v", Seq(0.5))
+      .collect()(0).getLong(3) shouldBe 20L // row-median says 20
+  }
+
+  test("equiDepthBuckets: ~n/k per bucket, duplicate-safe") {
+    val v = ((1L to 100L) ++ Seq.fill(100)(42L)).map(Tuple1(_)).toDF("v")
+    val out = Quantiles.equiDepthBuckets(v, "v", 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // n=200, k=4: the 101-copy value 42 swallows the middle; buckets
+    // are contiguous, cover all values, and masses are as equal as
+    // the duplicate block allows
+    out.map(_._1).toSeq shouldBe out.map(_._1).toSeq.sorted
+    out.map(_._2).sum shouldBe 200L
+    out.foreach { case (_, _, lo, hi) => lo should be <= hi }
+    // every row of the dup block lands in ONE bucket (value-determined,
+    // not row-order-determined like ntile)
+    val dupBucket = out.filter(b => b._3 <= 42L && 42L <= b._4)
+    dupBucket.length shouldBe 1
+    dupBucket(0)._2 should be >= 101L
+  }
+
   test("skyline frontier2D: hand-computed frontier, ties, invariance") {
     import graft.operators.Skyline
     val pts = Seq(

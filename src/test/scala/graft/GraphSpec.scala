@@ -280,4 +280,24 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     fix.keySet.subsetOf(one) shouldBe true
   }
+
+  test("commonNeighborCensus: hand-computed histogram + center cap") {
+    import spark.implicits._
+    // star 0-{1,2,3} plus edge 1-2: pairs via center 0: (1,2) (1,3)
+    // (2,3); pair (1,2) also closes via centers 1? no — centers are
+    // SHARED NEIGHBORS: 1 and 2 share {0}; 1,3 share {0}; 2,3 share
+    // {0}; 0 and 1 share {2}; 0 and 2 share {1}; 0,3 share {}
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L))
+      .toDF("a", "b")
+    val out = Graph.commonNeighborCensus(e, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 5L) // five pairs, each sharing exactly 1
+    // cap: center 0 has degree 3 -> cap 2 removes ALL its wedges,
+    // leaving only centers 1 and 2 (degree 2 each)
+    val capped = Graph.commonNeighborCensus(e, "a", "b",
+      maxCenterDegree = 2).collect()
+    capped.map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 2L) // (0,2) via center 1 and (0,1) via center 2
+    capped(0).getLong(2) shouldBe 1L // one capped center, visible
+  }
 }
