@@ -1369,6 +1369,48 @@ object QueriesAnalytics {
       |WHERE pm IS NULL OR order_day > pm
       |ORDER BY price_cents""".stripMargin
 
+  // -------------------------------------------------------------- q202
+  /** Holt linear-trend smoothing (TimeSeries.holt): the level+trend
+    * upgrade of q168's EWMA, per user over the totally-ordered event
+    * values, with exact binary α=1/4, β=1/8. The oracle replays the
+    * recurrence with a RECURSIVE CTE rather than a struct-state
+    * list_reduce: DuckDB 1.0 evaluates struct_pack fields in a
+    * reduce accumulator SEQUENTIALLY IN PLACE (field 2's expression
+    * sees field 1's already-updated value — measured: two identical
+    * field expressions return different values), so a two-component
+    * fold state cannot be restated faithfully that way. The CTE
+    * steps (user, i) → (user, i+1) with both components updated from
+    * the same old state — identical fold order ⇒ identical double
+    * bits. */
+  private def q202Holt(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+    TimeSeries.holt(ev, Seq("user_id"), Seq(col("ts"), col("event_id")),
+        col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q202Sql =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(value AS DOUBLE) AS x,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE value IS NOT NULL),
+      |nn AS (SELECT user_id, max(rn) AS m FROM ev GROUP BY 1),
+      |rec AS (
+      |  SELECT e.user_id, 1 AS i, e.x AS l, CAST(0.0 AS DOUBLE) AS t
+      |  FROM ev e WHERE e.rn = 1
+      |  UNION ALL
+      |  SELECT r.user_id, r.i + 1,
+      |    e.x * 0.25 + (r.l + r.t) * 0.75,
+      |    ((e.x * 0.25 + (r.l + r.t) * 0.75) - r.l) * 0.125
+      |      + r.t * 0.875
+      |  FROM rec r JOIN ev e
+      |    ON e.user_id = r.user_id AND e.rn = r.i + 1)
+      |SELECT r.user_id, CAST(nn.m AS BIGINT) AS n_obs, r.l AS level,
+      |  r.t AS trend, r.l + r.t AS forecast1
+      |FROM rec r JOIN nn ON nn.user_id = r.user_id AND r.i = nn.m
+      |ORDER BY r.user_id""".stripMargin
+
   // -------------------------------------------------------------- q199
   /** Weighted discrete percentiles
     * (Quantiles.weightedPercentilesByGroup): per returnflag, the
@@ -1492,6 +1534,7 @@ object QueriesAnalytics {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_weighted_pctile" -> (q199WeightedPctile _),
+    "q202_holt" -> (q202Holt _),
     "q200_common_neighbors" -> (q200CommonNeighbors _),
     "q201_equi_depth" -> (q201EquiDepth _),
     "q191_skyline" -> (q191Skyline _),
@@ -1531,6 +1574,7 @@ object QueriesAnalytics {
 
   val oracles: Map[String, String] = Map(
     "q199_weighted_pctile" -> q199Sql,
+    "q202_holt" -> q202Sql,
     "q200_common_neighbors" -> q200Sql,
     "q201_equi_depth" -> q201Sql,
     "q191_skyline" -> q191Sql,

@@ -45,6 +45,49 @@ object TimeSeries {
         (acc, x) => x * lit(alpha) + acc * lit(1.0 - alpha)).as("ewma"): _*)
   }
 
+  /** Holt linear-trend smoothing per key (double exponential
+    * smoothing, Holt 1957): level/trend recurrence
+    *   l_i = α·x_i + (1−α)(l_{i−1} + t_{i−1})
+    *   t_i = β(l_i − l_{i−1}) + (1−β)·t_{i−1}
+    * initialized l_1 = x_1, t_1 = 0 — the one-step forecast is
+    * l + t. Same engineering as [[ewma]]: one grouping shuffle, the
+    * ordered array folded in-array with a STRUCT accumulator (level,
+    * trend), α/β as exact binary fractions so the identical fold
+    * order yields bit-identical doubles cross-engine (DuckDB replays
+    * it with a list_reduce over (l, t) structs — reduce needs acc and
+    * element to share a type, so elements enter as (x, 0) structs).
+    * l_i appears twice in the step (in t_i too): both engines inline
+    * the same pure expression, so the duplication is value-safe. */
+  def holt(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+      valueCol: Column, alpha: Double = 0.25, beta: Double = 0.125)
+      : DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0,1]")
+    require(beta > 0.0 && beta <= 1.0, s"beta ($beta) must be in (0,1]")
+    val ordKey = struct(orderCols: _*)
+    val seq = df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(ordKey.as("o"),
+        valueCol.cast("double").as("x")))).as("s"))
+      .select(keys.map(col) :+
+        transform(col("s"), e => e.getField("x")).as("xs"): _*)
+    def step(acc: Column, x: Column): Column = {
+      val lp = x * lit(alpha) +
+        (acc.getField("l") + acc.getField("t")) * lit(1.0 - alpha)
+      struct(lp.as("l"),
+        ((x * lit(alpha) +
+          (acc.getField("l") + acc.getField("t")) * lit(1.0 - alpha))
+          - acc.getField("l")) * lit(beta) +
+          acc.getField("t") * lit(1.0 - beta)).as("t")
+    }
+    val folded = aggregate(slice(col("xs"), lit(2), size(col("xs"))),
+      struct(element_at(col("xs"), 1).as("l"), lit(0.0).as("t")),
+      (acc, x) => step(acc, x))
+    seq.select(keys.map(col) :+
+      size(col("xs")).cast("long").as("n_obs") :+
+      folded.getField("l").as("level") :+
+      folded.getField("t").as("trend") :+
+      (folded.getField("l") + folded.getField("t")).as("forecast1"): _*)
+  }
+
   /** Per-key simple anomaly census on the same ordered fold: counts
     * observations whose absolute jump from the PREVIOUS observation
     * exceeds `tau` (a map of the ordered array, no second shuffle).

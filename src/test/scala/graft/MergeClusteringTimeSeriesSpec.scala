@@ -87,6 +87,28 @@ class MergeClusteringTimeSeriesSpec extends SparkSpec {
     merged(31L) shouldBe 30L
   }
 
+  test("holt level+trend recurrence, hand-computed") {
+    import spark.implicits._
+    // xs = 1,2,3,4 at alpha=1/4, beta=1/8 (hand-traced):
+    // l1=1,t1=0; l2=1.25,t2=0.03125; l3=1.7109375,t3=0.0849609375;
+    // l4=2.346923828125,t4=0.153839111328125
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0),
+      (1L, 4L, 4.0), (2L, 1L, 7.0)).toDF("k", "t", "v")
+    val out = TimeSeries.holt(df, Seq("k"), Seq(col("t")), col("v"))
+      .orderBy("k").collect()
+    out(0).getLong(1) shouldBe 4L
+    out(0).getDouble(2) shouldBe 2.346923828125
+    out(0).getDouble(3) shouldBe 0.153839111328125
+    out(0).getDouble(4) shouldBe (2.346923828125 + 0.153839111328125)
+    // single observation: level = x, trend = 0
+    out(1).getDouble(2) shouldBe 7.0
+    out(1).getDouble(3) shouldBe 0.0
+    // partitioning invariance (ordered fold, not arrival order)
+    TimeSeries.holt(df.repartition(5), Seq("k"), Seq(col("t")),
+        col("v")).orderBy("k").collect()(0)
+      .getDouble(2) shouldBe 2.346923828125
+  }
+
   test("ewma recurrence and jump census fold in order") {
     val df = Seq((1, 1, 8.0), (1, 2, 4.0), (1, 3, 100.0), (2, 1, 7.0))
       .toDF("k", "t", "v")
