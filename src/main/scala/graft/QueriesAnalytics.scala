@@ -1411,6 +1411,53 @@ object QueriesAnalytics {
       |FROM rec r JOIN nn ON nn.user_id = r.user_id AND r.i = nn.m
       |ORDER BY r.user_id""".stripMargin
 
+  // -------------------------------------------------------------- q203
+  /** Categorical encoders (FeatureEncoding.frequencyEncode /
+    * targetEncode m=8) over customer market segments with account-
+    * balance cents as the target: the two standard high-cardinality
+    * encodings, both ending in one/two divisions of exact integer
+    * sums — bit-identical doubles cross-engine. One category groupBy
+    * + a broadcast 1-row global aggregate; the encoder table joins
+    * back by broadcast at feature time. */
+  private def q203Encoding(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select(col("c_mktsegment"),
+      (col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long").as("bal_cents"))
+    val fe = graft.operators.FeatureEncoding
+      .frequencyEncode(c, "c_mktsegment")
+    val te = graft.operators.FeatureEncoding
+      .targetEncode(c, "c_mktsegment", "bal_cents", smoothing = 8)
+      .withColumnRenamed("cnt", "cnt_t")
+    fe.join(te, Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("cnt"), col("freq"),
+        col("sum_y"), col("enc"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q203Sql =
+    """WITH b AS (
+      |  SELECT c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS bal_cents
+      |  FROM customer),
+      |agg AS (
+      |  SELECT c_mktsegment, count(*) AS cnt,
+      |    CAST(sum(bal_cents) AS BIGINT) AS sum_y
+      |  FROM b WHERE bal_cents IS NOT NULL GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(sum_y) AS BIGINT) AS ts,
+      |    CAST(sum(cnt) AS BIGINT) AS tc,
+      |    CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM agg)
+      |SELECT a.c_mktsegment, a.cnt,
+      |  CAST(a.cnt AS DOUBLE) / t.n AS freq,
+      |  a.sum_y,
+      |  (CAST(a.sum_y AS DOUBLE)
+      |    + 8.0 * (CAST(t.ts AS DOUBLE) / CAST(t.tc AS DOUBLE)))
+      |    / CAST(a.cnt + 8 AS DOUBLE) AS enc
+      |FROM agg a CROSS JOIN tot t
+      |ORDER BY a.c_mktsegment""".stripMargin
+
   // -------------------------------------------------------------- q199
   /** Weighted discrete percentiles
     * (Quantiles.weightedPercentilesByGroup): per returnflag, the
@@ -1535,6 +1582,7 @@ object QueriesAnalytics {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_weighted_pctile" -> (q199WeightedPctile _),
     "q202_holt" -> (q202Holt _),
+    "q203_feature_encoding" -> (q203Encoding _),
     "q200_common_neighbors" -> (q200CommonNeighbors _),
     "q201_equi_depth" -> (q201EquiDepth _),
     "q191_skyline" -> (q191Skyline _),
@@ -1575,6 +1623,7 @@ object QueriesAnalytics {
   val oracles: Map[String, String] = Map(
     "q199_weighted_pctile" -> q199Sql,
     "q202_holt" -> q202Sql,
+    "q203_feature_encoding" -> q203Sql,
     "q200_common_neighbors" -> q200Sql,
     "q201_equi_depth" -> q201Sql,
     "q191_skyline" -> q191Sql,

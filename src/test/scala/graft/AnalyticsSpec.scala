@@ -270,6 +270,32 @@ class AnalyticsSpec extends SparkSpec {
     got(0.91) shouldBe 2.0
   }
 
+  test("feature encoding: frequency shares and smoothed target means") {
+    import graft.operators.FeatureEncoding
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 100L))
+      .toDF("cat", "y")
+    val fe = FeatureEncoding.frequencyEncode(df, "cat")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    fe("a") shouldBe ((3L, 0.75))
+    fe("b") shouldBe ((1L, 0.25))
+    // smoothing m=2: mu = 160/4 = 40
+    // enc(a) = (60 + 2*40) / (3+2) = 28; enc(b) = (100+80)/3 = 60
+    val te = FeatureEncoding.targetEncode(df, "cat", "y", smoothing = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    te("a") shouldBe 28.0
+    te("b") shouldBe 60.0
+    // m=0 degenerates to the raw category mean
+    val raw = FeatureEncoding.targetEncode(df, "cat", "y", smoothing = 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    raw("a") shouldBe 20.0
+    // rare category shrinks toward mu as m grows
+    val heavy = FeatureEncoding.targetEncode(df, "cat", "y",
+      smoothing = 1000).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    math.abs(heavy("b") - 40.0) should be < 1.0
+  }
+
   test("weightedPercentilesByGroup: mass-weighted rank lookup") {
     // group g: value 10 carries weight 1, value 20 weight 8, 30 weight 1
     // -> W=10; p50 rank 5 lands in 20's mass [2,9]; p95 rank 10 -> 30
