@@ -1577,9 +1577,292 @@ object QueriesAnalytics {
       |  count(*) AS n_values, min(value) AS lo, max(value) AS hi
       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------------- q204
+  /** Exact ROC-AUC (Evaluation.rocAuc): purchase-vs-rest ranked by
+    * event value cents, tie-corrected Mann–Whitney. The doubled U
+    * numerator is a pure integer (two-pass distributed prefix over
+    * distinct scores — never a global sort); auc is one division. */
+  private def q204RocAuc(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select((col("event_type") === "purchase").as("pos"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("score"))
+    graft.operators.Evaluation.rocAuc(ev, col("pos"), col("score"))
+  }
+
+  private val q204Sql =
+    """WITH b AS (
+      |  SELECT (event_type = 'purchase') AS pos,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |c AS (
+      |  SELECT score,
+      |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_c,
+      |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_c
+      |  FROM b GROUP BY 1),
+      |cum AS (
+      |  SELECT pos_c, neg_c,
+      |    sum(neg_c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+      |      AS cumneg
+      |  FROM c)
+      |SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+      |  CAST(sum(neg_c) AS BIGINT) AS n_neg,
+      |  CAST(sum(pos_c * (2 * (cumneg - neg_c) + neg_c)) AS BIGINT)
+      |    AS u2,
+      |  CAST(sum(pos_c * (2 * (cumneg - neg_c) + neg_c)) AS DOUBLE)
+      |    / (2.0 * CAST(sum(pos_c) AS DOUBLE)
+      |      * CAST(sum(neg_c) AS DOUBLE)) AS auc
+      |FROM cum""".stripMargin
+
+  // -------------------------------------------------------------- q205
+  /** First-order Markov transition matrix
+    * (EventAnalytics.markovTransitions) over per-user event streams:
+    * |types|²-bounded output, one lead() window + two aggregates,
+    * transition probability as a single integer division. */
+  private def q205Markov(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.markovTransitions(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("from_type"), col("to_type"))
+
+  private val q205Sql =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS cnt
+      |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (
+      |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS row_total
+      |  FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.cnt, r.row_total,
+      |  CAST(c.cnt AS DOUBLE) / CAST(r.row_total AS DOUBLE) AS prob
+      |FROM c JOIN r USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  // -------------------------------------------------------------- q206
+  /** Chi-square independence test (Evaluation.chiSquare) of event
+    * type × epoch-weekday: exact integer contingency from three hash
+    * aggregates; the order-sensitive double sum of (o−e)²/e folds the
+    * ≤|A|·|B| cell terms in sorted key order on both engines. */
+  private def q206Chi2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) % 7)
+          .cast("long").as("wd"))
+    graft.operators.Evaluation.chiSquare(ev, "event_type", "wd")
+  }
+
+  private val q206Sql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+      |      AS BIGINT) AS wd
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      |cells AS (
+      |  SELECT event_type AS a, wd AS b, count(*) AS o
+      |  FROM b GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+      |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      |nn AS (SELECT count(*) AS n_a, CAST(sum(ra) AS BIGINT) AS n FROM rt),
+      |nb AS (SELECT count(*) AS n_b FROM ct),
+      |t AS (
+      |  SELECT nn.n, nn.n_a,
+      |    CAST(cells.a AS VARCHAR) || '|' || CAST(cells.b AS VARCHAR)
+      |      AS k,
+      |    (CAST(cells.o AS DOUBLE)
+      |      - CAST(rt.ra AS DOUBLE) * CAST(ct.cb AS DOUBLE)
+      |        / CAST(nn.n AS DOUBLE))
+      |    * (CAST(cells.o AS DOUBLE)
+      |      - CAST(rt.ra AS DOUBLE) * CAST(ct.cb AS DOUBLE)
+      |        / CAST(nn.n AS DOUBLE))
+      |    / (CAST(rt.ra AS DOUBLE) * CAST(ct.cb AS DOUBLE)
+      |      / CAST(nn.n AS DOUBLE)) AS term
+      |  FROM cells JOIN rt USING (a) JOIN ct ON ct.b = cells.b
+      |    CROSS JOIN nn),
+      |fold AS (
+      |  SELECT n, n_a, list(term ORDER BY k) AS ts FROM t GROUP BY 1, 2)
+      |SELECT f.n, f.n_a, nb.n_b,
+      |  CAST((f.n_a - 1) * (nb.n_b - 1) AS BIGINT) AS dof,
+      |  list_reduce(f.ts, (acc, x) -> acc + x) AS chi2
+      |FROM fold f CROSS JOIN nb""".stripMargin
+
+  // -------------------------------------------------------------- q207
+  /** CUSUM drift detection (TimeSeries.cusum, k=10000¢ slack,
+    * h=50000¢ alarm bar) per user over event value cents. The Page
+    * recurrence runs as its reflection closed form — running sum minus
+    * running min in ONE user-partitioned window, all BIGINT — so the
+    * per-key history never needs collecting, unlike the ewma/holt
+    * folds. */
+  private def q207Cusum(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    graft.operators.TimeSeries.cusum(ev, Seq("user_id"),
+        Seq(unix_micros(col("ts")), col("event_id")), col("cents"),
+        k = 10000L, h = 50000L)
+      .orderBy(col("user_id"))
+  }
+
+  private val q207Sql =
+    """WITH b AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 10000
+      |      AS d
+      |  FROM events WHERE value IS NOT NULL),
+      |y AS (
+      |  SELECT user_id, us, event_id, d,
+      |    sum(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS y
+      |  FROM b),
+      |sc AS (
+      |  SELECT user_id, d, y,
+      |    y - least(0, min(y) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)) AS s
+      |  FROM y)
+      |SELECT user_id, count(*) AS n_obs,
+      |  CAST(max(s) AS BIGINT) AS max_s,
+      |  CAST(sum(d) - least(0, min(y)) AS BIGINT) AS final_s,
+      |  CAST(sum(CASE WHEN s > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_alarms
+      |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------- q208
+  /** Cumulative-distinct (vocabulary-growth) curve
+    * (EventAnalytics.distinctSoFar): per user/day new event types and
+    * running distinct total — each (user, type) reduced to its first
+    * day, then a per-user running sum; distinct is never windowed. */
+  private def q208DistinctSoFar(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.distinctSoFar(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_type")
+      .orderBy(col("user_id"), col("day"))
+
+  private val q208Sql =
+    """WITH f AS (
+      |  SELECT user_id, event_type, min(CAST(ts AS DATE)) AS day
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |d AS (
+      |  SELECT user_id, day, count(*) AS new_types
+      |  FROM f GROUP BY 1, 2)
+      |SELECT user_id, day, new_types,
+      |  CAST(sum(new_types) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_so_far
+      |FROM d ORDER BY user_id, day""".stripMargin
+
+  // -------------------------------------------------------------- q209
+  /** Welch's unequal-variance t-test (Evaluation.welchTTest):
+    * purchase-vs-view event values in cents. Moments are exact
+    * (Σx² in DECIMAL(38,0) — BIGINT drowns near 10⁹ rows); t and the
+    * Welch–Satterthwaite dof are single rational+sqrt expressions
+    * over them, identical both engines. */
+  private def q209Welch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    graft.operators.Evaluation.welchTTest(ev, "event_type", "cents",
+      "purchase", "view")
+  }
+
+  private val q209Sql =
+    """WITH a AS (
+      |  SELECT count(*) AS n_a,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS s_a,
+      |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        AS DECIMAL(38,0))
+      |      * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        AS DECIMAL(38,0))) AS ss_a
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |b AS (
+      |  SELECT count(*) AS n_b,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS s_b,
+      |    sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        AS DECIMAL(38,0))
+      |      * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        AS DECIMAL(38,0))) AS ss_b
+      |  FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+      |m AS (
+      |  SELECT n_a, n_b,
+      |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+      |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+      |    (CAST(ss_a AS DOUBLE)
+      |      - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+      |        / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+      |      AS var_a,
+      |    (CAST(ss_b AS DOUBLE)
+      |      - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+      |        / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+      |      AS var_b
+      |  FROM a CROSS JOIN b),
+      |se AS (
+      |  SELECT *, var_a / CAST(n_a AS DOUBLE) AS sea,
+      |    var_b / CAST(n_b AS DOUBLE) AS seb
+      |  FROM m)
+      |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+      |  (mean_a - mean_b) / sqrt(sea + seb) AS t_stat,
+      |  ((sea + seb) * (sea + seb))
+      |    / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+      |      + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)) AS dof
+      |FROM se""".stripMargin
+
+  // -------------------------------------------------------------- q210
+  /** Gini concentration per returnflag (Evaluation.giniByGroup) over
+    * price cents: rank formula from distinct-value mass (tie-safe),
+    * DECIMAL(38,0) rank·value accumulation, G as one double
+    * expression. */
+  private def q210Gini(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    graft.operators.Evaluation.giniByGroup(li, "l_returnflag", "cents")
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q210Sql =
+    """WITH b AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS v
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |c AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, v, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM c),
+      |r AS (SELECT g, v, c, cum, (c * (c + 1)) // 2 AS tri FROM cum),
+      |a AS (
+      |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+      |    sum(CAST(c AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))
+      |      AS sv,
+      |    sum((CAST(c AS DECIMAL(38,0)) * CAST(cum - c AS DECIMAL(38,0))
+      |        + CAST(tri AS DECIMAL(38,0)))
+      |      * CAST(v AS DECIMAL(38,0))) AS srx
+      |  FROM r GROUP BY 1)
+      |SELECT g AS l_returnflag, n, CAST(sv AS BIGINT) AS sum_v,
+      |  (2.0 * CAST(srx AS DOUBLE)
+      |    - (CAST(n AS DOUBLE) + 1.0) * CAST(sv AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)) AS gini
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_roc_auc" -> (q204RocAuc _),
+    "q205_markov" -> (q205Markov _),
+    "q206_chi2" -> (q206Chi2 _),
+    "q207_cusum" -> (q207Cusum _),
+    "q208_distinct_so_far" -> (q208DistinctSoFar _),
+    "q209_welch_ttest" -> (q209Welch _),
+    "q210_gini" -> (q210Gini _),
     "q199_weighted_pctile" -> (q199WeightedPctile _),
     "q202_holt" -> (q202Holt _),
     "q203_feature_encoding" -> (q203Encoding _),
@@ -1621,6 +1904,13 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q204_roc_auc" -> q204Sql,
+    "q205_markov" -> q205Sql,
+    "q206_chi2" -> q206Sql,
+    "q207_cusum" -> q207Sql,
+    "q208_distinct_so_far" -> q208Sql,
+    "q209_welch_ttest" -> q209Sql,
+    "q210_gini" -> q210Sql,
     "q199_weighted_pctile" -> q199Sql,
     "q202_holt" -> q202Sql,
     "q203_feature_encoding" -> q203Sql,

@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Model-evaluation and distribution statistics — the metrics a
+  * training-data pipeline computes over scored corpora (classifier
+  * quality on heldout labels, A/B significance on engagement values,
+  * inequality/concentration of a spend distribution, independence of
+  * two categorical factors).
+  *
+  * Design rules shared by every operator here:
+  *   - all mass/moment accumulation is exact integer (BIGINT counts,
+  *     DECIMAL(38,0) sums of cent-scaled inputs), so the shuffled
+  *     aggregates are associative and bit-identical under any
+  *     partitioning;
+  *   - doubles appear only in FINAL single expressions over those
+  *     exact aggregates (+,-,*,/ and sqrt are correctly-rounded IEEE
+  *     ops: identical inputs + identical expression ⇒ identical bits
+  *     cross-engine — the q126 lesson). No log/exp in any output.
+  *   - nothing ever sorts or windows the global table without a
+  *     partition key; the one global prefix sum (AUC) uses the same
+  *     two-pass partition-offset scheme as Quantiles.ecdf.
+  */
+object Evaluation {
+
+  /** Exact ROC-AUC via the Mann–Whitney U statistic with the standard
+    * tie correction: AUC = [Σ_s pos(s)·(2·negBelow(s) + neg(s))] /
+    * (2·n_pos·n_neg) — each tied (pos, neg) pair contributes ½.
+    *
+    * Scale: one hash aggregate to one row per DISTINCT score (never
+    * per row), then the two-pass distributed prefix sum over the
+    * range-partitioned score table (per-partition windows + a
+    * partition-count-bounded offset table — no single-partition
+    * window), then one global sum. The U numerator `u2` (doubled to
+    * stay integral under ties) is exact; `auc` is one division.
+    *
+    * @param labelCol boolean column — true = positive
+    * @param scoreCol integral score (pre-scale floats to cents)
+    * @return one row: (n_pos, n_neg, u2, auc)
+    */
+  def rocAuc(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy(scoreCol.as("score"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("pos_c"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("neg_c"))
+    val base = counts.repartitionByRange(col("score"))
+      .sortWithinPartitions(col("score"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_ONLY)
+    val totals = base.groupBy(col("__pid"))
+      .agg(sum(col("neg_c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val offDf = spark.createDataFrame(
+      totals.map(_._1).zip(offsets).toIndexedSeq).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val res = base.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cumneg", sum(col("neg_c")).over(w) + col("__off"))
+      .agg(sum(col("pos_c")).as("n_pos"),
+        sum(col("neg_c")).as("n_neg"),
+        sum(col("pos_c") *
+          (lit(2L) * (col("__cumneg") - col("neg_c")) + col("neg_c")))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+    res.collect() // force before unpersist (res is tiny: one row)
+    base.unpersist()
+    res
+  }
+
+  /** Welch's unequal-variance two-sample t-test between `groupA` and
+    * `groupB` of `groupCol`, over integral `valueCol` (cents). The
+    * moments (n, Σx, Σx²) are exact — Σx² accumulates in
+    * DECIMAL(38,0) because cents² overflows BIGINT near 10⁹ rows —
+    * and mean/variance/t/Welch–Satterthwaite dof are derived in one
+    * final double expression each (rational ops + sqrt only).
+    *
+    * One map-combined aggregate over the two groups; the result is a
+    * 1-row frame. @return (n_a, n_b, mean_a, mean_b, var_a, var_b,
+    * t_stat, dof) */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    def side(g: String, tag: String): DataFrame =
+      df.filter(col(groupCol) === g && col(valueCol).isNotNull)
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(col(valueCol)).as(s"s_$tag"),
+          sum(col(valueCol).cast("decimal(38,0)") *
+            col(valueCol).cast("decimal(38,0)")).as(s"ss_$tag"))
+    val a = side(groupA, "a")
+    val b = side(groupB, "b")
+    def mean(t: String): Column =
+      col(s"s_$t").cast("double") / col(s"n_$t").cast("double")
+    // sample variance from exact moments: (Σx² − (Σx)²/n)/(n−1)
+    def variance(t: String): Column =
+      (col(s"ss_$t").cast("double") -
+        col(s"s_$t").cast("double") * col(s"s_$t").cast("double") /
+          col(s"n_$t").cast("double")) /
+        (col(s"n_$t").cast("double") - lit(1.0))
+    a.crossJoin(b) // both sides are 1-row aggregates
+      .select(col("n_a"), col("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        variance("a").as("var_a"), variance("b").as("var_b"))
+      .withColumn("__sea", col("var_a") / col("n_a").cast("double"))
+      .withColumn("__seb", col("var_b") / col("n_b").cast("double"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"),
+        ((col("mean_a") - col("mean_b")) /
+          sqrt(col("__sea") + col("__seb"))).as("t_stat"),
+        (((col("__sea") + col("__seb")) * (col("__sea") + col("__seb"))) /
+          (col("__sea") * col("__sea") / (col("n_a").cast("double") - lit(1.0))
+            + col("__seb") * col("__seb") /
+              (col("n_b").cast("double") - lit(1.0)))).as("dof"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns. Observed counts are one hash aggregate; row/col totals
+    * are two more (all map-combined); expected = r·c/n and the cell
+    * term (o−e)²/e are per-row doubles over exact integers. The final
+    * reduction is ORDER-SENSITIVE double addition, so the cells (at
+    * most |A|·|B| of them — bounded by the categorical cardinalities,
+    * NOT the data) are folded in sorted (a, b) key order via one
+    * sorted in-array fold — bit-identical on any engine that replays
+    * the same order (the oracle does, with list_reduce).
+    *
+    * @return one row: (n, n_a, n_b, dof, chi2) */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val nA = rowT.agg(count(lit(1)).as("n_a"),
+      sum(col("ra")).as("n"))
+    val nB = colT.agg(count(lit(1)).as("n_b"))
+    val terms = cells
+      .join(broadcast(rowT), Seq("a"))
+      .join(broadcast(colT), Seq("b"))
+      .crossJoin(broadcast(nA))
+      .withColumn("__e",
+        col("ra").cast("double") * col("cb").cast("double") /
+          col("n").cast("double"))
+      .withColumn("__t",
+        (col("o").cast("double") - col("__e")) *
+          (col("o").cast("double") - col("__e")) / col("__e"))
+      .select(col("n"), col("n_a"),
+        concat(col("a").cast("string"), lit("|"),
+          col("b").cast("string")).as("__k"), col("__t"))
+    terms
+      .groupBy(col("n"), col("n_a"))
+      .agg(sort_array(collect_list(struct(col("__k"), col("__t"))))
+        .as("__s"))
+      .crossJoin(broadcast(nB))
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - lit(1L)) * (col("n_b") - lit(1L))).as("dof"),
+        aggregate(
+          transform(slice(col("__s"), lit(2), size(col("__s"))),
+            e => e.getField("__t")),
+          element_at(col("__s"), 1).getField("__t"),
+          (acc, t) => acc + t).as("chi2"))
+  }
+
+  /** Gini concentration coefficient per group over an integral value
+    * column (cents), via the rank formula
+    *   G = (2·Σᵢ rᵢ·xᵢ − (n+1)·Σx) / (n·Σx)
+    * computed from DISTINCT-value mass: a value v with count c whose
+    * cumulative count below is C contributes rank-sum c·C + c(c+1)/2
+    * (constant under any ordering among ties, so G is well defined).
+    * Accumulation is DECIMAL(38,0) (rank·cents products pass BIGINT
+    * range near 10⁹ rows); G itself is one double expression.
+    *
+    * Scale shape = Quantiles.rankLookupByGroup: one row per distinct
+    * value per group, window PARTITIONED by group (parallel across
+    * groups; for a single national-scale group, swap in the ecdf
+    * two-pass prefix — same contract). Values must be non-negative
+    * for the coefficient to be meaningful.
+    *
+    * @return per group: (group, n, sum_v, gini) */
+  def giniByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__cum", sum(col("c")).over(w))
+      // c(c+1) is even, so integer div 2 is exact; stays in BIGINT
+      // range for any per-value count below ~3e9, then widens
+      .withColumn("__tri", expr("(c * (c + 1)) div 2"))
+      .withColumn("__rsum", // Σ ranks of this value's block
+        col("c").cast("decimal(38,0)") *
+          (col("__cum") - col("c")).cast("decimal(38,0)") +
+          col("__tri").cast("decimal(38,0)"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("decimal(38,0)") *
+          col("v").cast("decimal(38,0)")).as("__sv"),
+        sum(col("__rsum") * col("v").cast("decimal(38,0)")).as("__srx"))
+      .select(col(groupCol), col("n"),
+        col("__sv").cast("long").as("sum_v"),
+        ((lit(2.0) * col("__srx").cast("double") -
+          (col("n").cast("double") + lit(1.0)) *
+            col("__sv").cast("double")) /
+          (col("n").cast("double") * col("__sv").cast("double")))
+          .as("gini"))
+  }
+}

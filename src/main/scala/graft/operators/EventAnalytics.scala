@@ -217,4 +217,52 @@ object EventAnalytics {
       .withColumn("retention",
         col("n_active").cast("double") / col("n_cohort"))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for each ordered pair of event types, how often type B
+    * immediately follows type A in SOME user's stream, plus the
+    * row-normalized transition probability (one integer division —
+    * bit-exact cross-engine). Ties order by (ts, idCol) as everywhere
+    * in this file.
+    *
+    * Scale: one user-partitioned lead() window + two hash aggregates;
+    * output is bounded by |types|², not the data.
+    * @return (from_type, to_type, cnt, row_total, prob) */
+  def markovTransitions(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val rowT = pairs.groupBy(col("from_type"))
+      .agg(sum(col("cnt")).as("row_total"))
+    pairs.join(broadcast(rowT), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        col("row_total"),
+        (col("cnt").cast("double") / col("row_total").cast("double"))
+          .as("prob"))
+  }
+
+  /** Cumulative-distinct curve: for each user and day, how many NEW
+    * event types appeared that day and how many distinct types the
+    * user has seen up to and including it (the "vocabulary growth"
+    * curve; days with no new types produce no row). Never counts
+    * distinct-over-a-window (O(n²) state): each (user, type) reduces
+    * to its FIRST day, then a per-user running sum over days.
+    * @return (user, day, new_types, distinct_so_far) */
+  def distinctSoFar(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val firsts = events
+      .filter(col(typeCol).isNotNull)
+      .groupBy(col(userCol), col(typeCol))
+      .agg(min(to_date(col(tsCol))).as("day"))
+      .groupBy(col(userCol), col("day"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firsts.withColumn("distinct_so_far", sum(col("new_types")).over(w))
+  }
 }

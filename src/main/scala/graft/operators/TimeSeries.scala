@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered per-key time-series folds — the smoothing/anomaly family
@@ -108,5 +109,38 @@ object TimeSeries {
               size(col("s"))),
             (prev, cur) => abs(cur - prev) > lit(tau)),
           b => b)).cast("long").as("n_jumps"): _*)
+  }
+
+  /** One-sided CUSUM drift detector (Page 1954) per key over an
+    * INTEGRAL value column (cents): s_i = max(0, s_{i−1} + x_i − k),
+    * alarm when s_i > h. The recurrence looks sequential, but the
+    * reflection identity rewrites it closed-form:
+    *   s_i = y_i − min(0, min_{j≤i} y_j),  y_i = Σ_{1..i}(x_j − k)
+    * — a running sum and a running min, i.e. two frames of ONE
+    * key-partitioned window. No collect_list, no fold: unlike
+    * ewma/holt this scales to unbounded per-key history, and the
+    * arithmetic is all BIGINT so any partitioning and any engine
+    * agree exactly.
+    *
+    * @param k the slack (drift allowance) per observation, in value
+    *          units; @param h the alarm threshold
+    * @return per key: (keys…, n_obs, max_s, final_s, n_alarms) */
+  def cusum(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+      valueCol: Column, k: Long, h: Long): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__d", valueCol.cast("long") - lit(k))
+      .withColumn("__y", sum(col("__d")).over(w))
+      .withColumn("__s", col("__y") - least(lit(0L), min(col("__y")).over(w)))
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_obs"),
+        max(col("__s")).as("max_s"),
+        // s_n = y_n − min(0, min_j y_j); y_n = Σd, and min over the
+        // running-min column equals min over all prefixes — so the
+        // last value needs no arg_max, just aggregates
+        (sum(col("__d")) - least(lit(0L), min(col("__y"))))
+          .as("final_s"),
+        sum(when(col("__s") > h, 1L).otherwise(0L)).as("n_alarms"))
   }
 }

@@ -357,4 +357,75 @@ class AnalyticsSpec extends SparkSpec {
     Skyline.frontier2D(Seq.empty[(Long, Long)].toDF("x", "y"), "x", "y")
       .count() shouldBe 0L
   }
+
+  // ------------------------------------------------- evaluation ops
+
+  test("rocAuc: hand-counted wins/ties and the perfect-separation case") {
+    import graft.operators.Evaluation
+    // pos scores 3,3,2; neg scores 1,3: 3 wins + 2 ties of 6 pairs
+    val df = Seq((true, 3L), (true, 3L), (true, 2L), (false, 1L),
+      (false, 3L)).toDF("pos", "score")
+    val r = Evaluation.rocAuc(df, col("pos"), col("score")).head()
+    r.getLong(0) shouldBe 3L // n_pos
+    r.getLong(1) shouldBe 2L // n_neg
+    r.getLong(2) shouldBe 8L // u2 = 2*(3 wins) + 2 ties
+    r.getDouble(3) shouldBe (8.0 / 12.0)
+    // perfect separation -> auc exactly 1
+    val sep = Seq((true, 10L), (true, 9L), (false, 2L), (false, 1L))
+      .toDF("pos", "score")
+    Evaluation.rocAuc(sep, col("pos"), col("score"))
+      .head().getDouble(3) shouldBe 1.0
+  }
+
+  test("rocAuc is partitioning-invariant") {
+    import graft.operators.Evaluation
+    val df = (1 to 500).map(i => (i % 3 == 0, (i * 37 % 101).toLong))
+      .toDF("pos", "score")
+    val a = Evaluation.rocAuc(df, col("pos"), col("score")).head()
+    val b = Evaluation.rocAuc(df.repartition(13), col("pos"),
+      col("score")).head()
+    a shouldBe b
+  }
+
+  test("welchTTest matches the hand-derived moments formula") {
+    import graft.operators.Evaluation
+    val df = Seq(("a", 100L), ("a", 200L), ("a", 300L),
+      ("b", 400L), ("b", 500L), ("b", 600L)).toDF("g", "v")
+    val r = Evaluation.welchTTest(df, "g", "v", "a", "b").head()
+    r.getLong(0) shouldBe 3L
+    r.getDouble(2) shouldBe 200.0 // mean_a
+    r.getDouble(4) shouldBe 10000.0 // var_a
+    r.getDouble(6) shouldBe -3.674234614174767 +- 1e-12 // t
+    r.getDouble(7) shouldBe 4.0 +- 1e-12 // dof
+  }
+
+  test("chiSquare: zero on independence, known value on a 2x2") {
+    import graft.operators.Evaluation
+    // perfectly independent 2x2 (all cells 5): chi2 == 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 5 } yield (a, b)).toDF("a", "b")
+    Evaluation.chiSquare(ind, "a", "b").head().getDouble(4) shouldBe 0.0
+    // [[10,20],[20,10]]: chi2 = 20/3, dof = 1
+    val sk = (Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(20)(("y", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val r = Evaluation.chiSquare(sk, "a", "b").head()
+    r.getLong(3) shouldBe 1L
+    r.getDouble(4) shouldBe 6.666666666666667 +- 1e-12
+  }
+
+  test("giniByGroup: equality -> 0, known set -> 0.25, tie-safe") {
+    import graft.operators.Evaluation
+    val df = (Seq.fill(4)(("eq", 7L)) ++
+      Seq(1L, 2L, 3L, 4L).map(("kn", _))).toDF("g", "v")
+    val got = Evaluation.giniByGroup(df, "g", "v")
+      .orderBy("g").collect()
+    got(0).getDouble(3) shouldBe 0.0 // all-equal group
+    got(1).getDouble(3) shouldBe 0.25 // (2*30 - 5*10) / (4*10)
+    // duplicate-heavy input: invariant under repartitioning
+    val dup = (1 to 300).map(i => ("d", (i % 7).toLong + 1))
+      .toDF("g", "v")
+    Evaluation.giniByGroup(dup, "g", "v").head() shouldBe
+      Evaluation.giniByGroup(dup.repartition(11), "g", "v").head()
+  }
 }

@@ -171,4 +171,51 @@ class EventAnalyticsSpec extends SparkSpec {
       (0L, 1L, 1L, 2L, 0.5), // user 1 retained into week 1
       (1L, 0L, 1L, 1L, 1.0)) // cohort week 1: user 3
   }
+
+  test("markovTransitions counts ordered successors per user") {
+    // user 1: a->b->a->b ; user 2: b->a ; user 3: a->c
+    val df = ev((1L, 1L, 10L, "a", 0.0), (1L, 2L, 20L, "b", 0.0),
+      (1L, 3L, 30L, "a", 0.0), (1L, 4L, 40L, "b", 0.0),
+      (2L, 5L, 10L, "b", 0.0), (2L, 6L, 20L, "a", 0.0),
+      (3L, 7L, 10L, "a", 0.0), (3L, 8L, 20L, "c", 0.0))
+    val got = EventAnalytics
+      .markovTransitions(df, "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Double)].collect()
+    // from a: a->b twice (user 1), a->c once (user 3) -> 2/3, 1/3
+    got shouldBe Array(
+      ("a", "b", 2L, 3L, 2.0 / 3.0),
+      ("a", "c", 1L, 3L, 1.0 / 3.0),
+      ("b", "a", 2L, 2L, 1.0))
+    // probabilities sum to 1 within each from_type
+    val sums = EventAnalytics
+      .markovTransitions(df, "user_id", "ts", "event_id", "event_type")
+      .groupBy("from_type").agg(sum("prob")).as[(String, Double)]
+      .collect().toMap
+    sums.values.foreach(_ shouldBe 1.0 +- 1e-12)
+  }
+
+  test("markovTransitions breaks timestamp ties by event_id") {
+    val df = ev((1L, 2L, 10L, "b", 0.0), (1L, 1L, 10L, "a", 0.0))
+    EventAnalytics
+      .markovTransitions(df, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Long, Double)].collect() shouldBe
+      Array(("a", "b", 1L, 1L, 1.0))
+  }
+
+  test("distinctSoFar: first-day reduction and running total") {
+    val day = 86400L
+    val df = ev(
+      (1L, 1L, 0L, "a", 0.0), (1L, 2L, 10L, "b", 0.0), // day 0: 2 new
+      (1L, 3L, day + 5L, "a", 0.0),                     // day 1: repeat
+      (1L, 4L, 2 * day, "c", 0.0),                      // day 2: 1 new
+      (2L, 5L, day, "a", 0.0))
+    val got = EventAnalytics
+      .distinctSoFar(df, "user_id", "ts", "event_type")
+      .orderBy("user_id", "day")
+      .select(col("user_id"), col("new_types"), col("distinct_so_far"))
+      .as[(Long, Long, Long)].collect()
+    // day-1 repeat produces NO row; totals stay monotone
+    got shouldBe Array((1L, 2L, 2L), (1L, 1L, 3L), (2L, 1L, 1L))
+  }
 }

@@ -127,4 +127,43 @@ class MergeClusteringTimeSeriesSpec extends SparkSpec {
     jc(0).getLong(2) shouldBe 1L // only the 4 -> 100 jump exceeds 50
     jc(1).getLong(2) shouldBe 0L
   }
+
+  test("cusum: window closed form equals the sequential recurrence") {
+    // reference: s_i = max(0, s_{i-1} + x - k), alarms where s > h
+    def ref(xs: Seq[Long], k: Long, h: Long): (Long, Long, Long) = {
+      var s = 0L; var mx = 0L; var alarms = 0L
+      xs.foreach { x =>
+        s = math.max(0L, s + x - k)
+        mx = math.max(mx, s); if (s > h) alarms += 1
+      }
+      (mx, s, alarms)
+    }
+    val xs = Seq(5L, 30L, 2L, 0L, 50L, 45L, 1L, 80L, 3L, 3L, 90L)
+    val (mx, fin, al) = ref(xs, k = 10L, h = 40L)
+    val df = xs.zipWithIndex
+      .map { case (x, i) => ("u", i.toLong, x) }.toDF("k", "t", "x")
+    val got = TimeSeries.cusum(df, Seq("k"), Seq(col("t")), col("x"),
+      k = 10L, h = 40L).head()
+    got.getLong(1) shouldBe xs.length.toLong // n_obs
+    got.getLong(2) shouldBe mx
+    got.getLong(3) shouldBe fin
+    got.getLong(4) shouldBe al
+  }
+
+  test("cusum: resets clamp at zero and result is partition-invariant") {
+    // deep negative drift then a spike: the reset must forget the hole
+    val xs = Seq(0L, 0L, 0L, 100L)
+    val df = xs.zipWithIndex
+      .map { case (x, i) => ("u", i.toLong, x) }.toDF("k", "t", "x")
+    val r = TimeSeries.cusum(df, Seq("k"), Seq(col("t")), col("x"),
+      k = 10L, h = 1000L).head()
+    r.getLong(2) shouldBe 90L // NOT 100-40: the floor held at 0
+    r.getLong(3) shouldBe 90L
+    val big = (1 to 400).map(i => ("u" + (i % 3), i.toLong,
+      (i * 31 % 97).toLong)).toDF("k", "t", "x")
+    TimeSeries.cusum(big, Seq("k"), Seq(col("t")), col("x"), 40L, 100L)
+      .orderBy("k").collect() shouldBe
+      TimeSeries.cusum(big.repartition(17), Seq("k"), Seq(col("t")),
+        col("x"), 40L, 100L).orderBy("k").collect()
+  }
 }
