@@ -2301,6 +2301,101 @@ object QueriesRelational {
       |    / greatest(length(c_name), length(mutated)) AS sim
       |FROM m ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q211
+  /** Unrestricted Damerau–Levenshtein battery
+    * (TextAnalysis.damerauLevenshtein, the codegen'd Lowrance–Wagner
+    * expression — Spark has no native transposition distance) over
+    * deterministically mutated customer names; mutation class 0 is an
+    * adjacent SWAP, where dl = 1 strictly under lev = 2, pinning the
+    * transposition semantics against DuckDB's damerau_levenshtein.
+    * Plain levenshtein rides along for the contrast, and the
+    * normalized similarity is one exact-int division. */
+  private def q211Damerau(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("mutated", expr(
+        """CASE CAST(c_custkey % 4 AS INT)
+          |  WHEN 0 THEN substr(c_name, 2, 1) || substr(c_name, 1, 1)
+          |    || substr(c_name, 3)
+          |  WHEN 1 THEN substr(c_name, 2)
+          |  WHEN 2 THEN c_name || 'X'
+          |  ELSE reverse(c_name) END""".stripMargin))
+    m.select(col("c_custkey"), col("mutated"),
+        graft.functions.TextAnalysis
+          .damerauLevenshtein(col("c_name"), col("mutated"))
+          .cast("long").as("dl"),
+        levenshtein(col("c_name"), col("mutated"))
+          .cast("long").as("lev"),
+        graft.functions.TextAnalysis
+          .damerauLevenshtein(col("c_name"), lit(""))
+          .cast("long").as("dl_empty"),
+        (lit(1.0) - graft.functions.TextAnalysis
+          .damerauLevenshtein(col("c_name"), col("mutated"))
+          .cast("double") /
+          greatest(length(col("c_name")), length(col("mutated")))
+            .cast("double")).as("sim"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q211Sql =
+    """WITH m AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE CAST(c_custkey % 4 AS INT)
+      |      WHEN 0 THEN substr(c_name, 2, 1) || substr(c_name, 1, 1)
+      |        || substr(c_name, 3)
+      |      WHEN 1 THEN substr(c_name, 2)
+      |      WHEN 2 THEN c_name || 'X'
+      |      ELSE reverse(c_name) END AS mutated
+      |  FROM customer)
+      |SELECT c_custkey, mutated,
+      |  CAST(damerau_levenshtein(c_name, mutated) AS BIGINT) AS dl,
+      |  CAST(levenshtein(c_name, mutated) AS BIGINT) AS lev,
+      |  CAST(damerau_levenshtein(c_name, '') AS BIGINT) AS dl_empty,
+      |  1.0 - CAST(damerau_levenshtein(c_name, mutated) AS DOUBLE)
+      |    / CAST(greatest(length(c_name), length(mutated)) AS DOUBLE)
+      |    AS sim
+      |FROM m ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------- q212
+  /** Market-basket pair association (MarketBasket.pairLift): orders as
+    * baskets, part brands as items (via the lineitem→part join), joint
+    * and marginal counts exact, support and lift single expressions.
+    * Pair work is Σ C(k_b,2) with k_b ≤ 13 items per basket here; the
+    * skew cap stays disengaged (1000) so the oracle needn't replay
+    * it. */
+  private def q212BasketLift(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_partkey"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val bi = li.join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+    graft.operators.MarketBasket.pairLift(bi, "basket", "item")
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  private val q212Sql =
+    """WITH bi AS (
+      |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
+      |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+      |marg AS (SELECT i, count(*) AS c FROM bi GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.i AS item_a, y.i AS item_b, count(*) AS c_ab
+      |  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      |  GROUP BY 1, 2)
+      |SELECT p.item_a, p.item_b, p.c_ab,
+      |  ma.c AS c_a, mb.c AS c_b, nb.n_baskets,
+      |  CAST(p.c_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)
+      |    AS support,
+      |  CAST(nb.n_baskets AS DOUBLE) * CAST(p.c_ab AS DOUBLE)
+      |    / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)) AS lift
+      |FROM pairs p
+      |  JOIN marg ma ON ma.i = p.item_a
+      |  JOIN marg mb ON mb.i = p.item_b
+      |  CROSS JOIN nb
+      |ORDER BY item_a, item_b""".stripMargin
+
   private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
@@ -2488,6 +2583,8 @@ object QueriesRelational {
     "q158_week_battery" -> (q158WeekBattery _),
     "q159_char_funcs" -> (q159CharFuncs _),
     "q169_levenshtein" -> (q169Levenshtein _),
+    "q211_damerau" -> (q211Damerau _),
+    "q212_basket_lift" -> (q212BasketLift _),
     "q170_calendar" -> (q170Calendar _),
     "q172_grouping_id" -> (q172GroupingId _),
     "q176_bit_ops" -> (q176BitOps _),
@@ -2559,6 +2656,8 @@ object QueriesRelational {
     "q158_week_battery" -> q158Sql,
     "q159_char_funcs" -> q159Sql,
     "q169_levenshtein" -> q169Sql,
+    "q211_damerau" -> q211Sql,
+    "q212_basket_lift" -> q212Sql,
     "q170_calendar" -> q170Sql,
     "q172_grouping_id" -> q172Sql,
     "q176_bit_ops" -> q176Sql,

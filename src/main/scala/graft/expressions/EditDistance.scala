@@ -1,0 +1,85 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unrestricted Damerau–Levenshtein distance (Lowrance & Wagner 1975,
+  * JACM 22(2)): minimum edits under insert/delete/substitute PLUS
+  * adjacent transposition, where a transposed block may be edited
+  * again later — unlike the restricted OSA variant ('CA'→'ABC' is 2
+  * here, 3 under OSA). DuckDB's damerau_levenshtein implements this
+  * same unrestricted form, which is what makes the q211 oracle a
+  * cross-engine pin. Spark ships only plain levenshtein.
+  *
+  * O(m·n) time and space per pair with a last-occurrence map — fine
+  * for the name/title-length strings fuzzy matching runs on; for
+  * corpus-scale joins, bound candidate pairs first (FastSS q74 /
+  * prefix-filter q94 discipline), never all-pairs a scalar distance.
+  */
+object EditDistanceUtil {
+
+  def damerau(a: UTF8String, b: UTF8String): Int =
+    damerauStr(a.toString, b.toString)
+
+  def damerauStr(a: String, b: String): Int = {
+    val m = a.length
+    val n = b.length
+    if (m == 0) return n
+    if (n == 0) return m
+    val inf = m + n
+    // (m+2)x(n+2) with a sentinel row/col at index 0 (distance "inf")
+    val d = Array.ofDim[Int](m + 2, n + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= m) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= n) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    // da: last row index (1-based) whose a-char equals a given char
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= m) {
+      var db = 0 // last column in this row where chars matched
+      j = 1
+      while (j <= n) {
+        val k: Int = {
+          val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue()
+        }
+        val l = db
+        var cost = 1
+        if (a.charAt(i - 1) == b.charAt(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val tra = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) =
+          math.min(math.min(sub, ins), math.min(del, tra))
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(m + 1)(n + 1)
+  }
+}
+
+/** Codegen'd scalar node for [[EditDistanceUtil.damerau]]. */
+case class DamerauLevenshteinExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_damerau_levenshtein"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    EditDistanceUtil.damerau(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.expressions.EditDistanceUtil.damerau($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshteinExpression =
+    copy(left = newLeft, right = newRight)
+}

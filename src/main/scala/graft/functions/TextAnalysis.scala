@@ -126,6 +126,18 @@ object TextAnalysis {
         org.apache.spark.sql.graftshim.ColumnBridge.expression(
           normalizeText(text)), n))
 
+  /** Unrestricted Damerau–Levenshtein distance (adjacent
+    * transpositions cost 1 and may be re-edited; matches DuckDB's
+    * damerau_levenshtein). Spark has only plain levenshtein. Backed by
+    * the codegen'd DamerauLevenshteinExpression — O(|a|·|b|) per pair,
+    * so bound candidate pairs before applying it at scale (the q74
+    * FastSS / q94 prefix-filter discipline). */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.DamerauLevenshteinExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(b)))
+
   /** Gopher-style repetition quality stats (Rae et al. 2021 §A1.1):
     * struct(top_word_fraction, dup_2gram_fraction, dup_3gram_fraction)
     * over the normalized token stream, in ONE codegen'd pass (see

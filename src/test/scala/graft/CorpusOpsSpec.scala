@@ -653,4 +653,30 @@ class CorpusOpsSpec extends SparkSpec {
     Sketches.ddSketchQuantiles(Sketches.ddSketchCounts(z, "v"), Seq(0.5))
       .collect()(0).getLong(3) shouldBe 0L
   }
+
+  test("marketBasket pairLift: hand-counted pairs, skew cap, dup-safe") {
+    import graft.operators.MarketBasket
+    // baskets: 1={a,b,c} 2={a,b} 3={a} ; duplicate (1,a) row must not
+    // inflate counts
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (3L, "a")).toDF("bk", "it")
+    val got = MarketBasket.pairLift(df, "bk", "it")
+      .orderBy("item_a", "item_b")
+      .select("item_a", "item_b", "c_ab", "c_a", "c_b", "n_baskets")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    got shouldBe Array(
+      ("a", "b", 2L, 3L, 2L, 3L),
+      ("a", "c", 1L, 3L, 1L, 3L),
+      ("b", "c", 1L, 2L, 1L, 3L))
+    // lift of (a,b): 3*2/(3*2) = 1.0 exactly
+    MarketBasket.pairLift(df, "bk", "it")
+      .filter(col("item_a") === "a" && col("item_b") === "b")
+      .head().getDouble(7) shouldBe 1.0
+    // cap: basket 1 (3 items) dropped at maxBasketItems=2 -> only the
+    // basket-2 pair survives and n_baskets counts surviving baskets
+    val capped = MarketBasket.pairLift(df, "bk", "it", maxBasketItems = 2)
+      .select("item_a", "item_b", "c_ab", "n_baskets")
+      .as[(String, String, Long, Long)].collect()
+    capped shouldBe Array(("a", "b", 1L, 2L))
+  }
 }

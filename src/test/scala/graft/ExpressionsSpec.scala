@@ -260,4 +260,41 @@ class ExpressionsSpec extends SparkSpec {
       .select(Dedup.simhash32(split(col("text"), " "))).head().getLong(0)
     sqlV shouldBe dfV
   }
+
+  test("damerauLevenshtein: reference distances and DL-specific cases") {
+    import graft.expressions.EditDistanceUtil.damerauStr
+    // classic published cases
+    damerauStr("kitten", "sitting") shouldBe 3 // no transposition help
+    damerauStr("ca", "abc") shouldBe 2 // UNRESTRICTED: swap then insert
+    damerauStr("abcd", "acbd") shouldBe 1 // adjacent swap
+    damerauStr("ab", "ba") shouldBe 1
+    damerauStr("", "abc") shouldBe 3
+    damerauStr("abc", "") shouldBe 3
+    damerauStr("same", "same") shouldBe 0
+    damerauStr("martha", "marhta") shouldBe 1
+    // dl <= lev always; dl >= |len diff|
+    val words = Seq("alpha", "alpah", "beta", "betta", "gamma", "magam")
+    for (a <- words; b <- words) {
+      val dl = damerauStr(a, b)
+      dl should be <= levRef(a, b)
+      dl should be >= math.abs(a.length - b.length)
+    }
+  }
+
+  test("damerauLevenshtein column matches the row-eval path") {
+    val df = Seq(("ca", "abc"), ("abcd", "acbd"), ("x", "")).toDF("a", "b")
+    df.select(graft.functions.TextAnalysis
+        .damerauLevenshtein(col("a"), col("b")))
+      .as[Int].collect().toSeq shouldBe Seq(2, 1, 1)
+  }
+
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
