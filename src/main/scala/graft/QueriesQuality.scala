@@ -809,7 +809,117 @@ object QueriesQuality {
       |    AS fertility
       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------- q213
+  /** RAKE keyword extraction (Retrieval.rakeKeywords, Rose et al.
+    * 2010) corpus-wide: punctuation planted by literal replaces so
+    * fragment splitting actually engages, stopwords 'a'/'the' bound
+    * the candidate phrases, deg/freq from exact integer aggregates,
+    * score one division. Fully relational — two explodes, one
+    * (doc, fragment) window, three hash aggregates; no folds. */
+  private def q213Rake(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      expr("replace(replace(lower(text), ' slow ', ', slow '), " +
+        "' merge ', '; merge ')").as("t"))
+    graft.operators.Retrieval
+      .rakeKeywords(planted, "doc_id", "t", Seq("a", "the"))
+      .filter(col("freq") >= 5)
+      .orderBy(col("word"))
+  }
+
+  private val q213Sql =
+    """WITH built AS (
+      |  SELECT doc_id, replace(replace(lower(text), ' slow ', ', slow '),
+      |    ' merge ', '; merge ') AS t
+      |  FROM documents),
+      |frags AS (
+      |  SELECT doc_id, f.i AS fi, f.x AS frag
+      |  FROM built,
+      |    unnest(list_transform(string_split_regex(t, '[^a-z0-9'' ]+'),
+      |      (x, i) -> struct_pack(x := x, i := i))) AS u(f)
+      |  WHERE f.x <> ''),
+      |words AS (
+      |  SELECT doc_id, fi, w.i AS wi, w.x AS word
+      |  FROM frags,
+      |    unnest(list_transform(string_split_regex(frag, ' +'),
+      |      (x, i) -> struct_pack(x := x, i := i))) AS u(w)
+      |  WHERE w.x <> ''),
+      |marked AS (
+      |  SELECT doc_id, fi, wi, word,
+      |    CASE WHEN word IN ('a', 'the') THEN 1 ELSE 0 END AS stop
+      |  FROM words),
+      |ph AS (
+      |  SELECT doc_id, fi, wi, word, stop,
+      |    sum(stop) OVER (PARTITION BY doc_id, fi ORDER BY wi
+      |      ROWS UNBOUNDED PRECEDING) AS pid
+      |  FROM marked),
+      |keep AS (SELECT doc_id, fi, pid, word FROM ph WHERE stop = 0),
+      |plen AS (
+      |  SELECT doc_id, fi, pid, count(*) AS plen
+      |  FROM keep GROUP BY 1, 2, 3),
+      |occ AS (
+      |  SELECT k.word, p.plen
+      |  FROM keep k JOIN plen p
+      |    ON p.doc_id = k.doc_id AND p.fi = k.fi AND p.pid = k.pid)
+      |SELECT word, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg,
+      |  CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
+      |FROM occ GROUP BY 1 HAVING count(*) >= 5
+      |ORDER BY word""".stripMargin
+
+  // -------------------------------------------------------------- q214
+  /** Mojibake / encoding-damage census (TA.mojibakeStats) with the
+    * three classic signatures planted deterministically: every 3rd doc
+    * re-decoded 'e'→'Ã©' (UTF-8-as-Latin-1), every 5th gains U+FFFD
+    * replacement chars, every 7th a mojibake'd smart-quote span. Pure
+    * literal replace/length arithmetic — no regex — so counts are
+    * engine-exact; census per source. Map-only + one aggregate. */
+  private def q214Mojibake(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("source"),
+      concat(
+        when(col("doc_id") % 3 === 0,
+          expr("replace(text, 'e', 'Ã©')")).otherwise(col("text")),
+        when(col("doc_id") % 5 === 0,
+          expr("repeat('�', CAST(doc_id % 4 + 1 AS INT))"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" â€œquotedâ€"))
+          .otherwise(lit(""))).as("t"))
+    planted.select(col("source"), TA.mojibakeStats(col("t")).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g.is_damaged"), 1L).otherwise(0L)).as("n_damaged"),
+        sum(col("g.n_replacement")).as("sum_replacement"),
+        sum(col("g.n_atilde")).as("sum_atilde"),
+        sum(col("g.n_smart")).as("sum_smart"))
+      .orderBy(col("source"))
+  }
+
+  private val q214Sql =
+    """WITH built AS (
+      |  SELECT source,
+      |    (CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'Ã©')
+      |          ELSE text END)
+      |    || (CASE WHEN doc_id % 5 = 0
+      |          THEN repeat(chr(65533), CAST(doc_id % 4 + 1 AS INT))
+      |          ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN ' â€œquotedâ€'
+      |          ELSE '' END) AS t
+      |  FROM documents),
+      |m AS (
+      |  SELECT source,
+      |    len(t) - len(replace(t, chr(65533), '')) AS n_repl,
+      |    len(t) - len(replace(t, 'Ã', '')) AS n_atilde,
+      |    (len(t) - len(replace(t, 'â€', ''))) // 2 AS n_smart
+      |  FROM built)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_repl + n_atilde + n_smart > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_damaged,
+      |  CAST(sum(n_repl) AS BIGINT) AS sum_replacement,
+      |  CAST(sum(n_atilde) AS BIGINT) AS sum_atilde,
+      |  CAST(sum(n_smart) AS BIGINT) AS sum_smart
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_rake" -> (q213Rake _),
+    "q214_mojibake" -> (q214Mojibake _),
     "q184_c4_battery" -> (q184C4Battery _),
     "q195_script_mix" -> (q195ScriptMix _),
     "q196_html_strip" -> (q196HtmlStrip _),
@@ -826,6 +936,8 @@ object QueriesQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q213_rake" -> q213Sql,
+    "q214_mojibake" -> q214Sql,
     "q184_c4_battery" -> q184Sql,
     "q195_script_mix" -> q195Sql,
     "q196_html_strip" -> q196Sql,

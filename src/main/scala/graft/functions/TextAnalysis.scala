@@ -138,6 +138,30 @@ object TextAnalysis {
         org.apache.spark.sql.graftshim.ColumnBridge.expression(a),
         org.apache.spark.sql.graftshim.ColumnBridge.expression(b)))
 
+  /** Encoding-damage (mojibake) census: counts the three loud
+    * signatures of a corrupted decode pipeline —
+    *   n_replacement: U+FFFD replacement chars (invalid bytes hit a
+    *     lenient decoder);
+    *   n_atilde: 'Ã' chars (UTF-8 multibyte heads re-decoded as
+    *     Latin-1 — 'é' becomes 'Ã©', etc.);
+    *   n_smart: 'â€' digraphs (mojibake'd smart quotes/dashes);
+    * plus is_damaged = any hit. Pure literal replace/length
+    * arithmetic (no regex), so any engine counts identically; counts
+    * are exact multiples, so the pattern-length division is exact.
+    * Map-only — one codegen'd pass per row at any corpus size. */
+  def mojibakeStats(text: Column): Column = {
+    def cnt(pat: String): Column =
+      ((length(text) - length(
+        org.apache.spark.sql.functions.replace(text, lit(pat), lit(""))))
+        / lit(pat.length)).cast("long")
+    val nRepl = cnt("�")
+    val nAtilde = cnt("Ã")
+    val nSmart = cnt("â€")
+    struct(nRepl.as("n_replacement"), nAtilde.as("n_atilde"),
+      nSmart.as("n_smart"),
+      (nRepl + nAtilde + nSmart > 0L).as("is_damaged"))
+  }
+
   /** Gopher-style repetition quality stats (Rae et al. 2021 §A1.1):
     * struct(top_word_fraction, dup_2gram_fraction, dup_3gram_fraction)
     * over the normalized token stream, in ONE codegen'd pass (see

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -165,5 +166,53 @@ object Retrieval {
       picks.result().iterator
     }
     out.toDF(queryCol, "sel_rank", idCol, relCol, "score2")
+  }
+
+  /** RAKE keyword scoring (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"), corpus-wide: candidate
+    * phrases are maximal stopword-free word runs between punctuation
+    * boundaries; each occurrence of word w in a phrase of length L
+    * adds 1 to freq(w) and L to deg(w) (degree counts co-occurring
+    * words INCLUDING itself); score = deg/freq rewards words that
+    * live in long phrases. All counts exact integers, score one
+    * division.
+    *
+    * Implementation is fully relational — two posexplodes, one
+    * (doc, fragment)-partitioned running-sum window for phrase ids,
+    * one phrase-length aggregate joined back, one word aggregate.
+    * No per-document fold, no collect: every stage is a bounded
+    * shuffle, so 100 TB of text streams through map-side explodes
+    * plus three hash aggregates. Fragments split on any char outside
+    * [a-z0-9' ] of the LOWERCASED text; callers normalize further
+    * upstream if needed.
+    *
+    * @return (word, freq, deg, score) for non-stopword words */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    require(stopwords.nonEmpty, "RAKE needs a stopword list")
+    val frags = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9' ]+"))
+          .as(Seq("fi", "frag")))
+      .filter(col("frag") =!= "")
+    val words = frags
+      .select(col("__id"), col("fi"),
+        posexplode(split(col("frag"), " +")).as(Seq("wi", "word")))
+      .filter(col("word") =!= "")
+      .withColumn("stop",
+        when(col("word").isin(stopwords: _*), 1L).otherwise(0L))
+    val w = Window.partitionBy(col("__id"), col("fi")).orderBy(col("wi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keep = words.withColumn("pid", sum(col("stop")).over(w))
+      .filter(col("stop") === 0L)
+      .select(col("__id"), col("fi"), col("pid"), col("word"))
+    val plen = keep.groupBy(col("__id"), col("fi"), col("pid"))
+      .agg(count(lit(1)).as("plen"))
+    keep.join(plen, Seq("__id", "fi", "pid"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("word"), col("freq"), col("deg"),
+        (col("deg").cast("double") / col("freq").cast("double"))
+          .as("score"))
   }
 }

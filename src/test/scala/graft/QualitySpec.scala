@@ -374,4 +374,20 @@ class QualitySpec extends SparkSpec {
     empty.getLong(3) shouldBe 0L
     empty.getBoolean(6) shouldBe false
   }
+
+  test("mojibakeStats counts each damage signature and flags any hit") {
+    val rows = Seq(
+      "clean text",
+      "cafÃ© broken",      // 'Ã©' -> one Ã head
+      "bad �� bytes",       // two replacement chars
+      "he said â€œhiâ€") // â€œ + â€<9d>
+      .toDF("text")
+    val got = rows.select(TA.mojibakeStats(col("text")).as("g"))
+      .select("g.*")
+      .as[(Long, Long, Long, Boolean)].collect()
+    got(0) shouldBe ((0L, 0L, 0L, false))
+    got(1) shouldBe ((0L, 1L, 0L, true))
+    got(2) shouldBe ((2L, 0L, 0L, true))
+    got(3) shouldBe ((0L, 0L, 2L, true))
+  }
 }

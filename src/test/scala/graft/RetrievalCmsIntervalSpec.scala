@@ -177,4 +177,29 @@ class RetrievalCmsIntervalSpec extends SparkSpec {
       .orderBy("sel_rank").collect().map(_.getLong(2)).toSeq
     t shouldBe Seq(4L, 5L)
   }
+
+  test("rakeKeywords: hand-traced phrases, stopword and punct splits") {
+    // doc: "deep learning of neural nets. deep nets" stop={of}
+    //   phrases: [deep learning] [neural nets] | [deep nets]
+    // deep: freq 2, deg 2+2; learning: 1, 2; neural: 1, 2; nets: 2, 4
+    val df = Seq((1L, "deep learning of neural nets. deep nets"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.rakeKeywords(df, "doc_id", "text", Seq("of"))
+      .orderBy("word")
+      .as[(String, Long, Long, Double)].collect()
+    got shouldBe Array(
+      ("deep", 2L, 4L, 2.0), ("learning", 1L, 2L, 2.0),
+      ("nets", 2L, 4L, 2.0), ("neural", 1L, 2L, 2.0))
+    // a doc of only stopwords/punct contributes nothing
+    Retrieval.rakeKeywords(
+      Seq((2L, "of, of! of")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("of")).count() shouldBe 0L
+    // phrase ids do not leak across fragments: "x. y" is two
+    // length-1 phrases, not one of length 2
+    val fr = Retrieval.rakeKeywords(
+      Seq((3L, "alpha. beta")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("of")).orderBy("word")
+      .as[(String, Long, Long, Double)].collect()
+    fr.map(_._3).toSeq shouldBe Seq(1L, 1L)
+  }
 }
