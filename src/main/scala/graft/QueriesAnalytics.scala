@@ -1853,10 +1853,75 @@ object QueriesAnalytics {
       |    / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)) AS gini
       |FROM a ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------- q215
+  /** Isotonic regression / PAVA calibration (Isotonic.fitByGroup):
+    * per-user monotone fit of purchase propensity (y = 100·is_purchase)
+    * against the value-cents score. The engine runs real
+    * stack-based PAVA per group (exact integer block state,
+    * cross-multiplied violation test); the oracle replays it through
+    * the min–max representation ŷᵢ = min_{k≥i} max_{j≤i} avg(j..k) —
+    * O(n²) pairs but algebraically the same fit, and since rounding
+    * rationals to doubles is monotone, min/max of the rounded
+    * averages lands on the identical block-mean division both
+    * engines. */
+  private def q215Isotonic(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("x"),
+        when(col("event_type") === "purchase", 100L).otherwise(0L)
+          .as("y"))
+    graft.operators.Isotonic.fitByGroup(ev, "user_id", "x", "y")
+      .orderBy(col("user_id"), col("x"))
+  }
+
+  private val q215Sql =
+    """WITH b AS (
+      |  SELECT user_id AS g,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |    CASE WHEN event_type = 'purchase' THEN 100 ELSE 0 END AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |cells AS (
+      |  SELECT g, x, count(*) AS w, CAST(sum(y) AS BIGINT) AS s
+      |  FROM b GROUP BY 1, 2),
+      |ord AS (
+      |  SELECT g, x, w, s,
+      |    row_number() OVER (PARTITION BY g ORDER BY x) AS rn
+      |  FROM cells),
+      |pre AS (
+      |  SELECT g, x, w, s, rn,
+      |    sum(w) OVER (PARTITION BY g ORDER BY rn
+      |      ROWS UNBOUNDED PRECEDING) AS cw,
+      |    sum(s) OVER (PARTITION BY g ORDER BY rn
+      |      ROWS UNBOUNDED PRECEDING) AS cs
+      |  FROM ord),
+      |p0 AS (SELECT g, rn, cw, cs FROM pre
+      |       UNION ALL
+      |       SELECT g, 0, 0, 0 FROM (SELECT DISTINCT g FROM pre)),
+      |pairs AS (
+      |  SELECT p.g, jj.rn + 1 AS j, p.rn AS k,
+      |    CAST(p.cs - jj.cs AS DOUBLE) / CAST(p.cw - jj.cw AS DOUBLE)
+      |      AS a
+      |  FROM pre p JOIN p0 jj ON jj.g = p.g AND jj.rn < p.rn),
+      |mx AS (SELECT g, j, k,
+      |  max(a) OVER (PARTITION BY g, k ORDER BY j
+      |    ROWS UNBOUNDED PRECEDING) AS m
+      |  FROM pairs),
+      |mn AS (SELECT g, j, k,
+      |  min(m) OVER (PARTITION BY g, j ORDER BY k DESC
+      |    ROWS UNBOUNDED PRECEDING) AS f
+      |  FROM mx),
+      |fit AS (SELECT g AS fg, j AS rn, f FROM mn WHERE k = j)
+      |SELECT o.g AS user_id, o.x, o.w, fit.f AS fit
+      |FROM ord o JOIN fit ON fit.fg = o.g AND fit.rn = o.rn
+      |ORDER BY user_id, x""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_roc_auc" -> (q204RocAuc _),
+    "q215_isotonic" -> (q215Isotonic _),
     "q205_markov" -> (q205Markov _),
     "q206_chi2" -> (q206Chi2 _),
     "q207_cusum" -> (q207Cusum _),
@@ -1905,6 +1970,7 @@ object QueriesAnalytics {
 
   val oracles: Map[String, String] = Map(
     "q204_roc_auc" -> q204Sql,
+    "q215_isotonic" -> q215Sql,
     "q205_markov" -> q205Sql,
     "q206_chi2" -> q206Sql,
     "q207_cusum" -> q207Sql,

@@ -428,4 +428,43 @@ class AnalyticsSpec extends SparkSpec {
     Evaluation.giniByGroup(dup, "g", "v").head() shouldBe
       Evaluation.giniByGroup(dup.repartition(11), "g", "v").head()
   }
+
+  test("isotonic PAVA: hand case, reference equality, monotone output") {
+    import graft.operators.Isotonic
+    // classic violation: y = 1,3,2 -> blocks [1][3,2] -> 1, 2.5, 2.5
+    val hand = Seq((1L, 1L, 1L), (1L, 2L, 3L), (1L, 3L, 2L))
+      .toDF("g", "x", "y")
+    Isotonic.fitByGroup(hand, "g", "x", "y").orderBy("x")
+      .select("fit").as[Double].collect().toSeq shouldBe
+      Seq(1.0, 2.5, 2.5)
+    // already monotone input is returned unchanged
+    val mono = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))
+      .toDF("g", "x", "y")
+    Isotonic.fitByGroup(mono, "g", "x", "y").orderBy("x")
+      .select("fit").as[Double].collect().toSeq shouldBe
+      Seq(10.0, 20.0, 30.0)
+    // pseudorandom: output non-decreasing per group, weighted mean
+    // preserved (PAVA projects onto the monotone cone), invariance
+    val rnd = (1 to 400).map { i =>
+      (i % 4 + 1L, (i * 17 % 50).toLong, (i * 31 % 97).toLong)
+    }.toDF("g", "x", "y")
+    val fit = Isotonic.fitByGroup(rnd, "g", "x", "y")
+    val byG = fit.orderBy("g", "x")
+      .select("g", "fit").as[(Long, Double)].collect()
+    byG.toSeq.sliding(2).foreach {
+      case Seq((g1, f1), (g2, f2)) =>
+        if (g1 == g2) f1 should be <= f2
+      case _ =>
+    }
+    // Σ w·fit == Σ y within each group (mean preservation)
+    val sums = fit.groupBy("g")
+      .agg(sum(col("w").cast("double") * col("fit")).as("sf"))
+      .as[(Long, Double)].collect().toMap
+    val raw = rnd.groupBy("g").agg(sum("y")).as[(Long, Long)]
+      .collect().toMap
+    sums.foreach { case (g, sf) => sf shouldBe raw(g).toDouble +- 1e-6 }
+    Isotonic.fitByGroup(rnd.repartition(13), "g", "x", "y")
+      .orderBy("g", "x").collect() shouldBe
+      fit.orderBy("g", "x").collect()
+  }
 }
