@@ -1917,11 +1917,135 @@ object QueriesAnalytics {
       |FROM ord o JOIN fit ON fit.fg = o.g AND fit.rn = o.rn
       |ORDER BY user_id, x""".stripMargin
 
+  // -------------------------------------------------------------- q216
+  /** Gains / decile-lift chart (Evaluation.gainsChart, k=10):
+    * purchase capture by value-cents decile — equi-depth integer
+    * bucketing, per-decile rate and lift, cumulative gain from the
+    * top decile via a k×k triangular self-join (no global window).
+    * Every ratio a single division of exact counts. */
+  private def q216Gains(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select((col("event_type") === "purchase").as("pos"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("score"))
+    graft.operators.Evaluation
+      .gainsChart(ev, col("pos"), col("score"), k = 10)
+      .orderBy(col("bucket"))
+  }
+
+  private val q216Sql =
+    """WITH b AS (
+      |  SELECT (event_type = 'purchase') AS pos,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |c AS (
+      |  SELECT score, count(*) AS all_c,
+      |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_c
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT sum(all_c) AS n FROM c),
+      |cum AS (
+      |  SELECT score, all_c, pos_c,
+      |    sum(all_c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+      |      AS cm
+      |  FROM c),
+      |bk AS (
+      |  SELECT (cm * 10 + t.n - 1) // t.n AS bucket, all_c, pos_c
+      |  FROM cum CROSS JOIN t),
+      |agg AS (
+      |  SELECT bucket, CAST(sum(all_c) AS BIGINT) AS n_rows,
+      |    CAST(sum(pos_c) AS BIGINT) AS n_pos
+      |  FROM bk GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n_rows) AS BIGINT) AS tn,
+      |    CAST(sum(n_pos) AS BIGINT) AS tp
+      |  FROM agg),
+      |cg AS (
+      |  SELECT a.bucket, CAST(sum(c2.n_pos) AS BIGINT) AS cum_pos
+      |  FROM agg a JOIN agg c2 ON c2.bucket >= a.bucket
+      |  GROUP BY 1)
+      |SELECT CAST(a.bucket AS BIGINT) AS bucket, a.n_rows, a.n_pos,
+      |  CAST(a.n_pos AS DOUBLE) / CAST(a.n_rows AS DOUBLE) AS rate,
+      |  (CAST(a.n_pos AS DOUBLE) * CAST(tot.tn AS DOUBLE))
+      |    / (CAST(a.n_rows AS DOUBLE) * CAST(tot.tp AS DOUBLE)) AS lift,
+      |  cg.cum_pos,
+      |  CAST(cg.cum_pos AS DOUBLE) / CAST(tot.tp AS DOUBLE) AS cum_gain
+      |FROM agg a JOIN cg ON cg.bucket = a.bucket CROSS JOIN tot
+      |ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------- q217
+  /** Concentration battery (Evaluation.concentrationByGroup):
+    * language-mix concentration per document source — Simpson's λ,
+    * HHI, top share. Log-free diversity (Shannon's ln is libm-
+    * dependent; these are pure rationals over exact counts). */
+  private def q217Concentration(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Evaluation.concentrationByGroup(
+        Tables.load(s, dir, "documents"), "source", "lang")
+      .orderBy(col("source"))
+
+  private val q217Sql =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS c
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+      |a AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |    count(*) AS n_cats,
+      |    CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num,
+      |    CAST(sum(c * c) AS BIGINT) AS sq_num,
+      |    CAST(max(c) AS BIGINT) AS top_c
+      |  FROM cells GROUP BY 1)
+      |SELECT source, n, n_cats, simpson_num, sq_num, top_c,
+      |  CASE WHEN n > 1 THEN CAST(simpson_num AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |    ELSE 0.0 END AS simpson,
+      |  CAST(sq_num AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS hhi,
+      |  CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE) AS top_share
+      |FROM a ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------- q218
+  /** Inter-arrival burstiness (EventAnalytics.interArrivalStats):
+    * per-user gap stats in exact integer microseconds, CV² and the
+    * Goh–Barabási burstiness from rational+sqrt derivations. One
+    * user-partitioned lag window + one aggregate. */
+  private def q218Burstiness(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.interArrivalStats(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id")
+      .orderBy(col("user_id"))
+
+  private val q218Sql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id, count(*) AS n_gaps,
+      |    CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+      |    sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+      |      AS sg2
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      |d AS (
+      |  SELECT user_id, n_gaps, sum_gap_us,
+      |    CAST(sum_gap_us AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+      |      AS mean_gap_us,
+      |    (CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE))
+      |      / (CAST(sum_gap_us AS DOUBLE) * CAST(sum_gap_us AS DOUBLE))
+      |      - 1.0 AS cv2
+      |  FROM a)
+      |SELECT user_id, n_gaps, sum_gap_us, mean_gap_us, cv2,
+      |  (sqrt(greatest(cv2, 0.0)) - 1.0)
+      |    / (sqrt(greatest(cv2, 0.0)) + 1.0) AS burstiness
+      |FROM d ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q204_roc_auc" -> (q204RocAuc _),
     "q215_isotonic" -> (q215Isotonic _),
+    "q216_gains_chart" -> (q216Gains _),
+    "q217_concentration" -> (q217Concentration _),
+    "q218_burstiness" -> (q218Burstiness _),
     "q205_markov" -> (q205Markov _),
     "q206_chi2" -> (q206Chi2 _),
     "q207_cusum" -> (q207Cusum _),
@@ -1971,6 +2095,9 @@ object QueriesAnalytics {
   val oracles: Map[String, String] = Map(
     "q204_roc_auc" -> q204Sql,
     "q215_isotonic" -> q215Sql,
+    "q216_gains_chart" -> q216Sql,
+    "q217_concentration" -> q217Sql,
+    "q218_burstiness" -> q218Sql,
     "q205_markov" -> q205Sql,
     "q206_chi2" -> q206Sql,
     "q207_cusum" -> q207Sql,

@@ -167,6 +167,101 @@ object Evaluation {
           (acc, t) => acc + t).as("chi2"))
   }
 
+  /** Gains / decile-lift chart: rank rows into k equi-depth score
+    * buckets (bucket k = top scores), then per bucket the positive
+    * rate, its lift over the base rate, and the cumulative gain
+    * captured from the top bucket down — the standard targeting-model
+    * acceptance report. Bucketing is the integer ceil(cum·k/n) rule
+    * (duplicate-safe, engine-exact); the cumulative column comes from
+    * a k×k triangular self-join of the k-row bucket table, never a
+    * window over data. Same two-pass prefix machinery as [[rocAuc]].
+    *
+    * @return per bucket: (bucket, n_rows, n_pos, rate, lift,
+    *         cum_pos, cum_gain) */
+  def gainsChart(df: DataFrame, labelCol: Column, scoreCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val spark = df.sparkSession
+    val counts = df
+      .filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy(scoreCol.as("score"))
+      .agg(count(lit(1)).as("all_c"),
+        sum(when(labelCol, 1L).otherwise(0L)).as("pos_c"))
+    val base = counts.repartitionByRange(col("score"))
+      .sortWithinPartitions(col("score"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_ONLY)
+    val totals = base.groupBy(col("__pid"))
+      .agg(sum(col("all_c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = math.max(1L, totals.map(_._2).sum)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val offDf = spark.createDataFrame(
+      totals.map(_._1).zip(offsets).toIndexedSeq).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = base.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cum", sum(col("all_c")).over(w) + col("__off"))
+      .withColumn("bucket", expr(s"(__cum * $k + ${n - 1}L) div ${n}L"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("all_c")).as("n_rows"), sum(col("pos_c")).as("n_pos"))
+    val tot = buckets.agg(sum(col("n_rows")).as("__tn"),
+      sum(col("n_pos")).as("__tp"))
+    val cum = buckets.as("b").join(buckets.as("c"),
+        col("c.bucket") >= col("b.bucket"))
+      .groupBy(col("b.bucket").as("bucket"))
+      .agg(sum(col("c.n_pos")).as("cum_pos"))
+    val res = buckets
+      .join(cum, Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket").cast("long").as("bucket"), col("n_rows"),
+        col("n_pos"),
+        (col("n_pos").cast("double") / col("n_rows").cast("double"))
+          .as("rate"),
+        ((col("n_pos").cast("double") * col("__tn").cast("double")) /
+          (col("n_rows").cast("double") * col("__tp").cast("double")))
+          .as("lift"),
+        col("cum_pos"),
+        (col("cum_pos").cast("double") / col("__tp").cast("double"))
+          .as("cum_gain"))
+    res.collect() // force before unpersist (k rows)
+    base.unpersist()
+    res
+  }
+
+  /** Categorical concentration battery per group: Simpson's index
+    * λ = Σ nᵢ(nᵢ−1) / (N(N−1)) (probability two draws share a
+    * category), the Herfindahl–Hirschman index Σ nᵢ²/N², and the top
+    * category's share. Log-free diversity measures — every output is
+    * a single division of exact integer sums, so the doubles are
+    * engine-identical (unlike Shannon entropy, whose log is libm-
+    * dependent). Two hash aggregates, map-combined.
+    *
+    * @return (group, n, n_cats, simpson_num, sq_num, top_c, simpson,
+    *         hhi, top_share) */
+  def concentrationByGroup(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val cells = df.filter(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_cats"),
+        sum(col("c") * (col("c") - lit(1L))).as("simpson_num"),
+        sum(col("c") * col("c")).as("sq_num"),
+        max(col("c")).as("top_c"))
+      .select(col(groupCol), col("n"), col("n_cats"),
+        col("simpson_num"), col("sq_num"), col("top_c"),
+        when(col("n") > 1L,
+          col("simpson_num").cast("double") /
+            (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+          .otherwise(lit(0.0)).as("simpson"),
+        (col("sq_num").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("hhi"),
+        (col("top_c").cast("double") / col("n").cast("double"))
+          .as("top_share"))
+  }
+
   /** Gini concentration coefficient per group over an integral value
     * column (cents), via the rank formula
     *   G = (2·Σᵢ rᵢ·xᵢ − (n+1)·Σx) / (n·Σx)

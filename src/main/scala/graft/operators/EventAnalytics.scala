@@ -246,6 +246,42 @@ object EventAnalytics {
           .as("prob"))
   }
 
+  /** Inter-arrival / burstiness statistics per user: gap count, exact
+    * integer-microsecond gap sum, mean gap, the squared coefficient
+    * of variation CV² = n·Σg²/(Σg)² − 1, and the Goh–Barabási
+    * burstiness B = (σ−μ)/(σ+μ) = (√CV²−1)/(√CV²+1) ∈ (−1, 1) —
+    * B→1 bursty, B→−1 metronomic. Σg² accumulates in DECIMAL(38,0)
+    * (µs² passes BIGINT range beyond ~day-long gaps); the derived
+    * doubles are rational+sqrt over exact sums, engine-identical.
+    * One lag() window + one aggregate, both user-partitioned.
+    * Users with fewer than 2 events produce no row.
+    * @return (user, n_gaps, sum_gap_us, mean_gap_us, cv2, burstiness) */
+  def interArrivalStats(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("sum_gap_us"),
+        sum(col("__gap").cast("decimal(38,0)") *
+          col("__gap").cast("decimal(38,0)")).as("__sg2"))
+      .select(col(userCol), col("n_gaps"), col("sum_gap_us"),
+        (col("sum_gap_us").cast("double") / col("n_gaps").cast("double"))
+          .as("mean_gap_us"),
+        ((col("n_gaps").cast("double") * col("__sg2").cast("double")) /
+          (col("sum_gap_us").cast("double") *
+            col("sum_gap_us").cast("double")) - lit(1.0)).as("cv2"))
+      // clamp: float rounding can push an exactly-zero CV² a hair
+      // negative, and sqrt(−ε) = NaN would poison the compare
+      .withColumn("burstiness",
+        (sqrt(greatest(col("cv2"), lit(0.0))) - lit(1.0)) /
+          (sqrt(greatest(col("cv2"), lit(0.0))) + lit(1.0)))
+  }
+
   /** Cumulative-distinct curve: for each user and day, how many NEW
     * event types appeared that day and how many distinct types the
     * user has seen up to and including it (the "vocabulary growth"

@@ -467,4 +467,63 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy("g", "x").collect() shouldBe
       fit.orderBy("g", "x").collect()
   }
+
+  test("gainsChart: deciles partition rows, top bucket leads the gain") {
+    import graft.operators.Evaluation
+    // 100 rows, scores 1..100, positives = top 20 scores
+    val df = (1 to 100).map(i => (i > 80, i.toLong)).toDF("pos", "score")
+    val got = Evaluation.gainsChart(df, col("pos"), col("score"), 10)
+      .orderBy("bucket").collect()
+    got.length shouldBe 10
+    got.map(_.getLong(1)).sum shouldBe 100L // n_rows partition the data
+    val top = got.last
+    top.getLong(0) shouldBe 10L
+    top.getLong(2) shouldBe 10L // bucket 10 all positive
+    top.getDouble(3) shouldBe 1.0 // rate
+    top.getDouble(4) shouldBe 5.0 // lift = 1.0 / 0.2 base rate
+    top.getLong(5) shouldBe 10L // cum_pos from the top = itself
+    top.getDouble(6) shouldBe 0.5 // half the positives in the top decile
+    // cumulative gain reaches 1.0 at the bottom bucket
+    got.head.getDouble(6) shouldBe 1.0
+  }
+
+  test("concentrationByGroup: uniform vs single-category extremes") {
+    import graft.operators.Evaluation
+    val df = ((1 to 4).map(i => ("uni", "c" + i)) ++
+      Seq.fill(5)(("one", "only"))).toDF("g", "cat")
+    val got = Evaluation.concentrationByGroup(df, "g", "cat")
+      .orderBy("g").collect()
+    // "one": 5 of one category -> simpson 1, hhi 1, top_share 1
+    got(0).getDouble(6) shouldBe 1.0
+    got(0).getDouble(7) shouldBe 1.0
+    got(0).getDouble(8) shouldBe 1.0
+    // "uni": 4 distinct singletons -> simpson 0, hhi 1/4, share 1/4
+    got(1).getDouble(6) shouldBe 0.0
+    got(1).getDouble(7) shouldBe 0.25
+    got(1).getDouble(8) shouldBe 0.25
+  }
+
+  test("interArrivalStats: metronomic B=-1, known two-gap case") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    def ev(rows: (Long, Long, Long)*) = rows.map { case (u, id, sec) =>
+      (u, id, new Timestamp(sec * 1000L))
+    }.toDF("user_id", "event_id", "ts")
+    // user 1: constant 10s gaps -> cv2 = 0, burstiness = -1
+    // user 2: gaps 10s, 30s -> mean 20s, cv2 = 2*(100+900)/1600-1 = 0.25
+    // user 3: single event -> no row
+    val df = ev((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 20L),
+      (2L, 4L, 0L), (2L, 5L, 10L), (2L, 6L, 40L), (3L, 7L, 5L))
+    val got = EventAnalytics
+      .interArrivalStats(df, "user_id", "ts", "event_id")
+      .orderBy("user_id").collect()
+    got.length shouldBe 2
+    got(0).getDouble(4) shouldBe 0.0 // cv2
+    got(0).getDouble(5) shouldBe -1.0 // burstiness
+    got(1).getLong(1) shouldBe 2L
+    got(1).getDouble(3) shouldBe 20e6 // mean gap in us
+    got(1).getDouble(4) shouldBe 0.25 +- 1e-12
+    val b = (math.sqrt(0.25) - 1) / (math.sqrt(0.25) + 1)
+    got(1).getDouble(5) shouldBe b +- 1e-12
+  }
 }
