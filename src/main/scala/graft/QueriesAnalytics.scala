@@ -2038,6 +2038,97 @@ object QueriesAnalytics {
       |    / (sqrt(greatest(cv2, 0.0)) + 1.0) AS burstiness
       |FROM d ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------- q220
+  /** Weekday seasonal index (TimeSeries.seasonalIndex): per event
+    * type, each epoch-weekday's mean value cents relative to the
+    * type's overall mean — exact integer sums, index one double
+    * expression. Two aggregates + a broadcast join. */
+  private def q220Seasonal(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) % 7)
+          .cast("long").as("wd"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    graft.operators.TimeSeries.seasonalIndex(ev, Seq("event_type"),
+        col("wd"), col("cents"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  private val q220Sql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+      |      AS BIGINT) AS wd,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |    AND ts IS NOT NULL),
+      |cells AS (
+      |  SELECT event_type, wd AS bucket, count(*) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS sum_v
+      |  FROM b GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(sum(n) AS BIGINT) AS tn,
+      |    CAST(sum(sum_v) AS BIGINT) AS ts
+      |  FROM cells GROUP BY 1)
+      |SELECT c.event_type, c.bucket, c.n, c.sum_v,
+      |  (CAST(c.sum_v AS DOUBLE) * CAST(t.tn AS DOUBLE))
+      |    / (CAST(c.n AS DOUBLE) * CAST(t.ts AS DOUBLE)) AS s_index
+      |FROM cells c JOIN tot t USING (event_type)
+      |ORDER BY event_type, bucket""".stripMargin
+
+  // -------------------------------------------------------------- q221
+  /** Lag-1 autocorrelation (TimeSeries.lagAutocorr) of per-user event
+    * value cents: serial dependence from exact integer moments
+    * (DECIMAL(38,0) products), r in one rational+sqrt expression,
+    * NULL on degenerate variance. */
+  private def q221Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    graft.operators.TimeSeries.lagAutocorr(ev, Seq("user_id"),
+        Seq(unix_micros(col("ts")), col("event_id")), col("cents"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q221Sql =
+    """WITH b AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |p AS (
+      |  SELECT user_id, y,
+      |    lag(y) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS x
+      |  FROM b),
+      |m AS (
+      |  SELECT user_id, count(*) AS n_pairs,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+      |      AS sxx,
+      |    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+      |      AS syy,
+      |    sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+      |      AS sxy
+      |  FROM p WHERE x IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_pairs,
+      |  CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+      |      AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+      |    THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    ELSE NULL END AS r1
+      |FROM m ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2046,6 +2137,8 @@ object QueriesAnalytics {
     "q216_gains_chart" -> (q216Gains _),
     "q217_concentration" -> (q217Concentration _),
     "q218_burstiness" -> (q218Burstiness _),
+    "q220_seasonal_index" -> (q220Seasonal _),
+    "q221_autocorr" -> (q221Autocorr _),
     "q205_markov" -> (q205Markov _),
     "q206_chi2" -> (q206Chi2 _),
     "q207_cusum" -> (q207Cusum _),
@@ -2098,6 +2191,8 @@ object QueriesAnalytics {
     "q216_gains_chart" -> q216Sql,
     "q217_concentration" -> q217Sql,
     "q218_burstiness" -> q218Sql,
+    "q220_seasonal_index" -> q220Sql,
+    "q221_autocorr" -> q221Sql,
     "q205_markov" -> q205Sql,
     "q206_chi2" -> q206Sql,
     "q207_cusum" -> q207Sql,

@@ -394,7 +394,63 @@ object QueriesSimilarity {
        |FROM e ORDER BY vec_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q219
+  /** Leave-one-out kNN label eval (Similarity.knnLooEval, k=5) over
+    * the labeled embeddings: integer int8-code dots make ranking,
+    * votes, and tie-breaks engine-exact; accuracy per true label is
+    * one division. Eval-set contract — the query side broadcasts, the
+    * corpus side streams into the bounded top-k heap. */
+  private def q219KnnEval(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLooEval(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("label"))
+
+  private val q219Sql =
+    """WITH ed AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, label, e,
+      |    list_max(list_transform(e, x -> abs(x))) AS s
+      |  FROM ed),
+      |codes AS (
+      |  SELECT vec_id, label,
+      |    CASE WHEN s = 0 THEN list_transform(e, x -> 0)
+      |      ELSE list_transform(e,
+      |        x -> CAST(floor(x * 127.0 / s + 0.5) AS INT)) END AS q
+      |  FROM sc),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    b.label AS nlbl,
+      |    CAST(list_sum(list_transform(a.q,
+      |      (x, i) -> CAST(x AS BIGINT) * b.q[i])) AS BIGINT) AS dot
+      |  FROM codes a JOIN codes b ON a.vec_id <> b.vec_id),
+      |top AS (
+      |  SELECT query_id, nlbl,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dot DESC, neighbor_id) AS rn
+      |  FROM pairs),
+      |votes AS (
+      |  SELECT query_id, nlbl, count(*) AS v
+      |  FROM top WHERE rn <= 5 GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT query_id, nlbl AS pred
+      |  FROM (SELECT query_id, nlbl,
+      |          row_number() OVER (PARTITION BY query_id
+      |            ORDER BY v DESC, nlbl) AS rn
+      |        FROM votes)
+      |  WHERE rn = 1)
+      |SELECT CAST(c.label AS BIGINT) AS label, count(*) AS n,
+      |  CAST(sum(CASE WHEN p.pred = c.label THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  CAST(sum(CASE WHEN p.pred = c.label THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+      |FROM pred p JOIN codes c ON c.vec_id = p.query_id
+      |GROUP BY c.label ORDER BY label""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_knn_eval" -> (q219KnnEval _),
     "q95_array_ops" -> (q95ArrayOps _),
     "q59_quantize_int8" -> (q59Quantize _),
     "q193_mmr_diversify" -> (q193Mmr _),
@@ -406,6 +462,7 @@ object QueriesSimilarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q219_knn_eval" -> q219Sql,
     "q95_array_ops" -> q95Sql,
     "q59_quantize_int8" -> q59Sql,
     "q193_mmr_diversify" -> q193Sql,

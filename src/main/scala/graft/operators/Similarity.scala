@@ -501,6 +501,61 @@ object Similarity {
     rankByDistance(scored, k)
   }
 
+  /** Leave-one-out kNN classification eval: every vector is classified
+    * by the majority label of its k nearest neighbors (self excluded)
+    * and scored against its own label — the standard embedding-quality
+    * probe for a labeled eval set. Similarity is the raw INTEGER dot
+    * of the int8-quantized codes ([[quantizeInt8]]): exact, total, and
+    * tie-broken by neighbor id, so ranking and votes are deterministic
+    * on any engine or partitioning (float cosine ranking is not).
+    * Majority ties break toward the smaller label.
+    *
+    * Scale contract: `df` is an EVAL SET (it is broadcast as the query
+    * side; the corpus side streams map-only into the bounded-heap
+    * top-k — the [[bruteForceTopK]] shape). Classifying a full corpus
+    * belongs to [[ivfTopK]]/[[lshTopK]], not this harness.
+    *
+    * @return per true label: (label, n, n_correct, accuracy) */
+  def knnLooEval(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val codes = df.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).cast("long").as("__lbl"),
+      quantizeInt8(col(vecCol)).getField("q").as("__q"))
+    val q = broadcast(codes.select(col("__id").as("query_id"),
+      col("__q").as("__qq")))
+    val c = codes.select(col("__id").as("neighbor_id"),
+      col("__q").as("__nq"))
+    // 64-dim int8 dots stay far under 2^53, so the double cast that
+    // feeds the shared top-k heap is exact
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", aggregate(
+        zip_with(col("__qq"), col("__nq"),
+          (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), _ + _).cast("double"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val top = rankTopK(scored, k)
+      .join(codes.select(col("__id").as("neighbor_id"),
+        col("__lbl").as("__nlbl")), Seq("neighbor_id"))
+    val votes = top.groupBy(col("query_id"), col("__nlbl"))
+      .agg(count(lit(1)).as("__v"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__v").desc, col("__nlbl"))
+    val pred = votes.withColumn("__rn", row_number().over(wv))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__nlbl").as("__pred"))
+    pred.join(codes.select(col("__id").as("query_id"),
+        col("__lbl")), Seq("query_id"))
+      .groupBy(col("__lbl").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pred") === col("__lbl"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n").cast("double"))
+          .as("accuracy"))
+  }
+
   def quantizeInt8(vec: Column): Column = {
     val ed = transform(vec, x => x.cast("double"))
     val scale = array_max(transform(ed, x => abs(x)))

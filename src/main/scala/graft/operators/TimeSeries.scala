@@ -111,6 +111,63 @@ object TimeSeries {
           b => b)).cast("long").as("n_jumps"): _*)
   }
 
+  /** Additive-free seasonal index per (key, season bucket): the
+    * bucket's mean of `valueCol` relative to the key's overall mean,
+    * index = (Σ_b · n_key) / (n_b · Σ_key) — the classical ratio-to-
+    * moving-average seasonal factor with the trend term dropped
+    * (right for stationary series; detrend upstream otherwise). Both
+    * numerator and denominator are exact integer sums; the index is
+    * one double expression. Two hash aggregates + a broadcast join.
+    * @return (keys…, bucket, n, sum_v, s_index) */
+  def seasonalIndex(df: DataFrame, keys: Seq[String], bucketCol: Column,
+      valueCol: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val cells = df.filter(valueCol.isNotNull)
+      .groupBy(keyCols :+ bucketCol.as("bucket"): _*)
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_v"))
+    val tot = cells.groupBy(keyCols: _*)
+      .agg(sum(col("n")).as("__tn"), sum(col("sum_v")).as("__ts"))
+    cells.join(broadcast(tot), keys)
+      .select(keyCols ++ Seq(col("bucket"), col("n"), col("sum_v"),
+        ((col("sum_v").cast("double") * col("__tn").cast("double")) /
+          (col("n").cast("double") * col("__ts").cast("double")))
+          .as("s_index")): _*)
+  }
+
+  /** Lag-1 autocorrelation per key (the serial-dependence probe): the
+    * Pearson correlation of (x_{i−1}, x_i) pairs in `orderCols` order,
+    * from exact integer moments — squares/products accumulate in
+    * DECIMAL(38,0) — with r derived in one rational+sqrt expression.
+    * Degenerate keys (either side constant → zero variance) return
+    * NULL rather than ±Inf. One lag window + one aggregate.
+    * @return (keys…, n_pairs, r1) */
+  def lagAutocorr(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[Column], valueCol: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    def d(c: String): Column = col(c).cast("double")
+    val moments = df
+      .withColumn("__y", valueCol.cast("long"))
+      .withColumn("__x", lag(col("__y"), 1).over(w))
+      .filter(col("__x").isNotNull)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x").cast("decimal(38,0)") *
+          col("__x").cast("decimal(38,0)")).as("__sxx"),
+        sum(col("__y").cast("decimal(38,0)") *
+          col("__y").cast("decimal(38,0)")).as("__syy"),
+        sum(col("__x").cast("decimal(38,0)") *
+          col("__y").cast("decimal(38,0)")).as("__sxy"))
+    moments.select(keyCols ++ Seq(col("n_pairs"),
+      when((d("n_pairs") * d("__sxx") - d("__sx") * d("__sx")) > 0.0 &&
+          (d("n_pairs") * d("__syy") - d("__sy") * d("__sy")) > 0.0,
+        (d("n_pairs") * d("__sxy") - d("__sx") * d("__sy")) /
+          (sqrt(d("n_pairs") * d("__sxx") - d("__sx") * d("__sx")) *
+            sqrt(d("n_pairs") * d("__syy") - d("__sy") * d("__sy"))))
+        .as("r1")): _*)
+  }
+
   /** One-sided CUSUM drift detector (Page 1954) per key over an
     * INTEGRAL value column (cents): s_i = max(0, s_{i−1} + x_i − k),
     * alarm when s_i > h. The recurrence looks sequential, but the

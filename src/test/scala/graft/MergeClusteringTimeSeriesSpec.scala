@@ -166,4 +166,32 @@ class MergeClusteringTimeSeriesSpec extends SparkSpec {
       TimeSeries.cusum(big.repartition(17), Seq("k"), Seq(col("t")),
         col("x"), 40L, 100L).orderBy("k").collect()
   }
+
+  test("seasonalIndex: flat series -> all 1.0; hand-computed ratios") {
+    val flat = (1 to 14).map(i => ("k", (i % 7).toLong, 50L))
+      .toDF("k", "wd", "v")
+    TimeSeries.seasonalIndex(flat, Seq("k"), col("wd"), col("v"))
+      .select("s_index").as[Double].collect()
+      .foreach(_ shouldBe 1.0)
+    // bucket a: mean 10; bucket b: mean 30; overall mean 20
+    val two = Seq(("k", "a", 10L), ("k", "a", 10L),
+      ("k", "b", 30L), ("k", "b", 30L)).toDF("k", "wd", "v")
+    TimeSeries.seasonalIndex(two, Seq("k"), col("wd"), col("v"))
+      .orderBy("bucket").select("s_index").as[Double]
+      .collect().toSeq shouldBe Seq(0.5, 1.5)
+  }
+
+  test("lagAutocorr: alternating -> -1, trend -> +1, constant -> NULL") {
+    def series(xs: Seq[Long]) = xs.zipWithIndex
+      .map { case (x, i) => ("u", i.toLong, x) }.toDF("k", "t", "x")
+    val alt = TimeSeries.lagAutocorr(series(Seq(1L, 9L, 1L, 9L, 1L, 9L)),
+      Seq("k"), Seq(col("t")), col("x")).head()
+    alt.getDouble(2) shouldBe -1.0 +- 1e-12
+    val up = TimeSeries.lagAutocorr(series((1L to 10L)),
+      Seq("k"), Seq(col("t")), col("x")).head()
+    up.getDouble(2) shouldBe 1.0 +- 1e-12
+    val const = TimeSeries.lagAutocorr(series(Seq(5L, 5L, 5L)),
+      Seq("k"), Seq(col("t")), col("x")).head()
+    const.isNullAt(2) shouldBe true
+  }
 }

@@ -387,4 +387,22 @@ class SimilaritySpec extends SparkSpec {
     out(3L).getStruct(2).getSeq[Int](1) shouldBe Seq(0, 0, 0, 0)
     out(3L).getSeq[Double](3) shouldBe Seq(0.0, 0.0, 0.0, 0.0)
   }
+
+  test("knnLooEval: separable clusters classify perfectly, k ties break low") {
+    // two tight clusters on orthogonal axes, labels 0 and 1
+    val rows = Seq(
+      (1L, Seq(10f, 0f, 0f, 1f), 0), (2L, Seq(9f, 1f, 0f, 0f), 0),
+      (3L, Seq(10f, 1f, 0f, 0f), 0),
+      (4L, Seq(0f, 0f, 10f, 1f), 1), (5L, Seq(0f, 1f, 9f, 0f), 1),
+      (6L, Seq(0f, 0f, 10f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLooEval(rows, "vec_id", "embedding",
+      "label", k = 2).orderBy("label").collect()
+    got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq shouldBe
+      Seq((0L, 3L, 3L, 1.0), (1L, 3L, 3L, 1.0))
+    // partitioning invariance (deterministic integer ranking)
+    Similarity.knnLooEval(rows.repartition(5), "vec_id", "embedding",
+      "label", k = 2).orderBy("label").collect() shouldBe got
+  }
 }
