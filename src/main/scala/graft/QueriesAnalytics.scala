@@ -2129,6 +2129,51 @@ object QueriesAnalytics {
       |    ELSE NULL END AS r1
       |FROM m ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------- q223
+  /** Neighborhood Jaccard for existing edges
+    * (Graph.neighborhoodJaccard) over the q200 graph with the
+    * center-degree cap engaged (10): per-edge common-neighbor count,
+    * endpoint degrees, and J = cn/(du+dv−2−cn) — exact counts, one
+    * division, isolated edges pinned to 0. The oracle replays the
+    * cap. */
+  private def q223NeighborhoodJaccard(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.neighborhoodJaccard(e, "src", "dst", maxCenterDegree = 10)
+      .orderBy(col("u"), col("v"))
+  }
+
+  private val q223Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT
+      |    least(l_orderkey % 20000, (l_partkey * 7) % 20000) AS u,
+      |    greatest(l_orderkey % 20000, (l_partkey * 7) % 20000) AS v
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)
+      |    AND l_orderkey IS NOT NULL),
+      |adj AS (SELECT u AS c, v AS x FROM e0
+      |        UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT c, count(*) AS d FROM adj GROUP BY 1),
+      |kept AS (SELECT adj.c, adj.x FROM adj JOIN deg USING (c)
+      |         WHERE deg.d <= 10),
+      |cn AS (
+      |  SELECT a.x AS a, b.x AS b, count(*) AS cn
+      |  FROM kept a JOIN kept b ON a.c = b.c AND a.x < b.x
+      |  GROUP BY 1, 2)
+      |SELECT e0.u, e0.v, coalesce(cn.cn, 0) AS cn,
+      |  d1.d AS du, d2.d AS dv,
+      |  CASE WHEN d1.d + d2.d - 2 - coalesce(cn.cn, 0) > 0
+      |    THEN CAST(coalesce(cn.cn, 0) AS DOUBLE)
+      |      / CAST(d1.d + d2.d - 2 - coalesce(cn.cn, 0) AS DOUBLE)
+      |    ELSE 0.0 END AS jaccard
+      |FROM e0
+      |  LEFT JOIN cn ON cn.a = e0.u AND cn.b = e0.v
+      |  JOIN deg d1 ON d1.c = e0.u
+      |  JOIN deg d2 ON d2.c = e0.v
+      |ORDER BY u, v""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2139,6 +2184,7 @@ object QueriesAnalytics {
     "q218_burstiness" -> (q218Burstiness _),
     "q220_seasonal_index" -> (q220Seasonal _),
     "q221_autocorr" -> (q221Autocorr _),
+    "q223_neighborhood_jaccard" -> (q223NeighborhoodJaccard _),
     "q205_markov" -> (q205Markov _),
     "q206_chi2" -> (q206Chi2 _),
     "q207_cusum" -> (q207Cusum _),
@@ -2193,6 +2239,7 @@ object QueriesAnalytics {
     "q218_burstiness" -> q218Sql,
     "q220_seasonal_index" -> q220Sql,
     "q221_autocorr" -> q221Sql,
+    "q223_neighborhood_jaccard" -> q223Sql,
     "q205_markov" -> q205Sql,
     "q206_chi2" -> q206Sql,
     "q207_cusum" -> q207Sql,

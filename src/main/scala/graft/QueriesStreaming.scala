@@ -208,6 +208,79 @@ object QueriesStreaming {
     """SELECT event_id % 25 AS bucket, count(DISTINCT event_id) AS n_keys
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q222
+  /** Streaming CUSUM drift alarms (EventPipeline.cusumAlarms, k=7000¢
+    * slack, h=30000¢ bar) through a REAL four-trigger run: per-user
+    * GroupState carries the CUSUM level across micro-batches (state is
+    * one long per user — |users|-bounded, not history-bounded), each
+    * alarm emits exactly once in Append mode, and the time-ordered
+    * quarter files guarantee the cross-batch in-order contract. The
+    * oracle replays the identical integer recurrence in batch via the
+    * q207 reflection closed form — streaming state carry and batch
+    * windows must land on the same alarm set. */
+  private def q222StreamCusum(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventPipeline
+    val work = java.nio.file.Files.createTempDirectory("graft_scu")
+    val deltaDir = work.resolve("delta").toString
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    val ev0 = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val bounds = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+      .map(b => lit(b).cast("timestamp"))
+    val quarters = Seq(
+      ev0.filter(col("ts") < bounds(0)),
+      ev0.filter(col("ts") >= bounds(0) && col("ts") < bounds(1)),
+      ev0.filter(col("ts") >= bounds(1) && col("ts") < bounds(2)),
+      ev0.filter(col("ts") >= bounds(2)))
+    quarters.foreach { q =>
+      q.coalesce(1).write.mode("append").parquet(deltaDir)
+      Thread.sleep(200L) // ms-granularity mtimes: keep file order strict
+    }
+    val schema = s.read.parquet(deltaDir).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+    import s.implicits._
+    val alarms = EventPipeline.cusumAlarms(
+      src.as[EventPipeline.Ev], k = 7000L, h = 30000L)
+    val q = alarms.toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000L))
+      throw new IllegalStateException("streaming cusum timed out")
+    s.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_alarms"),
+        min(col("event_id")).as("first_eid"),
+        max(col("event_id")).as("last_eid"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q222Sql =
+    """WITH b AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 7000
+      |      AS d
+      |  FROM events WHERE value IS NOT NULL),
+      |y AS (
+      |  SELECT user_id, us, event_id, d,
+      |    sum(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS y
+      |  FROM b),
+      |sc AS (
+      |  SELECT user_id, event_id,
+      |    y - least(0, min(y) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)) AS s
+      |  FROM y)
+      |SELECT user_id, count(*) AS n_alarms,
+      |  min(event_id) AS first_eid, max(event_id) AS last_eid
+      |FROM sc WHERE s > 30000
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------------- q194
   /** Stream-static enrichment (EventPipeline.enrichedDailyTotals), as
     * a REAL multi-trigger run: four mtime-ordered quarter files feed
@@ -285,6 +358,7 @@ object QueriesStreaming {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q194_stream_enrich" -> (q194StreamEnrich _),
+    "q222_stream_cusum" -> (q222StreamCusum _),
     "q27_stream_window" -> (q27Window _),
     "q28_stream_sessions" -> (q28Sessions _),
     "q43_stream_attribution" -> (q43Attribution _),
@@ -294,6 +368,7 @@ object QueriesStreaming {
 
   val oracles: Map[String, String] = Map(
     "q194_stream_enrich" -> q194Sql,
+    "q222_stream_cusum" -> q222Sql,
     "q27_stream_window" -> q27Sql,
     "q175_stream_dedup" -> q175Sql,
     "q28_stream_sessions" -> q28Sql,

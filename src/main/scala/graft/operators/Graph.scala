@@ -590,4 +590,49 @@ object Graph {
           .as("n_capped_centers"))))
       .select(col("cn"), col("n_pairs"), col("n_capped_centers"))
   }
+
+  /** Neighborhood Jaccard similarity for EXISTING edges — the
+    * link-strength feature J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| with
+    * the endpoints themselves excluded from each other's
+    * neighborhood (an edge (u,v) puts v in N(u); u and v can never be
+    * common neighbors of the pair, so both sides subtract their
+    * mutual membership). Common neighbors come from the wedge-at-
+    * center join (work Σ C(d,2), bounded by `maxCenterDegree` — the
+    * commonNeighborCensus discipline); degrees broadcast back onto
+    * the edge list; the union size is |N(u)|+|N(v)|−2−cn by
+    * inclusion–exclusion. Edges with no common neighbor keep J = 0
+    * via the left join. All counts exact; J is one division.
+    *
+    * @return (u, v, cn, du, dv, jaccard) for every canonical edge */
+  def neighborhoodJaccard(edges: DataFrame, src: String, dst: String,
+      maxCenterDegree: Int = 1000): DataFrame = {
+    require(maxCenterDegree >= 2,
+      s"maxCenterDegree must be >= 2 (got $maxCenterDegree)")
+    val canon = canonicalEdges(edges, src, dst)
+    val adj = canon.select(col("u").as("c"), col("v").as("x"))
+      .unionAll(canon.select(col("v").as("c"), col("u").as("x")))
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
+    val kept = adj.join(deg.filter(col("d") <= maxCenterDegree)
+      .select(col("c")), Seq("c"))
+    val cn = kept.select(col("c"), col("x").as("a"))
+      .hint("shuffle_hash")
+      .join(kept.select(col("c"), col("x").as("b")), Seq("c"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    canon
+      .join(cn, col("u") === col("a") && col("v") === col("b"),
+        "left")
+      .select(col("u"), col("v"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+      // deg is |V|-sized — shuffle joins, never broadcast
+      .join(deg.select(col("c").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("c").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+        // du+dv−2−cn = 0 only for an isolated edge (both endpoints
+        // degree 1): define J = 0 rather than 0/0
+        when(col("du") + col("dv") - lit(2L) - col("cn") > 0L,
+          col("cn").cast("double") /
+            (col("du") + col("dv") - lit(2L) - col("cn")).cast("double"))
+          .otherwise(lit(0.0)).as("jaccard"))
+  }
 }

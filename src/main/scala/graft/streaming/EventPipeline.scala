@@ -177,6 +177,44 @@ object EventPipeline {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+  case class CusumAlarm(user_id: Long, event_id: Long)
+  case class CusumState(s: Long)
+
+  /** Streaming one-sided CUSUM drift alarms (the stateful twin of
+    * TimeSeries.cusum): per-user GroupState carries the CUSUM level
+    * s across micro-batches; each event folds
+    * s := max(0, s + cents − k) and emits an alarm row when s > h.
+    * Events must arrive per-user time-ordered ACROSS batches (a
+    * time-partitioned source; within a batch they are sorted here) —
+    * the same in-order contract as any streaming fold. State is one
+    * long per user, so retention is |users|-bounded, not history-
+    * bounded; Append mode makes each alarm emit exactly once.
+    * Runs identically in batch (all events in one call) for the
+    * oracle/spec. `cents` must already be integral. */
+  def cusumAlarms(events: Dataset[Ev], k: Long, h: Long)
+      : Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[CusumState]) =>
+          // full microsecond order (getTime alone truncates to ms and
+          // would tie-break sub-ms siblings wrongly vs the oracle)
+          def micros(t: java.sql.Timestamp): Long =
+            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var s = state.getOption.map(_.s).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer[CusumAlarm]()
+          for (e <- sorted) {
+            val cents = math.round(e.value * 100.0)
+            s = math.max(0L, s + cents - k)
+            if (s > h) out += CusumAlarm(userId, e.event_id)
+          }
+          state.update(CusumState(s))
+          out.iterator
+      }
+  }
+
   /** Custom stateful sessionization: per-user GroupState accumulates the
     * open session; a gap larger than `gapMillis` (or state timeout in
     * streaming) closes it. Demonstrates KeyValueGroupedDataset +

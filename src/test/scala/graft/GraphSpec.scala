@@ -300,4 +300,21 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 2L) // (0,2) via center 1 and (0,1) via center 2
     capped(0).getLong(2) shouldBe 1L // one capped center, visible
   }
+
+  test("neighborhoodJaccard: triangle, leaf edge, isolated edge") {
+    import spark.implicits._
+    // triangle 1-2-3 with a leaf 4 on node 1, plus isolated edge 8-9
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (8L, 9L))
+      .toDF("a", "b")
+    val got = Graph.neighborhoodJaccard(e, "a", "b")
+      .orderBy("u", "v")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // edge (1,2): cn={3}, N(1)\{2}={2?}: du=3, dv=2 -> J = 1/(3+2-2-1)=0.5
+    got.toSeq shouldBe Seq(
+      (1L, 2L, 1L, 3L, 2L, 0.5),
+      (1L, 3L, 1L, 3L, 2L, 0.5),
+      (1L, 4L, 0L, 3L, 1L, 0.0), // leaf: no common neighbors
+      (2L, 3L, 1L, 2L, 2L, 1.0), // union beyond endpoints is just {1}
+      (8L, 9L, 0L, 1L, 1L, 0.0)) // isolated edge: J pinned to 0
+  }
 }

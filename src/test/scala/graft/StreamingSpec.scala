@@ -338,4 +338,51 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("cusumAlarms carries state across micro-batches exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // k=10, h=25: values 30,20 push s to 20 then 30 (alarm at ev 2);
+    // batch 2 continues from s=30: +5 -> 25 (no), +30 -> 45 (alarm)
+    val stream = MemoryStream[Ev]
+    val query = EventPipeline.cusumAlarms(stream.toDS(), k = 10L,
+        h = 25L)
+      .writeStream.format("memory").queryName("cusum_alarms")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "x", 0.30),
+        ev(2, "2024-01-01 10:01:00", 1, "x", 0.20))
+      query.processAllAvailable()
+      stream.addData(
+        ev(3, "2024-01-01 10:02:00", 1, "x", 0.05),
+        ev(4, "2024-01-01 10:03:00", 1, "x", 0.30))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id FROM cusum_alarms ORDER BY event_id")
+        .as[Long].collect().toSeq
+      rows shouldBe Seq(2L, 4L)
+    } finally query.stop()
+  }
+
+  test("cusumAlarms batch mode equals TimeSeries.cusum alarm counts") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val evs = (1 to 300).map { i =>
+      ev(i.toLong, f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00",
+        i % 5, "x", (i * 37 % 100) / 100.0 * 3)
+    }
+    val ds = evs.toDS()
+    val streamed = EventPipeline.cusumAlarms(ds, k = 100L, h = 150L)
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val batch = TimeSeries.cusum(
+        ds.toDF().select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents")),
+        Seq("user_id"), Seq(unix_micros(col("ts")), col("event_id")),
+        col("cents"), k = 100L, h = 150L)
+      .select("user_id", "n_alarms").as[(Long, Long)].collect().toMap
+    streamed shouldBe batch.filter(_._2 > 0)
+  }
 }
