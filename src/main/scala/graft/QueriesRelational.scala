@@ -2396,6 +2396,28 @@ object QueriesRelational {
       |  CROSS JOIN nb
       |ORDER BY item_a, item_b""".stripMargin
 
+  // -------------------------------------------------------------- q225
+  /** DataFrameStatFunctions surface: `df.stat.crosstab` — the native
+    * contingency-table API (values of the second column become
+    * columns, exact counts). Deterministic and integer, so it gate-
+    * checks directly; the rest of the stat API is spec-pinned
+    * (freqItems guarantee, approxQuantile bound, corr vs exact
+    * moments — float/partition-dependent, wrong for a hash gate). */
+  private def q225Crosstab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").stat
+      .crosstab("l_returnflag", "l_linestatus")
+      .orderBy(col("l_returnflag_l_linestatus"))
+
+  private val q225Sql =
+    """SELECT l_returnflag AS l_returnflag_l_linestatus,
+      |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS F,
+      |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS O
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag_l_linestatus""".stripMargin
+
   private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
@@ -2585,6 +2607,7 @@ object QueriesRelational {
     "q169_levenshtein" -> (q169Levenshtein _),
     "q211_damerau" -> (q211Damerau _),
     "q212_basket_lift" -> (q212BasketLift _),
+    "q225_crosstab" -> (q225Crosstab _),
     "q170_calendar" -> (q170Calendar _),
     "q172_grouping_id" -> (q172GroupingId _),
     "q176_bit_ops" -> (q176BitOps _),
@@ -2658,6 +2681,7 @@ object QueriesRelational {
     "q169_levenshtein" -> q169Sql,
     "q211_damerau" -> q211Sql,
     "q212_basket_lift" -> q212Sql,
+    "q225_crosstab" -> q225Sql,
     "q170_calendar" -> q170Sql,
     "q172_grouping_id" -> q172Sql,
     "q176_bit_ops" -> q176Sql,

@@ -449,8 +449,77 @@ object QueriesSimilarity {
       |FROM pred p JOIN codes c ON c.vec_id = p.query_id
       |GROUP BY c.label ORDER BY label""".stripMargin
 
+  // -------------------------------------------------------------- q224
+  /** ANN recall@5 eval (Similarity.annRecallEval): LSH-bucketed arm
+    * vs the exact arm, BOTH ranking by integer int8-code dots so the
+    * only delta is the bucket restriction — the indexing loss
+    * isolated from scoring noise. The oracle replays quantization,
+    * the plane-sign buckets (left-associated double dot chains, the
+    * q20 discipline), both rankings, and the intersection. */
+  private def q224AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val planes = Similarity.planeCoefficients(Planes, Dims)
+    val all = Tables.load(s, dir, "embeddings")
+    val queries = all.filter(col("vec_id") % 50 === 0)
+    Similarity.annRecallEval(queries, all, "vec_id", "embedding",
+        planes, k = 5)
+      .orderBy(col("query_id"))
+  }
+
+  private val q224Sql = {
+    val planes = Similarity.planeCoefficients(Planes, Dims)
+    def dot(p: Int): String =
+      (0 until Dims).map(d => s"e[${d + 1}] * (${"%.17g".format(planes(p)(d))})")
+        .mkString(" + ")
+    val bucket = (0 until Planes)
+      .map(p => s"(CASE WHEN ${dot(p)} >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val idot = "list_sum(list_transform(a.q, (x, i) -> CAST(x AS BIGINT) * b.q[i]))"
+    s"""WITH ed AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |sc AS (SELECT vec_id, e,
+       |  list_max(list_transform(e, x -> abs(x))) AS s FROM ed),
+       |codes AS (
+       |  SELECT vec_id,
+       |    CASE WHEN s = 0 THEN list_transform(e, x -> 0)
+       |      ELSE list_transform(e,
+       |        x -> CAST(floor(x * 127.0 / s + 0.5) AS INT)) END AS q,
+       |    $bucket AS bucket
+       |  FROM sc),
+       |qs AS (SELECT * FROM codes WHERE vec_id % 50 = 0),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $idot DESC, b.vec_id) AS rn
+       |    FROM qs a JOIN codes b ON a.vec_id <> b.vec_id)
+       |  WHERE rn <= 5),
+       |ap AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $idot DESC, b.vec_id) AS rn
+       |    FROM qs a JOIN codes b
+       |      ON a.vec_id <> b.vec_id AND a.bucket = b.bucket)
+       |  WHERE rn <= 5),
+       |na AS (SELECT query_id, count(*) AS n_approx FROM ap GROUP BY 1),
+       |h AS (
+       |  SELECT ex.query_id, count(*) AS n_hits
+       |  FROM ex JOIN ap ON ap.query_id = ex.query_id
+       |    AND ap.neighbor_id = ex.neighbor_id
+       |  GROUP BY 1),
+       |qq AS (SELECT DISTINCT query_id FROM ex)
+       |SELECT qq.query_id, coalesce(na.n_approx, 0) AS n_approx,
+       |  coalesce(h.n_hits, 0) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM qq LEFT JOIN na USING (query_id)
+       |  LEFT JOIN h USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_knn_eval" -> (q219KnnEval _),
+    "q224_ann_recall" -> (q224AnnRecall _),
     "q95_array_ops" -> (q95ArrayOps _),
     "q59_quantize_int8" -> (q59Quantize _),
     "q193_mmr_diversify" -> (q193Mmr _),
@@ -463,6 +532,7 @@ object QueriesSimilarity {
 
   val oracles: Map[String, String] = Map(
     "q219_knn_eval" -> q219Sql,
+    "q224_ann_recall" -> q224Sql,
     "q95_array_ops" -> q95Sql,
     "q59_quantize_int8" -> q59Sql,
     "q193_mmr_diversify" -> q193Sql,

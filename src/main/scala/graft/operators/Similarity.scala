@@ -556,6 +556,61 @@ object Similarity {
           .as("accuracy"))
   }
 
+  /** ANN quality eval: recall@k of the LSH-bucketed search against
+    * the exact ranking, per query. Both rankings score the INTEGER
+    * int8-code dot (deterministic order, engine-replayable — float
+    * cosine ties are not), so the only difference between the two
+    * arms is the bucket restriction: recall isolates the indexing
+    * loss, not scoring noise. Queries broadcast (eval-set contract,
+    * as [[knnLooEval]]); the exact arm streams the corpus into the
+    * bounded top-k heap, the approx arm joins on bucket equality.
+    * recall = |approx ∩ exact| / k (short buckets count against
+    * recall, as they should).
+    *
+    * @return per query: (query_id, n_approx, n_hits, recall) */
+  def annRecallEval(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, planes: Array[Array[Double]],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    def prep(df: DataFrame): DataFrame = {
+      val e = transform(col(vecCol), x => x.cast("double"))
+      df.select(col(idCol).cast("long").as("__id"),
+        quantizeInt8(col(vecCol)).getField("q").as("__q"),
+        lshBucket(e, planes).as("__b"))
+    }
+    val q = broadcast(prep(queries).select(col("__id").as("query_id"),
+      col("__q").as("__qq"), col("__b").as("__qb")))
+    val c = prep(corpus).select(col("__id").as("neighbor_id"),
+      col("__q").as("__nq"), col("__b").as("__nb"))
+    def intDot: Column = aggregate(
+      zip_with(col("__qq"), col("__nq"),
+        (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), _ + _).cast("double")
+    val exact = rankTopK(
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", intDot)
+        .select(col("query_id"), col("neighbor_id"), col("cos")), k)
+    val approx = rankTopK(
+      q.join(c, col("query_id") =!= col("neighbor_id") &&
+          col("__qb") === col("__nb"))
+        .withColumn("cos", intDot)
+        .select(col("query_id"), col("neighbor_id"), col("cos")), k)
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val na = approx.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_approx"))
+    exact.select(col("query_id")).distinct()
+      .join(na, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("recall"))
+  }
+
   def quantizeInt8(vec: Column): Column = {
     val ed = transform(vec, x => x.cast("double"))
     val scale = array_max(transform(ed, x => abs(x)))

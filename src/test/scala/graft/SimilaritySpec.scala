@@ -405,4 +405,31 @@ class SimilaritySpec extends SparkSpec {
     Similarity.knnLooEval(rows.repartition(5), "vec_id", "embedding",
       "label", k = 2).orderBy("label").collect() shouldBe got
   }
+
+  test("annRecallEval: identical-bucket corpus -> recall 1, split -> loss") {
+    // all vectors along +x land in one LSH bucket -> recall@k = 1
+    val planes = Similarity.planeCoefficients(2, 4)
+    val sameBucket = (1 to 6).map(i =>
+      (i.toLong, Seq(10f + i, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val q1 = sameBucket.filter(col("vec_id") === 1L)
+    val r1 = Similarity.annRecallEval(q1, sameBucket, "vec_id",
+      "embedding", planes, k = 3).head()
+    r1.getLong(2) shouldBe 3L
+    r1.getDouble(3) shouldBe 1.0
+    // opposite-direction vectors land in the complementary bucket:
+    // the true nearest (by int dot) of a +x query includes only +x
+    // vectors anyway, so build a corpus where exact top-k spans both
+    // buckets: two +x, two -x; query +x with k=3 -> approx misses the
+    // cross-bucket members
+    val mixed = Seq(
+      (1L, Seq(10f, 0f, 0f, 0f)), (2L, Seq(9f, 0f, 0f, 0f)),
+      (3L, Seq(-1f, 0f, 0f, 0f)), (4L, Seq(-2f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.annRecallEval(
+      mixed.filter(col("vec_id") === 1L), mixed, "vec_id",
+      "embedding", planes, k = 3).head()
+    r2.getLong(1) shouldBe 1L // only vec 2 shares the bucket
+    r2.getLong(2) shouldBe 1L
+    r2.getDouble(3) shouldBe (1.0 / 3.0)
+  }
 }

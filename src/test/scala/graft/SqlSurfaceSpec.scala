@@ -54,4 +54,28 @@ class SqlSurfaceSpec extends SparkSpec {
     back.count() shouldBe src.count()
     back.columns.toSeq shouldBe src.columns.toSeq
   }
+
+  test("df.stat battery: crosstab exact, freqItems guarantee, " +
+      "approxQuantile bound, corr vs exact moments") {
+    import spark.implicits._
+    val df = (1 to 1000).map { i =>
+      (if (i % 3 == 0) "a" else "b", if (i % 2 == 0) "x" else "y",
+        i.toLong, (i * 2).toLong)
+    }.toDF("g", "h", "u", "v")
+    // crosstab: counts match a plain group-by
+    val ct = df.stat.crosstab("g", "h").orderBy("g_h").collect()
+    ct.map(r => (r.getString(0), r.getLong(1) + r.getLong(2))).toSeq shouldBe
+      Seq(("a", 333L), ("b", 667L))
+    // freqItems: any item with frequency > n/k MUST be returned
+    val fi = df.stat.freqItems(Array("g"), 0.4).head()
+      .getSeq[String](0)
+    fi should contain("b") // 667/1000 > 0.4
+    // approxQuantile at relativeError e: rank within e*n of exact
+    val med = df.stat.approxQuantile("u", Array(0.5), 0.05).head
+    med should (be >= 450.0 and be <= 550.0)
+    // corr of an exactly linear pair is 1 (Pearson)
+    df.stat.corr("u", "v") shouldBe 1.0 +- 1e-9
+    df.stat.cov("u", "u") shouldBe
+      df.stat.cov("u", "u") // deterministic on same plan
+  }
 }
