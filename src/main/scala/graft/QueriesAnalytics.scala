@@ -2174,6 +2174,94 @@ object QueriesAnalytics {
       |  JOIN deg d2 ON d2.c = e0.v
       |ORDER BY u, v""".stripMargin
 
+  // -------------------------------------------------------------- q227
+  /** Stratified ROC-AUC (Evaluation.rocAucByGroup): per user cohort
+    * (user_id mod 5), the tie-corrected Mann–Whitney AUC of
+    * purchase-vs-rest on value cents — group-partitioned prefix over
+    * distinct-score mass, integer u2, one division. */
+  private def q227AucByGroup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(pmod(col("user_id"), lit(5L)).as("cohort"),
+        (col("event_type") === "purchase").as("pos"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("score"))
+    graft.operators.Evaluation
+      .rocAucByGroup(ev, "cohort", col("pos"), col("score"))
+      .orderBy(col("cohort"))
+  }
+
+  private val q227Sql =
+    """WITH b AS (
+      |  SELECT user_id % 5 AS cohort,
+      |    (event_type = 'purchase') AS pos,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |c AS (
+      |  SELECT cohort, score,
+      |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS pos_c,
+      |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS neg_c
+      |  FROM b GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort, pos_c, neg_c,
+      |    sum(neg_c) OVER (PARTITION BY cohort ORDER BY score
+      |      ROWS UNBOUNDED PRECEDING) AS cumneg
+      |  FROM c)
+      |SELECT cohort, CAST(sum(pos_c) AS BIGINT) AS n_pos,
+      |  CAST(sum(neg_c) AS BIGINT) AS n_neg,
+      |  CAST(sum(pos_c * (2 * (cumneg - neg_c) + neg_c)) AS BIGINT)
+      |    AS u2,
+      |  CAST(sum(pos_c * (2 * (cumneg - neg_c) + neg_c)) AS DOUBLE)
+      |    / (2.0 * CAST(sum(pos_c) AS DOUBLE)
+      |      * CAST(sum(neg_c) AS DOUBLE)) AS auc
+      |FROM cum GROUP BY cohort ORDER BY cohort""".stripMargin
+
+  // -------------------------------------------------------------- q228
+  /** Exact two-sample Kolmogorov–Smirnov (Evaluation.ksTest):
+    * purchase vs view value distributions — the D argmax decided by
+    * the integer cross-multiplied ECDF gap |cum_a·n_b − cum_b·n_a|,
+    * only the final D a division. Two-pass distributed prefix, no
+    * global sort. */
+  private def q228KsTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    graft.operators.Evaluation.ksTest(ev, "event_type", "cents",
+      "purchase", "view")
+  }
+
+  private val q228Sql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events
+      |  WHERE value IS NOT NULL
+      |    AND event_type IN ('purchase', 'view')),
+      |c AS (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM b GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM c),
+      |cum AS (
+      |  SELECT v,
+      |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+      |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+      |  FROM c)
+      |SELECT t.na AS n_a, t.nb AS n_b,
+      |  CAST(max(abs(cuma * t.nb - cumb * t.na)) AS BIGINT) AS d_num,
+      |  CAST(max(abs(cuma * t.nb - cumb * t.na)) AS DOUBLE)
+      |    / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS d
+      |FROM cum CROSS JOIN t GROUP BY t.na, t.nb""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2185,6 +2273,8 @@ object QueriesAnalytics {
     "q220_seasonal_index" -> (q220Seasonal _),
     "q221_autocorr" -> (q221Autocorr _),
     "q223_neighborhood_jaccard" -> (q223NeighborhoodJaccard _),
+    "q227_auc_by_group" -> (q227AucByGroup _),
+    "q228_ks_test" -> (q228KsTest _),
     "q205_markov" -> (q205Markov _),
     "q206_chi2" -> (q206Chi2 _),
     "q207_cusum" -> (q207Cusum _),
@@ -2240,6 +2330,8 @@ object QueriesAnalytics {
     "q220_seasonal_index" -> q220Sql,
     "q221_autocorr" -> q221Sql,
     "q223_neighborhood_jaccard" -> q223Sql,
+    "q227_auc_by_group" -> q227Sql,
+    "q228_ks_test" -> q228Sql,
     "q205_markov" -> q205Sql,
     "q206_chi2" -> q206Sql,
     "q207_cusum" -> q207Sql,

@@ -2418,6 +2418,37 @@ object QueriesRelational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag_l_linestatus""".stripMargin
 
+  // -------------------------------------------------------------- q226
+  /** Ranking-window battery over one SQL text both engines run
+    * natively: the tie-stable family (rank / dense_rank /
+    * percent_rank / cume_dist) ordered by a TIED key — their values
+    * are independent of within-tie order by definition — and the
+    * order-sensitive family (row_number / ntile) over a UNIQUE total
+    * order. percent_rank/cume_dist doubles derive from integer ranks
+    * by the same formula in both engines. */
+  private def q226RankBattery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q226Sql)
+  }
+
+  private val q226Sql =
+    """WITH b AS (
+      |  SELECT l_returnflag AS rf, l_orderkey AS okey,
+      |    l_linenumber AS line,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem)
+      |SELECT rf, okey, line, cents,
+      |  rank() OVER (PARTITION BY rf ORDER BY cents) AS rk,
+      |  dense_rank() OVER (PARTITION BY rf ORDER BY cents) AS drk,
+      |  percent_rank() OVER (PARTITION BY rf ORDER BY cents) AS prk,
+      |  cume_dist() OVER (PARTITION BY rf ORDER BY cents) AS cd,
+      |  row_number() OVER (PARTITION BY rf
+      |    ORDER BY cents, okey, line) AS rn,
+      |  ntile(7) OVER (PARTITION BY rf
+      |    ORDER BY cents, okey, line) AS nt
+      |FROM b ORDER BY okey, line""".stripMargin
+
   private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
@@ -2608,6 +2639,7 @@ object QueriesRelational {
     "q211_damerau" -> (q211Damerau _),
     "q212_basket_lift" -> (q212BasketLift _),
     "q225_crosstab" -> (q225Crosstab _),
+    "q226_rank_battery" -> (q226RankBattery _),
     "q170_calendar" -> (q170Calendar _),
     "q172_grouping_id" -> (q172GroupingId _),
     "q176_bit_ops" -> (q176BitOps _),
@@ -2682,6 +2714,7 @@ object QueriesRelational {
     "q211_damerau" -> q211Sql,
     "q212_basket_lift" -> q212Sql,
     "q225_crosstab" -> q225Sql,
+    "q226_rank_battery" -> q226Sql,
     "q170_calendar" -> q170Sql,
     "q172_grouping_id" -> q172Sql,
     "q176_bit_ops" -> q176Sql,

@@ -76,6 +76,88 @@ object Evaluation {
     res
   }
 
+  /** Per-group exact ROC-AUC — [[rocAuc]] stratified (per language,
+    * cohort, model version…): same tie-corrected Mann–Whitney, with
+    * the prefix sum running per group (window PARTITIONED by group
+    * over the distinct-score mass table — groups parallel; a single
+    * national-scale group belongs to the ungrouped two-pass form).
+    * @return per group: (group, n_pos, n_neg, u2, auc) */
+  def rocAucByGroup(df: DataFrame, groupCol: String, labelCol: Column,
+      scoreCol: Column): DataFrame = {
+    val counts = df
+      .filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy(col(groupCol), scoreCol.as("score"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("pos_c"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("neg_c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__cumneg", sum(col("neg_c")).over(w))
+      .groupBy(col(groupCol))
+      .agg(sum(col("pos_c")).as("n_pos"),
+        sum(col("neg_c")).as("n_neg"),
+        sum(col("pos_c") *
+          (lit(2L) * (col("__cumneg") - col("neg_c")) + col("neg_c")))
+          .as("u2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic, EXACT: D = max over
+    * distinct values of |F_a − F_b| is located by the integer
+    * numerator |cum_a·n_b − cum_b·n_a| (cross-multiplied ECDF
+    * difference — no float comparison decides the argmax), and only
+    * the final D = d_num/(n_a·n_b) is a division. Distribution-free
+    * two-sample test, log-free. One conditional count aggregate to
+    * one row per distinct value, then the same two-pass distributed
+    * prefix as [[rocAuc]], then one max.
+    * @return one row: (n_a, n_b, d_num, d) */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L))
+        .as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L))
+          .as("cb"))
+    val base = counts.repartitionByRange(col("v"))
+      .sortWithinPartitions(col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_ONLY)
+    val totals = base.groupBy(col("__pid"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offA = totals.scanLeft(0L)(_ + _._2).init
+    val offB = totals.scanLeft(0L)(_ + _._3).init
+    val offDf = spark.createDataFrame(
+      totals.map(_._1).zip(offA.zip(offB))
+        .map { case (p, (a, b)) => (p, a, b) }.toIndexedSeq)
+      .toDF("__pid", "__offa", "__offb")
+    val na = totals.map(_._2).sum
+    val nb = totals.map(_._3).sum
+    val w = Window.partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the grand totals are already known from the offset pre-pass, so
+    // the cross-multiplied ECDF gap is a per-row literal expression
+    val res = base.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cuma", sum(col("ca")).over(w) + col("__offa"))
+      .withColumn("__cumb", sum(col("cb")).over(w) + col("__offb"))
+      .agg(max(abs(col("__cuma") * lit(nb) - col("__cumb") * lit(na)))
+        .as("d_num"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (lit(na).cast("double") * lit(nb).cast("double"))).as("d"))
+    res.collect() // force before unpersist (one row)
+    base.unpersist()
+    res
+  }
+
   /** Welch's unequal-variance two-sample t-test between `groupA` and
     * `groupB` of `groupCol`, over integral `valueCol` (cents). The
     * moments (n, Σx, Σx²) are exact — Σx² accumulates in

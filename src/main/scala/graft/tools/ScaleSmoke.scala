@@ -394,6 +394,78 @@ object ScaleSmoke {
       }
       println(f"skyline  ${f}%2dx rows=${ordersF.count()}%8d frontier=$skyN%5d  $tSky%6.1f s")
       sweep()
+
+      // round-6 continuation operators ----------------------------------
+      val evCents = evScale.select(col("user_id"), col("tm"),
+        col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+
+      // isotonic PAVA: user-offset copies multiply groups at constant
+      // per-group size — wall must track rows (groups parallel, stack
+      // state bounded by distinct x per group)
+      val (isoRows, tIso) = time {
+        graft.operators.Isotonic.fitByGroup(
+          evCents.withColumn("y",
+            when(col("event_type") === "purchase", 100L).otherwise(0L)),
+          "user_id", "cents", "y").count()
+      }
+      println(f"isotonic ${f}%2dx events=$nEv%8d cells=$isoRows%8d  $tIso%6.1f s")
+      sweep()
+
+      // ROC-AUC: copies repeat the same 2-dp values, so the DISTINCT
+      // score table is ~constant — after the first aggregate the
+      // two-pass prefix works on a fixed-size table; wall must track
+      // the input scan only
+      val (aucRow, tAuc) = time {
+        graft.operators.Evaluation.rocAuc(
+          evCents.withColumn("pos", col("event_type") === "purchase"),
+          col("pos"), col("cents")).head()
+      }
+      println(f"rocauc   ${f}%2dx events=$nEv%8d u2=${aucRow.getLong(2)}%14d  $tAuc%6.1f s")
+      sweep()
+
+      // CUSUM (window closed form): one user-partitioned window — no
+      // per-key collect, wall linear in events at any history length
+      val (cuRows, tCu) = time {
+        graft.operators.TimeSeries.cusum(evCents, Seq("user_id"),
+          Seq(col("tm"), col("event_id")), col("cents"),
+          k = 7000L, h = 30000L).count()
+      }
+      println(f"cusum    ${f}%2dx events=$nEv%8d keys=$cuRows%8d  $tCu%6.1f s")
+      sweep()
+
+      // RAKE: two explodes + three hash aggregates — wall linear in
+      // token stream; the word table is vocab-bounded under copies
+      val (rakeRows, tRake) = time {
+        graft.operators.Retrieval.rakeKeywords(
+          corpus.select(col("doc_id"), lower(col("text")).as("t")),
+          "doc_id", "t", Seq("a", "the")).count()
+      }
+      println(f"rake     ${f}%2dx docs=$n%8d words=$rakeRows%8d  $tRake%6.1f s")
+      sweep()
+
+      // market basket: order-offset copies multiply baskets at
+      // constant basket size — pair work Σ C(k_b,2) linear in baskets
+      val liBask = (0 until f).map { i =>
+          spark.read.parquet(s"$dir/lineitem.parquet")
+            .select((col("l_orderkey") + lit(i * 10000000L)).as("bk"),
+              (col("l_partkey") % 1000).as("it"))
+        }.reduce(_ unionAll _).repartition(32)
+      val (blRows, tBl) = time {
+        graft.operators.MarketBasket.pairLift(liBask, "bk", "it").count()
+      }
+      println(f"basket   ${f}%2dx rows=${liBask.count()}%8d pairs=$blRows%8d  $tBl%6.1f s")
+      sweep()
+
+      // neighborhood jaccard: disjoint graph copies — wedge work and
+      // edge scoring both linear at constant degree distribution
+      val (njRows, tNj) = time {
+        graft.operators.Graph.neighborhoodJaccard(edges, "src", "dst",
+          maxCenterDegree = 50).count()
+      }
+      println(f"njaccard ${f}%2dx edges=${triRow.getLong(1)}%8d scored=$njRows%8d  $tNj%6.1f s")
+      sweep()
     }
 
     // ---------------- adversarial-skew stanzas (power-law fixtures) ----

@@ -503,6 +503,42 @@ class AnalyticsSpec extends SparkSpec {
     got(1).getDouble(8) shouldBe 0.25
   }
 
+  test("rocAucByGroup matches ungrouped rocAuc per stratum") {
+    import graft.operators.Evaluation
+    val df = (1 to 600).map { i =>
+      (i % 3, i % 7 == 0, (i * 37 % 101).toLong)
+    }.toDF("g", "pos", "score")
+    val grouped = Evaluation.rocAucByGroup(df, "g", col("pos"),
+      col("score")).orderBy("g").collect()
+    for (g <- 0 to 2) {
+      val single = Evaluation.rocAuc(df.filter(col("g") === g),
+        col("pos"), col("score")).head()
+      grouped(g).getLong(1) shouldBe single.getLong(0)
+      grouped(g).getLong(3) shouldBe single.getLong(2) // u2
+      grouped(g).getDouble(4) shouldBe single.getDouble(3)
+    }
+  }
+
+  test("ksTest: identical samples -> D=0; disjoint ranges -> D=1") {
+    import graft.operators.Evaluation
+    val same = ((1 to 50).map(i => ("a", i.toLong)) ++
+      (1 to 50).map(i => ("b", i.toLong))).toDF("g", "v")
+    val r0 = Evaluation.ksTest(same, "g", "v", "a", "b").head()
+    r0.getLong(2) shouldBe 0L
+    r0.getDouble(3) shouldBe 0.0
+    val disj = ((1 to 30).map(i => ("a", i.toLong)) ++
+      (1 to 40).map(i => ("b", i + 1000L))).toDF("g", "v")
+    val r1 = Evaluation.ksTest(disj, "g", "v", "a", "b").head()
+    r1.getLong(0) shouldBe 30L
+    r1.getLong(1) shouldBe 40L
+    r1.getDouble(3) shouldBe 1.0
+    // hand case: a={1,2}, b={2,3}: D at v=1 is |1*2-0*2|=2 -> 2/4=0.5
+    val hand = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    Evaluation.ksTest(hand, "g", "v", "a", "b").head()
+      .getDouble(3) shouldBe 0.5
+  }
+
   test("interArrivalStats: metronomic B=-1, known two-gap case") {
     import graft.operators.EventAnalytics
     import java.sql.Timestamp
