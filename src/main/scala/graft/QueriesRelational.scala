@@ -2449,6 +2449,132 @@ object QueriesRelational {
       |    ORDER BY cents, okey, line) AS nt
       |FROM b ORDER BY okey, line""".stripMargin
 
+  // -------------------------------------------------------------- q229
+  /** Cryptographic-hash + binary-encoding battery: md5 / sha2-256 hex
+    * digests, base64 and hex encodes plus their decode round-trips —
+    * all byte-deterministic, so the two engines must agree to the
+    * character. Spark's hex is uppercase and DuckDB's lowercase, so
+    * both sides pin lower(). */
+  private def q229HashBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .select(col("n_name"),
+        md5(col("n_name")).as("md5_hex"),
+        sha2(col("n_name"), 256).as("sha256_hex"),
+        base64(col("n_name").cast("binary")).as("b64"),
+        decode(unbase64(base64(col("n_name").cast("binary"))), "UTF-8")
+          .as("b64_rt"),
+        lower(hex(col("n_name"))).as("hx"),
+        decode(unhex(lower(hex(col("n_name")))), "UTF-8").as("hex_rt"))
+      .orderBy(col("n_name"))
+
+  private val q229Sql =
+    """SELECT n_name,
+      |  md5(n_name) AS md5_hex,
+      |  sha256(n_name) AS sha256_hex,
+      |  to_base64(n_name::BLOB) AS b64,
+      |  decode(from_base64(to_base64(n_name::BLOB))) AS b64_rt,
+      |  lower(hex(n_name)) AS hx,
+      |  decode(unhex(lower(hex(n_name)))) AS hex_rt
+      |FROM nation ORDER BY n_name""".stripMargin
+
+  // -------------------------------------------------------------- q230
+  /** DataFrameNaFunctions battery — na.replace then na.fill(Map) then
+    * na.drop(subset), the order mattering (replace sees pre-fill
+    * values). Oracle restates the same pipeline as CASE / COALESCE /
+    * IS NOT NULL. Nulls are planted deterministically by key. */
+  private def q230NaBattery(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderstatus") === "O", lit(null))
+        .otherwise(col("o_orderstatus")).as("st"),
+      when(col("o_orderkey") % 7 === 0, lit(null))
+        .otherwise((col("o_orderkey") % 3).cast("int")).as("pri"),
+      when(col("o_orderkey") % 5 === 0, lit(null))
+        .otherwise((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+    base.na.replace("st", Map("F" -> "FIN"))
+      .na.fill(Map("st" -> "NONE", "cents" -> 0L))
+      .na.drop(Seq("pri"))
+      .select(col("o_orderkey"), col("st"), col("pri"), col("cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q230Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderstatus = 'O' THEN NULL
+      |      ELSE o_orderstatus END AS st0,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |      ELSE CAST(o_orderkey % 3 AS INT) END AS pri,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+      |      ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |        AS BIGINT) END AS cents0
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  coalesce(CASE WHEN st0 = 'F' THEN 'FIN' ELSE st0 END, 'NONE')
+      |    AS st,
+      |  pri,
+      |  CAST(coalesce(cents0, 0) AS BIGINT) AS cents
+      |FROM base WHERE pri IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q231
+  /** JOIN USING + NATURAL JOIN semantics in one SQL text both engines
+    * run natively: USING coalesces the join column into a single
+    * output column; NATURAL JOIN joins on ALL shared names (regionkey
+    * is the only one here by construction). */
+  private def q231JoinUsing(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "region").createOrReplaceTempView("region")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(q231Sql)
+  }
+
+  private val q231Sql =
+    """WITH n AS (SELECT n_nationkey AS nationkey, n_name,
+      |    n_regionkey AS regionkey FROM nation),
+      |  r AS (SELECT r_regionkey AS regionkey, r_name FROM region),
+      |  c AS (SELECT c_custkey, c_nationkey AS nationkey
+      |    FROM customer),
+      |  via_using AS (
+      |    SELECT r_name, count(*) AS n_cust
+      |    FROM c JOIN n USING (nationkey) JOIN r USING (regionkey)
+      |    GROUP BY r_name),
+      |  via_natural AS (
+      |    SELECT r_name, count(*) AS n_nat
+      |    FROM n NATURAL JOIN r
+      |    GROUP BY r_name)
+      |SELECT r_name, u.n_cust, v.n_nat
+      |FROM via_using u JOIN via_natural v USING (r_name)
+      |ORDER BY r_name""".stripMargin
+
+  // -------------------------------------------------------------- q232
+  /** NOT IN vs NOT EXISTS null-semantics battery, one SQL text: a key
+    * set containing NULL makes NOT IN three-valued (always UNKNOWN →
+    * zero rows) while NOT EXISTS keeps its two-valued anti-join
+    * meaning — the classic trap, pinned across both engines. */
+  private def q232NotInNull(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(q232Sql)
+  }
+
+  private val q232Sql =
+    """WITH k AS (SELECT o_custkey AS k FROM orders
+      |  UNION ALL SELECT CAST(NULL AS BIGINT))
+      |SELECT
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT k FROM k))
+      |    AS not_in_with_null,
+      |  (SELECT count(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.k = c.c_custkey))
+      |    AS not_exists_cnt,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_custkey IN (SELECT k FROM k)) AS in_cnt,
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+      |    AS not_in_no_null""".stripMargin
+
   private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
@@ -2640,6 +2766,10 @@ object QueriesRelational {
     "q212_basket_lift" -> (q212BasketLift _),
     "q225_crosstab" -> (q225Crosstab _),
     "q226_rank_battery" -> (q226RankBattery _),
+    "q229_hash_battery" -> (q229HashBattery _),
+    "q230_na_battery" -> (q230NaBattery _),
+    "q231_join_using" -> (q231JoinUsing _),
+    "q232_not_in_null" -> (q232NotInNull _),
     "q170_calendar" -> (q170Calendar _),
     "q172_grouping_id" -> (q172GroupingId _),
     "q176_bit_ops" -> (q176BitOps _),
@@ -2715,6 +2845,10 @@ object QueriesRelational {
     "q212_basket_lift" -> q212Sql,
     "q225_crosstab" -> q225Sql,
     "q226_rank_battery" -> q226Sql,
+    "q229_hash_battery" -> q229Sql,
+    "q230_na_battery" -> q230Sql,
+    "q231_join_using" -> q231Sql,
+    "q232_not_in_null" -> q232Sql,
     "q170_calendar" -> q170Sql,
     "q172_grouping_id" -> q172Sql,
     "q176_bit_ops" -> q176Sql,

@@ -78,4 +78,43 @@ class SqlSurfaceSpec extends SparkSpec {
     df.stat.cov("u", "u") shouldBe
       df.stat.cov("u", "u") // deterministic on same plan
   }
+
+  test("hash/encoding battery: known digests and round-trips") {
+    import spark.implicits._
+    val r = Seq("abc").toDF("s").select(
+      md5(col("s")), sha2(col("s"), 256),
+      base64(col("s").cast("binary")),
+      decode(unhex(lower(hex(col("s")))), "UTF-8")).head()
+    r.getString(0) shouldBe "900150983cd24fb0d6963f7d28e17f72"
+    r.getString(1) shouldBe
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    r.getString(2) shouldBe "YWJj"
+    r.getString(3) shouldBe "abc"
+  }
+
+  test("na battery: replace-before-fill order and drop subset") {
+    import spark.implicits._
+    val df = Seq((1, Some("F")), (2, None), (3, Some("X")))
+      .toDF("k", "st")
+    val out = df.na.replace("st", Map("F" -> "FIN"))
+      .na.fill(Map("st" -> "NONE")).orderBy("k").collect()
+    out.map(_.getString(1)).toSeq shouldBe Seq("FIN", "NONE", "X")
+    // fill-before-replace would give NONE for k=2 either way but F
+    // must become FIN (replace sees the pre-fill value)
+    val dropped = Seq((1, Some(1)), (2, None)).toDF("k", "pri")
+      .na.drop(Seq("pri"))
+    dropped.count() shouldBe 1L
+  }
+
+  test("NOT IN with a NULL in the set returns zero rows") {
+    import spark.implicits._
+    Seq(1, 2).toDF("k").createOrReplaceTempView("probe_t")
+    Seq(Some(1), None).toDF("v").createOrReplaceTempView("set_t")
+    spark.sql(
+      "SELECT * FROM probe_t WHERE k NOT IN (SELECT v FROM set_t)")
+      .count() shouldBe 0L
+    spark.sql("SELECT * FROM probe_t p WHERE NOT EXISTS " +
+      "(SELECT 1 FROM set_t s WHERE s.v = p.k)")
+      .count() shouldBe 1L
+  }
 }
