@@ -2262,6 +2262,183 @@ object QueriesAnalytics {
       |    / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS d
       |FROM cum CROSS JOIN t GROUP BY t.na, t.nb""".stripMargin
 
+  // -------------------------------------------------------------- q233
+  /** Spearman rank correlation (Evaluation.spearmanByGroup) between
+    * value cents and user id per event type — tie-averaged ranks
+    * carried as doubled integers, BIGINT moments, one double ρ. */
+  private def q233Spearman(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("x"),
+        col("user_id").as("y"))
+    graft.operators.Evaluation
+      .spearmanByGroup(ev, "g", col("x"), col("y"))
+      .orderBy(col("g"))
+  }
+
+  private val q233Sql =
+    """WITH b AS (
+      |  SELECT event_type AS g,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |    user_id AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT g,
+      |    2 * rank() OVER (PARTITION BY g ORDER BY x)
+      |      + count(*) OVER (PARTITION BY g, x) - 1 AS u,
+      |    2 * rank() OVER (PARTITION BY g ORDER BY y)
+      |      + count(*) OVER (PARTITION BY g, y) - 1 AS v
+      |  FROM b),
+      |m AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+      |    CAST(sum(u * v) AS BIGINT) AS suv,
+      |    CAST(sum(u * u) AS BIGINT) AS su2,
+      |    CAST(sum(v * v) AS BIGINT) AS sv2
+      |  FROM r GROUP BY g)
+      |SELECT g, n, su, sv, suv, su2, sv2,
+      |  (CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+      |    - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+      |  / sqrt((CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE)
+      |      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE)
+      |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))) AS rho
+      |FROM m ORDER BY g""".stripMargin
+
+  // -------------------------------------------------------------- q234
+  /** Degree assortativity (Graph.degreeAssortativity) of the synthetic
+    * order–part graph — symmetric stub moments as BIGINTs, Newman's r
+    * one double derivation. */
+  private def q234Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    graft.operators.Graph.degreeAssortativity(e, "src", "dst")
+  }
+
+  private val q234Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT
+      |    least(l_orderkey % 20000, (l_partkey * 7) % 20000) AS u,
+      |    greatest(l_orderkey % 20000, (l_partkey * 7) % 20000) AS v
+      |  FROM lineitem
+      |  WHERE l_orderkey % 20000 <> (l_partkey * 7) % 20000),
+      |deg AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+      |    SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY n),
+      |j AS (
+      |  SELECT d1.d AS du, d2.d AS dv
+      |  FROM e0 JOIN deg d1 ON d1.n = e0.u
+      |    JOIN deg d2 ON d2.n = e0.v),
+      |st AS (
+      |  SELECT du AS x, dv AS y FROM j
+      |  UNION ALL SELECT dv, du FROM j),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m2,
+      |    CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(x * x) AS BIGINT) AS sx2,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM st)
+      |SELECT m2, sx, sx2, sxy,
+      |  (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |  / (CAST(m2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS r
+      |FROM m""".stripMargin
+
+  // -------------------------------------------------------------- q235
+  /** Mann–Kendall trend test (TimeSeries.mannKendall) on daily cents
+    * totals per event type — integer S and var18, z the only
+    * division. */
+  private def q235MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        col("ts").cast("date").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("g"), col("day")).agg(sum(col("cents")).as("tot"))
+    graft.operators.TimeSeries
+      .mannKendall(d, Seq("g"), col("day"), col("tot"))
+      .orderBy(col("g"))
+  }
+
+  private val q235Sql =
+    """WITH d AS (
+      |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS tot
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.g AS g,
+      |    CASE WHEN b.tot > a.tot THEN 1
+      |         WHEN b.tot < a.tot THEN -1 ELSE 0 END AS sgn
+      |  FROM d a JOIN d b ON a.g = b.g AND a.day < b.day),
+      |s AS (SELECT g, CAST(sum(sgn) AS BIGINT) AS s_stat
+      |  FROM p GROUP BY g),
+      |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY g),
+      |ties AS (
+      |  SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+      |    AS tie18
+      |  FROM (SELECT g, tot, CAST(count(*) AS BIGINT) AS t FROM d
+      |        GROUP BY 1, 2) GROUP BY g)
+      |SELECT n.g AS g, n.n AS n, s.s_stat AS s_stat,
+      |  n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie18 AS var18,
+      |  CASE WHEN s.s_stat > 0 THEN
+      |      CAST(s.s_stat - 1 AS DOUBLE)
+      |      / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie18
+      |          AS DOUBLE) / 18.0)
+      |    WHEN s.s_stat < 0 THEN
+      |      CAST(s.s_stat + 1 AS DOUBLE)
+      |      / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie18
+      |          AS DOUBLE) / 18.0)
+      |    ELSE 0.0 END AS z
+      |FROM n JOIN ties ON n.g = ties.g JOIN s ON n.g = s.g
+      |ORDER BY g""".stripMargin
+
+  // -------------------------------------------------------------- q236
+  /** Theil–Sen slope (TimeSeries.theilSen) of daily cents totals per
+    * event type — lower median of the pairwise rational slopes, picked
+    * on a (slope, num, den) total order; integer num/den returned. */
+  private def q236TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        col("ts").cast("date").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("g"), col("day")).agg(sum(col("cents")).as("tot"))
+    graft.operators.TimeSeries
+      .theilSen(d, Seq("g"),
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"),
+        col("tot"))
+      .orderBy(col("g"))
+  }
+
+  private val q236Sql =
+    """WITH d AS (
+      |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS tot
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.g AS g, b.tot - a.tot AS num,
+      |    date_diff('day', a.day, b.day) AS den
+      |  FROM d a JOIN d b ON a.g = b.g AND a.day < b.day),
+      |q AS (
+      |  SELECT g, num, den,
+      |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+      |    row_number() OVER (PARTITION BY g ORDER BY
+      |      CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS np
+      |  FROM p)
+      |SELECT g, np AS n_pairs, num AS med_num,
+      |  CAST(den AS BIGINT) AS med_den, slope
+      |FROM q WHERE rn = (np + 1) // 2 ORDER BY g""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2275,6 +2452,10 @@ object QueriesAnalytics {
     "q223_neighborhood_jaccard" -> (q223NeighborhoodJaccard _),
     "q227_auc_by_group" -> (q227AucByGroup _),
     "q228_ks_test" -> (q228KsTest _),
+    "q233_spearman" -> (q233Spearman _),
+    "q234_assortativity" -> (q234Assortativity _),
+    "q235_mann_kendall" -> (q235MannKendall _),
+    "q236_theil_sen" -> (q236TheilSen _),
     "q205_markov" -> (q205Markov _),
     "q206_chi2" -> (q206Chi2 _),
     "q207_cusum" -> (q207Cusum _),
@@ -2332,6 +2513,10 @@ object QueriesAnalytics {
     "q223_neighborhood_jaccard" -> q223Sql,
     "q227_auc_by_group" -> q227Sql,
     "q228_ks_test" -> q228Sql,
+    "q233_spearman" -> q233Sql,
+    "q234_assortativity" -> q234Sql,
+    "q235_mann_kendall" -> q235Sql,
+    "q236_theil_sen" -> q236Sql,
     "q205_markov" -> q205Sql,
     "q206_chi2" -> q206Sql,
     "q207_cusum" -> q207Sql,

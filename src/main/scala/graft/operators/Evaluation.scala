@@ -158,6 +158,42 @@ object Evaluation {
     res
   }
 
+  /** Spearman rank correlation per group, EXACT: ties get the average
+    * rank, carried as the DOUBLED rank u = 2·rank_min + tie_count − 1
+    * (always an integer), so every moment (Σu, Σv, Σuv, Σu², Σv²) is
+    * an exact BIGINT and ρ is one identical double derivation from
+    * them — no float accumulates. Two rank windows per group (one
+    * sort-shuffle each) + one hash aggregate; groups run in parallel.
+    * Σu² ≤ n·(2n)² per group, so BIGINT holds to ~10⁵-row groups per
+    * the same budget note as rocAuc.
+    * @return per group: (group, n, su, sv, suv, su2, sv2, rho) */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val b = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(col(groupCol), xCol.as("x"), yCol.as("y"))
+    val wx = Window.partitionBy(col(groupCol)).orderBy(col("x"))
+    val wy = Window.partitionBy(col(groupCol)).orderBy(col("y"))
+    val ranked = b
+      .withColumn("u", lit(2L) * rank().over(wx) +
+        count(lit(1)).over(Window.partitionBy(col(groupCol), col("x")))
+        - 1)
+      .withColumn("v", lit(2L) * rank().over(wy) +
+        count(lit(1)).over(Window.partitionBy(col(groupCol), col("y")))
+        - 1)
+    val m = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("u")).as("su"), sum(col("v")).as("sv"),
+      sum(col("u") * col("v")).as("suv"),
+      sum(col("u") * col("u")).as("su2"),
+      sum(col("v") * col("v")).as("sv2"))
+    def d(c: String): Column = col(c).cast("double")
+    m.select(col(groupCol), col("n"), col("su"), col("sv"),
+      col("suv"), col("su2"), col("sv2"),
+      ((d("n") * d("suv") - d("su") * d("sv")) /
+        sqrt((d("n") * d("su2") - d("su") * d("su")) *
+          (d("n") * d("sv2") - d("sv") * d("sv")))).as("rho"))
+  }
+
   /** Welch's unequal-variance two-sample t-test between `groupA` and
     * `groupB` of `groupCol`, over integral `valueCol` (cents). The
     * moments (n, Σx, Σx²) are exact — Σx² accumulates in

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics beyond connected components (which lives
@@ -634,5 +634,36 @@ object Graph {
           col("cn").cast("double") /
             (col("du") + col("dv") - lit(2L) - col("cn")).cast("double"))
           .otherwise(lit(0.0)).as("jaccard"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over all edge STUBS (each undirected edge
+    * contributes both orientations, making the pair distribution
+    * symmetric — Σx = Σy and Σx² = Σy², so three integer moments
+    * suffice and r = (mΣxy − (Σx)²) / (mΣx² − (Σx)²)). All moments
+    * are exact BIGINTs; r is one identical double derivation. Scale:
+    * the degree table is |V|-sized — two shuffle joins onto the edge
+    * list, never broadcast; Σd² ≤ m·d_max² bounds the BIGINT budget
+    * (hub degree 10⁶ on 10⁹ stubs stays under 2⁶³).
+    * @return one row: (m2 = 2|E|, sx, sx2, sxy, r) */
+  def degreeAssortativity(edges: DataFrame, src: String,
+      dst: String): DataFrame = {
+    val canon = canonicalEdges(edges, src, dst)
+    val deg = canon.select(col("u").as("n"))
+      .unionAll(canon.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val j = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val stubs = j.select(col("du").as("x"), col("dv").as("y"))
+      .unionAll(j.select(col("dv").as("x"), col("du").as("y")))
+    def d(c: String): Column = col(c).cast("double")
+    stubs.agg(count(lit(1)).as("m2"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("m2"), col("sx"), col("sx2"), col("sxy"),
+        ((d("m2") * d("sxy") - d("sx") * d("sx")) /
+          (d("m2") * d("sx2") - d("sx") * d("sx"))).as("r"))
   }
 }

@@ -200,4 +200,83 @@ object TimeSeries {
           .as("final_s"),
         sum(when(col("__s") > h, 1L).otherwise(0L)).as("n_alarms"))
   }
+
+  /** Mann–Kendall trend test per key, EXACT: S = Σ_{i<j} sign(x_j −
+    * x_i) is a BIGINT pair sum, the tie-corrected variance is carried
+    * as the integer var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (= 18·Var)
+    * and only the z statistic divides. Pairwise self-join per key —
+    * the right tool for MODEST per-key series (daily/hourly rollups,
+    * n ≤ ~10⁴ ⇒ ≤ 5·10⁷ pairs/key); aggregate first, don't feed raw
+    * events. Keys shuffle independently.
+    * @param xCol ordering column (time), `yCol` the measured value —
+    *   both integral.
+    * @return per key: (keys…, n, s_stat, var18, z) */
+  def mannKendall(df: DataFrame, keys: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val b = df.select(keyCols :+ xCol.as("__x") :+ yCol.as("__y"): _*)
+    val a = keys.foldLeft(b.toDF())((d, k) =>
+      d.withColumnRenamed(k, s"__l_$k"))
+      .withColumnRenamed("__x", "__lx").withColumnRenamed("__y", "__ly")
+    val pairCond = keys.map(k => col(s"__l_$k") === col(k))
+      .reduce(_ && _) && col("__lx") < col("__x")
+    val s = a.join(b, pairCond)
+      .groupBy(keys.map(k => col(s"__l_$k").as(k)): _*)
+      .agg(sum(when(col("__y") > col("__ly"), 1L)
+        .when(col("__y") < col("__ly"), -1L).otherwise(0L))
+        .as("s_stat"))
+    val n = b.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+    val ties = b.groupBy(keyCols :+ col("__y"): _*)
+      .agg(count(lit(1)).as("t"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+        .as("tie18"))
+    n.join(ties, keys).join(s, keys)
+      .select(keyCols :+ col("n") :+ col("s_stat") :+
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+          - col("tie18")).as("var18") :+
+        when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") /
+            sqrt((col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+              - col("tie18")).cast("double") / lit(18.0)))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") /
+            sqrt((col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+              - col("tie18")).cast("double") / lit(18.0)))
+          .otherwise(lit(0.0)).as("z"): _*)
+  }
+
+  /** Theil–Sen slope per key, EXACT median selection: every i<j pair
+    * yields the rational slope (y_j−y_i)/(x_j−x_i); pairs sort by
+    * (slope double, numerator, denominator) — a total order whose
+    * leading key both engines compute as the same one IEEE division —
+    * and the LOWER median (row (n+1)÷2) is returned with its integer
+    * numerator/denominator. Same pairwise-self-join scale contract as
+    * [[mannKendall]].
+    * @return per key: (keys…, n_pairs, med_num, med_den, slope) */
+  def theilSen(df: DataFrame, keys: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val b = df.select(keyCols :+ xCol.as("__x") :+ yCol.as("__y"): _*)
+    val a = keys.foldLeft(b.toDF())((d, k) =>
+      d.withColumnRenamed(k, s"__l_$k"))
+      .withColumnRenamed("__x", "__lx").withColumnRenamed("__y", "__ly")
+    val pairCond = keys.map(k => col(s"__l_$k") === col(k))
+      .reduce(_ && _) && col("__lx") < col("__x")
+    val pairs = a.join(b, pairCond)
+      .select(keyCols ++ Seq(
+        (col("__y") - col("__ly")).as("num"),
+        (col("__x") - col("__lx")).as("den")): _*)
+      .withColumn("slope",
+        col("num").cast("double") / col("den").cast("double"))
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("slope"), col("num"), col("den"))
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__np", count(lit(1))
+        .over(Window.partitionBy(keyCols: _*)))
+      // Column./ is always double division — DIV keeps it integral
+      .filter(col("__rn") === expr("(__np + 1) div 2"))
+      .select(keyCols :+ col("__np").as("n_pairs") :+
+        col("num").as("med_num") :+ col("den").as("med_den") :+
+        col("slope"): _*)
+  }
 }

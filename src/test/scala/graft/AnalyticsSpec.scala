@@ -539,6 +539,51 @@ class AnalyticsSpec extends SparkSpec {
       .getDouble(3) shouldBe 0.5
   }
 
+  test("spearmanByGroup: monotone rho=1, reversed rho=-1, ties exact") {
+    import graft.operators.Evaluation
+    val mono = (1 to 100).map(i => ("a", i.toLong, (i * 3 + 7).toLong))
+    val rev = (1 to 100).map(i => ("b", i.toLong, (1000 - i).toLong))
+    val df = (mono ++ rev).toDF("g", "x", "y")
+    val got = Evaluation.spearmanByGroup(df, "g", col("x"), col("y"))
+      .orderBy("g").collect()
+    got(0).getDouble(7) shouldBe 1.0
+    got(1).getDouble(7) shouldBe -1.0
+    // tie case vs scipy-checked value: x=(1,2,2,3), y=(1,3,2,4)
+    val ties = Seq(("t", 1L, 1L), ("t", 2L, 3L), ("t", 2L, 2L),
+      ("t", 3L, 4L)).toDF("g", "x", "y")
+    val r = Evaluation.spearmanByGroup(ties, "g", col("x"),
+      col("y")).head() // doubled ranks u=(2,5,5,8), v=(2,6,4,8)
+    r.getDouble(7) shouldBe 0.9486832980505138 +- 1e-12
+  }
+
+  test("mannKendall: increasing S=C(n,2); constant S=0 z=0") {
+    import graft.operators.TimeSeries
+    val inc = (1 to 10).map(i => ("a", i.toLong, (i * 5).toLong))
+    val const = (1 to 10).map(i => ("b", i.toLong, 42L))
+    val df = (inc ++ const).toDF("g", "x", "y")
+    val got = TimeSeries.mannKendall(df, Seq("g"), col("x"), col("y"))
+      .orderBy("g").collect()
+    got(0).getLong(2) shouldBe 45L // C(10,2)
+    got(0).getLong(3) shouldBe 10L * 9 * 25 // no ties
+    got(0).getDouble(4) should be > 0.0
+    got(1).getLong(2) shouldBe 0L
+    got(1).getLong(3) shouldBe 0L // full tie cancels var18
+    got(1).getDouble(4) shouldBe 0.0
+  }
+
+  test("theilSen: hand case picks lower-median rational slope") {
+    import graft.operators.TimeSeries
+    // pairs: (1,2)->2/1, (1,3)->1/2, (2,3)->-1/1; sorted -1,0.5,2
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 3L), ("a", 3L, 2L))
+      .toDF("g", "x", "y")
+    val r = TimeSeries.theilSen(df, Seq("g"), col("x"), col("y"))
+      .head()
+    r.getLong(1) shouldBe 3L
+    r.getLong(2) shouldBe 1L // num
+    r.getLong(3) shouldBe 2L // den
+    r.getDouble(4) shouldBe 0.5
+  }
+
   test("interArrivalStats: metronomic B=-1, known two-gap case") {
     import graft.operators.EventAnalytics
     import java.sql.Timestamp

@@ -317,4 +317,19 @@ class GraphSpec extends SparkSpec {
       (2L, 3L, 1L, 2L, 2L, 1.0), // union beyond endpoints is just {1}
       (8L, 9L, 0L, 1L, 1L, 0.0)) // isolated edge: J pinned to 0
   }
+
+  test("degreeAssortativity: star graph r=-1, path P3 r=-1") {
+    import spark.implicits._
+    val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
+    val rs = Graph.degreeAssortativity(star, "a", "b").head()
+    rs.getLong(0) shouldBe 10L // 2|E|
+    rs.getDouble(4) shouldBe -1.0
+    val p3 = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val rp = Graph.degreeAssortativity(p3, "a", "b").head()
+    // stubs x=(1,2,2,1): m2=4 sx=6 sx2=10 sxy=2*4=8
+    rp.getLong(1) shouldBe 6L
+    rp.getLong(2) shouldBe 10L
+    rp.getLong(3) shouldBe 8L
+    rp.getDouble(4) shouldBe -1.0 // (32-36)/(40-36)
+  }
 }
