@@ -2439,6 +2439,41 @@ object QueriesAnalytics {
       |  CAST(den AS BIGINT) AS med_den, slope
       |FROM q WHERE rn = (np + 1) // 2 ORDER BY g""".stripMargin
 
+  // -------------------------------------------------------------- q238
+  /** Multi-touch attribution (EventAnalytics.attribution): purchases
+    * distribute exactly 1000 integer milli-credits over the user's
+    * prior touches — per-touch 1000 div n, remainder to the earliest
+    * touch — plus first/last-touch counts. No float credit exists. */
+  private def q238Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics
+      .attribution(Tables.load(s, dir, "events"), "user_id", "ts",
+        "event_type", convType = "purchase", tiebreakCol = "event_id")
+      .orderBy(col("channel"))
+
+  private val q238Sql =
+    """WITH t AS (
+      |  SELECT user_id AS u, ts AS tt, event_id AS ti,
+      |    event_type AS channel
+      |  FROM events WHERE event_type <> 'purchase'),
+      |c AS (
+      |  SELECT user_id AS u, ts AS ct, event_id AS ci
+      |  FROM events WHERE event_type = 'purchase'),
+      |p AS (
+      |  SELECT t.channel,
+      |    count(*) OVER (PARTITION BY t.u, c.ct, c.ci) AS n,
+      |    row_number() OVER (PARTITION BY t.u, c.ct, c.ci
+      |      ORDER BY t.tt, t.ti) AS rk
+      |  FROM t JOIN c ON t.u = c.u AND t.tt < c.ct)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_touch_pairs,
+      |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS first_touch,
+      |  CAST(sum(CASE WHEN rk = n THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS last_touch,
+      |  CAST(sum(1000 // n
+      |    + CASE WHEN rk = 1 THEN 1000 % n ELSE 0 END) AS BIGINT)
+      |    AS milli_credit
+      |FROM p GROUP BY channel ORDER BY channel""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2453,6 +2488,7 @@ object QueriesAnalytics {
     "q227_auc_by_group" -> (q227AucByGroup _),
     "q228_ks_test" -> (q228KsTest _),
     "q233_spearman" -> (q233Spearman _),
+    "q238_attribution" -> (q238Attribution _),
     "q234_assortativity" -> (q234Assortativity _),
     "q235_mann_kendall" -> (q235MannKendall _),
     "q236_theil_sen" -> (q236TheilSen _),
@@ -2514,6 +2550,7 @@ object QueriesAnalytics {
     "q227_auc_by_group" -> q227Sql,
     "q228_ks_test" -> q228Sql,
     "q233_spearman" -> q233Sql,
+    "q238_attribution" -> q238Sql,
     "q234_assortativity" -> q234Sql,
     "q235_mann_kendall" -> q235Sql,
     "q236_theil_sen" -> q236Sql,

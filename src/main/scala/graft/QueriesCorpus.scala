@@ -1055,9 +1055,85 @@ object QueriesCorpus {
       |  cg AS neg_source
       |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // -------------------------------------------------------------- q237
+  /** RAG chunking (Retrieval.chunkFixedStride): 512-char windows every
+    * 400 chars (112 overlap), final partial kept — chunk text plus its
+    * md5 gate-checked, both engines counting CHARACTERS. */
+  private def q237RagChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval
+      .chunkFixedStride(Tables.load(s, dir, "documents"),
+        "doc_id", "text", size = 512, step = 400)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q237Sql =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, length(text) - 1, 400))
+      |      AS chunk_start
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+      |SELECT doc_id,
+      |  chunk_start // 400 AS chunk_idx,
+      |  CAST(chunk_start AS BIGINT) AS chunk_start,
+      |  CAST(length(substring(text, chunk_start + 1, 512)) AS BIGINT)
+      |    AS chunk_len,
+      |  md5(substring(text, chunk_start + 1, 512)) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------------------- q239
+  /** Domain-suffix blocklist census (WebFilter.suffixBlocklistCensus):
+    * hosts synthesized deterministically from source/doc_id, exploded
+    * into dot-boundary suffixes, one equi-join against the rule set —
+    * never a LIKE scan. */
+  private def q239DomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+          concat(col("source"), lit(".example.com")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("cdn."), col("source"), lit(".example.com")))
+        .otherwise(concat(col("source"), lit(".example.org")))
+        .as("host"))
+    val rules = Seq("src3.example.com", "example.org",
+      "cdn.src7.example.com", "example.com").toDF("rule")
+    graft.operators.WebFilter
+      .suffixBlocklistCensus(docs, "doc_id", "host", rules, "rule")
+      .orderBy(col("rule"))
+  }
+
+  private val q239Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN source || '.example.com'
+      |         WHEN doc_id % 3 = 1
+      |           THEN 'cdn.' || source || '.example.com'
+      |         ELSE source || '.example.org' END AS host
+      |  FROM documents),
+      |sfx AS (
+      |  SELECT doc_id, host,
+      |    unnest(generate_series(1, len(string_split(host, '.'))))
+      |      AS i
+      |  FROM d),
+      |sf2 AS (
+      |  SELECT doc_id, host,
+      |    array_to_string(string_split(host, '.')[i:], '.') AS suffix
+      |  FROM sfx),
+      |rules AS (
+      |  SELECT unnest(['src3.example.com', 'example.org',
+      |    'cdn.src7.example.com', 'example.com']) AS rule)
+      |SELECT r.rule AS rule, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN s.suffix = s.host THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_exact
+      |FROM sf2 s JOIN rules r ON s.suffix = r.rule
+      |GROUP BY r.rule ORDER BY rule""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_rag_chunks" -> (q237RagChunks _),
+    "q239_domain_blocklist" -> (q239DomainBlocklist _),
     "q190_ring_negatives" -> (q190RingNegatives _),
     "q192_ddsketch" -> (q192DdSketch _),
     "q197_shard_balance" -> (q197ShardBalance _),
@@ -1088,6 +1164,8 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q237_rag_chunks" -> q237Sql,
+    "q239_domain_blocklist" -> q239Sql,
     "q190_ring_negatives" -> q190Sql,
     "q192_ddsketch" -> q192Sql,
     "q197_shard_balance" -> q197Sql,

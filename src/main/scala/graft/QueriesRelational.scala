@@ -2575,6 +2575,30 @@ object QueriesRelational {
       |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
       |    AS not_in_no_null""".stripMargin
 
+  // -------------------------------------------------------------- q240
+  /** Bitmap aggregate functions (Spark 3.5 family): exact distinct
+    * counting via bitmap_construct_agg over bucketed bit positions —
+    * the roaring-style two-level pattern — checked against a plain
+    * COUNT(DISTINCT) oracle. */
+  private def q240BitmapAgg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  CAST(sum(cnt) AS BIGINT) AS n_distinct_cust
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    bitmap_bucket_number(o_custkey) AS b,
+        |    bitmap_count(bitmap_construct_agg(
+        |      bitmap_bit_position(o_custkey))) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  private val q240Sql =
+    """SELECT o_orderpriority,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
@@ -2767,6 +2791,7 @@ object QueriesRelational {
     "q225_crosstab" -> (q225Crosstab _),
     "q226_rank_battery" -> (q226RankBattery _),
     "q229_hash_battery" -> (q229HashBattery _),
+    "q240_bitmap_agg" -> (q240BitmapAgg _),
     "q230_na_battery" -> (q230NaBattery _),
     "q231_join_using" -> (q231JoinUsing _),
     "q232_not_in_null" -> (q232NotInNull _),
@@ -2846,6 +2871,7 @@ object QueriesRelational {
     "q225_crosstab" -> q225Sql,
     "q226_rank_battery" -> q226Sql,
     "q229_hash_battery" -> q229Sql,
+    "q240_bitmap_agg" -> q240Sql,
     "q230_na_battery" -> q230Sql,
     "q231_join_using" -> q231Sql,
     "q232_not_in_null" -> q232Sql,

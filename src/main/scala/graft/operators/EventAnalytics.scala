@@ -301,4 +301,46 @@ object EventAnalytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     firsts.withColumn("distinct_so_far", sum(col("new_types")).over(w))
   }
+
+  /** Multi-touch attribution, fully integer: each conversion (an event
+    * of `convType`) distributes exactly 1000 milli-credits over the
+    * user's PRIOR touches — per-touch share 1000 div n, the remainder
+    * 1000 mod n going to the EARLIEST touch (a deterministic largest-
+    * remainder stand-in; no float credit ever exists). First-touch and
+    * last-touch counts come from the same pair set. Conversions with
+    * no prior touch are dropped (reported nowhere — count them
+    * upstream if needed). The touch–conversion pair join is per-user;
+    * per-user history is the scale bound (same contract as funnel).
+    * @return per channel: (channel, n_touch_pairs, first_touch,
+    *   last_touch, milli_credit) */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String,
+      tiebreakCol: String): DataFrame = {
+    val touches = events.filter(col(typeCol) =!= convType)
+      .select(col(userCol).as("__u"), col(tsCol).as("__tt"),
+        col(tiebreakCol).as("__ti"), col(typeCol).as("channel"))
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(tsCol).as("__ct"),
+        col(tiebreakCol).as("__ci"))
+    val pairs = touches.join(convs,
+      Seq("__u"), "inner").filter(col("__tt") < col("__ct"))
+    val wc = Window.partitionBy(col("__u"), col("__ct"), col("__ci"))
+    val ranked = pairs
+      .withColumn("__n", count(lit(1)).over(wc))
+      .withColumn("__rk", row_number().over(
+        wc.orderBy(col("__tt"), col("__ti"))))
+    ranked
+      .withColumn("__credit",
+        expr("1000 div __n") +
+          when(col("__rk") === 1, expr("1000 % __n")).otherwise(0L))
+      .withColumn("__isFirst",
+        when(col("__rk") === 1, 1L).otherwise(0L))
+      .withColumn("__isLast",
+        when(col("__rk") === col("__n"), 1L).otherwise(0L))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touch_pairs"),
+        sum(col("__isFirst")).as("first_touch"),
+        sum(col("__isLast")).as("last_touch"),
+        sum(col("__credit")).as("milli_credit"))
+  }
 }

@@ -215,4 +215,29 @@ object Retrieval {
         (col("deg").cast("double") / col("freq").cast("double"))
           .as("score"))
   }
+
+  /** Fixed-stride character chunking with overlap — the RAG/embedding
+    * preprocessing step: windows of `size` chars every `step` chars
+    * (overlap = size − step), the final partial window kept. Pure
+    * per-row explode (sequence + substring, whole-stage codegen, no
+    * shuffle); chunk count per doc = ⌈len/step⌉, so output scales
+    * linearly with corpus bytes.
+    * @return (id, chunk_idx, chunk_start 0-based, chunk_len, chunk) */
+  def chunkFixedStride(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, step: Int): DataFrame = {
+    require(size > 0 && step > 0 && step <= size,
+      s"need 0 < step <= size (got size=$size step=$step)")
+    docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__t"),
+        explode(sequence(lit(0), length(col(textCol)) - 1,
+          lit(step))).as("chunk_start"))
+      .select(col(idCol),
+        // chunk_start is a multiple of step, so double-divide is exact
+        (col("chunk_start") / step).cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long"),
+        expr(s"substring(__t, chunk_start + 1, $size)").as("chunk"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        col("chunk"))
+  }
 }

@@ -679,4 +679,37 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect()
     capped shouldBe Array(("a", "b", 1L, 2L))
   }
+
+  test("chunkFixedStride: overlap, partial tail, exact reassembly") {
+    import graft.operators.Retrieval
+    val text = ('a' to 'z').mkString // 26 chars
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Retrieval.chunkFixedStride(df, "doc_id", "text",
+      size = 10, step = 6).orderBy("chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect()
+    got.map(_._3).toSeq shouldBe Seq(0L, 6L, 12L, 18L, 24L)
+    got.map(_._5).toSeq shouldBe Seq("abcdefghij", "ghijklmnop",
+      "mnopqrstuv", "stuvwxyz", "yz")
+    got.map(_._4).toSeq shouldBe Seq(10L, 10L, 10L, 8L, 2L)
+    // empty/null docs emit nothing
+    Retrieval.chunkFixedStride(
+      Seq((2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "doc_id", "text", 10, 6)
+      .count() shouldBe 0L
+  }
+
+  test("suffixBlocklistCensus: parent-domain containment, exact flag") {
+    import graft.operators.WebFilter
+    val docs = Seq((1L, "a.b.example.com"), (2L, "example.com"),
+      (3L, "example.org"), (4L, "notexample.com"))
+      .toDF("doc_id", "host")
+    val rules = Seq("example.com", "b.example.com").toDF("rule")
+    val got = WebFilter
+      .suffixBlocklistCensus(docs, "doc_id", "host", rules, "rule")
+      .orderBy("rule").as[(String, Long, Long)].collect()
+    // notexample.com must NOT match example.com (dot boundary)
+    got shouldBe Array(
+      ("b.example.com", 1L, 0L),
+      ("example.com", 2L, 1L))
+  }
 }

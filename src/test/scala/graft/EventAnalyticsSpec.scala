@@ -218,4 +218,30 @@ class EventAnalyticsSpec extends SparkSpec {
     // day-1 repeat produces NO row; totals stay monotone
     got shouldBe Array((1L, 2L, 2L), (1L, 1L, 3L), (2L, 1L, 1L))
   }
+
+  test("attribution: integer milli-credits, remainder to first touch") {
+    // user 1: touches a@0, b@10, a@20, conversion @30 (n=3:
+    // 333 each + 1 remainder to the a@0 touch), second conversion @15
+    // sees only a@0, b@10 (n=2: 500 each)
+    val df = ev(
+      (1L, 1L, 0L, "a", 0.0), (1L, 2L, 10L, "b", 0.0),
+      (1L, 3L, 20L, "a", 0.0),
+      (1L, 4L, 30L, "purchase", 0.0), (1L, 5L, 15L, "purchase", 0.0))
+    val got = EventAnalytics
+      .attribution(df, "user_id", "ts", "event_type", "purchase",
+        "event_id")
+      .orderBy("channel")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // a: pairs = a@0,a@20 (conv30) + a@0 (conv15) = 3;
+    //    first: conv30->a@0, conv15->a@0 = 2; last: conv30->a@20 = 1
+    //    credit: conv30 a@0 333+1(IS rk1? yes rem 1)=334, a@20 333,
+    //            conv15 a@0 500+0 rem(1000%2=0) = 500 -> 1167
+    // b: pairs 2; first 0; last conv15->b@10 = 1;
+    //    credit: conv30 b@10 333, conv15 b@10 500 -> 833
+    got shouldBe Array(
+      ("a", 3L, 2L, 1L, 1167L),
+      ("b", 2L, 0L, 1L, 833L))
+    // every conversion's credit sums to exactly 1000
+    (1167L + 833L) shouldBe 2000L
+  }
 }
