@@ -2474,6 +2474,125 @@ object QueriesAnalytics {
       |    AS milli_credit
       |FROM p GROUP BY channel ORDER BY channel""".stripMargin
 
+  // -------------------------------------------------------------- q241
+  /** RFM segmentation in one SQL text both engines run natively:
+    * recency/frequency/monetary quintiles via ntile(5) over TOTAL
+    * orders (user_id tiebreak), composed into a 3-digit segment. */
+  private def q241Rfm(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(q241Sql)
+  }
+
+  private val q241Sql =
+    """WITH m AS (
+      |  SELECT user_id,
+      |    max(CAST(ts AS DATE)) AS last_day,
+      |    CAST(count(*) AS BIGINT) AS f,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |sc AS (
+      |  SELECT user_id, cents,
+      |    ntile(5) OVER (ORDER BY last_day, user_id) AS r_score,
+      |    ntile(5) OVER (ORDER BY f, user_id) AS f_score,
+      |    ntile(5) OVER (ORDER BY cents, user_id) AS m_score
+      |  FROM m)
+      |SELECT
+      |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+      |    AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q242
+  /** Benford first-digit census in one SQL text: exact digit counts,
+    * observed share, and per-digit χ² terms against log10(1+1/d)
+    * expectations pinned as E0 double literals — identical constants,
+    * identical derivation, no transcendental evaluated at runtime. */
+  private def q242Benford(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(q242Sql)
+  }
+
+  private val q242Sql =
+    """WITH v AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS cents
+      |  FROM events WHERE value IS NOT NULL
+      |    AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+      |d AS (
+      |  SELECT substring(CAST(cents AS STRING), 1, 1) AS digit,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM v GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM d),
+      |e AS (
+      |  SELECT digit, cnt,
+      |    CASE digit WHEN '1' THEN 0.30102999566398120E0
+      |      WHEN '2' THEN 0.17609125905568124E0
+      |      WHEN '3' THEN 0.12493873660829993E0
+      |      WHEN '4' THEN 0.09691001300805642E0
+      |      WHEN '5' THEN 0.07918124604762482E0
+      |      WHEN '6' THEN 0.06694678963061322E0
+      |      WHEN '7' THEN 0.05799194697768673E0
+      |      WHEN '8' THEN 0.05115252244738129E0
+      |      WHEN '9' THEN 0.04575749056067514E0
+      |    END AS exp_p
+      |  FROM d)
+      |SELECT e.digit AS digit, e.cnt AS cnt,
+      |  CAST(e.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS obs_p,
+      |  e.exp_p AS exp_p,
+      |  (CAST(e.cnt AS DOUBLE) - e.exp_p * CAST(t.n AS DOUBLE))
+      |    * (CAST(e.cnt AS DOUBLE) - e.exp_p * CAST(t.n AS DOUBLE))
+      |    / (e.exp_p * CAST(t.n AS DOUBLE)) AS chi2_term
+      |FROM e CROSS JOIN t ORDER BY digit""".stripMargin
+
+  // -------------------------------------------------------------- q243
+  /** Kaplan–Meier survival (Evaluation.kaplanMeier): day-of-month
+    * durations per event type, event_id-mod censoring; d/n integers
+    * exact, S(t) an ordered prefix fold the oracle's list_reduce
+    * replays in the identical association. */
+  private def q243KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_type").as("g"),
+      dayofmonth(col("ts")).cast("long").as("dur"),
+      (col("event_id") % 4 =!= 0).as("ev"))
+    graft.operators.Evaluation.kaplanMeier(ev, "g", col("dur"),
+      col("ev")).orderBy(col("g"), col("t"))
+  }
+
+  private val q243Sql =
+    """WITH b AS (
+      |  SELECT event_type AS g,
+      |    CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS t,
+      |    (event_id % 4 <> 0) AS ev
+      |  FROM events),
+      |c AS (
+      |  SELECT g, t,
+      |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS cc
+      |  FROM b GROUP BY 1, 2),
+      |a AS (
+      |  SELECT g, t, d,
+      |    CAST(sum(d + cc) OVER (PARTITION BY g)
+      |      - (sum(d + cc) OVER (PARTITION BY g ORDER BY t
+      |           ROWS UNBOUNDED PRECEDING) - d - cc) AS BIGINT) AS n
+      |  FROM c),
+      |st AS (
+      |  SELECT g, t, d, n,
+      |    1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS f
+      |  FROM a WHERE d > 0),
+      |ag AS (
+      |  SELECT g,
+      |    list_sort(list({'t': t, 'd': d, 'n': n, 'f': f})) AS s
+      |  FROM st GROUP BY g),
+      |ex AS (
+      |  SELECT g, s, list_transform(s, e -> e.f) AS fs,
+      |    unnest(generate_series(1, len(s))) AS i
+      |  FROM ag)
+      |SELECT g, s[i].t AS t, s[i].d AS d, s[i].n AS n_risk,
+      |  list_reduce(fs[1:i], (acc, x) -> acc * x) AS survival
+      |FROM ex ORDER BY g, t""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2489,6 +2608,9 @@ object QueriesAnalytics {
     "q228_ks_test" -> (q228KsTest _),
     "q233_spearman" -> (q233Spearman _),
     "q238_attribution" -> (q238Attribution _),
+    "q241_rfm" -> (q241Rfm _),
+    "q242_benford" -> (q242Benford _),
+    "q243_kaplan_meier" -> (q243KaplanMeier _),
     "q234_assortativity" -> (q234Assortativity _),
     "q235_mann_kendall" -> (q235MannKendall _),
     "q236_theil_sen" -> (q236TheilSen _),
@@ -2551,6 +2673,9 @@ object QueriesAnalytics {
     "q228_ks_test" -> q228Sql,
     "q233_spearman" -> q233Sql,
     "q238_attribution" -> q238Sql,
+    "q241_rfm" -> q241Sql,
+    "q242_benford" -> q242Sql,
+    "q243_kaplan_meier" -> q243Sql,
     "q234_assortativity" -> q234Sql,
     "q235_mann_kendall" -> q235Sql,
     "q236_theil_sen" -> q236Sql,

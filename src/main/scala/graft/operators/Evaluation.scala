@@ -194,6 +194,56 @@ object Evaluation {
           (d("n") * d("sv2") - d("sv") * d("sv")))).as("rho"))
   }
 
+  /** Kaplan–Meier survival estimator per group (Kaplan & Meier 1958).
+    * Event/censor counts per distinct time and the at-risk counts are
+    * exact integers (one aggregate + one window — ties follow the
+    * standard convention that events at t precede censorings at t);
+    * the survival curve S(t) = Π(1 − d/n) is an ORDERED left fold of
+    * per-step factors, so the doubles are bit-stable under any
+    * partitioning and replayable by an oracle folding the same order
+    * (DuckDB list_reduce over (factor, curve[]) structs — same device
+    * as TimeSeries.holt). Curve rows are emitted only at event times.
+    * Per-group step count bounds the folded array, not corpus size —
+    * aggregate durations first.
+    * @param eventCol true = event (death), false = censored
+    * @return per step: (group, t, d, n_risk, survival) */
+  def kaplanMeier(df: DataFrame, groupCol: String, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val counts = df
+      .filter(durationCol.isNotNull && eventCol.isNotNull)
+      .groupBy(col(groupCol), durationCol.as("t"))
+      .agg(sum(when(eventCol, 1L).otherwise(0L)).as("d"),
+        sum(when(eventCol, 0L).otherwise(1L)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    val atRisk = counts
+      .withColumn("__nrisk",
+        sum(col("d") + col("c")).over(tot)
+          - (sum(col("d") + col("c")).over(w) - col("d") - col("c")))
+      .filter(col("d") > 0)
+    val steps = atRisk.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("t"), col("d"),
+        col("__nrisk").as("n"),
+        (lit(1.0) - col("d").cast("double") /
+          col("__nrisk").cast("double")).as("f")))).as("s"))
+    // S at step i = ordered left fold f₁·f₂·…·fᵢ, recomputed per row
+    // from the prefix slice — O(k²) multiplies on k = per-group event
+    // times (a rollup-scale constant), and the SAME association
+    // (((f₁·f₂)·f₃)…) an oracle's list_reduce replays bit-exactly
+    val fs = transform(col("s"), e => e.getField("f"))
+    steps
+      .select(col(groupCol), col("s"), fs.as("fs"))
+      .select(col(groupCol), col("fs"), posexplode(col("s")))
+      .select(col(groupCol),
+        col("col").getField("t").as("t"),
+        col("col").getField("d").as("d"),
+        col("col").getField("n").as("n_risk"),
+        aggregate(slice(col("fs"), lit(2), col("pos")),
+          element_at(col("fs"), 1), (acc, x) => acc * x)
+          .as("survival"))
+  }
+
   /** Welch's unequal-variance two-sample t-test between `groupA` and
     * `groupB` of `groupCol`, over integral `valueCol` (cents). The
     * moments (n, Σx, Σx²) are exact — Σx² accumulates in

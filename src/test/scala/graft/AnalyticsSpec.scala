@@ -584,6 +584,25 @@ class AnalyticsSpec extends SparkSpec {
     r.getDouble(4) shouldBe 0.5
   }
 
+  test("kaplanMeier: textbook case with censoring and at-risk ties") {
+    import graft.operators.Evaluation
+    // durations (event=true): 1, 3, 3; censored: 2, 4
+    // t=1: n=5 d=1 -> S=0.8
+    // t=3: n=3 (the censored-at-2 subject left) d=2 -> S=0.8*(1/3)
+    val df = Seq((1L, true), (3L, true), (3L, true), (2L, false),
+      (4L, false)).map { case (t, e) => ("a", t, e) }
+      .toDF("g", "dur", "ev")
+    val got = Evaluation.kaplanMeier(df, "g", col("dur"), col("ev"))
+      .orderBy("t").as[(String, Long, Long, Long, Double)].collect()
+    got shouldBe Array(
+      ("a", 1L, 1L, 5L, 0.8),
+      ("a", 3L, 2L, 3L, 0.8 * (1.0 - 2.0 / 3.0)))
+    // all-censored group emits no steps
+    Evaluation.kaplanMeier(
+      Seq(("b", 1L, false)).toDF("g", "dur", "ev"), "g",
+      col("dur"), col("ev")).count() shouldBe 0L
+  }
+
   test("interArrivalStats: metronomic B=-1, known two-gap case") {
     import graft.operators.EventAnalytics
     import java.sql.Timestamp
