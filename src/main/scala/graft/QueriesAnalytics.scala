@@ -2593,6 +2593,57 @@ object QueriesAnalytics {
       |  list_reduce(fs[1:i], (acc, x) -> acc * x) AS survival
       |FROM ex ORDER BY g, t""".stripMargin
 
+  // -------------------------------------------------------------- q245
+  /** Best single changepoint (TimeSeries.changepoint) on daily cents
+    * totals per event type: split cost from exact integer prefix
+    * sums, argmin on a (cost, k) total order. */
+  private def q245Changepoint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        col("ts").cast("date").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("g"), col("day")).agg(sum(col("cents")).as("tot"))
+    graft.operators.TimeSeries
+      .changepoint(d, Seq("g"), col("day"), col("tot"))
+      .orderBy(col("g"))
+  }
+
+  private val q245Sql =
+    """WITH d AS (
+      |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |w AS (
+      |  SELECT g, day, y,
+      |    CAST(row_number() OVER (PARTITION BY g ORDER BY day)
+      |      AS BIGINT) AS k,
+      |    CAST(sum(y) OVER (PARTITION BY g ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+      |    CAST(sum(y * y) OVER (PARTITION BY g ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s2l,
+      |    CAST(sum(y) OVER (PARTITION BY g) AS BIGINT) AS st,
+      |    CAST(sum(y * y) OVER (PARTITION BY g) AS BIGINT) AS s2t,
+      |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      |  FROM d),
+      |c AS (
+      |  SELECT g, n, k, day,
+      |    (CAST(s2l AS DOUBLE)
+      |      - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+      |        / CAST(k AS DOUBLE))
+      |    + (CAST(s2t - s2l AS DOUBLE)
+      |      - CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+      |        / CAST(n - k AS DOUBLE)) AS cost
+      |  FROM w WHERE k < n),
+      |r AS (
+      |  SELECT g, n, k, day, cost,
+      |    row_number() OVER (PARTITION BY g ORDER BY cost, k) AS rn
+      |  FROM c)
+      |SELECT g, n, k AS split_k, day AS split_x, cost
+      |FROM r WHERE rn = 1 ORDER BY g""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2611,6 +2662,7 @@ object QueriesAnalytics {
     "q241_rfm" -> (q241Rfm _),
     "q242_benford" -> (q242Benford _),
     "q243_kaplan_meier" -> (q243KaplanMeier _),
+    "q245_changepoint" -> (q245Changepoint _),
     "q234_assortativity" -> (q234Assortativity _),
     "q235_mann_kendall" -> (q235MannKendall _),
     "q236_theil_sen" -> (q236TheilSen _),
@@ -2676,6 +2728,7 @@ object QueriesAnalytics {
     "q241_rfm" -> q241Sql,
     "q242_benford" -> q242Sql,
     "q243_kaplan_meier" -> q243Sql,
+    "q245_changepoint" -> q245Sql,
     "q234_assortativity" -> q234Sql,
     "q235_mann_kendall" -> q235Sql,
     "q236_theil_sen" -> q236Sql,

@@ -1129,11 +1129,86 @@ object QueriesCorpus {
       |FROM sf2 s JOIN rules r ON s.suffix = r.rule
       |GROUP BY r.rule ORDER BY rule""".stripMargin
 
+  // -------------------------------------------------------------- q246
+  /** Skip-gram co-occurrence with lift (Vocab.cooccurrence): ±2
+    * forward window via lead() columns (linear, no positional
+    * self-join), exact pair/unigram counts, lift the PMI argument
+    * without the log. Top-100 on a (c_xy desc, w1, w2) total order. */
+  private def q246Cooccurrence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab
+      .cooccurrence(Tables.load(s, dir, "documents"), "doc_id",
+        "text", win = 2, topK = 100)
+
+  private val q246Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+      |  FROM documents),
+      |tok0 AS (
+      |  SELECT doc_id, unnest(ts) AS token,
+      |    unnest(generate_series(1, len(ts))) AS pos
+      |  FROM raw),
+      |tok AS (SELECT * FROM tok0 WHERE token <> ''),
+      |pairs AS (
+      |  SELECT least(token, nx) AS w1, greatest(token, nx) AS w2
+      |  FROM (SELECT token, lead(token, 1) OVER (PARTITION BY doc_id
+      |          ORDER BY pos) AS nx FROM tok)
+      |  WHERE nx IS NOT NULL
+      |  UNION ALL
+      |  SELECT least(token, nx2), greatest(token, nx2)
+      |  FROM (SELECT token, lead(token, 2) OVER (PARTITION BY doc_id
+      |          ORDER BY pos) AS nx2 FROM tok)
+      |  WHERE nx2 IS NOT NULL),
+      |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+      |cx AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT cx.w1 AS w1, cx.w2 AS w2, cx.c_xy AS c_xy,
+      |  u1.c AS c_x, u2.c AS c_y, nt.n AS n_tokens,
+      |  CAST(cx.c_xy AS DOUBLE) * CAST(nt.n AS DOUBLE)
+      |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+      |FROM cx JOIN uni u1 ON u1.token = cx.w1
+      |  JOIN uni u2 ON u2.token = cx.w2
+      |  CROSS JOIN nt
+      |ORDER BY c_xy DESC, w1, w2 LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------- q247
+  /** Inverted-index build (Retrieval.invertedIndex): per common term,
+    * exact df/tf plus the first 5 posting doc ids as a joined scalar
+    * string. */
+  private def q247InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval
+      .invertedIndex(Tables.load(s, dir, "documents"), "doc_id",
+        "text", minDf = 50L, postingsCap = 5)
+      .orderBy(col("term"))
+
+  private val q247Sql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+      |      AS term
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+      |td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf_d
+      |  FROM t2 GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum(tf_d) AS BIGINT) AS tf,
+      |    array_to_string(list_transform(
+      |      list_sort(list(doc_id))[1:5], x -> CAST(x AS STRING)),
+      |      ',') AS postings_head
+      |  FROM td GROUP BY term)
+      |SELECT term, df, tf, postings_head FROM agg
+      |WHERE df >= 50 ORDER BY term""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_rag_chunks" -> (q237RagChunks _),
     "q239_domain_blocklist" -> (q239DomainBlocklist _),
+    "q246_cooccurrence" -> (q246Cooccurrence _),
+    "q247_inverted_index" -> (q247InvertedIndex _),
     "q190_ring_negatives" -> (q190RingNegatives _),
     "q192_ddsketch" -> (q192DdSketch _),
     "q197_shard_balance" -> (q197ShardBalance _),
@@ -1166,6 +1241,8 @@ object QueriesCorpus {
   val oracles: Map[String, String] = Map(
     "q237_rag_chunks" -> q237Sql,
     "q239_domain_blocklist" -> q239Sql,
+    "q246_cooccurrence" -> q246Sql,
+    "q247_inverted_index" -> q247Sql,
     "q190_ring_negatives" -> q190Sql,
     "q192_ddsketch" -> q192Sql,
     "q197_shard_balance" -> q197Sql,

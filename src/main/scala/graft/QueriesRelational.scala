@@ -2599,6 +2599,31 @@ object QueriesRelational {
       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q244
+  /** printf/format_string battery: zero-padded %05d, %x hex, %o octal
+    * and %.2f over exact binary quarters (k%8/4 — never a rounding
+    * tie, since Java's %f rounds HALF_UP and C's half-even; ties are
+    * the one divergence and the fixture avoids them by construction). */
+  private def q244FormatBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select(col("n_nationkey"),
+        format_string("%05d", col("n_nationkey")).as("pad"),
+        format_string("%s=%x", col("n_name"),
+          col("n_nationkey") * 255).as("hex_kv"),
+        format_string("%o", col("n_nationkey") + 8).as("oct"),
+        format_string("%.2f",
+          (col("n_nationkey") % 8).cast("double") / 4.0)
+          .as("quarters"))
+      .orderBy(col("n_nationkey"))
+
+  private val q244Sql =
+    """SELECT n_nationkey,
+      |  printf('%05d', n_nationkey) AS pad,
+      |  printf('%s=%x', n_name, n_nationkey * 255) AS hex_kv,
+      |  printf('%o', n_nationkey + 8) AS oct,
+      |  printf('%.2f', CAST(n_nationkey % 8 AS DOUBLE) / 4.0)
+      |    AS quarters
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
@@ -2792,6 +2817,7 @@ object QueriesRelational {
     "q226_rank_battery" -> (q226RankBattery _),
     "q229_hash_battery" -> (q229HashBattery _),
     "q240_bitmap_agg" -> (q240BitmapAgg _),
+    "q244_format_battery" -> (q244FormatBattery _),
     "q230_na_battery" -> (q230NaBattery _),
     "q231_join_using" -> (q231JoinUsing _),
     "q232_not_in_null" -> (q232NotInNull _),
@@ -2872,6 +2898,7 @@ object QueriesRelational {
     "q226_rank_battery" -> q226Sql,
     "q229_hash_battery" -> q229Sql,
     "q240_bitmap_agg" -> q240Sql,
+    "q244_format_battery" -> q244Sql,
     "q230_na_battery" -> q230Sql,
     "q231_join_using" -> q231Sql,
     "q232_not_in_null" -> q232Sql,

@@ -240,4 +240,28 @@ object Retrieval {
         length(col("chunk")).cast("long").as("chunk_len"),
         col("chunk"))
   }
+
+  /** Inverted-index build: per term, document frequency, total term
+    * frequency, and the first `postingsCap` doc ids of the posting
+    * list (sorted, comma-joined — a SCALAR column so results stay
+    * hashable; real sinks would keep the array). One explode + one
+    * aggregate; the collect_set is bounded by `postingsCap` only in
+    * the output — df/tf remain exact over the full corpus. Terms
+    * below `minDf` are dropped (the long tail that dominates term
+    * count but no query touches).
+    * @return (term, df, tf, postings_head) */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long, postingsCap: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+    toks.groupBy(col("term"), col("__id"))
+      .agg(count(lit(1)).as("__tf_d"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__tf_d")).as("tf"),
+        concat_ws(",", transform(
+          slice(sort_array(collect_set(col("__id"))), 1, postingsCap),
+          x => x.cast("string"))).as("postings_head"))
+      .filter(col("df") >= minDf)
+  }
 }

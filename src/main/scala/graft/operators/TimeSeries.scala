@@ -244,6 +244,47 @@ object TimeSeries {
           .otherwise(lit(0.0)).as("z"): _*)
   }
 
+  /** Best single changepoint per key by least-squares cost (the one
+    * binary-segmentation step; Scott & Knott style SSE split): for
+    * each split after ordered position k, cost = SSE_left + SSE_right
+    * with both SSEs derived from EXACT integer prefix sums (Σy, Σy²,
+    * k) — the doubles are the same expression both engines evaluate,
+    * and the argmin is a (cost, k) row_number, deterministic even
+    * under cost ties. One ordered window + one partition window + one
+    * argmin filter — linear per key, no pairwise work (contrast
+    * [[mannKendall]]).
+    * @return per key: (keys…, n, split_k, split_x, cost) — split_k =
+    *   size of the left segment, split_x its last x */
+  def changepoint(df: DataFrame, keys: Seq[String], xCol: Column,
+      yCol: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val ord = Window.partitionBy(keyCols: _*).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(keyCols: _*)
+    val b = df.select(keyCols :+ xCol.as("__x") :+
+        yCol.cast("long").as("__y"): _*)
+      .withColumn("__k", row_number().over(
+        Window.partitionBy(keyCols: _*).orderBy(col("__x"))).cast("long"))
+      .withColumn("__sl", sum(col("__y")).over(ord))
+      .withColumn("__s2l", sum(col("__y") * col("__y")).over(ord))
+      .withColumn("__st", sum(col("__y")).over(all))
+      .withColumn("__s2t", sum(col("__y") * col("__y")).over(all))
+      .withColumn("__n", count(lit(1)).over(all))
+    def d(c: Column): Column = c.cast("double")
+    val costed = b.filter(col("__k") < col("__n"))
+      .withColumn("cost",
+        (d(col("__s2l")) - d(col("__sl")) * d(col("__sl")) / d(col("__k")))
+          + (d(col("__s2t") - col("__s2l"))
+            - d(col("__st") - col("__sl")) * d(col("__st") - col("__sl"))
+              / d(col("__n") - col("__k"))))
+    costed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols: _*).orderBy(col("cost"), col("__k"))))
+      .filter(col("__rn") === 1)
+      .select(keyCols :+ col("__n").as("n") :+ col("__k").as("split_k")
+        :+ col("__x").as("split_x") :+ col("cost"): _*)
+  }
+
   /** Theil–Sen slope per key, EXACT median selection: every i<j pair
     * yields the rational slope (y_j−y_i)/(x_j−x_i); pairs sort by
     * (slope double, numerator, denominator) — a total order whose

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 
@@ -48,5 +49,44 @@ object Vocab {
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  /** Skip-gram co-occurrence with lift: token pairs within a forward
+    * window of `win` positions (canonicalized unordered), their exact
+    * counts, each side's unigram count, and lift = c_xy·N / (c_x·c_y)
+    * — the PMI argument WITHOUT the log, so the only double is one
+    * identically-derived ratio. Pairs come from per-position lead()
+    * columns (linear in tokens, never a positional self-join); the
+    * unigram table is vocab-sized and shuffle-joined. Top `topK` by
+    * (c_xy desc, w1, w2) for bounded output.
+    * @return (w1, w2, c_xy, c_x, c_y, n_tokens, lift) */
+  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+      win: Int, topK: Int): DataFrame = {
+    require(win >= 1 && topK >= 1, s"win=$win topK=$topK must be >= 1")
+    val toks = df.select(col(idCol).as("__id"),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+"))
+          .as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val nTok = toks.count()
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    val pairs = (1 to win).map { k =>
+      toks.withColumn("__nxt", lead(col("token"), k).over(w))
+        .filter(col("__nxt").isNotNull)
+        .select(least(col("token"), col("__nxt")).as("w1"),
+          greatest(col("token"), col("__nxt")).as("w2"))
+    }.reduce(_ unionAll _)
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .join(uni.select(col("token").as("w1"), col("c").as("c_x")),
+        Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("c").as("c_y")),
+        Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"),
+        col("c_y"), lit(nTok).as("n_tokens"),
+        (col("c_xy").cast("double") * lit(nTok).cast("double") /
+          (col("c_x").cast("double") * col("c_y").cast("double")))
+          .as("lift"))
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+      .limit(topK)
   }
 }

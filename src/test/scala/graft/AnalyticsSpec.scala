@@ -603,6 +603,20 @@ class AnalyticsSpec extends SparkSpec {
       col("dur"), col("ev")).count() shouldBe 0L
   }
 
+  test("changepoint: clean level shift found at the true split") {
+    import graft.operators.TimeSeries
+    // 5 points at 10, then 5 points at 100 -> split after k=5
+    val df = ((1 to 5).map(i => ("a", i.toLong, 10L)) ++
+      (6 to 10).map(i => ("a", i.toLong, 100L)))
+      .toDF("g", "x", "y")
+    val r = TimeSeries.changepoint(df, Seq("g"), col("x"), col("y"))
+      .head()
+    r.getLong(1) shouldBe 10L
+    r.getLong(2) shouldBe 5L
+    r.getLong(3) shouldBe 5L // split_x
+    r.getDouble(4) shouldBe 0.0 // both segments constant
+  }
+
   test("interArrivalStats: metronomic B=-1, known two-gap case") {
     import graft.operators.EventAnalytics
     import java.sql.Timestamp

@@ -712,4 +712,30 @@ class CorpusOpsSpec extends SparkSpec {
       ("b.example.com", 1L, 0L),
       ("example.com", 2L, 1L))
   }
+
+  test("cooccurrence: window-2 pairs and lift on a tiny corpus") {
+    import graft.operators.Vocab
+    // tokens: a b a  -> win2 pairs: (a,b),(b,a)->(a,b), (a,a)
+    val df = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val got = Vocab.cooccurrence(df, "doc_id", "text", 2, 10)
+      .orderBy("w1", "w2")
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+    got shouldBe Array(
+      ("a", "a", 1L, 2L, 2L, 3L, 1.0 * 3 / 4),
+      ("a", "b", 2L, 2L, 1L, 3L, 2.0 * 3 / 2))
+  }
+
+  test("invertedIndex: df/tf exact, postings capped and sorted") {
+    import graft.operators.Retrieval
+    val df = Seq((3L, "x y x"), (1L, "x z"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.invertedIndex(df, "doc_id", "text", 1L, 2)
+      .orderBy("term").as[(String, Long, Long, String)].collect()
+    got shouldBe Array(
+      ("x", 3L, 4L, "1,2"), // capped at 2, sorted doc ids
+      ("y", 1L, 1L, "3"),
+      ("z", 1L, 1L, "1"))
+    Retrieval.invertedIndex(df, "doc_id", "text", 2L, 2)
+      .count() shouldBe 1L // minDf drops the tail
+  }
 }
