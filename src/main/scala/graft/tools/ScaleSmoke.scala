@@ -466,6 +466,80 @@ object ScaleSmoke {
       }
       println(f"njaccard ${f}%2dx edges=${triRow.getLong(1)}%8d scored=$njRows%8d  $tNj%6.1f s")
       sweep()
+
+      // spearman: copies multiply rows per group; two rank windows
+      // per group — wall tracks the two sort-shuffles, linear
+      val (spRows, tSp) = time {
+        graft.operators.Evaluation.spearmanByGroup(
+          evCents.withColumn("y", col("user_id")),
+          "event_type", col("cents"), col("y")).count()
+      }
+      println(f"spearman ${f}%2dx events=$nEv%8d groups=$spRows%8d  $tSp%6.1f s")
+      sweep()
+
+      // assortativity: disjoint graph copies — degree table and stub
+      // moments linear; one aggregate row regardless of scale
+      val (asR, tAs) = time {
+        Graph.degreeAssortativity(edges, "src", "dst").head()
+      }
+      println(f"assort   ${f}%2dx stubs=${asR.getLong(0)}%8d  $tAs%6.1f s")
+      sweep()
+
+      // kaplan-meier: user-offset copies multiply subjects at a FIXED
+      // step count (31 days) — per-group fold is O(k²)=O(31²) however
+      // large the cohort; wall must track the counting aggregate only
+      val (kmRows, tKm) = time {
+        graft.operators.Evaluation.kaplanMeier(
+          evScale.select(col("event_type").as("g"),
+            dayofmonth(timestamp_micros(col("tm"))).cast("long")
+              .as("dur"),
+            (col("event_id") % 4 =!= 0).as("ev")),
+          "g", col("dur"), col("ev")).count()
+      }
+      println(f"km       ${f}%2dx events=$nEv%8d steps=$kmRows%8d  $tKm%6.1f s")
+      sweep()
+
+      // changepoint: per-type daily series stays 31 points under
+      // copies — the aggregate dominates, split search is constant
+      val (cpRows, tCp) = time {
+        graft.operators.TimeSeries.changepoint(
+          evCents.select(col("event_type").as("g"),
+            to_date(timestamp_micros(col("tm"))).as("day"),
+            col("cents"))
+            .groupBy(col("g"), col("day"))
+            .agg(sum(col("cents")).as("tot")),
+          Seq("g"), col("day"), col("tot")).count()
+      }
+      println(f"chgpoint ${f}%2dx events=$nEv%8d splits=$cpRows%8d  $tCp%6.1f s")
+      sweep()
+
+      // cooccurrence: doc copies multiply token stream linearly; the
+      // pair space is vocab²-bounded so the final aggregate is flat —
+      // wall must track the lead() windows over tokens
+      val (coRows, tCo) = time {
+        graft.operators.Vocab.cooccurrence(corpus, "doc_id", "text",
+          win = 2, topK = 100).count()
+      }
+      println(f"coocc    ${f}%2dx docs=$n%8d top=$coRows%8d  $tCo%6.1f s")
+      sweep()
+
+      // inverted index: token stream linear; postings stay capped and
+      // term table vocab-bounded — the two aggregates dominate
+      val (iiRows, tIi) = time {
+        graft.operators.Retrieval.invertedIndex(corpus, "doc_id",
+          "text", minDf = 50L, postingsCap = 5).count()
+      }
+      println(f"invindex ${f}%2dx docs=$n%8d terms=$iiRows%8d  $tIi%6.1f s")
+      sweep()
+
+      // chunking: pure per-row explode — wall linear in corpus bytes,
+      // zero shuffles (count() collapses map-side)
+      val (chRows, tCh) = time {
+        graft.operators.Retrieval.chunkFixedStride(corpus, "doc_id",
+          "text", size = 512, step = 400).count()
+      }
+      println(f"chunks   ${f}%2dx docs=$n%8d chunks=$chRows%8d  $tCh%6.1f s")
+      sweep()
     }
 
     // ---------------- adversarial-skew stanzas (power-law fixtures) ----
