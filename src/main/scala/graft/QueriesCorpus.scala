@@ -1202,6 +1202,85 @@ object QueriesCorpus {
       |SELECT term, df, tf, postings_head FROM agg
       |WHERE df >= 50 ORDER BY term""".stripMargin
 
+  // -------------------------------------------------------------- q249
+  /** Signed hashing trick (FeatureEncoding.hashingTrick): md5-derived
+    * 64-bucket feature hashing with a ±1 sign nibble — sparse integer
+    * triples, no vocabulary pass. */
+  private def q249FeatureHashing(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FeatureEncoding
+      .hashingTrick(Tables.load(s, dir, "documents"), "doc_id",
+        "text", nBuckets = 64)
+      .orderBy(col("doc_id"), col("bucket"))
+
+  private val q249Sql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+      |      AS token
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, md5(token) AS d FROM tok
+      |  WHERE token <> ''),
+      |h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(d, 1, 8))::BIGINT % 64 AS bucket,
+      |    CASE WHEN ('0x' || substr(d, 9, 1))::BIGINT % 2 = 0
+      |      THEN 1 ELSE -1 END AS sgn
+      |  FROM t2)
+      |SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS value,
+      |  CAST(count(*) AS BIGINT) AS n_tokens
+      |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+
+  // -------------------------------------------------------------- q250
+  /** Rare-term-blocked TF-cosine pairs (SetSimJoin.tfCosinePairs):
+    * terms are word 4-grams (discriminative even in this small-vocab
+    * corpus — only true near-dups share them), candidates share a
+    * term with 2 ≤ df ≤ 3, cosine from integer dots and squared
+    * norms, one sqrt-of-product division. */
+  private def q250TfCosine(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimJoin
+      .tfCosinePairs(Tables.load(s, dir, "documents"), "doc_id",
+        "text", maxDf = 3, ngramN = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q250Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      w -> w <> '') AS ws
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(
+      |      generate_series(1, greatest(len(ws) - 3, 0)),
+      |      i -> array_to_string(ws[i:i+3], ' '))) AS term
+      |  FROM raw),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2),
+      |rare AS (SELECT term FROM (
+      |    SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      |  WHERE df BETWEEN 2 AND 3),
+      |cand AS (SELECT f.term, f.doc_id FROM tf f
+      |  JOIN rare r ON r.term = f.term),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM cand a JOIN cand b
+      |    ON a.term = b.term AND a.doc_id < b.doc_id),
+      |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+      |  FROM tf GROUP BY 1),
+      |dots AS (
+      |  SELECT p.id_a, p.id_b, CAST(sum(ta.tf * tb.tf) AS BIGINT)
+      |    AS dot
+      |  FROM pairs p JOIN tf ta ON ta.doc_id = p.id_a
+      |    JOIN tf tb ON tb.doc_id = p.id_b AND tb.term = ta.term
+      |  GROUP BY 1, 2)
+      |SELECT d.id_a AS id_a, d.id_b AS id_b, d.dot AS dot,
+      |  na.n2 AS n2_a, nb.n2 AS n2_b,
+      |  CAST(d.dot AS DOUBLE)
+      |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+      |    AS cosine
+      |FROM dots d JOIN norms na ON na.doc_id = d.id_a
+      |  JOIN norms nb ON nb.doc_id = d.id_b
+      |ORDER BY id_a, id_b""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1209,6 +1288,8 @@ object QueriesCorpus {
     "q239_domain_blocklist" -> (q239DomainBlocklist _),
     "q246_cooccurrence" -> (q246Cooccurrence _),
     "q247_inverted_index" -> (q247InvertedIndex _),
+    "q249_feature_hashing" -> (q249FeatureHashing _),
+    "q250_tf_cosine" -> (q250TfCosine _),
     "q190_ring_negatives" -> (q190RingNegatives _),
     "q192_ddsketch" -> (q192DdSketch _),
     "q197_shard_balance" -> (q197ShardBalance _),
@@ -1243,6 +1324,8 @@ object QueriesCorpus {
     "q239_domain_blocklist" -> q239Sql,
     "q246_cooccurrence" -> q246Sql,
     "q247_inverted_index" -> q247Sql,
+    "q249_feature_hashing" -> q249Sql,
+    "q250_tf_cosine" -> q250Sql,
     "q190_ring_negatives" -> q190Sql,
     "q192_ddsketch" -> q192Sql,
     "q197_shard_balance" -> q197Sql,

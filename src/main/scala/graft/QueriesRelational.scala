@@ -2624,6 +2624,32 @@ object QueriesRelational {
       |    AS quarters
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // -------------------------------------------------------------- q248
+  /** mask() PII-masking battery (Spark 3.4 function) vs a
+    * regexp_replace-chain oracle. Replacement ORDER in the oracle is
+    * chosen so no substitution char collides with a LATER class
+    * pattern (e.g. '#' digit-char is introduced only after the
+    * other-chars pass that would swallow it). */
+  private def q248MaskBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"),
+        expr("mask(c_name)").as("masked_default"),
+        expr("mask(c_name, 'U', 'l', '#', '*')").as("masked_custom"),
+        expr("mask(c_name, NULL, NULL, 'n', NULL)")
+          .as("masked_digits"))
+      .orderBy(col("c_custkey"))
+
+  private val q248Sql =
+    """SELECT c_custkey,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+      |    '[0-9]', 'n', 'g') AS masked_default,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    c_name, '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'),
+      |    '[^A-Za-z0-9]', '*', 'g'), '[0-9]', '#', 'g')
+      |    AS masked_custom,
+      |  regexp_replace(c_name, '[0-9]', 'n', 'g') AS masked_digits
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
@@ -2818,6 +2844,7 @@ object QueriesRelational {
     "q229_hash_battery" -> (q229HashBattery _),
     "q240_bitmap_agg" -> (q240BitmapAgg _),
     "q244_format_battery" -> (q244FormatBattery _),
+    "q248_mask_battery" -> (q248MaskBattery _),
     "q230_na_battery" -> (q230NaBattery _),
     "q231_join_using" -> (q231JoinUsing _),
     "q232_not_in_null" -> (q232NotInNull _),
@@ -2899,6 +2926,7 @@ object QueriesRelational {
     "q229_hash_battery" -> q229Sql,
     "q240_bitmap_agg" -> q240Sql,
     "q244_format_battery" -> q244Sql,
+    "q248_mask_battery" -> q248Sql,
     "q230_na_battery" -> q230Sql,
     "q231_join_using" -> q231Sql,
     "q232_not_in_null" -> q232Sql,

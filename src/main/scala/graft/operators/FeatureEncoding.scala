@@ -49,4 +49,31 @@ object FeatureEncoding {
           / (col("cnt") + lit(smoothing.toLong)).cast("double"))
           .as("enc"))
   }
+
+  /** Signed hashing trick (Weinberger et al. 2009): token → bucket by
+    * an md5-derived hash, with a second md5 nibble choosing the ±1
+    * sign that keeps the inner-product estimate unbiased. Output is
+    * the sparse (id, bucket, value) triple table — integer values,
+    * ~min(nBuckets, vocab) rows per document, no vocabulary pass and
+    * no driver state, which is the whole point of the trick at 100 TB
+    * (contrast a fitted vocabulary index that must broadcast).
+    * @return (id, bucket, value, n_tokens) */
+  def hashingTrick(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive (got $nBuckets)")
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("__d", md5(col("token")))
+    toks
+      .withColumn("bucket",
+        conv(substring(col("__d"), 1, 8), 16, 10).cast("long")
+          % nBuckets)
+      .withColumn("__sign",
+        when(conv(substring(col("__d"), 9, 1), 16, 10).cast("long")
+          % 2 === 0, 1L).otherwise(-1L))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sign")).as("value"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

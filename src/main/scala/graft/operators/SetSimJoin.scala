@@ -117,4 +117,63 @@ object SetSimJoin {
       sets.unpersist(blocking = false)
     }
   }
+
+  /** Rare-term-blocked TF-cosine pairs: terms are word `ngramN`-grams
+    * (n ≥ 2 makes terms discriminative even in a small-vocab corpus —
+    * n-gram shingles are near-unique except across true near-dups);
+    * candidate pairs are docs sharing at least one RARE term (df ≤
+    * maxDf — the classic entity-resolution blocking key; per term at
+    * most C(maxDf,2) pairs, so the candidate set is linear in
+    * rare-term mass, never all-pairs), then exact term-frequency
+    * cosine over each pair — integer dot products and integer squared
+    * norms, one final sqrt-of-product division. Scale: tf vectors
+    * shuffle on term for the dot join; the norm table is |docs|-sized,
+    * shuffle-joined.
+    * @return (id_a, id_b, dot, n2_a, n2_b, cosine) */
+  def tfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, ngramN: Int = 1): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf)")
+    require(ngramN >= 1, s"ngramN must be >= 1 (got $ngramN)")
+    val words = filter(
+      split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= "")
+    // sequence(1, k) with k < 1 counts DOWN in Spark — guard short docs
+    val terms = when(size(words) >= ngramN,
+      transform(sequence(lit(1), size(words) - (ngramN - 1)),
+        i => array_join(slice(words, i, lit(ngramN)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val tf = docs.select(col(idCol).as("__id"),
+        explode(terms).as("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val rare = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+      .select(col("term"))
+    val cand = tf.join(rare, Seq("term"))
+      .select(col("term"), col("__id"))
+    val pairs = cand.select(col("term"), col("__id").as("id_a"))
+      .join(cand.select(col("term"), col("__id").as("id_b")),
+        Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val norms = tf.groupBy(col("__id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = pairs
+      .join(tf.select(col("__id").as("id_a"), col("term"),
+        col("tf").as("tf_a")), Seq("id_a"))
+      .join(tf.select(col("__id").as("id_b"), col("term"),
+        col("tf").as("tf_b")), Seq("id_b", "term"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dots
+      .join(norms.select(col("__id").as("id_a"), col("n2").as("n2_a")),
+        Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("n2").as("n2_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("dot"), col("n2_a"),
+        col("n2_b"),
+        (col("dot").cast("double") /
+          sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")))
+          .as("cosine"))
+  }
 }

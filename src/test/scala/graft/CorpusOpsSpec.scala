@@ -738,4 +738,32 @@ class CorpusOpsSpec extends SparkSpec {
     Retrieval.invertedIndex(df, "doc_id", "text", 2L, 2)
       .count() shouldBe 1L // minDf drops the tail
   }
+
+  test("hashingTrick: same token collides to same signed bucket") {
+    import graft.operators.FeatureEncoding
+    val df = Seq((1L, "foo foo bar"), (2L, "foo")).toDF("doc_id", "text")
+    val got = FeatureEncoding.hashingTrick(df, "doc_id", "text", 64)
+      .orderBy("doc_id", "bucket")
+      .as[(Long, Long, Long, Long)].collect()
+    // doc 1 has two buckets (foo x2, bar x1) unless they collide
+    val d1 = got.filter(_._1 == 1L)
+    d1.map(_._4).sum shouldBe 3L // token count preserved
+    // the foo bucket in doc 1 carries |value| = 2, and doc 2's single
+    // foo bucket matches it exactly (same hash, same sign)
+    val d2 = got.filter(_._1 == 2L).head
+    val fooIn1 = d1.find(r => r._2 == d2._2).get
+    fooIn1._3 shouldBe 2L * d2._3
+    (got.map(_._3).forall(v => v != 0)) shouldBe true
+  }
+
+  test("tfCosinePairs: identical docs cosine 1, blocking bounds pairs") {
+    import graft.operators.SetSimJoin
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta delta"), (4L, "epsilon")).toDF("doc_id", "text")
+    val got = SetSimJoin.tfCosinePairs(df, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    got.length shouldBe 1 // only the (1,2) pair shares rare terms
+    got.head shouldBe ((1L, 2L, 3L, 3L, 3L, 1.0))
+  }
 }
