@@ -2475,12 +2475,31 @@ object QueriesAnalytics {
       |FROM p GROUP BY channel ORDER BY channel""".stripMargin
 
   // -------------------------------------------------------------- q241
-  /** RFM segmentation in one SQL text both engines run natively:
-    * recency/frequency/monetary quintiles via ntile(5) over TOTAL
-    * orders (user_id tiebreak), composed into a 3-digit segment. */
+  /** RFM segmentation on ECDF quintiles (Quantiles.valueBuckets):
+    * score = ⌈5·cum/n⌉ per metric VALUE — ties share a score, the
+    * prefix sum is the two-pass distributed form, and no global ntile
+    * sort exists (a single ntile(5) over all users is a one-partition
+    * exchange — the plan lint rejects it). 3-digit segment rollup. */
   private def q241Rfm(s: SparkSession, dir: String): DataFrame = {
-    Tables.load(s, dir, "events").createOrReplaceTempView("events")
-    s.sql(q241Sql)
+    import graft.operators.Quantiles
+    val m = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts").cast("date")).as("last_day"),
+        count(lit(1)).as("f"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+    def scoreMap(vc: String, out: String): DataFrame =
+      Quantiles.valueBuckets(m.select(col(vc).as("value")), "value", 5)
+        .select(col("value").as(vc), col("bucket").as(out))
+    val sc = m
+      .join(scoreMap("last_day", "r_score"), Seq("last_day"))
+      .join(scoreMap("f", "f_score"), Seq("f"))
+      .join(scoreMap("cents", "m_score"), Seq("cents"))
+    sc.groupBy((col("r_score") * 100 + col("f_score") * 10 +
+        col("m_score")).cast("long").as("segment"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("segment"))
   }
 
   private val q241Sql =
@@ -2491,12 +2510,28 @@ object QueriesAnalytics {
       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
       |      AS BIGINT) AS cents
       |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+      |rb AS (SELECT v, (cum * 5 + n.n - 1) // n.n AS s FROM (
+      |    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS cum
+      |    FROM (SELECT last_day AS v, count(*) AS c FROM m GROUP BY 1))
+      |  CROSS JOIN n),
+      |fb AS (SELECT v, (cum * 5 + n.n - 1) // n.n AS s FROM (
+      |    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS cum
+      |    FROM (SELECT f AS v, count(*) AS c FROM m GROUP BY 1))
+      |  CROSS JOIN n),
+      |mb AS (SELECT v, (cum * 5 + n.n - 1) // n.n AS s FROM (
+      |    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS cum
+      |    FROM (SELECT cents AS v, count(*) AS c FROM m GROUP BY 1))
+      |  CROSS JOIN n),
       |sc AS (
-      |  SELECT user_id, cents,
-      |    ntile(5) OVER (ORDER BY last_day, user_id) AS r_score,
-      |    ntile(5) OVER (ORDER BY f, user_id) AS f_score,
-      |    ntile(5) OVER (ORDER BY cents, user_id) AS m_score
-      |  FROM m)
+      |  SELECT m.cents, rb.s AS r_score, fb.s AS f_score,
+      |    mb.s AS m_score
+      |  FROM m JOIN rb ON rb.v = m.last_day
+      |    JOIN fb ON fb.v = m.f
+      |    JOIN mb ON mb.v = m.cents)
       |SELECT
       |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
       |    AS segment,

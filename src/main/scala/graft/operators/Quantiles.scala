@@ -146,16 +146,25 @@ object Quantiles {
     * ntile, whose splits depend on row order among duplicates.
     * Returns per bucket: row mass, distinct values, lo/hi bounds.
     * Same scale shape as [[ecdf]]. */
-  def equiDepthBuckets(df: DataFrame, valueCol: String,
-      k: Int): DataFrame = {
+  /** Equi-depth bucket id per distinct value: (value, cnt, bucket)
+    * with bucket = ⌈k·cum/n⌉ (ECDF quantile score — ties share a
+    * bucket, so it stays exact AND distributed, unlike a global
+    * ntile whose total sort is a single-partition exchange). Same
+    * two-pass prefix as [[ecdf]]. */
+  def valueBuckets(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val withCum = ecdf(df, valueCol)
     val n = math.max(1L, df.filter(col(valueCol).isNotNull).count())
     withCum
       // positive operands: div truncation == floor == ceil-rewrite
-      .withColumn("bucket", expr(s"(cum * $k + ${n - 1}L) div ${n}L"))
-      .select(col("bucket").cast("long").as("bucket"), col("value"),
-        col("cnt"))
+      .withColumn("bucket",
+        expr(s"(cum * $k + ${n - 1}L) div ${n}L").cast("long"))
+      .select(col("value"), col("cnt"), col("bucket"))
+  }
+
+  def equiDepthBuckets(df: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
+    valueBuckets(df, valueCol, k)
       .groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_values"),
