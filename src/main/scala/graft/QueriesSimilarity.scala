@@ -399,9 +399,15 @@ object QueriesSimilarity {
     * the labeled embeddings: integer int8-code dots make ranking,
     * votes, and tie-breaks engine-exact; accuracy per true label is
     * one division. Eval-set contract — the query side broadcasts, the
-    * corpus side streams into the bounded top-k heap. */
+    * corpus side streams into the bounded top-k heap. The fixture is
+    * the vec_id%10 EVAL SUBSET: LOO is an O(|eval|²) harness by
+    * definition (the scaladoc's contract), so the gate/bench row must
+    * feed it an eval set, not the corpus — full-scale ANN cost lives
+    * with q224/ScaleSmoke. */
   private def q219KnnEval(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnLooEval(Tables.load(s, dir, "embeddings"),
+    Similarity.knnLooEval(
+        Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") % 10 === 0),
         "vec_id", "embedding", "label", k = 5)
       .orderBy(col("label"))
 
@@ -409,7 +415,7 @@ object QueriesSimilarity {
     """WITH ed AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      |  FROM embeddings),
+      |  FROM embeddings WHERE vec_id % 10 = 0),
       |sc AS (
       |  SELECT vec_id, label, e,
       |    list_max(list_transform(e, x -> abs(x))) AS s

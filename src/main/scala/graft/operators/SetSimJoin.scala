@@ -141,10 +141,13 @@ object SetSimJoin {
       transform(sequence(lit(1), size(words) - (ngramN - 1)),
         i => array_join(slice(words, i, lit(ngramN)), " ")))
       .otherwise(array().cast("array<string>"))
+    // tf feeds four consumers (rare terms, candidates, norms, both
+    // dot sides) — persist once or the n-gram tokenization reruns 4×
     val tf = docs.select(col(idCol).as("__id"),
         explode(terms).as("term"))
       .groupBy(col("__id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val rare = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
@@ -165,15 +168,21 @@ object SetSimJoin {
         col("tf").as("tf_b")), Seq("id_b", "term"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
-    dots
-      .join(norms.select(col("__id").as("id_a"), col("n2").as("n2_a")),
-        Seq("id_a"))
-      .join(norms.select(col("__id").as("id_b"), col("n2").as("n2_b")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("dot"), col("n2_a"),
-        col("n2_b"),
-        (col("dot").cast("double") /
-          sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")))
-          .as("cosine"))
+    try {
+      dots
+        .join(norms.select(col("__id").as("id_a"),
+          col("n2").as("n2_a")), Seq("id_a"))
+        .join(norms.select(col("__id").as("id_b"),
+          col("n2").as("n2_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("dot"), col("n2_a"),
+          col("n2_b"),
+          (col("dot").cast("double") /
+            sqrt(col("n2_a").cast("double") *
+              col("n2_b").cast("double")))
+            .as("cosine"))
+        .localCheckpoint(eager = true)
+    } finally {
+      tf.unpersist(blocking = false)
+    }
   }
 }
