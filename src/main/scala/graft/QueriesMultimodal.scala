@@ -32,9 +32,62 @@ object QueriesMultimodal {
       |  CAST(octet_length(encode(text)) % 100 AS INT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q251
+  /** Preprocessing plan over decoded media: aspect-preserving resize
+    * (Multimodal.resizeDims, max side 512) and deterministic frame
+    * sampling (every 7th frame) applied per row in a typed map after
+    * the per-partition stub decode — the Spark-side plumbing (batch
+    * shape, typed pipeline) is real; only the codec is the documented
+    * stub. Oracle replays the md5-fake dims and the floor(x+0.5)
+    * rounding that Scala math.round performs. */
+  private def q251MediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.asMediaTable(
+      Tables.load(s, dir, "documents"), "doc_id", "text", "image")
+      .as[MediaRow]
+    Multimodal.extractFeatures(media,
+        () => new Multimodal.DeterministicFakeDecoder)
+      .map { f =>
+        val (rw, rh) = Multimodal.resizeDims(f.width, f.height, 512)
+        val nSampled =
+          Multimodal.sampleFrameIndices(f.n_frames, 7).size
+        (f.doc_id, f.width, f.height, rw, rh, f.n_frames, nSampled)
+      }
+      .toDF("doc_id", "width", "height", "rw", "rh", "n_frames",
+        "n_sampled")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q251Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST((('0x' || substr(md5(text), 1, 4))::BIGINT % 1920) + 1
+      |      AS INT) AS width,
+      |    CAST((('0x' || substr(md5(text), 5, 4))::BIGINT % 1080) + 1
+      |      AS INT) AS height,
+      |    CAST(octet_length(encode(text)) % 100 AS INT) AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |  CAST(CASE
+      |    WHEN width <= 512 AND height <= 512 THEN width
+      |    WHEN width >= height THEN 512
+      |    ELSE greatest(1, floor(width * 512.0 / height + 0.5))
+      |  END AS INT) AS rw,
+      |  CAST(CASE
+      |    WHEN width <= 512 AND height <= 512 THEN height
+      |    WHEN width >= height
+      |      THEN greatest(1, floor(height * 512.0 / width + 0.5))
+      |    ELSE 512
+      |  END AS INT) AS rh,
+      |  n_frames,
+      |  CAST((n_frames + 6) // 7 AS INT) AS n_sampled
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q29_multimodal_features" -> (q29Features _))
+    "q29_multimodal_features" -> (q29Features _),
+    "q251_media_resize" -> (q251MediaResize _))
 
   val oracles: Map[String, String] = Map(
-    "q29_multimodal_features" -> q29Sql)
+    "q29_multimodal_features" -> q29Sql,
+    "q251_media_resize" -> q251Sql)
 }
