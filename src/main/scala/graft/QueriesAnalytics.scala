@@ -2679,6 +2679,38 @@ object QueriesAnalytics {
       |SELECT g, n, k AS split_k, day AS split_x, cost
       |FROM r WHERE rn = 1 ORDER BY g""".stripMargin
 
+  // -------------------------------------------------------------- q254
+  /** Calibration / reliability bins: purchase rate per fixed-width
+    * score decile — exact integer counts, rate the only division. */
+  private def q254Calibration(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(expr(
+        "(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 1000)" +
+          " div 100").as("bin"),
+        (col("event_type") === "purchase").as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("rate"))
+      .orderBy(col("bin"))
+  }
+
+  private val q254Sql =
+    """SELECT
+      |  (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 1000)
+      |    // 100 AS bin,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_pos,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS rate
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1 ORDER BY bin""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2698,6 +2730,7 @@ object QueriesAnalytics {
     "q242_benford" -> (q242Benford _),
     "q243_kaplan_meier" -> (q243KaplanMeier _),
     "q245_changepoint" -> (q245Changepoint _),
+    "q254_calibration" -> (q254Calibration _),
     "q234_assortativity" -> (q234Assortativity _),
     "q235_mann_kendall" -> (q235MannKendall _),
     "q236_theil_sen" -> (q236TheilSen _),
@@ -2764,6 +2797,7 @@ object QueriesAnalytics {
     "q242_benford" -> q242Sql,
     "q243_kaplan_meier" -> q243Sql,
     "q245_changepoint" -> q245Sql,
+    "q254_calibration" -> q254Sql,
     "q234_assortativity" -> q234Sql,
     "q235_mann_kendall" -> q235Sql,
     "q236_theil_sen" -> q236Sql,

@@ -1281,6 +1281,64 @@ object QueriesCorpus {
       |  JOIN norms nb ON nb.doc_id = d.id_b
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -------------------------------------------------------------- q253
+  /** χ² token–language feature selection (Vocab.chi2FeatureSelection):
+    * doc-presence contingency in exact BIGINTs, χ² one identically-
+    * shaped double expression, top-10 per language on a (χ² desc,
+    * token) total order. */
+  private def q253Chi2Features(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab
+      .chi2FeatureSelection(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "lang", topK = 10)
+      .orderBy(col("cls"), col("rank"))
+
+  private val q253Sql =
+    """WITH pres AS (
+      |  SELECT DISTINCT doc_id, cls, token FROM (
+      |    SELECT doc_id, lang AS cls,
+      |      unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+      |        AS token
+      |    FROM documents)
+      |  WHERE token <> ''),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+      |  FROM documents),
+      |bc AS (SELECT lang AS cls,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_c
+      |  FROM documents GROUP BY 1),
+      |dft AS (SELECT token,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t
+      |  FROM pres GROUP BY 1),
+      |av AS (SELECT cls, token, CAST(count(*) AS BIGINT) AS a
+      |  FROM pres GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT av.cls, av.token, av.a, dft.df_t, bc.n_c,
+      |    nd.n AS n_docs,
+      |    dft.df_t - av.a AS b2, bc.n_c - av.a AS c2,
+      |    nd.n - dft.df_t - bc.n_c + av.a AS d2
+      |  FROM av JOIN bc ON bc.cls = av.cls
+      |    JOIN dft ON dft.token = av.token
+      |    CROSS JOIN nd),
+      |ch AS (
+      |  SELECT cls, token, a, df_t, n_c, n_docs,
+      |    CASE WHEN (a + b2) * (c2 + d2) * (a + c2) * (b2 + d2) = 0
+      |      THEN 0.0
+      |      ELSE CAST(n_docs AS DOUBLE)
+      |        * (CAST(a AS DOUBLE) * CAST(d2 AS DOUBLE)
+      |          - CAST(b2 AS DOUBLE) * CAST(c2 AS DOUBLE))
+      |        * (CAST(a AS DOUBLE) * CAST(d2 AS DOUBLE)
+      |          - CAST(b2 AS DOUBLE) * CAST(c2 AS DOUBLE))
+      |        / (CAST(a + b2 AS DOUBLE) * CAST(c2 + d2 AS DOUBLE)
+      |          * CAST(a + c2 AS DOUBLE) * CAST(b2 + d2 AS DOUBLE))
+      |      END AS chi2
+      |  FROM sc),
+      |rk AS (
+      |  SELECT cls, token, a, df_t, n_c, n_docs, chi2,
+      |    CAST(row_number() OVER (PARTITION BY cls
+      |      ORDER BY chi2 DESC, token) AS BIGINT) AS rank
+      |  FROM ch)
+      |SELECT cls, token, a, df_t, n_c, n_docs, chi2, rank
+      |FROM rk WHERE rank <= 10 ORDER BY cls, rank""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1289,6 +1347,7 @@ object QueriesCorpus {
     "q246_cooccurrence" -> (q246Cooccurrence _),
     "q247_inverted_index" -> (q247InvertedIndex _),
     "q249_feature_hashing" -> (q249FeatureHashing _),
+    "q253_chi2_features" -> (q253Chi2Features _),
     "q250_tf_cosine" -> (q250TfCosine _),
     "q190_ring_negatives" -> (q190RingNegatives _),
     "q192_ddsketch" -> (q192DdSketch _),
@@ -1325,6 +1384,7 @@ object QueriesCorpus {
     "q246_cooccurrence" -> q246Sql,
     "q247_inverted_index" -> q247Sql,
     "q249_feature_hashing" -> q249Sql,
+    "q253_chi2_features" -> q253Sql,
     "q250_tf_cosine" -> q250Sql,
     "q190_ring_negatives" -> q190Sql,
     "q192_ddsketch" -> q192Sql,

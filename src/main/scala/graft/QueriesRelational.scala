@@ -2650,6 +2650,42 @@ object QueriesRelational {
       |  regexp_replace(c_name, '[0-9]', 'n', 'g') AS masked_digits
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q252
+  /** max_by/min_by + boolean-aggregate battery: the argmax ordering
+    * key is made UNIQUE (cents·10⁷ + orderkey) because both engines
+    * break max_by ties arbitrarily — uniqueness is the portable
+    * contract. count_if/bool_and/bool_or alongside. */
+  private def q252ArgMinMax(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH b AS (
+        |  SELECT o_orderpriority AS pri, o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT pri,
+        |  max_by(k, cents * 10000000 + k) AS top_key,
+        |  min_by(k, cents * 10000000 + k) AS bottom_key,
+        |  CAST(count_if(cents > 20000000) AS BIGINT) AS n_big,
+        |  bool_and(cents > 0) AS all_positive,
+        |  bool_or(cents > 50000000) AS any_huge
+        |FROM b GROUP BY pri ORDER BY pri""".stripMargin)
+  }
+
+  private val q252Sql =
+    """WITH b AS (
+      |  SELECT o_orderpriority AS pri, o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders)
+      |SELECT pri,
+      |  arg_max(k, cents * 10000000 + k) AS top_key,
+      |  arg_min(k, cents * 10000000 + k) AS bottom_key,
+      |  CAST(count_if(cents > 20000000) AS BIGINT) AS n_big,
+      |  bool_and(cents > 0) AS all_positive,
+      |  bool_or(cents > 50000000) AS any_huge
+      |FROM b GROUP BY pri ORDER BY pri""".stripMargin
+
   private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
@@ -2845,6 +2881,7 @@ object QueriesRelational {
     "q240_bitmap_agg" -> (q240BitmapAgg _),
     "q244_format_battery" -> (q244FormatBattery _),
     "q248_mask_battery" -> (q248MaskBattery _),
+    "q252_argminmax" -> (q252ArgMinMax _),
     "q230_na_battery" -> (q230NaBattery _),
     "q231_join_using" -> (q231JoinUsing _),
     "q232_not_in_null" -> (q232NotInNull _),
@@ -2927,6 +2964,7 @@ object QueriesRelational {
     "q240_bitmap_agg" -> q240Sql,
     "q244_format_battery" -> q244Sql,
     "q248_mask_battery" -> q248Sql,
+    "q252_argminmax" -> q252Sql,
     "q230_na_battery" -> q230Sql,
     "q231_join_using" -> q231Sql,
     "q232_not_in_null" -> q232Sql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
@@ -49,6 +49,56 @@ object Vocab {
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  /** χ² feature selection per class (the classic Yang & Pedersen 1997
+    * token–category test): doc-level presence contingency (a =
+    * class∧token, b/c/d derived from df, class size, N — all exact
+    * BIGINTs) and χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) as ONE double
+    * expression both engines derive identically; top `topK` tokens
+    * per class on a (χ² desc, token) total order. Scale: presence is
+    * one distinct over exploded tokens; everything after is
+    * vocab×class-sized. The per-class ranking window partitions by
+    * class — parallel, never a global sort.
+    * @return (class, token, a, df_t, n_c, n_docs, chi2, rank) */
+  def chi2FeatureSelection(df: DataFrame, idCol: String,
+      textCol: String, classCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1 (got $topK)")
+    val pres = df.select(col(idCol).as("__id"),
+        col(classCol).as("cls"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val byClass = df.groupBy(col(classCol).as("cls"))
+      .agg(countDistinct(col(idCol)).as("n_c"))
+    val dfT = pres.groupBy(col("token"))
+      .agg(countDistinct(col("__id")).as("df_t"))
+    val a = pres.groupBy(col("cls"), col("token"))
+      .agg(count(lit(1)).as("a"))
+    def d(c: Column): Column = c.cast("double")
+    val scored = a.join(byClass, Seq("cls")).join(dfT, Seq("token"))
+      .withColumn("__b", col("df_t") - col("a"))
+      .withColumn("__c", col("n_c") - col("a"))
+      .withColumn("__d",
+        lit(nDocs) - col("df_t") - col("n_c") + col("a"))
+      .withColumn("chi2",
+        // a margin of zero (token in every doc / class empty) makes
+        // the test undefined — pin to 0 (non-informative), not 0/0
+        when((col("a") + col("__b")) * (col("__c") + col("__d"))
+          * (col("a") + col("__c")) * (col("__b") + col("__d")) === 0,
+          lit(0.0))
+          .otherwise(d(lit(nDocs)) *
+            (d(col("a")) * d(col("__d")) - d(col("__b")) * d(col("__c")))
+            * (d(col("a")) * d(col("__d")) - d(col("__b")) * d(col("__c")))
+            / (d(col("a") + col("__b")) * d(col("__c") + col("__d"))
+              * d(col("a") + col("__c")) * d(col("__b") + col("__d")))))
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("chi2").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("cls"), col("token"), col("a"), col("df_t"),
+        col("n_c"), lit(nDocs).as("n_docs"), col("chi2"), col("rank"))
   }
 
   /** Skip-gram co-occurrence with lift: token pairs within a forward

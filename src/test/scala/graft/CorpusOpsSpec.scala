@@ -756,6 +756,22 @@ class CorpusOpsSpec extends SparkSpec {
     (got.map(_._3).forall(v => v != 0)) shouldBe true
   }
 
+  test("chi2FeatureSelection: perfectly discriminative token tops") {
+    import graft.operators.Vocab
+    // 'aa' only in class x, 'bb' only in y, 'cc' everywhere
+    val df = Seq((1L, "x", "aa cc"), (2L, "x", "aa cc"),
+      (3L, "y", "bb cc"), (4L, "y", "bb cc")).toDF("doc_id", "lang", "text")
+    val got = Vocab.chi2FeatureSelection(df, "doc_id", "text", "lang", 2)
+      .orderBy("cls", "rank").collect()
+    // per class the rank-1 feature is its exclusive token with chi2=N
+    got(0).getString(1) shouldBe "aa"
+    got(0).getDouble(6) shouldBe 4.0 // N(ad-bc)^2/(2*2*2*2) = 4*16/16
+    got(2).getString(1) shouldBe "bb"
+    // 'cc' is everywhere -> degenerate margin, chi2 pinned to 0
+    got(1).getString(1) shouldBe "cc"
+    got(1).getDouble(6) shouldBe 0.0
+  }
+
   test("tfCosinePairs: identical docs cosine 1, blocking bounds pairs") {
     import graft.operators.SetSimJoin
     val df = Seq(
