@@ -2711,6 +2711,86 @@ object QueriesAnalytics {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // -------------------------------------------------------------- q255
+  /** Gaps-and-islands: maximal runs of the same event type per user
+    * via the classic row_number-difference grouping, over the (ts,
+    * event_id) total order — one SQL text both engines run. */
+  private def q255GapsIslands(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(q255Sql)
+  }
+
+  private val q255Sql =
+    """WITH b AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS rnt
+      |  FROM events)
+      |SELECT user_id, event_type, min(ts) AS run_start,
+      |  CAST(count(*) AS BIGINT) AS run_len,
+      |  min(event_id) AS first_event
+      |FROM b GROUP BY user_id, event_type, rn - rnt
+      |ORDER BY user_id, run_start, first_event""".stripMargin
+
+  // -------------------------------------------------------------- q256
+  /** Event path trigrams: top 3-step event-type paths per the (ts,
+    * event_id) order, via two lead() columns — linear, no self-join;
+    * one SQL text both engines run. */
+  private def q256EventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(q256Sql)
+  }
+
+  private val q256Sql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t3
+      |  FROM events)
+      |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM b WHERE t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 40""".stripMargin
+
+  // -------------------------------------------------------------- q257
+  /** ABC / Pareto revenue classes per brand: parts ranked by
+    * revenue inside each brand partition (parallel windows, no global
+    * sort), class thresholds decided by INTEGER cross-multiplication
+    * (cum·5 ≤ tot·4 is the 80% line — no float compare). One SQL
+    * text both engines run. */
+  private def q257AbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    Tables.load(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(q257Sql)
+  }
+
+  private val q257Sql =
+    """WITH r AS (
+      |  SELECT p.p_brand AS brand, l.l_partkey AS pk,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT brand, pk, rev,
+      |    sum(rev) OVER (PARTITION BY brand ORDER BY rev DESC, pk
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(rev) OVER (PARTITION BY brand) AS tot
+      |  FROM r),
+      |k AS (
+      |  SELECT brand, rev,
+      |    CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+      |         WHEN cum * 20 <= tot * 19 THEN 'B'
+      |         ELSE 'C' END AS abc
+      |  FROM c)
+      |SELECT brand, abc, CAST(count(*) AS BIGINT) AS n_parts,
+      |  CAST(sum(rev) AS BIGINT) AS revenue
+      |FROM k GROUP BY 1, 2 ORDER BY brand, abc""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2731,6 +2811,9 @@ object QueriesAnalytics {
     "q243_kaplan_meier" -> (q243KaplanMeier _),
     "q245_changepoint" -> (q245Changepoint _),
     "q254_calibration" -> (q254Calibration _),
+    "q255_gaps_islands" -> (q255GapsIslands _),
+    "q256_event_trigrams" -> (q256EventTrigrams _),
+    "q257_abc_analysis" -> (q257AbcAnalysis _),
     "q234_assortativity" -> (q234Assortativity _),
     "q235_mann_kendall" -> (q235MannKendall _),
     "q236_theil_sen" -> (q236TheilSen _),
@@ -2798,6 +2881,9 @@ object QueriesAnalytics {
     "q243_kaplan_meier" -> q243Sql,
     "q245_changepoint" -> q245Sql,
     "q254_calibration" -> q254Sql,
+    "q255_gaps_islands" -> q255Sql,
+    "q256_event_trigrams" -> q256Sql,
+    "q257_abc_analysis" -> q257Sql,
     "q234_assortativity" -> q234Sql,
     "q235_mann_kendall" -> q235Sql,
     "q236_theil_sen" -> q236Sql,
