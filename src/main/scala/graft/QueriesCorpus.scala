@@ -1339,6 +1339,45 @@ object QueriesCorpus {
       |SELECT cls, token, a, df_t, n_c, n_docs, chi2, rank
       |FROM rk WHERE rank <= 10 ORDER BY cls, rank""".stripMargin
 
+  // -------------------------------------------------------------- q258
+  /** Directed containment join (SetSimJoin.containmentSelfJoin) over
+    * word 4-gram shingle sets, tau 0.8 — the asymmetric quote/subset
+    * relation Jaccard misses. Oracle brute-forces the same relation
+    * relationally. */
+  private def q258Containment(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimJoin
+      .containmentSelfJoin(Tables.load(s, dir, "documents"), "doc_id",
+        graft.functions.TextAnalysis.wordNgrams(col("text"), 4), 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q258Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      w -> w <> '') AS ws
+      |  FROM documents),
+      |t AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(
+      |      generate_series(1, greatest(len(ws) - 3, 0)),
+      |      i -> array_to_string(ws[i:i+3], ' '))) AS term
+      |  FROM raw),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM t GROUP BY 1),
+      |iv AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(count(*) AS BIGINT) AS inter
+      |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT iv.id_a AS id_a, iv.id_b AS id_b, iv.inter AS inter,
+      |  sa.n AS size_a, sb.n AS size_b,
+      |  CAST(iv.inter AS DOUBLE) / CAST(sa.n AS DOUBLE)
+      |    AS containment
+      |FROM iv JOIN sz sa ON sa.doc_id = iv.id_a
+      |  JOIN sz sb ON sb.doc_id = iv.id_b
+      |WHERE CAST(iv.inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1348,6 +1387,7 @@ object QueriesCorpus {
     "q247_inverted_index" -> (q247InvertedIndex _),
     "q249_feature_hashing" -> (q249FeatureHashing _),
     "q253_chi2_features" -> (q253Chi2Features _),
+    "q258_containment" -> (q258Containment _),
     "q250_tf_cosine" -> (q250TfCosine _),
     "q190_ring_negatives" -> (q190RingNegatives _),
     "q192_ddsketch" -> (q192DdSketch _),
@@ -1385,6 +1425,7 @@ object QueriesCorpus {
     "q247_inverted_index" -> q247Sql,
     "q249_feature_hashing" -> q249Sql,
     "q253_chi2_features" -> q253Sql,
+    "q258_containment" -> q258Sql,
     "q250_tf_cosine" -> q250Sql,
     "q190_ring_negatives" -> q190Sql,
     "q192_ddsketch" -> q192Sql,

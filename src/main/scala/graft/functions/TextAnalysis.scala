@@ -93,6 +93,20 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Word n-gram shingles: lowercase alnum words joined by single
+    * spaces, one n-gram per window position (empty array when the doc
+    * has fewer than n words — NOT a truncated shingle). The shared
+    * tokenizer for the n-gram dedup/similarity family. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val words = filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
+    // sequence(1, k) with k < 1 counts DOWN in Spark — guard short docs
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Character n-gram shingles of the normalized text (for Jaccard /
     * MinHash dedup). Text shorter than n -> single shingle of the whole
     * text. Backed by the codegen'd CharShinglesExpression (single pass;

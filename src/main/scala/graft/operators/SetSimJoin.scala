@@ -118,6 +118,53 @@ object SetSimJoin {
     }
   }
 
+  /** DIRECTED set-containment self-join: all ordered pairs (A, B)
+    * with |A ∩ B| / |A| ≥ tau — the asymmetric near-dup relation
+    * Jaccard misses (a short document quoted inside a long one has
+    * high containment but low Jaccard). Candidate generation uses the
+    * same rarest-first prefix lemma as [[jaccardSelfJoin]] — if
+    * inter ≥ ⌈tau·|A|⌉, A's (|A| − ⌈tau·|A|⌉ + 1)-prefix must hit B —
+    * but probes A-prefixes against B's FULL posting list (no size
+    * filter: B may be arbitrarily large). Fan-in per token is its
+    * corpus df, so feed DISCRIMINATIVE tokens (word n-gram shingles),
+    * never raw words — the same contract real near-dup pipelines use.
+    * Verify is the codegen'd sorted-merge intersect on candidates.
+    * Output: (id_a, id_b, inter, size_a, size_b, containment). */
+  def containmentSelfJoin(df: DataFrame, idCol: String,
+      tokensCol: Column, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau ($tau) must be in (0, 1]")
+    val sets = tokenSets(df, idCol, tokensCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      val probes = prefixProbes(sets, tau)
+      val postings = sets.select(col("__id").as("__bid"),
+        explode(col("__toks")).as("__tok"))
+      val cands = probes.join(postings, Seq("__tok"))
+        .filter(col("__id") =!= col("__bid"))
+        .select(col("__id").as("id_a"), col("__bid").as("id_b"))
+        .distinct()
+      val a = sets.select(col("__id").as("id_a"),
+        col("__toks").as("__ta"), col("__n").as("size_a"))
+      val b = sets.select(col("__id").as("id_b"),
+        col("__toks").as("__tb"), col("__n").as("size_b"))
+      val inter = ColumnBridge.column(
+        graft.expressions.SortedIntersectSizeExpression(
+          ColumnBridge.expression(col("__ta")),
+          ColumnBridge.expression(col("__tb"))))
+      cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .withColumn("inter", inter.cast("long"))
+        .select(col("id_a"), col("id_b"), col("inter"),
+          col("size_a").cast("long").as("size_a"),
+          col("size_b").cast("long").as("size_b"),
+          (col("inter").cast("double") /
+            col("size_a").cast("double")).as("containment"))
+        .filter(col("containment") >= tau)
+        .localCheckpoint(eager = true)
+    } finally {
+      sets.unpersist(blocking = false)
+    }
+  }
+
   /** Rare-term-blocked TF-cosine pairs: terms are word `ngramN`-grams
     * (n ≥ 2 makes terms discriminative even in a small-vocab corpus —
     * n-gram shingles are near-unique except across true near-dups);
@@ -134,13 +181,8 @@ object SetSimJoin {
       maxDf: Int, ngramN: Int = 1): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf)")
     require(ngramN >= 1, s"ngramN must be >= 1 (got $ngramN)")
-    val words = filter(
-      split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= "")
-    // sequence(1, k) with k < 1 counts DOWN in Spark — guard short docs
-    val terms = when(size(words) >= ngramN,
-      transform(sequence(lit(1), size(words) - (ngramN - 1)),
-        i => array_join(slice(words, i, lit(ngramN)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val terms =
+      graft.functions.TextAnalysis.wordNgrams(col(textCol), ngramN)
     // tf feeds four consumers (rare terms, candidates, norms, both
     // dot sides) — persist once or the n-gram tokenization reruns 4×
     val tf = docs.select(col(idCol).as("__id"),

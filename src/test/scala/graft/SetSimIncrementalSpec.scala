@@ -59,6 +59,35 @@ class SetSimIncrementalSpec extends SparkSpec {
     got shouldBe Set((1L, 2L, 1.0), (1L, 3L, 0.75), (2L, 3L, 0.75))
   }
 
+  test("containment join: directed, catches subset pairs Jaccard misses") {
+    val df = Seq(
+      (1L, "a b c"),                        // A ⊂ B below
+      (2L, "a b c d e f g h i j"),          // superset of 1
+      (3L, "x y z")).toDF("doc_id", "text")
+    val got = SetSimJoin.containmentSelfJoin(df, "doc_id",
+        split(col("text"), "\\s+"), tau = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5))).toSet
+    // (1 -> 2): 3/3 = 1.0 qualifies; (2 -> 1): 3/10 does not;
+    // J(1,2) = 0.3 would never pass a 0.8 jaccard join
+    got shouldBe Set((1L, 2L, 3L, 1.0))
+    // brute-force equivalence on a random corpus
+    val docsSeq = randomDocs(7, 60)
+    val rdf = docsSeq.toDF("doc_id", "text")
+    val fast = SetSimJoin.containmentSelfJoin(rdf, "doc_id",
+        split(col("text"), "\\s+"), tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slow = (for {
+      (ia, ta) <- docsSeq; (ib, tb) <- docsSeq
+      if ia != ib
+      sa = ta.split("\\s+").toSet; sb = tb.split("\\s+").toSet
+      if sa.nonEmpty && sb.nonEmpty
+      if (sa intersect sb).size.toDouble / sa.size >= 0.6
+    } yield (ia, ib)).toSet
+    fast shouldBe slow
+  }
+
   test("duplicate tokens collapse to set semantics") {
     val df = Seq((1L, "a a a b"), (2L, "a b b")).toDF("doc_id", "text")
     val got = SetSimJoin.jaccardSelfJoin(df, "doc_id",
