@@ -2686,6 +2686,66 @@ object QueriesRelational {
       |  bool_or(cents > 50000000) AS any_huge
       |FROM b GROUP BY pri ORDER BY pri""".stripMargin
 
+  // -------------------------------------------------------------- q259
+  /** JSON-lines sink + source round-trip with NESTED types (struct,
+    * array): write, read back under the explicit schema, and
+    * aggregate — losslessness is the assertion; the oracle computes
+    * the same aggregates straight from the parquet table. */
+  private def q259JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      .resolve("orders_json").toString
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"),
+      struct(col("o_orderpriority").as("p"),
+        col("o_orderdate").cast("string").as("od")).as("meta"),
+      array(col("o_custkey"), col("o_orderkey")).as("ks"))
+    src.write.mode("overwrite").json(work)
+    s.read.schema(src.schema).json(work)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(element_at(col("ks"), 1)).as("sum_cust"),
+        countDistinct(col("meta").getField("p")).as("n_pri"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q259Sql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+      |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_pri
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------- q260
+  /** binaryFile source — THE media-ingestion path: blobs written per
+    * doc, read back via format("binaryFile"), content digested. The
+    * census (count, total bytes, distinct digests) must equal the
+    * same derivation straight from the documents table. */
+  private def q260BinaryFiles(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_bin")
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+    docs.foreach { r =>
+      java.nio.file.Files.write(
+        work.resolve(s"doc_${r.getLong(0)}.bin"),
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    s.read.format("binaryFile").load(work.toString)
+      .select(col("content"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(length(col("content"))).cast("long").as("total_bytes"),
+        countDistinct(md5(col("content"))).as("n_digests"))
+  }
+
+  private val q260Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_digests
+      |FROM documents""".stripMargin
+
   private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
@@ -2882,6 +2942,8 @@ object QueriesRelational {
     "q244_format_battery" -> (q244FormatBattery _),
     "q248_mask_battery" -> (q248MaskBattery _),
     "q252_argminmax" -> (q252ArgMinMax _),
+    "q259_jsonl_roundtrip" -> (q259JsonlRoundtrip _),
+    "q260_binary_files" -> (q260BinaryFiles _),
     "q230_na_battery" -> (q230NaBattery _),
     "q231_join_using" -> (q231JoinUsing _),
     "q232_not_in_null" -> (q232NotInNull _),
@@ -2965,6 +3027,8 @@ object QueriesRelational {
     "q244_format_battery" -> q244Sql,
     "q248_mask_battery" -> q248Sql,
     "q252_argminmax" -> q252Sql,
+    "q259_jsonl_roundtrip" -> q259Sql,
+    "q260_binary_files" -> q260Sql,
     "q230_na_battery" -> q230Sql,
     "q231_join_using" -> q231Sql,
     "q232_not_in_null" -> q232Sql,
