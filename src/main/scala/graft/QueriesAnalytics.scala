@@ -2791,6 +2791,36 @@ object QueriesAnalytics {
       |  CAST(sum(rev) AS BIGINT) AS revenue
       |FROM k GROUP BY 1, 2 ORDER BY brand, abc""".stripMargin
 
+  // -------------------------------------------------------------- q261
+  /** Batch hopping windows via the built-in window() function (24 h
+    * duration, 6 h slide → every event lands in exactly 4 windows,
+    * epoch-aligned). The oracle replays the window arithmetic in
+    * integer microseconds: start = ⌊t/slide⌋·slide − i·slide. */
+  private def q261HoppingWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "24 hours", "6 hours"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("sum_cents"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  private val q261Sql =
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) AS t,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, cents,
+      |    make_timestamp((t // 21600000000) * 21600000000
+      |      - i.i * 21600000000) AS w_start
+      |  FROM b, (SELECT unnest([0, 1, 2, 3]) AS i) i)
+      |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2814,6 +2844,7 @@ object QueriesAnalytics {
     "q255_gaps_islands" -> (q255GapsIslands _),
     "q256_event_trigrams" -> (q256EventTrigrams _),
     "q257_abc_analysis" -> (q257AbcAnalysis _),
+    "q261_hopping_windows" -> (q261HoppingWindows _),
     "q234_assortativity" -> (q234Assortativity _),
     "q235_mann_kendall" -> (q235MannKendall _),
     "q236_theil_sen" -> (q236TheilSen _),
@@ -2884,6 +2915,7 @@ object QueriesAnalytics {
     "q255_gaps_islands" -> q255Sql,
     "q256_event_trigrams" -> q256Sql,
     "q257_abc_analysis" -> q257Sql,
+    "q261_hopping_windows" -> q261Sql,
     "q234_assortativity" -> q234Sql,
     "q235_mann_kendall" -> q235Sql,
     "q236_theil_sen" -> q236Sql,
