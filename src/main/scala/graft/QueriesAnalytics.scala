@@ -2821,6 +2821,51 @@ object QueriesAnalytics {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
+  // -------------------------------------------------------------- q262
+  /** Token-bucket rate-limit replay (EventAnalytics.tokenBucket):
+    * capacity 3, cost 1, refill 1/hour — all state integral, the
+    * oracle steps the same recurrence with a RECURSIVE CTE (DuckDB's
+    * struct-fold lambda is unusable for multi-field state; see
+    * ORACLE_NOTES). */
+  private def q262TokenBucket(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics
+      .tokenBucket(Tables.load(s, dir, "events"), "user_id", "ts",
+        "event_id", capacity = 3L, costPerEvent = 1L,
+        refillPerHour = 1L)
+      .orderBy(col("user_id"))
+
+  private val q262Sql =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |nn AS (SELECT user_id, max(rn) AS m FROM ev GROUP BY 1),
+      |rec AS (
+      |  -- capacity 3 >= cost 1: the first event is always accepted
+      |  SELECT e.user_id, CAST(1 AS BIGINT) AS i, e.t AS pt,
+      |    CAST(2 AS BIGINT) AS tok, CAST(1 AS BIGINT) AS acc,
+      |    CAST(0 AS BIGINT) AS rej
+      |  FROM ev e WHERE e.rn = 1
+      |  UNION ALL
+      |  SELECT r.user_id, r.i + 1, e.t,
+      |    CASE WHEN least(3, r.tok + (e.t - r.pt) // 3600000000) >= 1
+      |      THEN least(3, r.tok + (e.t - r.pt) // 3600000000) - 1
+      |      ELSE least(3, r.tok + (e.t - r.pt) // 3600000000) END,
+      |    r.acc + CASE WHEN least(3,
+      |      r.tok + (e.t - r.pt) // 3600000000) >= 1
+      |      THEN 1 ELSE 0 END,
+      |    r.rej + CASE WHEN least(3,
+      |      r.tok + (e.t - r.pt) // 3600000000) >= 1
+      |      THEN 0 ELSE 1 END
+      |  FROM rec r JOIN ev e
+      |    ON e.user_id = r.user_id AND e.rn = r.i + 1)
+      |SELECT r.user_id AS user_id, nn.m AS n_events,
+      |  r.acc AS n_accepted, r.rej AS n_rejected,
+      |  r.tok AS final_tokens
+      |FROM rec r JOIN nn ON nn.user_id = r.user_id AND r.i = nn.m
+      |ORDER BY r.user_id""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2845,6 +2890,7 @@ object QueriesAnalytics {
     "q256_event_trigrams" -> (q256EventTrigrams _),
     "q257_abc_analysis" -> (q257AbcAnalysis _),
     "q261_hopping_windows" -> (q261HoppingWindows _),
+    "q262_token_bucket" -> (q262TokenBucket _),
     "q234_assortativity" -> (q234Assortativity _),
     "q235_mann_kendall" -> (q235MannKendall _),
     "q236_theil_sen" -> (q236TheilSen _),
@@ -2916,6 +2962,7 @@ object QueriesAnalytics {
     "q256_event_trigrams" -> q256Sql,
     "q257_abc_analysis" -> q257Sql,
     "q261_hopping_windows" -> q261Sql,
+    "q262_token_bucket" -> q262Sql,
     "q234_assortativity" -> q234Sql,
     "q235_mann_kendall" -> q235Sql,
     "q236_theil_sen" -> q236Sql,

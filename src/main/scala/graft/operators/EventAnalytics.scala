@@ -302,6 +302,62 @@ object EventAnalytics {
     firsts.withColumn("distinct_so_far", sum(col("new_types")).over(w))
   }
 
+  /** Token-bucket quota enforcement per key (the API-rate-limit
+    * replay): a bucket of `capacity` tokens refills `refillPerHour`
+    * tokens/hour (integer-floored on elapsed microseconds); each
+    * event costs `costPerEvent` and is accepted iff enough tokens are
+    * available. ALL state is integral — elapsed·refill div 3.6e9 is
+    * an exact floor on both engines — so accepted/rejected censuses
+    * are bit-free cross-engine facts. Per-key ordered fold (same
+    * engineering as TimeSeries.ewma: one grouping shuffle, in-array
+    * fold, keys parallel; per-key history bounds the array).
+    * @return (key, n_events, n_accepted, n_rejected, final_tokens) */
+  def tokenBucket(events: DataFrame, userCol: String, tsCol: String,
+      tiebreakCol: String, capacity: Long, costPerEvent: Long,
+      refillPerHour: Long): DataFrame = {
+    require(capacity >= 0 && costPerEvent >= 1 && refillPerHour >= 0,
+      s"bad params cap=$capacity cost=$costPerEvent refill=$refillPerHour")
+    val usPerHour = 3600000000L
+    val seq = events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col(tsCol)).as("t"),
+        col(tiebreakCol).as("tb")))).as("s"))
+      .select(col(userCol),
+        transform(col("s"), e => e.getField("t")).as("ts"))
+    val cap = lit(capacity)
+    val cost = lit(costPerEvent)
+    def accept(avail: Column): Column = avail >= cost
+    val init = struct(
+      when(accept(cap), cap - cost).otherwise(cap).as("tok"),
+      element_at(col("ts"), 1).as("pt"),
+      when(accept(cap), 1L).otherwise(0L).as("acc"),
+      when(accept(cap), 0L).otherwise(1L).as("rej"))
+    def step(acc: Column, t: Column): Column = {
+      val elapsed = t - acc.getField("pt")
+      // exact floor div: subtract the mod, then the division is an
+      // exact small double (see q262 oracle's `//` mirror)
+      val gained = ((elapsed * lit(refillPerHour)
+        - pmod(elapsed * lit(refillPerHour), lit(usPerHour)))
+        / lit(usPerHour)).cast("long")
+      val avail = least(cap, acc.getField("tok") + gained)
+      struct(
+        when(accept(avail), avail - cost).otherwise(avail).as("tok"),
+        t.as("pt"),
+        (acc.getField("acc") + when(accept(avail), 1L).otherwise(0L))
+          .as("acc"),
+        (acc.getField("rej") + when(accept(avail), 0L).otherwise(1L))
+          .as("rej"))
+    }
+    val folded = aggregate(slice(col("ts"), lit(2), size(col("ts"))),
+      init, (acc, t) => step(acc, t))
+    seq.select(col(userCol),
+      size(col("ts")).cast("long").as("n_events"),
+      folded.getField("acc").as("n_accepted"),
+      folded.getField("rej").as("n_rejected"),
+      folded.getField("tok").as("final_tokens"))
+  }
+
   /** Multi-touch attribution, fully integer: each conversion (an event
     * of `convType`) distributes exactly 1000 milli-credits over the
     * user's PRIOR touches — per-touch share 1000 div n, the remainder

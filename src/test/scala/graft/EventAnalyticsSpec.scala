@@ -219,6 +219,26 @@ class EventAnalyticsSpec extends SparkSpec {
     got shouldBe Array((1L, 2L, 2L), (1L, 1L, 3L), (2L, 1L, 1L))
   }
 
+  test("tokenBucket: burst drains, hourly refill floor-accrues") {
+    // cap 3, cost 1, refill 1/hour: 0s/1s/2s accepted (tok 0), 3s
+    // rejected (gained 0); at 7200s the elapsed-from-LAST-EVENT is
+    // 7197s -> floor gains 1 token, accepted, final tok 0
+    val df = ev(
+      (1L, 1L, 0L, "a", 0.0), (1L, 2L, 1L, "a", 0.0),
+      (1L, 3L, 2L, "a", 0.0), (1L, 4L, 3L, "a", 0.0),
+      (1L, 5L, 7200L, "a", 0.0))
+    val got = EventAnalytics.tokenBucket(df, "user_id", "ts",
+      "event_id", 3L, 1L, 1L).head()
+    (got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4))
+      .shouldBe((5L, 4L, 1L, 0L))
+    // 59 min 59 s refills NOTHING (floor, not round)
+    val edge = ev((2L, 1L, 0L, "a", 0.0), (2L, 2L, 1L, "a", 0.0),
+      (2L, 3L, 2L, "a", 0.0), (2L, 4L, 3599L, "a", 0.0))
+    val g2 = EventAnalytics.tokenBucket(edge, "user_id", "ts",
+      "event_id", 3L, 1L, 1L).head()
+    (g2.getLong(2), g2.getLong(3)) shouldBe ((3L, 1L))
+  }
+
   test("attribution: integer milli-credits, remainder to first touch") {
     // user 1: touches a@0, b@10, a@20, conversion @30 (n=3:
     // 333 each + 1 remainder to the a@0 touch), second conversion @15
