@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{EventAnalytics, FuzzyJoin, Graph, Layout, Quantiles, TimeSeries,
@@ -2866,6 +2866,137 @@ object QueriesAnalytics {
       |FROM rec r JOIN nn ON nn.user_id = r.user_id AND r.i = nn.m
       |ORDER BY r.user_id""".stripMargin
 
+  // -------------------------------------------------------------- q263
+  /** One-way ANOVA F on cents by event type: per-group moments are
+    * exact BIGINTs; the 5 per-group double terms s²/n are summed by
+    * an ORDERED fold (sorted by group, left fold — a 5-element sum is
+    * still order-sensitive in floats), and F is one expression. */
+  private def q263Anova(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sq"))
+    val agg = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("n_tot"), sum(col("sx")).as("sx_tot"),
+      sum(col("sq")).as("sq_tot"),
+      sort_array(collect_list(struct(col("g"),
+        (col("sx").cast("double") * col("sx").cast("double") /
+          col("n").cast("double")).as("term")))).as("terms"))
+    val ssbPart = aggregate(col("terms"), lit(0.0),
+      (acc, t) => acc + t.getField("term"))
+    agg.select(col("k"), col("n_tot"),
+        ssbPart.as("__sp"), col("sx_tot"), col("sq_tot"))
+      .select(col("k"), col("n_tot"),
+        (col("__sp") - col("sx_tot").cast("double") *
+          col("sx_tot").cast("double") / col("n_tot").cast("double"))
+          .as("ssb"),
+        (col("sq_tot").cast("double") - col("__sp")).as("ssw"))
+      .select(col("k"), col("n_tot"), col("ssb"), col("ssw"),
+        ((col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw") / (col("n_tot") - col("k")).cast("double")))
+          .as("f_stat"))
+  }
+
+  private val q263Sql =
+    """WITH g AS (
+      |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(x * x) AS BIGINT) AS sq
+      |  FROM (SELECT event_type,
+      |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      |    FROM events WHERE value IS NOT NULL)
+      |  GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(n) AS BIGINT) AS n_tot,
+      |    CAST(sum(sx) AS BIGINT) AS sx_tot,
+      |    CAST(sum(sq) AS BIGINT) AS sq_tot,
+      |    list_reduce(list_transform(
+      |      list_sort(list({'g': g, 'term':
+      |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |          / CAST(n AS DOUBLE)})),
+      |      e -> e.term), (x, y) -> x + y) AS sp
+      |  FROM g),
+      |b AS (
+      |  SELECT k, n_tot,
+      |    sp - CAST(sx_tot AS DOUBLE) * CAST(sx_tot AS DOUBLE)
+      |      / CAST(n_tot AS DOUBLE) AS ssb,
+      |    CAST(sq_tot AS DOUBLE) - sp AS ssw
+      |  FROM a)
+      |SELECT k, n_tot, ssb, ssw,
+      |  (ssb / CAST(k - 1 AS DOUBLE))
+      |    / (ssw / CAST(n_tot - k AS DOUBLE)) AS f_stat
+      |FROM b""".stripMargin
+
+  // -------------------------------------------------------------- q264
+  /** Cohen's kappa between two deterministic raters (high-value rule
+    * vs event-id parity): 2×2 confusion counts are exact, p_o/p_e/κ
+    * closed-form from the four cells — no order-sensitive float sum
+    * exists. */
+  private def q264CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(
+        ((col("value").cast("decimal(18,2)") * 100).cast("long")
+          > 5000000L).as("r1"),
+        (col("event_id") % 3 === 0).as("r2"))
+    def cnt(c1: Boolean, c2: Boolean): Column =
+      sum(when(col("r1") === c1 && col("r2") === c2, 1L)
+        .otherwise(0L))
+    def d(c: Column): Column = c.cast("double")
+    b.agg(cnt(true, true).as("a"), cnt(true, false).as("b"),
+        cnt(false, true).as("c"), cnt(false, false).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        d(col("a") + col("b") + col("c") + col("d")).as("__n"),
+        d(col("a") + col("d")).as("__diag"),
+        (d(col("a") + col("b")) * d(col("a") + col("c"))
+          + d(col("c") + col("d")) * d(col("b") + col("d")))
+          .as("__pen"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        (col("__diag") / col("__n")).as("po"),
+        (col("__pen") / (col("__n") * col("__n"))).as("pe"),
+        ((col("__diag") / col("__n")
+          - col("__pen") / (col("__n") * col("__n")))
+          / (lit(1.0) - col("__pen") / (col("__n") * col("__n"))))
+          .as("kappa"))
+  }
+
+  private val q264Sql =
+    """WITH b AS (
+      |  SELECT
+      |    (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      > 5000000) AS r1,
+      |    (event_id % 3 = 0) AS r2
+      |  FROM events WHERE value IS NOT NULL),
+      |m AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS a,
+      |    CAST(sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d
+      |  FROM b),
+      |e AS (
+      |  SELECT a, b, c, d,
+      |    CAST(a + b + c + d AS DOUBLE) AS n,
+      |    CAST(a + d AS DOUBLE) AS diag,
+      |    CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+      |      + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE) AS pen
+      |  FROM m)
+      |SELECT a, b, c, d,
+      |  diag / n AS po,
+      |  pen / (n * n) AS pe,
+      |  (diag / n - pen / (n * n)) / (1.0 - pen / (n * n)) AS kappa
+      |FROM e""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2891,6 +3022,8 @@ object QueriesAnalytics {
     "q257_abc_analysis" -> (q257AbcAnalysis _),
     "q261_hopping_windows" -> (q261HoppingWindows _),
     "q262_token_bucket" -> (q262TokenBucket _),
+    "q263_anova" -> (q263Anova _),
+    "q264_cohens_kappa" -> (q264CohensKappa _),
     "q234_assortativity" -> (q234Assortativity _),
     "q235_mann_kendall" -> (q235MannKendall _),
     "q236_theil_sen" -> (q236TheilSen _),
@@ -2963,6 +3096,8 @@ object QueriesAnalytics {
     "q257_abc_analysis" -> q257Sql,
     "q261_hopping_windows" -> q261Sql,
     "q262_token_bucket" -> q262Sql,
+    "q263_anova" -> q263Sql,
+    "q264_cohens_kappa" -> q264Sql,
     "q234_assortativity" -> q234Sql,
     "q235_mann_kendall" -> q235Sql,
     "q236_theil_sen" -> q236Sql,
