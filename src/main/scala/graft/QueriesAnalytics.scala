@@ -2997,6 +2997,66 @@ object QueriesAnalytics {
       |  (diag / n - pen / (n * n)) / (1.0 - pen / (n * n)) AS kappa
       |FROM e""".stripMargin
 
+  // -------------------------------------------------------------- q265
+  /** Decision-stump split (Evaluation.giniSplitByGroup): best
+    * purchase-vs-rest threshold on bucketed cents per user cohort —
+    * prefix counts exact, weighted Gini one identical double, argmin
+    * on a (gini, t) total order. */
+  private def q265GiniSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(pmod(col("user_id"), lit(5L)).as("g"),
+        (col("event_type") === "purchase").as("y"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " div 1000").as("t"))
+    graft.operators.Evaluation
+      .giniSplitByGroup(ev, "g", col("y"), col("t"))
+      .orderBy(col("g"))
+  }
+
+  private val q265Sql =
+    """WITH b AS (
+      |  SELECT user_id % 5 AS g, (event_type = 'purchase') AS y,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
+      |      AS t
+      |  FROM events WHERE value IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |c AS (
+      |  SELECT g, t, CAST(count(*) AS BIGINT) AS nv,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pv
+      |  FROM b GROUP BY 1, 2),
+      |w AS (
+      |  SELECT g, t,
+      |    CAST(sum(nv) OVER (PARTITION BY g ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+      |    CAST(sum(pv) OVER (PARTITION BY g ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+      |    CAST(sum(nv) OVER (PARTITION BY g) AS BIGINT) AS n,
+      |    CAST(sum(pv) OVER (PARTITION BY g) AS BIGINT) AS p
+      |  FROM c),
+      |sc AS (
+      |  SELECT g, t, nl, pl, n, p,
+      |    (CAST(nl AS DOUBLE) * (1.0
+      |        - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+      |          * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+      |        - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))
+      |          * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+      |      + CAST(n - nl AS DOUBLE) * (1.0
+      |        - (CAST(p - pl AS DOUBLE) / CAST(n - nl AS DOUBLE))
+      |          * (CAST(p - pl AS DOUBLE) / CAST(n - nl AS DOUBLE))
+      |        - (CAST((n - nl) - (p - pl) AS DOUBLE)
+      |            / CAST(n - nl AS DOUBLE))
+      |          * (CAST((n - nl) - (p - pl) AS DOUBLE)
+      |            / CAST(n - nl AS DOUBLE))))
+      |      / CAST(n AS DOUBLE) AS gini
+      |  FROM w WHERE nl < n),
+      |r AS (
+      |  SELECT g, n, p, t, nl, pl, gini,
+      |    row_number() OVER (PARTITION BY g ORDER BY gini, t) AS rn
+      |  FROM sc)
+      |SELECT g, n AS n_tot, p AS pos_tot, t AS split_t, nl, pl, gini
+      |FROM r WHERE rn = 1 ORDER BY g""".stripMargin
+
   // -------------------------------------------------------------- export
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3024,6 +3084,7 @@ object QueriesAnalytics {
     "q262_token_bucket" -> (q262TokenBucket _),
     "q263_anova" -> (q263Anova _),
     "q264_cohens_kappa" -> (q264CohensKappa _),
+    "q265_gini_split" -> (q265GiniSplit _),
     "q234_assortativity" -> (q234Assortativity _),
     "q235_mann_kendall" -> (q235MannKendall _),
     "q236_theil_sen" -> (q236TheilSen _),
@@ -3098,6 +3159,7 @@ object QueriesAnalytics {
     "q262_token_bucket" -> q262Sql,
     "q263_anova" -> q263Sql,
     "q264_cohens_kappa" -> q264Sql,
+    "q265_gini_split" -> q265Sql,
     "q234_assortativity" -> q234Sql,
     "q235_mann_kendall" -> q235Sql,
     "q236_theil_sen" -> q236Sql,

@@ -194,6 +194,50 @@ object Evaluation {
           (d("n") * d("sv2") - d("sv") * d("sv")))).as("rho"))
   }
 
+  /** Best binary split by weighted Gini impurity per group — the
+    * decision-stump / CART building block: candidate thresholds are
+    * the distinct values, left/right label counts come from one
+    * group-partitioned ordered prefix window over the value-count
+    * table (exact BIGINTs), the weighted impurity is one identical
+    * double expression, and the argmin is a (gini, t) row_number.
+    * Same distributed shape as TimeSeries.changepoint — linear, no
+    * pairwise work, windows partitioned by group.
+    * @return per group: (group, n_tot, pos_tot, split_t, nl, pl,
+    *   gini) — split keeps values ≤ split_t on the left */
+  def giniSplitByGroup(df: DataFrame, groupCol: String,
+      labelCol: Column, valueCol: Column): DataFrame = {
+    val counts = df.filter(valueCol.isNotNull && labelCol.isNotNull)
+      .groupBy(col(groupCol), valueCol.as("t"))
+      .agg(count(lit(1)).as("nv"),
+        sum(when(labelCol, 1L).otherwise(0L)).as("pv"))
+    val ord = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(groupCol))
+    def d(c: Column): Column = c.cast("double")
+    val pre = counts
+      .withColumn("nl", sum(col("nv")).over(ord))
+      .withColumn("pl", sum(col("pv")).over(ord))
+      .withColumn("n", sum(col("nv")).over(all))
+      .withColumn("p", sum(col("pv")).over(all))
+      .filter(col("nl") < col("n")) // right side must be non-empty
+    def gini(pos: Column, tot: Column): Column =
+      lit(1.0) - (d(pos) / d(tot)) * (d(pos) / d(tot)) -
+        (d(tot - pos) / d(tot)) * (d(tot - pos) / d(tot))
+    val scored = pre.withColumn("gini",
+      (d(col("nl")) * gini(col("pl"), col("nl"))
+        + d(col("n") - col("nl"))
+          * gini(col("p") - col("pl"), col("n") - col("nl")))
+        / d(col("n")))
+    scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("gini"), col("t"))))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col("n").as("n_tot"),
+        col("p").as("pos_tot"), col("t").as("split_t"),
+        col("nl"), col("pl"), col("gini"))
+  }
+
   /** Kaplan–Meier survival estimator per group (Kaplan & Meier 1958).
     * Event/censor counts per distinct time and the at-risk counts are
     * exact integers (one aggregate + one window — ties follow the

@@ -617,6 +617,19 @@ class AnalyticsSpec extends SparkSpec {
     r.getDouble(4) shouldBe 0.0 // both segments constant
   }
 
+  test("giniSplitByGroup: perfect separation finds the clean cut") {
+    import graft.operators.Evaluation
+    // labels flip exactly at t=5: the stump must split there, gini 0
+    val df = ((1 to 5).map(i => ("a", false, i.toLong)) ++
+      (6 to 10).map(i => ("a", true, i.toLong))).toDF("g", "y", "t")
+    val r = Evaluation.giniSplitByGroup(df, "g", col("y"), col("t"))
+      .head()
+    r.getLong(3) shouldBe 5L // split_t
+    r.getLong(4) shouldBe 5L // nl
+    r.getLong(5) shouldBe 0L // pl
+    r.getDouble(6) shouldBe 0.0
+  }
+
   test("interArrivalStats: metronomic B=-1, known two-gap case") {
     import graft.operators.EventAnalytics
     import java.sql.Timestamp
