@@ -540,6 +540,38 @@ object ScaleSmoke {
       }
       println(f"chunks   ${f}%2dx docs=$n%8d chunks=$chRows%8d  $tCh%6.1f s")
       sweep()
+
+      // containment join: doc copies multiply rare-shingle postings
+      // linearly (4-gram df stays bounded under id-offset copies) —
+      // candidate pairs and verify work must track corpus size
+      val (cpairs, tCont) = time {
+        graft.operators.SetSimJoin.containmentSelfJoin(corpus,
+          "doc_id",
+          graft.functions.TextAnalysis.wordNgrams(col("text"), 4),
+          0.8).count()
+      }
+      println(f"contain  ${f}%2dx docs=$n%8d pairs=$cpairs%8d  $tCont%6.1f s")
+      sweep()
+
+      // token bucket: per-user integer fold — one grouping shuffle,
+      // wall linear in events at constant per-user history
+      val (tbRows, tTb) = time {
+        graft.operators.EventAnalytics.tokenBucket(
+          evScale.select(col("user_id"), col("event_id"),
+            timestamp_micros(col("tm")).as("ts")),
+          "user_id", "ts", "event_id", 3L, 1L, 1L).count()
+      }
+      println(f"tokenbkt ${f}%2dx events=$nEv%8d users=$tbRows%8d  $tTb%6.1f s")
+      sweep()
+
+      // chi2 features: presence distinct + vocab×class aggregates —
+      // token stream linear, everything downstream vocab-bounded
+      val (chiRows, tChi) = time {
+        graft.operators.Vocab.chi2FeatureSelection(corpusLang,
+          "doc_id", "text", "lang", topK = 10).count()
+      }
+      println(f"chi2feat ${f}%2dx docs=$n%8d rows=$chiRows%8d  $tChi%6.1f s")
+      sweep()
     }
 
     // ---------------- adversarial-skew stanzas (power-law fixtures) ----
