@@ -917,7 +917,46 @@ object QueriesQuality {
       |  CAST(sum(n_smart) AS BIGINT) AS sum_smart
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- q266
+  /** Luhn checksum battery (TextAnalysis.luhnSum) — the validity test
+    * PII detection applies to card-like digit runs. Pure integer
+    * expression tree; synthetic 16-digit fixtures from customer
+    * keys. */
+  private def q266Luhn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"),
+        (lit(4000000000000000L) + col("c_custkey") * 37)
+          .cast("string").as("card"))
+      .select(col("c_custkey"), col("card"),
+        TextAnalysis.luhnSum(col("card")).cast("long").as("luhn_sum"),
+        TextAnalysis.luhnValid(col("card")).as("valid"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q266Sql =
+    """WITH b AS (
+      |  SELECT c_custkey,
+      |    CAST(4000000000000000 + c_custkey * 37 AS STRING) AS card
+      |  FROM customer WHERE c_custkey <= 300),
+      |d AS (
+      |  SELECT c_custkey, card,
+      |    CAST(list_sum(list_transform(
+      |      generate_series(1, length(card)),
+      |      i -> CASE WHEN i % 2 = 1
+      |        THEN ascii(substr(reverse(card), i, 1)) - 48
+      |        ELSE CASE
+      |          WHEN ascii(substr(reverse(card), i, 1)) - 48 >= 5
+      |          THEN (ascii(substr(reverse(card), i, 1)) - 48) * 2 - 9
+      |          ELSE (ascii(substr(reverse(card), i, 1)) - 48) * 2
+      |        END END)) AS BIGINT) AS luhn_sum
+      |  FROM b)
+      |SELECT c_custkey, card, luhn_sum, luhn_sum % 10 = 0 AS valid
+      |FROM d ORDER BY c_custkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_luhn" -> (q266Luhn _),
     "q213_rake" -> (q213Rake _),
     "q214_mojibake" -> (q214Mojibake _),
     "q184_c4_battery" -> (q184C4Battery _),
@@ -936,6 +975,7 @@ object QueriesQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q266_luhn" -> q266Sql,
     "q213_rake" -> q213Sql,
     "q214_mojibake" -> q214Sql,
     "q184_c4_battery" -> q184Sql,

@@ -93,6 +93,26 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Luhn checksum over a digit string (ISO/IEC 7812) — the validity
+    * test that separates card-LIKE digit runs from real card numbers
+    * in PII detection (a 16-digit run that fails Luhn is noise; one
+    * that passes deserves redaction). Pure integer expression tree
+    * (positions via sequence, alternate-double-minus-9, integer sum)
+    * — codegen-friendly, no UDF, order-free.
+    * Returns the checksum total; validity is `luhnSum % 10 === 0`. */
+  def luhnSum(digits: Column): Column = {
+    val rev = reverse(digits)
+    aggregate(
+      transform(sequence(lit(1), length(digits)), i => {
+        val d = ascii(rev.substr(i, lit(1))) - 48
+        when(i % 2 === 1, d)
+          .otherwise(when(d >= 5, d * 2 - 9).otherwise(d * 2))
+      }),
+      lit(0), (acc, x) => acc + x)
+  }
+
+  def luhnValid(digits: Column): Column = luhnSum(digits) % 10 === 0
+
   /** Word n-gram shingles: lowercase alnum words joined by single
     * spaces, one n-gram per window position (empty array when the doc
     * has fewer than n words — NOT a truncated shingle). The shared

@@ -390,4 +390,13 @@ class QualitySpec extends SparkSpec {
     got(2) shouldBe ((2L, 0L, 0L, true))
     got(3) shouldBe ((0L, 0L, 2L, true))
   }
+
+  test("luhnValid: canonical 79927398713 valid, neighbor invalid") {
+    import graft.functions.{TextAnalysis => T}
+    val got = Seq("79927398713", "79927398714").toDF("s")
+      .select(col("s"), T.luhnValid(col("s")).as("v"))
+      .orderBy("s").collect()
+    got.map(r => (r.getString(0), r.getBoolean(1))).toSeq shouldBe
+      Seq(("79927398713", true), ("79927398714", false))
+  }
 }
