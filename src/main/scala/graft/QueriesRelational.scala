@@ -2746,6 +2746,64 @@ object QueriesRelational {
       |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_digests
       |FROM documents""".stripMargin
 
+  // -------------------------------------------------------------- q267
+  /** TPC-H Q18 (large-volume customers): IN over a grouped-HAVING
+    * subquery, three-way join, top-100 on a deterministic order —
+    * one SQL text both engines run natively. */
+  private def q267TpchQ18(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q267Sql)
+  }
+
+  private val q267Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS price_cents,
+      |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+      |  o_totalprice
+      |ORDER BY price_cents DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------- q268
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): correlated
+    * EXISTS + NOT EXISTS referencing two outer scopes — the classic
+    * decorrelation stress — with the lateness predicate restated on
+    * shipdate vs order date (the fixture carries no receipt/commit
+    * dates). One SQL text both engines run natively. */
+  private def q268TpchQ21(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "orders", "lineitem", "nation")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q268Sql)
+  }
+
+  private val q268Sql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 80 DAY)
+      |  AND s_nationkey = n_nationkey
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   private def q159CharFuncs(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "nation").createOrReplaceTempView("nation")
     s.sql(
@@ -2943,6 +3001,8 @@ object QueriesRelational {
     "q248_mask_battery" -> (q248MaskBattery _),
     "q252_argminmax" -> (q252ArgMinMax _),
     "q259_jsonl_roundtrip" -> (q259JsonlRoundtrip _),
+    "q267_tpch_q18" -> (q267TpchQ18 _),
+    "q268_tpch_q21" -> (q268TpchQ21 _),
     "q260_binary_files" -> (q260BinaryFiles _),
     "q230_na_battery" -> (q230NaBattery _),
     "q231_join_using" -> (q231JoinUsing _),
@@ -3028,6 +3088,8 @@ object QueriesRelational {
     "q248_mask_battery" -> q248Sql,
     "q252_argminmax" -> q252Sql,
     "q259_jsonl_roundtrip" -> q259Sql,
+    "q267_tpch_q18" -> q267Sql,
+    "q268_tpch_q21" -> q268Sql,
     "q260_binary_files" -> q260Sql,
     "q230_na_battery" -> q230Sql,
     "q231_join_using" -> q231Sql,
