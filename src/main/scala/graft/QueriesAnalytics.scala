@@ -2482,6 +2482,9 @@ object QueriesAnalytics {
     * exchange — the plan lint rejects it). 3-digit segment rollup. */
   private def q241Rfm(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Quantiles
+    // persisted: m feeds three valueBuckets passes (each runs an
+    // eager count() plus an ecdf aggregate) AND three join branches —
+    // unpersisted, the events scan+aggregate reruns ~7 times
     val m = Tables.load(s, dir, "events")
       .filter(col("value").isNotNull)
       .groupBy(col("user_id"))
@@ -2489,6 +2492,7 @@ object QueriesAnalytics {
         count(lit(1)).as("f"),
         sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
           .as("cents"))
+      .persist()
     def scoreMap(vc: String, out: String): DataFrame =
       Quantiles.valueBuckets(m.select(col(vc).as("value")), "value", 5)
         .select(col("value").as(vc), col("bucket").as(out))
@@ -2681,10 +2685,12 @@ object QueriesAnalytics {
 
   // -------------------------------------------------------------- q254
   /** Calibration / reliability bins: purchase rate per fixed-width
-    * score decile — exact integer counts, rate the only division. */
+    * score decile — exact integer counts, rate the only division.
+    * value >= 0 is filtered explicitly so Spark `div` (truncating)
+    * == DuckDB `//` (flooring): both operands non-negative. */
   private def q254Calibration(s: SparkSession, dir: String): DataFrame = {
     Tables.load(s, dir, "events")
-      .filter(col("value").isNotNull)
+      .filter(col("value").isNotNull && col("value") >= 0)
       .select(expr(
         "(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 1000)" +
           " div 100").as("bin"),
@@ -2708,7 +2714,7 @@ object QueriesAnalytics {
       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
       |      AS DOUBLE)
       |    / CAST(count(*) AS DOUBLE) AS rate
-      |FROM events WHERE value IS NOT NULL
+      |FROM events WHERE value IS NOT NULL AND value >= 0
       |GROUP BY 1 ORDER BY bin""".stripMargin
 
   // -------------------------------------------------------------- q255
@@ -3001,10 +3007,11 @@ object QueriesAnalytics {
   /** Decision-stump split (Evaluation.giniSplitByGroup): best
     * purchase-vs-rest threshold on bucketed cents per user cohort —
     * prefix counts exact, weighted Gini one identical double, argmin
-    * on a (gini, t) total order. */
+    * on a (gini, t) total order. value >= 0 filtered explicitly so
+    * Spark `div` == DuckDB `//` (non-negative operands). */
   private def q265GiniSplit(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
-      .filter(col("value").isNotNull)
+      .filter(col("value").isNotNull && col("value") >= 0)
       .select(pmod(col("user_id"), lit(5L)).as("g"),
         (col("event_type") === "purchase").as("y"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)" +
@@ -3019,7 +3026,7 @@ object QueriesAnalytics {
       |  SELECT user_id % 5 AS g, (event_type = 'purchase') AS y,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000
       |      AS t
-      |  FROM events WHERE value IS NOT NULL
+      |  FROM events WHERE value IS NOT NULL AND value >= 0
       |    AND event_type IS NOT NULL),
       |c AS (
       |  SELECT g, t, CAST(count(*) AS BIGINT) AS nv,

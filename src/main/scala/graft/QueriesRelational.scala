@@ -2652,9 +2652,11 @@ object QueriesRelational {
 
   // -------------------------------------------------------------- q252
   /** max_by/min_by + boolean-aggregate battery: the argmax ordering
-    * key is made UNIQUE (cents·10⁷ + orderkey) because both engines
+    * key is made UNIQUE (cents·10¹⁰ + orderkey) because both engines
     * break max_by ties arbitrarily — uniqueness is the portable
-    * contract. count_if/bool_and/bool_or alongside. */
+    * contract (injective while orderkey < 10¹⁰, i.e. far past TPC-H
+    * SF1000; cents ≤ ~6e7 keeps the product < 6e17, no overflow).
+    * count_if/bool_and/bool_or alongside. */
   private def q252ArgMinMax(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("orders")
     s.sql(
@@ -2664,8 +2666,8 @@ object QueriesRelational {
         |      AS cents
         |  FROM orders)
         |SELECT pri,
-        |  max_by(k, cents * 10000000 + k) AS top_key,
-        |  min_by(k, cents * 10000000 + k) AS bottom_key,
+        |  max_by(k, cents * 10000000000 + k) AS top_key,
+        |  min_by(k, cents * 10000000000 + k) AS bottom_key,
         |  CAST(count_if(cents > 20000000) AS BIGINT) AS n_big,
         |  bool_and(cents > 0) AS all_positive,
         |  bool_or(cents > 50000000) AS any_huge
@@ -2679,8 +2681,8 @@ object QueriesRelational {
       |      AS cents
       |  FROM orders)
       |SELECT pri,
-      |  arg_max(k, cents * 10000000 + k) AS top_key,
-      |  arg_min(k, cents * 10000000 + k) AS bottom_key,
+      |  arg_max(k, cents * 10000000000 + k) AS top_key,
+      |  arg_min(k, cents * 10000000000 + k) AS bottom_key,
       |  CAST(count_if(cents > 20000000) AS BIGINT) AS n_big,
       |  bool_and(cents > 0) AS all_positive,
       |  bool_or(cents > 50000000) AS any_huge

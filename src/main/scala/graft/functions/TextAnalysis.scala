@@ -99,19 +99,31 @@ object TextAnalysis {
     * that passes deserves redaction). Pure integer expression tree
     * (positions via sequence, alternate-double-minus-9, integer sum)
     * — codegen-friendly, no UDF, order-free.
-    * Returns the checksum total; validity is `luhnSum % 10 === 0`. */
+    * Returns the checksum total (NULL for an empty string, matching
+    * DuckDB's list_sum over generate_series(1,0) = empty list — and
+    * guarding Spark's sequence(1,0), which counts DOWN);
+    * validity is `luhnSum % 10 === 0`. */
   def luhnSum(digits: Column): Column = {
     val rev = reverse(digits)
-    aggregate(
-      transform(sequence(lit(1), length(digits)), i => {
-        val d = ascii(rev.substr(i, lit(1))) - 48
-        when(i % 2 === 1, d)
-          .otherwise(when(d >= 5, d * 2 - 9).otherwise(d * 2))
-      }),
-      lit(0), (acc, x) => acc + x)
+    when(length(digits) >= 1,
+      aggregate(
+        transform(sequence(lit(1), length(digits)), i => {
+          val d = ascii(rev.substr(i, lit(1))) - 48
+          when(i % 2 === 1, d)
+            .otherwise(when(d >= 5, d * 2 - 9).otherwise(d * 2))
+        }),
+        lit(0), (acc, x) => acc + x))
+      .otherwise(lit(null).cast("int"))
   }
 
   def luhnValid(digits: Column): Column = luhnSum(digits) % 10 === 0
+
+  /** THE alnum word tokenizer: lowercase, split on non-[a-z0-9] runs,
+    * empties dropped. Single definition shared by the n-gram /
+    * vocab / feature-encoding / retrieval family — a tokenizer tweak
+    * here changes all of them together (they must not diverge). */
+  def alnumTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
 
   /** Word n-gram shingles: lowercase alnum words joined by single
     * spaces, one n-gram per window position (empty array when the doc
@@ -119,7 +131,7 @@ object TextAnalysis {
     * tokenizer for the n-gram dedup/similarity family. */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1 (got $n)")
-    val words = filter(split(lower(text), "[^a-z0-9]+"), w => w =!= "")
+    val words = alnumTokens(text)
     // sequence(1, k) with k < 1 counts DOWN in Spark — guard short docs
     when(size(words) >= n,
       transform(sequence(lit(1), size(words) - (n - 1)),

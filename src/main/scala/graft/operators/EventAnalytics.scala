@@ -306,9 +306,16 @@ object EventAnalytics {
     * replay): a bucket of `capacity` tokens refills `refillPerHour`
     * tokens/hour (integer-floored on elapsed microseconds); each
     * event costs `costPerEvent` and is accepted iff enough tokens are
-    * available. ALL state is integral — elapsed·refill div 3.6e9 is
-    * an exact floor on both engines — so accepted/rejected censuses
-    * are bit-free cross-engine facts. Per-key ordered fold (same
+    * available. ALL state is integral and every intermediate stays
+    * below 2^53 (double-exact): the refill floor(elapsed·refill/U)
+    * is decomposed as wholeHours·refill + floor(remainder·refill/U)
+    * — the identity elapsed = h·U + r makes the two forms equal —
+    * with whole hours clamped at the full-bucket point (h ≥
+    * capacity div refill + 1 ⇒ gained ≥ capacity), so accepted /
+    * rejected censuses are bit-free cross-engine facts even for
+    * year-long gaps. Integer budget: elapsed µs < 2^53 (timestamps
+    * to year ~2255), remainder·refill ≤ 3.6e9·refill — hence the
+    * refillPerHour ≤ 2e6 bound below. Per-key ordered fold (same
     * engineering as TimeSeries.ewma: one grouping shuffle, in-array
     * fold, keys parallel; per-key history bounds the array).
     * @return (key, n_events, n_accepted, n_rejected, final_tokens) */
@@ -317,6 +324,9 @@ object EventAnalytics {
       refillPerHour: Long): DataFrame = {
     require(capacity >= 0 && costPerEvent >= 1 && refillPerHour >= 0,
       s"bad params cap=$capacity cost=$costPerEvent refill=$refillPerHour")
+    require(refillPerHour <= 2000000L && capacity <= (1L << 50),
+      s"refill/capacity exceed the exact-integer budget " +
+        s"(refill=$refillPerHour > 2e6 or cap=$capacity > 2^50)")
     val usPerHour = 3600000000L
     val seq = events
       .groupBy(col(userCol))
@@ -333,14 +343,23 @@ object EventAnalytics {
       element_at(col("ts"), 1).as("pt"),
       when(accept(cap), 1L).otherwise(0L).as("acc"),
       when(accept(cap), 0L).otherwise(1L).as("rej"))
+    // whole hours after which the bucket is certainly full again
+    val hoursFull =
+      if (refillPerHour == 0L) Long.MaxValue
+      else capacity / refillPerHour + 1L
     def step(acc: Column, t: Column): Column = {
       val elapsed = t - acc.getField("pt")
-      // exact floor div: subtract the mod, then the division is an
-      // exact small double (see q262 oracle's `//` mirror)
-      val gained = ((elapsed * lit(refillPerHour)
-        - pmod(elapsed * lit(refillPerHour), lit(usPerHour)))
-        / lit(usPerHour)).cast("long")
-      val avail = least(cap, acc.getField("tok") + gained)
+      // exact floor div via mod-subtract; operands < 2^53 by the
+      // require() budget, so the double division is exact (the q262
+      // oracle's `//` mirror computes the undecomposed identity)
+      def floorDiv(x: Column, d: Long): Column =
+        ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+      val hours = floorDiv(elapsed, usPerHour)
+      val rem = pmod(elapsed, lit(usPerHour))
+      val gained = hours * lit(refillPerHour) +
+        floorDiv(rem * lit(refillPerHour), usPerHour)
+      val avail = when(hours >= lit(hoursFull), cap)
+        .otherwise(least(cap, acc.getField("tok") + gained))
       struct(
         when(accept(avail), avail - cost).otherwise(avail).as("tok"),
         t.as("pt"),

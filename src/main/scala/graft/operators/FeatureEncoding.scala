@@ -62,8 +62,8 @@ object FeatureEncoding {
       nBuckets: Int): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive (got $nBuckets)")
     val toks = docs.select(col(idCol),
-        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
-      .filter(col("token") =!= "")
+        explode(graft.functions.TextAnalysis
+          .alnumTokens(col(textCol))).as("token"))
       .withColumn("__d", md5(col("token")))
     toks
       .withColumn("bucket",

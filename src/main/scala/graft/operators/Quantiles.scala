@@ -137,15 +137,6 @@ object Quantiles {
       .select(cum(groupCol), col("q"), col("rank"), col("value"))
   }
 
-  /** Equi-depth (equal-frequency) binning: every row's value lands in
-    * bucket ceil(cum·k / n) ∈ [1, k] — the rank-derived histogram
-    * that puts ~n/k rows in each bucket regardless of skew (where
-    * equi-WIDTH histograms collapse under a heavy tail). Integer
-    * arithmetic throughout ((cum·k + n − 1) div n == ceil for
-    * positive ints), so bucket boundaries are engine-exact — unlike
-    * ntile, whose splits depend on row order among duplicates.
-    * Returns per bucket: row mass, distinct values, lo/hi bounds.
-    * Same scale shape as [[ecdf]]. */
   /** Equi-depth bucket id per distinct value: (value, cnt, bucket)
     * with bucket = ⌈k·cum/n⌉ (ECDF quantile score — ties share a
     * bucket, so it stays exact AND distributed, unlike a global
@@ -162,6 +153,15 @@ object Quantiles {
       .select(col("value"), col("cnt"), col("bucket"))
   }
 
+  /** Equi-depth (equal-frequency) binning rollup of [[valueBuckets]]:
+    * every row's value lands in bucket ceil(cum·k / n) ∈ [1, k] — the
+    * rank-derived histogram that puts ~n/k rows in each bucket
+    * regardless of skew (where equi-WIDTH histograms collapse under a
+    * heavy tail). Integer arithmetic throughout ((cum·k + n − 1) div n
+    * == ceil for positive ints), so bucket boundaries are engine-exact
+    * — unlike ntile, whose splits depend on row order among
+    * duplicates. Returns per bucket: row mass, distinct values, lo/hi
+    * bounds. Same scale shape as [[ecdf]]. */
   def equiDepthBuckets(df: DataFrame, valueCol: String,
       k: Int): DataFrame = {
     valueBuckets(df, valueCol, k)

@@ -244,24 +244,37 @@ object Retrieval {
   /** Inverted-index build: per term, document frequency, total term
     * frequency, and the first `postingsCap` doc ids of the posting
     * list (sorted, comma-joined — a SCALAR column so results stay
-    * hashable; real sinks would keep the array). One explode + one
-    * aggregate; the collect_set is bounded by `postingsCap` only in
-    * the output — df/tf remain exact over the full corpus. Terms
-    * below `minDf` are dropped (the long tail that dominates term
-    * count but no query touches).
+    * hashable; real sinks would keep the array). df/tf are exact over
+    * the full corpus from one per-(term,doc) aggregate; the postings
+    * head is a per-term rank ≤ cap filter BEFORE any collect (the
+    * TopKHeapRewrite shape — bounded heap state per term), so a
+    * stop-word term with millions of docs never materializes its
+    * posting list in an aggregation buffer. The per-(term,doc) table
+    * is persisted across its two consumers. Terms below `minDf` are
+    * dropped (the long tail that dominates term count but no query
+    * touches).
     * @return (term, df, tf, postings_head) */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long, postingsCap: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("__id"),
-        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
-      .filter(col("term") =!= "")
-    toks.groupBy(col("term"), col("__id"))
+    val perDoc = docs.select(col(idCol).as("__id"),
+        explode(graft.functions.TextAnalysis
+          .alnumTokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("__id"))
       .agg(count(lit(1)).as("__tf_d"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), sum(col("__tf_d")).as("tf"),
-        concat_ws(",", transform(
-          slice(sort_array(collect_set(col("__id"))), 1, postingsCap),
-          x => x.cast("string"))).as("postings_head"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val stats = perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__tf_d")).as("tf"))
       .filter(col("df") >= minDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("__id"))
+    val head = perDoc
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= postingsCap)
+      .groupBy(col("term"))
+      .agg(concat_ws(",", transform(
+        sort_array(collect_list(col("__id"))),
+        x => x.cast("string"))).as("postings_head"))
+    stats.join(head, Seq("term"))
+      .select(col("term"), col("df"), col("tf"), col("postings_head"))
   }
 }

@@ -250,21 +250,24 @@ object TimeSeries {
     * with both SSEs derived from EXACT integer prefix sums (Σy, Σy²,
     * k) — the doubles are the same expression both engines evaluate,
     * and the argmin is a (cost, k) row_number, deterministic even
-    * under cost ties. One ordered window + one partition window + one
-    * argmin filter — linear per key, no pairwise work (contrast
-    * [[mannKendall]]).
+    * under cost ties. Rows order by (x, y) so duplicate-x keys still
+    * get a stable prefix (fully-duplicate rows are interchangeable).
+    * One ordered window + one partition window + one argmin filter —
+    * linear per key, no pairwise work (contrast [[mannKendall]]).
     * @return per key: (keys…, n, split_k, split_x, cost) — split_k =
     *   size of the left segment, split_x its last x */
   def changepoint(df: DataFrame, keys: Seq[String], xCol: Column,
       yCol: Column): DataFrame = {
     val keyCols = keys.map(col)
-    val ord = Window.partitionBy(keyCols: _*).orderBy(col("__x"))
+    val ord = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__x"), col("__y"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(keyCols: _*)
     val b = df.select(keyCols :+ xCol.as("__x") :+
         yCol.cast("long").as("__y"): _*)
       .withColumn("__k", row_number().over(
-        Window.partitionBy(keyCols: _*).orderBy(col("__x"))).cast("long"))
+        Window.partitionBy(keyCols: _*)
+          .orderBy(col("__x"), col("__y"))).cast("long"))
       .withColumn("__sl", sum(col("__y")).over(ord))
       .withColumn("__s2l", sum(col("__y") * col("__y")).over(ord))
       .withColumn("__st", sum(col("__y")).over(all))

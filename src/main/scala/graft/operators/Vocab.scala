@@ -66,8 +66,7 @@ object Vocab {
     require(topK >= 1, s"topK must be >= 1 (got $topK)")
     val pres = df.select(col(idCol).as("__id"),
         col(classCol).as("cls"),
-        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
-      .filter(col("token") =!= "")
+        explode(TextAnalysis.alnumTokens(col(textCol))).as("token"))
       .distinct()
     val nDocs = df.select(col(idCol)).distinct().count()
     val byClass = df.groupBy(col(classCol).as("cls"))
@@ -105,35 +104,42 @@ object Vocab {
     * window of `win` positions (canonicalized unordered), their exact
     * counts, each side's unigram count, and lift = c_xy·N / (c_x·c_y)
     * — the PMI argument WITHOUT the log, so the only double is one
-    * identically-derived ratio. Pairs come from per-position lead()
-    * columns (linear in tokens, never a positional self-join); the
-    * unigram table is vocab-sized and shuffle-joined. Top `topK` by
-    * (c_xy desc, w1, w2) for bounded output.
+    * identically-derived ratio. All win lead() columns come from ONE
+    * window pass (one sort-shuffle, not one per offset; linear in
+    * tokens, never a positional self-join); the unigram table is
+    * vocab-sized and shuffle-joined, and n_tokens = Σ unigram counts
+    * (derived, no extra corpus scan or eager action). The token
+    * stream is persisted across its two consumers (unigrams, pairs)
+    * so the corpus is tokenized once. Top `topK` by (c_xy desc, w1,
+    * w2) for bounded output.
     * @return (w1, w2, c_xy, c_x, c_y, n_tokens, lift) */
   def cooccurrence(df: DataFrame, idCol: String, textCol: String,
       win: Int, topK: Int): DataFrame = {
     require(win >= 1 && topK >= 1, s"win=$win topK=$topK must be >= 1")
     val toks = df.select(col(idCol).as("__id"),
-        posexplode(split(lower(col(textCol)), "[^a-z0-9]+"))
+        posexplode(TextAnalysis.alnumTokens(col(textCol)))
           .as(Seq("pos", "token")))
-      .filter(col("token") =!= "")
-    val nTok = toks.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n_tokens"))
     val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
-    val pairs = (1 to win).map { k =>
-      toks.withColumn("__nxt", lead(col("token"), k).over(w))
-        .filter(col("__nxt").isNotNull)
-        .select(least(col("token"), col("__nxt")).as("w1"),
-          greatest(col("token"), col("__nxt")).as("w2"))
-    }.reduce(_ unionAll _)
+    val led = toks.select(col("token") +: (1 to win).map(k =>
+      lead(col("token"), k).over(w).as(s"__n$k")): _*)
+    val pairs = led
+      .select(col("token"), explode(array(
+        (1 to win).map(k => col(s"__n$k")): _*)).as("__nxt"))
+      .filter(col("__nxt").isNotNull)
+      .select(least(col("token"), col("__nxt")).as("w1"),
+        greatest(col("token"), col("__nxt")).as("w2"))
     pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
       .join(uni.select(col("token").as("w1"), col("c").as("c_x")),
         Seq("w1"))
       .join(uni.select(col("token").as("w2"), col("c").as("c_y")),
         Seq("w2"))
+      .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"),
-        col("c_y"), lit(nTok).as("n_tokens"),
-        (col("c_xy").cast("double") * lit(nTok).cast("double") /
+        col("c_y"), col("n_tokens"),
+        (col("c_xy").cast("double") * col("n_tokens").cast("double") /
           (col("c_x").cast("double") * col("c_y").cast("double")))
           .as("lift"))
       .orderBy(col("c_xy").desc, col("w1"), col("w2"))
