@@ -3066,7 +3066,62 @@ object QueriesAnalytics {
 
   // -------------------------------------------------------------- export
 
+  // -------------------------------------------------------------- q271
+  /** HITS hubs & authorities (Graph.hits, Kleinberg 1999) over the
+    * q88 co-occurrence graph — two full rounds of the UNNORMALIZED
+    * exact-integer iterate (a = Σ in-hubs, h = Σ out-authorities from
+    * h₀ ≡ 1): values are path counts, exact BIGINTs, so the result is
+    * bit-stable across partitionings where the textbook L2-normalized
+    * fixpoint could never hash-match. The oracle unrolls the same two
+    * rounds as chained CTEs. */
+  private def q271Hits(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.hits(e, "src", "dst", iterations = 2)
+      .orderBy(col("node"))
+  }
+
+  private val q271Sql =
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey % 20000 AS s,
+      |    (l_partkey * 7) % 20000 AS d
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)),
+      |nodes AS (
+      |  SELECT DISTINCT n
+      |  FROM (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+      |h0 AS (SELECT n AS node, CAST(1 AS BIGINT) AS h FROM nodes),
+      |a1 AS (
+      |  SELECT nodes.n AS node, CAST(COALESCE(x.sa, 0) AS BIGINT) AS a
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.d AS d, sum(h0.h) AS sa
+      |    FROM h0 JOIN e ON e.s = h0.node GROUP BY 1) x
+      |    ON x.d = nodes.n),
+      |h1 AS (
+      |  SELECT nodes.n AS node, CAST(COALESCE(x.sh, 0) AS BIGINT) AS h
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.s AS s, sum(a1.a) AS sh
+      |    FROM a1 JOIN e ON e.d = a1.node GROUP BY 1) x
+      |    ON x.s = nodes.n),
+      |a2 AS (
+      |  SELECT nodes.n AS node, CAST(COALESCE(x.sa, 0) AS BIGINT) AS a
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.d AS d, sum(h1.h) AS sa
+      |    FROM h1 JOIN e ON e.s = h1.node GROUP BY 1) x
+      |    ON x.d = nodes.n),
+      |h2 AS (
+      |  SELECT nodes.n AS node, CAST(COALESCE(x.sh, 0) AS BIGINT) AS h
+      |  FROM nodes LEFT JOIN (
+      |    SELECT e.s AS s, sum(a2.a) AS sh
+      |    FROM a2 JOIN e ON e.d = a2.node GROUP BY 1) x
+      |    ON x.s = nodes.n)
+      |SELECT a2.node AS node, a2.a AS auth, h2.h AS hub
+      |FROM a2 JOIN h2 ON h2.node = a2.node
+      |ORDER BY a2.node""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_hits" -> (q271Hits _),
     "q204_roc_auc" -> (q204RocAuc _),
     "q215_isotonic" -> (q215Isotonic _),
     "q216_gains_chart" -> (q216Gains _),
@@ -3142,6 +3197,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q271_hits" -> q271Sql,
     "q204_roc_auc" -> q204Sql,
     "q215_isotonic" -> q215Sql,
     "q216_gains_chart" -> q216Sql,

@@ -335,7 +335,64 @@ object QueriesCoverage {
 
   // -------------------------------------------------------------- export
 
+  // -------------------------------------------------------------- q272
+  /** SQL UDF + dynamic-SQL battery (Spark 4 surface): a SQL SCALAR
+    * function (CREATE OR REPLACE TEMPORARY FUNCTION … RETURNS …
+    * RETURN expr), a SQL TABLE function (RETURNS TABLE), EXECUTE
+    * IMMEDIATE with a positional USING parameter, and a NAMED
+    * parameter marker (:hi via spark.sql(text, args)). The banded
+    * census runs through both UDFs; the EXECUTE IMMEDIATE scalar
+    * rides along as a constant column. The oracle inlines every UDF
+    * body — SQL UDFs are pure macros, so inlining is the exact
+    * semantic restatement. */
+  private def q272SqlUdf(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(p DOUBLE)
+      RETURNS BIGINT RETURN CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT)""")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_band(
+        c BIGINT, hi BIGINT)
+      RETURNS STRING RETURN CASE WHEN c >= hi THEN 'high'
+        WHEN c >= hi DIV 4 THEN 'mid' ELSE 'low' END""")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_bands()
+      RETURNS TABLE(band STRING, ord BIGINT)
+      RETURN SELECT 'high', CAST(0 AS BIGINT)
+        UNION ALL SELECT 'mid', 1 UNION ALL SELECT 'low', 2""")
+    val ei = s.sql(
+      "EXECUTE IMMEDIATE 'SELECT graft_cents(?) AS ei_cents' USING 123.45")
+    val census = s.sql(
+      """SELECT b.band, b.ord,
+        |  CAST(count(o.o_orderkey) AS BIGINT) AS n,
+        |  CAST(COALESCE(sum(graft_cents(o.o_totalprice)), 0) AS BIGINT)
+        |    AS sum_cents
+        |FROM graft_bands() b
+        |LEFT JOIN orders o
+        |  ON graft_band(graft_cents(o.o_totalprice), :hi) = b.band
+        |GROUP BY b.band, b.ord""".stripMargin,
+      Map("hi" -> java.lang.Long.valueOf(20000000L)))
+    census.crossJoin(broadcast(ei)).orderBy(col("ord"))
+      .select(col("band"), col("ord"), col("n"), col("sum_cents"),
+        col("ei_cents"))
+  }
+
+  private val q272Sql =
+    """WITH b(band, ord) AS (
+      |  VALUES ('high', CAST(0 AS BIGINT)), ('mid', 1), ('low', 2)),
+      |o AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders)
+      |SELECT b.band, b.ord, CAST(count(o.o_orderkey) AS BIGINT) AS n,
+      |  CAST(COALESCE(sum(o.cents), 0) AS BIGINT) AS sum_cents,
+      |  CAST(12345 AS BIGINT) AS ei_cents
+      |FROM b LEFT JOIN o
+      |  ON (CASE WHEN o.cents >= 20000000 THEN 'high'
+      |      WHEN o.cents >= 20000000 // 4 THEN 'mid'
+      |      ELSE 'low' END) = b.band
+      |GROUP BY b.band, b.ord ORDER BY b.ord""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_sql_udf" -> (q272SqlUdf _),
     "q98_encoding_config" -> (q98Encoding _),
     "q33_row_slice" -> (q33RowSlice _),
     "q34_header_norm" -> (q34HeaderNorm _),
@@ -349,6 +406,7 @@ object QueriesCoverage {
   )
 
   val oracles: Map[String, String] = Map(
+    "q272_sql_udf" -> q272Sql,
     "q33_row_slice" -> q33Sql,
     "q34_header_norm" -> q34Sql,
     "q35_projection" -> q35Sql,

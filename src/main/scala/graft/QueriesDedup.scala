@@ -543,7 +543,118 @@ object QueriesDedup {
       |LEFT JOIN reb USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q269
+  /** Sorted-neighborhood blocking (Dedup.sortedNeighborhood, Hernández
+    * & Stolfo merge/purge): customers ordered by name, every pair
+    * within 5 positions, censused by (capped) edit distance — the
+    * blocker that survives typos where equality blocking can't. The
+    * oracle replays the same total order with a global row_number and
+    * a rank-range self-join; the engine's rank comes from range
+    * partitions + offsets, never a single-partition window. */
+  private def q269SortedNeighborhood(s: SparkSession,
+      dir: String): DataFrame = {
+    val pairs = Dedup.sortedNeighborhood(
+      Tables.load(s, dir, "customer"), "c_custkey", col("c_name"), 5)
+    pairs
+      .groupBy(least(levenshtein(col("key1"), col("key2")), lit(5))
+        .cast("long").as("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("id1")).as("sum_id1"), sum(col("id2")).as("sum_id2"))
+      .orderBy(col("dist"))
+  }
+
+  private val q269Sql =
+    """WITH r AS (
+      |  SELECT c_custkey AS id, c_name AS k,
+      |    row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+      |  FROM customer),
+      |p AS (
+      |  SELECT a.id AS id1, a.k AS k1, b.id AS id2, b.k AS k2
+      |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 5)
+      |SELECT CAST(least(levenshtein(k1, k2), 5) AS BIGINT) AS dist,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(id1) AS BIGINT) AS sum_id1,
+      |  CAST(sum(id2) AS BIGINT) AS sum_id2
+      |FROM p GROUP BY 1 ORDER BY dist""".stripMargin
+
+  // -------------------------------------------------------------- q270
+  /** Fellegi–Sunter record linkage (RecordLinkage.score) over
+    * sorted-neighborhood candidates: four comparison fields with
+    * INTEGER milli-weights (name edit-distance ≤ 2, segment, nation,
+    * balance sign), score = plain BIGINT sum, link / possible /
+    * nonlink at ≥5000 / <0 — the probabilistic-linkage decision rule
+    * with the float log-odds replaced by pre-scaled integers so the
+    * verdict census is bit-exact. Scoring is map-only; all cost sits
+    * in the blocker (O(n·window) pairs). */
+  private def q270RecordLinkage(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.operators.RecordLinkage
+    import graft.operators.RecordLinkage.LinkField
+    val cust = Tables.load(s, dir, "customer")
+    val pairs = Dedup.sortedNeighborhood(cust, "c_custkey",
+      col("c_name"), 10)
+    def attrs(side: String) = cust.select(
+      col("c_custkey").as(s"id$side"),
+      col("c_mktsegment").as(s"seg$side"),
+      col("c_nationkey").as(s"nat$side"),
+      col("c_acctbal").as(s"bal$side"))
+    val joined = pairs.join(attrs("1"), Seq("id1"))
+      .join(attrs("2"), Seq("id2"))
+    val scored = RecordLinkage.score(joined, Seq(
+      LinkField("name",
+        levenshtein(col("key1"), col("key2")) <= 2, 4000L, -1000L),
+      LinkField("segment", col("seg1") === col("seg2"), 1500L, -800L),
+      LinkField("nation", col("nat1") === col("nat2"), 1200L, -500L),
+      LinkField("balsign",
+        (col("bal1") >= 0) === (col("bal2") >= 0), 300L, -300L)),
+      upperMilli = 5000L, lowerMilli = 0L)
+    scored.groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("score_milli")).as("sum_score"),
+        sum(when(col("name_agree"), 1L).otherwise(0L))
+          .as("n_name_agree"),
+        sum(when(col("segment_agree"), 1L).otherwise(0L))
+          .as("n_seg_agree"),
+        sum(when(col("nation_agree"), 1L).otherwise(0L))
+          .as("n_nat_agree"))
+      .orderBy(col("verdict"))
+  }
+
+  private val q270Sql =
+    """WITH r AS (
+      |  SELECT c_custkey AS id, c_name AS k, c_mktsegment AS seg,
+      |    c_nationkey AS nat, c_acctbal AS bal,
+      |    row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+      |  FROM customer),
+      |p AS (
+      |  SELECT a.id AS id1, b.id AS id2,
+      |    (levenshtein(a.k, b.k) <= 2) AS name_agree,
+      |    (a.seg = b.seg) AS seg_agree, (a.nat = b.nat) AS nat_agree,
+      |    ((a.bal >= 0) = (b.bal >= 0)) AS bs_agree
+      |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 10),
+      |sc AS (
+      |  SELECT *,
+      |    CASE WHEN name_agree THEN 4000 ELSE -1000 END
+      |    + CASE WHEN seg_agree THEN 1500 ELSE -800 END
+      |    + CASE WHEN nat_agree THEN 1200 ELSE -500 END
+      |    + CASE WHEN bs_agree THEN 300 ELSE -300 END AS score
+      |  FROM p)
+      |SELECT CASE WHEN score >= 5000 THEN 'link'
+      |    WHEN score < 0 THEN 'nonlink'
+      |    ELSE 'possible' END AS verdict,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(score) AS BIGINT) AS sum_score,
+      |  CAST(sum(CASE WHEN name_agree THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_name_agree,
+      |  CAST(sum(CASE WHEN seg_agree THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_seg_agree,
+      |  CAST(sum(CASE WHEN nat_agree THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_nat_agree
+      |FROM sc GROUP BY 1 ORDER BY verdict""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_sorted_neighborhood" -> (q269SortedNeighborhood _),
+    "q270_record_linkage" -> (q270RecordLinkage _),
     "q185_line_dedup" -> (q185LineDedup _),
     "q94_setsim_join" -> (q94SetSim _),
     "q66_span_removal" -> (q66SpanRemoval _),
@@ -558,6 +669,8 @@ object QueriesDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q269_sorted_neighborhood" -> q269Sql,
+    "q270_record_linkage" -> q270Sql,
     "q185_line_dedup" -> q185Sql,
     "q94_setsim_join" -> q94Sql,
     "q66_span_removal" -> q66Sql,

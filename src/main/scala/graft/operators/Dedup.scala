@@ -1002,4 +1002,47 @@ object Dedup {
       maxClusterSize).select(col(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo
+    * 1995's merge/purge blocking): order all rows by a sort key and
+    * emit every pair within `window` positions — the classic
+    * record-linkage blocker when no equality blocking key exists
+    * (typos break equality; lexicographic neighbors survive them).
+    *
+    * Distributed shape: the global rank comes from repartitionByRange
+    * on (key, id) + per-partition offsets (RowNumbers.global — range
+    * partitions are disjoint and ordered, so partition offset +
+    * local row_number IS the total-order rank; parallel, never a
+    * single-partition window). Pairs come from a neighbor-BUCKET
+    * equi-join: rows land in bucket (rank−1) div window, each row
+    * probes its own and the next bucket (a 2× explode), and the
+    * |r2−r1| < window filter trims the corners — every qualifying
+    * pair appears exactly once (r2 > r1, and r2's bucket is uniquely
+    * its own). Output is O(n·window) — linear, never quadratic; the
+    * id tiebreak in the sort makes ranks (hence pairs) deterministic
+    * under duplicate keys.
+    * @return (id1, key1, rank1, id2, key2, rank2) with rank2 > rank1 */
+  def sortedNeighborhood(df: DataFrame, idCol: String,
+      sortKey: Column, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2 (got $window)")
+    val keyed = df.select(col(idCol).as("__id"), sortKey.as("__k"))
+    val parts = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranked = RowNumbers.global(
+      keyed.repartitionByRange(parts, col("__k"), col("__id"))
+        .sortWithinPartitions(col("__k"), col("__id")), "__r")
+      .withColumn("__b", expr(s"(__r - 1) div $window"))
+    val probe = ranked
+      .withColumn("__pb", explode(array(col("__b"), col("__b") + 1)))
+      .select(col("__id").as("id1"), col("__k").as("key1"),
+        col("__r").as("rank1"), col("__pb"))
+    val build = ranked.select(col("__id").as("id2"),
+      col("__k").as("key2"), col("__r").as("rank2"),
+      col("__b").as("__bb"))
+    probe.join(build, col("__pb") === col("__bb"))
+      .filter(col("rank2") > col("rank1") &&
+        col("rank2") < col("rank1") + window)
+      .select(col("id1"), col("key1"), col("rank1"),
+        col("id2"), col("key2"), col("rank2"))
+  }
 }

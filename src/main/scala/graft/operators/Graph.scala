@@ -666,4 +666,79 @@ object Graph {
         ((d("m2") * d("sxy") - d("sx") * d("sx")) /
           (d("m2") * d("sx2") - d("sx") * d("sx"))).as("r"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    * list — UNNORMALIZED exact-integer iterate:
+    *
+    *   a_k(v) = Σ_{u→v} h_{k−1}(u)      (authority = sum of in-hubs)
+    *   h_k(v) = Σ_{v→w} a_k(w)          (hub = sum of out-authorities)
+    *
+    * initialized h_0 ≡ 1. Why no normalization: the textbook L2 step
+    * introduces a sqrt whose accumulation order makes the fixpoint
+    * engine- and partition-dependent; the unnormalized k-round values
+    * are path counts (a_k(v) = #paths of shape (→)·(←→)^{k−1} ending
+    * at v) — exact BIGINTs whose RANKING equals the normalized
+    * ranking, bit-stable and oracle-checkable (the oracle unrolls the
+    * same rounds as CTEs). Overflow budget: values grow by a factor
+    * ≤ max-degree·breadth per half-round — with n ≤ 10⁵ nodes,
+    * n^(2·iterations) < 2⁶³ caps iterations at 3; the default 2 is
+    * the classic "hubs emerge" depth. Scale shape = [[pageRank]]:
+    * the deduped adjacency is cached pre-partitioned on the source
+    * key; each half-round shuffles only the n-row score table.
+    * @return (node, auth, hub) after `iterations` full rounds */
+  def hits(edges: DataFrame, src: String, dst: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 3,
+      s"iterations ($iterations) must be in [1, 3] — unnormalized " +
+        "scores grow geometrically; see the overflow budget note")
+    val spark = edges.sparkSession
+    val e = edges.select(col(src).cast("long").as("s"),
+        col(dst).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= col("d"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val nodes = e.select(col("s").as("node"))
+      .unionAll(e.select(col("d").as("node")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    nodes.count() // materialize both caches
+    val sessionParts = spark.sessionState.conf.numShufflePartitions.toLong
+    val edgeCount = e.count()
+    val loopParts = math.max(1L,
+      math.min(sessionParts, edgeCount / 125000L + 1L)).toInt
+    val adj = e.repartition(loopParts, col("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      var hub = nodes.withColumn("h", lit(1L))
+        .localCheckpoint(eager = true)
+      var auth: DataFrame = null
+      var i = 0
+      while (i < iterations) {
+        val a = nodes.join(
+            hub.join(adj, col("node") === col("s"))
+              .groupBy(col("d")).agg(sum(col("h")).as("__a")),
+            col("node") === col("d"), "left")
+          .select(col("node"), coalesce(col("__a"), lit(0L)).as("a"))
+          .localCheckpoint(eager = true)
+        val h = nodes.join(
+            a.join(adj, col("node") === col("d"))
+              .groupBy(col("s")).agg(sum(col("a")).as("__h")),
+            col("node") === col("s"), "left")
+          .select(col("node"), coalesce(col("__h"), lit(0L)).as("h"))
+          .localCheckpoint(eager = true)
+        if (auth != null) Dedup.releaseCheckpoint(auth)
+        Dedup.releaseCheckpoint(hub)
+        auth = a
+        hub = h
+        i += 1
+      }
+      auth.join(hub, Seq("node"))
+        .select(col("node"), col("a").as("auth"), col("h").as("hub"))
+    } finally {
+      adj.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
+  }
 }

@@ -318,6 +318,27 @@ class GraphSpec extends SparkSpec {
       (8L, 9L, 0L, 1L, 1L, 0.0)) // isolated edge: J pinned to 0
   }
 
+  test("hits: directed path and star have hand-computed path counts") {
+    import spark.implicits._
+    // directed path 1->2->3: h0=1 everywhere
+    // a1 = in-deg: (1:0, 2:1, 3:1); h1(v)=sum a1 over out: (1:1, 2:1, 3:0)
+    // a2(v)=sum h1 over in: (1:0, 2:1, 3:1); h2: (1:1, 2:1, 3:0)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    Graph.hits(path, "s", "d", iterations = 2).orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 0L, 1L), (2L, 1L, 1L), (3L, 1L, 0L))
+    // in-star: 1..3 -> 0. a1(0)=3; h1(leaves)=3; a2(0)=9; h2(leaves)=9
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("s", "d")
+    Graph.hits(star, "s", "d", iterations = 2).orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq shouldBe
+      Seq((0L, 9L, 0L), (1L, 0L, 9L), (2L, 0L, 9L), (3L, 0L, 9L))
+    // self-loops and duplicate edges are dropped before iterating
+    val messy = Seq((1L, 2L), (1L, 2L), (2L, 2L), (2L, 3L)).toDF("s", "d")
+    Graph.hits(messy, "s", "d", iterations = 1).orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 0L, 1L), (2L, 1L, 1L), (3L, 1L, 0L))
+  }
+
   test("degreeAssortativity: star graph r=-1, path P3 r=-1") {
     import spark.implicits._
     val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")

@@ -432,4 +432,39 @@ class SimilaritySpec extends SparkSpec {
     r2.getLong(2) shouldBe 1L
     r2.getDouble(3) shouldBe (1.0 / 3.0)
   }
+
+  test("sortedNeighborhood: exact pair set, window edge, determinism") {
+    // keys sort as b1 < b2 < b3 < c9 < d4; ranks 1..5
+    val rows = Seq((10L, "b2"), (20L, "d4"), (30L, "b1"), (40L, "c9"),
+      (50L, "b3")).toDF("id", "k")
+    val got = Dedup.sortedNeighborhood(rows, "id", col("k"), 3)
+      .select("rank1", "rank2").as[(Long, Long)].collect().toSeq.sorted
+    // window 3: pairs with 0 < r2-r1 < 3
+    got shouldBe Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L))
+    // duplicate keys: id tiebreak keeps ranks (and pairs) stable
+    val dup = Seq((7L, "x"), (3L, "x"), (5L, "x")).toDF("id", "k")
+    val ranks = Dedup.sortedNeighborhood(dup, "id", col("k"), 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSeq.sorted
+    ranks shouldBe Seq((3L, 5L), (5L, 7L)) // id order under equal keys
+  }
+
+  test("RecordLinkage.score: weights, null-field zero, thresholds") {
+    import graft.operators.RecordLinkage
+    import graft.operators.RecordLinkage.LinkField
+    val pairs = Seq(
+      (1L, 2L, true, Some(true)),   // 4000 + 300 = 4300 -> possible
+      (3L, 4L, true, None),         // 4000 + 0   = 4000 -> possible
+      (5L, 6L, false, Some(false)), // -1000 - 300 = -1300 -> nonlink
+      (7L, 8L, true, Some(false))   // 4000 - 300 = 3700 -> possible
+    ).toDF("id1", "id2", "nm", "bs")
+    val out = RecordLinkage.score(pairs, Seq(
+        LinkField("name", col("nm"), 4000L, -1000L),
+        LinkField("bal", col("bs"), 300L, -300L)),
+        upperMilli = 4300L, lowerMilli = 0L)
+      .select("id1", "score_milli", "verdict")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    out shouldBe Seq((1L, 4300L, "link"), (3L, 4000L, "possible"),
+      (5L, -1300L, "nonlink"), (7L, 3700L, "possible"))
+  }
 }
