@@ -3120,7 +3120,59 @@ object QueriesAnalytics {
       |FROM a2 JOIN h2 ON h2.node = a2.node
       |ORDER BY a2.node""".stripMargin
 
+  // -------------------------------------------------------------- q274
+  /** Strongly connected components
+    * (Graph.stronglyConnectedComponents, FW-BW min-label coloring)
+    * over a SPARSE derived graph (~2 edges/node — supercritical:
+    * one giant SCC of ~320 nodes plus ~990 tendril singletons, so
+    * both the trim phase and the coloring phase do real work — 5
+    * trim rounds + 1 coloring round, measured). The oracle computes
+    * ground truth from the recursive transitive closure (feasible at
+    * 1500 nodes; the engine never materializes a closure). Census by
+    * SCC size. */
+  private def q274Scc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1 && col("l_orderkey") % 3 === 0)
+      .select((col("l_orderkey") % 1500).as("src"),
+        (col("l_partkey") * 7 % 1500).as("dst"))
+    Graph.stronglyConnectedComponents(e, "src", "dst")
+      .groupBy(col("scc")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("scc_size"))
+      .agg(count(lit(1)).as("n_sccs"), sum(col("scc")).as("sum_scc_id"))
+      .orderBy(col("scc_size"))
+  }
+
+  private val q274Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT l_orderkey % 1500 AS s,
+      |    (l_partkey * 7) % 1500 AS d
+      |  FROM lineitem
+      |  WHERE l_linenumber = 1 AND l_orderkey % 3 = 0
+      |    AND (l_orderkey % 1500) != ((l_partkey * 7) % 1500)),
+      |nodes AS (
+      |  SELECT DISTINCT n
+      |  FROM (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+      |reach AS (
+      |  SELECT s, d FROM e
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d),
+      |mutual AS (
+      |  SELECT a.s AS u, a.d AS v
+      |  FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s),
+      |scc AS (
+      |  SELECT nodes.n AS node,
+      |    least(nodes.n, coalesce(min(m.v), nodes.n)) AS scc
+      |  FROM nodes LEFT JOIN mutual m ON m.u = nodes.n
+      |  GROUP BY nodes.n),
+      |sizes AS (
+      |  SELECT scc, CAST(count(*) AS BIGINT) AS sz
+      |  FROM scc GROUP BY 1)
+      |SELECT sz AS scc_size, CAST(count(*) AS BIGINT) AS n_sccs,
+      |  CAST(sum(scc) AS BIGINT) AS sum_scc_id
+      |FROM sizes GROUP BY 1 ORDER BY scc_size""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_scc" -> (q274Scc _),
     "q271_hits" -> (q271Hits _),
     "q204_roc_auc" -> (q204RocAuc _),
     "q215_isotonic" -> (q215Isotonic _),
@@ -3197,6 +3249,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q274_scc" -> q274Sql,
     "q271_hits" -> q271Sql,
     "q204_roc_auc" -> q204Sql,
     "q215_isotonic" -> q215Sql,

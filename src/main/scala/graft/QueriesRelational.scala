@@ -2977,7 +2977,96 @@ object QueriesRelational {
       |  min(h) AS min_h, max(h) AS max_h
       |FROM h0 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------- q273
+  /** Merkle-style snapshot diff (Maintenance.bucketedDiff): orders vs
+    * a simulated next snapshot (updates at k%97=0 — +1.00; deletes at
+    * k%101=0; inserts at k%103=0 re-keyed +1e7), compared via 64
+    * per-bucket md5 checksums first, then row-diffed ONLY inside the
+    * differing buckets — the replication-audit shape whose cost
+    * tracks the CHANGE volume, not the table. Output rows exist only
+    * for differing buckets (added/removed/changed censuses exact). */
+  private def q273BucketedDiff(s: SparkSession, dir: String): DataFrame = {
+    val a0 = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"),
+      col("o_orderstatus").as("st"))
+    val b0 = a0.filter(col("k") % 101 =!= 0)
+      .select(col("k"),
+        when(col("k") % 97 === 0, col("cents") + 100)
+          .otherwise(col("cents")).as("cents"),
+        col("st"))
+      .unionAll(a0.filter(col("k") % 103 === 0)
+        .select((col("k") + 10000000).as("k"), col("cents"),
+          col("st")))
+    graft.operators.Maintenance
+      .bucketedDiff(a0, b0, Seq("k"), Seq("cents", "st"), 64)
+      .orderBy(col("bucket"))
+  }
+
+  private val q273Sql =
+    """WITH a0 AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    o_orderstatus AS st
+      |  FROM orders),
+      |b0 AS (
+      |  SELECT k,
+      |    CASE WHEN k % 97 = 0 THEN cents + 100 ELSE cents END AS cents,
+      |    st
+      |  FROM a0 WHERE k % 101 != 0
+      |  UNION ALL
+      |  SELECT k + 10000000, cents, st FROM a0 WHERE k % 103 = 0),
+      |pa AS (
+      |  SELECT
+      |    ('0x' || substr(md5(coalesce(CAST(k AS VARCHAR), '')),
+      |      1, 15))::BIGINT % 64 AS bucket,
+      |    coalesce(CAST(k AS VARCHAR), '') AS key,
+      |    ('0x' || substr(md5(concat_ws('|',
+      |      coalesce(CAST(cents AS VARCHAR), ''), coalesce(st, ''))),
+      |      1, 15))::BIGINT % 1000000007 AS vh
+      |  FROM a0),
+      |pb AS (
+      |  SELECT
+      |    ('0x' || substr(md5(coalesce(CAST(k AS VARCHAR), '')),
+      |      1, 15))::BIGINT % 64 AS bucket,
+      |    coalesce(CAST(k AS VARCHAR), '') AS key,
+      |    ('0x' || substr(md5(concat_ws('|',
+      |      coalesce(CAST(cents AS VARCHAR), ''), coalesce(st, ''))),
+      |      1, 15))::BIGINT % 1000000007 AS vh
+      |  FROM b0),
+      |sa AS (SELECT bucket, count(*) AS na, sum(vh) AS suma,
+      |    bit_xor(vh) AS xora FROM pa GROUP BY 1),
+      |sb AS (SELECT bucket, count(*) AS nb, sum(vh) AS sumb,
+      |    bit_xor(vh) AS xorb FROM pb GROUP BY 1),
+      |diffb AS (
+      |  SELECT coalesce(sa.bucket, sb.bucket) AS bucket,
+      |    CAST(coalesce(na, 0) AS BIGINT) AS n_rows_a,
+      |    CAST(coalesce(nb, 0) AS BIGINT) AS n_rows_b
+      |  FROM sa FULL OUTER JOIN sb ON sb.bucket = sa.bucket
+      |  WHERE sa.bucket IS NULL OR sb.bucket IS NULL
+      |    OR na != nb OR suma != sumb OR xora != xorb),
+      |drill AS (
+      |  SELECT coalesce(x.bucket, y.bucket) AS bucket,
+      |    CAST(sum(CASE WHEN x.key IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_added,
+      |    CAST(sum(CASE WHEN y.key IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_removed,
+      |    CAST(sum(CASE WHEN x.key IS NOT NULL AND y.key IS NOT NULL
+      |      AND x.vh != y.vh THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_changed
+      |  FROM (SELECT pa.* FROM pa JOIN diffb USING (bucket)) x
+      |  FULL OUTER JOIN
+      |    (SELECT pb.* FROM pb JOIN diffb USING (bucket)) y
+      |    ON y.bucket = x.bucket AND y.key = x.key
+      |  GROUP BY 1)
+      |SELECT d.bucket, d.n_rows_a, d.n_rows_b,
+      |  dr.n_added, dr.n_removed, dr.n_changed
+      |FROM diffb d JOIN drill dr USING (bucket)
+      |ORDER BY d.bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_bucketed_diff" -> (q273BucketedDiff _),
     "q187_table_checksum" -> (q187TableChecksum _),
     "q146_json_battery" -> (q146JsonBattery _),
     "q148_array_setops" -> (q148ArraySetOps _),
@@ -3065,6 +3154,7 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q273_bucketed_diff" -> q273Sql,
     "q187_table_checksum" -> q187Sql,
     "q146_json_battery" -> q146Sql,
     "q148_array_setops" -> q148Sql,

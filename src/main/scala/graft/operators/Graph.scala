@@ -667,6 +667,171 @@ object Graph {
           (d("m2") * d("sx2") - d("sx") * d("sx"))).as("r"))
   }
 
+  /** Strongly connected components of a DIRECTED graph — the
+    * forward-backward min-label coloring (the distributed FW-BW/
+    * coloring family; Slota et al. 2014 is the survey reference):
+    * per outer round, compute
+    *
+    *   cf(v) = min(ancestors(v) ∪ {v})     (min-label propagated
+    *                                        ALONG edges, to fixpoint)
+    *   cb(v) = min(descendants(v) ∪ {v})   (same, against edges)
+    *
+    * A node with cf(v) == cb(v) == m has m both reaching and reached
+    * by v ⇒ v ∈ SCC(m); all of SCC(m)'s members share both labels
+    * (ancestor/descendant sets agree up to the SCC), and no outside
+    * node can match — so each round peels COMPLETE SCCs, at minimum
+    * the one containing the globally smallest remaining id (whose
+    * cf = cb = itself). Peeling is sound: any path between two
+    * members of a surviving SCC through a peeled node would put that
+    * node in their SCC — contradiction — so intra-SCC paths never
+    * leave the remaining subgraph.
+    *
+    * A TRIM phase runs before and between coloring rounds: nodes
+    * with no remaining in-edges or out-edges lie on no cycle —
+    * singleton SCCs peeled by two anti-joins per round — which
+    * erodes the tendril chains that coloring would otherwise peel
+    * one node per double-fixpoint round (the FW-BW-Trim composition).
+    *
+    * Each fixpoint is the [[Dedup.connectedComponents]] loop shape:
+    * min-propagate + pointer jump (labels are node ids; the label of
+    * my label is an ancestor-of-ancestor, so jumping stays sound),
+    * label-sum convergence (labels only decrease), localCheckpoint
+    * lineage cuts, edge cache partitioned by the per-round join key.
+    * Outer rounds are data-dependent (adversarial id layouts peel
+    * slowly — maxOuter guards; random graphs peel in a few rounds:
+    * trim eats the tendrils, coloring takes the giant SCC).
+    * @return (node, scc) — scc = min member id of the component */
+  def stronglyConnectedComponents(edges: DataFrame, src: String,
+      dst: String, maxOuter: Int = 50,
+      maxInner: Int = 50): DataFrame = {
+    require(maxOuter > 0 && maxInner > 0, "iteration budgets must be > 0")
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(src).cast("long").as("s"),
+        col(dst).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull)
+      .distinct()
+    val sessionParts = spark.sessionState.conf.numShufflePartitions.toLong
+    // self-loops don't affect SCC membership; drop after counting
+    var remEdges = e0.filter(col("s") =!= col("d"))
+      .localCheckpoint(eager = true)
+    var remNodes = e0.select(col("s").as("node"))
+      .unionAll(e0.select(col("d").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    val loopParts = math.max(1L, math.min(sessionParts,
+      remEdges.count() / 250000L + 1L)).toInt
+    def labelSum(df: DataFrame): Any =
+      df.agg(sum(col("l").cast("decimal(38,0)"))).head().get(0)
+    // min-label fixpoint over (s -> d) propagation direction
+    def minFix(prop: DataFrame, nodes: DataFrame): DataFrame = {
+      val edgesByS = prop.repartition(loopParts, col("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      try {
+        var lab = nodes.withColumn("l", col("node"))
+          .localCheckpoint(eager = true)
+        var prevSum: Any = null
+        var converged = false
+        var i = 0
+        while (!converged && i < maxInner) {
+          val pushed = edgesByS
+            .join(lab.select(col("node").as("s"), col("l")), "s")
+            .select(col("d").as("node"), col("l"))
+          val stepped = pushed.union(lab)
+            .repartition(loopParts, col("node"))
+            .groupBy(col("node")).agg(min(col("l")).as("l"))
+          val next = stepped
+            .join(lab.select(col("node").as("l"),
+              col("l").as("__l2")), Seq("l"), "left")
+            .select(col("node"),
+              coalesce(col("__l2"), col("l")).as("l"))
+            .localCheckpoint(eager = true)
+          val s2 = labelSum(next)
+          converged = s2 == prevSum
+          prevSum = s2
+          Dedup.releaseCheckpoint(lab)
+          lab = next
+          i += 1
+        }
+        lab
+      } finally { edgesByS.unpersist(blocking = false) }
+    }
+    var done: DataFrame = null
+    var outer = 0
+    var remaining = remNodes.count()
+    // TRIM phase (the FW-BW-Trim standard): a node with no in-edges
+    // or no out-edges in the remaining subgraph is on no cycle — a
+    // singleton SCC. Peeling those with two cheap anti-joins per
+    // round erodes tendrils/chains that the coloring phase would
+    // otherwise peel one node per (expensive, double-fixpoint)
+    // round; re-run between colorings because removing an SCC
+    // exposes new tendrils.
+    def trim(): Unit = {
+      var more = remaining > 0
+      var t = 0
+      while (more && t < maxInner) {
+        val onCycleCandidates = remNodes
+          .join(remEdges.select(col("d").as("node")).distinct(),
+            Seq("node"), "left_semi")
+          .join(remEdges.select(col("s").as("node")).distinct(),
+            Seq("node"), "left_semi")
+          .localCheckpoint(eager = true)
+        val kept = onCycleCandidates.count()
+        if (kept == remaining) more = false
+        else {
+          val trimmed = remNodes
+            .join(onCycleCandidates, Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("scc"))
+            .localCheckpoint(eager = true)
+          done = if (done == null) trimmed else done.unionAll(trimmed)
+          val nextEdges = remEdges
+            .join(onCycleCandidates.select(col("node").as("s")), "s")
+            .join(onCycleCandidates.select(col("node").as("d")), "d")
+            .select(col("s"), col("d")).localCheckpoint(eager = true)
+          Dedup.releaseCheckpoint(remEdges)
+          Dedup.releaseCheckpoint(remNodes)
+          remEdges = nextEdges
+          remNodes = onCycleCandidates
+          remaining = kept
+        }
+        t += 1
+      }
+    }
+    trim()
+    while (remaining > 0 && outer < maxOuter) {
+      val cf = minFix(remEdges, remNodes)
+      val cb = minFix(
+        remEdges.select(col("d").as("s"), col("s").as("d")), remNodes)
+      val joined = cf.select(col("node"), col("l").as("lf"))
+        .join(cb.select(col("node"), col("l").as("lb")), "node")
+        .localCheckpoint(eager = true)
+      val peeled = joined.filter(col("lf") === col("lb"))
+        .select(col("node"), col("lf").as("scc"))
+        .localCheckpoint(eager = true)
+      done = if (done == null) peeled else done.unionAll(peeled)
+      val rem = joined.filter(col("lf") =!= col("lb"))
+        .select(col("node")).localCheckpoint(eager = true)
+      val nextEdges = remEdges
+        .join(rem.select(col("node").as("s")), "s")
+        .join(rem.select(col("node").as("d")), "d")
+        .select(col("s"), col("d")).localCheckpoint(eager = true)
+      Dedup.releaseCheckpoint(remEdges)
+      Dedup.releaseCheckpoint(remNodes)
+      Dedup.releaseCheckpoint(joined)
+      remEdges = nextEdges
+      remNodes = rem
+      remaining = remNodes.count()
+      trim() // a peeled SCC exposes fresh tendrils
+      outer += 1
+    }
+    if (remaining > 0) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"SCC peel budget exhausted after $maxOuter rounds " +
+          s"with $remaining nodes unresolved; labeling them by cf")
+      done = done.unionAll(minFix(remEdges, remNodes)
+        .select(col("node"), col("l").as("scc")))
+    }
+    done
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
     * list — UNNORMALIZED exact-integer iterate:
     *

@@ -83,4 +83,81 @@ object Maintenance {
     else hashed.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Merkle-style snapshot diff: compare two versions of a keyed table
+    * WITHOUT a full row join — first summarize each side into
+    * `nBuckets` per-bucket checksums (bucket = md5(key) mod nBuckets,
+    * checksum = the [[tableChecksum]] arithmetic: order-independent
+    * modular sum + xor of row digests), compare the tiny bucket
+    * tables, then row-diff ONLY the buckets whose checksums differ.
+    * At 100 TB this is the replication / time-travel audit: the
+    * summary pass is one map + one nBuckets-row aggregate per side,
+    * and the expensive key-level anti/full joins touch just the
+    * changed buckets' rows (a localized change touches O(changed)
+    * data, not O(table)).
+    *
+    * Same engine-portability contract as [[tableChecksum]]: md5 on
+    * explicit string casts, no raw float columns in `valCols`.
+    *
+    * @return one row per DIFFERING bucket: (bucket, n_rows_a,
+    *   n_rows_b, n_added, n_removed, n_changed) — n_added/removed by
+    *   key presence, n_changed = same key, different value digest;
+    *   identical buckets produce no row (the 100 TB-friendly
+    *   contract: output scales with the diff, not the table) */
+  def bucketedDiff(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      valCols: Seq[String], nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty && valCols.nonEmpty && nBuckets > 0,
+      "need keys, values, and nBuckets > 0")
+    def prep(df: org.apache.spark.sql.DataFrame) = {
+      val keyCanon = concat_ws("|",
+        keyCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+      val valCanon = concat_ws("|",
+        valCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+      df.select(
+        (conv(substring(md5(keyCanon), 1, 15), 16, 10).cast("long")
+          % nBuckets).as("bucket"),
+        keyCanon.as("__key"),
+        (conv(substring(md5(valCanon), 1, 15), 16, 10).cast("long")
+          % lit(1000000007L)).as("__vh"))
+    }
+    def summarize(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"n_rows_$side"),
+          sum(col("__vh")).as(s"sum_$side"),
+          expr("bit_xor(__vh)").as(s"xor_$side"))
+    val pa = prep(a).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val pb = prep(b).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // bucket summaries are nBuckets-sized: full-outer join is tiny
+    val differing = summarize(pa, "a")
+      .join(summarize(pb, "b"), Seq("bucket"), "full_outer")
+      .filter(
+        col("n_rows_a").isNull || col("n_rows_b").isNull ||
+        col("n_rows_a") =!= col("n_rows_b") ||
+        col("sum_a") =!= col("sum_b") || col("xor_a") =!= col("xor_b"))
+      .select(col("bucket"), coalesce(col("n_rows_a"), lit(0L))
+        .as("n_rows_a"), coalesce(col("n_rows_b"), lit(0L))
+        .as("n_rows_b"))
+    // row-level drill-down restricted to the differing buckets
+    val dbs = broadcast(differing.select(col("bucket")))
+    val ra = pa.join(dbs, Seq("bucket"))
+    val rb = pb.join(dbs, Seq("bucket"))
+    val byKey = ra.select(col("bucket"), col("__key"),
+        col("__vh").as("__va"))
+      .join(rb.select(col("bucket"), col("__key"),
+        col("__vh").as("__vb")), Seq("bucket", "__key"), "full_outer")
+    val drill = byKey.groupBy(col("bucket"))
+      .agg(
+        sum(when(col("__va").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__vb").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__va").isNotNull && col("__vb").isNotNull &&
+          col("__va") =!= col("__vb"), 1L).otherwise(0L))
+          .as("n_changed"))
+    differing.join(drill, Seq("bucket"))
+      .select(col("bucket"), col("n_rows_a"), col("n_rows_b"),
+        col("n_added"), col("n_removed"), col("n_changed"))
+  }
 }

@@ -318,6 +318,28 @@ class GraphSpec extends SparkSpec {
       (8L, 9L, 0L, 1L, 1L, 0.0)) // isolated edge: J pinned to 0
   }
 
+  test("scc: cycles, chains, multi-round peel, disconnected pieces") {
+    import spark.implicits._
+    def sccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.stronglyConnectedComponents(
+        edges.toDF("s", "d"), "s", "d")
+        .as[(Long, Long)].collect().toMap
+    // two 3-cycles bridged one-way: each cycle one SCC
+    sccMap(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L))) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+    // adversarial peel order: small id 1 feeds cycle {2,3}; round 1
+    // peels only node 1 (cf(2)=1 but cb(2)=2), round 2 peels {2,3}
+    sccMap(Seq((1L, 2L), (2L, 3L), (3L, 2L))) shouldBe
+      Map(1L -> 1L, 2L -> 2L, 3L -> 2L)
+    // pure DAG: every node is its own singleton SCC
+    sccMap(Seq((1L, 2L), (2L, 3L), (1L, 3L))) shouldBe
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L)
+    // 2-cycle with both directions listed + a self-loop edge
+    sccMap(Seq((7L, 8L), (8L, 7L), (9L, 9L), (9L, 7L))) shouldBe
+      Map(7L -> 7L, 8L -> 7L, 9L -> 9L)
+  }
+
   test("hits: directed path and star have hand-computed path counts") {
     import spark.implicits._
     // directed path 1->2->3: h0=1 everywhere

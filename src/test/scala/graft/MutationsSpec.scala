@@ -201,4 +201,28 @@ class MutationsSpec extends SparkSpec {
     Maintenance.tableChecksum(a, Seq("id"), groupCols = Seq("name"))
       .collect().length shouldBe 3
   }
+
+  test("bucketedDiff: identical tables diff empty; changes localized") {
+    import graft.operators.Maintenance
+    val a = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    // identical snapshots: NO output rows (diff-proportional contract)
+    Maintenance.bucketedDiff(a, a, Seq("id"), Seq("v"), 8)
+      .count() shouldBe 0L
+    // one update, one delete, one insert
+    val b = (1L to 200L).filter(_ != 50L)
+      .map(i => (i, if (i == 7L) "CHANGED" else s"v$i"))
+      .toDF("id", "v")
+      .unionAll(Seq((999L, "new")).toDF("id", "v"))
+    val d = Maintenance.bucketedDiff(a, b, Seq("id"), Seq("v"), 8)
+      .collect()
+    // at most 3 buckets differ; censuses sum to exactly the edits
+    d.length should be <= 3
+    d.map(_.getLong(3)).sum shouldBe 1L // added (999)
+    d.map(_.getLong(4)).sum shouldBe 1L // removed (50)
+    d.map(_.getLong(5)).sum shouldBe 1L // changed (7)
+    // row counts on differing buckets are reported for both sides
+    d.foreach { r =>
+      (r.getLong(1) > 0L || r.getLong(2) > 0L) shouldBe true
+    }
+  }
 }
