@@ -1129,6 +1129,88 @@ object QueriesCorpus {
       |FROM sf2 s JOIN rules r ON s.suffix = r.rule
       |GROUP BY r.rule ORDER BY rule""".stripMargin
 
+  // -------------------------------------------------------------- q277
+  /** IPv4 CIDR longest-prefix-match blocklist
+    * (WebFilter.longestPrefixMatch + ipv4ToLong): client addresses are
+    * synthesized as dotted-quad STRINGS (every ~97th malformed to pin
+    * the NULL-on-parse-failure contract), parsed by a pure integer
+    * expression tree, and LPM-joined against a 5-rule CIDR table — one
+    * masked equi-join key per DISTINCT prefix length (3 here, ≤32
+    * ever), never a range scan over rules. Census per winning rule,
+    * plus the no-match and unparseable populations. All-integer;
+    * DuckDB restates the mask as `// divisor` on non-negative values
+    * (trunc == floor) and the arg-max as arg_max(net, len). Rules
+    * broadcast; the per-length expansion is the only row growth —
+    * bounded by the rule table's length diversity, not its size. */
+  private def q277CidrLpm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.WebFilter
+    val ips = Tables.load(s, dir, "events")
+      .filter(col("event_id") <= 5000)
+      .select(col("event_id"),
+        when(col("event_id") % 97 === 0, lit("10.999.0.1"))
+          .otherwise(concat_ws(".", lit(10), col("user_id") % 200,
+            col("event_id") % 250, (col("event_id") * 7) % 250))
+          .as("ip"))
+      .withColumn("ip_long", WebFilter.ipv4ToLong(col("ip")))
+    val rules = Seq(
+      ((10L << 24), 8),
+      ((10L << 24) + (5L << 16), 16),
+      ((10L << 24) + (17L << 16), 16),
+      ((10L << 24) + (5L << 16) + (3L << 8), 24),
+      ((10L << 24) + (42L << 16) + (7L << 8), 24))
+      .toDF("net_long", "prefix_len")
+    WebFilter.longestPrefixMatch(ips, "ip_long", rules)
+      .groupBy(col("matched_len"), col("matched_net"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("ip_long")).as("n_parsed"))
+      .select(coalesce(col("matched_len"), lit(-1)).as("matched_len"),
+        // concat_ws SKIPS null args (both engines), so an explicit
+        // null branch, not coalesce, spells the no-match label
+        when(col("matched_net").isNull, lit("none"))
+          .otherwise(concat_ws(".",
+            expr("matched_net div 16777216") % 256,
+            expr("matched_net div 65536") % 256,
+            expr("matched_net div 256") % 256,
+            col("matched_net") % 256)).as("matched_net"),
+        col("n_events"), col("n_parsed"))
+      .orderBy(col("matched_len"), col("matched_net"))
+  }
+
+  private val q277Sql =
+    """WITH ips AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 97 = 0 THEN NULL
+      |      ELSE 10 * 16777216 + (user_id % 200) * 65536
+      |        + (event_id % 250) * 256 + ((event_id * 7) % 250)
+      |    END AS ip_long
+      |  FROM events WHERE event_id <= 5000),
+      |rules(net_long, prefix_len, divisor) AS (VALUES
+      |  (167772160, 8, 16777216),
+      |  (168099840, 16, 65536),
+      |  (168886272, 16, 65536),
+      |  (168100608, 24, 256),
+      |  (170526464, 24, 256)),
+      |m AS (
+      |  SELECT i.event_id, r.prefix_len, r.net_long
+      |  FROM ips i JOIN rules r
+      |    ON (i.ip_long // r.divisor) = (r.net_long // r.divisor)),
+      |best AS (
+      |  SELECT event_id, max(prefix_len) AS matched_len,
+      |    arg_max(net_long, prefix_len) AS matched_net
+      |  FROM m GROUP BY 1),
+      |j AS (
+      |  SELECT i.event_id, i.ip_long, b.matched_len, b.matched_net
+      |  FROM ips i LEFT JOIN best b USING (event_id))
+      |SELECT coalesce(matched_len, -1) AS matched_len,
+      |  CASE WHEN matched_net IS NULL THEN 'none'
+      |    ELSE concat_ws('.', (matched_net // 16777216) % 256,
+      |      (matched_net // 65536) % 256, (matched_net // 256) % 256,
+      |      matched_net % 256) END AS matched_net,
+      |  count(*) AS n_events,
+      |  count(ip_long) AS n_parsed
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- q246
   /** Skip-gram co-occurrence with lift (Vocab.cooccurrence): ±2
     * forward window via lead() columns (linear, no positional
@@ -1383,6 +1465,7 @@ object QueriesCorpus {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_rag_chunks" -> (q237RagChunks _),
     "q239_domain_blocklist" -> (q239DomainBlocklist _),
+    "q277_cidr_lpm" -> (q277CidrLpm _),
     "q246_cooccurrence" -> (q246Cooccurrence _),
     "q247_inverted_index" -> (q247InvertedIndex _),
     "q249_feature_hashing" -> (q249FeatureHashing _),
@@ -1421,6 +1504,7 @@ object QueriesCorpus {
   val oracles: Map[String, String] = Map(
     "q237_rag_chunks" -> q237Sql,
     "q239_domain_blocklist" -> q239Sql,
+    "q277_cidr_lpm" -> q277Sql,
     "q246_cooccurrence" -> q246Sql,
     "q247_inverted_index" -> q247Sql,
     "q249_feature_hashing" -> q249Sql,

@@ -3065,7 +3065,108 @@ object QueriesRelational {
       |FROM diffb d JOIN drill dr USING (bucket)
       |ORDER BY d.bucket""".stripMargin
 
+  // -------------------------------------------------------------- q275
+  /** XML surface battery (Spark 4 `to_xml` / `from_xml` / the SQL
+    * `xpath_*` family): each event row is serialized to XML — keys as
+    * `_`-prefixed attribute fields, measures as child elements — then
+    * re-extracted two independent ways: schema-driven `from_xml` and
+    * path-driven `xpath_long`/`xpath_string` (attribute access via
+    * `/ROW/@t` — Spark's default row tag). Both extractions aggregate
+    * per event type and must
+    * agree with the DuckDB oracle, which recomputes the aggregates
+    * straight from the original building columns (the q162/q163
+    * round-trip pattern — DuckDB never parses XML; the gate pins that
+    * Spark's XML writer and both parsers are lossless). The one float
+    * is floored to integer cents BEFORE serialization (floor is
+    * IEEE-identical both engines), so every output is BIGINT.
+    * Map-only scalar work plus one grouped aggregation — scale-free
+    * at 100 TB (XML parse cost is per-row, no shuffle added). */
+  private def q275XmlBattery(s: SparkSession, dir: String): DataFrame = {
+    val xmlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "_id BIGINT, _t STRING, u BIGINT, c BIGINT")
+    t(s, dir, "events").filter(col("event_id") <= 4000)
+      .select(col("event_type"),
+        to_xml(struct(col("event_id").as("_id"),
+          col("event_type").as("_t"), col("user_id").as("u"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("c")))
+          .as("x"))
+      .select(col("event_type"),
+        from_xml(col("x"), xmlSchema).as("p"),
+        expr("xpath_long(x, '/ROW/u')").as("u_xp"),
+        expr("xpath_long(x, '/ROW/c')").as("c_xp"),
+        expr("xpath_string(x, '/ROW/@t')").as("t_xp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").getField("u")).as("sum_u"),
+        sum(col("p").getField("c")).as("sum_cents"),
+        sum(col("u_xp")).as("sum_u_xp"),
+        sum(col("c_xp")).as("sum_cents_xp"),
+        count(when(col("t_xp") === col("event_type"), 1))
+          .as("n_attr_match"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q275Sql =
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_u,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_u_xp,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS sum_cents_xp,
+      |  count(*) AS n_attr_match
+      |FROM events WHERE event_id <= 4000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------- q276
+  /** Collation battery (Spark 4 collated strings): market segments are
+    * re-cased three ways by key (UPPER / lower / Initcap), then grouped
+    * and compared under the UTF8_LCASE collation — grouping, equality,
+    * startswith, and min/max ordering must all be case-insensitive.
+    * Outputs are collation-canonicalized (lower of the representative)
+    * so the emitted value is deterministic regardless of which case
+    * variant a group keeps. DuckDB restates with lower() (fixtures are
+    * pure ASCII, so lowercase-fold semantics coincide exactly).
+    * Collation is a comparator property, not a plan property — same
+    * hash-aggregate shuffle as any groupBy at 100 TB. */
+  private def q276Collation(s: SparkSession, dir: String): DataFrame = {
+    val mixed = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        when(col("c_custkey") % 3 === 0, upper(col("c_mktsegment")))
+          .when(col("c_custkey") % 3 === 1, lower(col("c_mktsegment")))
+          .otherwise(initcap(lower(col("c_mktsegment")))).as("seg"))
+    val ci = collate(col("seg"), "UTF8_LCASE")
+    mixed.groupBy(ci.as("seg_ci"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("seg")).as("n_case_variants"),
+        count(when(ci.startsWith(lit("au")), 1)).as("n_starts_au"),
+        count(when(ci === lit("machinery"), 1)).as("n_eq_machinery"),
+        lower(min(col("seg"))).as("min_variant_lc"))
+      .select(lower(col("seg_ci").cast("string")).as("segment"),
+        col("n"), col("n_case_variants"), col("n_starts_au"),
+        col("n_eq_machinery"), col("min_variant_lc"))
+      .orderBy(col("segment"))
+  }
+
+  private val q276Sql =
+    """WITH m AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+      |         WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+      |         ELSE concat(upper(substr(lower(c_mktsegment), 1, 1)),
+      |                     substr(lower(c_mktsegment), 2)) END AS seg
+      |  FROM customer)
+      |SELECT lower(seg) AS segment, count(*) AS n,
+      |  count(DISTINCT seg) AS n_case_variants,
+      |  count(*) FILTER (lower(seg) LIKE 'au%') AS n_starts_au,
+      |  count(*) FILTER (lower(seg) = 'machinery') AS n_eq_machinery,
+      |  lower(min(seg)) AS min_variant_lc
+      |FROM m GROUP BY lower(seg) ORDER BY segment""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_xml_battery" -> (q275XmlBattery _),
+    "q276_collation" -> (q276Collation _),
     "q273_bucketed_diff" -> (q273BucketedDiff _),
     "q187_table_checksum" -> (q187TableChecksum _),
     "q146_json_battery" -> (q146JsonBattery _),
@@ -3154,6 +3255,8 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q275_xml_battery" -> q275Sql,
+    "q276_collation" -> q276Sql,
     "q273_bucketed_diff" -> q273Sql,
     "q187_table_checksum" -> q187Sql,
     "q146_json_battery" -> q146Sql,

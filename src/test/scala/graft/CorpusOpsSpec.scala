@@ -782,4 +782,49 @@ class CorpusOpsSpec extends SparkSpec {
     got.length shouldBe 1 // only the (1,2) pair shares rare terms
     got.head shouldBe ((1L, 2L, 3L, 3L, 3L, 1.0))
   }
+
+  // ------------------------------------------- CIDR longest-prefix match
+
+  test("ipv4ToLong parses valid quads and NULLs malformed input") {
+    import graft.operators.WebFilter
+    val df = Seq("10.0.0.1", "255.255.255.255", "0.0.0.0",
+      "10.999.0.1", "1.2.3", "1.2.3.4.5", "a.b.c.d", "10..0.1")
+      .toDF("ip")
+      .select(col("ip"), WebFilter.ipv4ToLong(col("ip")).as("v"))
+    val m = df.collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    m("10.0.0.1") shouldBe Some((10L << 24) + 1)
+    m("255.255.255.255") shouldBe Some((1L << 32) - 1)
+    m("0.0.0.0") shouldBe Some(0L)
+    m("10.999.0.1") shouldBe None // octet out of range
+    m("1.2.3") shouldBe None // wrong arity
+    m("1.2.3.4.5") shouldBe None
+    m("a.b.c.d") shouldBe None
+    m("10..0.1") shouldBe None
+  }
+
+  test("longestPrefixMatch picks the most specific rule and keeps misses") {
+    import graft.operators.WebFilter
+    val ips = Seq(
+      (1L, Some((10L << 24) + (5L << 16) + (3L << 8) + 9)), // /24 wins
+      (2L, Some((10L << 24) + (5L << 16) + (9L << 8) + 1)), // /16 wins
+      (3L, Some((10L << 24) + (200L << 16))),               // /8 only
+      (4L, Some(11L << 24)),                                // no rule
+      (5L, None))                                           // unparseable
+      .toDF("id", "ip_long")
+    val rules = Seq(
+      ((10L << 24), 8),
+      ((10L << 24) + (5L << 16), 16),
+      ((10L << 24) + (5L << 16) + (3L << 8), 24))
+      .toDF("net_long", "prefix_len")
+    val got = WebFilter.longestPrefixMatch(ips, "ip_long", rules)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    got(1L) shouldBe Some(24)
+    got(2L) shouldBe Some(16)
+    got(3L) shouldBe Some(8)
+    got(4L) shouldBe None // kept, unmatched
+    got(5L) shouldBe None // kept, unparseable
+    got.size shouldBe 5
+  }
 }
