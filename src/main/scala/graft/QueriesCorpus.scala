@@ -1211,6 +1211,206 @@ object QueriesCorpus {
       |  count(ip_long) AS n_parsed
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------- q279
+  /** Heaps'-law vocabulary growth curve (Heaps 1978): distinct-type
+    * and token counts over the first-N-docs prefix at geometric
+    * checkpoints — the corpus diagnostic behind "how much more data
+    * until the tokenizer's vocab saturates". Distributed shape: one
+    * aggregate to each token's FIRST-SEEN doc (min doc_id), a
+    * when-chain bucket to its covering checkpoint (map-side, no
+    * non-equi join against data), then a ≤10×10 bounded triangle join
+    * for the prefix sums — the cumulative never sorts or windows the
+    * token stream. Type-token ratio is the single guarded division
+    * (exact-int inputs, one correctly-rounded op both engines). */
+  private def q279HeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L,
+      4096L, 8192L)
+    def bucket(c: Column): Column =
+      cps.tail.foldLeft(when(c <= cps.head, lit(cps.head))) {
+        (acc, cp) => acc.when(c <= cp, lit(cp))
+      } // falls through to NULL beyond the last checkpoint
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("tok"))
+    val newTypes = toks.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("fd"))
+      .groupBy(bucket(col("fd")).as("b"))
+      .agg(count(lit(1)).as("nv"))
+    val newToks = toks.groupBy(bucket(col("doc_id")).as("b"))
+      .agg(count(lit(1)).as("nt"))
+    val cpsDf = cps.toDF("cp")
+    val vocabCum = cpsDf.join(newTypes, col("b") <= col("cp"), "left")
+      .groupBy(col("cp")).agg(coalesce(sum(col("nv")), lit(0L)).as("vocab"))
+    val tokCum = cpsDf.join(newToks, col("b") <= col("cp"), "left")
+      .groupBy(col("cp"))
+      .agg(coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))
+    vocabCum.join(tokCum, Seq("cp"))
+      .select(col("cp").as("n_docs"), col("vocab"), col("n_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("vocab").cast("double") /
+            col("n_tokens").cast("double")).as("ttr"))
+      .orderBy(col("n_docs"))
+  }
+
+  private val q279Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok0
+      |  FROM documents),
+      |toks AS (SELECT doc_id, lower(tok0) AS tok FROM raw),
+      |fs AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY 1),
+      |cps AS (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048,
+      |  4096, 8192]) AS cp),
+      |agg AS (
+      |  SELECT cp,
+      |    (SELECT count(*) FROM fs WHERE fd <= cp) AS vocab,
+      |    (SELECT count(*) FROM toks WHERE doc_id <= cp) AS n_tokens
+      |  FROM cps)
+      |SELECT cp AS n_docs, CAST(vocab AS BIGINT) AS vocab,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CASE WHEN n_tokens = 0 THEN 0.0
+      |    ELSE CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |  END AS ttr
+      |FROM agg ORDER BY n_docs""".stripMargin
+
+  // -------------------------------------------------------------- q280
+  /** Reciprocal-rank fusion (Retrieval.rrfFuse; Cormack et al., SIGIR
+    * 2009) of a lexical and a vector retriever — the standard hybrid-
+    * search merge. List A ranks docs by exact tf of the probe token
+    * 'the'; list B by exact int8-quantized dot product against the
+    * vec_id-1 query embedding (both rankings bounded-heap top-20,
+    * ties id-desc like q39). Fused score 1/(60+rA) + 1/(60+rB) — a
+    * two-term IEEE sum (commutative, so the sorted fold and the
+    * oracle's fixed-order add are bit-identical). Candidate lists are
+    * top-bounded, so fusion cost is list-sized at any corpus scale. */
+  private def q280RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import graft.operators.{Retrieval, Similarity}
+    def top20(scored: DataFrame, scoreCol: String): DataFrame = {
+      val item = struct(col(scoreCol), col("id"))
+      scored.agg(ColumnBridge.collectTopK(item, 20, reverse = false)
+          .as("__tk"))
+        .select(posexplode(col("__tk")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"))
+    }
+    val tf = docs(s, dir)
+      .select(col("doc_id").as("id"),
+        explode(TA.tokens(col("text"))).as("tok"))
+      .filter(lower(col("tok")) === "the")
+      .groupBy(col("id")).agg(count(lit(1)).as("tf"))
+    val listA = top20(tf, "tf")
+    val qv = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 1)
+      .select(Similarity.quantizeInt8(col("embedding")).getField("q")
+        .as("qq")) // 1-row scalar frame
+    val dots = Tables.load(s, dir, "embeddings")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("id"),
+        aggregate(zip_with(
+            Similarity.quantizeInt8(col("embedding")).getField("q"),
+            col("qq"), (a, b) => a.cast("long") * b),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+    val listB = top20(dots, "dot")
+    Retrieval.rrfFuse(Seq(listA, listB), "doc_id", k = 10)
+      .select(col("doc_id"), col("rrf"), col("n_lists"))
+  }
+
+  private val q280Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok0
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, count(*) AS tf FROM raw
+      |  WHERE lower(tok0) = 'the' GROUP BY 1),
+      |ra AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY tf DESC, doc_id DESC) AS r
+      |  FROM tf QUALIFY r <= 20),
+      |e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, e,
+      |    list_max(list_transform(e, x -> abs(x))) AS scale
+      |  FROM e),
+      |qt AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0
+      |      THEN list_transform(e, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(e,
+      |        x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+      |    END AS qv
+      |  FROM sc),
+      |qq AS (SELECT qv AS qq FROM qt WHERE vec_id = 1),
+      |dots AS (
+      |  SELECT t.vec_id,
+      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |      i -> t.qv[i] * q.qq[i])) AS BIGINT) AS dot
+      |  FROM qt t, qq q),
+      |rb AS (
+      |  SELECT vec_id AS doc_id,
+      |    row_number() OVER (ORDER BY dot DESC, vec_id DESC) AS r
+      |  FROM dots QUALIFY r <= 20),
+      |f AS (
+      |  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+      |    coalesce(1.0 / (60 + ra.r), 0.0)
+      |      + coalesce(1.0 / (60 + rb.r), 0.0) AS rrf,
+      |    (CASE WHEN ra.r IS NULL THEN 0 ELSE 1 END
+      |      + CASE WHEN rb.r IS NULL THEN 0 ELSE 1 END) AS n_lists
+      |  FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id)
+      |SELECT doc_id, rrf, CAST(n_lists AS BIGINT) AS n_lists
+      |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------- q281
+  /** Multinomial Naive Bayes model (Vocab.naiveBayesCounts): the exact
+    * integer training artifact — per-(lang, token) counts, class
+    * totals, vocab size, and the Laplace-smoothed P(token|lang) as its
+    * rational (cnt+1)/(total+V) pair. Gate emits each class's top-5
+    * tokens via a CLASS-partitioned ranking window (never global).
+    * Log-space scoring is deliberately not gated (transcendental —
+    * the q60 rule). */
+  private def q281NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("token"))
+    Vocab.naiveBayesCounts(docs(s, dir), "lang", "text")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("token"), col("cnt"),
+        col("cls_total"), col("vocab_size"), col("p_num"), col("p_den"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  private val q281Sql =
+    """WITH raw AS (
+      |  SELECT lang,
+      |    unnest(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok0
+      |  FROM documents),
+      |counts AS (
+      |  SELECT lang, lower(tok0) AS token, count(*) AS cnt
+      |  FROM raw GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS cls_total
+      |  FROM counts GROUP BY 1),
+      |v AS (SELECT count(DISTINCT token) AS vocab_size FROM counts),
+      |ranked AS (
+      |  SELECT lang, token, cnt,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY cnt DESC, token) AS rank
+      |  FROM counts)
+      |SELECT r.lang, CAST(r.rank AS BIGINT) AS rank, r.token, r.cnt,
+      |  t.cls_total, CAST(v.vocab_size AS BIGINT) AS vocab_size,
+      |  r.cnt + 1 AS p_num,
+      |  t.cls_total + v.vocab_size AS p_den
+      |FROM ranked r JOIN totals t USING (lang), v
+      |WHERE r.rank <= 5 ORDER BY lang, rank""".stripMargin
+
   // -------------------------------------------------------------- q246
   /** Skip-gram co-occurrence with lift (Vocab.cooccurrence): ±2
     * forward window via lead() columns (linear, no positional
@@ -1466,6 +1666,9 @@ object QueriesCorpus {
     "q237_rag_chunks" -> (q237RagChunks _),
     "q239_domain_blocklist" -> (q239DomainBlocklist _),
     "q277_cidr_lpm" -> (q277CidrLpm _),
+    "q279_heaps_law" -> (q279HeapsLaw _),
+    "q280_rrf_fusion" -> (q280RrfFusion _),
+    "q281_naive_bayes" -> (q281NaiveBayes _),
     "q246_cooccurrence" -> (q246Cooccurrence _),
     "q247_inverted_index" -> (q247InvertedIndex _),
     "q249_feature_hashing" -> (q249FeatureHashing _),
@@ -1505,6 +1708,9 @@ object QueriesCorpus {
     "q237_rag_chunks" -> q237Sql,
     "q239_domain_blocklist" -> q239Sql,
     "q277_cidr_lpm" -> q277Sql,
+    "q279_heaps_law" -> q279Sql,
+    "q280_rrf_fusion" -> q280Sql,
+    "q281_naive_bayes" -> q281Sql,
     "q246_cooccurrence" -> q246Sql,
     "q247_inverted_index" -> q247Sql,
     "q249_feature_hashing" -> q249Sql,

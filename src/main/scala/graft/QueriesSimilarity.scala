@@ -523,7 +523,51 @@ object QueriesSimilarity {
        |ORDER BY query_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- q278
+  /** Distributed Gram matrix (Pca.gramMatrixInt8) — the data-sized half
+    * of uncentered PCA: X᙮X over int8-quantized embeddings, every
+    * entry an exact partitioning-invariant BIGINT. The d²/2 per-row
+    * pair fan-out is the irreducible FLOP count of a Gram product;
+    * hash aggregation collapses it map-side so the only shuffle
+    * carries ≤ d²/2 rows per task. The driver-side eigensolve half
+    * (Pca.topEigen — contract-bounded d² collect, the spark.ml PCA
+    * split) is pinned by SimilaritySpec on a known-axis fixture; no
+    * cross-engine contract exists for iterated float math, so the gate
+    * row is the exact matrix itself, as the i ≤ j triangle. */
+  private def q278GramMatrix(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pca
+    Pca.gramMatrixInt8(
+        emb(s, dir).filter(col("vec_id") < 400).select(col("e")), "e")
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val q278Sql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings WHERE vec_id < 400),
+      |sc AS (
+      |  SELECT vec_id, e,
+      |    list_max(list_transform(e, x -> abs(x))) AS scale
+      |  FROM e),
+      |qt AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+      |    ELSE list_transform(e,
+      |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) END AS qv
+      |  FROM sc),
+      |pairs AS (
+      |  SELECT ii.i AS i, jj.j AS j
+      |  FROM (SELECT unnest(generate_series(0, 63)) AS i) ii,
+      |       (SELECT unnest(generate_series(0, 63)) AS j) jj
+      |  WHERE jj.j >= ii.i)
+      |SELECT p.i, p.j,
+      |  CAST(sum(q.qv[p.i + 1] * q.qv[p.j + 1]) AS BIGINT) AS g
+      |FROM qt q, pairs p
+      |GROUP BY p.i, p.j ORDER BY i, j""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_gram_matrix" -> (q278GramMatrix _),
     "q219_knn_eval" -> (q219KnnEval _),
     "q224_ann_recall" -> (q224AnnRecall _),
     "q95_array_ops" -> (q95ArrayOps _),
@@ -537,6 +581,7 @@ object QueriesSimilarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q278_gram_matrix" -> q278Sql,
     "q219_knn_eval" -> q219Sql,
     "q224_ann_recall" -> q224Sql,
     "q95_array_ops" -> q95Sql,

@@ -277,4 +277,34 @@ object Retrieval {
     stats.join(head, Seq("term"))
       .select(col("term"), col("df"), col("tf"), col("postings_head"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * merge ranked lists from heterogeneous retrievers (lexical +
+    * vector, typically) by score(d) = Σ_lists 1/(c + rank_list(d)),
+    * summing only over lists containing d. Each input is (idCol,
+    * `rank`) with rank 1 = best. The per-list contributions fold in
+    * SORTED order (the q60 rule) so the double sum is association-
+    * deterministic for any list count; the final top-k is a global
+    * TakeOrderedAndProject (bounded heap, no full sort). Union +
+    * one grouping shuffle over the CANDIDATE lists only — inputs are
+    * already top-bounded per retriever, so this never touches corpus
+    * scale.
+    * @return (<idCol>, rrf, n_lists) — the fused top-k, best first;
+    *   ties cut by id ascending */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+      c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val tagged = rankings
+      .map(_.select(col(idCol).as("__id"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank").cast("double")))
+          .as("__s")))
+      .reduce(_ unionAll _)
+    tagged.groupBy(col("__id"))
+      .agg(aggregate(sort_array(collect_list(col("__s"))), lit(0.0),
+          (acc, x) => acc + x).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col("__id"))
+      .limit(k)
+      .select(col("__id").as(idCol), col("rrf"), col("n_lists"))
+  }
 }

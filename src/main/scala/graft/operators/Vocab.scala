@@ -145,4 +145,33 @@ object Vocab {
       .orderBy(col("c_xy").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Multinomial Naive Bayes trainer (the classic text-classification
+    * baseline, McCallum & Nigam AAAI-98 workshop form): per-(class,
+    * token) counts, per-class token totals, and the global vocabulary
+    * size — everything an argmax_c P(c)·Π P(t|c) scorer needs. All
+    * EXACT integers: the Laplace-smoothed P(t|c) = (cnt+1)/(total+V)
+    * is emitted as its rational numerator/denominator pair, because
+    * the log-space scoring step has no cross-engine bit contract
+    * (q60's transcendental territory) — downstream takes the logs.
+    * Two hash aggregates (token stream → (class, token); counts →
+    * class totals) plus a 1-row vocab-size broadcast; the shuffle
+    * carries one row per distinct (class, token), never the stream. */
+  def naiveBayesCounts(docs: DataFrame, classCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(classCol).as("__cls"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(col("__cls"), lower(col("__tok")).as("__tok"))
+    val counts = toks.groupBy(col("__cls"), col("__tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("__cls"))
+      .agg(sum(col("cnt")).as("cls_total"))
+    val vocab = counts.select(col("__tok")).distinct()
+      .agg(count(lit(1)).as("vocab_size")) // 1-row scalar frame
+    counts.join(totals, Seq("__cls")).crossJoin(broadcast(vocab))
+      .select(col("__cls").as(classCol), col("__tok").as("token"),
+        col("cnt"), col("cls_total"), col("vocab_size"),
+        (col("cnt") + 1).as("p_num"),
+        (col("cls_total") + col("vocab_size")).as("p_den"))
+  }
 }

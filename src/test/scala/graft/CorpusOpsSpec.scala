@@ -827,4 +827,41 @@ class CorpusOpsSpec extends SparkSpec {
     got(5L) shouldBe None // kept, unparseable
     got.size shouldBe 5
   }
+
+  // -------------------------------------------------- RRF / Naive Bayes
+
+  test("rrfFuse: sums only over lists containing the doc, ties by id") {
+    import graft.operators.Retrieval
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "doc_id", k = 10, c = 60)
+      .as[(Long, Double, Long)].collect()
+    val m = got.map(r => r._1 -> r._2).toMap
+    m(20L) shouldBe (1.0 / 62 + 1.0 / 61) // both lists
+    m(10L) shouldBe 1.0 / 61
+    m(40L) shouldBe 1.0 / 62
+    m(30L) shouldBe 1.0 / 63
+    got.map(_._1).toSeq shouldBe Seq(20L, 10L, 40L, 30L) // fused order
+    got.find(_._1 == 20L).get._3 shouldBe 2L // n_lists
+  }
+
+  test("naiveBayesCounts: exact counts, totals, vocab, rational P") {
+    import graft.operators.Vocab
+    val docsDf = Seq(
+      ("en", "the cat the dog"), ("en", "the fish"),
+      ("de", "der hund")).toDF("lang", "text")
+    val got = Vocab.naiveBayesCounts(docsDf, "lang", "text")
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // vocab = {the, cat, dog, fish, der, hund} = 6
+    got(("en", "the"))._3 shouldBe 3L  // cnt
+    got(("en", "the"))._4 shouldBe 6L  // en total tokens
+    got(("en", "the"))._5 shouldBe 6L  // vocab size
+    got(("en", "the"))._6 shouldBe 4L  // p_num = cnt+1
+    got(("en", "the"))._7 shouldBe 12L // p_den = 6+6
+    got(("de", "der"))._4 shouldBe 2L
+    got(("de", "der"))._6 shouldBe 2L
+    got(("de", "der"))._7 shouldBe 8L
+    got.size shouldBe 6
+  }
 }

@@ -467,4 +467,52 @@ class SimilaritySpec extends SparkSpec {
     out shouldBe Seq((1L, 4300L, "link"), (3L, 4000L, "possible"),
       (5L, -1300L, "nonlink"), (7L, 3700L, "possible"))
   }
+
+  // ------------------------------------------------------------- Pca
+
+  test("gramMatrixInt8: exact triangle, partitioning-invariant") {
+    import graft.operators.Pca
+    // vectors quantize exactly: components are k/127-scaled already
+    val rows = Seq(
+      Array(127.0f, 0.0f, 127.0f),
+      Array(0.0f, 127.0f, 0.0f),
+      Array(127.0f, 127.0f, 0.0f)).map(Tuple1(_))
+    val df = rows.toDF("v")
+    val g1 = Pca.gramMatrixInt8(df.repartition(1), "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val g7 = Pca.gramMatrixInt8(df.repartition(7), "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    g1 shouldBe g7
+    val s = 127L * 127L
+    g1((0, 0)) shouldBe 2 * s // rows 1 and 3 have x=127
+    g1((0, 1)) shouldBe s     // row 3 only
+    g1((0, 2)) shouldBe s     // row 1 only
+    g1((1, 1)) shouldBe 2 * s
+    g1((1, 2)) shouldBe 0L
+    g1((2, 2)) shouldBe s
+    g1.size shouldBe 6
+  }
+
+  test("topEigen: recovers the known principal axis of rank-1 data") {
+    import graft.operators.Pca
+    // every row is k·(3,4): Gram = Σk² · [[9,12],[12,16]], top
+    // eigenvector (0.6, 0.8), eigenvalue 25·Σk²
+    val sumK2 = (1 to 5).map(k => k.toLong * k).sum
+    val triangle = Array(
+      (0, 0, 9 * sumK2), (0, 1, 12 * sumK2), (1, 1, 16 * sumK2))
+    val (lambda, v) = Pca.topEigen(triangle)
+    lambda shouldBe (25.0 * sumK2) +- 1e-6
+    v(0) shouldBe 0.6 +- 1e-9
+    v(1) shouldBe 0.8 +- 1e-9
+  }
+
+  test("topEigen: sign fix and zero matrix") {
+    import graft.operators.Pca
+    val (l0, v0) = Pca.topEigen(Array((0, 0, 0L), (0, 1, 0L), (1, 1, 0L)))
+    l0 shouldBe 0.0
+    v0.length shouldBe 2
+    // dominant axis along -e1 direction data still yields positive rep
+    val (_, v1) = Pca.topEigen(Array((0, 0, 100L), (0, 1, 0L), (1, 1, 1L)))
+    v1(0) should be > 0.0
+  }
 }
