@@ -3171,7 +3171,126 @@ object QueriesAnalytics {
       |  CAST(sum(scc) AS BIGINT) AS sum_scc_id
       |FROM sizes GROUP BY 1 ORDER BY scc_size""".stripMargin
 
+  // -------------------------------------------------------------- q282
+  /** Newman modularity of a given partition (Graph.modularity) — the
+    * community-quality score for LPA/CC output, gated here on the
+    * deterministic attribute partition node % 50 over the q88 edge
+    * fixture. Everything upstream of the one division is exact BIGINT
+    * (e_c, d_c, 4m·e_c − d_c² over 4m²), so the score is
+    * partitioning-invariant and the oracle restates it as plain joins.
+    * The operator's overflow budget (m ≤ 1.5e9) is a require, not a
+    * silent wrap. */
+  private def q282Modularity(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    val assign = Graph.canonicalEdges(e, "src", "dst")
+      .select(explode(array(col("u"), col("v"))).as("node")).distinct()
+      .select(col("node"), (col("node") % 50).as("comm"))
+    Graph.modularity(e, "src", "dst", assign, "node", "comm")
+      .orderBy(col("comm"))
+  }
+
+  private val q282Sql =
+    """WITH raw AS (
+      |  SELECT l_orderkey % 20000 AS s, (l_partkey * 7) % 20000 AS d
+      |  FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+      |  FROM raw WHERE least(s, d) IS NOT NULL
+      |    AND least(s, d) != greatest(s, d)),
+      |m AS (SELECT count(*) AS m FROM e),
+      |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+      |sizes AS (
+      |  SELECT node % 50 AS comm, count(*) AS n_nodes
+      |  FROM nodes GROUP BY 1),
+      |intra AS (
+      |  SELECT u % 50 AS comm, count(*) AS intra_edges
+      |  FROM e WHERE u % 50 = v % 50 GROUP BY 1),
+      |deg AS (
+      |  SELECT node % 50 AS comm, count(*) AS degree_sum
+      |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY 1)
+      |SELECT s.comm, s.n_nodes,
+      |  coalesce(i.intra_edges, 0) AS intra_edges,
+      |  coalesce(d.degree_sum, 0) AS degree_sum,
+      |  4 * m.m * coalesce(i.intra_edges, 0)
+      |    - coalesce(d.degree_sum, 0) * coalesce(d.degree_sum, 0)
+      |    AS q_num,
+      |  CAST(4 * m.m * coalesce(i.intra_edges, 0)
+      |    - coalesce(d.degree_sum, 0) * coalesce(d.degree_sum, 0)
+      |    AS DOUBLE) / (4.0 * m.m * m.m) AS contribution
+      |FROM sizes s LEFT JOIN deg d USING (comm)
+      |  LEFT JOIN intra i USING (comm), m
+      |ORDER BY comm""".stripMargin
+
+  // -------------------------------------------------------------- q284
+  /** Grid-density clustering (Clustering.gridDbscan) — the distributed
+    * DBSCAN approximation: density per grid cell, clusters = connected
+    * core cells (8-neighborhood, min-cell-id label), border points
+    * take the minimum adjacent core cluster, the rest is noise. The
+    * whole plan is hash aggregates + ≤9× bounded neighbor fan-out +
+    * the Dedup CC loop — no distance self-join at any scale. Gate
+    * clusters events in (value, user_id) space and emits per-cluster
+    * population counts; the oracle replays the grid, the recursive
+    * min-label closure, and the border rule in exact integers. */
+  private def q284GridDbscan(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Clustering
+    val pts = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("value"),
+        col("user_id").cast("double").as("y"))
+    Clustering.gridDbscan(pts, "event_id", "value", "y",
+        cell = 10.0, minPts = 120L)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        count_distinct(col("cx") * 10000 + col("cy")).as("n_cells"))
+      .orderBy(col("cluster"))
+  }
+
+  private val q284Sql =
+    """WITH RECURSIVE pts AS (
+      |  SELECT event_id,
+      |    CAST(floor(value / 10.0) AS BIGINT) AS cx,
+      |    CAST(floor(CAST(user_id AS DOUBLE) / 10.0) AS BIGINT) AS cy
+      |  FROM events),
+      |cells AS (
+      |  SELECT cx, cy, count(*) AS n,
+      |    (cx + 1073741824) * 2147483648 + (cy + 1073741824) AS cell
+      |  FROM pts GROUP BY 1, 2),
+      |core AS (SELECT cx, cy, cell FROM cells WHERE n >= 120),
+      |adj AS (
+      |  SELECT a.cell AS c1, b.cell AS c2
+      |  FROM core a JOIN core b
+      |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+      |    AND a.cell != b.cell),
+      |reach AS (
+      |  SELECT cell AS node, cell AS lbl FROM core
+      |  UNION
+      |  SELECT a.c2 AS node, r.lbl
+      |  FROM reach r JOIN adj a ON a.c1 = r.node),
+      |lab AS (
+      |  SELECT c.cx, c.cy, min(r.lbl) AS cl
+      |  FROM core c JOIN reach r ON r.node = c.cell
+      |  GROUP BY 1, 2),
+      |near AS (
+      |  SELECT p.cx, p.cy, min(l.cl) AS near_cl
+      |  FROM (SELECT DISTINCT cx, cy FROM pts) p
+      |  JOIN lab l
+      |    ON abs(l.cx - p.cx) <= 1 AND abs(l.cy - p.cy) <= 1
+      |  GROUP BY 1, 2),
+      |labeled AS (
+      |  SELECT p.event_id,
+      |    coalesce(o.cl, n.near_cl, -1) AS cluster, p.cx, p.cy
+      |  FROM pts p
+      |  LEFT JOIN lab o ON o.cx = p.cx AND o.cy = p.cy
+      |  LEFT JOIN near n ON n.cx = p.cx AND n.cy = p.cy)
+      |SELECT cluster, count(*) AS n_points,
+      |  count(DISTINCT cx * 10000 + cy) AS n_cells
+      |FROM labeled GROUP BY 1 ORDER BY cluster""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_modularity" -> (q282Modularity _),
+    "q284_grid_dbscan" -> (q284GridDbscan _),
     "q274_scc" -> (q274Scc _),
     "q271_hits" -> (q271Hits _),
     "q204_roc_auc" -> (q204RocAuc _),
@@ -3249,6 +3368,8 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q282_modularity" -> q282Sql,
+    "q284_grid_dbscan" -> q284Sql,
     "q274_scc" -> q274Sql,
     "q271_hits" -> q271Sql,
     "q204_roc_auc" -> q204Sql,

@@ -391,7 +391,46 @@ object QueriesCoverage {
       |      ELSE 'low' END) = b.band
       |GROUP BY b.band, b.ord ORDER BY b.ord""".stripMargin
 
+  // -------------------------------------------------------------- q283
+  /** Typed Dataset API battery — the Dataset[T]/Encoder surface: as[T]
+    * over a case class, a typed filter lambda, groupByKey on a tuple
+    * key, and THREE custom `Aggregator`s (count / exact-cents sum /
+    * max) composed through KeyValueGroupedDataset.agg. Everything the
+    * lambdas compute is integer-exact (math.round(x·100) ==
+    * floor(x·100+0.5), restated verbatim in the oracle). Scale note,
+    * and the reason this stays one row rather than a style: typed
+    * lambdas deserialize every row out of Tungsten and stay OUTSIDE
+    * whole-stage codegen — the battery pins that the API works, while
+    * the rest of the registry demonstrates the codegen'd column path
+    * a 100 TB job should prefer. Aggregators themselves merge
+    * map-side like any agg. */
+  private def q283TypedDataset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity").as("qty"),
+        col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .as[TypedLi]
+    ds.filter((r: TypedLi) => r.qty > 10.0)
+      .groupByKey(r => (r.flag, r.status))
+      .agg(TypedCount.toColumn.name("n"),
+        TypedCentsSum.toColumn.name("qty_cents"),
+        TypedMaxOkey.toColumn.name("max_okey"))
+      .select(col("key._1").as("flag"), col("key._2").as("status"),
+        col("n"), col("qty_cents"), col("max_okey"))
+      .orderBy(col("flag"), col("status"))
+  }
+
+  private val q283Sql =
+    """SELECT l_returnflag AS flag, l_linestatus AS status,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS qty_cents,
+      |  max(l_orderkey) AS max_okey
+      |FROM lineitem WHERE l_quantity > 10.0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_typed_dataset" -> (q283TypedDataset _),
     "q272_sql_udf" -> (q272SqlUdf _),
     "q98_encoding_config" -> (q98Encoding _),
     "q33_row_slice" -> (q33RowSlice _),
@@ -407,6 +446,7 @@ object QueriesCoverage {
 
   val oracles: Map[String, String] = Map(
     "q272_sql_udf" -> q272Sql,
+    "q283_typed_dataset" -> q283Sql,
     "q33_row_slice" -> q33Sql,
     "q34_header_norm" -> q34Sql,
     "q35_projection" -> q35Sql,
@@ -418,4 +458,46 @@ object QueriesCoverage {
     "q53_rejected_rows" -> q53Sql,
     "q103_observer_events" -> q103Sql,
   )
+}
+
+/** Typed row for q283's Dataset battery (top-level so its Encoder
+  * derives without an outer-scope capture). */
+case class TypedLi(okey: Long, qty: Double, flag: String, status: String)
+
+/** Exact integer-cents sum: math.round(x·100) == floor(x·100 + 0.5),
+  * restated verbatim in q283's oracle. */
+object TypedCentsSum
+    extends org.apache.spark.sql.expressions.Aggregator[TypedLi, Long, Long] {
+  def zero: Long = 0L
+  def reduce(b: Long, r: TypedLi): Long = b + math.round(r.qty * 100)
+  def merge(a: Long, b: Long): Long = a + b
+  def finish(b: Long): Long = b
+  def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+  def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+}
+
+object TypedCount
+    extends org.apache.spark.sql.expressions.Aggregator[TypedLi, Long, Long] {
+  def zero: Long = 0L
+  def reduce(b: Long, r: TypedLi): Long = b + 1
+  def merge(a: Long, b: Long): Long = a + b
+  def finish(b: Long): Long = b
+  def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+  def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+}
+
+object TypedMaxOkey
+    extends org.apache.spark.sql.expressions.Aggregator[TypedLi, Long, Long] {
+  def zero: Long = Long.MinValue
+  def reduce(b: Long, r: TypedLi): Long = math.max(b, r.okey)
+  def merge(a: Long, b: Long): Long = math.max(a, b)
+  def finish(b: Long): Long = b
+  def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
+  def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    org.apache.spark.sql.Encoders.scalaLong
 }

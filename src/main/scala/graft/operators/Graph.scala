@@ -906,4 +906,58 @@ object Graph {
       e.unpersist(blocking = false)
     }
   }
+
+  /** Newman modularity of a GIVEN node partition (Newman & Girvan
+    * 2004) — the quality score for communities from LPA/CC/attribute
+    * grouping: Q = Σ_c [e_c/m − (d_c/2m)²] over the canonical
+    * undirected edge set. Everything upstream of the final division is
+    * EXACT integer arithmetic: per-community intra-edge counts e_c,
+    * degree sums d_c, and the numerator contribution
+    * 4m·e_c − d_c² over the common denominator 4m² — so the score is
+    * partitioning-invariant and oracle-exact. Overflow budget:
+    * requires m ≤ 1.5e9 (then d_c ≤ 2m keeps d_c² and 4m² under
+    * 2⁶³); beyond that, rerun per community subset or lift q_num to
+    * DECIMAL — enforced by a require, not silent wrap.
+    *
+    * Shape at scale: two edge→assignment equi-joins (the assignment
+    * re-partitions by node once), two community-sized aggregates, and
+    * a 1-row m broadcast. Nodes missing from `assignment` drop with
+    * their edges (document-your-input contract).
+    * @return per community: (<commCol>, n_nodes, intra_edges,
+    *   degree_sum, q_num, contribution) with contribution =
+    *   q_num / 4m² the single float op */
+  def modularity(edges: DataFrame, src: String, dst: String,
+      assignment: DataFrame, nodeCol: String, commCol: String)
+      : DataFrame = {
+    val e = canonicalEdges(edges, src, dst)
+    val a = assignment.select(col(nodeCol).as("__n"),
+      col(commCol).as("__c")).distinct()
+    val labeled = e
+      .join(a.select(col("__n").as("u"), col("__c").as("__cu")), Seq("u"))
+      .join(a.select(col("__n").as("v"), col("__c").as("__cv")), Seq("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // materializes the cache; m is a bounded driver scalar (one long)
+    val m = labeled.count()
+    require(m <= 1500000000L,
+      s"modularity overflow budget: m = $m > 1.5e9 (see scaladoc)")
+    val intra = labeled.filter(col("__cu") === col("__cv"))
+      .groupBy(col("__cu").as("__c"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = labeled.select(col("u").as("__n"), col("__cu").as("__c"))
+      .unionAll(labeled.select(col("v").as("__n"), col("__cv").as("__c")))
+      .groupBy(col("__c")).agg(count(lit(1)).as("degree_sum"))
+    val sizes = a.groupBy(col("__c")).agg(count(lit(1)).as("n_nodes"))
+    sizes
+      .join(deg, Seq("__c"), "left")
+      .join(intra, Seq("__c"), "left")
+      .select(col("__c").as(commCol), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+      .withColumn("q_num",
+        lit(4L) * lit(m) * col("intra_edges") -
+          col("degree_sum") * col("degree_sum"))
+      .withColumn("contribution",
+        col("q_num").cast("double") /
+          (lit(4.0) * lit(m.toDouble) * lit(m.toDouble)))
+  }
 }

@@ -375,4 +375,35 @@ class GraphSpec extends SparkSpec {
     rp.getLong(3) shouldBe 8L
     rp.getDouble(4) shouldBe -1.0 // (32-36)/(40-36)
   }
+
+  test("modularity: two triangles + bridge, hand-computed Q") {
+    import spark.implicits._
+    // triangles {0,1,2} and {3,4,5}, bridge 2-3: m=7,
+    // e_c=3 each, d_c=7 each -> q_num = 4*7*3 - 49 = 35 per community
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 3L)).toDF("s", "d")
+    val a = (0L to 5L).map(n => (n, n / 3)).toDF("node", "comm")
+    val got = Graph.modularity(e, "s", "d", a, "node", "comm")
+      .orderBy("comm")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    got shouldBe Seq(
+      (0L, 3L, 3L, 7L, 35L, 35.0 / 196.0),
+      (1L, 3L, 3L, 7L, 35L, 35.0 / 196.0))
+    // the all-in-one-community partition scores exactly 0
+    val one = (0L to 5L).map(n => (n, 0L)).toDF("node", "comm")
+    Graph.modularity(e, "s", "d", one, "node", "comm")
+      .head().getLong(4) shouldBe 0L // 4*7*7 - 14^2
+  }
+
+  test("modularity: community with no intra edges gets negative q_num") {
+    import spark.implicits._
+    val e = Seq((0L, 1L)).toDF("s", "d")
+    val a = Seq((0L, 10L), (1L, 20L)).toDF("node", "comm")
+    val got = Graph.modularity(e, "s", "d", a, "node", "comm")
+      .orderBy("comm")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    got shouldBe Seq(
+      (10L, 1L, 0L, 1L, -1L, -1.0 / 4.0),
+      (20L, 1L, 0L, 1L, -1L, -1.0 / 4.0))
+  }
 }
