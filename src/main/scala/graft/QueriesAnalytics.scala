@@ -3288,7 +3288,120 @@ object QueriesAnalytics {
       |  count(DISTINCT cx * 10000 + cy) AS n_cells
       |FROM labeled GROUP BY 1 ORDER BY cluster""".stripMargin
 
+  // -------------------------------------------------------------- q285
+  /** Exact trimmed mean (Quantiles.trimmedMeanByGroup): per-priority
+    * order totals in integer cents, lowest/highest 10% of ranks
+    * dropped via the mass-table kept-multiplicity scheme — the robust
+    * location estimate between q77's winsorize (clamp) and q87's
+    * median. Shuffle carries distinct values, never rows; the mean is
+    * the single float division. Oracle ranks rows directly
+    * (row_number ties are interchangeable equal values, so the kept
+    * multiset is identical). */
+  private def q285TrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    Quantiles.trimmedMeanByGroup(v, "o_orderpriority", "cents",
+        trim = 0.1)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q285Sql =
+    """WITH v AS (
+      |  SELECT o_orderpriority,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderpriority, c,
+      |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY c)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM v),
+      |k AS (
+      |  SELECT o_orderpriority, c, n,
+      |    CAST(floor(0.1 * n) AS BIGINT) AS lo
+      |  FROM r WHERE rk > floor(0.1 * n) AND rk <= n - floor(0.1 * n))
+      |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+      |  count(*) AS n_kept,
+      |  CAST(sum(c) AS BIGINT) AS kept_sum,
+      |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS trimmed_mean
+      |FROM k GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------- q288
+  /** Linear interpolation imputation (TimeSeries.interpolateLinear):
+    * per-user event series with every 7th value NULLed, filled by the
+    * two frame-bounded ignoreNulls windows — interior gaps
+    * interpolate, edges LOCF/backfill. The DuckDB oracle has no
+    * IGNORE NULLS, so it restates the neighbors as arg_max/arg_min
+    * joins over the known rows (ORACLE_NOTES rule); the interpolation
+    * itself is four pinned IEEE ops on exact inputs. Gate aggregates
+    * per (user bucket, fill_kind) in integer micro-units to keep the
+    * output compact. */
+  private def q288Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_id") <= 5000)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+    TimeSeries.interpolateLinear(ev, Seq("user_id"), "t", "v")
+      .groupBy((col("user_id") % 10).as("user_bucket"), col("fill_kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v_filled") * 1000000.0 + 0.5).cast("long"))
+          .as("sum_micro"))
+      .orderBy(col("user_bucket"), col("fill_kind"))
+  }
+
+  private val q288Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |  FROM events WHERE event_id <= 5000),
+      |known AS (SELECT user_id, t, v FROM ev WHERE v IS NOT NULL),
+      |prevs AS (
+      |  SELECT e.user_id, e.event_id,
+      |    max(k.t) AS pt, arg_max(k.v, k.t) AS pv
+      |  FROM ev e JOIN known k
+      |    ON k.user_id = e.user_id AND k.t < e.t
+      |  WHERE e.v IS NULL GROUP BY 1, 2),
+      |nexts AS (
+      |  SELECT e.user_id, e.event_id,
+      |    min(k.t) AS nt, arg_min(k.v, k.t) AS nv
+      |  FROM ev e JOIN known k
+      |    ON k.user_id = e.user_id AND k.t > e.t
+      |  WHERE e.v IS NULL GROUP BY 1, 2),
+      |filled AS (
+      |  SELECT e.user_id, e.event_id, e.t, e.v,
+      |    CASE
+      |      WHEN e.v IS NOT NULL THEN e.v
+      |      WHEN p.pt IS NOT NULL AND n.nt IS NOT NULL THEN
+      |        p.pv + (n.nv - p.pv) * (CAST(e.t AS DOUBLE) - p.pt)
+      |          / (CAST(n.nt AS DOUBLE) - p.pt)
+      |      WHEN p.pt IS NOT NULL THEN p.pv
+      |      WHEN n.nt IS NOT NULL THEN n.nv
+      |    END AS v_filled,
+      |    CASE
+      |      WHEN e.v IS NOT NULL THEN 'observed'
+      |      WHEN p.pt IS NOT NULL AND n.nt IS NOT NULL THEN 'interp'
+      |      WHEN p.pt IS NOT NULL THEN 'locf'
+      |      WHEN n.nt IS NOT NULL THEN 'backfill'
+      |      ELSE 'none'
+      |    END AS fill_kind
+      |  FROM ev e
+      |  LEFT JOIN prevs p
+      |    ON p.user_id = e.user_id AND p.event_id = e.event_id
+      |  LEFT JOIN nexts n
+      |    ON n.user_id = e.user_id AND n.event_id = e.event_id)
+      |SELECT user_id % 10 AS user_bucket, fill_kind, count(*) AS n,
+      |  CAST(sum(CAST(floor(v_filled * 1000000.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS sum_micro
+      |FROM filled GROUP BY 1, 2
+      |ORDER BY user_bucket, fill_kind""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_trimmed_mean" -> (q285TrimmedMean _),
+    "q288_interpolate" -> (q288Interpolate _),
     "q282_modularity" -> (q282Modularity _),
     "q284_grid_dbscan" -> (q284GridDbscan _),
     "q274_scc" -> (q274Scc _),
@@ -3368,6 +3481,8 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q285_trimmed_mean" -> q285Sql,
+    "q288_interpolate" -> q288Sql,
     "q282_modularity" -> q282Sql,
     "q284_grid_dbscan" -> q284Sql,
     "q274_scc" -> q274Sql,

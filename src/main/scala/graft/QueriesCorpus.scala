@@ -1411,6 +1411,73 @@ object QueriesCorpus {
       |FROM ranked r JOIN totals t USING (lang), v
       |WHERE r.rank <= 5 ORDER BY lang, rank""".stripMargin
 
+  // -------------------------------------------------------------- q286
+  /** Greedy WordPiece encoding (Vocab.wordpieceEncode) — the BERT
+    * tokenizer's longest-match apply step, run UDF-free as ≤L-round
+    * broadcast joins with max_by argmax and single-char fallback. Gate
+    * encodes every distinct alnum word (≥3 chars, truncated to 14) of
+    * the first 40 docs against a fixed a–z + common-piece vocabulary
+    * and emits the exact piece sequences; the oracle replays greedy
+    * longest-match as a recursive CTE stepping (word, pos) with a
+    * precomputed best-match table. Digits have no vocab entry, so
+    * numeric tokens pin the [UNK] fallback. */
+  private val WpVocab: Seq[String] = {
+    val letters = ('a' to 'z').map(_.toString)
+    letters ++ letters.map("##" + _) ++ Seq(
+      "the", "##ing", "##ed", "##er", "##es", "##s", "an", "##an",
+      "in", "##in", "re", "##re", "th", "##th", "on", "##on",
+      "at", "##at", "he", "##he", "or", "##or", "en", "##en",
+      "nd", "##nd", "st", "##st", "ar", "##ar", "ou", "##ou")
+  }
+
+  private def q286Wordpiece(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir).filter(col("doc_id") < 40)
+      .select(explode(TA.alnumTokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 3)
+      .distinct()
+    val vocab = WpVocab.toDF("piece")
+    Vocab.wordpieceEncode(words, "word", vocab, maxWordLen = 14)
+      .orderBy(col("word"))
+  }
+
+  private val q286Sql = {
+    val vocabValues = WpVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+       |    AS w0
+       |  FROM documents WHERE doc_id < 40),
+       |words AS (
+       |  SELECT DISTINCT substr(w0, 1, 14) AS w FROM raw
+       |  WHERE len(w0) >= 3),
+       |vocab(piece) AS (VALUES $vocabValues),
+       |pos AS (SELECT unnest(generate_series(1, 14)) AS p),
+       |ls AS (SELECT unnest(generate_series(1, 5)) AS l),
+       |cand AS (
+       |  SELECT w.w, pos.p, ls.l,
+       |    CASE WHEN pos.p > 1 THEN '##' || substr(w.w, pos.p, ls.l)
+       |      ELSE substr(w.w, pos.p, ls.l) END AS sub
+       |  FROM words w, pos, ls
+       |  WHERE pos.p <= len(w.w) AND pos.p + ls.l - 1 <= len(w.w)),
+       |best AS (
+       |  SELECT c.w, c.p, arg_max(v.piece, c.l) AS piece,
+       |    max(c.l) AS l
+       |  FROM cand c JOIN vocab v ON v.piece = c.sub
+       |  GROUP BY 1, 2),
+       |step(w, p, pieces, unk) AS (
+       |  SELECT w, 1, '', 0 FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.p + coalesce(b.l, 1),
+       |    s.pieces || ',' || coalesce(b.piece, '[UNK]'),
+       |    s.unk + CASE WHEN b.piece IS NULL THEN 1 ELSE 0 END
+       |  FROM step s LEFT JOIN best b ON b.w = s.w AND b.p = s.p
+       |  WHERE s.p <= len(s.w))
+       |SELECT w AS word, substr(pieces, 2) AS pieces,
+       |  len(string_split(pieces, ',')) - 1 AS n_pieces,
+       |  CAST(unk AS BIGINT) AS n_unk
+       |FROM step WHERE p > len(w) ORDER BY word""".stripMargin
+  }
+
   // -------------------------------------------------------------- q246
   /** Skip-gram co-occurrence with lift (Vocab.cooccurrence): ±2
     * forward window via lead() columns (linear, no positional
@@ -1669,6 +1736,7 @@ object QueriesCorpus {
     "q279_heaps_law" -> (q279HeapsLaw _),
     "q280_rrf_fusion" -> (q280RrfFusion _),
     "q281_naive_bayes" -> (q281NaiveBayes _),
+    "q286_wordpiece" -> (q286Wordpiece _),
     "q246_cooccurrence" -> (q246Cooccurrence _),
     "q247_inverted_index" -> (q247InvertedIndex _),
     "q249_feature_hashing" -> (q249FeatureHashing _),
@@ -1711,6 +1779,7 @@ object QueriesCorpus {
     "q279_heaps_law" -> q279Sql,
     "q280_rrf_fusion" -> q280Sql,
     "q281_naive_bayes" -> q281Sql,
+    "q286_wordpiece" -> q286Sql,
     "q246_cooccurrence" -> q246Sql,
     "q247_inverted_index" -> q247Sql,
     "q249_feature_hashing" -> q249Sql,

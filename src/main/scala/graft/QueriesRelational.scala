@@ -3164,7 +3164,58 @@ object QueriesRelational {
       |  lower(min(seg)) AS min_variant_lc
       |FROM m GROUP BY lower(seg) ORDER BY segment""".stripMargin
 
+  // -------------------------------------------------------------- q287
+  /** Functional-dependency profiling battery (Profiler.fdCheck) — the
+    * schema-discovery / key-validation probe: three candidate FDs over
+    * lineitem. All three are VIOLATED in the synthetic data — notably
+    * (orderkey, linenumber) → quantity, which TPC-H proper would make
+    * a key — exactly the surprise this profiler exists to surface.
+    * Exact distinct-combination aggregates; the violation rate is the
+    * single float division. */
+  private def q287FdBattery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiler
+    val li = t(s, dir, "lineitem")
+    Profiler.fdCheck(li, "okey_line->qty",
+        Seq("l_orderkey", "l_linenumber"), "l_quantity")
+      .unionAll(Profiler.fdCheck(li, "okey->retflag",
+        Seq("l_orderkey"), "l_returnflag"))
+      .unionAll(Profiler.fdCheck(li, "partkey->suppkey",
+        Seq("l_partkey"), "l_suppkey"))
+      .orderBy(col("fd"))
+  }
+
+  private val q287Sql =
+    """WITH f1 AS (
+      |  SELECT 'okey_line->qty' AS fd, count(*) AS n_keys,
+      |    CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violating,
+      |    max(v) AS max_variants
+      |  FROM (SELECT l_orderkey, l_linenumber,
+      |      count(DISTINCT l_quantity) AS v
+      |    FROM lineitem GROUP BY 1, 2)),
+      |f2 AS (
+      |  SELECT 'okey->retflag' AS fd, count(*) AS n_keys,
+      |    CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violating,
+      |    max(v) AS max_variants
+      |  FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS v
+      |    FROM lineitem GROUP BY 1)),
+      |f3 AS (
+      |  SELECT 'partkey->suppkey' AS fd, count(*) AS n_keys,
+      |    CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violating,
+      |    max(v) AS max_variants
+      |  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS v
+      |    FROM lineitem GROUP BY 1)),
+      |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      |  UNION ALL SELECT * FROM f3)
+      |SELECT fd, n_keys, n_violating, max_variants,
+      |  CAST(n_violating AS DOUBLE) / CAST(n_keys AS DOUBLE)
+      |    AS violation_rate
+      |FROM u ORDER BY fd""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_fd_battery" -> (q287FdBattery _),
     "q275_xml_battery" -> (q275XmlBattery _),
     "q276_collation" -> (q276Collation _),
     "q273_bucketed_diff" -> (q273BucketedDiff _),
@@ -3255,6 +3306,7 @@ object QueriesRelational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q287_fd_battery" -> q287Sql,
     "q275_xml_battery" -> q275Sql,
     "q276_collation" -> q276Sql,
     "q273_bucketed_diff" -> q273Sql,

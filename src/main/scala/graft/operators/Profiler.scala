@@ -55,4 +55,28 @@ object Profiler {
     out.toDF("column", "n_rows", "n_nulls", "est_distinct",
       "min_num", "max_num")
   }
+
+  /** Functional-dependency check lhs → rhs — the schema-discovery /
+    * data-quality probe ("is order key really a key for ship mode?"):
+    * counts how many lhs keys map to MORE than one distinct rhs value.
+    * Exact: one (lhs, rhs) distinct aggregate, then one lhs aggregate —
+    * both shuffles carry distinct combinations, never rows. The
+    * violation rate is the single float division.
+    * @return one row: (fd, n_keys, n_violating, max_variants,
+    *   violation_rate) */
+  def fdCheck(df: DataFrame, fdName: String, lhs: Seq[String],
+      rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "lhs must be non-empty")
+    val variants = df
+      .select((lhs :+ rhs).map(col): _*).distinct()
+      .groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("__v"))
+    variants.agg(count(lit(1)).as("n_keys"),
+        sum(when(col("__v") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("__v")).as("max_variants"))
+      .select(lit(fdName).as("fd"), col("n_keys"), col("n_violating"),
+        col("max_variants"),
+        (col("n_violating").cast("double") / col("n_keys").cast("double"))
+          .as("violation_rate"))
+  }
 }

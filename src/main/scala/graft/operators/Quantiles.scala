@@ -220,6 +220,42 @@ object Quantiles {
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
   }
 
+  /** Exact trimmed mean per group over INTEGER values (the cents
+    * contract): drop the lowest and highest ⌊trim·n⌋ ranks, average
+    * the middle — the robust location estimate between mean and
+    * median. Mass-table scheme, same scale shape as
+    * [[exactPercentilesByGroup]]: one (group, value) count aggregate
+    * (shuffle = distinct values, never rows), a per-group prefix
+    * window over distinct values, and per-value kept multiplicity
+    * max(0, min(hi, cum) − max(lo, cum − c)) with lo = ⌊trim·n⌋,
+    * hi = n − lo. Sum and count are exact integers; the mean is the
+    * single float division.
+    * @return (group, n, n_kept, kept_sum, trimmed_mean) */
+  def trimmedMeanByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, trim: Double): DataFrame = {
+    require(trim >= 0.0 && trim < 0.5, s"trim ($trim) must be in [0, 0.5)")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("value"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    counts.withColumn("cum", sum(col("c")).over(w))
+      .join(totals, Seq(groupCol))
+      .withColumn("lo",
+        floor(lit(trim) * col("n").cast("double")).cast("long"))
+      .withColumn("hi", col("n") - col("lo"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("hi"), col("cum")) -
+          greatest(col("lo"), col("cum") - col("c"))))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("kept") * col("value")).as("kept_sum"))
+      .withColumn("trimmed_mean",
+        col("kept_sum").cast("double") / col("n_kept").cast("double"))
+  }
+
   /** Robust per-group outlier census via the modified z-score
     * (Iglewicz & Hoaglin 1993): M = 0.6745 · (x − median) / MAD, where
     * MAD is the median absolute deviation; |M| > threshold flags an

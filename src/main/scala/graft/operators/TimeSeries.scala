@@ -323,4 +323,51 @@ object TimeSeries {
         col("num").as("med_num") :+ col("den").as("med_den") :+
         col("slope"): _*)
   }
+
+  /** Linear interpolation of missing values per key — the imputation
+    * step between LOCF and model fill: a NULL at time t between known
+    * neighbors (t0,v0) and (t1,v1) becomes
+    * v0 + (v1 − v0)·(t − t0)/(t1 − t0); a NULL before the first known
+    * point backfills, after the last carries forward, and an all-NULL
+    * key stays NULL. `tCol` must be numeric (unix micros) and a total
+    * order within each key.
+    *
+    * Two frame-bounded windows (last-before / first-after with
+    * ignoreNulls) per key — one grouping sort, no self-join. The
+    * interpolation is four IEEE ops in pinned order on exact inputs,
+    * so the filled value is bit-stable and oracle-reproducible (the
+    * oracle restates the window as arg_max/arg_min self-joins — DuckDB
+    * 1.0 has no IGNORE NULLS; see ORACLE_NOTES.md).
+    * @return input columns + `<vCol>_filled` + `fill_kind`
+    *   (observed/interp/locf/backfill/none) */
+  def interpolateLinear(df: DataFrame, keys: Seq[String], tCol: String,
+      vCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val known = when(col(vCol).isNotNull,
+      struct(col(tCol).cast("double").as("t"),
+        col(vCol).cast("double").as("v")))
+    val before = Window.partitionBy(keyCols: _*).orderBy(col(tCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val after = Window.partitionBy(keyCols: _*).orderBy(col(tCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    df
+      .withColumn("__p", last(known, ignoreNulls = true).over(before))
+      .withColumn("__n", first(known, ignoreNulls = true).over(after))
+      .withColumn(s"${vCol}_filled",
+        when(col(vCol).isNotNull, col(vCol).cast("double"))
+          .when(col("__p").isNotNull && col("__n").isNotNull,
+            col("__p.v") + (col("__n.v") - col("__p.v")) *
+              (col(tCol).cast("double") - col("__p.t")) /
+              (col("__n.t") - col("__p.t")))
+          .when(col("__p").isNotNull, col("__p.v"))
+          .when(col("__n").isNotNull, col("__n.v")))
+      .withColumn("fill_kind",
+        when(col(vCol).isNotNull, lit("observed"))
+          .when(col("__p").isNotNull && col("__n").isNotNull,
+            lit("interp"))
+          .when(col("__p").isNotNull, lit("locf"))
+          .when(col("__n").isNotNull, lit("backfill"))
+          .otherwise(lit("none")))
+      .drop("__p", "__n")
+  }
 }

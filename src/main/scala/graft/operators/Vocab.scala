@@ -146,6 +146,84 @@ object Vocab {
       .limit(topK)
   }
 
+  /** Greedy longest-match WordPiece encoding (the BERT tokenizer's
+    * apply step, Wu et al. 2016) with single-char fallback instead of
+    * whole-word [UNK] — and NO UDF, unlike BpeTrainer.encode: each
+    * round, every unfinished word expands ≤L candidate substrings at
+    * its cursor (L = longest vocab piece), broadcast-joins the vocab,
+    * and advances by the longest match via max_by (ties impossible —
+    * equal-length candidates at one cursor are the same string).
+    * Continuations use the ## convention. Rounds are bounded by
+    * `maxWordLen` (words are truncated to it first; each round
+    * advances ≥1 char), so the loop is ≤maxWordLen broadcast joins —
+    * the per-round frame only SHRINKS as words finish.
+    * @param words frame with DISTINCT words in `wordCol` (dedup the
+    *   token stream first — encoding is per word type, not token)
+    * @param vocab one `piece` column, broadcast-sized by contract
+    * @return (word, pieces, n_pieces, n_unk) — pieces ','-joined */
+  def wordpieceEncode(words: DataFrame, wordCol: String,
+      vocab: DataFrame, maxWordLen: Int = 16): DataFrame = {
+    require(maxWordLen >= 1 && maxWordLen <= 64,
+      s"maxWordLen ($maxWordLen) out of [1, 64]")
+    // bounded scalar: the vocab is broadcast-sized by contract
+    val mpRow = vocab.agg(max(length(col("piece")) -
+      when(col("piece").startsWith("##"), 2).otherwise(0))).head()
+    require(!mpRow.isNullAt(0), "vocab must be non-empty")
+    val maxPiece = mpRow.getInt(0)
+    val v = broadcast(vocab.select(col("piece")))
+    var state = words
+      .select(substring(col(wordCol), 1, maxWordLen).as("__w"))
+      .filter(length(col("__w")) > 0).distinct()
+      .select(col("__w"), lit(1).as("__pos"),
+        lit("").as("__pieces"), lit(0L).as("__unk"))
+    var done = state.filter(lit(false))
+    var round = 0
+    while (round < maxWordLen) {
+      val active = state.filter(col("__pos") <= length(col("__w")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      done = done.unionAll(
+        state.filter(col("__pos") > length(col("__w"))))
+      if (active.isEmpty) {
+        // every remaining state row just moved to done — clear state so
+        // the post-loop sweep can't re-add it
+        state = active
+        round = maxWordLen
+      } else {
+        val cand = active.select(col("__w"), col("__pos"),
+            col("__pieces"), col("__unk"),
+            explode(sequence(lit(1),
+              least(lit(maxPiece),
+                length(col("__w")) - col("__pos") + 1))).as("__l"))
+          .withColumn("__sub",
+            when(col("__pos") > 1,
+              concat(lit("##"), expr("substring(__w, __pos, __l)")))
+              .otherwise(expr("substring(__w, __pos, __l)")))
+        state = cand
+          .join(v, cand("__sub") === v("piece"), "left")
+          .groupBy(col("__w"), col("__pos"), col("__pieces"),
+            col("__unk"))
+          .agg(max(when(col("piece").isNotNull, col("__l"))).as("__bl"),
+            max_by(col("piece"),
+              coalesce(when(col("piece").isNotNull, col("__l")),
+                lit(-1))).as("__bp"))
+          .select(col("__w"),
+            (col("__pos") + coalesce(col("__bl"), lit(1))).as("__pos"),
+            concat(col("__pieces"), lit(","),
+              coalesce(col("__bp"), lit("[UNK]"))).as("__pieces"),
+            (col("__unk") +
+              when(col("__bp").isNull, 1L).otherwise(0L)).as("__unk"))
+          .localCheckpoint(true) // cut the per-round lineage
+        active.unpersist(blocking = false)
+        round += 1
+      }
+    }
+    done.unionAll(state.filter(col("__pos") > length(col("__w"))))
+      .select(col("__w").as(wordCol),
+        substring(col("__pieces"), 2, Int.MaxValue).as("pieces"),
+        (size(split(col("__pieces"), ",")) - 1).as("n_pieces"),
+        col("__unk").as("n_unk"))
+  }
+
   /** Multinomial Naive Bayes trainer (the classic text-classification
     * baseline, McCallum & Nigam AAAI-98 workshop form): per-(class,
     * token) counts, per-class token totals, and the global vocabulary

@@ -653,4 +653,66 @@ class AnalyticsSpec extends SparkSpec {
     val b = (math.sqrt(0.25) - 1) / (math.sqrt(0.25) + 1)
     got(1).getDouble(5) shouldBe b +- 1e-12
   }
+
+  test("trimmedMeanByGroup: drops exactly floor(trim*n) per tail") {
+    // group a: values 1..10, trim 0.1 -> lo=1, hi=9 -> keep 2..9,
+    // sum 44, mean 5.5; ties: group b all same value
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      (1 to 4).map(_ => ("b", 7L))).toDF("g", "v")
+    val got = Quantiles.trimmedMeanByGroup(df, "g", "v", 0.1)
+      .orderBy("g").as[(String, Long, Long, Long, Double)]
+      .collect().toSeq
+    got shouldBe Seq(
+      ("a", 10L, 8L, 44L, 5.5),
+      ("b", 4L, 4L, 28L, 7.0)) // floor(0.4)=0 dropped
+    // trim 0 == plain mean
+    Quantiles.trimmedMeanByGroup(df.filter($"g" === "a"), "g", "v", 0.0)
+      .head().getDouble(4) shouldBe 5.5
+  }
+
+  test("trimmedMeanByGroup: duplicates split across the cut") {
+    // 1,2,2,2,3 with trim .2 -> lo=1 hi=4 -> keep ranks 2..4 = 2,2,2
+    val df = Seq(1L, 2L, 2L, 2L, 3L).map(("g", _)).toDF("g", "v")
+    val got = Quantiles.trimmedMeanByGroup(df, "g", "v", 0.2).head()
+    got.getLong(2) shouldBe 3L
+    got.getLong(3) shouldBe 6L
+    got.getDouble(4) shouldBe 2.0
+  }
+
+  test("interpolateLinear: interior gap, edges, all-null key") {
+    import graft.operators.TimeSeries
+    val df = Seq(
+      ("k", 0L, Some(10.0)), ("k", 10L, None), ("k", 20L, None),
+      ("k", 40L, Some(50.0)), ("k", 50L, None),
+      ("e", 5L, None), ("e", 6L, None),
+      ("h", 0L, None), ("h", 10L, Some(4.0)))
+      .toDF("id", "t", "v")
+    val got = TimeSeries.interpolateLinear(df, Seq("id"), "t", "v")
+      .select("id", "t", "v_filled", "fill_kind")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2))),
+          r.getString(3))).toMap
+    got(("k", 0L)) shouldBe ((Some(10.0), "observed"))
+    got(("k", 10L)) shouldBe ((Some(20.0), "interp")) // 10+40*10/40
+    got(("k", 20L)) shouldBe ((Some(30.0), "interp"))
+    got(("k", 50L)) shouldBe ((Some(50.0), "locf"))
+    got(("e", 5L)) shouldBe ((None, "none"))
+    got(("h", 0L)) shouldBe ((Some(4.0), "backfill"))
+  }
+
+  test("fdCheck: held and violated dependencies") {
+    import graft.operators.Profiler
+    val df = Seq((1L, "x", 10L), (1L, "x", 20L), (2L, "y", 30L),
+      (2L, "z", 30L), (3L, "w", 40L)).toDF("k", "a", "b")
+    // k -> a: key 2 maps to {y,z} -> 1 violation of 3 keys
+    val fa = Profiler.fdCheck(df, "k->a", Seq("k"), "a").head()
+    fa.getLong(1) shouldBe 3L
+    fa.getLong(2) shouldBe 1L
+    fa.getLong(3) shouldBe 2L
+    fa.getDouble(4) shouldBe 1.0 / 3.0
+    // (k, a) -> b: (1,x) maps to {10,20}
+    val fb = Profiler.fdCheck(df, "ka->b", Seq("k", "a"), "b").head()
+    fb.getLong(1) shouldBe 4L
+    fb.getLong(2) shouldBe 1L
+  }
 }

@@ -864,4 +864,36 @@ class CorpusOpsSpec extends SparkSpec {
     got(("de", "der"))._7 shouldBe 8L
     got.size shouldBe 6
   }
+
+  test("wordpieceEncode: greedy longest match, ## continuations, UNK") {
+    import graft.operators.Vocab
+    val vocab = Seq("un", "##aff", "##able", "##ffa", "a", "##a",
+      "##b", "##l", "##e", "##f", "b", "x").toDF("piece")
+    val words = Seq("unaffable", "unb", "q1x", "a").toDF("word")
+    val got = Vocab.wordpieceEncode(words, "word", vocab)
+      .as[(String, String, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // greedy: un + ##aff (len 3 beats ##a) + ##able
+    got("unaffable")._2 shouldBe "un,##aff,##able"
+    got("unaffable")._4 shouldBe 0L
+    got("unb")._2 shouldBe "un,##b"
+    // q: no piece -> [UNK], then 1/x continue as ##-pieces; '1' has
+    // no continuation either -> second [UNK]
+    got("q1x")._2 shouldBe "[UNK],[UNK],[UNK]"
+    got("q1x")._4 shouldBe 3L
+    got("a")._2 shouldBe "a"
+    got.size shouldBe 4
+  }
+
+  test("wordpieceEncode: truncation bound and duplicate input words") {
+    import graft.operators.Vocab
+    val vocab = Seq("a", "##a").toDF("piece")
+    val words = Seq("aaaaaa", "aaaaaa", "aaa").toDF("word")
+    val got = Vocab.wordpieceEncode(words, "word", vocab,
+        maxWordLen = 4)
+      .as[(String, String, Int, Long)].collect().map(r => r._1 -> r).toMap
+    got.size shouldBe 2 // truncation collapses duplicates
+    got("aaaa")._2 shouldBe "a,##a,##a,##a"
+    got("aaa")._3 shouldBe 3
+  }
 }
