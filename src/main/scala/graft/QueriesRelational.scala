@@ -784,6 +784,68 @@ object QueriesRelational {
       |  max(l_extendedprice) AS max_price
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------- q289
+  /** Incremental maintenance under RETRACTIONS
+    * (IncrementalAgg.mergeDeltaWithRetractions) — q96's delta-merge
+    * extended with deletes, the CDC-fed rollup case: cancelled orders
+    * (okey % 13) retract, corrections (okey % 17, +1 qty / +10 price)
+    * insert. Counts and decimal sums self-maintain exactly (±op
+    * merge); min/max groups touched by a delete recompute from the
+    * post-delta facts via a key-scoped semi-join — the standard IVM
+    * self-maintainable/rescan split, refresh cost = delta +
+    * affected-group rescan. The oracle recomputes the whole rollup
+    * from the post-delta fact set, so merged == recomputed is the
+    * assertion. Decimal sum leaves as BIGINT cents (gate rule 3). */
+  private def q289IncrRetract(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val li = Tables.load(s, dir, "lineitem")
+      .withColumn("sum_qty", col("l_quantity").cast("decimal(18,2)"))
+      .withColumn("min_price", col("l_extendedprice"))
+      .withColumn("max_price", col("l_extendedprice"))
+    val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), sum(col("sum_qty")).as("sum_qty"),
+        min(col("min_price")).as("min_price"),
+        max(col("max_price")).as("max_price"))
+    val dels = li.filter(col("l_orderkey") % 13 === 0)
+      .select(col("l_returnflag"), col("l_linestatus"), lit(-1).as("op"),
+        col("sum_qty"), col("min_price"), col("max_price"))
+    val ins = li.filter(col("l_orderkey") % 17 === 0)
+      .select(col("l_returnflag"), col("l_linestatus"), lit(1).as("op"),
+        (col("l_quantity") + 1).cast("decimal(18,2)").as("sum_qty"),
+        (col("l_extendedprice") + 10.0).as("min_price"),
+        (col("l_extendedprice") + 10.0).as("max_price"))
+    val facts1 = li.filter(col("l_orderkey") % 13 =!= 0)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("min_price"), col("max_price"))
+      .unionByName(ins.select(col("l_returnflag"), col("l_linestatus"),
+        col("min_price"), col("max_price")))
+    IncrementalAgg.mergeDeltaWithRetractions(base,
+        dels.unionByName(ins), facts1,
+        keys = Seq("l_returnflag", "l_linestatus"), opCol = "op",
+        counts = Seq("n_items"), sums = Seq("sum_qty"),
+        mins = Seq("min_price"), maxs = Seq("max_price"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
+        (col("sum_qty") * 100).cast("long").as("sum_qty_cents"),
+        col("min_price"), col("max_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q289Sql =
+    """WITH f1 AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |    l_extendedprice AS price
+      |  FROM lineitem WHERE l_orderkey % 13 != 0
+      |  UNION ALL
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity + 1 AS DECIMAL(18,2)) AS qty,
+      |    l_extendedprice + 10.0 AS price
+      |  FROM lineitem WHERE l_orderkey % 17 = 0)
+      |SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |  CAST(sum(qty) * 100 AS BIGINT) AS sum_qty_cents,
+      |  min(price) AS min_price, max(price) AS max_price
+      |FROM f1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- q125
   /** Array-lambda battery: per-order sorted quantity vectors pushed
     * through the higher-order functions — transform, filter, zip_with,
@@ -3216,6 +3278,7 @@ object QueriesRelational {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_fd_battery" -> (q287FdBattery _),
+    "q289_incr_retract" -> (q289IncrRetract _),
     "q275_xml_battery" -> (q275XmlBattery _),
     "q276_collation" -> (q276Collation _),
     "q273_bucketed_diff" -> (q273BucketedDiff _),
@@ -3307,6 +3370,7 @@ object QueriesRelational {
 
   val oracles: Map[String, String] = Map(
     "q287_fd_battery" -> q287Sql,
+    "q289_incr_retract" -> q289Sql,
     "q275_xml_battery" -> q275Sql,
     "q276_collation" -> q276Sql,
     "q273_bucketed_diff" -> q273Sql,

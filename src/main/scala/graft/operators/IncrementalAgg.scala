@@ -54,6 +54,65 @@ object IncrementalAgg {
       .agg(reAgg.head, reAgg.tail: _*)
   }
 
+  /** Incremental maintenance under RETRACTIONS — the delta carries an
+    * `opCol` of +1 (insert) / −1 (delete). Counts and sums are
+    * self-maintainable under deletes (merge ±1 / ±value — exact
+    * integers or decimals by the caller's contract); min/max are NOT
+    * (deleting the current extremum needs the runner-up), so groups
+    * touched by any delete recompute their min/max from `facts` —
+    * the maintained post-delta fact table — scoped by a semi-join to
+    * exactly the affected keys. That is the standard IVM split
+    * (self-maintainable vs rescan-on-retract aggregates): refresh
+    * cost is delta + affected-group rescan, never a full recompute.
+    * Groups whose first count column reaches 0 are removed.
+    *
+    * At 100 TB the scoped rescan rides partition pruning/bucketing on
+    * the keys — the semi-join keeps it at affected-partition cost. */
+  def mergeDeltaWithRetractions(base: DataFrame, delta: DataFrame,
+      facts: DataFrame, keys: Seq[String], opCol: String,
+      counts: Seq[String], sums: Seq[String],
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    require(counts.nonEmpty,
+      "retraction merge needs a count column to detect emptied groups")
+    val keyCols = keys.map(col)
+    val op = col(opCol).cast("long")
+    val dAggCols =
+      counts.map(c => sum(op).as(s"__d_$c")) ++
+        sums.map(c => sum(op * col(c)).as(s"__d_$c")) ++
+        mins.map(c => min(when(op > 0, col(c))).as(s"__ins_$c")) ++
+        maxs.map(c => max(when(op > 0, col(c))).as(s"__ins_$c")) :+
+        max(when(op < 0, 1).otherwise(0)).as("__has_del")
+    val dAgg = delta.groupBy(keyCols: _*)
+      .agg(dAggCols.head, dAggCols.tail: _*)
+    val merged = base.join(dAgg, keys, "full")
+    val nCol = coalesce(col(counts.head), lit(0L)) +
+      coalesce(col(s"__d_${counts.head}"), lit(0L))
+    val alive = merged.filter(nCol > 0)
+      .withColumn("__has_del", coalesce(col("__has_del"), lit(0)))
+    val rescanKeys = alive.filter(col("__has_del") === 1)
+      .select(keyCols: _*)
+    val rescanAggs = mins.map(c => min(col(c)).as(s"__re_$c")) ++
+      maxs.map(c => max(col(c)).as(s"__re_$c"))
+    val rescanned =
+      if (rescanAggs.isEmpty) null
+      else facts.join(rescanKeys, keys, "left_semi")
+        .groupBy(keyCols: _*)
+        .agg(rescanAggs.head, rescanAggs.tail: _*)
+    val withRescan =
+      if (rescanned == null) alive else alive.join(rescanned, keys, "left")
+    val outCols = keyCols ++
+      counts.map(c => (coalesce(col(c), lit(0L)) +
+        coalesce(col(s"__d_$c"), lit(0L))).as(c)) ++
+      sums.map(c => (coalesce(col(c), lit(0L)) +
+        coalesce(col(s"__d_$c"), lit(0L))).as(c)) ++
+      mins.map(c => when(col("__has_del") === 1, col(s"__re_$c"))
+        .otherwise(least(col(c), col(s"__ins_$c"))).as(c)) ++
+      maxs.map(c => when(col("__has_del") === 1, col(s"__re_$c"))
+        .otherwise(greatest(col(c), col(s"__ins_$c"))).as(c))
+    withRescan.select(outCols: _*)
+  }
+
   // no "=" in the name: Spark's path filter KEEPS underscore-prefixed
   // names containing "=" (the partition-dir heuristic), and the parquet
   // reader would then try to parse the marker as data

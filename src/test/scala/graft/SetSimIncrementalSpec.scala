@@ -187,4 +187,37 @@ class SetSimIncrementalSpec extends SparkSpec {
     refresh(Seq(("c", 0)).toDF("g", "x"), 3L)
     state() shouldBe Map("a" -> 4L, "b" -> 2L, "c" -> 2L)
   }
+
+  test("mergeDeltaWithRetractions: sums/counts exact, min/max rescan," +
+      " emptied group removed") {
+    // facts0: a->{1,5,9}, b->{2,4}, c->{7}
+    val facts0 = Seq(("a", 1L), ("a", 5L), ("a", 9L), ("b", 2L),
+      ("b", 4L), ("c", 7L)).toDF("g", "v")
+    val base = facts0.groupBy("g").agg(
+      count(lit(1)).as("n"), sum("v").as("s"),
+      min("v").as("lo"), max("v").as("hi"))
+    // delta: delete a's max 9 (rescan!), insert a->3; delete both b
+    // rows and insert b->6 (rescan, survives); delete c entirely;
+    // brand-new d->8
+    val delta = Seq(
+      ("a", 9L, -1), ("a", 3L, 1),
+      ("b", 2L, -1), ("b", 4L, -1), ("b", 6L, 1),
+      ("c", 7L, -1), ("d", 8L, 1))
+      .toDF("g", "v", "op")
+      .select(col("g"), col("op"),
+        col("v").as("s"), col("v").as("lo"), col("v").as("hi"))
+    val facts1 = Seq(("a", 1L), ("a", 5L), ("a", 3L), ("b", 6L),
+      ("d", 8L)).toDF("g", "v")
+      .select(col("g"), col("v").as("lo"), col("v").as("hi"))
+    val got = IncrementalAgg.mergeDeltaWithRetractions(base, delta,
+        facts1, Seq("g"), "op",
+        counts = Seq("n"), sums = Seq("s"),
+        mins = Seq("lo"), maxs = Seq("hi"))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("a", 3L, 9L, 1L, 5L),  // 15-9+3=9; max rescanned 9->5
+      ("b", 1L, 6L, 6L, 6L),
+      ("d", 1L, 8L, 8L, 8L))  // c emptied and removed
+  }
 }
