@@ -2372,6 +2372,53 @@ object QueriesRelational {
     * transposition semantics against DuckDB's damerau_levenshtein.
     * Plain levenshtein rides along for the contrast, and the
     * normalized similarity is one exact-int division. */
+  // -------------------------------------------------------------- q290
+  /** Jaro / Jaro–Winkler battery (TextAnalysis.jaro / jaroWinkler, the
+    * codegen'd JaroWinklerExpression pair) over q211's mutation
+    * fixture plus the probe corners that pinned DuckDB's exact
+    * arithmetic: swapped neighbors, dropped head (kills the prefix
+    * boost), appended char, full reversal; '' comparisons return 0.
+    * Doubles compare BIT-EXACT against DuckDB's native
+    * jaro_similarity/jaro_winkler_similarity — the implementation was
+    * reverse-engineered to its ulps (integer transposition halving,
+    * window clamp, left-associated folds; JaroWinklerUtil scaladoc).
+    * Map-only; at join scale, block candidates first (q269/q74). */
+  private def q290JaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextAnalysis => TAF}
+    val m = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("mutated", expr(
+        """CASE CAST(c_custkey % 4 AS INT)
+          |  WHEN 0 THEN substr(c_name, 2, 1) || substr(c_name, 1, 1)
+          |    || substr(c_name, 3)
+          |  WHEN 1 THEN substr(c_name, 2)
+          |  WHEN 2 THEN c_name || 'X'
+          |  ELSE reverse(c_name) END""".stripMargin))
+    m.select(col("c_custkey"), col("mutated"),
+        TAF.jaro(col("c_name"), col("mutated")).as("jaro"),
+        TAF.jaroWinkler(col("c_name"), col("mutated")).as("jw"),
+        TAF.jaro(col("c_name"), lit("")).as("jaro_empty"),
+        TAF.jaroWinkler(col("c_name"), col("c_name")).as("jw_self"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q290Sql =
+    """WITH m AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE CAST(c_custkey % 4 AS INT)
+      |      WHEN 0 THEN substr(c_name, 2, 1) || substr(c_name, 1, 1)
+      |        || substr(c_name, 3)
+      |      WHEN 1 THEN substr(c_name, 2)
+      |      WHEN 2 THEN c_name || 'X'
+      |      ELSE reverse(c_name) END AS mutated
+      |  FROM customer)
+      |SELECT c_custkey, mutated,
+      |  jaro_similarity(c_name, mutated) AS jaro,
+      |  jaro_winkler_similarity(c_name, mutated) AS jw,
+      |  jaro_similarity(c_name, '') AS jaro_empty,
+      |  jaro_winkler_similarity(c_name, c_name) AS jw_self
+      |FROM m ORDER BY c_custkey""".stripMargin
+
   private def q211Damerau(s: SparkSession, dir: String): DataFrame = {
     val m = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"))
@@ -3279,6 +3326,7 @@ object QueriesRelational {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_fd_battery" -> (q287FdBattery _),
     "q289_incr_retract" -> (q289IncrRetract _),
+    "q290_jaro_winkler" -> (q290JaroWinkler _),
     "q275_xml_battery" -> (q275XmlBattery _),
     "q276_collation" -> (q276Collation _),
     "q273_bucketed_diff" -> (q273BucketedDiff _),
@@ -3371,6 +3419,7 @@ object QueriesRelational {
   val oracles: Map[String, String] = Map(
     "q287_fd_battery" -> q287Sql,
     "q289_incr_retract" -> q289Sql,
+    "q290_jaro_winkler" -> q290Sql,
     "q275_xml_battery" -> q275Sql,
     "q276_collation" -> q276Sql,
     "q273_bucketed_diff" -> q273Sql,

@@ -184,6 +184,22 @@ object TextAnalysis {
         org.apache.spark.sql.graftshim.ColumnBridge.expression(a),
         org.apache.spark.sql.graftshim.ColumnBridge.expression(b)))
 
+  /** Jaro similarity pinned bit-for-bit to DuckDB 1.0's arithmetic
+    * (see JaroWinklerUtil's scaladoc for the probed corners). */
+  def jaro(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.JaroExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(b)))
+
+  /** Jaro–Winkler similarity (prefix boost l ≤ 4 above jaro 0.7) —
+    * the record-linkage name comparator; DuckDB-bit-exact. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.JaroWinklerExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(b)))
+
   /** Encoding-damage (mojibake) census: counts the three loud
     * signatures of a corrupted decode pipeline —
     *   n_replacement: U+FFFD replacement chars (invalid bytes hit a

@@ -288,6 +288,37 @@ class ExpressionsSpec extends SparkSpec {
       .as[Int].collect().toSeq shouldBe Seq(2, 1, 1)
   }
 
+  test("jaro/jaroWinkler: DuckDB-probed corners") {
+    import graft.expressions.JaroWinklerUtil._
+    def j(a: String, b: String) = jaroStr(a, b)
+    def jw(a: String, b: String) =
+      jaroWinkler(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // classics (values = DuckDB 1.0 bit-for-bit)
+    j("martha", "marhta") shouldBe 0.9444444444444445
+    jw("martha", "marhta") shouldBe 0.9611111111111111
+    j("dixon", "dicksonx") shouldBe 0.7666666666666666
+    jw("dixon", "dicksonx") shouldBe 0.8133333333333332
+    jw("sup", "sip") shouldBe 0.7999999999999999
+    // window clamp: no match within max(3,3)/2-1 = 0
+    j("abc", "bca") shouldBe 0.0
+    // odd mismatch count -> INTEGER transposition halving (3/2 = 1)
+    j("abcxyz", "bcaxyz") shouldBe 0.9444444444444445
+    // boost gate: jaro <= 0.7 keeps prefix unboosted
+    jw("abcdefgh", "abxxxxxx") shouldBe 0.5
+    // prefix cap at 4
+    val base = j("abcdefgh", "abcdefxy")
+    jw("abcdefgh", "abcdefxy") shouldBe base + 4 * 0.1 * (1.0 - base)
+    // empties
+    j("", "") shouldBe 0.0
+    j("a", "") shouldBe 0.0
+    jw("same", "same") shouldBe 1.0
+    // codegen path through the Column wrapper
+    val df = Seq(("martha", "marhta")).toDF("a", "b")
+    df.select(graft.functions.TextAnalysis.jaroWinkler(col("a"), col("b")))
+      .as[Double].head() shouldBe 0.9611111111111111
+  }
+
   private def levRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
