@@ -955,7 +955,57 @@ object QueriesQuality {
       |SELECT c_custkey, card, luhn_sum, luhn_sum % 10 = 0 AS valid
       |FROM d ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q291
+  /** IBAN mod-97-10 validation (TextAnalysis.ibanMod97, ISO 13616 /
+    * ISO 7064) — q266's Luhn sibling for bank-account-shaped PII: the
+    * 4-char rotation, letter→two-digit expansion, and the streaming
+    * (state·10 + d) mod 97 fold, all as one pure expression tree (no
+    * big-integer anywhere — state stays < 97). Every 10th row is the
+    * ISO example IBAN (remainder 1, valid); the rest are synthetic
+    * DE-BBANs whose validity falls where it falls. DuckDB replays the
+    * fold with list_reduce over a prepended init. Map-only. */
+  private def q291Iban(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0,
+          lit("DE89370400440532013000"))
+          .otherwise(concat(lit("DE"),
+            lpad((col("c_custkey") % 99).cast("string"), 2, "0"),
+            lpad((col("c_custkey") * 7919).cast("string"), 16, "0")))
+          .as("iban"))
+      .select(col("c_custkey"), col("iban"),
+        TextAnalysis.ibanMod97(col("iban")).cast("long").as("mod97"),
+        TextAnalysis.ibanValid(col("iban")).as("valid"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q291Sql =
+    """WITH b AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN 'DE89370400440532013000'
+      |      ELSE 'DE' || lpad(CAST(c_custkey % 99 AS VARCHAR), 2, '0')
+      |        || lpad(CAST(c_custkey * 7919 AS VARCHAR), 16, '0')
+      |    END AS iban
+      |  FROM customer),
+      |d AS (
+      |  SELECT c_custkey, iban,
+      |    list_reduce(list_prepend(0, list_transform(
+      |      generate_series(1, len(iban)),
+      |      i -> ascii(substr(substr(iban, 5) || substr(iban, 1, 4),
+      |        i, 1)))),
+      |      (acc, c) -> CASE
+      |        WHEN c BETWEEN 48 AND 57 THEN (acc * 10 + (c - 48)) % 97
+      |        ELSE ((acc * 10 + (c - 55) // 10) % 97 * 10
+      |          + (c - 55) % 10) % 97
+      |      END) AS m
+      |  FROM b)
+      |SELECT c_custkey, iban, CAST(m AS BIGINT) AS mod97,
+      |  m = 1 AS valid
+      |FROM d ORDER BY c_custkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_iban" -> (q291Iban _),
     "q266_luhn" -> (q266Luhn _),
     "q213_rake" -> (q213Rake _),
     "q214_mojibake" -> (q214Mojibake _),
@@ -975,6 +1025,7 @@ object QueriesQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q291_iban" -> q291Sql,
     "q266_luhn" -> q266Sql,
     "q213_rake" -> q213Sql,
     "q214_mojibake" -> q214Sql,

@@ -118,6 +118,33 @@ object TextAnalysis {
 
   def luhnValid(digits: Column): Column = luhnSum(digits) % 10 === 0
 
+  /** ISO 7064 mod-97-10 remainder of an IBAN (ISO 13616): rotate the
+    * first four chars to the end, expand letters to two digits
+    * (A=10 … Z=35), then fold the digit stream left-to-right as
+    * state = (state·10 + d) mod 97 — the streaming-safe form of the
+    * huge-integer mod (state < 97 ⇒ state·10 + 35 never overflows,
+    * letters fold as two steps). Uppercase ASCII letters/digits only;
+    * anything else poisons the fold to NULL via ANSI-safe branches.
+    * A valid IBAN has remainder 1. Pure expression tree, map-only. */
+  def ibanMod97(iban: Column): Column = {
+    val rot = concat(iban.substr(lit(5), length(iban) - 4),
+      iban.substr(lit(1), lit(4)))
+    val codes = transform(sequence(lit(1), length(rot)), i => {
+      val c = ascii(rot.substr(i, lit(1)))
+      when(c >= 48 && c <= 57, c - 48)
+        .when(c >= 65 && c <= 90, c - 55) // 'A' -> 10
+    })
+    when(length(iban) >= 5,
+      aggregate(codes, lit(0), (acc, v) => {
+        val d1 = floor(v / 10).cast("int") // v ∈ [10, 35] ⇒ exact
+        val d2 = v % 10
+        when(v <= 9, (acc * 10 + v) % 97)
+          .otherwise(((acc * 10 + d1) % 97 * 10 + d2) % 97)
+      }))
+  }
+
+  def ibanValid(iban: Column): Column = ibanMod97(iban) === 1
+
   /** THE alnum word tokenizer: lowercase, split on non-[a-z0-9] runs,
     * empties dropped. Single definition shared by the n-gram /
     * vocab / feature-encoding / retrieval family — a tokenizer tweak

@@ -399,4 +399,22 @@ class QualitySpec extends SparkSpec {
     got.map(r => (r.getString(0), r.getBoolean(1))).toSeq shouldBe
       Seq(("79927398713", true), ("79927398714", false))
   }
+
+  test("ibanMod97: ISO examples valid, mutation invalid, junk NULL") {
+    import graft.functions.{TextAnalysis => T}
+    val got = Seq(
+      "DE89370400440532013000", // ISO example
+      "GB82WEST12345698765432", // letters in the BBAN too
+      "DE89370400440532013001", // last digit mutated
+      "DE89x70400440532013000") // non-alnum char -> NULL
+      .toDF("iban")
+      .select(col("iban"), T.ibanMod97(col("iban")).as("m"),
+        T.ibanValid(col("iban")).as("v"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    got("DE89370400440532013000") shouldBe Some(1)
+    got("GB82WEST12345698765432") shouldBe Some(1)
+    got("DE89370400440532013001") should not be Some(1)
+    got("DE89x70400440532013000") shouldBe None // lowercase poisons
+  }
 }
