@@ -2857,6 +2857,87 @@ object QueriesRelational {
       |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_digests
       |FROM documents""".stripMargin
 
+  // -------------------------------------------------------------- q292
+  /** Lateral column aliases (Spark 3.4+ SELECT-list resolution): an
+    * alias referenced by LATER select items, chained three deep and
+    * mixed with group-by aggregation output. All integer (cents), so
+    * the pin is the RESOLUTION — Spark must substitute the alias, not
+    * re-read a base column. The oracle inlines every alias by hand,
+    * proving the substitution semantics rather than re-running the
+    * same sugar. */
+  private def q292LateralAlias(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        |  cents div 10 AS fee,
+        |  fee * 2 AS double_fee,
+        |  cents + fee + double_fee AS gross,
+        |  gross - cents AS margin
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q292Sql =
+    """WITH b AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey <= 500)
+      |SELECT o_orderkey, cents,
+      |  cents // 10 AS fee,
+      |  (cents // 10) * 2 AS double_fee,
+      |  cents + (cents // 10) + (cents // 10) * 2 AS gross,
+      |  (cents + (cents // 10) + (cents // 10) * 2) - cents AS margin
+      |FROM b ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q293
+  /** TPC-H Q2 shape (minimum-cost supplier): a correlated scalar MIN
+    * subquery in WHERE, equality against it keeping ALL tied rows,
+    * joined out to the part dimension — the classic
+    * correlated-to-join decorrelation Catalyst must perform without a
+    * per-row re-scan. One SQL text both engines run natively;
+    * lineitem stands in for partsupp (the fixture has no partsupp
+    * table). */
+  private def q293TpchQ2(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q293Sql)
+  }
+
+  private val q293Sql =
+    """SELECT p.p_partkey, p.p_name, l1.l_suppkey, l1.l_orderkey,
+      |  CAST(floor(l1.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+      |    AS price_cents
+      |FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+      |WHERE l1.l_partkey <= 400
+      |  AND l1.l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |    WHERE l2.l_partkey = l1.l_partkey)
+      |ORDER BY p.p_partkey, l1.l_suppkey, l1.l_orderkey""".stripMargin
+
+  // -------------------------------------------------------------- q294
+  /** TPC-H Q20 shape (dominant suppliers): IN over a grouped subquery
+    * whose HAVING compares against a CORRELATED scalar aggregate of
+    * the same fact table — nested decorrelation two levels deep.
+    * Quantities are integral doubles, so both sums are exact and the
+    * 2·q > total comparison cannot flip on accumulation order. One
+    * SQL text both engines run natively. */
+  private def q294TpchQ20(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q294Sql)
+  }
+
+  private val q294Sql =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l1.l_suppkey FROM lineitem l1
+      |  GROUP BY l1.l_partkey, l1.l_suppkey
+      |  HAVING sum(l1.l_quantity) * 2 > (
+      |    SELECT sum(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = l1.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
   // -------------------------------------------------------------- q267
   /** TPC-H Q18 (large-volume customers): IN over a grouped-HAVING
     * subquery, three-way join, top-100 on a deterministic order —
@@ -3327,6 +3408,9 @@ object QueriesRelational {
     "q287_fd_battery" -> (q287FdBattery _),
     "q289_incr_retract" -> (q289IncrRetract _),
     "q290_jaro_winkler" -> (q290JaroWinkler _),
+    "q292_lateral_alias" -> (q292LateralAlias _),
+    "q293_tpch_q2" -> (q293TpchQ2 _),
+    "q294_tpch_q20" -> (q294TpchQ20 _),
     "q275_xml_battery" -> (q275XmlBattery _),
     "q276_collation" -> (q276Collation _),
     "q273_bucketed_diff" -> (q273BucketedDiff _),
@@ -3420,6 +3504,9 @@ object QueriesRelational {
     "q287_fd_battery" -> q287Sql,
     "q289_incr_retract" -> q289Sql,
     "q290_jaro_winkler" -> q290Sql,
+    "q292_lateral_alias" -> q292Sql,
+    "q293_tpch_q2" -> q293Sql,
+    "q294_tpch_q20" -> q294Sql,
     "q275_xml_battery" -> q275Sql,
     "q276_collation" -> q276Sql,
     "q273_bucketed_diff" -> q273Sql,

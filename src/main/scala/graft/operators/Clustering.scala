@@ -45,10 +45,16 @@ object Clustering {
         floor(col(xCol).cast("double") / lit(cell)).cast("long").as("cx"),
         floor(col(yCol).cast("double") / lit(cell)).cast("long").as("cy"))
       .filter(abs(col("cx")) < Shift && abs(col("cy")) < Shift)
+    // eager checkpoint, not persist: the cell table is grid-sized and
+    // feeds TEN downstream branches (8 probes + join targets) — a
+    // persisted frame still ships the full groupBy lineage in every
+    // task closure, and the bench showed task DESERIALIZATION
+    // dominating wall time; a checkpoint makes each branch's plan a
+    // leaf scan
     val cells = pts.groupBy(col("cx"), col("cy"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__cell", cellId(col("cx"), col("cy")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .localCheckpoint(true)
     val core = cells.filter(col("__n") >= minPts)
       .select(col("cx"), col("cy"), col("__cell"))
 
@@ -69,11 +75,14 @@ object Clustering {
 
     // CC over core cells; isolated core cells keep their own id
     val comp = Dedup.connectedComponents(adj)
+    // same lineage-cut rationale: 9 border-probe branches + the final
+    // join all read this frame, and its plan otherwise embeds the
+    // whole CC loop
     val coreLabeled = core
       .join(comp.withColumnRenamed("node", "__cell"), Seq("__cell"), "left")
       .select(col("cx"), col("cy"),
         coalesce(col("cluster"), col("__cell")).as("__cl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .localCheckpoint(true)
 
     // border lookup: a non-core point probes its own + 8 neighbor
     // cells for core clusters, keeping the minimum label
