@@ -2830,6 +2830,61 @@ object QueriesRelational {
       |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_pri
       |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------------------------- q295
+  /** Malformed-record handling on the JSON ingest path (PERMISSIVE
+    * from_json + _corrupt_record + try_variant_get): every 11th
+    * event's JSON payload is deterministically truncated mid-object,
+    * every 13th gets a wrong-typed field. The battery pins the three
+    * contracts a robust ingest leans on — PERMISSIVE null-out with
+    * the corrupt text captured, schema-mismatch fields nulling
+    * without poisoning siblings, and counts by failure class. The
+    * oracle replays the planting rules arithmetically (DuckDB never
+    * parses the broken JSON — the q162 round-trip pattern). Map-only
+    * at any scale. */
+  private def q295JsonCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("event_id") <= 6000)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val payload = concat(lit("{\"u\": "), col("user_id"),
+      lit(", \"t\": \""), col("event_type"), lit("\"}"))
+    val doc = when(col("event_id") % 11 === 0,
+        substring(payload, 1, 9)) // truncated mid-object
+      .when(col("event_id") % 13 === 0,
+        concat(lit("{\"u\": \"oops\", \"t\": \""), col("event_type"),
+          lit("\"}"))) // u mistyped as string
+      .otherwise(payload)
+    val schema = "u BIGINT, t STRING, _corrupt_record STRING"
+    ev.select(col("event_id"), col("event_type"),
+        from_json(doc, schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+      .select(col("event_id"), col("event_type"),
+        col("p").getField("u").as("u"),
+        col("p").getField("t").as("t"),
+        col("p").getField("_corrupt_record").isNotNull.as("corrupt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("corrupt"), 1)).as("n_corrupt"),
+        count(when(col("corrupt") && col("t").isNotNull, 1))
+          .as("n_partial"),
+        count(when(col("t") === col("event_type"), 1)).as("n_t_ok"),
+        sum(col("u")).as("sum_u"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q295Sql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    event_id % 11 = 0 AS truncated,
+      |    event_id % 11 != 0 AND event_id % 13 = 0 AS mistyped
+      |  FROM events WHERE event_id <= 6000)
+      |SELECT event_type, count(*) AS n,
+      |  count(*) FILTER (truncated OR mistyped) AS n_corrupt,
+      |  count(*) FILTER (mistyped) AS n_partial,
+      |  count(*) FILTER (NOT truncated) AS n_t_ok,
+      |  CAST(sum(CASE WHEN NOT truncated AND NOT mistyped
+      |    THEN user_id END) AS BIGINT) AS sum_u
+      |FROM ev GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------------------- q260
   /** binaryFile source — THE media-ingestion path: blobs written per
     * doc, read back via format("binaryFile"), content digested. The
@@ -3411,6 +3466,7 @@ object QueriesRelational {
     "q292_lateral_alias" -> (q292LateralAlias _),
     "q293_tpch_q2" -> (q293TpchQ2 _),
     "q294_tpch_q20" -> (q294TpchQ20 _),
+    "q295_json_corrupt" -> (q295JsonCorrupt _),
     "q275_xml_battery" -> (q275XmlBattery _),
     "q276_collation" -> (q276Collation _),
     "q273_bucketed_diff" -> (q273BucketedDiff _),
@@ -3507,6 +3563,7 @@ object QueriesRelational {
     "q292_lateral_alias" -> q292Sql,
     "q293_tpch_q2" -> q293Sql,
     "q294_tpch_q20" -> q294Sql,
+    "q295_json_corrupt" -> q295Sql,
     "q275_xml_battery" -> q275Sql,
     "q276_collation" -> q276Sql,
     "q273_bucketed_diff" -> q273Sql,
