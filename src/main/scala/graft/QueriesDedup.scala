@@ -107,6 +107,71 @@ object QueriesDedup {
        |JOIN sh b ON b.doc_id = p.id2
        |ORDER BY p.id1""".stripMargin
 
+  // -------------------------------------------------------------- q296
+  /** LSH recall evaluation — the self-audit every probabilistic dedup
+    * deployment owes its users: ground truth from the EXACT
+    * set-similarity join (SetSimJoin.jaccardSelfJoin, prefix-filtered,
+    * no sampling) vs the q16 MinHash-LSH pipeline's verified pairs,
+    * over the same char-4-gram shingle sets at τ = 0.5. n_extra pins
+    * the subset property (verification can only MISS, never invent);
+    * recall is the single float division. Both sides are existing
+    * oracle-proven operators — this row checks them against EACH
+    * OTHER and hands the gate the counts. At corpus scale ground
+    * truth comes from a sampled stratum; the fixture is small enough
+    * to afford the full truth (documented bound). */
+  private def q296LshRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SetSimJoin
+    val c = corpus(s, dir)
+    val exact = SetSimJoin.jaccardSelfJoin(c, "doc_id",
+        TA.charShingles(col("text"), 4), tau = 0.5)
+      .select(col("id1"), col("id2"))
+      .localCheckpoint(true)
+    val lsh = Dedup.minhashNearDups(c, "doc_id", "text",
+        shingleSize = 4, k = 16, bands = 4, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .select(col("id1"), col("id2"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nHits = lsh.join(exact, Seq("id1", "id2"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val nExtra = lsh.join(exact, Seq("id1", "id2"), "left_anti")
+      .agg(count(lit(1)).as("n_extra"))
+    nExact.crossJoin(broadcast(nLsh)).crossJoin(broadcast(nHits))
+      .crossJoin(broadcast(nExtra))
+      .select(col("n_exact"), col("n_lsh"), col("n_hits"),
+        col("n_extra"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
+  // lazy: interpolates minhashCandCtes, declared further down the file
+  private lazy val q296Sql = {
+    s"""WITH $corpusSql,
+       |$shinglesSqlDef,
+       |$minhashCandCtes,
+       |exact AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |    AND len(a.s) >= CAST(ceil(0.5 * len(b.s)) AS BIGINT)
+       |    AND len(b.s) >= CAST(ceil(0.5 * len(a.s)) AS BIGINT)
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+       |lsh AS (
+       |  SELECT c.id1, c.id2 FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id1
+       |  JOIN sh b ON b.doc_id = c.id2
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+       |hits AS (SELECT * FROM lsh INTERSECT SELECT * FROM exact),
+       |extra AS (SELECT * FROM lsh EXCEPT SELECT * FROM exact)
+       |SELECT (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM lsh) AS n_lsh,
+       |  (SELECT count(*) FROM hits) AS n_hits,
+       |  (SELECT count(*) FROM extra) AS n_extra,
+       |  CAST((SELECT count(*) FROM hits) AS DOUBLE)
+       |    / CAST((SELECT count(*) FROM exact) AS DOUBLE) AS recall""".stripMargin
+  }
+
   // --------------------------------------------------------------- q16
   /** MinHash+LSH near-dup pipeline: shingle -> 16-hash signature -> 4
     * bands of 4 -> bucket-join candidates -> exact-Jaccard >= 0.5.
@@ -653,6 +718,7 @@ object QueriesDedup {
       |FROM sc GROUP BY 1 ORDER BY verdict""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_lsh_recall" -> (q296LshRecall _),
     "q269_sorted_neighborhood" -> (q269SortedNeighborhood _),
     "q270_record_linkage" -> (q270RecordLinkage _),
     "q185_line_dedup" -> (q185LineDedup _),
@@ -669,6 +735,7 @@ object QueriesDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q296_lsh_recall" -> q296Sql,
     "q269_sorted_neighborhood" -> q269Sql,
     "q270_record_linkage" -> q270Sql,
     "q185_line_dedup" -> q185Sql,
