@@ -1478,6 +1478,181 @@ object QueriesCorpus {
        |FROM step WHERE p > len(w) ORDER BY word""".stripMargin
   }
 
+  // -------------------------------------------------------------- q297
+  /** Composed RAG retrieval pipeline — the hybrid-search stack end to
+    * end, every stage an already-oracle-proven operator, composed
+    * because column contracts and persist scopes are the one thing
+    * isolated rows can't catch (the q164 rationale, applied to
+    * retrieval): BM25 top-10 (q83 machinery) ∥ int8-dot vector top-10
+    * (q59/q19 machinery) → per-query reciprocal-rank fusion
+    * (Retrieval.rrfFuseGrouped, q280) → fused score to exact
+    * nano-integers (floor of a bit-identical double) → MMR
+    * diversification (Retrieval.mmrDiversify, q193's exact-integer
+    * greedy) picks the final 4 per query. The oracle replays the
+    * whole chain from the proven q83/q193 CTE forms. */
+  private def q297RagE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import graft.operators.{Retrieval, Similarity}
+    val queries = Seq((1L, "hash"), (1L, "join"), (1L, "table"),
+      (2L, "window"), (2L, "scan"), (2L, "agg"),
+      (3L, "slow"), (3L, "filter"), (3L, "query"))
+      .toDF("query_id", "term")
+    val listA = Retrieval
+      .bm25TopK(docs(s, dir), "doc_id", "text", queries, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    // quantized doc vectors feed the dot ranking AND the MMR stage
+    val qt = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).getField("q").as("qv"))
+      .localCheckpoint(true)
+    val seeds = Seq((1L, 3L), (2L, 5L), (3L, 7L))
+      .toDF("query_id", "seed_id")
+      .join(qt.select(col("vec_id").as("seed_id"),
+        col("qv").as("qqv")), Seq("seed_id"))
+    val dots = qt
+      .crossJoin(broadcast(seeds.select(col("query_id"), col("qqv"))))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        aggregate(zip_with(col("qqv"), col("qv"),
+          (x, y) => x.cast("long") * y), lit(0L),
+          (acc, x) => acc + x).as("dot"))
+    val itemB = struct(col("dot"), col("doc_id"))
+    val listB = dots.groupBy(col("query_id"))
+      .agg(ColumnBridge.collectTopK(itemB, 10, reverse = false)
+        .as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.doc_id").as("doc_id"))
+    val fused = Retrieval.rrfFuseGrouped(Seq(listA, listB),
+      "query_id", "doc_id", k = 8)
+    val cands = fused
+      .select(col("query_id"), col("doc_id"),
+        floor(col("rrf") * 1000000000.0).cast("long").as("rel"))
+      .join(qt.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+    Retrieval.mmrDiversify(cands, "query_id", "doc_id", "rel", "qv",
+        k = 4)
+      .orderBy(col("query_id"), col("sel_rank"))
+  }
+
+  private val q297Sql = {
+    val mmrSteps = (2 to 4).map { r =>
+      s"""sel$r AS (
+         |  SELECT qid, id, rel, score2, $r AS sel_rank FROM (
+         |    SELECT c.qid, c.id, c.rel, c.rel - ms.m AS score2,
+         |      row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY c.rel - ms.m DESC, c.id) AS rn
+         |    FROM cands c
+         |    JOIN (SELECT p.qid, p.a AS id, max(p.s) AS m
+         |          FROM sims p
+         |          JOIN selupto${r - 1} s
+         |            ON s.qid = p.qid AND s.id = p.b
+         |          GROUP BY 1, 2) ms
+         |      ON ms.qid = c.qid AND ms.id = c.id
+         |    LEFT JOIN selupto${r - 1} sp
+         |      ON sp.qid = c.qid AND sp.id = c.id
+         |    WHERE sp.id IS NULL) z WHERE rn = 1),
+         |selupto$r AS (
+         |  SELECT * FROM selupto${r - 1} UNION ALL SELECT * FROM sel$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q(query_id, term) AS (VALUES
+       |  (1, 'hash'), (1, 'join'), (1, 'table'),
+       |  (2, 'window'), (2, 'scan'), (2, 'agg'),
+       |  (3, 'slow'), (3, 'filter'), (3, 'query')),
+       |toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |terms AS (SELECT doc_id, lower(unnest(tk)) AS term FROM toks),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM terms
+       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    ((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5)
+       |        / (dfreq.df + 0.5)) *
+       |      ((tf.tf * (1.2 + 1.0)) /
+       |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+       |      AS s
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       |    CROSS JOIN stats JOIN q USING (term)),
+       |perdoc AS (
+       |  SELECT query_id, doc_id,
+       |    list_aggregate(list_sort(list(s)), 'sum') AS score,
+       |    count(*) AS n_terms
+       |  FROM scored GROUP BY 1, 2),
+       |ra AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id DESC, n_terms DESC) AS rank
+       |  FROM perdoc QUALIFY rank <= 10),
+       |e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, e,
+       |    list_max(list_transform(e, x -> abs(x))) AS scale
+       |  FROM e),
+       |qt AS (
+       |  SELECT vec_id,
+       |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+       |    ELSE list_transform(e,
+       |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) END
+       |      AS qv
+       |  FROM sc),
+       |seeds(query_id, seed_id) AS (VALUES (1, 3), (2, 5), (3, 7)),
+       |dots AS (
+       |  SELECT s.query_id, c.vec_id AS doc_id,
+       |    CAST(list_aggregate(list_transform(range(1, 65),
+       |      i -> CAST(sq.qv[i] AS BIGINT) * c.qv[i]), 'sum') AS BIGINT)
+       |      AS dot
+       |  FROM seeds s JOIN qt sq ON sq.vec_id = s.seed_id
+       |  CROSS JOIN qt c),
+       |rb AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, doc_id DESC) AS rank
+       |  FROM dots QUALIFY rank <= 10),
+       |f AS (
+       |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+       |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |    coalesce(1.0 / (60 + a.rank), 0.0)
+       |      + coalesce(1.0 / (60 + b.rank), 0.0) AS rrf
+       |  FROM ra a FULL OUTER JOIN rb b
+       |    ON b.query_id = a.query_id AND b.doc_id = a.doc_id),
+       |fused AS (
+       |  SELECT query_id, doc_id, rrf,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS fr
+       |  FROM f QUALIFY fr <= 8),
+       |cands AS (
+       |  SELECT fu.query_id AS qid, fu.doc_id AS id,
+       |    CAST(floor(fu.rrf * 1000000000.0) AS BIGINT) AS rel, t.qv
+       |  FROM fused fu JOIN qt t ON t.vec_id = fu.doc_id),
+       |sims AS (
+       |  SELECT a.qid, a.id AS a, b.id AS b,
+       |    CAST(list_aggregate(list_transform(range(1, 65),
+       |      i -> CAST(a.qv[i] AS BIGINT) * b.qv[i]), 'sum') AS BIGINT)
+       |      AS s
+       |  FROM cands a JOIN cands b
+       |    ON a.qid = b.qid AND a.id <> b.id),
+       |sel1 AS (
+       |  SELECT qid, id, rel, rel AS score2, 1 AS sel_rank FROM (
+       |    SELECT qid, id, rel, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, id) AS rn FROM cands) t WHERE rn = 1),
+       |selupto1 AS (SELECT * FROM sel1),
+       |$mmrSteps
+       |SELECT qid AS query_id, sel_rank, id AS doc_id, rel, score2
+       |FROM selupto4 ORDER BY query_id, sel_rank""".stripMargin
+  }
+
   // -------------------------------------------------------------- q246
   /** Skip-gram co-occurrence with lift (Vocab.cooccurrence): ±2
     * forward window via lead() columns (linear, no positional
@@ -1737,6 +1912,7 @@ object QueriesCorpus {
     "q280_rrf_fusion" -> (q280RrfFusion _),
     "q281_naive_bayes" -> (q281NaiveBayes _),
     "q286_wordpiece" -> (q286Wordpiece _),
+    "q297_rag_e2e" -> (q297RagE2e _),
     "q246_cooccurrence" -> (q246Cooccurrence _),
     "q247_inverted_index" -> (q247InvertedIndex _),
     "q249_feature_hashing" -> (q249FeatureHashing _),
@@ -1780,6 +1956,7 @@ object QueriesCorpus {
     "q280_rrf_fusion" -> q280Sql,
     "q281_naive_bayes" -> q281Sql,
     "q286_wordpiece" -> q286Sql,
+    "q297_rag_e2e" -> q297Sql,
     "q246_cooccurrence" -> q246Sql,
     "q247_inverted_index" -> q247Sql,
     "q249_feature_hashing" -> q249Sql,

@@ -278,6 +278,37 @@ object Retrieval {
       .select(col("term"), col("df"), col("tf"), col("postings_head"))
   }
 
+  /** Per-group [[rrfFuse]]: fuse ranked lists INSIDE each group (the
+    * multi-query shape a retrieval service actually runs). Inputs are
+    * (groupCol, idCol, `rank`) frames; fusion and the bounded-heap
+    * top-k happen per group key — one grouping shuffle over candidate
+    * lists, never corpus-sized.
+    * @return (groupCol, fused_rank, idCol, rrf, n_lists) — ties cut
+    *   by id ascending */
+  def rrfFuseGrouped(rankings: Seq[DataFrame], groupCol: String,
+      idCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val tagged = rankings
+      .map(_.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank").cast("double")))
+          .as("__s")))
+      .reduce(_ unionAll _)
+    val fused = tagged.groupBy(col("__g"), col("__id"))
+      .agg(aggregate(sort_array(collect_list(col("__s"))), lit(0.0),
+          (acc, x) => acc + x).as("rrf"),
+        count(lit(1)).as("n_lists"))
+    val item = struct(col("rrf"), (-col("__id")).as("__negid"),
+      col("__id"), col("n_lists"))
+    fused.groupBy(col("__g"))
+      .agg(ColumnBridge.collectTopK(item, k, reverse = false).as("__tk"))
+      .select(col("__g"), posexplode(col("__tk")))
+      .select(col("__g").as(groupCol),
+        (col("pos") + 1).cast("long").as("fused_rank"),
+        col("col.__id").as(idCol), col("col.rrf").as("rrf"),
+        col("col.n_lists").as("n_lists"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     * merge ranked lists from heterogeneous retrievers (lexical +
     * vector, typically) by score(d) = Σ_lists 1/(c + rank_list(d)),
