@@ -3399,7 +3399,90 @@ object QueriesAnalytics {
       |FROM filled GROUP BY 1, 2
       |ORDER BY user_bucket, fill_kind""".stripMargin
 
+  // -------------------------------------------------------------- q298
+  /** Dyad census + reciprocity (Graph.dyadCensus, Holland & Leinhardt
+    * 1970) of the DIRECTED q88 edge fixture: mutual/asymmetric/null
+    * pair counts from one reverse self-join and pure arithmetic —
+    * C(n,2) is never enumerated. Exact integers, one division. */
+  private def q298DyadCensus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 2000).as("src"),
+      (col("l_partkey") * 7 % 2000).as("dst"))
+    Graph.dyadCensus(e, "src", "dst")
+  }
+
+  private val q298Sql =
+    """WITH e AS (
+      |  SELECT DISTINCT l_orderkey % 2000 AS s,
+      |    (l_partkey * 7) % 2000 AS d
+      |  FROM lineitem WHERE l_orderkey % 2000 != (l_partkey * 7) % 2000),
+      |und AS (
+      |  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM e),
+      |m AS (
+      |  SELECT count(*) AS mutual FROM e a
+      |  WHERE a.s < a.d AND EXISTS (
+      |    SELECT 1 FROM e b WHERE b.s = a.d AND b.d = a.s)),
+      |nn AS (
+      |  SELECT count(*) AS n_nodes
+      |  FROM (SELECT s AS n FROM e UNION SELECT d FROM e)),
+      |c AS (
+      |  SELECT nn.n_nodes,
+      |    (SELECT count(*) FROM e) AS n_edges_directed,
+      |    m.mutual,
+      |    (SELECT count(*) FROM und) AS pairs
+      |  FROM nn, m)
+      |SELECT n_nodes, n_edges_directed, mutual,
+      |  pairs - mutual AS asym,
+      |  n_nodes * (n_nodes - 1) // 2 - pairs AS nulls,
+      |  CASE WHEN pairs > 0 THEN CAST(mutual AS DOUBLE)
+      |    / CAST(pairs AS DOUBLE) END AS reciprocity
+      |FROM c""".stripMargin
+
+  // -------------------------------------------------------------- q299
+  /** Rich-club coefficients (Graph.richClub) at four thresholds over
+    * the q88 fixture — does the hub set densify relative to the graph?
+    * Degree aggregate once, per-threshold semi-join edge counts,
+    * exact integers, one division per row. */
+  private def q299RichClub(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.richClub(e, "src", "dst", Seq(2, 4, 8, 16))
+      .orderBy(col("k"))
+  }
+
+  private val q299Sql =
+    """WITH raw AS (
+      |  SELECT l_orderkey % 20000 AS s, (l_partkey * 7) % 20000 AS d
+      |  FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+      |  FROM raw WHERE s != d),
+      |deg AS (
+      |  SELECT n, count(*) AS dg FROM (
+      |    SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY 1),
+      |ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+      |nk AS (
+      |  SELECT k.k, count(deg.n) AS n_rich
+      |  FROM ks k LEFT JOIN deg ON deg.dg > k.k GROUP BY 1),
+      |ek AS (
+      |  SELECT k.k, count(*) AS e_rich
+      |  FROM ks k CROSS JOIN und
+      |  JOIN deg a ON a.n = und.u JOIN deg b ON b.n = und.v
+      |  WHERE a.dg > k.k AND b.dg > k.k GROUP BY 1)
+      |SELECT k.k, coalesce(nk.n_rich, 0) AS n_rich,
+      |  coalesce(ek.e_rich, 0) AS e_rich,
+      |  CASE WHEN coalesce(nk.n_rich, 0) >= 2 THEN
+      |    2.0 * coalesce(ek.e_rich, 0)
+      |      / (CAST(nk.n_rich AS DOUBLE) * (CAST(nk.n_rich AS DOUBLE) - 1.0))
+      |  END AS phi
+      |FROM ks k LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+      |ORDER BY k""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_dyad_census" -> (q298DyadCensus _),
+    "q299_rich_club" -> (q299RichClub _),
     "q285_trimmed_mean" -> (q285TrimmedMean _),
     "q288_interpolate" -> (q288Interpolate _),
     "q282_modularity" -> (q282Modularity _),
@@ -3481,6 +3564,8 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q298_dyad_census" -> q298Sql,
+    "q299_rich_club" -> q299Sql,
     "q285_trimmed_mean" -> q285Sql,
     "q288_interpolate" -> q288Sql,
     "q282_modularity" -> q282Sql,

@@ -907,6 +907,80 @@ object Graph {
     }
   }
 
+  /** Dyad census of a directed graph (Holland & Leinhardt 1970): every
+    * unordered node pair is Mutual (both directions), Asymmetric (one)
+    * or Null; reciprocity = M/(M+A) — the standard directedness
+    * diagnostic (a crawl link graph with high reciprocity behaves like
+    * an undirected one for ranking). Exact integers throughout: M from
+    * one self-join of the deduped edge list against its reverse, A by
+    * subtraction from the canonical pair count, N from C(n,2) — never
+    * a pair enumeration. Reciprocity is the single float division
+    * (0/0 ⇒ NULL on an edgeless graph, both engines).
+    * @return one row: (n_nodes, n_edges_directed, mutual, asym, nulls,
+    *   reciprocity) */
+  def dyadCensus(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(col(src).as("s"), col(dst).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= col("d"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val und = canonicalEdges(e, "s", "d")
+    val mutual = e.join(e.select(col("d").as("s"), col("s").as("d")),
+        Seq("s", "d"), "left_semi")
+      .filter(col("s") < col("d")) // one row per mutual pair
+    val nNodes = e.select(col("s").as("n"))
+      .unionAll(e.select(col("d").as("n"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val counts = e.agg(count(lit(1)).as("n_edges_directed"))
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("__pairs"))))
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("mutual"))))
+      .crossJoin(broadcast(nNodes))
+    val out = counts.select(col("n_nodes"), col("n_edges_directed"),
+      col("mutual"), (col("__pairs") - col("mutual")).as("asym"),
+      expr("n_nodes * (n_nodes - 1) div 2").as("__allpairs"),
+      col("__pairs"))
+      .select(col("n_nodes"), col("n_edges_directed"), col("mutual"),
+        col("asym"), (col("__allpairs") - col("__pairs")).as("nulls"),
+        when(col("__pairs") > 0, col("mutual").cast("double") /
+          col("__pairs").cast("double")).as("reciprocity"))
+    out
+  }
+
+  /** Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al.
+    * 2006, uncorrected form): for each degree threshold k,
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) over the undirected graph, where
+    * N_k counts nodes of degree > k and E_k the edges between them —
+    * "do the hubs form their own dense club?". One degree aggregate,
+    * then per threshold a semi-join-restricted edge count (thresholds
+    * are a literal handful, the fan-out is |ks|). Exact integers; φ
+    * is the single division per row (NULL when N_k < 2).
+    * @return per k: (k, n_rich, e_rich, phi) */
+  def richClub(edges: DataFrame, src: String, dst: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "need at least one threshold")
+    val und = canonicalEdges(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val deg = und.select(col("u").as("n"))
+      .unionAll(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("__deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val perK = ks.sorted.map { k =>
+      val rich = deg.filter(col("__deg") > k).select(col("n"))
+      val nRich = rich.agg(count(lit(1)).as("n_rich"))
+      val eRich = und
+        .join(rich.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(rich.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("e_rich"))
+      nRich.crossJoin(broadcast(eRich))
+        .select(lit(k).as("k"), col("n_rich"), col("e_rich"),
+          when(col("n_rich") >= 2,
+            lit(2.0) * col("e_rich").cast("double") /
+              (col("n_rich").cast("double") *
+                (col("n_rich").cast("double") - 1.0))).as("phi"))
+    }
+    perK.reduce(_ unionAll _)
+  }
+
   /** Newman modularity of a GIVEN node partition (Newman & Girvan
     * 2004) — the quality score for communities from LPA/CC/attribute
     * grouping: Q = Σ_c [e_c/m − (d_c/2m)²] over the canonical

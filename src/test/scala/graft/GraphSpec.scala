@@ -406,4 +406,38 @@ class GraphSpec extends SparkSpec {
       (10L, 1L, 0L, 1L, -1L, -1.0 / 4.0),
       (20L, 1L, 0L, 1L, -1L, -1.0 / 4.0))
   }
+
+  test("dyadCensus: mutual / asym / null counts and reciprocity") {
+    import spark.implicits._
+    // 4 nodes: 1<->2 mutual, 1->3 asym, self-loop and dup dropped
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (4L, 4L),
+      (3L, 4L)).toDF("s", "d")
+    val r = Graph.dyadCensus(e, "s", "d").head()
+    r.getLong(0) shouldBe 4L // nodes (4 only via self-loop? no: 3->4)
+    r.getLong(1) shouldBe 4L // distinct directed, loop dropped
+    r.getLong(2) shouldBe 1L // mutual {1,2}
+    r.getLong(3) shouldBe 2L // asym {1,3}, {3,4}
+    r.getLong(4) shouldBe 3L // C(4,2)=6 - 3 connected
+    r.getDouble(5) shouldBe 1.0 / 3.0
+  }
+
+  test("richClub: hubs densify, small k covers whole graph") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant 4-1: degrees 3,2,2,1
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L)).toDF("s", "d")
+    val got = Graph.richClub(e, "s", "d", Seq(0, 1, 2))
+      .orderBy("k").collect()
+    // k=0: all 4 nodes, 4 edges -> phi = 8/12
+    got(0).getLong(1) shouldBe 4L
+    got(0).getLong(2) shouldBe 4L
+    got(0).getDouble(3) shouldBe 2.0 * 4 / (4.0 * 3)
+    // k=1: nodes {1,2,3} (deg>1), triangle -> phi = 1
+    got(1).getLong(1) shouldBe 3L
+    got(1).getLong(2) shouldBe 3L
+    got(1).getDouble(3) shouldBe 1.0
+    // k=2: only node 1 -> phi NULL
+    got(2).getLong(1) shouldBe 1L
+    got(2).getLong(2) shouldBe 0L
+    got(2).isNullAt(3) shouldBe true
+  }
 }
