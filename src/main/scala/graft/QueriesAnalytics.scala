@@ -3480,7 +3480,48 @@ object QueriesAnalytics {
       |FROM ks k LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
       |ORDER BY k""".stripMargin
 
+  // -------------------------------------------------------------- q300
+  /** Hilbert range-query decomposition (Layout.hilbertRanges /
+    * hilbertBoxFilter) — the READ half of the q174 Hilbert layout: a
+    * 2-D cell box becomes ≤16 inclusive 1-D key ranges (quadtree
+    * descent — contained quads are contiguous curve runs — plus
+    * smallest-gap coalescing) AND the residual box predicate, the
+    * standard space-filling-curve index probe. On an hkey-sorted
+    * layout the ranges prune files via plain min/max stats. The
+    * oracle answers the same box DIRECTLY from the cell coordinates —
+    * equality pins that ranges+residual lose and invent nothing. */
+  private def q300HilbertRange(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val pts = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        Layout.cell(col("value"), 0.0, 2.0, 8).as("cx"),
+        Layout.cell(col("user_id").cast("double"), 0.0, 1.0, 8).as("cy"))
+      .withColumn("hk", Layout.hkey(col("cx"), col("cy"), 8))
+    pts.filter(Layout.hilbertBoxFilter(col("hk"), col("cx"), col("cy"),
+        x0 = 20, y0 = 40, x1 = 90, y1 = 120, bits = 8, maxRanges = 16))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cx")).as("sum_cx"),
+        sum(col("cy")).as("sum_cy"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q300Sql =
+    """WITH p AS (
+      |  SELECT event_type,
+      |    greatest(0, least(CAST(floor((value - 0.0) / 2.0) AS BIGINT),
+      |      255)) AS cx,
+      |    greatest(0, least(CAST(floor((CAST(user_id AS DOUBLE) - 0.0)
+      |      / 1.0) AS BIGINT), 255)) AS cy
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(cx) AS BIGINT) AS sum_cx,
+      |  CAST(sum(cy) AS BIGINT) AS sum_cy
+      |FROM p
+      |WHERE cx BETWEEN 20 AND 90 AND cy BETWEEN 40 AND 120
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_hilbert_range" -> (q300HilbertRange _),
     "q298_dyad_census" -> (q298DyadCensus _),
     "q299_rich_club" -> (q299RichClub _),
     "q285_trimmed_mean" -> (q285TrimmedMean _),
@@ -3564,6 +3605,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q300_hilbert_range" -> q300Sql,
     "q298_dyad_census" -> q298Sql,
     "q299_rich_club" -> q299Sql,
     "q285_trimmed_mean" -> q285Sql,

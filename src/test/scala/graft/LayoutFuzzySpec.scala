@@ -194,4 +194,30 @@ class LayoutFuzzySpec extends SparkSpec {
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 99L -> 99L)
   }
+
+  test("hilbertRanges: exact cover, disjoint, sorted; cap is superset") {
+    import graft.expressions.HilbertUtil
+    val bits = 4 // 16x16 space
+    def boxIdx(x0: Long, y0: Long, x1: Long, y1: Long): Set[Long] =
+      (for (x <- x0 to x1; y <- y0 to y1)
+        yield HilbertUtil.index(x, y, bits)).toSet
+    val cases = Seq((1L, 2L, 6L, 11L), (0L, 0L, 15L, 15L),
+      (5L, 5L, 5L, 5L), (0L, 0L, 0L, 15L))
+    for ((x0, y0, x1, y1) <- cases) {
+      val rs = Layout.hilbertRanges(x0, y0, x1, y1, bits,
+        maxRanges = 1000)
+      // sorted + disjoint (strict gaps after coalescing)
+      rs.sliding(2).foreach {
+        case Seq((_, b), (c, _)) => assert(c > b + 1)
+        case _ =>
+      }
+      val covered = rs.flatMap { case (a, b) => a to b }.toSet
+      covered shouldBe boxIdx(x0, y0, x1, y1) // exact, uncapped
+    }
+    // capped: superset of the box, at most maxRanges ranges
+    val capped = Layout.hilbertRanges(1, 2, 6, 11, bits, maxRanges = 3)
+    capped.length should be <= 3
+    val cov = capped.flatMap { case (a, b) => a to b }.toSet
+    assert(boxIdx(1, 2, 6, 11).subsetOf(cov))
+  }
 }
