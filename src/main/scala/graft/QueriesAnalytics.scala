@@ -3520,7 +3520,34 @@ object QueriesAnalytics {
       |WHERE cx BETWEEN 20 AND 90 AND cy BETWEEN 40 AND 120
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q301
+  /** Half-life-decayed engagement score (EventAnalytics.decayedSum):
+    * recency weighting with INTEGRAL half-life counts so every term is
+    * exact float math — v/2^k only shifts the exponent — and the
+    * per-key sorted fold pins summation order (q60 rule). Ref instant
+    * 2024-02-01, half-life 3 days over the January event window. */
+  private def q301DecayedSum(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.decayedSum(Tables.load(s, dir, "events"),
+        Seq("event_type"), "ts", "value",
+        refMicros = 1706745600000000L,
+        halfLifeMicros = 259200000000L)
+      .orderBy(col("event_type"))
+
+  private val q301Sql =
+    """WITH t AS (
+      |  SELECT event_type, value,
+      |    (1706745600000000 - epoch_us(ts)) // 259200000000 AS k
+      |  FROM events WHERE epoch_us(ts) <= 1706745600000000)
+      |SELECT event_type, count(*) AS n_events,
+      |  list_aggregate(list_sort(list(
+      |    CASE WHEN k <= 62 THEN
+      |      value / CAST((CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+      |        AS DOUBLE)
+      |    ELSE 0.0 END)), 'sum') AS decayed_sum
+      |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_decayed_sum" -> (q301DecayedSum _),
     "q300_hilbert_range" -> (q300HilbertRange _),
     "q298_dyad_census" -> (q298DyadCensus _),
     "q299_rich_club" -> (q299RichClub _),
@@ -3605,6 +3632,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q301_decayed_sum" -> q301Sql,
     "q300_hilbert_range" -> q300Sql,
     "q298_dyad_census" -> q298Sql,
     "q299_rich_club" -> q299Sql,

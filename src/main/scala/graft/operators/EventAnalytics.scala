@@ -418,4 +418,38 @@ object EventAnalytics {
         sum(col("__isLast")).as("last_touch"),
         sum(col("__credit")).as("milli_credit"))
   }
+
+  /** Half-life-decayed engagement score at a reference time — the
+    * recency-weighted feature every ranking/recommendation pipeline
+    * derives: score(key) = Σ_events v · 2^(−age_halflives). Decay is
+    * restricted to INTEGRAL half-life counts (age in whole half-life
+    * units, floor), which makes every term EXACT float math — v is
+    * scaled by a power of two (v / 2^k with 2^k an exact integer→
+    * double), so only summation order matters, and the per-key sorted
+    * fold (the q60 rule) pins that too. Events older than 62
+    * half-lives contribute exactly 0 (the shift budget; they'd be
+    * ~4.4e-19 of one unit anyway). One grouping shuffle; the fold
+    * runs over per-key arrays (bounded by per-key cardinality — the
+    * q92 windowing discipline applies to unbounded histories).
+    * @param refMicros reference instant; events after it are excluded
+    * @param halfLifeMicros half-life in microseconds (integer)
+    * @return (keys…, n_events, decayed_sum) */
+  def decayedSum(events: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, refMicros: Long, halfLifeMicros: Long)
+      : DataFrame = {
+    require(halfLifeMicros > 0, "halfLifeMicros must be positive")
+    val keyCols = keys.map(col)
+    val age = lit(refMicros) - unix_micros(col(tsCol))
+    val k = floorDivExact(age, halfLifeMicros).cast("int")
+    val term = when(k <= 62,
+      col(valueCol).cast("double") /
+        call_function("shiftleft", lit(1L), least(k, lit(62)))
+          .cast("double"))
+      .otherwise(lit(0.0))
+    events.filter(unix_micros(col(tsCol)) <= refMicros)
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_events"),
+        aggregate(sort_array(collect_list(term)), lit(0.0),
+          (acc, x) => acc + x).as("decayed_sum"))
+  }
 }

@@ -264,4 +264,27 @@ class EventAnalyticsSpec extends SparkSpec {
     // every conversion's credit sums to exactly 1000
     (1167L + 833L) shouldBe 2000L
   }
+
+  test("decayedSum: exact power-of-two decay, shift budget, ref cutoff") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val h = 1000000L // 1s half-life in micros
+    val mk = (t: Long, v: Double) =>
+      ("k", new java.sql.Timestamp(t / 1000), v)
+    val df = Seq(
+      mk(10000000L, 8.0),  // age 0 -> 8
+      mk(9000000L, 8.0),   // age 1 hl -> 4
+      mk(7500000L, 8.0),   // age 2.5 hl -> floor 2 -> 2
+      mk(11000000L, 99.0)) // after ref: excluded
+      .toDF("k", "ts", "v")
+    val got = EventAnalytics.decayedSum(df, Seq("k"), "ts", "v",
+      refMicros = 10000000L, halfLifeMicros = h).head()
+    got.getLong(1) shouldBe 3L
+    got.getDouble(2) shouldBe (8.0 + 4.0 + 2.0)
+    // ancient event: k > 62 contributes exactly zero
+    val old = Seq(mk(10000000L, 1.0),
+      mk(10000000L - 70 * h, 512.0)).toDF("k", "ts", "v")
+    EventAnalytics.decayedSum(old, Seq("k"), "ts", "v",
+      refMicros = 10000000L, halfLifeMicros = h)
+      .head().getDouble(2) shouldBe 1.0
+  }
 }
