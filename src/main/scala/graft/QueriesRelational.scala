@@ -2993,6 +2993,71 @@ object QueriesRelational {
       |    WHERE l2.l_partkey = l1.l_partkey))
       |ORDER BY s_suppkey""".stripMargin
 
+  // -------------------------------------------------------------- q302
+  /** Soundex battery (Spark's built-in phonetic code vs a from-scratch
+    * DuckDB restatement — DuckDB 1.0 ships no soundex): classic
+    * genealogy test names pin the H/W-transparency rule, vowel
+    * resets, double-letter collapse, padding, and the non-letter
+    * passthrough; customer-derived tokens add bulk. The oracle
+    * reimplements the algorithm as a list_reduce fold carrying
+    * (output, previous-code) state — matching Spark's US-census
+    * variant exactly (probed). */
+  private def q302Soundex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classics = Seq("Robert", "Rupert", "Ashcraft", "Ashcroft",
+      "Tymczak", "Pfister", "Honeyman", "Jackson", "Washington",
+      "Lee", "Gutierrez", "VanDeusen", "Czarkowska", "Hwang",
+      "Aaron", "OBrien", "robert", "WHYTE", "x", "Y",
+      "123abc", "", " lead", "Mc-Donald",
+      "Abbot", "Ab-bot", "Abhbot", "Abebot", "Ab1bot", "Azb",
+      "HW", "Hbw", "ab cd").toDF("w")
+    val derived = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(concat(lit("Cust"),
+        (col("c_custkey") % 97).cast("string")).as("w"))
+    classics.unionAll(derived).distinct()
+      .select(col("w"), soundex(col("w")).as("sdx"))
+      .orderBy(col("w"))
+  }
+
+  private val q302Sql =
+    """WITH w0 AS (
+      |  SELECT w FROM (VALUES ('Robert'), ('Rupert'), ('Ashcraft'),
+      |    ('Ashcroft'), ('Tymczak'), ('Pfister'), ('Honeyman'),
+      |    ('Jackson'), ('Washington'), ('Lee'), ('Gutierrez'),
+      |    ('VanDeusen'), ('Czarkowska'), ('Hwang'), ('Aaron'),
+      |    ('OBrien'), ('robert'), ('WHYTE'), ('x'), ('Y'),
+      |    ('123abc'), (''), (' lead'), ('Mc-Donald'),
+      |    ('Abbot'), ('Ab-bot'), ('Abhbot'), ('Abebot'), ('Ab1bot'),
+      |    ('Azb'), ('HW'), ('Hbw'), ('ab cd')) t(w)
+      |  UNION ALL
+      |  SELECT 'Cust' || CAST(c_custkey % 97 AS VARCHAR)
+      |  FROM customer WHERE c_custkey <= 200),
+      |w1 AS (SELECT DISTINCT w FROM w0),
+      |f AS (SELECT w, upper(w) AS u FROM w1)
+      |SELECT w,
+      |  CASE WHEN NOT (substr(u, 1, 1) BETWEEN 'A' AND 'Z') THEN w
+      |  ELSE substr(u, 1, 1) || rpad(string_split(
+      |    list_reduce(list_prepend(
+      |      ';' || CASE WHEN substr(u, 1, 1) IN ('H', 'W') THEN '0'
+      |        ELSE substr('01230120022455012623010202',
+      |          ascii(substr(u, 1, 1)) - 64, 1) END,
+      |      list_transform(generate_series(2, len(u)),
+      |        i -> substr(u, i, 1))),
+      |      (acc, c) -> CASE
+      |        WHEN c = 'H' OR c = 'W' THEN acc
+      |        WHEN NOT (c BETWEEN 'A' AND 'Z')
+      |          THEN string_split(acc, ';')[1] || ';0'
+      |        WHEN substr('01230120022455012623010202', ascii(c) - 64, 1) = '0'
+      |          THEN string_split(acc, ';')[1] || ';0'
+      |        WHEN substr('01230120022455012623010202', ascii(c) - 64, 1) = string_split(acc, ';')[2] THEN acc
+      |        WHEN len(string_split(acc, ';')[1]) >= 3
+      |          THEN string_split(acc, ';')[1] || ';' || substr('01230120022455012623010202', ascii(c) - 64, 1)
+      |        ELSE string_split(acc, ';')[1] || substr('01230120022455012623010202', ascii(c) - 64, 1)
+      |          || ';' || substr('01230120022455012623010202', ascii(c) - 64, 1)
+      |      END), ';')[1], 3, '0')
+      |  END AS sdx
+      |FROM f ORDER BY w""".stripMargin
+
   // -------------------------------------------------------------- q267
   /** TPC-H Q18 (large-volume customers): IN over a grouped-HAVING
     * subquery, three-way join, top-100 on a deterministic order —
@@ -3467,6 +3532,7 @@ object QueriesRelational {
     "q293_tpch_q2" -> (q293TpchQ2 _),
     "q294_tpch_q20" -> (q294TpchQ20 _),
     "q295_json_corrupt" -> (q295JsonCorrupt _),
+    "q302_soundex" -> (q302Soundex _),
     "q275_xml_battery" -> (q275XmlBattery _),
     "q276_collation" -> (q276Collation _),
     "q273_bucketed_diff" -> (q273BucketedDiff _),
@@ -3564,6 +3630,7 @@ object QueriesRelational {
     "q293_tpch_q2" -> q293Sql,
     "q294_tpch_q20" -> q294Sql,
     "q295_json_corrupt" -> q295Sql,
+    "q302_soundex" -> q302Sql,
     "q275_xml_battery" -> q275Sql,
     "q276_collation" -> q276Sql,
     "q273_bucketed_diff" -> q273Sql,
