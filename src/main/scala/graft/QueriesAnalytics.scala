@@ -3546,7 +3546,76 @@ object QueriesAnalytics {
       |    ELSE 0.0 END)), 'sum') AS decayed_sum
       |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q303
+  /** pass@k evaluation (Evaluation.passAtK; Chen et al. 2021) — the
+    * LLM-eval estimator as exact combinatorics: per task,
+    * 1 − Π_{i<5}(n−c−i)/(n−i) with both products exact BIGINTs and
+    * one division+subtraction in pinned order. Tasks from user
+    * buckets, "passed" a deterministic value threshold. */
+  private def q303PassAtK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Evaluation.passAtK(
+        Tables.load(s, dir, "events")
+          .select((col("user_id") % 50).as("task"), col("value")),
+        "task", col("value") > 30.0, k = 5)
+      .orderBy(col("task"))
+
+  private val q303Sql =
+    """WITH t AS (
+      |  SELECT user_id % 50 AS task, count(*) AS n,
+      |    CAST(sum(CASE WHEN value > 30.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c
+      |  FROM events GROUP BY 1)
+      |SELECT task, n, c,
+      |  greatest((n - c) * (n - c - 1) * (n - c - 2) * (n - c - 3)
+      |    * (n - c - 4), 0) AS fail_num,
+      |  n * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS den,
+      |  1.0 - CAST(greatest((n - c) * (n - c - 1) * (n - c - 2)
+      |      * (n - c - 3) * (n - c - 4), 0) AS DOUBLE)
+      |    / CAST(n * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS DOUBLE)
+      |    AS pass_at_k
+      |FROM t WHERE n >= 5 ORDER BY task""".stripMargin
+
+  // -------------------------------------------------------------- q304
+  /** Two-proportion z-test (Evaluation.twoProportionZ) — the A/B
+    * decision primitive: even/odd user arms, purchase conversion.
+    * Exact counts; z is a fixed chain of correctly-rounded IEEE ops
+    * (one sqrt), bit-stable cross-engine. */
+  private def q304AbTest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Evaluation.twoProportionZ(Tables.load(s, dir, "events"),
+      armCol = col("user_id") % 2 === 0,
+      successCol = col("event_type") === "purchase")
+
+  private val q304Sql =
+    """WITH a AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0
+      |      AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x1,
+      |    CAST(sum(CASE WHEN user_id % 2 != 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN user_id % 2 != 0
+      |      AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x2
+      |  FROM events),
+      |b AS (
+      |  SELECT n1, x1, n2, x2,
+      |    CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |    CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+      |    (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS p
+      |  FROM a)
+      |SELECT n1, x1, n2, x2, p1, p2,
+      |  CASE WHEN n1 > 0 AND n2 > 0 AND p > 0.0 AND p < 1.0 THEN
+      |    (p1 - p2) / sqrt(p * (1.0 - p)
+      |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+      |  END AS z
+      |FROM b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_pass_at_k" -> (q303PassAtK _),
+    "q304_ab_ztest" -> (q304AbTest _),
     "q301_decayed_sum" -> (q301DecayedSum _),
     "q300_hilbert_range" -> (q300HilbertRange _),
     "q298_dyad_census" -> (q298DyadCensus _),
@@ -3632,6 +3701,8 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q303_pass_at_k" -> q303Sql,
+    "q304_ab_ztest" -> q304Sql,
     "q301_decayed_sum" -> q301Sql,
     "q300_hilbert_range" -> q300Sql,
     "q298_dyad_census" -> q298Sql,

@@ -519,4 +519,61 @@ object Evaluation {
           (col("n").cast("double") * col("__sv").cast("double")))
           .as("gini"))
   }
+
+  /** pass@k (Chen et al. 2021, the HumanEval estimator): with n
+    * samples per task of which c pass, the unbiased estimate is
+    * 1 − C(n−c, k)/C(n, k) = 1 − Π_{i<k}(n−c−i)/(n−i). Both products
+    * are EXACT BIGINTs (k small by contract — the products must fit
+    * 2⁶³: n ≤ ~6000 at k = 5; callers with more samples per task
+    * subsample, as the paper does); the estimate is one division
+    * and one subtraction in pinned order. Tasks with n < k are
+    * dropped (the estimator is undefined there). One hash aggregate.
+    * @return per task: (taskCol, n, c, fail_num, den, pass_at_k) */
+  def passAtK(df: DataFrame, taskCol: String, passedCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k ($k) out of [1, 20]")
+    val counted = df.groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(passedCol, 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= k)
+    val prod = (base: Column) => (0 until k)
+      .map(i => base - lit(i.toLong))
+      .reduce(_ * _)
+    counted
+      .withColumn("fail_num", greatest(prod(col("n") - col("c")), lit(0L)))
+      .withColumn("den", prod(col("n")))
+      .withColumn("pass_at_k",
+        lit(1.0) - col("fail_num").cast("double") /
+          col("den").cast("double"))
+  }
+
+  /** Two-proportion z-test (pooled), the A/B-test primitive: counts
+    * are exact integers, the statistic is a fixed chain of
+    * correctly-rounded IEEE ops (one sqrt), so the value is
+    * bit-stable and oracle-reproducible. Returns NULL z on degenerate
+    * input (either arm empty, or pooled rate 0/1 — no variance).
+    * @return one row: (n1, x1, n2, x2, p1, p2, z) */
+  def twoProportionZ(df: DataFrame, armCol: Column,
+      successCol: Column): DataFrame = {
+    def d(c: Column): Column = c.cast("double")
+    val agg = df.agg(
+      sum(when(armCol, 1L).otherwise(0L)).as("n1"),
+      sum(when(armCol && successCol, 1L).otherwise(0L)).as("x1"),
+      sum(when(!armCol, 1L).otherwise(0L)).as("n2"),
+      sum(when(!armCol && successCol, 1L).otherwise(0L)).as("x2"))
+    agg.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        (d(col("x1")) / d(col("n1"))).as("p1"),
+        (d(col("x2")) / d(col("n2"))).as("p2"),
+        (d(col("x1")) + d(col("x2"))).as("__sx"),
+        (d(col("n1")) + d(col("n2"))).as("__sn"))
+      .withColumn("__p", col("__sx") / col("__sn"))
+      .withColumn("z",
+        when(col("n1") > 0 && col("n2") > 0 &&
+            col("__p") > 0.0 && col("__p") < 1.0,
+          (col("p1") - col("p2")) /
+            sqrt(col("__p") * (lit(1.0) - col("__p")) *
+              (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n2"))))))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        col("p1"), col("p2"), col("z"))
+  }
 }

@@ -715,4 +715,33 @@ class AnalyticsSpec extends SparkSpec {
     fb.getLong(1) shouldBe 4L
     fb.getLong(2) shouldBe 1L
   }
+
+  test("passAtK: hand-computed estimates, n<k dropped, all-fail/all-pass") {
+    import graft.operators.Evaluation
+    // task a: n=6, c=2 -> 1 - C(4,2)/C(6,2) = 1 - 6/15 = 0.6
+    // task b: n=1 < k -> dropped; task d: all pass; task e: all fail
+    val df = (Seq.fill(2)(("a", true)) ++ Seq.fill(4)(("a", false)) ++
+      Seq(("b", true)) ++
+      Seq.fill(3)(("d", true)) ++ Seq.fill(3)(("e", false)))
+      .toDF("task", "ok")
+    val got = Evaluation.passAtK(df, "task", col("ok"), k = 2)
+      .orderBy("task").collect()
+    got.map(_.getString(0)).toSeq shouldBe Seq("a", "d", "e")
+    got(0).getDouble(5) shouldBe 0.6 +- 1e-15 // 1 - 12/30
+    got(1).getDouble(5) shouldBe 1.0 // fail_num 0
+    got(2).getDouble(5) shouldBe 0.0 // C(3,2)/C(3,2)
+  }
+
+  test("twoProportionZ: symmetric arms z=0, degenerate NULL") {
+    import graft.operators.Evaluation
+    val df = Seq((true, true), (true, false), (false, true),
+      (false, false)).toDF("arm", "ok")
+    val r = Evaluation.twoProportionZ(df, col("arm"), col("ok")).head()
+    r.getLong(0) shouldBe 2L
+    r.getDouble(6) shouldBe 0.0 // p1 == p2
+    // all successes -> pooled p = 1 -> NULL z
+    val allOk = Seq((true, true), (false, true)).toDF("arm", "ok")
+    Evaluation.twoProportionZ(allOk, col("arm"), col("ok"))
+      .head().isNullAt(6) shouldBe true
+  }
 }
