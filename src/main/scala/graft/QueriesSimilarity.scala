@@ -566,7 +566,61 @@ object QueriesSimilarity {
       |FROM qt q, pairs p
       |GROUP BY p.i, p.j ORDER BY i, j""".stripMargin
 
+  // -------------------------------------------------------------- q305
+  /** Reciprocal nearest-neighbor pairs (Similarity.mutualTopMatches) —
+    * the high-precision dedup/mining match rule: a pair survives iff
+    * each side is the other's argmax. Candidates here are exact int8
+    * dots with the query side broadcast (the q19 brute-force shape;
+    * at corpus scale the candidate table comes from LSH/IVF instead —
+    * the operator is generator-agnostic). All-integer scores make the
+    * argmax and the reciprocity join oracle-exact. */
+  private def q305MutualNn(s: SparkSession, dir: String): DataFrame = {
+    val qt = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).getField("q").as("qv"))
+      .localCheckpoint(true)
+    val cands = qt
+      .join(broadcast(qt.select(col("vec_id").as("__bid"),
+        col("qv").as("__bqv"))), col("__bid") =!= col("vec_id"))
+      .select(col("vec_id").as("src"), col("__bid").as("dst"),
+        aggregate(zip_with(col("qv"), col("__bqv"),
+          (x, y) => x.cast("long") * y), lit(0L),
+          (acc, x) => acc + x).as("dot"))
+    Similarity.mutualTopMatches(cands, "src", "dst", "dot")
+      .orderBy(col("id1"))
+  }
+
+  private val q305Sql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, e,
+      |    list_max(list_transform(e, x -> abs(x))) AS scale
+      |  FROM e),
+      |qt AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+      |    ELSE list_transform(e,
+      |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) END
+      |      AS qv
+      |  FROM sc),
+      |d AS (
+      |  SELECT a.vec_id AS s, b.vec_id AS t,
+      |    CAST(list_aggregate(list_transform(range(1, 65),
+      |      i -> CAST(a.qv[i] AS BIGINT) * b.qv[i]), 'sum') AS BIGINT)
+      |      AS dot
+      |  FROM qt a JOIN qt b ON b.vec_id != a.vec_id),
+      |top1 AS (
+      |  SELECT s, t, dot FROM (
+      |    SELECT s, t, dot, row_number() OVER (PARTITION BY s
+      |      ORDER BY dot DESC, t) AS rn FROM d) z WHERE rn = 1)
+      |SELECT a.s AS id1, a.t AS id2, a.dot AS score
+      |FROM top1 a JOIN top1 b ON b.s = a.t AND b.t = a.s
+      |WHERE a.s < b.s ORDER BY id1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_mutual_nn" -> (q305MutualNn _),
     "q278_gram_matrix" -> (q278GramMatrix _),
     "q219_knn_eval" -> (q219KnnEval _),
     "q224_ann_recall" -> (q224AnnRecall _),
@@ -581,6 +635,7 @@ object QueriesSimilarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q305_mutual_nn" -> q305Sql,
     "q278_gram_matrix" -> q278Sql,
     "q219_knn_eval" -> q219Sql,
     "q224_ann_recall" -> q224Sql,

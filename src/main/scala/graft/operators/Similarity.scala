@@ -626,4 +626,30 @@ object Similarity {
     transform(quant.getField("q"),
       x => x.cast("double") * scale / lit(127.0))
   }
+
+  /** Reciprocal (mutual) nearest-neighbor pairing — the high-precision
+    * match rule of image/embedding dedup and cross-lingual mining
+    * (cf. the margin-based RNN criterion of CCMatrix-style pipelines):
+    * keep a pair iff each side is the other's top match. Takes a
+    * CANDIDATE table (src, dst, score) from any generator — exact
+    * dots on a small set, LSH/IVF buckets at corpus scale — so the
+    * operator itself never enumerates pairs. Per-src argmax via
+    * max_by (score desc, dst asc — deterministic ties), one
+    * self-join for reciprocity, canonical id1 < id2.
+    * @return (id1, id2, score) — score of the id1→id2 direction */
+  def mutualTopMatches(cands: DataFrame, srcCol: String, dstCol: String,
+      scoreCol: String): DataFrame = {
+    val top1 = cands.groupBy(col(srcCol).as("__s"))
+      .agg(max_by(col(dstCol),
+          struct(col(scoreCol), -col(dstCol))).as("__t"),
+        max(struct(col(scoreCol), -col(dstCol))).as("__ord"))
+      .select(col("__s"), col("__t"),
+        col("__ord").getField(scoreCol).as("__score"))
+    top1.as("a")
+      .join(top1.as("b"),
+        col("b.__s") === col("a.__t") && col("b.__t") === col("a.__s") &&
+          col("a.__s") < col("b.__s"))
+      .select(col("a.__s").as("id1"), col("a.__t").as("id2"),
+        col("a.__score").as("score"))
+  }
 }

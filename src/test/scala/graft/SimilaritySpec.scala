@@ -506,6 +506,23 @@ class SimilaritySpec extends SparkSpec {
     v(1) shouldBe 0.8 +- 1e-9
   }
 
+  test("mutualTopMatches: reciprocal pairs only, deterministic ties") {
+    import spark.implicits._
+    // 1<->2 mutual best (score 10); 3's best is 1 but 1's best is 2;
+    // tie on (5,6): equal scores both ways -> argmax picks smaller dst
+    val cands = Seq(
+      (1L, 2L, 10L), (2L, 1L, 10L), (1L, 3L, 5L), (3L, 1L, 9L),
+      (2L, 3L, 4L), (3L, 2L, 1L),
+      (5L, 6L, 7L), (6L, 5L, 7L), (5L, 7L, 7L), (7L, 5L, 7L))
+      .toDF("src", "dst", "score")
+    val got = graft.operators.Similarity
+      .mutualTopMatches(cands, "src", "dst", "score")
+      .orderBy("id1").as[(Long, Long, Long)].collect().toSeq
+    // 5's argmax ties between 6 and 7 -> smaller dst (6); 6's best is
+    // 5 -> (5,6) mutual; 7->5 but 5->6, so 7 unmatched
+    got shouldBe Seq((1L, 2L, 10L), (5L, 6L, 7L))
+  }
+
   test("topEigen: sign fix and zero matrix") {
     import graft.operators.Pca
     val (l0, v0) = Pca.topEigen(Array((0, 0, 0L), (0, 1, 0L), (1, 1, 0L)))
