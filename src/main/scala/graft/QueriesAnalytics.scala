@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventAnalytics, FuzzyJoin, Graph, Layout, Quantiles, TimeSeries,
-  RuntimeFilter, Sampling, SpatialJoin}
+import graft.operators.{EventAnalytics, Evaluation, FuzzyJoin, Graph, Layout,
+  Quantiles, TimeSeries, RuntimeFilter, Sampling, Sketches, SpatialJoin}
 
 /** Round-4 analytics / scale-infrastructure operators: explicit runtime
   * filters, exact distributed quantiles, event-stream batch analytics
@@ -3613,7 +3613,133 @@ object QueriesAnalytics {
       |  END AS z
       |FROM b""".stripMargin
 
+  // -------------------------------------------------------------- q306
+  /** AMS tug-of-war F2 sketch (Sketches.amsF2) over a 500-key zipfy
+    * stream: 9 md5-signed ±1 estimators, median by selection, every
+    * intermediate an exact BIGINT — the classic streaming moment
+    * estimator with the exact F2 in-row as the error audit. */
+  private def q306AmsF2(s: SparkSession, dir: String): DataFrame =
+    Sketches.amsF2(Tables.load(s, dir, "events"),
+      col("user_id") % 500, rows = 9)
+
+  private val q306Sql =
+    """WITH signed AS (
+      |  SELECT r.r AS r,
+      |    CASE WHEN ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+      |        || CAST(user_id % 500 AS VARCHAR)), 1, 15))::BIGINT
+      |        % 2 = 0
+      |      THEN 1 ELSE -1 END AS sign
+      |  FROM events, range(0, 9) r(r)),
+      |ests AS (
+      |  SELECT CAST(sum(sign) AS BIGINT) * CAST(sum(sign) AS BIGINT)
+      |    AS s2
+      |  FROM signed GROUP BY r),
+      |med AS (SELECT s2 AS f2_est FROM ests ORDER BY s2
+      |        LIMIT 1 OFFSET 4),
+      |ex AS (
+      |  SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact
+      |  FROM (SELECT count(*) AS f FROM events GROUP BY user_id % 500))
+      |SELECT f2_exact, f2_est,
+      |  CAST(abs(f2_est - f2_exact) AS DOUBLE)
+      |    / CAST(f2_exact AS DOUBLE) AS rel_err
+      |FROM ex CROSS JOIN med""".stripMargin
+
+  // -------------------------------------------------------------- q307
+  /** Deterministic-hash bootstrap CI (Sampling.bootstrapCi) of the
+    * mean order value: 40 half-sample replicates by stable md5
+    * predicate, replicate means as exact-cents/exact-count divisions,
+    * 95% interval by pure order statistics — reproducible uncertainty
+    * quantification with no RNG state. */
+  private def q307BootstrapCi(s: SparkSession, dir: String): DataFrame =
+    Sampling.bootstrapCi(Tables.load(s, dir, "orders"), "o_orderkey",
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+      b = 40, lo = 1)
+
+  private val q307Sql =
+    """WITH reps AS (
+      |  SELECT r.r AS r,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS c
+      |  FROM orders, range(0, 40) r(r)
+      |  WHERE ('0x' || substr(md5(CAST(o_orderkey * 80 + r.r
+      |    AS VARCHAR)), 1, 8))::BIGINT % 2 = 0),
+      |m AS (
+      |  SELECT CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS m
+      |  FROM reps GROUP BY r),
+      |lo AS (SELECT m AS ci_lo FROM m ORDER BY m LIMIT 1 OFFSET 1),
+      |hi AS (SELECT m AS ci_hi FROM m ORDER BY m DESC LIMIT 1 OFFSET 1),
+      |f AS (
+      |  SELECT CAST(40 AS BIGINT) AS b, count(*) AS n_full,
+      |    CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS mean_full
+      |  FROM orders)
+      |SELECT b, n_full, mean_full, ci_lo, ci_hi
+      |FROM f CROSS JOIN lo CROSS JOIN hi""".stripMargin
+
+  // -------------------------------------------------------------- q308
+  /** Two-feature OLS by exact moments + Cramer (Evaluation.ols2ByGroup):
+    * quantity ~ discount + tax per return flag, every moment an exact
+    * BIGINT of cent-scaled inputs and the betas a pinned double
+    * expression — multi-feature regression with the q126
+    * accumulation-order hazard engineered out. */
+  private def q308Ols2(s: SparkSession, dir: String): DataFrame = {
+    def cents(c: String): Column =
+      (col(c).cast("decimal(18,2)") * 100).cast("long")
+    Evaluation.ols2ByGroup(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", cents("l_quantity"), cents("l_discount"),
+        cents("l_tax"))
+      .withColumnRenamed("l_returnflag", "flag")
+      .orderBy(col("flag"))
+  }
+
+  private val q308Sql =
+    """WITH t AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+      |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+      |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2
+      |  FROM lineitem),
+      |mo AS (
+      |  SELECT flag, count(*) AS n,
+      |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+      |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+      |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+      |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+      |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+      |  FROM t GROUP BY 1),
+      |d AS (
+      |  SELECT flag, n, s1, s2, sy, s11, s12, s22, s1y, s2y,
+      |    CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+      |    CAST(s2 AS DOUBLE) AS d2, CAST(sy AS DOUBLE) AS dy,
+      |    CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12,
+      |    CAST(s22 AS DOUBLE) AS d22, CAST(s1y AS DOUBLE) AS d1y,
+      |    CAST(s2y AS DOUBLE) AS d2y
+      |  FROM mo),
+      |dd AS (
+      |  SELECT *,
+      |    dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+      |      + d2 * (d1 * d12 - d11 * d2) AS det
+      |  FROM d)
+      |SELECT flag, n, s1, s2, sy, s11, s12, s22, s1y, s2y,
+      |  CASE WHEN det != 0.0 THEN
+      |    (dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)
+      |      + d2 * (d1y * d12 - d11 * d2y)) / det END AS beta0,
+      |  CASE WHEN det != 0.0 THEN
+      |    (dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)
+      |      + d2 * (d1 * d2y - d1y * d2)) / det END AS beta1,
+      |  CASE WHEN det != 0.0 THEN
+      |    (dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)
+      |      + dy * (d1 * d12 - d11 * d2)) / det END AS beta2
+      |FROM dd ORDER BY flag""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_ams_f2" -> (q306AmsF2 _),
+    "q307_bootstrap_ci" -> (q307BootstrapCi _),
+    "q308_ols2" -> (q308Ols2 _),
     "q303_pass_at_k" -> (q303PassAtK _),
     "q304_ab_ztest" -> (q304AbTest _),
     "q301_decayed_sum" -> (q301DecayedSum _),
@@ -3701,6 +3827,9 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q306_ams_f2" -> q306Sql,
+    "q307_bootstrap_ci" -> q307Sql,
+    "q308_ols2" -> q308Sql,
     "q303_pass_at_k" -> q303Sql,
     "q304_ab_ztest" -> q304Sql,
     "q301_decayed_sum" -> q301Sql,

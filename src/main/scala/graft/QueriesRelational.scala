@@ -2999,9 +2999,12 @@ object QueriesRelational {
     * genealogy test names pin the H/W-transparency rule, vowel
     * resets, double-letter collapse, padding, and the non-letter
     * passthrough; customer-derived tokens add bulk. The oracle
-    * reimplements the algorithm as a list_reduce fold carrying
-    * (output, previous-code) state — matching Spark's US-census
-    * variant exactly (probed). */
+    * reimplements the algorithm as a RECURSIVE CTE stepping
+    * (word, position, output, previous-code) — NOT a list_reduce
+    * fold: DuckDB 1.0's vectorized list_reduce corrupts string
+    * accumulators when many rows fold in one batch (measured:
+    * 'Czarkowska' → C232 in the full query, C622 standalone; see
+    * ORACLE_NOTES.md). Matches Spark's US-census variant exactly. */
   private def q302Soundex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val classics = Seq("Robert", "Rupert", "Ashcraft", "Ashcroft",
@@ -3020,7 +3023,7 @@ object QueriesRelational {
   }
 
   private val q302Sql =
-    """WITH w0 AS (
+    """WITH RECURSIVE w0 AS (
       |  SELECT w FROM (VALUES ('Robert'), ('Rupert'), ('Ashcraft'),
       |    ('Ashcroft'), ('Tymczak'), ('Pfister'), ('Honeyman'),
       |    ('Jackson'), ('Washington'), ('Lee'), ('Gutierrez'),
@@ -3033,30 +3036,37 @@ object QueriesRelational {
       |  SELECT 'Cust' || CAST(c_custkey % 97 AS VARCHAR)
       |  FROM customer WHERE c_custkey <= 200),
       |w1 AS (SELECT DISTINCT w FROM w0),
-      |f AS (SELECT w, upper(w) AS u FROM w1)
-      |SELECT w,
-      |  CASE WHEN NOT (substr(u, 1, 1) BETWEEN 'A' AND 'Z') THEN w
-      |  ELSE substr(u, 1, 1) || rpad(string_split(
-      |    list_reduce(list_prepend(
-      |      ';' || CASE WHEN substr(u, 1, 1) IN ('H', 'W') THEN '0'
-      |        ELSE substr('01230120022455012623010202',
-      |          ascii(substr(u, 1, 1)) - 64, 1) END,
-      |      list_transform(generate_series(2, len(u)),
-      |        i -> substr(u, i, 1))),
-      |      (acc, c) -> CASE
-      |        WHEN c = 'H' OR c = 'W' THEN acc
-      |        WHEN NOT (c BETWEEN 'A' AND 'Z')
-      |          THEN string_split(acc, ';')[1] || ';0'
-      |        WHEN substr('01230120022455012623010202', ascii(c) - 64, 1) = '0'
-      |          THEN string_split(acc, ';')[1] || ';0'
-      |        WHEN substr('01230120022455012623010202', ascii(c) - 64, 1) = string_split(acc, ';')[2] THEN acc
-      |        WHEN len(string_split(acc, ';')[1]) >= 3
-      |          THEN string_split(acc, ';')[1] || ';' || substr('01230120022455012623010202', ascii(c) - 64, 1)
-      |        ELSE string_split(acc, ';')[1] || substr('01230120022455012623010202', ascii(c) - 64, 1)
-      |          || ';' || substr('01230120022455012623010202', ascii(c) - 64, 1)
-      |      END), ';')[1], 3, '0')
-      |  END AS sdx
-      |FROM f ORDER BY w""".stripMargin
+      |f AS (SELECT w, upper(w) AS u FROM w1),
+      |st AS (
+      |  SELECT w, u, 2 AS i, '' AS pout,
+      |    CASE WHEN substr(u, 1, 1) IN ('H', 'W') THEN '0'
+      |      ELSE substr('01230120022455012623010202',
+      |        ascii(substr(u, 1, 1)) - 64, 1) END AS prev
+      |  FROM f WHERE substr(u, 1, 1) BETWEEN 'A' AND 'Z'
+      |  UNION ALL
+      |  SELECT w, u, i + 1,
+      |    CASE
+      |      WHEN c = 'H' OR c = 'W' THEN pout
+      |      WHEN NOT (c BETWEEN 'A' AND 'Z') THEN pout
+      |      WHEN code = '0' THEN pout
+      |      WHEN code = prev THEN pout
+      |      WHEN len(pout) >= 3 THEN pout
+      |      ELSE pout || code END,
+      |    CASE
+      |      WHEN c = 'H' OR c = 'W' THEN prev
+      |      WHEN NOT (c BETWEEN 'A' AND 'Z') THEN '0'
+      |      WHEN code = '0' THEN '0'
+      |      ELSE code END
+      |  FROM (SELECT w, u, i, pout, prev, substr(u, i, 1) AS c,
+      |      substr('01230120022455012623010202',
+      |        ascii(substr(u, i, 1)) - 64, 1) AS code
+      |    FROM st WHERE i <= len(u)) s),
+      |done AS (SELECT w, pout FROM st WHERE i = len(u) + 1)
+      |SELECT f.w,
+      |  CASE WHEN NOT (substr(f.u, 1, 1) BETWEEN 'A' AND 'Z') THEN f.w
+      |    ELSE substr(f.u, 1, 1) || rpad(d.pout, 3, '0') END AS sdx
+      |FROM f LEFT JOIN done d ON d.w = f.w
+      |ORDER BY f.w""".stripMargin
 
   // -------------------------------------------------------------- q267
   /** TPC-H Q18 (large-volume customers): IN over a grouped-HAVING

@@ -576,4 +576,47 @@ object Evaluation {
       .select(col("n1"), col("x1"), col("n2"), col("x2"),
         col("p1"), col("p2"), col("z"))
   }
+
+  /** Per-group two-feature ordinary least squares y ~ β0 + β1·x1 +
+    * β2·x2, solved by Cramer's rule over the 3×3 normal equations.
+    * Inputs must be INTEGRAL columns (pre-scale 2-dp floats by 100):
+    * all nine moments (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y,
+    * Σx2y) are then exact BIGINT sums — associative under any
+    * partitioning — and the betas are a fixed expression tree of
+    * +,-,*,/ over their int64→double conversions (each moment must
+    * stay < 2^53), so every output bit is engine-reproducible. This
+    * is the multi-feature extension of the q126 lesson: never let a
+    * native regr_* aggregate pick the accumulation order.
+    *
+    * Scale: one map-side-combined aggregate, one row per group out.
+    * The d=2 special case is closed-form; the general-d version of
+    * this design is the Gram-matrix pattern (Pca.gramMatrix) with a
+    * driver-side d×d solve — d², never n, leaves the executors. */
+  def ols2ByGroup(df: DataFrame, groupCol: String, y: Column,
+      x1: Column, x2: Column): DataFrame = {
+    def d(c: String): Column = col(c).cast("double")
+    val m = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+        sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"),
+        sum(x2 * x2).as("s22"),
+        sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"))
+    // det of [[a,b,c],[d,e,f],[g,h,i]] expanded along the first row;
+    // the SAME expression text is in the oracle SQL — bit-identical.
+    def det3(a: Column, b: Column, c: Column, dd: Column, e: Column,
+        f: Column, g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (dd * i - f * g) + c * (dd * h - e * g)
+    val (n, s1, s2, sy) = (d("n"), d("s1"), d("s2"), d("sy"))
+    val (s11, s12, s22, s1y, s2y) = (d("s11"), d("s12"), d("s22"),
+      d("s1y"), d("s2y"))
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    m.select(col(groupCol), col("n"), col("s1"), col("s2"), col("sy"),
+      col("s11"), col("s12"), col("s22"), col("s1y"), col("s2y"),
+      when(det =!= 0.0,
+        det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det).as("beta0"),
+      when(det =!= 0.0,
+        det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det).as("beta1"),
+      when(det =!= 0.0,
+        det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det).as("beta2"))
+  }
 }

@@ -267,4 +267,54 @@ object Sampling {
         col("__i").as("offset"), col("__cid").as("neg_id"),
         col("__cg").as("neg_" + groupCol))
   }
+
+  /** Deterministic-hash bootstrap confidence interval for a mean —
+    * uncertainty quantification as a pipeline operator. Each of `b`
+    * replicates is a ~50% Bernoulli subsample selected by the stable
+    * md5 bucket of (id·2b + replicate) — no RNG state, so the
+    * replicate membership (and therefore every output bit) is
+    * reproducible across runs, partitionings, and engines. Per
+    * replicate the metric is the mean of `cents` (an exact BIGINT sum
+    * over an exact count, one final division); the interval is the
+    * (lo+1)-th and (b−lo)-th ORDER STATISTICS of the b replicate
+    * means — selection, not interpolation, so no quantile-definition
+    * skew against the oracle.
+    *
+    * Scale: one map pass fans each row out b ways but the aggregate
+    * has exactly b groups — map-side partial collapse makes the
+    * shuffle b·partitions rows. b is a constant (40–200); the whole
+    * operator is one pass over the data regardless of size. Classic
+    * m-out-of-n Bernoulli bootstrap (Bickel et al.; Kleiner's BLB is
+    * the heavier cousin) — the half-sample variant keeps membership a
+    * pure hash predicate.
+    *
+    * @param idCol  integral id column (hash seed)
+    * @param cents  exact integral metric column (pre-scale money)
+    * @param b      replicate count
+    * @param lo     order-statistic depth for the interval (default 1:
+    *               with b=40 that is the 2nd smallest / 2nd largest,
+    *               a ~95% percentile interval)
+    * @return one row: (b, n_full, mean_full, ci_lo, ci_hi)
+    */
+  def bootstrapCi(df: DataFrame, idCol: String, cents: Column,
+      b: Int = 40, lo: Int = 1): DataFrame = {
+    require(b >= 4 && lo >= 0 && 2 * lo < b, s"bad bootstrap params ($b, $lo)")
+    val reps = df.select(col(idCol).cast("long").as("__id"),
+        cents.cast("long").as("__c"))
+      .select(col("__id"), col("__c"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"))
+      .filter(hashBucket(col("__id") * (2 * b) + col("r"), 2) === 0)
+      .groupBy(col("r"))
+      .agg(sum(col("__c")).as("s"), count(lit(1)).as("n"))
+      .select((col("s").cast("double") / col("n").cast("double")).as("m"))
+    val ciLo = reps.orderBy(col("m")).limit(lo + 1)
+      .orderBy(col("m").desc).limit(1).select(col("m").as("ci_lo"))
+    val ciHi = reps.orderBy(col("m").desc).limit(lo + 1)
+      .orderBy(col("m")).limit(1).select(col("m").as("ci_hi"))
+    val full = df.select(cents.cast("long").as("__c"))
+      .agg(sum(col("__c")).as("s"), count(lit(1)).as("n"))
+      .select(lit(b).cast("long").as("b"), col("n").as("n_full"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean_full"))
+    full.crossJoin(ciLo).crossJoin(ciHi)
+  }
 }

@@ -116,6 +116,50 @@ object Sketches {
         col("col.__item").as(itemName), col("col.cnt").as("cnt"))
   }
 
+  /** AMS / tug-of-war second-frequency-moment sketch (Alon, Matias,
+    * Szegedy STOC'96): F2 = Σ_i f_i² estimated as the median over
+    * `rows` independent estimators S_r², where S_r = Σ_x sign_r(x)
+    * and sign_r is a ±1 hash of ("r:" + x). Everything is EXACT
+    * integer arithmetic — the signs are md5-derived (portable to the
+    * DuckDB oracle), each S_r is a BIGINT sum, each estimator is a
+    * BIGINT square, and the median over an odd `rows` count is pure
+    * selection — so the result is bit-identical under any
+    * partitioning or engine. The exact F2 rides along for the
+    * relative-error audit.
+    *
+    * Scale: the sign contributions fan each row out `rows` ways
+    * map-side, but the groupBy has only `rows` groups — partial
+    * aggregation collapses everything before the shuffle, which
+    * carries rows·partitions longs. The exact-F2 branch is the usual
+    * one-row-per-distinct-key aggregate. At 100 TB the sketch branch
+    * is the cheap one; the exact branch is what it replaces (here it
+    * stays in-row as the audit).
+    *
+    * @param rows odd number of independent estimators (median taken)
+    * @return one row: (f2_exact, f2_est, rel_err)
+    */
+  def amsF2(df: DataFrame, key: Column, rows: Int = 9): DataFrame = {
+    require(rows > 0 && rows % 2 == 1, "rows must be odd and positive")
+    val signed = df.select(posexplode(array((0 until rows).map { r =>
+      when(md5Hash60(concat(lit(s"$r:"), key.cast("string"))) % 2 === 0,
+        1L).otherwise(-1L)
+    }: _*)).as(Seq("r", "sign")))
+    val ests = signed.groupBy(col("r"))
+      .agg(sum(col("sign")).as("s"))
+      .select((col("s") * col("s")).as("s2"))
+    // median of an odd count = the middle order statistic (selection)
+    val med = ests.orderBy(col("s2")).limit(rows / 2 + 1)
+      .orderBy(col("s2").desc).limit(1)
+      .select(col("s2").as("f2_est"))
+    val exact = df.groupBy(key.as("__k"))
+      .agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("f2_exact"))
+    exact.crossJoin(med)
+      .select(col("f2_exact"), col("f2_est"),
+        (abs(col("f2_est") - col("f2_exact")).cast("double") /
+          col("f2_exact").cast("double")).as("rel_err"))
+  }
+
   /** The d md5-derived bucket indices of an item for a depth-d, width-w
     * count-min sketch (row r hashes the string "r:<item>"). Pure column
     * math, identical in DuckDB:

@@ -744,4 +744,40 @@ class AnalyticsSpec extends SparkSpec {
     Evaluation.twoProportionZ(allOk, col("arm"), col("ok"))
       .head().isNullAt(6) shouldBe true
   }
+
+  test("amsF2: exact F2 right, estimator finite and self-consistent") {
+    import graft.operators.Sketches
+    // frequencies 3,2,1 -> F2 = 9+4+1 = 14
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val r = Sketches.amsF2(df, col("k"), rows = 9).head()
+    r.getLong(0) shouldBe 14L
+    val est = r.getLong(1)
+    est should be >= 0L
+    r.getDouble(2) shouldBe math.abs(est - 14L).toDouble / 14.0
+  }
+
+  test("bootstrapCi: constant metric collapses the interval to the mean") {
+    import graft.operators.Sampling
+    val df = (1L to 500L).map(i => (i, 250L)).toDF("id", "cents")
+    val r = Sampling.bootstrapCi(df, "id", col("cents"), b = 20, lo = 1)
+      .head()
+    r.getLong(0) shouldBe 20L
+    r.getLong(1) shouldBe 500L
+    r.getDouble(2) shouldBe 250.0
+    r.getDouble(3) shouldBe 250.0 // ci_lo
+    r.getDouble(4) shouldBe 250.0 // ci_hi
+  }
+
+  test("ols2ByGroup: recovers an exact planted linear model") {
+    import graft.operators.Evaluation
+    // y = 3 + 2*x1 + 5*x2 on a non-degenerate integer grid
+    val rows = for (x1 <- 0 to 5; x2 <- 0 to 5)
+      yield ("g", x1.toLong, x2.toLong, 3L + 2 * x1 + 5 * x2)
+    val df = rows.toDF("g", "x1", "x2", "y")
+    val r = Evaluation.ols2ByGroup(df, "g", col("y"), col("x1"), col("x2"))
+      .head()
+    r.getDouble(10) shouldBe 3.0 +- 1e-9 // beta0
+    r.getDouble(11) shouldBe 2.0 +- 1e-9 // beta1
+    r.getDouble(12) shouldBe 5.0 +- 1e-9 // beta2
+  }
 }
