@@ -2983,12 +2983,136 @@ object QueriesRelational {
     s.sql(q294Sql)
   }
 
+  // -------------------------------------------------------------- q309
+  /** Sliding 7-row median per user (robust rolling location): Spark
+    * has no median window function, so the frame is materialized as a
+    * bounded collect_list, sorted, and the middle element SELECTED —
+    * pure selection of raw doubles, bit-exact vs DuckDB's windowed
+    * median (quantile_cont at an integer position over the same 7
+    * values). Frames shorter than 7 rows are dropped on both sides so
+    * no even-count interpolation (engine-divergent expression shape)
+    * ever happens. Scale: the frame is O(7) per row and the window is
+    * per-user — parallel across users, never a global sort. */
+  private def q309MovingMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(-6, 0)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("med",
+        element_at(sort_array(collect_list(col("value")).over(frame)), 4))
+      .filter(col("rn") >= 7)
+      .select(col("user_id"), col("rn"), col("med"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  private val q309Sql =
+    """SELECT user_id, rn, med FROM (
+      |  SELECT user_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn,
+      |    median(value) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+      |  FROM events) s
+      |WHERE rn >= 7 ORDER BY user_id, rn""".stripMargin
+
+  // -------------------------------------------------------------- q310
+  /** TPC-H Q17 shape (small-quantity revenue loss), restated exactly:
+    * the correlated 0.2·avg(quantity) threshold becomes the integer
+    * predicate qty_cents·5·n < Σqty_cents — same selection, zero
+    * float averages (the q126 rule applied to Q17). Spark side is
+    * DataFrame API: the per-part aggregate joins back on the
+    * already-partkey-keyed fact (no broadcast — the dim is per-part,
+    * data-sized), the part filter IS broadcast. avg_yearly stays in
+    * exact cents with one final division by 7.0. */
+  private def q310TpchQ17(s: SparkSession, dir: String): DataFrame = {
+    def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+    val li = t(s, dir, "lineitem")
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sq"))
+    val parts = t(s, dir, "part").filter(col("p_size") <= 3)
+      .select(col("p_partkey"))
+    li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(perPart, "l_partkey")
+      .filter(cents(col("l_quantity")) * 5 * col("n") < col("sq"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(cents(col("l_extendedprice"))).as("sum_cents"))
+      .select(col("n_matched"), col("sum_cents"),
+        (col("sum_cents").cast("double") / 7.0).as("avg_yearly_cents"))
+  }
+
+  private val q310Sql =
+    """WITH a AS (
+      |  SELECT l_partkey, count(*) AS n,
+      |    CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS sq
+      |  FROM lineitem GROUP BY 1)
+      |SELECT count(*) AS n_matched,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+      |    AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+      |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 7.0 AS avg_yearly_cents
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN a ON a.l_partkey = l.l_partkey
+      |WHERE p.p_size <= 3
+      |  AND CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT) * 5 * a.n
+      |    < a.sq""".stripMargin
+
+  // -------------------------------------------------------------- q311
+  /** TPC-H Q22 shape (dormant high-balance customers): the scalar
+    * avg(positive acctbal) subquery restated as the exact integer
+    * predicate bal_cents·n_pos > Σpos_cents, the "no recent orders"
+    * clause a left-anti join against the date-filtered fact. Spark
+    * side broadcasts the 1-row moment frame and the anti join's
+    * filtered build side. Grouped by nation like the original. */
+  private def q311TpchQ22(s: SparkSession, dir: String): DataFrame = {
+    def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+    val cust = t(s, dir, "customer")
+      .filter(col("c_nationkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_nationkey").as("nation"),
+        cents(col("c_acctbal")).as("bal"), col("c_acctbal"))
+    val pos = cust.filter(col("c_acctbal") > 0.0)
+      .agg(count(lit(1)).as("np"), sum(col("bal")).as("sp"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(pos))
+      .filter(col("bal") * col("np") > col("sp"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal")).as("bal_cents"))
+      .orderBy(col("nation"))
+  }
+
+  private val q311Sql =
+    """WITH pos AS (
+      |  SELECT count(*) AS np,
+      |    CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS sp
+      |  FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 2 = 0),
+      |cust AS (
+      |  SELECT c_custkey, c_nationkey AS nation,
+      |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+      |  FROM customer WHERE c_nationkey % 2 = 0)
+      |SELECT nation, count(*) AS numcust,
+      |  CAST(sum(bal) AS BIGINT) AS bal_cents
+      |FROM cust CROSS JOIN pos
+      |WHERE bal * np > sp
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = cust.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '2000-08-01')
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
   private val q294Sql =
     """SELECT s_suppkey, s_name FROM supplier
       |WHERE s_suppkey IN (
       |  SELECT l1.l_suppkey FROM lineitem l1
       |  GROUP BY l1.l_partkey, l1.l_suppkey
-      |  HAVING sum(l1.l_quantity) * 2 > (
+      |  HAVING sum(l1.l_quantity) * 6 > (
       |    SELECT sum(l2.l_quantity) FROM lineitem l2
       |    WHERE l2.l_partkey = l1.l_partkey))
       |ORDER BY s_suppkey""".stripMargin
@@ -3541,6 +3665,9 @@ object QueriesRelational {
     "q292_lateral_alias" -> (q292LateralAlias _),
     "q293_tpch_q2" -> (q293TpchQ2 _),
     "q294_tpch_q20" -> (q294TpchQ20 _),
+    "q309_moving_median" -> (q309MovingMedian _),
+    "q310_tpch_q17" -> (q310TpchQ17 _),
+    "q311_tpch_q22" -> (q311TpchQ22 _),
     "q295_json_corrupt" -> (q295JsonCorrupt _),
     "q302_soundex" -> (q302Soundex _),
     "q275_xml_battery" -> (q275XmlBattery _),
@@ -3639,6 +3766,9 @@ object QueriesRelational {
     "q292_lateral_alias" -> q292Sql,
     "q293_tpch_q2" -> q293Sql,
     "q294_tpch_q20" -> q294Sql,
+    "q309_moving_median" -> q309Sql,
+    "q310_tpch_q17" -> q310Sql,
+    "q311_tpch_q22" -> q311Sql,
     "q295_json_corrupt" -> q295Sql,
     "q302_soundex" -> q302Sql,
     "q275_xml_battery" -> q275Sql,
