@@ -3736,7 +3736,94 @@ object QueriesAnalytics {
       |      + dy * (d1 * d12 - d11 * d2)) / det END AS beta2
       |FROM dd ORDER BY flag""".stripMargin
 
+  // -------------------------------------------------------------- q312
+  /** Weisfeiler–Lehman color refinement (Graph.wlRefine, 2 rounds)
+    * over the q200 graph: per-round color-class census (n_colors,
+    * n_nodes, max_class) — the structural-fingerprint partition and
+    * its refinement, every color an engine-portable md5 of sorted
+    * neighbor colors. The oracle unrolls both rounds as CTE stages. */
+  private def q312WlColors(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.wlRefine(e, "src", "dst", rounds = 2)
+      .groupBy(col("round"), col("color")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("round"))
+      .agg(count(lit(1)).as("n_colors"), sum(col("sz")).as("n_nodes"),
+        max(col("sz")).as("max_class"))
+      .orderBy(col("round"))
+  }
+
+  private val q312Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT
+      |    least(l_orderkey % 20000, (l_partkey * 7) % 20000) AS u,
+      |    greatest(l_orderkey % 20000, (l_partkey * 7) % 20000) AS v
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)
+      |    AND l_orderkey IS NOT NULL),
+      |adj AS (SELECT u AS node, v AS x FROM e0
+      |        UNION ALL SELECT v, u FROM e0),
+      |c0 AS (SELECT node, CAST(count(*) AS VARCHAR) AS color
+      |       FROM adj GROUP BY 1),
+      |s1 AS (SELECT a.node, string_agg(n.color, ',' ORDER BY n.color)
+      |         AS sig
+      |       FROM adj a JOIN c0 n ON n.node = a.x GROUP BY 1),
+      |c1 AS (SELECT s1.node, md5(c.color || '|' || s1.sig) AS color
+      |       FROM s1 JOIN c0 c ON c.node = s1.node),
+      |s2 AS (SELECT a.node, string_agg(n.color, ',' ORDER BY n.color)
+      |         AS sig
+      |       FROM adj a JOIN c1 n ON n.node = a.x GROUP BY 1),
+      |c2 AS (SELECT s2.node, md5(c.color || '|' || s2.sig) AS color
+      |       FROM s2 JOIN c1 c ON c.node = s2.node),
+      |allc AS (
+      |  SELECT 0 AS round, node, color FROM c0
+      |  UNION ALL SELECT 1, node, color FROM c1
+      |  UNION ALL SELECT 2, node, color FROM c2),
+      |cls AS (SELECT round, color, count(*) AS sz
+      |        FROM allc GROUP BY 1, 2)
+      |SELECT round, count(*) AS n_colors,
+      |  CAST(sum(sz) AS BIGINT) AS n_nodes, max(sz) AS max_class
+      |FROM cls GROUP BY 1 ORDER BY round""".stripMargin
+
+  // -------------------------------------------------------------- q313
+  /** Resource-allocation link prediction (Graph.resourceAllocation)
+    * over the q200 graph with the same center cap: candidate pairs
+    * with ≥2 common neighbors scored Σ 1/deg(z) in sorted-fold order
+    * — degree-penalized common-neighbor evidence, bit-stable (one
+    * division per term, no logs). */
+  private def q313ResourceAlloc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.resourceAllocation(e, "src", "dst", maxCenterDegree = 10,
+        minCn = 2)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val q313Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT
+      |    least(l_orderkey % 20000, (l_partkey * 7) % 20000) AS u,
+      |    greatest(l_orderkey % 20000, (l_partkey * 7) % 20000) AS v
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)
+      |    AND l_orderkey IS NOT NULL),
+      |adj AS (SELECT u AS c, v AS x FROM e0
+      |        UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT c, count(*) AS d FROM adj GROUP BY 1),
+      |kept AS (SELECT adj.c, adj.x, deg.d FROM adj JOIN deg USING (c)
+      |         WHERE deg.d <= 10)
+      |SELECT a.x AS a, b.x AS b, count(*) AS cn,
+      |  list_aggregate(list_sort(list(1.0 / CAST(a.d AS DOUBLE))),
+      |    'sum') AS ra
+      |FROM kept a JOIN kept b ON a.c = b.c AND a.x < b.x
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY a, b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_wl_colors" -> (q312WlColors _),
+    "q313_resource_alloc" -> (q313ResourceAlloc _),
     "q306_ams_f2" -> (q306AmsF2 _),
     "q307_bootstrap_ci" -> (q307BootstrapCi _),
     "q308_ols2" -> (q308Ols2 _),
@@ -3827,6 +3914,8 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q312_wl_colors" -> q312Sql,
+    "q313_resource_alloc" -> q313Sql,
     "q306_ams_f2" -> q306Sql,
     "q307_bootstrap_ci" -> q307Sql,
     "q308_ols2" -> q308Sql,

@@ -1904,7 +1904,58 @@ object QueriesCorpus {
 
   // -------------------------------------------------------------- export
 
+  // -------------------------------------------------------------- q314
+  /** N-gram novelty scoring: per document, the fraction of its
+    * distinct 5-word shingles never seen in any EARLIER document
+    * (first occurrence = min doc_id over the corpus) — the
+    * contribution-vs-repetition signal a crawl-ordered ingest uses to
+    * down-weight recycled text before training. All counting is exact
+    * integers; novelty is one final division.
+    *
+    * Scale: first-occurrence is a min-aggregate keyed by gram (one
+    * shuffle, map-side combined), the join back is on the SAME gram
+    * key (co-partitioned, no extra exchange), then a per-doc count
+    * aggregate. Never a self-join over documents. */
+  private def q314Novelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TA.wordShingles(col("text"), 5))).as("g"))
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+    grams.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q314Sql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) <= 5 THEN [t]
+      |         ELSE list_distinct(list_transform(range(1, len(tk) - 3),
+      |                i -> array_to_string(tk[i:i+4], ' '))) END AS s
+      |  FROM (SELECT doc_id, t, string_split(t, ' ') AS tk
+      |        FROM (SELECT doc_id,
+      |                regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      |                  AS t
+      |              FROM documents))),
+      |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |f AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY 1)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS novelty
+      |FROM g JOIN f ON f.g = g.g
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_novelty" -> (q314Novelty _),
     "q237_rag_chunks" -> (q237RagChunks _),
     "q239_domain_blocklist" -> (q239DomainBlocklist _),
     "q277_cidr_lpm" -> (q277CidrLpm _),
@@ -1949,6 +2000,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q314_novelty" -> q314Sql,
     "q237_rag_chunks" -> q237Sql,
     "q239_domain_blocklist" -> q239Sql,
     "q277_cidr_lpm" -> q277Sql,

@@ -591,6 +591,96 @@ object Graph {
       .select(col("cn"), col("n_pairs"), col("n_capped_centers"))
   }
 
+  /** Resource-allocation link-prediction index (Zhou, Lü, Zhang 2009):
+    * for each candidate pair (a, b) sharing at least `minCn` common
+    * neighbors, RA = Σ_z 1/deg(z) over the common neighbors z — the
+    * degree-penalized cousin of common-neighbor counting (a shared
+    * hub says less than a shared leaf). Adamic–Adar's 1/log(deg)
+    * variant is deliberately NOT the gate form: log is libm
+    * ulp-territory, 1/deg is one correctly-rounded division. The
+    * per-pair sum folds in SORTED order (sort_array + aggregate), so
+    * the double is bit-stable under any partitioning and matches the
+    * oracle's list_sort fold.
+    *
+    * Scale: identical shape to [[commonNeighborCensus]] — the
+    * center-degree cap bounds the per-center pair fan-out at
+    * C(maxCenterDegree, 2) and hub centers are dropped (counted,
+    * auditable); the pair aggregate carries a cn count and a bounded
+    * term list (≤ the cap). minCn prunes the long cn=1 tail before
+    * output. */
+  def resourceAllocation(edges: DataFrame, src: String, dst: String,
+      maxCenterDegree: Int = 1000, minCn: Int = 2): DataFrame = {
+    require(maxCenterDegree >= 2,
+      s"maxCenterDegree must be >= 2 (got $maxCenterDegree)")
+    val canon = canonicalEdges(edges, src, dst)
+    val adj = canon.select(col("u").as("c"), col("v").as("x"))
+      .unionAll(canon.select(col("v").as("c"), col("u").as("x")))
+    val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("d"))
+    val kept = adj.join(deg.filter(col("d") <= maxCenterDegree), Seq("c"))
+    pairs(kept)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+          (acc, x) => acc + x).as("ra"))
+      .filter(col("cn") >= minCn)
+  }
+
+  /** Candidate pairs at the capped centers, each carrying the center's
+    * 1/deg contribution. */
+  private def pairs(kept: DataFrame): DataFrame =
+    kept.select(col("c"), col("x").as("a"),
+        (lit(1.0) / col("d").cast("double")).as("term"))
+      .hint("shuffle_hash")
+      .join(kept.select(col("c"), col("x").as("b")), Seq("c"))
+      .filter(col("a") < col("b"))
+
+  /** Weisfeiler–Lehman color refinement (1-WL): round-0 color is the
+    * node degree; each round recolors a node with
+    * md5(ownColor ∥ '|' ∥ sorted neighbor colors) — the canonical
+    * graph-structure fingerprint (isomorphic neighborhoods get equal
+    * colors; the per-round color-class partition refines
+    * monotonically). md5 of an identical string is engine-portable,
+    * the neighbor list is sorted before hashing, and colors are ASCII
+    * hex/digits where lexical = binary order — so every color is
+    * bit-identical in the DuckDB oracle's unrolled restatement.
+    *
+    * Scale: each round is one join of the edge list against the n-row
+    * color table (shuffle on node id) plus one aggregate — the
+    * PageRank cost class; rounds are a small constant. Each round's
+    * colors are persisted and the previous round released, the
+    * iterative-operator checkpoint discipline.
+    *
+    * @return (round, node, color) for rounds 0..rounds */
+  def wlRefine(edges: DataFrame, src: String, dst: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds <= 16, s"rounds out of range ($rounds)")
+    val canon = canonicalEdges(edges, src, dst)
+    val adj = canon.select(col("u").as("node"), col("v").as("x"))
+      .unionAll(canon.select(col("v").as("node"), col("u").as("x")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var colors = adj.groupBy(col("node"))
+      .agg(count(lit(1)).cast("string").as("color"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var out = colors.withColumn("round", lit(0))
+    for (r <- 1 to rounds) {
+      val nbColors = colors.select(col("node").as("x"),
+        col("color").as("xcolor"))
+      val sig = adj.join(nbColors, Seq("x"))
+        .groupBy(col("node"))
+        .agg(array_join(sort_array(collect_list(col("xcolor"))), ",")
+          .as("sig"))
+      val next = sig.join(colors, Seq("node"))
+        .select(col("node"),
+          md5(concat(col("color"), lit("|"), col("sig"))).as("color"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the parent
+      colors.unpersist()
+      colors = next
+      out = out.unionAll(colors.withColumn("round", lit(r)))
+    }
+    out.select(col("round"), col("node"), col("color"))
+  }
+
   /** Neighborhood Jaccard similarity for EXISTING edges — the
     * link-strength feature J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| with
     * the endpoints themselves excluded from each other's

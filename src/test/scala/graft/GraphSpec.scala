@@ -440,4 +440,29 @@ class GraphSpec extends SparkSpec {
     got(2).getLong(2) shouldBe 0L
     got(2).isNullAt(3) shouldBe true
   }
+
+  test("wlRefine: path endpoints stay color-twins, center separates") {
+    import spark.implicits._
+    // path 1-2-3: degrees 1,2,1
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val wl = Graph.wlRefine(e, "s", "d", rounds = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(2)).toMap
+    wl((0, 1L)) shouldBe "1"
+    wl((0, 2L)) shouldBe "2"
+    wl((1, 1L)) shouldBe wl((1, 3L)) // isomorphic neighborhoods
+    wl((1, 1L)) should not be wl((1, 2L))
+    wl.keys.count(_._1 == 1) shouldBe 3
+  }
+
+  test("resourceAllocation: square's diagonals score 1/2 + 1/2") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val got = Graph.resourceAllocation(e, "s", "d",
+      maxCenterDegree = 10, minCn = 2).orderBy("a", "b").collect()
+    got.length shouldBe 2
+    got.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1L, 3L), (2L, 4L))
+    all(got.map(_.getLong(2))) shouldBe 2L
+    all(got.map(_.getDouble(3))) shouldBe 1.0
+  }
 }
