@@ -3821,7 +3821,77 @@ object QueriesAnalytics {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY a, b""".stripMargin
 
+  // -------------------------------------------------------------- q315
+  /** CUPED variance reduction (Evaluation.cuped): users as units,
+    * even/odd arms, first-half-of-January spend as the pre-period
+    * covariate, second half as the metric. θ, both variances, and
+    * both effect estimates all derive from ONE set of exact BIGINT
+    * moments — the industry-standard A/B sensitivity boost with zero
+    * accumulation-order hazard. */
+  private def q315Cuped(s: SparkSession, dir: String): DataFrame = {
+    def cents: Column = (col("value").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val cut = lit("2024-01-16").cast("timestamp")
+    Evaluation.cuped(Tables.load(s, dir, "events"),
+      unit = col("user_id"), arm = col("user_id") % 2 === 0,
+      pre = when(col("ts") < cut, cents).otherwise(0L),
+      post = when(col("ts") >= cut, cents).otherwise(0L))
+  }
+
+  private val q315Sql =
+    """WITH pu AS (
+      |  SELECT user_id AS u,
+      |    max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS t,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(t) AS BIGINT) AS n1,
+      |    CAST(sum(t * x) AS BIGINT) AS sx1,
+      |    CAST(sum(t * y) AS BIGINT) AS sy1
+      |  FROM pu),
+      |d AS (
+      |  SELECT n, sx, sy, sxx, sxy, syy, n1,
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_x,
+      |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_y,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_xy,
+      |    CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - (CAST(sy AS DOUBLE) - CAST(sy1 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) AS diff_raw,
+      |    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) - CAST(sx1 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) AS diff_x
+      |  FROM m),
+      |e AS (
+      |  SELECT *, CASE WHEN var_x > 0.0 THEN cov_xy / var_x END
+      |    AS theta
+      |  FROM d)
+      |SELECT n, sx, sy, sxx, sxy, syy, n1, var_x, var_y, cov_xy,
+      |  diff_raw, theta,
+      |  CASE WHEN var_x > 0.0 THEN var_y - 2.0 * theta * cov_xy
+      |    + theta * theta * var_x END AS var_cuped,
+      |  CASE WHEN var_y > 0.0 THEN (var_y - 2.0 * theta * cov_xy
+      |    + theta * theta * var_x) / var_y END AS var_reduction,
+      |  diff_raw - theta * diff_x AS diff_cuped
+      |FROM e""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q315_cuped" -> (q315Cuped _),
     "q312_wl_colors" -> (q312WlColors _),
     "q313_resource_alloc" -> (q313ResourceAlloc _),
     "q306_ams_f2" -> (q306AmsF2 _),
@@ -3914,6 +3984,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q315_cuped" -> q315Sql,
     "q312_wl_colors" -> q312Sql,
     "q313_resource_alloc" -> q313Sql,
     "q306_ams_f2" -> q306Sql,

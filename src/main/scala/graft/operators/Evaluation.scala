@@ -619,4 +619,64 @@ object Evaluation {
       when(det =!= 0.0,
         det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det).as("beta2"))
   }
+
+  /** CUPED variance reduction (Deng et al. WSDM'13) — the A/B-test
+    * covariate adjustment: per experiment unit, an exact integral
+    * pre-period covariate x and post-period metric y; θ =
+    * cov(x,y)/var(x); the adjusted effect is diff_y − θ·diff_x and
+    * the adjusted variance var(y) − 2θ·cov + θ²·var(x) — BOTH derived
+    * algebraically from the same five exact BIGINT moments, never
+    * from a second pass over per-unit adjusted doubles (whose
+    * summation order would be engine-dependent). Population (biased)
+    * moments throughout; every double is a pinned expression over
+    * int64→double conversions.
+    *
+    * Scale: one per-unit aggregate (shuffle on unit id, map-side
+    * combined) then one global moment aggregate — two passes, no
+    * broadcast of anything data-sized.
+    *
+    * @param unit  experiment-unit key column
+    * @param arm   boolean treatment indicator (constant per unit)
+    * @param pre   exact integral pre-period contribution per row
+    * @param post  exact integral post-period contribution per row
+    * @return one row: exact moments + (theta, var_y, var_cuped,
+    *         var_reduction, diff_raw, diff_cuped) */
+  def cuped(df: DataFrame, unit: Column, arm: Column, pre: Column,
+      post: Column): DataFrame = {
+    val perUnit = df.groupBy(unit.as("u"))
+      .agg(max(when(arm, 1L).otherwise(0L)).as("t"),
+        sum(pre.cast("long")).as("x"), sum(post.cast("long")).as("y"))
+    val m = perUnit.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("t")).as("n1"),
+      sum(col("t") * col("x")).as("sx1"),
+      sum(col("t") * col("y")).as("sy1"))
+    def d(c: String): Column = col(c).cast("double")
+    m.select(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        col("syy"), col("n1"),
+        ((d("n") * d("sxx") - d("sx") * d("sx")) / (d("n") * d("n")))
+          .as("var_x"),
+        ((d("n") * d("syy") - d("sy") * d("sy")) / (d("n") * d("n")))
+          .as("var_y"),
+        ((d("n") * d("sxy") - d("sx") * d("sy")) / (d("n") * d("n")))
+          .as("cov_xy"),
+        (d("sy1") / d("n1") - (d("sy") - d("sy1")) / (d("n") - d("n1")))
+          .as("diff_raw"),
+        (d("sx1") / d("n1") - (d("sx") - d("sx1")) / (d("n") - d("n1")))
+          .as("__diff_x"))
+      .withColumn("theta",
+        when(col("var_x") > 0.0, col("cov_xy") / col("var_x")))
+      .withColumn("var_cuped",
+        when(col("var_x") > 0.0,
+          col("var_y") - lit(2.0) * col("theta") * col("cov_xy") +
+            col("theta") * col("theta") * col("var_x")))
+      .withColumn("var_reduction",
+        when(col("var_y") > 0.0, col("var_cuped") / col("var_y")))
+      .withColumn("diff_cuped",
+        col("diff_raw") - col("theta") * col("__diff_x"))
+      .drop("__diff_x")
+  }
 }

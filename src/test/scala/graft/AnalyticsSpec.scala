@@ -768,6 +768,24 @@ class AnalyticsSpec extends SparkSpec {
     r.getDouble(4) shouldBe 250.0 // ci_hi
   }
 
+  test("cuped: y perfectly predicted by x collapses adjusted variance") {
+    import graft.operators.Evaluation
+    // y = 2x per unit -> theta = 2, var_cuped = 0, diff_cuped = 0
+    val rows = Seq((1L, 10L, 20L), (2L, 20L, 40L), (3L, 30L, 60L),
+      (4L, 40L, 80L))
+    val df = rows.flatMap { case (u, x, y) =>
+      Seq((u, "pre", x), (u, "post", y))
+    }.toDF("u", "phase", "v")
+    val r = Evaluation.cuped(df, col("u"), col("u") % 2 === 0,
+      when(col("phase") === "pre", col("v")).otherwise(0L),
+      when(col("phase") === "post", col("v")).otherwise(0L)).head()
+    val idx = r.fieldIndex _
+    r.getDouble(idx("theta")) shouldBe 2.0 +- 1e-12
+    r.getDouble(idx("var_cuped")) shouldBe 0.0 +- 1e-9
+    r.getDouble(idx("diff_cuped")) shouldBe 0.0 +- 1e-9
+    r.getDouble(idx("var_reduction")) shouldBe 0.0 +- 1e-12
+  }
+
   test("ols2ByGroup: recovers an exact planted linear model") {
     import graft.operators.Evaluation
     // y = 3 + 2*x1 + 5*x2 on a non-degenerate integer grid
