@@ -1196,6 +1196,67 @@ object QueriesRelational {
       |FROM (VALUES ('gzip'), ('lz4'), ('snappy'), ('zstd')) c(codec), agg
       |ORDER BY c.codec""".stripMargin
 
+  // -------------------------------------------------------------- q316
+  /** Malformed-CSV ingest battery — the CSV sibling of q295's JSON
+    * contracts: a deterministic fixture (customer-derived good lines
+    * + five planted pathologies: bad double, bad int, too-few fields,
+    * too-many fields, empty field) read under PERMISSIVE (with
+    * _corrupt_record) and DROPMALFORMED, each mode's row count,
+    * corrupt count, null-id count, and parsed-value checksum pinned.
+    * Probed Spark 4 semantics (the oracle replays them): ONLY an
+    * unparseable typed field marks a record corrupt — wrong arity is
+    * silently padded (too few) or truncated (too many), an empty
+    * field is a plain NULL — and corrupt records KEEP every field
+    * that did parse (id stays null-only-if-bad, a good val in a
+    * corrupt row still counts). DROPMALFORMED drops exactly the
+    * corrupt set, nothing else. */
+  private def q316CsvModes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val good = t(s, dir, "customer").filter(col("c_custkey") <= 20)
+      .select(concat(col("c_custkey"), lit(",n"), col("c_custkey"),
+        lit(","), (col("c_custkey") + lit(0.25)).cast("string")).as("line"))
+    val bad = Seq("999,badnum,notadouble", "7", "8,x,1.5,extra",
+      ",empty,2.5", "abc,y,3.5").toDF("line")
+    good.unionAll(bad).coalesce(1).write.mode("overwrite").text(root)
+    val schema = "id INT, name STRING, val DOUBLE, _corrupt_record STRING"
+    def agg(df: DataFrame, mode: String, withCorrupt: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        (if (withCorrupt) sum(when(col("_corrupt_record").isNotNull, 1L)
+          .otherwise(0L)) else lit(null).cast("long")).as("n_corrupt"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_null_id"),
+        (sum(col("val").cast("decimal(18,2)")) * 100).cast("long")
+          .as("sum_val_cents"))
+        .withColumn("mode", lit(mode))
+    val permissive = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(root)
+    val dropped = s.read.schema("id INT, name STRING, val DOUBLE")
+      .option("mode", "DROPMALFORMED").csv(root)
+      .withColumn("_corrupt_record", lit(null).cast("string"))
+    agg(permissive, "permissive", withCorrupt = true)
+      .unionAll(agg(dropped, "dropmalformed", withCorrupt = false))
+      .select(col("mode"), col("n_rows"), col("n_corrupt"),
+        col("n_null_id"), col("sum_val_cents"))
+      .orderBy(col("mode"))
+  }
+
+  private val q316Sql =
+    """WITH g AS (
+      |  SELECT count(*) AS ng,
+      |    CAST(sum(c_custkey * 100 + 25) AS BIGINT) AS gc
+      |  FROM customer WHERE c_custkey <= 20)
+      |SELECT * FROM (
+      |  SELECT 'permissive' AS mode, ng + 5 AS n_rows,
+      |    CAST(2 AS BIGINT) AS n_corrupt, CAST(2 AS BIGINT) AS n_null_id,
+      |    gc + 150 + 250 + 350 AS sum_val_cents
+      |  FROM g
+      |  UNION ALL
+      |  SELECT 'dropmalformed', ng + 3, CAST(NULL AS BIGINT),
+      |    CAST(1 AS BIGINT), gc + 150 + 250
+      |  FROM g) m ORDER BY mode""".stripMargin
+
   // -------------------------------------------------------------- q133
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nullable
     * keys are planted on both sides (every 10th supplier key nulled),
@@ -3666,6 +3727,7 @@ object QueriesRelational {
     "q293_tpch_q2" -> (q293TpchQ2 _),
     "q294_tpch_q20" -> (q294TpchQ20 _),
     "q309_moving_median" -> (q309MovingMedian _),
+    "q316_csv_modes" -> (q316CsvModes _),
     "q310_tpch_q17" -> (q310TpchQ17 _),
     "q311_tpch_q22" -> (q311TpchQ22 _),
     "q295_json_corrupt" -> (q295JsonCorrupt _),
@@ -3767,6 +3829,7 @@ object QueriesRelational {
     "q293_tpch_q2" -> q293Sql,
     "q294_tpch_q20" -> q294Sql,
     "q309_moving_median" -> q309Sql,
+    "q316_csv_modes" -> q316Sql,
     "q310_tpch_q17" -> q310Sql,
     "q311_tpch_q22" -> q311Sql,
     "q295_json_corrupt" -> q295Sql,
