@@ -3890,7 +3890,89 @@ object QueriesAnalytics {
       |  diff_raw - theta * diff_x AS diff_cuped
       |FROM e""".stripMargin
 
+  // -------------------------------------------------------------- q317
+  /** AMS join-size estimation (Sketches.amsJoinSize): orders ⋈
+    * customer on custkey forecast from two independently-built ±1
+    * sign sketches (9 longs each) vs the exact per-key-count join —
+    * the constant-size statistic a planner consults before picking a
+    * shuffle strategy. All-integer, median by selection. */
+  private def q317AmsJoinSize(s: SparkSession, dir: String): DataFrame =
+    Sketches.amsJoinSize(
+      Tables.load(s, dir, "orders"), col("o_custkey"),
+      Tables.load(s, dir, "customer"), col("c_custkey"), rows = 9)
+
+  private val q317Sql =
+    """WITH sa AS (
+      |  SELECT r.r AS r, CAST(sum(CASE WHEN ('0x' || substr(md5(
+      |      CAST(r.r AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)),
+      |      1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS s
+      |  FROM orders, range(0, 9) r(r) GROUP BY 1),
+      |sb AS (
+      |  SELECT r.r AS r, CAST(sum(CASE WHEN ('0x' || substr(md5(
+      |      CAST(r.r AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)),
+      |      1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS s
+      |  FROM customer, range(0, 9) r(r) GROUP BY 1),
+      |prod AS (SELECT sa.s * sb.s AS p FROM sa JOIN sb USING (r)),
+      |med AS (SELECT p AS join_est FROM prod ORDER BY p
+      |        LIMIT 1 OFFSET 4),
+      |ex AS (
+      |  SELECT coalesce(CAST(sum(ca * cb) AS BIGINT), 0)
+      |    AS join_exact
+      |  FROM (SELECT o_custkey AS k, count(*) AS ca FROM orders
+      |        GROUP BY 1) a
+      |  JOIN (SELECT c_custkey AS k, count(*) AS cb FROM customer
+      |        GROUP BY 1) b USING (k))
+      |SELECT join_exact, join_est, abs(join_est - join_exact) AS abs_err
+      |FROM ex CROSS JOIN med""".stripMargin
+
+  // -------------------------------------------------------------- q318
+  /** Closeness centrality for an 8-seed set (Graph.closenessCentrality,
+    * 6-hop horizon) over the q200 graph: per-seed reach, exact
+    * integer distance mass, and the single-division closeness — the
+    * composite-key multi-source BFS (k seeds share each round's
+    * shuffle). Oracle: bounded recursive-CTE BFS, min(hops) per
+    * (seed, node). */
+  private def q318Closeness(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.closenessCentrality(e, "src", "dst",
+        seeds = Seq(0L, 7L, 123L, 1234L, 4321L, 9999L, 15000L, 19997L),
+        maxHops = 6)
+      .orderBy(col("seed"))
+  }
+
+  private val q318Sql =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT DISTINCT
+      |    least(l_orderkey % 20000, (l_partkey * 7) % 20000) AS u,
+      |    greatest(l_orderkey % 20000, (l_partkey * 7) % 20000) AS v
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)
+      |    AND l_orderkey IS NOT NULL),
+      |adj AS (SELECT u AS a, v AS b FROM e0
+      |        UNION ALL SELECT v, u FROM e0),
+      |seeds(seed) AS (VALUES (0), (7), (123), (1234), (4321), (9999),
+      |  (15000), (19997)),
+      |walk(seed, node, hops) AS (
+      |  SELECT CAST(seed AS BIGINT), CAST(seed AS BIGINT), 0
+      |  FROM seeds
+      |  UNION
+      |  SELECT w.seed, adj.b, w.hops + 1
+      |  FROM walk w JOIN adj ON adj.a = w.node
+      |  WHERE w.hops < 6),
+      |dist AS (SELECT seed, node, min(hops) AS hops FROM walk
+      |         GROUP BY 1, 2)
+      |SELECT seed, count(*) AS n_reach,
+      |  CAST(sum(hops) AS BIGINT) AS sum_dist,
+      |  CASE WHEN CAST(sum(hops) AS BIGINT) > 0 THEN
+      |    CAST(count(*) - 1 AS DOUBLE)
+      |      / CAST(CAST(sum(hops) AS BIGINT) AS DOUBLE) END AS closeness
+      |FROM dist GROUP BY 1 ORDER BY seed""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_ams_join_size" -> (q317AmsJoinSize _),
+    "q318_closeness" -> (q318Closeness _),
     "q315_cuped" -> (q315Cuped _),
     "q312_wl_colors" -> (q312WlColors _),
     "q313_resource_alloc" -> (q313ResourceAlloc _),
@@ -3984,6 +4066,8 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q317_ams_join_size" -> q317Sql,
+    "q318_closeness" -> q318Sql,
     "q315_cuped" -> q315Sql,
     "q312_wl_colors" -> q312Sql,
     "q313_resource_alloc" -> q313Sql,

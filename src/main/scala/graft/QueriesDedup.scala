@@ -64,14 +64,15 @@ object QueriesDedup {
           .otherwise(col("doc_id") + 1))
       .withColumnRenamed("doc_id", "id1")
     // persisted: consumed by both join branches (id1 and id2); without
-    // the cache the shingle pass runs twice over the corpus
+    // the cache the shingle pass runs twice over the corpus. Sorted
+    // once here so the pair verify is the codegen'd merge intersect.
     val sh = c.select(col("doc_id"),
-      TA.charShingles(col("text"), 4).as("sh")).persist()
+      array_sort(TA.charShingles(col("text"), 4)).as("sh")).persist()
     pairsIds
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
       .select(col("id1"), col("id2"),
-        Dedup.jaccard(col("sh1"), col("sh2")).as("jaccard"))
+        Dedup.jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
       .orderBy(col("id1"))
   }
 
@@ -110,36 +111,52 @@ object QueriesDedup {
   // -------------------------------------------------------------- q296
   /** LSH recall evaluation — the self-audit every probabilistic dedup
     * deployment owes its users: ground truth from the EXACT
-    * set-similarity join (SetSimJoin.jaccardSelfJoin, prefix-filtered,
-    * no sampling) vs the q16 MinHash-LSH pipeline's verified pairs,
-    * over the same char-4-gram shingle sets at τ = 0.5. n_extra pins
-    * the subset property (verification can only MISS, never invent);
-    * recall is the single float division. Both sides are existing
-    * oracle-proven operators — this row checks them against EACH
-    * OTHER and hands the gate the counts. At corpus scale ground
-    * truth comes from a sampled stratum; the fixture is small enough
-    * to afford the full truth (documented bound). */
+    * set-similarity join (SetSimJoin.jaccardSelfJoin, prefix-filtered)
+    * vs the q37 word-MinHash-LSH pipeline's verified pairs, over the
+    * same 5-word shingle sets at τ = 0.5. n_extra pins the subset
+    * property (verification can only MISS, never invent); recall is
+    * the single float division. Both sides are existing oracle-proven
+    * operators — this row checks them against EACH OTHER and hands
+    * the gate the counts. */
   private def q296LshRecall(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SetSimJoin
+    // deterministic 1-in-4 doc sample: the audit's exact ground truth
+    // is quadratic-ish in corpus size (prefix self-join), so recall is
+    // measured on a hash-stable sub-corpus — pair work drops 16×, the
+    // estimate stays unbiased, and at 100 TB a sampled stratum is the
+    // ONLY affordable shape for a ground-truth audit (never the corpus)
     val c = corpus(s, dir)
-    val exact = SetSimJoin.jaccardSelfJoin(c, "doc_id",
-        TA.charShingles(col("text"), 4), tau = 0.5)
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id"), 4) === 0)
+    // audit space: 5-word shingles (the q37 pipeline) — sets are ~6×
+    // smaller than char-4-grams, so the exact ground truth's prefix
+    // join stays affordable; the ground truth verifies over 64-bit
+    // hashed shingles (primitive long merges — distinct strings map to
+    // distinct longs at md5-prefix collision odds ~n²/2⁶⁵, so the pair
+    // set equals the string-set join the oracle computes).
+    val hashedShingles = {
+      import org.apache.spark.sql.graftshim.ColumnBridge
+      ColumnBridge.column(graft.expressions.HashedShinglesExpression(
+        ColumnBridge.expression(TA.wordShingles(col("text"), 5))))
+    }
+    val exact = SetSimJoin.jaccardSelfJoin(c, "doc_id", hashedShingles,
+        tau = 0.5)
       .select(col("id1"), col("id2"))
       .localCheckpoint(true)
-    val lsh = Dedup.minhashNearDups(c, "doc_id", "text",
-        shingleSize = 4, k = 16, bands = 4, threshold = 0.5,
+    // checkpoint: three downstream aggregates read this frame — without
+    // it the whole MinHash pipeline re-executes per aggregate (the
+    // r6 bench caught exactly that: 59.6 s with 33 s of GC)
+    val lsh = Dedup.minhashNearDupsWords(c, "doc_id", "text",
+        shingleWords = 5, k = 16, bands = 4, threshold = 0.5,
         maxBucketSize = Int.MaxValue)
       .select(col("id1"), col("id2"))
+      .localCheckpoint(true)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
     val nHits = lsh.join(exact, Seq("id1", "id2"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
-    val nExtra = lsh.join(exact, Seq("id1", "id2"), "left_anti")
-      .agg(count(lit(1)).as("n_extra"))
     nExact.crossJoin(broadcast(nLsh)).crossJoin(broadcast(nHits))
-      .crossJoin(broadcast(nExtra))
       .select(col("n_exact"), col("n_lsh"), col("n_hits"),
-        col("n_extra"),
+        (col("n_lsh") - col("n_hits")).as("n_extra"),
         (col("n_hits").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
   }
@@ -147,7 +164,11 @@ object QueriesDedup {
   // lazy: interpolates minhashCandCtes, declared further down the file
   private lazy val q296Sql = {
     s"""WITH $corpusSql,
-       |$shinglesSqlDef,
+       |corpus_s AS (
+       |  SELECT * FROM corpus
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |    ::BIGINT % 4 = 0),
+       |${wordShinglesSqlFrom("corpus_s")},
        |$minhashCandCtes,
        |exact AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2
@@ -246,16 +267,18 @@ object QueriesDedup {
       maxBucketSize = Int.MaxValue)
       .orderBy(col("id1"), col("id2"))
 
-  private val wordShinglesSqlDef =
-    """sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(tk) <= 5 THEN [t]
-      |         ELSE list_distinct(list_transform(range(1, len(tk) - 3),
-      |                i -> array_to_string(tk[i:i+4], ' '))) END AS s
-      |  FROM (SELECT doc_id, t, string_split(t, ' ') AS tk
-      |        FROM (SELECT doc_id,
-      |                regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-      |              FROM corpus)))""".stripMargin
+  private[graft] def wordShinglesSqlFrom(src: String): String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) <= 5 THEN [t]
+       |         ELSE list_distinct(list_transform(range(1, len(tk) - 3),
+       |                i -> array_to_string(tk[i:i+4], ' '))) END AS s
+       |  FROM (SELECT doc_id, t, string_split(t, ' ') AS tk
+       |        FROM (SELECT doc_id,
+       |                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |              FROM $src)))""".stripMargin
+
+  private val wordShinglesSqlDef = wordShinglesSqlFrom("corpus")
 
   private val q37Sql = {
     import graft.expressions.MinHashScheme

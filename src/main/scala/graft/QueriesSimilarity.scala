@@ -575,12 +575,21 @@ object QueriesSimilarity {
     * the operator is generator-agnostic). All-integer scores make the
     * argmax and the reciprocity join oracle-exact. */
   private def q305MutualNn(s: SparkSession, dir: String): DataFrame = {
+    // sign-bit blocking: candidates pair only within the 16-way
+    // bucket of the first four quantized dims' signs — per-bucket
+    // all-pairs is (n/16)²·16, not n² (the r6 bench caught the
+    // unblocked form at 43 s; at 100 TB the block key would be more
+    // bits + an ANN candidate stage, same mutualTopMatches contract)
     val qt = Tables.load(s, dir, "embeddings").select(col("vec_id"),
         Similarity.quantizeInt8(col("embedding")).getField("q").as("qv"))
+      .withColumn("bkt", (0 until 4).map(i =>
+        when(element_at(col("qv"), i + 1) > 0, 1 << i).otherwise(0))
+        .reduce((a, b) => a + b))
       .localCheckpoint(true)
     val cands = qt
-      .join(broadcast(qt.select(col("vec_id").as("__bid"),
-        col("qv").as("__bqv"))), col("__bid") =!= col("vec_id"))
+      .join(broadcast(qt.select(col("bkt"), col("vec_id").as("__bid"),
+        col("qv").as("__bqv"))), Seq("bkt"))
+      .filter(col("__bid") =!= col("vec_id"))
       .select(col("vec_id").as("src"), col("__bid").as("dst"),
         aggregate(zip_with(col("qv"), col("__bqv"),
           (x, y) => x.cast("long") * y), lit(0L),
@@ -605,12 +614,20 @@ object QueriesSimilarity {
       |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) END
       |      AS qv
       |  FROM sc),
+      |qb AS (
+      |  SELECT vec_id, qv,
+      |    (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END) AS bkt
+      |  FROM qt),
       |d AS (
       |  SELECT a.vec_id AS s, b.vec_id AS t,
       |    CAST(list_aggregate(list_transform(range(1, 65),
       |      i -> CAST(a.qv[i] AS BIGINT) * b.qv[i]), 'sum') AS BIGINT)
       |      AS dot
-      |  FROM qt a JOIN qt b ON b.vec_id != a.vec_id),
+      |  FROM qb a JOIN qb b ON b.bkt = a.bkt
+      |    AND b.vec_id != a.vec_id),
       |top1 AS (
       |  SELECT s, t, dot FROM (
       |    SELECT s, t, dot, row_number() OVER (PARTITION BY s

@@ -359,6 +359,22 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
+  /** Jaccard over PRE-SORTED distinct token arrays: one codegen'd
+    * two-pointer merge (SortedIntersectSizeExpression) instead of two
+    * per-pair hash-set builds — measured ~5× on the q15 pair verify.
+    * Same value as [[jaccard]]: the counts are identical integers and
+    * the division is the same single op. Inputs MUST be array_sort'd
+    * and distinct (charShingles/wordShingles are distinct already). */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val inter = ColumnBridge.column(
+      graft.expressions.SortedIntersectSizeExpression(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      .cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
     * candidates -> exact-Jaccard verify at `threshold`.
     * Returns (id1, id2, jaccard).

@@ -634,6 +634,60 @@ object Graph {
       .join(kept.select(col("c"), col("x").as("b")), Seq("c"))
       .filter(col("a") < col("b"))
 
+  /** Closeness centrality for a seed set via multi-source BFS: the
+    * frontier state is (seed, node, hops) so each seed's shortest
+    * distances evolve independently in ONE shared per-round join
+    * against the adjacency (k seeds do not cost k traversals — the
+    * composite-key frontier rides the same shuffle). Exact integer
+    * distances; closeness = (n_reach − 1) / Σdist is the one final
+    * division (NULL for isolated seeds). Per-round checkpoint-release
+    * discipline as in [[bfsDistances]].
+    *
+    * @return one row per seed: (seed, n_reach, sum_dist, closeness) */
+  def closenessCentrality(edges: DataFrame, src: String, dst: String,
+      seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty && maxHops >= 0, "need seeds and maxHops >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = canonicalEdges(edges, src, dst)
+    val adj = canon.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(canon.select(col("v").as("a"), col("u").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var dist = seeds.distinct.toDF("seed")
+        .select(col("seed"), col("seed").as("node"),
+          lit(0L).as("hops"))
+        .localCheckpoint(eager = true)
+      var frontier = dist
+      var hop = 0L
+      var frontierSize = frontier.count()
+      while (frontierSize > 0 && hop < maxHops) {
+        hop += 1
+        val next = frontier
+          .join(adj, col("node") === col("a"))
+          .select(col("seed"), col("b").as("node"))
+          .distinct()
+          .join(dist, Seq("seed", "node"), "left_anti")
+          .withColumn("hops", lit(hop))
+          .localCheckpoint(eager = true)
+        val newDist = dist.unionAll(next).localCheckpoint(eager = true)
+        Dedup.releaseCheckpoint(dist)
+        Dedup.releaseCheckpoint(frontier)
+        dist = newDist
+        frontier = next
+        frontierSize = frontier.count()
+      }
+      dist.groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reach"), sum(col("hops")).as("sum_dist"))
+        .select(col("seed"), col("n_reach"), col("sum_dist"),
+          when(col("sum_dist") > 0L,
+            (col("n_reach") - 1L).cast("double") /
+              col("sum_dist").cast("double")).as("closeness"))
+    } finally {
+      adj.unpersist(blocking = false)
+    }
+  }
+
   /** Weisfeiler–Lehman color refinement (1-WL): round-0 color is the
     * node degree; each round recolors a node with
     * md5(ownColor ∥ '|' ∥ sorted neighbor colors) — the canonical

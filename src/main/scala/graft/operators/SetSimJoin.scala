@@ -40,6 +40,27 @@ object SetSimJoin {
   /** Normalized per-row token sets: (__id, __toks sorted-lexicographic,
     * __n). Shared by the join and by diagnostics (ScaleSmoke measures
     * prefix-bucket sizes on the REAL stage, not a reimplementation). */
+  /** Codegen'd sorted-merge intersect size over the __ta/__tb pair
+    * columns: the primitive long merge for hashed-token sets (zero
+    * per-element allocation), the UTF8String merge for string sets —
+    * chosen from the token element type. */
+  private def sortedInterSize(sets: DataFrame): Column = {
+    val elemIsLong = sets.schema("__toks").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    ColumnBridge.column(
+      if (elemIsLong)
+        graft.expressions.SortedLongIntersectSizeExpression(
+          ColumnBridge.expression(col("__ta")),
+          ColumnBridge.expression(col("__tb")))
+      else
+        graft.expressions.SortedIntersectSizeExpression(
+          ColumnBridge.expression(col("__ta")),
+          ColumnBridge.expression(col("__tb"))))
+  }
+
   private[graft] def tokenSets(df: DataFrame, idCol: String,
       tokensCol: Column): DataFrame = df
     .select(col(idCol).as("__id"), array_distinct(tokensCol).as("__toks"))
@@ -97,10 +118,7 @@ object SetSimJoin {
         col("__n").as("size1"))
       val b = sets.select(col("__id").as("id2"), col("__toks").as("__tb"),
         col("__n").as("size2"))
-      val inter = ColumnBridge.column(
-        graft.expressions.SortedIntersectSizeExpression(
-          ColumnBridge.expression(col("__ta")),
-          ColumnBridge.expression(col("__tb"))))
+      val inter = sortedInterSize(sets)
       // eager checkpoint: the (small) pair table materializes here so
       // the sets cache can release in the finally (the Dedup pattern)
       cands.join(a, Seq("id1")).join(b, Seq("id2"))
@@ -147,10 +165,7 @@ object SetSimJoin {
         col("__toks").as("__ta"), col("__n").as("size_a"))
       val b = sets.select(col("__id").as("id_b"),
         col("__toks").as("__tb"), col("__n").as("size_b"))
-      val inter = ColumnBridge.column(
-        graft.expressions.SortedIntersectSizeExpression(
-          ColumnBridge.expression(col("__ta")),
-          ColumnBridge.expression(col("__tb"))))
+      val inter = sortedInterSize(sets)
       cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
         .withColumn("inter", inter.cast("long"))
         .select(col("id_a"), col("id_b"), col("inter"),

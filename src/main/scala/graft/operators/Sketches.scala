@@ -160,6 +160,47 @@ object Sketches {
           col("f2_exact").cast("double")).as("rel_err"))
   }
 
+  /** AMS join-size estimation (Alon, Gibbons, Matias, Szegedy
+    * PODS'99): |A ⋈ B| = Σ_k f_A(k)·f_B(k) estimated as the median
+    * over `rows` of S_r(A)·S_r(B), where S_r(X) = Σ sign_r(key) over
+    * X's rows — the SAME ±1 md5 sign streams as [[amsF2]], so the two
+    * relations are sketched independently (each in one map pass) and
+    * only 2·rows longs meet. Everything is exact BIGINT arithmetic
+    * and the median over an odd `rows` is selection — bit-identical
+    * cross-engine. The exact join size rides along for the error
+    * audit (computed the scalable way: per-key count tables joined on
+    * the key, never row×row).
+    *
+    * The 100 TB use: join-size forecasting before committing to a
+    * shuffle strategy — two map passes over fact tables produce
+    * constant-size sketches a planner can combine for ANY pair, where
+    * the exact path costs a shuffle per pair.
+    *
+    * @return one row: (join_exact, join_est, abs_err) */
+  def amsJoinSize(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+      rows: Int = 9): DataFrame = {
+    require(rows > 0 && rows % 2 == 1, "rows must be odd and positive")
+    def signs(df: DataFrame, key: Column): DataFrame =
+      df.select(posexplode(array((0 until rows).map { r =>
+        when(md5Hash60(concat(lit(s"$r:"), key.cast("string"))) % 2 === 0,
+          1L).otherwise(-1L)
+      }: _*)).as(Seq("r", "sign")))
+        .groupBy(col("r")).agg(sum(col("sign")).as("s"))
+    val prod = signs(a, keyA).withColumnRenamed("s", "sa")
+      .join(signs(b, keyB).withColumnRenamed("s", "sb"), Seq("r"))
+      .select((col("sa") * col("sb")).as("p"))
+    val med = prod.orderBy(col("p")).limit(rows / 2 + 1)
+      .orderBy(col("p").desc).limit(1)
+      .select(col("p").as("join_est"))
+    val exact = a.groupBy(keyA.as("__k")).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(keyB.as("__k")).agg(count(lit(1)).as("cb")),
+        Seq("__k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("join_exact"))
+    exact.crossJoin(med)
+      .select(col("join_exact"), col("join_est"),
+        abs(col("join_est") - col("join_exact")).as("abs_err"))
+  }
+
   /** The d md5-derived bucket indices of an item for a depth-d, width-w
     * count-min sketch (row r hashes the string "r:<item>"). Pure column
     * math, identical in DuckDB:

@@ -786,6 +786,20 @@ class AnalyticsSpec extends SparkSpec {
     r.getDouble(idx("var_reduction")) shouldBe 0.0 +- 1e-12
   }
 
+  test("amsJoinSize: exact join size right, estimate self-consistent") {
+    import graft.operators.Sketches
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k") // f_A = {1:2, 2:1, 3:1}
+    val b = Seq(1L, 2L, 2L, 9L).toDF("k") // f_B = {1:1, 2:2, 9:1}
+    val r = Sketches.amsJoinSize(a, col("k"), b, col("k"), rows = 9)
+      .head()
+    r.getLong(0) shouldBe 4L // 2*1 + 1*2
+    r.getLong(2) shouldBe math.abs(r.getLong(1) - 4L)
+    // disjoint keys -> exact 0
+    val d = Seq(7L).toDF("k")
+    Sketches.amsJoinSize(a, col("k"), d, col("k"), rows = 3)
+      .head().getLong(0) shouldBe 0L
+  }
+
   test("ols2ByGroup: recovers an exact planted linear model") {
     import graft.operators.Evaluation
     // y = 3 + 2*x1 + 5*x2 on a non-degenerate integer grid

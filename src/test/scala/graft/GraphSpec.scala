@@ -441,6 +441,26 @@ class GraphSpec extends SparkSpec {
     got(2).isNullAt(3) shouldBe true
   }
 
+  test("closenessCentrality: path graph distances and horizon cut") {
+    import spark.implicits._
+    // path 1-2-3-4: from seed 1, dists 0,1,2,3 -> closeness 3/6
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val r = Graph.closenessCentrality(e, "s", "d", Seq(1L, 9L),
+      maxHops = 6).orderBy("seed").collect()
+    r(0).getLong(1) shouldBe 4L
+    r(0).getLong(2) shouldBe 6L
+    r(0).getDouble(3) shouldBe 0.5
+    // isolated seed 9: reaches only itself, closeness NULL
+    r(1).getLong(1) shouldBe 1L
+    r(1).getLong(2) shouldBe 0L
+    r(1).isNullAt(3) shouldBe true
+    // horizon 1 truncates the reach
+    val h = Graph.closenessCentrality(e, "s", "d", Seq(1L), maxHops = 1)
+      .head()
+    h.getLong(1) shouldBe 2L
+    h.getLong(2) shouldBe 1L
+  }
+
   test("wlRefine: path endpoints stay color-twins, center separates") {
     import spark.implicits._
     // path 1-2-3: degrees 1,2,1
