@@ -3970,7 +3970,82 @@ object QueriesAnalytics {
       |      / CAST(CAST(sum(hops) AS BIGINT) AS DOUBLE) END AS closeness
       |FROM dist GROUP BY 1 ORDER BY seed""".stripMargin
 
+  // -------------------------------------------------------------- q320
+  /** Distribution-drift census between the two halves of January —
+    * the PSI-style monitor restated without logs: combined-population
+    * deciles from the exact distributed ECDF (Quantiles.ecdf), then
+    * per-decile counts for each period and the L1 drift statistic
+    * Σ|cA·nB − cB·nA| / (nA·nB) — cross-multiplied so every term is
+    * an exact BIGINT and the one division is final. Identical
+    * populations give exactly 0; total disjointness gives 2. */
+  private def q320DriftL1(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val ev = Tables.load(s, dir, "events")
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long")
+        .as("v"),
+        when(col("ts") < cut, lit("a")).otherwise(lit("b")).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val nTotal = ev.count()
+    val bkt = Quantiles.ecdf(ev, "v")
+      .select(col("value").as("v"),
+        floor((col("cum") * 10 + lit(nTotal - 1)).cast("double")
+          / lit(nTotal.toDouble)).cast("long").as("bucket"))
+    val hist = ev.join(bkt, Seq("v"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("p") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("p") === "b", 1L).otherwise(0L)).as("cb"))
+    val tot = ev.agg(
+      sum(when(col("p") === "a", 1L).otherwise(0L)).as("na"),
+      sum(when(col("p") === "b", 1L).otherwise(0L)).as("nb"))
+    val terms = hist.crossJoin(broadcast(tot))
+      .withColumn("term", abs(col("ca") * col("nb") - col("cb") * col("na")))
+    val psi = terms.agg((sum(col("term")).cast("double") /
+      (max(col("na")) * max(col("nb"))).cast("double")).as("psi_l1"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bucket"), col("ca"), col("cb"), col("term"),
+        col("psi_l1"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q320Sql =
+    """WITH ev AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END
+      |      AS p
+      |  FROM events),
+      |n AS (SELECT count(*) AS nt FROM ev),
+      |cnts AS (SELECT v, count(*) AS cnt FROM ev GROUP BY 1),
+      |cume AS (
+      |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM cnts),
+      |bkt AS (
+      |  SELECT v, CAST(floor(CAST(cum * 10 + nt - 1 AS DOUBLE)
+      |    / CAST(nt AS DOUBLE)) AS BIGINT) AS bucket
+      |  FROM cume CROSS JOIN n),
+      |hist AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN p = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN p = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb
+      |  FROM ev JOIN bkt USING (v) GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(CASE WHEN p = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS na,
+      |    CAST(sum(CASE WHEN p = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nb
+      |  FROM ev),
+      |terms AS (
+      |  SELECT bucket, ca, cb, abs(ca * nb - cb * na) AS term, na, nb
+      |  FROM hist CROSS JOIN tot),
+      |psi AS (
+      |  SELECT CAST(CAST(sum(term) AS BIGINT) AS DOUBLE)
+      |    / CAST(max(na) * max(nb) AS DOUBLE) AS psi_l1
+      |  FROM terms)
+      |SELECT bucket, ca, cb, term, psi_l1
+      |FROM terms CROSS JOIN psi ORDER BY bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_drift_l1" -> (q320DriftL1 _),
     "q317_ams_join_size" -> (q317AmsJoinSize _),
     "q318_closeness" -> (q318Closeness _),
     "q315_cuped" -> (q315Cuped _),
@@ -4066,6 +4141,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q320_drift_l1" -> q320Sql,
     "q317_ams_join_size" -> q317Sql,
     "q318_closeness" -> q318Sql,
     "q315_cuped" -> q315Sql,

@@ -108,6 +108,87 @@ object QueriesDedup {
        |JOIN sh b ON b.doc_id = p.id2
        |ORDER BY p.id1""".stripMargin
 
+  // -------------------------------------------------------------- q319
+  /** Rarity-weighted Jaccard over the q15 planted pairs: token weight
+    * w = N // df (integer floor division — shared boilerplate words
+    * weigh ~1, near-unique content words weigh ~N), similarity =
+    * Σw(A∩B) / Σw(A∪B). The weighted form separates template reuse
+    * from genuine content overlap — the signal plain Jaccard blurs on
+    * boilerplate-heavy corpora — and with INTEGER weights both sums
+    * are exact BIGINTs (the standard IDF=log weighting would be libm
+    * territory). Scale: one df aggregate keyed by token, pair token
+    * tables full-outer-joined on (pair, token) — never doc×doc. */
+  private def q319WeightedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val toks = c.select(col("doc_id"),
+        explode(array_distinct(TA.tokens(col("text")))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val nDocs = c.count()
+    // N // df: exact for these magnitudes (double division correctly
+    // rounded, fraction can't bridge to the next integer)
+    val w = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"), floor(lit(nDocs) / col("df")).cast("long")
+        .as("w"))
+    val pairsIds = docs(s, dir).select(col("doc_id"))
+      .withColumn("id2",
+        when(col("doc_id") % 5 === 0, col("doc_id") + 20000)
+          .otherwise(col("doc_id") + 1))
+      .withColumnRenamed("doc_id", "id1")
+    val at = pairsIds
+      .join(toks.withColumnRenamed("doc_id", "id1"), Seq("id1"))
+      .select(col("id1"), col("id2"), col("tok"), lit(1).as("ina"))
+    val bt = pairsIds
+      .join(toks.withColumnRenamed("doc_id", "id2"), Seq("id2"))
+      .select(col("id1"), col("id2"), col("tok"), lit(1).as("inb"))
+    at.join(bt, Seq("id1", "id2", "tok"), "full_outer")
+      .join(w, Seq("tok"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(when(col("ina") === 1 && col("inb") === 1, col("w"))
+          .otherwise(0L)).as("inter_w"),
+        sum(col("w")).as("union_w"))
+      .select(col("id1"), col("id2"), col("inter_w"), col("union_w"),
+        (col("inter_w").cast("double") / col("union_w").cast("double"))
+          .as("wjaccard"))
+      .orderBy(col("id1"))
+  }
+
+  private lazy val q319Sql =
+    s"""WITH $corpusSql,
+       |tk AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    string_split_regex(trim(text), '\\s+'))) AS tok
+       |  FROM corpus WHERE trim(text) != ''),
+       |nd AS (SELECT count(*) AS nd FROM corpus),
+       |w AS (
+       |  SELECT tok, nd // df AS w
+       |  FROM (SELECT tok, count(*) AS df FROM tk GROUP BY 1)
+       |  CROSS JOIN nd),
+       |pairs AS (
+       |  SELECT doc_id AS id1,
+       |    CASE WHEN doc_id % 5 = 0 THEN doc_id + 20000
+       |         ELSE doc_id + 1 END AS id2
+       |  FROM documents),
+       |a AS (SELECT p.id1, p.id2, tk.tok, 1 AS ina
+       |      FROM pairs p JOIN tk ON tk.doc_id = p.id1),
+       |b AS (SELECT p.id1, p.id2, tk.tok, 1 AS inb
+       |      FROM pairs p JOIN tk ON tk.doc_id = p.id2),
+       |u AS (
+       |  SELECT coalesce(a.id1, b.id1) AS id1,
+       |    coalesce(a.id2, b.id2) AS id2,
+       |    coalesce(a.tok, b.tok) AS tok,
+       |    coalesce(ina, 0) AS ina, coalesce(inb, 0) AS inb
+       |  FROM a FULL JOIN b
+       |    ON a.id1 = b.id1 AND a.id2 = b.id2 AND a.tok = b.tok)
+       |SELECT u.id1, u.id2,
+       |  CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN w.w ELSE 0 END)
+       |    AS BIGINT) AS inter_w,
+       |  CAST(sum(w.w) AS BIGINT) AS union_w,
+       |  CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN w.w ELSE 0 END)
+       |      AS DOUBLE)
+       |    / CAST(sum(w.w) AS DOUBLE) AS wjaccard
+       |FROM u JOIN w ON w.tok = u.tok
+       |GROUP BY 1, 2 ORDER BY id1""".stripMargin
+
   // -------------------------------------------------------------- q296
   /** LSH recall evaluation — the self-audit every probabilistic dedup
     * deployment owes its users: ground truth from the EXACT
@@ -742,6 +823,7 @@ object QueriesDedup {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_lsh_recall" -> (q296LshRecall _),
+    "q319_weighted_jaccard" -> (q319WeightedJaccard _),
     "q269_sorted_neighborhood" -> (q269SortedNeighborhood _),
     "q270_record_linkage" -> (q270RecordLinkage _),
     "q185_line_dedup" -> (q185LineDedup _),
@@ -759,6 +841,7 @@ object QueriesDedup {
 
   val oracles: Map[String, String] = Map(
     "q296_lsh_recall" -> q296Sql,
+    "q319_weighted_jaccard" -> q319Sql,
     "q269_sorted_neighborhood" -> q269Sql,
     "q270_record_linkage" -> q270Sql,
     "q185_line_dedup" -> q185Sql,
