@@ -4044,7 +4044,52 @@ object QueriesAnalytics {
       |SELECT bucket, ca, cb, term, psi_l1
       |FROM terms CROSS JOIN psi ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------------- q321
+  /** Exact truncated Katz centrality (Graph.katzCentrality, α = ½,
+    * K = 4) over the q200 graph: walk counts are exact BIGINTs, each
+    * α^k·w_k term an exact dyadic scaling, the 4-term sum a fixed
+    * ascending-k expression — the walk-based influence measure
+    * without power-iteration float drift. Oracle unrolls the four
+    * count rounds as CTE joins. */
+  private def q321Katz(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") % 20000).as("src"),
+      (col("l_partkey") * 7 % 20000).as("dst"))
+    Graph.katzCentrality(e, "src", "dst", rounds = 4)
+      .orderBy(col("node"))
+  }
+
+  private val q321Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT
+      |    least(l_orderkey % 20000, (l_partkey * 7) % 20000) AS u,
+      |    greatest(l_orderkey % 20000, (l_partkey * 7) % 20000) AS v
+      |  FROM lineitem
+      |  WHERE (l_orderkey % 20000) != ((l_partkey * 7) % 20000)
+      |    AND l_orderkey IS NOT NULL),
+      |adj AS (SELECT u AS a, v AS b FROM e0
+      |        UNION ALL SELECT v, u FROM e0),
+      |w1 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS w
+      |       FROM adj GROUP BY 1),
+      |w2 AS (SELECT adj.a AS node, CAST(sum(w1.w) AS BIGINT) AS w
+      |       FROM adj JOIN w1 ON w1.node = adj.b GROUP BY 1),
+      |w3 AS (SELECT adj.a AS node, CAST(sum(w2.w) AS BIGINT) AS w
+      |       FROM adj JOIN w2 ON w2.node = adj.b GROUP BY 1),
+      |w4 AS (SELECT adj.a AS node, CAST(sum(w3.w) AS BIGINT) AS w
+      |       FROM adj JOIN w3 ON w3.node = adj.b GROUP BY 1)
+      |SELECT w1.node, coalesce(w4.w, 0) AS walks_last,
+      |  coalesce(CAST(w1.w AS DOUBLE), 0.0) / 2.0
+      |    + coalesce(CAST(w2.w AS DOUBLE), 0.0) / 4.0
+      |    + coalesce(CAST(w3.w AS DOUBLE), 0.0) / 8.0
+      |    + coalesce(CAST(w4.w AS DOUBLE), 0.0) / 16.0 AS katz
+      |FROM w1
+      |LEFT JOIN w2 ON w2.node = w1.node
+      |LEFT JOIN w3 ON w3.node = w1.node
+      |LEFT JOIN w4 ON w4.node = w1.node
+      |ORDER BY w1.node""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_katz" -> (q321Katz _),
     "q320_drift_l1" -> (q320DriftL1 _),
     "q317_ams_join_size" -> (q317AmsJoinSize _),
     "q318_closeness" -> (q318Closeness _),
@@ -4141,6 +4186,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q321_katz" -> q321Sql,
     "q320_drift_l1" -> q320Sql,
     "q317_ams_join_size" -> q317Sql,
     "q318_closeness" -> q318Sql,

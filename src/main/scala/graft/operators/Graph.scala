@@ -634,6 +634,56 @@ object Graph {
       .join(kept.select(col("c"), col("x").as("b")), Seq("c"))
       .filter(col("a") < col("b"))
 
+  /** Katz centrality, EXACT truncated form: katz(u) = Σ_{k=1..K}
+    * α^k · walks_k(u), where walks_k(u) is the number of length-k
+    * walks ending at u (all-ones seed). With α = 1/2 every term is an
+    * exact dyadic float (walk counts are exact BIGINTs as long as
+    * they stay under 2^53 — caller's documented budget; the count
+    * iteration itself is pure integer), and the K-term sum is a fixed
+    * ascending-k expression — bit-identical cross-engine, unlike the
+    * usual power-iteration-to-convergence form. Spark-side each round
+    * is one edge join + one aggregate (the PageRank cost class).
+    *
+    * @return (node, w1..wK as columns are internal; output is
+    *         (node, walks_K, katz)) */
+  def katzCentrality(edges: DataFrame, src: String, dst: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds out of range ($rounds)")
+    val canon = canonicalEdges(edges, src, dst)
+    val adj = canon.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(canon.select(col("v").as("a"), col("u").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.select(col("a").as("node")).distinct()
+    var v = nodes.withColumn("w", lit(1L))
+      .localCheckpoint(eager = true)
+    var acc = nodes.select(col("node"), lit(0.0).as("katz"))
+    // the lazy accumulator references EVERY round's walk table, so the
+    // per-round checkpoints are released only after `out` materializes
+    val rounds_ = scala.collection.mutable.ArrayBuffer(v)
+    for (k <- 1 to rounds) {
+      val next = adj.join(v.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(sum(col("w")).as("w"))
+        .localCheckpoint(eager = true)
+      rounds_ += next
+      v = next
+      // α^k = 2^-k: exact dyadic scaling of an exact integer count
+      acc = acc.join(v, Seq("node"), "left_outer")
+        .select(col("node"),
+          (col("katz") + coalesce(col("w").cast("double"), lit(0.0)) /
+            lit(math.pow(2.0, k))).as("katz"))
+    }
+    val out = acc.join(v.withColumnRenamed("w", "walks_last"),
+        Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("walks_last"), lit(0L)).as("walks_last"),
+        col("katz"))
+      .localCheckpoint(eager = true)
+    rounds_.foreach(Dedup.releaseCheckpoint)
+    adj.unpersist(blocking = false)
+    out
+  }
+
   /** Closeness centrality for a seed set via multi-source BFS: the
     * frontier state is (seed, node, hops) so each seed's shortest
     * distances evolve independently in ONE shared per-round join

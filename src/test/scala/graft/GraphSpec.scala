@@ -441,6 +441,18 @@ class GraphSpec extends SparkSpec {
     got(2).isNullAt(3) shouldBe true
   }
 
+  test("katzCentrality: exact dyadic walk sums on a path") {
+    import spark.implicits._
+    // path 1-2-3: w1 = deg = (1,2,1); w2 = (2,2,2)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val r = Graph.katzCentrality(e, "s", "d", rounds = 2)
+      .orderBy("node").collect()
+    r.map(_.getLong(1)).toSeq shouldBe Seq(2L, 2L, 2L) // walks_last
+    r(0).getDouble(2) shouldBe 1.0 // 1/2 + 2/4
+    r(1).getDouble(2) shouldBe 1.5 // 2/2 + 2/4
+    r(2).getDouble(2) shouldBe 1.0
+  }
+
   test("closenessCentrality: path graph distances and horizon cut") {
     import spark.implicits._
     // path 1-2-3-4: from seed 1, dists 0,1,2,3 -> closeness 3/6
