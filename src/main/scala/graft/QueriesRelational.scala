@@ -1257,6 +1257,63 @@ object QueriesRelational {
       |    CAST(1 AS BIGINT), gc + 150 + 250
       |  FROM g) m ORDER BY mode""".stripMargin
 
+  // -------------------------------------------------------------- q322
+  /** CSV quoting battery — the other half of T1's parser contract
+    * (q316 covers malformed records): RFC-4180 quoted commas, doubled
+    * escaped quotes, multiLine quoted newlines, whitespace
+    * preservation on unquoted fields, and a plain control. Per-row
+    * parsed name, its length, and content flags are pinned against an
+    * oracle that states the EXPECTED parse as literals (chr(10) for
+    * the embedded newline). Gotcha pinned here: Spark's DEFAULT CSV
+    * escape is backslash, NOT the RFC-4180 doubled quote — without
+    * `escape='"'` a `"say ""hi"""` field parses as the raw 12-char
+    * literal (probed); this row reads in RFC mode. */
+  private def q322CsvQuotes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_csvq").toString
+    val good = t(s, dir, "customer").filter(col("c_custkey") <= 20)
+      .select(concat(col("c_custkey"), lit(",\"n"), col("c_custkey"),
+        lit("\","), (col("c_custkey") + lit(0.25)).cast("string"))
+        .as("line"))
+    val tricky = Seq(
+      "21,\"a,b\",1.25",
+      "22,\"say \"\"hi\"\"\",2.5",
+      "23,\"line1\nline2\",3.75",
+      "24,  padded  ,5.0",
+      "25,plain,6.25").toDF("line")
+    good.unionAll(tricky).coalesce(1).write.mode("overwrite").text(root)
+    s.read.schema("id INT, name STRING, val DOUBLE")
+      .option("multiLine", "true").option("escape", "\"").csv(root)
+      .select(col("id"), col("name"),
+        length(col("name")).cast("long").as("name_len"),
+        when(col("name").contains(","), 1L).otherwise(0L).as("has_comma"),
+        when(col("name").contains("\""), 1L).otherwise(0L).as("has_quote"),
+        when(col("name").contains("\n"), 1L).otherwise(0L).as("has_nl"),
+        (col("val").cast("decimal(18,2)") * 100).cast("long")
+          .as("val_cents"))
+      .orderBy(col("id"))
+  }
+
+  private val q322Sql =
+    """WITH tricky(id, name, val_cents) AS (VALUES
+      |  (21, 'a,b', CAST(125 AS BIGINT)),
+      |  (22, 'say "hi"', CAST(250 AS BIGINT)),
+      |  (23, 'line1' || chr(10) || 'line2', CAST(375 AS BIGINT)),
+      |  (24, '  padded  ', CAST(500 AS BIGINT)),
+      |  (25, 'plain', CAST(625 AS BIGINT))),
+      |rows0 AS (
+      |  SELECT c_custkey AS id, 'n' || CAST(c_custkey AS VARCHAR)
+      |      AS name,
+      |    CAST(c_custkey * 100 + 25 AS BIGINT) AS val_cents
+      |  FROM customer WHERE c_custkey <= 20
+      |  UNION ALL SELECT id, name, val_cents FROM tricky)
+      |SELECT id, name, CAST(length(name) AS BIGINT) AS name_len,
+      |  CASE WHEN contains(name, ',') THEN 1 ELSE 0 END AS has_comma,
+      |  CASE WHEN contains(name, '"') THEN 1 ELSE 0 END AS has_quote,
+      |  CASE WHEN contains(name, chr(10)) THEN 1 ELSE 0 END AS has_nl,
+      |  val_cents
+      |FROM rows0 ORDER BY id""".stripMargin
+
   // -------------------------------------------------------------- q133
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nullable
     * keys are planted on both sides (every 10th supplier key nulled),
@@ -3728,6 +3785,7 @@ object QueriesRelational {
     "q294_tpch_q20" -> (q294TpchQ20 _),
     "q309_moving_median" -> (q309MovingMedian _),
     "q316_csv_modes" -> (q316CsvModes _),
+    "q322_csv_quotes" -> (q322CsvQuotes _),
     "q310_tpch_q17" -> (q310TpchQ17 _),
     "q311_tpch_q22" -> (q311TpchQ22 _),
     "q295_json_corrupt" -> (q295JsonCorrupt _),
@@ -3830,6 +3888,7 @@ object QueriesRelational {
     "q294_tpch_q20" -> q294Sql,
     "q309_moving_median" -> q309Sql,
     "q316_csv_modes" -> q316Sql,
+    "q322_csv_quotes" -> q322Sql,
     "q310_tpch_q17" -> q310Sql,
     "q311_tpch_q22" -> q311Sql,
     "q295_json_corrupt" -> q295Sql,
