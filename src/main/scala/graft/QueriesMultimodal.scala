@@ -83,11 +83,58 @@ object QueriesMultimodal {
       |  CAST((n_frames + 6) // 7 AS INT) AS n_sampled
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q323
+  /** Binary frame windowing — the audio/video chunking plan shape:
+    * payloads are REAL BinaryType columns (UTF-8 bytes of ASCII-only
+    * docs, so the oracle can regenerate identical bytes from text),
+    * sliced into 256-byte frames at hop 128 with Spark's binary
+    * substring, each frame fingerprinted with md5-over-bytes. The
+    * plumbing a frame-sampling media pipeline needs — explode of a
+    * per-row frame index sequence, binary slicing, per-frame digest —
+    * is all exercised on the engine; only the codec behind the bytes
+    * is the documented stub. Map-only: no shuffle until the output
+    * sort. */
+  private def q323MediaFrames(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") <= 50 &&
+        col("text").rlike("^[\\x20-\\x7e]*$") &&
+        length(col("text")) >= 256)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        length(col("text")).cast("long").as("nb"))
+    docs
+      .select(col("doc_id"), col("payload"), col("nb"),
+        explode(sequence(lit(0L),
+          floor((col("nb") - 256).cast("double") / 128.0).cast("long")))
+          .as("idx"))
+      .select(col("doc_id"), col("idx"),
+        md5(expr("substring(payload, CAST(idx * 128 + 1 AS INT), 256)"))
+          .as("frame_md5"),
+        col("nb").as("n_bytes"))
+      .orderBy(col("doc_id"), col("idx"))
+  }
+
+  private val q323Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS nb
+      |  FROM documents
+      |  WHERE doc_id <= 50 AND regexp_matches(text, '^[\x20-\x7e]*$')
+      |    AND length(text) >= 256),
+      |f AS (
+      |  SELECT doc_id, text, nb,
+      |    unnest(generate_series(0, (nb - 256) // 128)) AS idx
+      |  FROM d)
+      |SELECT doc_id, idx,
+      |  md5(substr(text, CAST(idx * 128 + 1 AS INT), 256)) AS frame_md5,
+      |  nb AS n_bytes
+      |FROM f ORDER BY doc_id, idx""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_features" -> (q29Features _),
-    "q251_media_resize" -> (q251MediaResize _))
+    "q251_media_resize" -> (q251MediaResize _),
+    "q323_media_frames" -> (q323MediaFrames _))
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal_features" -> q29Sql,
-    "q251_media_resize" -> q251Sql)
+    "q251_media_resize" -> q251Sql,
+    "q323_media_frames" -> q323Sql)
 }
