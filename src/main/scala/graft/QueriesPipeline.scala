@@ -63,10 +63,11 @@ object QueriesPipeline {
       .orderBy(col("bin"))
   }
 
-  private val q164Sql = {
+  /** The Gopher keep-verdict CTE (gq(doc_id, keep)) over an arbitrary
+    * (doc_id, text) relation — shared by the composed pipeline rows. */
+  private def gopherGqSqlFrom(src: String): String = {
     val stops = TA.EnglishStopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH ${QueriesDedup.corpusSql},
-       |gq AS (
+    s"""gq AS (
        |  SELECT doc_id,
        |    (CAST(len(tk) AS BIGINT) BETWEEN 50 AND 100000
        |     AND (CAST(list_aggregate(list_transform(tk, w -> len(w)),
@@ -89,8 +90,13 @@ object QueriesPipeline {
        |            THEN CAST([] AS VARCHAR[])
        |            ELSE string_split_regex(trim(text), '\\s+') END AS tk,
        |          string_split(text, chr(10)) AS ln
-       |        FROM corpus)
-       |  WHERE len(tk) > 0 AND len(ln) > 0),
+       |        FROM $src)
+       |  WHERE len(tk) > 0 AND len(ln) > 0)""".stripMargin
+  }
+
+  private val q164Sql = {
+    s"""WITH ${QueriesDedup.corpusSql},
+       |${gopherGqSqlFrom("corpus")},
        |alive1 AS (
        |  SELECT c.doc_id, c.text FROM corpus c
        |  JOIN gq ON gq.doc_id = c.doc_id WHERE gq.keep),
@@ -163,11 +169,83 @@ object QueriesPipeline {
        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
   }
 
+  // -------------------------------------------------------------- q324
+  /** Incremental composed pipeline — the DAILY-REFRESH shape of q164:
+    * the corpus arrives as three batches (doc_id mod 3); each batch
+    * flows through IncrementalDedup.acceptBatch (exact-fingerprint
+    * dedup against the persistent index built by the EARLIER batches),
+    * then the survivors are Gopher-quality-gated and token-counted.
+    * The oracle restates the whole state machine declaratively — a
+    * document survives iff it is the (batch, doc_id)-minimal carrier
+    * of its fingerprint — so any drift in the index's novelty
+    * semantics (self-masking, missed earlier batch, retry ghosts)
+    * shifts a batch's survivor count and fails the row. */
+  private def q324IncrementalPipeline(s: SparkSession, dir: String)
+      : DataFrame = {
+    val full = QueriesDedup.corpus(s, dir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_incr_idx").toString
+    val survivors = (0 until 3).map { b =>
+      val batch = full.filter(pmod(col("doc_id"), lit(3)) === b)
+      graft.operators.IncrementalDedup
+        .acceptBatch(batch, "doc_id", "text", idx, s"day$b")
+        .withColumn("batch", lit(b.toLong))
+    }.reduce(_ unionAll _)
+    val nIn = full
+      .groupBy(pmod(col("doc_id"), lit(3)).as("batch"))
+      .agg(count(lit(1)).as("n_in"))
+    survivors
+      .withColumn("keep", TA.gopherQuality(col("text")).getField("keep"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("keep"), TA.tokenCount(col("text")).cast("long"))
+          .otherwise(0L)).as("quality_tokens"))
+      .join(nIn, Seq("batch"))
+      .select(col("batch"), col("n_in"), col("n_survivors"),
+        col("n_quality"), col("quality_tokens"))
+      .orderBy(col("batch"))
+  }
+
+  private val q324Sql =
+    s"""WITH ${QueriesDedup.corpusSql},
+       |fp AS (
+       |  SELECT doc_id, text, doc_id % 3 AS batch,
+       |    substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |      'g')), 1, 16) AS f
+       |  FROM corpus),
+       |win AS (
+       |  SELECT doc_id, text, batch,
+       |    row_number() OVER (PARTITION BY f ORDER BY batch, doc_id)
+       |      AS rn
+       |  FROM fp),
+       |surv AS (SELECT doc_id, text, batch FROM win WHERE rn = 1),
+       |${gopherGqSqlFrom("surv")},
+       |scored AS (
+       |  SELECT s.batch, s.doc_id,
+       |    coalesce(gq.keep, FALSE) AS keep,
+       |    CASE WHEN s.text IS NULL OR trim(s.text) = '' THEN 0
+       |         ELSE len(regexp_split_to_array(trim(s.text), '\\s+'))
+       |    END AS tok
+       |  FROM surv s LEFT JOIN gq ON gq.doc_id = s.doc_id),
+       |nin AS (
+       |  SELECT doc_id % 3 AS batch, count(*) AS n_in
+       |  FROM corpus GROUP BY 1)
+       |SELECT sc.batch, nin.n_in, count(*) AS n_survivors,
+       |  CAST(sum(CASE WHEN sc.keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_quality,
+       |  CAST(sum(CASE WHEN sc.keep THEN sc.tok ELSE 0 END) AS BIGINT)
+       |    AS quality_tokens
+       |FROM scored sc JOIN nin ON nin.batch = sc.batch
+       |GROUP BY 1, 2 ORDER BY sc.batch""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_pipeline_e2e" -> (q164Pipeline _),
+    "q324_incremental_e2e" -> (q324IncrementalPipeline _),
   )
 
   val oracles: Map[String, String] = Map(
     "q164_pipeline_e2e" -> q164Sql,
+    "q324_incremental_e2e" -> q324Sql,
   )
 }
