@@ -4088,7 +4088,100 @@ object QueriesAnalytics {
       |LEFT JOIN w4 ON w4.node = w1.node
       |ORDER BY w1.node""".stripMargin
 
+  // -------------------------------------------------------------- q325
+  /** MAP@10 retrieval evaluation, EXACT: five (query, intent) word
+    * pairs; docs ranked by query-word TF (ties by id), relevance =
+    * contains the intent word. Average precision is computed as an
+    * integer numerator Σ rel_k·hits_k·(2520/k) — 2520 = lcm(1..10),
+    * so every P@k term is integral — over the denominator
+    * 2520·min(10, R): ONE final division, no float accumulation at
+    * all (the usual Σ P@k float fold is order-fragile). Scale: the
+    * query table is constant and broadcast; everything else is one
+    * pass + a per-query top-10 window. */
+  private def q325MapAtK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq(("join", "hash"), ("scan", "filter"),
+      ("stream", "window"), ("merge", "order"), ("vector", "column"))
+      .toDF("qw", "rw")
+    val d = Tables.load(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("tk"))
+    val sc = d.crossJoin(broadcast(qs))
+      .select(col("qw"), col("rw"), col("doc_id"),
+        size(filter(col("tk"), x => x === col("qw"))).cast("long")
+          .as("tf1"),
+        when(array_contains(col("tk"), col("rw")), 1L).otherwise(0L)
+          .as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val w = Window.partitionBy(col("qw"))
+      .orderBy(col("tf1").desc, col("doc_id"))
+    val cum = Window.partitionBy(col("qw")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val top = sc.filter(col("tf1") > 0)
+      .withColumn("k", row_number().over(w).cast("long"))
+      .filter(col("k") <= 10)
+      .withColumn("hits", sum(col("rel")).over(cum))
+      .withColumn("term",
+        col("rel") * col("hits") * (lit(2520L) / col("k")).cast("long"))
+    val apn = top.groupBy(col("qw"))
+      .agg(sum(col("term")).as("ap_num"), count(lit(1)).as("n_ranked"))
+    val rt = sc.groupBy(col("qw"), col("rw"))
+      .agg(sum(col("rel")).as("r_total"))
+    rt.join(apn, Seq("qw"), "left_outer")
+      .select(col("qw"), col("rw"),
+        coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),
+        col("r_total"),
+        coalesce(col("ap_num"), lit(0L)).as("ap_num"),
+        when(least(lit(10L), col("r_total")) > 0,
+          coalesce(col("ap_num"), lit(0L)).cast("double") /
+            (lit(2520.0) * least(lit(10L), col("r_total"))
+              .cast("double"))).as("ap"))
+      .orderBy(col("qw"))
+  }
+
+  private val q325Sql =
+    """WITH q(qw, rw) AS (VALUES ('join', 'hash'), ('scan', 'filter'),
+      |  ('stream', 'window'), ('merge', 'order'), ('vector', 'column')),
+      |d AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents WHERE trim(text) != ''),
+      |sc AS (
+      |  SELECT q.qw, q.rw, d.doc_id,
+      |    CAST(len(list_filter(tk, x -> x = q.qw)) AS BIGINT) AS tf1,
+      |    CASE WHEN list_contains(tk, q.rw) THEN 1 ELSE 0 END AS rel
+      |  FROM d CROSS JOIN q),
+      |rk AS (
+      |  SELECT qw, rw, doc_id, tf1, rel,
+      |    row_number() OVER (PARTITION BY qw ORDER BY tf1 DESC, doc_id)
+      |      AS k
+      |  FROM sc WHERE tf1 > 0),
+      |top AS (
+      |  SELECT qw, rel, k,
+      |    sum(rel) OVER (PARTITION BY qw ORDER BY k
+      |      ROWS UNBOUNDED PRECEDING) AS hits
+      |  FROM rk WHERE k <= 10),
+      |apn AS (
+      |  SELECT qw, CAST(sum(rel * hits * (2520 // k)) AS BIGINT)
+      |      AS ap_num,
+      |    count(*) AS n_ranked
+      |  FROM top GROUP BY 1),
+      |rt AS (
+      |  SELECT qw, rw, CAST(sum(rel) AS BIGINT) AS r_total
+      |  FROM sc GROUP BY 1, 2)
+      |SELECT rt.qw, rt.rw,
+      |  coalesce(apn.n_ranked, 0) AS n_ranked, rt.r_total,
+      |  coalesce(apn.ap_num, 0) AS ap_num,
+      |  CASE WHEN least(10, rt.r_total) > 0 THEN
+      |    CAST(coalesce(apn.ap_num, 0) AS DOUBLE)
+      |      / (2520.0 * CAST(least(10, rt.r_total) AS DOUBLE)) END AS ap
+      |FROM rt LEFT JOIN apn ON apn.qw = rt.qw
+      |ORDER BY rt.qw""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_map_at_k" -> (q325MapAtK _),
     "q321_katz" -> (q321Katz _),
     "q320_drift_l1" -> (q320DriftL1 _),
     "q317_ams_join_size" -> (q317AmsJoinSize _),
@@ -4186,6 +4279,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q325_map_at_k" -> q325Sql,
     "q321_katz" -> q321Sql,
     "q320_drift_l1" -> q320Sql,
     "q317_ams_join_size" -> q317Sql,
