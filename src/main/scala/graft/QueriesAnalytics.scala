@@ -4180,7 +4180,62 @@ object QueriesAnalytics {
       |FROM rt LEFT JOIN apn ON apn.qw = rt.qw
       |ORDER BY rt.qw""".stripMargin
 
+  // -------------------------------------------------------------- q326
+  /** Brier score + per-decile calibration gaps, all-integer: a
+    * deterministic hash "model" scores each event with p ∈ {0..99}%
+    * against the purchase label; Brier = Σ(p100 − 100y)² / (10⁴·n)
+    * is exact integers up to ONE final division, and each decile's
+    * calibration gap |Σp100 − 100·Σy| is the cross-multiplied form
+    * of n_b·|p̄_b − ȳ_b| — the probabilistic-forecast audit with no
+    * float accumulation anywhere. */
+  private def q326Brier(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(
+        Sampling.hashBucket(col("event_id"), 100).as("p100"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val tot = ev.agg(count(lit(1)).as("n"),
+      sum((col("p100") - lit(100L) * col("y")) *
+        (col("p100") - lit(100L) * col("y"))).as("sse"))
+      .select(col("n"), col("sse"),
+        (col("sse").cast("double") /
+          (lit(10000.0) * col("n").cast("double"))).as("brier"))
+    ev.withColumn("decile", floor(col("p100").cast("double") / 10.0)
+        .cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_b"), sum(col("p100")).as("sp"),
+        sum(col("y")).as("sy"))
+      .withColumn("gap", abs(col("sp") - lit(100L) * col("sy")))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_b"), col("sp"), col("sy"),
+        col("gap"), col("n"), col("sse"), col("brier"))
+      .orderBy(col("decile"))
+  }
+
+  private val q326Sql =
+    """WITH ev AS (
+      |  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+      |    ::BIGINT % 100 AS p100,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |tot AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum((p100 - 100 * y) * (p100 - 100 * y)) AS BIGINT)
+      |      AS sse
+      |  FROM ev),
+      |d AS (
+      |  SELECT p100 // 10 AS decile, count(*) AS n_b,
+      |    CAST(sum(p100) AS BIGINT) AS sp,
+      |    CAST(sum(y) AS BIGINT) AS sy
+      |  FROM ev GROUP BY 1)
+      |SELECT decile, n_b, sp, sy, abs(sp - 100 * sy) AS gap,
+      |  tot.n, tot.sse,
+      |  CAST(tot.sse AS DOUBLE) / (10000.0 * CAST(tot.n AS DOUBLE))
+      |    AS brier
+      |FROM d CROSS JOIN tot ORDER BY decile""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_brier" -> (q326Brier _),
     "q325_map_at_k" -> (q325MapAtK _),
     "q321_katz" -> (q321Katz _),
     "q320_drift_l1" -> (q320DriftL1 _),
@@ -4279,6 +4334,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q326_brier" -> q326Sql,
     "q325_map_at_k" -> q325Sql,
     "q321_katz" -> q321Sql,
     "q320_drift_l1" -> q320Sql,
