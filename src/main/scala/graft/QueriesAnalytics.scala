@@ -4234,7 +4234,62 @@ object QueriesAnalytics {
       |    AS brier
       |FROM d CROSS JOIN tot ORDER BY decile""".stripMargin
 
+  // -------------------------------------------------------------- q327
+  /** Time-weighted average value (TWAP) per event type: each
+    * observation holds until the user's next event, so the weight is
+    * the hold duration in whole seconds (exact integer from µs floor
+    * division) and the metric is Σ cents·Δt_sec / ΣΔt_sec — the
+    * finance/metrics aggregation where plain AVG is wrong whenever
+    * sampling is irregular. All-integer numerator and denominator
+    * (budgeted: cents ≤ 10⁴ × Δt ≤ 3·10⁶ s × 10⁶ rows < 2⁶³), one
+    * final division. Per-user lag window, parallel across users. */
+  private def q327Twap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .withColumn("dt",
+        (lead(unix_micros(col("ts")), 1).over(w) -
+          unix_micros(col("ts"))))
+      .filter(col("dt").isNotNull)
+      .withColumn("dts", floor(col("dt").cast("double") / 1e6)
+        .cast("long"))
+      .filter(col("dts") > 0)
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents") * col("dts")).as("num"),
+        sum(col("dts")).as("den"))
+      .select(col("event_type"), col("n"), col("num"), col("den"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("twap_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q327Sql =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) - epoch_us(ts) AS dt
+      |  FROM events),
+      |h AS (
+      |  SELECT event_type, cents,
+      |    CAST(floor(CAST(dt AS DOUBLE) / 1000000.0) AS BIGINT) AS dts
+      |  FROM ev WHERE dt IS NOT NULL)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(cents * dts) AS BIGINT) AS num,
+      |  CAST(sum(dts) AS BIGINT) AS den,
+      |  CAST(CAST(sum(cents * dts) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(sum(dts) AS BIGINT) AS DOUBLE) AS twap_cents
+      |FROM h WHERE dts > 0
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_twap" -> (q327Twap _),
     "q326_brier" -> (q326Brier _),
     "q325_map_at_k" -> (q325MapAtK _),
     "q321_katz" -> (q321Katz _),
@@ -4334,6 +4389,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q327_twap" -> q327Sql,
     "q326_brier" -> q326Sql,
     "q325_map_at_k" -> q325Sql,
     "q321_katz" -> q321Sql,

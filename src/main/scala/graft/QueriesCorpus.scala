@@ -1954,7 +1954,61 @@ object QueriesCorpus {
       |FROM g JOIN f ON f.g = g.g
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q328
+  /** Phrase search via a positional inverted index: tokens explode to
+    * (doc, pos, word) postings; a 2-word phrase is an equi-join of
+    * the two words' postings on (doc, pos+1) — the scalable phrase
+    * path (postings shuffle on word; only the matched positions
+    * survive), vs the oracle's naive per-document adjacency scan.
+    * Counts both matched documents and total occurrences. */
+  private def q328PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ph = Seq((1L, "hash", "join"), (2L, "merge", "join"),
+      (3L, "scan", "filter")).toDF("pid", "w1", "w2")
+    val idx = Tables.load(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val a = idx.join(broadcast(ph), col("w") === col("w1"))
+      .select(col("pid"), col("w1"), col("w2"), col("doc_id"),
+        col("pos"))
+    val b = idx.select(col("doc_id"), col("pos").as("pos2"),
+      col("w").as("wb"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("wb") === col("w2") && col("pos2") === col("pos") + 1)
+      .groupBy(col("pid"), col("w1"), col("w2"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .orderBy(col("pid"))
+  }
+
+  private val q328Sql =
+    """WITH ph(pid, w1, w2) AS (VALUES
+      |  (CAST(1 AS BIGINT), 'hash', 'join'),
+      |  (CAST(2 AS BIGINT), 'merge', 'join'),
+      |  (CAST(3 AS BIGINT), 'scan', 'filter')),
+      |d AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents WHERE trim(text) != ''),
+      |m AS (
+      |  SELECT ph.pid, ph.w1, ph.w2, d.doc_id,
+      |    len(list_filter(range(1, len(tk)),
+      |      i -> tk[i] = ph.w1 AND tk[i + 1] = ph.w2)) AS occ
+      |  FROM d CROSS JOIN ph)
+      |SELECT pid, w1, w2,
+      |  CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_docs,
+      |  CAST(sum(occ) AS BIGINT) AS n_occ
+      |FROM m GROUP BY 1, 2, 3
+      |HAVING sum(occ) > 0
+      |ORDER BY pid""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_phrase_search" -> (q328PhraseSearch _),
     "q314_novelty" -> (q314Novelty _),
     "q237_rag_chunks" -> (q237RagChunks _),
     "q239_domain_blocklist" -> (q239DomainBlocklist _),
@@ -2000,6 +2054,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q328_phrase_search" -> q328Sql,
     "q314_novelty" -> q314Sql,
     "q237_rag_chunks" -> q237Sql,
     "q239_domain_blocklist" -> q239Sql,
