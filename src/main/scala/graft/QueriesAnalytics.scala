@@ -4288,7 +4288,108 @@ object QueriesAnalytics {
       |FROM h WHERE dts > 0
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q329
+  /** Wilson score intervals for per-type purchase-rate proportions:
+    * exact counts, then the interval as ONE fixed chain of
+    * correctly-rounded IEEE ops (one sqrt, z = 1.96 literal) — the
+    * q304 bit-stability recipe applied to interval estimation. The
+    * Wilson form stays valid at small n and p near 0/1, where the
+    * normal interval collapses — the right default for funnel-rate
+    * dashboards. */
+  private def q329Wilson(s: SparkSession, dir: String): DataFrame = {
+    val z2 = lit(1.96 * 1.96)
+    val ev = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 30.0, 1L).otherwise(0L)).as("x"))
+    def d(c: String): Column = col(c).cast("double")
+    ev.select(col("event_type"), col("n"), col("x"),
+        (d("x") / d("n")).as("p_hat"))
+      .withColumn("center",
+        (col("p_hat") + z2 / (lit(2.0) * d("n"))) /
+          (lit(1.0) + z2 / d("n")))
+      .withColumn("half",
+        (lit(1.96) * sqrt(col("p_hat") * (lit(1.0) - col("p_hat"))
+          / d("n") + z2 / (lit(4.0) * d("n") * d("n")))) /
+          (lit(1.0) + z2 / d("n")))
+      .select(col("event_type"), col("n"), col("x"), col("p_hat"),
+        (col("center") - col("half")).as("wilson_lo"),
+        (col("center") + col("half")).as("wilson_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q329Sql =
+    """WITH a AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CASE WHEN value > 30.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT event_type, n, x,
+      |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+      |    CAST(n AS DOUBLE) AS dn
+      |  FROM a),
+      |c AS (
+      |  SELECT event_type, n, x, p_hat,
+      |    (p_hat + 3.8415999999999997 / (2.0 * dn))
+      |      / (1.0 + 3.8415999999999997 / dn) AS center,
+      |    (1.96 * sqrt(p_hat * (1.0 - p_hat) / dn
+      |        + 3.8415999999999997 / (4.0 * dn * dn)))
+      |      / (1.0 + 3.8415999999999997 / dn) AS half
+      |  FROM b)
+      |SELECT event_type, n, x, p_hat,
+      |  center - half AS wilson_lo, center + half AS wilson_hi
+      |FROM c ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------- q330
+  /** Youden-J optimal threshold selection: over every distinct score
+    * cutpoint (predict positive when score ≥ c), J = TPR − FPR is
+    * ranked by the CROSS-MULTIPLIED integer TP·N − FP·P — exact
+    * ordering, no float comparisons — and ties break toward the
+    * smallest cutpoint. Prefix TP/FP counts come from one descending
+    * cumulative window over the distinct-score table (one row per
+    * distinct score, never per event). Output: the chosen cutpoint's
+    * full confusion matrix and J. */
+  private def q330Youden(s: SparkSession, dir: String): DataFrame =
+    Evaluation.youdenThreshold(Tables.load(s, dir, "events"),
+      labelCol = col("event_type") === "purchase",
+      scoreCol = (col("value").cast("decimal(18,2)") * 100).cast("long"))
+
+  private val q330Sql =
+    """WITH ev AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS score,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |bs AS (
+      |  SELECT score, CAST(sum(y) AS BIGINT) AS pos_c,
+      |    CAST(sum(1 - y) AS BIGINT) AS neg_c
+      |  FROM ev GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(y) AS BIGINT) AS p_tot,
+      |    CAST(sum(1 - y) AS BIGINT) AS n_tot
+      |  FROM ev),
+      |cand AS (
+      |  SELECT score,
+      |    CAST(sum(pos_c) OVER (ORDER BY score DESC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+      |    CAST(sum(neg_c) OVER (ORDER BY score DESC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+      |  FROM bs),
+      |j AS (
+      |  SELECT score, tp, fp, p_tot, n_tot,
+      |    CAST(tp * n_tot - fp * p_tot AS BIGINT) AS j_scaled
+      |  FROM cand CROSS JOIN tot)
+      |SELECT score AS cutpoint, tp, fp,
+      |  CAST(p_tot - tp AS BIGINT) AS fn,
+      |  CAST(n_tot - fp AS BIGINT) AS tn, j_scaled,
+      |  CAST(j_scaled AS DOUBLE)
+      |    / CAST(p_tot * n_tot AS DOUBLE) AS youden_j
+      |FROM j ORDER BY j_scaled DESC, score LIMIT 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_wilson" -> (q329Wilson _),
+    "q330_youden" -> (q330Youden _),
     "q327_twap" -> (q327Twap _),
     "q326_brier" -> (q326Brier _),
     "q325_map_at_k" -> (q325MapAtK _),
@@ -4389,6 +4490,8 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q329_wilson" -> q329Sql,
+    "q330_youden" -> q330Sql,
     "q327_twap" -> q327Sql,
     "q326_brier" -> q326Sql,
     "q325_map_at_k" -> q325Sql,

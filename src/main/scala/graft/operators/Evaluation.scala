@@ -620,6 +620,67 @@ object Evaluation {
         det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det).as("beta2"))
   }
 
+  /** Youden-J optimal threshold: over every distinct score cutpoint
+    * (predict positive when score ≥ c), pick the c maximizing
+    * J = TPR − FPR, ranked by the CROSS-MULTIPLIED integer
+    * TP·N − FP·P — exact ordering, no float comparisons; ties break
+    * toward the smallest cutpoint.
+    *
+    * Scale: one hash aggregate to a row per DISTINCT score, then the
+    * same range-partitioned two-pass prefix scheme as [[rocAuc]]
+    * (per-partition windows + a partition-count-bounded offset table
+    * — never a global window), then a top-1 selection. Scores must
+    * be integral (pre-scale to cents).
+    * @return one row: (cutpoint, tp, fp, fn, tn, j_scaled, youden_j) */
+  def youdenThreshold(df: DataFrame, labelCol: Column,
+      scoreCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy(scoreCol.as("score"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("pos_c"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("neg_c"))
+    val base = counts.repartitionByRange(col("score"))
+      .sortWithinPartitions(col("score"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_ONLY)
+    val totals = base.groupBy(col("__pid"))
+      .agg(sum(col("pos_c")).as("tp"), sum(col("neg_c")).as("tn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val pTot = totals.map(_._2).sum
+    val nTot = totals.map(_._3).sum
+    val posOff = totals.map(_._2).scanLeft(0L)(_ + _).init
+    val negOff = totals.map(_._3).scanLeft(0L)(_ + _).init
+    val offDf = spark.createDataFrame(
+      totals.map(_._1).zip(posOff.zip(negOff))
+        .map { case (p, (a, b)) => (p, a, b) }.toIndexedSeq)
+      .toDF("__pid", "__poff", "__noff")
+    val w = Window.partitionBy(col("__pid")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ascending cums BELOW the cutpoint; tp/fp at "score >= c" follow
+    val res = base.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__cpos",
+        sum(col("pos_c")).over(w) + col("__poff") - col("pos_c"))
+      .withColumn("__cneg",
+        sum(col("neg_c")).over(w) + col("__noff") - col("neg_c"))
+      .select(col("score"),
+        (lit(pTot) - col("__cpos")).as("tp"),
+        (lit(nTot) - col("__cneg")).as("fp"))
+      .withColumn("j_scaled",
+        col("tp") * lit(nTot) - col("fp") * lit(pTot))
+      .orderBy(col("j_scaled").desc, col("score")).limit(1)
+      .select(col("score").as("cutpoint"), col("tp"), col("fp"),
+        (lit(pTot) - col("tp")).as("fn"),
+        (lit(nTot) - col("fp")).as("tn"),
+        col("j_scaled"),
+        (col("j_scaled").cast("double") /
+          (lit(pTot) * lit(nTot)).cast("double")).as("youden_j"))
+      .localCheckpoint(eager = true)
+    base.unpersist()
+    res
+  }
+
   /** CUPED variance reduction (Deng et al. WSDM'13) — the A/B-test
     * covariate adjustment: per experiment unit, an exact integral
     * pre-period covariate x and post-period metric y; θ =
