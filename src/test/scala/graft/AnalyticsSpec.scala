@@ -800,6 +800,19 @@ class AnalyticsSpec extends SparkSpec {
       .head().getLong(0) shouldBe 0L
   }
 
+  test("youdenThreshold: perfect separation found, exact confusion") {
+    import graft.operators.Evaluation
+    val df = Seq((5L, true), (6L, true), (1L, false), (2L, false),
+      (5L, true)).toDF("score", "y")
+    val r = Evaluation.youdenThreshold(df, col("y"), col("score"))
+      .head()
+    r.getLong(0) shouldBe 5L // cutpoint
+    r.getLong(1) shouldBe 3L // tp
+    r.getLong(2) shouldBe 0L // fp
+    r.getLong(4) shouldBe 2L // tn
+    r.getDouble(6) shouldBe 1.0 // J
+  }
+
   test("ols2ByGroup: recovers an exact planted linear model") {
     import graft.operators.Evaluation
     // y = 3 + 2*x1 + 5*x2 on a non-degenerate integer grid
