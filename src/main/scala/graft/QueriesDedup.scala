@@ -108,6 +108,76 @@ object QueriesDedup {
        |JOIN sh b ON b.doc_id = p.id2
        |ORDER BY p.id1""".stripMargin
 
+  // -------------------------------------------------------------- q331
+  /** MinHash estimator audit over the q15 planted pairs: the
+    * signature-agreement estimate (#matching minima / 16) against the
+    * exact Jaccard on the same shingle sets — the estimator-quality
+    * self-check a MinHash deployment owes its tuning (band math
+    * assumes E[est] = J; this row hands the gate the actual per-pair
+    * residuals). Deterministic end to end: the same affine
+    * permutation family both engines compute from md5. */
+  private def q331MinhashEstimate(s: SparkSession, dir: String)
+      : DataFrame = {
+    val c = corpus(s, dir)
+    val pairsIds = docs(s, dir).select(col("doc_id"))
+      .withColumn("id2",
+        when(col("doc_id") % 5 === 0, col("doc_id") + 20000)
+          .otherwise(col("doc_id") + 1))
+      .withColumnRenamed("doc_id", "id1")
+    val sh = c.select(col("doc_id"),
+        array_sort(TA.charShingles(col("text"), 4)).as("sh"))
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 16))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    pairsIds
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1"),
+        col("sig").as("sig1")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2"),
+        col("sig").as("sig2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L),
+          (acc, x) => acc + x).as("matches"),
+        Dedup.jaccardSorted(col("sh1"), col("sh2")).as("jaccard"))
+      .select(col("id1"), col("id2"), col("matches"),
+        (col("matches").cast("double") / 16.0).as("est"),
+        col("jaccard"),
+        abs(col("matches").cast("double") / 16.0 - col("jaccard"))
+          .as("abs_err"))
+      .orderBy(col("id1"))
+  }
+
+  private lazy val q331Sql =
+    s"""WITH $corpusSql,
+       |$shinglesSqlDef,
+       |sig AS (
+       |  SELECT doc_id, s, [
+       |    $sigItemsSql] AS g
+       |  FROM sh),
+       |pairs AS (
+       |  SELECT doc_id AS id1,
+       |    CASE WHEN doc_id % 5 = 0 THEN doc_id + 20000
+       |         ELSE doc_id + 1 END AS id2
+       |  FROM documents)
+       |SELECT p.id1, p.id2,
+       |  CAST(len(list_filter(range(1, 17), i -> a.g[i] = b.g[i]))
+       |    AS BIGINT) AS matches,
+       |  CAST(len(list_filter(range(1, 17), i -> a.g[i] = b.g[i]))
+       |    AS DOUBLE) / 16.0 AS est,
+       |  CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+       |       THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |            / len(list_distinct(list_concat(a.s, b.s)))
+       |       ELSE 0.0 END AS jaccard,
+       |  abs(CAST(len(list_filter(range(1, 17), i -> a.g[i] = b.g[i]))
+       |      AS DOUBLE) / 16.0
+       |    - CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+       |        THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |             / len(list_distinct(list_concat(a.s, b.s)))
+       |        ELSE 0.0 END) AS abs_err
+       |FROM pairs p
+       |JOIN sig a ON a.doc_id = p.id1
+       |JOIN sig b ON b.doc_id = p.id2
+       |ORDER BY p.id1""".stripMargin
+
   // -------------------------------------------------------------- q319
   /** Rarity-weighted Jaccard over the q15 planted pairs: token weight
     * w = N // df (integer floor division — shared boilerplate words
@@ -295,15 +365,22 @@ object QueriesDedup {
     * ((a_i*h1)%P + (b_i*h2)%P + c_i) % P minima over the two 4-byte
     * md5 prefixes, pipe-joined band keys — all operands < 2^31 so
     * BIGINT math matches Spark's long math. k=16, 4 bands of 4. */
-  private[graft] val minhashCandCtes: String = {
+  /** The 16 affine-permutation minima as a SQL list literal over an
+    * `s` shingle-list column — shared by the cand CTEs and the q331
+    * estimator audit. */
+  private[graft] val sigItemsSql: String = {
     import graft.expressions.MinHashScheme
     val h1 = "(('0x' || substr(md5(x), 1, 8))::BIGINT & 2147483647)"
     val h2 = "(('0x' || substr(md5(x), 9, 8))::BIGINT & 2147483647)"
-    val sigItems = (0 until 16).map(i =>
+    (0 until 16).map(i =>
       s"list_min(list_transform(s, x -> ((${MinHashScheme.a(i)} * $h1) " +
         s"% ${MinHashScheme.P} + (${MinHashScheme.b(i)} * $h2) " +
         s"% ${MinHashScheme.P} + ${MinHashScheme.c(i)}) % ${MinHashScheme.P}))")
       .mkString(",\n       |    ")
+  }
+
+  private[graft] val minhashCandCtes: String = {
+    val sigItems = sigItemsSql
     val bandItems = (0 until 4).map { b =>
       (0 until 4).map(r => s"CAST(g[${4 * b + r + 1}] AS VARCHAR)")
         .mkString(" || '|' || ")
@@ -824,6 +901,7 @@ object QueriesDedup {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q296_lsh_recall" -> (q296LshRecall _),
     "q319_weighted_jaccard" -> (q319WeightedJaccard _),
+    "q331_minhash_estimate" -> (q331MinhashEstimate _),
     "q269_sorted_neighborhood" -> (q269SortedNeighborhood _),
     "q270_record_linkage" -> (q270RecordLinkage _),
     "q185_line_dedup" -> (q185LineDedup _),
@@ -842,6 +920,7 @@ object QueriesDedup {
   val oracles: Map[String, String] = Map(
     "q296_lsh_recall" -> q296Sql,
     "q319_weighted_jaccard" -> q319Sql,
+    "q331_minhash_estimate" -> q331Sql,
     "q269_sorted_neighborhood" -> q269Sql,
     "q270_record_linkage" -> q270Sql,
     "q185_line_dedup" -> q185Sql,
