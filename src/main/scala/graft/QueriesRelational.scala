@@ -1314,6 +1314,43 @@ object QueriesRelational {
       |  val_cents
       |FROM rows0 ORDER BY id""".stripMargin
 
+  // -------------------------------------------------------------- q332
+  /** Hive-partition layout round-trip: the table is written
+    * partitionBy a STRING column whose values include spaces, '/',
+    * '%', '=', and ':' — characters the directory encoding must
+    * escape (%2F, %25, %3D…) and the read path must decode back —
+    * then read and re-aggregated. A wrong escape/decode shows up as a
+    * shifted group count or a mangled partition value. Partition
+    * pruning itself is plan-asserted in ScanFeaturesSpec (inputFiles
+    * of a partition-filtered read); this row pins the VALUE
+    * round-trip the pruning depends on. */
+  private def q332HivePartitions(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hivep").toString
+    val src = t(s, dir, "events")
+      .select(col("event_id"), col("value"),
+        concat(col("event_type"),
+          when(col("event_id") % 10 === 0, lit(" a/b%c=d:e"))
+            .otherwise(lit(""))).as("ptype"))
+    src.coalesce(4).write.partitionBy("ptype").mode("overwrite")
+      .parquet(root)
+    s.read.parquet(root)
+      .groupBy(col("ptype"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+          .as("sum_cents"))
+      .orderBy(col("ptype"))
+  }
+
+  private val q332Sql =
+    """SELECT event_type ||
+      |  CASE WHEN event_id % 10 = 0 THEN ' a/b%c=d:e' ELSE '' END
+      |    AS ptype,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS sum_cents
+      |FROM events GROUP BY 1 ORDER BY ptype""".stripMargin
+
   // -------------------------------------------------------------- q133
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nullable
     * keys are planted on both sides (every 10th supplier key nulled),
@@ -3786,6 +3823,7 @@ object QueriesRelational {
     "q309_moving_median" -> (q309MovingMedian _),
     "q316_csv_modes" -> (q316CsvModes _),
     "q322_csv_quotes" -> (q322CsvQuotes _),
+    "q332_hive_partitions" -> (q332HivePartitions _),
     "q310_tpch_q17" -> (q310TpchQ17 _),
     "q311_tpch_q22" -> (q311TpchQ22 _),
     "q295_json_corrupt" -> (q295JsonCorrupt _),
@@ -3889,6 +3927,7 @@ object QueriesRelational {
     "q309_moving_median" -> q309Sql,
     "q316_csv_modes" -> q316Sql,
     "q322_csv_quotes" -> q322Sql,
+    "q332_hive_partitions" -> q332Sql,
     "q310_tpch_q17" -> q310Sql,
     "q311_tpch_q22" -> q311Sql,
     "q295_json_corrupt" -> q295Sql,

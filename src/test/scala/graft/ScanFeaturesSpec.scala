@@ -52,4 +52,25 @@ class ScanFeaturesSpec extends SparkSpec {
     // distinct files seen equals the written partition count
     withMeta.select(col("f")).distinct().count() shouldBe 4L
   }
+
+  test("hive partition pruning reads only the matching directories") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_prune").toString
+    (1 to 100).map(i => (i.toLong, s"g${i % 4}"))
+      .toDF("id", "part")
+      .coalesce(1).write.partitionBy("part").mode("overwrite")
+      .parquet(root)
+    val whole = spark.read.parquet(root)
+    whole.inputFiles.length shouldBe 4
+    val pruned = whole.filter(col("part") === "g1")
+    // collect() executes THIS df's plan (count() would build another)
+    pruned.collect().length shouldBe 25
+    // the scan's runtime metric proves only ONE directory was read
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    scan.metrics("numFiles").value shouldBe 1L
+    // and the plan carries a partition filter, not a data filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+  }
 }
