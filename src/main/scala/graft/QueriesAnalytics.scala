@@ -4387,7 +4387,141 @@ object QueriesAnalytics {
       |    / CAST(p_tot * n_tot AS DOUBLE) AS youden_j
       |FROM j ORDER BY j_scaled DESC, score LIMIT 1""".stripMargin
 
+  // -------------------------------------------------------------- q333
+  /** Grid search with deterministic CV folds: five score thresholds ×
+    * three md5-hash folds, per-cell exact correct-prediction counts,
+    * winner = argmax total correct (integer ordering, ties to the
+    * smaller threshold) — the hyperparameter-selection loop as ONE
+    * crossJoin of a constant grid, not a driver loop; accuracy's
+    * float division happens after all decisions are made on integers.
+    */
+  private def q333GridCv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = Seq(1000L, 2000L, 3000L, 4000L, 5000L).toDF("t")
+    val ev = Tables.load(s, dir, "events")
+      .select(
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("score"),
+        Sampling.hashBucket(col("event_id"), 3).as("fold"))
+    val cells = ev.crossJoin(broadcast(grid))
+      .select(col("t"), col("fold"),
+        when((col("score") >= col("t")) === (col("y") === 1L), 1L)
+          .otherwise(0L).as("c"))
+      .groupBy(col("t"), col("fold"))
+      .agg(sum(col("c")).as("correct"), count(lit(1)).as("n"))
+    val perT = cells.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_folds"),
+        sum(col("correct")).as("total_correct"),
+        sum(col("n")).as("n_total"))
+      .localCheckpoint(true)
+    val best = perT.orderBy(col("total_correct").desc, col("t")).limit(1)
+      .select(col("t").as("bt"))
+    perT.crossJoin(broadcast(best))
+      .select(col("t"), col("n_folds"), col("total_correct"),
+        col("n_total"),
+        (col("total_correct").cast("double") /
+          col("n_total").cast("double")).as("accuracy"),
+        when(col("t") === col("bt"), 1L).otherwise(0L).as("is_best"))
+      .orderBy(col("t"))
+  }
+
+  private val q333Sql =
+    """WITH grid(t) AS (VALUES (CAST(1000 AS BIGINT)), (2000), (3000),
+      |  (4000), (5000)),
+      |ev AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+      |      AS y,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+      |      ::BIGINT % 3 AS fold
+      |  FROM events),
+      |cells AS (
+      |  SELECT t, fold,
+      |    CAST(sum(CASE WHEN (score >= t) = (y = 1) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS correct,
+      |    count(*) AS n
+      |  FROM ev CROSS JOIN grid GROUP BY 1, 2),
+      |pert AS (
+      |  SELECT t, count(*) AS n_folds,
+      |    CAST(sum(correct) AS BIGINT) AS total_correct,
+      |    CAST(sum(n) AS BIGINT) AS n_total
+      |  FROM cells GROUP BY 1),
+      |best AS (SELECT t AS bt FROM pert
+      |         ORDER BY total_correct DESC, t LIMIT 1)
+      |SELECT t, n_folds, total_correct, n_total,
+      |  CAST(total_correct AS DOUBLE) / CAST(n_total AS DOUBLE)
+      |    AS accuracy,
+      |  CASE WHEN t = bt THEN 1 ELSE 0 END AS is_best
+      |FROM pert CROSS JOIN best ORDER BY t""".stripMargin
+
+  // -------------------------------------------------------------- q334
+  /** Kendall tau-a rank correlation between account balance and order
+    * activity over a bounded customer slice: concordant/discordant
+    * counted EXACTLY over the C(n,2) pair join (n = 200 — documented
+    * bound; the at-scale path is sampling or the O(n log n)
+    * merge-sort inversion count), tau one final division. Spearman is
+    * q233; Kendall completes the rank-correlation pair. */
+  private def q334KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey").as("k"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("x"))
+    val ord = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("y"))
+    val pts = cust.join(ord, col("k") === col("o_custkey"), "left_outer")
+      .select(col("k"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint(true)
+    val pairs = pts.as("a")
+      .join(pts.select(col("k").as("k2"), col("x").as("x2"),
+        col("y").as("y2")), col("k") < col("k2"))
+      .select(
+        signum((col("x") - col("x2")).cast("double")).cast("long")
+          .as("sx"),
+        signum((col("y") - col("y2")).cast("double")).cast("long")
+          .as("sy"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L))
+          .as("discordant"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          col("n_pairs").cast("double")).as("tau_a"))
+  }
+
+  private val q334Sql =
+    """WITH cust AS (
+      |  SELECT c_custkey AS k,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      |  FROM customer WHERE c_custkey <= 200),
+      |oc AS (SELECT o_custkey, count(*) AS y FROM orders GROUP BY 1),
+      |pts AS (
+      |  SELECT k, x, coalesce(y, 0) AS y
+      |  FROM cust LEFT JOIN oc ON oc.o_custkey = cust.k),
+      |pairs AS (
+      |  SELECT
+      |    CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END
+      |      AS sx,
+      |    CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1 ELSE 0 END
+      |      AS sy
+      |  FROM pts a JOIN pts b ON a.k < b.k)
+      |SELECT count(*) AS n_pairs,
+      |  CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS concordant,
+      |  CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS discordant,
+      |  CAST(CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |    - CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS tau_a
+      |FROM pairs""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q333_grid_cv" -> (q333GridCv _),
+    "q334_kendall_tau" -> (q334KendallTau _),
     "q329_wilson" -> (q329Wilson _),
     "q330_youden" -> (q330Youden _),
     "q327_twap" -> (q327Twap _),
@@ -4490,6 +4624,8 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q333_grid_cv" -> q333Sql,
+    "q334_kendall_tau" -> q334Sql,
     "q329_wilson" -> q329Sql,
     "q330_youden" -> q330Sql,
     "q327_twap" -> q327Sql,
