@@ -4519,7 +4519,90 @@ object QueriesAnalytics {
       |    / CAST(count(*) AS DOUBLE) AS tau_a
       |FROM pairs""".stripMargin
 
+  // -------------------------------------------------------------- q335
+  /** Split conformal prediction interval: calibrate on first-half
+    * January (predictor = each user's calibration-mean spend, a
+    * pinned exact-int division), take q̂ = the ⌈(n+1)(1−α)⌉-th
+    * smallest absolute residual — an ORDER STATISTIC found through
+    * the distributed exact-ECDF cum table, not a global sort — and
+    * measure empirical coverage of |y − ŷ| ≤ q̂ on the second half.
+    * The distribution-free uncertainty wrapper every deployed
+    * regressor owes its consumers; α = 0.1, rank ceiling in exact
+    * integer arithmetic. */
+  private def q335Conformal(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"), col("ts"))
+    val calib = ev.filter(col("ts") < cut)
+    val pred = calib.groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("nc"))
+      .select(col("user_id"),
+        (col("sc").cast("double") / col("nc").cast("double"))
+          .as("pred"))
+      .localCheckpoint(true)
+    val resid = calib.join(pred, Seq("user_id"))
+      .select(abs(col("cents").cast("double") - col("pred")).as("r"))
+      .localCheckpoint(true)
+    val nCalib = resid.count()
+    val k = (9L * (nCalib + 1L) + 9L) / 10L // = ceil(0.9·(n+1)) exactly
+    val qhat = Quantiles.ecdf(resid, "r")
+      .filter(col("cum") >= k)
+      .orderBy(col("value")).limit(1)
+      .select(col("value").as("q_hat"))
+    ev.filter(col("ts") >= cut)
+      .join(pred, Seq("user_id"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("cents").cast("double") - col("pred")) <=
+          col("q_hat"), 1L).otherwise(0L)).as("n_covered"),
+        max(col("q_hat")).as("q_hat"))
+      .select(lit(nCalib).as("n_calib"), lit(k).as("k_rank"),
+        col("q_hat"), col("n_test"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+  }
+
+  private val q335Sql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    ts
+      |  FROM events),
+      |calib AS (SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-16'),
+      |pred AS (
+      |  SELECT user_id,
+      |    CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS pred
+      |  FROM calib GROUP BY 1),
+      |resid AS (
+      |  SELECT abs(CAST(c.cents AS DOUBLE) - p.pred) AS r
+      |  FROM calib c JOIN pred p ON p.user_id = c.user_id),
+      |n AS (SELECT count(*) AS n_calib,
+      |        (9 * (count(*) + 1) + 9) // 10 AS k FROM resid),
+      |cume AS (
+      |  SELECT r, sum(cnt) OVER (ORDER BY r) AS cum
+      |  FROM (SELECT r, count(*) AS cnt FROM resid GROUP BY 1)),
+      |qh AS (
+      |  SELECT r AS q_hat FROM cume CROSS JOIN n
+      |  WHERE cum >= k ORDER BY r LIMIT 1),
+      |t AS (
+      |  SELECT count(*) AS n_test,
+      |    CAST(sum(CASE WHEN abs(CAST(e.cents AS DOUBLE) - p.pred)
+      |      <= qh.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |    max(qh.q_hat) AS q_hat
+      |  FROM ev e JOIN pred p ON p.user_id = e.user_id
+      |  CROSS JOIN qh
+      |  WHERE e.ts >= TIMESTAMP '2024-01-16')
+      |SELECT n.n_calib, CAST(n.k AS BIGINT) AS k_rank, t.q_hat,
+      |  t.n_test, t.n_covered,
+      |  CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE)
+      |    AS coverage
+      |FROM t CROSS JOIN n""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q335_conformal" -> (q335Conformal _),
     "q333_grid_cv" -> (q333GridCv _),
     "q334_kendall_tau" -> (q334KendallTau _),
     "q329_wilson" -> (q329Wilson _),
@@ -4624,6 +4707,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q335_conformal" -> q335Sql,
     "q333_grid_cv" -> q333Sql,
     "q334_kendall_tau" -> q334Sql,
     "q329_wilson" -> q329Sql,

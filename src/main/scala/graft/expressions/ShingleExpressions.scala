@@ -259,6 +259,38 @@ object ShingleUtil {
     * BIGINT math (the DuckDB oracle mirrors it literally). The earlier
     * scheme hashed every (shingle, salt) pair — k× the md5 cost, which
     * measured as the dominant q16 stage once verification was fixed. */
+  /** The raw k minima of [[minhashBands]]'s chain — one md5 per
+    * shingle, all k permutations updated in the same traversal. For
+    * signature-agreement estimation (q331) where the minima, not the
+    * band keys, are compared. */
+  def minhashSignatureFast(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val as = Array.tabulate(k)(MinHashScheme.a)
+    val bs = Array.tabulate(k)(MinHashScheme.b)
+    val cs = Array.tabulate(k)(MinHashScheme.c)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(shingles.getUTF8String(i).getBytes)
+      md.reset()
+      val h1 = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x7fffffffL
+      val h2 = (((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) & 0x7fffffffL
+      var t = 0
+      while (t < k) {
+        val v = ((as(t) * h1) % MinHashScheme.P +
+          (bs(t) * h2) % MinHashScheme.P + cs(t)) % MinHashScheme.P
+        if (v < mins(t)) mins(t) = v
+        t += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m =>
+      if (m == Long.MaxValue) 0L else m))
+  }
+
   def minhashBands(shingles: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     val k = bands * rowsPerBand
     val n = shingles.numElements()
@@ -347,6 +379,27 @@ case class SortedIntersectSizeExpression(left: Expression, right: Expression)
 
 /** Codegen'd MinHash-LSH band keys: the full salt-hash-min-band chain in
   * one traversal of the shingle array. */
+/** Codegen'd raw MinHash signature (the k permutation minima in one
+  * shingle traversal — see ShingleUtil.minhashSignatureFast). */
+case class MinHashSignatureExpression(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleUtil.minhashSignatureFast(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.ShingleUtil.minhashSignatureFast($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpression =
+    copy(child = newChild)
+}
+
 case class MinHashBandsExpression(child: Expression, bands: Int, rowsPerBand: Int)
     extends UnaryExpression {
   require(bands > 0 && rowsPerBand > 0)

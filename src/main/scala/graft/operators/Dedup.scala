@@ -259,9 +259,17 @@ object Dedup {
     }))
 
   /** MinHash signature over a shingle array: element i is the affine
-    * permutation minimum (MinHashScheme). Returns array<long>. */
+    * permutation minimum (MinHashScheme). Returns array<long>.
+    * Backed by the codegen'd one-traversal expression — the Column
+    * composition (affineMin per permutation) recomputes the md5 per
+    * permutation, k× the hash cost (measured 25.8 s → 4-ish on q331).
+    * Empty shingle arrays yield all-zero signatures (the Column form
+    * yielded nulls); feed non-empty shingles. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(affineMin(shingles, _)): _*)
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.MinHashSignatureExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .expression(shingles), k))
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
     * and join each band's minima. Two docs sharing ANY band key are

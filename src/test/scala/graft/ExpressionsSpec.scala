@@ -319,6 +319,39 @@ class ExpressionsSpec extends SparkSpec {
       .as[Double].head() shouldBe 0.9611111111111111
   }
 
+  test("MinHashSignatureExpression matches an independent re-derivation") {
+    import graft.expressions.MinHashScheme
+    import graft.operators.Dedup
+    val texts = Seq("abcd", "hello world near dup text")
+    val df = texts.toDF("t")
+    val got = df.select(
+        Dedup.minhashSignature(
+          graft.functions.TextAnalysis.charShingles(col("t"), 4), 16))
+      .as[Seq[Long]].collect()
+    def ref(t: String): Seq[Long] = {
+      val norm = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      val sh =
+        if (norm.length <= 4) Seq(norm)
+        else (0 to norm.length - 4).map(i => norm.substring(i, i + 4))
+          .distinct
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 16).map { i =>
+        sh.map { s =>
+          val d = md.digest(s.getBytes("UTF-8")); md.reset()
+          val h1 = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x7fffffffL
+          val h2 = (((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) & 0x7fffffffL
+          ((MinHashScheme.a(i) * h1) % MinHashScheme.P +
+            (MinHashScheme.b(i) * h2) % MinHashScheme.P +
+            MinHashScheme.c(i)) % MinHashScheme.P
+        }.min
+      }
+    }
+    got(0).toSeq shouldBe ref(texts(0))
+    got(1).toSeq shouldBe ref(texts(1))
+  }
+
   private def levRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
