@@ -4601,7 +4601,111 @@ object QueriesAnalytics {
       |    AS coverage
       |FROM t CROSS JOIN n""".stripMargin
 
+  // -------------------------------------------------------------- q336
+  /** Deterministic RANSAC line fit: 50 candidate models from
+    * HASH-CHOSEN point pairs (no RNG state — candidate j samples
+    * points (97j mod 1400)+1 and (131j mod 1400)+2), inliers counted
+    * with pinned |y − (mx+b)| ≤ 50 comparisons, winner by (inlier
+    * count, candidate id) integer ordering, then an EXACT-moment OLS
+    * refit on the winner's inlier set — robust fitting over planted
+    * y = 3x + 500 ± 10 data with every 10th point an outlier. Scale:
+    * candidates are a broadcast constant; inlier counting is one
+    * map pass over points × 50. */
+  private def q336Ransac(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"),
+        (col("c_custkey") % 1000).as("x"))
+      .withColumn("y",
+        lit(3L) * col("x") + 500L + pmod(col("k"), lit(21)) - 10L +
+          when(col("k") % 10 === 0,
+            lit(5000L) + pmod(col("k"), lit(7)) * 1000L).otherwise(0L))
+      .localCheckpoint(true)
+    val cands = (0 until 50).map { j =>
+      (j.toLong, (97L * j) % 1400L + 1L, (131L * j) % 1400L + 2L)
+    }.toDF("j", "k1", "k2")
+    val models = cands
+      .join(pts.select(col("k").as("k1"), col("x").as("x1"),
+        col("y").as("y1")), Seq("k1"))
+      .join(pts.select(col("k").as("k2"), col("x").as("x2"),
+        col("y").as("y2")), Seq("k2"))
+      .filter(col("x1") =!= col("x2"))
+      .select(col("j"),
+        ((col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("m"),
+        col("x1").cast("double").as("dx1"),
+        col("y1").cast("double").as("dy1"))
+      .select(col("j"), col("m"),
+        (col("dy1") - col("m") * col("dx1")).as("b"))
+    val scored = pts.crossJoin(broadcast(models))
+      .filter(abs(col("y").cast("double") -
+        (col("m") * col("x").cast("double") + col("b"))) <= 50.0)
+      .groupBy(col("j"), col("m"), col("b"))
+      .agg(count(lit(1)).as("n_inliers"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    val best = scored.orderBy(col("n_inliers").desc, col("j")).limit(1)
+    def d(c: String): Column = col(c).cast("double")
+    best.select(col("j").as("best_j"), col("m").as("cand_slope"),
+      col("b").as("cand_icept"), col("n_inliers"),
+      ((d("n_inliers") * d("sxy") - d("sx") * d("sy")) /
+        (d("n_inliers") * d("sxx") - d("sx") * d("sx")))
+        .as("refit_slope"),
+      ((d("sy") - (d("n_inliers") * d("sxy") - d("sx") * d("sy")) /
+        (d("n_inliers") * d("sxx") - d("sx") * d("sx")) * d("sx")) /
+        d("n_inliers")).as("refit_icept"))
+  }
+
+  private val q336Sql =
+    """WITH pts AS (
+      |  SELECT c_custkey AS k, c_custkey % 1000 AS x,
+      |    3 * (c_custkey % 1000) + 500 + (c_custkey % 21) - 10 +
+      |      CASE WHEN c_custkey % 10 = 0
+      |        THEN 5000 + (c_custkey % 7) * 1000 ELSE 0 END AS y
+      |  FROM customer),
+      |cands AS (
+      |  SELECT j, (97 * j) % 1400 + 1 AS k1, (131 * j) % 1400 + 2 AS k2
+      |  FROM (SELECT unnest(range(0, 50)) AS j)),
+      |models AS (
+      |  SELECT c.j,
+      |    CAST(p2.y - p1.y AS DOUBLE) / CAST(p2.x - p1.x AS DOUBLE)
+      |      AS m,
+      |    CAST(p1.y AS DOUBLE)
+      |      - CAST(p2.y - p1.y AS DOUBLE) / CAST(p2.x - p1.x AS DOUBLE)
+      |        * CAST(p1.x AS DOUBLE) AS b
+      |  FROM cands c
+      |  JOIN pts p1 ON p1.k = c.k1
+      |  JOIN pts p2 ON p2.k = c.k2
+      |  WHERE p1.x != p2.x),
+      |scored AS (
+      |  SELECT m.j, m.m, m.b, count(*) AS n_inliers,
+      |    CAST(sum(p.x) AS BIGINT) AS sx,
+      |    CAST(sum(p.y) AS BIGINT) AS sy,
+      |    CAST(sum(p.x * p.x) AS BIGINT) AS sxx,
+      |    CAST(sum(p.x * p.y) AS BIGINT) AS sxy
+      |  FROM pts p CROSS JOIN models m
+      |  WHERE abs(CAST(p.y AS DOUBLE)
+      |    - (m.m * CAST(p.x AS DOUBLE) + m.b)) <= 50.0
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT * FROM scored ORDER BY n_inliers DESC, j LIMIT 1)
+      |SELECT j AS best_j, m AS cand_slope, b AS cand_icept, n_inliers,
+      |  (CAST(n_inliers AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n_inliers AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS refit_slope,
+      |  (CAST(sy AS DOUBLE)
+      |    - (CAST(n_inliers AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n_inliers AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * CAST(sx AS DOUBLE))
+      |    / CAST(n_inliers AS DOUBLE) AS refit_icept
+      |FROM best""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q336_ransac" -> (q336Ransac _),
     "q335_conformal" -> (q335Conformal _),
     "q333_grid_cv" -> (q333GridCv _),
     "q334_kendall_tau" -> (q334KendallTau _),
@@ -4707,6 +4811,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q336_ransac" -> q336Sql,
     "q335_conformal" -> q335Sql,
     "q333_grid_cv" -> q333Sql,
     "q334_kendall_tau" -> q334Sql,
