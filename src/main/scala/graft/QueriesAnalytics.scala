@@ -4704,7 +4704,60 @@ object QueriesAnalytics {
       |    / CAST(n_inliers AS DOUBLE) AS refit_icept
       |FROM best""".stripMargin
 
+  // -------------------------------------------------------------- q338
+  /** Capped geometric chaining (index construction): per event type,
+    * daily exact-cents totals → day-over-day growth factors g_d =
+    * s_d/s_{d−1} clipped to [0.5, 2.0] (the outlier guard that stops
+    * the chain telescoping trivially), chained as an ORDERED product
+    * fold in day order — the q168 EWMA fold discipline applied to
+    * multiplicative linking. Every g_d is a pinned division of exact
+    * ints, the clip is a pinned comparison, and the fold order is the
+    * recurrence's own order, identical in DuckDB's scalar
+    * list_reduce. */
+  private def q338GrowthChain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val g = daily
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > 0L)
+      .select(col("event_type"), col("day"),
+        least(greatest(col("cents").cast("double") /
+          col("prev").cast("double"), lit(0.5)), lit(2.0)).as("gf"))
+    g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        aggregate(transform(sort_array(collect_list(
+          struct(col("day"), col("gf")))), x => x.getField("gf")),
+          lit(1.0), (acc, x) => acc * x).as("chained"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q338Sql =
+    """WITH daily AS (
+      |  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, day,
+      |    least(greatest(CAST(cents AS DOUBLE)
+      |      / CAST(lag(cents) OVER (PARTITION BY event_type
+      |        ORDER BY day) AS DOUBLE), 0.5), 2.0) AS gf,
+      |    lag(cents) OVER (PARTITION BY event_type ORDER BY day)
+      |      AS prev
+      |  FROM daily)
+      |SELECT event_type, count(*) AS n_days,
+      |  list_reduce(list_prepend(1.0, list(gf ORDER BY day)),
+      |    (a, b) -> a * b) AS chained
+      |FROM g WHERE prev IS NOT NULL AND prev > 0
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q338_growth_chain" -> (q338GrowthChain _),
     "q336_ransac" -> (q336Ransac _),
     "q335_conformal" -> (q335Conformal _),
     "q333_grid_cv" -> (q333GridCv _),
@@ -4811,6 +4864,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q338_growth_chain" -> q338Sql,
     "q336_ransac" -> q336Sql,
     "q335_conformal" -> q335Sql,
     "q333_grid_cv" -> q333Sql,

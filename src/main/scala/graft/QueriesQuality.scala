@@ -1004,7 +1004,56 @@ object QueriesQuality {
       |  m = 1 AS valid
       |FROM d ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q337
+  /** Index of coincidence per document — the log-free gibberish
+    * signal (Friedman's IC): over the lowercased letters-only stream,
+    * IC = Σ f_c(f_c−1) / (L(L−1)); uniform-random text sits near
+    * 1/26 ≈ 0.0385, English near 0.067 — a quality-filter feature
+    * with EXACT integer numerator and denominator and one final
+    * division. One char-explode + two aggregates, map-side combined.
+    */
+  private def q337Coincidence(s: SparkSession, dir: String): DataFrame = {
+    val t = regexp_replace(lower(col("text")), "[^a-z]", "")
+    val base = docs(s, dir).select(col("doc_id"), t.as("t"))
+      .filter(length(col("t")) >= 2)
+    val freq = base
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("t")))).as("i"),
+        col("t"))
+      .select(col("doc_id"),
+        substring(col("t"), col("i"), lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("f"))
+    freq.groupBy(col("doc_id"))
+      .agg(sum(col("f")).as("l_len"),
+        sum(col("f") * (col("f") - 1L)).as("sum_ff1"))
+      .select(col("doc_id"), col("l_len"), col("sum_ff1"),
+        (col("sum_ff1").cast("double") /
+          (col("l_len") * (col("l_len") - 1L)).cast("double")).as("ic"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q337Sql =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g')
+      |    AS t
+      |  FROM documents),
+      |chars AS (
+      |  SELECT doc_id,
+      |    substr(t, CAST(unnest(generate_series(1, length(t)))
+      |      AS INT), 1) AS c
+      |  FROM base WHERE length(t) >= 2),
+      |freq AS (
+      |  SELECT doc_id, c, count(*) AS f FROM chars GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(f) AS BIGINT) AS l_len,
+      |  CAST(sum(f * (f - 1)) AS BIGINT) AS sum_ff1,
+      |  CAST(sum(f * (f - 1)) AS DOUBLE)
+      |    / CAST(CAST(sum(f) AS BIGINT)
+      |      * (CAST(sum(f) AS BIGINT) - 1) AS DOUBLE) AS ic
+      |FROM freq GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_coincidence" -> (q337Coincidence _),
     "q291_iban" -> (q291Iban _),
     "q266_luhn" -> (q266Luhn _),
     "q213_rake" -> (q213Rake _),
@@ -1025,6 +1074,7 @@ object QueriesQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q337_coincidence" -> q337Sql,
     "q291_iban" -> q291Sql,
     "q266_luhn" -> q266Sql,
     "q213_rake" -> q213Sql,
