@@ -4756,7 +4756,77 @@ object QueriesAnalytics {
       |FROM g WHERE prev IS NOT NULL AND prev > 0
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q339
+  /** Process-mining conformance check: the directly-follows relation
+    * of each user's event trace (lag over the per-user time order)
+    * against a declared process model (signup→view→click→purchase,
+    * plus self-loops and error-from-anywhere) — per transition its
+    * frequency and verdict, plus the trace-level violation share.
+    * The event-log conformance primitive (van der Aalst), all exact
+    * counts; the model is a broadcast literal table. */
+  private def q339Conformance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val allowed = Seq(
+      ("signup", "view"), ("view", "click"), ("click", "purchase"),
+      ("view", "view"), ("click", "view"), ("purchase", "view"),
+      ("signup", "signup"), ("view", "error"), ("click", "error"))
+      .toDF("a_from", "a_to").withColumn("ok", lit(1L))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val df = Tables.load(s, dir, "events")
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("t_from"), col("event_type").as("t_to"))
+    val rel = df.groupBy(col("t_from"), col("t_to"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(allowed),
+        col("t_from") === col("a_from") && col("t_to") === col("a_to"),
+        "left_outer")
+      .select(col("t_from"), col("t_to"), col("n"),
+        coalesce(col("ok"), lit(0L)).as("allowed"))
+      .localCheckpoint(true)
+    val tot = rel.agg(sum(col("n")).as("n_total"),
+      sum(when(col("allowed") === 0L, col("n")).otherwise(0L))
+        .as("n_violations"))
+    rel.crossJoin(broadcast(tot))
+      .select(col("t_from"), col("t_to"), col("n"), col("allowed"),
+        col("n_total"), col("n_violations"),
+        (col("n_violations").cast("double") /
+          col("n_total").cast("double")).as("violation_share"))
+      .orderBy(col("t_from"), col("t_to"))
+  }
+
+  private val q339Sql =
+    """WITH allowed(a_from, a_to) AS (VALUES
+      |  ('signup', 'view'), ('view', 'click'), ('click', 'purchase'),
+      |  ('view', 'view'), ('click', 'view'), ('purchase', 'view'),
+      |  ('signup', 'signup'), ('view', 'error'), ('click', 'error')),
+      |tr AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t_from,
+      |    event_type AS t_to
+      |  FROM events),
+      |rel AS (
+      |  SELECT t.t_from, t.t_to, count(*) AS n,
+      |    CASE WHEN a.a_from IS NULL THEN 0 ELSE 1 END AS allowed
+      |  FROM tr t LEFT JOIN allowed a
+      |    ON a.a_from = t.t_from AND a.a_to = t.t_to
+      |  WHERE t.t_from IS NOT NULL
+      |  GROUP BY 1, 2, 4),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+      |    CAST(sum(CASE WHEN allowed = 0 THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_violations
+      |  FROM rel)
+      |SELECT t_from, t_to, n, allowed, n_total, n_violations,
+      |  CAST(n_violations AS DOUBLE) / CAST(n_total AS DOUBLE)
+      |    AS violation_share
+      |FROM rel CROSS JOIN tot
+      |ORDER BY t_from, t_to""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q339_conformance" -> (q339Conformance _),
     "q338_growth_chain" -> (q338GrowthChain _),
     "q336_ransac" -> (q336Ransac _),
     "q335_conformal" -> (q335Conformal _),
@@ -4864,6 +4934,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q339_conformance" -> q339Sql,
     "q338_growth_chain" -> q338Sql,
     "q336_ransac" -> q336Sql,
     "q335_conformal" -> q335Sql,
