@@ -4825,7 +4825,120 @@ object QueriesAnalytics {
       |FROM rel CROSS JOIN tot
       |ORDER BY t_from, t_to""".stripMargin
 
+  // -------------------------------------------------------------- q340
+  /** Cohort LTV curves: users cohorted by first-event week, spend
+    * accumulated by week-age — cum_cents_per_user(cohort, age) is the
+    * lifetime-value trajectory marketing reads. Week arithmetic is
+    * exact integer floor division on epoch days; the cumulative runs
+    * per cohort (partitioned window over the bounded cohort×age
+    * grid, never over events). One final division by cohort size. */
+  private def q340LtvCohorts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")).cast("double") /
+          (7.0 * 86400.0 * 1e6)).cast("long").as("wk"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val firstWk = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort"))
+    val cohortSize = firstWk.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"))
+    val grid = ev.join(firstWk, Seq("user_id"))
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age"))
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum_cents", sum(col("cents")).over(w))
+      .join(cohortSize, Seq("cohort"))
+      .select(col("cohort"), col("age"), col("n_users"), col("cents"),
+        col("cum_cents"),
+        (col("cum_cents").cast("double") / col("n_users").cast("double"))
+          .as("ltv_cents"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
+  private val q340Sql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE)
+      |      / (7.0 * 86400.0 * 1e6)) AS BIGINT) AS wk,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |fw AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
+      |cs AS (SELECT cohort, count(*) AS n_users FROM fw GROUP BY 1),
+      |grid AS (
+      |  SELECT fw.cohort, ev.wk - fw.cohort AS age,
+      |    CAST(sum(ev.cents) AS BIGINT) AS cents
+      |  FROM ev JOIN fw ON fw.user_id = ev.user_id
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort, age, cents,
+      |    CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |  FROM grid)
+      |SELECT cum.cohort, cum.age, cs.n_users, cum.cents,
+      |  cum.cum_cents,
+      |  CAST(cum.cum_cents AS DOUBLE) / CAST(cs.n_users AS DOUBLE)
+      |    AS ltv_cents
+      |FROM cum JOIN cs ON cs.cohort = cum.cohort
+      |ORDER BY cum.cohort, cum.age""".stripMargin
+
+  // -------------------------------------------------------------- q341
+  /** Peak-concurrency census: each event opens a 30-minute presence
+    * interval; per day, the maximum number of simultaneously-open
+    * intervals — the capacity-planning statistic — via the classic
+    * ±1 sweep (interval endpoints as deltas, running sum, max), with
+    * the running sum per DAY partition (parallel across days, never a
+    * global order). Intervals are clipped to their start day so each
+    * day's sweep is self-contained and exact. */
+  private def q341Concurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+      .select(unix_micros(col("ts")).as("t0"), col("event_id"))
+      .withColumn("day", floor(col("t0").cast("double") /
+        (86400.0 * 1e6)).cast("long"))
+      .withColumn("dayEnd", (col("day") + 1L) * 86400000000L)
+      .withColumn("t1",
+        least(col("t0") + 1800000000L, col("dayEnd")))
+    val deltas = ev.select(col("day"), col("t0").as("t"), lit(1L).as("d"))
+      .unionAll(ev.select(col("day"), col("t1").as("t"),
+        lit(-1L).as("d")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("open", sum(col("d")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("open")).as("peak"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_events"))
+      .orderBy(col("day"))
+  }
+
+  private val q341Sql =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) AS t0,
+      |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / (86400.0 * 1e6))
+      |      AS BIGINT) AS day
+      |  FROM events),
+      |iv AS (
+      |  SELECT day, t0,
+      |    least(t0 + 1800000000, (day + 1) * 86400000000) AS t1
+      |  FROM ev),
+      |deltas AS (
+      |  SELECT day, t0 AS t, 1 AS d FROM iv
+      |  UNION ALL SELECT day, t1, -1 FROM iv),
+      |sw AS (
+      |  SELECT day, d,
+      |    CAST(sum(d) OVER (PARTITION BY day ORDER BY t, d
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+      |  FROM deltas)
+      |SELECT day, max(open) AS peak,
+      |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_events
+      |FROM sw GROUP BY 1 ORDER BY day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_ltv_cohorts" -> (q340LtvCohorts _),
+    "q341_concurrency" -> (q341Concurrency _),
     "q339_conformance" -> (q339Conformance _),
     "q338_growth_chain" -> (q338GrowthChain _),
     "q336_ransac" -> (q336Ransac _),
@@ -4934,6 +5047,8 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q340_ltv_cohorts" -> q340Sql,
+    "q341_concurrency" -> q341Sql,
     "q339_conformance" -> q339Sql,
     "q338_growth_chain" -> q338Sql,
     "q336_ransac" -> q336Sql,
