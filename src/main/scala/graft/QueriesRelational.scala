@@ -1351,6 +1351,76 @@ object QueriesRelational {
       |    AS sum_cents
       |FROM events GROUP BY 1 ORDER BY ptype""".stripMargin
 
+  // -------------------------------------------------------------- q342
+  /** stack() table-generator surface: each order row unpivoted into
+    * three (metric, value-cents) rows via Spark's stack(3, ...) —
+    * the SQL-surface sibling of q109's UNPIVOT — then re-aggregated
+    * per metric. The oracle restates stack as the UNION ALL it
+    * desugars to. */
+  private def q342Stack(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"),
+        (col("o_custkey") * 100).as("cust_cents"),
+        (col("o_orderkey") % 1000 * 100).as("key_cents"))
+    base.select(col("o_orderkey"),
+        expr("stack(3, 'price', price_cents, 'cust', cust_cents, " +
+          "'keymod', key_cents) AS (metric, cents)"))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("metric"))
+  }
+
+  private val q342Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_cents,
+      |    o_custkey * 100 AS cust_cents,
+      |    (o_orderkey % 1000) * 100 AS key_cents
+      |  FROM orders),
+      |st AS (
+      |  SELECT 'price' AS metric, price_cents AS cents FROM base
+      |  UNION ALL SELECT 'cust', cust_cents FROM base
+      |  UNION ALL SELECT 'keymod', key_cents FROM base)
+      |SELECT metric, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  min(cents) AS min_cents, max(cents) AS max_cents
+      |FROM st GROUP BY 1 ORDER BY metric""".stripMargin
+
+  // -------------------------------------------------------------- q343
+  /** Relational division — "customers whose orders touch ALL required
+    * part families": the classic FOR-ALL query, expressed the
+    * scalable way (filter to the 3-family requirement set, then
+    * count-distinct = |set|), never a nested double-NOT-EXISTS
+    * re-scan. Families are part-key residue classes mod 50 (the
+    * fixture's category proxy); output: qualifying customers with
+    * coverage counts. */
+  private def q343RelDivision(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), (col("l_partkey") % 50).as("fam"))
+      .filter(col("fam").isin(1L, 2L, 3L))
+    li.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("fam")).as("n_fams"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("n_fams") === 3L)
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q343Sql =
+    """SELECT o.o_custkey,
+      |  CAST(count(DISTINCT l.l_partkey % 50) AS BIGINT) AS n_fams,
+      |  count(*) AS n_lines
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_partkey % 50 IN (1, 2, 3)
+      |GROUP BY 1 HAVING count(DISTINCT l.l_partkey % 50) = 3
+      |ORDER BY o_custkey""".stripMargin
+
   // -------------------------------------------------------------- q133
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nullable
     * keys are planted on both sides (every 10th supplier key nulled),
@@ -3824,6 +3894,8 @@ object QueriesRelational {
     "q316_csv_modes" -> (q316CsvModes _),
     "q322_csv_quotes" -> (q322CsvQuotes _),
     "q332_hive_partitions" -> (q332HivePartitions _),
+    "q342_stack" -> (q342Stack _),
+    "q343_rel_division" -> (q343RelDivision _),
     "q310_tpch_q17" -> (q310TpchQ17 _),
     "q311_tpch_q22" -> (q311TpchQ22 _),
     "q295_json_corrupt" -> (q295JsonCorrupt _),
@@ -3928,6 +4000,8 @@ object QueriesRelational {
     "q316_csv_modes" -> q316Sql,
     "q322_csv_quotes" -> q322Sql,
     "q332_hive_partitions" -> q332Sql,
+    "q342_stack" -> q342Sql,
+    "q343_rel_division" -> q343Sql,
     "q310_tpch_q17" -> q310Sql,
     "q311_tpch_q22" -> q311Sql,
     "q295_json_corrupt" -> q295Sql,
