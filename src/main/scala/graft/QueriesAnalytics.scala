@@ -4936,7 +4936,75 @@ object QueriesAnalytics {
       |    AS n_events
       |FROM sw GROUP BY 1 ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------------- q345
+  /** k-anonymity / l-diversity audit over the (nation, market
+    * segment, balance-band) quasi-identifier: per equivalence class
+    * its size and the number of distinct sensitive values (order
+    * priority of the customer's orders), then the privacy headline —
+    * classes and ROWS violating k = 5 and l = 2. The release-gate
+    * audit a data-sharing pipeline runs before export; all exact
+    * counts, two aggregates. */
+  private def q345KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val qi = Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal").cast("double") / 2000.0).cast("long")
+          .as("bal_band"),
+        col("o_orderpriority").as("sensitive"))
+    val classes = qi.groupBy(col("nation"), col("seg"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("sensitive")).as("l_div"))
+      .localCheckpoint(true)
+    classes.agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"),
+        sum(when(col("class_size") < 5L, 1L).otherwise(0L))
+          .as("classes_under_k"),
+        sum(when(col("class_size") < 5L, col("class_size"))
+          .otherwise(0L)).as("rows_under_k"),
+        sum(when(col("l_div") < 2L, 1L).otherwise(0L))
+          .as("classes_under_l"),
+        sum(when(col("l_div") < 2L, col("class_size")).otherwise(0L))
+          .as("rows_under_l"),
+        min(col("class_size")).as("min_class"))
+      .select(col("n_classes"), col("n_rows"), col("classes_under_k"),
+        col("rows_under_k"), col("classes_under_l"),
+        col("rows_under_l"), col("min_class"),
+        (col("rows_under_k").cast("double") /
+          col("n_rows").cast("double")).as("k_risk_share"))
+  }
+
+  private val q345Sql =
+    """WITH qi AS (
+      |  SELECT c.c_nationkey AS nation, c.c_mktsegment AS seg,
+      |    CAST(floor(CAST(c.c_acctbal AS DOUBLE) / 2000.0) AS BIGINT)
+      |      AS bal_band,
+      |    o.o_orderpriority AS sensitive
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+      |cls AS (
+      |  SELECT nation, seg, bal_band, count(*) AS class_size,
+      |    CAST(count(DISTINCT sensitive) AS BIGINT) AS l_div
+      |  FROM qi GROUP BY 1, 2, 3)
+      |SELECT count(*) AS n_classes,
+      |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS classes_under_k,
+      |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+      |    AS BIGINT) AS rows_under_k,
+      |  CAST(sum(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS classes_under_l,
+      |  CAST(sum(CASE WHEN l_div < 2 THEN class_size ELSE 0 END)
+      |    AS BIGINT) AS rows_under_l,
+      |  min(class_size) AS min_class,
+      |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(CAST(sum(class_size) AS BIGINT) AS DOUBLE)
+      |    AS k_risk_share
+      |FROM cls""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_k_anonymity" -> (q345KAnonymity _),
     "q340_ltv_cohorts" -> (q340LtvCohorts _),
     "q341_concurrency" -> (q341Concurrency _),
     "q339_conformance" -> (q339Conformance _),
@@ -5047,6 +5115,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q345_k_anonymity" -> q345Sql,
     "q340_ltv_cohorts" -> q340Sql,
     "q341_concurrency" -> q341Sql,
     "q339_conformance" -> q339Sql,

@@ -2007,7 +2007,70 @@ object QueriesCorpus {
       |HAVING sum(occ) > 0
       |ORDER BY pid""".stripMargin
 
+  // -------------------------------------------------------------- q344
+  /** Good–Turing frequency-of-frequencies census: word counts →
+    * N_r table (how many types occur exactly r times, r ≤ 10) with
+    * the Turing discount r* = (r+1)·N_{r+1}/N_r and the unseen-mass
+    * estimate N_1/N — the LM smoothing statistic, exact integers up
+    * to the pinned divisions. Two cheap aggregates: type counts
+    * (map-combined) then the r census (≤ max-count rows). */
+  private def q344GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    // word TRIGRAMS (with multiplicity): the fixture's unigram vocab
+    // is 31 heavily-shared types — no r ≤ 10 tail to smooth; trigrams
+    // have the classic singleton-rich spectrum GT exists for
+    val words = Tables.load(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(split(lower(trim(col("text"))), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1),
+          element_at(col("tk"), i + 2)))).as("w"))
+    val types = words.groupBy(col("w")).agg(count(lit(1)).as("r"))
+      .localCheckpoint(true)
+    val nTotal = types.agg(sum(col("r"))).head().getLong(0)
+    val census = types.groupBy(col("r")).agg(count(lit(1)).as("nr"))
+      .localCheckpoint(true)
+    val next = census.select((col("r") - 1L).as("r"),
+      col("nr").as("nr_next"))
+    census.join(next, Seq("r"), "left_outer")
+      .filter(col("r") <= 10L)
+      .select(col("r"), col("nr"),
+        coalesce(col("nr_next"), lit(0L)).as("nr_next"),
+        ((col("r") + 1L).cast("double") *
+          coalesce(col("nr_next"), lit(0L)).cast("double") /
+          col("nr").cast("double")).as("r_star"),
+        lit(nTotal).as("n_tokens"))
+      .withColumn("unseen_mass",
+        when(col("r") === 1L,
+          col("nr").cast("double") / col("n_tokens").cast("double")))
+      .orderBy(col("r"))
+  }
+
+  private val q344Sql =
+    """WITH tk AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents WHERE trim(text) != ''),
+      |w AS (
+      |  SELECT unnest(list_transform(range(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS w
+      |  FROM tk WHERE len(tk) >= 3),
+      |types AS (SELECT w, count(*) AS r FROM w GROUP BY 1),
+      |n AS (SELECT CAST(sum(r) AS BIGINT) AS n_tokens FROM types),
+      |census AS (SELECT r, count(*) AS nr FROM types GROUP BY 1)
+      |SELECT c.r, c.nr, coalesce(c2.nr, 0) AS nr_next,
+      |  CAST(c.r + 1 AS DOUBLE) * CAST(coalesce(c2.nr, 0) AS DOUBLE)
+      |    / CAST(c.nr AS DOUBLE) AS r_star,
+      |  n.n_tokens,
+      |  CASE WHEN c.r = 1 THEN
+      |    CAST(c.nr AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) END
+      |    AS unseen_mass
+      |FROM census c LEFT JOIN census c2 ON c2.r = c.r + 1
+      |CROSS JOIN n
+      |WHERE c.r <= 10 ORDER BY c.r""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_good_turing" -> (q344GoodTuring _),
     "q328_phrase_search" -> (q328PhraseSearch _),
     "q314_novelty" -> (q314Novelty _),
     "q237_rag_chunks" -> (q237RagChunks _),
@@ -2054,6 +2117,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q344_good_turing" -> q344Sql,
     "q328_phrase_search" -> q328Sql,
     "q314_novelty" -> q314Sql,
     "q237_rag_chunks" -> q237Sql,
