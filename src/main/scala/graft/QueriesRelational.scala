@@ -1421,6 +1421,80 @@ object QueriesRelational {
       |GROUP BY 1 HAVING count(DISTINCT l.l_partkey % 50) = 3
       |ORDER BY o_custkey""".stripMargin
 
+  // -------------------------------------------------------------- q346
+  /** Golden-record survivorship (MDM merge): three snapshot
+    * generations with PARTIAL updates (gen 2 revises segments but
+    * carries no name/balance; gen 3 revises names and balances for a
+    * different slice) merge per FIELD by newest-non-null — the
+    * master-data rule, computed as one grouped max over
+    * (effective-version, value) structs so each field independently
+    * keeps its latest real value and reports the generation it came
+    * from. Oracle restates with arg_max per field. */
+  private def q346Survivorship(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+    def cents(c: Column): Column =
+      (c.cast("decimal(18,2)") * 100).cast("long")
+    val g1 = base.select(col("c_custkey").as("k"), lit(1L).as("ver"),
+      concat(lit("n"), col("c_custkey")).as("name"),
+      col("c_mktsegment").as("seg"), cents(col("c_acctbal")).as("bal"))
+    val g2 = base.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), lit(2L).as("ver"),
+        lit(null).cast("string").as("name"),
+        concat(lit("SEG2_"), col("c_mktsegment")).as("seg"),
+        lit(null).cast("long").as("bal"))
+    val g3 = base.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("k"), lit(3L).as("ver"),
+        concat(lit("n3_"), col("c_custkey")).as("name"),
+        lit(null).cast("string").as("seg"),
+        (cents(col("c_acctbal")) + 5000L).as("bal"))
+    def pick(f: String): (Column, Column) = {
+      val st = max(struct(
+        when(col(f).isNotNull, col("ver")).otherwise(lit(-1L)).as("v"),
+        col(f).as("f")))
+      (st.getField("f"), st.getField("v"))
+    }
+    val merged = g1.unionAll(g2).unionAll(g3).groupBy(col("k"))
+    val (nameV, nameVer) = pick("name")
+    val (segV, segVer) = pick("seg")
+    val (balV, balVer) = pick("bal")
+    merged.agg(nameV.as("name"), nameVer.as("name_ver"),
+        segV.as("seg"), segVer.as("seg_ver"),
+        balV.as("bal_cents"), balVer.as("bal_ver"))
+      .orderBy(col("k"))
+  }
+
+  private val q346Sql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS bal0
+      |  FROM customer WHERE c_custkey <= 200),
+      |gens AS (
+      |  SELECT k, CAST(1 AS BIGINT) AS ver,
+      |    'n' || CAST(k AS VARCHAR) AS name, c_mktsegment AS seg,
+      |    bal0 AS bal
+      |  FROM base
+      |  UNION ALL
+      |  SELECT k, 2, NULL, 'SEG2_' || c_mktsegment, NULL
+      |  FROM base WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, 3, 'n3_' || CAST(k AS VARCHAR), NULL, bal0 + 5000
+      |  FROM base WHERE k % 5 = 0)
+      |SELECT k,
+      |  arg_max(name, CASE WHEN name IS NOT NULL THEN ver
+      |    ELSE -1 END) AS name,
+      |  CAST(max(CASE WHEN name IS NOT NULL THEN ver ELSE -1 END)
+      |    AS BIGINT) AS name_ver,
+      |  arg_max(seg, CASE WHEN seg IS NOT NULL THEN ver ELSE -1 END)
+      |    AS seg,
+      |  CAST(max(CASE WHEN seg IS NOT NULL THEN ver ELSE -1 END)
+      |    AS BIGINT) AS seg_ver,
+      |  arg_max(bal, CASE WHEN bal IS NOT NULL THEN ver ELSE -1 END)
+      |    AS bal_cents,
+      |  CAST(max(CASE WHEN bal IS NOT NULL THEN ver ELSE -1 END)
+      |    AS BIGINT) AS bal_ver
+      |FROM gens GROUP BY 1 ORDER BY k""".stripMargin
+
   // -------------------------------------------------------------- q133
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nullable
     * keys are planted on both sides (every 10th supplier key nulled),
@@ -3896,6 +3970,7 @@ object QueriesRelational {
     "q332_hive_partitions" -> (q332HivePartitions _),
     "q342_stack" -> (q342Stack _),
     "q343_rel_division" -> (q343RelDivision _),
+    "q346_survivorship" -> (q346Survivorship _),
     "q310_tpch_q17" -> (q310TpchQ17 _),
     "q311_tpch_q22" -> (q311TpchQ22 _),
     "q295_json_corrupt" -> (q295JsonCorrupt _),
@@ -4002,6 +4077,7 @@ object QueriesRelational {
     "q332_hive_partitions" -> q332Sql,
     "q342_stack" -> q342Sql,
     "q343_rel_division" -> q343Sql,
+    "q346_survivorship" -> q346Sql,
     "q310_tpch_q17" -> q310Sql,
     "q311_tpch_q22" -> q311Sql,
     "q295_json_corrupt" -> q295Sql,
