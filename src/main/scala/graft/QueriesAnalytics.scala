@@ -5003,7 +5003,75 @@ object QueriesAnalytics {
       |    AS k_risk_share
       |FROM cls""".stripMargin
 
+  // -------------------------------------------------------------- q347
+  /** Quantile mapping (distribution matching / score calibration):
+    * every distinct click-value is mapped onto the purchase-value
+    * distribution by rank — k = ⌈cum_B·n_A/n_B⌉ in exact integer
+    * arithmetic, then the A value whose cumulative interval
+    * [cum−cnt+1, cum] contains k, found with the binned interval
+    * join (IntervalJoin.overlapJoin — each k hits exactly one
+    * interval; never a theta-join nested loop). Both ECDFs are the
+    * audited two-pass distributed scheme; the mapping is pure
+    * selection — bit-exact end to end. */
+  private def q347QuantileMap(s: SparkSession, dir: String): DataFrame = {
+    def cents: Column = (col("value").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val ev = Tables.load(s, dir, "events")
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(cents.as("av"))
+    val b = ev.filter(col("event_type") === "click")
+      .select(cents.as("bv"))
+    val ecdfA = Quantiles.ecdf(a, "av")
+      .select(col("value").as("a_value"),
+        (col("cum") - col("cnt") + 1L).as("lo"), col("cum").as("hi"))
+      .localCheckpoint(true)
+    val nA = a.count()
+    val nB = b.count()
+    val pts = Quantiles.ecdf(b, "bv")
+      .select(col("value").as("b_value"), col("cum").as("cum_b"))
+      .withColumn("k", (col("cum_b") * nA + lit(nB - 1)) / lit(nB))
+      .withColumn("k", floor(col("k").cast("double")).cast("long"))
+      .withColumn("k2", col("k"))
+      .localCheckpoint(true)
+    graft.operators.IntervalJoin.overlapJoin(
+        ecdfA, "lo", "hi", pts, "k", "k2",
+        binWidth = math.max(1L, nA / 32L))
+      .select(col("b_value"), col("cum_b"), col("k"),
+        col("a_value").as("mapped"))
+      .orderBy(col("b_value"))
+  }
+
+  private val q347Sql =
+    """WITH a AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS av
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS bv
+      |  FROM events WHERE event_type = 'click'),
+      |na AS (SELECT count(*) AS na FROM a),
+      |nb AS (SELECT count(*) AS nb FROM b),
+      |ea AS (
+      |  SELECT av AS a_value,
+      |    CAST(sum(cnt) OVER (ORDER BY av) AS BIGINT) AS hi,
+      |    CAST(sum(cnt) OVER (ORDER BY av) - cnt + 1 AS BIGINT) AS lo
+      |  FROM (SELECT av, count(*) AS cnt FROM a GROUP BY 1)),
+      |eb AS (
+      |  SELECT bv AS b_value,
+      |    CAST(sum(cnt) OVER (ORDER BY bv) AS BIGINT) AS cum_b
+      |  FROM (SELECT bv, count(*) AS cnt FROM b GROUP BY 1)),
+      |pts AS (
+      |  SELECT b_value, cum_b,
+      |    (cum_b * na + (nb - 1)) // nb AS k
+      |  FROM eb CROSS JOIN na CROSS JOIN nb)
+      |SELECT p.b_value, p.cum_b, CAST(p.k AS BIGINT) AS k,
+      |  ea.a_value AS mapped
+      |FROM pts p JOIN ea ON p.k BETWEEN ea.lo AND ea.hi
+      |ORDER BY p.b_value""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q347_quantile_map" -> (q347QuantileMap _),
     "q345_k_anonymity" -> (q345KAnonymity _),
     "q340_ltv_cohorts" -> (q340LtvCohorts _),
     "q341_concurrency" -> (q341Concurrency _),
@@ -5115,6 +5183,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q347_quantile_map" -> q347Sql,
     "q345_k_anonymity" -> q345Sql,
     "q340_ltv_cohorts" -> q340Sql,
     "q341_concurrency" -> q341Sql,
