@@ -810,8 +810,11 @@ object QueriesAnalytics {
       .orderBy(col("entity_id"))
   }
 
-  private val q123Sql =
-    """WITH RECURSIVE c AS (
+  /** The q123 entity-clustering CTE chain (… → assigned(c_custkey,
+    * entity_id, ent_name)) — shared with the q348 golden-record
+    * composition. Callers prepend WITH RECURSIVE. */
+  private val entityAssignedCtes =
+    """c AS (
       |  SELECT c_custkey,
       |    'E' || CAST((c_custkey - c_custkey % 10) // 10 AS VARCHAR) ||
       |    '.' || CAST((c_custkey - c_custkey % 10) // 10 AS VARCHAR) ||
@@ -834,11 +837,14 @@ object QueriesAnalytics {
       |assigned AS (
       |  SELECT c.c_custkey, coalesce(l.ent, c.c_custkey) AS entity_id,
       |    c.ent_name
-      |  FROM c LEFT JOIN labels l ON l.node = c.c_custkey)
-      |SELECT entity_id, count(*) AS n_members,
-      |  min(ent_name) AS canonical_name,
-      |  count(DISTINCT ent_name) AS n_spellings
-      |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin
+      |  FROM c LEFT JOIN labels l ON l.node = c.c_custkey)""".stripMargin
+
+  private val q123Sql =
+    s"""WITH RECURSIVE $entityAssignedCtes
+       |SELECT entity_id, count(*) AS n_members,
+       |  min(ent_name) AS canonical_name,
+       |  count(DISTINCT ent_name) AS n_spellings
+       |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------- q120
   /** Per-user EWMA of event values (EventAnalytics.ewma, α = 0.25):
@@ -5070,7 +5076,68 @@ object QueriesAnalytics {
       |FROM pts p JOIN ea ON p.k BETWEEN ea.lo AND ea.hi
       |ORDER BY p.b_value""".stripMargin
 
+  // -------------------------------------------------------------- q348
+  /** Entity golden records — the q123 clustering composed with
+    * field-level survivorship: per resolved entity, the golden member
+    * is the highest-balance one (ties to the smallest key, decided by
+    * an integer (bal, −key) struct max), carrying its name and
+    * segment, beside the membership census. The consolidation step an
+    * MDM pipeline runs right after resolution; composition bugs
+    * between the two stages are exactly what the isolated rows can't
+    * see. */
+  private def q348EntityGolden(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val g = ((col("c_custkey") - col("c_custkey") % 10) / 10).cast("long")
+    val rows = cust.select(col("c_custkey"),
+      concat(lit("E"), g.cast("string"), lit("."), g.cast("string"),
+        when(col("c_custkey") % 2 === 0, lit("")).otherwise(lit("x")))
+        .as("ent_name"))
+    val assigned = graft.operators.EntityResolution.resolve(rows,
+      "c_custkey", "ent_name", maxDist = 1)
+    val enriched = assigned.join(cust.select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("bal")), Seq("c_custkey"))
+    enriched.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("bal").as("b"), (-col("c_custkey")).as("nk"),
+          col("ent_name").as("nm"), col("seg").as("sg"))).as("__g"))
+      .select(col("entity_id"), col("n_members"),
+        (-col("__g.nk")).as("golden_key"),
+        col("__g.nm").as("golden_name"),
+        col("__g.sg").as("golden_seg"),
+        col("__g.b").as("golden_bal_cents"))
+      .orderBy(col("entity_id"))
+  }
+
+  private val q348Sql =
+    s"""WITH RECURSIVE $entityAssignedCtes,
+       |enriched AS (
+       |  SELECT a.entity_id, a.c_custkey, a.ent_name,
+       |    cu.c_mktsegment AS seg,
+       |    CAST(CAST(cu.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS bal
+       |  FROM assigned a JOIN customer cu
+       |    ON cu.c_custkey = a.c_custkey),
+       |mx AS (SELECT entity_id, max(bal) AS mb FROM enriched
+       |       GROUP BY 1),
+       |gk AS (
+       |  SELECT e.entity_id, min(e.c_custkey) AS golden_key
+       |  FROM enriched e JOIN mx ON mx.entity_id = e.entity_id
+       |    AND e.bal = mx.mb
+       |  GROUP BY 1),
+       |cen AS (SELECT entity_id, count(*) AS n_members FROM enriched
+       |        GROUP BY 1)
+       |SELECT cen.entity_id, cen.n_members, gk.golden_key,
+       |  eg.ent_name AS golden_name, eg.seg AS golden_seg,
+       |  eg.bal AS golden_bal_cents
+       |FROM cen
+       |JOIN gk ON gk.entity_id = cen.entity_id
+       |JOIN enriched eg ON eg.c_custkey = gk.golden_key
+       |ORDER BY cen.entity_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q348_entity_golden" -> (q348EntityGolden _),
     "q347_quantile_map" -> (q347QuantileMap _),
     "q345_k_anonymity" -> (q345KAnonymity _),
     "q340_ltv_cohorts" -> (q340LtvCohorts _),
@@ -5183,6 +5250,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q348_entity_golden" -> q348Sql,
     "q347_quantile_map" -> q347Sql,
     "q345_k_anonymity" -> q345Sql,
     "q340_ltv_cohorts" -> q340Sql,
