@@ -5136,7 +5136,75 @@ object QueriesAnalytics {
        |JOIN enriched eg ON eg.c_custkey = gk.golden_key
        |ORDER BY cen.entity_id""".stripMargin
 
+  // -------------------------------------------------------------- q349
+  /** Time-to-convert distribution: per user, first 'view' → first
+    * subsequent 'purchase' latency in whole seconds (exact µs floor
+    * division), summarized as exact p25/p50/p75/p90 order statistics
+    * through the distributed ECDF (selection — percentile_disc
+    * semantics, rank = ⌈q·n⌉) plus the conversion rate. The funnel
+    * question product teams actually ask ("how long does conversion
+    * take?"), latency exact, no interpolation. */
+  private def q349TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("tv"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+      .join(firstView, Seq("user_id"))
+      .filter(col("tp") >= col("tv"))
+      .groupBy(col("user_id"), col("tv")).agg(min(col("tp")).as("tp"))
+      .select(col("user_id"),
+        floor((col("tp") - col("tv")).cast("double") / 1e6)
+          .cast("long").as("lat_s"))
+      .localCheckpoint(true)
+    val nConv = conv.count()
+    val nViewers = firstView.count()
+    val e = Quantiles.ecdf(conv.select(col("lat_s")), "lat_s")
+      .localCheckpoint(true)
+    def pct(q: Int): Column = {
+      // rank = ceil(q/100 * n) in exact integers
+      val k = (q * nConv + 99L) / 100L
+      min(when(col("cum") >= k, col("value"))).as(s"p$q")
+    }
+    e.agg(pct(25), pct(50), pct(75), pct(90))
+      .select(lit(nViewers).as("n_viewers"), lit(nConv).as("n_converted"),
+        (lit(nConv).cast("double") / lit(nViewers).cast("double"))
+          .as("conversion_rate"),
+        col("p25"), col("p50"), col("p75"), col("p90"))
+  }
+
+  private val q349Sql =
+    """WITH fv AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS tv
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |conv AS (
+      |  SELECT e.user_id,
+      |    CAST(floor(CAST(min(epoch_us(e.ts)) - fv.tv AS DOUBLE)
+      |      / 1000000.0) AS BIGINT) AS lat_s
+      |  FROM events e JOIN fv ON fv.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.tv
+      |  GROUP BY 1, fv.tv),
+      |n AS (SELECT count(*) AS nc FROM conv),
+      |nv AS (SELECT count(*) AS nviews FROM fv),
+      |cume AS (
+      |  SELECT lat_s AS value, sum(cnt) OVER (ORDER BY lat_s) AS cum
+      |  FROM (SELECT lat_s, count(*) AS cnt FROM conv GROUP BY 1))
+      |SELECT nv.nviews AS n_viewers, n.nc AS n_converted,
+      |  CAST(n.nc AS DOUBLE) / CAST(nv.nviews AS DOUBLE)
+      |    AS conversion_rate,
+      |  min(CASE WHEN cum >= (25 * n.nc + 99) // 100 THEN value END)
+      |    AS p25,
+      |  min(CASE WHEN cum >= (50 * n.nc + 99) // 100 THEN value END)
+      |    AS p50,
+      |  min(CASE WHEN cum >= (75 * n.nc + 99) // 100 THEN value END)
+      |    AS p75,
+      |  min(CASE WHEN cum >= (90 * n.nc + 99) // 100 THEN value END)
+      |    AS p90
+      |FROM cume CROSS JOIN n CROSS JOIN nv
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q349_time_to_convert" -> (q349TimeToConvert _),
     "q348_entity_golden" -> (q348EntityGolden _),
     "q347_quantile_map" -> (q347QuantileMap _),
     "q345_k_anonymity" -> (q345KAnonymity _),
@@ -5250,6 +5318,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q349_time_to_convert" -> q349Sql,
     "q348_entity_golden" -> q348Sql,
     "q347_quantile_map" -> q347Sql,
     "q345_k_anonymity" -> q345Sql,
