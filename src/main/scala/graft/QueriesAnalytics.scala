@@ -5203,7 +5203,67 @@ object QueriesAnalytics {
       |FROM cume CROSS JOIN n CROSS JOIN nv
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // -------------------------------------------------------------- q351
+  /** Churn-definition sensitivity census: per inactivity horizon
+    * (3/7/14 days before the corpus end), how many users count as
+    * churned and what engagement mass they carry — the definition
+    * audit run before anyone ships a "churn rate", showing how the
+    * number moves with the arbitrary horizon. Last-activity age in
+    * exact whole days (µs floor division) against the fixed corpus
+    * end instant. */
+  private def q351ChurnHorizons(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val endMicros = 1706659200000000L // 2024-01-31 00:00:00 UTC
+    val users = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_t"),
+        count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      .withColumn("age_days",
+        floor((lit(endMicros) - col("last_t")).cast("double") /
+          86400000000.0).cast("long"))
+      .localCheckpoint(true)
+    val horizons = Seq(3L, 7L, 14L).toDF("horizon")
+    users.crossJoin(broadcast(horizons))
+      .groupBy(col("horizon"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("age_days") >= col("horizon"), 1L).otherwise(0L))
+          .as("n_churned"),
+        sum(when(col("age_days") >= col("horizon"), col("cents"))
+          .otherwise(0L)).as("churned_cents"))
+      .select(col("horizon"), col("n_users"), col("n_churned"),
+        col("churned_cents"),
+        (col("n_churned").cast("double") / col("n_users").cast("double"))
+          .as("churn_rate"))
+      .orderBy(col("horizon"))
+  }
+
+  private val q351Sql =
+    """WITH u AS (
+      |  SELECT user_id, max(epoch_us(ts)) AS last_t,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT *,
+      |    CAST(floor(CAST(1706659200000000 - last_t AS DOUBLE)
+      |      / 86400000000.0) AS BIGINT) AS age_days
+      |  FROM u),
+      |h(horizon) AS (VALUES (CAST(3 AS BIGINT)), (7), (14))
+      |SELECT h.horizon, count(*) AS n_users,
+      |  CAST(sum(CASE WHEN age_days >= h.horizon THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_churned,
+      |  CAST(sum(CASE WHEN age_days >= h.horizon THEN cents ELSE 0 END)
+      |    AS BIGINT) AS churned_cents,
+      |  CAST(sum(CASE WHEN age_days >= h.horizon THEN 1 ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS churn_rate
+      |FROM a CROSS JOIN h GROUP BY 1 ORDER BY h.horizon""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q351_churn_horizons" -> (q351ChurnHorizons _),
     "q349_time_to_convert" -> (q349TimeToConvert _),
     "q348_entity_golden" -> (q348EntityGolden _),
     "q347_quantile_map" -> (q347QuantileMap _),
@@ -5318,6 +5378,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q351_churn_horizons" -> q351Sql,
     "q349_time_to_convert" -> q349Sql,
     "q348_entity_golden" -> q348Sql,
     "q347_quantile_map" -> q347Sql,

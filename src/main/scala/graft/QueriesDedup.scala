@@ -108,6 +108,74 @@ object QueriesDedup {
        |JOIN sh b ON b.doc_id = p.id2
        |ORDER BY p.id1""".stripMargin
 
+  // -------------------------------------------------------------- q350
+  /** Train/test split-leakage audit: the md5 80/20 split crossed with
+    * the SimHash near-dup pair set — every near-dup pair straddling
+    * the split is evaluation contamination (the test doc has a
+    * near-copy in training). Reports the cross-split pair count, the
+    * distinct contaminated test docs, and the test-side leakage rate
+    * — the ML-hygiene audit a split owes its benchmark numbers, and a
+    * composition of two individually-proven stages (deterministic
+    * split × near-dup pairs). */
+  private def q350SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val c = corpus(s, dir)
+    val split = c.select(col("doc_id"),
+        (Sampling.hashBucket(col("doc_id"), 100) < 80).as("is_train"))
+      .localCheckpoint(true)
+    val pairs = Dedup.simhashNearDups(c, "doc_id", "text",
+        maxHamming = 8, maxBucketSize = Int.MaxValue)
+      .select(col("id1"), col("id2"))
+    val lab = pairs
+      .join(split.select(col("doc_id").as("id1"),
+        col("is_train").as("t1")), Seq("id1"))
+      .join(split.select(col("doc_id").as("id2"),
+        col("is_train").as("t2")), Seq("id2"))
+      .localCheckpoint(true)
+    val cross = lab.filter(col("t1") =!= col("t2"))
+    val contaminated = cross
+      .select(when(!col("t1"), col("id1")).otherwise(col("id2"))
+        .as("tid"))
+      .distinct()
+    val nTest = split.filter(!col("is_train"))
+      .agg(count(lit(1)).as("n_test"))
+    lab.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("t1") =!= col("t2"), 1L).otherwise(0L))
+          .as("n_cross"))
+      .crossJoin(broadcast(nTest))
+      .crossJoin(broadcast(
+        contaminated.agg(count(lit(1)).as("n_contaminated"))))
+      .select(col("n_pairs"), col("n_cross"), col("n_test"),
+        col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_test").cast("double")).as("leakage_rate"))
+  }
+
+  private lazy val q350Sql =
+    s"""WITH $simhashPairsCtes,
+       |spl AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      ::BIGINT % 100 < 80 AS is_train
+       |  FROM corpus),
+       |lab AS (
+       |  SELECT p.id1, p.id2, s1.is_train AS t1, s2.is_train AS t2
+       |  FROM pairs p
+       |  JOIN spl s1 ON s1.doc_id = p.id1
+       |  JOIN spl s2 ON s2.doc_id = p.id2),
+       |cont AS (
+       |  SELECT count(DISTINCT CASE WHEN NOT t1 THEN id1 ELSE id2 END)
+       |    AS n_contaminated
+       |  FROM lab WHERE t1 != t2),
+       |nt AS (SELECT count(*) AS n_test FROM spl WHERE NOT is_train)
+       |SELECT (SELECT count(*) FROM lab) AS n_pairs,
+       |  (SELECT CAST(sum(CASE WHEN t1 != t2 THEN 1 ELSE 0 END)
+       |     AS BIGINT) FROM lab) AS n_cross,
+       |  nt.n_test, cont.n_contaminated,
+       |  CAST(cont.n_contaminated AS DOUBLE)
+       |    / CAST(nt.n_test AS DOUBLE) AS leakage_rate
+       |FROM nt CROSS JOIN cont""".stripMargin
+
   // -------------------------------------------------------------- q331
   /** MinHash estimator audit over the q15 planted pairs: the
     * signature-agreement estimate (#matching minima / 16) against the
@@ -902,6 +970,7 @@ object QueriesDedup {
     "q296_lsh_recall" -> (q296LshRecall _),
     "q319_weighted_jaccard" -> (q319WeightedJaccard _),
     "q331_minhash_estimate" -> (q331MinhashEstimate _),
+    "q350_split_leakage" -> (q350SplitLeakage _),
     "q269_sorted_neighborhood" -> (q269SortedNeighborhood _),
     "q270_record_linkage" -> (q270RecordLinkage _),
     "q185_line_dedup" -> (q185LineDedup _),
@@ -921,6 +990,7 @@ object QueriesDedup {
     "q296_lsh_recall" -> q296Sql,
     "q319_weighted_jaccard" -> q319Sql,
     "q331_minhash_estimate" -> q331Sql,
+    "q350_split_leakage" -> q350Sql,
     "q269_sorted_neighborhood" -> q269Sql,
     "q270_record_linkage" -> q270Sql,
     "q185_line_dedup" -> q185Sql,
