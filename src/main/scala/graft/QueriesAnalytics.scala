@@ -5262,7 +5262,86 @@ object QueriesAnalytics {
       |    / CAST(count(*) AS DOUBLE) AS churn_rate
       |FROM a CROSS JOIN h GROUP BY 1 ORDER BY h.horizon""".stripMargin
 
+  // -------------------------------------------------------------- q353
+  /** Interval-union coverage (SLA / presence measure): each event
+    * opens a 30-minute presence interval (clipped to its day); per
+    * day, the UNION length of all intervals in exact µs and the
+    * number of coverage gaps — the q341 ±1 sweep extended with a
+    * per-day lead: covered time = Σ (t_next − t) over sweep segments
+    * where the running open-count > 0; a gap starts whenever the
+    * count returns to 0 before the day ends. All-integer; windows
+    * per-day partitioned. */
+  private def q353CoverageGaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(s, dir, "events")
+      .select(unix_micros(col("ts")).as("t0"))
+      .withColumn("day", floor(col("t0").cast("double") /
+        (86400.0 * 1e6)).cast("long"))
+      .withColumn("t1", least(col("t0") + 1800000000L,
+        (col("day") + 1L) * 86400000000L))
+    val deltas = ev.select(col("day"), col("t0").as("t"), lit(1L).as("d"))
+      .unionAll(ev.select(col("day"), col("t1").as("t"),
+        lit(-1L).as("d")))
+      .groupBy(col("day"), col("t")).agg(sum(col("d")).as("d"))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.partitionBy(col("day")).orderBy(col("t"))
+    val seg = deltas
+      .withColumn("open", sum(col("d")).over(w))
+      .withColumn("t_next", lead(col("t"), 1).over(wl))
+      .filter(col("t_next").isNotNull)
+    seg.groupBy(col("day"))
+      .agg(sum(when(col("open") > 0L, col("t_next") - col("t"))
+          .otherwise(0L)).as("covered_us"),
+        sum(when(col("open") === 0L, 1L).otherwise(0L)).as("n_gaps"),
+        sum(when(col("open") === 0L, col("t_next") - col("t"))
+          .otherwise(0L)).as("gap_us"))
+      .select(col("day"), col("covered_us"), col("n_gaps"),
+        col("gap_us"),
+        (col("covered_us").cast("double") /
+          (col("covered_us") + col("gap_us")).cast("double"))
+          .as("coverage_share"))
+      .orderBy(col("day"))
+  }
+
+  private val q353Sql =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) AS t0,
+      |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / (86400.0 * 1e6))
+      |      AS BIGINT) AS day
+      |  FROM events),
+      |iv AS (
+      |  SELECT day, t0,
+      |    least(t0 + 1800000000, (day + 1) * 86400000000) AS t1
+      |  FROM ev),
+      |deltas AS (
+      |  SELECT day, t, CAST(sum(d) AS BIGINT) AS d FROM (
+      |    SELECT day, t0 AS t, 1 AS d FROM iv
+      |    UNION ALL SELECT day, t1, -1 FROM iv)
+      |  GROUP BY 1, 2),
+      |seg AS (
+      |  SELECT day, t,
+      |    CAST(sum(d) OVER (PARTITION BY day ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open,
+      |    lead(t) OVER (PARTITION BY day ORDER BY t) AS t_next
+      |  FROM deltas)
+      |SELECT day,
+      |  CAST(sum(CASE WHEN open > 0 THEN t_next - t ELSE 0 END)
+      |    AS BIGINT) AS covered_us,
+      |  CAST(sum(CASE WHEN open = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_gaps,
+      |  CAST(sum(CASE WHEN open = 0 THEN t_next - t ELSE 0 END)
+      |    AS BIGINT) AS gap_us,
+      |  CAST(sum(CASE WHEN open > 0 THEN t_next - t ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(sum(CASE WHEN open > 0 THEN t_next - t ELSE 0 END)
+      |      + sum(CASE WHEN open = 0 THEN t_next - t ELSE 0 END)
+      |      AS DOUBLE) AS coverage_share
+      |FROM seg WHERE t_next IS NOT NULL
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_coverage_gaps" -> (q353CoverageGaps _),
     "q351_churn_horizons" -> (q351ChurnHorizons _),
     "q349_time_to_convert" -> (q349TimeToConvert _),
     "q348_entity_golden" -> (q348EntityGolden _),
@@ -5378,6 +5457,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q353_coverage_gaps" -> q353Sql,
     "q351_churn_horizons" -> q351Sql,
     "q349_time_to_convert" -> q349Sql,
     "q348_entity_golden" -> q348Sql,

@@ -249,7 +249,62 @@ object QueriesGeo {
        |ORDER BY c_custkey""".stripMargin
   }
 
+  // -------------------------------------------------------------- q352
+  /** Nearest-site assignment with EXACT integer geometry: events as
+    * 2-D points (value cents × user id), eight literal sites,
+    * assignment = argmin of SQUARED integer distance with ties to the
+    * smaller site id — voronoi-cell counting with no sqrt, no float
+    * compare, the k-assignment primitive (q32's centroid argmax) in
+    * its exactly-decidable integer form. Sites broadcast; one map
+    * pass + one aggregate. */
+  private def q352NearestSite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sites = Seq((0L, 500L, 25L), (1L, 1500L, 25L), (2L, 2500L, 75L),
+      (3L, 3500L, 75L), (4L, 500L, 125L), (5L, 1500L, 125L),
+      (6L, 2500L, 25L), (7L, 3500L, 125L)).toDF("site", "sx", "sy")
+    val pts = Tables.load(s, dir, "events")
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long")
+        .as("px"), (col("user_id") % 150).as("py"))
+    val assigned = pts.crossJoin(broadcast(sites))
+      .withColumn("d2",
+        (col("px") - col("sx")) * (col("px") - col("sx")) +
+          (col("py") - col("sy")) * (col("py") - col("sy")))
+      .groupBy(col("px"), col("py"))
+      .agg(min(struct(col("d2"), col("site"))).as("__m"))
+      .select(col("__m.site").as("site"), col("__m.d2").as("d2"))
+    assigned.groupBy(col("site"))
+      .agg(count(lit(1)).as("n_points"), sum(col("d2")).as("sum_d2"),
+        min(col("d2")).as("min_d2"))
+      .orderBy(col("site"))
+  }
+
+  private val q352Sql =
+    """WITH sites(site, sx, sy) AS (VALUES
+      |  (CAST(0 AS BIGINT), CAST(500 AS BIGINT), CAST(25 AS BIGINT)),
+      |  (1, 1500, 25), (2, 2500, 75), (3, 3500, 75), (4, 500, 125),
+      |  (5, 1500, 125), (6, 2500, 25), (7, 3500, 125)),
+      |pts AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS px,
+      |    user_id % 150 AS py
+      |  FROM events),
+      |d AS (
+      |  SELECT px, py, site,
+      |    (px - sx) * (px - sx) + (py - sy) * (py - sy) AS d2
+      |  FROM pts CROSS JOIN sites),
+      |best AS (
+      |  SELECT px, py, min(d2) AS md FROM d GROUP BY 1, 2),
+      |asg AS (
+      |  SELECT d.px, d.py, min(d.site) AS site, b.md AS d2
+      |  FROM d JOIN best b ON b.px = d.px AND b.py = d.py
+      |    AND d.d2 = b.md
+      |  GROUP BY 1, 2, 4)
+      |SELECT site, count(*) AS n_points,
+      |  CAST(sum(d2) AS BIGINT) AS sum_d2, min(d2) AS min_d2
+      |FROM asg GROUP BY 1 ORDER BY site""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q352_nearest_site" -> (q352NearestSite _),
     "q165_srid_matrix" -> (q165SridMatrix _),
     "q188_geohash" -> (q188Geohash _),
   )
@@ -257,5 +312,6 @@ object QueriesGeo {
   val oracles: Map[String, String] = Map(
     "q165_srid_matrix" -> q165Sql,
     "q188_geohash" -> q188Sql,
+    "q352_nearest_site" -> q352Sql,
   )
 }
