@@ -176,6 +176,70 @@ object QueriesDedup {
        |    / CAST(nt.n_test AS DOUBLE) AS leakage_rate
        |FROM nt CROSS JOIN cont""".stripMargin
 
+  // -------------------------------------------------------------- q354
+  /** Near-dup transitivity audit: for every wedge in the SimHash pair
+    * graph (a~b, a~c), is the third side b~c also within the Hamming
+    * threshold? Violations are exactly where cluster-level dedup
+    * (connected components) over-merges relative to the pairwise
+    * relation — the structural risk every CC-based dedup accepts,
+    * here measured instead of assumed. Wedge endpoints are
+    * deduplicated; the third-side Hamming is recomputed from the
+    * sketches (bounded: wedges live inside near-dup clusters). */
+  private def q354TransitivityAudit(s: SparkSession, dir: String)
+      : DataFrame = {
+    val c = corpus(s, dir)
+    val pairs = Dedup.simhashNearDups(c, "doc_id", "text",
+        maxHamming = 8, maxBucketSize = Int.MaxValue)
+      .select(col("id1"), col("id2"))
+    val adj = pairs.unionAll(pairs.select(col("id2").as("id1"),
+      col("id1").as("id2")))
+    val wedges = adj.select(col("id1").as("ctr"), col("id2").as("x"))
+      .join(adj.select(col("id1").as("ctr"), col("id2").as("y")),
+        Seq("ctr"))
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y")).distinct()
+    val sk = c.select(col("doc_id"),
+      Dedup.simhash32(TA.tokens(col("text"))).as("sh"))
+    val third = wedges
+      .join(sk.select(col("doc_id").as("x"), col("sh").as("shx")),
+        Seq("x"))
+      .join(sk.select(col("doc_id").as("y"), col("sh").as("shy")),
+        Seq("y"))
+      .select(bit_count(col("shx").bitwiseXOR(col("shy")))
+        .cast("long").as("h3"))
+    third.agg(count(lit(1)).as("n_wedges"),
+        sum(when(col("h3") <= 8L, 1L).otherwise(0L)).as("n_closed"),
+        sum(when(col("h3") > 8L, 1L).otherwise(0L)).as("n_violations"),
+        max(col("h3")).as("max_third_hamming"))
+      .select(col("n_wedges"), col("n_closed"), col("n_violations"),
+        col("max_third_hamming"),
+        (col("n_violations").cast("double") /
+          col("n_wedges").cast("double")).as("violation_rate"))
+  }
+
+  private lazy val q354Sql =
+    s"""WITH $simhashPairsCtes,
+       |adj AS (
+       |  SELECT id1, id2 FROM pairs
+       |  UNION ALL SELECT id2, id1 FROM pairs),
+       |wedges AS (
+       |  SELECT DISTINCT a.id2 AS x, b.id2 AS y
+       |  FROM adj a JOIN adj b ON b.id1 = a.id1 AND a.id2 < b.id2),
+       |third AS (
+       |  SELECT CAST(bit_count(xor(sx.sh, sy.sh)) AS BIGINT) AS h3
+       |  FROM wedges w
+       |  JOIN sketch sx ON sx.doc_id = w.x
+       |  JOIN sketch sy ON sy.doc_id = w.y)
+       |SELECT count(*) AS n_wedges,
+       |  CAST(sum(CASE WHEN h3 <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_closed,
+       |  CAST(sum(CASE WHEN h3 > 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violations,
+       |  max(h3) AS max_third_hamming,
+       |  CAST(sum(CASE WHEN h3 > 8 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS violation_rate
+       |FROM third""".stripMargin
+
   // -------------------------------------------------------------- q331
   /** MinHash estimator audit over the q15 planted pairs: the
     * signature-agreement estimate (#matching minima / 16) against the
@@ -971,6 +1035,7 @@ object QueriesDedup {
     "q319_weighted_jaccard" -> (q319WeightedJaccard _),
     "q331_minhash_estimate" -> (q331MinhashEstimate _),
     "q350_split_leakage" -> (q350SplitLeakage _),
+    "q354_transitivity_audit" -> (q354TransitivityAudit _),
     "q269_sorted_neighborhood" -> (q269SortedNeighborhood _),
     "q270_record_linkage" -> (q270RecordLinkage _),
     "q185_line_dedup" -> (q185LineDedup _),
@@ -991,6 +1056,7 @@ object QueriesDedup {
     "q319_weighted_jaccard" -> q319Sql,
     "q331_minhash_estimate" -> q331Sql,
     "q350_split_leakage" -> q350Sql,
+    "q354_transitivity_audit" -> q354Sql,
     "q269_sorted_neighborhood" -> q269Sql,
     "q270_record_linkage" -> q270Sql,
     "q185_line_dedup" -> q185Sql,
