@@ -5340,7 +5340,78 @@ object QueriesAnalytics {
       |FROM seg WHERE t_next IS NOT NULL
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------------- q356
+  /** Per-group trend significance: daily exact-cents totals regressed
+    * on the day index with OLS slope AND its t-statistic, both
+    * derived from one set of exact BIGINT moments (n, Σx, Σy, Σxx,
+    * Σxy, Σyy) — SE² = (Syy_c − b·Sxy_c)/((n−2)·Sxx_c) with centered
+    * moments as pinned double expressions and one sqrt; the "is this
+    * metric actually trending?" answer with the q126
+    * accumulation-order hazard engineered out. */
+  private def q356TrendTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts")).cast("double") / (86400.0 * 1e6))
+          .cast("long").as("day"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("y"))
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("day") * col("day")).as("sxx"),
+        sum(col("day") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    def d(c: String): Column = col(c).cast("double")
+    m.select(col("event_type"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("syy"),
+        (d("n") * d("sxx") - d("sx") * d("sx")).as("sxx_c"),
+        (d("n") * d("sxy") - d("sx") * d("sy")).as("sxy_c"),
+        (d("n") * d("syy") - d("sy") * d("sy")).as("syy_c"))
+      .withColumn("slope", col("sxy_c") / col("sxx_c"))
+      .withColumn("t_stat",
+        when(col("n") > 2L && col("sxx_c") > 0.0,
+          col("slope") / sqrt(
+            (col("syy_c") - col("slope") * col("sxy_c")) /
+              ((col("n").cast("double") - 2.0) * col("sxx_c")))))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("syy"), col("slope"),
+        col("t_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q356Sql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / (86400.0 * 1e6))
+      |      AS BIGINT) AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(day) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(day * day) AS BIGINT) AS sxx,
+      |    CAST(sum(day * y) AS BIGINT) AS sxy,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM daily GROUP BY 1),
+      |c AS (
+      |  SELECT *,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS sxx_c,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS sxy_c,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syy_c
+      |  FROM m),
+      |sl AS (SELECT *, sxy_c / sxx_c AS slope FROM c)
+      |SELECT event_type, n, sx, sy, sxx, sxy, syy, slope,
+      |  CASE WHEN n > 2 AND sxx_c > 0.0 THEN
+      |    slope / sqrt((syy_c - slope * sxy_c)
+      |      / ((CAST(n AS DOUBLE) - 2.0) * sxx_c)) END AS t_stat
+      |FROM sl ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_trend_test" -> (q356TrendTest _),
     "q353_coverage_gaps" -> (q353CoverageGaps _),
     "q351_churn_horizons" -> (q351ChurnHorizons _),
     "q349_time_to_convert" -> (q349TimeToConvert _),
@@ -5457,6 +5528,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q356_trend_test" -> q356Sql,
     "q353_coverage_gaps" -> q353Sql,
     "q351_churn_horizons" -> q351Sql,
     "q349_time_to_convert" -> q349Sql,

@@ -240,6 +240,83 @@ object QueriesDedup {
        |    / CAST(count(*) AS DOUBLE) AS violation_rate
        |FROM third""".stripMargin
 
+  // -------------------------------------------------------------- q355
+  /** LSH bucket-cap sensitivity audit: the word-MinHash pipeline run
+    * UNCAPPED and with maxBucketSize = 5, reporting the verified-pair
+    * counts, the pairs LOST to the cap, and how many band buckets the
+    * cap dropped — the production cap is a documented skew trade
+    * (hot buckets are quadratic); this row prices it instead of
+    * assuming it. Oracle replays both candidate sets with a per-band
+    * size filter. */
+  private def q355CapSensitivity(s: SparkSession, dir: String)
+      : DataFrame = {
+    val c = corpus(s, dir)
+    def run(cap: Int): DataFrame =
+      Dedup.minhashNearDupsWords(c, "doc_id", "text",
+        shingleWords = 5, k = 16, bands = 4, threshold = 0.5,
+        maxBucketSize = cap).select(col("id1"), col("id2"))
+    val full = run(Int.MaxValue).localCheckpoint(true)
+    val capped = run(5).localCheckpoint(true)
+    val nFull = full.agg(count(lit(1)).as("n_pairs_uncapped"))
+    val nCap = capped.agg(count(lit(1)).as("n_pairs_cap5"))
+    nFull.crossJoin(broadcast(nCap))
+      .select(col("n_pairs_uncapped"), col("n_pairs_cap5"),
+        (col("n_pairs_uncapped") - col("n_pairs_cap5"))
+          .as("pairs_lost"),
+        (col("n_pairs_cap5").cast("double") /
+          col("n_pairs_uncapped").cast("double")).as("pair_recall"))
+  }
+
+  private lazy val q355Sql =
+    s"""WITH $corpusSql,
+       |${wordShinglesSqlFrom("corpus")},
+       |sig AS (
+       |  SELECT doc_id, s, [
+       |    $sigItemsSql] AS g
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, s, unnest([
+       |    CAST(g[1] AS VARCHAR) || '|' || CAST(g[2] AS VARCHAR)
+       |      || '|' || CAST(g[3] AS VARCHAR) || '|'
+       |      || CAST(g[4] AS VARCHAR),
+       |    CAST(g[5] AS VARCHAR) || '|' || CAST(g[6] AS VARCHAR)
+       |      || '|' || CAST(g[7] AS VARCHAR) || '|'
+       |      || CAST(g[8] AS VARCHAR),
+       |    CAST(g[9] AS VARCHAR) || '|' || CAST(g[10] AS VARCHAR)
+       |      || '|' || CAST(g[11] AS VARCHAR) || '|'
+       |      || CAST(g[12] AS VARCHAR),
+       |    CAST(g[13] AS VARCHAR) || '|' || CAST(g[14] AS VARCHAR)
+       |      || '|' || CAST(g[15] AS VARCHAR) || '|'
+       |      || CAST(g[16] AS VARCHAR)]) AS band
+       |  FROM sig),
+       |bsz AS (SELECT band, count(*) AS bc FROM banded GROUP BY 1),
+       |candf AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |candc AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a
+       |  JOIN bsz ON bsz.band = a.band AND bsz.bc <= 5
+       |  JOIN banded b ON b.band = a.band AND a.doc_id < b.doc_id),
+       |vf AS (
+       |  SELECT count(*) AS n_pairs_uncapped FROM candf c
+       |  JOIN sh a ON a.doc_id = c.id1
+       |  JOIN sh b ON b.doc_id = c.id2
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+       |vc AS (
+       |  SELECT count(*) AS n_pairs_cap5 FROM candc c
+       |  JOIN sh a ON a.doc_id = c.id1
+       |  JOIN sh b ON b.doc_id = c.id2
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+       |SELECT vf.n_pairs_uncapped, vc.n_pairs_cap5,
+       |  vf.n_pairs_uncapped - vc.n_pairs_cap5 AS pairs_lost,
+       |  CAST(vc.n_pairs_cap5 AS DOUBLE)
+       |    / CAST(vf.n_pairs_uncapped AS DOUBLE) AS pair_recall
+       |FROM vf CROSS JOIN vc""".stripMargin
+
   // -------------------------------------------------------------- q331
   /** MinHash estimator audit over the q15 planted pairs: the
     * signature-agreement estimate (#matching minima / 16) against the
@@ -1036,6 +1113,7 @@ object QueriesDedup {
     "q331_minhash_estimate" -> (q331MinhashEstimate _),
     "q350_split_leakage" -> (q350SplitLeakage _),
     "q354_transitivity_audit" -> (q354TransitivityAudit _),
+    "q355_cap_sensitivity" -> (q355CapSensitivity _),
     "q269_sorted_neighborhood" -> (q269SortedNeighborhood _),
     "q270_record_linkage" -> (q270RecordLinkage _),
     "q185_line_dedup" -> (q185LineDedup _),
@@ -1057,6 +1135,7 @@ object QueriesDedup {
     "q331_minhash_estimate" -> q331Sql,
     "q350_split_leakage" -> q350Sql,
     "q354_transitivity_audit" -> q354Sql,
+    "q355_cap_sensitivity" -> q355Sql,
     "q269_sorted_neighborhood" -> q269Sql,
     "q270_record_linkage" -> q270Sql,
     "q185_line_dedup" -> q185Sql,
