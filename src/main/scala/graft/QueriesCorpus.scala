@@ -2069,7 +2069,84 @@ object QueriesCorpus {
       |CROSS JOIN n
       |WHERE c.r <= 10 ORDER BY c.r""".stripMargin
 
+  // -------------------------------------------------------------- q358
+  /** DDSketch accuracy audit: the base-2 sketch's p50/p90/p99
+    * estimates (q192 machinery) joined against the EXACT order
+    * statistics at the same ranks (distributed ECDF lookup) — the
+    * est/exact ratio must sit inside the sketch's [0.5, 2] relative
+    * guarantee, and this row measures where in that band it actually
+    * lands. Estimator pricing, everything exact or selection. */
+  private def q358DdsketchAudit(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.operators.{Quantiles, Sketches}
+    val cents = Tables.load(s, dir, "lineitem").select(
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .filter(col("cents").isNotNull && col("cents") >= 0L)
+      .localCheckpoint(true)
+    val est = Sketches.ddSketchQuantiles(
+      Sketches.ddSketchCounts(cents, "cents"), Seq(0.5, 0.9, 0.99))
+    val e = Quantiles.ecdf(cents, "cents")
+      .select(col("value"), col("cnt"), col("cum"))
+    est.join(e, col("rank") > col("cum") - col("cnt") &&
+        col("rank") <= col("cum"))
+      .select(col("q"), col("rank"), col("est"),
+        col("value").as("exact"),
+        (col("est").cast("double") / col("value").cast("double"))
+          .as("ratio"),
+        when(col("est").cast("double") / col("value").cast("double")
+          >= 0.5 &&
+          col("est").cast("double") / col("value").cast("double")
+            <= 2.0, 1L).otherwise(0L).as("within_bound"))
+      .orderBy(col("q"))
+  }
+
+  private val q358Sql =
+    """WITH v AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) AS c
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0),
+      |b AS (
+      |  SELECT CAST(CASE WHEN c = 0 THEN 0
+      |    ELSE length(printf('%b', c)) END AS INT) AS bucket,
+      |    count(*) AS cnt
+      |  FROM v GROUP BY 1),
+      |t AS (SELECT sum(cnt) AS n FROM b),
+      |cum AS (
+      |  SELECT bucket, cnt,
+      |    sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      |      AS cum
+      |  FROM b),
+      |ranks AS (
+      |  SELECT qs.q,
+      |    GREATEST(1, CAST(ceil(qs.q * CAST(t.n AS DOUBLE)) AS BIGINT))
+      |      AS rank
+      |  FROM t, (SELECT unnest([CAST(0.5 AS DOUBLE),
+      |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q) qs),
+      |ests AS (
+      |  SELECT r.q, r.rank,
+      |    CAST(CASE WHEN cum.bucket <= 1 THEN cum.bucket
+      |      ELSE 3 * (CAST(1 AS BIGINT) << (cum.bucket - 2)) END
+      |      AS BIGINT) AS est
+      |  FROM ranks r JOIN cum
+      |    ON r.rank > cum.cum - cum.cnt AND r.rank <= cum.cum),
+      |ec AS (
+      |  SELECT c AS value, cnt,
+      |    sum(cnt) OVER (ORDER BY c) AS ecum
+      |  FROM (SELECT c, count(*) AS cnt FROM v GROUP BY 1))
+      |SELECT e.q, e.rank, e.est, ec.value AS exact,
+      |  CAST(e.est AS DOUBLE) / CAST(ec.value AS DOUBLE) AS ratio,
+      |  CASE WHEN CAST(e.est AS DOUBLE) / CAST(ec.value AS DOUBLE)
+      |      >= 0.5
+      |    AND CAST(e.est AS DOUBLE) / CAST(ec.value AS DOUBLE) <= 2.0
+      |    THEN 1 ELSE 0 END AS within_bound
+      |FROM ests e JOIN ec
+      |  ON e.rank > ec.ecum - ec.cnt AND e.rank <= ec.ecum
+      |ORDER BY e.q""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q358_ddsketch_audit" -> (q358DdsketchAudit _),
     "q344_good_turing" -> (q344GoodTuring _),
     "q328_phrase_search" -> (q328PhraseSearch _),
     "q314_novelty" -> (q314Novelty _),
@@ -2117,6 +2194,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q358_ddsketch_audit" -> q358Sql,
     "q344_good_turing" -> q344Sql,
     "q328_phrase_search" -> q328Sql,
     "q314_novelty" -> q314Sql,

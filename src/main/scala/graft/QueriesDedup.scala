@@ -317,6 +317,57 @@ object QueriesDedup {
        |    / CAST(vf.n_pairs_uncapped AS DOUBLE) AS pair_recall
        |FROM vf CROSS JOIN vc""".stripMargin
 
+  // -------------------------------------------------------------- q357
+  /** Dedup savings census — the capacity number dedup is bought for:
+    * per duplicate fingerprint group, the bytes the non-keeper copies
+    * occupy (keeper = min id, its own length retained), summed into
+    * docs-removed / bytes-saved / savings share of the corpus. Exact
+    * integer byte accounting over the q14 group structure. */
+  private def q357DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        TA.fingerprint(col("text")).as("fp"))
+    val groups = c.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("total_len"),
+        min(struct(col("doc_id"), col("len"))).as("__k"))
+      .select(col("n"), col("total_len"),
+        col("__k.len").as("keeper_len"))
+    val tot = c.agg(sum(col("len")).as("bytes_total"),
+      count(lit(1)).as("n_docs"))
+    groups.filter(col("n") > 1L)
+      .agg(count(lit(1)).as("n_dup_groups"),
+        sum(col("n") - 1L).as("n_docs_removed"),
+        sum(col("total_len") - col("keeper_len")).as("bytes_saved"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_dup_groups"), col("n_docs_removed"),
+        col("bytes_saved"), col("n_docs"), col("bytes_total"),
+        (col("bytes_saved").cast("double") /
+          col("bytes_total").cast("double")).as("savings_share"))
+  }
+
+  private lazy val q357Sql =
+    s"""WITH $corpusSql,
+       |f AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+       |    substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |      'g')), 1, 16) AS fp
+       |  FROM corpus),
+       |k AS (
+       |  SELECT fp, count(*) AS n, CAST(sum(len) AS BIGINT)
+       |      AS total_len,
+       |    arg_min(len, doc_id) AS keeper_len
+       |  FROM f GROUP BY 1),
+       |tot AS (SELECT CAST(sum(len) AS BIGINT) AS bytes_total,
+       |        count(*) AS n_docs FROM f)
+       |SELECT count(*) AS n_dup_groups,
+       |  CAST(sum(n - 1) AS BIGINT) AS n_docs_removed,
+       |  CAST(sum(total_len - keeper_len) AS BIGINT) AS bytes_saved,
+       |  tot.n_docs, tot.bytes_total,
+       |  CAST(sum(total_len - keeper_len) AS DOUBLE)
+       |    / CAST(tot.bytes_total AS DOUBLE) AS savings_share
+       |FROM k CROSS JOIN tot
+       |WHERE n > 1 GROUP BY tot.n_docs, tot.bytes_total""".stripMargin
+
   // -------------------------------------------------------------- q331
   /** MinHash estimator audit over the q15 planted pairs: the
     * signature-agreement estimate (#matching minima / 16) against the
@@ -1114,6 +1165,7 @@ object QueriesDedup {
     "q350_split_leakage" -> (q350SplitLeakage _),
     "q354_transitivity_audit" -> (q354TransitivityAudit _),
     "q355_cap_sensitivity" -> (q355CapSensitivity _),
+    "q357_dedup_savings" -> (q357DedupSavings _),
     "q269_sorted_neighborhood" -> (q269SortedNeighborhood _),
     "q270_record_linkage" -> (q270RecordLinkage _),
     "q185_line_dedup" -> (q185LineDedup _),
@@ -1136,6 +1188,7 @@ object QueriesDedup {
     "q350_split_leakage" -> q350Sql,
     "q354_transitivity_audit" -> q354Sql,
     "q355_cap_sensitivity" -> q355Sql,
+    "q357_dedup_savings" -> q357Sql,
     "q269_sorted_neighborhood" -> q269Sql,
     "q270_record_linkage" -> q270Sql,
     "q185_line_dedup" -> q185Sql,
