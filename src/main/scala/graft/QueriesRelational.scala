@@ -1495,6 +1495,60 @@ object QueriesRelational {
       |    AS BIGINT) AS bal_ver
       |FROM gens GROUP BY 1 ORDER BY k""".stripMargin
 
+  // -------------------------------------------------------------- q359
+  /** Share-of-parent hierarchical rollup: customer spend aggregated
+    * up the region → nation hierarchy, each nation carrying its share
+    * of its region and each region its share of the total — the BI
+    * drill-down contract (children sum to the parent), computed as
+    * exact cents at every level with the shares as pinned final
+    * divisions. Dimensions broadcast; one fact aggregate. */
+  private def q359ShareOfParent(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .localCheckpoint(true)
+    val regions = spend.groupBy(col("r_name"))
+      .agg(sum(col("cents")).as("r_cents"))
+    val total = spend.agg(sum(col("cents")).as("t_cents"))
+    spend.join(regions, Seq("r_name"))
+      .crossJoin(broadcast(total))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        col("r_cents"), col("t_cents"),
+        (col("cents").cast("double") / col("r_cents").cast("double"))
+          .as("share_of_region"),
+        (col("r_cents").cast("double") / col("t_cents").cast("double"))
+          .as("region_share_of_total"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q359Sql =
+    """WITH spend AS (
+      |  SELECT r.r_name, n.n_name,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS cents
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  GROUP BY 1, 2),
+      |rg AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS r_cents
+      |       FROM spend GROUP BY 1),
+      |tt AS (SELECT CAST(sum(cents) AS BIGINT) AS t_cents FROM spend)
+      |SELECT s.r_name, s.n_name, s.cents, rg.r_cents, tt.t_cents,
+      |  CAST(s.cents AS DOUBLE) / CAST(rg.r_cents AS DOUBLE)
+      |    AS share_of_region,
+      |  CAST(rg.r_cents AS DOUBLE) / CAST(tt.t_cents AS DOUBLE)
+      |    AS region_share_of_total
+      |FROM spend s JOIN rg ON rg.r_name = s.r_name CROSS JOIN tt
+      |ORDER BY s.r_name, s.n_name""".stripMargin
+
   // -------------------------------------------------------------- q133
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nullable
     * keys are planted on both sides (every 10th supplier key nulled),
@@ -3971,6 +4025,7 @@ object QueriesRelational {
     "q342_stack" -> (q342Stack _),
     "q343_rel_division" -> (q343RelDivision _),
     "q346_survivorship" -> (q346Survivorship _),
+    "q359_share_of_parent" -> (q359ShareOfParent _),
     "q310_tpch_q17" -> (q310TpchQ17 _),
     "q311_tpch_q22" -> (q311TpchQ22 _),
     "q295_json_corrupt" -> (q295JsonCorrupt _),
@@ -4078,6 +4133,7 @@ object QueriesRelational {
     "q342_stack" -> q342Sql,
     "q343_rel_division" -> q343Sql,
     "q346_survivorship" -> q346Sql,
+    "q359_share_of_parent" -> q359Sql,
     "q310_tpch_q17" -> q310Sql,
     "q311_tpch_q22" -> q311Sql,
     "q295_json_corrupt" -> q295Sql,
