@@ -5410,7 +5410,75 @@ object QueriesAnalytics {
       |      / ((CAST(n AS DOUBLE) - 2.0) * sxx_c)) END AS t_stat
       |FROM sl ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q360
+  /** Look-alike audience expansion with EXACT integer geometry: the
+    * seed cohort is every user with more purchases than errors (a
+    * scale-free engagement rule); its engagement centroid is
+    * kept as the exact integer sum vector (n_s, Σ counts per event
+    * type), and each non-seed user is scored by the cross-multiplied
+    * squared distance ‖n_s·p_u − Σ_seed‖² — integer, so the top-20
+    * ranking has no float ties. The marketing expansion primitive
+    * with the centroid never materialized as floats. */
+  private def q360Lookalike(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "signup", "error", "purchase")
+    val profCols = types.map(t => sum(when(col("event_type") === t, 1L)
+      .otherwise(0L)).as(s"c_$t"))
+    val prof = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(profCols.head, profCols.tail: _*)
+      .localCheckpoint(true)
+    val seeds = prof.filter(col("c_purchase") > col("c_error"))
+    val centCols = Seq(count(lit(1)).as("ns")) ++
+      types.map(t => sum(col(s"c_$t")).as(s"s_$t"))
+    val cent = seeds.agg(centCols.head, centCols.tail: _*)
+    val scored = prof.filter(col("c_purchase") <= col("c_error"))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", types.map { t =>
+        val d = col("ns") * col(s"c_$t") - col(s"s_$t")
+        d * d
+      }.reduce((a, b) => a + b))
+    scored.orderBy(col("d2"), col("user_id")).limit(20)
+      .select((Seq(col("user_id"), col("d2")) ++
+        types.map(t => col(s"c_$t"))): _*)
+      .orderBy(col("d2"), col("user_id"))
+  }
+
+  private val q360Sql =
+    """WITH prof AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_click,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_view,
+      |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_signup,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_error,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS c_purchase
+      |  FROM events GROUP BY 1),
+      |cent AS (
+      |  SELECT count(*) AS ns,
+      |    CAST(sum(c_click) AS BIGINT) AS s_click,
+      |    CAST(sum(c_view) AS BIGINT) AS s_view,
+      |    CAST(sum(c_signup) AS BIGINT) AS s_signup,
+      |    CAST(sum(c_error) AS BIGINT) AS s_error,
+      |    CAST(sum(c_purchase) AS BIGINT) AS s_purchase
+      |  FROM prof WHERE c_purchase > c_error)
+      |SELECT p.user_id,
+      |  (ns * c_click - s_click) * (ns * c_click - s_click)
+      |  + (ns * c_view - s_view) * (ns * c_view - s_view)
+      |  + (ns * c_signup - s_signup) * (ns * c_signup - s_signup)
+      |  + (ns * c_error - s_error) * (ns * c_error - s_error)
+      |  + (ns * c_purchase - s_purchase)
+      |    * (ns * c_purchase - s_purchase) AS d2,
+      |  c_click, c_view, c_signup, c_error, c_purchase
+      |FROM prof p CROSS JOIN cent
+      |WHERE c_purchase <= c_error
+      |ORDER BY d2, user_id LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q360_lookalike" -> (q360Lookalike _),
     "q356_trend_test" -> (q356TrendTest _),
     "q353_coverage_gaps" -> (q353CoverageGaps _),
     "q351_churn_horizons" -> (q351ChurnHorizons _),
@@ -5528,6 +5596,7 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q360_lookalike" -> q360Sql,
     "q356_trend_test" -> q356Sql,
     "q353_coverage_gaps" -> q353Sql,
     "q351_churn_horizons" -> q351Sql,
