@@ -1549,6 +1549,65 @@ object QueriesRelational {
       |FROM spend s JOIN rg ON rg.r_name = s.r_name CROSS JOIN tt
       |ORDER BY s.r_name, s.n_name""".stripMargin
 
+  // -------------------------------------------------------------- q361
+  /** Cross-table reconciliation census — the month-end close audit:
+    * orphan lineitems (no parent order), childless orders, and the
+    * header-vs-detail amount comparison (order total vs Σ line
+    * extended prices, in exact cents with the mismatch histogram
+    * bucketed by sign). One full-outer join on the key, everything
+    * exact integers. */
+  private def q361Reconciliation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("li_cents"),
+        count(lit(1)).as("n_lines"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("o_cents"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .select(
+        when(col("o_orderkey").isNull, lit("orphan_lines"))
+          .when(col("l_orderkey").isNull, lit("childless_order"))
+          .when(col("o_cents") === col("li_cents"), lit("matched"))
+          .when(col("o_cents") > col("li_cents"), lit("header_higher"))
+          .otherwise(lit("detail_higher")).as("verdict"),
+        coalesce(col("o_cents"), lit(0L)).as("oc"),
+        coalesce(col("li_cents"), lit(0L)).as("lc"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("oc") - col("lc")).as("net_gap_cents"),
+        sum(abs(col("oc") - col("lc"))).as("abs_gap_cents"))
+      .orderBy(col("verdict"))
+  }
+
+  private val q361Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS li_cents,
+      |    count(*) AS n_lines
+      |  FROM lineitem GROUP BY 1),
+      |o AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS o_cents
+      |  FROM orders),
+      |j AS (
+      |  SELECT CASE
+      |      WHEN o.o_orderkey IS NULL THEN 'orphan_lines'
+      |      WHEN li.l_orderkey IS NULL THEN 'childless_order'
+      |      WHEN o.o_cents = li.li_cents THEN 'matched'
+      |      WHEN o.o_cents > li.li_cents THEN 'header_higher'
+      |      ELSE 'detail_higher' END AS verdict,
+      |    coalesce(o.o_cents, 0) AS oc, coalesce(li.li_cents, 0) AS lc
+      |  FROM o FULL JOIN li ON li.l_orderkey = o.o_orderkey)
+      |SELECT verdict, count(*) AS n,
+      |  CAST(sum(oc - lc) AS BIGINT) AS net_gap_cents,
+      |  CAST(sum(abs(oc - lc)) AS BIGINT) AS abs_gap_cents
+      |FROM j GROUP BY 1 ORDER BY verdict""".stripMargin
+
   // -------------------------------------------------------------- q133
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nullable
     * keys are planted on both sides (every 10th supplier key nulled),
@@ -4026,6 +4085,7 @@ object QueriesRelational {
     "q343_rel_division" -> (q343RelDivision _),
     "q346_survivorship" -> (q346Survivorship _),
     "q359_share_of_parent" -> (q359ShareOfParent _),
+    "q361_reconciliation" -> (q361Reconciliation _),
     "q310_tpch_q17" -> (q310TpchQ17 _),
     "q311_tpch_q22" -> (q311TpchQ22 _),
     "q295_json_corrupt" -> (q295JsonCorrupt _),
@@ -4134,6 +4194,7 @@ object QueriesRelational {
     "q343_rel_division" -> q343Sql,
     "q346_survivorship" -> q346Sql,
     "q359_share_of_parent" -> q359Sql,
+    "q361_reconciliation" -> q361Sql,
     "q310_tpch_q17" -> q310Sql,
     "q311_tpch_q22" -> q311Sql,
     "q295_json_corrupt" -> q295Sql,
