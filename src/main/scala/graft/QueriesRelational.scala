@@ -1608,6 +1608,53 @@ object QueriesRelational {
       |  CAST(sum(abs(oc - lc)) AS BIGINT) AS abs_gap_cents
       |FROM j GROUP BY 1 ORDER BY verdict""".stripMargin
 
+  // -------------------------------------------------------------- q362
+  /** Join-key skew census — the planner statistic behind the
+    * salt-or-not decision (q115's salted join exists because of
+    * exactly this number): for the lineitem partkey, the distinct-key
+    * count, the hottest key's frequency and share, the top-10 mass,
+    * and the max/mean skew ratio — all exact integers plus pinned
+    * final divisions; the top-10 mass via orderBy+limit (planned as
+    * TakeOrdered — a per-partition bounded heap, not a global sort).
+    */
+  private def q362KeySkew(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
+    val top10 = freq.orderBy(col("f").desc, col("l_partkey")).limit(10)
+      .agg(sum(col("f")).as("top10_mass"))
+    freq.agg(count(lit(1)).as("n_keys"), sum(col("f")).as("n_rows"),
+        max(col("f")).as("max_f"))
+      .crossJoin(broadcast(top10))
+      .select(col("n_keys"), col("n_rows"), col("max_f"),
+        col("top10_mass"),
+        (col("max_f").cast("double") / col("n_rows").cast("double"))
+          .as("hot_share"),
+        (col("top10_mass").cast("double") /
+          col("n_rows").cast("double")).as("top10_share"),
+        (col("max_f").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_ratio"))
+  }
+
+  private val q362Sql =
+    """WITH f AS (
+      |  SELECT l_partkey, count(*) AS f FROM lineitem GROUP BY 1),
+      |t10 AS (
+      |  SELECT CAST(sum(f) AS BIGINT) AS top10_mass
+      |  FROM (SELECT f FROM f ORDER BY f DESC, l_partkey LIMIT 10)),
+      |a AS (
+      |  SELECT count(*) AS n_keys, CAST(sum(f) AS BIGINT) AS n_rows,
+      |    max(f) AS max_f
+      |  FROM f)
+      |SELECT a.n_keys, a.n_rows, a.max_f, t10.top10_mass,
+      |  CAST(a.max_f AS DOUBLE) / CAST(a.n_rows AS DOUBLE)
+      |    AS hot_share,
+      |  CAST(t10.top10_mass AS DOUBLE) / CAST(a.n_rows AS DOUBLE)
+      |    AS top10_share,
+      |  CAST(a.max_f AS DOUBLE) * CAST(a.n_keys AS DOUBLE)
+      |    / CAST(a.n_rows AS DOUBLE) AS skew_ratio
+      |FROM a CROSS JOIN t10""".stripMargin
+
   // -------------------------------------------------------------- q133
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nullable
     * keys are planted on both sides (every 10th supplier key nulled),
@@ -4086,6 +4133,7 @@ object QueriesRelational {
     "q346_survivorship" -> (q346Survivorship _),
     "q359_share_of_parent" -> (q359ShareOfParent _),
     "q361_reconciliation" -> (q361Reconciliation _),
+    "q362_key_skew" -> (q362KeySkew _),
     "q310_tpch_q17" -> (q310TpchQ17 _),
     "q311_tpch_q22" -> (q311TpchQ22 _),
     "q295_json_corrupt" -> (q295JsonCorrupt _),
@@ -4195,6 +4243,7 @@ object QueriesRelational {
     "q346_survivorship" -> q346Sql,
     "q359_share_of_parent" -> q359Sql,
     "q361_reconciliation" -> q361Sql,
+    "q362_key_skew" -> q362Sql,
     "q310_tpch_q17" -> q310Sql,
     "q311_tpch_q22" -> q311Sql,
     "q295_json_corrupt" -> q295Sql,
