@@ -319,6 +319,22 @@ class ExpressionsSpec extends SparkSpec {
       .as[Double].head() shouldBe 0.9611111111111111
   }
 
+  test("jaccardSorted equals the hash-set jaccard on sorted inputs") {
+    import graft.operators.Dedup
+    val df = Seq(
+      ("a b c d", "c d e f"), // overlap 2, union 6
+      ("x", "x"), // identical
+      ("a b", "c d"), // disjoint
+      ("hello world foo", "foo bar hello baz qux")).toDF("t1", "t2")
+    val sh1 = array_sort(graft.functions.TextAnalysis
+      .charShingles(col("t1"), 4))
+    val sh2 = array_sort(graft.functions.TextAnalysis
+      .charShingles(col("t2"), 4))
+    val got = df.select(Dedup.jaccardSorted(sh1, sh2).as("a"),
+      Dedup.jaccard(sh1, sh2).as("b")).collect()
+    got.foreach(r => r.getDouble(0) shouldBe r.getDouble(1))
+  }
+
   test("MinHashSignatureExpression matches an independent re-derivation") {
     import graft.expressions.MinHashScheme
     import graft.operators.Dedup
