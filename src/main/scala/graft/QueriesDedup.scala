@@ -368,6 +368,51 @@ object QueriesDedup {
        |FROM k CROSS JOIN tot
        |WHERE n > 1 GROUP BY tot.n_docs, tot.bytes_total""".stripMargin
 
+  // -------------------------------------------------------------- q363
+  /** LSH precision audit — q296's complement: of the candidate pairs
+    * the 4×4 banding surfaces, how many survive exact-Jaccard
+    * verification at τ = 0.5? Precision prices the VERIFY stage
+    * (every false candidate costs a sorted-merge intersect at scale),
+    * the way recall priced the banding's misses. Candidates are
+    * reconstructed with the same band expression the pipeline uses.
+    */
+  private def q363LshPrecision(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => C,
+      expression => E}
+    val c = corpus(s, dir)
+    val banded = c.select(col("doc_id"),
+      C(graft.expressions.MinHashBandsExpression(
+        E(TA.wordShingles(col("text"), 5)), 4, 4)).as("bands"))
+    val nCand = Dedup.candidatePairs(banded, "doc_id", "bands",
+        Int.MaxValue)
+      .agg(count(lit(1)).as("n_candidates"))
+    val nVer = Dedup.minhashNearDupsWords(c, "doc_id", "text",
+        shingleWords = 5, k = 16, bands = 4, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .agg(count(lit(1)).as("n_verified"))
+    nCand.crossJoin(broadcast(nVer))
+      .select(col("n_candidates"), col("n_verified"),
+        (col("n_verified").cast("double") /
+          col("n_candidates").cast("double")).as("precision"))
+  }
+
+  private lazy val q363Sql =
+    s"""WITH $corpusSql,
+       |${wordShinglesSqlFrom("corpus")},
+       |$minhashCandCtes,
+       |nc AS (SELECT count(*) AS n_candidates FROM cand),
+       |nv AS (
+       |  SELECT count(*) AS n_verified FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id1
+       |  JOIN sh b ON b.doc_id = c.id2
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+       |SELECT nc.n_candidates, nv.n_verified,
+       |  CAST(nv.n_verified AS DOUBLE)
+       |    / CAST(nc.n_candidates AS DOUBLE) AS precision
+       |FROM nc CROSS JOIN nv""".stripMargin
+
   // -------------------------------------------------------------- q331
   /** MinHash estimator audit over the q15 planted pairs: the
     * signature-agreement estimate (#matching minima / 16) against the
@@ -1166,6 +1211,7 @@ object QueriesDedup {
     "q354_transitivity_audit" -> (q354TransitivityAudit _),
     "q355_cap_sensitivity" -> (q355CapSensitivity _),
     "q357_dedup_savings" -> (q357DedupSavings _),
+    "q363_lsh_precision" -> (q363LshPrecision _),
     "q269_sorted_neighborhood" -> (q269SortedNeighborhood _),
     "q270_record_linkage" -> (q270RecordLinkage _),
     "q185_line_dedup" -> (q185LineDedup _),
@@ -1189,6 +1235,7 @@ object QueriesDedup {
     "q354_transitivity_audit" -> q354Sql,
     "q355_cap_sensitivity" -> q355Sql,
     "q357_dedup_savings" -> q357Sql,
+    "q363_lsh_precision" -> q363Sql,
     "q269_sorted_neighborhood" -> q269Sql,
     "q270_record_linkage" -> q270Sql,
     "q185_line_dedup" -> q185Sql,
