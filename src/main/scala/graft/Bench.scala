@@ -84,7 +84,7 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       (name, elapsed, deser, gc)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // task-metric attribution for queries with meaningful deser/GC cost,
     // so a host-throttled run (the r3/r4 failure mode: closure
@@ -94,9 +94,18 @@ object Bench {
       f""""$k":{"deser":$d%.2f,"gc":$g%.2f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // "metric"/"value" LAST: the driver's log capture keeps only the
-    // tail, so a truncated line must still carry the headline number
-    println(s"""{"queries":$qs,"attrib":$attrib,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}""")
+    // top-15 slowest walls, placed immediately before "value": at 366
+    // rows the driver's 2000-char tail capture drops the full queries
+    // map (BENCH_r06 parsed=null), which made driver-round per-query
+    // regressions invisible — the tail must carry the slow rows on its
+    // own (r6 VERDICT item 2)
+    val top = results.sortBy(-_._2).take(15)
+      .map { case (k, v, _, _) => f""""$k":$v%.2f""" }
+      .mkString("{", ",", "}")
+    // "metric"/"top"/"value" LAST: the driver's log capture keeps only
+    // the tail, so a truncated line must still carry the headline
+    // number and the slow-row walls
+    println(s"""{"queries":$qs,"attrib":$attrib,"sf":"$sfDir","unit":"sec","metric":"total","top":$top,"value":$total}""")
     spark.stop()
   }
 }

@@ -3876,12 +3876,14 @@ object QueriesAnalytics {
       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_xy,
-      |    CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    CASE WHEN n1 > 0 AND n1 < n THEN
+      |      CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
       |      - (CAST(sy AS DOUBLE) - CAST(sy1 AS DOUBLE))
-      |        / (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) AS diff_raw,
-      |    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) END AS diff_raw,
+      |    CASE WHEN n1 > 0 AND n1 < n THEN
+      |      CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
       |      - (CAST(sx AS DOUBLE) - CAST(sx1 AS DOUBLE))
-      |        / (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) AS diff_x
+      |        / (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) END AS diff_x
       |  FROM m),
       |e AS (
       |  SELECT *, CASE WHEN var_x > 0.0 THEN cov_xy / var_x END

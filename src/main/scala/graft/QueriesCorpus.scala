@@ -595,8 +595,22 @@ object QueriesCorpus {
       "window_scan" -> "window", "window_scan" -> "scan", "window_scan" -> "agg",
       "slow_filter" -> "slow", "slow_filter" -> "filter", "slow_filter" -> "query")
       .toDF("query_id", "term")
+    // Gate hardening (r7): the emitted score is micro-units
+    // (round(score·1e6) → BIGINT) and the emitted rank is recomputed
+    // over the micro score with a full integer tiebreak, so neither
+    // hashed column depends on last-ulp float luck. The top-10 CUT
+    // stays on the raw score inside the operator (mirrored two-stage
+    // in the oracle); a cut flip would need two distinct (tf, dl)
+    // profiles colliding to ~1e-13 relative — not a live hazard.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").desc,
+        col("n_terms").desc)
     graft.operators.Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
         queries, k = 10)
+      .withColumn("score_micro", round(col("score") * lit(1e6)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .drop("score")
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -636,9 +650,17 @@ object QueriesCorpus {
       |  SELECT query_id, doc_id, score, n_terms,
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY score DESC, doc_id DESC, n_terms DESC) AS rank
-      |  FROM perdoc)
-      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score, n_terms
-      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      |  FROM perdoc),
+      |top10 AS (
+      |  SELECT query_id, doc_id, n_terms,
+      |    CAST(round(score * 1e6) AS BIGINT) AS score_micro
+      |  FROM ranked WHERE rank <= 10)
+      |SELECT query_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score_micro DESC, doc_id DESC, n_terms DESC)
+      |    AS BIGINT) AS rank,
+      |  doc_id, score_micro, n_terms
+      |FROM top10 ORDER BY query_id, rank""".stripMargin
 
   // --------------------------------------------------------------- q89
   /** HyperLogLog distinct estimate (p=6, 64 byte-registers per group)

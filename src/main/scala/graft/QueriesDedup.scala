@@ -359,14 +359,16 @@ object QueriesDedup {
        |  FROM f GROUP BY 1),
        |tot AS (SELECT CAST(sum(len) AS BIGINT) AS bytes_total,
        |        count(*) AS n_docs FROM f)
-       |SELECT count(*) AS n_dup_groups,
-       |  CAST(sum(n - 1) AS BIGINT) AS n_docs_removed,
-       |  CAST(sum(total_len - keeper_len) AS BIGINT) AS bytes_saved,
+       |SELECT count(CASE WHEN n > 1 THEN 1 END) AS n_dup_groups,
+       |  CAST(sum(CASE WHEN n > 1 THEN n - 1 END) AS BIGINT)
+       |    AS n_docs_removed,
+       |  CAST(sum(CASE WHEN n > 1 THEN total_len - keeper_len END)
+       |    AS BIGINT) AS bytes_saved,
        |  tot.n_docs, tot.bytes_total,
-       |  CAST(sum(total_len - keeper_len) AS DOUBLE)
-       |    / CAST(tot.bytes_total AS DOUBLE) AS savings_share
+       |  CAST(sum(CASE WHEN n > 1 THEN total_len - keeper_len END)
+       |    AS DOUBLE) / CAST(tot.bytes_total AS DOUBLE) AS savings_share
        |FROM k CROSS JOIN tot
-       |WHERE n > 1 GROUP BY tot.n_docs, tot.bytes_total""".stripMargin
+       |GROUP BY tot.n_docs, tot.bytes_total""".stripMargin
 
   // -------------------------------------------------------------- q363
   /** LSH precision audit — q296's complement: of the candidate pairs

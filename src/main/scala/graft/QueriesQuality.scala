@@ -212,16 +212,23 @@ object QueriesQuality {
   /** CCNet-style bigram-LM perplexity scoring: train on the corpus,
     * score every doc by mean negative log-probability (Laplace
     * smoothing). The per-doc sum folds SORTED log values so both
-    * engines add identical floats in identical order. */
+    * engines add identical floats in identical order; the gate row
+    * emits the score as micro-units (round(score·1e6) → BIGINT) so the
+    * hash cannot flip on a driver-side libm/DuckDB rebuild — the
+    * residual ln last-ulp noise (~1e-13) sits five orders below the
+    * rounding grid. q127 is the designated raw-transcendental row. */
   private def q60LmScore(s: SparkSession, dir: String): DataFrame =
     graft.operators.LanguageModel.scoreDocs(docs(s, dir), "doc_id", "text")
+      .withColumn("score_micro", round(col("score") * lit(1e6)).cast("long"))
+      .drop("score")
       .orderBy(col("doc_id"))
 
   private val q60Sql =
     s"""WITH $normSql,
        |$lmCtesSql
        |SELECT doc_id, count(*) AS n_bigrams,
-       |  -list_aggregate(list_sort(list(lnp)), 'sum') / count(*) AS score
+       |  CAST(round(-list_aggregate(list_sort(list(lnp)), 'sum')
+       |    / count(*) * 1e6) AS BIGINT) AS score_micro
        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q64
@@ -361,13 +368,21 @@ object QueriesQuality {
     * it — the LmNoiseTau trick. Cross-engine rank/top-k selection is
     * deliberately NOT gated (float ranks are only bit-stable within
     * one engine); `ImportanceScoring.selectTopK` is spec-pinned
-    * instead. */
-  private val DsirTau = -2.46
+    * instead.
+    *
+    * Gate hardening (r7): logw is emitted as micro-units
+    * (round(logw·1e6) → BIGINT) and `selected` is derived from the
+    * SAME integer against an integer threshold, so neither column can
+    * flip on a driver-side libm/DuckDB rebuild. q127 is the designated
+    * raw-transcendental row. */
+  private val DsirTauMicro = -2460000L
 
   private def q132Dsir(s: SparkSession, dir: String): DataFrame =
     graft.operators.ImportanceScoring
       .dsirScores(docs(s, dir), "doc_id", "text", col("lang") === "en")
-      .withColumn("selected", col("logw") > lit(DsirTau))
+      .withColumn("logw_micro", round(col("logw") * lit(1e6)).cast("long"))
+      .withColumn("selected", col("logw_micro") > lit(DsirTauMicro))
+      .drop("logw")
       .orderBy(col("doc_id"))
 
   private val q132Sql =
@@ -394,9 +409,10 @@ object QueriesQuality {
        |  FROM bg JOIN rc USING (w1, w2) LEFT JOIN tc USING (w1, w2)
        |  CROSS JOIN sc)
        |SELECT doc_id, count(*) AS n_bigrams,
-       |  list_aggregate(list_sort(list(lnr)), 'sum') AS logw,
-       |  list_aggregate(list_sort(list(lnr)), 'sum') > $DsirTau
-       |    AS selected
+       |  CAST(round(list_aggregate(list_sort(list(lnr)), 'sum') * 1e6)
+       |    AS BIGINT) AS logw_micro,
+       |  CAST(round(list_aggregate(list_sort(list(lnr)), 'sum') * 1e6)
+       |    AS BIGINT) > $DsirTauMicro AS selected
        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- q144

@@ -724,9 +724,15 @@ object Evaluation {
           .as("var_y"),
         ((d("n") * d("sxy") - d("sx") * d("sy")) / (d("n") * d("n")))
           .as("cov_xy"),
-        (d("sy1") / d("n1") - (d("sy") - d("sy1")) / (d("n") - d("n1")))
+        // one-armed experiments (n1=0 or n1=n) have no between-arm
+        // difference: guard the divisions so neither engine evaluates
+        // x/0 (Spark Divide yields NULL, DuckDB float semantics differ
+        // — the var_x/var_y guard discipline)
+        when(col("n1") > 0L && col("n1") < col("n"),
+          d("sy1") / d("n1") - (d("sy") - d("sy1")) / (d("n") - d("n1")))
           .as("diff_raw"),
-        (d("sx1") / d("n1") - (d("sx") - d("sx1")) / (d("n") - d("n1")))
+        when(col("n1") > 0L && col("n1") < col("n"),
+          d("sx1") / d("n1") - (d("sx") - d("sx1")) / (d("n") - d("n1")))
           .as("__diff_x"))
       .withColumn("theta",
         when(col("var_x") > 0.0, col("cov_xy") / col("var_x")))

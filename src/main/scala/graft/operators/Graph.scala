@@ -644,11 +644,22 @@ object Graph {
     * usual power-iteration-to-convergence form. Spark-side each round
     * is one edge join + one aggregate (the PageRank cost class).
     *
+    * Overflow bound: walk counts grow ~degree^k, so a web-scale hub
+    * (10⁷-degree at k ≥ 3) would exceed Long range. Each round
+    * therefore sums in exact DECIMAL(38,0) — unoverflowable below
+    * 10^38 — and SATURATES the per-node count at `satCap`
+    * (default 2^53, the dyadic-double exactness budget): a saturated
+    * node's walks_last/katz are lower-bound estimates, never wrapped
+    * garbage, and nodes below the cap stay bit-exact. GraphSpec plants
+    * a hub against a tiny cap to pin the clamp and the
+    * default-cap ≡ exact equivalence.
+    *
     * @return (node, w1..wK as columns are internal; output is
     *         (node, walks_K, katz)) */
   def katzCentrality(edges: DataFrame, src: String, dst: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, satCap: Long = 1L << 53): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds out of range ($rounds)")
+    require(satCap >= 1L, s"satCap must be positive ($satCap)")
     val canon = canonicalEdges(edges, src, dst)
     val adj = canon.select(col("u").as("a"), col("v").as("b"))
       .unionAll(canon.select(col("v").as("a"), col("u").as("b")))
@@ -661,9 +672,17 @@ object Graph {
     // per-round checkpoints are released only after `out` materializes
     val rounds_ = scala.collection.mutable.ArrayBuffer(v)
     for (k <- 1 to rounds) {
+      // exact wide sum + saturating clamp: inputs are ≤ satCap ≤ 2^53
+      // (DECIMAL(28,0)-safe), the DECIMAL(38,0) sum cannot overflow
+      // below 10^38 ≈ 2^126 total walks, and the clamp keeps the long
+      // cast exact — a hub exceeding the cap reads satCap, not a wrap
+      val wideSum = sum(col("w")
+        .cast(org.apache.spark.sql.types.DecimalType(28, 0)))
+      val capDec = lit(satCap)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
       val next = adj.join(v.withColumnRenamed("node", "b"), Seq("b"))
         .groupBy(col("a").as("node"))
-        .agg(sum(col("w")).as("w"))
+        .agg(least(wideSum, capDec).cast("long").as("w"))
         .localCheckpoint(eager = true)
       rounds_ += next
       v = next
@@ -750,9 +769,12 @@ object Graph {
     *
     * Scale: each round is one join of the edge list against the n-row
     * color table (shuffle on node id) plus one aggregate — the
-    * PageRank cost class; rounds are a small constant. Each round's
-    * colors are persisted and the previous round released, the
-    * iterative-operator checkpoint discipline.
+    * PageRank cost class; rounds are a small constant. The returned
+    * union references EVERY round's color table, so each round is
+    * eagerly checkpointed and released only AFTER the final union is
+    * itself checkpointed (the katzCentrality discipline) — no round
+    * recomputes from lineage at consumption time, and no cached block
+    * outlives the call.
     *
     * @return (round, node, color) for rounds 0..rounds */
   def wlRefine(edges: DataFrame, src: String, dst: String,
@@ -764,7 +786,8 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var colors = adj.groupBy(col("node"))
       .agg(count(lit(1)).cast("string").as("color"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
+    val rounds_ = scala.collection.mutable.ArrayBuffer(colors)
     var out = colors.withColumn("round", lit(0))
     for (r <- 1 to rounds) {
       val nbColors = colors.select(col("node").as("x"),
@@ -773,16 +796,18 @@ object Graph {
         .groupBy(col("node"))
         .agg(array_join(sort_array(collect_list(col("xcolor"))), ",")
           .as("sig"))
-      val next = sig.join(colors, Seq("node"))
+      colors = sig.join(colors, Seq("node"))
         .select(col("node"),
           md5(concat(col("color"), lit("|"), col("sig"))).as("color"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the parent
-      colors.unpersist()
-      colors = next
+        .localCheckpoint(eager = true)
+      rounds_ += colors
       out = out.unionAll(colors.withColumn("round", lit(r)))
     }
-    out.select(col("round"), col("node"), col("color"))
+    val result = out.select(col("round"), col("node"), col("color"))
+      .localCheckpoint(eager = true)
+    rounds_.foreach(Dedup.releaseCheckpoint)
+    adj.unpersist(blocking = false)
+    result
   }
 
   /** Neighborhood Jaccard similarity for EXISTING edges — the

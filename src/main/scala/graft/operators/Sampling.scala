@@ -293,7 +293,8 @@ object Sampling {
     * @param b      replicate count
     * @param lo     order-statistic depth for the interval (default 1:
     *               with b=40 that is the 2nd smallest / 2nd largest,
-    *               a ~95% percentile interval)
+    *               the ~5th/~95th percentile, a ~90% central
+    *               interval; lo=0 with b=40 gives ~95%)
     * @return one row: (b, n_full, mean_full, ci_lo, ci_hi)
     */
   def bootstrapCi(df: DataFrame, idCol: String, cents: Column,

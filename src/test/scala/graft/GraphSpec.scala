@@ -453,6 +453,28 @@ class GraphSpec extends SparkSpec {
     r(2).getDouble(2) shouldBe 1.0
   }
 
+  test("katzCentrality: hub walk counts saturate at satCap, never wrap") {
+    import spark.implicits._
+    // star with 6 leaves: hub w1 = 6, leaves w1 = 1;
+    // w2(hub) = 6, w2(leaf) = 6. With satCap = 4 the hub clamps to 4
+    // each round, so w2(leaf) = w1(hub clamped) = 4.
+    val e = (1L to 6L).map(l => (0L, l)).toDF("s", "d")
+    val r = Graph.katzCentrality(e, "s", "d", rounds = 2, satCap = 4L)
+      .orderBy("node").collect()
+    r(0).getLong(1) shouldBe 4L // hub: clamped both rounds
+    r(0).getDouble(2) shouldBe (4.0 / 2 + 4.0 / 4)
+    (1 to 6).foreach { i =>
+      r(i).getLong(1) shouldBe 4L // leaf round-2 sees the clamped hub
+      r(i).getDouble(2) shouldBe (1.0 / 2 + 4.0 / 4)
+    }
+    // default cap is inert on a safe fixture: identical to the exact path
+    val exact = Graph.katzCentrality(e, "s", "d", rounds = 2)
+      .orderBy("node").collect()
+    exact(0).getLong(1) shouldBe 6L
+    exact(1).getLong(1) shouldBe 6L
+    exact(0).getDouble(2) shouldBe (6.0 / 2 + 6.0 / 4)
+  }
+
   test("closenessCentrality: path graph distances and horizon cut") {
     import spark.implicits._
     // path 1-2-3-4: from seed 1, dists 0,1,2,3 -> closeness 3/6
