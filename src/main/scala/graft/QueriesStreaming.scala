@@ -9,6 +9,50 @@ import graft.streaming.EventPipeline
   * MemoryStream); batch execution makes them DuckDB-comparable. */
 object QueriesStreaming {
 
+  /** Write each frame as ONE parquet data file under `dir` with
+    * strictly increasing mtimes — FileStreamSource consumes
+    * pre-existing files in modification-time order, so this pins the
+    * batch order deterministically. Stamping mtimes explicitly
+    * replaces the former 200 ms-per-file spacing sleeps (a pure
+    * fixed cost, ~1 s per lifecycle row) with zero waiting; stamps
+    * are in the recent past so they can never tie or lead a later
+    * write on any filesystem granularity. */
+  private def writeOrderedFiles(frames: Seq[DataFrame], dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val stageRoot = java.nio.file.Files.createTempDirectory("graft_stage")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val t0 = System.currentTimeMillis() - (frames.size + 1) * 1000L
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val stage = stageRoot.resolve(s"s$i")
+      f.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"no part file written for ordered frame $i"))
+      val dest = java.nio.file.Paths.get(dir, f"f$i%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+    }
+  }
+
+  /** Run `body` with spark.sql.shuffle.partitions lowered to `n`,
+    * restoring the session value after. The multi-trigger lifecycle
+    * rows pay per-batch fixed costs proportional to the state/sink
+    * partition count (measured as task-deser seconds in the bench
+    * attrib map: 32 partitions × ~6 micro-batches = hundreds of tiny
+    * tasks); their aggregates are exact (counts/cents/min/max/dedup),
+    * so the partition count never reaches the gate hash. At real
+    * scale the caller sizes this to data; the sf0.1 fixture's
+    * micro-batches are KB-sized. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   // --------------------------------------------------------------- q27
   /** Tumbling 1-hour windowed counts per event type. */
   private def q27Window(s: SparkSession, dir: String): DataFrame =
@@ -111,15 +155,20 @@ object QueriesStreaming {
       keys = Seq("l_returnflag", "l_linestatus"),
       counts = Seq("n_items"), sums = Seq("sum_qty"),
       mins = Seq("min_price"), maxs = Seq("max_price"))
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(deltaDir)
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch(refresh)
-      .start()
-    if (!q.awaitTermination(180000L))
-      throw new IllegalStateException("incremental refresh stream timed out")
+    // only the micro-batch loop runs at reduced partitions (the
+    // per-batch merges are aggregate-sized); the base publish above
+    // keeps the session's full scan/agg parallelism
+    withShufflePartitions(s, 4) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(refresh)
+        .start()
+      if (!q.awaitTermination(180000L))
+        throw new IllegalStateException("incremental refresh stream timed out")
+    }
     // gate shape: the exact decimal sum leaves as BIGINT cents (r5
     // adjudication — the driver's hasher rejects decimal128 sums even
     // when bit-identical; q91/q140 keep the decimal-typed coverage)
@@ -152,11 +201,14 @@ object QueriesStreaming {
     * legitimate first arrival. The gate output is payload-free
     * (per-bucket distinct-key census), so WHICH physical copy
     * survived — an arrival-order artifact — never reaches the hash.
-    * Files are written as sequential jobs because FileStreamSource
-    * orders by modification time (a bulk write ties arbitrarily).
+    * Quarter files get explicitly stamped ascending mtimes because
+    * FileStreamSource orders by modification time (a bulk write ties
+    * arbitrarily — a later-quarter file consumed first would put
+    * earlier quarters behind the watermark and drop them).
     * The 100 TB point: dedup state is bounded by the watermark
     * horizon, not stream history. */
-  private def q175StreamDedup(s: SparkSession, dir: String): DataFrame = {
+  private def q175StreamDedup(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 4) {
     import graft.streaming.EventPipeline
     val work = java.nio.file.Files.createTempDirectory("graft_sdd")
     val deltaDir = work.resolve("delta").toString
@@ -165,27 +217,16 @@ object QueriesStreaming {
     val ev0 = Tables.load(s, dir, "events")
       .select(col("event_id").as("k"), col("ts"))
     val ev = ev0.unionAll(ev0)
-    // four files written as SEQUENTIAL jobs: FileStreamSource orders
-    // pre-existing files by modification time, and one bulk write
-    // leaves tie-broken mtimes in arbitrary order — a later-quarter
-    // file consumed first would put earlier quarters behind the
-    // watermark and drop them. Fixed calendar boundaries keep the
-    // split deterministic; the sleep forces distinct mtimes even on
-    // coarse-granularity filesystems.
     // boundaries INSIDE the fixture's span (events run through
     // January 2024 at every sf) so all four quarters are non-empty
     // and the multi-batch watermark advance actually exercises
     val bounds = Seq("2024-01-08", "2024-01-15", "2024-01-22")
       .map(b => lit(b).cast("timestamp"))
-    val quarters = Seq(
+    writeOrderedFiles(Seq(
       ev.filter(col("ts") < bounds(0)),
       ev.filter(col("ts") >= bounds(0) && col("ts") < bounds(1)),
       ev.filter(col("ts") >= bounds(1) && col("ts") < bounds(2)),
-      ev.filter(col("ts") >= bounds(2)))
-    quarters.foreach { q =>
-      q.coalesce(1).write.mode("append").parquet(deltaDir)
-      Thread.sleep(200L) // ms-granularity mtimes: keep file order strict
-    }
+      ev.filter(col("ts") >= bounds(2))), deltaDir)
     val schema = s.read.parquet(deltaDir).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(deltaDir)
@@ -202,7 +243,7 @@ object QueriesStreaming {
       .groupBy((col("k") % 25).as("bucket"))
       .agg(count(lit(1)).as("n_keys"))
       .orderBy(col("bucket"))
-  }
+    }
 
   private val q175Sql =
     """SELECT event_id % 25 AS bucket, count(DISTINCT event_id) AS n_keys
@@ -218,7 +259,8 @@ object QueriesStreaming {
     * oracle replays the identical integer recurrence in batch via the
     * q207 reflection closed form — streaming state carry and batch
     * windows must land on the same alarm set. */
-  private def q222StreamCusum(s: SparkSession, dir: String): DataFrame = {
+  private def q222StreamCusum(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 4) {
     import graft.streaming.EventPipeline
     val work = java.nio.file.Files.createTempDirectory("graft_scu")
     val deltaDir = work.resolve("delta").toString
@@ -229,15 +271,11 @@ object QueriesStreaming {
         col("event_type"), col("value"))
     val bounds = Seq("2024-01-08", "2024-01-15", "2024-01-22")
       .map(b => lit(b).cast("timestamp"))
-    val quarters = Seq(
+    writeOrderedFiles(Seq(
       ev0.filter(col("ts") < bounds(0)),
       ev0.filter(col("ts") >= bounds(0) && col("ts") < bounds(1)),
       ev0.filter(col("ts") >= bounds(1) && col("ts") < bounds(2)),
-      ev0.filter(col("ts") >= bounds(2)))
-    quarters.foreach { q =>
-      q.coalesce(1).write.mode("append").parquet(deltaDir)
-      Thread.sleep(200L) // ms-granularity mtimes: keep file order strict
-    }
+      ev0.filter(col("ts") >= bounds(2))), deltaDir)
     val schema = s.read.parquet(deltaDir).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(deltaDir)
@@ -258,7 +296,7 @@ object QueriesStreaming {
         min(col("event_id")).as("first_eid"),
         max(col("event_id")).as("last_eid"))
       .orderBy(col("user_id"))
-  }
+    }
 
   private val q222Sql =
     """WITH b AS (
@@ -293,7 +331,8 @@ object QueriesStreaming {
     * neither sentinel window can itself finalize and both fall to the
     * < Feb filter. Oracle = the same join/agg in batch over the raw
     * events. */
-  private def q194StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+  private def q194StreamEnrich(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 4) {
     import graft.streaming.EventPipeline
     val work = java.nio.file.Files.createTempDirectory("graft_sse")
     val deltaDir = work.resolve("delta").toString
@@ -303,22 +342,16 @@ object QueriesStreaming {
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     val bounds = Seq("2024-01-08", "2024-01-15", "2024-01-22")
       .map(b => lit(b).cast("timestamp"))
-    val quarters = Seq(
+    def sentinel(d: String): DataFrame =
+      s.range(1).select(lit(-1L).as("event_id"),
+        lit(d).cast("timestamp").as("ts"), lit(0L).as("user_id"),
+        lit(0.0).as("value"))
+    writeOrderedFiles(Seq(
       ev.filter(col("ts") < bounds(0)),
       ev.filter(col("ts") >= bounds(0) && col("ts") < bounds(1)),
       ev.filter(col("ts") >= bounds(1) && col("ts") < bounds(2)),
-      ev.filter(col("ts") >= bounds(2)))
-    quarters.foreach { q =>
-      q.coalesce(1).write.mode("append").parquet(deltaDir)
-      Thread.sleep(200L) // ms-granularity mtimes: keep file order strict
-    }
-    Seq("2024-02-15", "2024-03-01").foreach { d =>
-      s.range(1).select(lit(-1L).as("event_id"),
-          lit(d).cast("timestamp").as("ts"), lit(0L).as("user_id"),
-          lit(0.0).as("value"))
-        .coalesce(1).write.mode("append").parquet(deltaDir)
-      Thread.sleep(200L)
-    }
+      ev.filter(col("ts") >= bounds(2)),
+      sentinel("2024-02-15"), sentinel("2024-03-01")), deltaDir)
     val cust = Tables.load(s, dir, "customer")
     val n = cust.count()
     val schema = s.read.parquet(deltaDir).schema
@@ -336,7 +369,7 @@ object QueriesStreaming {
     s.read.parquet(outDir)
       .filter(col("window_start") < lit("2024-02-01").cast("timestamp"))
       .orderBy(col("window_start"), col("c_mktsegment"))
-  }
+    }
 
   private val q194Sql =
     """WITH nn AS (SELECT count(*) AS n FROM customer),
