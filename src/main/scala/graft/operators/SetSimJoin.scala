@@ -192,23 +192,33 @@ object SetSimJoin {
     * shuffle on term for the dot join; the norm table is |docs|-sized,
     * shuffle-joined.
     * @return (id_a, id_b, dot, n2_a, n2_b, cosine) */
+  /** The (doc, term, tf) table tfCosinePairs blocks and scores over —
+    * exposed so the scale stanza (R7Smoke) measures candidate bounds
+    * on the REAL stage, not a reimplementation. */
+  private[graft] def tfTerms(docs: DataFrame, idCol: String,
+      textCol: String, ngramN: Int): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        explode(graft.functions.TextAnalysis
+          .wordNgrams(col(textCol), ngramN)).as("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Blocking keys: terms with 2 ≤ df ≤ maxDf (df column retained for
+    * the stanza's Σ C(df,2) candidate bound). */
+  private[graft] def rareTerms(tf: DataFrame, maxDf: Int): DataFrame =
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+
   def tfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
       maxDf: Int, ngramN: Int = 1): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf)")
     require(ngramN >= 1, s"ngramN must be >= 1 (got $ngramN)")
-    val terms =
-      graft.functions.TextAnalysis.wordNgrams(col(textCol), ngramN)
     // tf feeds four consumers (rare terms, candidates, norms, both
     // dot sides) — persist once or the n-gram tokenization reruns 4×
-    val tf = docs.select(col(idCol).as("__id"),
-        explode(terms).as("term"))
-      .groupBy(col("__id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = tfTerms(docs, idCol, textCol, ngramN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val rare = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-      .select(col("term"))
+    val rare = rareTerms(tf, maxDf).select(col("term"))
     val cand = tf.join(rare, Seq("term"))
       .select(col("term"), col("__id"))
     val pairs = cand.select(col("term"), col("__id").as("id_a"))
