@@ -4188,6 +4188,139 @@ object QueriesAnalytics {
       |FROM rt LEFT JOIN apn ON apn.qw = rt.qw
       |ORDER BY rt.qw""".stripMargin
 
+  // -------------------------------------------------------------- q364
+  /** NDCG@10 retrieval evaluation (Evaluation.ndcgAtK) over the q325
+    * query fixture with GRADED relevance (intent-word tf capped at 3):
+    * docs ranked by query-word tf (ties by id), DCG/IDCG fold SORTED
+    * log2-discounted terms (q60 rule), and all three score columns
+    * leave as micro-unit BIGINTs (the q60/q83/q132 pattern) so the
+    * log2 surface never reaches the driver hash as a raw double. */
+  private def q364NdcgAtK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(("join", "hash"), ("scan", "filter"),
+      ("stream", "window"), ("merge", "order"), ("vector", "column"))
+      .toDF("qw", "rw")
+    val d = Tables.load(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("tk"))
+    val sc = d.crossJoin(broadcast(qs))
+      .select(col("qw"), col("doc_id"),
+        size(filter(col("tk"), x => x === col("qw"))).cast("long")
+          .as("tf1"),
+        least(size(filter(col("tk"), x => x === col("rw")))
+          .cast("long"), lit(3L)).as("rel"))
+      .filter(col("tf1") > 0)
+    def micro(c: Column): Column = round(c * lit(1e6)).cast("long")
+    graft.operators.Evaluation
+      .ndcgAtK(sc, "qw", col("tf1"), col("doc_id"), col("rel"), k = 10)
+      .select(col("qw"), col("n_ranked"), col("n_rel"),
+        micro(col("dcg")).as("dcg_micro"),
+        micro(col("idcg")).as("idcg_micro"),
+        micro(col("ndcg")).as("ndcg_micro"))
+      .orderBy(col("qw"))
+  }
+
+  private val q364Sql =
+    """WITH q(qw, rw) AS (VALUES ('join', 'hash'), ('scan', 'filter'),
+      |  ('stream', 'window'), ('merge', 'order'), ('vector', 'column')),
+      |d AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents WHERE trim(text) != ''),
+      |sc AS (
+      |  SELECT q.qw, d.doc_id,
+      |    CAST(len(list_filter(tk, x -> x = q.qw)) AS BIGINT) AS tf1,
+      |    least(CAST(len(list_filter(tk, x -> x = q.rw)) AS BIGINT), 3)
+      |      AS rel
+      |  FROM d CROSS JOIN q),
+      |cand AS (SELECT * FROM sc WHERE tf1 > 0),
+      |rk AS (
+      |  SELECT qw, doc_id, rel,
+      |    row_number() OVER (PARTITION BY qw ORDER BY tf1 DESC, doc_id)
+      |      AS k
+      |  FROM cand),
+      |dcg AS (
+      |  SELECT qw, count(*) AS n_ranked,
+      |    list_aggregate(list_sort(list(
+      |      CAST(rel AS DOUBLE) / log2(CAST(k AS DOUBLE) + 1.0))),
+      |      'sum') AS dcg
+      |  FROM rk WHERE k <= 10 GROUP BY 1),
+      |ik AS (
+      |  SELECT qw, rel,
+      |    row_number() OVER (PARTITION BY qw ORDER BY rel DESC, doc_id)
+      |      AS k
+      |  FROM cand WHERE rel > 0),
+      |idcg AS (
+      |  SELECT qw, count(*) AS n_rel,
+      |    list_aggregate(list_sort(list(
+      |      CAST(rel AS DOUBLE) / log2(CAST(k AS DOUBLE) + 1.0))),
+      |      'sum') AS idcg
+      |  FROM ik WHERE k <= 10 GROUP BY 1)
+      |SELECT dcg.qw, dcg.n_ranked, coalesce(idcg.n_rel, 0) AS n_rel,
+      |  CAST(round(dcg.dcg * 1e6) AS BIGINT) AS dcg_micro,
+      |  CAST(round(coalesce(idcg.idcg, 0.0) * 1e6) AS BIGINT)
+      |    AS idcg_micro,
+      |  CASE WHEN idcg.idcg > 0.0 THEN
+      |    CAST(round(dcg.dcg / idcg.idcg * 1e6) AS BIGINT) END
+      |    AS ndcg_micro
+      |FROM dcg LEFT JOIN idcg ON idcg.qw = dcg.qw
+      |ORDER BY dcg.qw""".stripMargin
+
+  // -------------------------------------------------------------- q365
+  /** Reciprocal rank @10 (Evaluation.reciprocalRankAtK), EXACT: same
+    * fixture and ranking as q325; the first relevant rank r emits the
+    * INTEGER 2520/r (lcm(1..10)) so per-query rr and corpus MRR are
+    * single divisions of exact integers — the rank metric needs no
+    * micro scaling at all. */
+  private def q365MrrAtK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(("join", "hash"), ("scan", "filter"),
+      ("stream", "window"), ("merge", "order"), ("vector", "column"))
+      .toDF("qw", "rw")
+    val d = Tables.load(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("tk"))
+    val sc = d.crossJoin(broadcast(qs))
+      .select(col("qw"), col("doc_id"),
+        size(filter(col("tk"), x => x === col("qw"))).cast("long")
+          .as("tf1"),
+        when(array_contains(col("tk"), col("rw")), 1L).otherwise(0L)
+          .as("rel"))
+      .filter(col("tf1") > 0)
+    graft.operators.Evaluation
+      .reciprocalRankAtK(sc, "qw", col("tf1"), col("doc_id"),
+        col("rel"), k = 10)
+      .orderBy(col("qw"))
+  }
+
+  private val q365Sql =
+    """WITH q(qw, rw) AS (VALUES ('join', 'hash'), ('scan', 'filter'),
+      |  ('stream', 'window'), ('merge', 'order'), ('vector', 'column')),
+      |d AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents WHERE trim(text) != ''),
+      |sc AS (
+      |  SELECT q.qw, d.doc_id,
+      |    CAST(len(list_filter(tk, x -> x = q.qw)) AS BIGINT) AS tf1,
+      |    CASE WHEN list_contains(tk, q.rw) THEN 1 ELSE 0 END AS rel
+      |  FROM d CROSS JOIN q),
+      |rk AS (
+      |  SELECT qw, doc_id, rel,
+      |    CAST(row_number() OVER (PARTITION BY qw
+      |      ORDER BY tf1 DESC, doc_id) AS BIGINT) AS k
+      |  FROM sc WHERE tf1 > 0)
+      |SELECT qw,
+      |  min(CASE WHEN rel > 0 THEN k END) AS first_rank,
+      |  coalesce(2520 // min(CASE WHEN rel > 0 THEN k END), 0)
+      |    AS rr_num,
+      |  CAST(coalesce(2520 // min(CASE WHEN rel > 0 THEN k END), 0)
+      |    AS DOUBLE) / 2520.0 AS rr
+      |FROM rk WHERE k <= 10
+      |GROUP BY qw ORDER BY qw""".stripMargin
+
   // -------------------------------------------------------------- q326
   /** Brier score + per-decile calibration gaps, all-integer: a
     * deterministic hash "model" scores each event with p ∈ {0..99}%
@@ -5512,6 +5645,8 @@ object QueriesAnalytics {
     "q307_bootstrap_ci" -> (q307BootstrapCi _),
     "q308_ols2" -> (q308Ols2 _),
     "q303_pass_at_k" -> (q303PassAtK _),
+    "q364_ndcg_at_k" -> (q364NdcgAtK _),
+    "q365_mrr_at_k" -> (q365MrrAtK _),
     "q304_ab_ztest" -> (q304AbTest _),
     "q301_decayed_sum" -> (q301DecayedSum _),
     "q300_hilbert_range" -> (q300HilbertRange _),
@@ -5630,6 +5765,8 @@ object QueriesAnalytics {
     "q307_bootstrap_ci" -> q307Sql,
     "q308_ols2" -> q308Sql,
     "q303_pass_at_k" -> q303Sql,
+    "q364_ndcg_at_k" -> q364Sql,
+    "q365_mrr_at_k" -> q365Sql,
     "q304_ab_ztest" -> q304Sql,
     "q301_decayed_sum" -> q301Sql,
     "q300_hilbert_range" -> q300Sql,

@@ -746,4 +746,85 @@ object Evaluation {
         col("diff_raw") - col("theta") * col("__diff_x"))
       .drop("__diff_x")
   }
+
+  /** NDCG@k per query (Järvelin & Kekäläinen 2002): rank candidates
+    * by (orderCol desc, tieCol asc), DCG@k = Σ_{i≤k} rel_i/log2(i+1),
+    * IDCG@k = the same sum over relevance sorted descending, NDCG =
+    * DCG/IDCG (NULL when the query has no relevant docs). The one
+    * exception to this object's "no log in any output" rule — the
+    * log2 discount IS the metric — so both fold sums run over SORTED
+    * term lists (the q60 rule) and gate rows emit micro-unit BIGINTs
+    * (the q60/q83/q132 pattern) rather than raw doubles.
+    *
+    * Exactness notes: ideal-ranking ties are harmless (equal rel ⇒
+    * equal terms, any tie order gives the same sum); per-query term
+    * lists are ≤ k elements, collected per group — never the corpus.
+    * Scale: two windows PARTITIONED by query (parallel across
+    * queries), one k-bounded aggregate.
+    *
+    * @param relCol non-negative integral graded relevance
+    * @return per query: (queryCol, n_ranked, n_rel, dcg, idcg, ndcg) */
+  def ndcgAtK(df: DataFrame, queryCol: String, orderCol: Column,
+      tieCol: Column, relCol: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k ($k) out of [1, 1000]")
+    val base = df.select(col(queryCol), orderCol.as("__s"),
+      tieCol.as("__t"), relCol.cast("long").as("__rel"))
+      .persist(StorageLevel.MEMORY_ONLY)
+    try {
+      val wRank = Window.partitionBy(col(queryCol))
+        .orderBy(col("__s").desc, col("__t"))
+      val wIdeal = Window.partitionBy(col(queryCol))
+        .orderBy(col("__rel").desc, col("__t"))
+      def discounted(rank: Column): Column =
+        col("__rel").cast("double") / log2(rank.cast("double") + lit(1.0))
+      val sortedSum = (c: Column) =>
+        aggregate(sort_array(c), lit(0.0), _ + _)
+      val dcg = base
+        .withColumn("__k", row_number().over(wRank))
+        .filter(col("__k") <= k)
+        .groupBy(col(queryCol))
+        .agg(count(lit(1)).as("n_ranked"),
+          sortedSum(collect_list(discounted(col("__k")))).as("dcg"))
+      val idcg = base.filter(col("__rel") > 0L)
+        .withColumn("__k", row_number().over(wIdeal))
+        .filter(col("__k") <= k)
+        .groupBy(col(queryCol))
+        .agg(count(lit(1)).as("n_rel"),
+          sortedSum(collect_list(discounted(col("__k")))).as("idcg"))
+      dcg.join(idcg, Seq(queryCol), "left_outer")
+        .select(col(queryCol), col("n_ranked"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          col("dcg"), coalesce(col("idcg"), lit(0.0)).as("idcg"),
+          when(col("idcg") > 0.0, col("dcg") / col("idcg")).as("ndcg"))
+        .localCheckpoint(eager = true)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Reciprocal rank @k per query, EXACT: rank candidates by
+    * (orderCol desc, tieCol asc); the first relevant rank r ≤ k
+    * contributes 1/r, restated as the INTEGER 2520/r (2520 =
+    * lcm(1..10), the q325 trick — so k ≤ 10), over the constant
+    * denominator 2520. MRR is then Σ rr_num / (2520·|Q|) — queries
+    * with no relevant doc in the top k contribute rr_num = 0 but
+    * still count in |Q|, per the standard definition. The emitted
+    * `rr` is one division of exact integers — bit-stable, no micro
+    * scaling needed. Scale: one query-partitioned window, k-bounded.
+    *
+    * @return per query: (queryCol, first_rank, rr_num, rr) */
+  def reciprocalRankAtK(df: DataFrame, queryCol: String,
+      orderCol: Column, tieCol: Column, relCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 10, s"k ($k) out of [1, 10] (lcm base 2520)")
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("__s").desc, col("__t"))
+    df.select(col(queryCol), orderCol.as("__s"), tieCol.as("__t"),
+        relCol.cast("long").as("__rel"))
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .filter(col("__k") <= k)
+      .groupBy(col(queryCol))
+      .agg(min(when(col("__rel") > 0L, col("__k"))).as("first_rank"))
+      .select(col(queryCol), col("first_rank"),
+        coalesce(expr("2520 div first_rank"), lit(0L)).as("rr_num"))
+      .withColumn("rr", col("rr_num").cast("double") / lit(2520.0))
+  }
 }

@@ -732,6 +732,48 @@ class AnalyticsSpec extends SparkSpec {
     got(2).getDouble(5) shouldBe 0.0 // C(3,2)/C(3,2)
   }
 
+  test("ndcgAtK: hand-computed graded DCG/IDCG, no-relevant NULL") {
+    import graft.operators.Evaluation
+    // query A ranked by score desc: d1(rel 3), d2(rel 0), d3(rel 1)
+    // DCG@3  = 3/log2(2) + 0 + 1/log2(4) = 3.5
+    // IDCG@3 = 3/log2(2) + 1/log2(3)
+    // query B: no relevant docs -> idcg 0, ndcg NULL
+    val df = Seq(("A", 1L, 10L, 3L), ("A", 2L, 9L, 0L),
+      ("A", 3L, 8L, 1L), ("B", 4L, 5L, 0L))
+      .toDF("q", "id", "score", "rel")
+    val got = Evaluation.ndcgAtK(df, "q", col("score"), col("id"),
+      col("rel"), k = 3).orderBy("q").collect()
+    got(0).getLong(1) shouldBe 3L // n_ranked
+    got(0).getLong(2) shouldBe 2L // n_rel
+    got(0).getDouble(3) shouldBe 3.5 +- 1e-12
+    val idcg = 3.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    got(0).getDouble(4) shouldBe idcg +- 1e-12
+    got(0).getDouble(5) shouldBe (3.5 / idcg) +- 1e-12
+    got(1).getLong(2) shouldBe 0L
+    got(1).isNullAt(5) shouldBe true
+    // partitioning invariance: exact same bits either way
+    Evaluation.ndcgAtK(df.repartition(7), "q", col("score"), col("id"),
+        col("rel"), k = 3).orderBy("q").collect().map(_.getDouble(3))
+      .toSeq shouldBe got.map(_.getDouble(3)).toSeq
+  }
+
+  test("reciprocalRankAtK: first relevant rank, lcm numerator, miss=0") {
+    import graft.operators.Evaluation
+    // query A: relevant first appears at rank 3 -> rr_num 2520/3 = 840
+    // query B: no relevant in top-k -> first_rank NULL, rr_num 0
+    val df = Seq(("A", 1L, 10L, 0L), ("A", 2L, 9L, 0L),
+      ("A", 3L, 8L, 1L), ("B", 4L, 5L, 0L))
+      .toDF("q", "id", "score", "rel")
+    val got = Evaluation.reciprocalRankAtK(df, "q", col("score"),
+      col("id"), col("rel"), k = 10).orderBy("q").collect()
+    got(0).getLong(1) shouldBe 3L
+    got(0).getLong(2) shouldBe 840L
+    got(0).getDouble(3) shouldBe (840.0 / 2520.0)
+    got(1).isNullAt(1) shouldBe true
+    got(1).getLong(2) shouldBe 0L
+    got(1).getDouble(3) shouldBe 0.0
+  }
+
   test("twoProportionZ: symmetric arms z=0, degenerate NULL") {
     import graft.operators.Evaluation
     val df = Seq((true, true), (true, false), (false, true),
