@@ -2167,7 +2167,55 @@ object QueriesCorpus {
       |  ON e.rank > ec.ecum - ec.cnt AND e.rank <= ec.ecum
       |ORDER BY e.q""".stripMargin
 
+  // -------------------------------------------------------------- q366
+  /** Zipf rank-frequency exponent (Vocab.zipfSlope): OLS slope of
+    * ln f on ln r over the top-200 tokens — the corpus power-law
+    * diagnostic completing the Heaps (q279) / Good–Turing (q344)
+    * trio. Ranks tie-break by token, every log sum folds a SORTED
+    * 200-element list (q60 rule), and the fit leaves as micro-unit
+    * BIGINTs (the q60/q83/q132 pattern) so the ln surface never
+    * reaches the driver hash raw. */
+  private def q366ZipfSlope(s: SparkSession, dir: String): DataFrame =
+    Vocab.zipfSlope(docs(s, dir), "text", nRanks = 200)
+      .select(col("n"),
+        round(col("slope") * lit(1e6)).cast("long").as("slope_micro"),
+        round(col("intercept") * lit(1e6)).cast("long")
+          .as("intercept_micro"))
+
+  private val q366Sql =
+    """WITH raw AS (
+      |  SELECT unnest(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok0
+      |  FROM documents),
+      |tf AS (SELECT lower(tok0) AS tok, count(*) AS f FROM raw
+      |       GROUP BY 1),
+      |top AS (SELECT tok, f FROM tf ORDER BY f DESC, tok LIMIT 200),
+      |rk AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)
+      |      AS r,
+      |    CAST(f AS DOUBLE) AS f
+      |  FROM top),
+      |xy AS (SELECT ln(r) AS x, ln(f) AS y FROM rk),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    list_aggregate(list_sort(list(x)), 'sum') AS sx,
+      |    list_aggregate(list_sort(list(y)), 'sum') AS sy,
+      |    list_aggregate(list_sort(list(x * y)), 'sum') AS sxy,
+      |    list_aggregate(list_sort(list(x * x)), 'sum') AS sxx
+      |  FROM xy),
+      |fit AS (
+      |  SELECT n, sx, sy,
+      |    (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |      / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+      |  FROM s)
+      |SELECT n,
+      |  CAST(round(slope * 1e6) AS BIGINT) AS slope_micro,
+      |  CAST(round((sy - slope * sx) / CAST(n AS DOUBLE) * 1e6)
+      |    AS BIGINT) AS intercept_micro
+      |FROM fit""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_zipf_slope" -> (q366ZipfSlope _),
     "q358_ddsketch_audit" -> (q358DdsketchAudit _),
     "q344_good_turing" -> (q344GoodTuring _),
     "q328_phrase_search" -> (q328PhraseSearch _),
@@ -2217,6 +2265,7 @@ object QueriesCorpus {
 
   val oracles: Map[String, String] = Map(
     "q358_ddsketch_audit" -> q358Sql,
+    "q366_zipf_slope" -> q366Sql,
     "q344_good_turing" -> q344Sql,
     "q328_phrase_search" -> q328Sql,
     "q314_novelty" -> q314Sql,

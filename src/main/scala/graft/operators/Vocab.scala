@@ -33,6 +33,57 @@ object Vocab {
       .limit(vocabSize)
   }
 
+  /** Zipf power-law fit (Zipf 1949): OLS slope of ln f against ln r
+    * over the top `nRanks` rank-frequency points — the corpus
+    * diagnostic beside Heaps' law (vocab growth) and Good–Turing
+    * (unseen mass): natural corpora slope ≈ −1; a much flatter slope
+    * flags template/boilerplate floods, a steeper one vocabulary
+    * collapse.
+    *
+    * Determinism: ranks tie-break by token; the top-N cut is a
+    * TakeOrdered (no global window — the vocab table never sorts
+    * whole); every log-sum folds a SORTED bounded list (q60 rule), so
+    * slope/intercept are reproducible doubles whose only cross-engine
+    * hazard is libm last-ulps — gate rows emit micro-units.
+    * Scale: one token-count aggregate + a top-nRanks heap; the fit
+    * runs on ≤ nRanks rows.
+    *
+    * @return one row: (n, slope, intercept) — slope of ln f on ln r */
+  def zipfSlope(df: DataFrame, textCol: String, nRanks: Int): DataFrame = {
+    require(nRanks >= 3 && nRanks <= 10000,
+      s"nRanks ($nRanks) out of [3, 10000]")
+    val top = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok0"))
+      .select(lower(col("tok0")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(nRanks)
+    // rank without a window: the ≤ nRanks survivors collect into one
+    // sorted array ((-f, tok) ascending = (f desc, tok asc)) and
+    // posexplode — bounded by contract
+    val ranked = top
+      .agg(sort_array(collect_list(struct((-col("f")).as("nf"),
+        col("tok").as("tok")))).as("__a"))
+      .select(posexplode(col("__a")))
+      .select((col("pos") + 1).cast("double").as("r"),
+        (-col("col.nf")).cast("double").as("f"))
+      .select(log(col("r")).as("x"), log(col("f")).as("y"))
+    val fold = (c: Column) =>
+      aggregate(sort_array(c), lit(0.0), _ + _)
+    ranked
+      .agg(count(lit(1)).as("n"),
+        fold(collect_list(col("x"))).as("sx"),
+        fold(collect_list(col("y"))).as("sy"),
+        fold(collect_list(col("x") * col("y"))).as("sxy"),
+        fold(collect_list(col("x") * col("x"))).as("sxx"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("sx"), col("sy"))
+      .select(col("n"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n"))
+          .as("intercept"))
+  }
+
   /** Per-document OOV profile against `vocab` (any frame with a
     * `token` column, e.g. topVocab's output): (idCol, n_tokens, n_oov,
     * oov_rate). The rate is an integer ratio — partition-order

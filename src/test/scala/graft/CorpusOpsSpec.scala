@@ -440,6 +440,23 @@ class CorpusOpsSpec extends SparkSpec {
     voc.toSeq shouldBe Seq(("a", 3L), ("b", 3L), ("c", 2L))
   }
 
+  test("zipfSlope: exact -1 on a synthetic 1/r corpus, ties ranked " +
+      "by token") {
+    // frequencies 12, 6, 4, 3 at ranks 1..4: f = 12/r exactly, so
+    // ln f = ln 12 − ln r and the OLS slope is exactly −1 up to float
+    // fold noise; intercept ≈ ln 12
+    val text = ("a " * 12) + ("b " * 6) + ("c " * 4) + ("d " * 3)
+    val docs = Seq((1L, text.trim)).toDF("doc_id", "text")
+    val r = Vocab.zipfSlope(docs, "text", nRanks = 4).head()
+    r.getLong(0) shouldBe 4L
+    r.getDouble(1) shouldBe -1.0 +- 1e-12
+    r.getDouble(2) shouldBe math.log(12.0) +- 1e-12
+    // partitioning invariance: the folds are sorted, bits identical
+    val many = (1L to 8L).map(i => (i, text.trim)).toDF("doc_id", "text")
+    Vocab.zipfSlope(many, "text", 4).head().getDouble(1) shouldBe
+      Vocab.zipfSlope(many.repartition(5), "text", 4).head().getDouble(1)
+  }
+
   test("oov stats count tokens outside the vocabulary") {
     val docs = Seq((1L, "a b oovy a"), (2L, "zed zed")).toDF("doc_id", "text")
     val voc = Seq("a", "b").toDF("token")
