@@ -128,13 +128,58 @@ object QueriesMultimodal {
       |  nb AS n_bytes
       |FROM f ORDER BY doc_id, idx""".stripMargin
 
+  // -------------------------------------------------------------- q367
+  /** REAL audio decode end to end (Multimodal.encodeWavPcm16 /
+    * decodeWavPcm16): per-user 16-bit PCM is synthesized
+    * deterministically from events cents (pmod 2¹⁶ − 32768), encoded
+    * into standard RIFF/WAVE blobs per partition, then the REAL
+    * parser walks the container (magic, fmt chunk, data chunk) and
+    * emits exact-integer features (count / peak / Σs²). The oracle
+    * recomputes the features straight from events — the round-trip
+    * pattern (q162/q163) applied to actual media bytes: any header
+    * mis-write, endianness slip, or sample corruption flips the hash.
+    * Unlike q29/q251 (md5-fake decode for the env-bound image/video
+    * codecs), nothing here is stubbed. */
+  private def q367WavDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") <= 500)
+      .select(col("user_id"), col("event_id"),
+        (pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(65536L)) - 32768L).cast("int").as("s"))
+    val pcm = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("s"))))
+        .as("a"))
+      .select(col("user_id").as("doc_id"),
+        expr("transform(a, x -> x.s)").as("samples"))
+      .as[Multimodal.PcmRow]
+    val wav = Multimodal.encodeWavTable(pcm, sampleRate = 8000)
+    Multimodal.wavFeatureTable(wav).toDF().orderBy(col("doc_id"))
+  }
+
+  private val q367Sql =
+    """WITH s AS (
+      |  SELECT user_id AS doc_id,
+      |    ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 65536)
+      |      + 65536) % 65536 - 32768 AS s
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500)
+      |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits_per_sample,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(max(abs(s)) AS INT) AS peak,
+      |  CAST(sum(s * s) AS BIGINT) AS sum_sq
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_features" -> (q29Features _),
     "q251_media_resize" -> (q251MediaResize _),
-    "q323_media_frames" -> (q323MediaFrames _))
+    "q323_media_frames" -> (q323MediaFrames _),
+    "q367_wav_decode" -> (q367WavDecode _))
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal_features" -> q29Sql,
     "q251_media_resize" -> q251Sql,
-    "q323_media_frames" -> q323Sql)
+    "q323_media_frames" -> q323Sql,
+    "q367_wav_decode" -> q367Sql)
 }

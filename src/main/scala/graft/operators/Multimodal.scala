@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * initialization happens once per task, not per row — the Scala analog
   * of a Pandas-UDF/mapInPandas batch.
   *
-  * The decode step is STUBBED (this environment ships no image/audio
+  * IMAGE/VIDEO decode is STUBBED (this environment ships no such
   * codecs): `DeterministicFakeDecoder` derives stable pseudo-metadata
   * from the bytes' md5, so the Spark-side plumbing — schema, partition
   * batch shape, per-partition init, typed output — is real and tested,
   * and the features are oracle-reproducible. Swap in a real decoder by
   * implementing `MediaDecoder.decode` (see `RealCodecDecoder`).
+  * AUDIO decode is REAL: RIFF/WAVE PCM is pure byte arithmetic, so
+  * `encodeWavPcm16`/`decodeWavPcm16` round-trip actual media bytes
+  * end to end (q367 gates the decode against an events-derived
+  * oracle; see the WAV/PCM section below).
   *
   * Scale: feature extraction is map-only over the binary column;
   * `binaryFile` sources should cap `maxPartitionBytes` so a task's batch
@@ -100,6 +104,112 @@ object Multimodal {
   /** Deterministic frame sampling: every `stride`-th frame index. */
   def sampleFrameIndices(nFrames: Int, stride: Int): Seq[Int] =
     (0 until nFrames by math.max(1, stride)).toSeq
+
+  // ------------------------------------------------------------ WAV/PCM
+  // A REAL audio decode path: RIFF/WAVE PCM needs no codec library —
+  // the container is pure byte arithmetic — so unlike the image/video
+  // stub above, this modality round-trips actual bytes end to end.
+
+  case class PcmRow(doc_id: Long, samples: Seq[Int])
+
+  case class WavRow(doc_id: Long, content: Array[Byte])
+
+  case class WavFeatures(doc_id: Long, sample_rate: Int, n_channels: Int,
+      bits_per_sample: Int, n_samples: Long, duration_ms: Long,
+      peak: Int, sum_sq: Long)
+
+  /** Encode 16-bit mono PCM into a standard 44-byte-header WAV blob.
+    * Samples are clamped to int16; little-endian throughout (the RIFF
+    * contract). Pure function — runs inside mapPartitions. */
+  def encodeWavPcm16(samples: Seq[Int], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(1.toShort) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2.toShort)    // block align
+      .putShort(16.toShort)   // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s =>
+      buf.putShort(math.max(-32768, math.min(32767, s)).toShort))
+    buf.array()
+  }
+
+  /** Parse a PCM WAV blob's header and samples; strict on the parts
+    * the features depend on (RIFF/WAVE magic, PCM format code, a
+    * `data` chunk), chunk-walking past any others (LIST/INFO
+    * metadata), honoring the RIFF odd-size pad byte. Throws
+    * IllegalArgumentException with the offending field on malformed
+    * input — a decode error should fail the row loudly, not fabricate
+    * features. Exact-integer features only (count/peak/Σs²), so the
+    * decode is oracle-checkable via the round-trip pattern. */
+  def decodeWavPcm16(bytes: Array[Byte]): WavFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, len: Int) = new String(bytes, off, len, "US-ASCII")
+    require(bytes.length >= 44, s"truncated WAV: ${bytes.length} bytes")
+    require(ascii(0, 4) == "RIFF", s"bad magic ${ascii(0, 4)}")
+    require(ascii(8, 4) == "WAVE", s"bad form type ${ascii(8, 4)}")
+    var off = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (dataOff < 0 || rate < 0)) {
+      val id = ascii(off, 4)
+      val len = buf.getInt(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"chunk $id overruns blob (len $len at $off)")
+      id match {
+        case "fmt " =>
+          require(len >= 16, s"fmt chunk too short ($len)")
+          val fmt = buf.getShort(off + 8).toInt
+          require(fmt == 1, s"not PCM (format $fmt)")
+          channels = buf.getShort(off + 10).toInt
+          rate = buf.getInt(off + 12)
+          bits = buf.getShort(off + 22).toInt
+          require(bits == 16, s"unsupported bit depth $bits")
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => () // LIST/INFO/fact etc: skip
+      }
+      off += 8 + len + (len & 1) // odd chunks carry a pad byte
+    }
+    require(rate > 0, "no fmt chunk")
+    require(dataOff >= 0, "no data chunk")
+    val n = dataLen / 2
+    var i = 0; var peak = 0; var sumSq = 0L
+    while (i < n) {
+      val s = buf.getShort(dataOff + 2 * i).toInt
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s.toLong
+      i += 1
+    }
+    WavFeatures(0L, rate, channels, bits, n.toLong,
+      n.toLong * 1000L / rate, peak, sumSq)
+  }
+
+  /** Per-partition WAV encode: one ByteBuffer per row, no driver
+    * involvement — the write half of the audio plumbing. */
+  def encodeWavTable(rows: Dataset[PcmRow],
+      sampleRate: Int): Dataset[WavRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map(r =>
+      WavRow(r.doc_id, encodeWavPcm16(r.samples, sampleRate))))
+  }
+
+  /** Per-partition WAV decode → exact-integer features. The REAL
+    * decode analog of [[extractFeatures]]: same map-only batch shape,
+    * but the parser actually reads the bytes. */
+  def wavFeatureTable(media: Dataset[WavRow]): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      decodeWavPcm16(r.content).copy(doc_id = r.doc_id)))
+  }
 
   /** Byte-level near-duplicate detection over binary media columns:
     * content bytes are reinterpreted losslessly as a Latin-1 string

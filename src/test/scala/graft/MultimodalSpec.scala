@@ -90,4 +90,57 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     paired shouldBe empty
   }
+
+  test("WAV round trip: encode then decode recovers header fields and " +
+      "exact sample moments") {
+    val samples = Seq(0, 100, -32768, 32767, -5)
+    val bytes = Multimodal.encodeWavPcm16(samples, sampleRate = 8000)
+    bytes.length shouldBe 44 + 10
+    val f = Multimodal.decodeWavPcm16(bytes)
+    f.sample_rate shouldBe 8000
+    f.n_channels shouldBe 1
+    f.bits_per_sample shouldBe 16
+    f.n_samples shouldBe 5L
+    f.duration_ms shouldBe 0L // 5 samples at 8 kHz
+    f.peak shouldBe 32768
+    f.sum_sq shouldBe (100L * 100 + 32768L * 32768 + 32767L * 32767 + 25L)
+  }
+
+  test("WAV decode walks unknown chunks (with RIFF odd-size padding) " +
+      "to find fmt/data") {
+    // hand-build: RIFF [LIST len=3 +pad] [fmt ] [data]
+    val inner = Multimodal.encodeWavPcm16(Seq(7, -7), 44100)
+    val fmtAndData = inner.drop(12) // the fmt + data chunks
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // 3 + pad
+    val body = listChunk ++ fmtAndData
+    val hdr = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WAVE".getBytes("US-ASCII")).array()
+    val f = Multimodal.decodeWavPcm16(hdr ++ body)
+    f.sample_rate shouldBe 44100
+    f.n_samples shouldBe 2L
+    f.sum_sq shouldBe 98L
+  }
+
+  test("WAV decode fails loudly on malformed input, never fabricates") {
+    val good = Multimodal.encodeWavPcm16(Seq(1, 2, 3), 8000)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWavPcm16(good.take(20)) // truncated
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWavPcm16(badMagic)
+    // format code 2 (ADPCM) in the fmt chunk -> not PCM
+    val nonPcm = good.clone(); nonPcm(20) = 2
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWavPcm16(nonPcm)
+  }
+
+  test("encode clamps out-of-range samples to int16") {
+    val bytes = Multimodal.encodeWavPcm16(Seq(40000, -40000), 8000)
+    val f = Multimodal.decodeWavPcm16(bytes)
+    f.peak shouldBe 32768
+    f.sum_sq shouldBe (32767L * 32767 + 32768L * 32768)
+  }
 }
