@@ -171,15 +171,58 @@ object QueriesMultimodal {
       |  CAST(sum(s * s) AS BIGINT) AS sum_sq
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q368
+  /** REAL image decode end to end (Multimodal.encodeBmpGray24 /
+    * decodeBmpGray24) — q367's image sibling: per-user grayscale
+    * strips (luma = events cents mod 256, event_id order) encode into
+    * standard 24-bit BMPs per partition, the REAL parser walks the
+    * headers / bottom-up rows / 4-byte padding, and the exact-integer
+    * features hash-match the oracle's direct recompute from events.
+    * first/last are position-dependent, so a row-order or stride bug
+    * flips the hash even where the sums agree. */
+  private def q368BmpDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") <= 500)
+      .select(col("user_id"), col("event_id"),
+        pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(256L)).cast("int").as("g"))
+    val strips = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("g"))))
+        .as("a"))
+      .select(col("user_id").as("doc_id"),
+        expr("transform(a, x -> x.g)").as("lumas"))
+      .as[Multimodal.GrayRow]
+    Multimodal.bmpFeatureTable(Multimodal.encodeBmpTable(strips))
+      .toDF().orderBy(col("doc_id"))
+  }
+
+  private val q368Sql =
+    """WITH s AS (
+      |  SELECT user_id AS doc_id, event_id,
+      |    ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 256)
+      |      + 256) % 256 AS g
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500)
+      |SELECT doc_id,
+      |  CAST(count(*) AS INT) AS width, CAST(1 AS INT) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(g) AS BIGINT) AS sum_gray,
+      |  CAST(max(g) AS INT) AS max_gray,
+      |  CAST(arg_min(g, event_id) AS INT) AS first_gray,
+      |  CAST(arg_max(g, event_id) AS INT) AS last_gray
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_features" -> (q29Features _),
     "q251_media_resize" -> (q251MediaResize _),
     "q323_media_frames" -> (q323MediaFrames _),
-    "q367_wav_decode" -> (q367WavDecode _))
+    "q367_wav_decode" -> (q367WavDecode _),
+    "q368_bmp_decode" -> (q368BmpDecode _))
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal_features" -> q29Sql,
     "q251_media_resize" -> q251Sql,
     "q323_media_frames" -> q323Sql,
-    "q367_wav_decode" -> q367Sql)
+    "q367_wav_decode" -> q367Sql,
+    "q368_bmp_decode" -> q368Sql)
 }

@@ -9,16 +9,18 @@ import org.apache.spark.sql.functions._
   * initialization happens once per task, not per row — the Scala analog
   * of a Pandas-UDF/mapInPandas batch.
   *
-  * IMAGE/VIDEO decode is STUBBED (this environment ships no such
-  * codecs): `DeterministicFakeDecoder` derives stable pseudo-metadata
-  * from the bytes' md5, so the Spark-side plumbing — schema, partition
-  * batch shape, per-partition init, typed output — is real and tested,
-  * and the features are oracle-reproducible. Swap in a real decoder by
-  * implementing `MediaDecoder.decode` (see `RealCodecDecoder`).
-  * AUDIO decode is REAL: RIFF/WAVE PCM is pure byte arithmetic, so
-  * `encodeWavPcm16`/`decodeWavPcm16` round-trip actual media bytes
-  * end to end (q367 gates the decode against an events-derived
-  * oracle; see the WAV/PCM section below).
+  * COMPRESSED codecs (JPEG/PNG/H.264/Opus…) are unavailable in this
+  * environment: for those, `DeterministicFakeDecoder` derives stable
+  * pseudo-metadata from the bytes' md5, so the Spark-side plumbing —
+  * schema, partition batch shape, per-partition init, typed output —
+  * is real and tested, and the features are oracle-reproducible.
+  * The SELF-DESCRIBING formats decode for REAL: RIFF/WAVE PCM audio
+  * (`encodeWavPcm16`/`decodeWavPcm16`, gated by q367) and 24-bit
+  * uncompressed BMP images (`encodeBmpGray24`/`decodeBmpGray24`,
+  * gated by q368) round-trip actual media bytes end to end, and
+  * `RealCodecDecoder` dispatches on magic bytes — real parse for
+  * these, a loud UnsupportedOperationException for codec-bound
+  * formats.
   *
   * Scale: feature extraction is map-only over the binary column;
   * `binaryFile` sources should cap `maxPartitionBytes` so a task's batch
@@ -59,12 +61,31 @@ object Multimodal {
         .digest(bytes).map("%02x".format(_)).mkString
   }
 
-  /** Placeholder for a real codec-backed decoder: the interface is the
-    * contract; the implementation needs image/audio libraries absent
-    * here. */
+  /** Real codec-backed decoder for the SELF-DESCRIBING formats whose
+    * containers are pure byte arithmetic — BMP (24-bit uncompressed)
+    * and RIFF/WAVE PCM — parsed by the strict decoders below; any
+    * other magic throws UnsupportedOperationException naming the
+    * format, because compressed codecs (JPEG/PNG/H.264/Opus…) need
+    * libraries this environment does not ship. Decode errors fail
+    * loudly; nothing is fabricated. */
   class RealCodecDecoder extends MediaDecoder {
-    override def decode(bytes: Array[Byte]): Decoded =
-      ??? // real image/audio/video decode - not available in this env
+    override def decode(bytes: Array[Byte]): Decoded = {
+      if (bytes.length >= 2 && bytes(0) == 'B'.toByte &&
+          bytes(1) == 'M'.toByte) {
+        val f = decodeBmpGray24(bytes)
+        Decoded(f.width, f.height, 1)
+      } else if (bytes.length >= 12 &&
+          new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(bytes, 8, 4, "US-ASCII") == "WAVE") {
+        val f = decodeWavPcm16(bytes)
+        Decoded(0, 0, math.min(f.n_samples, Int.MaxValue.toLong).toInt)
+      } else {
+        val magic = bytes.take(4).map("%02x".format(_)).mkString
+        throw new UnsupportedOperationException(
+          s"no decoder for magic 0x$magic — compressed codecs need " +
+            "libraries absent from this environment")
+      }
+    }
   }
 
   /** Wrap a text table as a binary media table (stand-in for
@@ -209,6 +230,118 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r =>
       decodeWavPcm16(r.content).copy(doc_id = r.doc_id)))
+  }
+
+  // --------------------------------------------------------------- BMP
+  // The image analog of the WAV path: 24-bit uncompressed BMP is pure
+  // byte arithmetic (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up
+  // BGR rows padded to 4 bytes), so grayscale image blobs round-trip
+  // for real too.
+
+  case class GrayRow(doc_id: Long, lumas: Seq[Int])
+
+  case class BmpFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, sum_gray: Long, max_gray: Int,
+      first_gray: Int, last_gray: Int)
+
+  /** Encode a grayscale pixel sequence (row-major, top-left first,
+    * values clamped to 0..255 written as r=g=b) into a standard
+    * 24-bit BMP. `width` must divide into complete rows
+    * (lumas.length % width == 0) — no fake padding pixels. */
+  def encodeBmpGray24(lumas: Seq[Int], width: Int): Array[Byte] = {
+    require(width >= 1, s"width ($width) must be >= 1")
+    require(lumas.nonEmpty && lumas.length % width == 0,
+      s"${lumas.length} pixels do not fill rows of $width")
+    val height = lumas.length / width
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataLen = (rowBytes + pad) * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(width).putInt(height) // positive = bottom-up
+      .putShort(1.toShort).putShort(24.toShort) // planes, bpp
+      .putInt(0).putInt(dataLen) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+    var y = height - 1 // bottom-up storage order
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val v = math.max(0, math.min(255, lumas(y * width + x))).toByte
+        buf.put(v).put(v).put(v) // B G R
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Parse a 24-bit uncompressed BMP into exact-integer grayscale
+    * features (luma = the green channel — encode writes r=g=b).
+    * Handles both bottom-up (positive height) and top-down (negative)
+    * row order and the 4-byte row padding; strict elsewhere, throwing
+    * IllegalArgumentException on any malformed field. first/last are
+    * in LOGICAL order (top-left / bottom-right), so a row-order bug
+    * flips them even when the sums agree. */
+  def decodeBmpGray24(bytes: Array[Byte]): BmpFeatures = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54, s"truncated BMP: ${bytes.length} bytes")
+    require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "bad magic")
+    val dataOff = buf.getInt(10)
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    require(width >= 1, s"bad width $width")
+    require(rawHeight != 0, "zero height")
+    require(bpp == 24, s"unsupported bit depth $bpp")
+    require(compression == 0, s"compressed BMP ($compression)")
+    val height = math.abs(rawHeight)
+    val topDown = rawHeight < 0
+    val rowBytes = width * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    require(dataOff >= 54 &&
+      dataOff.toLong + stride.toLong * height <= bytes.length,
+      s"pixel data overruns blob (offset $dataOff, stride $stride)")
+    var sum = 0L; var maxG = 0
+    var first = -1; var last = -1
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val base = dataOff + srcRow * stride
+      var x = 0
+      while (x < width) {
+        val g = bytes(base + 3 * x + 1) & 0xff
+        sum += g
+        if (g > maxG) maxG = g
+        if (first < 0) first = g
+        last = g
+        x += 1
+      }
+      y += 1
+    }
+    BmpFeatures(0L, width, height, width.toLong * height, sum, maxG,
+      first, last)
+  }
+
+  /** Per-partition BMP encode of one-row-per-doc grayscale strips
+    * (width = pixel count, height 1 — callers with 2-D content pass
+    * row-major lumas and their width via [[encodeBmpGray24]]). */
+  def encodeBmpTable(rows: Dataset[GrayRow]): Dataset[WavRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map(r =>
+      WavRow(r.doc_id, encodeBmpGray24(r.lumas, r.lumas.length))))
+  }
+
+  /** Per-partition BMP decode → exact-integer features. */
+  def bmpFeatureTable(media: Dataset[WavRow]): Dataset[BmpFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      decodeBmpGray24(r.content).copy(doc_id = r.doc_id)))
   }
 
   /** Byte-level near-duplicate detection over binary media columns:

@@ -143,4 +143,55 @@ class MultimodalSpec extends SparkSpec {
     f.peak shouldBe 32768
     f.sum_sq shouldBe (32767L * 32767 + 32768L * 32768)
   }
+
+  test("BMP round trip: multi-row bottom-up storage, padding, and " +
+      "logical first/last order") {
+    // 3x2 image (rowBytes 9 -> 3 pad bytes/row): logical top row
+    // (10,20,30), bottom row (40,50,60)
+    val lumas = Seq(10, 20, 30, 40, 50, 60)
+    val bytes = Multimodal.encodeBmpGray24(lumas, width = 3)
+    bytes.length shouldBe 54 + 2 * 12
+    val f = Multimodal.decodeBmpGray24(bytes)
+    (f.width, f.height, f.n_pixels) shouldBe (3, 2, 6L)
+    f.sum_gray shouldBe 210L
+    f.max_gray shouldBe 60
+    f.first_gray shouldBe 10 // top-left, NOT the bottom-up first byte
+    f.last_gray shouldBe 60
+    // top-down variant (negative height) decodes to the same logical
+    // image: flip the height sign and the row order by hand
+    val td = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(td)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2)
+    val rows = td.slice(54, 54 + 24)
+    System.arraycopy(rows, 12, td, 54, 12)
+    System.arraycopy(rows, 0, td, 66, 12)
+    Multimodal.decodeBmpGray24(td) shouldBe f
+  }
+
+  test("BMP decode fails loudly on malformed input") {
+    val good = Multimodal.encodeBmpGray24(Seq(1, 2, 3), 3)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeBmpGray24(good.take(40)) // truncated
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeBmpGray24(badMagic)
+    val bad32 = good.clone(); bad32(28) = 32 // 32 bpp unsupported
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeBmpGray24(bad32)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.encodeBmpGray24(Seq(1, 2, 3), 2) // partial row
+  }
+
+  test("RealCodecDecoder dispatches on magic: real BMP/WAV parse, " +
+      "loud unsupported elsewhere") {
+    val dec = new Multimodal.RealCodecDecoder
+    val bmp = dec.decode(Multimodal.encodeBmpGray24(Seq(5, 6), 2))
+    (bmp.width, bmp.height, bmp.nFrames) shouldBe (2, 1, 1)
+    val wav = dec.decode(Multimodal.encodeWavPcm16(Seq(1, 2, 3), 8000))
+    wav.nFrames shouldBe 3
+    val e = the[UnsupportedOperationException] thrownBy
+      dec.decode("PNG1234".getBytes("ISO-8859-1"))
+    e.getMessage should include("89504e47") // the PNG magic, named
+  }
 }
