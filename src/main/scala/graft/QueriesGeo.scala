@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.expressions.Projections
-import graft.expressions.Projections.{LambertConformalConic2SP, TransverseMercator}
+import graft.expressions.Projections.{LambertAzimuthalEqualArea, LambertConformalConic2SP, TransverseMercator}
 import graft.functions.GeomFunctions
 
 /** Arbitrary-SRID reprojection gate coverage (r5 VERDICT "what's
@@ -34,7 +34,8 @@ object QueriesGeo {
     (3034, -8.0, 3.7, 37.0, 3.3),   // ETRS89 LCC Europe
     (5243, 6.3, 0.9, 47.3, 0.8),    // ETRS89 LCC Germany
     (25832, 6.1, 0.6, 47.2, 0.8),   // ETRS89 / UTM 32N (TM, GRS80)
-    (27700, -6.0, 0.7, 50.2, 0.9))  // OSGB (TM, Airy 1830 + Helmert)
+    (27700, -6.0, 0.7, 50.2, 0.9),  // OSGB (TM, Airy 1830 + Helmert)
+    (3035, -9.0, 3.9, 36.1, 3.2))   // ETRS89-LAEA Europe grid (GRS80)
 
   private def q165SridMatrix(s: SparkSession, dir: String): DataFrame = {
     val frames = probes.map { case (srid, lo0, loS, la0, laS) =>
@@ -105,6 +106,30 @@ object QueriesGeo {
        |  FROM $src)""".stripMargin
   }
 
+  /** Snyder LAEA forward on `src(k, lon, lat)` → SELECT k, x, y —
+    * the same op tree as LambertAzimuthalEqualArea.forward, constants
+    * exported from the instance. */
+  private def laeaForwardSql(crs: LambertAzimuthalEqualArea,
+      src: String): String = {
+    val (e, e2, qp, sb1, cb1, rq, dd, lon0, fe, fn) = crs.forwardConstants
+    s"""SELECT k,
+       |  ${d(fe)} + b * ${d(dd)} * cos(beta) * sin(lam) AS x,
+       |  ${d(fn)} + (b / ${d(dd)}) * (${d(cb1)} * sin(beta)
+       |    - ${d(sb1)} * cos(beta) * cos(lam)) AS y
+       |FROM (
+       |  SELECT k, lam, beta,
+       |    ${d(rq)} * sqrt(2.0 / (1.0 + ${d(sb1)} * sin(beta)
+       |      + ${d(cb1)} * cos(beta) * cos(lam))) AS b
+       |  FROM (
+       |    SELECT k, radians(lon - ${d(lon0)}) AS lam,
+       |      asin((1.0 - ${d(e2)}) * (sp / (1.0 - ${d(e2)} * sp * sp)
+       |        - 1.0 / (2.0 * ${d(e)})
+       |          * ln((1.0 - ${d(e)} * sp) / (1.0 + ${d(e)} * sp)))
+       |        / ${d(qp)}) AS beta
+       |    FROM (SELECT k, lon, sin(radians(lat)) AS sp FROM $src)))"""
+      .stripMargin
+  }
+
   /** WGS84 lon/lat → datum-local lon/lat via geocentric + Helmert +
     * the 8-round geodetic-latitude fixpoint on the target ellipsoid
     * (mirrors Projections.geodeticToXyz/Helmert.forward/xyzToGeodetic
@@ -153,6 +178,7 @@ object QueriesGeo {
       val proj = crs match {
         case tm: TransverseMercator => tmForwardSql(tm, local)
         case lcc: LambertConformalConic2SP => lccForwardSql(lcc, local)
+        case laea: LambertAzimuthalEqualArea => laeaForwardSql(laea, local)
       }
       s"""SELECT CAST($srid AS BIGINT) AS srid, k,
          |  CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS x_mm,

@@ -262,6 +262,80 @@ object Projections {
     }
   }
 
+  /** Ellipsoidal Lambert Azimuthal Equal-Area, oblique aspect
+    * (Snyder 1987 §24, eqs 24-2..24-21 with 3-11/3-12/3-16/3-18) —
+    * the equal-area projection statistical offices use for density
+    * grids (ETRS89-LAEA "Europe grid", EPSG:3035). Unlike TM/LCC
+    * (conformal), its defining invariant is unit AREA scale, which
+    * the spec checks against the ellipsoid's area element with no
+    * fixture at all. */
+  final case class LambertAzimuthalEqualArea(lat0Deg: Double,
+      lon0Deg: Double, fe: Double, fn: Double, ell: Ellipsoid,
+      datum: Option[Helmert] = None) extends Crs {
+    private val e = ell.e
+    private val e2 = ell.e2
+    /** Snyder 3-12: authalic q of latitude phi. */
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        1.0 / (2.0 * e) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+    private val qp = qOf(math.Pi / 2.0)
+    private val phi1 = math.toRadians(lat0Deg)
+    private val q1 = qOf(phi1)
+    private val beta1 = math.asin(q1 / qp)
+    private val rq = ell.a * math.sqrt(qp / 2.0)
+    private val m1 = {
+      val s = math.sin(phi1)
+      math.cos(phi1) / math.sqrt(1.0 - e2 * s * s)
+    }
+    private val dd = ell.a * m1 / (rq * math.cos(beta1))
+
+    /** Forward-map constants for an external (SQL) restatement,
+      * derived from this instance so the oracle can never drift:
+      * (e, e2, qp, sin β1, cos β1, Rq, D, lon0 deg, fe, fn). */
+    private[graft] def forwardConstants: (Double, Double, Double, Double,
+        Double, Double, Double, Double, Double, Double) =
+      (e, e2, qp, math.sin(beta1), math.cos(beta1), rq, dd, lon0Deg,
+        fe, fn)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg - lon0Deg)
+      val beta = math.asin(qOf(phi) / qp)
+      val b = rq * math.sqrt(2.0 / (1.0 + math.sin(beta1) * math.sin(beta)
+        + math.cos(beta1) * math.cos(beta) * math.cos(lam)))
+      (fe + b * dd * math.cos(beta) * math.sin(lam),
+        fn + (b / dd) * (math.cos(beta1) * math.sin(beta) -
+          math.sin(beta1) * math.cos(beta) * math.cos(lam)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - fe) / dd
+      val dy = (y - fn) * dd
+      val rho = math.sqrt(dx * dx + dy * dy)
+      if (rho == 0.0) return (lon0Deg, lat0Deg)
+      val ce = 2.0 * math.asin(rho / (2.0 * rq))
+      val q = qp * (math.cos(ce) * math.sin(beta1) +
+        dy * math.sin(ce) * math.cos(beta1) / rho)
+      val lam = math.atan2((x - fe) * math.sin(ce),
+        dd * rho * math.cos(beta1) * math.cos(ce) -
+          dd * dd * (y - fn) * math.sin(beta1) * math.sin(ce))
+      // Snyder 3-16: iterate phi from the authalic latitude
+      var phi = math.asin(q / 2.0)
+      var i = 0
+      while (i < 8) {
+        val s = math.sin(phi)
+        val om = 1.0 - e2 * s * s
+        phi += om * om / (2.0 * math.cos(phi)) *
+          (q / (1.0 - e2) - s / om +
+            1.0 / (2.0 * e) * math.log((1.0 - e * s) / (1.0 + e * s)))
+        i += 1
+      }
+      (math.toDegrees(lam) + lon0Deg, math.toDegrees(phi))
+    }
+  }
+
   /** EPSG registry beyond the native 4326/3857/UTM set. Datumless
     * entries (GRS80 frames: ETRS89, RGF93, NZGD2000) treat their frame
     * as WGS84-coincident — the standard sub-dm assumption; 27700
@@ -288,6 +362,10 @@ object Projections {
     // Conus-style LCC example: ETRS89 / LCC Germany — EPSG:5243
     5243 -> LambertConformalConic2SP(51.0, 10.5, 48.666666666666664,
       53.666666666666664, 0.0, 0.0, GRS80),
+    // Europe statistical grid: ETRS89-extended / LAEA (GRS80) —
+    // EPSG:3035; origin 52N 10E maps to FE/FN by definition
+    3035 -> LambertAzimuthalEqualArea(52.0, 10.0,
+      4321000.0, 3210000.0, GRS80),
   )
 
   def isRegistered(srid: Int): Boolean = registry.contains(srid)

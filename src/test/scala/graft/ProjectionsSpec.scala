@@ -36,6 +36,43 @@ class ProjectionsSpec extends SparkSpec {
     // ETRS89 LCC: (10E, 52N) -> (4000000, 2800000)
     val (xE, yE) = registry(3034).forward(10.0, 52.0)
     approx(xE, 4000000.0, 1e-6); approx(yE, 2800000.0, 1e-6)
+    // ETRS89-LAEA: (10E, 52N) -> (4321000, 3210000) by definition
+    val (xA, yA) = registry(3035).forward(10.0, 52.0)
+    approx(xA, 4321000.0, 1e-6); approx(yA, 3210000.0, 1e-6)
+  }
+
+  test("LAEA reproduces the published EPSG/IOGP test vector " +
+      "(Guidance Note 7-2, ETRS89-LAEA worked example)") {
+    // 50°N 5°E -> E 3962799.45, N 2999718.85 (published to cm)
+    val (x, y) = registry(3035).forward(5.0, 50.0)
+    approx(x, 3962799.45, 0.01)
+    approx(y, 2999718.85, 0.01)
+    // and the inverse recovers the geodetic point
+    val (lon, lat) = registry(3035).inverse(3962799.45, 2999718.85)
+    approx(lon, 5.0, 1e-7); approx(lat, 50.0, 1e-7)
+  }
+
+  test("LAEA area scale is exactly 1 (the defining equal-area " +
+      "invariant), checked against the ellipsoid's area element") {
+    val crs = registry(3035)
+    val a = crs.ell.a; val e2 = crs.ell.e2
+    val h = 1e-4 // deg, central differences
+    for ((lon, lat) <- Seq((10.0, 52.0), (25.0, 40.0), (-8.0, 62.0),
+        (5.0, 50.0), (31.0, 68.0))) {
+      val (xe, ye) = crs.forward(lon + h, lat)
+      val (xw, yw) = crs.forward(lon - h, lat)
+      val (xn, yn) = crs.forward(lon, lat + h)
+      val (xs, ys) = crs.forward(lon, lat - h)
+      val jac = math.abs(((xe - xw) * (yn - ys) - (xn - xs) * (ye - yw)) /
+        (4.0 * h * h)) // map area per deg^2
+      val s = math.sin(math.toRadians(lat))
+      val ellArea = a * a * (1.0 - e2) * math.cos(math.toRadians(lat)) /
+        math.pow(1.0 - e2 * s * s, 2.0) *
+        math.pow(math.Pi / 180.0, 2.0)
+      withClue(s"($lon,$lat): ") {
+        math.abs(jac / ellArea - 1.0) should be < 1e-6
+      }
+    }
   }
 
   test("forward/inverse round-trips close over in-range grids") {
@@ -45,7 +82,8 @@ class ProjectionsSpec extends SparkSpec {
       2193 -> (for (lo <- 167 to 178; la <- -46 to -35) yield (lo.toDouble, la.toDouble)),
       3034 -> (for (lo <- -10 to 30 by 4; la <- 36 to 70 by 4) yield (lo.toDouble, la.toDouble)),
       25832 -> (for (lo <- 6 to 12; la <- 47 to 55) yield (lo.toDouble, la.toDouble)),
-      5243 -> (for (lo <- 6 to 15; la <- 47 to 55) yield (lo.toDouble, la.toDouble)))
+      5243 -> (for (lo <- 6 to 15; la <- 47 to 55) yield (lo.toDouble, la.toDouble)),
+      3035 -> (for (lo <- -10 to 30 by 4; la <- 35 to 70 by 5) yield (lo.toDouble, la.toDouble)))
     for ((srid, pts) <- grids; (lon, lat) <- pts) {
       val (x, y) = Projections.forward(lon, lat, srid)
       val (lon2, lat2) = Projections.inverse(x, y, srid)
