@@ -636,7 +636,84 @@ object QueriesSimilarity {
       |FROM top1 a JOIN top1 b ON b.s = a.t AND b.t = a.s
       |WHERE a.s < b.s ORDER BY id1""".stripMargin
 
+  // -------------------------------------------------------------- q369
+  /** Semantic eval-set decontamination
+    * (Decontamination.semanticContaminatedDocs) — the embedding-level
+    * complement of q56's 13-gram pass: eval vectors are perturbed
+    * copies of every 17th embedding (the q18 +0.05 fixture; a
+    * paraphrase-shaped leak no n-gram can catch), and a corpus vector
+    * is flagged iff an eval vector's EXACT int8-quantized dot reaches
+    * 100 000 (planted self-dots land ≈ 2×10⁵, random-pair maxima
+    * ≈ 5×10⁴ — measured gap, and the verdict is integer, so it can
+    * NEVER flip on float order). Blocking = the q305 16-way sign
+    * bucket on both sides, eval side broadcast; the oracle restates
+    * quantization, bucketing, and the dot bit for bit. */
+  private def q369SemanticDecon(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val ed = transform(col("embedding"), x => x.cast("double"))
+    val evalSet = emb.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("eval_id"),
+        concat(array(element_at(ed, 1) + lit(0.05)),
+          slice(ed, 2, 10000)).as("ev"))
+    graft.operators.Decontamination.semanticContaminatedDocs(
+        emb, "vec_id", "embedding", evalSet, "eval_id", "ev",
+        minDot = 100000L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q369Sql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |ev AS (
+      |  SELECT vec_id AS eval_id, list_concat([e[1] + 0.05], e[2:]) AS e
+      |  FROM e WHERE vec_id % 17 = 0),
+      |csc AS (SELECT vec_id, e,
+      |  list_max(list_transform(e, x -> abs(x))) AS scale FROM e),
+      |cq AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+      |    ELSE list_transform(e,
+      |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) END
+      |      AS qv
+      |  FROM csc),
+      |cqb AS (
+      |  SELECT vec_id, qv,
+      |    (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END) AS bkt
+      |  FROM cq),
+      |esc AS (SELECT eval_id, e,
+      |  list_max(list_transform(e, x -> abs(x))) AS scale FROM ev),
+      |eq AS (
+      |  SELECT eval_id,
+      |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+      |    ELSE list_transform(e,
+      |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) END
+      |      AS qv
+      |  FROM esc),
+      |eqb AS (
+      |  SELECT eval_id, qv,
+      |    (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END) AS bkt
+      |  FROM eq),
+      |d AS (
+      |  SELECT c.vec_id AS doc_id, q.eval_id,
+      |    CAST(list_aggregate(list_transform(range(1, 65),
+      |      i -> CAST(c.qv[i] AS BIGINT) * q.qv[i]), 'sum') AS BIGINT)
+      |      AS dot
+      |  FROM cqb c JOIN eqb q ON q.bkt = c.bkt)
+      |SELECT doc_id, count(*) AS n_hits,
+      |  CAST(max(dot) AS BIGINT) AS max_dot, min(eval_id) AS min_eval_id
+      |FROM d WHERE dot >= 100000
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q369_semantic_decon" -> (q369SemanticDecon _),
     "q305_mutual_nn" -> (q305MutualNn _),
     "q278_gram_matrix" -> (q278GramMatrix _),
     "q219_knn_eval" -> (q219KnnEval _),
@@ -652,6 +729,7 @@ object QueriesSimilarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q369_semantic_decon" -> q369Sql,
     "q305_mutual_nn" -> q305Sql,
     "q278_gram_matrix" -> q278Sql,
     "q219_knn_eval" -> q219Sql,

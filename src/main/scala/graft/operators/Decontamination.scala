@@ -41,6 +41,52 @@ object Decontamination {
         min(col("eval_id")).as("min_eval_id"))
   }
 
+  /** SEMANTIC eval-set decontamination — the embedding-level
+    * complement of [[contaminatedDocs]]: paraphrased or lightly-edited
+    * eval leaks share no 13-gram, but their embeddings sit next to the
+    * eval vector, so modern pipelines run this pass beside the lexical
+    * one. A corpus vector is flagged iff some eval vector's EXACT
+    * int8-quantized dot product (Similarity.quantizeInt8 — integer
+    * arithmetic end to end, so the verdict can never wobble on float
+    * order) reaches `minDot`.
+    *
+    * Scale shape: the eval side broadcasts (eval sets are thousands of
+    * rows vs billions of corpus vectors) and both sides key into the
+    * 16-way sign bucket of their first four quantized dims (the q305
+    * rule), so each corpus vector dots only its bucket's eval slice —
+    * a 16× map-side work cut with zero shuffle. Near-identical vectors
+    * agree on the bucket bits; a leak whose perturbation flips a
+    * first-four sign can miss — the standard LSH-style recall trade,
+    * priced by the lexical pass running beside this one. (At larger
+    * recall budgets, widen with multi-probe on the BROADCAST side —
+    * never fan out the corpus.)
+    *
+    * @return one row per flagged corpus vector:
+    *         (doc_id, n_hits, max_dot, min_eval_id) */
+  def semanticContaminatedDocs(
+      corpus: DataFrame, idCol: String, embCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalEmbCol: String,
+      minDot: Long): DataFrame = {
+    def prep(df: DataFrame, id: String, emb: String, outId: String,
+        outQv: String) = df
+      .select(col(id).as(outId),
+        Similarity.quantizeInt8(col(emb)).getField("q").as(outQv))
+      .withColumn("__bkt", (0 until 4).map(i =>
+        when(element_at(col(outQv), i + 1) > 0, 1 << i).otherwise(0))
+        .reduce((a, b) => a + b))
+    val c = prep(corpus, idCol, embCol, "doc_id", "__cq")
+    val e = prep(evalSet, evalIdCol, evalEmbCol, "eval_id", "__eq")
+    c.join(broadcast(e), Seq("__bkt"))
+      .select(col("doc_id"), col("eval_id"),
+        aggregate(zip_with(col("__cq"), col("__eq"),
+          (x, y) => x.cast("long") * y), lit(0L),
+          (acc, x) => acc + x).as("dot"))
+      .filter(col("dot") >= minDot)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("dot")).as("max_dot"),
+        min(col("eval_id")).as("min_eval_id"))
+  }
+
   /** Drop contaminated docs from the corpus (left anti-join on the
     * flagged id set — the flagged side is aggregated and small). */
   def decontaminate(

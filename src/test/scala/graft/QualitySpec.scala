@@ -110,6 +110,35 @@ class QualitySpec extends SparkSpec {
     out.head.getLong(2) shouldBe 900L
   }
 
+  test("semantic decontamination: flags the near-copy, spares the " +
+      "orthogonal doc, blocks on the sign bucket") {
+    // corpus: v1 near-parallel to the eval vector (flagged), v2
+    // orthogonal (bucket-mate, dot below threshold), v3 opposite-sign
+    // first dims (different bucket — never even dotted)
+    val corpus = Seq(
+      (1L, Seq(1.0, 1.0, 1.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 1.0, 1.0, 1.0, -120.0 / 127.0, 0.0)),
+      (3L, Seq(-1.0, -1.0, -1.0, -1.0, 0.0, 0.0)))
+      .toDF("doc_id", "emb")
+    val eval = Seq((900L, Seq(1.0, 1.0, 1.0, 1.0, 0.02, 0.0)))
+      .toDF("eval_id", "ev")
+    // quantized: v1 -> (127,127,127,127,0,0); eval -> (127,127,127,127,3,0)
+    // dot(v1, eval) = 4*127*127 = 64516; v2 shares the bucket but its
+    // -120 dim adds nothing against eval's +3 -> dot 64516 - 360
+    val out = Decontamination.semanticContaminatedDocs(
+      corpus, "doc_id", "emb", eval, "eval_id", "ev",
+      minDot = 64500L).orderBy("doc_id").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    out.head.getLong(1) shouldBe 1L      // n_hits
+    out.head.getLong(2) shouldBe 64516L  // max_dot = 4 * 127^2
+    out.head.getLong(3) shouldBe 900L
+    // lower threshold picks up the bucket-mate but still not v3
+    val loose = Decontamination.semanticContaminatedDocs(
+      corpus, "doc_id", "emb", eval, "eval_id", "ev",
+      minDot = 60000L).orderBy("doc_id").collect()
+    loose.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+  }
+
   test("decontaminate drops flagged docs and keeps the rest") {
     val words = (1 to 30).map(i => s"w$i").mkString(" ")
     val clean = (100 to 129).map(i => s"v$i").mkString(" ")
