@@ -4127,8 +4127,47 @@ object QueriesRelational {
       |    AS violation_rate
       |FROM u ORDER BY fd""".stripMargin
 
+  // -------------------------------------------------------------- q370
+  /** Benford first-digit audit (Profiler.benfordAudit) over order
+    * totals — the cheap screen for fabricated/generated numeric data.
+    * TPC-H's uniform synthetic prices FAIL Benford decisively (the
+    * dev_micro column shows it), which is exactly the report the
+    * audit exists to produce. Leading digits come from exact integer
+    * strings (never float log10 of the value); shares leave as
+    * micro-unit BIGINTs, so dev is a pure integer difference. */
+  private def q370Benford(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.benfordAudit(t(s, dir, "orders"),
+        floor(col("o_totalprice") * 100.0 + 0.5))
+      .orderBy(col("digit"))
+
+  private val q370Sql =
+    """WITH c AS (
+      |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM orders),
+      |d AS (
+      |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM c WHERE c > 0),
+      |cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cnt),
+      |alld AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT)
+      |  AS digit)
+      |SELECT alld.digit,
+      |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_obs, tot.n_total,
+      |  CAST(round(CAST(coalesce(cnt.n, 0) AS DOUBLE)
+      |    / CAST(tot.n_total AS DOUBLE) * 1e6) AS BIGINT)
+      |    AS obs_share_micro,
+      |  CAST(round(ln(1.0 + 1.0 / alld.digit) / ln(10.0) * 1e6)
+      |    AS BIGINT) AS benford_share_micro,
+      |  CAST(round(CAST(coalesce(cnt.n, 0) AS DOUBLE)
+      |    / CAST(tot.n_total AS DOUBLE) * 1e6) AS BIGINT)
+      |  - CAST(round(ln(1.0 + 1.0 / alld.digit) / ln(10.0) * 1e6)
+      |    AS BIGINT) AS dev_micro
+      |FROM alld LEFT JOIN cnt USING (digit) CROSS JOIN tot
+      |ORDER BY digit""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_fd_battery" -> (q287FdBattery _),
+    "q370_benford" -> (q370Benford _),
     "q289_incr_retract" -> (q289IncrRetract _),
     "q290_jaro_winkler" -> (q290JaroWinkler _),
     "q292_lateral_alias" -> (q292LateralAlias _),
@@ -4239,6 +4278,7 @@ object QueriesRelational {
 
   val oracles: Map[String, String] = Map(
     "q287_fd_battery" -> q287Sql,
+    "q370_benford" -> q370Sql,
     "q289_incr_retract" -> q289Sql,
     "q290_jaro_winkler" -> q290Sql,
     "q292_lateral_alias" -> q292Sql,

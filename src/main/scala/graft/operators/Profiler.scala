@@ -79,4 +79,45 @@ object Profiler {
         (col("n_violating").cast("double") / col("n_keys").cast("double"))
           .as("violation_rate"))
   }
+
+  /** Benford first-digit audit (Benford 1938; Nigrini's fraud test):
+    * the leading-digit distribution of a naturally-grown positive
+    * quantity follows P(d) = log10(1 + 1/d); synthetic, capped, or
+    * fabricated columns deviate — making this the cheap screen for
+    * generated/duplicated numeric data in a training corpus.
+    *
+    * Exactness: the leading digit comes from the exact integer's
+    * decimal string (never float log10 of the value), counts are
+    * exact, and the shares leave as micro-unit BIGINTs (observed =
+    * one rounded division; expected = the ln ratio, micro-rounded —
+    * the q60 pattern), so dev_micro is a pure INTEGER difference.
+    * All nine digits are emitted, zeros included. Scale: one map pass
+    * + a 9-group aggregate; the 1-row total broadcasts back.
+    *
+    * @param cents exact positive integral rendition of the value
+    * @return 9 rows: (digit, n_obs, n_total, obs_share_micro,
+    *         benford_share_micro, dev_micro) */
+  def benfordAudit(df: DataFrame, cents: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val counts = df.select(cents.cast("long").as("__c"))
+      .filter(col("__c") > 0L)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("n_total"))
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    digits.join(counts, Seq("digit"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("__n"), lit(0L)).as("n_obs"), col("n_total"),
+        round(coalesce(col("__n"), lit(0L)).cast("double") /
+          col("n_total").cast("double") * lit(1e6)).cast("long")
+          .as("obs_share_micro"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)) * lit(1e6)).cast("long")
+          .as("benford_share_micro"))
+      .withColumn("dev_micro",
+        col("obs_share_micro") - col("benford_share_micro"))
+  }
 }

@@ -757,6 +757,28 @@ class AnalyticsSpec extends SparkSpec {
       .toSeq shouldBe got.map(_.getDouble(3)).toSeq
   }
 
+  test("benfordAudit: exact digits, micro shares, zero rows for " +
+      "unseen digits, non-positive values dropped") {
+    import graft.operators.Profiler
+    // 4 ones, 2 twos, 1 nine; a zero and a negative must be ignored
+    val df = Seq(100L, 12L, 19999L, 1L, 2L, 250L, 9L, 0L, -34L)
+      .toDF("cents")
+    val got = Profiler.benfordAudit(df, col("cents"))
+      .orderBy("digit").collect()
+    got.length shouldBe 9
+    got.map(_.getInt(0)).toSeq shouldBe (1 to 9)
+    got(0).getLong(1) shouldBe 4L // digit 1
+    got(1).getLong(1) shouldBe 2L // digit 2
+    got(8).getLong(1) shouldBe 1L // digit 9
+    got(2).getLong(1) shouldBe 0L // digit 3 unseen, still emitted
+    got.foreach(_.getLong(2) shouldBe 7L) // n_total excludes 0 and -34
+    // micro shares: 4/7 and the Benford constant for digit 1
+    got(0).getLong(3) shouldBe math.round(4.0 / 7.0 * 1e6)
+    got(0).getLong(4) shouldBe
+      math.round(math.log(2.0) / math.log(10.0) * 1e6)
+    got(0).getLong(5) shouldBe (got(0).getLong(3) - got(0).getLong(4))
+  }
+
   test("reciprocalRankAtK: first relevant rank, lcm numerator, miss=0") {
     import graft.operators.Evaluation
     // query A: relevant first appears at rank 3 -> rr_num 2520/3 = 840
