@@ -25,10 +25,13 @@ object QueriesStreaming {
     frames.zipWithIndex.foreach { case (f, i) =>
       val stage = stageRoot.resolve(s"s$i")
       f.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = java.nio.file.Files.list(stage).iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(
-          s"no part file written for ordered frame $i"))
+      val listing = java.nio.file.Files.list(stage)
+      val part = try {
+        listing.iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(
+            s"no part file written for ordered frame $i"))
+      } finally listing.close()
       val dest = java.nio.file.Paths.get(dir, f"f$i%02d.parquet")
       java.nio.file.Files.move(part, dest)
       java.nio.file.Files.setLastModifiedTime(dest,
