@@ -4127,6 +4127,45 @@ object QueriesRelational {
       |    AS violation_rate
       |FROM u ORDER BY fd""".stripMargin
 
+  // -------------------------------------------------------------- q371
+  /** Categorical entropy census (Profiler.entropyProfile) over the
+    * orders dimensions — the label-balance audit: order status is
+    * near-collapsed (low H, high top share), priority near-uniform
+    * (H ≈ ln 5). Exact counts, SORTED c·ln c folds, entropy and top
+    * share emitted as micro-unit BIGINTs (the q60 pattern). */
+  private def q371Entropy(s: SparkSession, dir: String): DataFrame = {
+    def micro(c: Column): Column = round(c * lit(1e6)).cast("long")
+    graft.operators.Profiler.entropyProfile(
+        t(s, dir, "orders")
+          .withColumn("o_month", month(col("o_orderdate"))),
+        Seq("o_orderstatus", "o_orderpriority", "o_month"))
+      .select(col("column"), col("n_rows"), col("n_distinct"),
+        micro(col("entropy_nats")).as("entropy_micro"),
+        micro(col("top_share")).as("top_share_micro"))
+      .orderBy(col("column"))
+  }
+
+  private val q371Sql = {
+    def one(c: String, e: String) =
+      s"""SELECT '$c' AS "column", CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  count(*) AS n_distinct,
+         |  CAST(round((ln(CAST(sum(cnt) AS DOUBLE))
+         |    - list_aggregate(list_sort(list(
+         |        CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)))), 'sum')
+         |      / CAST(sum(cnt) AS DOUBLE)) * 1e6) AS BIGINT)
+         |    AS entropy_micro,
+         |  CAST(round(CAST(max(cnt) AS DOUBLE)
+         |    / CAST(sum(cnt) AS DOUBLE) * 1e6) AS BIGINT)
+         |    AS top_share_micro
+         |FROM (SELECT coalesce(CAST($e AS VARCHAR), '__null__') AS v,
+         |  count(*) AS cnt FROM orders GROUP BY 1)""".stripMargin
+    Seq("o_orderstatus" -> "o_orderstatus",
+      "o_orderpriority" -> "o_orderpriority",
+      "o_month" -> "month(o_orderdate)")
+      .map((one _).tupled)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   // -------------------------------------------------------------- q370
   /** Benford first-digit audit (Profiler.benfordAudit) over order
     * totals — the cheap screen for fabricated/generated numeric data.
@@ -4168,6 +4207,7 @@ object QueriesRelational {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_fd_battery" -> (q287FdBattery _),
     "q370_benford" -> (q370Benford _),
+    "q371_entropy_census" -> (q371Entropy _),
     "q289_incr_retract" -> (q289IncrRetract _),
     "q290_jaro_winkler" -> (q290JaroWinkler _),
     "q292_lateral_alias" -> (q292LateralAlias _),
@@ -4279,6 +4319,7 @@ object QueriesRelational {
   val oracles: Map[String, String] = Map(
     "q287_fd_battery" -> q287Sql,
     "q370_benford" -> q370Sql,
+    "q371_entropy_census" -> q371Sql,
     "q289_incr_retract" -> q289Sql,
     "q290_jaro_winkler" -> q290Sql,
     "q292_lateral_alias" -> q292Sql,

@@ -80,6 +80,45 @@ object Profiler {
           .as("violation_rate"))
   }
 
+  /** Per-column Shannon entropy + concentration census for
+    * CATEGORICAL columns — the balance audit behind "is this label /
+    * source / language column collapsed?": H = ln n − (Σ c·ln c)/n in
+    * nats over exact value counts, with the top value's share beside
+    * it. NULLs count as a category (a collapsed-to-NULL column should
+    * read as collapsed, not empty).
+    *
+    * Exactness: counts are exact; the Σ c·ln c fold runs over a
+    * SORTED list (q60 rule) so H is reproducible, and gate rows emit
+    * micro-units. Caller contract: categorical columns — the
+    * per-column distinct-count list is collected into one aggregate
+    * row, so cardinality must be bounded (the CollectCap discipline);
+    * profile() + fdCheck cover high-cardinality shapes.
+    *
+    * @return one row per column: (column, n_rows, n_distinct,
+    *         entropy_nats, top_share) */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.map { c =>
+      val counts = df
+        .groupBy(coalesce(col(c).cast("string"), lit("__null__"))
+          .as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      counts.agg(
+          sum(col("__c")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          aggregate(sort_array(collect_list(
+            col("__c").cast("double") * log(col("__c").cast("double")))),
+            lit(0.0), _ + _).as("__clc"),
+          max(col("__c")).as("__top"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_distinct"),
+          (log(col("n_rows").cast("double")) -
+            col("__clc") / col("n_rows").cast("double"))
+            .as("entropy_nats"),
+          (col("__top").cast("double") / col("n_rows").cast("double"))
+            .as("top_share"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Benford first-digit audit (Benford 1938; Nigrini's fraud test):
     * the leading-digit distribution of a naturally-grown positive
     * quantity follows P(d) = log10(1 + 1/d); synthetic, capped, or

@@ -757,6 +757,27 @@ class AnalyticsSpec extends SparkSpec {
       .toSeq shouldBe got.map(_.getDouble(3)).toSeq
   }
 
+  test("entropyProfile: hand-computed H, NULL is a category, " +
+      "collapsed column reads collapsed") {
+    import graft.operators.Profiler
+    val df = Seq(Some("a"), Some("a"), Some("b"), None,
+      Some("c"), Some("c"), Some("c"), Some("c"))
+      .toDF("lbl").withColumn("const", lit("x"))
+    val got = Profiler.entropyProfile(df, Seq("lbl", "const"))
+      .orderBy("column").collect()
+    // const: one category -> H = 0, top share 1
+    got(0).getString(0) shouldBe "const"
+    got(0).getDouble(3) shouldBe 0.0
+    got(0).getDouble(4) shouldBe 1.0
+    // lbl: counts (a=2, b=1, null=1, c=4) over n=8
+    got(1).getLong(1) shouldBe 8L
+    got(1).getLong(2) shouldBe 4L
+    val h = math.log(8.0) -
+      (2 * math.log(2.0) + 0.0 + 0.0 + 4 * math.log(4.0)) / 8.0
+    got(1).getDouble(3) shouldBe h +- 1e-12
+    got(1).getDouble(4) shouldBe 0.5
+  }
+
   test("benfordAudit: exact digits, micro shares, zero rows for " +
       "unseen digits, non-positive values dropped") {
     import graft.operators.Profiler
