@@ -84,14 +84,21 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       (name, elapsed, deser, gc)
     }
-    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma-decimal locale would render 0,123 — malformed JSON —
+    // exactly the tail-parse failure this line exists to prevent
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    val qs = results.map { case (k, v, _, _) =>
+      "\"" + k + "\":" + num("%.3f", v)
+    }.mkString("{", ",", "}")
     // task-metric attribution for queries with meaningful deser/GC cost,
     // so a host-throttled run (the r3/r4 failure mode: closure
     // deserialization grinding at a fraction of normal speed) is
     // self-adjudicating from the JSON alone, without the stderr log
     val attrib = results.collect { case (k, _, d, g) if d + g > 0.3 =>
-      f""""$k":{"deser":$d%.2f,"gc":$g%.2f}"""
+      "\"" + k + "\":{\"deser\":" + num("%.2f", d) +
+        ",\"gc\":" + num("%.2f", g) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // top-15 slowest walls, placed immediately before "value": at 366
@@ -100,7 +107,7 @@ object Bench {
     // regressions invisible — the tail must carry the slow rows on its
     // own (r6 VERDICT item 2)
     val top = results.sortBy(-_._2).take(15)
-      .map { case (k, v, _, _) => f""""$k":$v%.2f""" }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + num("%.2f", v) }
       .mkString("{", ",", "}")
     // "metric"/"top"/"value" LAST: the driver's log capture keeps only
     // the tail, so a truncated line must still carry the headline

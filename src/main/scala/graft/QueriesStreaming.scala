@@ -37,6 +37,19 @@ object QueriesStreaming {
       java.nio.file.Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
     }
+    // the staging roots hold only _SUCCESS/.crc leftovers now the part
+    // files moved out — sweep them so lifecycle rows don't accrete
+    // temp directories across bench runs
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p)) {
+        val ls = java.nio.file.Files.list(p)
+        try ls.iterator().asScala.toList.foreach(rmTree)
+        finally ls.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmTree(stageRoot)
   }
 
   /** Run `body` with spark.sql.shuffle.partitions lowered to `n`,

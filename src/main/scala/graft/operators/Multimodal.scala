@@ -177,27 +177,32 @@ object Multimodal {
     require(bytes.length >= 44, s"truncated WAV: ${bytes.length} bytes")
     require(ascii(0, 4) == "RIFF", s"bad magic ${ascii(0, 4)}")
     require(ascii(8, 4) == "WAVE", s"bad form type ${ascii(8, 4)}")
-    var off = 12
+    var off = 12L
     var rate = -1; var channels = -1; var bits = -1
     var dataOff = -1; var dataLen = -1
     while (off + 8 <= bytes.length && (dataOff < 0 || rate < 0)) {
-      val id = ascii(off, 4)
-      val len = buf.getInt(off + 4)
-      require(len >= 0 && off + 8 + len <= bytes.length,
+      val id = ascii(off.toInt, 4)
+      val len = buf.getInt(off.toInt + 4)
+      // bound check in Long: a crafted len near Int.MaxValue must fail
+      // the require, not wrap the offset arithmetic
+      require(len >= 0 && off + 8L + len <= bytes.length,
         s"chunk $id overruns blob (len $len at $off)")
       id match {
         case "fmt " =>
           require(len >= 16, s"fmt chunk too short ($len)")
-          val fmt = buf.getShort(off + 8).toInt
+          val fmt = buf.getShort(off.toInt + 8).toInt
           require(fmt == 1, s"not PCM (format $fmt)")
-          channels = buf.getShort(off + 10).toInt
-          rate = buf.getInt(off + 12)
-          bits = buf.getShort(off + 22).toInt
+          channels = buf.getShort(off.toInt + 10).toInt
+          require(channels == 1,
+            s"unsupported channel count $channels (mono only — " +
+              "interleaved frames would silently skew every feature)")
+          rate = buf.getInt(off.toInt + 12)
+          bits = buf.getShort(off.toInt + 22).toInt
           require(bits == 16, s"unsupported bit depth $bits")
-        case "data" => dataOff = off + 8; dataLen = len
+        case "data" => dataOff = off.toInt + 8; dataLen = len
         case _ => () // LIST/INFO/fact etc: skip
       }
-      off += 8 + len + (len & 1) // odd chunks carry a pad byte
+      off += 8L + len + (len & 1) // odd chunks carry a pad byte
     }
     require(rate > 0, "no fmt chunk")
     require(dataOff >= 0, "no data chunk")
@@ -296,17 +301,20 @@ object Multimodal {
     val rawHeight = buf.getInt(22)
     val bpp = buf.getShort(28).toInt
     val compression = buf.getInt(30)
-    require(width >= 1, s"bad width $width")
+    require(width >= 1 && width <= (1 << 28),
+      s"bad width $width") // 1<<28 keeps width*3 safely inside Int
     require(rawHeight != 0, "zero height")
     require(bpp == 24, s"unsupported bit depth $bpp")
     require(compression == 0, s"compressed BMP ($compression)")
     val height = math.abs(rawHeight)
     val topDown = rawHeight < 0
-    val rowBytes = width * 3
-    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    // stride in Long first: a crafted width near Int.MaxValue must
+    // fail the bound require, not wrap negative and dodge it
+    val strideL = width.toLong * 3 + (4 - (width.toLong * 3) % 4) % 4
     require(dataOff >= 54 &&
-      dataOff.toLong + stride.toLong * height <= bytes.length,
-      s"pixel data overruns blob (offset $dataOff, stride $stride)")
+      dataOff.toLong + strideL * height <= bytes.length,
+      s"pixel data overruns blob (offset $dataOff, stride $strideL)")
+    val stride = strideL.toInt
     var sum = 0L; var maxG = 0
     var first = -1; var last = -1
     var y = 0

@@ -98,25 +98,31 @@ object Profiler {
     *         entropy_nats, top_share) */
   def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    cols.map { c =>
-      val counts = df
-        .groupBy(coalesce(col(c).cast("string"), lit("__null__"))
-          .as("__v"))
-        .agg(count(lit(1)).as("__c"))
-      counts.agg(
-          sum(col("__c")).as("n_rows"),
-          count(lit(1)).as("n_distinct"),
-          aggregate(sort_array(collect_list(
-            col("__c").cast("double") * log(col("__c").cast("double")))),
-            lit(0.0), _ + _).as("__clc"),
-          max(col("__c")).as("__top"))
-        .select(lit(c).as("column"), col("n_rows"), col("n_distinct"),
-          (log(col("n_rows").cast("double")) -
-            col("__clc") / col("n_rows").cast("double"))
-            .as("entropy_nats"),
-          (col("__top").cast("double") / col("n_rows").cast("double"))
-            .as("top_share"))
-    }.reduce(_ unionAll _)
+    // ONE scan regardless of column count (the profile() discipline):
+    // melt each row into (column, value) pairs, then one two-level
+    // aggregate — never a per-column pass over the table
+    val melted = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          coalesce(col(c).cast("string"), lit("__null__")).as("__v")))
+        : _*)).as("kv"))
+      .select(col("kv.column").as("column"), col("kv.__v").as("__v"))
+    melted.groupBy(col("column"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("column"))
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        aggregate(sort_array(collect_list(
+          col("__c").cast("double") * log(col("__c").cast("double")))),
+          lit(0.0), _ + _).as("__clc"),
+        max(col("__c")).as("__top"))
+      .select(col("column"), col("n_rows"), col("n_distinct"),
+        (log(col("n_rows").cast("double")) -
+          col("__clc") / col("n_rows").cast("double"))
+          .as("entropy_nats"),
+        (col("__top").cast("double") / col("n_rows").cast("double"))
+          .as("top_share"))
   }
 
   /** Benford first-digit audit (Benford 1938; Nigrini's fraud test):

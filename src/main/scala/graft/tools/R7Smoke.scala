@@ -87,9 +87,11 @@ object R7Smoke {
       val tf = SetSimJoin.tfTerms(d, "doc_id", "text", 4).persist()
       val rare = SetSimJoin.rareTerms(tf, maxDf = 3)
       val (bound, nRare) = {
-        // df*(df-1) is even; Column./ is a double Divide, so cast back
+        // df*(df-1) is even; Column./ is a double Divide, so cast back.
+        // coalesce: sum over an empty rare table is NULL, not 0
         val r = rare.agg(
-          sum((col("df") * (col("df") - 1) / 2).cast("long")).as("b"),
+          coalesce(sum((col("df") * (col("df") - 1) / 2).cast("long")),
+            lit(0L)).as("b"),
           count(lit(1)).as("n")).head()
         (r.getLong(0), r.getLong(1))
       }

@@ -135,6 +135,18 @@ class MultimodalSpec extends SparkSpec {
     val nonPcm = good.clone(); nonPcm(20) = 2
     an[IllegalArgumentException] should be thrownBy
       Multimodal.decodeWavPcm16(nonPcm)
+    // stereo must fail loudly, not halve the duration silently
+    val stereo = good.clone(); stereo(22) = 2
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWavPcm16(stereo)
+    // a chunk length near Int.MaxValue must fail the bound require,
+    // not wrap the offset arithmetic past it
+    val hugeLen = good.clone()
+    java.nio.ByteBuffer.wrap(hugeLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue - 4)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWavPcm16(hugeLen)
   }
 
   test("encode clamps out-of-range samples to int16") {
@@ -181,6 +193,14 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeBmpGray24(bad32)
     an[IllegalArgumentException] should be thrownBy
       Multimodal.encodeBmpGray24(Seq(1, 2, 3), 2) // partial row
+    // a crafted huge width must fail the bound require, not wrap
+    // width*3 negative and dodge the overrun check
+    val hugeW = good.clone()
+    java.nio.ByteBuffer.wrap(hugeW)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 0x40000000)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeBmpGray24(hugeW)
   }
 
   test("RealCodecDecoder dispatches on magic: real BMP/WAV parse, " +
