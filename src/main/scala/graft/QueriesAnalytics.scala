@@ -4267,6 +4267,61 @@ object QueriesAnalytics {
       |FROM dcg LEFT JOIN idcg ON idcg.qw = dcg.qw
       |ORDER BY dcg.qw""".stripMargin
 
+  // -------------------------------------------------------------- q372
+  /** Kaplan–Meier survival curve (EventAnalytics.kaplanMeier) over
+    * user activity lifetimes: duration = days between a user's first
+    * and last event, event = the user ever purchased (else censored
+    * at last sight). Exact per-day risk sets; the survival product is
+    * exp of an in-t-order cumulative ln sum, restated term for term
+    * by the oracle's running window, and emitted micro-rounded (q60
+    * pattern). The correct retention curve beside q263's cohort
+    * shares — censoring handled, not conflated with churn. */
+  private def q372KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    // 6-hour buckets: day granularity collapses the synthetic
+    // fixture's lifetimes to ~3 distinct durations — too thin a curve
+    val day = expr("unix_micros(ts) div 21600000000")
+    val subj = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg((max(day) - min(day)).as("dur"),
+        (max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          === 1L).as("ev"))
+    graft.operators.EventAnalytics
+      .kaplanMeier(subj, col("dur"), col("ev"))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        round(col("survival") * lit(1e6)).cast("long").as("surv_micro"))
+      .orderBy(col("t"))
+  }
+
+  private val q372Sql =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    max(epoch_us(ts) // 21600000000)
+      |      - min(epoch_us(ts) // 21600000000) AS t,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+      |  FROM events GROUP BY 1),
+      |pt AS (
+      |  SELECT t, CAST(sum(e) AS BIGINT) AS d,
+      |    CAST(sum(1 - e) AS BIGINT) AS c
+      |  FROM s GROUP BY 1),
+      |w AS (
+      |  SELECT t, d, c,
+      |    (SELECT CAST(sum(d + c) AS BIGINT) FROM pt)
+      |      - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS n_risk
+      |  FROM pt),
+      |k AS (
+      |  SELECT t, n_risk, d, c,
+      |    CASE WHEN d = n_risk THEN 0.0 ELSE
+      |      exp(sum(CASE WHEN d > 0 AND d < n_risk
+      |        THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |        ELSE 0.0 END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+      |    END AS surv
+      |  FROM w)
+      |SELECT t, n_risk, d, c,
+      |  CAST(round(surv * 1e6) AS BIGINT) AS surv_micro
+      |FROM k ORDER BY t""".stripMargin
+
   // -------------------------------------------------------------- q365
   /** Reciprocal rank @10 (Evaluation.reciprocalRankAtK), EXACT: same
     * fixture and ranking as q325; the first relevant rank r emits the
@@ -5647,6 +5702,7 @@ object QueriesAnalytics {
     "q303_pass_at_k" -> (q303PassAtK _),
     "q364_ndcg_at_k" -> (q364NdcgAtK _),
     "q365_mrr_at_k" -> (q365MrrAtK _),
+    "q372_kaplan_meier" -> (q372KaplanMeier _),
     "q304_ab_ztest" -> (q304AbTest _),
     "q301_decayed_sum" -> (q301DecayedSum _),
     "q300_hilbert_range" -> (q300HilbertRange _),
@@ -5767,6 +5823,7 @@ object QueriesAnalytics {
     "q303_pass_at_k" -> q303Sql,
     "q364_ndcg_at_k" -> q364Sql,
     "q365_mrr_at_k" -> q365Sql,
+    "q372_kaplan_meier" -> q372Sql,
     "q304_ab_ztest" -> q304Sql,
     "q301_decayed_sum" -> q301Sql,
     "q300_hilbert_range" -> q300Sql,

@@ -197,6 +197,74 @@ object EventAnalytics {
   private def epochWeek(us: Column): Column =
     floorDivExact(us, 604800000000L)
 
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) — the
+    * retention/lifetime curve with right-censoring done correctly
+    * (cohortRetention's share curve treats every disappearance as
+    * churn; KM keeps censored subjects in the risk set up to their
+    * last observation). Input: one row per subject with an integral
+    * duration and an event flag (false = censored at that duration).
+    *
+    * Per distinct duration t: d_t events, c_t censorings, risk set
+    * n_t = total − Σ_{t'<t}(d+c); Ŝ(t) = Π_{t'≤t,d>0}(1 − d/n).
+    * All counts are exact integers. The survival product is computed
+    * as exp of a cumulative IN-T-ORDER sum of ln(1 − d/n) terms
+    * (zero where d = 0) — exactly a SQL running-window sum, so the
+    * oracle restates it term for term in the same order and gate
+    * rows emit it micro-rounded (the q60 pattern).
+    *
+    * Scale: one duration-keyed aggregate over subjects; the per-time
+    * table (≤ distinct durations — caller buckets durations first,
+    * the documented granularity contract) collects into ONE sorted
+    * array and unrolls with bounded O(k²) prefix folds, never
+    * windowing subject rows.
+    *
+    * @return per duration: (t, n_risk, d, c, survival) */
+  def kaplanMeier(subjects: DataFrame, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val perT = subjects
+      .select(durationCol.cast("long").as("t"),
+        when(eventCol, 1L).otherwise(0L).as("__e"))
+      .groupBy(col("t"))
+      .agg(sum(col("__e")).as("d"),
+        sum(lit(1L) - col("__e")).as("c"))
+    val packed = perT
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
+        .as("a"),
+        sum(col("d") + col("c")).as("n_total"))
+    // per index i (1-based): n_risk = total − Σ_{j<i}(d_j+c_j);
+    // survival = exp(Σ over sorted ln-terms of prefixes j≤i with d>0)
+    packed
+      .select(posexplode(col("a")).as(Seq("__i", "__r")),
+        col("a"), col("n_total"))
+      .select(col("__r.t").as("t"),
+        (col("n_total") -
+          aggregate(slice(col("a"), lit(1), col("__i")),
+            lit(0L), (acc, x) =>
+              acc + x.getField("d") + x.getField("c"))).as("n_risk"),
+        col("__r.d").as("d"), col("__r.c").as("c"),
+        col("a"), col("__i"), col("n_total"))
+      .withColumn("survival",
+        // d == n_risk exhausts the risk set, which can only happen at
+        // the LAST time (nobody outlives it to form later rows): the
+        // curve hits exactly 0 there — emitted directly, so ln(0)
+        // never evaluates on either engine
+        when(col("d") === col("n_risk"), lit(0.0)).otherwise(
+          exp(aggregate(
+            transform(
+              slice(col("a"), lit(1), col("__i") + 1),
+              (x, j) => when(x.getField("d") > 0L,
+                log(lit(1.0) -
+                  x.getField("d").cast("double") /
+                    (col("n_total") -
+                      aggregate(slice(col("a"), lit(1), j),
+                        lit(0L), (acc, y) =>
+                          acc + y.getField("d") + y.getField("c")))
+                      .cast("double"))).otherwise(lit(0.0))),
+            lit(0.0), (acc, x) => acc + x))))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        col("survival"))
+  }
+
   /** Cohort retention: users grouped by first-activity week (cohort);
     * for each (cohort_week, week_offset), the distinct active users and
     * their share of the cohort. */

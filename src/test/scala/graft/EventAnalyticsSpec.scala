@@ -156,6 +156,31 @@ class EventAnalyticsSpec extends SparkSpec {
     got("u2") shouldBe ((1L, 100.0)) // singleton series: ewma = x1
   }
 
+  test("kaplanMeier: textbook curve — risk sets, censoring, terminal " +
+      "extinction at exactly 0") {
+    import spark.implicits._
+    // durations/events: (1,T) (2,censored) (3,T) (3,T) (4,censored)
+    // (5,T) — S: 5/6 at t=1, flat through the censor, 5/12 at t=3,
+    // flat again, 0 at t=5 (risk set exhausted)
+    val df = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true)).toDF("dur", "ev")
+    val got = EventAnalytics.kaplanMeier(df, col("dur"), col("ev"))
+      .orderBy("t").collect()
+    got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq shouldBe Seq(
+      (1L, 6L, 1L, 0L), (2L, 5L, 0L, 1L), (3L, 4L, 2L, 0L),
+      (4L, 2L, 0L, 1L), (5L, 1L, 1L, 0L))
+    got(0).getDouble(4) shouldBe (5.0 / 6.0) +- 1e-12
+    got(1).getDouble(4) shouldBe (5.0 / 6.0) +- 1e-12
+    got(2).getDouble(4) shouldBe (5.0 / 12.0) +- 1e-12
+    got(3).getDouble(4) shouldBe (5.0 / 12.0) +- 1e-12
+    got(4).getDouble(4) shouldBe 0.0 // exact, never ln(0)
+    // partitioning invariance
+    EventAnalytics.kaplanMeier(df.repartition(4), col("dur"), col("ev"))
+      .orderBy("t").collect().map(_.getDouble(4)).toSeq shouldBe
+      got.map(_.getDouble(4)).toSeq
+  }
+
   test("cohortRetention buckets by first-activity week") {
     val wk = 604800L // seconds per week
     val df = ev(
