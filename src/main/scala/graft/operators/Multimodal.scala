@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * initialization happens once per task, not per row — the Scala analog
   * of a Pandas-UDF/mapInPandas batch.
   *
-  * COMPRESSED codecs (JPEG/PNG/H.264/Opus…) are unavailable in this
+  * COMPRESSED codecs (JPEG/PNG/H.264/MP3…) are unavailable in this
   * environment: for those, `DeterministicFakeDecoder` derives stable
   * pseudo-metadata from the bytes' md5, so the Spark-side plumbing —
   * schema, partition batch shape, per-partition init, typed output —
@@ -65,7 +65,7 @@ object Multimodal {
     * containers are pure byte arithmetic — BMP (24-bit uncompressed)
     * and RIFF/WAVE PCM — parsed by the strict decoders below; any
     * other magic throws UnsupportedOperationException naming the
-    * format, because compressed codecs (JPEG/PNG/H.264/Opus…) need
+    * format, because compressed codecs (JPEG/PNG/H.264/MP3…) need
     * libraries this environment does not ship. Decode errors fail
     * loudly; nothing is fabricated. */
   class RealCodecDecoder extends MediaDecoder {
