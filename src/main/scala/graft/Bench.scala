@@ -59,7 +59,26 @@ object Bench {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    val results = selected.map { case (name, fn) =>
+    // fixed-work calibration sentinel: the SAME tiny query timed at
+    // start / middle / end of the run. Host throttling (the r2-r7
+    // driver-vs-judge gap) shows up as sentinel drift; a steady
+    // sentinel plus a slow row means the row itself regressed. The
+    // work is pure codegen'd arithmetic over range() — no IO, no
+    // shuffle variance — so wall time tracks only CPU availability.
+    def sentinel(): Double = {
+      import org.apache.spark.sql.functions.{sum => fsum, col}
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .select(fsum(col("id") * 3 % 7).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // untimed warmup: first run pays codegen compilation
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    sentinels += sentinel()
+    val half = selected.size / 2
+    val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == half && half > 0) sentinels += sentinel()
       (0 until 4).foreach(taskAgg.set(_, 0L))
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -84,6 +103,7 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       (name, elapsed, deser, gc)
     }
+    sentinels += sentinel()
     // Locale.ROOT: the f-interpolator honors the JVM default locale,
     // and a comma-decimal locale would render 0,123 — malformed JSON —
     // exactly the tail-parse failure this line exists to prevent
@@ -113,6 +133,17 @@ object Bench {
     // the tail, so a truncated line must still carry the headline
     // number and the slow-row walls
     println(s"""{"queries":$qs,"attrib":$attrib,"sf":"$sfDir","unit":"sec","metric":"total","top":$top,"value":$total}""")
+    // SECOND, compact, SELF-CONTAINED summary line (< 2000 chars): the
+    // driver keeps only a 2000-char tail of stdout, so the full line
+    // above head-truncates and its json.loads fails every round
+    // (BENCH_r05..r07 "parsed": null). This line always fits the tail
+    // whole, so the driver's structured field finally populates.
+    // "sentinel" carries the start/middle/end calibration walls —
+    // steady ≈0.1-0.3 s values mean the host was healthy; a 5-10×
+    // inflated sentinel adjudicates a slow run as host throttling
+    // without attrib forensics.
+    val sent = sentinels.map(num("%.3f", _)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","unit":"sec","n":${results.size},"sentinel":$sent,"top":$top,"value":$total}""")
     spark.stop()
   }
 }

@@ -2205,12 +2205,14 @@ object QueriesCorpus {
       |  FROM xy),
       |fit AS (
       |  SELECT n, sx, sy,
-      |    (CAST(n AS DOUBLE) * sxy - sx * sy)
-      |      / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+      |    CASE WHEN n >= 2 THEN
+      |      (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |        / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope
       |  FROM s)
       |SELECT n,
       |  CAST(round(slope * 1e6) AS BIGINT) AS slope_micro,
-      |  CAST(round((sy - slope * sx) / CAST(n AS DOUBLE) * 1e6)
+      |  CAST(round(CASE WHEN n >= 2 THEN
+      |      (sy - slope * sx) / CAST(n AS DOUBLE) * 1e6 END)
       |    AS BIGINT) AS intercept_micro
       |FROM fit""".stripMargin
 

@@ -603,6 +603,14 @@ object QueriesDedup {
     // checkpoint: three downstream aggregates read this frame — without
     // it the whole MinHash pipeline re-executes per aggregate (the
     // r6 bench caught exactly that: 59.6 s with 33 s of GC)
+    // AUDIT-ONLY: maxBucketSize is DISABLED here — capping a hot LSH
+    // bucket drops candidate pairs, which would bias the measured
+    // recall downward and defeat the audit's whole purpose. This is
+    // safe ONLY because the audit runs on the 1-in-4 stratum above
+    // (bounded pair work by construction). Production dedup pipelines
+    // must NEVER copy this call shape: every non-audit invocation in
+    // the repo keeps the default cap, which is what bounds a
+    // pathological bucket (all-identical boilerplate) at corpus scale.
     val lsh = Dedup.minhashNearDupsWords(c, "doc_id", "text",
         shingleWords = 5, k = 16, bands = 4, threshold = 0.5,
         maxBucketSize = Int.MaxValue)

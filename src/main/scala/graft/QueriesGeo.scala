@@ -329,15 +329,58 @@ object QueriesGeo {
       |  CAST(sum(d2) AS BIGINT) AS sum_d2, min(d2) AS min_d2
       |FROM asg GROUP BY 1 ORDER BY site""".stripMargin
 
+  // -------------------------------------------------------------- q374
+  /** Hex-WKB point decode (GeomFunctions.stPointFromWkbHex over the
+    * codegen'd WkbPointExpression) — closes the `force_the_geom`
+    * passthrough loop (quirk Q12): ingest-shaped hex blobs are
+    * synthesized per row by WkbPointUtil.encodeHex from deterministic
+    * customer-key coordinates, MIXING the layouts a real feed mixes —
+    * even keys little-endian / odd big-endian, every 4th key EWKB
+    * with an embedded SRID 3857 tag, the rest plain WKB adopting the
+    * column default 4326 — then decoded back to st_x/st_y/st_srid.
+    * The oracle recomputes the coordinates directly from c_custkey
+    * (the encode→decode round trip is bit-lossless, so the doubles
+    * match EXACTLY, no micro scaling); absolute byte layout (not just
+    * encoder/decoder inverse-consistency) is pinned by WkbSpec's
+    * published PostGIS test vectors. Map-only scalar at any scale. */
+  private def q374WkbDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("long"),
+        (((col("c_custkey") * 7) % 3600 - 1800) / lit(10.0)),
+        (((col("c_custkey") * 13) % 1700 - 850) / lit(10.0)))
+      .as[(Long, Double, Double)]
+    val hexed = pts.map { case (k, lon, lat) =>
+      val srid = if (k % 4 == 0) 3857 else -1
+      (k, graft.expressions.WkbPointUtil
+        .encodeHex(lon, lat, srid, little = k % 2 == 0))
+    }.toDF("c_custkey", "the_geom_hex")
+    val g = GeomFunctions.stPointFromWkbHex(col("the_geom_hex"), 4326)
+    hexed.select(col("c_custkey"),
+        GeomFunctions.stX(g).as("x"), GeomFunctions.stY(g).as("y"),
+        GeomFunctions.stSrid(g).as("srid"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q374Sql =
+    """SELECT c_custkey,
+      |  ((c_custkey * 7) % 3600 - 1800) / 10.0 AS x,
+      |  ((c_custkey * 13) % 1700 - 850) / 10.0 AS y,
+      |  CAST(CASE WHEN c_custkey % 4 = 0 THEN 3857 ELSE 4326 END
+      |    AS INT) AS srid
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q352_nearest_site" -> (q352NearestSite _),
     "q165_srid_matrix" -> (q165SridMatrix _),
     "q188_geohash" -> (q188Geohash _),
+    "q374_wkb_decode" -> (q374WkbDecode _),
   )
 
   val oracles: Map[String, String] = Map(
     "q165_srid_matrix" -> q165Sql,
     "q188_geohash" -> q188Sql,
     "q352_nearest_site" -> q352Sql,
+    "q374_wkb_decode" -> q374Sql,
   )
 }

@@ -212,17 +212,76 @@ object QueriesMultimodal {
       |  CAST(arg_max(g, event_id) AS INT) AS last_gray
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q373
+  /** REAL COMPRESSED-codec decode end to end (Multimodal.encodePngGray8
+    * / decodePngGray8): per-user 16-wide grayscale images (luma =
+    * events cents mod 256 in event_id order, truncated to whole rows)
+    * encode into standard non-interlaced 8-bit PNGs — zlib-deflated
+    * scanlines whose filter types ROTATE through all five
+    * (None/Sub/Up/Average/Paeth) — then the strict decoder walks
+    * signature / CRC-verified chunks / Inflater / per-row
+    * reconstruction and emits exact-integer features that hash-match
+    * the oracle's direct recompute from events. Unlike q367/q368
+    * (header-only containers), the pixel bytes here pass through REAL
+    * compression: any filter-reconstruction, zlib-boundary, or
+    * geometry bug flips the hash. first/last are position-dependent,
+    * so row-order bugs can't hide behind the sums. */
+  private def q373PngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") <= 500)
+      .select(col("user_id"), col("event_id"),
+        pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(256L)).cast("int").as("g"))
+    val imgs = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("g"))))
+        .as("a"))
+      .select(col("user_id").as("doc_id"),
+        expr("slice(transform(a, x -> x.g), 1, " +
+          "(size(a) div 16) * 16)").as("lumas"))
+      .filter(size(col("lumas")) >= 16)
+      .withColumn("width", lit(16))
+      .as[Multimodal.Png2dRow]
+    Multimodal.pngFeatureTable(Multimodal.encodePngTable(imgs))
+      .toDF().orderBy(col("doc_id"))
+  }
+
+  private val q373Sql =
+    """WITH s AS (
+      |  SELECT user_id AS doc_id, event_id,
+      |    ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 256)
+      |      + 256) % 256 AS g
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, g,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY event_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT * FROM r WHERE n >= 16 AND rn <= (n // 16) * 16)
+      |SELECT doc_id, CAST(16 AS INT) AS width,
+      |  CAST(count(*) // 16 AS INT) AS height,
+      |  CAST(0 AS INT) AS color_type,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(g) AS BIGINT) AS sum_gray,
+      |  CAST(max(g) AS INT) AS max_gray,
+      |  CAST(arg_min(g, rn) AS INT) AS first_gray,
+      |  CAST(arg_max(g, rn) AS INT) AS last_gray
+      |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_features" -> (q29Features _),
     "q251_media_resize" -> (q251MediaResize _),
     "q323_media_frames" -> (q323MediaFrames _),
     "q367_wav_decode" -> (q367WavDecode _),
-    "q368_bmp_decode" -> (q368BmpDecode _))
+    "q368_bmp_decode" -> (q368BmpDecode _),
+    "q373_png_decode" -> (q373PngDecode _))
 
   val oracles: Map[String, String] = Map(
     "q29_multimodal_features" -> q29Sql,
     "q251_media_resize" -> q251Sql,
     "q323_media_frames" -> q323Sql,
     "q367_wav_decode" -> q367Sql,
-    "q368_bmp_decode" -> q368Sql)
+    "q368_bmp_decode" -> q368Sql,
+    "q373_png_decode" -> q373Sql)
 }

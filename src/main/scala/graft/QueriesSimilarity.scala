@@ -712,7 +712,87 @@ object QueriesSimilarity {
       |FROM d WHERE dot >= 100000
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q375
+  /** Incremental semantic dedup (IncrementalSemanticDedup.acceptBatch)
+    * — q369's sign-bucket blocking turned into a PERSISTENT index the
+    * corpus grows through batch by batch: planted near-dups (every
+    * 10th embedding, perturbed +0.05 on dim 1, ids +10000 — the q18
+    * fixture) arrive interleaved across three batches (doc_id mod 3),
+    * and each batch probes the quantized index of everything earlier
+    * before merging itself in. The contract under test: the 3-batch
+    * incremental run equals the ONE-SHOT batch computation exactly
+    * (flag iff ∃ earlier-in-arrival-order bucket-mate with exact int8
+    * dot ≥ 10⁵) — the oracle restates that batch form declaratively
+    * (the q324 state-machine pattern), so any index drift (self-
+    * masking, missed earlier batch, retry ghosts, survivors-only
+    * chain bias) shifts the flag set and fails the row. Integer dot
+    * verdicts: nothing can flip on float order. */
+  private def q375IncrSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val ed = transform(col("embedding"), x => x.cast("double"))
+    val base = emb.select(col("vec_id").cast("long").as("doc_id"),
+      ed.as("e"))
+    val copies = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).cast("long").as("doc_id"),
+        concat(array(element_at(ed, 1) + lit(0.05)),
+          slice(ed, 2, 10000)).as("e"))
+    val corpus = base.unionAll(copies)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_sem_idx").toString
+    (0 until 3).map { b =>
+      val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
+      graft.operators.IncrementalSemanticDedup.acceptBatch(
+          batch, "doc_id", "e", idx, s"day$b", minDot = 100000L)
+        .withColumn("batch", lit(b.toLong))
+    }.reduce(_ unionAll _)
+      .filter(col("flagged"))
+      .select(col("doc_id"), col("batch"), col("n_earlier"),
+        col("max_dot"), col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q375Sql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id AS doc_id, e FROM e
+      |  UNION ALL
+      |  SELECT vec_id + 10000, list_concat([e[1] + 0.05], e[2:])
+      |  FROM e WHERE vec_id % 10 = 0),
+      |sc AS (SELECT doc_id, e,
+      |  list_max(list_transform(e, x -> abs(x))) AS scale FROM corpus),
+      |q AS (
+      |  SELECT doc_id, doc_id % 3 AS batch,
+      |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+      |    ELSE list_transform(e,
+      |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) END
+      |      AS qv
+      |  FROM sc),
+      |b AS (
+      |  SELECT doc_id, batch, qv,
+      |    (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END) AS bkt
+      |  FROM q),
+      |hits AS (
+      |  SELECT d.doc_id, d.batch, a.doc_id AS eid,
+      |    CAST(list_aggregate(list_transform(range(1, 65),
+      |      i -> CAST(a.qv[i] AS BIGINT) * d.qv[i]), 'sum') AS BIGINT)
+      |      AS dot
+      |  FROM b d JOIN b a ON a.bkt = d.bkt
+      |    AND (a.batch < d.batch
+      |      OR (a.batch = d.batch AND a.doc_id < d.doc_id)))
+      |SELECT doc_id, CAST(batch AS BIGINT) AS batch,
+      |  CAST(count(*) AS BIGINT) AS n_earlier,
+      |  CAST(max(dot) AS BIGINT) AS max_dot, min(eid) AS dup_of
+      |FROM hits WHERE dot >= 100000
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q375_incr_semantic" -> (q375IncrSemantic _),
     "q369_semantic_decon" -> (q369SemanticDecon _),
     "q305_mutual_nn" -> (q305MutualNn _),
     "q278_gram_matrix" -> (q278GramMatrix _),
@@ -729,6 +809,7 @@ object QueriesSimilarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q375_incr_semantic" -> q375Sql,
     "q369_semantic_decon" -> q369Sql,
     "q305_mutual_nn" -> q305Sql,
     "q278_gram_matrix" -> q278Sql,

@@ -34,6 +34,25 @@ object GeomFunctions {
   def stY(geom: Column): Column = geom("y")
   def stSrid(geom: Column): Column = geom("srid")
 
+  /** Decode a hex-WKB/EWKB point string into the engine's geometry
+    * struct — the interpretation half of the `force_the_geom`
+    * passthrough (quirk Q12, CsvIngest): the reference stores the hex
+    * verbatim and lets PostGIS read it (`etl/etl.py:303-304`); this
+    * lets passthrough geometries feed st_x/st_y/st_transform/overviews
+    * directly. EWKB SRID wins when present; `defaultSrid` tags plain
+    * WKB (PostGIS semantics: untagged geometry adopts the column
+    * SRID). Malformed hex throws with the offending field named; NULL
+    * passes through as NULL geometry. Map-only scalar — codegen'd
+    * expression, no UDF. */
+  def stPointFromWkbHex(hex: Column, defaultSrid: Int = 4326): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => CB, expression => E}
+    val arr = CB(graft.expressions.WkbPointExpression(E(hex)))
+    when(hex.isNotNull,
+      struct(element_at(arr, 1).as("x"), element_at(arr, 2).as("y"),
+        when(element_at(arr, 3) >= 0.0, element_at(arr, 3))
+          .otherwise(lit(defaultSrid.toDouble)).cast("int").as("srid")))
+  }
+
   /** Reproject between the SRIDs the engine supports natively: 4326
     * (WGS84 lon/lat), 3857 (web mercator meters), the WGS84 UTM
     * zones 32601-32660 (north) / 32701-32760 (south) via the standard

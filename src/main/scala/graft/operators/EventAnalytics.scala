@@ -212,57 +212,86 @@ object EventAnalytics {
     * oracle restates it term for term in the same order and gate
     * rows emit it micro-rounded (the q60 pattern).
     *
-    * Scale: one duration-keyed aggregate over subjects; the per-time
-    * table (≤ distinct durations — caller buckets durations first,
-    * the documented granularity contract) collects into ONE sorted
-    * array and unrolls with bounded O(k²) prefix folds, never
-    * windowing subject rows.
+    * Scale: one duration-keyed aggregate over subjects, then the SAME
+    * two-pass distributed prefix scheme as Evaluation.rocAuc over the
+    * range-partitioned per-time table: per-partition cumulative
+    * windows plus a partition-count-bounded offset table — never a
+    * single-partition window, never a whole-table pack into one row.
+    * The risk-set prefix is exact longs (association-free); the
+    * ln-term prefix reassociates double additions at partition
+    * boundaries, which moves Ŝ(t) by at most last-ulps — the same
+    * noise class as cross-engine libm exp/ln, absorbed by the gate's
+    * micro-rounding (q60 rule). A caller passing raw-microsecond
+    * durations (ignoring the granularity contract) now gets a
+    * partitioned k-row plan instead of a driver-sized single-row
+    * pack — misuse degrades to a bigger shuffle, not a blown task.
     *
     * @return per duration: (t, n_risk, d, c, survival) */
   def kaplanMeier(subjects: DataFrame, durationCol: Column,
       eventCol: Column): DataFrame = {
+    val spark = subjects.sparkSession
     val perT = subjects
       .select(durationCol.cast("long").as("t"),
         when(eventCol, 1L).otherwise(0L).as("__e"))
       .groupBy(col("t"))
       .agg(sum(col("__e")).as("d"),
         sum(lit(1L) - col("__e")).as("c"))
-    val packed = perT
-      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
-        .as("a"),
-        sum(col("d") + col("c")).as("n_total"))
-    // per index i (1-based): n_risk = total − Σ_{j<i}(d_j+c_j);
-    // survival = exp(Σ over sorted ln-terms of prefixes j≤i with d>0)
-    packed
-      .select(posexplode(col("a")).as(Seq("__i", "__r")),
-        col("a"), col("n_total"))
-      .select(col("__r.t").as("t"),
-        (col("n_total") -
-          aggregate(slice(col("a"), lit(1), col("__i")),
-            lit(0L), (acc, x) =>
-              acc + x.getField("d") + x.getField("c"))).as("n_risk"),
-        col("__r.d").as("d"), col("__r.c").as("c"),
-        col("a"), col("__i"), col("n_total"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // force the duration-keyed aggregate ONCE before range
+    // partitioning: RangePartitioner's sampling pass is a separate
+    // job over the child, so an uncached perT would run the big
+    // subjects aggregate twice (measured 6× on the q372 gate row)
+    perT.count()
+    val base = perT.repartitionByRange(col("t"))
+      .sortWithinPartitions(col("t"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // pass 1 offsets: per-partition (d+c) totals, scanned on the
+    // driver — bounded by the partition COUNT, not the data
+    val dcTotals = base.groupBy(col("__pid"))
+      .agg(sum(col("d") + col("c")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val nTotal = dcTotals.map(_._2).sum
+    val dcOff = spark.createDataFrame(
+      dcTotals.map(_._1).zip(dcTotals.scanLeft(0L)(_ + _._2).init)
+        .toIndexedSeq).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // n_risk = total − Σ_{t'<t}(d+c): EXCLUSIVE prefix, so subtract
+    // the row's own mass from the inclusive window sum
+    val risked = base.join(broadcast(dcOff), Seq("__pid"))
+      .withColumn("n_risk",
+        lit(nTotal) - (sum(col("d") + col("c")).over(w) + col("__off")
+          - col("d") - col("c")))
+      // d < n_risk guards the TERMINAL time (risk set exhausted —
+      // survival is exactly 0 there, emitted directly below, and no
+      // later rows exist to read the term), so ln(0) never evaluates
+      // on either engine; the oracle restates the same CASE
+      .withColumn("__term",
+        when(col("d") > 0L && col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double"))).otherwise(lit(0.0)))
+    // pass 2 offsets: per-partition ln-term totals, scanned in
+    // partition order (sequential left-fold across partitions)
+    val termTotals = risked.groupBy(col("__pid"))
+      .agg(sum(col("__term")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val termOff = spark.createDataFrame(
+      termTotals.map(_._1).zip(termTotals.scanLeft(0.0)(_ + _._2).init)
+        .toIndexedSeq).toDF("__pid", "__toff")
+    val res = risked.join(broadcast(termOff), Seq("__pid"))
       .withColumn("survival",
-        // d == n_risk exhausts the risk set, which can only happen at
-        // the LAST time (nobody outlives it to form later rows): the
-        // curve hits exactly 0 there — emitted directly, so ln(0)
-        // never evaluates on either engine
         when(col("d") === col("n_risk"), lit(0.0)).otherwise(
-          exp(aggregate(
-            transform(
-              slice(col("a"), lit(1), col("__i") + 1),
-              (x, j) => when(x.getField("d") > 0L,
-                log(lit(1.0) -
-                  x.getField("d").cast("double") /
-                    (col("n_total") -
-                      aggregate(slice(col("a"), lit(1), j),
-                        lit(0L), (acc, y) =>
-                          acc + y.getField("d") + y.getField("c")))
-                      .cast("double"))).otherwise(lit(0.0))),
-            lit(0.0), (acc, x) => acc + x))))
+          exp(sum(col("__term")).over(w) + col("__toff"))))
       .select(col("t"), col("n_risk"), col("d"), col("c"),
         col("survival"))
+    // eager localCheckpoint materializes the k-row result BEFORE the
+    // persisted base is released (k = distinct durations — bounded by
+    // the granularity contract, and merely "larger" on misuse)
+    val out = res.localCheckpoint(true)
+    base.unpersist()
+    perT.unpersist()
+    out
   }
 
   /** Cohort retention: users grouped by first-activity week (cohort);

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental SEMANTIC dedup against a persistent quantized-embedding
+  * index — IncrementalDedup's embedding-level sibling (r7 VERDICT next
+  * item 6): exact fingerprints catch byte-identical re-deliveries, but
+  * a paraphrased or lightly re-encoded duplicate arrives with a fresh
+  * fingerprint and only its EMBEDDING gives it away. Each new batch
+  * must therefore probe the vectors of everything already seen,
+  * without re-embedding or re-scanning the corpus.
+  *
+  * The index is a parquet table of (doc_id, int8-quantized vector,
+  * sign bucket): ~4 bytes/dim — a 64-dim corpus of a billion docs is a
+  * ~260 GB index, scan-free to maintain (append-only via the staged
+  * publisher, so a retried batch cannot double-append).
+  *
+  * Semantics — FLAG-IF-ANY-EARLIER, the order-deterministic contract:
+  * a document is flagged iff SOME document earlier in arrival order
+  * (earlier batch, or same batch with smaller id) shares its sign
+  * bucket and reaches `minDot` in the EXACT int8 dot product (integer
+  * arithmetic end to end — the verdict can never wobble on float
+  * order). The index keeps EVERY seen document, flagged or not, which
+  * is exactly what makes the incremental run equal the one-shot batch
+  * computation on ANY input — chains included: "is there an earlier
+  * near-neighbor?" never depends on whether that neighbor was itself
+  * flagged. (A survivors-only index would be smaller but
+  * chain-divergent; this contract is restatable as one declarative
+  * SQL, which is what the q375 gate row pins.)
+  *
+  * Scale shape: candidates come from the q305/q369 sign-bucket
+  * blocking — both sides key into the 2^`signBits` bucket of their
+  * first `signBits` quantized dims, so each batch vector dots only
+  * its bucket's slice of the index. The default 4 bits (16 buckets)
+  * matches the gate fixtures; at corpus scale callers raise
+  * `signBits` (16 bits → 65k buckets) so the bucket join fans out
+  * across the cluster instead of funneling 16 keys — the standard
+  * LSH recall/cost dial, priced like q369's (a near-dup whose
+  * perturbation flips a leading sign bit is missed; the lexical
+  * incremental pass runs beside this one).
+  */
+object IncrementalSemanticDedup {
+
+  private def signBucket(qv: Column, signBits: Int): Column =
+    (0 until signBits).map(i =>
+      when(element_at(qv, i + 1) > 0, 1 << i).otherwise(0))
+      .reduce((a, b) => a + b)
+
+  private def exactDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y), lit(0L),
+      (acc, x) => acc + x)
+
+  /** Process one batch: returns every batch row annotated with the
+    * flag verdict — (doc_id, flagged, n_earlier, max_dot, dup_of) —
+    * and appends the batch's quantized vectors to `indexPath`.
+    * `dup_of` is the smallest earlier near-neighbor id (NULL when
+    * accepted). `batchTag` idempotence follows IncrementalDedup:
+    * novelty is evaluated against the index EXCLUDING the current
+    * tag's own files, and the append republishes over a previous
+    * partial publish of the same tag — retry-safe. */
+  def acceptBatch(batch: DataFrame, idCol: String, embCol: String,
+      indexPath: String, batchTag: String, minDot: Long,
+      signBits: Int = 4): DataFrame = {
+    require(signBits >= 1 && signBits <= 24,
+      s"signBits ($signBits) out of [1, 24]")
+    val spark = batch.sparkSession
+    // quantize once: the frame feeds both sides of the within-batch
+    // join, the index probe, and the index append
+    val q = batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        Similarity.quantizeInt8(col(embCol)).getField("q").as("qv"))
+      .withColumn("bkt", signBucket(col("qv"), signBits))
+      .localCheckpoint(true)
+    val earlier = {
+      // same batch, smaller id
+      val within = q.select(col("bkt"), col("doc_id").as("__eid"),
+        col("qv").as("__eqv"))
+      // any doc from an earlier batch (index excludes this tag's files)
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val otherFiles =
+        if (!fs.exists(p)) Array.empty[String]
+        else fs.listStatus(p).map(_.getPath)
+          .filter { f =>
+            f.getName.endsWith(".parquet") || f.getName.contains("part-")
+          }
+          .filterNot(_.getName.startsWith(s"$batchTag-"))
+          .map(_.toString)
+      val within2 = within.withColumn("__same", lit(true))
+      if (otherFiles.isEmpty) within2
+      else within2.unionAll(
+        spark.read.parquet(otherFiles.toIndexedSeq: _*)
+          .select(col("bkt"), col("doc_id").as("__eid"),
+            col("qv").as("__eqv"))
+          .withColumn("__same", lit(false)))
+    }
+    val hits = q.join(earlier, Seq("bkt"))
+      .filter(!col("__same") || col("__eid") < col("doc_id"))
+      .withColumn("dot", exactDot(col("qv"), col("__eqv")))
+      .filter(col("dot") >= minDot)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_earlier"), max(col("dot")).as("max_dot"),
+        min(col("__eid")).as("dup_of"))
+    val res = q.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_earlier").isNotNull.as("flagged"),
+        coalesce(col("n_earlier"), lit(0L)).as("n_earlier"),
+        col("max_dot"), col("dup_of"))
+      .localCheckpoint(true)
+    ParquetTable.appendStaged(q.select(col("doc_id"), col("qv"),
+      col("bkt")), indexPath, batchTag)
+    res
+  }
+}

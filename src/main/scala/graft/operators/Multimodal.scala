@@ -9,18 +9,21 @@ import org.apache.spark.sql.functions._
   * initialization happens once per task, not per row — the Scala analog
   * of a Pandas-UDF/mapInPandas batch.
   *
-  * COMPRESSED codecs (JPEG/PNG/H.264/MP3…) are unavailable in this
-  * environment: for those, `DeterministicFakeDecoder` derives stable
-  * pseudo-metadata from the bytes' md5, so the Spark-side plumbing —
-  * schema, partition batch shape, per-partition init, typed output —
-  * is real and tested, and the features are oracle-reproducible.
-  * The SELF-DESCRIBING formats decode for REAL: RIFF/WAVE PCM audio
-  * (`encodeWavPcm16`/`decodeWavPcm16`, gated by q367) and 24-bit
-  * uncompressed BMP images (`encodeBmpGray24`/`decodeBmpGray24`,
-  * gated by q368) round-trip actual media bytes end to end, and
-  * `RealCodecDecoder` dispatches on magic bytes — real parse for
-  * these, a loud UnsupportedOperationException for codec-bound
-  * formats.
+  * Codecs whose decoders need EXTERNAL libraries (JPEG's DCT stack,
+  * H.264, MP3…) are unavailable in this environment: for those,
+  * `DeterministicFakeDecoder` derives stable pseudo-metadata from the
+  * bytes' md5, so the Spark-side plumbing — schema, partition batch
+  * shape, per-partition init, typed output — is real and tested, and
+  * the features are oracle-reproducible. Everything the JDK can decode
+  * decodes for REAL: RIFF/WAVE PCM audio (`encodeWavPcm16`/
+  * `decodeWavPcm16`, gated by q367), 24-bit uncompressed BMP images
+  * (`encodeBmpGray24`/`decodeBmpGray24`, gated by q368), and — a true
+  * COMPRESSED codec — non-interlaced 8-bit PNG (`encodePngGray8`/
+  * `decodePngGray8`, gated by q373: zlib inflate via
+  * `java.util.zip.Inflater` + the five scanline filter types, which
+  * are pure byte arithmetic). `RealCodecDecoder` dispatches on magic
+  * bytes — real parse for these, a loud
+  * UnsupportedOperationException for library-bound formats.
   *
   * Scale: feature extraction is map-only over the binary column;
   * `binaryFile` sources should cap `maxPartitionBytes` so a task's batch
@@ -61,11 +64,11 @@ object Multimodal {
         .digest(bytes).map("%02x".format(_)).mkString
   }
 
-  /** Real codec-backed decoder for the SELF-DESCRIBING formats whose
-    * containers are pure byte arithmetic — BMP (24-bit uncompressed)
-    * and RIFF/WAVE PCM — parsed by the strict decoders below; any
-    * other magic throws UnsupportedOperationException naming the
-    * format, because compressed codecs (JPEG/PNG/H.264/MP3…) need
+  /** Real codec-backed decoder for every format the JDK can parse —
+    * BMP (24-bit uncompressed), RIFF/WAVE PCM, and zlib-compressed
+    * non-interlaced 8-bit PNG — handled by the strict decoders below;
+    * any other magic throws UnsupportedOperationException naming the
+    * format, because the remaining codecs (JPEG/H.264/MP3…) need
     * libraries this environment does not ship. Decode errors fail
     * loudly; nothing is fabricated. */
   class RealCodecDecoder extends MediaDecoder {
@@ -73,6 +76,11 @@ object Multimodal {
       if (bytes.length >= 2 && bytes(0) == 'B'.toByte &&
           bytes(1) == 'M'.toByte) {
         val f = decodeBmpGray24(bytes)
+        Decoded(f.width, f.height, 1)
+      } else if (bytes.length >= 8 &&
+          (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
+          bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte) {
+        val f = decodePngGray8(bytes)
         Decoded(f.width, f.height, 1)
       } else if (bytes.length >= 12 &&
           new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
@@ -82,8 +90,8 @@ object Multimodal {
       } else {
         val magic = bytes.take(4).map("%02x".format(_)).mkString
         throw new UnsupportedOperationException(
-          s"no decoder for magic 0x$magic — compressed codecs need " +
-            "libraries absent from this environment")
+          s"no decoder for magic 0x$magic — JPEG/H.264/MP3-class " +
+            "codecs need libraries absent from this environment")
       }
     }
   }
@@ -206,6 +214,9 @@ object Multimodal {
     }
     require(rate > 0, "no fmt chunk")
     require(dataOff >= 0, "no data chunk")
+    // an odd length would silently drop the trailing byte — foreign
+    // blobs with a corrupt data chunk must fail loudly, not skew n
+    require(dataLen % 2 == 0, s"odd PCM16 data length $dataLen")
     val n = dataLen / 2
     var i = 0; var peak = 0; var sumSq = 0L
     while (i < n) {
@@ -303,7 +314,12 @@ object Multimodal {
     val compression = buf.getInt(30)
     require(width >= 1 && width <= (1 << 28),
       s"bad width $width") // 1<<28 keeps width*3 safely inside Int
-    require(rawHeight != 0, "zero height")
+    // Int.MinValue is its own abs(): the height below would stay
+    // negative, the bound require would pass on a negative product,
+    // and the pixel loop would silently skip — fabricated features
+    // instead of the contracted loud failure
+    require(rawHeight != 0 && rawHeight != Int.MinValue,
+      s"bad height $rawHeight")
     require(bpp == 24, s"unsupported bit depth $bpp")
     require(compression == 0, s"compressed BMP ($compression)")
     val height = math.abs(rawHeight)
@@ -350,6 +366,278 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r =>
       decodeBmpGray24(r.content).copy(doc_id = r.doc_id)))
+  }
+
+  // --------------------------------------------------------------- PNG
+  // A REAL compressed codec with zero new jars: PNG's compression is
+  // zlib (java.util.zip.Deflater/Inflater, in the JDK since 1.1) and
+  // its five scanline filters are pure byte arithmetic — so unlike
+  // JPEG (DCT + Huffman tables + chroma upsampling), a strict
+  // non-interlaced 8-bit decoder fits the same hardened-parser
+  // discipline as the WAV chunk walker above. Scope: bit depth 8,
+  // color types 0 (grayscale) and 2 (RGB), interlace 0 — the shape
+  // training-data thumbnails actually take; everything else fails
+  // loudly with the offending field named.
+
+  case class PngFeatures(doc_id: Long, width: Int, height: Int,
+      color_type: Int, n_pixels: Long, sum_gray: Long, max_gray: Int,
+      first_gray: Int, last_gray: Int)
+
+  private val PngSig: Array[Int] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def crc32(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(bytes, off, len)
+    c.getValue.toInt
+  }
+
+  /** Paeth predictor (PNG spec §9.4): the nearest of left/up/up-left
+    * to their linear extrapolation, ties broken left, up, up-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode a grayscale pixel sequence (row-major, top-left first,
+    * clamped to 0..255) as a standard non-interlaced 8-bit grayscale
+    * PNG. Scanline filters ROTATE through all five types (row % 5:
+    * None/Sub/Up/Average/Paeth) so a decode of this encoder's output
+    * genuinely exercises every reconstruction path — a decoder that
+    * botches any one filter cannot round-trip even one 5-row image.
+    * Pure function — runs inside mapPartitions. */
+  def encodePngGray8(lumas: Seq[Int], width: Int): Array[Byte] = {
+    require(width >= 1, s"width ($width) must be >= 1")
+    require(lumas.nonEmpty && lumas.length % width == 0,
+      s"${lumas.length} pixels do not fill rows of $width")
+    val height = lumas.length / width
+    val stride = width + 1 // filter byte + one byte per pixel
+    val raw = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * stride) = f.toByte
+      def orig(yy: Int, xx: Int): Int =
+        if (yy < 0 || xx < 0) 0
+        else math.max(0, math.min(255, lumas(yy * width + xx)))
+      var x = 0
+      while (x < width) {
+        val o = orig(y, x)
+        val a = orig(y, x - 1); val b = orig(y - 1, x)
+        val c = orig(y - 1, x - 1)
+        val filt = f match {
+          case 0 => o
+          case 1 => o - a
+          case 2 => o - b
+          case 3 => o - ((a + b) / 2)
+          case 4 => o - paeth(a, b, c)
+        }
+        raw(y * stride + 1 + x) = (filt & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val zBuf = new Array[Byte](8192)
+    while (!defl.finished()) zOut.write(zBuf, 0, defl.deflate(zBuf))
+    defl.end()
+    val idat = zOut.toByteArray
+    val out = java.nio.ByteBuffer
+      .allocate(8 + (12 + 13) + (12 + idat.length) + 12)
+      .order(java.nio.ByteOrder.BIG_ENDIAN) // PNG is BE throughout
+    PngSig.foreach(b => out.put(b.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.putInt(data.length)
+      val tagged = typ.getBytes("US-ASCII") ++ data
+      out.put(tagged)
+      out.putInt(crc32(tagged, 0, tagged.length))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type 0 = grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // zlib, filter0, no interlace
+      .array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.array()
+  }
+
+  /** Parse a non-interlaced 8-bit grayscale/RGB PNG into exact-integer
+    * grayscale features (luma = the gray sample for color type 0, the
+    * green channel for color type 2 — matching decodeBmpGray24).
+    * Strict per the fail-loudly contract: signature, IHDR-first,
+    * per-chunk CRC32 verification, chunk-length bounds walked in Long,
+    * inflated size must equal the scanline geometry EXACTLY (a
+    * truncated or over-long IDAT stream throws), filter bytes must be
+    * 0-4, IEND must close the stream. Ancillary chunks (tEXt, pHYs,
+    * gAMA…) are skipped after their CRC checks out. */
+  def decodePngGray8(bytes: Array[Byte]): PngFeatures = {
+    require(bytes.length >= 8 + 25 + 12 + 12,
+      s"truncated PNG: ${bytes.length} bytes")
+    var i = 0
+    while (i < 8) {
+      require((bytes(i) & 0xff) == PngSig(i),
+        s"bad signature byte $i: 0x${"%02x".format(bytes(i) & 0xff)}")
+      i += 1
+    }
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    var off = 8L
+    var width = -1; var height = -1; var colorType = -1
+    var ihdrSeen = false; var iendSeen = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!iendSeen) {
+      require(off + 12 <= bytes.length,
+        s"chunk header overruns blob at $off")
+      val len = buf.getInt(off.toInt)
+      // bound in Long: a crafted len near Int.MaxValue must fail the
+      // require, not wrap the offset arithmetic (the WAV-walker rule)
+      require(len >= 0 && off + 12L + len <= bytes.length,
+        s"chunk overruns blob (len $len at $off)")
+      val typ = new String(bytes, off.toInt + 4, 4, "US-ASCII")
+      val stored = buf.getInt(off.toInt + 8 + len)
+      val computed = crc32(bytes, off.toInt + 4, 4 + len)
+      require(stored == computed,
+        f"$typ CRC mismatch (stored 0x$stored%08x, computed 0x$computed%08x)")
+      if (!ihdrSeen) require(typ == "IHDR", s"first chunk is $typ")
+      typ match {
+        case "IHDR" =>
+          require(!ihdrSeen, "duplicate IHDR")
+          ihdrSeen = true
+          require(len == 13, s"IHDR length $len")
+          width = buf.getInt(off.toInt + 8)
+          height = buf.getInt(off.toInt + 12)
+          val bitDepth = bytes(off.toInt + 16) & 0xff
+          colorType = bytes(off.toInt + 17) & 0xff
+          val compression = bytes(off.toInt + 18) & 0xff
+          val filterMethod = bytes(off.toInt + 19) & 0xff
+          val interlace = bytes(off.toInt + 20) & 0xff
+          require(width >= 1 && width <= (1 << 24), s"bad width $width")
+          require(height >= 1 && height <= (1 << 24),
+            s"bad height $height")
+          require(bitDepth == 8, s"unsupported bit depth $bitDepth")
+          require(colorType == 0 || colorType == 2,
+            s"unsupported color type $colorType (gray/RGB only)")
+          require(compression == 0, s"bad compression $compression")
+          require(filterMethod == 0, s"bad filter method $filterMethod")
+          require(interlace == 0,
+            s"interlaced PNG unsupported (interlace $interlace)")
+        case "IDAT" => idat.write(bytes, off.toInt + 8, len)
+        case "IEND" =>
+          require(len == 0, s"IEND carries $len bytes")
+          iendSeen = true
+        case _ => () // ancillary: CRC already verified, content skipped
+      }
+      off += 12L + len
+    }
+    require(ihdrSeen, "no IHDR chunk")
+    require(idat.size > 0, "no IDAT chunk")
+    val bpp = if (colorType == 0) 1 else 3
+    val strideL = 1L + width.toLong * bpp
+    val rawLenL = strideL * height
+    require(rawLenL <= Int.MaxValue - 8,
+      s"scanline buffer too large ($rawLenL bytes)")
+    val raw = new Array[Byte](rawLenL.toInt)
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !infl.finished()) {
+        val n =
+          try infl.inflate(raw, got, raw.length - got)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"corrupt IDAT zlib stream: ${e.getMessage}")
+          }
+        require(n > 0 || infl.finished(),
+          s"IDAT stream stalls at $got of ${raw.length} bytes")
+        got += n
+      }
+      require(got == raw.length,
+        s"IDAT inflates to $got bytes, scanlines need ${raw.length}")
+      // the stream must END here: extra pixel data means the geometry
+      // lies about the image, which a strict parser must not paper over
+      val probe = new Array[Byte](1)
+      val extra =
+        try infl.inflate(probe)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"corrupt IDAT zlib tail: ${e.getMessage}")
+        }
+      require(extra == 0 && infl.finished(),
+        "IDAT stream continues past the scanline geometry")
+    } finally infl.end()
+    // unfilter in place, top-down (reconstruction needs the prior row)
+    val stride = strideL.toInt
+    val rowBytes = stride - 1
+    var y = 0
+    while (y < height) {
+      val base = y * stride
+      val filter = raw(base) & 0xff
+      require(filter <= 4, s"bad filter type $filter in row $y")
+      var x = 0
+      while (x < rowBytes) {
+        val cur = raw(base + 1 + x) & 0xff
+        val a = if (x >= bpp) raw(base + 1 + x - bpp) & 0xff else 0
+        val b = if (y > 0) raw(base - stride + 1 + x) & 0xff else 0
+        val c = if (y > 0 && x >= bpp)
+          raw(base - stride + 1 + x - bpp) & 0xff else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + ((a + b) / 2)
+          case 4 => cur + paeth(a, b, c)
+        }
+        raw(base + 1 + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // features over the luma channel (gray sample / green channel)
+    val lumaOff = if (colorType == 0) 0 else 1
+    var sum = 0L; var maxG = 0; var first = -1; var last = -1
+    y = 0
+    while (y < height) {
+      val base = y * stride + 1
+      var x = 0
+      while (x < width) {
+        val g = raw(base + x * bpp + lumaOff) & 0xff
+        sum += g
+        if (g > maxG) maxG = g
+        if (first < 0) first = g
+        last = g
+        x += 1
+      }
+      y += 1
+    }
+    PngFeatures(0L, width, height, colorType,
+      width.toLong * height, sum, maxG, first, last)
+  }
+
+  case class Png2dRow(doc_id: Long, lumas: Seq[Int], width: Int)
+
+  /** Per-partition PNG encode of row-major grayscale images. */
+  def encodePngTable(rows: Dataset[Png2dRow]): Dataset[WavRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map(r =>
+      WavRow(r.doc_id, encodePngGray8(r.lumas, r.width))))
+  }
+
+  /** Per-partition PNG decode → exact-integer features. */
+  def pngFeatureTable(media: Dataset[WavRow]): Dataset[PngFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      decodePngGray8(r.content).copy(doc_id = r.doc_id)))
   }
 
   /** Byte-level near-duplicate detection over binary media columns:

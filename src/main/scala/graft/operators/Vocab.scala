@@ -76,11 +76,21 @@ object Vocab {
         fold(collect_list(col("x") * col("y"))).as("sxy"),
         fold(collect_list(col("x") * col("x"))).as("sxx"))
       .select(col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        // n < 2 ⇒ the OLS denominator is exactly 0 (one point fits no
+        // line): emit NULL explicitly. Spark's Divide yields NULL on
+        // 0/0 but DuckDB IEEE semantics yield NaN/Inf, so a degenerate
+        // one-token corpus would diverge cross-engine without this
+        // guard (require(nRanks) bounds the PARAMETER, not the actual
+        // surviving rank count). Oracles using this operator mirror
+        // the CASE.
+        when(col("n") >= 2,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
         col("sx"), col("sy"))
-      .select(col("n"), col("slope"),
-        ((col("sy") - col("slope") * col("sx")) / col("n"))
+      .select(col("n"),
+        col("slope"),
+        when(col("n") >= 2,
+          (col("sy") - col("slope") * col("sx")) / col("n"))
           .as("intercept"))
   }
 

@@ -181,6 +181,40 @@ class EventAnalyticsSpec extends SparkSpec {
       got.map(_.getDouble(4)).toSeq
   }
 
+  test("kaplanMeier at k = 1000 distinct durations: the r7 restatement " +
+      "(two-pass partition-offset prefix, no single-row pack) stays " +
+      "exact against a sequential reference fold") {
+    import spark.implicits._
+    // 4000 subjects over 1000 distinct durations — the raw-granularity
+    // misuse the old collect_list shape packed through ONE row; the
+    // restated operator must range-partition it and still match the
+    // sequential product to reassociation noise (ulps)
+    val subj = (0 until 4000).map(i =>
+      (i.toLong % 1000, i % 3 != 0))
+    val df = subj.toDF("dur", "ev").repartition(8)
+    val got = EventAnalytics.kaplanMeier(df, col("dur"), col("ev"))
+      .orderBy("t").collect()
+    got.length shouldBe 1000
+    // sequential reference: exact risk sets, left-fold survival product
+    val perT = subj.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.toMap
+    var atRisk = 4000L
+    var surv = 1.0
+    for ((r, t) <- got.zipWithIndex) {
+      val (d, c) = perT(t.toLong)
+      r.getLong(0) shouldBe t.toLong
+      r.getLong(1) shouldBe atRisk // exact integer risk set
+      r.getLong(2) shouldBe d
+      r.getLong(3) shouldBe c
+      if (d > 0) surv *= 1.0 - d.toDouble / atRisk
+      // partition-boundary reassociation moves the ln-sum by last
+      // ulps only — far inside the gate's micro-rounding
+      r.getDouble(4) shouldBe surv +- (math.abs(surv) * 1e-9 + 1e-15)
+      atRisk -= d + c
+    }
+  }
+
   test("cohortRetention buckets by first-activity week") {
     val wk = 604800L // seconds per week
     val df = ev(

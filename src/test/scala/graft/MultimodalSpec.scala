@@ -203,15 +203,166 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeBmpGray24(hugeW)
   }
 
-  test("RealCodecDecoder dispatches on magic: real BMP/WAV parse, " +
+  test("RealCodecDecoder dispatches on magic: real BMP/WAV/PNG parse, " +
       "loud unsupported elsewhere") {
     val dec = new Multimodal.RealCodecDecoder
     val bmp = dec.decode(Multimodal.encodeBmpGray24(Seq(5, 6), 2))
     (bmp.width, bmp.height, bmp.nFrames) shouldBe (2, 1, 1)
     val wav = dec.decode(Multimodal.encodeWavPcm16(Seq(1, 2, 3), 8000))
     wav.nFrames shouldBe 3
-    val e = the[UnsupportedOperationException] thrownBy
-      dec.decode("PNG1234".getBytes("ISO-8859-1"))
-    e.getMessage should include("89504e47") // the PNG magic, named
+    // PNG is a REAL decode now (r8) — no longer the unsupported branch
+    val png = dec.decode(Multimodal.encodePngGray8(Seq(5, 6, 7, 8), 2))
+    (png.width, png.height, png.nFrames) shouldBe (2, 2, 1)
+    // JPEG stays library-bound: loud unsupported, magic named
+    val jpeg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)
+    val e = the[UnsupportedOperationException] thrownBy dec.decode(jpeg)
+    e.getMessage should include("ffd8ffe0") // the JPEG magic, named
+  }
+
+  // ------------------------------------------------------------- PNG
+
+  test("PNG round trip: all five filter types reconstruct exactly " +
+      "(gradient image makes each filter's delta distinct)") {
+    // 6 rows of 4 so the rotating encoder uses filters 0,1,2,3,4,0;
+    // values chosen so Sub/Up/Average/Paeth deltas all differ
+    val lumas = Seq(
+      10, 20, 30, 40,
+      15, 25, 35, 45,
+      100, 90, 80, 70,
+      0, 255, 0, 255,
+      7, 7, 7, 7,
+      1, 2, 4, 8)
+    val bytes = Multimodal.encodePngGray8(lumas, width = 4)
+    // container sanity: signature + IHDR/IDAT/IEND present
+    (bytes(0) & 0xff) shouldBe 0x89
+    new String(bytes.slice(12, 16), "US-ASCII") shouldBe "IHDR"
+    val f = Multimodal.decodePngGray8(bytes)
+    (f.width, f.height, f.color_type) shouldBe (4, 6, 0)
+    f.n_pixels shouldBe 24L
+    f.sum_gray shouldBe lumas.map(_.toLong).sum
+    f.max_gray shouldBe 255
+    f.first_gray shouldBe 10
+    f.last_gray shouldBe 8
+  }
+
+  test("PNG round trip survives pseudo-random content at odd " +
+      "geometries (1-wide, 1-tall, prime width)") {
+    def lcg(seed: Long, n: Int): Seq[Int] = {
+      var s = seed
+      Seq.fill(n) { s = (s * 6364136223846793005L + 1442695040888963407L); ((s >>> 33) % 256).toInt }
+    }
+    for ((w, h) <- Seq((1, 17), (17, 1), (7, 13))) {
+      val lumas = lcg(w * 1000L + h, w * h)
+      val f = Multimodal.decodePngGray8(
+        Multimodal.encodePngGray8(lumas, w))
+      (f.width, f.height) shouldBe (w, h)
+      f.sum_gray shouldBe lumas.map(_.toLong).sum
+      f.first_gray shouldBe lumas.head
+      f.last_gray shouldBe lumas.last
+    }
+  }
+
+  test("PNG decode fails loudly on malformed input, never fabricates") {
+    val good = Multimodal.encodePngGray8(Seq(1, 2, 3, 4, 5, 6), 3)
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodePngGray8(badMagic)
+    // truncated blob (cut inside IDAT)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodePngGray8(good.take(good.length - 15))
+    // corrupt IDAT byte: CRC must catch it (strict parsers verify)
+    val idatOff = {
+      var o = 8
+      while (new String(good, o + 4, 4, "US-ASCII") != "IDAT")
+        o += 12 + java.nio.ByteBuffer.wrap(good).getInt(o)
+      o
+    }
+    val corrupt = good.clone()
+    corrupt(idatOff + 8) = (corrupt(idatOff + 8) ^ 0x55).toByte
+    val e = the[IllegalArgumentException] thrownBy
+      Multimodal.decodePngGray8(corrupt)
+    e.getMessage should include("CRC")
+    // crafted chunk length near Int.MaxValue: bound check in Long,
+    // no offset wrap (the WAV-walker rule)
+    val hugeLen = good.clone()
+    java.nio.ByteBuffer.wrap(hugeLen).putInt(8, Int.MaxValue - 4)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodePngGray8(hugeLen)
+    // interlaced flag rejected (Adam7 would need a different walker)
+    val interlaced = good.clone()
+    interlaced(8 + 8 + 12) = 1 // IHDR data byte 12 = interlace method
+    // fix the IHDR CRC so the interlace require (not CRC) fires
+    val ihdrCrc = {
+      val c = new java.util.zip.CRC32()
+      c.update(interlaced, 12, 4 + 13)
+      c.getValue.toInt
+    }
+    java.nio.ByteBuffer.wrap(interlaced).putInt(8 + 4 + 4 + 13, ihdrCrc)
+    val ei = the[IllegalArgumentException] thrownBy
+      Multimodal.decodePngGray8(interlaced)
+    ei.getMessage should include("interlace")
+    // IDAT stream shorter than the scanline geometry: reject
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodePngGray8(
+        // claim 100 rows in IHDR of a 2-row image (CRC refreshed)
+        {
+          val tall = good.clone()
+          java.nio.ByteBuffer.wrap(tall).putInt(8 + 8 + 4, 100)
+          val c = new java.util.zip.CRC32()
+          c.update(tall, 12, 4 + 13)
+          java.nio.ByteBuffer.wrap(tall).putInt(8 + 4 + 4 + 13,
+            c.getValue.toInt)
+          tall
+        })
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.encodePngGray8(Seq(1, 2, 3), 2) // partial row
+  }
+
+  test("PNG decode handles 8-bit RGB (color type 2) taking the green " +
+      "channel as luma, and skips CRC-valid ancillary chunks") {
+    // hand-build a 2x2 RGB PNG: pixels (R,G,B) with distinct greens
+    val px = Seq( // row-major: (r, g, b)
+      (1, 10, 2), (3, 20, 4),
+      (5, 30, 6), (7, 255, 8))
+    val stride = 1 + 2 * 3
+    val raw = new Array[Byte](stride * 2)
+    for (y <- 0 until 2) {
+      raw(y * stride) = 0 // filter None
+      for (x <- 0 until 2) {
+        val (r, g, b) = px(y * 2 + x)
+        raw(y * stride + 1 + x * 3) = r.toByte
+        raw(y * stride + 2 + x * 3) = g.toByte
+        raw(y * stride + 3 + x * 3) = b.toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val zBuf = new Array[Byte](256)
+    while (!defl.finished()) zOut.write(zBuf, 0, defl.deflate(zBuf))
+    defl.end()
+    val idat = zOut.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tagged = typ.getBytes("US-ASCII") ++ data
+      val c = new java.util.zip.CRC32(); c.update(tagged)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(tagged).putInt(c.getValue.toInt)
+        .array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2).put(8.toByte).put(2.toByte) // RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val png = sig ++ chunk("IHDR", ihdr) ++
+      chunk("tEXt", "Comment graft".getBytes("ISO-8859-1")) ++
+      chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
+    val f = Multimodal.decodePngGray8(png)
+    (f.width, f.height, f.color_type) shouldBe (2, 2, 2)
+    f.sum_gray shouldBe (10L + 20 + 30 + 255)
+    f.max_gray shouldBe 255
+    f.first_gray shouldBe 10
+    f.last_gray shouldBe 255
   }
 }

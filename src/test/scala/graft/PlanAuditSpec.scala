@@ -33,10 +33,30 @@ class PlanAuditSpec extends SparkSpec {
     // per-partition partials (one row / k-item heap per partition),
     // not data. Wrapper nodes (WholeStageCodegen/InputAdapter) hide
     // the aggregate from parent matching, so inspect the child side.
+    //
+    // EXCEPTION to the exception (r7 VERDICT item 3): a global
+    // aggregate whose partials are collect_list/collect_set is NOT
+    // bounded — each "partial" row carries every element its
+    // partition saw, so the exchange is a full-table single-row pack
+    // in disguise (the pre-r8 kaplanMeier shape). Such an aggregate
+    // is only benign when a limit/top-k already bounds the subtree
+    // below it (the q366 pattern: fold a ≤200-row sorted list).
+    def bounded(p: SparkPlan): Boolean = p.collectFirst {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+    }.getOrElse(false)
+    def benignGlobalAgg(aggExprs: Seq[Any], p: SparkPlan): Boolean =
+      !aggExprs.exists(e => e.toString.contains("collect_list") ||
+        e.toString.contains("collect_set")) || bounded(p)
     def globalPartialAggBelow(p: SparkPlan): Boolean = p.collectFirst {
-      case h: HashAggregateExec if h.groupingExpressions.isEmpty => true
-      case o: ObjectHashAggregateExec if o.groupingExpressions.isEmpty => true
-      case s: SortAggregateExec if s.groupingExpressions.isEmpty => true
+      case h: HashAggregateExec if h.groupingExpressions.isEmpty =>
+        benignGlobalAgg(h.aggregateExpressions, h)
+      case o: ObjectHashAggregateExec if o.groupingExpressions.isEmpty =>
+        benignGlobalAgg(o.aggregateExpressions, o)
+      case s: SortAggregateExec if s.groupingExpressions.isEmpty =>
+        benignGlobalAgg(s.aggregateExpressions, s)
     }.getOrElse(false)
     root.collect {
       case e: ShuffleExchangeExec
@@ -45,6 +65,22 @@ class PlanAuditSpec extends SparkSpec {
         "SinglePartitionExchange"
     }
   }
+
+  /** Rows exempt from the global-collect pack lint, each with the
+    * contract that bounds its packed list. Adding a name here is a
+    * DESIGN DECISION: the collect input must be a keyed aggregate over
+    * a CATEGORICAL key (bounded by the domain, not data volume),
+    * packed deliberately for the q60 sorted-fold (order-deterministic
+    * float summation). A pack over a data-cardinality key (the pre-r8
+    * kaplanMeier's per-duration table) belongs in the two-pass
+    * partition-offset prefix shape instead, never here. */
+  private val allowedGlobalPacks = Map(
+    // temperatureQuotas folds √n over the per-LANGUAGE count table —
+    // k = #languages in the mixture, a few dozen by construction
+    "q141_temperature_mix" -> "per-language mixture weights",
+    // one-way ANOVA folds Σ(Σx)²/n over the per-EVENT-TYPE moment
+    // table — k = #event types, a fixed categorical domain
+    "q263_anova" -> "per-event-type moment terms")
 
   test("no registry query plans a data-bearing single-partition " +
       "exchange, cartesian product, or unpartitioned window") {
@@ -56,7 +92,10 @@ class PlanAuditSpec extends SparkSpec {
         case (name, fn) =>
           val exec = fn(spark, sfDir).queryExecution.executedPlan
           val planStr = exec.toString
-          val issues = offendingExchanges(exec) ++ Seq(
+          val exchangeIssues =
+            if (allowedGlobalPacks.contains(name)) Nil
+            else offendingExchanges(exec)
+          val issues = exchangeIssues ++ Seq(
             "CartesianProduct" -> planStr.contains("CartesianProduct"),
             // Window arguments render as [functions], [partitionSpec],
             // [orderSpec] — an empty partition spec shows as `, [], [`
