@@ -3,18 +3,18 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.expressions.Projections
-import graft.expressions.Projections.{LambertAzimuthalEqualArea, LambertConformalConic2SP, TransverseMercator}
+import graft.expressions.Projections.{AlbersEqualAreaConic, LambertAzimuthalEqualArea, LambertConformalConic2SP, TransverseMercator}
 import graft.functions.GeomFunctions
 
 /** Arbitrary-SRID reprojection gate coverage (r5 VERDICT "what's
   * missing" #3, now closed): a forward-projection matrix over every
   * EPSG code in [[Projections.registry]], checked against a DuckDB
   * oracle that restates the full math — generalized Krüger series,
-  * ellipsoidal Lambert Conformal Conic, geodetic↔geocentric, the
-  * position-vector Helmert, and the 8-round geodetic-latitude
-  * fixpoint — with every projection constant INTERPOLATED FROM THE
-  * ENGINE'S OWN REGISTRY INSTANCES (forwardConstants), so oracle and
-  * engine cannot drift.
+  * ellipsoidal Lambert Conformal Conic, Lambert Azimuthal Equal-Area,
+  * Albers Equal-Area Conic, geodetic↔geocentric, the position-vector
+  * Helmert, and the 8-round geodetic-latitude fixpoint — with every
+  * projection constant INTERPOLATED FROM THE ENGINE'S OWN REGISTRY
+  * INSTANCES (forwardConstants), so oracle and engine cannot drift.
   *
   * Outputs are millimeter-scaled BIGINTs: the one float hazard is
   * cross-engine libm trig noise (~1e-15 relative → ~1e-6 mm at
@@ -35,7 +35,8 @@ object QueriesGeo {
     (5243, 6.3, 0.9, 47.3, 0.8),    // ETRS89 LCC Germany
     (25832, 6.1, 0.6, 47.2, 0.8),   // ETRS89 / UTM 32N (TM, GRS80)
     (27700, -6.0, 0.7, 50.2, 0.9),  // OSGB (TM, Airy 1830 + Helmert)
-    (3035, -9.0, 3.9, 36.1, 3.2))   // ETRS89-LAEA Europe grid (GRS80)
+    (3035, -9.0, 3.9, 36.1, 3.2),   // ETRS89-LAEA Europe grid (GRS80)
+    (3577, 116.0, 3.4, -38.0, 2.7)) // GDA94 Australian Albers (AEA)
 
   private def q165SridMatrix(s: SparkSession, dir: String): DataFrame = {
     val frames = probes.map { case (srid, lo0, loS, la0, laS) =>
@@ -130,6 +131,28 @@ object QueriesGeo {
       .stripMargin
   }
 
+  /** Snyder Albers forward on `src(k, lon, lat)` → SELECT k, x, y —
+    * the same op tree as AlbersEqualAreaConic.forward, constants
+    * exported from the instance. Shares LAEA's authalic-q subexpression
+    * and LCC's cone geometry (ρ·sinθ / ρ0 − ρ·cosθ). */
+  private def aeaForwardSql(crs: AlbersEqualAreaConic,
+      src: String): String = {
+    val (e, e2, nc, bigC, rho0, a, lon0, fe, fn) = crs.forwardConstants
+    s"""SELECT k,
+       |  ${d(fe)} + rho * sin(theta) AS x,
+       |  ${d(fn)} + ${d(rho0)} - rho * cos(theta) AS y
+       |FROM (
+       |  SELECT k,
+       |    ${d(nc)} * radians(lon - ${d(lon0)}) AS theta,
+       |    ${d(a)} * sqrt(${d(bigC)} - ${d(nc)}
+       |      * ((1.0 - ${d(e2)}) * (sp / (1.0 - ${d(e2)} * sp * sp)
+       |        - 1.0 / (2.0 * ${d(e)})
+       |          * ln((1.0 - ${d(e)} * sp) / (1.0 + ${d(e)} * sp)))))
+       |      / ${d(nc)} AS rho
+       |  FROM (SELECT k, lon, sin(radians(lat)) AS sp FROM $src))"""
+      .stripMargin
+  }
+
   /** WGS84 lon/lat → datum-local lon/lat via geocentric + Helmert +
     * the 8-round geodetic-latitude fixpoint on the target ellipsoid
     * (mirrors Projections.geodeticToXyz/Helmert.forward/xyzToGeodetic
@@ -179,6 +202,7 @@ object QueriesGeo {
         case tm: TransverseMercator => tmForwardSql(tm, local)
         case lcc: LambertConformalConic2SP => lccForwardSql(lcc, local)
         case laea: LambertAzimuthalEqualArea => laeaForwardSql(laea, local)
+        case aea: AlbersEqualAreaConic => aeaForwardSql(aea, local)
       }
       s"""SELECT CAST($srid AS BIGINT) AS srid, k,
          |  CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS x_mm,

@@ -336,6 +336,89 @@ object Projections {
     }
   }
 
+  /** Ellipsoidal Albers Equal-Area Conic, 2 standard parallels
+    * (Snyder 1987 §14, eqs 14-1..14-12 with 3-11/3-12/3-16) — the
+    * equal-area CONIC continental-statistics projections use
+    * (Australian Albers EPSG:3577, NLCD conus Albers). Shares LAEA's
+    * authalic-latitude machinery (q of Snyder 3-12) but maps onto a
+    * cone like LCC; its defining invariants are unit area scale
+    * everywhere and k = 1 exactly ON both standard parallels, which
+    * the spec checks with no external fixture. */
+  final case class AlbersEqualAreaConic(lat0Deg: Double, lon0Deg: Double,
+      lat1Deg: Double, lat2Deg: Double, fe: Double, fn: Double,
+      ell: Ellipsoid, datum: Option[Helmert] = None) extends Crs {
+    private val e = ell.e
+    private val e2 = ell.e2
+    /** Snyder 3-12: authalic q of latitude phi. */
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        1.0 / (2.0 * e) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    private val phi0 = math.toRadians(lat0Deg)
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val m1 = mOf(phi1)
+    private val m2 = mOf(phi2)
+    private val q0 = qOf(phi0)
+    private val q1 = qOf(phi1)
+    private val q2 = qOf(phi2)
+    private val nCone = (m1 * m1 - m2 * m2) / (q2 - q1) // Snyder 14-14
+    private val bigC = m1 * m1 + nCone * q1              // Snyder 14-13
+    private def rhoOf(q: Double): Double =
+      ell.a * math.sqrt(bigC - nCone * q) / nCone        // Snyder 14-12
+    private val rho0 = rhoOf(q0)
+
+    /** Forward-map constants for an external (SQL) restatement,
+      * derived from this instance so the oracle can never drift:
+      * (e, e2, n, C, ρ0, a, lon0 deg, fe, fn). */
+    private[graft] def forwardConstants: (Double, Double, Double, Double,
+        Double, Double, Double, Double, Double) =
+      (e, e2, nCone, bigC, rho0, ell.a, lon0Deg, fe, fn)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val theta = nCone * math.toRadians(lonDeg - lon0Deg) // 14-4
+      val rho = rhoOf(qOf(phi))
+      (fe + rho * math.sin(theta),                          // 14-1
+        fn + rho0 - rho * math.cos(theta))                  // 14-2
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe
+      val dy = rho0 - (y - fn)
+      val sign = if (nCone >= 0) 1.0 else -1.0
+      val rho = sign * math.sqrt(dx * dx + dy * dy)         // 14-10
+      val theta = math.atan2(sign * dx, sign * dy)          // 14-11
+      val q = (bigC - rho * rho * nCone * nCone /
+        (ell.a * ell.a)) / nCone                            // 14-19
+      // Snyder 3-16: iterate phi from the authalic latitude
+      var phi = math.asin(q / 2.0)
+      var i = 0
+      while (i < 8) {
+        val s = math.sin(phi)
+        val om = 1.0 - e2 * s * s
+        phi += om * om / (2.0 * math.cos(phi)) *
+          (q / (1.0 - e2) - s / om +
+            1.0 / (2.0 * e) * math.log((1.0 - e * s) / (1.0 + e * s)))
+        i += 1
+      }
+      (math.toDegrees(theta / nCone) + lon0Deg, math.toDegrees(phi))
+    }
+
+    /** scale factor ALONG parallels at `latDeg` (k = ρn/(a·m),
+      * Snyder 14-16) — exactly 1 on both standard parallels; the
+      * meridian scale is its reciprocal (equal-area: h·k = 1). */
+    def scaleAt(latDeg: Double): Double = {
+      val phi = math.toRadians(latDeg)
+      rhoOf(qOf(phi)) * nCone / (ell.a * mOf(phi))
+    }
+  }
+
   /** EPSG registry beyond the native 4326/3857/UTM set. Datumless
     * entries (GRS80 frames: ETRS89, RGF93, NZGD2000) treat their frame
     * as WGS84-coincident — the standard sub-dm assumption; 27700
@@ -366,6 +449,11 @@ object Projections {
     // EPSG:3035; origin 52N 10E maps to FE/FN by definition
     3035 -> LambertAzimuthalEqualArea(52.0, 10.0,
       4321000.0, 3210000.0, GRS80),
+    // Australia: GDA94 / Australian Albers (GRS80, AEA-2SP) —
+    // EPSG:3577; the continental equal-area grid (GDA94 is
+    // WGS84-coincident at this accuracy class, so datumless)
+    3577 -> AlbersEqualAreaConic(0.0, 132.0, -18.0, -36.0,
+      0.0, 0.0, GRS80),
   )
 
   def isRegistered(srid: Int): Boolean = registry.contains(srid)

@@ -59,7 +59,8 @@ object GeomFunctions {
     * Krüger series (expressions/UtmExpressions — < 0.1 mm in-zone),
     * and every EPSG code in [[graft.expressions.Projections.registry]]
     * (parameterized Transverse Mercator + Lambert Conformal Conic on
-    * any ellipsoid with optional Helmert datum shift — OSGB 27700,
+    * any ellipsoid with optional Helmert datum shift, plus the
+    * equal-area pair LAEA 3035 and Albers 3577 — OSGB 27700,
     * Lambert-93 2154, NZTM 2193, ETRS89 LCC 3034, ETRS89/UTM 25832,
     * …). Identity when source == target (the reference only ever needs
     * 4326 -> 4326, `etl/etl.py:21,190-192`; the rest is the scale

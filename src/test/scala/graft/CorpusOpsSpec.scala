@@ -455,6 +455,15 @@ class CorpusOpsSpec extends SparkSpec {
     val many = (1L to 8L).map(i => (i, text.trim)).toDF("doc_id", "text")
     Vocab.zipfSlope(many, "text", 4).head().getDouble(1) shouldBe
       Vocab.zipfSlope(many.repartition(5), "text", 4).head().getDouble(1)
+    // degenerate corpus (one distinct token): the OLS denominator is
+    // exactly 0 — slope/intercept must be NULL (r7 ADVICE: Spark's
+    // Divide nulls 0/0 but DuckDB yields NaN, so the operator pins
+    // the NULL explicitly and oracles mirror the CASE)
+    val one = Seq((1L, "same same same")).toDF("doc_id", "text")
+    val d = Vocab.zipfSlope(one, "text", nRanks = 3).head()
+    d.getLong(0) shouldBe 1L
+    d.isNullAt(1) shouldBe true
+    d.isNullAt(2) shouldBe true
   }
 
   test("oov stats count tokens outside the vocabulary") {

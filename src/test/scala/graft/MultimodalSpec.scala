@@ -147,6 +147,15 @@ class MultimodalSpec extends SparkSpec {
       .putInt(16, Int.MaxValue - 4)
     an[IllegalArgumentException] should be thrownBy
       Multimodal.decodeWavPcm16(hugeLen)
+    // odd data-chunk length must fail, not silently drop the last byte
+    // (r7 ADVICE): shrink the 6-byte data chunk to 5 declared bytes
+    val oddLen = good.clone()
+    java.nio.ByteBuffer.wrap(oddLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 5)
+    val eo = the[IllegalArgumentException] thrownBy
+      Multimodal.decodeWavPcm16(oddLen)
+    eo.getMessage should include("odd")
   }
 
   test("encode clamps out-of-range samples to int16") {
@@ -201,6 +210,15 @@ class MultimodalSpec extends SparkSpec {
       .putInt(18, 0x40000000)
     an[IllegalArgumentException] should be thrownBy
       Multimodal.decodeBmpGray24(hugeW)
+    // rawHeight = Int.MinValue is its own abs(): must throw, never
+    // skip the pixel loop and fabricate features (r7 ADVICE)
+    val minH = good.clone()
+    java.nio.ByteBuffer.wrap(minH)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    val eh = the[IllegalArgumentException] thrownBy
+      Multimodal.decodeBmpGray24(minH)
+    eh.getMessage should include("height")
   }
 
   test("RealCodecDecoder dispatches on magic: real BMP/WAV/PNG parse, " +

@@ -75,6 +75,46 @@ class ProjectionsSpec extends SparkSpec {
     }
   }
 
+  test("Albers (EPSG:3577): origin maps to FE/FN by definition, " +
+      "k = 1 EXACTLY on both standard parallels") {
+    val crs = registry(3577)
+      .asInstanceOf[Projections.AlbersEqualAreaConic]
+    // the natural origin (0S 132E) maps to (FE, FN) by construction
+    val (x0, y0) = crs.forward(132.0, 0.0)
+    approx(x0, 0.0, 1e-6); approx(y0, 0.0, 1e-6)
+    // the cone touches the ellipsoid on the standard parallels:
+    // parallel scale k is exactly 1 there (Snyder 14-16) and > 1
+    // between never — k dips below 1 between the parallels
+    approx(crs.scaleAt(-18.0), 1.0, 1e-12)
+    approx(crs.scaleAt(-36.0), 1.0, 1e-12)
+    crs.scaleAt(-27.0) should be < 1.0
+    crs.scaleAt(-10.0) should be > 1.0
+    crs.scaleAt(-43.0) should be > 1.0
+  }
+
+  test("Albers area scale is exactly 1 (the defining equal-area " +
+      "invariant), checked against the ellipsoid's area element") {
+    val crs = registry(3577)
+    val a = crs.ell.a; val e2 = crs.ell.e2
+    val h = 1e-4 // deg, central differences
+    for ((lon, lat) <- Seq((132.0, -25.0), (116.0, -32.0),
+        (146.0, -42.0), (142.0, -11.0), (153.0, -28.0))) {
+      val (xe, ye) = crs.forward(lon + h, lat)
+      val (xw, yw) = crs.forward(lon - h, lat)
+      val (xn, yn) = crs.forward(lon, lat + h)
+      val (xs, ys) = crs.forward(lon, lat - h)
+      val jac = math.abs(((xe - xw) * (yn - ys) - (xn - xs) * (ye - yw)) /
+        (4.0 * h * h))
+      val s = math.sin(math.toRadians(lat))
+      val ellArea = a * a * (1.0 - e2) * math.cos(math.toRadians(lat)) /
+        math.pow(1.0 - e2 * s * s, 2.0) *
+        math.pow(math.Pi / 180.0, 2.0)
+      withClue(s"($lon,$lat): ") {
+        math.abs(jac / ellArea - 1.0) should be < 1e-6
+      }
+    }
+  }
+
   test("forward/inverse round-trips close over in-range grids") {
     val grids = Map(
       27700 -> (for (lo <- -7 to 1; la <- 50 to 60) yield (lo.toDouble, la.toDouble)),
@@ -83,7 +123,8 @@ class ProjectionsSpec extends SparkSpec {
       3034 -> (for (lo <- -10 to 30 by 4; la <- 36 to 70 by 4) yield (lo.toDouble, la.toDouble)),
       25832 -> (for (lo <- 6 to 12; la <- 47 to 55) yield (lo.toDouble, la.toDouble)),
       5243 -> (for (lo <- 6 to 15; la <- 47 to 55) yield (lo.toDouble, la.toDouble)),
-      3035 -> (for (lo <- -10 to 30 by 4; la <- 35 to 70 by 5) yield (lo.toDouble, la.toDouble)))
+      3035 -> (for (lo <- -10 to 30 by 4; la <- 35 to 70 by 5) yield (lo.toDouble, la.toDouble)),
+      3577 -> (for (lo <- 113 to 154 by 4; la <- -44 to -9 by 4) yield (lo.toDouble, la.toDouble)))
     for ((srid, pts) <- grids; (lon, lat) <- pts) {
       val (x, y) = Projections.forward(lon, lat, srid)
       val (lon2, lat2) = Projections.inverse(x, y, srid)
