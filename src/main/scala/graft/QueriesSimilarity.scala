@@ -791,7 +791,84 @@ object QueriesSimilarity {
       |FROM hits WHERE dot >= 100000
       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q376
+  /** Multi-probe semantic decontamination (q369's recall dial,
+    * probeFlips = 1): eval vectors are every 17th embedding with dim 1
+    * NEGATED — a perturbation that flips the leading sign bit, so the
+    * planted leaks land in a DIFFERENT sign bucket than their corpus
+    * originals and q369's single-bucket probe would miss essentially
+    * all of them (the exact dot stays ≈ 2×10⁵ − 2q₁² ≥ 10⁵: negating
+    * one of 64 dims barely dents it). With the eval side replicated
+    * into the 5 buckets within Hamming 1 (classic multi-probe LSH on
+    * the BROADCAST side — corpus work unchanged per surviving bucket
+    * mate), the flags come back. The oracle restates quantization,
+    * the xor-mask expansion, and the exact integer dot bit for bit. */
+  private def q376MultiProbeDecon(s: SparkSession, dir: String)
+      : DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val ed = transform(col("embedding"), x => x.cast("double"))
+    val evalSet = emb.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("eval_id"),
+        concat(array(-element_at(ed, 1)), slice(ed, 2, 10000)).as("ev"))
+    graft.operators.Decontamination.semanticContaminatedDocs(
+        emb, "vec_id", "embedding", evalSet, "eval_id", "ev",
+        minDot = 100000L, probeFlips = 1)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q376Sql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |ev AS (
+      |  SELECT vec_id AS eval_id, list_concat([-e[1]], e[2:]) AS e
+      |  FROM e WHERE vec_id % 17 = 0),
+      |csc AS (SELECT vec_id, e,
+      |  list_max(list_transform(e, x -> abs(x))) AS scale FROM e),
+      |cq AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+      |    ELSE list_transform(e,
+      |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) END
+      |      AS qv
+      |  FROM csc),
+      |cqb AS (
+      |  SELECT vec_id, qv,
+      |    (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END) AS bkt
+      |  FROM cq),
+      |esc AS (SELECT eval_id, e,
+      |  list_max(list_transform(e, x -> abs(x))) AS scale FROM ev),
+      |eq AS (
+      |  SELECT eval_id,
+      |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+      |    ELSE list_transform(e,
+      |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) END
+      |      AS qv
+      |  FROM esc),
+      |eqb AS (
+      |  SELECT eval_id, qv,
+      |    xor((CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END)
+      |      + (CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END)
+      |      + (CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END), m.m) AS bkt
+      |  FROM eq CROSS JOIN (VALUES (0), (1), (2), (4), (8)) AS m(m)),
+      |d AS (
+      |  SELECT c.vec_id AS doc_id, q.eval_id,
+      |    CAST(list_aggregate(list_transform(range(1, 65),
+      |      i -> CAST(c.qv[i] AS BIGINT) * q.qv[i]), 'sum') AS BIGINT)
+      |      AS dot
+      |  FROM cqb c JOIN eqb q ON q.bkt = c.bkt)
+      |SELECT doc_id, count(*) AS n_hits,
+      |  CAST(max(dot) AS BIGINT) AS max_dot, min(eval_id) AS min_eval_id
+      |FROM d WHERE dot >= 100000
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q376_multiprobe_decon" -> (q376MultiProbeDecon _),
     "q375_incr_semantic" -> (q375IncrSemantic _),
     "q369_semantic_decon" -> (q369SemanticDecon _),
     "q305_mutual_nn" -> (q305MutualNn _),
@@ -809,6 +886,7 @@ object QueriesSimilarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q376_multiprobe_decon" -> q376Sql,
     "q375_incr_semantic" -> q375Sql,
     "q369_semantic_decon" -> q369Sql,
     "q305_mutual_nn" -> q305Sql,

@@ -57,16 +57,25 @@ object Decontamination {
     * a 16× map-side work cut with zero shuffle. Near-identical vectors
     * agree on the bucket bits; a leak whose perturbation flips a
     * first-four sign can miss — the standard LSH-style recall trade,
-    * priced by the lexical pass running beside this one. (At larger
-    * recall budgets, widen with multi-probe on the BROADCAST side —
-    * never fan out the corpus.)
+    * priced by the lexical pass running beside this one.
+    *
+    * `probeFlips` is the recall dial, widened on the BROADCAST side —
+    * never by fanning out the corpus: each eval vector is replicated
+    * into every bucket within Hamming distance `probeFlips` of its own
+    * (classic multi-probe LSH, Lv et al. 2007). probeFlips = 1 makes a
+    * one-sign-flip leak findable at 5× the broadcast rows — still eval-
+    * sized, zero extra corpus work per surviving bucket mate. Each
+    * (corpus, eval) pair can meet in at most ONE bucket (the corpus
+    * side keys once), so no dedup pass is needed.
     *
     * @return one row per flagged corpus vector:
     *         (doc_id, n_hits, max_dot, min_eval_id) */
   def semanticContaminatedDocs(
       corpus: DataFrame, idCol: String, embCol: String,
       evalSet: DataFrame, evalIdCol: String, evalEmbCol: String,
-      minDot: Long): DataFrame = {
+      minDot: Long, probeFlips: Int = 0): DataFrame = {
+    require(probeFlips >= 0 && probeFlips <= 4,
+      s"probeFlips ($probeFlips) out of [0, 4]")
     def prep(df: DataFrame, id: String, emb: String, outId: String,
         outQv: String) = df
       .select(col(id).as(outId),
@@ -75,7 +84,19 @@ object Decontamination {
         when(element_at(col(outQv), i + 1) > 0, 1 << i).otherwise(0))
         .reduce((a, b) => a + b))
     val c = prep(corpus, idCol, embCol, "doc_id", "__cq")
-    val e = prep(evalSet, evalIdCol, evalEmbCol, "eval_id", "__eq")
+    val e0 = prep(evalSet, evalIdCol, evalEmbCol, "eval_id", "__eq")
+    // multi-probe expansion: XOR the home bucket with every mask of
+    // popcount <= probeFlips (a static plan-time list — 1/5/11/15/16
+    // replicas for 0..4 flips)
+    val masks = (0 until 16)
+      .filter(m => Integer.bitCount(m) <= probeFlips)
+      .map(m => lit(m))
+    val e =
+      if (probeFlips == 0) e0
+      else e0
+        .withColumn("__m", explode(array(masks: _*)))
+        .withColumn("__bkt", col("__bkt").bitwiseXOR(col("__m")))
+        .drop("__m")
     c.join(broadcast(e), Seq("__bkt"))
       .select(col("doc_id"), col("eval_id"),
         aggregate(zip_with(col("__cq"), col("__eq"),

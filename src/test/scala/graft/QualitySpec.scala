@@ -139,6 +139,34 @@ class QualitySpec extends SparkSpec {
     loose.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
   }
 
+  test("multi-probe decon (probeFlips = 1) recovers a one-sign-flip " +
+      "leak the single-bucket probe misses, at eval-side cost only") {
+    // corpus doc 1 sits in bucket 0b1110 (dim 1 negative); the eval
+    // leak is the same vector with dim 1 flipped positive (bucket
+    // 0b1111) — their dot is still huge, but the home buckets differ
+    // in exactly one bit
+    val corpus = Seq((1L, Seq(-0.02, 1.0, 1.0, 1.0, 1.0, 1.0)))
+      .toDF("doc_id", "emb")
+    val eval = Seq((900L, Seq(0.02, 1.0, 1.0, 1.0, 1.0, 1.0)))
+      .toDF("eval_id", "ev")
+    // q = (∓3, 127, 127, 127, 127, 127): dot = -9 + 5·127² = 80636
+    val miss = Decontamination.semanticContaminatedDocs(
+      corpus, "doc_id", "emb", eval, "eval_id", "ev",
+      minDot = 80000L).collect()
+    miss shouldBe empty // the documented single-probe recall trade
+    val hit = Decontamination.semanticContaminatedDocs(
+      corpus, "doc_id", "emb", eval, "eval_id", "ev",
+      minDot = 80000L, probeFlips = 1).collect()
+    hit.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, 1L, 80636L))
+    // probeFlips = 0 is bit-identical to the pre-dial operator: the
+    // near-parallel fixture above still flags through the dial default
+    val same = Decontamination.semanticContaminatedDocs(
+      corpus, "doc_id", "emb", eval, "eval_id", "ev",
+      minDot = 80000L, probeFlips = 0).collect()
+    same shouldBe empty
+  }
+
   test("decontaminate drops flagged docs and keeps the rest") {
     val words = (1 to 30).map(i => s"w$i").mkString(" ")
     val clean = (100 to 129).map(i => s"v$i").mkString(" ")
