@@ -269,7 +269,80 @@ object QueriesMultimodal {
       |  CAST(arg_max(g, rn) AS INT) AS last_gray
       |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q377
+  /** Mixed-media dispatch end to end: one binary `content` column
+    * carrying WAV, BMP, AND PNG blobs (all REAL-encoded per user from
+    * events), fed through the production multimodal API —
+    * `extractFeatures` with a per-partition `RealCodecDecoder` — which
+    * must dispatch each blob on its magic bytes to the right strict
+    * parser. This is the shape a real binaryFile ingest takes (a
+    * directory of heterogeneous media), and it gates the DISPATCH
+    * layer the per-format rows (q367/q368/q373) can't: a magic
+    * misroute or a decoder whose features disagree with its encoder
+    * flips the per-kind geometry columns. The oracle recomputes every
+    * geometry directly from per-user event counts. */
+  private def q377MixedMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") <= 200)
+      .select(col("user_id"), col("event_id"),
+        (pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(65536L)) - 32768L).cast("int").as("s"),
+        pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(256L)).cast("int").as("g"))
+    val grouped = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("s"),
+        col("g")))).as("a"))
+    val wavs = Multimodal.encodeWavTable(
+      grouped.select(col("user_id").as("doc_id"),
+        expr("transform(a, x -> x.s)").as("samples"))
+        .as[Multimodal.PcmRow], sampleRate = 8000)
+      .toDF().withColumn("kind", lit("audio"))
+    val bmps = Multimodal.encodeBmpTable(
+      grouped.select(col("user_id").as("doc_id"),
+        expr("transform(a, x -> x.g)").as("lumas"))
+        .as[Multimodal.GrayRow])
+      .toDF().withColumn("kind", lit("image_bmp"))
+    val pngs = Multimodal.encodePngTable(
+      grouped.select(col("user_id").as("doc_id"),
+        expr("slice(transform(a, x -> x.g), 1, (size(a) div 16) * 16)")
+          .as("lumas"))
+        .filter(size(col("lumas")) >= 16)
+        .withColumn("width", lit(16))
+        .as[Multimodal.Png2dRow])
+      .toDF().withColumn("kind", lit("image_png"))
+    val media = wavs.unionAll(bmps).unionAll(pngs)
+      .select(col("doc_id"), col("content"), col("kind"))
+      .as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(media,
+        () => new Multimodal.RealCodecDecoder)
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"))
+      .orderBy(col("kind"), col("doc_id"))
+  }
+
+  private val q377Sql =
+    """WITH s AS (
+      |  SELECT user_id AS doc_id, count(*) AS n
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 200
+      |  GROUP BY 1)
+      |SELECT doc_id, kind, width, height, n_frames FROM (
+      |  SELECT doc_id, 'audio' AS kind, CAST(0 AS INT) AS width,
+      |    CAST(0 AS INT) AS height, CAST(n AS INT) AS n_frames
+      |  FROM s
+      |  UNION ALL
+      |  SELECT doc_id, 'image_bmp', CAST(n AS INT), CAST(1 AS INT),
+      |    CAST(1 AS INT)
+      |  FROM s
+      |  UNION ALL
+      |  SELECT doc_id, 'image_png', CAST(16 AS INT),
+      |    CAST(n // 16 AS INT), CAST(1 AS INT)
+      |  FROM s WHERE n >= 16)
+      |ORDER BY kind, doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q377_mixed_media" -> (q377MixedMedia _),
     "q29_multimodal_features" -> (q29Features _),
     "q251_media_resize" -> (q251MediaResize _),
     "q323_media_frames" -> (q323MediaFrames _),
@@ -278,6 +351,7 @@ object QueriesMultimodal {
     "q373_png_decode" -> (q373PngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "q377_mixed_media" -> q377Sql,
     "q29_multimodal_features" -> q29Sql,
     "q251_media_resize" -> q251Sql,
     "q323_media_frames" -> q323Sql,

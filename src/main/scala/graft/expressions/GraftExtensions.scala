@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GreaterThanOrEqual, If, IsNull, Literal, Or}
 
 /** SQL-surface registration: exposes the engine's functions to
   * `spark.sql(...)` callers via SparkSessionExtensions
@@ -24,6 +24,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If
   *   graft_redact_pii(text)         -> string   (email/phone/IPv4 mask)
   *   graft_zorder(x, y[, bits])     -> bigint   (z-order clustering key)
   *   st_point(lon, lat)             -> struct   (composed built-ins)
+  *   st_point_from_wkb_hex(hex[, srid]) -> struct (codegen'd WKB parse)
   *   st_x(geom) / st_y(geom)        -> double
   *   st_astext(geom)                -> string
   *   st_transform(geom, srid)       -> struct   (4326/3857/UTM 326xx-327xx)
@@ -67,6 +68,26 @@ object GraftExtensions {
         lit("y"), fn("double", Literal(null)),
         lit("srid"), fn("int", Literal(null))),
       struct)
+  }
+
+  /** st_point_from_wkb_hex(hex[, srid]): decode a hex-WKB/EWKB point
+    * into the geometry struct — EWKB's embedded SRID wins, plain WKB
+    * adopts the optional default (4326 when omitted); NULL hex yields
+    * the null-field struct (the st_point convention). */
+  private def stPointFromWkbHex(exprs: Seq[Expression]): Expression = {
+    val arr = WkbPointExpression(exprs.head)
+    val defaultSrid =
+      if (exprs.length >= 2) fn("double", exprs(1)) else lit(4326.0)
+    val x = fn("element_at", arr, lit(1))
+    val y = fn("element_at", arr, lit(2))
+    val s = fn("element_at", arr, lit(3))
+    val srid = fn("int",
+      If(GreaterThanOrEqual(s, lit(0.0)), s, defaultSrid))
+    If(IsNull(exprs.head),
+      fn("named_struct", lit("x"), fn("double", Literal(null)),
+        lit("y"), fn("double", Literal(null)),
+        lit("srid"), fn("int", Literal(null))),
+      fn("named_struct", lit("x"), x, lit("y"), y, lit("srid"), srid))
   }
 
   private def normalizeExpr(text: Expression): Expression =
@@ -178,6 +199,8 @@ object GraftExtensions {
         if (exprs.length >= 3) intLit("graft_tdigest", exprs(2)) else 100)),
     ("st_point", info("st_point", "point"),
       (exprs: Seq[Expression]) => stPoint(exprs)),
+    ("st_point_from_wkb_hex", info("st_point_from_wkb_hex", "wkb decode"),
+      (exprs: Seq[Expression]) => stPointFromWkbHex(exprs)),
     ("st_x", info("st_x", "x"),
       (exprs: Seq[Expression]) => UnresolvedExtractValue(exprs.head, lit("x"))),
     ("st_y", info("st_y", "y"),

@@ -58,12 +58,23 @@ object IncrementalSemanticDedup {
     * accepted). `batchTag` idempotence follows IncrementalDedup:
     * novelty is evaluated against the index EXCLUDING the current
     * tag's own files, and the append republishes over a previous
-    * partial publish of the same tag — retry-safe. */
+    * partial publish of the same tag — retry-safe.
+    *
+    * `probeFlips` is the multi-probe recall dial (the
+    * Decontamination.semanticContaminatedDocs dial, applied to the
+    * PROBING side): each batch vector additionally probes every
+    * bucket within Hamming `probeFlips` of its own, so a near-dup
+    * whose perturbation flipped a leading sign is still found. The
+    * INDEX keeps one home bucket per doc (no index amplification —
+    * state size is unchanged), and each (batch, earlier) pair can
+    * meet in at most one bucket, so verdict counts never double. */
   def acceptBatch(batch: DataFrame, idCol: String, embCol: String,
       indexPath: String, batchTag: String, minDot: Long,
-      signBits: Int = 4): DataFrame = {
+      signBits: Int = 4, probeFlips: Int = 0): DataFrame = {
     require(signBits >= 1 && signBits <= 24,
       s"signBits ($signBits) out of [1, 24]")
+    require(probeFlips >= 0 && probeFlips <= math.min(signBits, 4),
+      s"probeFlips ($probeFlips) out of [0, min(signBits, 4)]")
     val spark = batch.sparkSession
     // quantize once: the frame feeds both sides of the within-batch
     // join, the index probe, and the index append
@@ -95,7 +106,21 @@ object IncrementalSemanticDedup {
             col("qv").as("__eqv"))
           .withColumn("__same", lit(false)))
     }
-    val hits = q.join(earlier, Seq("bkt"))
+    // multi-probe expansion of the PROBING side: XOR the home bucket
+    // with every mask of popcount <= probeFlips (plan-time list)
+    val probes =
+      if (probeFlips == 0) q
+      else {
+        // combination enumeration, not a 2^signBits scan: the mask
+        // count is Σ C(signBits, j) for j <= probeFlips
+        val masks = (0 to probeFlips)
+          .flatMap(j => (0 until signBits).combinations(j))
+          .map(bits => lit(bits.foldLeft(0)((acc, b) => acc | (1 << b))))
+        q.withColumn("__m", explode(array(masks: _*)))
+          .withColumn("bkt", col("bkt").bitwiseXOR(col("__m")))
+          .drop("__m")
+      }
+    val hits = probes.join(earlier, Seq("bkt"))
       .filter(!col("__same") || col("__eid") < col("doc_id"))
       .withColumn("dot", exactDot(col("qv"), col("__eqv")))
       .filter(col("dot") >= minDot)

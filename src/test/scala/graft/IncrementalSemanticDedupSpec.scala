@@ -68,19 +68,31 @@ class IncrementalSemanticDedupSpec extends SparkSpec {
       Seq((9L, true, 2L, 26129L, 1L))
   }
 
-  test("bucket blocking: a near-identical vector with a flipped " +
-      "leading sign is missed (the documented recall trade)") {
+  test("bucket blocking misses a one-sign-flip near-dup (the " +
+      "documented recall trade); probeFlips = 1 recovers it at " +
+      "probe-side cost only") {
+    // E sits in bucket 1 (dim 1 positive); the later probe P is the
+    // same dim-5-heavy vector with dim 1 barely negative — home
+    // bucket 0, one bit away. Quantized: qE = (127,0,0,0,127,0,0,0),
+    // qP = (-3,0,0,0,127,0,0,0); exact dot = -3·127 + 127² = 15748.
     val idx = tmp()
+    val E = Seq(127.0, 0.0, 0.0, 0.0, 127.0, 0.0, 0.0, 0.0)
+    val P = Seq(-0.02 * 127.0, 0.0, 0.0, 0.0, 127.0, 0.0, 0.0, 0.0)
     IncrementalSemanticDedup
-      .acceptBatch(Seq((1L, A)).toDF("doc_id", "e"), "doc_id", "e",
-        idx, "day0", MinDot).collect()
-    // flip dim 1's sign: bucket 1 → 0, so no candidate despite the
-    // high raw dot — accepted, by contract
-    val flipped = Seq(-127.0, 0.0, 0.0, 0.0, 100.0, 0.0, 0.0, 0.0)
-    val got = IncrementalSemanticDedup
-      .acceptBatch(Seq((2L, flipped)).toDF("doc_id", "e"), "doc_id",
-        "e", idx, "day1", MinDot).collect()
-    got.map(r => (r.getLong(0), r.getBoolean(1))).toSeq shouldBe
-      Seq((2L, false))
+      .acceptBatch(Seq((1L, E)).toDF("doc_id", "e"), "doc_id", "e",
+        idx, "day0", minDot = 15000L).collect()
+    val miss = IncrementalSemanticDedup
+      .acceptBatch(Seq((2L, P)).toDF("doc_id", "e"), "doc_id", "e",
+        idx, "day1", minDot = 15000L).collect()
+    miss.map(r => (r.getLong(0), r.getBoolean(1))).toSeq shouldBe
+      Seq((2L, false)) // single probe never looks outside bucket 0
+    // redeliver the same tag WITH the dial: the one-bit probe reaches
+    // bucket 1 and the pair is found; index state is unchanged (one
+    // home bucket per doc — the dial amplifies probes, never state)
+    val hit = IncrementalSemanticDedup
+      .acceptBatch(Seq((2L, P)).toDF("doc_id", "e"), "doc_id", "e",
+        idx, "day1", minDot = 15000L, probeFlips = 1).collect()
+    hit.map(r => (r.getLong(0), r.getBoolean(1), r.getLong(3))).toSeq shouldBe
+      Seq((2L, true, 15748L))
   }
 }

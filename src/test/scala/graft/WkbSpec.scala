@@ -92,6 +92,33 @@ class WkbSpec extends SparkSpec {
     rows(2).isNullAt(3) shouldBe true
   }
 
+  test("expression participates in whole-stage codegen (no fallback) " +
+      "and is SQL-callable as st_point_from_wkb_hex") {
+    // non-foldable input over a codegen'd scan: '*(n)' marks fusion
+    val df = spark.range(2)
+      .select(GeomFunctions.stPointFromWkbHex(
+        // id 0 -> POINT(1 2) little, id 1 -> POINT(1 2) big: a
+        // runtime-varying hex column, not a constant-folded literal
+        when(col("id") === 0,
+          lit("0101000000000000000000F03F0000000000000040"))
+          .otherwise(lit("00000000013FF00000000000004000000000000000")))
+        .as("g"))
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include ("*(1) Project")
+    plan should include ("graft_st_point_from_wkb_hex")
+    df.collect().map(r =>
+      (r.getStruct(0).getDouble(0), r.getStruct(0).getDouble(1))).toSeq
+      .distinct shouldBe Seq((1.0, 2.0))
+    // SQL surface
+    graft.expressions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT st_x(g) AS x, st_y(g) AS y, g.srid AS srid FROM (
+        |  SELECT st_point_from_wkb_hex(
+        |    '0101000020E6100000000000000000F03F0000000000000040') AS g)"""
+        .stripMargin).head()
+    (r.getDouble(0), r.getDouble(1), r.getInt(2)) shouldBe ((1.0, 2.0, 4326))
+  }
+
   test("decoded passthrough geometry feeds st_transform (the " +
       "force_the_geom loop, closed)") {
     // a 4326 EWKB point reprojects to web mercator like a native point
