@@ -4267,6 +4267,143 @@ object QueriesAnalytics {
       |FROM dcg LEFT JOIN idcg ON idcg.qw = dcg.qw
       |ORDER BY dcg.qw""".stripMargin
 
+  // ------------------------------------------------------- q378 / q379
+  /** Shared generation-metrics fixture: reference = each document's
+    * text; candidate = the same alnum tokens with every 6th word
+    * replaced by the out-of-vocabulary token "xx" and the last two
+    * words dropped — a synthetic "model output" with insertions the
+    * reference lacks (exercises clipping: repeated "xx" grams can
+    * never outscore the reference's zero) and a short length
+    * (exercises BLEU's brevity penalty). Docs under 8 tokens are
+    * excluded so both engines index the same windows. */
+  private def genPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextAnalysis => TA}
+    val tk = TA.alnumTokens(col("text"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), tk.as("__tk"))
+      .filter(size(col("__tk")) >= 8)
+      .select(col("doc_id"),
+        array_join(transform(
+          expr("slice(__tk, 1, size(__tk) - 2)"),
+          (w, i) => when((i + 1) % 6 === 0, lit("xx")).otherwise(w)),
+          " ").as("cand"),
+        col("text").as("ref"))
+  }
+
+  /** Corpus BLEU-4 (Evaluation.corpusBleu) over the synthetic
+    * candidate/reference pairs: per-order clipped matches and
+    * candidate-gram counts are exact BIGINTs the oracle recomputes
+    * via the same explode + per-doc min-join; the BLEU surface
+    * (sorted ln fold, brevity penalty) leaves micro-rounded. */
+  private def q378Bleu(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Evaluation
+      .corpusBleu(genPairs(s, dir), "doc_id", col("cand"), col("ref"),
+        maxN = 4)
+      .select(col("n"), col("matches"), col("cand_grams"),
+        col("c_len"), col("r_len"),
+        round(col("bleu") * lit(1e6)).cast("long").as("bleu_micro"))
+      .orderBy(col("n"))
+
+  /** ROUGE-2 recall (Evaluation.rougeN) per document over the same
+    * pairs: clipped bigram matches over reference bigram count — the
+    * recall is ONE division of exact integers, so it hash-compares
+    * raw (the oovStats rule). */
+  private def q379Rouge(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Evaluation
+      .rougeN(genPairs(s, dir), "doc_id", col("cand"), col("ref"),
+        n = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val genPairsSql =
+    """d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x != '') AS rtk
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, rtk,
+      |    list_transform(range(1, len(rtk) - 1),
+      |      i -> CASE WHEN i % 6 = 0 THEN 'xx' ELSE rtk[i] END) AS ctk
+      |  FROM d WHERE len(rtk) >= 8)""".stripMargin
+
+  private val q378Sql =
+    s"""WITH $genPairsSql,
+       |g AS (
+       |  SELECT doc_id, n.n,
+       |    CASE WHEN len(ctk) >= n.n THEN
+       |      list_transform(range(1, len(ctk) - n.n + 2),
+       |        i -> array_to_string(ctk[i:i+n.n-1], ' '))
+       |    ELSE [] END AS cg,
+       |    CASE WHEN len(rtk) >= n.n THEN
+       |      list_transform(range(1, len(rtk) - n.n + 2),
+       |        i -> array_to_string(rtk[i:i+n.n-1], ' '))
+       |    ELSE [] END AS rg
+       |  FROM p CROSS JOIN (VALUES (1), (2), (3), (4)) AS n(n)),
+       |cc AS (SELECT doc_id, n, g2 AS g, count(*) AS c
+       |       FROM (SELECT doc_id, n, unnest(cg) AS g2 FROM g)
+       |       GROUP BY 1, 2, 3),
+       |rc AS (SELECT doc_id, n, g2 AS g, count(*) AS r
+       |       FROM (SELECT doc_id, n, unnest(rg) AS g2 FROM g)
+       |       GROUP BY 1, 2, 3),
+       |m AS (SELECT cc.n, sum(least(cc.c, rc.r)) AS matches
+       |      FROM cc JOIN rc ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+       |        AND rc.g = cc.g
+       |      GROUP BY 1),
+       |den AS (SELECT n, sum(len(cg)) AS cand_grams FROM g GROUP BY 1),
+       |lens AS (SELECT sum(len(ctk)) AS c_len, sum(len(rtk)) AS r_len
+       |         FROM p),
+       |pern AS (
+       |  SELECT den.n, coalesce(m.matches, 0) AS matches, den.cand_grams
+       |  FROM den LEFT JOIN m ON m.n = den.n),
+       |fold AS (
+       |  SELECT min(matches) AS minm,
+       |    list_aggregate(list_sort(list(
+       |      ln(CAST(matches AS DOUBLE) / CAST(cand_grams AS DOUBLE)))),
+       |      'sum') AS lnsum
+       |  FROM pern)
+       |SELECT CAST(pern.n AS INT) AS n,
+       |  CAST(pern.matches AS BIGINT) AS matches,
+       |  CAST(pern.cand_grams AS BIGINT) AS cand_grams,
+       |  CAST(lens.c_len AS BIGINT) AS c_len,
+       |  CAST(lens.r_len AS BIGINT) AS r_len,
+       |  CAST(round((CASE WHEN fold.minm = 0 THEN 0.0 ELSE
+       |    (CASE WHEN lens.c_len >= lens.r_len THEN 1.0
+       |     ELSE exp(1.0 - CAST(lens.r_len AS DOUBLE)
+       |       / CAST(lens.c_len AS DOUBLE)) END)
+       |    * exp(fold.lnsum / 4.0) END) * 1e6) AS BIGINT) AS bleu_micro
+       |FROM pern, lens, fold ORDER BY pern.n""".stripMargin
+
+  private val q379Sql =
+    s"""WITH $genPairsSql,
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ctk) >= 2 THEN
+       |      list_transform(range(1, len(ctk)),
+       |        i -> array_to_string(ctk[i:i+1], ' '))
+       |    ELSE [] END AS cg,
+       |    CASE WHEN len(rtk) >= 2 THEN
+       |      list_transform(range(1, len(rtk)),
+       |        i -> array_to_string(rtk[i:i+1], ' '))
+       |    ELSE [] END AS rg
+       |  FROM p),
+       |cc AS (SELECT doc_id, g2 AS g, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(cg) AS g2 FROM g)
+       |       GROUP BY 1, 2),
+       |rc AS (SELECT doc_id, g2 AS g, count(*) AS r
+       |       FROM (SELECT doc_id, unnest(rg) AS g2 FROM g)
+       |       GROUP BY 1, 2),
+       |m AS (SELECT cc.doc_id, sum(least(cc.c, rc.r)) AS matches
+       |      FROM cc JOIN rc ON rc.doc_id = cc.doc_id AND rc.g = cc.g
+       |      GROUP BY 1)
+       |SELECT g.doc_id, CAST(coalesce(m.matches, 0) AS BIGINT) AS matches,
+       |  CAST(len(g.rg) AS BIGINT) AS ref_grams,
+       |  CASE WHEN len(g.rg) > 0 THEN
+       |    CAST(coalesce(m.matches, 0) AS DOUBLE)
+       |      / CAST(len(g.rg) AS DOUBLE) END AS rouge_n
+       |FROM g LEFT JOIN m ON m.doc_id = g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
   // -------------------------------------------------------------- q372
   /** Kaplan–Meier survival curve (EventAnalytics.kaplanMeier) over
     * user activity lifetimes: duration = days between a user's first
@@ -5703,6 +5840,8 @@ object QueriesAnalytics {
     "q364_ndcg_at_k" -> (q364NdcgAtK _),
     "q365_mrr_at_k" -> (q365MrrAtK _),
     "q372_kaplan_meier" -> (q372KaplanMeier _),
+    "q378_bleu" -> (q378Bleu _),
+    "q379_rouge" -> (q379Rouge _),
     "q304_ab_ztest" -> (q304AbTest _),
     "q301_decayed_sum" -> (q301DecayedSum _),
     "q300_hilbert_range" -> (q300HilbertRange _),
@@ -5824,6 +5963,8 @@ object QueriesAnalytics {
     "q364_ndcg_at_k" -> q364Sql,
     "q365_mrr_at_k" -> q365Sql,
     "q372_kaplan_meier" -> q372Sql,
+    "q378_bleu" -> q378Sql,
+    "q379_rouge" -> q379Sql,
     "q304_ab_ztest" -> q304Sql,
     "q301_decayed_sum" -> q301Sql,
     "q300_hilbert_range" -> q300Sql,

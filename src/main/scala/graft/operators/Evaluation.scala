@@ -827,4 +827,102 @@ object Evaluation {
         coalesce(expr("2520 div first_rank"), lit(0L)).as("rr_num"))
       .withColumn("rr", col("rr_num").cast("double") / lit(2520.0))
   }
+
+  /** Per-order clipped n-gram match counts — the shared integer core
+    * of corpus BLEU and ROUGE-N: for each (pair, order n), the
+    * candidate's n-gram multiset is clipped against the reference's
+    * (Σ_g min(cand_g, ref_g)) plus both sides' total n-gram counts.
+    * Everything is an exact BIGINT. Scale: per order, two explodes +
+    * one (id, gram) hash aggregate each + an equi-join on (id, gram)
+    * — candidate grams only ever meet the SAME document's reference
+    * grams, never a cross join; orders are maxN bounded passes. */
+  private def clippedGramStats(pairs: DataFrame, idCol: String,
+      candCol: Column, refCol: Column, orders: Seq[Int]): DataFrame = {
+    require(orders.nonEmpty && orders.forall(n => n >= 1 && n <= 6),
+      s"orders ($orders) must be within [1, 6]")
+    val base = pairs.select(col(idCol).as("__id"),
+      candCol.as("__cand"), refCol.as("__ref"))
+    orders.map { n =>
+      def counts(side: Column) = base
+        .select(col("__id"),
+          explode(graft.functions.TextAnalysis.wordNgrams(side, n))
+            .as("__g"))
+        .groupBy(col("__id"), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+      val cand = counts(col("__cand"))
+      val ref = counts(col("__ref"))
+        .withColumnRenamed("__c", "__r")
+      val clipped = cand.join(ref, Seq("__id", "__g"))
+        .groupBy(col("__id"))
+        .agg(sum(least(col("__c"), col("__r"))).as("__m"))
+      base.select(col("__id"),
+          greatest(size(graft.functions.TextAnalysis
+            .wordNgrams(col("__cand"), n)), lit(0)).cast("long")
+            .as("cand_grams"),
+          greatest(size(graft.functions.TextAnalysis
+            .wordNgrams(col("__ref"), n)), lit(0)).cast("long")
+            .as("ref_grams"))
+        .join(clipped, Seq("__id"), "left")
+        .select(col("__id").as("id"), lit(n).as("n"),
+          coalesce(col("__m"), lit(0L)).as("matches"),
+          col("cand_grams"), col("ref_grams"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Corpus-level BLEU (Papineni et al. 2002): per-order modified
+    * precision p_n = Σ_docs clipped matches / Σ_docs candidate
+    * n-grams (clipping per DOCUMENT against its own reference — the
+    * defining guard against "the the the"), geometric mean over
+    * orders 1..maxN, brevity penalty min(1, e^(1−r/c)) from corpus
+    * token totals. All counts exact BIGINTs; the only float surface
+    * is the final ln/exp chain over maxN SORTED terms (q60 rule) —
+    * gate rows emit bleu micro-rounded. Any p_n = 0 ⇒ BLEU exactly 0
+    * (the standard smoothing-free convention), emitted directly so
+    * ln(0) never evaluates.
+    *
+    * @return one row per order (total-ordered by n) carrying the
+    *         corpus constants: (n, matches, cand_grams, c_len, r_len,
+    *         bleu) */
+  def corpusBleu(pairs: DataFrame, idCol: String, candCol: Column,
+      refCol: Column, maxN: Int = 4): DataFrame = {
+    import graft.functions.{TextAnalysis => TA}
+    require(maxN >= 1 && maxN <= 6, s"maxN ($maxN) out of [1, 6]")
+    val perN = clippedGramStats(pairs, idCol, candCol, refCol, 1 to maxN)
+      .groupBy(col("n"))
+      .agg(sum(col("matches")).as("matches"),
+        sum(col("cand_grams")).as("cand_grams"))
+    val lens = pairs.agg(
+      sum(size(TA.alnumTokens(candCol))).cast("long").as("c_len"),
+      sum(size(TA.alnumTokens(refCol))).cast("long").as("r_len"))
+    val folded = perN.agg(
+      min(col("matches")).as("__minm"),
+      // ln p_n terms folded in SORTED order — deterministic doubles
+      aggregate(sort_array(collect_list(
+          log(col("matches").cast("double") /
+            col("cand_grams").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("__lnsum"))
+    perN.crossJoin(broadcast(lens)).crossJoin(broadcast(folded))
+      .withColumn("bleu",
+        when(col("__minm") === 0L, lit(0.0)).otherwise(
+          when(col("c_len") >= col("r_len"), lit(1.0))
+            .otherwise(exp(lit(1.0) -
+              col("r_len").cast("double") / col("c_len").cast("double")))
+            * exp(col("__lnsum") / lit(maxN.toDouble))))
+      .select(col("n"), col("matches"), col("cand_grams"),
+        col("c_len"), col("r_len"), col("bleu"))
+  }
+
+  /** ROUGE-N recall (Lin 2004), single-reference: per document the
+    * clipped n-gram matches over the REFERENCE n-gram count — one
+    * exact integer division per row; corpus ROUGE-N is the caller's
+    * Σ matches / Σ ref_grams over this frame. Same scale shape as
+    * [[corpusBleu]] (explode + keyed aggregate + same-id join).
+    * @return per doc: (id, matches, ref_grams, rouge_n) */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: Column,
+      refCol: Column, n: Int): DataFrame =
+    clippedGramStats(pairs, idCol, candCol, refCol, Seq(n))
+      .select(col("id"), col("matches"), col("ref_grams"),
+        when(col("ref_grams") > 0L,
+          col("matches").cast("double") / col("ref_grams").cast("double"))
+          .as("rouge_n"))
 }

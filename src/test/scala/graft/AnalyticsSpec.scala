@@ -757,6 +757,60 @@ class AnalyticsSpec extends SparkSpec {
       .toSeq shouldBe got.map(_.getDouble(3)).toSeq
   }
 
+  test("corpusBleu: the textbook clipping example and a hand-computed " +
+      "BLEU-2, brevity penalty on short candidates") {
+    import graft.operators.Evaluation
+    // Papineni's degenerate candidate: "the the the the the the the"
+    // vs "the cat is on the mat" — clipped p1 = 2/7, and c=7 > r=6
+    // so BP = 1; BLEU-1 = 2/7
+    val p1 = Seq((1L, "the the the the the the the",
+      "the cat is on the mat")).toDF("id", "cand", "ref")
+    val b1 = Evaluation.corpusBleu(p1, "id", col("cand"), col("ref"),
+      maxN = 1).collect()
+    b1.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq shouldBe
+      Seq((1, 2L, 7L, 7L, 6L))
+    b1.head.getDouble(5) shouldBe (2.0 / 7.0) +- 1e-12
+    // BLEU-2 by hand: cand "the cat the cat" / ref "the cat is good"
+    // p1 = 2/4 (the,cat clipped to 1 each), p2 = 1/3 ("the cat"
+    // twice clipped to ref's once), c = r = 4 -> BP 1
+    val p2 = Seq((1L, "the cat the cat", "the cat is good"))
+      .toDF("id", "cand", "ref")
+    val b2 = Evaluation.corpusBleu(p2, "id", col("cand"), col("ref"),
+      maxN = 2).orderBy("n").collect()
+    b2.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1, 2L, 4L), (2, 1L, 3L))
+    b2.head.getDouble(5) shouldBe
+      math.exp((math.log(0.5) + math.log(1.0 / 3.0)) / 2.0) +- 1e-12
+    // brevity penalty: candidate a strict 3-token prefix of a 6-token
+    // reference -> p1 = 1, BLEU-1 = exp(1 - 6/3)
+    val p3 = Seq((1L, "the cat is", "the cat is on the mat"))
+      .toDF("id", "cand", "ref")
+    Evaluation.corpusBleu(p3, "id", col("cand"), col("ref"), maxN = 1)
+      .head().getDouble(5) shouldBe math.exp(-1.0) +- 1e-12
+    // any zero-match order zeroes BLEU exactly (no ln(0) surface)
+    val p4 = Seq((1L, "aa bb", "cc dd")).toDF("id", "cand", "ref")
+    Evaluation.corpusBleu(p4, "id", col("cand"), col("ref"), maxN = 1)
+      .head().getDouble(5) shouldBe 0.0
+  }
+
+  test("rougeN: hand-computed bigram recall, per-document clipping") {
+    import graft.operators.Evaluation
+    // ref bigrams: the-cat, cat-is, is-on, on-the, the-mat (5);
+    // cand bigrams: the-cat, cat-sat -> 1 match -> recall 0.2
+    val pairs = Seq(
+      (1L, "the cat sat", "the cat is on the mat"),
+      // repeated cand bigram clipped against a single ref occurrence
+      (2L, "aa bb aa bb aa", "aa bb cc"))
+      .toDF("id", "cand", "ref")
+    val got = Evaluation.rougeN(pairs, "id", col("cand"), col("ref"),
+      n = 2).orderBy("id").collect()
+    got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, 1L, 5L), (2L, 1L, 2L))
+    got(0).getDouble(3) shouldBe 0.2 +- 1e-15
+    got(1).getDouble(3) shouldBe 0.5 +- 1e-15
+  }
+
   test("entropyProfile: hand-computed H, NULL is a category, " +
       "collapsed column reads collapsed") {
     import graft.operators.Profiler
