@@ -231,6 +231,45 @@ object QueriesQuality {
        |    / count(*) * 1e6) AS BIGINT) AS score_micro
        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q380
+  /** Interpolated Kneser–Ney bigram perplexity scoring
+    * (LanguageModel.scoreDocsKneserNey, D = 0.75) — the production
+    * smoothing beside q60's Laplace baseline: continuation
+    * probability N₁₊(·w₂)/|types| replaces the uniform 1/V mass, so
+    * the model statistics gain two more exact-integer tables
+    * (distinct continuations per history, distinct contexts per
+    * word) the oracle recomputes from the same bigram stream. Same
+    * sorted-ln-fold / micro-unit discipline as q60. */
+  private def q380KneserNey(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel
+      .scoreDocsKneserNey(docs(s, dir), "doc_id", "text")
+      .withColumn("score_micro", round(col("score") * lit(1e6)).cast("long"))
+      .drop("score")
+      .orderBy(col("doc_id"))
+
+  private val q380Sql =
+    s"""WITH $normSql,
+       |bg0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+       |  FROM norm WHERE len(tk) >= 2),
+       |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+       |bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+       |hc AS (SELECT w1, count(*) AS c_h, count(DISTINCT w2) AS n1f
+       |       FROM bg GROUP BY 1),
+       |cc AS (SELECT w2, count(*) AS n1b FROM bgc GROUP BY 1),
+       |t AS (SELECT count(*) AS t FROM bgc),
+       |lp AS (
+       |  SELECT bg.doc_id,
+       |    ln(greatest(bgc.c_bg - 0.75, 0.0) / hc.c_h
+       |      + 0.75 * hc.n1f / hc.c_h * (cc.n1b / t.t)) AS lnp
+       |  FROM bg JOIN bgc USING (w1, w2) JOIN hc USING (w1)
+       |    JOIN cc USING (w2) CROSS JOIN t)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(round(-list_aggregate(list_sort(list(lnp)), 'sum')
+       |    / count(*) * 1e6) AS BIGINT) AS score_micro
+       |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q64
   /** LM-noise threshold for the funnel: sits in a measured ~9e-3 gap
     * of the sf0.01 planted-corpus score distribution (4.1% of docs
@@ -1086,6 +1125,7 @@ object QueriesQuality {
     "q55_pii_redact" -> (q55Pii _),
     "q56_decontaminate" -> (q56Decontaminate _),
     "q60_lm_score" -> (q60LmScore _),
+    "q380_kneser_ney" -> (q380KneserNey _),
     "q64_quality_funnel" -> (q64Funnel _),
   )
 
@@ -1107,6 +1147,7 @@ object QueriesQuality {
     "q55_pii_redact" -> q55Sql,
     "q56_decontaminate" -> q56Sql,
     "q60_lm_score" -> q60Sql,
+    "q380_kneser_ney" -> q380Sql,
     "q64_quality_funnel" -> q64Sql,
   )
 }

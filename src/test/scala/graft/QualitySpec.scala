@@ -199,6 +199,28 @@ class QualitySpec extends SparkSpec {
     got(0).getDouble(2) should be < got(1).getDouble(2)
   }
 
+  test("Kneser-Ney bigram score matches hand computation and its " +
+      "continuation mass sums to 1 over the history") {
+    import graft.operators.LanguageModel
+    // corpus: d1 = "a b", d2 = "a b", d3 = "a c"
+    // bigram types: (a,b) c=2, (a,c) c=1; history a: c_h=3, N1+(a·)=2;
+    // contexts: N1+(·b)=1, N1+(·c)=1; |types|=2; D=0.75
+    // P(b|a) = (2-.75)/3 + .75·2/3·(1/2) = 2/3
+    // P(c|a) = (1-.75)/3 + .75·2/3·(1/2) = 1/3   (sums to 1 — the
+    // defining KN property: discounted mass returns via continuation)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.scoreDocsKneserNey(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    got.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1L, 1L), (2L, 1L), (3L, 1L))
+    got(0).getDouble(2) shouldBe -math.log(2.0 / 3.0) +- 1e-12
+    got(1).getDouble(2) shouldBe -math.log(2.0 / 3.0) +- 1e-12
+    got(2).getDouble(2) shouldBe -math.log(1.0 / 3.0) +- 1e-12
+    // the rarer continuation scores as less predictable
+    got(2).getDouble(2) should be > got(0).getDouble(2)
+  }
+
   test("LM scorer skips docs with fewer than two tokens") {
     import graft.operators.LanguageModel
     val docs = Seq((1L, "only"), (2L, ""), (3L, "two words"))
