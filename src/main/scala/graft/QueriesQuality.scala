@@ -270,6 +270,64 @@ object QueriesQuality {
        |    / count(*) * 1e6) AS BIGINT) AS score_micro
        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q381
+  /** Moore–Lewis cross-entropy data selection (LanguageModel
+    * .mooreLewis): every doc scored under an IN-DOMAIN bigram LM
+    * (trained on the deterministic doc_id % 7 = 0 stratum) and the
+    * GENERAL corpus LM; ml = H_in − H_gen, negative = domain-like.
+    * Exercises the cross-corpus paths self-scoring never hits (unseen
+    * bigram → Laplace floor, unseen history → 1/V via left-join
+    * coalesce), each restated in the oracle; emitted micro-rounded. */
+  private def q381MooreLewis(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    graft.operators.LanguageModel
+      .mooreLewis(all, all.filter(pmod(col("doc_id"), lit(7)) === 0),
+        all, "doc_id", "text")
+      .withColumn("ml_micro", round(col("ml_diff") * lit(1e6)).cast("long"))
+      .drop("ml_diff")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q381Sql =
+    s"""WITH $normSql,
+       |tin AS (SELECT * FROM norm WHERE doc_id % 7 = 0),
+       |gbg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+       |  FROM norm WHERE len(tk) >= 2),
+       |sb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM gbg),
+       |gbc AS (SELECT w1, w2, count(*) AS c_gb FROM sb GROUP BY 1, 2),
+       |ghc AS (SELECT w1, count(*) AS c_gh FROM sb GROUP BY 1),
+       |gv AS (SELECT count(DISTINCT w) AS v
+       |       FROM (SELECT unnest(tk) AS w FROM norm)),
+       |ibg AS (
+       |  SELECT unnest(list_transform(range(1, len(tk)),
+       |    i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+       |  FROM tin WHERE len(tk) >= 2),
+       |ib AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM ibg),
+       |ibc AS (SELECT w1, w2, count(*) AS c_ib FROM ib GROUP BY 1, 2),
+       |ihc AS (SELECT w1, count(*) AS c_ih FROM ib GROUP BY 1),
+       |iv AS (SELECT count(DISTINCT w) AS v
+       |       FROM (SELECT unnest(tk) AS w FROM tin)),
+       |lp AS (
+       |  SELECT sb.doc_id,
+       |    ln((coalesce(ibc.c_ib, 0) + 1.0)
+       |      / (coalesce(ihc.c_ih, 0) + iv.v)) AS lnp_in,
+       |    ln((coalesce(gbc.c_gb, 0) + 1.0)
+       |      / (coalesce(ghc.c_gh, 0) + gv.v)) AS lnp_gen
+       |  FROM sb
+       |  LEFT JOIN ibc ON ibc.w1 = sb.w1 AND ibc.w2 = sb.w2
+       |  LEFT JOIN ihc ON ihc.w1 = sb.w1
+       |  LEFT JOIN gbc ON gbc.w1 = sb.w1 AND gbc.w2 = sb.w2
+       |  LEFT JOIN ghc ON ghc.w1 = sb.w1
+       |  CROSS JOIN iv CROSS JOIN gv)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(round((-list_aggregate(list_sort(list(lnp_in)), 'sum')
+       |      / count(*)
+       |    - (-list_aggregate(list_sort(list(lnp_gen)), 'sum')
+       |      / count(*))) * 1e6) AS BIGINT) AS ml_micro
+       |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q64
   /** LM-noise threshold for the funnel: sits in a measured ~9e-3 gap
     * of the sf0.01 planted-corpus score distribution (4.1% of docs
@@ -1126,6 +1184,7 @@ object QueriesQuality {
     "q56_decontaminate" -> (q56Decontaminate _),
     "q60_lm_score" -> (q60LmScore _),
     "q380_kneser_ney" -> (q380KneserNey _),
+    "q381_moore_lewis" -> (q381MooreLewis _),
     "q64_quality_funnel" -> (q64Funnel _),
   )
 
@@ -1148,6 +1207,7 @@ object QueriesQuality {
     "q56_decontaminate" -> q56Sql,
     "q60_lm_score" -> q60Sql,
     "q380_kneser_ney" -> q380Sql,
+    "q381_moore_lewis" -> q381Sql,
     "q64_quality_funnel" -> q64Sql,
   )
 }

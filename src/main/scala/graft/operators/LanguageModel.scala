@@ -84,6 +84,68 @@ object LanguageModel {
     scored
   }
 
+  /** Cross-corpus Laplace bigram scoring — [[scoreDocs]] with the
+    * model trained on a DIFFERENT corpus, which is what cross-entropy
+    * data selection needs: unseen bigrams get the Laplace floor
+    * (0+1)/(c_h+V) and unseen HISTORIES degrade to 1/V (left joins +
+    * coalesce — self-scoring never exercises these paths, so they are
+    * spec-pinned here). V is the MODEL corpus vocabulary. Same scale
+    * shape as [[scoreDocs]]; the model tables are vocab-bounded.
+    * @return per scoreable doc: (doc_id, n_bigrams, score) */
+  def scoreDocsAgainst(scored: DataFrame, model: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val mToks = model.select(
+      split(TextAnalysis.normalizeText(col(textCol)), " ").as("__tk"))
+    val mBg = mToks
+      .select(explode(bigramsFromTokens(col("__tk"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val bgCounts = mBg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val histCounts = mBg.groupBy(col("w1")).agg(count(lit(1)).as("c_h"))
+    val vocabDf = mToks.select(explode(col("__tk")).as("w"))
+      .agg(countDistinct(col("w")).as("__v"))
+    val sToks = scored.select(col(idCol).as("doc_id"),
+      split(TextAnalysis.normalizeText(col(textCol)), " ").as("__tk"))
+    val sBg = sToks.select(col("doc_id"),
+        explode(bigramsFromTokens(col("__tk"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val lnp = log((coalesce(col("c_bg"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("c_h"), lit(0L)) + col("__v")))
+    val res = sBg.join(bgCounts, Seq("w1", "w2"), "left")
+      .join(histCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocabDf))
+      .select(col("doc_id"), lnp.as("lnp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-aggregate(sort_array(collect_list(col("lnp"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1))).as("score"))
+      .localCheckpoint(eager = true)
+    mBg.unpersist()
+    res
+  }
+
+  /** Moore–Lewis cross-entropy difference selection (Moore & Lewis
+    * 2011): score every candidate document under an IN-DOMAIN bigram
+    * LM and a GENERAL one, and rank by the difference
+    * H_in − H_general — negative means "reads more like the target
+    * domain than like average text", which is the canonical
+    * data-selection criterion for domain-adapting a training mix.
+    * Both scorings are [[scoreDocsAgainst]]; the caller thresholds
+    * (this emits the raw difference — verdicts belong to rows with
+    * measured decision gaps, the q64 rule).
+    * @return per scoreable doc: (doc_id, n_bigrams, ml_diff) */
+  def mooreLewis(candidates: DataFrame, inDomain: DataFrame,
+      general: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sIn = scoreDocsAgainst(candidates, inDomain, idCol, textCol)
+      .withColumnRenamed("score", "__s_in")
+    val sGen = scoreDocsAgainst(candidates, general, idCol, textCol)
+      .select(col("doc_id"), col("score").as("__s_gen"))
+    sIn.join(sGen, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__s_in") - col("__s_gen")).as("ml_diff"))
+  }
+
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
     * interpolated formulation of Chen & Goodman 1999 with a fixed
     * discount D): the ACTUAL smoothing production LMs shipped before

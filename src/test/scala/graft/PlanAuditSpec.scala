@@ -80,7 +80,10 @@ class PlanAuditSpec extends SparkSpec {
     "q141_temperature_mix" -> "per-language mixture weights",
     // one-way ANOVA folds Σ(Σx)²/n over the per-EVENT-TYPE moment
     // table — k = #event types, a fixed categorical domain
-    "q263_anova" -> "per-event-type moment terms")
+    "q263_anova" -> "per-event-type moment terms",
+    // corpus BLEU folds ln p_n over the per-ORDER precision table —
+    // k = maxN ≤ 6 rows by the operator's own require
+    "q378_bleu" -> "per-order BLEU precision terms")
 
   test("no registry query plans a data-bearing single-partition " +
       "exchange, cartesian product, or unpartitioned window") {

@@ -221,6 +221,41 @@ class QualitySpec extends SparkSpec {
     got(2).getDouble(2) should be > got(0).getDouble(2)
   }
 
+  test("cross-corpus scoring: unseen bigram takes the Laplace floor, " +
+      "unseen history degrades to 1/V; mooreLewis ranks domain-like " +
+      "text negative") {
+    import graft.operators.LanguageModel
+    // model corpus: "a b" only -> c(a,b)=1, c_h(a)=1, V={a,b}=2
+    val model = Seq((10L, "a b")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "a b"),  // attested: P = (1+1)/(1+2) = 2/3
+      (2L, "a c"),  // unseen bigram, seen history: P = 1/(1+2) = 1/3
+      (3L, "x y"))  // unseen history: P = 1/(0+2) = 1/2
+      .toDF("doc_id", "text")
+    val got = LanguageModel.scoreDocsAgainst(cands, model,
+      "doc_id", "text").orderBy("doc_id").collect()
+    got(0).getDouble(2) shouldBe -math.log(2.0 / 3.0) +- 1e-12
+    got(1).getDouble(2) shouldBe -math.log(1.0 / 3.0) +- 1e-12
+    got(2).getDouble(2) shouldBe -math.log(1.0 / 2.0) +- 1e-12
+    // Moore-Lewis: candidates that read like the in-domain corpus
+    // score negative (H_in < H_gen), off-domain positive. The
+    // in-domain vocab must be comparable to the general one — a tiny
+    // V_in inflates the 1/V unseen floor and makes EVERYTHING look
+    // domain-like (the standard Moore-Lewis caveat, demonstrated by
+    // this fixture's sizing)
+    val inDomain = Seq((20L,
+      "alpha beta gamma delta epsilon zeta eta theta alpha beta"))
+      .toDF("doc_id", "text")
+    val general = Seq((30L, "x y x z"), (31L, "p q"))
+      .toDF("doc_id", "text")
+    val ml = LanguageModel.mooreLewis(
+      Seq((1L, "alpha beta"), (2L, "x y")).toDF("doc_id", "text"),
+      inDomain, general, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    ml(0).getDouble(2) should be < 0.0 // domain-like
+    ml(1).getDouble(2) should be > 0.0 // general-like
+  }
+
   test("LM scorer skips docs with fewer than two tokens") {
     import graft.operators.LanguageModel
     val docs = Seq((1L, "only"), (2L, ""), (3L, "two words"))
