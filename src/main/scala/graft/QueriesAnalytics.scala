@@ -4275,11 +4275,15 @@ object QueriesAnalytics {
     * reference lacks (exercises clipping: repeated "xx" grams can
     * never outscore the reference's zero) and a short length
     * (exercises BLEU's brevity penalty). Docs under 8 tokens are
-    * excluded so both engines index the same windows. */
+    * excluded so both engines index the same windows; the fixture is
+    * the deterministic doc_id-even HALF of the corpus (gate rows pin
+    * correctness, not throughput — the operator's full-corpus cost is
+    * the clippedGramStats scaladoc's measured number). */
   private def genPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextAnalysis => TA}
     val tk = TA.alnumTokens(col("text"))
     Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
       .select(col("doc_id"), col("text"), tk.as("__tk"))
       .filter(size(col("__tk")) >= 8)
       .select(col("doc_id"),
@@ -4320,7 +4324,7 @@ object QueriesAnalytics {
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
       |      x -> x != '') AS rtk
-      |  FROM documents),
+      |  FROM documents WHERE doc_id % 2 = 0),
       |p AS (
       |  SELECT doc_id, rtk,
       |    list_transform(range(1, len(rtk) - 1),
