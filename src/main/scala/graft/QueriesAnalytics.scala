@@ -4408,6 +4408,43 @@ object QueriesAnalytics {
        |FROM g LEFT JOIN m ON m.doc_id = g.doc_id
        |ORDER BY g.doc_id""".stripMargin
 
+  /** Token-level F1 (Evaluation.tokenF1, the SQuAD answer-overlap
+    * metric) per document over the same synthetic pairs: every column
+    * is an exact integer or ONE division of exact integers — the row
+    * hash-compares raw with no micro scaling anywhere. */
+  private def q382TokenF1(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Evaluation
+      .tokenF1(genPairs(s, dir), "doc_id", col("cand"), col("ref"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val q382Sql =
+    s"""WITH $genPairsSql,
+       |cc AS (SELECT doc_id, g, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(ctk) AS g FROM p)
+       |       GROUP BY 1, 2),
+       |rc AS (SELECT doc_id, g, count(*) AS r
+       |       FROM (SELECT doc_id, unnest(rtk) AS g FROM p)
+       |       GROUP BY 1, 2),
+       |m AS (SELECT cc.doc_id, sum(least(cc.c, rc.r)) AS matches
+       |      FROM cc JOIN rc ON rc.doc_id = cc.doc_id AND rc.g = cc.g
+       |      GROUP BY 1)
+       |SELECT p.doc_id,
+       |  CAST(coalesce(m.matches, 0) AS BIGINT) AS matches,
+       |  CAST(len(p.ctk) AS BIGINT) AS cand_tokens,
+       |  CAST(len(p.rtk) AS BIGINT) AS ref_tokens,
+       |  CASE WHEN len(p.ctk) > 0 THEN
+       |    CAST(coalesce(m.matches, 0) AS DOUBLE) / len(p.ctk) END
+       |    AS precision,
+       |  CASE WHEN len(p.rtk) > 0 THEN
+       |    CAST(coalesce(m.matches, 0) AS DOUBLE) / len(p.rtk) END
+       |    AS recall,
+       |  CASE WHEN len(p.ctk) + len(p.rtk) > 0 THEN
+       |    CAST(2 * coalesce(m.matches, 0) AS DOUBLE)
+       |      / (len(p.ctk) + len(p.rtk)) END AS f1
+       |FROM p LEFT JOIN m ON m.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   // -------------------------------------------------------------- q372
   /** Kaplan–Meier survival curve (EventAnalytics.kaplanMeier) over
     * user activity lifetimes: duration = days between a user's first
@@ -5846,6 +5883,7 @@ object QueriesAnalytics {
     "q372_kaplan_meier" -> (q372KaplanMeier _),
     "q378_bleu" -> (q378Bleu _),
     "q379_rouge" -> (q379Rouge _),
+    "q382_token_f1" -> (q382TokenF1 _),
     "q304_ab_ztest" -> (q304AbTest _),
     "q301_decayed_sum" -> (q301DecayedSum _),
     "q300_hilbert_range" -> (q300HilbertRange _),
@@ -5969,6 +6007,7 @@ object QueriesAnalytics {
     "q372_kaplan_meier" -> q372Sql,
     "q378_bleu" -> q378Sql,
     "q379_rouge" -> q379Sql,
+    "q382_token_f1" -> q382Sql,
     "q304_ab_ztest" -> q304Sql,
     "q301_decayed_sum" -> q301Sql,
     "q300_hilbert_range" -> q300Sql,

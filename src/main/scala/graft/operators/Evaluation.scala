@@ -940,6 +940,30 @@ object Evaluation {
         col("c_len"), col("r_len"), col("bleu"))
   }
 
+  /** Token-level F1 — the SQuAD/QA answer-overlap metric (Rajpurkar
+    * et al. 2016): bag-of-words clipped unigram matches m between
+    * candidate and reference; P = m/c, R = m/r, F1 = 2m/(c+r). Each
+    * output is ONE division of exact integers (2m and c+r are exact),
+    * so every column hash-compares raw — no micro scaling, no ln
+    * surface at all. Same scale shape as [[corpusBleu]] restricted to
+    * order 1.
+    * @return per doc: (id, matches, cand_tokens, ref_tokens,
+    *         precision, recall, f1) */
+  def tokenF1(pairs: DataFrame, idCol: String, candCol: Column,
+      refCol: Column): DataFrame =
+    clippedGramStats(pairs, idCol, candCol, refCol, Seq(1))
+      .select(col("id"), col("matches"),
+        col("cand_grams").as("cand_tokens"),
+        col("ref_grams").as("ref_tokens"),
+        when(col("cand_grams") > 0L, col("matches").cast("double") /
+          col("cand_grams").cast("double")).as("precision"),
+        when(col("ref_grams") > 0L, col("matches").cast("double") /
+          col("ref_grams").cast("double")).as("recall"),
+        when(col("cand_grams") + col("ref_grams") > 0L,
+          (lit(2L) * col("matches")).cast("double") /
+            (col("cand_grams") + col("ref_grams")).cast("double"))
+          .as("f1"))
+
   /** ROUGE-N recall (Lin 2004), single-reference: per document the
     * clipped n-gram matches over the REFERENCE n-gram count — one
     * exact integer division per row; corpus ROUGE-N is the caller's

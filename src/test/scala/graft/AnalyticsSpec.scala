@@ -811,6 +811,25 @@ class AnalyticsSpec extends SparkSpec {
     got(1).getDouble(3) shouldBe 0.5 +- 1e-15
   }
 
+  test("tokenF1: hand-computed SQuAD-style overlap with clipping") {
+    import graft.operators.Evaluation
+    val pairs = Seq(
+      // m = 2 (the, cat), c = 3, r = 6 -> P 2/3, R 1/3, F1 = 4/9
+      (1L, "the cat sat", "the cat is on the mat"),
+      // repeated candidate token clipped: m = min(3,1) = 1, c = 3,
+      // r = 2 -> F1 = 2/5
+      (2L, "aa aa aa", "aa bb"))
+      .toDF("id", "cand", "ref")
+    val got = Evaluation.tokenF1(pairs, "id", col("cand"), col("ref"))
+      .orderBy("id").collect()
+    got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq shouldBe Seq((1L, 2L, 3L, 6L), (2L, 1L, 3L, 2L))
+    got(0).getDouble(4) shouldBe (2.0 / 3.0) +- 1e-15
+    got(0).getDouble(5) shouldBe (1.0 / 3.0) +- 1e-15
+    got(0).getDouble(6) shouldBe (4.0 / 9.0) +- 1e-15
+    got(1).getDouble(6) shouldBe 0.4 +- 1e-15
+  }
+
   test("entropyProfile: hand-computed H, NULL is a category, " +
       "collapsed column reads collapsed") {
     import graft.operators.Profiler
