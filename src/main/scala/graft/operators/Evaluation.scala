@@ -924,10 +924,15 @@ object Evaluation {
         sum(col("ref_grams")).as("r_len"))
     val folded = perN.agg(
       min(col("matches")).as("__minm"),
-      // ln p_n terms folded in SORTED order — deterministic doubles
+      // ln p_n terms folded in SORTED order — deterministic doubles.
+      // cand_grams = 0 (every candidate shorter than this order) is
+      // guarded to 0.0: matches is then 0 too, so __minm = 0 discards
+      // the whole fold and BLEU is exactly 0 — without the guard the
+      // ANSI divide THROWS on such a corpus (caught by R8PropertySpec)
       aggregate(sort_array(collect_list(
-          log(col("matches").cast("double") /
-            col("cand_grams").cast("double")))),
+          when(col("cand_grams") > 0L,
+            log(col("matches").cast("double") /
+              col("cand_grams").cast("double"))).otherwise(lit(0.0)))),
         lit(0.0), (a, x) => a + x).as("__lnsum"))
     perN.crossJoin(broadcast(lens)).crossJoin(broadcast(folded))
       .withColumn("bleu",
