@@ -163,6 +163,70 @@ object QueriesCorpus {
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q383
+  /** Near-dup-aware corpus splitting (Sampling.clusterAtomicSplit):
+    * the q40 SimHash clusters assigned ATOMICALLY to train/val/test
+    * by an md5 bucket of the cluster id — the structural fix for the
+    * leakage q350 measures on per-doc splits. The gate pins the
+    * invariant itself: cross_split_pairs counts near-dup pairs whose
+    * endpoints landed in different splits and must be EXACTLY 0,
+    * beside the per-split doc and cluster census the oracle
+    * recomputes via the recursive closure + the same bucket math. */
+  private def q383ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val c = QueriesDedup.corpus(s, dir)
+    val pairs = Dedup.simhashNearDups(c, "doc_id", "text",
+      maxHamming = 8, maxBucketSize = Int.MaxValue)
+    val split = graft.operators.Sampling.clusterAtomicSplit(
+        c.select(col("doc_id")), "doc_id", pairs,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .localCheckpoint(true) // census + both leak-join probes read it
+    val census = split.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+    val leaks = pairs
+      .join(split.select(col("doc_id").as("id1"),
+        col("split").as("__s1")), Seq("id1"))
+      .join(split.select(col("doc_id").as("id2"),
+        col("split").as("__s2")), Seq("id2"))
+      .agg(coalesce(sum(when(col("__s1") =!= col("__s2"), 1L)
+        .otherwise(0L)), lit(0L)).as("cross_split_pairs"))
+    census.crossJoin(broadcast(leaks)).orderBy(col("split"))
+  }
+
+  private val q383Sql =
+    s"""WITH RECURSIVE ${QueriesDedup.simhashPairsCtes},
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id2, id1 FROM pairs),
+       |reach AS (
+       |  SELECT src AS node, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src AS node, r.lbl
+       |  FROM edges e JOIN reach r ON r.node = e.dst),
+       |cc AS (SELECT node, min(lbl) AS cl FROM reach GROUP BY node),
+       |asg AS (
+       |  SELECT c.doc_id, coalesce(cc.cl, c.doc_id) AS cluster_id
+       |  FROM corpus c LEFT JOIN cc ON cc.node = c.doc_id),
+       |spl AS (
+       |  SELECT doc_id, cluster_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, cluster_id,
+       |      ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+       |        ::BIGINT % 100 AS b
+       |    FROM asg)),
+       |leaks AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN a.split != b.split
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n
+       |  FROM pairs p JOIN spl a ON a.doc_id = p.id1
+       |  JOIN spl b ON b.doc_id = p.id2)
+       |SELECT spl.split, count(*) AS n_docs,
+       |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  leaks.n AS cross_split_pairs
+       |FROM spl CROSS JOIN leaks
+       |GROUP BY 1, leaks.n ORDER BY spl.split""".stripMargin
+
   // -------------------------------------------------------------- q177
   /** Incremental cluster maintenance (Dedup.mergeClusters): the base
     * corpus (original + exact-dup ids < 20000) is clustered once;
@@ -2259,6 +2323,7 @@ object QueriesCorpus {
     "q106_kmv_overlap" -> (q106KmvOverlap _),
     "q39_heavy_hitters" -> (q39HeavyHitters _),
     "q40_dedup_clusters" -> (q40Clusters _),
+    "q383_cluster_split" -> (q383ClusterSplit _),
     "q171_canonical_keep" -> (q171Canonical _),
     "q177_incremental_cc" -> (q177IncrementalCc _),
     "q41_hash_split" -> (q41Split _),
@@ -2308,6 +2373,7 @@ object QueriesCorpus {
     "q106_kmv_overlap" -> q106Sql,
     "q39_heavy_hitters" -> q39Sql,
     "q40_dedup_clusters" -> q40Sql,
+    "q383_cluster_split" -> q383Sql,
     "q171_canonical_keep" -> q171Sql,
     "q177_incremental_cc" -> q40Sql,
     "q41_hash_split" -> q41Sql,

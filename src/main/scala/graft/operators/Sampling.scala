@@ -45,6 +45,30 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Near-dup-aware train/val/test split — [[deterministicSplit]]
+    * applied to the near-dup CLUSTER instead of the document: every
+    * cluster lands atomically in ONE split, so no near-dup pair can
+    * straddle a boundary and the leakage the q350 audit measures for
+    * per-doc splits is zero BY CONSTRUCTION (Lee et al. 2021's
+    * "dedup before you split" made structural). Documents in no pair
+    * are their own singleton cluster; `cluster_id` is added alongside
+    * `splitCol` so downstream stratification can see the grouping.
+    *
+    * Scale: one connected-components run over the PAIR table (pointer
+    * jumping, edge-keyed shuffles — pairs ≪ corpus when dups are
+    * rare), one id-keyed equi-join back onto the corpus, then the
+    * same stateless md5-bucket assignment as the per-doc splitter. */
+  def clusterAtomicSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Int)], splitCol: String = "split"): DataFrame = {
+    val assign = Dedup.connectedComponents(pairs)
+      .select(col("node").as(idCol), col("cluster").as("__cl"))
+    val withCl = df.join(assign, Seq(idCol), "left")
+      .withColumn("cluster_id",
+        coalesce(col("__cl"), col(idCol).cast("long")))
+      .drop("__cl")
+    deterministicSplit(withCl, "cluster_id", splits, splitCol)
+  }
+
   /** Deterministic downsample: keep rows whose hash bucket (out of
     * `outOf`) falls below `keep` — a stable `keep/outOf` fraction. */
   def hashSample(df: DataFrame, idCol: String, keep: Int,

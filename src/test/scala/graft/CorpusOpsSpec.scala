@@ -281,6 +281,32 @@ class CorpusOpsSpec extends SparkSpec {
     s2.except(s1).isEmpty shouldBe true
   }
 
+  test("clusterAtomicSplit: near-dup clusters land whole in one split " +
+      "— zero cross-split pairs by construction") {
+    val docs = (1L to 400L).toDF("doc_id")
+    // chain 1-2-3 is ONE cluster; (10,11) another; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val got = Sampling.clusterAtomicSplit(docs, "doc_id", pairs,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val bySplit = got.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the chain shares cluster_id 1 and ONE split
+    Seq(1L, 2L, 3L).map(bySplit(_)._1).distinct shouldBe Seq(1L)
+    Seq(1L, 2L, 3L).map(bySplit(_)._2).distinct.size shouldBe 1
+    Seq(10L, 11L).map(bySplit(_)._2).distinct.size shouldBe 1
+    // singletons keep their own id as cluster
+    bySplit(200L)._1 shouldBe 200L
+    // the invariant, checked exhaustively: no pair straddles splits
+    Seq((1L, 2L), (2L, 3L), (10L, 11L)).foreach { case (a, b) =>
+      bySplit(a)._2 shouldBe bySplit(b)._2
+    }
+    // stable under repartitioning
+    val again = Sampling.clusterAtomicSplit(docs.repartition(7),
+      "doc_id", pairs, Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    got.except(again).isEmpty shouldBe true
+    again.except(got).isEmpty shouldBe true
+  }
+
   test("hash sample keeps a stable subset") {
     val df = (1 to 1000).map(_.toLong).toDF("id")
     val kept = Sampling.hashSample(df, "id", keep = 10)
