@@ -4445,6 +4445,172 @@ object QueriesAnalytics {
        |FROM p LEFT JOIN m ON m.doc_id = p.doc_id
        |ORDER BY p.doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q384
+  /** Corpus chrF (Evaluation.chrF, β = 2, orders 1..6) over the
+    * generation fixture — the character-level companion to q378's
+    * BLEU: candidate = normalized tokens with "xx" substitutions,
+    * reference = the RAW document text (mixed case + punctuation), so
+    * the metric exercises exactly what chrF exists for — sub-word
+    * credit across tokenization differences word grams can't see.
+    * ASCII-only docs (the q323 restriction) so both engines index
+    * identical code points. All per-order counts exact BIGINTs; the
+    * F surface leaves micro-rounded. */
+  private def q384Chrf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Evaluation
+      .chrF(genPairs(s, dir)
+          .filter(col("ref").rlike("^[\\x20-\\x7e]*$")),
+        "doc_id", col("cand"), col("ref"), maxN = 6, beta = 2.0)
+      .select(col("n"), col("matches"), col("cand_grams"),
+        col("ref_grams"),
+        round(col("chrf") * lit(1e6)).cast("long").as("chrf_micro"))
+      .orderBy(col("n"))
+
+  private val q384Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x != '') AS rtk
+      |  FROM documents
+      |  WHERE doc_id % 2 = 0 AND regexp_matches(text, '^[\x20-\x7e]*$')),
+      |p AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(1, len(rtk) - 1),
+      |      i -> CASE WHEN i % 6 = 0 THEN 'xx' ELSE rtk[i] END) AS ctk
+      |  FROM d WHERE len(rtk) >= 8),
+      |s AS (
+      |  SELECT doc_id,
+      |    regexp_replace(array_to_string(ctk, ' '), '\s+', '', 'g') AS c,
+      |    regexp_replace(text, '\s+', '', 'g') AS r
+      |  FROM p),
+      |g AS (
+      |  SELECT doc_id, n.n,
+      |    CASE WHEN length(c) >= n.n THEN
+      |      list_transform(range(1, length(c) - n.n + 2),
+      |        i -> substr(c, i, n.n))
+      |    ELSE [] END AS cg,
+      |    CASE WHEN length(r) >= n.n THEN
+      |      list_transform(range(1, length(r) - n.n + 2),
+      |        i -> substr(r, i, n.n))
+      |    ELSE [] END AS rg
+      |  FROM s CROSS JOIN
+      |    (VALUES (1), (2), (3), (4), (5), (6)) AS n(n)),
+      |cc AS (SELECT doc_id, n, g2 AS g, count(*) AS c
+      |       FROM (SELECT doc_id, n, unnest(cg) AS g2 FROM g)
+      |       GROUP BY 1, 2, 3),
+      |rc AS (SELECT doc_id, n, g2 AS g, count(*) AS r
+      |       FROM (SELECT doc_id, n, unnest(rg) AS g2 FROM g)
+      |       GROUP BY 1, 2, 3),
+      |m AS (SELECT cc.n, sum(least(cc.c, rc.r)) AS matches
+      |      FROM cc JOIN rc ON rc.doc_id = cc.doc_id AND rc.n = cc.n
+      |        AND rc.g = cc.g
+      |      GROUP BY 1),
+      |den AS (SELECT n, sum(len(cg)) AS cand_grams,
+      |          sum(len(rg)) AS ref_grams
+      |        FROM g GROUP BY 1),
+      |pern AS (
+      |  SELECT den.n, coalesce(m.matches, 0) AS matches,
+      |    den.cand_grams, den.ref_grams
+      |  FROM den LEFT JOIN m ON m.n = den.n),
+      |fold AS (
+      |  SELECT
+      |    list_aggregate(list_sort(list(CASE WHEN cand_grams > 0
+      |      THEN CAST(matches AS DOUBLE) / CAST(cand_grams AS DOUBLE)
+      |      ELSE 0.0 END)), 'sum') AS psum,
+      |    list_aggregate(list_sort(list(CASE WHEN ref_grams > 0
+      |      THEN CAST(matches AS DOUBLE) / CAST(ref_grams AS DOUBLE)
+      |      ELSE 0.0 END)), 'sum') AS rsum
+      |  FROM pern)
+      |SELECT CAST(pern.n AS INT) AS n,
+      |  CAST(pern.matches AS BIGINT) AS matches,
+      |  CAST(pern.cand_grams AS BIGINT) AS cand_grams,
+      |  CAST(pern.ref_grams AS BIGINT) AS ref_grams,
+      |  CAST(round((CASE WHEN fold.psum = 0.0 AND fold.rsum = 0.0
+      |    THEN 0.0
+      |    ELSE 5.0 * (fold.psum / 6.0) * (fold.rsum / 6.0)
+      |      / (4.0 * (fold.psum / 6.0) + (fold.rsum / 6.0)) END) * 1e6)
+      |    AS BIGINT) AS chrf_micro
+      |FROM pern, fold ORDER BY pern.n""".stripMargin
+
+  // -------------------------------------------------------------- q386
+  /** Distinct-n diversity (Evaluation.distinctN, orders 1..3) over
+    * the generation fixture's CANDIDATE side — the mode-collapse
+    * screen: distinct n-grams over total n-grams across all model
+    * outputs. distinct_ratio is ONE division of exact BIGINTs, so the
+    * row hash-compares raw (the oovStats rule). The "xx"
+    * substitutions make the fixture non-trivial: a token that is 1/6
+    * of the stream but one gram type drags distinct-1 down. */
+  private def q386DistinctN(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Evaluation
+      .distinctN(genPairs(s, dir), col("cand"), orders = Seq(1, 2, 3))
+      .orderBy(col("n"))
+
+  private val q386Sql =
+    s"""WITH $genPairsSql,
+       |g AS (
+       |  SELECT n.n,
+       |    CASE WHEN len(ctk) >= n.n THEN
+       |      list_transform(range(1, len(ctk) - n.n + 2),
+       |        i -> array_to_string(ctk[i:i+n.n-1], ' '))
+       |    ELSE [] END AS gs
+       |  FROM p CROSS JOIN (VALUES (1), (2), (3)) AS n(n)),
+       |cnt AS (SELECT n, g2 AS g, count(*) AS c
+       |        FROM (SELECT n, unnest(gs) AS g2 FROM g)
+       |        GROUP BY 1, 2)
+       |SELECT CAST(n AS INT) AS n,
+       |  CAST(count(*) AS BIGINT) AS distinct_grams,
+       |  CAST(sum(c) AS BIGINT) AS total_grams,
+       |  CASE WHEN sum(c) > 0 THEN
+       |    CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) END
+       |    AS distinct_ratio
+       |FROM cnt GROUP BY n ORDER BY n""".stripMargin
+
+  // -------------------------------------------------------------- q387
+  /** Expected + maximum calibration error
+    * (Evaluation.expectedCalibrationError) over q326's deterministic
+    * hash-model fixture — the single-number calibration verdict
+    * beside q326's per-decile table: ECE collapses to ONE division of
+    * exact integers (Σ gap_b / (100·N)); MCE is the max of per-bucket
+    * exact-integer divisions; worst_bucket ties break to the smallest
+    * bucket id. No float accumulates anywhere. */
+  private def q387Ece(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(
+        Sampling.hashBucket(col("event_id"), 100).as("p100"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    graft.operators.Evaluation
+      .expectedCalibrationError(ev, col("p100"), col("y"), nBuckets = 10)
+  }
+
+  private val q387Sql =
+    """WITH ev AS (
+      |  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+      |    ::BIGINT % 100 AS p100,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |b AS (
+      |  SELECT p100 // 10 AS bucket, count(*) AS n_b,
+      |    CAST(sum(p100) AS BIGINT) AS sp,
+      |    CAST(sum(y) AS BIGINT) AS sy
+      |  FROM ev GROUP BY 1),
+      |r AS (
+      |  SELECT bucket, n_b, abs(sp - 100 * sy) AS gap,
+      |    CAST(abs(sp - 100 * sy) AS DOUBLE)
+      |      / (100.0 * CAST(n_b AS DOUBLE)) AS rr
+      |  FROM b),
+      |tot AS (
+      |  SELECT CAST(sum(n_b) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS n_buckets,
+      |    CAST(sum(gap) AS BIGINT) AS gap_sum,
+      |    max(rr) AS mce
+      |  FROM r)
+      |SELECT tot.n, tot.n_buckets, tot.gap_sum,
+      |  CAST(tot.gap_sum AS DOUBLE) / (100.0 * CAST(tot.n AS DOUBLE))
+      |    AS ece,
+      |  tot.mce,
+      |  (SELECT min(bucket) FROM r, tot WHERE r.rr = tot.mce)
+      |    AS worst_bucket
+      |FROM tot""".stripMargin
+
   // -------------------------------------------------------------- q372
   /** Kaplan–Meier survival curve (EventAnalytics.kaplanMeier) over
     * user activity lifetimes: duration = days between a user's first
@@ -5884,6 +6050,9 @@ object QueriesAnalytics {
     "q378_bleu" -> (q378Bleu _),
     "q379_rouge" -> (q379Rouge _),
     "q382_token_f1" -> (q382TokenF1 _),
+    "q384_chrf" -> (q384Chrf _),
+    "q386_distinct_n" -> (q386DistinctN _),
+    "q387_ece" -> (q387Ece _),
     "q304_ab_ztest" -> (q304AbTest _),
     "q301_decayed_sum" -> (q301DecayedSum _),
     "q300_hilbert_range" -> (q300HilbertRange _),
@@ -6008,6 +6177,9 @@ object QueriesAnalytics {
     "q378_bleu" -> q378Sql,
     "q379_rouge" -> q379Sql,
     "q382_token_f1" -> q382Sql,
+    "q384_chrf" -> q384Sql,
+    "q386_distinct_n" -> q386Sql,
+    "q387_ece" -> q387Sql,
     "q304_ab_ztest" -> q304Sql,
     "q301_decayed_sum" -> q301Sql,
     "q300_hilbert_range" -> q300Sql,

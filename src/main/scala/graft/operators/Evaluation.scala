@@ -855,21 +855,46 @@ object Evaluation {
         graft.functions.TextAnalysis.alnumTokens(candCol).as("__ct"),
         graft.functions.TextAnalysis.alnumTokens(refCol).as("__rt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    def gramsOf(tk: Column, n: Int): Column =
-      if (n == 1) tk
-      else when(size(tk) >= n,
-        transform(sequence(lit(1), size(tk) - (n - 1)),
-          i => array_join(slice(tk, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    // one independent explode→aggregate→clip-join chain PER ORDER,
-    // all under one action: Spark schedules the ready stages of the
-    // union branches CONCURRENTLY, which beats a single fused
-    // (id, n, gram) stream by ~30% wall (measured both ways at sf0.1
-    // — the fused stream serializes into fewer, bigger stages and
-    // pays array-of-struct materialization per row)
-    val out = orders.map { n =>
-      def counts(tk: Column) = base
-        .select(col("__id"), explode(gramsOf(tk, n)).as("__g"))
+    val out = clippedStatsOver(base, tokenGrams, size(_), orders)
+    base.unpersist()
+    out
+  }
+
+  /** Word n-grams of a token array: space-joined length-n windows
+    * (n = 1 returns the array itself — no re-materialization). */
+  private def tokenGrams(tk: Column, n: Int): Column =
+    if (n == 1) tk
+    else when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => array_join(slice(tk, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character n-grams of a string: length-n substrings at every
+    * offset (code-point indexed on both engines). */
+  private def charGrams(sc: Column, n: Int): Column =
+    when(length(sc) >= n,
+      transform(sequence(lit(1), length(sc) - (n - 1)),
+        i => sc.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The clip-join core shared by the word-gram (BLEU/ROUGE/F1) and
+    * char-gram (chrF) stat builders, over a prepared and persisted
+    * (__id, __ct, __rt) frame: one independent explode → (id, gram)
+    * hash-aggregate → same-id clip-join chain PER ORDER, all under
+    * one action — Spark schedules the ready stages of the union
+    * branches CONCURRENTLY, which beats a single fused (id, n, gram)
+    * stream by ~30% wall (measured both ways at sf0.1 — the fused
+    * stream serializes into fewer, bigger stages and pays
+    * array-of-struct materialization per row). Per-order gram counts
+    * derive from `unitsOf` (token / char count) as max(units−n+1, 0),
+    * never by materializing the gram array a second time. */
+  private def clippedStatsOver(base: DataFrame,
+      gramsOf: (Column, Int) => Column,
+      unitsOf: Column => Column,
+      orders: Seq[Int]): DataFrame = {
+    orders.map { n =>
+      def counts(side: Column) = base
+        .select(col("__id"), explode(gramsOf(side, n)).as("__g"))
         .groupBy(col("__id"), col("__g"))
         .agg(count(lit(1)).as("__c"))
       val clipped = counts(col("__ct"))
@@ -878,9 +903,9 @@ object Evaluation {
         .groupBy(col("__id"))
         .agg(sum(least(col("__c"), col("__r"))).as("__m"))
       base.select(col("__id"),
-          greatest(size(col("__ct")) - (n - 1), lit(0)).cast("long")
+          greatest(unitsOf(col("__ct")) - (n - 1), lit(0)).cast("long")
             .as("cand_grams"),
-          greatest(size(col("__rt")) - (n - 1), lit(0)).cast("long")
+          greatest(unitsOf(col("__rt")) - (n - 1), lit(0)).cast("long")
             .as("ref_grams"))
         .join(clipped, Seq("__id"), "left")
         .select(col("__id").as("id"), lit(n).as("n"),
@@ -888,8 +913,114 @@ object Evaluation {
           col("cand_grams"), col("ref_grams"))
     }.reduce(_ unionAll _)
       // bounded result (pairs × |orders| rows): materialize so the
-      // token cache can be released before callers aggregate further
+      // token/char cache can be released before callers aggregate
       .localCheckpoint(true)
+  }
+
+  /** Per-order clipped CHARACTER n-gram stats — [[clippedGramStats]]'s
+    * char-level sibling and chrF's integer core: both sides are
+    * whitespace-stripped (the chrF convention: word boundaries carry
+    * no credit), then length-n substrings clip per document exactly
+    * as the word grams do. Everything exact BIGINTs. */
+  private def clippedCharStats(pairs: DataFrame, idCol: String,
+      candCol: Column, refCol: Column, orders: Seq[Int]): DataFrame = {
+    require(orders.nonEmpty && orders.forall(n => n >= 1 && n <= 6),
+      s"orders ($orders) must be within [1, 6]")
+    val base = pairs.select(col(idCol).as("__id"),
+        regexp_replace(candCol, "\\s+", "").as("__ct"),
+        regexp_replace(refCol, "\\s+", "").as("__rt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val out = clippedStatsOver(base, charGrams, length(_).cast("int"), orders)
+    base.unpersist()
+    out
+  }
+
+  /** Corpus-level chrF (Popović 2015, "chrF: character n-gram F-score
+    * for automatic MT evaluation"): per-order character n-gram
+    * precision P_n = Σ clipped matches / Σ candidate grams and recall
+    * R_n = Σ clipped matches / Σ reference grams (clipping per
+    * DOCUMENT, corpus-level sums — the sacrebleu aggregation), macro-
+    * averaged over orders 1..maxN into P and R, then
+    * chrF = (1+β²)·P·R / (β²·P + R) with the standard β = 2 (recall
+    * weighted double). Whitespace is stripped before gram extraction
+    * (the chrF convention), so the metric rewards sub-word overlap
+    * BLEU's word grams miss — the reason chrF is the robust choice
+    * for morphologically-rich or unsegmented languages.
+    *
+    * Determinism: all counts exact BIGINTs; each P_n/R_n is ONE
+    * division of exact integers (correctly-rounded IEEE); the macro
+    * averages fold the maxN terms in SORTED order (q60 rule); the
+    * final F is a fixed expression tree over those — gate rows emit
+    * chrf micro-rounded. Orders with zero grams contribute 0 terms;
+    * P = R = 0 ⇒ chrF exactly 0 (never a 0/0).
+    *
+    * Scale: same shape as [[corpusBleu]] — per order one explode +
+    * one (id, gram) hash aggregate per side + an equi-join on
+    * (id, gram); candidate grams only ever meet the SAME document's
+    * reference grams. Char grams multiply row counts ~5× vs word
+    * grams at equal order (one gram per CHARACTER offset), which is
+    * the metric's published cost, not a plan artifact.
+    *
+    * @return one row per order (total-ordered by n) carrying the
+    *         corpus constants: (n, matches, cand_grams, ref_grams,
+    *         chrf) — chrf identical on every row */
+  def chrF(pairs: DataFrame, idCol: String, candCol: Column,
+      refCol: Column, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN ($maxN) out of [1, 6]")
+    require(beta > 0.0 && beta.isFinite, s"beta ($beta) must be positive")
+    val stats = clippedCharStats(pairs, idCol, candCol, refCol, 1 to maxN)
+    val perN = stats.groupBy(col("n"))
+      .agg(sum(col("matches")).as("matches"),
+        sum(col("cand_grams")).as("cand_grams"),
+        sum(col("ref_grams")).as("ref_grams"))
+    val b2 = beta * beta
+    val folded = perN.agg(
+      aggregate(sort_array(collect_list(
+          when(col("cand_grams") > 0L, col("matches").cast("double") /
+            col("cand_grams").cast("double")).otherwise(lit(0.0)))),
+        lit(0.0), (a, x) => a + x).as("__psum"),
+      aggregate(sort_array(collect_list(
+          when(col("ref_grams") > 0L, col("matches").cast("double") /
+            col("ref_grams").cast("double")).otherwise(lit(0.0)))),
+        lit(0.0), (a, x) => a + x).as("__rsum"))
+    perN.crossJoin(broadcast(folded))
+      .withColumn("__p", col("__psum") / lit(maxN.toDouble))
+      .withColumn("__r", col("__rsum") / lit(maxN.toDouble))
+      .withColumn("chrf",
+        when(col("__psum") === 0.0 && col("__rsum") === 0.0, lit(0.0))
+          .otherwise(lit(1.0 + b2) * col("__p") * col("__r") /
+            (lit(b2) * col("__p") + col("__r"))))
+      .select(col("n"), col("matches"), col("cand_grams"),
+        col("ref_grams"), col("chrf"))
+  }
+
+  /** Distinct-n diversity (Li et al. 2016, "A Diversity-Promoting
+    * Objective Function for Neural Conversation Models"): per order,
+    * the count of DISTINCT word n-grams over the total n-gram count
+    * across a generation set — the standard mode-collapse screen for
+    * model outputs (a generator that repeats itself scores near 0).
+    * distinct_ratio is ONE division of exact BIGINTs, so rows
+    * hash-compare raw.
+    *
+    * Scale: per order one explode + one gram hash-aggregate (the
+    * shuffle carries one row per DISTINCT gram, map-side combined) +
+    * one global count/sum — never a countDistinct expansion. */
+  def distinctN(df: DataFrame, textCol: Column,
+      orders: Seq[Int]): DataFrame = {
+    require(orders.nonEmpty && orders.forall(n => n >= 1 && n <= 6),
+      s"orders ($orders) must be within [1, 6]")
+    val base = df.select(
+        graft.functions.TextAnalysis.alnumTokens(textCol).as("__tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val out = orders.map { n =>
+      base.select(explode(tokenGrams(col("__tk"), n)).as("__g"))
+        .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("distinct_grams"),
+          coalesce(sum(col("__c")), lit(0L)).as("total_grams"))
+        .select(lit(n).as("n"), col("distinct_grams"), col("total_grams"),
+          when(col("total_grams") > 0L, col("distinct_grams").cast("double") /
+            col("total_grams").cast("double")).as("distinct_ratio"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
     base.unpersist()
     out
   }
@@ -968,6 +1099,54 @@ object Evaluation {
           (lit(2L) * col("matches")).cast("double") /
             (col("cand_grams") + col("ref_grams")).cast("double"))
           .as("f1"))
+
+  /** Expected / maximum calibration error (Naeini et al. 2015; Guo et
+    * al. 2017 "On Calibration of Modern Neural Networks") — the
+    * single-number companions to the per-bucket calibration table: a
+    * model's predicted probability p ∈ {0..99}% is bucketed into
+    * `nBuckets` equal-width bins; per bin the cross-multiplied gap
+    * |Σp − 100·Σy| is an exact BIGINT (= 100·n_b·|p̄_b − ȳ_b|), and
+    *   ECE = Σ_b (n_b/N)·|p̄_b − ȳ_b| = Σ_b gap_b / (100·N)
+    * collapses to ONE division of exact integers. MCE = max_b of the
+    * per-bin ratio gap_b/(100·n_b) — each term a single
+    * correctly-rounded IEEE division of exact integers, so the max is
+    * deterministic; worst_bucket is the SMALLEST bucket id attaining
+    * it (float-equality against the max is safe because both engines
+    * compute bit-identical ratios from identical integers).
+    *
+    * Scale: one hash aggregate to nBuckets rows, then driver-free
+    * constant-size arithmetic — the probability column never sorts.
+    *
+    * @param p100Col integer predicted probability in percent (0..99)
+    * @param labelCol 0/1 outcome
+    * @return one row: (n, n_buckets, gap_sum, ece, mce, worst_bucket) */
+  def expectedCalibrationError(df: DataFrame, p100Col: Column,
+      labelCol: Column, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0 && 100 % nBuckets == 0,
+      s"nBuckets ($nBuckets) must divide 100")
+    val w = (100 / nBuckets).toDouble
+    val per = df
+      .select(floor(p100Col.cast("long").cast("double") / lit(w))
+          .cast("long").as("bucket"),
+        p100Col.cast("long").as("p"), labelCol.cast("long").as("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"), sum(col("p")).as("sp"),
+        sum(col("y")).as("sy"))
+      .withColumn("gap", abs(col("sp") - lit(100L) * col("sy")))
+      .withColumn("r", col("gap").cast("double") /
+        (lit(100.0) * col("n_b").cast("double")))
+    val tot = per.agg(sum(col("n_b")).as("n"),
+      count(lit(1)).as("n_buckets"), sum(col("gap")).as("gap_sum"),
+      max(col("r")).as("mce"))
+    val worst = per.join(broadcast(tot.select(col("mce").as("__mce"))),
+        col("r") === col("__mce"))
+      .agg(min(col("bucket")).as("worst_bucket"))
+    tot.crossJoin(broadcast(worst))
+      .select(col("n"), col("n_buckets"), col("gap_sum"),
+        (col("gap_sum").cast("double") /
+          (lit(100.0) * col("n").cast("double"))).as("ece"),
+        col("mce"), col("worst_bucket"))
+  }
 
   /** ROUGE-N recall (Lin 2004), single-reference: per document the
     * clipped n-gram matches over the REFERENCE n-gram count — one

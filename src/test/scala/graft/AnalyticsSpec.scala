@@ -830,6 +830,79 @@ class AnalyticsSpec extends SparkSpec {
     got(1).getDouble(6) shouldBe 0.4 +- 1e-15
   }
 
+  test("chrF: hand-computed char-gram F, whitespace stripping, " +
+      "per-document clipping, zero-overlap exact 0") {
+    import graft.operators.Evaluation
+    // cand "abc" vs ref "abcd", maxN = 2:
+    //   n=1: matches 3, cand 3, ref 4; n=2: matches 2, cand 2, ref 3
+    //   P = (1 + 1)/2 = 1; R = (3/4 + 2/3)/2 = 17/24
+    //   chrF(β=2) = 5·P·R/(4P + R) = (85/24)/(113/24) = 85/113
+    val p1 = Seq((1L, "abc", "abcd")).toDF("id", "cand", "ref")
+    val g1 = Evaluation.chrF(p1, "id", col("cand"), col("ref"), maxN = 2)
+      .orderBy("n").collect()
+    g1.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq shouldBe Seq((1, 3L, 3L, 4L), (2, 2L, 2L, 3L))
+    g1.head.getDouble(4) shouldBe (85.0 / 113.0) +- 1e-12
+    // whitespace carries no credit: "ab cd" ≡ "abcd" -> chrF exactly 1
+    val p2 = Seq((1L, "ab cd", "abcd")).toDF("id", "cand", "ref")
+    val g2 = Evaluation.chrF(p2, "id", col("cand"), col("ref"), maxN = 2)
+      .orderBy("n").collect()
+    g2.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq shouldBe
+      Seq((4L, 4L, 4L), (3L, 3L, 3L))
+    g2.head.getDouble(4) shouldBe 1.0
+    // clipping is per document: cand "aa" vs ref "ab" -> 1 match, not 2
+    val p3 = Seq((1L, "aa", "ab")).toDF("id", "cand", "ref")
+    Evaluation.chrF(p3, "id", col("cand"), col("ref"), maxN = 1)
+      .head().getLong(1) shouldBe 1L
+    // zero overlap anywhere -> chrF exactly 0.0 (never 0/0)
+    val p4 = Seq((1L, "xx", "yy")).toDF("id", "cand", "ref")
+    Evaluation.chrF(p4, "id", col("cand"), col("ref"), maxN = 2)
+      .head().getDouble(4) shouldBe 0.0
+    an[IllegalArgumentException] should be thrownBy
+      Evaluation.chrF(p4, "id", col("cand"), col("ref"), maxN = 7)
+  }
+
+  test("distinctN: hand-computed diversity ratios and repetition " +
+      "collapse") {
+    import graft.operators.Evaluation
+    // corpus ["a b a b", "a b"]: unigrams 6 total / 2 distinct;
+    // bigrams 4 total ("a b"×3, "b a") / 2 distinct
+    val df = Seq("a b a b", "a b").toDF("t")
+    val got = Evaluation.distinctN(df, col("t"), Seq(1, 2))
+      .orderBy("n").collect()
+    got.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1, 2L, 6L), (2, 2L, 4L))
+    got(0).getDouble(3) shouldBe (1.0 / 3.0) +- 1e-15
+    got(1).getDouble(3) shouldBe 0.5 +- 1e-15
+    // a generator that repeats itself scores near 0
+    val rep = Seq.fill(50)("spam spam spam").toDF("t")
+    Evaluation.distinctN(rep, col("t"), Seq(1)).head()
+      .getDouble(3) shouldBe (1.0 / 150.0) +- 1e-15
+  }
+
+  test("expectedCalibrationError: hand-computed ECE/MCE, smallest-id " +
+      "tie-break on worst bucket") {
+    import graft.operators.Evaluation
+    // bucket 0: (5,0),(5,1) -> sp 10, sy 1, gap 90, r 0.45
+    // bucket 9: (95,1),(95,1) -> sp 190, sy 2, gap 10, r 0.05
+    val df = Seq((5L, 0L), (5L, 1L), (95L, 1L), (95L, 1L))
+      .toDF("p100", "y")
+    val got = Evaluation
+      .expectedCalibrationError(df, col("p100"), col("y")).head()
+    (got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(5)) shouldBe ((4L, 2L, 100L, 0L))
+    got.getDouble(3) shouldBe 0.25 +- 1e-15
+    got.getDouble(4) shouldBe 0.45 +- 1e-15
+    // exact tie on the per-bucket ratio -> the SMALLEST bucket wins
+    val tie = Seq((5L, 0L), (95L, 1L)).toDF("p100", "y")
+    val t = Evaluation
+      .expectedCalibrationError(tie, col("p100"), col("y")).head()
+    t.getDouble(4) shouldBe 0.05 +- 1e-15
+    t.getLong(5) shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Evaluation.expectedCalibrationError(tie, col("p100"), col("y"), 7)
+  }
+
   test("entropyProfile: hand-computed H, NULL is a category, " +
       "collapsed column reads collapsed") {
     import graft.operators.Profiler
