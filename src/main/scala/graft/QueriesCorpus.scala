@@ -2280,7 +2280,92 @@ object QueriesCorpus {
       |    AS BIGINT) AS intercept_micro
       |FROM fit""".stripMargin
 
+  // -------------------------------------------------------------- q385
+  /** Jensen–Shannon token-distribution drift
+    * (CorpusDiff.jsDivergenceTopK) between the even- and odd-doc_id
+    * halves of the corpus — the snapshot-to-snapshot distribution
+    * watch beside q67's content diff: top-200 tokens by combined
+    * frequency plus one exactly-counted tail bucket. All counts exact
+    * BIGINTs; the 2·201 p·ln(p/m) terms fold SORTED (q60 rule) and
+    * jsd leaves micro-rounded. The two halves share the generator, so
+    * the expected drift is small but nonzero — a regression here
+    * means the token pipeline, join, or fold changed, not the data. */
+  private def q385JsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.CorpusDiff.jsDivergenceTopK(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "text", k = 200)
+      .select(col("n_tokens_a"), col("n_tokens_b"), col("vocab_a"),
+        col("vocab_b"), col("n_buckets"),
+        round(col("jsd") * lit(1e6)).cast("long").as("jsd_micro"))
+  }
+
+  private val q385Sql =
+    """WITH ta AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x != '')) AS token
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |tb AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x != '')) AS token
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |kca AS (SELECT token, count(*) AS ca FROM ta GROUP BY 1),
+      |kcb AS (SELECT token, count(*) AS cb FROM tb GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(kca.ca, 0) AS ca, coalesce(kcb.cb, 0) AS cb,
+      |    coalesce(kca.token, kcb.token) AS token
+      |  FROM kca FULL OUTER JOIN kcb ON kcb.token = kca.token),
+      |tot AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cb) AS BIGINT) AS nb,
+      |    CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS vocab_a,
+      |    CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS vocab_b
+      |  FROM j),
+      |top AS (SELECT ca, cb FROM j ORDER BY (ca + cb) DESC, token
+      |        LIMIT 200),
+      |ts AS (
+      |  SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS tca,
+      |    CAST(coalesce(sum(cb), 0) AS BIGINT) AS tcb,
+      |    CAST(count(*) AS BIGINT) AS nbk
+      |  FROM top),
+      |buckets AS (
+      |  SELECT CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb
+      |  FROM top
+      |  UNION ALL
+      |  SELECT tot.na - ts.tca, tot.nb - ts.tcb FROM tot, ts),
+      |terms AS (
+      |  SELECT unnest([
+      |    CASE WHEN ca > 0 THEN
+      |      (CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE))
+      |        * ln((CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE))
+      |          / (((CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE))
+      |            + (CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE)))
+      |            / 2.0))
+      |    ELSE 0.0 END,
+      |    CASE WHEN cb > 0 THEN
+      |      (CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+      |        * ln((CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+      |          / (((CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE))
+      |            + (CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE)))
+      |            / 2.0))
+      |    ELSE 0.0 END]) AS t
+      |  FROM buckets, tot),
+      |jsd AS (
+      |  SELECT 0.5 * list_aggregate(list_sort(list(t)), 'sum') AS jsd
+      |  FROM terms)
+      |SELECT tot.na AS n_tokens_a, tot.nb AS n_tokens_b,
+      |  tot.vocab_a, tot.vocab_b,
+      |  ts.nbk + 1 AS n_buckets,
+      |  CAST(round(jsd.jsd * 1e6) AS BIGINT) AS jsd_micro
+      |FROM tot, ts, jsd""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_js_divergence" -> (q385JsDivergence _),
     "q366_zipf_slope" -> (q366ZipfSlope _),
     "q358_ddsketch_audit" -> (q358DdsketchAudit _),
     "q344_good_turing" -> (q344GoodTuring _),
@@ -2362,6 +2447,7 @@ object QueriesCorpus {
     "q83_bm25" -> q83Sql,
     "q84_sketch_cms" -> q84Sql,
     "q67_corpus_diff" -> q67Sql,
+    "q385_js_divergence" -> q385Sql,
     "q61_training_order" -> q61Sql,
     "q62_seq_windows" -> q62Sql,
     "q63_vocab_oov" -> q63Sql,

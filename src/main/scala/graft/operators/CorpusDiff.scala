@@ -40,4 +40,78 @@ object CorpusDiff {
     d.groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("status"))
+
+  /** Jensen–Shannon divergence between two corpora's token
+    * distributions (Lin 1991) — the drift metric a pipeline watches
+    * between crawl snapshots or data-mix revisions: 0 for identical
+    * distributions, ln 2 for disjoint support, symmetric and always
+    * finite (unlike KL). Computed over the top-`k` tokens by combined
+    * frequency plus ONE aggregate tail bucket — the only affordable
+    * shape at 100 TB (the full vocabulary is corpus-sized, but the
+    * head dominates the divergence and the tail folds into a single
+    * exactly-counted residual; the reported value is exactly
+    * JSD of the (k+1)-bucket coarsening, a standard lower bound of
+    * the full-vocabulary JSD by the log-sum inequality).
+    *
+    * Determinism: all counts exact BIGINTs; each p/q is ONE division
+    * of exact integers; the 2(k+1) p·ln(p/m) terms fold in SORTED
+    * order (q60 rule) — gate rows emit jsd micro-rounded. Zero-count
+    * sides contribute exact-0 terms (never 0·ln 0). Both corpora must
+    * be non-empty (a NaN propagates loudly otherwise, by design).
+    *
+    * Scale: one token hash-aggregate per side (shuffle carries one
+    * row per DISTINCT token, map-side combined), one full-outer
+    * equi-join on token, a driver-bounded top-k heap
+    * (TakeOrderedAndProject), and constant-size final arithmetic.
+    * Document text never shuffles.
+    *
+    * @return one row: (n_tokens_a, n_tokens_b, vocab_a, vocab_b,
+    *         n_buckets, jsd) — jsd in nats over the k+1 buckets */
+  def jsDivergenceTopK(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k ($k) out of [1, 100000]")
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(TextAnalysis.alnumTokens(col(textCol)))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(out))
+    val joined = counts(a, "ca")
+      .join(counts(b, "cb"), Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val tot = joined.agg(
+      coalesce(sum(col("ca")), lit(0L)).as("na"),
+      coalesce(sum(col("cb")), lit(0L)).as("nb"),
+      coalesce(sum(when(col("ca") > 0L, 1L).otherwise(0L)), lit(0L))
+        .as("vocab_a"),
+      coalesce(sum(when(col("cb") > 0L, 1L).otherwise(0L)), lit(0L))
+        .as("vocab_b"))
+    val top = joined
+      .orderBy((col("ca") + col("cb")).desc, col("token"))
+      .limit(k)
+    val topSums = top.agg(
+      coalesce(sum(col("ca")), lit(0L)).as("tca"),
+      coalesce(sum(col("cb")), lit(0L)).as("tcb"),
+      count(lit(1)).as("nbk"))
+    val tail = tot.crossJoin(broadcast(topSums))
+      .select((col("na") - col("tca")).as("ca"),
+        (col("nb") - col("tcb")).as("cb"))
+    val buckets = top.select(col("ca"), col("cb")).unionAll(tail)
+      .crossJoin(broadcast(tot.select(col("na"), col("nb"))))
+      .withColumn("pa", col("ca").cast("double") / col("na").cast("double"))
+      .withColumn("qb", col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("m", (col("pa") + col("qb")) / lit(2.0))
+    val jsd = buckets
+      .select(explode(array(
+        when(col("ca") > 0L, col("pa") * log(col("pa") / col("m")))
+          .otherwise(lit(0.0)),
+        when(col("cb") > 0L, col("qb") * log(col("qb") / col("m")))
+          .otherwise(lit(0.0)))).as("t"))
+      .agg((aggregate(sort_array(collect_list(col("t"))), lit(0.0),
+        (acc, x) => acc + x) * lit(0.5)).as("jsd"))
+    tot.crossJoin(broadcast(topSums)).crossJoin(broadcast(jsd))
+      .select(col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        col("vocab_a"), col("vocab_b"),
+        (col("nbk") + 1L).as("n_buckets"), col("jsd"))
+  }
 }

@@ -562,6 +562,44 @@ class CorpusOpsSpec extends SparkSpec {
       ("removed", 1L), ("unchanged", 2L))
   }
 
+  test("jsDivergenceTopK: hand-computed drift, exact-0 on identical " +
+      "corpora, ln 2 on disjoint, tail-bucket coarsening") {
+    import graft.operators.CorpusDiff
+    // A: a a b (N=3); B: a b b b (N=4); no tail at k=10
+    val a = Seq("a a b").toDF("text")
+    val b = Seq("a b b b").toDF("text")
+    val got = CorpusDiff.jsDivergenceTopK(a, b, "text", k = 10).head()
+    (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) shouldBe ((3L, 4L, 2L, 2L, 3L))
+    val expect = 0.5 * (
+      2.0 / 3 * math.log((2.0 / 3) / (11.0 / 24)) +
+        0.25 * math.log(0.25 / (11.0 / 24)) +
+        1.0 / 3 * math.log((1.0 / 3) / (13.0 / 24)) +
+        0.75 * math.log(0.75 / (13.0 / 24)))
+    got.getDouble(5) shouldBe expect +- 1e-12
+    // identical distributions: every p/m is exactly 1.0 -> jsd == 0.0
+    CorpusDiff.jsDivergenceTopK(a, a, "text", k = 10).head()
+      .getDouble(5) shouldBe 0.0
+    // disjoint support -> exactly ln 2
+    val dj = CorpusDiff.jsDivergenceTopK(
+      Seq("x").toDF("text"), Seq("y").toDF("text"), k = 10,
+      textCol = "text").head()
+    dj.getDouble(5) shouldBe math.log(2.0) +- 1e-15
+    // k = 1: top bucket is b (combined 4 > 3); tail folds (a: 2, 1)
+    val c1 = CorpusDiff.jsDivergenceTopK(a, b, "text", k = 1).head()
+    c1.getLong(4) shouldBe 2L
+    val coarse = 0.5 * (
+      1.0 / 3 * math.log((1.0 / 3) / (13.0 / 24)) +
+        0.75 * math.log(0.75 / (13.0 / 24)) +
+        2.0 / 3 * math.log((2.0 / 3) / (11.0 / 24)) +
+        0.25 * math.log(0.25 / (11.0 / 24)))
+    c1.getDouble(5) shouldBe coarse +- 1e-12
+    // the coarsened value lower-bounds the full JSD (log-sum)
+    c1.getDouble(5) should be <= got.getDouble(5) + 1e-12
+    an[IllegalArgumentException] should be thrownBy
+      CorpusDiff.jsDivergenceTopK(a, b, "text", k = 0)
+  }
+
   test("token-budget mixture sample respects quotas deterministically") {
     val docs = (1 to 60).map { i =>
       (i.toLong, s"src${i % 3}", 100)
