@@ -867,7 +867,65 @@ object QueriesSimilarity {
       |FROM d WHERE dot >= 100000
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q388
+  /** Hard-negative mining (Similarity.hardNegatives) — the
+    * contrastive-training data-prep step: per anchor embedding, the 3
+    * most-similar DIFFERENT-label vectors by EXACT int8 dot (the q369
+    * integer-verdict rule — ranking can never flip on float order),
+    * candidates from the 16-way sign bucket with anchors probing one
+    * sign flip (5 buckets each; candidates live in ONE home bucket,
+    * so probing never duplicates a pair). The oracle restates
+    * quantization, bucketing, the probe expansion, the dot, and the
+    * (dot desc, neighbor_id) ranking bit for bit. */
+  private def q388HardNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.hardNegatives(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 3, signBits = 4, probeFlips = 1)
+      .orderBy(col("query_id"), col("rank"))
+
+  private val q388Sql =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |sc AS (SELECT vec_id, label, e,
+      |  list_max(list_transform(e, x -> abs(x))) AS scale FROM e),
+      |q AS (
+      |  SELECT vec_id, label,
+      |    CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+      |    ELSE list_transform(e,
+      |      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) END
+      |      AS qv
+      |  FROM sc),
+      |b AS (
+      |  SELECT vec_id, label, qv,
+      |    (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END) AS bkt
+      |  FROM q),
+      |a AS (
+      |  SELECT vec_id, label, qv, xor(bkt, m.m) AS bkt
+      |  FROM b CROSS JOIN (VALUES (0), (1), (2), (4), (8)) AS m(m)),
+      |d AS (
+      |  SELECT a.vec_id AS query_id, a.label AS label,
+      |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+      |    CAST(list_aggregate(list_transform(range(1, 65),
+      |      i -> CAST(a.qv[i] AS BIGINT) * c.qv[i]), 'sum') AS BIGINT)
+      |      AS dot
+      |  FROM a JOIN b c ON c.bkt = a.bkt
+      |  WHERE a.vec_id != c.vec_id AND a.label != c.label),
+      |r AS (
+      |  SELECT query_id, label, neighbor_id, neighbor_label, dot,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dot DESC, neighbor_id) AS rk
+      |  FROM d)
+      |SELECT query_id, label, CAST(rk AS INT) AS rank,
+      |  neighbor_id, neighbor_label, dot
+      |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q388_hard_negatives" -> (q388HardNegatives _),
     "q376_multiprobe_decon" -> (q376MultiProbeDecon _),
     "q375_incr_semantic" -> (q375IncrSemantic _),
     "q369_semantic_decon" -> (q369SemanticDecon _),
@@ -886,6 +944,7 @@ object QueriesSimilarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q388_hard_negatives" -> q388Sql,
     "q376_multiprobe_decon" -> q376Sql,
     "q375_incr_semantic" -> q375Sql,
     "q369_semantic_decon" -> q369Sql,

@@ -652,4 +652,75 @@ object Similarity {
       .select(col("a.__s").as("id1"), col("a.__t").as("id2"),
         col("a.__score").as("score"))
   }
+
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * ANCE-style negative selection step of embedding-model and
+    * reranker data prep): for every anchor, the k most-similar
+    * vectors carrying a DIFFERENT label — pairs close in embedding
+    * space but semantically distinct, the negatives that actually
+    * move a contrastive loss.
+    *
+    * Scoring is the EXACT int8-quantized integer dot (the q369
+    * verdict rule: never flips on float order); candidates come from
+    * `signBits`-way sign-bucket blocking on the quantized prefix
+    * dims, with anchors optionally multi-probing every bucket within
+    * `probeFlips` sign flips (each candidate lives in exactly ONE
+    * home bucket, so probing never duplicates a pair). Ranking is
+    * Spark's bounded-heap CollectTopK (dot desc, neighbor_id asc) —
+    * the map-side buffer never holds more than k items per anchor.
+    *
+    * Scale: the bucket join shuffles on a 2^signBits-ary key — size
+    * signBits so corpus/2^signBits fits an executor partition (AQE
+    * skew-split covers imbalance), and raise probeFlips rather than
+    * shrinking signBits when recall needs widening: within-bucket
+    * work is quadratic in bucket size but linear in probe count.
+    *
+    * @return (query_id, label, rank, neighbor_id, neighbor_label,
+    *         dot) — ≤ k rows per anchor (fewer when the probed
+    *         buckets hold fewer different-label candidates) */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int, signBits: Int = 8,
+      probeFlips: Int = 0): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    require(k >= 1 && k <= 1000, s"k ($k) out of [1, 1000]")
+    require(signBits >= 1 && signBits <= 16,
+      s"signBits ($signBits) out of [1, 16]")
+    require(probeFlips >= 0 && probeFlips <= 4,
+      s"probeFlips ($probeFlips) out of [0, 4]")
+    def prep(outId: String, outQv: String, outLbl: String) = df
+      .select(col(idCol).as(outId),
+        Similarity.quantizeInt8(col(embCol)).getField("q").as(outQv),
+        col(labelCol).as(outLbl))
+      .withColumn("__bkt", (0 until signBits).map(i =>
+        when(element_at(col(outQv), i + 1) > 0, 1 << i).otherwise(0))
+        .reduce((a, b) => a + b))
+    val cands = prep("neighbor_id", "__cq", "neighbor_label")
+    val a0 = prep("query_id", "__aq", "label")
+    val masks = (0 until (1 << signBits))
+      .filter(m => Integer.bitCount(m) <= probeFlips)
+      .map(m => lit(m))
+    val anchors =
+      if (probeFlips == 0) a0
+      else a0.withColumn("__m", explode(array(masks: _*)))
+        .withColumn("__bkt", col("__bkt").bitwiseXOR(col("__m")))
+        .drop("__m")
+    val scored = cands.join(anchors, Seq("__bkt"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        col("neighbor_label"),
+        aggregate(zip_with(col("__aq"), col("__cq"),
+          (x, y) => x.cast("long") * y), lit(0L),
+          (acc, x) => acc + x).as("dot"))
+    val item = struct(col("dot"), (-col("neighbor_id")).as("__neg"),
+      col("neighbor_id"), col("neighbor_label"))
+    scored.groupBy(col("query_id"), col("label"))
+      .agg(ColumnBridge.collectTopK(item, k, reverse = false).as("__t"))
+      .select(col("query_id"), col("label"), posexplode(col("__t")))
+      .select(col("query_id"), col("label"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.neighbor_label").as("neighbor_label"),
+        col("col.dot").as("dot"))
+  }
 }

@@ -532,4 +532,44 @@ class SimilaritySpec extends SparkSpec {
     val (_, v1) = Pca.topEigen(Array((0, 0, 100L), (0, 1, 0L), (1, 1, 1L)))
     v1(0) should be > 0.0
   }
+
+  test("hardNegatives: exact int8 dots, label filter, id tie-break, " +
+      "multi-probe reach, no pair duplication") {
+    // scale 1 everywhere -> q = 127·x exactly; sign bits from dims 1-2
+    val df = Seq(
+      (1L, Seq(1.0, 1.0, 1.0, 1.0), 0),
+      (2L, Seq(1.0, 1.0, 1.0, -1.0), 1),
+      (3L, Seq(1.0, 1.0, -1.0, 1.0), 1),
+      (4L, Seq(-1.0, -1.0, -1.0, -1.0), 1))
+      .toDF("vec_id", "emb", "label")
+    val d2 = 2L * 127L * 127L // dot of two ±1 vectors agreeing on 3 dims
+    val got = Similarity.hardNegatives(df, "vec_id", "emb", "label",
+        k = 2, signBits = 2, probeFlips = 0)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getLong(5)))
+    // anchor 1 (label 0) meets 2 and 3 in bucket 3: equal dots, so the
+    // SMALLER neighbor_id ranks first; anchors 2/3 each see only 1;
+    // anchor 4 sits alone in bucket 0 -> no rows
+    got.toSeq shouldBe Seq(
+      (1L, 0, 1, 2L, 1, d2), (1L, 0, 2, 3L, 1, d2),
+      (2L, 1, 1, 1L, 0, d2), (3L, 1, 1, 1L, 0, d2))
+    // two sign flips reach bucket 3 from bucket 0: anchor 4 now mines
+    // its one different-label negative (all dims disagree -> -4·127²)
+    val probed = Similarity.hardNegatives(df, "vec_id", "emb", "label",
+        k = 3, signBits = 2, probeFlips = 2)
+      .filter(col("query_id") === 4L).collect()
+    probed.length shouldBe 1
+    probed.head.getLong(3) shouldBe 1L
+    probed.head.getLong(5) shouldBe -4L * 127L * 127L
+    // probing never duplicates a pair: anchor 1 reaches all 4 buckets
+    // at 2 flips and mines each different-label vector exactly once
+    val full = Similarity.hardNegatives(df, "vec_id", "emb", "label",
+        k = 10, signBits = 2, probeFlips = 2)
+      .filter(col("query_id") === 1L)
+    full.count() shouldBe 3L
+    full.select("neighbor_id").distinct().count() shouldBe 3L
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.hardNegatives(df, "vec_id", "emb", "label", k = 0)
+  }
 }
