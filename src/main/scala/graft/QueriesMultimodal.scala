@@ -341,7 +341,116 @@ object QueriesMultimodal {
       |  FROM s WHERE n >= 16)
       |ORDER BY kind, doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q389
+  /** Perceptual image dedup end to end (Multimodal.pngDHashTable +
+    * imageNearDupPairs): 9-wide grayscale images synthesize from
+    * events (the q373 fixture shape), plus a PLANTED near-dup copy of
+    * every image with its first luma nudged +1 mod 256 — a one-pixel
+    * edit that flips at most dHash bit (0,0), so every (original,
+    * copy) pair must land within Hamming 1 and share 3 of 4 bands.
+    * The pixels round-trip REAL PNG compression before hashing (any
+    * filter/inflate bug perturbs lumas and flips hashes), the dHash
+    * is exact integer arithmetic (cross-multiplied cell means), and
+    * the oracle restates pixels → pooling → bits → bands → pairs →
+    * Hamming bit for bit from the events formula. The image-modality
+    * sibling of text SimHash dedup, on decoded pixels rather than
+    * bytes — a re-encoded copy of the same picture still collides. */
+  private def q389ImageDhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") <= 500)
+      .select(col("user_id"), col("event_id"),
+        pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(256L)).cast("int").as("g"))
+    val base = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("g"))))
+        .as("a"))
+      .select(col("user_id").as("doc_id"),
+        expr("slice(transform(a, x -> x.g), 1, " +
+          "(size(a) div 9) * 9)").as("lumas"))
+      .filter(size(col("lumas")) >= 72) // dHash needs height >= 8
+    val copies = base.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(array(pmod(element_at(col("lumas"), 1) + 1, lit(256))),
+        expr("slice(lumas, 2, size(lumas) - 1)")).as("lumas"))
+    val imgs = base.unionAll(copies)
+      .withColumn("width", lit(9))
+      .as[Multimodal.Png2dRow]
+    val hashes = Multimodal
+      .pngDHashTable(Multimodal.encodePngTable(imgs)).toDF()
+    Multimodal.imageNearDupPairs(hashes, "doc_id", "dhash",
+        maxHamming = 6)
+      .select(col("id1"), col("id2"), col("hamming").cast("int")
+        .as("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val q389Sql =
+    """WITH s AS (
+      |  SELECT user_id AS doc_id, event_id,
+      |    ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 256)
+      |      + 256) % 256 AS g
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, g,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY event_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT doc_id, g, rn FROM r
+      |      WHERE (n // 9) * 9 >= 72 AND rn <= (n // 9) * 9),
+      |px AS (
+      |  SELECT doc_id, rn, g FROM u
+      |  UNION ALL
+      |  SELECT doc_id + 100000, rn,
+      |    CASE WHEN rn = 1 THEN (g + 1) % 256 ELSE g END
+      |  FROM u),
+      |geom AS (SELECT doc_id, count(*) // 9 AS h FROM px GROUP BY 1),
+      |cells AS (
+      |  SELECT px.doc_id,
+      |    CAST((((rn - 1) // 9) * 8) // geom.h AS INT) AS i,
+      |    CAST((rn - 1) % 9 AS INT) AS j,
+      |    CAST(sum(g) AS BIGINT) AS sg, CAST(count(*) AS BIGINT) AS c
+      |  FROM px JOIN geom ON geom.doc_id = px.doc_id
+      |  GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, a.i * 8 + a.j AS b
+      |  FROM cells a JOIN cells b ON b.doc_id = a.doc_id
+      |    AND b.i = a.i AND b.j = a.j + 1
+      |  WHERE a.j < 8 AND a.sg * b.c > b.sg * a.c),
+      |hs AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN b = 63 THEN -9223372036854775808
+      |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY 1),
+      |allh AS (
+      |  SELECT geom.doc_id, coalesce(hs.dhash, 0) AS dhash
+      |  FROM geom LEFT JOIN hs ON hs.doc_id = geom.doc_id),
+      |uh AS (
+      |  SELECT doc_id, dhash,
+      |    CAST(dhash AS HUGEINT) + (CASE WHEN dhash < 0
+      |      THEN CAST(18446744073709551616 AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS hv
+      |  FROM allh),
+      |bands AS (
+      |  SELECT doc_id, k.k,
+      |    CAST((hv // CAST(k.p AS HUGEINT)) % 65536 AS BIGINT) AS band
+      |  FROM uh CROSS JOIN (VALUES (0, 1), (1, 65536),
+      |    (2, 4294967296), (3, 281474976710656)) AS k(k, p)),
+      |cand AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands a JOIN bands b ON b.k = a.k AND b.band = a.band
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT c.id1, c.id2,
+      |  CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INT) AS hamming
+      |FROM cand c
+      |JOIN allh h1 ON h1.doc_id = c.id1
+      |JOIN allh h2 ON h2.doc_id = c.id2
+      |WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 6
+      |ORDER BY c.id1, c.id2""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q389_image_dhash_dedup" -> (q389ImageDhashDedup _),
     "q377_mixed_media" -> (q377MixedMedia _),
     "q29_multimodal_features" -> (q29Features _),
     "q251_media_resize" -> (q251MediaResize _),
@@ -351,6 +460,7 @@ object QueriesMultimodal {
     "q373_png_decode" -> (q373PngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "q389_image_dhash_dedup" -> q389Sql,
     "q377_mixed_media" -> q377Sql,
     "q29_multimodal_features" -> q29Sql,
     "q251_media_resize" -> q251Sql,

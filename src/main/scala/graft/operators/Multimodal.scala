@@ -479,6 +479,56 @@ object Multimodal {
     * 0-4, IEND must close the stream. Ancillary chunks (tEXt, pHYs,
     * gAMA…) are skipped after their CRC checks out. */
   def decodePngGray8(bytes: Array[Byte]): PngFeatures = {
+    val (width, height, colorType, raw, stride, bpp, lumaOff) =
+      decodePngRaw(bytes)
+    var sum = 0L; var maxG = 0; var first = -1; var last = -1
+    var y = 0
+    while (y < height) {
+      val base = y * stride + 1
+      var x = 0
+      while (x < width) {
+        val g = raw(base + x * bpp + lumaOff) & 0xff
+        sum += g
+        if (g > maxG) maxG = g
+        if (first < 0) first = g
+        last = g
+        x += 1
+      }
+      y += 1
+    }
+    PngFeatures(0L, width, height, colorType,
+      width.toLong * height, sum, maxG, first, last)
+  }
+
+  /** Decoded luma plane as a row-major Int array (gray sample / green
+    * channel) — the pixel-space access the perceptual-hash path needs
+    * on top of [[decodePngGray8]]'s summary features. Same strict
+    * parse ([[decodePngRaw]]). @return (width, height, lumas) */
+  def decodePngLumas(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (width, height, _, raw, stride, bpp, lumaOff) =
+      decodePngRaw(bytes)
+    val out = new Array[Int](width * height)
+    var y = 0; var k = 0
+    while (y < height) {
+      val base = y * stride + 1
+      var x = 0
+      while (x < width) {
+        out(k) = raw(base + x * bpp + lumaOff) & 0xff
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, out)
+  }
+
+  /** Strict PNG parse + zlib inflate + per-row unfilter shared by the
+    * feature and pixel decoders: signature, CRC-verified chunk walk,
+    * exact-geometry Inflater drain, and filter reconstruction.
+    * @return (width, height, colorType, reconstructed scanline buffer,
+    *         stride, bytes-per-pixel, luma offset within a pixel) */
+  private def decodePngRaw(
+      bytes: Array[Byte]): (Int, Int, Int, Array[Byte], Int, Int, Int) = {
     require(bytes.length >= 8 + 25 + 12 + 12,
       s"truncated PNG: ${bytes.length} bytes")
     var i = 0
@@ -603,25 +653,8 @@ object Multimodal {
       }
       y += 1
     }
-    // features over the luma channel (gray sample / green channel)
     val lumaOff = if (colorType == 0) 0 else 1
-    var sum = 0L; var maxG = 0; var first = -1; var last = -1
-    y = 0
-    while (y < height) {
-      val base = y * stride + 1
-      var x = 0
-      while (x < width) {
-        val g = raw(base + x * bpp + lumaOff) & 0xff
-        sum += g
-        if (g > maxG) maxG = g
-        if (first < 0) first = g
-        last = g
-        x += 1
-      }
-      y += 1
-    }
-    PngFeatures(0L, width, height, colorType,
-      width.toLong * height, sum, maxG, first, last)
+    (width, height, colorType, raw, stride, bpp, lumaOff)
   }
 
   case class Png2dRow(doc_id: Long, lumas: Seq[Int], width: Int)
@@ -638,6 +671,107 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r =>
       decodePngGray8(r.content).copy(doc_id = r.doc_id)))
+  }
+
+  case class DHashRow(doc_id: Long, width: Int, height: Int, dhash: Long)
+
+  /** 64-bit difference hash (dHash — the standard perceptual image
+    * fingerprint of image-dedup pipelines, cf. pHash/aHash family):
+    * the luma plane is average-pooled onto an 8×9 grid (cell (i,j)
+    * covers pixel rows r with ⌊8r/H⌋ = i and cols c with ⌊9c/W⌋ = j —
+    * every cell non-empty whenever H ≥ 8, W ≥ 9), and bit i·8+j is
+    * set iff cell (i,j)'s mean luma exceeds its right neighbor's.
+    * Near-identical images (re-encode, small edit, brightness-
+    * preserving noise) land within a few bits of Hamming distance;
+    * the comparison is cross-multiplied (sum·count vs sum·count), so
+    * the hash is EXACT integer arithmetic end to end — bit-stable
+    * across engines, never a float mean.
+    *
+    * The 4-gigapixel bound keeps the cross-multiplication inside
+    * Long: cell count ≤ WH/72 + W + H, cell sum ≤ 255× that, so the
+    * product stays < 2⁶² for WH ≤ 2³². */
+  def dHash64(lumas: Array[Int], width: Int, height: Int): Long = {
+    require(width >= 9 && height >= 8,
+      s"dHash needs width >= 9 and height >= 8, got ${width}x$height")
+    require(lumas.length == width * height,
+      s"luma count ${lumas.length} != ${width}x$height")
+    require(width.toLong * height <= (1L << 32),
+      s"image above 4 gigapixels (${width}x$height)")
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < height) {
+      val i = (r * 8L / height).toInt
+      var c = 0
+      while (c < width) {
+        val j = (c * 9L / width).toInt
+        sums(i)(j) += lumas(r * width + c)
+        cnts(i)(j) += 1L
+        c += 1
+      }
+      r += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        if (sums(i)(j) * cnts(i)(j + 1) > sums(i)(j + 1) * cnts(i)(j))
+          h |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    h
+  }
+
+  /** Per-partition PNG decode → dHash — the map-only fingerprint pass
+    * of an image-dedup pipeline (decode and hash never leave the
+    * partition; only 8-byte hashes shuffle afterwards). */
+  def pngDHashTable(media: Dataset[WavRow]): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (w, h, lumas) = decodePngLumas(r.content)
+      DHashRow(r.doc_id, w, h, dHash64(lumas, w, h))
+    })
+  }
+
+  /** Perceptual near-duplicate image pairs over a dHash table: the
+    * 64-bit hash splits into four 16-bit bands — by pigeonhole any
+    * pair within Hamming distance 3 shares at least one band intact
+    * (guaranteed recall), and pairs out to maxHamming are found
+    * whenever their differing bits cluster into ≤ 3 bands (the
+    * standard 4×16 banding trade). Candidates share ANY band exactly
+    * (Dedup.candidatePairs — bounded buckets, skew cap),
+    * and survivors verify by bit_count(xor) ≤ maxHamming. The image
+    * sibling of text SimHash dedup, running on DECODED pixel
+    * fingerprints rather than byte shingles, so a re-compressed copy
+    * of the same picture still collides.
+    * @return (id1, id2, hamming) with id1 < id2 */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 10,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming ($maxHamming) out of [0, 64]")
+    val h = hashes.select(col(idCol), col(hashCol).cast("long").as("__dh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = h.withColumn("__bands", array((0 until 4).map(k =>
+      concat(lit(s"b$k:"),
+        shiftrightunsigned(col("__dh"), 16 * k)
+          .bitwiseAND(lit(0xffffL)).cast("string"))): _*))
+    val pairs = Dedup.candidatePairs(banded, idCol, "__bands",
+      maxBucketSize)
+    val result = pairs
+      .join(h.withColumnRenamed(idCol, "id1")
+        .withColumnRenamed("__dh", "__h1"), "id1")
+      .join(h.withColumnRenamed(idCol, "id2")
+        .withColumnRenamed("__dh", "__h2"), "id2")
+      .withColumn("hamming", bit_count(col("__h1").bitwiseXOR(col("__h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .localCheckpoint(true)
+    h.unpersist()
+    result
   }
 
   /** Byte-level near-duplicate detection over binary media columns:

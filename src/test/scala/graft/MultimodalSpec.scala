@@ -383,4 +383,61 @@ class MultimodalSpec extends SparkSpec {
     f.first_gray shouldBe 10
     f.last_gray shouldBe 255
   }
+
+  test("decodePngLumas round-trips the exact pixel plane through " +
+      "real compression") {
+    val lumas = (0 until 9 * 11).map(i => (i * 37 + 11) % 256)
+    val png = Multimodal.encodePngGray8(lumas, width = 9)
+    val (w, h, got) = Multimodal.decodePngLumas(png)
+    (w, h) shouldBe (9, 11)
+    got.toSeq shouldBe lumas
+  }
+
+  test("dHash64: hand-computed 9x8 bits, one-pixel edit flips at most " +
+      "one bit, pooled cells use exact cross-multiplied means") {
+    // 9x8, one pixel per cell: alternating 10/0 columns -> bit set
+    // exactly where col j's pixel (10) > col j+1's (0): even j
+    val alt = Array.tabulate(8 * 9)(k => if (k % 9 % 2 == 0) 10 else 0)
+    Multimodal.dHash64(alt, 9, 8) shouldBe 0x5555555555555555L
+    // one-pixel edit perturbs only cell (0,0) -> Hamming <= 1
+    val base = Array.tabulate(9 * 16)(k => (k * 53 + 7) % 256)
+    val h0 = Multimodal.dHash64(base, 9, 16)
+    val nudged = base.clone(); nudged(0) = (nudged(0) + 1) % 256
+    java.lang.Long.bitCount(
+      h0 ^ Multimodal.dHash64(nudged, 9, 16)) should be <= 1
+    // 18x16: every cell is a 2x2 block; means compare exactly.
+    // col-cell j covers cols {2j, 2j+1}; make block means rise with j
+    // except a tie between j=3 and j=4 -> strict > leaves bit 3 unset
+    val grid = Array.tabulate(16 * 18) { k =>
+      val c = k % 18
+      val j = c * 9 / 18
+      if (j == 4) 3 * 10 else j * 10 // j=3 mean 30 == j=4 mean 30
+    }
+    val hg = Multimodal.dHash64(grid, 18, 16)
+    hg shouldBe 0L // means never strictly exceed the right neighbor
+    // strictly falling means -> every one of the 64 bits set
+    val fall = Array.tabulate(16 * 18)(k => (8 - (k % 18) * 9 / 18) * 10)
+    Multimodal.dHash64(fall, 18, 16) shouldBe -1L
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.dHash64(alt, 8, 9) // width 8 < 9
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.dHash64(alt.take(10), 9, 8) // length mismatch
+  }
+
+  test("imageNearDupPairs: 1-bit pairs collide via band pigeonhole, " +
+      "unrelated hashes do not pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val h = 0x123456789abcdef0L
+    val df = Seq(
+      (1L, h), (2L, h ^ 1L), // Hamming 1
+      (3L, 0x0f0f0f0f0f0f0f0fL), // far from everything
+      (4L, h ^ 0x8000000000000000L)) // Hamming 1 via the sign bit
+      .toDF("doc_id", "dhash")
+    val got = Multimodal.imageNearDupPairs(df, "doc_id", "dhash",
+        maxHamming = 2)
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got.toSeq shouldBe Seq((1L, 2L, 1), (1L, 4L, 1), (2L, 4L, 2))
+  }
 }
