@@ -343,7 +343,7 @@ object QueriesMultimodal {
 
   // -------------------------------------------------------------- q389
   /** Perceptual image dedup end to end (Multimodal.pngDHashTable +
-    * imageNearDupPairs): 9-wide grayscale images synthesize from
+    * hammingNearDupPairs): 9-wide grayscale images synthesize from
     * events (the q373 fixture shape), plus a PLANTED near-dup copy of
     * every image with its first luma nudged +1 mod 256 — a one-pixel
     * edit that flips at most dHash bit (0,0), so every (original,
@@ -377,7 +377,7 @@ object QueriesMultimodal {
       .as[Multimodal.Png2dRow]
     val hashes = Multimodal
       .pngDHashTable(Multimodal.encodePngTable(imgs)).toDF()
-    Multimodal.imageNearDupPairs(hashes, "doc_id", "dhash",
+    Multimodal.hammingNearDupPairs(hashes, "doc_id", "dhash",
         maxHamming = 6)
       .select(col("id1"), col("id2"), col("hamming").cast("int")
         .as("hamming"))
@@ -449,7 +449,111 @@ object QueriesMultimodal {
       |WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 6
       |ORDER BY c.id1, c.id2""".stripMargin
 
+  // -------------------------------------------------------------- q390
+  /** Perceptual AUDIO dedup end to end (Multimodal.wavAudioHashTable
+    * + hammingNearDupPairs) — q389's audio sibling, completing the
+    * modality set (bytes: binaryNearDups; pixels: q389; samples:
+    * here): per-user PCM from events (the q367 fixture), plus a
+    * PLANTED copy of every clip with its first sample nudged by ±1 —
+    * a one-sample edit that perturbs only frame 0's energy, so every
+    * (original, copy) pair lands within Hamming 1 of the 64-bit
+    * energy-difference fingerprint and shares 3 of 4 bands. Samples
+    * round-trip REAL RIFF/WAVE encode/decode before hashing; the
+    * fingerprint is exact integer arithmetic (cross-multiplied frame
+    * mean energies), and the oracle restates samples → frames →
+    * energies → bits → bands → pairs bit for bit. */
+  private def q390AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") <= 500)
+      .select(col("user_id"), col("event_id"),
+        (pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(65536L)) - 32768L).cast("int").as("s"))
+    val base = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("s"))))
+        .as("a"))
+      .select(col("user_id").as("doc_id"),
+        expr("transform(a, x -> x.s)").as("samples"))
+      .filter(size(col("samples")) >= 65)
+    val s1 = element_at(col("samples"), 1)
+    val copies = base.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(array(when(s1 < 32767, s1 + 1).otherwise(s1 - 1)),
+        expr("slice(samples, 2, size(samples) - 1)")).as("samples"))
+    val pcm = base.unionAll(copies).as[Multimodal.PcmRow]
+    val hashes = Multimodal.wavAudioHashTable(
+      Multimodal.encodeWavTable(pcm, sampleRate = 8000)).toDF()
+    Multimodal.hammingNearDupPairs(hashes, "doc_id", "ahash",
+        maxHamming = 6)
+      .select(col("id1"), col("id2"), col("hamming").cast("int")
+        .as("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val q390Sql =
+    """WITH s AS (
+      |  SELECT user_id AS doc_id, event_id,
+      |    ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 65536)
+      |      + 65536) % 65536 - 32768 AS s
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, s,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY event_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT doc_id, s, rn, n FROM r WHERE n >= 65),
+      |px AS (
+      |  SELECT doc_id, rn, n, s FROM u
+      |  UNION ALL
+      |  SELECT doc_id + 100000, rn, n,
+      |    CASE WHEN rn = 1 THEN
+      |      (CASE WHEN s < 32767 THEN s + 1 ELSE s - 1 END)
+      |    ELSE s END
+      |  FROM u),
+      |cells AS (
+      |  SELECT doc_id, CAST(((rn - 1) * 65) // n AS INT) AS f,
+      |    CAST(sum(s * s) AS BIGINT) AS e, CAST(count(*) AS BIGINT) AS c
+      |  FROM px GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT a.doc_id, a.f AS b
+      |  FROM cells a JOIN cells b ON b.doc_id = a.doc_id
+      |    AND b.f = a.f + 1
+      |  WHERE a.f < 64 AND a.e * b.c > b.e * a.c),
+      |hs AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN b = 63 THEN -9223372036854775808
+      |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS ahash
+      |  FROM bits GROUP BY 1),
+      |docs AS (SELECT DISTINCT doc_id FROM px),
+      |allh AS (
+      |  SELECT docs.doc_id, coalesce(hs.ahash, 0) AS ahash
+      |  FROM docs LEFT JOIN hs ON hs.doc_id = docs.doc_id),
+      |uh AS (
+      |  SELECT doc_id, ahash,
+      |    CAST(ahash AS HUGEINT) + (CASE WHEN ahash < 0
+      |      THEN CAST(18446744073709551616 AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS hv
+      |  FROM allh),
+      |bands AS (
+      |  SELECT doc_id, k.k,
+      |    CAST((hv // CAST(k.p AS HUGEINT)) % 65536 AS BIGINT) AS band
+      |  FROM uh CROSS JOIN (VALUES (0, 1), (1, 65536),
+      |    (2, 4294967296), (3, 281474976710656)) AS k(k, p)),
+      |cand AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands a JOIN bands b ON b.k = a.k AND b.band = a.band
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT c.id1, c.id2,
+      |  CAST(bit_count(xor(h1.ahash, h2.ahash)) AS INT) AS hamming
+      |FROM cand c
+      |JOIN allh h1 ON h1.doc_id = c.id1
+      |JOIN allh h2 ON h2.doc_id = c.id2
+      |WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 6
+      |ORDER BY c.id1, c.id2""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q390_audio_fingerprint_dedup" -> (q390AudioFingerprint _),
     "q389_image_dhash_dedup" -> (q389ImageDhashDedup _),
     "q377_mixed_media" -> (q377MixedMedia _),
     "q29_multimodal_features" -> (q29Features _),
@@ -460,6 +564,7 @@ object QueriesMultimodal {
     "q373_png_decode" -> (q373PngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "q390_audio_fingerprint_dedup" -> q390Sql,
     "q389_image_dhash_dedup" -> q389Sql,
     "q377_mixed_media" -> q377Sql,
     "q29_multimodal_features" -> q29Sql,

@@ -179,6 +179,41 @@ object Multimodal {
     * features. Exact-integer features only (count/peak/Σs²), so the
     * decode is oracle-checkable via the round-trip pattern. */
   def decodeWavPcm16(bytes: Array[Byte]): WavFeatures = {
+    val (rate, channels, bits, dataOff, n) = decodeWavRaw(bytes)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0; var peak = 0; var sumSq = 0L
+    while (i < n) {
+      val s = buf.getShort(dataOff + 2 * i).toInt
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s.toLong
+      i += 1
+    }
+    WavFeatures(0L, rate, channels, bits, n.toLong,
+      n.toLong * 1000L / rate, peak, sumSq)
+  }
+
+  /** Decoded PCM16 samples as an Int array — the sample-space access
+    * the audio-fingerprint path needs on top of [[decodeWavPcm16]]'s
+    * summary moments. Same strict parse ([[decodeWavRaw]]).
+    * @return (sample_rate, samples) */
+  def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Int]) = {
+    val (rate, _, _, dataOff, n) = decodeWavRaw(bytes)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = buf.getShort(dataOff + 2 * i).toInt
+      i += 1
+    }
+    (rate, out)
+  }
+
+  /** Strict RIFF/WAVE chunk walk shared by the feature and sample
+    * decoders. @return (rate, channels, bits, data offset, n samples) */
+  private def decodeWavRaw(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def ascii(off: Int, len: Int) = new String(bytes, off, len, "US-ASCII")
@@ -217,17 +252,7 @@ object Multimodal {
     // an odd length would silently drop the trailing byte — foreign
     // blobs with a corrupt data chunk must fail loudly, not skew n
     require(dataLen % 2 == 0, s"odd PCM16 data length $dataLen")
-    val n = dataLen / 2
-    var i = 0; var peak = 0; var sumSq = 0L
-    while (i < n) {
-      val s = buf.getShort(dataOff + 2 * i).toInt
-      val a = math.abs(s)
-      if (a > peak) peak = a
-      sumSq += s.toLong * s.toLong
-      i += 1
-    }
-    WavFeatures(0L, rate, channels, bits, n.toLong,
-      n.toLong * 1000L / rate, peak, sumSq)
+    (rate, channels, bits, dataOff, dataLen / 2)
   }
 
   /** Per-partition WAV encode: one ByteBuffer per row, no driver
@@ -743,12 +768,14 @@ object Multimodal {
     * whenever their differing bits cluster into ≤ 3 bands (the
     * standard 4×16 banding trade). Candidates share ANY band exactly
     * (Dedup.candidatePairs — bounded buckets, skew cap),
-    * and survivors verify by bit_count(xor) ≤ maxHamming. The image
-    * sibling of text SimHash dedup, running on DECODED pixel
-    * fingerprints rather than byte shingles, so a re-compressed copy
-    * of the same picture still collides.
+    * and survivors verify by bit_count(xor) ≤ maxHamming. The
+    * perceptual sibling of text SimHash dedup, generic over any
+    * 64-bit fingerprint — [[dHash64]] image hashes and
+    * [[audioEnergyHash64]] audio hashes both feed it; because the
+    * hashes come from DECODED content, a re-compressed copy of the
+    * same picture or clip still collides.
     * @return (id1, id2, hamming) with id1 < id2 */
-  def imageNearDupPairs(hashes: DataFrame, idCol: String,
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String,
       hashCol: String, maxHamming: Int = 10,
       maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64,
@@ -772,6 +799,59 @@ object Multimodal {
       .localCheckpoint(true)
     h.unpersist()
     result
+  }
+
+  case class AudioHashRow(doc_id: Long, sample_rate: Int,
+      n_samples: Long, ahash: Long)
+
+  /** 64-bit audio energy-difference fingerprint — [[dHash64]]'s audio
+    * sibling (the FFT-free cousin of spectral fingerprints à la
+    * Chromaprint: with no DSP library in this environment, the
+    * time-domain energy envelope stands in for the spectrogram): the
+    * sample stream splits into 65 equal-share frames (frame f covers
+    * samples k with ⌊65k/n⌋ = f), per-frame energy is the exact
+    * Σ s² (BIGINT), and bit i is set iff frame i's MEAN energy
+    * strictly exceeds frame i+1's — compared cross-multiplied, so the
+    * hash is exact integer arithmetic end to end. Loudness-profile-
+    * preserving edits (re-encode, small sample noise, level-neutral
+    * patches) move few bits; unrelated clips differ in ~32.
+    *
+    * The 4M-sample bound (≈ 8.7 min at 8 kHz — fingerprint longer
+    * audio per chunk upstream) keeps the cross-multiplication inside
+    * Long: frame count ≤ n/65 + 1, frame energy ≤ 2³⁰ × that. */
+  def audioEnergyHash64(samples: Array[Int]): Long = {
+    val n = samples.length
+    require(n >= 65, s"audio fingerprint needs >= 65 samples, got $n")
+    require(n <= 4000000, s"fingerprint chunks must be <= 4M samples ($n)")
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var k = 0
+    while (k < n) {
+      val f = (k.toLong * 65L / n).toInt
+      sums(f) += samples(k).toLong * samples(k)
+      cnts(f) += 1L
+      k += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Per-partition WAV decode → audio fingerprint — the map-only
+    * hash pass of an audio-dedup pipeline (decode and hash never
+    * leave the partition; only 8-byte hashes shuffle afterwards).
+    * Feed the output to [[hammingNearDupPairs]]. */
+  def wavAudioHashTable(media: Dataset[WavRow]): Dataset[AudioHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (rate, samples) = decodeWavSamples(r.content)
+      AudioHashRow(r.doc_id, rate, samples.length.toLong,
+        audioEnergyHash64(samples))
+    })
   }
 
   /** Byte-level near-duplicate detection over binary media columns:

@@ -424,7 +424,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.dHash64(alt.take(10), 9, 8) // length mismatch
   }
 
-  test("imageNearDupPairs: 1-bit pairs collide via band pigeonhole, " +
+  test("hammingNearDupPairs: 1-bit pairs collide via band pigeonhole, " +
       "unrelated hashes do not pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -434,10 +434,42 @@ class MultimodalSpec extends SparkSpec {
       (3L, 0x0f0f0f0f0f0f0f0fL), // far from everything
       (4L, h ^ 0x8000000000000000L)) // Hamming 1 via the sign bit
       .toDF("doc_id", "dhash")
-    val got = Multimodal.imageNearDupPairs(df, "doc_id", "dhash",
+    val got = Multimodal.hammingNearDupPairs(df, "doc_id", "dhash",
         maxHamming = 2)
       .orderBy("id1", "id2").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     got.toSeq shouldBe Seq((1L, 2L, 1), (1L, 4L, 1), (2L, 4L, 2))
+  }
+
+  test("decodeWavSamples round-trips exact samples (with clamping) " +
+      "through the strict parser") {
+    val samples = Seq(0, 100, -32768, 32767, -5, 40000)
+    val bytes = Multimodal.encodeWavPcm16(samples, sampleRate = 8000)
+    val (rate, got) = Multimodal.decodeWavSamples(bytes)
+    rate shouldBe 8000
+    got.toSeq shouldBe Seq(0, 100, -32768, 32767, -5, 32767) // clamped
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeWavSamples(bytes.take(20))
+  }
+
+  test("audioEnergyHash64: hand-computed frame bits, one-sample edit " +
+      "flips at most two bits, bounds enforced") {
+    // 65 samples, one per frame: energies alternate 100, 0 -> bit i
+    // set exactly where frame i's energy (100) > frame i+1's (0):
+    // even i
+    val alt = Array.tabulate(65)(i => if (i % 2 == 0) 10 else 0)
+    Multimodal.audioEnergyHash64(alt) shouldBe 0x5555555555555555L
+    // strictly falling energies -> all 64 bits
+    val fall = Array.tabulate(65)(i => 65 - i)
+    Multimodal.audioEnergyHash64(fall) shouldBe -1L
+    // a one-sample edit perturbs one frame -> at most 2 bits (the
+    // frame's comparisons with both neighbors)
+    val base = Array.tabulate(130)(k => ((k * 97 + 13) % 65536) - 32768)
+    val h0 = Multimodal.audioEnergyHash64(base)
+    val nudged = base.clone(); nudged(70) += 1
+    java.lang.Long.bitCount(
+      h0 ^ Multimodal.audioEnergyHash64(nudged)) should be <= 2
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.audioEnergyHash64(Array.fill(64)(1)) // < 65 samples
   }
 }
