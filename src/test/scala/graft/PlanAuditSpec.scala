@@ -83,7 +83,10 @@ class PlanAuditSpec extends SparkSpec {
     "q263_anova" -> "per-event-type moment terms",
     // corpus BLEU folds ln p_n over the per-ORDER precision table —
     // k = maxN ≤ 6 rows by the operator's own require
-    "q378_bleu" -> "per-order BLEU precision terms")
+    "q378_bleu" -> "per-order BLEU precision terms",
+    // chrF folds P_n/R_n over the same per-ORDER table — k = maxN ≤ 6
+    // rows by Evaluation.chrF's own require (the q378 shape)
+    "q384_chrf" -> "per-order chrF precision/recall terms")
 
   test("no registry query plans a data-bearing single-partition " +
       "exchange, cartesian product, or unpartitioned window") {
