@@ -34,6 +34,23 @@ object VectorUtil {
     if (den > 0) dot / den else 0.0
   }
 
+  /** Exact integer dot product over two array<int> values (int8-
+    * quantized embeddings) — 64-bit accumulation, so any dims ≤ 2⁴⁵
+    * of int8×int8 terms are exact. Null element or length mismatch ->
+    * null (boxed), mirroring the null-poisoned zip_with fold. */
+  def intDot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getInt(i).toLong * b.getInt(i)
+      i += 1
+    }
+    s
+  }
+
   /** Nearest-centroid argmax by (cosine desc, id asc) in one pass over
     * the centroid matrix — the single-node form of the IVF coarse
     * quantizer. `ids` is array<long>, `mat` array<array<double>>, both
@@ -98,6 +115,38 @@ case class CosineSimilarityExpression(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarityExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd exact integer dot over two array<int> columns — the hot
+  * verify kernel of int8-quantized similarity (hard-negative mining
+  * scores millions of bucket pairs): one tight loop instead of the
+  * interpreted zip_with+aggregate lambda machinery (same ~300×
+  * per-pair gap as measured for the cosine form above). The sum is
+  * exact integer arithmetic, so values are identical to the composed
+  * form under any evaluation order. */
+case class IntDotExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_int_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorUtil.intDot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("graftIntDot")
+      s"""
+      java.lang.Long $tmp = graft.expressions.VectorUtil.intDot($a, $b);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotExpression =
     copy(left = newLeft, right = newRight)
 }
 

@@ -704,14 +704,20 @@ object Similarity {
       else a0.withColumn("__m", explode(array(masks: _*)))
         .withColumn("__bkt", col("__bkt").bitwiseXOR(col("__m")))
         .drop("__m")
+    // codegen'd exact integer dot: the verify kernel runs on every
+    // surviving bucket pair (millions at corpus scale) — the
+    // interpreted zip_with fold measured 13.5 s on the sf0.1 gate
+    // row; the tight-loop expression is the CosineSimilarityExpression
+    // trade with identical values (exact integer sum)
+    val intDot = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.IntDotExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("__aq")),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("__cq"))))
     val scored = cands.join(anchors, Seq("__bkt"))
       .filter(col("query_id") =!= col("neighbor_id") &&
         col("label") =!= col("neighbor_label"))
       .select(col("query_id"), col("label"), col("neighbor_id"),
-        col("neighbor_label"),
-        aggregate(zip_with(col("__aq"), col("__cq"),
-          (x, y) => x.cast("long") * y), lit(0L),
-          (acc, x) => acc + x).as("dot"))
+        col("neighbor_label"), intDot.as("dot"))
     val item = struct(col("dot"), (-col("neighbor_id")).as("__neg"),
       col("neighbor_id"), col("neighbor_label"))
     scored.groupBy(col("query_id"), col("label"))
