@@ -4454,11 +4454,16 @@ object QueriesAnalytics {
     * credit across tokenization differences word grams can't see.
     * ASCII-only docs (the q323 restriction) so both engines index
     * identical code points. All per-order counts exact BIGINTs; the
-    * F surface leaves micro-rounded. */
+    * F surface leaves micro-rounded. Fixture = the doc_id-multiple-
+    * of-4 QUARTER (genPairs' even half, halved again): 6 char-gram
+    * orders × 2 sides is ~5× the gram volume of word BLEU-4, the
+    * metric's published cost — the gate pins correctness, not
+    * throughput (the q378 fixture rule). */
   private def q384Chrf(s: SparkSession, dir: String): DataFrame =
     graft.operators.Evaluation
       .chrF(genPairs(s, dir)
-          .filter(col("ref").rlike("^[\\x20-\\x7e]*$")),
+          .filter(pmod(col("doc_id"), lit(4)) === 0 &&
+            col("ref").rlike("^[\\x20-\\x7e]*$")),
         "doc_id", col("cand"), col("ref"), maxN = 6, beta = 2.0)
       .select(col("n"), col("matches"), col("cand_grams"),
         col("ref_grams"),
@@ -4471,7 +4476,7 @@ object QueriesAnalytics {
       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
       |      x -> x != '') AS rtk
       |  FROM documents
-      |  WHERE doc_id % 2 = 0 AND regexp_matches(text, '^[\x20-\x7e]*$')),
+      |  WHERE doc_id % 4 = 0 AND regexp_matches(text, '^[\x20-\x7e]*$')),
       |p AS (
       |  SELECT doc_id, text,
       |    list_transform(range(1, len(rtk) - 1),
