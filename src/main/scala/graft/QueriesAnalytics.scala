@@ -4536,6 +4536,62 @@ object QueriesAnalytics {
       |    AS BIGINT) AS chrf_micro
       |FROM pern, fold ORDER BY pern.n""".stripMargin
 
+  // -------------------------------------------------------------- q391
+  /** ROUGE-L (Evaluation.rougeL) over a sparse slice of the
+    * generation fixture, both sides truncated to 48 tokens — the
+    * order-sensitive ROUGE beside q379's bag-of-bigrams recall. LCS
+    * is exact integer DP (codegen'd TokenLcsExpression); every output
+    * column is an exact integer or ONE division of exact integers, so
+    * rows hash-compare raw. The oracle computes the SAME LCS with a
+    * recursive CTE stepping one candidate token per iteration via the
+    * prefix-max unrolling dp_i[j] = max(dp_{i-1}[j],
+    * max_{j'≤j}(dp_{i-1}[j'−1] + eq(i,j'))) — the within-row
+    * dependency eliminated, so each step is one list_transform. The
+    * sparse fixture (1 in 10 of the even half) bounds the oracle's
+    * O(n·m²) recursion, not the Spark side (whose DP is O(n·m) and
+    * map-only). */
+  private def q391RougeL(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Evaluation
+      .rougeL(genPairs(s, dir)
+          .filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", col("cand"), col("ref"), maxTokens = 48)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val q391Sql =
+    s"""WITH RECURSIVE $genPairsSql,
+       |q AS (
+       |  SELECT doc_id, ctk[1:48] AS c, rtk[1:48] AS r
+       |  FROM p WHERE doc_id % 20 = 0),
+       |step(doc_id, i, dp) AS (
+       |  SELECT doc_id, 0,
+       |    list_transform(range(0, len(r) + 1), x -> 0)
+       |  FROM q
+       |  UNION ALL
+       |  SELECT s.doc_id, s.i + 1,
+       |    [0] || list_transform(range(1, len(q.r) + 1), j ->
+       |      greatest(s.dp[j + 1],
+       |        list_max(list_transform(range(1, j + 1), j2 ->
+       |          s.dp[j2] + CASE WHEN q.c[s.i + 1] = q.r[j2]
+       |            THEN 1 ELSE 0 END))))
+       |  FROM step s JOIN q ON q.doc_id = s.doc_id
+       |  WHERE s.i < len(q.c))
+       |SELECT q.doc_id,
+       |  CAST(f.dp[len(q.r) + 1] AS BIGINT) AS lcs,
+       |  CAST(len(q.c) AS BIGINT) AS cand_tokens,
+       |  CAST(len(q.r) AS BIGINT) AS ref_tokens,
+       |  CASE WHEN len(q.r) > 0 THEN
+       |    CAST(f.dp[len(q.r) + 1] AS DOUBLE) / len(q.r) END
+       |    AS rouge_l_r,
+       |  CASE WHEN len(q.c) > 0 THEN
+       |    CAST(f.dp[len(q.r) + 1] AS DOUBLE) / len(q.c) END
+       |    AS rouge_l_p,
+       |  CASE WHEN len(q.c) + len(q.r) > 0 THEN
+       |    CAST(2 * f.dp[len(q.r) + 1] AS DOUBLE)
+       |      / (len(q.c) + len(q.r)) END AS rouge_l_f1
+       |FROM q JOIN step f ON f.doc_id = q.doc_id AND f.i = len(q.c)
+       |ORDER BY q.doc_id""".stripMargin
+
   // -------------------------------------------------------------- q386
   /** Distinct-n diversity (Evaluation.distinctN, orders 1..3) over
     * the generation fixture's CANDIDATE side — the mode-collapse
@@ -6056,6 +6112,7 @@ object QueriesAnalytics {
     "q379_rouge" -> (q379Rouge _),
     "q382_token_f1" -> (q382TokenF1 _),
     "q384_chrf" -> (q384Chrf _),
+    "q391_rouge_l" -> (q391RougeL _),
     "q386_distinct_n" -> (q386DistinctN _),
     "q387_ece" -> (q387Ece _),
     "q304_ab_ztest" -> (q304AbTest _),
@@ -6183,6 +6240,7 @@ object QueriesAnalytics {
     "q379_rouge" -> q379Sql,
     "q382_token_f1" -> q382Sql,
     "q384_chrf" -> q384Sql,
+    "q391_rouge_l" -> q391Sql,
     "q386_distinct_n" -> q386Sql,
     "q387_ece" -> q387Sql,
     "q304_ab_ztest" -> q304Sql,

@@ -62,6 +62,61 @@ object EditDistanceUtil {
     }
     d(m + 1)(n + 1)
   }
+
+  /** Length of the longest common subsequence of two token ARRAYS —
+    * the alignment core of ROUGE-L (order-sensitive where the clipped
+    * bag metrics are not: "cat the sat" vs "the cat sat" shares all
+    * unigrams but only a 2-token subsequence). Rolling two-row DP,
+    * O(m·n) time / O(n) space per pair. The 2²⁴-cell bound keeps a
+    * single pathological pair from pinning a task for minutes —
+    * callers TRUNCATE to a documented window (the ROUGE-L discipline;
+    * the metric itself is quadratic, not the plan). */
+  def tokenLcs(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val m = a.numElements()
+    val n = b.numElements()
+    if (m == 0 || n == 0) return 0
+    require(m.toLong * n <= (1L << 24),
+      s"tokenLcs pair too large (${m}x$n cells) — truncate inputs")
+    val prev = new Array[Int](n + 1)
+    val cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= m) {
+      val ai = a.getUTF8String(i - 1)
+      var j = 1
+      while (j <= n) {
+        val bj = b.getUTF8String(j - 1)
+        cur(j) =
+          if (ai != null && bj != null && ai.equals(bj)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, n + 1)
+      i += 1
+    }
+    prev(n)
+  }
+}
+
+/** Codegen'd scalar node for [[EditDistanceUtil.tokenLcs]]. */
+case class TokenLcsExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_token_lcs"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    EditDistanceUtil.tokenLcs(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.expressions.EditDistanceUtil.tokenLcs($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenLcsExpression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd scalar node for [[EditDistanceUtil.damerau]]. */

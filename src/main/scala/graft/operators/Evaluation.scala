@@ -1148,6 +1148,45 @@ object Evaluation {
         col("mce"), col("worst_bucket"))
   }
 
+  /** ROUGE-L (Lin 2004 §3): longest-common-subsequence overlap per
+    * candidate/reference pair — the ORDER-SENSITIVE member of the
+    * ROUGE family ("cat the sat" vs "the cat sat" shares every
+    * unigram but only a 2-token subsequence). LCS runs in the
+    * codegen'd [[graft.expressions.TokenLcsExpression]] (rolling-row
+    * DP, map-only — nothing shuffles but the output); both sides
+    * TRUNCATE to `maxTokens` first because the metric itself is
+    * quadratic per pair (the documented ROUGE-L discipline — summary
+    * evaluation runs on summary-length texts).
+    *
+    * Every output is an exact integer or ONE division of exact
+    * integers (the oovStats rule) — R = ℓ/m, P = ℓ/n,
+    * F1 = 2ℓ/(n+m) — so rows hash-compare raw.
+    * @return per doc: (id, lcs, cand_tokens, ref_tokens, rouge_l_r,
+    *         rouge_l_p, rouge_l_f1) */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: Column,
+      refCol: Column, maxTokens: Int = 256): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 4096,
+      s"maxTokens ($maxTokens) out of [1, 4096]")
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => C, expression => E}
+    def tk(c: Column) = slice(
+      graft.functions.TextAnalysis.alnumTokens(c), 1, maxTokens)
+    val lcs = C(graft.expressions.TokenLcsExpression(
+      E(tk(candCol)), E(tk(refCol)))).cast("long")
+    pairs
+      .select(col(idCol).as("id"), lcs.as("lcs"),
+        size(tk(candCol)).cast("long").as("cand_tokens"),
+        size(tk(refCol)).cast("long").as("ref_tokens"))
+      .select(col("id"), col("lcs"), col("cand_tokens"), col("ref_tokens"),
+        when(col("ref_tokens") > 0L, col("lcs").cast("double") /
+          col("ref_tokens").cast("double")).as("rouge_l_r"),
+        when(col("cand_tokens") > 0L, col("lcs").cast("double") /
+          col("cand_tokens").cast("double")).as("rouge_l_p"),
+        when(col("cand_tokens") + col("ref_tokens") > 0L,
+          (lit(2L) * col("lcs")).cast("double") /
+            (col("cand_tokens") + col("ref_tokens")).cast("double"))
+          .as("rouge_l_f1"))
+  }
+
   /** ROUGE-N recall (Lin 2004), single-reference: per document the
     * clipped n-gram matches over the REFERENCE n-gram count — one
     * exact integer division per row; corpus ROUGE-N is the caller's

@@ -862,6 +862,44 @@ class AnalyticsSpec extends SparkSpec {
       Evaluation.chrF(p4, "id", col("cand"), col("ref"), maxN = 7)
   }
 
+  test("rougeL: hand-computed LCS, order sensitivity, repeats, " +
+      "truncation, DP cell bound") {
+    import graft.operators.Evaluation
+    val pairs = Seq(
+      // LCS(the cat sat on mat | the cat is on the mat) = 4
+      (1L, "the cat sat on mat", "the cat is on the mat"),
+      // every unigram shared but order scrambled -> LCS only 2
+      (2L, "cat the sat", "the cat sat"),
+      // repeated tokens: LCS(a a b | a b a) = 2
+      (3L, "a a b", "a b a"))
+      .toDF("id", "cand", "ref")
+    val got = Evaluation.rougeL(pairs, "id", col("cand"), col("ref"))
+      .orderBy("id").collect()
+    got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq shouldBe
+      Seq((1L, 4L, 5L, 6L), (2L, 2L, 3L, 3L), (3L, 2L, 3L, 3L))
+    got(0).getDouble(4) shouldBe (4.0 / 6.0) +- 1e-15
+    got(0).getDouble(5) shouldBe 0.8 +- 1e-15
+    got(0).getDouble(6) shouldBe (8.0 / 11.0) +- 1e-15
+    got(1).getDouble(6) shouldBe (2.0 / 3.0) +- 1e-15
+    // truncation: only the first 2 tokens of each side participate
+    val t = Evaluation.rougeL(
+        Seq((1L, "a b zzz", "a b qqq")).toDF("id", "cand", "ref"),
+        "id", col("cand"), col("ref"), maxTokens = 2).head()
+    (t.getLong(1), t.getLong(2), t.getLong(3)) shouldBe ((2L, 2L, 2L))
+    // the DP cell bound fails loudly instead of pinning a task
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val big = new GenericArrayData(
+      Array.fill(4100)(UTF8String.fromString("x")): Array[Any])
+    an[IllegalArgumentException] should be thrownBy
+      graft.expressions.EditDistanceUtil.tokenLcs(big, big)
+    // reference check: LCS(x, x) on equal arrays = length
+    val small = new GenericArrayData(
+      Array.tabulate(7)(i => UTF8String.fromString(s"t$i")): Array[Any])
+    graft.expressions.EditDistanceUtil.tokenLcs(small, small) shouldBe 7
+  }
+
   test("distinctN: hand-computed diversity ratios and repetition " +
       "collapse") {
     import graft.operators.Evaluation
