@@ -158,4 +158,36 @@ class R8PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("tokenLcs matches a brute-force full-matrix reference on random " +
+      "token arrays (small alphabet forces repeats and ties)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def refLcs(a: Seq[String], b: Seq[String]): Int = {
+      // independent O(mn) FULL matrix (the operator uses rolling rows)
+      val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) =
+          if (a(i - 1) == b(j - 1)) d(i - 1)(j - 1) + 1
+          else math.max(d(i - 1)(j), d(i)(j - 1))
+      d(a.length)(b.length)
+    }
+    def arr(s: Seq[String]) = new GenericArrayData(
+      s.map(UTF8String.fromString).toArray: Array[Any])
+    val vocab = Vector("a", "b", "c")
+    (0 until 120).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(24))(vocab(rnd.nextInt(vocab.size)))
+      val b = Seq.fill(rnd.nextInt(24))(vocab(rnd.nextInt(vocab.size)))
+      graft.expressions.EditDistanceUtil.tokenLcs(arr(a), arr(b)) shouldBe
+        refLcs(a, b)
+    }
+    // LCS invariants: symmetric, bounded by min length, monotone
+    // under concatenation
+    val x = Seq("a", "b", "a", "c")
+    val y = Seq("b", "a", "a")
+    graft.expressions.EditDistanceUtil.tokenLcs(arr(x), arr(y)) shouldBe
+      graft.expressions.EditDistanceUtil.tokenLcs(arr(y), arr(x))
+    graft.expressions.EditDistanceUtil
+      .tokenLcs(arr(x), arr(y)) should be <= 3
+  }
 }
