@@ -2364,7 +2364,129 @@ object QueriesCorpus {
       |  CAST(round(jsd.jsd * 1e6) AS BIGINT) AS jsd_micro
       |FROM tot, ts, jsd""".stripMargin
 
+  // -------------------------------------------------------------- q392
+  /** Incremental corpus-drift monitor — q385's JSD priced per refresh
+    * (the daily-crawl shape): the stream side's token counts are
+    * MAINTAINED batch by batch with IncrementalAgg.mergeDelta (the
+    * IVM count path — each refresh tokenizes only its delta), and
+    * after every batch the drift against the static reference census
+    * is CorpusDiff.jsDivergenceFromCounts over the maintained table.
+    * One row per refresh: drift must EQUAL the one-shot JSD of the
+    * prefix — the oracle restates every prefix declaratively (per-k
+    * counts, per-k top-200 + tail, per-k sorted folds), so a merge
+    * that drops, double-counts, or resurrects a token shifts some
+    * prefix's exact counts and fails the row. */
+  private def q392IncrDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def tokensOf(df: DataFrame) = df.select(
+      explode(TA.alnumTokens(col("text"))).as("token"))
+    val aCounts = tokensOf(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      .groupBy(col("token")).agg(count(lit(1)).as("ca"))
+      .localCheckpoint(true)
+    val odd = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .withColumn("__batch",
+        ((pmod(col("doc_id"), lit(6)) - 1) / 2).cast("int"))
+    def batch(k: Int) = tokensOf(odd.filter(col("__batch") === k))
+    var bCounts = batch(0).groupBy(col("token"))
+      .agg(count(lit(1)).as("cb")).localCheckpoint(true)
+    val perBatch = (0 until 3).map { k =>
+      if (k > 0)
+        bCounts = graft.operators.IncrementalAgg
+          .mergeDelta(bCounts, batch(k), Seq("token"),
+            counts = Seq("cb"), sums = Nil)
+          .localCheckpoint(true)
+      graft.operators.CorpusDiff
+        .jsDivergenceFromCounts(
+          aCounts.join(bCounts, Seq("token"), "full_outer"), k = 200)
+        .select(lit(k).as("batch"), col("n_tokens_a"),
+          col("n_tokens_b"), col("vocab_a"), col("vocab_b"),
+          col("n_buckets"),
+          round(col("jsd") * lit(1e6)).cast("long").as("jsd_micro"))
+    }
+    perBatch.reduce(_ unionAll _).orderBy(col("batch"))
+  }
+
+  private val q392Sql =
+    """WITH ks AS (SELECT unnest([0, 1, 2]) AS k),
+      |ta AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x != '')) AS token
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |kca AS (SELECT token, count(*) AS ca FROM ta GROUP BY 1),
+      |tb AS (
+      |  SELECT (doc_id % 6 - 1) // 2 AS batch,
+      |    unnest(list_filter(
+      |      string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x != '')) AS token
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |cbk AS (
+      |  SELECT ks.k, token, count(*) AS cb
+      |  FROM tb CROSS JOIN ks WHERE tb.batch <= ks.k GROUP BY 1, 2),
+      |ak AS (SELECT ks.k, kca.token, kca.ca FROM kca CROSS JOIN ks),
+      |j AS (
+      |  SELECT coalesce(ak.k, cbk.k) AS k,
+      |    coalesce(ak.token, cbk.token) AS token,
+      |    coalesce(ak.ca, 0) AS ca, coalesce(cbk.cb, 0) AS cb
+      |  FROM ak FULL OUTER JOIN cbk
+      |    ON cbk.k = ak.k AND cbk.token = ak.token),
+      |tot AS (
+      |  SELECT k, CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cb) AS BIGINT) AS nb,
+      |    CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS vocab_a,
+      |    CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS vocab_b
+      |  FROM j GROUP BY 1),
+      |rk AS (
+      |  SELECT k, ca, cb,
+      |    row_number() OVER (PARTITION BY k
+      |      ORDER BY (ca + cb) DESC, token) AS rn
+      |  FROM j),
+      |top AS (SELECT k, ca, cb FROM rk WHERE rn <= 200),
+      |ts AS (
+      |  SELECT k, CAST(coalesce(sum(ca), 0) AS BIGINT) AS tca,
+      |    CAST(coalesce(sum(cb), 0) AS BIGINT) AS tcb,
+      |    CAST(count(*) AS BIGINT) AS nbk
+      |  FROM top GROUP BY 1),
+      |buckets AS (
+      |  SELECT k, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb
+      |  FROM top
+      |  UNION ALL
+      |  SELECT tot.k, tot.na - ts.tca, tot.nb - ts.tcb
+      |  FROM tot JOIN ts ON ts.k = tot.k),
+      |terms AS (
+      |  SELECT b.k, unnest([
+      |    CASE WHEN ca > 0 THEN
+      |      (CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE))
+      |        * ln((CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE))
+      |          / (((CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE))
+      |            + (CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE)))
+      |            / 2.0))
+      |    ELSE 0.0 END,
+      |    CASE WHEN cb > 0 THEN
+      |      (CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+      |        * ln((CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE))
+      |          / (((CAST(ca AS DOUBLE) / CAST(tot.na AS DOUBLE))
+      |            + (CAST(cb AS DOUBLE) / CAST(tot.nb AS DOUBLE)))
+      |            / 2.0))
+      |    ELSE 0.0 END]) AS t
+      |  FROM buckets b JOIN tot ON tot.k = b.k),
+      |jsd AS (
+      |  SELECT k, 0.5 * list_aggregate(list_sort(list(t)), 'sum')
+      |    AS jsd
+      |  FROM terms GROUP BY 1)
+      |SELECT CAST(tot.k AS INT) AS batch, tot.na AS n_tokens_a,
+      |  tot.nb AS n_tokens_b, tot.vocab_a, tot.vocab_b,
+      |  ts.nbk + 1 AS n_buckets,
+      |  CAST(round(jsd.jsd * 1e6) AS BIGINT) AS jsd_micro
+      |FROM tot
+      |JOIN ts ON ts.k = tot.k
+      |JOIN jsd ON jsd.k = tot.k
+      |ORDER BY batch""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q392_incr_drift" -> (q392IncrDrift _),
     "q385_js_divergence" -> (q385JsDivergence _),
     "q366_zipf_slope" -> (q366ZipfSlope _),
     "q358_ddsketch_audit" -> (q358DdsketchAudit _),
@@ -2448,6 +2570,7 @@ object QueriesCorpus {
     "q84_sketch_cms" -> q84Sql,
     "q67_corpus_diff" -> q67Sql,
     "q385_js_divergence" -> q385Sql,
+    "q392_incr_drift" -> q392Sql,
     "q61_training_order" -> q61Sql,
     "q62_seq_windows" -> q62Sql,
     "q63_vocab_oov" -> q63Sql,

@@ -69,13 +69,24 @@ object CorpusDiff {
     *         n_buckets, jsd) — jsd in nats over the k+1 buckets */
   def jsDivergenceTopK(a: DataFrame, b: DataFrame, textCol: String,
       k: Int): DataFrame = {
-    require(k >= 1 && k <= 100000, s"k ($k) out of [1, 100000]")
     def counts(df: DataFrame, out: String) =
       df.select(explode(TextAnalysis.alnumTokens(col(textCol)))
           .as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as(out))
-    val joined = counts(a, "ca")
-      .join(counts(b, "cb"), Seq("token"), "full_outer")
+    jsDivergenceFromCounts(
+      counts(a, "ca").join(counts(b, "cb"), Seq("token"), "full_outer"),
+      k)
+  }
+
+  /** Counts-level entry of [[jsDivergenceTopK]] — the incremental-
+    * maintenance path: feed a MAINTAINED (token, ca, cb) count table
+    * (nulls allowed on either side; e.g. IncrementalAgg.mergeDelta
+    * output full-outer-joined against a reference census) and get the
+    * same one-row JSD — so a streaming/batch-refresh pipeline prices
+    * drift per refresh without re-tokenizing either corpus. */
+  def jsDivergenceFromCounts(countsTable: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k ($k) out of [1, 100000]")
+    val joined = countsTable
       .select(col("token"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)

@@ -600,6 +600,35 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusDiff.jsDivergenceTopK(a, b, "text", k = 0)
   }
 
+  test("jsDivergenceFromCounts over mergeDelta-maintained counts " +
+      "equals the one-shot JSD of every prefix, bit for bit") {
+    import graft.operators.{CorpusDiff, IncrementalAgg}
+    import graft.functions.{TextAnalysis => TA}
+    val a = Seq("a a b").toDF("text")
+    val batches = Seq(Seq("a"), Seq("b b"), Seq("a c"))
+    def tokensOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(TA.alnumTokens(col("text"))).as("token"))
+    val aCounts = tokensOf(a).groupBy("token")
+      .agg(count(lit(1)).as("ca"))
+    var bCounts = tokensOf(batches(0).toDF("text")).groupBy("token")
+      .agg(count(lit(1)).as("cb"))
+    (0 until 3).foreach { k =>
+      if (k > 0)
+        bCounts = IncrementalAgg.mergeDelta(bCounts,
+          tokensOf(batches(k).toDF("text")), Seq("token"),
+          counts = Seq("cb"), sums = Nil)
+      val incr = CorpusDiff.jsDivergenceFromCounts(
+        aCounts.join(bCounts, Seq("token"), "full_outer"), k = 10)
+        .head()
+      val oneShot = CorpusDiff.jsDivergenceTopK(a,
+        batches.take(k + 1).flatten.toDF("text"), "text", k = 10)
+        .head()
+      incr.getDouble(5) shouldBe oneShot.getDouble(5) // exact bits
+      incr.getLong(1) shouldBe oneShot.getLong(1)
+      incr.getLong(3) shouldBe oneShot.getLong(3)
+    }
+  }
+
   test("token-budget mixture sample respects quotas deterministically") {
     val docs = (1 to 60).map { i =>
       (i.toLong, s"src${i % 3}", 100)
