@@ -695,6 +695,46 @@ object QueriesRelational {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q393
+  /** Avro Object Container round trip (sources.AvroSource — built on
+    * the raw avro library since this environment ships no spark-avro
+    * module): an events projection (long / string / NULLABLE long
+    * columns) is written as one DEFLATE-compressed container per
+    * partition, read back through binaryFile + DataFileStream, and
+    * aggregated. A third REAL compressed format beside PNG and zip —
+    * the bytes on disk pass through actual deflate — and the null
+    * union, schema resolution, and Utf8→String decode are all on the
+    * hash path (the oracle recomputes from events directly, the
+    * q105/q367 round-trip pattern). */
+  private def q393AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("user_id") <= 300)
+      .select(col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    graft.sources.AvroSource.write(ev, tmp)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, event_type STRING, cents LONG")
+    graft.sources.AvroSource.read(s, tmp, schema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("cents")).as("n_vals"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q393Sql =
+    """SELECT event_type, count(*) AS n,
+      |  count(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS n_vals,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events WHERE user_id <= 300
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q96
   /** Incremental aggregate maintenance (IncrementalAgg.mergeDelta): a
     * published (returnflag, linestatus) rollup built from pre-cutoff
@@ -4295,6 +4335,7 @@ object QueriesRelational {
     "q91_star_join" -> (q91Star _),
     "q47_json" -> (q47Json _),
     "q105_orc_roundtrip" -> (q105Orc _),
+    "q393_avro_roundtrip" -> (q393AvroRoundtrip _),
     "q108_map_surface" -> (q108MapSurface _),
     "q115_salted_skew" -> (q115SaltedSkew _),
     "q117_grouping_sets" -> (q117GroupingSets _),
@@ -4407,6 +4448,7 @@ object QueriesRelational {
     "q91_star_join" -> q91Sql,
     "q47_json" -> q47Sql,
     "q105_orc_roundtrip" -> q105Sql,
+    "q393_avro_roundtrip" -> q393Sql,
     "q108_map_surface" -> q108Sql,
     "q115_salted_skew" -> q115Sql,
     "q117_grouping_sets" -> q117Sql,
