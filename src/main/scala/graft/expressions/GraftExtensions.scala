@@ -13,6 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Gr
   * Functions:
   *   graft_simhash32(array<string>) -> bigint   (custom codegen'd node)
   *   graft_cosine(a, b)             -> double   (custom codegen'd node)
+  *   graft_int_dot(a, b)            -> bigint   (exact int8 dot, codegen'd)
+  *   graft_token_lcs(a, b)          -> int      (LCS of token arrays, codegen'd)
   *   graft_char_shingles(text, n)   -> array    (custom codegen'd node)
   *   graft_word_shingles(text, n)   -> array    (custom codegen'd node)
   *   graft_fingerprint(string)      -> string   (composed built-ins)
@@ -137,6 +139,13 @@ object GraftExtensions {
     ("graft_cosine", info("graft_cosine", "cosine similarity"),
       (exprs: Seq[Expression]) =>
         CosineSimilarityExpression(exprs(0), exprs(1))),
+    ("graft_int_dot", info("graft_int_dot", "exact int8 dot product"),
+      (exprs: Seq[Expression]) =>
+        IntDotExpression(exprs(0), exprs(1))),
+    ("graft_token_lcs", info("graft_token_lcs",
+        "longest common token subsequence"),
+      (exprs: Seq[Expression]) =>
+        TokenLcsExpression(exprs(0), exprs(1))),
     ("graft_char_shingles", info("graft_char_shingles", "char n-grams"),
       (exprs: Seq[Expression]) => CharShinglesExpression(
         normalizeExpr(exprs.head), intLit("graft_char_shingles", exprs(1)))),

@@ -57,6 +57,21 @@ class ExpressionsSpec extends SparkSpec {
     r.getString(4) shouldBe "POINT(1.5 2.5)"
   }
 
+  test("graft_token_lcs and graft_int_dot are SQL-callable and " +
+      "codegen-evaluate correctly") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_token_lcs(array('the', 'cat', 'sat'),
+        |                  array('cat', 'the', 'sat')) AS lcs,
+        |  graft_int_dot(array(1, -2, 3), array(4, 5, 6)) AS dot,
+        |  graft_int_dot(array(1, 2), array(1, 2, 3)) AS mismatch
+        |""".stripMargin).head()
+    r.getInt(0) shouldBe 2
+    r.getLong(1) shouldBe (4L - 10L + 18L)
+    r.isNullAt(2) shouldBe true
+  }
+
   test("st_transform is SQL-callable across the SRID matrix") {
     GraftExtensions.register(spark)
     Seq((-73.5, 40.5)).toDF("lon", "lat").createOrReplaceTempView("ext_geo")
