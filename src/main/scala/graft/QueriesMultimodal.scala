@@ -552,7 +552,122 @@ object QueriesMultimodal {
       |WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 6
       |ORDER BY c.id1, c.id2""".stripMargin
 
+  // -------------------------------------------------------------- q394
+  /** Video-style near-dup end to end (Multimodal.videoFrameHashDedup)
+    * — the FOURTH modality, frame sequences: each ASCII document
+    * becomes a "video" of 9×8 frames (72 char-code lumas per frame,
+    * the binary-as-pixels stand-in for the env-bound video codecs —
+    * the HASH and ALIGNMENT layers are the real computation), every
+    * frame fingerprinted with the REAL dHash64 kernel, plus a PLANTED
+    * copy of every video with its second frame DROPPED — the edit
+    * Hamming-on-one-global-hash provably cannot survive but LCS
+    * alignment must: the copy scores exactly 2(F−1)/(2F−1) ≥ 6/7.
+    * Candidates share one exact frame hash; survivors pay one integer
+    * LCS; sim is ONE division of exact integers. The oracle restates
+    * char codes → per-frame bits → 64-bit hashes (two's-complement
+    * bit-63 rebuild) → the shared-hash join → per-pair LCS via the
+    * q391 recursive prefix-max DP, bit for bit. */
+  private def q394VideoDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 0 &&
+        col("text").rlike("^[\\x20-\\x7e]*$") &&
+        length(col("text")) >= 288)
+      .select(col("doc_id"),
+        expr("length(text) div 72").cast("int").as("nf"),
+        transform(split(col("text"), ""), c => ascii(c)).as("codes"))
+    val frames = d
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("nf") - 1)).as("f"),
+        col("codes"))
+      .select(col("doc_id"), col("f"),
+        expr("slice(codes, f * 72 + 1, 72)").as("lumas"))
+      .as[(Long, Int, Seq[Int])]
+      .map { case (id, f, lumas) =>
+        (id, f, Multimodal.dHash64(lumas.toArray, 9, 8))
+      }
+      .toDF("doc_id", "f", "h")
+    val seqs = frames.groupBy(col("doc_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("f"), col("h")))),
+        x => x.getField("h").cast("string")).as("seq"))
+    val copies = seqs.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(slice(col("seq"), 1, 1),
+        expr("slice(seq, 3, size(seq) - 2)")).as("seq"))
+    Multimodal.videoFrameHashDedup(seqs.unionAll(copies), "doc_id",
+        "seq", minSim = 0.75)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val q394Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, text, CAST(length(text) // 72 AS INT) AS nf
+      |  FROM documents
+      |  WHERE doc_id % 2 = 0 AND regexp_matches(text, '^[\x20-\x7e]*$')
+      |    AND length(text) >= 288),
+      |px AS (
+      |  SELECT doc_id, CAST(k // 72 AS INT) AS f,
+      |    CAST(k % 72 AS INT) AS p,
+      |    ord(substr(text, CAST(k + 1 AS INT), 1)) AS code
+      |  FROM d, unnest(range(0, nf * 72)) AS t(k)),
+      |bits AS (
+      |  SELECT a.doc_id, a.f, ((a.p // 9) * 8 + (a.p % 9)) AS b
+      |  FROM px a JOIN px b2 ON b2.doc_id = a.doc_id AND b2.f = a.f
+      |    AND b2.p = a.p + 1
+      |  WHERE a.p % 9 < 8 AND a.code > b2.code),
+      |hs AS (
+      |  SELECT doc_id, f,
+      |    CAST(sum(CASE WHEN b = 63 THEN -9223372036854775808
+      |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS h
+      |  FROM bits GROUP BY 1, 2),
+      |fr AS (SELECT DISTINCT doc_id, f FROM px),
+      |fh AS (
+      |  SELECT fr.doc_id, fr.f,
+      |    CAST(coalesce(hs.h, 0) AS VARCHAR) AS h
+      |  FROM fr LEFT JOIN hs ON hs.doc_id = fr.doc_id AND hs.f = fr.f),
+      |seqs0 AS (SELECT doc_id, list(h ORDER BY f) AS seq FROM fh
+      |          GROUP BY 1),
+      |seqs AS (
+      |  SELECT doc_id, seq FROM seqs0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, list_concat(seq[1:1], seq[3:])
+      |  FROM seqs0),
+      |cand AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM (SELECT doc_id, unnest(seq) AS h FROM seqs) a
+      |  JOIN (SELECT doc_id, unnest(seq) AS h FROM seqs) b
+      |    ON b.h = a.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT c.id1, c.id2, s1.seq AS c1, s2.seq AS c2
+      |  FROM cand c JOIN seqs s1 ON s1.doc_id = c.id1
+      |  JOIN seqs s2 ON s2.doc_id = c.id2),
+      |step(id1, id2, i, dp) AS (
+      |  SELECT id1, id2, 0, list_transform(range(0, len(c2) + 1), x -> 0)
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT s.id1, s.id2, s.i + 1,
+      |    [0] || list_transform(range(1, len(p.c2) + 1), j ->
+      |      greatest(s.dp[j + 1],
+      |        list_max(list_transform(range(1, j + 1), j2 ->
+      |          s.dp[j2] + CASE WHEN p.c1[s.i + 1] = p.c2[j2]
+      |            THEN 1 ELSE 0 END))))
+      |  FROM step s JOIN pairs p ON p.id1 = s.id1 AND p.id2 = s.id2
+      |  WHERE s.i < len(p.c1))
+      |SELECT p.id1, p.id2,
+      |  CAST(len(p.c1) AS BIGINT) AS n1,
+      |  CAST(len(p.c2) AS BIGINT) AS n2,
+      |  CAST(f.dp[len(p.c2) + 1] AS BIGINT) AS lcs,
+      |  CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+      |    / (len(p.c1) + len(p.c2)) AS sim
+      |FROM pairs p JOIN step f ON f.id1 = p.id1 AND f.id2 = p.id2
+      |  AND f.i = len(p.c1)
+      |WHERE CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+      |    / (len(p.c1) + len(p.c2)) >= 0.75
+      |ORDER BY p.id1, p.id2""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q394_video_framehash_dedup" -> (q394VideoDedup _),
     "q390_audio_fingerprint_dedup" -> (q390AudioFingerprint _),
     "q389_image_dhash_dedup" -> (q389ImageDhashDedup _),
     "q377_mixed_media" -> (q377MixedMedia _),
@@ -564,6 +679,7 @@ object QueriesMultimodal {
     "q373_png_decode" -> (q373PngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "q394_video_framehash_dedup" -> q394Sql,
     "q390_audio_fingerprint_dedup" -> q390Sql,
     "q389_image_dhash_dedup" -> q389Sql,
     "q377_mixed_media" -> q377Sql,

@@ -854,6 +854,55 @@ object Multimodal {
     })
   }
 
+  /** Video-style near-duplicate detection over FRAME-HASH SEQUENCES —
+    * the fourth modality beside bytes ([[binaryNearDups]]), pixels
+    * ([[dHash64]] + [[hammingNearDupPairs]]), and samples
+    * ([[audioEnergyHash64]]): a video is an ordered array of
+    * per-frame perceptual-hash tokens (e.g. [[dHash64]] per sampled
+    * frame, rendered as strings); two videos are near-dups when their
+    * hash sequences ALIGN — longest common subsequence over frame
+    * hashes, so a copy with frames dropped, inserted, or re-sampled
+    * still matches (the shot-level matching rule of video dedup;
+    * Hamming on a single global hash can't survive frame
+    * insertions).
+    *
+    * Scale: candidates share at least ONE exact frame hash
+    * (Dedup.candidatePairs over the sequence itself — bounded
+    * buckets, skew cap; a hash shared by everything is boilerplate
+    * and capped away), then each candidate pair pays one exact
+    * integer LCS (codegen'd TokenLcsExpression, O(n₁·n₂) on
+    * frame-COUNT-sized arrays — tens, not pixels). sim = 2·LCS/(n₁+n₂)
+    * is ONE division of exact integers.
+    * @param videos (idCol, seqCol array<string> of frame hashes)
+    * @return (id1, id2, n1, n2, lcs, sim) with sim >= minSim */
+  def videoFrameHashDedup(videos: DataFrame, idCol: String,
+      seqCol: String, minSim: Double,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, s"minSim ($minSim) out of (0, 1]")
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => C, expression => E}
+    val v = videos.select(col(idCol), col(seqCol).as("__seq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = v.withColumn("__bands", col("__seq"))
+    val pairs = Dedup.candidatePairs(banded, idCol, "__bands",
+      maxBucketSize)
+    val lcs = C(graft.expressions.TokenLcsExpression(
+      E(col("__s1")), E(col("__s2")))).cast("long")
+    val result = pairs
+      .join(v.withColumnRenamed(idCol, "id1")
+        .withColumnRenamed("__seq", "__s1"), "id1")
+      .join(v.withColumnRenamed(idCol, "id2")
+        .withColumnRenamed("__seq", "__s2"), "id2")
+      .select(col("id1"), col("id2"),
+        size(col("__s1")).cast("long").as("n1"),
+        size(col("__s2")).cast("long").as("n2"), lcs.as("lcs"))
+      .withColumn("sim", (lit(2L) * col("lcs")).cast("double") /
+        (col("n1") + col("n2")).cast("double"))
+      .filter(col("sim") >= minSim)
+      .localCheckpoint(true)
+    v.unpersist()
+    result
+  }
+
   /** Byte-level near-duplicate detection over binary media columns:
     * content bytes are reinterpreted losslessly as a Latin-1 string
     * (one char per byte) and fed through the SimHash near-dup pipeline

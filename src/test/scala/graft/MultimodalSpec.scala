@@ -441,6 +441,31 @@ class MultimodalSpec extends SparkSpec {
     got.toSeq shouldBe Seq((1L, 2L, 1), (1L, 4L, 1), (2L, 4L, 2))
   }
 
+  test("videoFrameHashDedup: frame-drop copies align via LCS, shared-" +
+      "hash candidates gate the join, low-overlap pairs filtered") {
+    import org.apache.spark.sql.functions.col
+    val vids = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "c", "d")), // frame 'b' dropped: LCS 3, sim 6/7
+      (3L, Seq("x", "y", "z", "w")), // no shared hash with anyone
+      (4L, Seq("a", "p", "q", "r"))) // shares 'a' only: sim 2/8
+      .toDF("vid", "seq")
+    val got = Multimodal.videoFrameHashDedup(vids, "vid", "seq",
+        minSim = 0.75)
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    got.toSeq shouldBe Seq((1L, 2L, 4L, 3L, 3L))
+    // a REORDERED copy is NOT a near-dup: LCS is order-sensitive
+    val shuffled = Seq(
+      (1L, Seq("a", "b", "c", "d")), (2L, Seq("d", "c", "b", "a")))
+      .toDF("vid", "seq")
+    Multimodal.videoFrameHashDedup(shuffled, "vid", "seq",
+      minSim = 0.5).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.videoFrameHashDedup(vids, "vid", "seq", minSim = 0.0)
+  }
+
   test("decodeWavSamples round-trips exact samples (with clamping) " +
       "through the strict parser") {
     val samples = Seq(0, 100, -32768, 32767, -5, 40000)
