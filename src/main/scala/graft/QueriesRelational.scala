@@ -735,6 +735,59 @@ object QueriesRelational {
       |FROM events WHERE user_id <= 300
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q395
+  /** Privacy-release audit (Privacy.kAnonymityCensus +
+    * lDiversityCensus) — the pre-publication gate for a derived
+    * table: quasi-identifiers (nation, market segment) must not
+    * isolate fewer than k=10 customers, and no QI group may leak the
+    * sensitive in-debt flag by being near-constant in it (l=2). Both
+    * censuses are exact-integer one-pass aggregates; the row is their
+    * join. The release verdict is n_risky_groups = 0 AND
+    * n_low_diversity_groups = 0 — pinned as data, not prose. */
+  private def q395PrivacyAudit(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val qi = Seq("c_nationkey", "c_mktsegment")
+    val ka = graft.operators.Privacy.kAnonymityCensus(cust, qi, k = 10)
+    val ld = graft.operators.Privacy.lDiversityCensus(cust, qi,
+        (col("c_acctbal") < 0).as("in_debt"), l = 2)
+      .select(col("l"), col("n_low_diversity_groups"),
+        col("n_exposed_rows"), col("min_diversity"))
+    ka.crossJoin(broadcast(ld))
+  }
+
+  private val q395Sql =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |ka AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+      |    CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(10 AS BIGINT) AS k,
+      |    CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_risky_groups,
+      |    CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_risky_rows,
+      |    CAST(min(n) AS BIGINT) AS min_group_size,
+      |    CAST(max(n) AS BIGINT) AS max_group_size
+      |  FROM g),
+      |sv AS (
+      |  SELECT c_nationkey, c_mktsegment, (c_acctbal < 0) AS s,
+      |    count(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |dv AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS d,
+      |    sum(n) AS nrows
+      |  FROM sv GROUP BY 1, 2),
+      |ld AS (
+      |  SELECT CAST(2 AS BIGINT) AS l,
+      |    CAST(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_low_diversity_groups,
+      |    CAST(sum(CASE WHEN d < 2 THEN nrows ELSE 0 END) AS BIGINT)
+      |      AS n_exposed_rows,
+      |    CAST(min(d) AS BIGINT) AS min_diversity
+      |  FROM dv)
+      |SELECT ka.*, ld.* FROM ka CROSS JOIN ld""".stripMargin
+
   // --------------------------------------------------------------- q96
   /** Incremental aggregate maintenance (IncrementalAgg.mergeDelta): a
     * published (returnflag, linestatus) rollup built from pre-cutoff
@@ -4336,6 +4389,7 @@ object QueriesRelational {
     "q47_json" -> (q47Json _),
     "q105_orc_roundtrip" -> (q105Orc _),
     "q393_avro_roundtrip" -> (q393AvroRoundtrip _),
+    "q395_privacy_audit" -> (q395PrivacyAudit _),
     "q108_map_surface" -> (q108MapSurface _),
     "q115_salted_skew" -> (q115SaltedSkew _),
     "q117_grouping_sets" -> (q117GroupingSets _),
@@ -4449,6 +4503,7 @@ object QueriesRelational {
     "q47_json" -> q47Sql,
     "q105_orc_roundtrip" -> q105Sql,
     "q393_avro_roundtrip" -> q393Sql,
+    "q395_privacy_audit" -> q395Sql,
     "q108_map_surface" -> q108Sql,
     "q115_salted_skew" -> q115Sql,
     "q117_grouping_sets" -> q117Sql,

@@ -941,6 +941,29 @@ class AnalyticsSpec extends SparkSpec {
       Evaluation.expectedCalibrationError(tie, col("p100"), col("y"), 7)
   }
 
+  test("privacy censuses: hand-computed k-anonymity and l-diversity, " +
+      "NULL QI is its own group") {
+    import graft.operators.Privacy
+    // groups: (A,x):3 rows, (A,y):1, (NULL,x):2
+    val df = Seq(
+      (Some("A"), "x", 1L), (Some("A"), "x", 1L), (Some("A"), "x", 2L),
+      (Some("A"), "y", 1L),
+      (None, "x", 1L), (None, "x", 2L))
+      .toDF("qi1", "qi2", "sens")
+    val ka = Privacy.kAnonymityCensus(df, Seq("qi1", "qi2"), k = 3)
+      .head()
+    (ka.getLong(0), ka.getLong(1), ka.getLong(2), ka.getLong(3),
+      ka.getLong(4), ka.getLong(5), ka.getLong(6)) shouldBe
+      ((6L, 3L, 3L, 2L, 3L, 1L, 3L))
+    // diversity: (A,x) has {1,2} = 2; (A,y) has {1} = 1; (NULL,x) 2
+    val ld = Privacy.lDiversityCensus(df, Seq("qi1", "qi2"),
+      col("sens"), l = 2).head()
+    (ld.getLong(0), ld.getLong(1), ld.getLong(2), ld.getLong(3),
+      ld.getLong(4)) shouldBe ((3L, 2L, 1L, 1L, 1L))
+    an[IllegalArgumentException] should be thrownBy
+      Privacy.kAnonymityCensus(df, Seq("qi1"), k = 1)
+  }
+
   test("entropyProfile: hand-computed H, NULL is a category, " +
       "collapsed column reads collapsed") {
     import graft.operators.Profiler
