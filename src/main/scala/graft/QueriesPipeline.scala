@@ -239,7 +239,100 @@ object QueriesPipeline {
        |FROM scored sc JOIN nin ON nin.batch = sc.batch
        |GROUP BY 1, 2 ORDER BY sc.batch""".stripMargin
 
+  // -------------------------------------------------------------- q396
+  /** Corpus datasheet ("data card", Gebru et al. 2021) — the one-table
+    * release summary a training corpus ships with: size, emptiness,
+    * char/token volume, ASCII share, Gopher-keep rate, exact-dup
+    * content census (distinct fingerprints), and the language/source
+    * mixes, all as one long (metric, value) table of exact BIGINTs.
+    * Each census is one hash aggregate over a shared cached scan
+    * (the mixes key on low-cardinality labels; the fingerprint census
+    * shuffles one row per DISTINCT fingerprint); nothing collects. */
+  private def q396Datasheet(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val empty = col("text").isNull || trim(col("text")) === ""
+    val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(when(empty, 1L).otherwise(0L)), lit(0L))
+          .as("n_empty"),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L))
+          .as("n_chars"),
+        coalesce(sum(TA.tokenCount(col("text")).cast("long")), lit(0L))
+          .as("n_tokens"),
+        coalesce(max(TA.tokenCount(col("text")).cast("long")), lit(0L))
+          .as("max_doc_tokens"),
+        coalesce(sum(when(col("text").rlike("^[\\x20-\\x7e]*$"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_ascii"),
+        coalesce(sum(when(TA.gopherQuality(col("text")).getField("keep"),
+          1L).otherwise(0L)), lit(0L)).as("n_gopher_keep"))
+      .select(expr("stack(7, 'n_docs', n_docs, 'n_empty', n_empty, " +
+        "'n_chars', n_chars, 'n_tokens', n_tokens, " +
+        "'max_doc_tokens', max_doc_tokens, 'n_ascii', n_ascii, " +
+        "'n_gopher_keep', n_gopher_keep) AS (metric, value)"))
+    val fp = d.filter(!empty)
+      .select(TA.fingerprint(col("text")).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("n_distinct_fp").as("metric"), col("value"))
+    val langs = d.groupBy(col("lang")).agg(count(lit(1)).as("value"))
+      .select(concat(lit("lang:"), coalesce(col("lang"), lit("null")))
+        .as("metric"), col("value"))
+    val sources = d.groupBy(col("source")).agg(count(lit(1)).as("value"))
+      .select(concat(lit("source:"), coalesce(col("source"), lit("null")))
+        .as("metric"), col("value"))
+    base.unionAll(fp).unionAll(langs).unionAll(sources)
+      .orderBy(col("metric"))
+  }
+
+  private val q396Sql = {
+    s"""WITH d AS (
+       |  SELECT doc_id, text, lang, source FROM documents),
+       |${gopherGqSqlFrom("d")},
+       |tk AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       |    END AS ntok
+       |  FROM d),
+       |base AS (
+       |  SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value
+       |  FROM d
+       |  UNION ALL
+       |  SELECT 'n_empty', CAST(sum(CASE WHEN text IS NULL
+       |    OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) FROM d
+       |  UNION ALL
+       |  SELECT 'n_chars', CAST(coalesce(sum(length(text)), 0)
+       |    AS BIGINT) FROM d
+       |  UNION ALL
+       |  SELECT 'n_tokens', CAST(sum(ntok) AS BIGINT) FROM tk
+       |  UNION ALL
+       |  SELECT 'max_doc_tokens', CAST(max(ntok) AS BIGINT) FROM tk
+       |  UNION ALL
+       |  SELECT 'n_ascii', CAST(sum(CASE WHEN text IS NOT NULL
+       |    AND regexp_matches(text, '^[\\x20-\\x7e]*$$') THEN 1 ELSE 0
+       |    END) AS BIGINT) FROM d
+       |  UNION ALL
+       |  SELECT 'n_gopher_keep', CAST(sum(CASE WHEN
+       |    coalesce(gq.keep, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM d LEFT JOIN gq ON gq.doc_id = d.doc_id
+       |  UNION ALL
+       |  SELECT 'n_distinct_fp', CAST(count(DISTINCT
+       |    substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |      'g')), 1, 16)) AS BIGINT)
+       |  FROM d WHERE NOT (text IS NULL OR trim(text) = '')
+       |  UNION ALL
+       |  SELECT 'lang:' || coalesce(lang, 'null'),
+       |    CAST(count(*) AS BIGINT) FROM d GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'source:' || coalesce(source, 'null'),
+       |    CAST(count(*) AS BIGINT) FROM d GROUP BY 1)
+       |SELECT metric, value FROM base ORDER BY metric""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q396_corpus_datasheet" -> (q396Datasheet _),
     "q164_pipeline_e2e" -> (q164Pipeline _),
     "q324_incremental_e2e" -> (q324IncrementalPipeline _),
   )
@@ -247,5 +340,6 @@ object QueriesPipeline {
   val oracles: Map[String, String] = Map(
     "q164_pipeline_e2e" -> q164Sql,
     "q324_incremental_e2e" -> q324Sql,
+    "q396_corpus_datasheet" -> q396Sql,
   )
 }
