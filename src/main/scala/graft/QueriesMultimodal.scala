@@ -355,7 +355,10 @@ object QueriesMultimodal {
     * Hamming bit for bit from the events formula. The image-modality
     * sibling of text SimHash dedup, on decoded pixels rather than
     * bytes — a re-encoded copy of the same picture still collides. */
-  private def q389ImageDhashDedup(s: SparkSession, dir: String): DataFrame = {
+  /** q389/q397's shared fixture: 9-wide event images + planted
+    * one-pixel-edit copies, through REAL PNG encode/decode to a
+    * (doc_id, width, height, dhash) table. */
+  private def dhashFixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.load(s, dir, "events")
       .filter(col("value").isNotNull && col("user_id") <= 500)
@@ -375,17 +378,22 @@ object QueriesMultimodal {
     val imgs = base.unionAll(copies)
       .withColumn("width", lit(9))
       .as[Multimodal.Png2dRow]
-    val hashes = Multimodal
-      .pngDHashTable(Multimodal.encodePngTable(imgs)).toDF()
-    Multimodal.hammingNearDupPairs(hashes, "doc_id", "dhash",
-        maxHamming = 6)
+    Multimodal.pngDHashTable(Multimodal.encodePngTable(imgs)).toDF()
+  }
+
+  private def q389ImageDhashDedup(s: SparkSession, dir: String): DataFrame = {
+    Multimodal.hammingNearDupPairs(dhashFixture(s, dir), "doc_id",
+        "dhash", maxHamming = 6)
       .select(col("id1"), col("id2"), col("hamming").cast("int")
         .as("hamming"))
       .orderBy(col("id1"), col("id2"))
   }
 
-  private val q389Sql =
-    """WITH s AS (
+  /** q389/q397's shared oracle CTE chain: events → pixels (+ planted
+    * copies) → pooled cells → bits → two's-complement 64-bit hash →
+    * HUGEINT unsigned form → four 16-bit bands. */
+  private val dhashSqlCtes =
+    """s AS (
       |  SELECT user_id AS doc_id, event_id,
       |    ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 256)
       |      + 256) % 256 AS g
@@ -435,19 +443,22 @@ object QueriesMultimodal {
       |  SELECT doc_id, k.k,
       |    CAST((hv // CAST(k.p AS HUGEINT)) % 65536 AS BIGINT) AS band
       |  FROM uh CROSS JOIN (VALUES (0, 1), (1, 65536),
-      |    (2, 4294967296), (3, 281474976710656)) AS k(k, p)),
-      |cand AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2
-      |  FROM bands a JOIN bands b ON b.k = a.k AND b.band = a.band
-      |    AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT c.id1, c.id2,
-      |  CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INT) AS hamming
-      |FROM cand c
-      |JOIN allh h1 ON h1.doc_id = c.id1
-      |JOIN allh h2 ON h2.doc_id = c.id2
-      |WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 6
-      |ORDER BY c.id1, c.id2""".stripMargin
+      |    (2, 4294967296), (3, 281474976710656)) AS k(k, p))""".stripMargin
+
+  private val q389Sql =
+    s"""WITH $dhashSqlCtes,
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b ON b.k = a.k AND b.band = a.band
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.id1, c.id2,
+       |  CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INT) AS hamming
+       |FROM cand c
+       |JOIN allh h1 ON h1.doc_id = c.id1
+       |JOIN allh h2 ON h2.doc_id = c.id2
+       |WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 6
+       |ORDER BY c.id1, c.id2""".stripMargin
 
   // -------------------------------------------------------------- q390
   /** Perceptual AUDIO dedup end to end (Multimodal.wavAudioHashTable
@@ -666,7 +677,53 @@ object QueriesMultimodal {
       |    / (len(p.c1) + len(p.c2)) >= 0.75
       |ORDER BY p.id1, p.id2""".stripMargin
 
+  // -------------------------------------------------------------- q397
+  /** Incremental perceptual dedup end to end
+    * (IncrementalPerceptualDedup.acceptBatch) — q389's hash table
+    * arriving as THREE batches (doc_id mod 3; the +100000 planted
+    * copies land one batch after their originals since 100000 ≡ 1
+    * mod 3, so every planted pair is cross-batch by construction):
+    * each batch probes the persistent band index built by the EARLIER
+    * batches, flags its items with any earlier near-dup
+    * (Hamming ≤ 6), and appends its own bands. The oracle restates
+    * the whole state machine declaratively — an item flags iff an
+    * earlier-BATCH item shares a band within Hamming 6 — so an index
+    * that self-masks, misses a batch, or double-appends shifts some
+    * item's exact n_hits and fails the row. */
+  private def q397IncrImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = dhashFixture(s, dir)
+      .withColumn("__batch", pmod(col("doc_id"), lit(3)).cast("int"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_incr_dhash").toString
+    (0 until 3).map { b =>
+      graft.operators.IncrementalPerceptualDedup.acceptBatch(
+        hashes.filter(col("__batch") === b)
+          .select(col("doc_id"), col("dhash")),
+        "doc_id", "dhash", idx, s"day$b", maxHamming = 6)
+    }.reduce(_ unionAll _).orderBy(col("doc_id"))
+  }
+
+  private val q397Sql =
+    s"""WITH $dhashSqlCtes,
+       |cand AS (
+       |  SELECT a.doc_id AS did, b.doc_id AS eid
+       |  FROM bands a JOIN bands b ON b.k = a.k AND b.band = a.band
+       |    AND (b.doc_id % 3) < (a.doc_id % 3)
+       |  GROUP BY 1, 2),
+       |fl AS (
+       |  SELECT c.did, c.eid,
+       |    CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INT) AS hamming
+       |  FROM cand c
+       |  JOIN allh h1 ON h1.doc_id = c.did
+       |  JOIN allh h2 ON h2.doc_id = c.eid
+       |  WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 6)
+       |SELECT did AS doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(min(hamming) AS INT) AS min_hamming,
+       |  min(eid) AS min_earlier_id
+       |FROM fl GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q397_incr_image_dedup" -> (q397IncrImageDedup _),
     "q394_video_framehash_dedup" -> (q394VideoDedup _),
     "q390_audio_fingerprint_dedup" -> (q390AudioFingerprint _),
     "q389_image_dhash_dedup" -> (q389ImageDhashDedup _),
@@ -679,6 +736,7 @@ object QueriesMultimodal {
     "q373_png_decode" -> (q373PngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "q397_incr_image_dedup" -> q397Sql,
     "q394_video_framehash_dedup" -> q394Sql,
     "q390_audio_fingerprint_dedup" -> q390Sql,
     "q389_image_dhash_dedup" -> q389Sql,

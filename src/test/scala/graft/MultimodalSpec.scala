@@ -466,6 +466,34 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.videoFrameHashDedup(vids, "vid", "seq", minSim = 0.0)
   }
 
+  test("IncrementalPerceptualDedup: flag-iff-any-earlier-batch, " +
+      "within-batch pairs don't flag, retries are idempotent") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IncrementalPerceptualDedup
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ipd_spec").toString
+    val h = 0x0123456789abcdefL
+    def accept(tag: String, rows: (Long, Long)*) =
+      IncrementalPerceptualDedup.acceptBatch(
+        rows.toSeq.toDF("id", "hash"), "id", "hash", idx, tag,
+        maxHamming = 6)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3)))
+    // batch 0: empty index -> nothing flags
+    accept("b0", (1L, h), (2L, h ^ 0x0f0f0f0f0f0f0f0fL)).toSeq shouldBe
+      Seq.empty
+    // batch 1: 3 and 4 are near-dups of 1 AND of each other — only
+    // the earlier-batch hit flags, once each
+    accept("b1", (3L, h ^ 1L), (4L, h ^ 2L)).toSeq shouldBe
+      Seq((3L, 1L, 1, 1L), (4L, 1L, 1, 1L))
+    // batch 2: 5 sees 1 (d 0), 3 (d 1), 4 (d 1) — all earlier now
+    accept("b2", (5L, h)).toSeq shouldBe Seq((5L, 3L, 0, 1L))
+    // retry of batch 2 under the SAME tag: identical verdicts (the
+    // index excludes the tag's own files while probing)
+    accept("b2", (5L, h)).toSeq shouldBe Seq((5L, 3L, 0, 1L))
+  }
+
   test("decodeWavSamples round-trips exact samples (with clamping) " +
       "through the strict parser") {
     val samples = Seq(0, 100, -32768, 32767, -5, 40000)
