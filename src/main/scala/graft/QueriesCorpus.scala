@@ -2485,7 +2485,91 @@ object QueriesCorpus {
       |JOIN jsd ON jsd.k = tot.k
       |ORDER BY batch""".stripMargin
 
+  // -------------------------------------------------------------- q398
+  /** Unigram-LM (SentencePiece-style) Viterbi segmentation scoring
+    * (UnigramLm.segmentScores) — completes the tokenizer family
+    * beside BPE (q286) and WordPiece: seed vocabulary = top-500
+    * corpus-weighted word-internal substrings (lengths 1..4) plus the
+    * single-character fallback, piece probabilities cnt/total, and
+    * each of the top-100 words scored by the max-Σln p(piece)
+    * segmentation (Viterbi DP over character positions). All counts
+    * and the vocabulary cut are exact integers; best_lnp is a
+    * fixed-order sum of ln terms per DP path (micro-rounded, q60
+    * rule). The oracle rebuilds the vocabulary declaratively and runs
+    * the SAME DP as a recursive CTE with per-position candidate
+    * lists — only the max value is emitted, so segmentation ties can
+    * never flip the row. */
+  private def q398UnigramSegment(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm
+      .segmentScores(docs(s, dir), col("text"),
+        maxPieceLen = 4, vocabSize = 500, topWords = 100)
+      .select(col("word"), col("freq"),
+        col("n_chars").cast("int").as("n_chars"),
+        round(col("best_lnp") * lit(1e6)).cast("long")
+          .as("best_lnp_micro"))
+      .orderBy(col("word"))
+
+  private val q398Sql =
+    """WITH RECURSIVE w AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x != '')) AS word
+      |  FROM documents),
+      |wf AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+      |pc AS (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT wf.freq,
+      |      unnest(list_transform(range(1, length(word) - l.l + 2),
+      |        i -> substr(word, CAST(i AS INT), l.l))) AS piece
+      |    FROM wf CROSS JOIN (VALUES (1), (2), (3), (4)) AS l(l)
+      |    WHERE length(word) >= l.l)
+      |  GROUP BY 1),
+      |top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece
+      |        LIMIT 500),
+      |vocab AS (
+      |  SELECT DISTINCT piece, cnt FROM (
+      |    SELECT piece, cnt FROM top
+      |    UNION ALL
+      |    SELECT piece, cnt FROM pc WHERE length(piece) = 1)),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+      |lp AS (
+      |  SELECT piece,
+      |    ln(CAST(cnt AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lnp
+      |  FROM vocab, tot),
+      |tw AS (SELECT word, freq FROM wf ORDER BY freq DESC, word
+      |       LIMIT 100),
+      |cand AS (
+      |  SELECT tw.word, CAST(t.i AS INT) AS i, CAST(l.l AS INT) AS l,
+      |    lp.lnp
+      |  FROM tw
+      |  CROSS JOIN (VALUES (1), (2), (3), (4)) AS l(l),
+      |    unnest(range(1, length(tw.word) + 1)) AS t(i)
+      |  JOIN lp ON lp.piece =
+      |    substr(tw.word, CAST(t.i - l.l + 1 AS INT), l.l)
+      |  WHERE t.i >= l.l),
+      |pe AS (
+      |  SELECT word, i, list(struct_pack(l := l, lnp := lnp)) AS cands
+      |  FROM cand GROUP BY 1, 2),
+      |step(word, i, dp) AS (
+      |  SELECT word, 0, [CAST(0.0 AS DOUBLE)] FROM tw
+      |  UNION ALL
+      |  SELECT s.word, s.i + 1,
+      |    s.dp || [list_max(list_transform(pe.cands,
+      |      c -> s.dp[s.i + 2 - c.l] + c.lnp))]
+      |  FROM step s
+      |  JOIN tw ON tw.word = s.word
+      |  JOIN pe ON pe.word = s.word AND pe.i = s.i + 1
+      |  WHERE s.i < length(tw.word))
+      |SELECT tw.word, CAST(tw.freq AS BIGINT) AS freq,
+      |  CAST(length(tw.word) AS INT) AS n_chars,
+      |  CAST(round(f.dp[length(tw.word) + 1] * 1e6) AS BIGINT)
+      |    AS best_lnp_micro
+      |FROM tw JOIN step f ON f.word = tw.word
+      |  AND f.i = length(tw.word)
+      |ORDER BY tw.word""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q398_unigram_segment" -> (q398UnigramSegment _),
     "q392_incr_drift" -> (q392IncrDrift _),
     "q385_js_divergence" -> (q385JsDivergence _),
     "q366_zipf_slope" -> (q366ZipfSlope _),
@@ -2571,6 +2655,7 @@ object QueriesCorpus {
     "q67_corpus_diff" -> q67Sql,
     "q385_js_divergence" -> q385Sql,
     "q392_incr_drift" -> q392Sql,
+    "q398_unigram_segment" -> q398Sql,
     "q61_training_order" -> q61Sql,
     "q62_seq_windows" -> q62Sql,
     "q63_vocab_oov" -> q63Sql,

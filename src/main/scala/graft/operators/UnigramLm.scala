@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Unigram language-model segmentation (Kudo 2018, "Subword
+  * Regularization" — the SentencePiece unigram model's INFERENCE
+  * half): given a piece vocabulary with log-probabilities, the best
+  * segmentation of a word maximizes Σ ln p(piece) over all ways to
+  * split it, found by Viterbi DP over character positions. This
+  * completes the tokenization family beside BPE (merge-rule greedy)
+  * and WordPiece (longest-match greedy): unigram is the
+  * probabilistically-principled segmenter, and its best-path score
+  * is the corpus statistic regularization sampling is built on.
+  *
+  * The vocabulary here is frequency-derived (top-V word-internal
+  * substrings by corpus-weighted count, plus every single character
+  * as the unreachability fallback — the standard seed vocabulary;
+  * the full Kudo trainer prunes this by EM, whose float fixed-point
+  * is not a cross-engine contract, so the SEED model is the
+  * oracle-checkable surface and the operator takes any (piece, cnt)
+  * table callers train elsewhere).
+  *
+  * Scale: piece counting is one explode + hash aggregate (one row
+  * per DISTINCT piece shuffles); the vocabulary is model-sized
+  * (V + alphabet rows) and collects to the driver like the IVF
+  * centroid set; scoring is a map-only typed pass — O(len ·
+  * maxPieceLen) per word, words deduped first so each DISTINCT word
+  * pays the DP once.
+  */
+object UnigramLm {
+
+  /** Best-segmentation log-probability of `word` under the piece
+    * log-prob table — Viterbi over end positions: dp(i) = max over
+    * piece lengths l of dp(i−l) + lnp(word[i−l..i)). Returns
+    * -Infinity iff some prefix is unreachable (cannot happen when
+    * every single character is in the vocabulary). */
+  def viterbi(word: String, lnp: collection.Map[String, Double],
+      maxPieceLen: Int): Double = {
+    val L = word.length
+    val dp = Array.fill(L + 1)(Double.NegativeInfinity)
+    dp(0) = 0.0
+    var i = 1
+    while (i <= L) {
+      var l = 1
+      while (l <= maxPieceLen && l <= i) {
+        if (dp(i - l) != Double.NegativeInfinity) {
+          lnp.get(word.substring(i - l, i)) match {
+            case Some(p) =>
+              val cand = dp(i - l) + p
+              if (cand > dp(i)) dp(i) = cand
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    dp(L)
+  }
+
+  /** Corpus-weighted counts of word-internal substrings (lengths
+    * 1..maxPieceLen): one row per DISTINCT piece, counting every
+    * occurrence in every word times the word's corpus frequency.
+    * Input: (word, freq). */
+  def pieceCounts(words: DataFrame, maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen ($maxPieceLen) out of [1, 8]")
+    val pieces = (1 to maxPieceLen).map { l =>
+      words.select(col("freq"),
+          explode(when(length(col("word")) >= l,
+            transform(sequence(lit(1), length(col("word")) - (l - 1)),
+              i => col("word").substr(i, lit(l))))
+            .otherwise(array().cast("array<string>"))).as("piece"))
+    }.reduce(_ unionAll _)
+    pieces.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Seed vocabulary: top-`vocabSize` pieces by (cnt desc, piece asc)
+    * plus every single-character piece (the fallback that keeps all
+    * words segmentable). */
+  def seedVocab(counts: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= 100000,
+      s"vocabSize ($vocabSize) out of [1, 100000]")
+    counts.orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+      .unionAll(counts.filter(length(col("piece")) === 1))
+      .distinct()
+  }
+
+  /** End-to-end scoring of the corpus' most frequent words: tokenize,
+    * count pieces, build the seed vocabulary, and Viterbi-score the
+    * top-`topWords` words. Output one row per scored word:
+    * (word, freq, n_chars, best_lnp) — best_lnp is the only float
+    * (gate rows micro-round it; each dp value is a fixed-order sum of
+    * ln terms, identical cross-engine up to libm ulps). */
+  def segmentScores(docs: DataFrame, textCol: Column,
+      maxPieceLen: Int = 4, vocabSize: Int = 500,
+      topWords: Int = 100): DataFrame = {
+    require(topWords >= 1 && topWords <= 100000,
+      s"topWords ($topWords) out of [1, 100000]")
+    import docs.sparkSession.implicits._
+    val words = docs
+      .select(explode(TextAnalysis.alnumTokens(textCol)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val vocabRows = seedVocab(pieceCounts(words, maxPieceLen), vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = vocabRows.map(_._2).sum
+    val lnp = vocabRows
+      .map { case (p, c) => p -> math.log(c.toDouble / total.toDouble) }
+      .toMap
+    val out = words.orderBy(col("freq").desc, col("word"))
+      .limit(topWords)
+      .as[(String, Long)]
+      .map { case (w, f) =>
+        (w, f, w.length, viterbi(w, lnp, maxPieceLen))
+      }
+      .toDF("word", "freq", "n_chars", "best_lnp")
+    words.unpersist()
+    out
+  }
+}

@@ -629,6 +629,41 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("UnigramLm: hand-computed Viterbi, single-char fallback, " +
+      "piece counting weighted by word frequency") {
+    import graft.operators.UnigramLm
+    // vocab: p(a)=1/2, p(b)=1/4, p(ab)=1/4 — "ab" as ONE piece
+    // (ln 1/4) beats a+b (ln 1/8)
+    val lnp = Map("a" -> math.log(0.5), "b" -> math.log(0.25),
+      "ab" -> math.log(0.25))
+    UnigramLm.viterbi("ab", lnp, maxPieceLen = 2) shouldBe
+      math.log(0.25) +- 1e-15
+    // "ba": no "ba" piece -> b + a = ln(1/8)
+    UnigramLm.viterbi("ba", lnp, maxPieceLen = 2) shouldBe
+      (math.log(0.25) + math.log(0.5)) +- 1e-15
+    // unreachable char -> -Infinity (callers guarantee the fallback)
+    UnigramLm.viterbi("ax", lnp, 2).isNegInfinity shouldBe true
+    // piece counts weight by word frequency; seed vocab keeps every
+    // single char even when it misses the top-V cut
+    val words = Seq(("aa", 10L), ("zq", 1L)).toDF("word", "freq")
+    val counts = UnigramLm.pieceCounts(words, maxPieceLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    counts("a") shouldBe 20L // two occurrences x freq 10
+    counts("aa") shouldBe 10L
+    counts("z") shouldBe 1L
+    val vocab = UnigramLm.seedVocab(
+        UnigramLm.pieceCounts(words, 2), vocabSize = 1)
+      .collect().map(_.getString(0)).toSet
+    vocab should contain allOf ("a", "z", "q") // fallback chars kept
+    // end to end: the most frequent word scores, never -inf
+    val docs = Seq("the cat the cat the").toDF("text")
+    val got = UnigramLm.segmentScores(docs, col("text"),
+      maxPieceLen = 3, vocabSize = 5, topWords = 2)
+      .orderBy("word").collect()
+    got.map(_.getString(0)).toSeq shouldBe Seq("cat", "the")
+    all(got.map(_.getDouble(3))) should be < 0.0
+  }
+
   test("token-budget mixture sample respects quotas deterministically") {
     val docs = (1 to 60).map { i =>
       (i.toLong, s"src${i % 3}", 100)
