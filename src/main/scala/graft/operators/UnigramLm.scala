@@ -60,6 +60,53 @@ object UnigramLm {
     dp(L)
   }
 
+  /** Best segmentation — the PIECES themselves (what a tokenizer
+    * emits), via Viterbi with backpointers. Ties on the dp value
+    * break toward the LONGEST last piece (deterministic within an
+    * engine; gate rows pin the SCORE, which ties can never flip —
+    * see q398). Unreachable words (a character outside the
+    * vocabulary) return Nil; seed vocabularies with the single-char
+    * fallback never produce one. */
+  def segment(word: String, lnp: collection.Map[String, Double],
+      maxPieceLen: Int): Seq[String] = {
+    val L = word.length
+    val dp = Array.fill(L + 1)(Double.NegativeInfinity)
+    val back = Array.fill(L + 1)(0)
+    dp(0) = 0.0
+    var i = 1
+    while (i <= L) {
+      var l = 1
+      while (l <= maxPieceLen && l <= i) {
+        if (dp(i - l) != Double.NegativeInfinity) {
+          lnp.get(word.substring(i - l, i)) match {
+            case Some(p) =>
+              val cand = dp(i - l) + p
+              if (cand > dp(i) || (cand == dp(i) && l > back(i))) {
+                dp(i) = cand
+                back(i) = l
+              }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (dp(L) == Double.NegativeInfinity) Nil
+    else {
+      val out = List.newBuilder[String]
+      var pos = L
+      var acc: List[String] = Nil
+      while (pos > 0) {
+        val l = back(pos)
+        acc = word.substring(pos - l, pos) :: acc
+        pos -= l
+      }
+      out ++= acc
+      out.result()
+    }
+  }
+
   /** Corpus-weighted counts of word-internal substrings (lengths
     * 1..maxPieceLen): one row per DISTINCT piece, counting every
     * occurrence in every word times the word's corpus frequency.

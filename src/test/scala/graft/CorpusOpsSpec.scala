@@ -655,6 +655,14 @@ class CorpusOpsSpec extends SparkSpec {
         UnigramLm.pieceCounts(words, 2), vocabSize = 1)
       .collect().map(_.getString(0)).toSet
     vocab should contain allOf ("a", "z", "q") // fallback chars kept
+    // segmentation output: "ab" one piece; "ba" falls back to chars;
+    // score ties break to the LONGEST last piece
+    UnigramLm.segment("ab", lnp, 2) shouldBe Seq("ab")
+    UnigramLm.segment("ba", lnp, 2) shouldBe Seq("b", "a")
+    UnigramLm.segment("ax", lnp, 2) shouldBe Nil
+    // exact dyadic scores force a bit-exact tie: [a,a] = -2.0 = [aa]
+    val tied = Map("a" -> -1.0, "aa" -> -2.0)
+    UnigramLm.segment("aa", tied, 2) shouldBe Seq("aa") // tie -> longer
     // end to end: the most frequent word scores, never -inf
     val docs = Seq("the cat the cat the").toDF("text")
     val got = UnigramLm.segmentScores(docs, col("text"),
