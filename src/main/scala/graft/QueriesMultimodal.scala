@@ -269,6 +269,59 @@ object QueriesMultimodal {
       |  CAST(arg_max(g, rn) AS INT) AS last_gray
       |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q399
+  /** REAL LZW-compressed codec decode end to end
+    * (Multimodal.encodeGifGray8 / decodeGifGray8) — q373's GIF
+    * sibling and a genuinely DIFFERENT compression family from
+    * PNG/zip/Avro's deflate: dictionary codes with growing 9→12-bit
+    * widths, LSB-first packing, 255-byte sub-blocks, all implemented
+    * from the GIF89a spec with no library at all. Same fixture shape
+    * as q373 (16-wide event images); the pixels pass through actual
+    * LZW compression, so any code-width, dictionary-growth, KwKwK,
+    * or sub-block bug flips the exact-integer features the oracle
+    * recomputes straight from events. */
+  private def q399GifDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") <= 500)
+      .select(col("user_id"), col("event_id"),
+        pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(256L)).cast("int").as("g"))
+    val imgs = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("g"))))
+        .as("a"))
+      .select(col("user_id").as("doc_id"),
+        expr("slice(transform(a, x -> x.g), 1, " +
+          "(size(a) div 16) * 16)").as("lumas"))
+      .filter(size(col("lumas")) >= 16)
+      .withColumn("width", lit(16))
+      .as[Multimodal.Png2dRow]
+    Multimodal.gifFeatureTable(Multimodal.encodeGifTable(imgs))
+      .toDF().orderBy(col("doc_id"))
+  }
+
+  private val q399Sql =
+    """WITH s AS (
+      |  SELECT user_id AS doc_id, event_id,
+      |    ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 256)
+      |      + 256) % 256 AS g
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, g,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY event_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT * FROM r WHERE n >= 16 AND rn <= (n // 16) * 16)
+      |SELECT doc_id, CAST(16 AS INT) AS width,
+      |  CAST(count(*) // 16 AS INT) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(g) AS BIGINT) AS sum_gray,
+      |  CAST(max(g) AS INT) AS max_gray,
+      |  CAST(arg_min(g, rn) AS INT) AS first_gray,
+      |  CAST(arg_max(g, rn) AS INT) AS last_gray
+      |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- q377
   /** Mixed-media dispatch end to end: one binary `content` column
     * carrying WAV, BMP, AND PNG blobs (all REAL-encoded per user from
@@ -724,6 +777,7 @@ object QueriesMultimodal {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q397_incr_image_dedup" -> (q397IncrImageDedup _),
+    "q399_gif_decode" -> (q399GifDecode _),
     "q394_video_framehash_dedup" -> (q394VideoDedup _),
     "q390_audio_fingerprint_dedup" -> (q390AudioFingerprint _),
     "q389_image_dhash_dedup" -> (q389ImageDhashDedup _),
@@ -737,6 +791,7 @@ object QueriesMultimodal {
 
   val oracles: Map[String, String] = Map(
     "q397_incr_image_dedup" -> q397Sql,
+    "q399_gif_decode" -> q399Sql,
     "q394_video_framehash_dedup" -> q394Sql,
     "q390_audio_fingerprint_dedup" -> q390Sql,
     "q389_image_dhash_dedup" -> q389Sql,

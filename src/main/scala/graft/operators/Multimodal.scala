@@ -87,6 +87,10 @@ object Multimodal {
           new String(bytes, 8, 4, "US-ASCII") == "WAVE") {
         val f = decodeWavPcm16(bytes)
         Decoded(0, 0, math.min(f.n_samples, Int.MaxValue.toLong).toInt)
+      } else if (bytes.length >= 6 &&
+          new String(bytes, 0, 4, "US-ASCII") == "GIF8") {
+        val f = decodeGifGray8(bytes)
+        Decoded(f.width, f.height, 1)
       } else {
         val magic = bytes.take(4).map("%02x".format(_)).mkString
         throw new UnsupportedOperationException(
@@ -799,6 +803,286 @@ object Multimodal {
       .localCheckpoint(true)
     h.unpersist()
     result
+  }
+
+  // --------------------------------------------------------------- GIF
+  // A FOURTH real compressed codec (beside PNG/zip deflate and Avro
+  // deflate): GIF's LZW is a genuinely different compression family
+  // (dictionary codes with growing code width, LSB-first bit packing,
+  // 255-byte sub-blocks), implemented here from the GIF89a spec in
+  // pure Scala — no library involved at all.
+
+  case class GifFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, sum_gray: Long, max_gray: Int,
+      first_gray: Int, last_gray: Int)
+
+  /** GIF-variant LZW encode of 8-bit index data: 9→12-bit growing
+    * codes, clear/EOI, dictionary reset at 4096, LSB-first packing. */
+  private def lzwEncode(idx: Array[Int]): Array[Byte] = {
+    val minCode = 8
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeSize = minCode + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    emit(clear)
+    var cur = idx(0)
+    var i = 1
+    while (i < idx.length) {
+      val k = idx(i)
+      val key = Integer.valueOf((cur << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (next == 4096) {
+          emit(clear)
+          dict = new java.util.HashMap[Integer, Integer]()
+          next = eoi + 1
+          codeSize = minCode + 1
+        } else {
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    emit(cur)
+    emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decode (strict): mirrors [[lzwEncode]]'s growth
+    * rule — the decoder's table lags the encoder's by one entry, so
+    * its width switch fires at 2ⁿ−1 (the classic GIF off-by-one). */
+  private def lzwDecode(data: Array[Byte], nExpected: Int): Array[Int] = {
+    val minCode = 8
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val append = new Array[Int](4096)
+    val out = new Array[Int](nExpected)
+    var outN = 0
+    var codeSize = minCode + 1
+    var next = eoi + 1
+    var prev = -1
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    def expandInto(code: Int): Int = { // returns first byte
+      // walk to the root collecting the chain, then write forward
+      var stack = List.empty[Int]
+      var c = code
+      while (c >= clear + 2) { stack = append(c) :: stack; c = prefix(c) }
+      val first = c
+      require(first < clear, s"corrupt LZW chain root $first")
+      require(outN + 1 + stack.length <= nExpected,
+        s"LZW output overruns ${nExpected} pixels")
+      out(outN) = first; outN += 1
+      stack.foreach { b => out(outN) = b; outN += 1 }
+      first
+    }
+    var done = false
+    while (!done) {
+      while (bitCnt < codeSize && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt
+        bitCnt += 8
+        pos += 1
+      }
+      require(bitCnt >= codeSize, "LZW stream truncated")
+      val code = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize
+      bitCnt -= codeSize
+      if (code == clear) {
+        next = eoi + 1
+        codeSize = minCode + 1
+        prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev < 0) {
+        require(code < clear, s"first code after clear is $code")
+        require(outN < nExpected, "LZW output overruns")
+        out(outN) = code; outN += 1
+        prev = code
+      } else {
+        require(code <= next, s"LZW code $code beyond table ($next)")
+        val first =
+          if (code < next) expandInto(code)
+          else { // code == next: the KwKwK case
+            val f = firstByteOf(code = prev, clear, prefix, append)
+            // entry = expand(prev) ++ first(expand(prev))
+            val start = outN
+            expandInto(prev)
+            require(outN < nExpected, "LZW output overruns")
+            out(outN) = f; outN += 1
+            out(start) // first byte of prev's expansion
+          }
+        if (next < 4096) {
+          prefix(next) = prev
+          append(next) = first
+          next += 1
+          if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    require(outN == nExpected,
+      s"LZW decoded $outN pixels, geometry says $nExpected")
+    out
+  }
+
+  private def firstByteOf(code: Int, clear: Int,
+      prefix: Array[Int], append: Array[Int]): Int = {
+    var c = code
+    while (c >= clear + 2) c = prefix(c)
+    c
+  }
+
+  /** Encode 8-bit grayscale pixels into a standard GIF89a blob:
+    * logical screen + 256-entry grayscale palette + one image block,
+    * LZW-compressed, 255-byte sub-blocks. */
+  def encodeGifGray8(lumas: Seq[Int], width: Int): Array[Byte] = {
+    require(width >= 1 && width <= 0xffff, s"bad width $width")
+    require(lumas.nonEmpty && lumas.length % width == 0,
+      s"luma count ${lumas.length} not a multiple of width $width")
+    val height = lumas.length / width
+    require(height <= 0xffff, s"bad height $height")
+    require(lumas.forall(g => g >= 0 && g <= 255), "luma out of [0,255]")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u16(width); u16(height)
+    out.write(0xf7) // GCT present, 8 bits/color, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // aspect
+    var g = 0
+    while (g < 256) { out.write(g); out.write(g); out.write(g); g += 1 }
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(width); u16(height)
+    out.write(0)    // no LCT, no interlace
+    out.write(8)    // LZW min code size
+    val lzw = lzwEncode(lumas.toArray)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Strict GIF decode → exact-integer grayscale features: signature,
+    * screen descriptor, REQUIRED grayscale global palette (r = g = b —
+    * color GIFs fail loudly, nothing is averaged silently), extension
+    * blocks skipped by length, single non-interlaced image, LZW
+    * inflate with exact pixel-count geometry check, trailing-data
+    * check. The fail-loudly contract of the WAV/BMP/PNG walkers. */
+  def decodeGifGray8(bytes: Array[Byte]): GifFeatures = {
+    require(bytes.length >= 13, s"truncated GIF: ${bytes.length} bytes")
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    require(sig == "GIF89a" || sig == "GIF87a", s"bad signature $sig")
+    def at(o: Int): Int = {
+      require(o < bytes.length, s"blob ends at $o (truncated GIF)")
+      bytes(o) & 0xff
+    }
+    def u16(off: Int): Int = at(off) | (at(off + 1) << 8)
+    val packed = bytes(10) & 0xff
+    require((packed & 0x80) != 0, "no global color table")
+    val gctSize = 2 << (packed & 7)
+    var off = 13
+    val palette = new Array[Int](gctSize)
+    var i = 0
+    while (i < gctSize) {
+      val r = bytes(off) & 0xff
+      val gg = bytes(off + 1) & 0xff
+      val b = bytes(off + 2) & 0xff
+      require(r == gg && gg == b,
+        s"non-grayscale palette entry $i ($r,$gg,$b)")
+      palette(i) = r
+      i += 1
+      off += 3
+    }
+    // walk blocks: skip extensions, find the image descriptor
+    while (at(off) == 0x21) {
+      off += 2 // 0x21 + label
+      var blk = at(off)
+      while (blk != 0) {
+        off += 1 + blk
+        blk = at(off)
+      }
+      off += 1 // terminator
+    }
+    require(at(off) == 0x2c,
+      f"expected image descriptor, got 0x${at(off)}%02x")
+    val width = u16(off + 5)
+    val height = u16(off + 7)
+    val ipacked = at(off + 9)
+    require((ipacked & 0x80) == 0, "local color table unsupported")
+    require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+    require(width >= 1 && height >= 1, s"bad geometry ${width}x$height")
+    off += 10
+    val minCode = at(off)
+    require(minCode == 8, s"unsupported LZW min code size $minCode")
+    off += 1
+    val data = new java.io.ByteArrayOutputStream()
+    var blk = at(off)
+    while (blk != 0) {
+      require(off + 1 + blk < bytes.length, "image data overruns blob")
+      data.write(bytes, off + 1, blk)
+      off += 1 + blk
+      blk = at(off)
+    }
+    off += 1
+    require(at(off) == 0x3b, "missing GIF trailer")
+    require(off == bytes.length - 1,
+      s"${bytes.length - 1 - off} trailing bytes after trailer")
+    val nPix = width * height
+    val idx = lzwDecode(data.toByteArray, nPix)
+    var sum = 0L; var maxG = 0; var first = -1; var last = -1
+    var k = 0
+    while (k < nPix) {
+      val ci = idx(k)
+      require(ci < gctSize, s"pixel index $ci outside palette")
+      val g2 = palette(ci)
+      sum += g2
+      if (g2 > maxG) maxG = g2
+      if (first < 0) first = g2
+      last = g2
+      k += 1
+    }
+    GifFeatures(0L, width, height, nPix.toLong, sum, maxG, first, last)
+  }
+
+  /** Per-partition GIF encode of row-major grayscale images. */
+  def encodeGifTable(rows: Dataset[Png2dRow]): Dataset[WavRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map(r =>
+      WavRow(r.doc_id, encodeGifGray8(r.lumas, r.width))))
+  }
+
+  /** Per-partition GIF decode → exact-integer features. */
+  def gifFeatureTable(media: Dataset[WavRow]): Dataset[GifFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      decodeGifGray8(r.content).copy(doc_id = r.doc_id)))
   }
 
   case class AudioHashRow(doc_id: Long, sample_rate: Int,

@@ -441,6 +441,65 @@ class MultimodalSpec extends SparkSpec {
     got.toSeq shouldBe Seq((1L, 2L, 1), (1L, 4L, 1), (2L, 4L, 2))
   }
 
+  test("GIF round trip: real LZW through growing code widths and a " +
+      "dictionary reset, multi-row geometry, exact features") {
+    // small image
+    val lumas = Seq(10, 20, 30, 40, 50, 60)
+    val bytes = Multimodal.encodeGifGray8(lumas, width = 3)
+    new String(bytes.take(6), "US-ASCII") shouldBe "GIF89a"
+    val f = Multimodal.decodeGifGray8(bytes)
+    (f.width, f.height, f.n_pixels) shouldBe (3, 2, 6L)
+    f.sum_gray shouldBe 210L
+    (f.first_gray, f.last_gray, f.max_gray) shouldBe (10, 60, 60)
+    // pseudo-random 12000-px image: the LZW dictionary passes every
+    // code width 9..12 AND the 4096 reset; geometry stays exact
+    var seed = 0x5eed5eedL
+    val big = Seq.fill(12000) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 256).toInt
+    }
+    val fb = Multimodal.decodeGifGray8(
+      Multimodal.encodeGifGray8(big, width = 100))
+    (fb.width, fb.height, fb.n_pixels) shouldBe (100, 120, 12000L)
+    fb.sum_gray shouldBe big.map(_.toLong).sum
+    fb.first_gray shouldBe big.head
+    fb.last_gray shouldBe big.last
+    // highly repetitive content (LZW's best case) also round-trips
+    val rep = (0 until 3000).map(i => (i / 100) % 7 * 30)
+    val fr = Multimodal.decodeGifGray8(
+      Multimodal.encodeGifGray8(rep, width = 50))
+    fr.sum_gray shouldBe rep.map(_.toLong).sum
+  }
+
+  test("GIF decode fails loudly on malformed input, never fabricates") {
+    val good = Multimodal.encodeGifGray8(Seq(1, 2, 3, 4), width = 2)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGifGray8(good.take(10)) // truncated header
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGifGray8(badMagic)
+    // a COLOR palette entry must fail loudly, not silently average
+    val colored = good.clone()
+    colored(13) = 99.toByte // red of palette entry 0 != green/blue
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGifGray8(colored)
+    // truncated image data
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGifGray8(good.dropRight(3))
+    // trailing garbage after the trailer
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGifGray8(good ++ Array[Byte](1, 2))
+    // geometry lying about the pixel count: patch height 2 -> 3
+    val lied = good.clone()
+    val idOff = 13 + 768 // image descriptor
+    lied(idOff + 7) = 3.toByte
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGifGray8(lied)
+    // RealCodecDecoder dispatches GIF on magic
+    new Multimodal.RealCodecDecoder().decode(good) shouldBe
+      Multimodal.Decoded(2, 2, 1)
+  }
+
   test("videoFrameHashDedup: frame-drop copies align via LCS, shared-" +
       "hash candidates gate the join, low-overlap pairs filtered") {
     import org.apache.spark.sql.functions.col

@@ -159,6 +159,26 @@ class R8PropertySpec extends SparkSpec {
     }
   }
 
+  test("GIF codec: decode∘encode recovers reference pixel moments on " +
+      "random geometries (LZW through mixed entropy levels)") {
+    (0 until 30).foreach { t =>
+      val w = 1 + rnd.nextInt(23)
+      val h = 1 + rnd.nextInt(13)
+      // alternate high-entropy and repetitive content: both LZW paths
+      val lumas =
+        if (t % 2 == 0) Seq.fill(w * h)(rnd.nextInt(256))
+        else Seq.tabulate(w * h)(i => (i / (1 + rnd.nextInt(9))) % 5 * 40)
+      val f = Multimodal.decodeGifGray8(
+        Multimodal.encodeGifGray8(lumas, w))
+      (f.width, f.height) shouldBe (w, h)
+      f.n_pixels shouldBe w.toLong * h
+      f.sum_gray shouldBe lumas.map(_.toLong).sum
+      f.max_gray shouldBe lumas.max
+      f.first_gray shouldBe lumas.head
+      f.last_gray shouldBe lumas.last
+    }
+  }
+
   test("tokenLcs matches a brute-force full-matrix reference on random " +
       "token arrays (small alphabet forces repeats and ties)") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
