@@ -324,7 +324,7 @@ object QueriesMultimodal {
 
   // -------------------------------------------------------------- q377
   /** Mixed-media dispatch end to end: one binary `content` column
-    * carrying WAV, BMP, AND PNG blobs (all REAL-encoded per user from
+    * carrying WAV, BMP, PNG, AND GIF blobs (all REAL-encoded per user from
     * events), fed through the production multimodal API —
     * `extractFeatures` with a per-partition `RealCodecDecoder` — which
     * must dispatch each blob on its magic bytes to the right strict
@@ -364,7 +364,15 @@ object QueriesMultimodal {
         .withColumn("width", lit(16))
         .as[Multimodal.Png2dRow])
       .toDF().withColumn("kind", lit("image_png"))
-    val media = wavs.unionAll(bmps).unionAll(pngs)
+    val gifs = Multimodal.encodeGifTable(
+      grouped.select(col("user_id").as("doc_id"),
+        expr("slice(transform(a, x -> x.g), 1, (size(a) div 16) * 16)")
+          .as("lumas"))
+        .filter(size(col("lumas")) >= 16)
+        .withColumn("width", lit(16))
+        .as[Multimodal.Png2dRow])
+      .toDF().withColumn("kind", lit("image_gif"))
+    val media = wavs.unionAll(bmps).unionAll(pngs).unionAll(gifs)
       .select(col("doc_id"), col("content"), col("kind"))
       .as[Multimodal.MediaRow]
     Multimodal.extractFeatures(media,
@@ -390,6 +398,10 @@ object QueriesMultimodal {
       |  FROM s
       |  UNION ALL
       |  SELECT doc_id, 'image_png', CAST(16 AS INT),
+      |    CAST(n // 16 AS INT), CAST(1 AS INT)
+      |  FROM s WHERE n >= 16
+      |  UNION ALL
+      |  SELECT doc_id, 'image_gif', CAST(16 AS INT),
       |    CAST(n // 16 AS INT), CAST(1 AS INT)
       |  FROM s WHERE n >= 16)
       |ORDER BY kind, doc_id""".stripMargin

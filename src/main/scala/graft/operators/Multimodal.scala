@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   * the features are oracle-reproducible. Everything the JDK can decode
   * decodes for REAL: RIFF/WAVE PCM audio (`encodeWavPcm16`/
   * `decodeWavPcm16`, gated by q367), 24-bit uncompressed BMP images
-  * (`encodeBmpGray24`/`decodeBmpGray24`, gated by q368), and — a true
-  * COMPRESSED codec — non-interlaced 8-bit PNG (`encodePngGray8`/
+  * (`encodeBmpGray24`/`decodeBmpGray24`, gated by q368), and TWO true
+  * COMPRESSED codecs — non-interlaced 8-bit PNG (`encodePngGray8`/
   * `decodePngGray8`, gated by q373: zlib inflate via
   * `java.util.zip.Inflater` + the five scanline filter types, which
-  * are pure byte arithmetic). `RealCodecDecoder` dispatches on magic
-  * bytes — real parse for these, a loud
-  * UnsupportedOperationException for library-bound formats.
+  * are pure byte arithmetic) and GIF89a grayscale (`encodeGifGray8`/
+  * `decodeGifGray8`, gated by q399: the LZW dictionary coder
+  * implemented from the spec with no library at all).
+  * `RealCodecDecoder` dispatches on magic bytes — real parse for
+  * these, a loud UnsupportedOperationException for library-bound
+  * formats (JPEG's DCT stack, H.264, MP3).
   *
   * Scale: feature extraction is map-only over the binary column;
   * `binaryFile` sources should cap `maxPartitionBytes` so a task's batch
