@@ -322,6 +322,80 @@ object QueriesMultimodal {
       |  CAST(arg_max(g, rn) AS INT) AS last_gray
       |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q400
+  /** REAL pixel resize end to end (Multimodal.resizePixels over
+    * decodePngLumas): the q373 images decode through real PNG
+    * compression, nearest-neighbor-resize to a fixed 8×8 thumbnail
+    * (down- OR up-sampling depending on each image's height — both
+    * paths on the hash), and emit exact-integer thumbnail features.
+    * NN sampling is exact integer SELECTION (target (i,j) reads
+    * source (⌊iH/8⌋, ⌊j·16/8⌋)), so the oracle recomputes every
+    * thumbnail pixel straight from events with no float anywhere —
+    * the real-pixel half of the q251 resize row, which only sized. */
+  private def q400ImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") <= 500)
+      .select(col("user_id"), col("event_id"),
+        pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(256L)).cast("int").as("g"))
+    val imgs = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("g"))))
+        .as("a"))
+      .select(col("user_id").as("doc_id"),
+        expr("slice(transform(a, x -> x.g), 1, " +
+          "(size(a) div 16) * 16)").as("lumas"))
+      .filter(size(col("lumas")) >= 16)
+      .withColumn("width", lit(16))
+      .as[Multimodal.Png2dRow]
+    Multimodal.encodePngTable(imgs)
+      .map { r =>
+        val (w, h, lumas) = Multimodal.decodePngLumas(r.content)
+        val t = Multimodal.resizePixels(lumas, w, h, tw = 8, th = 8)
+        (r.doc_id, w, h, 8, 8, t.map(_.toLong).sum, t.max,
+          t.head, t.last)
+      }
+      .toDF("doc_id", "src_w", "src_h", "tw", "th", "sum_gray",
+        "max_gray", "first_gray", "last_gray")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q400Sql =
+    """WITH s AS (
+      |  SELECT user_id AS doc_id, event_id,
+      |    ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 256)
+      |      + 256) % 256 AS g
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, g,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY event_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT doc_id, g, rn, (n // 16) * 16 AS np FROM r
+      |      WHERE n >= 16 AND rn <= (n // 16) * 16),
+      |geom AS (SELECT doc_id, CAST(max(np) // 16 AS INT) AS h FROM u
+      |         GROUP BY 1),
+      |tpix AS (
+      |  SELECT g2.doc_id, t.i, t.j,
+      |    ((t.i * g2.h) // 8) * 16 + ((t.j * 16) // 8) + 1 AS src_rn
+      |  FROM geom g2,
+      |    (SELECT a.i, b.j FROM unnest(range(0, 8)) AS a(i),
+      |       unnest(range(0, 8)) AS b(j)) t),
+      |tv AS (
+      |  SELECT tp.doc_id, tp.i, tp.j, u.g
+      |  FROM tpix tp JOIN u ON u.doc_id = tp.doc_id
+      |    AND u.rn = tp.src_rn)
+      |SELECT tv.doc_id,
+      |  CAST(16 AS INT) AS src_w, geom.h AS src_h,
+      |  CAST(8 AS INT) AS tw, CAST(8 AS INT) AS th,
+      |  CAST(sum(tv.g) AS BIGINT) AS sum_gray,
+      |  CAST(max(tv.g) AS INT) AS max_gray,
+      |  CAST(arg_min(tv.g, tv.i * 8 + tv.j) AS INT) AS first_gray,
+      |  CAST(arg_max(tv.g, tv.i * 8 + tv.j) AS INT) AS last_gray
+      |FROM tv JOIN geom ON geom.doc_id = tv.doc_id
+      |GROUP BY tv.doc_id, geom.h ORDER BY tv.doc_id""".stripMargin
+
   // -------------------------------------------------------------- q377
   /** Mixed-media dispatch end to end: one binary `content` column
     * carrying WAV, BMP, PNG, AND GIF blobs (all REAL-encoded per user from
@@ -790,6 +864,7 @@ object QueriesMultimodal {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q397_incr_image_dedup" -> (q397IncrImageDedup _),
     "q399_gif_decode" -> (q399GifDecode _),
+    "q400_image_resize" -> (q400ImageResize _),
     "q394_video_framehash_dedup" -> (q394VideoDedup _),
     "q390_audio_fingerprint_dedup" -> (q390AudioFingerprint _),
     "q389_image_dhash_dedup" -> (q389ImageDhashDedup _),
@@ -804,6 +879,7 @@ object QueriesMultimodal {
   val oracles: Map[String, String] = Map(
     "q397_incr_image_dedup" -> q397Sql,
     "q399_gif_decode" -> q399Sql,
+    "q400_image_resize" -> q400Sql,
     "q394_video_framehash_dedup" -> q394Sql,
     "q390_audio_fingerprint_dedup" -> q390Sql,
     "q389_image_dhash_dedup" -> q389Sql,

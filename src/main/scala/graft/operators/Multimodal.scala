@@ -705,6 +705,32 @@ object Multimodal {
       decodePngGray8(r.content).copy(doc_id = r.doc_id)))
   }
 
+  /** Nearest-neighbor resize of a row-major luma plane — the REAL
+    * pixel half of the preprocessing step [[resizeDims]] only sized:
+    * target pixel (i, j) samples source (⌊i·H/th⌋, ⌊j·W/tw⌋) — exact
+    * integer selection (no interpolation arithmetic to diverge
+    * cross-engine), valid for down- AND up-sampling. */
+  def resizePixels(lumas: Array[Int], width: Int, height: Int,
+      tw: Int, th: Int): Array[Int] = {
+    require(width >= 1 && height >= 1 && lumas.length == width * height,
+      s"bad source geometry ${width}x$height for ${lumas.length} lumas")
+    require(tw >= 1 && th >= 1 && tw.toLong * th <= (1L << 32),
+      s"bad target geometry ${tw}x$th")
+    val out = new Array[Int](tw * th)
+    var i = 0
+    while (i < th) {
+      val sr = (i.toLong * height / th).toInt
+      var j = 0
+      while (j < tw) {
+        val sc = (j.toLong * width / tw).toInt
+        out(i * tw + j) = lumas(sr * width + sc)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   case class DHashRow(doc_id: Long, width: Int, height: Int, dhash: Long)
 
   /** 64-bit difference hash (dHash — the standard perceptual image

@@ -471,6 +471,23 @@ class MultimodalSpec extends SparkSpec {
     fr.sum_gray shouldBe rep.map(_.toLong).sum
   }
 
+  test("resizePixels: exact nearest-neighbor selection, down- and " +
+      "up-sampling, identity at equal dims") {
+    // 4x2 source, halve to 2x1: picks (0,0) and (0,2)
+    val src = Array(1, 2, 3, 4, 5, 6, 7, 8)
+    Multimodal.resizePixels(src, 4, 2, tw = 2, th = 1).toSeq shouldBe
+      Seq(1, 3)
+    // upsample 2x1 -> 4x2: each source pixel replicated 2x2
+    Multimodal.resizePixels(Array(9, 7), 2, 1, 4, 2).toSeq shouldBe
+      Seq(9, 9, 7, 7, 9, 9, 7, 7)
+    // identity
+    Multimodal.resizePixels(src, 4, 2, 4, 2).toSeq shouldBe src.toSeq
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.resizePixels(src, 4, 2, 0, 1)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.resizePixels(src, 3, 2, 2, 2) // length mismatch
+  }
+
   test("GIF decode fails loudly on malformed input, never fabricates") {
     val good = Multimodal.encodeGifGray8(Seq(1, 2, 3, 4), width = 2)
     an[IllegalArgumentException] should be thrownBy
