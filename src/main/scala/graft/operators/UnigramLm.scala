@@ -135,6 +135,91 @@ object UnigramLm {
       .distinct()
   }
 
+  /** log(Σ exp) without overflow/underflow — the forward-backward
+    * accumulator. Empty input -> -Infinity. */
+  private def logSumExp(xs: Seq[Double]): Double = {
+    val finite = xs.filter(_ != Double.NegativeInfinity)
+    if (finite.isEmpty) Double.NegativeInfinity
+    else {
+      val m = finite.max
+      m + math.log(finite.map(x => math.exp(x - m)).sum)
+    }
+  }
+
+  /** Expected piece counts under the CURRENT model — the E-step of the
+    * Kudo 2018 unigram-LM trainer: per word, forward-backward over
+    * segmentations (log-space, so long words can't underflow) gives
+    * each piece occurrence's posterior α(start)+lnp+β(end)−α(L); the
+    * corpus expectation weights by word frequency and aggregates per
+    * piece with one hash aggregate. Map-only per word; the model
+    * travels in the closure like the Viterbi scorer's.
+    *
+    * SPEC-ONLY by design (the ORACLE_NOTES estimator rule): posterior
+    * masses are float sums whose fixed point is not a cross-engine
+    * contract — the oracle-gated surface is the seed vocabulary and
+    * the Viterbi score (q398). */
+  def emExpectedCounts(words: DataFrame, lnp: Map[String, Double],
+      maxPieceLen: Int): DataFrame = {
+    import words.sparkSession.implicits._
+    words.select(col("word"), col("freq"))
+      .as[(String, Long)]
+      .flatMap { case (w, f) =>
+        val L = w.length
+        val alpha = Array.fill(L + 1)(Double.NegativeInfinity)
+        val beta = Array.fill(L + 1)(Double.NegativeInfinity)
+        alpha(0) = 0.0
+        for (i <- 1 to L)
+          alpha(i) = logSumExp((1 to math.min(maxPieceLen, i)).flatMap {
+            l => lnp.get(w.substring(i - l, i)).map(alpha(i - l) + _)
+          })
+        beta(L) = 0.0
+        for (j <- (L - 1) to 0 by -1)
+          beta(j) = logSumExp(
+            (1 to math.min(maxPieceLen, L - j)).flatMap { l =>
+              lnp.get(w.substring(j, j + l)).map(_ + beta(j + l))
+            })
+        val z = alpha(L)
+        if (z == Double.NegativeInfinity) Iterator.empty
+        else (for {
+          j <- 0 until L
+          l <- 1 to math.min(maxPieceLen, L - j)
+          p <- lnp.get(w.substring(j, j + l))
+        } yield (w.substring(j, j + l),
+          f * math.exp(alpha(j) + p + beta(j + l) - z))).iterator
+      }
+      .toDF("piece", "exp_count")
+      .groupBy(col("piece"))
+      .agg(sum(col("exp_count")).as("exp_count"))
+  }
+
+  /** One full EM iteration: E-step expected counts, M-step renormalize
+    * into a new log-probability table (driver-collected — the model is
+    * vocabulary-sized). Corpus log-likelihood Σ freq·ln Z is
+    * non-decreasing across iterations (the EM guarantee, spec-pinned). */
+  def emIteration(words: DataFrame, lnp: Map[String, Double],
+      maxPieceLen: Int): Map[String, Double] = {
+    val counts = emExpectedCounts(words, lnp, maxPieceLen)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val total = counts.map(_._2).sum
+    counts.map { case (p, c) => p -> math.log(c / total) }.toMap
+  }
+
+  /** Corpus log-likelihood Σ freq·ln Z(word) under the model (Z = the
+    * total probability of all segmentations — the quantity EM
+    * ascends). Driver-side over a collected word table (spec use). */
+  def corpusLogLikelihood(words: Seq[(String, Long)],
+      lnp: Map[String, Double], maxPieceLen: Int): Double =
+    words.map { case (w, f) =>
+      val L = w.length
+      val alpha = Array.fill(L + 1)(Double.NegativeInfinity)
+      alpha(0) = 0.0
+      for (i <- 1 to L)
+        alpha(i) = logSumExp((1 to math.min(maxPieceLen, i)).flatMap {
+          l => lnp.get(w.substring(i - l, i)).map(alpha(i - l) + _)
+        })
+      f * alpha(L)
+    }.sum
+
   /** End-to-end scoring of the corpus' most frequent words: tokenize,
     * count pieces, build the seed vocabulary, and Viterbi-score the
     * top-`topWords` words. Output one row per scored word:

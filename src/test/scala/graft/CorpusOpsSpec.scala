@@ -672,6 +672,37 @@ class CorpusOpsSpec extends SparkSpec {
     all(got.map(_.getDouble(3))) should be < 0.0
   }
 
+  test("UnigramLm EM: hand-computed posteriors, expected piece mass, " +
+      "non-decreasing corpus likelihood") {
+    import graft.operators.UnigramLm
+    // word "ab" (freq 3), vocab p(a)=1/2, p(b)=1/4, p(ab)=1/4:
+    // segmentations [ab] 1/4 and [a,b] 1/8, Z = 3/8 ->
+    // posterior([ab]) = 2/3; E[ab] = 2, E[a] = E[b] = 1 at freq 3
+    val lnp = Map("a" -> math.log(0.5), "b" -> math.log(0.25),
+      "ab" -> math.log(0.25))
+    val words = Seq(("ab", 3L)).toDF("word", "freq")
+    val e = UnigramLm.emExpectedCounts(words, lnp, maxPieceLen = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    e("ab") shouldBe 2.0 +- 1e-9
+    e("a") shouldBe 1.0 +- 1e-9
+    e("b") shouldBe 1.0 +- 1e-9
+    // total expected mass = freq x expected segmentation length (4/3)
+    e.values.sum shouldBe 4.0 +- 1e-9
+    // EM ascends the corpus likelihood on a mixed fixture
+    val corpus = Seq(("ab", 5L), ("ba", 2L), ("aab", 3L))
+    val wdf = corpus.toDF("word", "freq")
+    var model = lnp
+    var prev = UnigramLm.corpusLogLikelihood(corpus, model, 2)
+    (0 until 3).foreach { _ =>
+      model = UnigramLm.emIteration(wdf, model, maxPieceLen = 2)
+      val ll = UnigramLm.corpusLogLikelihood(corpus, model, 2)
+      ll should be >= prev - 1e-12
+      prev = ll
+    }
+    // probabilities stay normalized: sum of exp(lnp) = 1
+    model.values.map(math.exp).sum shouldBe 1.0 +- 1e-12
+  }
+
   test("token-budget mixture sample respects quotas deterministically") {
     val docs = (1 to 60).map { i =>
       (i.toLong, s"src${i % 3}", 100)
