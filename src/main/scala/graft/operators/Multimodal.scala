@@ -712,9 +712,11 @@ object Multimodal {
     * cross-engine), valid for down- AND up-sampling. */
   def resizePixels(lumas: Array[Int], width: Int, height: Int,
       tw: Int, th: Int): Array[Int] = {
-    require(width >= 1 && height >= 1 && lumas.length == width * height,
+    require(width >= 1 && height >= 1 &&
+      width.toLong * height == lumas.length,
       s"bad source geometry ${width}x$height for ${lumas.length} lumas")
-    require(tw >= 1 && th >= 1 && tw.toLong * th <= (1L << 32),
+    // 2^28 keeps tw*th inside Int (and the thumbnail under 1 GiB)
+    require(tw >= 1 && th >= 1 && tw.toLong * th <= (1L << 28),
       s"bad target geometry ${tw}x$th")
     val out = new Array[Int](tw * th)
     var i = 0
@@ -751,10 +753,12 @@ object Multimodal {
   def dHash64(lumas: Array[Int], width: Int, height: Int): Long = {
     require(width >= 9 && height >= 8,
       s"dHash needs width >= 9 and height >= 8, got ${width}x$height")
-    require(lumas.length == width * height,
-      s"luma count ${lumas.length} != ${width}x$height")
+    // Long-side bound BEFORE the length equality: width*height in Int
+    // could wrap and make the mismatch message lie about the cause
     require(width.toLong * height <= (1L << 32),
       s"image above 4 gigapixels (${width}x$height)")
+    require(width.toLong * height == lumas.length,
+      s"luma count ${lumas.length} != ${width}x$height")
     val sums = Array.ofDim[Long](8, 9)
     val cnts = Array.ofDim[Long](8, 9)
     var r = 0

@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
   * must be readable without a re-encode hop.
   *
   * Field-type subset: long / int / double / string / boolean, each
-  * written as the standard nullable union `["null", T]`. Blocks are
-  * DEFLATE-compressed (a third REAL compressed codec beside PNG/zip
-  * — the bytes on disk round-trip actual decompression).
+  * written as the standard nullable union `["null", T]`. Column
+  * names must be valid Avro names ([A-Za-z_][A-Za-z0-9_]*) —
+  * SchemaBuilder rejects others loudly; alias such columns first.
+  * Blocks are DEFLATE-compressed (a third REAL compressed codec
+  * beside PNG/zip — the bytes on disk round-trip actual
+  * decompression).
   *
   * Scale: write is one container per partition (no driver
   * involvement); read is `binaryFile` + per-blob DataFileStream —
