@@ -288,8 +288,10 @@ object QueriesQuality {
       .orderBy(col("doc_id"))
   }
 
-  private val q381Sql =
-    s"""WITH $normSql,
+  /** q381/q401's shared oracle CTE chain, ending in the per-doc
+    * ml(doc_id, n_bigrams, ml_micro) table. */
+  private val mlSqlCtes =
+    s"""$normSql,
        |tin AS (SELECT * FROM norm WHERE doc_id % 7 = 0),
        |gbg AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
@@ -320,13 +322,76 @@ object QueriesQuality {
        |  LEFT JOIN ihc ON ihc.w1 = sb.w1
        |  LEFT JOIN gbc ON gbc.w1 = sb.w1 AND gbc.w2 = sb.w2
        |  LEFT JOIN ghc ON ghc.w1 = sb.w1
-       |  CROSS JOIN iv CROSS JOIN gv)
-       |SELECT doc_id, count(*) AS n_bigrams,
-       |  CAST(round((-list_aggregate(list_sort(list(lnp_in)), 'sum')
-       |      / count(*)
-       |    - (-list_aggregate(list_sort(list(lnp_gen)), 'sum')
-       |      / count(*))) * 1e6) AS BIGINT) AS ml_micro
-       |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin
+       |  CROSS JOIN iv CROSS JOIN gv),
+       |ml AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(round((-list_aggregate(list_sort(list(lnp_in)), 'sum')
+       |        / count(*)
+       |      - (-list_aggregate(list_sort(list(lnp_gen)), 'sum')
+       |        / count(*))) * 1e6) AS BIGINT) AS ml_micro
+       |  FROM lp GROUP BY 1)""".stripMargin
+
+  private val q381Sql =
+    s"""WITH $mlSqlCtes
+       |SELECT doc_id, n_bigrams, ml_micro FROM ml
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q401
+  /** Preference-pair mining for RLHF/DPO data prep: within every
+    * (lang, source) bucket, pair the MOST in-domain document (minimal
+    * Moore–Lewis score = "chosen") against the LEAST ("rejected"),
+    * keeping pairs whose score gap clears 0.2 nats — the standard
+    * construction when contrast comes from a scalar quality/domain
+    * signal rather than human labels. Verdicts are fully integer:
+    * ranking keys are q381's micro-rounded BIGINT scores with doc_id
+    * tie-breaks (lexicographic struct min/max ≡ the oracle's
+    * two-window row_number), so a float can never flip a pair. */
+  private def q401PreferencePairs(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val ml = graft.operators.LanguageModel
+      .mooreLewis(all, all.filter(pmod(col("doc_id"), lit(7)) === 0),
+        all, "doc_id", "text")
+      .select(col("doc_id"),
+        round(col("ml_diff") * lit(1e6)).cast("long").as("ml_micro"))
+    ml.join(all.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(min(struct(col("ml_micro"), col("doc_id"))).as("__c"),
+        max(struct(col("ml_micro"), col("doc_id"))).as("__r"))
+      .select(col("lang"), col("source"),
+        col("__c").getField("doc_id").as("chosen_id"),
+        col("__r").getField("doc_id").as("rejected_id"),
+        col("__c").getField("ml_micro").as("chosen_ml"),
+        col("__r").getField("ml_micro").as("rejected_ml"),
+        (col("__r").getField("ml_micro") -
+          col("__c").getField("ml_micro")).as("gap"))
+      .filter(col("gap") >= 200000L)
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q401Sql =
+    s"""WITH $mlSqlCtes,
+       |dm AS (
+       |  SELECT d.lang, d.source, ml.doc_id, ml.ml_micro
+       |  FROM ml JOIN documents d ON d.doc_id = ml.doc_id),
+       |ch AS (
+       |  SELECT lang, source, doc_id, ml_micro,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY ml_micro, doc_id) AS rn
+       |  FROM dm),
+       |rj AS (
+       |  SELECT lang, source, doc_id, ml_micro,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY ml_micro DESC, doc_id DESC) AS rn
+       |  FROM dm)
+       |SELECT c.lang, c.source,
+       |  c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+       |  c.ml_micro AS chosen_ml, r.ml_micro AS rejected_ml,
+       |  r.ml_micro - c.ml_micro AS gap
+       |FROM ch c JOIN rj r ON r.lang = c.lang AND r.source = c.source
+       |WHERE c.rn = 1 AND r.rn = 1
+       |  AND r.ml_micro - c.ml_micro >= 200000
+       |ORDER BY c.lang, c.source""".stripMargin
 
   // --------------------------------------------------------------- q64
   /** LM-noise threshold for the funnel: sits in a measured ~9e-3 gap
@@ -1185,6 +1250,7 @@ object QueriesQuality {
     "q60_lm_score" -> (q60LmScore _),
     "q380_kneser_ney" -> (q380KneserNey _),
     "q381_moore_lewis" -> (q381MooreLewis _),
+    "q401_preference_pairs" -> (q401PreferencePairs _),
     "q64_quality_funnel" -> (q64Funnel _),
   )
 
@@ -1208,6 +1274,7 @@ object QueriesQuality {
     "q60_lm_score" -> q60Sql,
     "q380_kneser_ney" -> q380Sql,
     "q381_moore_lewis" -> q381Sql,
+    "q401_preference_pairs" -> q401Sql,
     "q64_quality_funnel" -> q64Sql,
   )
 }
