@@ -226,14 +226,19 @@ object QueriesMultimodal {
     * compression: any filter-reconstruction, zlib-boundary, or
     * geometry bug flips the hash. first/last are position-dependent,
     * so row-order bugs can't hide behind the sums. */
-  private def q373PngDecode(s: SparkSession, dir: String): DataFrame = {
+  /** q373/q399/q400's shared fixture: per-user 16-wide grayscale
+    * images from events cents (event_id order, truncated to whole
+    * rows) — one definition so a luma-formula or slicing tweak can
+    * never silently diverge between the codec rows. */
+  private def events16Images(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.Png2dRow] = {
     import s.implicits._
-    val ev = Tables.load(s, dir, "events")
+    Tables.load(s, dir, "events")
       .filter(col("value").isNotNull && col("user_id") <= 500)
       .select(col("user_id"), col("event_id"),
         pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
           lit(256L)).cast("int").as("g"))
-    val imgs = ev.groupBy(col("user_id"))
+      .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("event_id"), col("g"))))
         .as("a"))
       .select(col("user_id").as("doc_id"),
@@ -242,9 +247,12 @@ object QueriesMultimodal {
       .filter(size(col("lumas")) >= 16)
       .withColumn("width", lit(16))
       .as[Multimodal.Png2dRow]
-    Multimodal.pngFeatureTable(Multimodal.encodePngTable(imgs))
-      .toDF().orderBy(col("doc_id"))
   }
+
+  private def q373PngDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pngFeatureTable(
+        Multimodal.encodePngTable(events16Images(s, dir)))
+      .toDF().orderBy(col("doc_id"))
 
   private val q373Sql =
     """WITH s AS (
@@ -280,25 +288,10 @@ object QueriesMultimodal {
     * LZW compression, so any code-width, dictionary-growth, KwKwK,
     * or sub-block bug flips the exact-integer features the oracle
     * recomputes straight from events. */
-  private def q399GifDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ev = Tables.load(s, dir, "events")
-      .filter(col("value").isNotNull && col("user_id") <= 500)
-      .select(col("user_id"), col("event_id"),
-        pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
-          lit(256L)).cast("int").as("g"))
-    val imgs = ev.groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("event_id"), col("g"))))
-        .as("a"))
-      .select(col("user_id").as("doc_id"),
-        expr("slice(transform(a, x -> x.g), 1, " +
-          "(size(a) div 16) * 16)").as("lumas"))
-      .filter(size(col("lumas")) >= 16)
-      .withColumn("width", lit(16))
-      .as[Multimodal.Png2dRow]
-    Multimodal.gifFeatureTable(Multimodal.encodeGifTable(imgs))
+  private def q399GifDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.gifFeatureTable(
+        Multimodal.encodeGifTable(events16Images(s, dir)))
       .toDF().orderBy(col("doc_id"))
-  }
 
   private val q399Sql =
     """WITH s AS (
@@ -334,21 +327,7 @@ object QueriesMultimodal {
     * the real-pixel half of the q251 resize row, which only sized. */
   private def q400ImageResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.load(s, dir, "events")
-      .filter(col("value").isNotNull && col("user_id") <= 500)
-      .select(col("user_id"), col("event_id"),
-        pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
-          lit(256L)).cast("int").as("g"))
-    val imgs = ev.groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("event_id"), col("g"))))
-        .as("a"))
-      .select(col("user_id").as("doc_id"),
-        expr("slice(transform(a, x -> x.g), 1, " +
-          "(size(a) div 16) * 16)").as("lumas"))
-      .filter(size(col("lumas")) >= 16)
-      .withColumn("width", lit(16))
-      .as[Multimodal.Png2dRow]
-    Multimodal.encodePngTable(imgs)
+    Multimodal.encodePngTable(events16Images(s, dir))
       .map { r =>
         val (w, h, lumas) = Multimodal.decodePngLumas(r.content)
         val t = Multimodal.resizePixels(lumas, w, h, tw = 8, th = 8)
@@ -830,8 +809,12 @@ object QueriesMultimodal {
     * that self-masks, misses a batch, or double-appends shifts some
     * item's exact n_hits and fails the row. */
   private def q397IncrImageDedup(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint once: each acceptBatch call materializes its banded
+    // input eagerly — uncached, the PNG encode/decode/dHash fixture
+    // would re-run per batch (3× the row's real cost)
     val hashes = dhashFixture(s, dir)
       .withColumn("__batch", pmod(col("doc_id"), lit(3)).cast("int"))
+      .localCheckpoint(true)
     val idx = java.nio.file.Files
       .createTempDirectory("graft_incr_dhash").toString
     (0 until 3).map { b =>

@@ -353,7 +353,12 @@ object QueriesQuality {
         all, "doc_id", "text")
       .select(col("doc_id"),
         round(col("ml_diff") * lit(1e6)).cast("long").as("ml_micro"))
-    ml.join(all.select(col("doc_id"), col("lang"), col("source")),
+    // NULL bucket labels fold to the literal 'null' (the q396
+    // convention) — Spark's groupBy keeps NULL groups but the
+    // oracle's equality join would drop them, a latent divergence
+    ml.join(all.select(col("doc_id"),
+          coalesce(col("lang"), lit("null")).as("lang"),
+          coalesce(col("source"), lit("null")).as("source")),
         Seq("doc_id"))
       .groupBy(col("lang"), col("source"))
       .agg(min(struct(col("ml_micro"), col("doc_id"))).as("__c"),
@@ -372,7 +377,9 @@ object QueriesQuality {
   private val q401Sql =
     s"""WITH $mlSqlCtes,
        |dm AS (
-       |  SELECT d.lang, d.source, ml.doc_id, ml.ml_micro
+       |  SELECT coalesce(d.lang, 'null') AS lang,
+       |    coalesce(d.source, 'null') AS source,
+       |    ml.doc_id, ml.ml_micro
        |  FROM ml JOIN documents d ON d.doc_id = ml.doc_id),
        |ch AS (
        |  SELECT lang, source, doc_id, ml_micro,

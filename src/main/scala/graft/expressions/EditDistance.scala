@@ -82,12 +82,17 @@ object EditDistanceUtil {
     val cur = new Array[Int](n + 1)
     var i = 1
     while (i <= m) {
-      val ai = a.getUTF8String(i - 1)
+      // isNullAt BEFORE getUTF8String: UnsafeArrayData returns an
+      // EMPTY (non-null) string for a null slot, so a null-check on
+      // the returned value is representation-dependent — null tokens
+      // must never match under ANY physical layout
+      val aNull = a.isNullAt(i - 1)
+      val ai = if (aNull) null else a.getUTF8String(i - 1)
       var j = 1
       while (j <= n) {
-        val bj = b.getUTF8String(j - 1)
         cur(j) =
-          if (ai != null && bj != null && ai.equals(bj)) prev(j - 1) + 1
+          if (!aNull && !b.isNullAt(j - 1) &&
+              ai.equals(b.getUTF8String(j - 1))) prev(j - 1) + 1
           else math.max(prev(j), cur(j - 1))
         j += 1
       }

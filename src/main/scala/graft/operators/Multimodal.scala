@@ -1044,9 +1044,9 @@ object Multimodal {
     val palette = new Array[Int](gctSize)
     var i = 0
     while (i < gctSize) {
-      val r = bytes(off) & 0xff
-      val gg = bytes(off + 1) & 0xff
-      val b = bytes(off + 2) & 0xff
+      val r = at(off)
+      val gg = at(off + 1)
+      val b = at(off + 2)
       require(r == gg && gg == b,
         s"non-grayscale palette entry $i ($r,$gg,$b)")
       palette(i) = r
@@ -1071,6 +1071,11 @@ object Multimodal {
     require((ipacked & 0x80) == 0, "local color table unsupported")
     require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
     require(width >= 1 && height >= 1, s"bad geometry ${width}x$height")
+    // Long-side bound BEFORE any allocation: header-claimed geometry
+    // must not drive an Int overflow or a multi-GB buffer from a
+    // tiny crafted blob (the dHash64/resizePixels rule)
+    require(width.toLong * height <= (1L << 28),
+      s"image above 256 megapixels (${width}x$height)")
     off += 10
     val minCode = at(off)
     require(minCode == 8, s"unsupported LZW min code size $minCode")
@@ -1194,10 +1199,19 @@ object Multimodal {
     * @return (id1, id2, n1, n2, lcs, sim) with sim >= minSim */
   def videoFrameHashDedup(videos: DataFrame, idCol: String,
       seqCol: String, minSim: Double,
-      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+      maxFrames: Int = 4096): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, s"minSim ($minSim) out of (0, 1]")
+    // 4096² = 2²⁴ DP cells — TokenLcsExpression's hard bound. Longer
+    // videos TRUNCATE to their first maxFrames hashes for BOTH the
+    // counts and the alignment (the rougeL discipline: the metric is
+    // quadratic per pair; sample frames sparser upstream instead of
+    // raising this).
+    require(maxFrames >= 1 && maxFrames <= 4096,
+      s"maxFrames ($maxFrames) out of [1, 4096]")
     import org.apache.spark.sql.graftshim.ColumnBridge.{column => C, expression => E}
-    val v = videos.select(col(idCol), col(seqCol).as("__seq"))
+    val v = videos
+      .select(col(idCol), slice(col(seqCol), 1, maxFrames).as("__seq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = v.withColumn("__bands", col("__seq"))
     val pairs = Dedup.candidatePairs(banded, idCol, "__bands",

@@ -94,7 +94,6 @@ object UnigramLm {
     }
     if (dp(L) == Double.NegativeInfinity) Nil
     else {
-      val out = List.newBuilder[String]
       var pos = L
       var acc: List[String] = Nil
       while (pos > 0) {
@@ -102,8 +101,7 @@ object UnigramLm {
         acc = word.substring(pos - l, pos) :: acc
         pos -= l
       }
-      out ++= acc
-      out.result()
+      acc
     }
   }
 
@@ -242,6 +240,8 @@ object UnigramLm {
     val lnp = vocabRows
       .map { case (p, c) => p -> math.log(c.toDouble / total.toDouble) }
       .toMap
+    // materialize BEFORE unpersisting: the returned frame still reads
+    // the cached word table for the top-words pass
     val out = words.orderBy(col("freq").desc, col("word"))
       .limit(topWords)
       .as[(String, Long)]
@@ -249,6 +249,7 @@ object UnigramLm {
         (w, f, w.length, viterbi(w, lnp, maxPieceLen))
       }
       .toDF("word", "freq", "n_chars", "best_lnp")
+      .localCheckpoint(true)
     words.unpersist()
     out
   }
