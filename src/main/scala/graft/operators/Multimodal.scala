@@ -811,6 +811,16 @@ object Multimodal {
     * [[audioEnergyHash64]] audio hashes both feed it; because the
     * hashes come from DECODED content, a re-compressed copy of the
     * same picture or clip still collides.
+    *
+    * Scale model (R8Smoke-measured, BENCH_NOTES round-8 stanza): true
+    * pairs grow linearly, but random band collisions add
+    * ~4·N²/2¹⁷ verify-only candidates (birthday on four 16-bit
+    * bands — the realized counts match this prediction within 0.2%).
+    * The constant is tiny, the term is quadratic: beyond ~10M hashes
+    * per invocation, SHARD the corpus (near-dups of a shard union are
+    * the union of per-shard runs plus cross-shard runs) or extend the
+    * banding; `maxBucketSize` protects against HOT buckets
+    * (boilerplate blank thumbnails), not against this diffuse term.
     * @return (id1, id2, hamming) with id1 < id2 */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String,
       hashCol: String, maxHamming: Int = 10,
