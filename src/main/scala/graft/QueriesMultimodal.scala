@@ -476,7 +476,7 @@ object QueriesMultimodal {
   /** q389/q397's shared fixture: 9-wide event images + planted
     * one-pixel-edit copies, through REAL PNG encode/decode to a
     * (doc_id, width, height, dhash) table. */
-  private def dhashFixture(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dhashFixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.load(s, dir, "events")
       .filter(col("value").isNotNull && col("user_id") <= 500)
@@ -825,7 +825,7 @@ object QueriesMultimodal {
     }.reduce(_ unionAll _).orderBy(col("doc_id"))
   }
 
-  private val q397Sql =
+  private[graft] val q397Sql =
     s"""WITH $dhashSqlCtes,
        |cand AS (
        |  SELECT a.doc_id AS did, b.doc_id AS eid

@@ -405,7 +405,57 @@ object QueriesStreaming {
 
   // -------------------------------------------------------------- export
 
+  // -------------------------------------------------------------- q402
+  /** STREAMING perceptual dedup — q397's incremental band index
+    * driven by a REAL Structured Streaming run (the q110 lifecycle):
+    * the dHash fixture lands as three mtime-ordered parquet files
+    * (one per doc_id-mod-3 batch), a file-source stream replays them
+    * one micro-batch each under AvailableNow, and foreachBatch runs
+    * IncrementalPerceptualDedup.acceptBatch against the growing
+    * index, staging each micro-batch's flags idempotently (the
+    * at-least-once guard: a replayed batch republishes over its own
+    * tag instead of double-appending). The collected flag table must
+    * equal q397's — the SAME declarative oracle gates both, so the
+    * streaming harness can add or lose nothing. */
+  private def q402StreamPerceptual(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IncrementalPerceptualDedup, ParquetTable}
+    val work = java.nio.file.Files.createTempDirectory("graft_sperc")
+    val deltaDir = work.resolve("delta").toString
+    val ckpt = work.resolve("ckpt").toString
+    val idx = work.resolve("index").toString
+    val out = work.resolve("flags").toString
+    val hashes = QueriesMultimodal.dhashFixture(s, dir)
+      .withColumn("__batch", pmod(col("doc_id"), lit(3)).cast("int"))
+      .localCheckpoint(true)
+    writeOrderedFiles((0 until 3).map(b =>
+      hashes.filter(col("__batch") === b)
+        .select(col("doc_id"), col("dhash"))), deltaDir)
+    val schema = s.read.parquet(deltaDir).schema
+    withShufflePartitions(s, 4) {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            val flags = IncrementalPerceptualDedup.acceptBatch(
+              df.toDF(), "doc_id", "dhash", idx, s"day$batchId",
+              maxHamming = 6)
+            ParquetTable.appendStaged(flags, out, s"day$batchId")
+            ()
+        }
+        .start()
+      if (!q.awaitTermination(180000L))
+        throw new IllegalStateException(
+          "streaming perceptual dedup timed out")
+    }
+    ParquetTable.read(s, out).orderBy(col("doc_id"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q402_stream_perceptual" -> (q402StreamPerceptual _),
     "q194_stream_enrich" -> (q194StreamEnrich _),
     "q222_stream_cusum" -> (q222StreamCusum _),
     "q27_stream_window" -> (q27Window _),
@@ -416,6 +466,7 @@ object QueriesStreaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "q402_stream_perceptual" -> QueriesMultimodal.q397Sql,
     "q194_stream_enrich" -> q194Sql,
     "q222_stream_cusum" -> q222Sql,
     "q27_stream_window" -> q27Sql,
