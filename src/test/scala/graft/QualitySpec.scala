@@ -489,6 +489,41 @@ class QualitySpec extends SparkSpec {
     empty.getBoolean(6) shouldBe false
   }
 
+  test("c4Quality codegen'd expression is field-for-field equivalent " +
+      "to the composed reference on edge inputs and real corpus text") {
+    import graft.functions.{TextAnalysis => TA}
+    val edges = Seq(
+      "Plain sentence with enough words here.",
+      "\tTab-led line with many words inside.", // split's leading-empty
+      "Carriage return tail with words here.\r", // $ before \r
+      "  spaces   around  many   words  here. ", // space-only trim
+      "Ends with a quote and five words\"",
+      "JAVASCRIPT required to read this page.", // case-folded drop
+      "Multi. Dots! And? Questions. Here too.",
+      "lorem ipsum in the body of text.",
+      "brace { in a perfectly good sentence.",
+      "word", "", "   ", "\n\n\n",
+      "Ünïcödé wörds with àccents count fine tóó.",
+      (1 to 40).map(i => s"Generated sentence number $i is long enough.")
+        .mkString("\n"),
+      null)
+    val df = edges.toDF("text")
+    val a = df.select(TA.c4Quality(col("text")).as("g"))
+      .select("g.*").collect().map(_.toSeq)
+    val b = df.select(TA.c4QualityComposed(col("text")).as("g"))
+      .select("g.*").collect().map(_.toSeq)
+    a.toSeq shouldBe b.toSeq
+    // real corpus text at sf0.001: every field identical
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ga = docs.select(col("doc_id"), TA.c4Quality(col("text")).as("g"))
+      .orderBy("doc_id").select("g.*").collect().map(_.toSeq)
+    val gb = docs.select(col("doc_id"),
+        TA.c4QualityComposed(col("text")).as("g"))
+      .orderBy("doc_id").select("g.*").collect().map(_.toSeq)
+    ga.toSeq shouldBe gb.toSeq
+  }
+
   test("mojibakeStats counts each damage signature and flags any hit") {
     val rows = Seq(
       "clean text",
