@@ -311,7 +311,16 @@ object TextAnalysis {
     * of pure Column expressions — map-only projection at any scale,
     * and every metric is an exact int ratio (single division of exact
     * integers), so cross-engine floats are bit-identical. */
-  def gopherQuality(text: Column): Column = {
+  def gopherQuality(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.expressions.GopherQualityExpression(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(
+          coalesce(text, lit("")))))
+
+  /** Reference Column-composition form of [[gopherQuality]] (kept for
+    * the equivalence spec; five interpreted higher-order filters per
+    * document — do not use in hot paths). */
+  private[graft] def gopherQualityComposed(text: Column): Column = {
     val words = tokens(text)
     val nWords = size(words).cast("long")
     val lines = split(text, "\n")

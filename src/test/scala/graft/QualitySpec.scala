@@ -489,6 +489,36 @@ class QualitySpec extends SparkSpec {
     empty.getBoolean(6) shouldBe false
   }
 
+  test("gopherQuality codegen'd expression is field-for-field " +
+      "equivalent to the composed reference (ratios bit-identical)") {
+    import graft.functions.{TextAnalysis => TA}
+    val edges = Seq(
+      "- bullet line\n* another\nplain text line here",
+      "trailing dots...\nand an ellipsis …  \nnormal",
+      "# symbols ### and ...... dots",
+      "\tTab-led words make the split artifact",
+      "the of and a in is it you that he was for on are",
+      "àçcéntéd wörds with nö ascii letters ùü",
+      "😀𝒜 supplementary code points count once each",
+      "word\n\n\nword\n", "", "   ", null,
+      (1 to 80).map(i => s"steady word$i the").mkString(" "))
+    val df = edges.toDF("text")
+    val a = df.select(TA.gopherQuality(col("text")).as("g"))
+      .select("g.*").collect().map(_.toSeq)
+    val b = df.select(TA.gopherQualityComposed(col("text")).as("g"))
+      .select("g.*").collect().map(_.toSeq)
+    a.toSeq shouldBe b.toSeq
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ga = docs.select(col("doc_id"),
+        TA.gopherQuality(col("text")).as("g"))
+      .orderBy("doc_id").select("g.*").collect().map(_.toSeq)
+    val gb = docs.select(col("doc_id"),
+        TA.gopherQualityComposed(col("text")).as("g"))
+      .orderBy("doc_id").select("g.*").collect().map(_.toSeq)
+    ga.toSeq shouldBe gb.toSeq
+  }
+
   test("c4Quality codegen'd expression is field-for-field equivalent " +
       "to the composed reference on edge inputs and real corpus text") {
     import graft.functions.{TextAnalysis => TA}
