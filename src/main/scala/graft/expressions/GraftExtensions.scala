@@ -23,6 +23,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Gr
   *   graft_cms(x[, d, w])           -> array    (count-min sketch aggregate)
   *   graft_tdigest(x, q[, delta])   -> double   (t-digest quantile aggregate)
   *   graft_repetition_stats(text)   -> struct   (Gopher repetition rules)
+  *   graft_c4_quality(text)         -> struct   (C4 line/page battery, codegen'd)
+  *   graft_gopher_quality(text)     -> struct   (Gopher quality rules, codegen'd)
   *   graft_redact_pii(text)         -> string   (email/phone/IPv4 mask)
   *   graft_zorder(x, y[, bits])     -> bigint   (z-order clustering key)
   *   st_point(lon, lat)             -> struct   (composed built-ins)
@@ -142,6 +144,13 @@ object GraftExtensions {
     ("graft_int_dot", info("graft_int_dot", "exact int8 dot product"),
       (exprs: Seq[Expression]) =>
         IntDotExpression(exprs(0), exprs(1))),
+    ("graft_c4_quality", info("graft_c4_quality", "C4 structural rules"),
+      (exprs: Seq[Expression]) =>
+        C4QualityExpression(fn("coalesce", exprs.head, lit("")))),
+    ("graft_gopher_quality", info("graft_gopher_quality",
+        "Gopher quality rules"),
+      (exprs: Seq[Expression]) =>
+        GopherQualityExpression(fn("coalesce", exprs.head, lit("")))),
     ("graft_token_lcs", info("graft_token_lcs",
         "longest common token subsequence"),
       (exprs: Seq[Expression]) =>

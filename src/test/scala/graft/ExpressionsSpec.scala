@@ -72,6 +72,22 @@ class ExpressionsSpec extends SparkSpec {
     r.isNullAt(2) shouldBe true
   }
 
+  test("graft_c4_quality and graft_gopher_quality are SQL-callable " +
+      "with NULL-safe coalescing") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_c4_quality(
+        |    'One good sentence with plenty words here.\nTwo more fine
+        |     sentences follow this one. And a third one lands here.'
+        |  ).keep AS c4_keep,
+        |  graft_gopher_quality(CAST(NULL AS STRING)).n_words AS gw,
+        |  graft_c4_quality(CAST(NULL AS STRING)).n_lines AS cl
+        |""".stripMargin).head()
+    r.getLong(1) shouldBe 0L
+    r.getLong(2) shouldBe 0L
+  }
+
   test("st_transform is SQL-callable across the SRID matrix") {
     GraftExtensions.register(spark)
     Seq((-73.5, 40.5)).toDF("lon", "lat").createOrReplaceTempView("ext_geo")

@@ -159,6 +159,26 @@ class R8PropertySpec extends SparkSpec {
     }
   }
 
+  test("c4/gopher codegen'd batteries equal the composed references " +
+      "on seeded random text (whitespace zoo, punctuation, unicode)") {
+    import graft.functions.{TextAnalysis => TA}
+    val alphabet =
+      "abc DEF.!?\"#…{}-*• \t\n\r àé一😀" + "lorem ipsum javascript"
+    def randText(): String =
+      Seq.fill(1 + rnd.nextInt(300))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    val texts = Seq.fill(60)(randText())
+    val df = texts.toDF("text")
+    df.select(TA.c4Quality(col("text")).as("g")).select("g.*")
+      .collect().map(_.toSeq).toSeq shouldBe
+      df.select(TA.c4QualityComposed(col("text")).as("g")).select("g.*")
+        .collect().map(_.toSeq).toSeq
+    df.select(TA.gopherQuality(col("text")).as("g")).select("g.*")
+      .collect().map(_.toSeq).toSeq shouldBe
+      df.select(TA.gopherQualityComposed(col("text")).as("g"))
+        .select("g.*").collect().map(_.toSeq).toSeq
+  }
+
   test("GIF codec: decode∘encode recovers reference pixel moments on " +
       "random geometries (LZW through mixed entropy levels)") {
     (0 until 30).foreach { t =>
