@@ -69,6 +69,17 @@ object QueriesStreaming {
     try body finally s.conf.set(key, old)
   }
 
+  /** Await an AvailableNow run; on timeout STOP the query before
+    * throwing — a zombie stream would keep executing micro-batches in
+    * the shared session and skew every subsequent row's wall. */
+  private def awaitOrStop(q: org.apache.spark.sql.streaming.StreamingQuery,
+      what: String): Unit =
+    if (!q.awaitTermination(180000L)) {
+      q.stop()
+      throw new IllegalStateException(s"$what timed out")
+    }
+
+
   // --------------------------------------------------------------- q27
   /** Tumbling 1-hour windowed counts per event type. */
   private def q27Window(s: SparkSession, dir: String): DataFrame =
@@ -182,8 +193,7 @@ object QueriesStreaming {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch(refresh)
         .start()
-      if (!q.awaitTermination(180000L))
-        throw new IllegalStateException("incremental refresh stream timed out")
+      awaitOrStop(q, "incremental refresh stream")
     }
     // gate shape: the exact decimal sum leaves as BIGINT cents (r5
     // adjudication — the driver's hasher rejects decimal128 sums even
@@ -253,8 +263,7 @@ object QueriesStreaming {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(180000L))
-      throw new IllegalStateException("streaming dedup timed out")
+    awaitOrStop(q, "streaming dedup")
     s.read.parquet(outDir)
       .groupBy((col("k") % 25).as("bucket"))
       .agg(count(lit(1)).as("n_keys"))
@@ -304,8 +313,7 @@ object QueriesStreaming {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(180000L))
-      throw new IllegalStateException("streaming cusum timed out")
+    awaitOrStop(q, "streaming cusum")
     s.read.parquet(outDir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_alarms"),
@@ -380,8 +388,7 @@ object QueriesStreaming {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(180000L))
-      throw new IllegalStateException("streaming enrichment timed out")
+    awaitOrStop(q, "streaming enrichment")
     s.read.parquet(outDir)
       .filter(col("window_start") < lit("2024-02-01").cast("timestamp"))
       .orderBy(col("window_start"), col("c_mktsegment"))
@@ -447,9 +454,7 @@ object QueriesStreaming {
             ()
         }
         .start()
-      if (!q.awaitTermination(180000L))
-        throw new IllegalStateException(
-          "streaming perceptual dedup timed out")
+      awaitOrStop(q, "streaming perceptual dedup")
     }
     ParquetTable.read(s, out).orderBy(col("doc_id"))
   }

@@ -42,10 +42,7 @@ object IncrementalPerceptualDedup {
     val banded = batch
       .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__h"))
       .select(col("__id"), col("__h"),
-        explode(array((0 until 4).map(k =>
-          concat(lit(s"b$k:"),
-            shiftrightunsigned(col("__h"), 16 * k)
-              .bitwiseAND(lit(0xffffL)).cast("string"))): _*)).as("band"))
+        explode(Multimodal.bands64(col("__h"))).as("band"))
       // two consumers (probe + index append): run the banding once
       .localCheckpoint(true)
     val indexDf = readIndexExcluding(spark, indexPath, batchTag)

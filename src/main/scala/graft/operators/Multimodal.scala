@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column support (north-star extension):
@@ -67,9 +67,10 @@ object Multimodal {
         .digest(bytes).map("%02x".format(_)).mkString
   }
 
-  /** Real codec-backed decoder for every format the JDK can parse —
-    * BMP (24-bit uncompressed), RIFF/WAVE PCM, and zlib-compressed
-    * non-interlaced 8-bit PNG — handled by the strict decoders below;
+  /** Real codec-backed decoder for every format this file can parse —
+    * BMP (24-bit uncompressed), RIFF/WAVE PCM, zlib-compressed
+    * non-interlaced 8-bit PNG, and LZW-compressed grayscale GIF —
+    * handled by the strict decoders below;
     * any other magic throws UnsupportedOperationException naming the
     * format, because the remaining codecs (JPEG/H.264/MP3…) need
     * libraries this environment does not ship. Decode errors fail
@@ -812,7 +813,7 @@ object Multimodal {
     * hashes come from DECODED content, a re-compressed copy of the
     * same picture or clip still collides.
     *
-    * Scale model (R8Smoke-measured, BENCH_NOTES round-8 stanza): true
+    * Scale model (PerceptualSmoke-measured, BENCH_NOTES round-8 stanza): true
     * pairs grow linearly, but random band collisions add
     * ~4·N²/2¹⁷ verify-only candidates (birthday on four 16-bit
     * bands — the realized counts match this prediction within 0.2%).
@@ -822,6 +823,17 @@ object Multimodal {
     * banding; `maxBucketSize` protects against HOT buckets
     * (boilerplate blank thumbnails), not against this diffuse term.
     * @return (id1, id2, hamming) with id1 < id2 */
+  /** The 4×16-bit band keys of a 64-bit hash — THE banding scheme of
+    * the perceptual near-dup family, defined once so the batch
+    * operator, the incremental index, and the smoke harness can never
+    * silently diverge (extend the banding HERE and everything moves
+    * together). */
+  private[graft] def bands64(hashCol: Column): Column =
+    array((0 until 4).map(k =>
+      concat(lit(s"b$k:"),
+        shiftrightunsigned(hashCol, 16 * k)
+          .bitwiseAND(lit(0xffffL)).cast("string"))): _*)
+
   def hammingNearDupPairs(hashes: DataFrame, idCol: String,
       hashCol: String, maxHamming: Int = 10,
       maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
@@ -829,10 +841,7 @@ object Multimodal {
       s"maxHamming ($maxHamming) out of [0, 64]")
     val h = hashes.select(col(idCol), col(hashCol).cast("long").as("__dh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = h.withColumn("__bands", array((0 until 4).map(k =>
-      concat(lit(s"b$k:"),
-        shiftrightunsigned(col("__dh"), 16 * k)
-          .bitwiseAND(lit(0xffffL)).cast("string"))): _*))
+    val banded = h.withColumn("__bands", bands64(col("__dh")))
     val pairs = Dedup.candidatePairs(banded, idCol, "__bands",
       maxBucketSize)
     val result = pairs

@@ -2,34 +2,23 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal}
 
-/** Scaling + adversarial stanzas for the round-8 perceptual dedup
-  * family (hammingNearDupPairs — the q389/q390/q397 band join).
+/** One-decade soak extension (r7 VERDICT next item 7): the three
+  * top-of-table bench rows — q258 containment, q250 tf-cosine, q177
+  * incremental CC — measured ONE POINT past R7Smoke's 1×/3×/10×
+  * curves, at 30×, to confirm the linear fits hold beyond the range
+  * they were fitted on. Same blowup disciplines as R7Smoke/ScaleSmoke
+  * (token-disjoint copies; constant CC delta against a scaled old
+  * pair set), so the counters must land on the extrapolated line:
+  * containment candidates at exactly 30× the 1× count, tf-cosine
+  * bound/out at 30×, mergecc wall tracking the star summary.
   *
-  * The honest 100 TB claim has TWO terms:
-  *  - planted near-dup PAIRS grow linearly with the corpus (each copy
-  *    set is hash-disjoint, so true pairs can only come from its own
-  *    planted edits);
-  *  - random CANDIDATES grow ~ 4·N²/2¹⁶ (birthday collisions on four
-  *    16-bit bands — the price of guaranteed Hamming-3 recall). The
-  *    constant is tiny (one verify per ~16k pair-candidates) but the
-  *    term is quadratic: beyond ~10M hashes per run, shard the join
-  *    or extend the banding — the stanza PRINTS the realized
-  *    candidate count next to the 4·C(N/65536, 2)·65536 prediction
-  *    so the model is checkable, not asserted.
-  *
-  * The adversarial stanza plants a CONSTANT hash on 30k items (the
-  * boilerplate image: a blank thumbnail) and shows the maxBucketSize
-  * cap dropping the 4 poisoned buckets — pairs stay exactly the
-  * planted count instead of gaining C(30k, 2) ≈ 450M.
-  *
-  * Usage: runMain graft.tools.R8Smoke [baseN] [maxFactor]
+  * Usage: runMain graft.tools.R8Smoke [sfDir] [factor]
   */
 object R8Smoke {
   def main(args: Array[String]): Unit = {
-    val baseN = args.headOption.map(_.toInt).getOrElse(50000)
-    val maxFactor = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(30)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -39,54 +28,79 @@ object R8Smoke {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-
-    // copy set i: baseN originals (xxhash64-derived hashes, disjoint
-    // across copies) + one 1-bit-edited near-dup each
-    def hashes(f: Int): DataFrame =
-      (0 until f).map { i =>
-        val orig = spark.range(baseN).select(
-          (col("id") + lit(i * 10000000L)).as("doc_id"),
-          xxhash64(concat(lit(s"c$i:"), col("id").cast("string")))
-            .as("dhash"))
-        val edited = orig.select((col("doc_id") + lit(5000000L))
-            .as("doc_id"),
-          col("dhash").bitwiseXOR(lit(1L)).as("dhash"))
-        orig.unionAll(edited)
-      }.reduce(_ unionAll _).repartition(32)
-
-    println("factor,n_items,candidates,predicted_rand_cands,pairs,wall_s")
-    (Seq(1, 3) ++ Seq(maxFactor).filter(_ > 3)).foreach { f =>
-      val h = hashes(f).localCheckpoint(true)
-      val n = h.count()
-      // candidate count via the operator's own banding
-      val banded = h.withColumn("__bands", array((0 until 4).map(k =>
-        concat(lit(s"b$k:"),
-          shiftrightunsigned(col("dhash"), 16 * k)
-            .bitwiseAND(lit(0xffffL)).cast("string"))): _*))
-      val (cands, _) = time(
-        Dedup.candidatePairs(banded, "doc_id", "__bands").count())
-      val predicted = 4.0 * n * n / 2.0 / 65536.0
-      val (pairs, wall) = time(
-        Multimodal.hammingNearDupPairs(h, "doc_id", "dhash",
-          maxHamming = 2).count())
-      println(f"$f,$n,$cands,${predicted.toLong},$pairs,$wall%.1f")
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
 
-    // adversarial: 30k items share ONE constant hash (blank-thumbnail
-    // boilerplate); the cap must drop those buckets, keeping pairs at
-    // the planted count and wall bounded
-    val normal = hashes(1)
-    val blank = spark.range(30000).select(
-      (col("id") + lit(900000000L)).as("doc_id"),
-      lit(42L).as("dhash"))
-    val (planted, _) = time(
-      Multimodal.hammingNearDupPairs(normal, "doc_id", "dhash",
-        maxHamming = 2).count())
-    val ((adv, wallAdv)) = time(
-      Multimodal.hammingNearDupPairs(normal.unionAll(blank), "doc_id",
-        "dhash", maxHamming = 2).count())
-    println(f"adversarial: planted=$planted withBlank=$adv " +
-      f"(capped buckets drop the 450M-pair boilerplate) wall=$wallAdv%.1f")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def docBlowup(f: Int): DataFrame =
+      (0 until f).map { i =>
+        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          regexp_replace(lower(col("text")), "([a-z0-9]+)", s"$$1x$i")
+            .as("text"))
+      }.reduce(_ unionAll _).repartition(32)
+
+    import graft.operators.SetSimJoin
+    val d = docBlowup(factor).persist()
+    val nd = d.count()
+
+    // q258 containment: candidate count from the REAL probe stage
+    val grams = graft.functions.TextAnalysis.wordNgrams(col("text"), 4)
+    val sets = SetSimJoin.tokenSets(d, "doc_id", grams).persist()
+    val probes = SetSimJoin.prefixProbes(sets, 0.8)
+    val postings = sets.select(col("__id").as("__bid"),
+      explode(col("__toks")).as("__tok"))
+    val (nCand, tCand) = time {
+      probes.join(postings, Seq("__tok"))
+        .filter(col("__id") =!= col("__bid"))
+        .select(col("__id"), col("__bid")).distinct().count()
+    }
+    sets.unpersist(blocking = false)
+    val (nCont, tCont) = time {
+      SetSimJoin.containmentSelfJoin(d, "doc_id", grams, 0.8).count()
+    }
+    println(f"contain  ${factor}%2dx docs=$nd%8d cand=$nCand%9d " +
+      f"out=$nCont%7d candWall=$tCand%5.1f s wall=$tCont%5.1f s")
+    sweep(); d.persist(); d.count()
+
+    // q250 tf-cosine: Σ C(df,2) bound from the REAL rare-term table
+    val tf = SetSimJoin.tfTerms(d, "doc_id", "text", 4).persist()
+    val rare = SetSimJoin.rareTerms(tf, maxDf = 3)
+    val (bound, nRare) = {
+      val r = rare.agg(
+        coalesce(sum((col("df") * (col("df") - 1) / 2).cast("long")),
+          lit(0L)).as("b"),
+        count(lit(1)).as("n")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    tf.unpersist(blocking = false)
+    val (nCos, tCos) = time {
+      SetSimJoin.tfCosinePairs(d, "doc_id", "text",
+        maxDf = 3, ngramN = 4).count()
+    }
+    println(f"tfcos    ${factor}%2dx docs=$nd%8d rare=$nRare%9d " +
+      f"candBound=$bound%9d out=$nCos%7d wall=$tCos%5.1f s")
+    sweep()
+    d.unpersist(blocking = false)
+
+    // q177 incremental CC: old pair set scaled 30×, delta CONSTANT —
+    // wall must track the star summary, never the historical pairs
+    val ccPairs = (0 until factor).map { i =>
+      spark.range(40000).select(
+        (col("id") + lit(i * 10000000L)).as("id1"),
+        (col("id") + lit(i * 10000000L + 40000L)).as("id2"))
+    }.reduce(_ unionAll _).repartition(32)
+    val oldAssign = graft.operators.Dedup.connectedComponents(ccPairs)
+    val newEdges = spark.range(2000).select(
+      (col("id") * 3).as("id1"), (col("id") * 3 + 900000000L).as("id2"))
+    val (mcRows, tMc) = time {
+      graft.operators.Dedup.mergeClusters(oldAssign, newEdges).count()
+    }
+    println(f"mergecc  ${factor}%2dx oldpairs=${ccPairs.count()}%8d " +
+      f"merged=$mcRows%8d  $tMc%6.1f s")
     spark.stop()
   }
 }
