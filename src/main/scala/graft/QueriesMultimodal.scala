@@ -476,7 +476,11 @@ object QueriesMultimodal {
   /** q389/q397's shared fixture: 9-wide event images + planted
     * one-pixel-edit copies, through REAL PNG encode/decode to a
     * (doc_id, width, height, dhash) table. */
-  private[graft] def dhashFixture(s: SparkSession, dir: String): DataFrame = {
+  /** The 9-wide image dataset behind [[dhashFixture]] (base images +
+    * planted one-pixel-edit copies) — also fed through the GIF codec
+    * by the q403 codec-invariance row. */
+  private def events9Images(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.Png2dRow] = {
     import s.implicits._
     val ev = Tables.load(s, dir, "events")
       .filter(col("value").isNotNull && col("user_id") <= 500)
@@ -493,11 +497,14 @@ object QueriesMultimodal {
     val copies = base.select((col("doc_id") + 100000L).as("doc_id"),
       concat(array(pmod(element_at(col("lumas"), 1) + 1, lit(256))),
         expr("slice(lumas, 2, size(lumas) - 1)")).as("lumas"))
-    val imgs = base.unionAll(copies)
+    base.unionAll(copies)
       .withColumn("width", lit(9))
       .as[Multimodal.Png2dRow]
-    Multimodal.pngDHashTable(Multimodal.encodePngTable(imgs)).toDF()
   }
+
+  private[graft] def dhashFixture(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pngDHashTable(
+      Multimodal.encodePngTable(events9Images(s, dir))).toDF()
 
   private def q389ImageDhashDedup(s: SparkSession, dir: String): DataFrame = {
     Multimodal.hammingNearDupPairs(dhashFixture(s, dir), "doc_id",
@@ -844,7 +851,38 @@ object QueriesMultimodal {
        |  min(eid) AS min_earlier_id
        |FROM fl GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q403
+  /** Codec-invariance of the perceptual hash, pinned as DATA: every
+    * fixture image is encoded through BOTH real compressed codecs —
+    * zlib/filtered PNG and LZW/palette GIF, two entirely independent
+    * compression families and parsers — decoded back, and dHashed;
+    * the two hashes must be IDENTICAL per image. This is the property
+    * the whole perceptual-dedup family rests on ("a re-compressed
+    * copy of the same picture still collides"): a bug in EITHER
+    * codec's pixel path that q373/q399's summary features happen to
+    * cancel (e.g. a row-order slip that preserves sums) breaks hash
+    * equality here. The oracle computes the hash once from events and
+    * asserts it for both columns. */
+  private def q403CodecInvariantHash(s: SparkSession, dir: String): DataFrame = {
+    val imgs = events9Images(s, dir)
+    val png = Multimodal.pngDHashTable(Multimodal.encodePngTable(imgs))
+      .toDF().select(col("doc_id"), col("dhash").as("dhash_png"))
+    val gif = Multimodal.gifDHashTable(Multimodal.encodeGifTable(imgs))
+      .toDF().select(col("doc_id"), col("dhash").as("dhash_gif"))
+    png.join(gif, Seq("doc_id"))
+      .select(col("doc_id"), col("dhash_png"), col("dhash_gif"),
+        (col("dhash_png") === col("dhash_gif")).as("codec_invariant"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q403Sql =
+    s"""WITH $dhashSqlCtes
+       |SELECT doc_id, dhash AS dhash_png, dhash AS dhash_gif,
+       |  TRUE AS codec_invariant
+       |FROM allh ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q403_codec_invariant_hash" -> (q403CodecInvariantHash _),
     "q397_incr_image_dedup" -> (q397IncrImageDedup _),
     "q399_gif_decode" -> (q399GifDecode _),
     "q400_image_resize" -> (q400ImageResize _),
@@ -860,6 +898,7 @@ object QueriesMultimodal {
     "q373_png_decode" -> (q373PngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "q403_codec_invariant_hash" -> q403Sql,
     "q397_incr_image_dedup" -> q397Sql,
     "q399_gif_decode" -> q399Sql,
     "q400_image_resize" -> q400Sql,

@@ -799,6 +799,18 @@ object Multimodal {
     })
   }
 
+  /** Per-partition GIF decode → dHash — [[pngDHashTable]]'s GIF
+    * sibling: the hash is computed from DECODED pixels, so the same
+    * picture hashes identically whichever codec stored it (pinned as
+    * data by the codec-invariance gate row). */
+  def gifDHashTable(media: Dataset[WavRow]): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (w, h, lumas) = decodeGifLumas(r.content)
+      DHashRow(r.doc_id, w, h, dHash64(lumas, w, h))
+    })
+  }
+
   /** Perceptual near-duplicate image pairs over a dHash table: the
     * 64-bit hash splits into four 16-bit bands — by pigeonhole any
     * pair within Hamming distance 3 shares at least one band intact
@@ -1048,6 +1060,24 @@ object Multimodal {
     * inflate with exact pixel-count geometry check, trailing-data
     * check. The fail-loudly contract of the WAV/BMP/PNG walkers. */
   def decodeGifGray8(bytes: Array[Byte]): GifFeatures = {
+    val (width, height, lumas) = decodeGifLumas(bytes)
+    var sum = 0L; var maxG = 0
+    var k = 0
+    while (k < lumas.length) {
+      val g2 = lumas(k)
+      sum += g2
+      if (g2 > maxG) maxG = g2
+      k += 1
+    }
+    GifFeatures(0L, width, height, lumas.length.toLong, sum, maxG,
+      lumas(0), lumas(lumas.length - 1))
+  }
+
+  /** Decoded GIF luma plane as a row-major Int array — the pixel-space
+    * access the perceptual-hash path needs on top of
+    * [[decodeGifGray8]]'s summary features (same strict parse).
+    * @return (width, height, lumas) */
+  def decodeGifLumas(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     require(bytes.length >= 13, s"truncated GIF: ${bytes.length} bytes")
     val sig = new String(bytes, 0, 6, "US-ASCII")
     require(sig == "GIF89a" || sig == "GIF87a", s"bad signature $sig")
@@ -1113,19 +1143,15 @@ object Multimodal {
       s"${bytes.length - 1 - off} trailing bytes after trailer")
     val nPix = width * height
     val idx = lzwDecode(data.toByteArray, nPix)
-    var sum = 0L; var maxG = 0; var first = -1; var last = -1
+    val lumas = new Array[Int](nPix)
     var k = 0
     while (k < nPix) {
       val ci = idx(k)
       require(ci < gctSize, s"pixel index $ci outside palette")
-      val g2 = palette(ci)
-      sum += g2
-      if (g2 > maxG) maxG = g2
-      if (first < 0) first = g2
-      last = g2
+      lumas(k) = palette(ci)
       k += 1
     }
-    GifFeatures(0L, width, height, nPix.toLong, sum, maxG, first, last)
+    (width, height, lumas)
   }
 
   /** Per-partition GIF encode of row-major grayscale images. */

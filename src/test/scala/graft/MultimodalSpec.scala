@@ -488,6 +488,23 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.resizePixels(src, 3, 2, 2, 2) // length mismatch
   }
 
+  test("decodeGifLumas round-trips exact pixels; dHash is identical " +
+      "through the PNG and GIF codecs (codec invariance)") {
+    var seed = 0xfeedL
+    val lumas = Seq.fill(9 * 12) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % 256).toInt
+    }
+    val (gw, gh, gifPx) = Multimodal.decodeGifLumas(
+      Multimodal.encodeGifGray8(lumas, width = 9))
+    (gw, gh) shouldBe (9, 12)
+    gifPx.toSeq shouldBe lumas
+    val (_, _, pngPx) = Multimodal.decodePngLumas(
+      Multimodal.encodePngGray8(lumas, width = 9))
+    Multimodal.dHash64(gifPx, 9, 12) shouldBe
+      Multimodal.dHash64(pngPx, 9, 12)
+  }
+
   test("GIF decode fails loudly on malformed input, never fabricates") {
     val good = Multimodal.encodeGifGray8(Seq(1, 2, 3, 4), width = 2)
     an[IllegalArgumentException] should be thrownBy
