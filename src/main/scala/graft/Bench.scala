@@ -143,7 +143,21 @@ object Bench {
     // inflated sentinel adjudicates a slow run as host throttling
     // without attrib forensics.
     val sent = sentinels.map(num("%.3f", _)).mkString("[", ",", "]")
-    println(s"""{"metric":"total","unit":"sec","n":${results.size},"sentinel":$sent,"top":$top,"value":$total}""")
+    val summary =
+      s"""{"metric":"total","unit":"sec","n":${results.size},"sentinel":$sent,"top":$top,"value":$total}"""
+    println(summary)
+    // sidecar copy of the same summary object (repo root, overwritten
+    // per run): the driver's log capture prefixes every stdout line
+    // with sbt's `[info] ` and appends a `[success]` tail, so its
+    // json.loads of the captured tail has failed every round — the
+    // structured record must exist as a FILE regardless of how the
+    // stdout line is mangled in transit
+    try {
+      val w = new java.io.PrintWriter("BENCH_SUMMARY.json", "UTF-8")
+      try w.println(summary) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

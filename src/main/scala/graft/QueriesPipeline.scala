@@ -282,8 +282,14 @@ object QueriesPipeline {
     val sources = d.groupBy(col("source")).agg(count(lit(1)).as("value"))
       .select(concat(lit("source:"), coalesce(col("source"), lit("null")))
         .as("metric"), col("value"))
-    base.unionAll(fp).unionAll(langs).unionAll(sources)
+    // eagerly materialize the small (metric, value) table, then release
+    // the documents cache — the row must not leave a session-lifetime
+    // MEMORY_ONLY block behind (the jsDivergenceFromCounts rule)
+    val out = base.unionAll(fp).unionAll(langs).unionAll(sources)
       .orderBy(col("metric"))
+      .localCheckpoint(true)
+    d.unpersist()
+    out
   }
 
   private val q396Sql = {

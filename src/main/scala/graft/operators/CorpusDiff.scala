@@ -120,9 +120,15 @@ object CorpusDiff {
           .otherwise(lit(0.0)))).as("t"))
       .agg((aggregate(sort_array(collect_list(col("t"))), lit(0.0),
         (acc, x) => acc + x) * lit(0.5)).as("jsd"))
-    tot.crossJoin(broadcast(topSums)).crossJoin(broadcast(jsd))
+    // eagerly materialize the one-row result, then release the joined
+    // counts cache — callers invoking this per refresh (q392 runs it
+    // 3×) must not accrete session-lifetime MEMORY_ONLY blocks
+    val out = tot.crossJoin(broadcast(topSums)).crossJoin(broadcast(jsd))
       .select(col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
         col("vocab_a"), col("vocab_b"),
         (col("nbk") + 1L).as("n_buckets"), col("jsd"))
+      .localCheckpoint(true)
+    joined.unpersist()
+    out
   }
 }

@@ -1125,10 +1125,19 @@ object Evaluation {
     require(nBuckets > 0 && 100 % nBuckets == 0,
       s"nBuckets ($nBuckets) must divide 100")
     val w = (100 / nBuckets).toDouble
+    // the documented p100 domain is ENFORCED, not assumed: an
+    // out-of-range probability (p100 = 100, negatives) would land in a
+    // phantom bucket and silently skew ECE/MCE — fail the row loudly
+    // instead (the repo's strict-parser convention)
+    val pc = p100Col.cast("long")
+    val pChecked = when(pc >= 0L && pc <= 99L, pc)
+      .otherwise(raise_error(concat(
+        lit("expectedCalibrationError: p100 out of [0, 100): "),
+        pc.cast("string"))).cast("long"))
     val per = df
-      .select(floor(p100Col.cast("long").cast("double") / lit(w))
+      .select(floor(pChecked.cast("double") / lit(w))
           .cast("long").as("bucket"),
-        p100Col.cast("long").as("p"), labelCol.cast("long").as("y"))
+        pChecked.as("p"), labelCol.cast("long").as("y"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_b"), sum(col("p")).as("sp"),
         sum(col("y")).as("sy"))

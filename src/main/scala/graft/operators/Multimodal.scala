@@ -834,6 +834,12 @@ object Multimodal {
     * the union of per-shard runs plus cross-shard runs) or extend the
     * banding; `maxBucketSize` protects against HOT buckets
     * (boilerplate blank thumbnails), not against this diffuse term.
+    * A capped bucket trades RECALL, never correctness: its candidates
+    * are dropped (logged by candidatePairs), so pairs meeting only in
+    * an over-cap bucket go unreported — every reported pair is still
+    * exact. Oracles restating this operator are UNCAPPED; gate parity
+    * holds because fixture buckets stay far below the cap (asserted
+    * in MultimodalSpec).
     * @return (id1, id2, hamming) with id1 < id2 */
   /** The 4×16-bit band keys of a 64-bit hash — THE banding scheme of
     * the perceptual near-dup family, defined once so the batch
@@ -1239,7 +1245,12 @@ object Multimodal {
     * and capped away), then each candidate pair pays one exact
     * integer LCS (codegen'd TokenLcsExpression, O(n₁·n₂) on
     * frame-COUNT-sized arrays — tens, not pixels). sim = 2·LCS/(n₁+n₂)
-    * is ONE division of exact integers.
+    * is ONE division of exact integers. Raw frame hashes ARE the band
+    * keys, so a ubiquitous frame (a solid-black intro card) makes one
+    * giant bucket that `maxBucketSize` caps away — the cap trades
+    * RECALL (pairs meeting only in the capped bucket go unreported),
+    * never correctness; pre-filter boilerplate frames upstream if
+    * that recall matters.
     * @param videos (idCol, seqCol array<string> of frame hashes)
     * @return (id1, id2, n1, n2, lcs, sim) with sim >= minSim */
   def videoFrameHashDedup(videos: DataFrame, idCol: String,

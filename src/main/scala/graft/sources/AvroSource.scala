@@ -58,6 +58,15 @@ object AvroSource {
     * distributed filesystems go through the spark-avro module when
     * its jar is available. */
   def write(df: DataFrame, dir: String): Unit = {
+    // the partition writers open executor-side java.io.File handles
+    // against `dir`: on a multi-host cluster each container would land
+    // on a WORKER-local disk and read() would silently miss them —
+    // enforce the documented local-only contract loudly instead
+    val master = df.sparkSession.sparkContext.master
+    require(master.startsWith("local"),
+      s"AvroSource.write targets executor-local java.io paths; " +
+        s"master '$master' is not local[*] — on a cluster route " +
+        "through the spark-avro module or a Hadoop FileSystem sink")
     val schema = df.schema
     val schemaJson = avroSchema(schema).toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -102,21 +111,33 @@ object AvroSource {
         val in = new java.io.ByteArrayInputStream(bytes)
         val stream = new DataFileStream[GenericRecord](
           in, new GenericDatumReader[GenericRecord]())
-        val out = stream.iterator().asScala.map { rec =>
-          Row.fromSeq(names.toIndexedSeq.map { n =>
-            // name resolution: a requested field the record lacks
-            // reads as null (GenericRecord.get throws on unknown)
-            val v = if (rec.getSchema.getField(n) == null) null
-              else rec.get(n)
-            v match {
-              case null => null
-              case u: org.apache.avro.util.Utf8 => u.toString
-              case other => other
-            }
-          })
-        }.toVector
-        stream.close()
-        out
+        val avroIt = stream.iterator().asScala
+        // close-on-exhaustion iterator: rows STREAM out of the
+        // container decoder — the blob is the only whole-file buffer;
+        // decoded rows never materialize a second copy
+        new Iterator[Row] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            if (closed) false
+            else if (avroIt.hasNext) true
+            else { stream.close(); closed = true; false }
+          }
+          override def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException("exhausted")
+            val rec = avroIt.next()
+            Row.fromSeq(names.toIndexedSeq.map { n =>
+              // name resolution: a requested field the record lacks
+              // reads as null (GenericRecord.get throws on unknown)
+              val v = if (rec.getSchema.getField(n) == null) null
+                else rec.get(n)
+              v match {
+                case null => null
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case other => other
+              }
+            })
+          }
+        }
       }
     spark.createDataFrame(rows, schema)
   }

@@ -939,6 +939,17 @@ class AnalyticsSpec extends SparkSpec {
     t.getLong(5) shouldBe 0L
     an[IllegalArgumentException] should be thrownBy
       Evaluation.expectedCalibrationError(tie, col("p100"), col("y"), 7)
+    // the documented p100 domain is enforced: 100 (a common off-by-one
+    // for "certain") and negatives fail LOUDLY instead of landing in a
+    // phantom bucket that silently skews ECE/MCE
+    for (bad <- Seq(100L, -1L, 250L)) {
+      val ex = intercept[Exception] {
+        Evaluation.expectedCalibrationError(
+          Seq((bad, 1L), (5L, 0L)).toDF("p100", "y"),
+          col("p100"), col("y")).head()
+      }
+      ex.getMessage should include("p100 out of [0, 100)")
+    }
   }
 
   test("privacy censuses: hand-computed k-anonymity and l-diversity, " +

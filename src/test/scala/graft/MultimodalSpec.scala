@@ -618,4 +618,22 @@ class MultimodalSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Multimodal.audioEnergyHash64(Array.fill(64)(1)) // < 65 samples
   }
+
+  test("gate-fixture band buckets stay far below the candidate cap") {
+    // hammingNearDupPairs' maxBucketSize silently trades recall above
+    // the cap while the DuckDB oracles are UNCAPPED — gate parity
+    // therefore rests on fixture buckets staying small. Pin that
+    // assumption as a failing test instead of a hope: the hottest
+    // band bucket of the q389/q397 dHash fixture must sit at least
+    // an order of magnitude under the cap (bucket sizes scale ~10×
+    // from this sf0.001 check to the driver's sf0.01 gate).
+    import org.apache.spark.sql.functions.{col, count, explode, lit, max}
+    val fixture = QueriesMultimodal.dhashFixture(spark,
+      "/root/testdata/sf0.001")
+    val hottest = fixture
+      .select(explode(Multimodal.bands64(col("dhash"))).as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    hottest should be <= (graft.operators.Dedup.DefaultMaxBucketSize / 100L)
+  }
 }
