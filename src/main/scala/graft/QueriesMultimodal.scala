@@ -377,8 +377,9 @@ object QueriesMultimodal {
 
   // -------------------------------------------------------------- q377
   /** Mixed-media dispatch end to end: one binary `content` column
-    * carrying WAV, BMP, PNG, AND GIF blobs (all REAL-encoded per user from
-    * events), fed through the production multimodal API —
+    * carrying WAV, BMP, PNG, GIF, AND baseline-JPEG blobs (all
+    * REAL-encoded per user from events), fed through the production
+    * multimodal API —
     * `extractFeatures` with a per-partition `RealCodecDecoder` — which
     * must dispatch each blob on its magic bytes to the right strict
     * parser. This is the shape a real binaryFile ingest takes (a
@@ -425,7 +426,16 @@ object QueriesMultimodal {
         .withColumn("width", lit(16))
         .as[Multimodal.Png2dRow])
       .toDF().withColumn("kind", lit("image_gif"))
+    val jpgs = Multimodal.encodeJpegTable(
+      grouped.select(col("user_id").as("doc_id"),
+        expr("slice(transform(a, x -> x.g), 1, (size(a) div 16) * 16)")
+          .as("lumas"))
+        .filter(size(col("lumas")) >= 16)
+        .withColumn("width", lit(16))
+        .as[Multimodal.Png2dRow])
+      .toDF().withColumn("kind", lit("image_jpg"))
     val media = wavs.unionAll(bmps).unionAll(pngs).unionAll(gifs)
+      .unionAll(jpgs)
       .select(col("doc_id"), col("content"), col("kind"))
       .as[Multimodal.MediaRow]
     Multimodal.extractFeatures(media,
@@ -455,6 +465,10 @@ object QueriesMultimodal {
       |  FROM s WHERE n >= 16
       |  UNION ALL
       |  SELECT doc_id, 'image_gif', CAST(16 AS INT),
+      |    CAST(n // 16 AS INT), CAST(1 AS INT)
+      |  FROM s WHERE n >= 16
+      |  UNION ALL
+      |  SELECT doc_id, 'image_jpg', CAST(16 AS INT),
       |    CAST(n // 16 AS INT), CAST(1 AS INT)
       |  FROM s WHERE n >= 16)
       |ORDER BY kind, doc_id""".stripMargin
@@ -881,7 +895,85 @@ object QueriesMultimodal {
        |  TRUE AS codec_invariant
        |FROM allh ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q404
+  /** REAL baseline-JPEG round-trip (graft.operators.Jpeg, written from
+    * ITU-T T.81 — Huffman entropy coding, dequantize, IDCT): the q373
+    * fixture images encode with the flat quant table (≈ quality 100)
+    * and decode back through the strict parser. JPEG is LOSSY, so the
+    * gate is a TOLERANCE contract, not bit equality: geometry columns
+    * are exact (the oracle recomputes them from events) and
+    * `within_tol` pins per-image max |decoded − original| ≤ 2 —
+    * measured max is 1 at sf0.01 AND sf0.1 (flat quant leaves only
+    * DCT-coefficient rounding), so the bound carries 2× margin. Any
+    * Huffman, zigzag, dequantize, IDCT, padding, or byte-stuffing bug
+    * blows the tolerance or the exact geometry. */
+  private def q404JpegRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events16Images(s, dir)
+      .map { r =>
+        val blob = graft.operators.Jpeg.encodeJpegGray(r.lumas, r.width)
+        val (w, h, dec) = graft.operators.Jpeg.decodeJpegLumas(blob)
+        val maxe = r.lumas.iterator.zip(dec.iterator)
+          .map { case (a, b) => math.abs(a - b) }.max
+        (r.doc_id, w, h, w.toLong * h, maxe <= 2)
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "within_tol")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q404Sql =
+    """WITH s AS (
+      |  SELECT user_id AS doc_id, event_id,
+      |    ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 256)
+      |      + 256) % 256 AS g
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY event_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT * FROM r WHERE n >= 16 AND rn <= (n // 16) * 16)
+      |SELECT doc_id, CAST(16 AS INT) AS width,
+      |  CAST(count(*) // 16 AS INT) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  TRUE AS within_tol
+      |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q407
+  /** Perceptual-hash survival of a JPEG re-encode, pinned as data —
+    * the q403 codec-invariance pattern with a BOUND instead of
+    * equality (JPEG is lossy, PNG/GIF are not): every q389 fixture
+    * image is decoded from REAL PNG bytes and dHashed, then re-encoded
+    * through the REAL baseline-JPEG codec, decoded, and dHashed again;
+    * `collides` pins Hamming(dhash_png, dhash_jpeg) ≤ 6 — the SAME
+    * threshold the near-dup join uses, so this row is literally "a
+    * JPEG re-encode of the same picture still collides in perceptual
+    * dedup", the property that makes the family usable on real web
+    * corpora. Measured max Hamming is 1 at sf0.01 and sf0.1 (6×
+    * margin). dhash_png itself is EXACT and recomputed by the oracle
+    * from events (the q403 chain). */
+  private def q407JpegHashCollision(s: SparkSession, dir: String): DataFrame = {
+    val imgs = events9Images(s, dir)
+    val png = Multimodal.pngDHashTable(Multimodal.encodePngTable(imgs))
+      .toDF().select(col("doc_id"), col("dhash").as("dhash_png"))
+    val jpg = Multimodal.jpegDHashTable(Multimodal.encodeJpegTable(imgs))
+      .toDF().select(col("doc_id"), col("dhash").as("__dhash_jpg"))
+    png.join(jpg, Seq("doc_id"))
+      .select(col("doc_id"), col("dhash_png"),
+        (bit_count(col("dhash_png").bitwiseXOR(col("__dhash_jpg")))
+          <= 6).as("collides"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q407Sql =
+    s"""WITH $dhashSqlCtes
+       |SELECT doc_id, dhash AS dhash_png, TRUE AS collides
+       |FROM allh ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q404_jpeg_roundtrip" -> (q404JpegRoundtrip _),
+    "q407_jpeg_perceptual_collision" -> (q407JpegHashCollision _),
     "q403_codec_invariant_hash" -> (q403CodecInvariantHash _),
     "q397_incr_image_dedup" -> (q397IncrImageDedup _),
     "q399_gif_decode" -> (q399GifDecode _),
@@ -898,6 +990,8 @@ object QueriesMultimodal {
     "q373_png_decode" -> (q373PngDecode _))
 
   val oracles: Map[String, String] = Map(
+    "q404_jpeg_roundtrip" -> q404Sql,
+    "q407_jpeg_perceptual_collision" -> q407Sql,
     "q403_codec_invariant_hash" -> q403Sql,
     "q397_incr_image_dedup" -> q397Sql,
     "q399_gif_decode" -> q399Sql,

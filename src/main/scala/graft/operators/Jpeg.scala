@@ -1,0 +1,828 @@
+package graft.operators
+
+/** Baseline sequential JPEG (ITU-T T.81 / ISO 10918-1), encoder and
+  * decoder, pure Scala — the fifth real codec family in the repo
+  * (beside PNG's zlib/filters, GIF's LZW, zip deflate, and Avro
+  * deflate) and the one that matters most at corpus scale: a 100 TB
+  * web crawl's images are overwhelmingly JPEG, so perceptual dedup
+  * that cannot decode `FFD8` blobs falls back to byte-level SimHash,
+  * which any re-encode defeats.
+  *
+  * Scope (the strict-parser discipline of the PNG/GIF/WAV walkers):
+  * baseline DCT, Huffman entropy coding, 8-bit precision, 1 or 3
+  * components, sampling factors 1..2 (covers 4:4:4, 4:2:2, 4:2:0),
+  * single interleaved scan, optional restart intervals. Progressive
+  * (SOF2), extended (SOF1), arithmetic coding, 12-bit precision, and
+  * hierarchical modes fail LOUDLY naming the marker; every length
+  * field, table reference, Huffman code walk, and coefficient
+  * position is bounds-checked; trailing bytes after EOI are rejected
+  * (the GIF trailer rule).
+  *
+  * Structure, straight from the spec with no codec library at all:
+  *  - FDCT/IDCT: separable double-precision transforms from the
+  *    orthonormal cosine kernel K(u,x) = c(u)/2 · cos((2x+1)uπ/16)
+  *    (T.81 A.3.3); the cosine table uses StrictMath so the kernel is
+  *    bit-identical on every JVM.
+  *  - Entropy coding: canonical Huffman code construction (C.2),
+  *    decode via the MINCODE/MAXCODE/VALPTR walk (F.2.2.3), DIFF
+  *    categories and EXTEND (F.2.2.1), run/size AC symbols with ZRL
+  *    and EOB (F.1.2.2), 0xFF byte stuffing (F.1.2.3).
+  *  - Tables: the Annex K.1 quantization and K.3 Huffman tables are
+  *    transcribed as the defaults (the encoder parameterizes the
+  *    quant tables; `QuantFlat` = all-ones ≈ quality 100, the
+  *    round-trip-tolerance fixture table).
+  *
+  * JPEG is LOSSY, so unlike the PNG/GIF rows the gate contract is a
+  * TOLERANCE, not bit equality: q404 pins per-image max |decoded −
+  * original| under a bound with flat quant; q407 pins that a JPEG
+  * re-encode of a PNG-decoded image dHashes within the near-dup
+  * Hamming threshold (the q403 codec-invariance pattern with a bound
+  * instead of equality).
+  *
+  * Scale: both directions are pure per-blob functions run inside
+  * mapPartitions — map-only, nothing but fixed-size tables in the
+  * closure; only extracted features/hashes leave the partition.
+  */
+object Jpeg {
+
+  // ------------------------------------------------------------ tables
+
+  /** Natural-order index of the k-th zigzag position (T.81 Figure 5),
+    * generated from the diagonal walk rather than transcribed: even
+    * diagonals run bottom-left→top-right, odd ones the reverse. */
+  private[operators] val Zigzag: Array[Int] = {
+    val out = new Array[Int](64)
+    var k = 0
+    var s = 0
+    while (s <= 14) {
+      val rs = math.max(0, s - 7) to math.min(7, s)
+      val order = if (s % 2 == 1) rs else rs.reverse
+      order.foreach { r => out(k) = r * 8 + (s - r); k += 1 }
+      s += 1
+    }
+    out
+  }
+
+  /** All-ones quantization (≈ quality 100): round-trip error reduces
+    * to DCT coefficient rounding — the q404 tolerance fixture. */
+  val QuantFlat: Array[Int] = Array.fill(64)(1)
+
+  /** Annex K.1 Table K.1 — luminance quantization (natural order). */
+  val QuantAnnexKLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Annex K.1 Table K.2 — chrominance quantization (natural order). */
+  val QuantAnnexKChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  // Annex K.3 Huffman table specifications: (BITS[1..16], HUFFVAL).
+  private val DcLumaBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumaVals = (0 to 11).toArray
+  private val DcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals = (0 to 11).toArray
+  private val AcLumaBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumaVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private val AcChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Orthonormal DCT kernel K(u,x) = c(u)/2 · cos((2x+1)uπ/16) with
+    * c(0) = 1/√2 (T.81 A.3.3). StrictMath: bit-identical kernel on
+    * every JVM, so decoded pixels never vary by platform libm. */
+  private val CosK: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) =
+          cu / 2.0 * StrictMath.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  // --------------------------------------------------------- transforms
+
+  /** Separable FDCT: F(u,v) = Σ_r K(u,r) Σ_c f(r,c) K(v,c).
+    * `block` row-major (r·8+c), level-shifted; output natural order
+    * (u·8+v). */
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val g = new Array[Double](64)
+    val out = new Array[Double](64)
+    var r = 0
+    while (r < 8) { // rows: g(r,v) = Σ_c f(r,c)·K(v,c)
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var c = 0
+        while (c < 8) { acc += block(r * 8 + c) * CosK(v * 8 + c); c += 1 }
+        g(r * 8 + v) = acc
+        v += 1
+      }
+      r += 1
+    }
+    var u = 0
+    while (u < 8) { // cols: F(u,v) = Σ_r K(u,r)·g(r,v)
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var rr = 0
+        while (rr < 8) { acc += CosK(u * 8 + rr) * g(rr * 8 + v); rr += 1 }
+        out(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Separable IDCT: f(r,c) = Σ_v K(v,c) Σ_u K(u,r) F(u,v). */
+  private def idct(coef: Array[Int]): Array[Double] = {
+    val g = new Array[Double](64)
+    val out = new Array[Double](64)
+    var r = 0
+    while (r < 8) { // g(r,v) = Σ_u K(u,r)·F(u,v)
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += CosK(u * 8 + r) * coef(u * 8 + v); u += 1 }
+        g(r * 8 + v) = acc
+        v += 1
+      }
+      r += 1
+    }
+    r = 0
+    while (r < 8) { // f(r,c) = Σ_v K(v,c)·g(r,v)
+      var c = 0
+      while (c < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += CosK(v * 8 + c) * g(r * 8 + v); v += 1 }
+        out(r * 8 + c) = acc
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------ entropy layer
+
+  /** Canonical Huffman ENCODE table (T.81 C.2): code/size per symbol. */
+  private final class EncHuff(bits: Array[Int], vals: Array[Int]) {
+    val codes = new Array[Int](256)
+    val sizes = new Array[Int](256)
+    private var code = 0
+    private var k = 0
+    (1 to 16).foreach { l =>
+      var i = 0
+      while (i < bits(l - 1)) {
+        codes(vals(k)) = code
+        sizes(vals(k)) = l
+        code += 1
+        k += 1
+        i += 1
+      }
+      require(code <= (1 << l), s"over-subscribed Huffman table at length $l")
+      code <<= 1
+    }
+  }
+
+  /** Canonical Huffman DECODE table (T.81 F.2.2.3 walk). */
+  private final class DecHuff(bits: Array[Int], val vals: Array[Int]) {
+    require(bits.length == 16, s"DHT BITS has ${bits.length} lengths")
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    private var code = 0
+    private var k = 0
+    (1 to 16).foreach { l =>
+      require(bits(l - 1) >= 0, s"negative DHT count at length $l")
+      if (bits(l - 1) > 0) {
+        valptr(l) = k
+        mincode(l) = code
+        code += bits(l - 1)
+        k += bits(l - 1)
+        maxcode(l) = code - 1
+        require(code <= (1 << l),
+          s"over-subscribed Huffman table at length $l")
+      }
+      code <<= 1
+    }
+    require(k == vals.length,
+      s"DHT declares $k codes but carries ${vals.length} values")
+  }
+
+  private val EncDcLuma = new EncHuff(DcLumaBits, DcLumaVals)
+  private val EncAcLuma = new EncHuff(AcLumaBits, AcLumaVals)
+  private val EncDcChroma = new EncHuff(DcChromaBits, DcChromaVals)
+  private val EncAcChroma = new EncHuff(AcChromaBits, AcChromaVals)
+
+  /** MSB-first bit writer with 0xFF→0xFF00 stuffing (F.1.2.3). */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(bits: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >>> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (B.1.1.5). */
+    def flushWithOnes(): Unit = if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+  }
+
+  /** MSB-first bit reader over the entropy segment: unstuffs 0xFF00,
+    * fails loudly on truncation or a marker mid-code. */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def nextBit(): Int = {
+      if (n == 0) {
+        require(pos < bytes.length,
+          "truncated scan: entropy stream ends mid-code")
+        val b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          require(pos < bytes.length, "truncated scan after 0xFF")
+          val b2 = bytes(pos) & 0xff
+          if (b2 == 0x00) pos += 1
+          else throw new IllegalArgumentException(
+            f"marker 0xff$b2%02x inside entropy stream (truncated scan)")
+        }
+        acc = b
+        n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Discard pad bits to the next byte boundary (end of restart
+      * interval / end of scan). */
+    def align(): Unit = n = 0
+    def expectRestart(idx: Int): Unit = {
+      align()
+      require(pos + 2 <= bytes.length, "truncated scan at restart point")
+      val m = bytes(pos + 1) & 0xff
+      require((bytes(pos) & 0xff) == 0xff && m == 0xd0 + (idx % 8),
+        f"expected RST${idx % 8} at $pos, found 0x${bytes(pos) & 0xff}%02x$m%02x")
+      pos += 2
+    }
+  }
+
+  /** EXTEND (F.2.2.1): map a `s`-bit magnitude field to its signed
+    * coefficient value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Magnitude category: smallest s with |v| < 2^s. */
+  private def category(v: Int): Int =
+    32 - java.lang.Integer.numberOfLeadingZeros(math.abs(v))
+
+  private def decodeSym(r: BitReader, t: DecHuff): Int = {
+    var l = 1
+    var code = r.nextBit()
+    while (code > t.maxcode(l)) {
+      require(l < 16, "corrupt Huffman code (walks past length 16)")
+      l += 1
+      code = (code << 1) | r.nextBit()
+    }
+    t.vals(t.valptr(l) + code - t.mincode(l))
+  }
+
+  // ------------------------------------------------------------ encoder
+
+  private case class EncComp(plane: Array[Int], w: Int, h: Int,
+      hSamp: Int, vSamp: Int, quantId: Int, huffId: Int)
+
+  /** Encode one level-shifted, FDCT'd, quantized block; returns its DC
+    * (the next predictor). `sample` replicates edges for pad pixels. */
+  private def encodeBlock(bw: BitWriter, c: EncComp, bx: Int, by: Int,
+      quant: Array[Int], dcH: EncHuff, acH: EncHuff, pred: Int): Int = {
+    val px = new Array[Double](64)
+    var r = 0
+    while (r < 8) {
+      val sy = math.min(by * 8 + r, c.h - 1)
+      var cc = 0
+      while (cc < 8) {
+        val sx = math.min(bx * 8 + cc, c.w - 1)
+        px(r * 8 + cc) = c.plane(sy * c.w + sx) - 128.0
+        cc += 1
+      }
+      r += 1
+    }
+    val f = fdct(px)
+    val q = new Array[Int](64) // zigzag order
+    var k = 0
+    while (k < 64) {
+      val nat = Zigzag(k)
+      q(k) = Math.round(f(nat) / quant(nat)).toInt
+      k += 1
+    }
+    val diff = q(0) - pred
+    val s = category(diff)
+    require(s <= 11, s"DC category $s out of baseline range") // 8-bit input bound
+    bw.put(dcH.codes(s), dcH.sizes(s))
+    if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    var run = 0
+    k = 1
+    while (k < 64) {
+      val v = q(k)
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) { bw.put(acH.codes(0xf0), acH.sizes(0xf0)); run -= 16 }
+        val sz = category(v)
+        require(sz <= 10, s"AC category $sz out of baseline range")
+        val sym = (run << 4) | sz
+        bw.put(acH.codes(sym), acH.sizes(sym))
+        bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.put(acH.codes(0x00), acH.sizes(0x00)) // EOB
+    q(0)
+  }
+
+  private def encodeBaseline(width: Int, height: Int, comps: Seq[EncComp],
+      quants: Seq[Array[Int]], restartInterval: Int): Array[Byte] = {
+    require(width >= 1 && width <= 0xffff, s"bad width $width")
+    require(height >= 1 && height <= 0xffff, s"bad height $height")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"bad restart interval $restartInterval")
+    quants.foreach { q =>
+      require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
+        "quant table must be 64 entries in [1, 255]")
+    }
+    val hMax = comps.map(_.hSamp).max
+    val vMax = comps.map(_.vSamp).max
+    comps.foreach { c =>
+      require(c.hSamp >= 1 && c.hSamp <= 2 && c.vSamp >= 1 && c.vSamp <= 2,
+        s"sampling factors out of [1, 2]: ${c.hSamp}x${c.vSamp}")
+      val wc = (width * c.hSamp + hMax - 1) / hMax
+      val hc = (height * c.vSamp + vMax - 1) / vMax
+      require(c.w == wc && c.h == hc,
+        s"component plane ${c.w}x${c.h}, geometry needs ${wc}x$hc")
+      require(c.plane.length == c.w * c.h, "plane length mismatch")
+      require(c.plane.forall(v => v >= 0 && v <= 255),
+        "sample out of [0, 255]")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 / JFIF 1.1
+    u16(16); out.write("JFIF".getBytes("US-ASCII")); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    quants.zipWithIndex.foreach { case (q, id) => // DQT, zigzag payload
+      marker(0xdb); u16(67); u8(id)
+      (0 until 64).foreach(k => u8(q(Zigzag(k))))
+    }
+    marker(0xc0) // SOF0
+    u16(8 + 3 * comps.size); u8(8); u16(height); u16(width)
+    u8(comps.size)
+    comps.zipWithIndex.foreach { case (c, i) =>
+      u8(i + 1); u8((c.hSamp << 4) | c.vSamp); u8(c.quantId)
+    }
+    val usedHuff = comps.map(_.huffId).distinct.sorted
+    usedHuff.foreach { id =>
+      val (dcB, dcV, acB, acV) =
+        if (id == 0) (DcLumaBits, DcLumaVals, AcLumaBits, AcLumaVals)
+        else (DcChromaBits, DcChromaVals, AcChromaBits, AcChromaVals)
+      marker(0xc4); u16(2 + 1 + 16 + dcV.length)
+      u8(id); dcB.foreach(u8); dcV.foreach(u8)
+      marker(0xc4); u16(2 + 1 + 16 + acV.length)
+      u8(0x10 | id); acB.foreach(u8); acV.foreach(u8)
+    }
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xda) // SOS
+    u16(6 + 2 * comps.size); u8(comps.size)
+    comps.zipWithIndex.foreach { case (c, i) =>
+      u8(i + 1); u8((c.huffId << 4) | c.huffId)
+    }
+    u8(0); u8(63); u8(0) // Ss, Se, Ah/Al
+    val bw = new BitWriter(out)
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val preds = Array.fill(comps.size)(0)
+    var mcu = 0
+    var rst = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flushWithOnes()
+          marker(0xd0 + (rst % 8))
+          rst += 1
+          java.util.Arrays.fill(preds, 0)
+        }
+        comps.zipWithIndex.foreach { case (c, ci) =>
+          val (dcH, acH) =
+            if (c.huffId == 0) (EncDcLuma, EncAcLuma)
+            else (EncDcChroma, EncAcChroma)
+          var v = 0
+          while (v < c.vSamp) {
+            var h = 0
+            while (h < c.hSamp) {
+              preds(ci) = encodeBlock(bw, c, mx * c.hSamp + h,
+                my * c.vSamp + v, quants(c.quantId), dcH, acH, preds(ci))
+              h += 1
+            }
+            v += 1
+          }
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushWithOnes()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a row-major grayscale plane as a single-component baseline
+    * JPEG. `quant` in natural order; [[QuantFlat]] ≈ quality 100. */
+  def encodeJpegGray(lumas: Seq[Int], width: Int,
+      quant: Array[Int] = QuantFlat, restartInterval: Int = 0): Array[Byte] = {
+    require(width >= 1, s"width ($width) must be >= 1")
+    require(lumas.nonEmpty && lumas.length % width == 0,
+      s"${lumas.length} pixels do not fill rows of $width")
+    val height = lumas.length / width
+    encodeBaseline(width, height,
+      Seq(EncComp(lumas.toArray, width, height, 1, 1, 0, 0)),
+      Seq(quant), restartInterval)
+  }
+
+  /** Encode YCbCr planes as a 3-component baseline JPEG — 4:4:4 when
+    * `subsample420` is false (chroma planes full size), 4:2:0 when
+    * true (chroma planes ceil(w/2) × ceil(h/2), caller-subsampled).
+    * Exercises the interleaved multi-component MCU path the grayscale
+    * entry cannot. */
+  def encodeJpegYcc(y: Seq[Int], cb: Seq[Int], cr: Seq[Int], width: Int,
+      subsample420: Boolean, quantY: Array[Int] = QuantFlat,
+      quantC: Array[Int] = QuantFlat, restartInterval: Int = 0): Array[Byte] = {
+    require(width >= 1, s"width ($width) must be >= 1")
+    require(y.nonEmpty && y.length % width == 0,
+      s"${y.length} luma pixels do not fill rows of $width")
+    val height = y.length / width
+    val (cw, ch, hs, vs) =
+      if (subsample420) ((width + 1) / 2, (height + 1) / 2, 2, 2)
+      else (width, height, 1, 1)
+    require(cb.length == cw * ch && cr.length == cw * ch,
+      s"chroma planes must be ${cw}x$ch")
+    encodeBaseline(width, height, Seq(
+      EncComp(y.toArray, width, height, hs, vs, 0, 0),
+      EncComp(cb.toArray, cw, ch, 1, 1, 1, 1),
+      EncComp(cr.toArray, cw, ch, 1, 1, 1, 1)),
+      Seq(quantY, quantC), restartInterval)
+  }
+
+  // ------------------------------------------------------------ decoder
+
+  case class JpegImage(width: Int, height: Int, nComponents: Int,
+      lumas: Array[Int])
+
+  private case class FrameComp(id: Int, hSamp: Int, vSamp: Int, quantId: Int)
+
+  /** Strict baseline decode. Returns geometry plus the LUMA plane
+    * (the Y component for 3-component images — the grayscale
+    * projection every perceptual-hash consumer wants; chroma blocks
+    * are entropy-decoded to keep the stream position honest, then
+    * discarded). */
+  def decodeJpeg(bytes: Array[Byte]): JpegImage = {
+    require(bytes.length >= 4, s"truncated JPEG: ${bytes.length} bytes")
+    require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      f"bad magic 0x${bytes(0) & 0xff}%02x${bytes(1) & 0xff}%02x")
+    var pos = 2
+    def u8(o: Int): Int = {
+      require(o < bytes.length, s"blob ends at $o (truncated JPEG)")
+      bytes(o) & 0xff
+    }
+    def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    val quants = new java.util.HashMap[Int, Array[Int]]()
+    val dcTabs = new java.util.HashMap[Int, DecHuff]()
+    val acTabs = new java.util.HashMap[Int, DecHuff]()
+    var width = -1
+    var height = -1
+    var comps: Seq[FrameComp] = null
+    var dri = 0
+    var result: JpegImage = null
+    while (result == null) {
+      require(u8(pos) == 0xff, f"expected marker at $pos, got 0x${u8(pos)}%02x")
+      var m = u8(pos + 1)
+      pos += 2
+      while (m == 0xff) { m = u8(pos); pos += 1 } // fill bytes (B.1.1.2)
+      m match {
+        case 0xdb => // DQT: one or more tables
+          val len = u16(pos)
+          val end = pos + len
+          require(end <= bytes.length, s"DQT overruns blob (len $len)")
+          var p = pos + 2
+          while (p < end) {
+            val pqTq = u8(p)
+            require((pqTq >> 4) == 0,
+              s"16-bit quant precision (Pq ${pqTq >> 4}) is not baseline")
+            val id = pqTq & 15
+            require(p + 65 <= end, "DQT table truncated")
+            val q = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              q(Zigzag(k)) = u8(p + 1 + k)
+              require(q(Zigzag(k)) >= 1, s"zero quant entry at zigzag $k")
+              k += 1
+            }
+            quants.put(id, q)
+            p += 65
+          }
+          require(p == end, "DQT length disagrees with its tables")
+          pos = end
+        case 0xc4 => // DHT: one or more tables
+          val len = u16(pos)
+          val end = pos + len
+          require(end <= bytes.length, s"DHT overruns blob (len $len)")
+          var p = pos + 2
+          while (p < end) {
+            val tcTh = u8(p)
+            val cls = tcTh >> 4
+            val id = tcTh & 15
+            require(cls <= 1, s"bad DHT class $cls")
+            require(p + 17 <= end, "DHT header truncated")
+            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+            val n = bits.sum
+            require(p + 17 + n <= end, "DHT values truncated")
+            val vals = Array.tabulate(n)(i => u8(p + 17 + i))
+            val t = new DecHuff(bits, vals)
+            if (cls == 0) dcTabs.put(id, t) else acTabs.put(id, t)
+            p += 17 + n
+          }
+          require(p == end, "DHT length disagrees with its tables")
+          pos = end
+        case 0xc0 => // SOF0 baseline
+          require(comps == null, "duplicate SOF")
+          val len = u16(pos)
+          require(u8(pos + 2) == 8,
+            s"sample precision ${u8(pos + 2)} is not baseline 8-bit")
+          height = u16(pos + 3)
+          width = u16(pos + 5)
+          val nf = u8(pos + 7)
+          require(width >= 1 && height >= 1, s"bad geometry ${width}x$height")
+          require(width.toLong * height <= (1L << 28),
+            s"image above 256 megapixels (${width}x$height)")
+          require(nf == 1 || nf == 3, s"unsupported component count $nf")
+          require(len == 8 + 3 * nf, s"SOF0 length $len for $nf components")
+          comps = (0 until nf).map { i =>
+            val o = pos + 8 + 3 * i
+            val hv = u8(o + 1)
+            val fc = FrameComp(u8(o), hv >> 4, hv & 15, u8(o + 2))
+            require(fc.hSamp >= 1 && fc.hSamp <= 2 &&
+              fc.vSamp >= 1 && fc.vSamp <= 2,
+              s"unsupported sampling ${fc.hSamp}x${fc.vSamp} (1..2 only)")
+            fc
+          }
+          require(comps.map(_.id).distinct.size == nf,
+            "duplicate component ids in SOF")
+          // the luma plane below is component 0's: it must carry the
+          // max factors or its plane would be subsampled vs the image
+          require(comps.head.hSamp == comps.map(_.hSamp).max &&
+            comps.head.vSamp == comps.map(_.vSamp).max,
+            "first component must carry the max sampling factors")
+          pos += len
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            0xcb | 0xcd | 0xce | 0xcf =>
+          throw new IllegalArgumentException(
+            f"unsupported SOF marker 0xff$m%02x — only baseline " +
+              "sequential (SOF0) is implemented; progressive/extended/" +
+              "arithmetic scans fail loudly by design")
+        case 0xdd => // DRI
+          require(u16(pos) == 4, s"bad DRI length ${u16(pos)}")
+          dri = u16(pos + 2)
+          pos += 4
+        case a if (a >= 0xe0 && a <= 0xef) || a == 0xfe => // APPn / COM
+          val len = u16(pos)
+          require(len >= 2 && pos + len <= bytes.length,
+            f"APP/COM segment overruns blob (len $len)")
+          pos += len
+        case 0xda =>
+          require(comps != null, "SOS before SOF")
+          val len = u16(pos)
+          val ns = u8(pos + 2)
+          require(ns == comps.size && len == 6 + 2 * ns,
+            s"scan must cover all ${comps.size} frame components")
+          val scanHuff = (0 until ns).map { i =>
+            val cid = u8(pos + 3 + 2 * i)
+            require(cid == comps(i).id,
+              s"scan component order differs from frame order at $i")
+            val tdTa = u8(pos + 4 + 2 * i)
+            (tdTa >> 4, tdTa & 15)
+          }
+          require(u8(pos + 3 + 2 * ns) == 0 && u8(pos + 4 + 2 * ns) == 63 &&
+            u8(pos + 5 + 2 * ns) == 0,
+            "spectral selection / successive approximation is not baseline")
+          pos += len
+          result = decodeScanAndFinish(bytes, pos, width, height, comps,
+            scanHuff, quants, dcTabs, acTabs, dri)
+        case 0xd9 =>
+          throw new IllegalArgumentException("EOI before any scan")
+        case other =>
+          throw new IllegalArgumentException(
+            f"unexpected marker 0xff$other%02x at ${pos - 1}")
+      }
+    }
+    result
+  }
+
+  private def decodeScanAndFinish(bytes: Array[Byte], scanPos: Int,
+      width: Int, height: Int, comps: Seq[FrameComp],
+      scanHuff: Seq[(Int, Int)], quants: java.util.HashMap[Int, Array[Int]],
+      dcTabs: java.util.HashMap[Int, DecHuff],
+      acTabs: java.util.HashMap[Int, DecHuff], dri: Int): JpegImage = {
+    val hMax = comps.map(_.hSamp).max
+    val vMax = comps.map(_.vSamp).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // only the luma plane materializes; chroma blocks are decoded to
+    // keep the bitstream position honest, then dropped
+    val lumaPw = mcusX * comps.head.hSamp * 8
+    val lumaPh = mcusY * comps.head.vSamp * 8
+    val luma = new Array[Int](lumaPw * lumaPh)
+    val compQuant = comps.map { c =>
+      val q = quants.get(c.quantId)
+      require(q != null, s"component ${c.id} references missing quant " +
+        s"table ${c.quantId}")
+      q
+    }
+    val compDc = scanHuff.map { case (td, _) =>
+      val t = dcTabs.get(td)
+      require(t != null, s"missing DC Huffman table $td")
+      t
+    }
+    val compAc = scanHuff.map { case (_, ta) =>
+      val t = acTabs.get(ta)
+      require(t != null, s"missing AC Huffman table $ta")
+      t
+    }
+    val r = new BitReader(bytes, scanPos)
+    val preds = Array.fill(comps.size)(0)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    var rst = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          r.expectRestart(rst)
+          rst += 1
+          java.util.Arrays.fill(preds, 0)
+        }
+        var ci = 0
+        while (ci < comps.size) {
+          val c = comps(ci)
+          val q = compQuant(ci)
+          var v = 0
+          while (v < c.vSamp) {
+            var h = 0
+            while (h < c.hSamp) {
+              java.util.Arrays.fill(coef, 0)
+              val s = decodeSym(r, compDc(ci))
+              require(s <= 11, s"DC category $s out of baseline range")
+              preds(ci) += extend(r.receive(s), s)
+              coef(0) = preds(ci) * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = decodeSym(r, compAc(ci))
+                val run = rs >> 4
+                val size = rs & 15
+                if (size == 0) {
+                  if (rs == 0x00) k = 64 // EOB
+                  else if (rs == 0xf0) { // ZRL
+                    require(k + 16 <= 63, "ZRL overruns block")
+                    k += 16
+                  } else throw new IllegalArgumentException(
+                    f"bad AC symbol 0x$rs%02x")
+                } else {
+                  k += run
+                  require(k < 64, "AC run overruns block")
+                  require(size <= 10, s"AC category $size out of baseline range")
+                  val nat = Zigzag(k)
+                  coef(nat) = extend(r.receive(size), size) * q(nat)
+                  k += 1
+                }
+              }
+              if (ci == 0) { // materialize luma pixels
+                val px = idct(coef)
+                val bx0 = (mx * c.hSamp + h) * 8
+                val by0 = (my * c.vSamp + v) * 8
+                var rr = 0
+                while (rr < 8) {
+                  var cc = 0
+                  while (cc < 8) {
+                    val pix = Math.round(px(rr * 8 + cc)).toInt + 128
+                    luma((by0 + rr) * lumaPw + bx0 + cc) =
+                      math.max(0, math.min(255, pix))
+                    cc += 1
+                  }
+                  rr += 1
+                }
+              }
+              h += 1
+            }
+            v += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    r.align()
+    var pos = r.pos
+    // skip optional fill bytes, then require EOI as the final bytes
+    require(pos + 2 <= bytes.length, "truncated JPEG: missing EOI")
+    while ((bytes(pos) & 0xff) == 0xff && pos + 2 < bytes.length &&
+        (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+    require((bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xff) == 0xd9,
+      f"expected EOI at $pos, found 0x${bytes(pos) & 0xff}%02x${bytes(pos + 1) & 0xff}%02x")
+    require(pos + 2 == bytes.length,
+      s"${bytes.length - pos - 2} trailing bytes after EOI")
+    // crop the padded luma plane to the image geometry
+    val out = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      System.arraycopy(luma, y * lumaPw, out, y * width, width)
+      y += 1
+    }
+    JpegImage(width, height, comps.size, out)
+  }
+
+  /** Decoded luma plane accessor matching decodePngLumas/decodeGifLumas:
+    * @return (width, height, lumas row-major). */
+  def decodeJpegLumas(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = decodeJpeg(bytes)
+    (img.width, img.height, img.lumas)
+  }
+}

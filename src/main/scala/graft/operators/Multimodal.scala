@@ -9,24 +9,27 @@ import org.apache.spark.sql.functions._
   * initialization happens once per task, not per row — the Scala analog
   * of a Pandas-UDF/mapInPandas batch.
   *
-  * Codecs whose decoders need EXTERNAL libraries (JPEG's DCT stack,
-  * H.264, MP3…) are unavailable in this environment: for those,
+  * Codecs whose decoders need EXTERNAL libraries (H.264, MP3…) are
+  * unavailable in this environment: for those,
   * `DeterministicFakeDecoder` derives stable pseudo-metadata from the
   * bytes' md5, so the Spark-side plumbing — schema, partition batch
   * shape, per-partition init, typed output — is real and tested, and
-  * the features are oracle-reproducible. Everything the JDK can decode
-  * decodes for REAL: RIFF/WAVE PCM audio (`encodeWavPcm16`/
-  * `decodeWavPcm16`, gated by q367), 24-bit uncompressed BMP images
-  * (`encodeBmpGray24`/`decodeBmpGray24`, gated by q368), and TWO true
-  * COMPRESSED codecs — non-interlaced 8-bit PNG (`encodePngGray8`/
+  * the features are oracle-reproducible. Everything else decodes for
+  * REAL: RIFF/WAVE PCM audio (`encodeWavPcm16`/`decodeWavPcm16`,
+  * gated by q367), 24-bit uncompressed BMP images (`encodeBmpGray24`/
+  * `decodeBmpGray24`, gated by q368), and THREE true COMPRESSED
+  * codecs — non-interlaced 8-bit PNG (`encodePngGray8`/
   * `decodePngGray8`, gated by q373: zlib inflate via
   * `java.util.zip.Inflater` + the five scanline filter types, which
-  * are pure byte arithmetic) and GIF89a grayscale (`encodeGifGray8`/
+  * are pure byte arithmetic), GIF89a grayscale (`encodeGifGray8`/
   * `decodeGifGray8`, gated by q399: the LZW dictionary coder
-  * implemented from the spec with no library at all).
-  * `RealCodecDecoder` dispatches on magic bytes — real parse for
-  * these, a loud UnsupportedOperationException for library-bound
-  * formats (JPEG's DCT stack, H.264, MP3).
+  * implemented from the spec with no library at all), and baseline
+  * JPEG ([[Jpeg]], gated by q404/q407: Huffman entropy coding +
+  * dequantize + IDCT from ITU-T T.81, the codec real web corpora
+  * actually arrive in). `RealCodecDecoder` dispatches on magic
+  * bytes — real parse for these, a loud
+  * UnsupportedOperationException for library-bound formats (H.264,
+  * MP3).
   *
   * Scale: feature extraction is map-only over the binary column;
   * `binaryFile` sources should cap `maxPartitionBytes` so a task's batch
@@ -67,14 +70,15 @@ object Multimodal {
         .digest(bytes).map("%02x".format(_)).mkString
   }
 
-  /** Real codec-backed decoder for every format this file can parse —
+  /** Real codec-backed decoder for every format this repo can parse —
     * BMP (24-bit uncompressed), RIFF/WAVE PCM, zlib-compressed
-    * non-interlaced 8-bit PNG, and LZW-compressed grayscale GIF —
-    * handled by the strict decoders below;
-    * any other magic throws UnsupportedOperationException naming the
-    * format, because the remaining codecs (JPEG/H.264/MP3…) need
-    * libraries this environment does not ship. Decode errors fail
-    * loudly; nothing is fabricated. */
+    * non-interlaced 8-bit PNG, LZW-compressed grayscale GIF, and
+    * baseline JPEG ([[Jpeg.decodeJpeg]], written from ITU-T T.81) —
+    * handled by the strict decoders; any other magic throws
+    * UnsupportedOperationException naming the format, because the
+    * remaining codecs (H.264, MP3…) need libraries this environment
+    * does not ship. Decode errors fail loudly; nothing is
+    * fabricated. */
   class RealCodecDecoder extends MediaDecoder {
     override def decode(bytes: Array[Byte]): Decoded = {
       if (bytes.length >= 2 && bytes(0) == 'B'.toByte &&
@@ -95,11 +99,15 @@ object Multimodal {
           new String(bytes, 0, 4, "US-ASCII") == "GIF8") {
         val f = decodeGifGray8(bytes)
         Decoded(f.width, f.height, 1)
+      } else if (bytes.length >= 2 &&
+          (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+        val img = Jpeg.decodeJpeg(bytes)
+        Decoded(img.width, img.height, 1)
       } else {
         val magic = bytes.take(4).map("%02x".format(_)).mkString
         throw new UnsupportedOperationException(
-          s"no decoder for magic 0x$magic — JPEG/H.264/MP3-class " +
-            "codecs need libraries absent from this environment")
+          s"no decoder for magic 0x$magic — H.264/MP3-class codecs " +
+            "need libraries absent from this environment")
       }
     }
   }
@@ -1165,6 +1173,28 @@ object Multimodal {
     import rows.sparkSession.implicits._
     rows.mapPartitions(_.map(r =>
       WavRow(r.doc_id, encodeGifGray8(r.lumas, r.width))))
+  }
+
+  /** Per-partition baseline-JPEG encode of row-major grayscale images
+    * ([[Jpeg.encodeJpegGray]], flat quant ≈ quality 100). */
+  def encodeJpegTable(rows: Dataset[Png2dRow],
+      quant: Array[Int] = Jpeg.QuantFlat): Dataset[WavRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map(r =>
+      WavRow(r.doc_id, Jpeg.encodeJpegGray(r.lumas, r.width, quant))))
+  }
+
+  /** Per-partition JPEG decode → dHash — [[pngDHashTable]]'s JPEG
+    * sibling. JPEG is LOSSY, so unlike the PNG/GIF pair (hash
+    * equality, q403) a JPEG re-encode lands WITHIN A FEW BITS of the
+    * source hash — close enough that [[hammingNearDupPairs]] still
+    * pairs the copies (the bound q407 pins as data). */
+  def jpegDHashTable(media: Dataset[WavRow]): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (w, h, lumas) = Jpeg.decodeJpegLumas(r.content)
+      DHashRow(r.doc_id, w, h, dHash64(lumas, w, h))
+    })
   }
 
   /** Per-partition GIF decode → exact-integer features. */

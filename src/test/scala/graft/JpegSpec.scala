@@ -1,0 +1,163 @@
+package graft
+
+import graft.operators.Jpeg
+
+/** Baseline JPEG codec (Jpeg.scala, written from ITU-T T.81): lossy
+  * round-trip TOLERANCE contracts, exact cases, the multi-component
+  * and restart-interval paths, and the strict-parser malformed-input
+  * battery. */
+class JpegSpec extends SparkSpec {
+
+  /** Deterministic pseudo-random pixels (seeded LCG — random noise is
+    * JPEG's adversarial case: maximal high-frequency energy). */
+  private def noise(n: Int, seed: Long): Array[Int] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 256).toInt
+    }
+  }
+
+  private def maxErr(a: Seq[Int], b: Array[Int]): Int =
+    a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+
+  test("flat-quant round-trip error <= 2 on noise, sizes incl. " +
+      "non-multiple-of-8 and single-pixel") {
+    for ((w, h) <- Seq((8, 8), (16, 16), (9, 8), (17, 13), (1, 1),
+        (32, 5), (5, 32))) {
+      val px = noise(w * h, seed = w * 1000L + h)
+      val blob = Jpeg.encodeJpegGray(px.toSeq, w)
+      val (gw, gh, got) = Jpeg.decodeJpegLumas(blob)
+      (gw, gh) shouldBe ((w, h))
+      withClue(s"${w}x$h: ") { maxErr(px.toSeq, got) should be <= 2 }
+    }
+  }
+
+  test("constant and smooth-ramp images round-trip EXACTLY at flat quant") {
+    // a constant block has only a DC coefficient (an exact multiple of
+    // 8 in doubles), so quantize/dequantize/IDCT is error-free
+    for (v <- Seq(0, 128, 255, 7)) {
+      val px = Array.fill(24 * 16)(v)
+      val (_, _, got) = Jpeg.decodeJpegLumas(
+        Jpeg.encodeJpegGray(px.toSeq, 24))
+      got.toSeq shouldBe px.toSeq
+    }
+    // horizontal ramp: one AC mode per row block — still near-exact;
+    // pin the measured 0 so a transform regression is loud
+    val ramp = Array.tabulate(16 * 8)(k => (k % 16) * 16)
+    val (_, _, got) = Jpeg.decodeJpegLumas(
+      Jpeg.encodeJpegGray(ramp.toSeq, 16))
+    maxErr(ramp.toSeq, got) should be <= 1
+  }
+
+  test("Annex K luminance quant: decode succeeds, smooth images stay " +
+      "close, noise bounded") {
+    val w = 24; val h = 24
+    val smooth = Array.tabulate(w * h)(k => 100 + (k % w) * 3 + (k / w))
+    val (_, _, gotS) = Jpeg.decodeJpegLumas(
+      Jpeg.encodeJpegGray(smooth.toSeq, w, Jpeg.QuantAnnexKLuma))
+    maxErr(smooth.toSeq, gotS) should be <= 25
+    val px = noise(w * h, 42L)
+    val (_, _, gotN) = Jpeg.decodeJpegLumas(
+      Jpeg.encodeJpegGray(px.toSeq, w, Jpeg.QuantAnnexKLuma))
+    // noise is the adversarial input for a coarse quantizer; the point
+    // is a sane bound, not fidelity
+    maxErr(px.toSeq, gotN) should be <= 160
+  }
+
+  test("4:4:4 and 4:2:0 color scans: Y plane matches the grayscale " +
+      "decode, nComponents = 3") {
+    val w = 20; val h = 12
+    val y = noise(w * h, 7L)
+    val gray = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(y.toSeq, w))
+    val c444 = Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(
+      y.toSeq, Seq.fill(w * h)(128), Seq.fill(w * h)(128), w,
+      subsample420 = false))
+    c444.nComponents shouldBe 3
+    c444.lumas.toSeq shouldBe gray.lumas.toSeq
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val c420 = Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(
+      y.toSeq, Seq.fill(cw * ch)(128), Seq.fill(cw * ch)(128), w,
+      subsample420 = true))
+    c420.nComponents shouldBe 3
+    (c420.width, c420.height) shouldBe ((w, h))
+    // 4:2:0 pads Y to 16-pixel MCUs — same pixels after crop
+    c420.lumas.toSeq shouldBe gray.lumas.toSeq
+  }
+
+  test("restart intervals: DRI-coded stream decodes to the same pixels") {
+    val w = 24; val h = 24 // 9 MCUs -> 4 RST markers at interval 2
+    val px = noise(w * h, 11L)
+    val plain = Jpeg.decodeJpegLumas(Jpeg.encodeJpegGray(px.toSeq, w))._3
+    val blob = Jpeg.encodeJpegGray(px.toSeq, w, restartInterval = 2)
+    val withRst = Jpeg.decodeJpegLumas(blob)._3
+    withRst.toSeq shouldBe plain.toSeq
+    // the DRI stream really does carry RST markers
+    blob.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 &&
+        (p(1) & 0xff) <= 0xd7) should be >= 4
+  }
+
+  test("malformed inputs fail loudly with the offending field named") {
+    val good = Jpeg.encodeJpegGray(noise(16 * 16, 3L).toSeq, 16)
+    // truncated scan: cut the entropy data before EOI
+    val cut = good.take(good.length - 12)
+    val e1 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(cut)
+    }
+    e1.getMessage should (include("truncated") or include("marker"))
+    // trailing bytes after EOI
+    val e2 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(good ++ Array[Byte](0, 1, 2))
+    }
+    e2.getMessage should include("trailing bytes")
+    // progressive SOF2 rejected by name
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
+      i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    val e3 = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(prog) }
+    e3.getMessage should include("SOF")
+    // bad magic
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg.decodeJpeg("not a jpeg at all".getBytes("US-ASCII"))
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte))
+    // over-subscribed Huffman table: corrupt the first DHT's BITS so
+    // it declares 3 codes of length 1
+    val badDht = good.clone()
+    val dhtAt = badDht.indices.find(i => (badDht(i) & 0xff) == 0xff &&
+      i + 1 < badDht.length && (badDht(i + 1) & 0xff) == 0xc4).get
+    badDht(dhtAt + 5) = 3 // BITS[1]
+    val e4 = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(badDht) }
+    e4.getMessage should (include("Huffman") or include("DHT"))
+    // encoder contracts
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg.encodeJpegGray(Seq(1, 2, 3), 2) // rows don't fill
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg.encodeJpegGray(Seq(300), 1) // out of range
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg.encodeJpegGray(Seq(1), 1, Array.fill(64)(0)) // zero quant
+  }
+
+  test("dHash of a JPEG re-encode stays within the near-dup threshold " +
+      "of the source hash") {
+    import graft.operators.Multimodal
+    // 9-wide images (the q389 shape) at several heights
+    for (h <- Seq(8, 16, 40)) {
+      val px = noise(9 * h, h.toLong)
+      val h0 = Multimodal.dHash64(px, 9, h)
+      val (_, _, dec) = Jpeg.decodeJpegLumas(
+        Jpeg.encodeJpegGray(px.toSeq, 9))
+      val h1 = Multimodal.dHash64(dec, 9, h)
+      java.lang.Long.bitCount(h0 ^ h1) should be <= 6
+    }
+  }
+
+  test("RealCodecDecoder routes FFD8 blobs to the real JPEG parser") {
+    val blob = Jpeg.encodeJpegGray(noise(16 * 8, 5L).toSeq, 16)
+    val d = new graft.operators.Multimodal.RealCodecDecoder()
+      .decode(blob)
+    (d.width, d.height, d.nFrames) shouldBe ((16, 8, 1))
+  }
+}

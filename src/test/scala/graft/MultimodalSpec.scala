@@ -231,10 +231,19 @@ class MultimodalSpec extends SparkSpec {
     // PNG is a REAL decode now (r8) — no longer the unsupported branch
     val png = dec.decode(Multimodal.encodePngGray8(Seq(5, 6, 7, 8), 2))
     (png.width, png.height, png.nFrames) shouldBe (2, 2, 1)
-    // JPEG stays library-bound: loud unsupported, magic named
-    val jpeg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)
-    val e = the[UnsupportedOperationException] thrownBy dec.decode(jpeg)
-    e.getMessage should include("ffd8ffe0") // the JPEG magic, named
+    // JPEG is a REAL decode now (r9): FFD8 routes to the strict T.81
+    // parser, so a truncated JPEG fails as a PARSE error, not as an
+    // unsupported format
+    val jpg = dec.decode(graft.operators.Jpeg.encodeJpegGray(
+      Seq(5, 6, 7, 8), 2))
+    (jpg.width, jpg.height, jpg.nFrames) shouldBe (2, 2, 1)
+    an[IllegalArgumentException] should be thrownBy
+      dec.decode(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte))
+    // genuinely library-bound formats (MP3's ID3 container here) stay
+    // the loud unsupported branch, magic named
+    val mp3 = Array(0x49, 0x44, 0x33, 0x04).map(_.toByte) // "ID3"
+    val e = the[UnsupportedOperationException] thrownBy dec.decode(mp3)
+    e.getMessage should include("49443304")
   }
 
   // ------------------------------------------------------------- PNG
