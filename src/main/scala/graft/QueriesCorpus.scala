@@ -2568,7 +2568,90 @@ object QueriesCorpus {
       |  AND f.i = length(tw.word)
       |ORDER BY tw.word""".stripMargin
 
+  // -------------------------------------------------------------- q408
+  /** BPE encoding under a FIXED merge list — the inference half of the
+    * tokenizer family, now oracle-gated (training stays spec-only: its
+    * numMerges chained dependent aggregates are not one SQL query, the
+    * q286 WordPiece adjudication): the top-200 corpus words encode
+    * through BpeTrainer.encodeVocab, i.e. the codegen'd
+    * BpeEncodeExpression that retired the repo's last UDF. The merge
+    * list exercises every semantic edge: end-of-word merges, chains
+    * where a later merge consumes an earlier merge's output
+    * (("t","h") then ("th","e</w>")), the KwKwK run shape (("l","l"),
+    * ("0","0") then ("00","00")).
+    *
+    * The oracle replays the merges on a DELIMITED-STRING encoding of
+    * the symbol sequence: each symbol flanked by chr(31) (state =
+    * SEP+sym1+SEP SEP+sym2+SEP …), one merge = one replace() of
+    * SEP+x+SEP+SEP+y+SEP with SEP+xy+SEP — replace()'s
+    * leftmost-non-overlapping-continue-after semantics are EXACTLY
+    * mergeOnce's one pass, and the flanking separators make partial-
+    * symbol matches impossible. 20 merges = 20 recursive-CTE steps. */
+  private val BpeMerges: Vector[(String, String)] = Vector(
+    ("e", "</w>"), ("d", "</w>"), ("g", "</w>"), ("s", "</w>"),
+    ("t", "h"), ("th", "e</w>"), ("i", "n"), ("in", "g</w>"),
+    ("a", "n"), ("an", "d</w>"), ("o", "n"), ("e", "r"),
+    ("er", "</w>"), ("o", "u"), ("r", "e"), ("a", "t"),
+    ("o", "r"), ("l", "l"), ("0", "0"), ("00", "00"))
+
+  private def q408BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(TA.alnumTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(200)
+      .select(col("word").as("w"), col("freq"))
+    // materialize the (top-k-bounded) encoded vocab eagerly — the
+    // q398 discipline: the 200-row single-partition segment the
+    // global limit needs must not look like a data-bearing exchange
+    // to downstream consumers of this frame
+    graft.operators.BpeTrainer.encodeVocab(s, words, BpeMerges)
+      .localCheckpoint(true)
+      .select(col("w").as("word"), col("freq"),
+        array_join(col("tokens"), ",").as("tokens"), col("n_tokens"))
+      .orderBy(col("word"))
+  }
+
+  private val q408Sql = {
+    val mergeValues = BpeMerges.zipWithIndex
+      .map { case ((x, y), i) => s"(${i + 1}, '$x', '$y')" }
+      .mkString(", ")
+    s"""WITH RECURSIVE w AS (
+       |  SELECT unnest(list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'),
+       |    x -> x != '')) AS word
+       |  FROM documents),
+       |tw AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+       |  GROUP BY 1 ORDER BY count(*) DESC, word LIMIT 200),
+       |m(i, x, y) AS (VALUES $mergeValues),
+       |init AS (
+       |  SELECT word,
+       |    chr(31) || array_to_string(list_concat(
+       |      list_transform(range(1, length(word) + 1),
+       |        i -> substr(word, CAST(i AS INT), 1)),
+       |      ['</w>']), chr(31) || chr(31)) || chr(31) AS st
+       |  FROM tw),
+       |step(word, i, st) AS (
+       |  SELECT word, 0, st FROM init
+       |  UNION ALL
+       |  SELECT s.word, s.i + 1,
+       |    replace(s.st,
+       |      chr(31) || m.x || chr(31) || chr(31) || m.y || chr(31),
+       |      chr(31) || m.x || m.y || chr(31))
+       |  FROM step s JOIN m ON m.i = s.i + 1),
+       |fin AS (
+       |  SELECT word, substr(st, 2, length(st) - 2) AS inner_st
+       |  FROM step WHERE i = (SELECT max(i) FROM m))
+       |SELECT tw.word, tw.freq,
+       |  replace(fin.inner_st, chr(31) || chr(31), ',') AS tokens,
+       |  CAST(len(string_split(fin.inner_st, chr(31) || chr(31)))
+       |    AS BIGINT) AS n_tokens
+       |FROM tw JOIN fin ON fin.word = tw.word
+       |ORDER BY tw.word""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q408_bpe_encode" -> (q408BpeEncode _),
     "q398_unigram_segment" -> (q398UnigramSegment _),
     "q392_incr_drift" -> (q392IncrDrift _),
     "q385_js_divergence" -> (q385JsDivergence _),
@@ -2622,6 +2705,7 @@ object QueriesCorpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q408_bpe_encode" -> q408Sql,
     "q358_ddsketch_audit" -> q358Sql,
     "q366_zipf_slope" -> q366Sql,
     "q344_good_turing" -> q344Sql,

@@ -109,17 +109,23 @@ object BpeTrainer {
     * exploded token stream (a vocab-sized build side) to get per-doc
     * BPE token counts without re-encoding per occurrence.
     *
-    * The encoder is a Scala UDF by design, not an oversight: applying
-    * numMerges ordered merges as Column expressions would chain
-    * numMerges higher-order transforms into one plan (codegen/optimizer
-    * blowup), and the UDF runs over the DISTINCT-word table only —
-    * never the corpus token stream, which is reached by join. */
+    * The encoder is the codegen'd
+    * [[graft.expressions.BpeEncodeExpression]] (retiring the repo's
+    * last Scala UDF): one expression carrying the merge dict as a
+    * reference object, semantics fuzz-pinned against [[encodeWord]]
+    * in BpeSpec. Chaining numMerges higher-order Column transforms
+    * would blow up the plan instead; and either way this runs over
+    * the DISTINCT-word table only — never the corpus token stream,
+    * which is reached by join. */
   def encodeVocab(spark: SparkSession, words: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    val m = spark.sparkContext.broadcast(merges.toVector)
-    import spark.implicits._
-    val enc = udf((w: String) => encodeWord(w, m.value))
-    words.select(col("w"), enc(col("w")).as("tokens"))
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => C, expression => E}
+    val enc = graft.expressions.BpeUtil.Encoder(merges.toVector)
+    // withColumn (not select): extra caller columns ride along, so a
+    // (w, freq) table encodes without a join back
+    words
+      .withColumn("tokens",
+        C(graft.expressions.BpeEncodeExpression(E(col("w")), enc)))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 

@@ -58,4 +58,49 @@ class BpeSpec extends SparkSpec {
       (1L, enc("low") + enc("lower"), 2L),
       (2L, 2 * enc("newest") + enc("widest"), 3L))
   }
+
+  test("codegen'd BpeEncodeExpression fuzz-matches encodeWord on " +
+      "random words and ADVERSARIAL merge lists") {
+    // adversarial: merge lists NOT from training — repeated pairs,
+    // merges referencing never-formed symbols, chains where a later
+    // merge consumes an earlier merge's output, end-of-word merges,
+    // and the KwKwK shape (a,a) on runs — the expression must mirror
+    // encodeWord's in-order pass semantics on ALL of them, not just
+    // well-formed trained lists
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "abcd"
+    def randWord(): String =
+      (0 until (1 + rnd.nextInt(10)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def randSym(): String = rnd.nextInt(4) match {
+      case 0 => alphabet(rnd.nextInt(alphabet.length)).toString
+      case 1 => (0 until 2).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      case 2 => BpeTrainer.EndOfWord
+      case _ => alphabet(rnd.nextInt(alphabet.length)).toString +
+        BpeTrainer.EndOfWord
+    }
+    (0 until 30).foreach { trial =>
+      val merges = Vector.fill(1 + rnd.nextInt(12))((randSym(), randSym()))
+      val words = (0 until 40).map(_ => randWord()).distinct
+      val expected = words.map(w => (w, BpeTrainer.encodeWord(w, merges)))
+      val got = BpeTrainer
+        .encodeVocab(spark, words.toDF("w"), merges)
+        .collect()
+        .map(r => (r.getString(0), r.getSeq[String](1), r.getLong(2)))
+        .sortBy(_._1)
+      withClue(s"trial $trial merges=$merges: ") {
+        got.map(g => (g._1, g._2.toSeq)).toSeq shouldBe
+          expected.sortBy(_._1).map(e => (e._1, e._2))
+        got.foreach { case (_, toks, n) => n shouldBe toks.length.toLong }
+      }
+    }
+    // trained-list spot check through the full Spark path
+    val merges = BpeTrainer.trainFromFreq(freq, numMerges = 6)
+    val viaExpr = BpeTrainer
+      .encodeVocab(spark, Seq("lowest", "newest", "zq").toDF("w"), merges)
+      .orderBy("w").collect().map(_.getSeq[String](1).toSeq)
+    viaExpr.toSeq shouldBe Seq("lowest", "newest", "zq").sorted
+      .map(w => BpeTrainer.encodeWord(w, merges))
+  }
 }
