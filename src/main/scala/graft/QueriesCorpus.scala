@@ -2568,6 +2568,150 @@ object QueriesCorpus {
       |  AND f.i = length(tw.word)
       |ORDER BY tw.word""".stripMargin
 
+  // -------------------------------------------------------------- q405
+  /** One unigram-LM EM E-step from the q398 seed model, oracle-gated
+    * (UnigramLm.emExpectedCountsSorted) — closing the one spec-only
+    * surface r8 added: per word, log-space forward-backward gives each
+    * piece occurrence's posterior f·exp(α(j)+lnp+β(j+l)−z); per piece
+    * the terms fold SORTED (the q60 discipline — strictly positive
+    * terms, 0.0 seed exact), and the expected count emits micro-
+    * rounded. The oracle rebuilds the seed model with q398's CTE
+    * chain, reruns α (forward) and β (backward) as recursive CTEs
+    * whose logsumexp replays Scala's exact form — max-shift, exp in
+    * candidate order (l ascending), left-fold, ln — and folds the
+    * same sorted terms. Words bound to the top-100 (the q398 cut), so
+    * every piece's packed list is occurrence-bounded by construction.
+    * The EM monotonicity guarantee stays spec-pinned (CorpusOpsSpec);
+    * this row pins one E-step's NUMBERS as data. */
+  private def q405EmStep(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramLm
+    val words = docs(s, dir)
+      .select(explode(TA.alnumTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val vocabRows = UnigramLm
+      .seedVocab(UnigramLm.pieceCounts(words, 4), 500)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = vocabRows.map(_._2).sum
+    val lnp = vocabRows
+      .map { case (p, c) => p -> math.log(c.toDouble / total.toDouble) }
+      .toMap
+    val top = words.orderBy(col("freq").desc, col("word")).limit(100)
+      .localCheckpoint(true)
+    words.unpersist()
+    UnigramLm.emExpectedCountsSorted(top, lnp, 4)
+      .select(col("piece"), col("n_occ"),
+        round(col("exp_count") * lit(1e6)).cast("long")
+          .as("exp_count_micro"))
+      .orderBy(col("piece"))
+  }
+
+  private val q405Sql =
+    """WITH RECURSIVE w AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x != '')) AS word
+      |  FROM documents),
+      |wf AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+      |pc AS (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT wf.freq,
+      |      unnest(list_transform(range(1, length(word) - l.l + 2),
+      |        i -> substr(word, CAST(i AS INT), l.l))) AS piece
+      |    FROM wf CROSS JOIN (VALUES (1), (2), (3), (4)) AS l(l)
+      |    WHERE length(word) >= l.l)
+      |  GROUP BY 1),
+      |top AS (SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece
+      |        LIMIT 500),
+      |vocab AS (
+      |  SELECT DISTINCT piece, cnt FROM (
+      |    SELECT piece, cnt FROM top
+      |    UNION ALL
+      |    SELECT piece, cnt FROM pc WHERE length(piece) = 1)),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+      |lp AS (
+      |  SELECT piece,
+      |    ln(CAST(cnt AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lnp
+      |  FROM vocab, tot),
+      |tw AS (SELECT word, freq FROM wf ORDER BY freq DESC, word
+      |       LIMIT 100),
+      |ca AS (
+      |  SELECT tw.word, CAST(t.i AS INT) AS i,
+      |    list(struct_pack(l := l.l, lnp := lp.lnp) ORDER BY l.l)
+      |      AS cands
+      |  FROM tw
+      |  CROSS JOIN (VALUES (1), (2), (3), (4)) AS l(l),
+      |    unnest(range(1, length(tw.word) + 1)) AS t(i)
+      |  JOIN lp ON lp.piece =
+      |    substr(tw.word, CAST(t.i - l.l + 1 AS INT), l.l)
+      |  WHERE t.i >= l.l
+      |  GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT tw.word, CAST(t.j AS INT) AS j,
+      |    list(struct_pack(l := l.l, lnp := lp.lnp) ORDER BY l.l)
+      |      AS cands
+      |  FROM tw
+      |  CROSS JOIN (VALUES (1), (2), (3), (4)) AS l(l),
+      |    unnest(range(0, length(tw.word))) AS t(j)
+      |  JOIN lp ON lp.piece =
+      |    substr(tw.word, CAST(t.j + 1 AS INT), l.l)
+      |  WHERE t.j + l.l <= length(tw.word)
+      |  GROUP BY 1, 2),
+      |astep(word, i, dp) AS (
+      |  SELECT word, 0, [CAST(0.0 AS DOUBLE)] FROM tw
+      |  UNION ALL
+      |  SELECT s.word, s.i + 1,
+      |    s.dp || [
+      |      list_max(list_transform(ca.cands,
+      |        c -> s.dp[s.i + 2 - c.l] + c.lnp))
+      |      + ln(list_reduce(list_transform(ca.cands, c ->
+      |          exp(s.dp[s.i + 2 - c.l] + c.lnp
+      |            - list_max(list_transform(ca.cands,
+      |                c2 -> s.dp[s.i + 2 - c2.l] + c2.lnp)))),
+      |        (a, b) -> a + b))]
+      |  FROM astep s
+      |  JOIN tw ON tw.word = s.word
+      |  JOIN ca ON ca.word = s.word AND ca.i = s.i + 1
+      |  WHERE s.i < length(tw.word)),
+      |bstep(word, i, dp) AS (
+      |  SELECT word, 0, [CAST(0.0 AS DOUBLE)] FROM tw
+      |  UNION ALL
+      |  SELECT s.word, s.i + 1,
+      |    s.dp || [
+      |      list_max(list_transform(cb.cands,
+      |        c -> c.lnp + s.dp[s.i + 2 - c.l]))
+      |      + ln(list_reduce(list_transform(cb.cands, c ->
+      |          exp(c.lnp + s.dp[s.i + 2 - c.l]
+      |            - list_max(list_transform(cb.cands,
+      |                c2 -> c2.lnp + s.dp[s.i + 2 - c2.l])))),
+      |        (a, b) -> a + b))]
+      |  FROM bstep s
+      |  JOIN tw ON tw.word = s.word
+      |  JOIN cb ON cb.word = s.word
+      |    AND cb.j = length(tw.word) - s.i - 1
+      |  WHERE s.i < length(tw.word)),
+      |occ AS (
+      |  SELECT tw.word, tw.freq, CAST(t.j AS INT) AS j,
+      |    CAST(l.l AS INT) AS l,
+      |    substr(tw.word, CAST(t.j + 1 AS INT), l.l) AS piece, lp.lnp
+      |  FROM tw
+      |  CROSS JOIN (VALUES (1), (2), (3), (4)) AS l(l),
+      |    unnest(range(0, length(tw.word))) AS t(j)
+      |  JOIN lp ON lp.piece = substr(tw.word, CAST(t.j + 1 AS INT), l.l)
+      |  WHERE t.j + l.l <= length(tw.word)),
+      |tv AS (
+      |  SELECT o.piece,
+      |    o.freq * exp(a.dp[o.j + 1] + o.lnp
+      |      + b.dp[length(o.word) - (o.j + o.l) + 1]
+      |      - a.dp[length(o.word) + 1]) AS tval
+      |  FROM occ o
+      |  JOIN astep a ON a.word = o.word AND a.i = length(o.word)
+      |  JOIN bstep b ON b.word = o.word AND b.i = length(o.word))
+      |SELECT piece, CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(round(list_reduce(list(tval ORDER BY tval),
+      |    (x, y) -> x + y) * 1e6) AS BIGINT) AS exp_count_micro
+      |FROM tv GROUP BY piece ORDER BY piece""".stripMargin
+
   // -------------------------------------------------------------- q408
   /** BPE encoding under a FIXED merge list — the inference half of the
     * tokenizer family, now oracle-gated (training stays spec-only: its
@@ -2652,6 +2796,7 @@ object QueriesCorpus {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q408_bpe_encode" -> (q408BpeEncode _),
+    "q405_unigram_em_step" -> (q405EmStep _),
     "q398_unigram_segment" -> (q398UnigramSegment _),
     "q392_incr_drift" -> (q392IncrDrift _),
     "q385_js_divergence" -> (q385JsDivergence _),
@@ -2706,6 +2851,7 @@ object QueriesCorpus {
 
   val oracles: Map[String, String] = Map(
     "q408_bpe_encode" -> q408Sql,
+    "q405_unigram_em_step" -> q405Sql,
     "q358_ddsketch_audit" -> q358Sql,
     "q366_zipf_slope" -> q366Sql,
     "q344_good_turing" -> q344Sql,

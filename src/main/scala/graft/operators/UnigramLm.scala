@@ -144,6 +144,38 @@ object UnigramLm {
     }
   }
 
+  /** Per-occurrence posterior terms of one word under the model — the
+    * shared core of the E-step entries: each in-vocabulary piece
+    * occurrence (start j, length l) yields f·exp(α(j)+lnp+β(j+l)−z).
+    * Terms iterate in (j asc, l asc) order and are all strictly
+    * positive; an unreachable word (z = −∞) yields nothing. */
+  private def posteriorTerms(w: String, f: Long,
+      lnp: collection.Map[String, Double],
+      maxPieceLen: Int): Iterator[(String, Double)] = {
+    val L = w.length
+    val alpha = Array.fill(L + 1)(Double.NegativeInfinity)
+    val beta = Array.fill(L + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    for (i <- 1 to L)
+      alpha(i) = logSumExp((1 to math.min(maxPieceLen, i)).flatMap {
+        l => lnp.get(w.substring(i - l, i)).map(alpha(i - l) + _)
+      })
+    beta(L) = 0.0
+    for (j <- (L - 1) to 0 by -1)
+      beta(j) = logSumExp(
+        (1 to math.min(maxPieceLen, L - j)).flatMap { l =>
+          lnp.get(w.substring(j, j + l)).map(_ + beta(j + l))
+        })
+    val z = alpha(L)
+    if (z == Double.NegativeInfinity) Iterator.empty
+    else (for {
+      j <- 0 until L
+      l <- 1 to math.min(maxPieceLen, L - j)
+      p <- lnp.get(w.substring(j, j + l))
+    } yield (w.substring(j, j + l),
+      f * math.exp(alpha(j) + p + beta(j + l) - z))).iterator
+  }
+
   /** Expected piece counts under the CURRENT model — the E-step of the
     * Kudo 2018 unigram-LM trainer: per word, forward-backward over
     * segmentations (log-space, so long words can't underflow) gives
@@ -152,42 +184,42 @@ object UnigramLm {
     * piece with one hash aggregate. Map-only per word; the model
     * travels in the closure like the Viterbi scorer's.
     *
-    * SPEC-ONLY by design (the ORACLE_NOTES estimator rule): posterior
-    * masses are float sums whose fixed point is not a cross-engine
-    * contract — the oracle-gated surface is the seed vocabulary and
-    * the Viterbi score (q398). */
+    * This native-sum form stays spec-only (its float fixed point is
+    * partition-order-dependent); the oracle-gated E-step surface is
+    * [[emExpectedCountsSorted]] (q405), which folds the SAME terms
+    * deterministically. */
   def emExpectedCounts(words: DataFrame, lnp: Map[String, Double],
       maxPieceLen: Int): DataFrame = {
     import words.sparkSession.implicits._
     words.select(col("word"), col("freq"))
       .as[(String, Long)]
-      .flatMap { case (w, f) =>
-        val L = w.length
-        val alpha = Array.fill(L + 1)(Double.NegativeInfinity)
-        val beta = Array.fill(L + 1)(Double.NegativeInfinity)
-        alpha(0) = 0.0
-        for (i <- 1 to L)
-          alpha(i) = logSumExp((1 to math.min(maxPieceLen, i)).flatMap {
-            l => lnp.get(w.substring(i - l, i)).map(alpha(i - l) + _)
-          })
-        beta(L) = 0.0
-        for (j <- (L - 1) to 0 by -1)
-          beta(j) = logSumExp(
-            (1 to math.min(maxPieceLen, L - j)).flatMap { l =>
-              lnp.get(w.substring(j, j + l)).map(_ + beta(j + l))
-            })
-        val z = alpha(L)
-        if (z == Double.NegativeInfinity) Iterator.empty
-        else (for {
-          j <- 0 until L
-          l <- 1 to math.min(maxPieceLen, L - j)
-          p <- lnp.get(w.substring(j, j + l))
-        } yield (w.substring(j, j + l),
-          f * math.exp(alpha(j) + p + beta(j + l) - z))).iterator
-      }
+      .flatMap { case (w, f) => posteriorTerms(w, f, lnp, maxPieceLen) }
       .toDF("piece", "exp_count")
       .groupBy(col("piece"))
       .agg(sum(col("exp_count")).as("exp_count"))
+  }
+
+  /** [[emExpectedCounts]] with a DETERMINISTIC per-piece fold — the
+    * oracle-checkable E-step (q405): instead of an order-dependent
+    * float sum, each piece's posterior terms are collected, sorted,
+    * and folded in ascending order, so the expected count is the same
+    * double in any engine computing the same terms (the q60
+    * sorted-fold discipline; terms are strictly positive, so the 0.0
+    * fold seed is exact). Pass a BOUNDED (top-k) word table: each
+    * piece's packed list holds one entry per occurrence across the
+    * given words — the caller's k bounds it, the shape q366-style
+    * rows rely on. */
+  def emExpectedCountsSorted(words: DataFrame, lnp: Map[String, Double],
+      maxPieceLen: Int): DataFrame = {
+    import words.sparkSession.implicits._
+    words.select(col("word"), col("freq"))
+      .as[(String, Long)]
+      .flatMap { case (w, f) => posteriorTerms(w, f, lnp, maxPieceLen) }
+      .toDF("piece", "t")
+      .groupBy(col("piece"))
+      .agg(count(lit(1)).as("n_occ"),
+        aggregate(sort_array(collect_list(col("t"))), lit(0.0),
+          (acc, x) => acc + x).as("exp_count"))
   }
 
   /** One full EM iteration: E-step expected counts, M-step renormalize
