@@ -895,6 +895,127 @@ object QueriesMultimodal {
        |  TRUE AS codec_invariant
        |FROM allh ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q406
+  /** GAIN-INVARIANT spectral audio dedup end to end
+    * (Multimodal.spectralWhtHash64 + hammingNearDupPairs) — closing
+    * the q390 fingerprint's stated weakness: its amplitude envelope is
+    * defeated by a volume change. Per-user PCM synthesizes from events
+    * with EVEN samples (cents mod 16384, centered, ×2), and every clip
+    * gets TWO planted copies: one at double gain (+100000) and one at
+    * half gain (+200000) — both EXACT scalings on even samples, under
+    * which the WHT band energies scale uniformly by g² and every
+    * same-frame band comparison (and hence the whole 64-bit hash) is
+    * provably unchanged: all three variants collide at Hamming 0,
+    * which the amplitude hash provably cannot do. Samples round-trip
+    * REAL RIFF/WAVE encode/decode before hashing; the fingerprint is
+    * exact integer end to end (±1 WHT coefficients, BIGINT energies,
+    * strict comparisons), and the oracle restates samples → windows →
+    * WHT coefficients → band energies → bits → bands → pairs bit for
+    * bit. */
+  private def q406SpectralFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 8 users per clip: single-user streams top out under the 128-
+    // sample spectral minimum at sf0.01, and longer clips are the
+    // realistic fingerprint shape anyway
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") <= 500)
+      .select(expr("user_id div 8").as("clip_id"), col("event_id"),
+        col("user_id"),
+        ((pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(16384L)) - 8192L) * 2L).cast("int").as("s"))
+    val base = ev.groupBy(col("clip_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"),
+        col("user_id"), col("s")))).as("a"))
+      .select(col("clip_id").as("doc_id"),
+        expr("transform(a, x -> x.s)").as("samples"))
+      .filter(size(col("samples")) >= 128)
+    val louder = base.select((col("doc_id") + 100000L).as("doc_id"),
+      expr("transform(samples, x -> CAST(x * 2 AS INT))").as("samples"))
+    val quieter = base.select((col("doc_id") + 200000L).as("doc_id"),
+      expr("transform(samples, x -> CAST(x DIV 2 AS INT))").as("samples"))
+    val pcm = base.unionAll(louder).unionAll(quieter)
+      .as[Multimodal.PcmRow]
+    val hashes = Multimodal.wavSpectralHashTable(
+      Multimodal.encodeWavTable(pcm, sampleRate = 8000)).toDF()
+    Multimodal.hammingNearDupPairs(hashes, "doc_id", "ahash",
+        maxHamming = 6)
+      .select(col("id1"), col("id2"), col("hamming").cast("int")
+        .as("hamming"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val q406Sql =
+    """WITH s AS (
+      |  SELECT user_id // 8 AS doc_id, event_id, user_id,
+      |    (((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 16384)
+      |      + 16384) % 16384 - 8192) * 2 AS s
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, s,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY event_id, user_id, s) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT doc_id, s, rn, n FROM r WHERE n >= 128),
+      |px AS (
+      |  SELECT doc_id, rn, n, s FROM u
+      |  UNION ALL
+      |  SELECT doc_id + 100000, rn, n, s * 2 FROM u
+      |  UNION ALL
+      |  SELECT doc_id + 200000, rn, n, s // 2 FROM u),
+      |wnd AS (
+      |  SELECT doc_id, (rn - 1) // 8 AS w, CAST((rn - 1) % 8 AS INT)
+      |      AS t,
+      |    n // 8 AS nw, s
+      |  FROM px WHERE rn <= (n // 8) * 8),
+      |coefs AS (
+      |  SELECT doc_id, CAST((w * 16) // nw AS INT) AS f, w, k.k,
+      |    CAST(sum(CASE WHEN bit_count(k.k & t) % 2 = 0 THEN s
+      |      ELSE -s END) AS BIGINT) AS c
+      |  FROM wnd CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5),
+      |    (6), (7)) AS k(k)
+      |  GROUP BY 1, 2, 3, 4),
+      |en AS (
+      |  SELECT doc_id, f, k, CAST(sum(c * c) AS BIGINT) AS e
+      |  FROM coefs GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT a.doc_id, a.f * 4 + a.k AS b
+      |  FROM en a JOIN en b2 ON b2.doc_id = a.doc_id AND b2.f = a.f
+      |    AND b2.k = a.k + 4
+      |  WHERE a.k < 4 AND a.e > b2.e),
+      |hs AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN b = 63 THEN -9223372036854775808
+      |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS ahash
+      |  FROM bits GROUP BY 1),
+      |alldocs AS (SELECT DISTINCT doc_id FROM px),
+      |allh AS (
+      |  SELECT alldocs.doc_id, coalesce(hs.ahash, 0) AS ahash
+      |  FROM alldocs LEFT JOIN hs ON hs.doc_id = alldocs.doc_id),
+      |uh AS (
+      |  SELECT doc_id, ahash,
+      |    CAST(ahash AS HUGEINT) + (CASE WHEN ahash < 0
+      |      THEN CAST(18446744073709551616 AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS hv
+      |  FROM allh),
+      |bands AS (
+      |  SELECT doc_id, k.k,
+      |    CAST((hv // CAST(k.p AS HUGEINT)) % 65536 AS BIGINT) AS band
+      |  FROM uh CROSS JOIN (VALUES (0, 1), (1, 65536),
+      |    (2, 4294967296), (3, 281474976710656)) AS k(k, p)),
+      |cand AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands a JOIN bands b ON b.k = a.k AND b.band = a.band
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT c.id1, c.id2,
+      |  CAST(bit_count(xor(h1.ahash, h2.ahash)) AS INT) AS hamming
+      |FROM cand c
+      |JOIN allh h1 ON h1.doc_id = c.id1
+      |JOIN allh h2 ON h2.doc_id = c.id2
+      |WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 6
+      |ORDER BY c.id1, c.id2""".stripMargin
+
   // -------------------------------------------------------------- q404
   /** REAL baseline-JPEG round-trip (graft.operators.Jpeg, written from
     * ITU-T T.81 — Huffman entropy coding, dequantize, IDCT): the q373
@@ -973,6 +1094,7 @@ object QueriesMultimodal {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q404_jpeg_roundtrip" -> (q404JpegRoundtrip _),
+    "q406_spectral_fingerprint" -> (q406SpectralFingerprint _),
     "q407_jpeg_perceptual_collision" -> (q407JpegHashCollision _),
     "q403_codec_invariant_hash" -> (q403CodecInvariantHash _),
     "q397_incr_image_dedup" -> (q397IncrImageDedup _),
@@ -991,6 +1113,7 @@ object QueriesMultimodal {
 
   val oracles: Map[String, String] = Map(
     "q404_jpeg_roundtrip" -> q404Sql,
+    "q406_spectral_fingerprint" -> q406Sql,
     "q407_jpeg_perceptual_collision" -> q407Sql,
     "q403_codec_invariant_hash" -> q403Sql,
     "q397_incr_image_dedup" -> q397Sql,

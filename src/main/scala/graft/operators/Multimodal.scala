@@ -1257,6 +1257,77 @@ object Multimodal {
     })
   }
 
+  /** 64-bit SPECTRAL audio fingerprint, gain-invariant by
+    * construction — the frequency-domain upgrade of
+    * [[audioEnergyHash64]] (whose amplitude envelope a volume change
+    * defeats), following the band-energy-comparison design of
+    * Haitsma & Kalker 2002 with an INTEGER spectral transform: the
+    * stream chops into 8-sample windows (remainder dropped), each
+    * window takes an 8-point natural-order Walsh–Hadamard transform
+    * (coefficients are ±1 — exact integer arithmetic, the classic
+    * cheap-DCT substitute, so no cos table and no float anywhere),
+    * window w of W belongs to frame ⌊16w/W⌋, and per (frame, band)
+    * the energy Σ coef² accumulates as an exact BIGINT. Bit f·4+k
+    * (16 frames × 4 comparisons) is set iff band k's energy strictly
+    * exceeds band k+4's WITHIN the same frame — a comparison of two
+    * energies that any uniform gain g scales by the same g², so the
+    * hash is EXACTLY invariant under exact scaling (×2 always; ÷2
+    * when samples are even) and robust to quantized gain changes
+    * (bits flip only where band energies nearly tie). Unrelated
+    * clips differ in ~32 bits; feed [[hammingNearDupPairs]].
+    *
+    * Long bounds: |coef| ≤ 8·2¹⁵ = 2¹⁸, coef² ≤ 2³⁶, ≤ 2¹⁹ windows
+    * per frame at the 4M-sample cap → energy < 2⁵⁵. Needs ≥ 128
+    * samples (W ≥ 16 keeps every frame non-empty). */
+  def spectralWhtHash64(samples: Array[Int]): Long = {
+    val n = samples.length
+    require(n >= 128, s"spectral fingerprint needs >= 128 samples, got $n")
+    require(n <= 4000000, s"fingerprint chunks must be <= 4M samples ($n)")
+    val nw = n / 8
+    val energy = Array.ofDim[Long](16, 8)
+    var w = 0
+    while (w < nw) {
+      val f = (w.toLong * 16L / nw).toInt
+      var k = 0
+      while (k < 8) {
+        var c = 0L
+        var t = 0
+        while (t < 8) {
+          if (java.lang.Integer.bitCount(k & t) % 2 == 0)
+            c += samples(8 * w + t)
+          else c -= samples(8 * w + t)
+          t += 1
+        }
+        energy(f)(k) += c * c
+        k += 1
+      }
+      w += 1
+    }
+    var h = 0L
+    var f = 0
+    while (f < 16) {
+      var k = 0
+      while (k < 4) {
+        if (energy(f)(k) > energy(f)(k + 4)) h |= 1L << (f * 4 + k)
+        k += 1
+      }
+      f += 1
+    }
+    h
+  }
+
+  /** Per-partition WAV decode → spectral fingerprint —
+    * [[wavAudioHashTable]]'s gain-invariant sibling (same map-only
+    * shape; only 8-byte hashes shuffle). */
+  def wavSpectralHashTable(media: Dataset[WavRow]): Dataset[AudioHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (rate, samples) = decodeWavSamples(r.content)
+      AudioHashRow(r.doc_id, rate, samples.length.toLong,
+        spectralWhtHash64(samples))
+    })
+  }
+
   /** Video-style near-duplicate detection over FRAME-HASH SEQUENCES —
     * the fourth modality beside bytes ([[binaryNearDups]]), pixels
     * ([[dHash64]] + [[hammingNearDupPairs]]), and samples

@@ -628,6 +628,46 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioEnergyHash64(Array.fill(64)(1)) // < 65 samples
   }
 
+  test("spectralWhtHash64: hand-computed band bits, exact gain " +
+      "invariance, one-window locality, bounds") {
+    // constant samples: every 8-point WHT has only the k=0 (DC)
+    // coefficient, so e(f,0) > e(f,4) = 0 sets exactly bit f*4 per
+    // frame -> 0x1111111111111111
+    val const = Array.fill(128)(100)
+    Multimodal.spectralWhtHash64(const) shouldBe 0x1111111111111111L
+    Multimodal.spectralWhtHash64(Array.fill(128)(0)) shouldBe 0L
+    // alternating +c/-c matches WHT basis k=1 exactly: only e(f,1)
+    // is nonzero -> bit f*4+1 per frame -> 0x2222222222222222
+    val alt = Array.tabulate(128)(t => if (t % 2 == 0) 60 else -60)
+    Multimodal.spectralWhtHash64(alt) shouldBe 0x2222222222222222L
+    // EXACT gain invariance: x2 always, /2 on even samples
+    val base = Array.tabulate(512) { k =>
+      val m = k * 2654435761L + 1013904223L
+      2 * ((((m ^ (m >>> 17)) & 0x3fffL) - 8192L).toInt)
+    }
+    val h0 = Multimodal.spectralWhtHash64(base)
+    Multimodal.spectralWhtHash64(base.map(_ * 2)) shouldBe h0
+    Multimodal.spectralWhtHash64(base.map(_ / 2)) shouldBe h0
+    // a one-window edit perturbs one frame -> at most 4 bits
+    val nudged = base.clone(); nudged(200) += 2
+    java.lang.Long.bitCount(
+      h0 ^ Multimodal.spectralWhtHash64(nudged)) should be <= 4
+    // pin the DIFFERENCE the spectral hash adds over the amplitude
+    // hash: sensitivity to within-frame reordering that preserves the
+    // energy envelope. Swapping two samples inside one window changes
+    // no frame energy sum, so audioEnergyHash64 is blind to it, but
+    // it changes the window's WHT decomposition. The swap below turns
+    // window 0 of the k=1-basis signal into a different band mix.
+    val alt2 = alt.clone()
+    val tmp = alt2(0); alt2(0) = alt2(1); alt2(1) = tmp
+    Multimodal.audioEnergyHash64(alt2) shouldBe
+      Multimodal.audioEnergyHash64(alt) // envelope-blind
+    Multimodal.spectralWhtHash64(alt2) should not be
+      Multimodal.spectralWhtHash64(alt) // spectrum-aware
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.spectralWhtHash64(Array.fill(127)(1))
+  }
+
   test("gate-fixture band buckets stay far below the candidate cap") {
     // hammingNearDupPairs' maxBucketSize silently trades recall above
     // the cap while the DuckDB oracles are UNCAPPED — gate parity
