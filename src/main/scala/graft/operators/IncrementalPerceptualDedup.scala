@@ -12,26 +12,33 @@ import org.apache.spark.sql.types.StructType
   * [[Multimodal.audioEnergyHash64]] audio) must near-dup against
   * EVERYTHING already accepted without re-decoding earlier media.
   *
-  * The index is a parquet table of (band, id, h): four 16-bit bands
-  * per hash — 4 skinny rows per accepted item. A batch (1) bands its
-  * hashes, (2) probes the index on exact band equality (excluding its
-  * own tag's files — the [[IncrementalDedup]] retry-idempotence
-  * contract), (3) verifies candidates by bit_count(xor) ≤ maxHamming
-  * and reports each batch item's EARLIER near-duplicates, then
-  * (4) appends ALL its bands to the index — flagged items too (the
-  * all-seen index: a later copy of a copy still flags, and the
-  * flag-iff-any-earlier semantics stay provably batch-split-
-  * invariant). Within-batch near-dups do NOT flag each other (both
-  * are first sightings; run the batch operator inside the batch if
-  * that matters).
+  * The index is a parquet table of (band, id, h, tag): four 16-bit
+  * bands per hash — 4 skinny rows per accepted item, tagged with the
+  * batch that wrote them. A batch (1) bands its hashes, (2) probes
+  * the index on exact band equality excluding its own tag's rows —
+  * the [[IncrementalDedup]] retry-idempotence contract, enforced by
+  * the tag COLUMN (the filename prefix is only a read-skipping
+  * optimization, because compaction rewrites file names), (3)
+  * verifies candidates by bit_count(xor) ≤ maxHamming and reports
+  * each batch item's EARLIER near-duplicates, then (4) appends ALL
+  * its bands to the index — flagged items too (the all-seen index: a
+  * later copy of a copy still flags, and the flag-iff-any-earlier
+  * semantics stay provably batch-split-invariant). Within-batch
+  * near-dups do NOT flag each other (both are first sightings; run
+  * the batch operator inside the batch if that matters).
   *
   * Scale: the index holds 4 rows × 8-byte hash per accepted item; the
   * probe shuffles on the band key exactly like the batch operator —
-  * bounded buckets, uniform 16-bit band values.
+  * bounded buckets, uniform 16-bit band values. Daily appends accrete
+  * one file set per batch forever; run [[compactIndex]] periodically
+  * to rewrite them into one (tag-preserving, so every contract above
+  * survives compaction — spec-pinned).
   *
   * @return flagged batch rows: (idCol, n_hits = distinct earlier
   *         near-dups, min_hamming, min_earlier_id) */
 object IncrementalPerceptualDedup {
+
+  private val IndexSchema = "band STRING, id BIGINT, h BIGINT, tag STRING"
 
   def acceptBatch(batch: DataFrame, idCol: String, hashCol: String,
       indexPath: String, batchTag: String,
@@ -60,7 +67,7 @@ object IncrementalPerceptualDedup {
       .withColumnRenamed("__id", idCol)
     ParquetTable.appendStaged(
       banded.select(col("band"), col("__id").as("id"),
-        col("__h").as("h")),
+        col("__h").as("h"), lit(batchTag).as("tag")),
       indexPath, batchTag)
     flagged
   }
@@ -75,11 +82,42 @@ object IncrementalPerceptualDedup {
         .filter { f =>
           f.getName.endsWith(".parquet") || f.getName.contains("part-")
         }
+        // read-skipping only: post-compaction the tag's rows live in
+        // files without its prefix — the column filter below is the
+        // correctness guarantee
         .filterNot(_.getName.startsWith(s"$batchTag-"))
         .map(_.toString)
     if (otherFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType.fromDDL("band STRING, id BIGINT, h BIGINT"))
+        StructType.fromDDL(IndexSchema))
     else spark.read.parquet(otherFiles.toIndexedSeq: _*)
+      .filter(col("tag") =!= batchTag)
+  }
+
+  /** Rewrite the accreted per-batch file sets into one compact set —
+    * tag-PRESERVING, so flag sets and retry idempotence are invariant
+    * (spec-pinned): rows keep the batch tag they were written under,
+    * and probes exclude by the tag column wherever the rows live.
+    * Rows dedup on the full tuple, which also cleans the double-
+    * stored bands a post-compaction retry of an old tag can leave
+    * (its flags were already correct — the probe's pair set is
+    * distinct — but the storage isn't). Atomic swap: readers see the
+    * old or the new index, never a partial one.
+    * @return (data files before, after) */
+  def compactIndex(spark: SparkSession,
+      indexPath: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0, 0)
+    def dataFiles(): Int = fs.listStatus(p).map(_.getPath.getName)
+      .count(n => n.endsWith(".parquet") || n.contains("part-"))
+    val before = dataFiles()
+    // materialize BEFORE the swap: overwriteAtomic must not read the
+    // directory it is replacing
+    val all = spark.read.parquet(indexPath).distinct()
+      .coalesce(math.max(1, before / 16))
+      .localCheckpoint(true)
+    ParquetTable.overwriteAtomic(all, indexPath)
+    (before, dataFiles())
   }
 }

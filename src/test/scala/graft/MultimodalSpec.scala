@@ -596,6 +596,43 @@ class MultimodalSpec extends SparkSpec {
     accept("b2", (5L, h)).toSeq shouldBe Seq((5L, 3L, 0, 1L))
   }
 
+  test("compactIndex is tag-preserving: flag sets and retry " +
+      "idempotence survive compaction, file count drops") {
+    import graft.operators.IncrementalPerceptualDedup
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ipd_compact").toString
+    val h = 0x0123456789abcdefL
+    def accept(tag: String, rows: (Long, Long)*) =
+      IncrementalPerceptualDedup.acceptBatch(
+        rows.toSeq.toDF("id", "hash"), "id", "hash", idx, tag,
+        maxHamming = 6)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3)))
+    accept("b0", (1L, h)).toSeq shouldBe Seq.empty
+    accept("b1", (2L, h ^ 1L)).toSeq shouldBe Seq((2L, 1L, 1, 1L))
+    // 3 sees 1 (Hamming 2) and 2 (Hamming 1)
+    accept("b2", (3L, h ^ 3L)).toSeq shouldBe Seq((3L, 2L, 1, 1L))
+    // 4 sees 1 (0), 2 (1), 3 (2)
+    val probeFlags = accept("b3", (4L, h)).toSeq
+    probeFlags shouldBe Seq((4L, 3L, 0, 1L))
+    val (before, after) = IncrementalPerceptualDedup
+      .compactIndex(spark, idx)
+    before should be > after
+    after should be >= 1
+    // retry of b3 AFTER compaction: its rows now live in files
+    // without the tag prefix, so idempotence rests on the tag COLUMN
+    accept("b3", (4L, h)).toSeq shouldBe probeFlags
+    // a new batch still sees every compacted earlier item:
+    // 5 sees 1 (1), 2 (0), 3 (2), 4 (1)
+    accept("b4", (5L, h ^ 1L)).toSeq shouldBe Seq((5L, 4L, 0, 1L))
+    // compacting again (now with the retry's double-stored b3 bands
+    // present) dedups storage and changes no verdict:
+    // 6 sees 1 (0), 2 (1), 3 (2), 4 (0), 5 (1)
+    IncrementalPerceptualDedup.compactIndex(spark, idx)
+    accept("b5", (6L, h)).toSeq shouldBe Seq((6L, 5L, 0, 1L))
+  }
+
   test("decodeWavSamples round-trips exact samples (with clamping) " +
       "through the strict parser") {
     val samples = Seq(0, 100, -32768, 32767, -5, 40000)
