@@ -824,11 +824,15 @@ object QueriesMultimodal {
     * mod 3, so every planted pair is cross-batch by construction):
     * each batch probes the persistent band index built by the EARLIER
     * batches, flags its items with any earlier near-dup
-    * (Hamming ≤ 6), and appends its own bands. The oracle restates
-    * the whole state machine declaratively — an item flags iff an
-    * earlier-BATCH item shares a band within Hamming 6 — so an index
-    * that self-masks, misses a batch, or double-appends shifts some
-    * item's exact n_hits and fails the row. */
+    * (Hamming ≤ 6), and appends its own bands. The index is COMPACTED
+    * between batches 1 and 2 (compactIndex rewrites every per-batch
+    * file set into one), so the row also pins, under the oracle, that
+    * compaction preserves the tag-exclusion and flag semantics — the
+    * oracle knows nothing about files. The oracle restates the whole
+    * state machine declaratively — an item flags iff an earlier-BATCH
+    * item shares a band within Hamming 6 — so an index that
+    * self-masks, misses a batch, double-appends, or loses rows to
+    * compaction shifts some item's exact n_hits and fails the row. */
   private def q397IncrImageDedup(s: SparkSession, dir: String): DataFrame = {
     // checkpoint once: each acceptBatch call materializes its banded
     // input eagerly — uncached, the PNG encode/decode/dHash fixture
@@ -839,6 +843,8 @@ object QueriesMultimodal {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_incr_dhash").toString
     (0 until 3).map { b =>
+      if (b == 2) // flags must be invariant under the file rewrite
+        graft.operators.IncrementalPerceptualDedup.compactIndex(s, idx)
       graft.operators.IncrementalPerceptualDedup.acceptBatch(
         hashes.filter(col("__batch") === b)
           .select(col("doc_id"), col("dhash")),
@@ -876,7 +882,9 @@ object QueriesMultimodal {
     * codec's pixel path that q373/q399's summary features happen to
     * cancel (e.g. a row-order slip that preserves sums) breaks hash
     * equality here. The oracle computes the hash once from events and
-    * asserts it for both columns. */
+    * asserts it for both columns. (The third real image codec, JPEG,
+    * is LOSSY by nature and so excluded from this bit-equality
+    * invariant by design — its bounded-Hamming counterpart is q407.) */
   private def q403CodecInvariantHash(s: SparkSession, dir: String): DataFrame = {
     val imgs = events9Images(s, dir)
     val png = Multimodal.pngDHashTable(Multimodal.encodePngTable(imgs))

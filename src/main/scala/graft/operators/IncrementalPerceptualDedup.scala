@@ -65,6 +65,11 @@ object IncrementalPerceptualDedup {
         min(col("hamming")).cast("int").as("min_hamming"),
         min(col("__eid")).as("min_earlier_id"))
       .withColumnRenamed("__id", idCol)
+      // materialize NOW: the lazy plan reads the index by file paths,
+      // which later batches' appends — and compactIndex's rewrite —
+      // invalidate; the returned verdicts must be stable against any
+      // subsequent index mutation (the IncrementalDedup discipline)
+      .localCheckpoint(true)
     ParquetTable.appendStaged(
       banded.select(col("band"), col("__id").as("id"),
         col("__h").as("h"), lit(batchTag).as("tag")),
