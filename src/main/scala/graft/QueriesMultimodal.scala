@@ -1069,6 +1069,54 @@ object QueriesMultimodal {
       |  TRUE AS within_tol
       |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q409
+  /** PROGRESSIVE JPEG (SOF2, spectral-selection scans with EOB-run
+    * coding) pinned against baseline as DATA: every q373 fixture image
+    * encodes BOTH ways under the Annex K quant table (coarse
+    * quantization zeroes most AC bands, so the progressive AC scans
+    * emit genuine EOBn runs), and the two streams must decode
+    * PIXEL-IDENTICAL — not within a tolerance: both modes quantize the
+    * same coefficients and share one dequant+IDCT, so any divergence
+    * is a scan-layer bug (EOB-run bookkeeping, band bounds,
+    * non-interleaved grid, DC prediction chains). This is the
+    * progressive sibling of q403's codec-invariance: exact equality
+    * across two entirely different entropy LAYOUTS of the same
+    * mathematical image. Geometry columns stay oracle-exact. */
+  private def q409JpegProgressive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events16Images(s, dir)
+      .map { r =>
+        val J = graft.operators.Jpeg
+        val q = J.QuantAnnexKLuma
+        val base = J.decodeJpegLumas(J.encodeJpegGray(r.lumas, r.width, q))
+        val prog = J.decodeJpegLumas(
+          J.encodeJpegGray(r.lumas, r.width, q, progressive = true))
+        (r.doc_id, base._1, base._2, base._1.toLong * base._2,
+          java.util.Arrays.equals(base._3, prog._3))
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "pixels_identical")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q409Sql =
+    """WITH s AS (
+      |  SELECT user_id AS doc_id, event_id,
+      |    ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 256)
+      |      + 256) % 256 AS g
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY event_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT * FROM r WHERE n >= 16 AND rn <= (n // 16) * 16)
+      |SELECT doc_id, CAST(16 AS INT) AS width,
+      |  CAST(count(*) // 16 AS INT) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  TRUE AS pixels_identical
+      |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- q407
   /** Perceptual-hash survival of a JPEG re-encode, pinned as data —
     * the q403 codec-invariance pattern with a BOUND instead of
@@ -1103,6 +1151,7 @@ object QueriesMultimodal {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q404_jpeg_roundtrip" -> (q404JpegRoundtrip _),
     "q406_spectral_fingerprint" -> (q406SpectralFingerprint _),
+    "q409_jpeg_progressive" -> (q409JpegProgressive _),
     "q407_jpeg_perceptual_collision" -> (q407JpegHashCollision _),
     "q403_codec_invariant_hash" -> (q403CodecInvariantHash _),
     "q397_incr_image_dedup" -> (q397IncrImageDedup _),
@@ -1122,6 +1171,7 @@ object QueriesMultimodal {
   val oracles: Map[String, String] = Map(
     "q404_jpeg_roundtrip" -> q404Sql,
     "q406_spectral_fingerprint" -> q406Sql,
+    "q409_jpeg_progressive" -> q409Sql,
     "q407_jpeg_perceptual_collision" -> q407Sql,
     "q403_codec_invariant_hash" -> q403Sql,
     "q397_incr_image_dedup" -> q397Sql,

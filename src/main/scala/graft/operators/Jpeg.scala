@@ -266,6 +266,29 @@ object Jpeg {
   private val EncDcChroma = new EncHuff(DcChromaBits, DcChromaVals)
   private val EncAcChroma = new EncHuff(AcChromaBits, AcChromaVals)
 
+  /** Progressive AC scans code EOB RUNS (G.1.2.2) — run/size symbols
+    * with size 0 and run 1..14, which the SEQUENTIAL Annex K tables
+    * deliberately lack (and cannot be extended to carry: Annex K's AC
+    * table fills 65535 of the 65536 length-16 code slots). The
+    * progressive encoder therefore ships its own canonical table: the
+    * hottest symbols (EOB, the two shortest coefficients, ZRL) at 4
+    * bits, every other run/size symbol plus EOBn 0x10..0x70 at 9 —
+    * Kraft-valid by the canonical builder's own check. Decoders read
+    * whatever DHT the stream carries, so interop is unaffected;
+    * compression of the fixed table is secondary to correctness
+    * here (real encoders optimize per image). */
+  private val (acProgBits: Array[Int], acProgVals: Array[Int]) = {
+    val short = Array(0x00, 0x01, 0x02, 0x11, 0xf0)
+    val eobn = (1 to 7).map(_ << 4)
+    val runSize = for { r <- 0 to 15; s <- 1 to 10 } yield (r << 4) | s
+    val rest = (runSize ++ eobn).filterNot(short.contains).sorted
+    val bits = new Array[Int](16)
+    bits(3) = short.length // code length 4
+    bits(8) = rest.length  // code length 9
+    (bits, (short ++ rest).toArray)
+  }
+  private val EncAcProg = new EncHuff(acProgBits, acProgVals)
+
   /** MSB-first bit writer with 0xFF→0xFF00 stuffing (F.1.2.3). */
   private final class BitWriter(out: java.io.ByteArrayOutputStream) {
     private var acc = 0
@@ -355,10 +378,13 @@ object Jpeg {
   private case class EncComp(plane: Array[Int], w: Int, h: Int,
       hSamp: Int, vSamp: Int, quantId: Int, huffId: Int)
 
-  /** Encode one level-shifted, FDCT'd, quantized block; returns its DC
-    * (the next predictor). `sample` replicates edges for pad pixels. */
-  private def encodeBlock(bw: BitWriter, c: EncComp, bx: Int, by: Int,
-      quant: Array[Int], dcH: EncHuff, acH: EncHuff, pred: Int): Int = {
+  /** FDCT + quantize one block of a component plane (edge-replicated
+    * pad pixels); returns the 64 quantized coefficients in ZIGZAG
+    * order. Shared by the baseline block coder and both progressive
+    * scan passes, so the coefficient integers — and hence the decoded
+    * pixels — are identical across modes by construction. */
+  private def quantizeBlock(c: EncComp, bx: Int, by: Int,
+      quant: Array[Int]): Array[Int] = {
     val px = new Array[Double](64)
     var r = 0
     while (r < 8) {
@@ -372,20 +398,28 @@ object Jpeg {
       r += 1
     }
     val f = fdct(px)
-    val q = new Array[Int](64) // zigzag order
+    val q = new Array[Int](64)
     var k = 0
     while (k < 64) {
       val nat = Zigzag(k)
       q(k) = Math.round(f(nat) / quant(nat)).toInt
       k += 1
     }
+    q
+  }
+
+  /** Encode one level-shifted, FDCT'd, quantized block; returns its DC
+    * (the next predictor). */
+  private def encodeBlock(bw: BitWriter, c: EncComp, bx: Int, by: Int,
+      quant: Array[Int], dcH: EncHuff, acH: EncHuff, pred: Int): Int = {
+    val q = quantizeBlock(c, bx, by, quant)
     val diff = q(0) - pred
     val s = category(diff)
     require(s <= 11, s"DC category $s out of baseline range") // 8-bit input bound
     bw.put(dcH.codes(s), dcH.sizes(s))
     if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
     var run = 0
-    k = 1
+    var k = 1
     while (k < 64) {
       val v = q(k)
       if (v == 0) run += 1
@@ -405,11 +439,14 @@ object Jpeg {
   }
 
   private def encodeBaseline(width: Int, height: Int, comps: Seq[EncComp],
-      quants: Seq[Array[Int]], restartInterval: Int): Array[Byte] = {
+      quants: Seq[Array[Int]], restartInterval: Int,
+      progressive: Boolean = false): Array[Byte] = {
     require(width >= 1 && width <= 0xffff, s"bad width $width")
     require(height >= 1 && height <= 0xffff, s"bad height $height")
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"bad restart interval $restartInterval")
+    require(!(progressive && restartInterval > 0),
+      "restart intervals are unsupported in progressive mode")
     quants.foreach { q =>
       require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
         "quant table must be 64 entries in [1, 255]")
@@ -439,7 +476,7 @@ object Jpeg {
       marker(0xdb); u16(67); u8(id)
       (0 until 64).foreach(k => u8(q(Zigzag(k))))
     }
-    marker(0xc0) // SOF0
+    marker(if (progressive) 0xc2 else 0xc0) // SOF2 / SOF0
     u16(8 + 3 * comps.size); u8(8); u16(height); u16(width)
     u8(comps.size)
     comps.zipWithIndex.foreach { case (c, i) =>
@@ -447,73 +484,181 @@ object Jpeg {
     }
     val usedHuff = comps.map(_.huffId).distinct.sorted
     usedHuff.foreach { id =>
-      val (dcB, dcV, acB, acV) =
-        if (id == 0) (DcLumaBits, DcLumaVals, AcLumaBits, AcLumaVals)
-        else (DcChromaBits, DcChromaVals, AcChromaBits, AcChromaVals)
+      val (dcB, dcV) =
+        if (id == 0) (DcLumaBits, DcLumaVals)
+        else (DcChromaBits, DcChromaVals)
+      // progressive AC scans need the EOB-run symbols — ship the
+      // progressive table (the stream carries its own DHT either way)
+      val (acB, acV) =
+        if (progressive) (acProgBits, acProgVals)
+        else if (id == 0) (AcLumaBits, AcLumaVals)
+        else (AcChromaBits, AcChromaVals)
       marker(0xc4); u16(2 + 1 + 16 + dcV.length)
       u8(id); dcB.foreach(u8); dcV.foreach(u8)
       marker(0xc4); u16(2 + 1 + 16 + acV.length)
       u8(0x10 | id); acB.foreach(u8); acV.foreach(u8)
     }
     if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
-    marker(0xda) // SOS
-    u16(6 + 2 * comps.size); u8(comps.size)
-    comps.zipWithIndex.foreach { case (c, i) =>
-      u8(i + 1); u8((c.huffId << 4) | c.huffId)
-    }
-    u8(0); u8(63); u8(0) // Ss, Se, Ah/Al
-    val bw = new BitWriter(out)
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    val preds = Array.fill(comps.size)(0)
-    var mcu = 0
-    var rst = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          bw.flushWithOnes()
-          marker(0xd0 + (rst % 8))
-          rst += 1
-          java.util.Arrays.fill(preds, 0)
-        }
-        comps.zipWithIndex.foreach { case (c, ci) =>
-          val (dcH, acH) =
-            if (c.huffId == 0) (EncDcLuma, EncAcLuma)
-            else (EncDcChroma, EncAcChroma)
-          var v = 0
-          while (v < c.vSamp) {
-            var h = 0
-            while (h < c.hSamp) {
-              preds(ci) = encodeBlock(bw, c, mx * c.hSamp + h,
-                my * c.vSamp + v, quants(c.quantId), dcH, acH, preds(ci))
-              h += 1
-            }
-            v += 1
-          }
-        }
-        mcu += 1
-        mx += 1
+    if (!progressive) {
+      marker(0xda) // SOS: the one full baseline scan
+      u16(6 + 2 * comps.size); u8(comps.size)
+      comps.zipWithIndex.foreach { case (c, i) =>
+        u8(i + 1); u8((c.huffId << 4) | c.huffId)
       }
-      my += 1
+      u8(0); u8(63); u8(0) // Ss, Se, Ah/Al
+      val bw = new BitWriter(out)
+      val preds = Array.fill(comps.size)(0)
+      var mcu = 0
+      var rst = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            bw.flushWithOnes()
+            marker(0xd0 + (rst % 8))
+            rst += 1
+            java.util.Arrays.fill(preds, 0)
+          }
+          comps.zipWithIndex.foreach { case (c, ci) =>
+            val (dcH, acH) =
+              if (c.huffId == 0) (EncDcLuma, EncAcLuma)
+              else (EncDcChroma, EncAcChroma)
+            var v = 0
+            while (v < c.vSamp) {
+              var h = 0
+              while (h < c.hSamp) {
+                preds(ci) = encodeBlock(bw, c, mx * c.hSamp + h,
+                  my * c.vSamp + v, quants(c.quantId), dcH, acH, preds(ci))
+                h += 1
+              }
+              v += 1
+            }
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flushWithOnes()
+    } else {
+      // ---- scan 1: DC, all components, interleaved MCU order
+      marker(0xda)
+      u16(6 + 2 * comps.size); u8(comps.size)
+      comps.zipWithIndex.foreach { case (c, i) =>
+        u8(i + 1); u8((c.huffId << 4) | c.huffId)
+      }
+      u8(0); u8(0); u8(0) // Ss=0, Se=0, Ah/Al=0
+      val bw = new BitWriter(out)
+      val preds = Array.fill(comps.size)(0)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          comps.zipWithIndex.foreach { case (c, ci) =>
+            val dcH = if (c.huffId == 0) EncDcLuma else EncDcChroma
+            var v = 0
+            while (v < c.vSamp) {
+              var h = 0
+              while (h < c.hSamp) {
+                val dc = quantizeBlock(c, mx * c.hSamp + h,
+                  my * c.vSamp + v, quants(c.quantId))(0)
+                val diff = dc - preds(ci)
+                preds(ci) = dc
+                val s = category(diff)
+                require(s <= 11, s"DC category $s out of range")
+                bw.put(dcH.codes(s), dcH.sizes(s))
+                if (s > 0)
+                  bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+                h += 1
+              }
+              v += 1
+            }
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flushWithOnes()
+      // ---- scans 2..: one AC band scan (1..63) per component, over
+      // its NON-interleaved grid, with EOB-run coding
+      comps.zipWithIndex.foreach { case (c, ci) =>
+        marker(0xda)
+        u16(8); u8(1); u8(ci + 1); u8((c.huffId << 4) | c.huffId)
+        u8(1); u8(63); u8(0)
+        val acH = EncAcProg
+        val bw2 = new BitWriter(out)
+        val niW = (c.w + 7) / 8
+        val niH = (c.h + 7) / 8
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          val rb = 31 - java.lang.Integer.numberOfLeadingZeros(eobrun)
+          bw2.put(acH.codes(rb << 4), acH.sizes(rb << 4))
+          if (rb > 0) bw2.put(eobrun - (1 << rb), rb)
+          eobrun = 0
+        }
+        var by = 0
+        while (by < niH) {
+          var bx = 0
+          while (bx < niW) {
+            val q = quantizeBlock(c, bx, by, quants(c.quantId))
+            var last = 0 // last nonzero zigzag index in 1..63
+            var k = 63
+            while (k >= 1 && last == 0) { if (q(k) != 0) last = k; k -= 1 }
+            if (last == 0) {
+              eobrun += 1
+              if (eobrun == 255) flushEob() // extended-table EOBn cap
+            } else {
+              flushEob()
+              var run = 0
+              k = 1
+              while (k <= last) {
+                if (q(k) == 0) run += 1
+                else {
+                  while (run >= 16) {
+                    bw2.put(acH.codes(0xf0), acH.sizes(0xf0)); run -= 16
+                  }
+                  val sz = category(q(k))
+                  require(sz <= 10, s"AC category $sz out of range")
+                  val sym = (run << 4) | sz
+                  bw2.put(acH.codes(sym), acH.sizes(sym))
+                  bw2.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
+                  run = 0
+                }
+                k += 1
+              }
+              if (last < 63) eobrun = 1 // band ends early: starts a run
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        flushEob()
+        bw2.flushWithOnes()
+      }
     }
-    bw.flushWithOnes()
     marker(0xd9) // EOI
     out.toByteArray
   }
 
-  /** Encode a row-major grayscale plane as a single-component baseline
-    * JPEG. `quant` in natural order; [[QuantFlat]] ≈ quality 100. */
+  /** Encode a row-major grayscale plane as a single-component JPEG —
+    * baseline SOF0, or progressive SOF2 when `progressive` (one DC
+    * scan + one spectral-selection AC scan, EOB-run coded). `quant`
+    * in natural order; [[QuantFlat]] ≈ quality 100. Both modes
+    * quantize identical coefficients, so they decode pixel-identical
+    * (the q409 contract). */
   def encodeJpegGray(lumas: Seq[Int], width: Int,
-      quant: Array[Int] = QuantFlat, restartInterval: Int = 0): Array[Byte] = {
+      quant: Array[Int] = QuantFlat, restartInterval: Int = 0,
+      progressive: Boolean = false): Array[Byte] = {
     require(width >= 1, s"width ($width) must be >= 1")
     require(lumas.nonEmpty && lumas.length % width == 0,
       s"${lumas.length} pixels do not fill rows of $width")
     val height = lumas.length / width
     encodeBaseline(width, height,
       Seq(EncComp(lumas.toArray, width, height, 1, 1, 0, 0)),
-      Seq(quant), restartInterval)
+      Seq(quant), restartInterval, progressive)
   }
 
   /** Encode YCbCr planes as a 3-component baseline JPEG — 4:4:4 when
@@ -523,7 +668,8 @@ object Jpeg {
     * entry cannot. */
   def encodeJpegYcc(y: Seq[Int], cb: Seq[Int], cr: Seq[Int], width: Int,
       subsample420: Boolean, quantY: Array[Int] = QuantFlat,
-      quantC: Array[Int] = QuantFlat, restartInterval: Int = 0): Array[Byte] = {
+      quantC: Array[Int] = QuantFlat, restartInterval: Int = 0,
+      progressive: Boolean = false): Array[Byte] = {
     require(width >= 1, s"width ($width) must be >= 1")
     require(y.nonEmpty && y.length % width == 0,
       s"${y.length} luma pixels do not fill rows of $width")
@@ -537,7 +683,7 @@ object Jpeg {
       EncComp(y.toArray, width, height, hs, vs, 0, 0),
       EncComp(cb.toArray, cw, ch, 1, 1, 1, 1),
       EncComp(cr.toArray, cw, ch, 1, 1, 1, 1)),
-      Seq(quantY, quantC), restartInterval)
+      Seq(quantY, quantC), restartInterval, progressive)
   }
 
   // ------------------------------------------------------------ decoder
@@ -547,11 +693,56 @@ object Jpeg {
 
   private case class FrameComp(id: Int, hSamp: Int, vSamp: Int, quantId: Int)
 
-  /** Strict baseline decode. Returns geometry plus the LUMA plane
-    * (the Y component for 3-component images — the grayscale
-    * projection every perceptual-hash consumer wants; chroma blocks
-    * are entropy-decoded to keep the stream position honest, then
-    * discarded). */
+  /** Mutable per-frame decode state: the comp-0 (luma) QUANTIZED
+    * coefficient plane accumulated across scans — one scan fills it
+    * for baseline, several for progressive — plus per-component
+    * band-coverage masks (every coefficient band must be scanned
+    * exactly once; overlap and, at EOI, incompleteness fail loudly). */
+  private final class FrameState(val width: Int, val height: Int,
+      val comps: Seq[FrameComp], val progressive: Boolean) {
+    val hMax: Int = comps.map(_.hSamp).max
+    val vMax: Int = comps.map(_.vSamp).max
+    val mcusX: Int = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY: Int = (height + 8 * vMax - 1) / (8 * vMax)
+    // comp-0 blocks on the INTERLEAVED (MCU-padded) grid; chroma
+    // coefficients are decoded to keep the bitstream honest but never
+    // stored (only the luma plane materializes)
+    val bw0: Int = mcusX * comps.head.hSamp
+    val bh0: Int = mcusY * comps.head.vSamp
+    val coef0: Array[Int] = new Array[Int](bw0 * bh0 * 64)
+    val covered: Array[Array[Boolean]] =
+      Array.fill(comps.size)(new Array[Boolean](64))
+    var sawScan: Boolean = false
+    /** Non-interleaved block grid of component ci (T.81 A.2.2: a
+      * single-component scan iterates ceil(wc/8) × ceil(hc/8), which
+      * for subsampled frames is SMALLER than the MCU-padded grid). */
+    def niGrid(ci: Int): (Int, Int) = {
+      val c = comps(ci)
+      val wc = (width * c.hSamp + hMax - 1) / hMax
+      val hc = (height * c.vSamp + vMax - 1) / vMax
+      ((wc + 7) / 8, (hc + 7) / 8)
+    }
+    def markCovered(ci: Int, ss: Int, se: Int): Unit = {
+      var k = ss
+      while (k <= se) {
+        require(!covered(ci)(k),
+          s"scan re-covers coefficient band $k of component $ci")
+        covered(ci)(k) = true
+        k += 1
+      }
+    }
+  }
+
+  /** Strict decode of baseline (SOF0) AND progressive (SOF2,
+    * spectral-selection scans — successive approximation rejected by
+    * name) JPEG. Returns geometry plus the LUMA plane (the Y
+    * component for 3-component images — the grayscale projection
+    * every perceptual-hash consumer wants; chroma blocks are
+    * entropy-decoded to keep the stream position honest, then
+    * discarded). Both modes accumulate quantized coefficients and
+    * share one final dequantize + IDCT, so a progressive encode of
+    * the same coefficients decodes PIXEL-IDENTICAL to its baseline
+    * sibling (pinned as data by q409). */
   def decodeJpeg(bytes: Array[Byte]): JpegImage = {
     require(bytes.length >= 4, s"truncated JPEG: ${bytes.length} bytes")
     require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
@@ -565,9 +756,7 @@ object Jpeg {
     val quants = new java.util.HashMap[Int, Array[Int]]()
     val dcTabs = new java.util.HashMap[Int, DecHuff]()
     val acTabs = new java.util.HashMap[Int, DecHuff]()
-    var width = -1
-    var height = -1
-    var comps: Seq[FrameComp] = null
+    var st: FrameState = null
     var dri = 0
     var result: JpegImage = null
     while (result == null) {
@@ -620,20 +809,21 @@ object Jpeg {
           }
           require(p == end, "DHT length disagrees with its tables")
           pos = end
-        case 0xc0 => // SOF0 baseline
-          require(comps == null, "duplicate SOF")
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          require(st == null, "duplicate SOF")
+          val progressive = m == 0xc2
           val len = u16(pos)
           require(u8(pos + 2) == 8,
-            s"sample precision ${u8(pos + 2)} is not baseline 8-bit")
-          height = u16(pos + 3)
-          width = u16(pos + 5)
+            s"sample precision ${u8(pos + 2)} is not 8-bit")
+          val height = u16(pos + 3)
+          val width = u16(pos + 5)
           val nf = u8(pos + 7)
           require(width >= 1 && height >= 1, s"bad geometry ${width}x$height")
           require(width.toLong * height <= (1L << 28),
             s"image above 256 megapixels (${width}x$height)")
           require(nf == 1 || nf == 3, s"unsupported component count $nf")
-          require(len == 8 + 3 * nf, s"SOF0 length $len for $nf components")
-          comps = (0 until nf).map { i =>
+          require(len == 8 + 3 * nf, s"SOF length $len for $nf components")
+          val comps = (0 until nf).map { i =>
             val o = pos + 8 + 3 * i
             val hv = u8(o + 1)
             val fc = FrameComp(u8(o), hv >> 4, hv & 15, u8(o + 2))
@@ -649,13 +839,15 @@ object Jpeg {
           require(comps.head.hSamp == comps.map(_.hSamp).max &&
             comps.head.vSamp == comps.map(_.vSamp).max,
             "first component must carry the max sampling factors")
+          st = new FrameState(width, height, comps, progressive)
           pos += len
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(
             f"unsupported SOF marker 0xff$m%02x — only baseline " +
-              "sequential (SOF0) is implemented; progressive/extended/" +
-              "arithmetic scans fail loudly by design")
+              "sequential (SOF0) and Huffman progressive (SOF2) are " +
+              "implemented; extended/arithmetic/lossless scans fail " +
+              "loudly by design")
         case 0xdd => // DRI
           require(u16(pos) == 4, s"bad DRI length ${u16(pos)}")
           dri = u16(pos + 2)
@@ -666,26 +858,13 @@ object Jpeg {
             f"APP/COM segment overruns blob (len $len)")
           pos += len
         case 0xda =>
-          require(comps != null, "SOS before SOF")
-          val len = u16(pos)
-          val ns = u8(pos + 2)
-          require(ns == comps.size && len == 6 + 2 * ns,
-            s"scan must cover all ${comps.size} frame components")
-          val scanHuff = (0 until ns).map { i =>
-            val cid = u8(pos + 3 + 2 * i)
-            require(cid == comps(i).id,
-              s"scan component order differs from frame order at $i")
-            val tdTa = u8(pos + 4 + 2 * i)
-            (tdTa >> 4, tdTa & 15)
-          }
-          require(u8(pos + 3 + 2 * ns) == 0 && u8(pos + 4 + 2 * ns) == 63 &&
-            u8(pos + 5 + 2 * ns) == 0,
-            "spectral selection / successive approximation is not baseline")
-          pos += len
-          result = decodeScanAndFinish(bytes, pos, width, height, comps,
-            scanHuff, quants, dcTabs, acTabs, dri)
+          require(st != null, "SOS before SOF")
+          pos = decodeScan(bytes, pos, st, dcTabs, acTabs, dri)
         case 0xd9 =>
-          throw new IllegalArgumentException("EOI before any scan")
+          require(st != null && st.sawScan, "EOI before any scan")
+          require(pos == bytes.length,
+            s"${bytes.length - pos} trailing bytes after EOI")
+          result = finishImage(st, quants)
         case other =>
           throw new IllegalArgumentException(
             f"unexpected marker 0xff$other%02x at ${pos - 1}")
@@ -694,129 +873,230 @@ object Jpeg {
     result
   }
 
-  private def decodeScanAndFinish(bytes: Array[Byte], scanPos: Int,
-      width: Int, height: Int, comps: Seq[FrameComp],
-      scanHuff: Seq[(Int, Int)], quants: java.util.HashMap[Int, Array[Int]],
+  /** Parse one SOS header + its entropy segment into the frame state.
+    * Baseline: exactly one full scan (all components, Ss=0..Se=63).
+    * Progressive: a DC scan (all components, Se=0) or a
+    * single-component AC band scan (T.81 requires Ns=1 for AC);
+    * successive approximation (Ah/Al ≠ 0) and restart intervals in
+    * progressive scans are rejected by name. Returns the position
+    * after the entropy data (byte-aligned, next marker). */
+  private def decodeScan(bytes: Array[Byte], sosPos: Int, st: FrameState,
       dcTabs: java.util.HashMap[Int, DecHuff],
-      acTabs: java.util.HashMap[Int, DecHuff], dri: Int): JpegImage = {
-    val hMax = comps.map(_.hSamp).max
-    val vMax = comps.map(_.vSamp).max
-    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    // only the luma plane materializes; chroma blocks are decoded to
-    // keep the bitstream position honest, then dropped
-    val lumaPw = mcusX * comps.head.hSamp * 8
-    val lumaPh = mcusY * comps.head.vSamp * 8
-    val luma = new Array[Int](lumaPw * lumaPh)
-    val compQuant = comps.map { c =>
-      val q = quants.get(c.quantId)
-      require(q != null, s"component ${c.id} references missing quant " +
-        s"table ${c.quantId}")
-      q
+      acTabs: java.util.HashMap[Int, DecHuff], dri: Int): Int = {
+    def u8(o: Int): Int = {
+      require(o < bytes.length, s"blob ends at $o (truncated JPEG)")
+      bytes(o) & 0xff
     }
-    val compDc = scanHuff.map { case (td, _) =>
-      val t = dcTabs.get(td)
-      require(t != null, s"missing DC Huffman table $td")
-      t
+    val len = (u8(sosPos) << 8) | u8(sosPos + 1)
+    val ns = u8(sosPos + 2)
+    require(len == 6 + 2 * ns, s"SOS length $len for $ns components")
+    require(ns >= 1 && ns <= st.comps.size, s"bad scan component count $ns")
+    // scan components resolve against frame order; indices ascending
+    var prev = -1
+    val scanComps = (0 until ns).map { i =>
+      val cid = u8(sosPos + 3 + 2 * i)
+      val ci = st.comps.indexWhere(_.id == cid)
+      require(ci >= 0, s"scan references unknown component id $cid")
+      require(ci > prev, "scan components out of frame order")
+      prev = ci
+      val tdTa = u8(sosPos + 4 + 2 * i)
+      (ci, tdTa >> 4, tdTa & 15)
     }
-    val compAc = scanHuff.map { case (_, ta) =>
-      val t = acTabs.get(ta)
-      require(t != null, s"missing AC Huffman table $ta")
-      t
-    }
-    val r = new BitReader(bytes, scanPos)
-    val preds = Array.fill(comps.size)(0)
-    val coef = new Array[Int](64)
-    var mcu = 0
-    var rst = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
-          r.expectRestart(rst)
-          rst += 1
-          java.util.Arrays.fill(preds, 0)
-        }
-        var ci = 0
-        while (ci < comps.size) {
-          val c = comps(ci)
-          val q = compQuant(ci)
-          var v = 0
-          while (v < c.vSamp) {
-            var h = 0
-            while (h < c.hSamp) {
-              java.util.Arrays.fill(coef, 0)
-              val s = decodeSym(r, compDc(ci))
-              require(s <= 11, s"DC category $s out of baseline range")
-              preds(ci) += extend(r.receive(s), s)
-              coef(0) = preds(ci) * q(0)
-              var k = 1
-              while (k < 64) {
-                val rs = decodeSym(r, compAc(ci))
-                val run = rs >> 4
-                val size = rs & 15
-                if (size == 0) {
-                  if (rs == 0x00) k = 64 // EOB
-                  else if (rs == 0xf0) { // ZRL
-                    require(k + 16 <= 63, "ZRL overruns block")
-                    k += 16
-                  } else throw new IllegalArgumentException(
-                    f"bad AC symbol 0x$rs%02x")
-                } else {
-                  k += run
-                  require(k < 64, "AC run overruns block")
-                  require(size <= 10, s"AC category $size out of baseline range")
-                  val nat = Zigzag(k)
-                  coef(nat) = extend(r.receive(size), size) * q(nat)
-                  k += 1
-                }
-              }
-              if (ci == 0) { // materialize luma pixels
-                val px = idct(coef)
-                val bx0 = (mx * c.hSamp + h) * 8
-                val by0 = (my * c.vSamp + v) * 8
-                var rr = 0
-                while (rr < 8) {
-                  var cc = 0
-                  while (cc < 8) {
-                    val pix = Math.round(px(rr * 8 + cc)).toInt + 128
-                    luma((by0 + rr) * lumaPw + bx0 + cc) =
-                      math.max(0, math.min(255, pix))
-                    cc += 1
-                  }
-                  rr += 1
-                }
-              }
-              h += 1
-            }
-            v += 1
-          }
-          ci += 1
-        }
-        mcu += 1
-        mx += 1
+    val ss = u8(sosPos + 3 + 2 * ns)
+    val se = u8(sosPos + 4 + 2 * ns)
+    val ahAl = u8(sosPos + 5 + 2 * ns)
+    if (!st.progressive) {
+      require(ns == st.comps.size && ss == 0 && se == 63 && ahAl == 0,
+        "baseline frame requires one full scan (all components, " +
+          "Ss=0, Se=63, Ah=Al=0)")
+    } else {
+      require(ahAl == 0, "successive approximation (Ah/Al != 0) is " +
+        "unsupported — spectral-selection progressive scans only")
+      require(dri == 0,
+        "restart intervals in progressive scans are unsupported")
+      if (ss == 0) {
+        require(se == 0, s"progressive DC scan must have Se=0, got $se")
+        require(ns == st.comps.size,
+          "partial-component DC scans are unsupported")
+      } else {
+        require(ns == 1, "AC band scans must be single-component (T.81)")
+        require(se >= ss && se <= 63, s"bad spectral band [$ss, $se]")
       }
-      my += 1
+    }
+    scanComps.foreach { case (ci, _, _) => st.markCovered(ci, ss, se) }
+    st.sawScan = true
+    val dcT = scanComps.map { case (_, td, _) =>
+      if (ss == 0) {
+        val t = dcTabs.get(td)
+        require(t != null, s"missing DC Huffman table $td")
+        t
+      } else null
+    }
+    val acT = scanComps.map { case (_, _, ta) =>
+      if (se > 0) {
+        val t = acTabs.get(ta)
+        require(t != null, s"missing AC Huffman table $ta")
+        t
+      } else null
+    }
+    val r = new BitReader(bytes, sosPos + len)
+    val preds = Array.fill(ns)(0)
+    if (ss == 0) {
+      // interleaved MCU order: the baseline full scan or a
+      // progressive DC scan (identical iteration; the latter stops
+      // each block at the DC coefficient). For a single-component
+      // frame the MCU grid and the non-interleaved grid coincide.
+      var mcu = 0
+      var rst = 0
+      var my = 0
+      while (my < st.mcusY) {
+        var mx = 0
+        while (mx < st.mcusX) {
+          if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+            r.expectRestart(rst)
+            rst += 1
+            java.util.Arrays.fill(preds, 0)
+          }
+          var si = 0
+          while (si < ns) {
+            val ci = scanComps(si)._1
+            val c = st.comps(ci)
+            var v = 0
+            while (v < c.vSamp) {
+              var h = 0
+              while (h < c.hSamp) {
+                val block =
+                  if (ci == 0)
+                    blockOffset(st, mx * c.hSamp + h, my * c.vSamp + v)
+                  else -1
+                val s = decodeSym(r, dcT(si))
+                require(s <= 11, s"DC category $s out of range")
+                preds(si) += extend(r.receive(s), s)
+                if (block >= 0) st.coef0(block) = preds(si)
+                if (se > 0) decodeAcRange(r, acT(si), st, block, 1, 63)
+                h += 1
+              }
+              v += 1
+            }
+            si += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component progressive AC band scan over the component's
+      // NON-interleaved grid, with EOB-run coding (T.81 G.1.2.2)
+      val ci = scanComps.head._1
+      val (niW, niH) = st.niGrid(ci)
+      var eobrun = 0
+      var by = 0
+      while (by < niH) {
+        var bx = 0
+        while (bx < niW) {
+          val block = if (ci == 0) blockOffset(st, bx, by) else -1
+          if (eobrun > 0) eobrun -= 1 // band stays zero in this block
+          else eobrun = decodeAcRange(r, acT.head, st, block, ss, se)
+          bx += 1
+        }
+        by += 1
+      }
+      require(eobrun == 0,
+        s"EOB run of $eobrun blocks overruns the scan")
     }
     r.align()
-    var pos = r.pos
-    // skip optional fill bytes, then require EOI as the final bytes
-    require(pos + 2 <= bytes.length, "truncated JPEG: missing EOI")
-    while ((bytes(pos) & 0xff) == 0xff && pos + 2 < bytes.length &&
-        (bytes(pos + 1) & 0xff) == 0xff) pos += 1
-    require((bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xff) == 0xd9,
-      f"expected EOI at $pos, found 0x${bytes(pos) & 0xff}%02x${bytes(pos + 1) & 0xff}%02x")
-    require(pos + 2 == bytes.length,
-      s"${bytes.length - pos - 2} trailing bytes after EOI")
-    // crop the padded luma plane to the image geometry
-    val out = new Array[Int](width * height)
+    r.pos
+  }
+
+  /** coef0 offset of comp-0 block (bx, by) on the interleaved grid. */
+  private def blockOffset(st: FrameState, bx: Int, by: Int): Int =
+    (by * st.bw0 + bx) * 64
+
+  /** Decode AC coefficients of one block for the zigzag band
+    * [ss, se] into coef0 at `block` (or discard when block < 0).
+    * Returns the remaining EOB run (0 outside progressive AC scans —
+    * a baseline EOB is exactly an EOB run of 1, consumed here). */
+  private def decodeAcRange(r: BitReader, acTab: DecHuff, st: FrameState,
+      block: Int, ss: Int, se: Int): Int = {
+    var k = ss
+    while (k <= se) {
+      val rs = decodeSym(r, acTab)
+      val run = rs >> 4
+      val size = rs & 15
+      if (size == 0) {
+        if (run == 15) { // ZRL: sixteen zeros, more coefficients follow
+          require(k + 16 <= se, "ZRL overruns the spectral band")
+          k += 16
+        } else {
+          // EOBn: this block's band ends; (1<<run)+receive(run)-1
+          // FURTHER blocks' bands are all zero (baseline only ever
+          // sees EOB0 -> returns 0)
+          val eobrun = (1 << run) + r.receive(run) - 1
+          require(st.progressive || eobrun == 0,
+            f"EOB run symbol 0x$rs%02x in a baseline scan")
+          return eobrun
+        }
+      } else {
+        k += run
+        require(k <= se, "AC run overruns the spectral band")
+        require(size <= 10, s"AC category $size out of range")
+        val v = extend(r.receive(size), size)
+        if (block >= 0) st.coef0(block + Zigzag(k)) = v
+        k += 1
+      }
+    }
+    0
+  }
+
+  /** Final pass shared by both modes: coverage check, dequantize,
+    * IDCT, assemble + crop the luma plane. */
+  private def finishImage(st: FrameState,
+      quants: java.util.HashMap[Int, Array[Int]]): JpegImage = {
+    st.comps.zipWithIndex.foreach { case (c, ci) =>
+      var k = 0
+      while (k < 64) {
+        require(st.covered(ci)(k),
+          s"coefficient band $k of component ${c.id} never scanned")
+        k += 1
+      }
+      require(quants.get(c.quantId) != null,
+        s"component ${c.id} references missing quant table ${c.quantId}")
+    }
+    val q = quants.get(st.comps.head.quantId)
+    val lumaPw = st.bw0 * 8
+    val luma = new Array[Int](st.bw0 * 8 * st.bh0 * 8)
+    val coef = new Array[Int](64)
+    var by = 0
+    while (by < st.bh0) {
+      var bx = 0
+      while (bx < st.bw0) {
+        val off = blockOffset(st, bx, by)
+        var k = 0
+        while (k < 64) { coef(k) = st.coef0(off + k) * q(k); k += 1 }
+        val px = idct(coef)
+        var rr = 0
+        while (rr < 8) {
+          var cc = 0
+          while (cc < 8) {
+            val pix = Math.round(px(rr * 8 + cc)).toInt + 128
+            luma((by * 8 + rr) * lumaPw + bx * 8 + cc) =
+              math.max(0, math.min(255, pix))
+            cc += 1
+          }
+          rr += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val out = new Array[Int](st.width * st.height)
     var y = 0
-    while (y < height) {
-      System.arraycopy(luma, y * lumaPw, out, y * width, width)
+    while (y < st.height) {
+      System.arraycopy(luma, y * lumaPw, out, y * st.width, st.width)
       y += 1
     }
-    JpegImage(width, height, comps.size, out)
+    JpegImage(st.width, st.height, st.comps.size, out)
   }
 
   /** Decoded luma plane accessor matching decodePngLumas/decodeGifLumas:

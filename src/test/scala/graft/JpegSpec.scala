@@ -111,13 +111,23 @@ class JpegSpec extends SparkSpec {
       Jpeg.decodeJpeg(good ++ Array[Byte](0, 1, 2))
     }
     e2.getMessage should include("trailing bytes")
-    // progressive SOF2 rejected by name
-    val prog = good.clone()
-    val sofAt = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
-      i + 1 < prog.length && (prog(i + 1) & 0xff) == 0xc0).get
-    prog(sofAt + 1) = 0xc2.toByte
-    val e3 = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(prog) }
+    // lossless SOF3 rejected by name (SOF2 is a REAL decode since r9,
+    // so a baseline stream relabeled SOF2 instead fails the
+    // progressive scan-shape rules)
+    val sofAt = good.indices.find(i => (good(i) & 0xff) == 0xff &&
+      i + 1 < good.length && (good(i + 1) & 0xff) == 0xc0).get
+    val lossless = good.clone()
+    lossless(sofAt + 1) = 0xc3.toByte
+    val e3 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(lossless)
+    }
     e3.getMessage should include("SOF")
+    val relabeled = good.clone()
+    relabeled(sofAt + 1) = 0xc2.toByte
+    val e3b = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(relabeled)
+    }
+    e3b.getMessage should include("progressive DC scan")
     // bad magic
     an[IllegalArgumentException] should be thrownBy
       Jpeg.decodeJpeg("not a jpeg at all".getBytes("US-ASCII"))
@@ -152,6 +162,82 @@ class JpegSpec extends SparkSpec {
       val h1 = Multimodal.dHash64(dec, 9, h)
       java.lang.Long.bitCount(h0 ^ h1) should be <= 6
     }
+  }
+
+  test("progressive (SOF2) decodes PIXEL-IDENTICAL to baseline: same " +
+      "coefficients, shared dequant+IDCT — gray, 4:4:4, 4:2:0, odd sizes") {
+    for ((w, h) <- Seq((8, 8), (17, 13), (24, 24), (9, 8))) {
+      val px = noise(w * h, w * 100L + h)
+      val base = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(px.toSeq, w))
+      val prog = Jpeg.decodeJpeg(
+        Jpeg.encodeJpegGray(px.toSeq, w, progressive = true))
+      withClue(s"${w}x$h gray: ") {
+        prog.lumas.toSeq shouldBe base.lumas.toSeq
+      }
+    }
+    val w = 20; val h = 12
+    val y = noise(w * h, 77L)
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val b420 = Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(y.toSeq,
+      Seq.fill(cw * ch)(128), Seq.fill(cw * ch)(128), w,
+      subsample420 = true))
+    val p420 = Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(y.toSeq,
+      Seq.fill(cw * ch)(128), Seq.fill(cw * ch)(128), w,
+      subsample420 = true, progressive = true))
+    p420.nComponents shouldBe 3
+    p420.lumas.toSeq shouldBe b420.lumas.toSeq
+    val b444 = Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(y.toSeq,
+      Seq.fill(w * h)(128), Seq.fill(w * h)(128), w,
+      subsample420 = false))
+    val p444 = Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(y.toSeq,
+      Seq.fill(w * h)(128), Seq.fill(w * h)(128), w,
+      subsample420 = false, progressive = true))
+    p444.lumas.toSeq shouldBe b444.lumas.toSeq
+  }
+
+  test("progressive EOB-run coding: coarse quant on smooth images " +
+      "forces real EOBn runs, still pixel-equal to baseline") {
+    // Annex K quant zeroes most AC bands on smooth content -> the AC
+    // scan's EOB-run accumulator emits genuine EOBn (run > 1) symbols
+    // from the extended tables, exercising the decoder's run-skip path
+    val w = 48; val h = 48
+    val smooth = Array.tabulate(w * h)(k => 80 + (k % w) / 2 + (k / w) / 2)
+    val base = Jpeg.decodeJpeg(
+      Jpeg.encodeJpegGray(smooth.toSeq, w, Jpeg.QuantAnnexKLuma))
+    val progBlob = Jpeg.encodeJpegGray(smooth.toSeq, w,
+      Jpeg.QuantAnnexKLuma, progressive = true)
+    Jpeg.decodeJpeg(progBlob).lumas.toSeq shouldBe base.lumas.toSeq
+    // and an all-constant image: EVERY band empty -> one maximal run
+    val const = Array.fill(40 * 40)(200)
+    Jpeg.decodeJpeg(Jpeg.encodeJpegGray(const.toSeq, 40,
+      Jpeg.QuantAnnexKLuma, progressive = true)).lumas.toSeq shouldBe
+      Jpeg.decodeJpeg(Jpeg.encodeJpegGray(const.toSeq, 40,
+        Jpeg.QuantAnnexKLuma)).lumas.toSeq
+  }
+
+  test("progressive strictness: successive approximation, partial DC " +
+      "scans, incomplete coverage, and DRI are rejected by name") {
+    val good = Jpeg.encodeJpegGray(noise(16 * 16, 9L).toSeq, 16,
+      progressive = true)
+    // flip the first SOS's Ah/Al byte (Ss=0, Se=0 scan -> AhAl at +5+2*ns)
+    val sosAt = good.indices.find(i => (good(i) & 0xff) == 0xff &&
+      i + 1 < good.length && (good(i + 1) & 0xff) == 0xda).get
+    val ns = good(sosAt + 4) & 0xff
+    val sa = good.clone()
+    sa(sosAt + 7 + 2 * ns) = 0x01.toByte // Al=1
+    val e1 = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(sa) }
+    e1.getMessage should include("successive approximation")
+    // truncate before the AC scan: DC-only coverage must fail loudly
+    val acSosAt = good.indices.drop(sosAt + 2).find(i =>
+      (good(i) & 0xff) == 0xff && i + 1 < good.length &&
+        (good(i + 1) & 0xff) == 0xda).get
+    val dcOnly = good.take(acSosAt) ++
+      Array(0xff.toByte, 0xd9.toByte)
+    val e2 = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(dcOnly) }
+    e2.getMessage should include("never scanned")
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg.encodeJpegGray(noise(64, 1L).toSeq, 8, restartInterval = 2,
+        progressive = true)
   }
 
   test("RealCodecDecoder routes FFD8 blobs to the real JPEG parser") {
