@@ -1,22 +1,24 @@
 package graft.operators
 
-/** Baseline sequential JPEG (ITU-T T.81 / ISO 10918-1), encoder and
-  * decoder, pure Scala — the fifth real codec family in the repo
-  * (beside PNG's zlib/filters, GIF's LZW, zip deflate, and Avro
-  * deflate) and the one that matters most at corpus scale: a 100 TB
-  * web crawl's images are overwhelmingly JPEG, so perceptual dedup
-  * that cannot decode `FFD8` blobs falls back to byte-level SimHash,
-  * which any re-encode defeats.
+/** JPEG (ITU-T T.81 / ISO 10918-1), encoder and decoder, pure Scala —
+  * the fifth real codec family in the repo (beside PNG's
+  * zlib/filters, GIF's LZW, zip deflate, and Avro deflate) and the
+  * one that matters most at corpus scale: a 100 TB web crawl's images
+  * are overwhelmingly JPEG, so perceptual dedup that cannot decode
+  * `FFD8` blobs falls back to byte-level SimHash, which any re-encode
+  * defeats.
   *
   * Scope (the strict-parser discipline of the PNG/GIF/WAV walkers):
-  * baseline DCT, Huffman entropy coding, 8-bit precision, 1 or 3
-  * components, sampling factors 1..2 (covers 4:4:4, 4:2:2, 4:2:0),
-  * single interleaved scan, optional restart intervals. Progressive
-  * (SOF2), extended (SOF1), arithmetic coding, 12-bit precision, and
-  * hierarchical modes fail LOUDLY naming the marker; every length
-  * field, table reference, Huffman code walk, and coefficient
-  * position is bounds-checked; trailing bytes after EOI are rejected
-  * (the GIF trailer rule).
+  * baseline sequential (SOF0) AND Huffman progressive (SOF2,
+  * spectral-selection scans with EOB-run coding), 8-bit precision,
+  * 1 or 3 components, sampling factors 1..2 (covers 4:4:4, 4:2:2,
+  * 4:2:0), restart intervals in baseline. Extended (SOF1), arithmetic
+  * coding, lossless, 12-bit precision, hierarchical modes, and
+  * successive approximation (Ah/Al ≠ 0) fail LOUDLY naming the
+  * marker/field; every length field, table reference, Huffman code
+  * walk, coefficient position, and scan-coverage mask is
+  * bounds-checked; trailing bytes after EOI are rejected (the GIF
+  * trailer rule).
   *
   * Structure, straight from the spec with no codec library at all:
   *  - FDCT/IDCT: separable double-precision transforms from the
@@ -26,18 +28,25 @@ package graft.operators
   *  - Entropy coding: canonical Huffman code construction (C.2),
   *    decode via the MINCODE/MAXCODE/VALPTR walk (F.2.2.3), DIFF
   *    categories and EXTEND (F.2.2.1), run/size AC symbols with ZRL
-  *    and EOB (F.1.2.2), 0xFF byte stuffing (F.1.2.3).
+  *    and EOB (F.1.2.2), EOB runs in progressive AC scans (G.1.2.2),
+  *    0xFF byte stuffing (F.1.2.3).
   *  - Tables: the Annex K.1 quantization and K.3 Huffman tables are
   *    transcribed as the defaults (the encoder parameterizes the
   *    quant tables; `QuantFlat` = all-ones ≈ quality 100, the
-  *    round-trip-tolerance fixture table).
+  *    round-trip-tolerance fixture table); progressive AC scans ship
+  *    a purpose-built canonical table carrying the EOBn symbols
+  *    Annex K has no code space for.
+  *  - Both modes accumulate QUANTIZED coefficients and share one
+  *    final dequantize + IDCT, so progressive and baseline encodings
+  *    of the same image decode PIXEL-IDENTICAL (q409 pins this as
+  *    data).
   *
-  * JPEG is LOSSY, so unlike the PNG/GIF rows the gate contract is a
-  * TOLERANCE, not bit equality: q404 pins per-image max |decoded −
-  * original| under a bound with flat quant; q407 pins that a JPEG
-  * re-encode of a PNG-decoded image dHashes within the near-dup
-  * Hamming threshold (the q403 codec-invariance pattern with a bound
-  * instead of equality).
+  * JPEG is LOSSY, so unlike the PNG/GIF rows the round-trip gate
+  * contract is a TOLERANCE, not bit equality: q404 pins per-image
+  * max |decoded − original| under a bound with flat quant; q407 pins
+  * that a JPEG re-encode of a PNG-decoded image dHashes within the
+  * near-dup Hamming threshold (the q403 codec-invariance pattern with
+  * a bound instead of equality).
   *
   * Scale: both directions are pure per-blob functions run inside
   * mapPartitions — map-only, nothing but fixed-size tables in the
