@@ -240,6 +240,83 @@ class JpegSpec extends SparkSpec {
         progressive = true)
   }
 
+  test("interop with the JDK's independent JPEG codec: ImageIO reads " +
+      "our streams, we read ImageIO's (incl. real 4:2:0 color)") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // ours -> ImageIO: an independent libjpeg-derived implementation
+    // must accept our baseline stream and agree on pixels (its integer
+    // IDCT vs our double IDCT differ by a couple of gray levels)
+    val w = 24; val h = 16
+    val px = noise(w * h, 21L)
+    val blob = Jpeg.encodeJpegGray(px.toSeq, w)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    img should not be null
+    (img.getWidth, img.getHeight) shouldBe ((w, h))
+    val (_, _, ours) = Jpeg.decodeJpegLumas(blob)
+    val raster = img.getRaster
+    val diffs = for (y <- 0 until h; x <- 0 until w)
+      yield math.abs(raster.getSample(x, y, 0) - ours(y * w + x))
+    diffs.max should be <= 3
+    // ImageIO -> ours: gray content in an RGB frame makes the JDK
+    // writer emit a REAL 3-component YCbCr 4:2:0 baseline stream
+    // (default subsampling) — foreign DHT/DQT tables, foreign entropy
+    // layout, subsampled chroma our decoder must walk correctly
+    val w2 = 20; val h2 = 12
+    val px2 = noise(w2 * h2, 33L)
+    val bi = new BufferedImage(w2, h2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h2; x <- 0 until w2) {
+      val v = px2(y * w2 + x)
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.97f)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    writer.dispose(); ios.close()
+    val foreign = bos.toByteArray
+    val dec = Jpeg.decodeJpeg(foreign)
+    (dec.width, dec.height, dec.nComponents) shouldBe ((w2, h2, 3))
+    // our Y plane vs ImageIO's own re-decode of the same bytes: the
+    // original was gray (Y == gray level), so the green channel of
+    // their decode approximates Y; allow RGB<->YCbCr conversion slack
+    val re = ImageIO.read(new java.io.ByteArrayInputStream(foreign))
+    val d2 = for (y <- 0 until h2; x <- 0 until w2)
+      yield math.abs(((re.getRGB(x, y) >> 8) & 0xff) -
+        dec.lumas(y * w2 + x))
+    d2.max should be <= 6
+    // the JDK writer's PROGRESSIVE mode uses libjpeg's default scan
+    // script: if it sticks to spectral selection we must decode it
+    // pixel-equivalently; if it uses successive approximation we must
+    // reject it BY NAME (the documented scope boundary) — either way
+    // the outcome is pinned, not left to chance
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val wr2 = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios2 = ImageIO.createImageOutputStream(bos2)
+    wr2.setOutput(ios2)
+    val p2 = wr2.getDefaultWriteParam
+    p2.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    wr2.write(null, new javax.imageio.IIOImage(bi, null, null), p2)
+    wr2.dispose(); ios2.close()
+    val prog = bos2.toByteArray
+    scala.util.Try(Jpeg.decodeJpeg(prog)) match {
+      case scala.util.Success(d) =>
+        (d.width, d.height) shouldBe ((w2, h2))
+        val re2 = ImageIO.read(new java.io.ByteArrayInputStream(prog))
+        val d3 = for (y <- 0 until h2; x <- 0 until w2)
+          yield math.abs(((re2.getRGB(x, y) >> 8) & 0xff) -
+            d.lumas(y * w2 + x))
+        d3.max should be <= 8
+      case scala.util.Failure(e) =>
+        e.getMessage should (include("successive approximation") or
+          include("unsupported") or include("partial-component"))
+    }
+  }
+
   test("RealCodecDecoder routes FFD8 blobs to the real JPEG parser") {
     val blob = Jpeg.encodeJpegGray(noise(16 * 8, 5L).toSeq, 16)
     val d = new graft.operators.Multimodal.RealCodecDecoder()
