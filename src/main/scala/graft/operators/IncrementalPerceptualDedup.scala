@@ -117,6 +117,10 @@ object IncrementalPerceptualDedup {
     def dataFiles(): Int = fs.listStatus(p).map(_.getPath.getName)
       .count(n => n.endsWith(".parquet") || n.contains("part-"))
     val before = dataFiles()
+    // an empty-batch accept creates the directory without data files;
+    // spark.read.parquet cannot infer a schema from it — nothing to
+    // compact either way
+    if (before == 0) return (0, 0)
     // materialize BEFORE the swap: overwriteAtomic must not read the
     // directory it is replacing
     val all = spark.read.parquet(indexPath).distinct()

@@ -553,6 +553,17 @@ object Jpeg {
       }
       bw.flushWithOnes()
     } else {
+      // precompute each component's quantized blocks ONCE on the
+      // interleaved grid (a superset of the AC scans' non-interleaved
+      // grid), so the DC and AC scans don't each pay the FDCT
+      val blocksW = comps.map(c => mcusX * c.hSamp)
+      val coefs: IndexedSeq[Array[Array[Int]]] =
+        comps.zipWithIndex.map { case (c, ci) =>
+          val bwc = blocksW(ci)
+          Array.tabulate(mcusY * c.vSamp * bwc) { i =>
+            quantizeBlock(c, i % bwc, i / bwc, quants(c.quantId))
+          }
+        }.toIndexedSeq
       // ---- scan 1: DC, all components, interleaved MCU order
       marker(0xda)
       u16(6 + 2 * comps.size); u8(comps.size)
@@ -572,8 +583,8 @@ object Jpeg {
             while (v < c.vSamp) {
               var h = 0
               while (h < c.hSamp) {
-                val dc = quantizeBlock(c, mx * c.hSamp + h,
-                  my * c.vSamp + v, quants(c.quantId))(0)
+                val dc = coefs(ci)((my * c.vSamp + v) * blocksW(ci) +
+                  mx * c.hSamp + h)(0)
                 val diff = dc - preds(ci)
                 preds(ci) = dc
                 val s = category(diff)
@@ -612,7 +623,7 @@ object Jpeg {
         while (by < niH) {
           var bx = 0
           while (bx < niW) {
-            val q = quantizeBlock(c, bx, by, quants(c.quantId))
+            val q = coefs(ci)(by * blocksW(ci) + bx)
             var last = 0 // last nonzero zigzag index in 1..63
             var k = 63
             while (k >= 1 && last == 0) { if (q(k) != 0) last = k; k -= 1 }
@@ -915,9 +926,12 @@ object Jpeg {
     val se = u8(sosPos + 4 + 2 * ns)
     val ahAl = u8(sosPos + 5 + 2 * ns)
     if (!st.progressive) {
-      require(ns == st.comps.size && ss == 0 && se == 63 && ahAl == 0,
-        "baseline frame requires one full scan (all components, " +
-          "Ss=0, Se=63, Ah=Al=0)")
+      require(ss == 0 && se == 63 && ahAl == 0,
+        "baseline scans are full-spectrum sequential (Ss=0, Se=63, " +
+          "Ah=Al=0)")
+      require(ns == st.comps.size || ns == 1,
+        s"baseline scans must cover all ${st.comps.size} components " +
+          "or exactly one (T.81 multi-scan sequential)")
     } else {
       require(ahAl == 0, "successive approximation (Ah/Al != 0) is " +
         "unsupported — spectral-selection progressive scans only")
@@ -950,11 +964,10 @@ object Jpeg {
     }
     val r = new BitReader(bytes, sosPos + len)
     val preds = Array.fill(ns)(0)
-    if (ss == 0) {
-      // interleaved MCU order: the baseline full scan or a
+    if (ns > 1) {
+      // interleaved MCU order: the baseline all-component scan or a
       // progressive DC scan (identical iteration; the latter stops
-      // each block at the DC coefficient). For a single-component
-      // frame the MCU grid and the non-interleaved grid coincide.
+      // each block at the DC coefficient)
       var mcu = 0
       var rst = 0
       var my = 0
@@ -995,18 +1008,41 @@ object Jpeg {
         my += 1
       }
     } else {
-      // single-component progressive AC band scan over the component's
-      // NON-interleaved grid, with EOB-run coding (T.81 G.1.2.2)
+      // NON-interleaved scan (Ns = 1, T.81 A.2.2: the block grid is
+      // ceil(wc/8) × ceil(hc/8) — sampling factors do NOT pad it):
+      // single-component baseline frames (including ones whose SOF
+      // declares 2×2 factors, which jpegtran-style grayscale keeps),
+      // per-component scans of a multi-scan sequential file, and
+      // progressive AC band scans with EOB-run coding (G.1.2.2)
       val ci = scanComps.head._1
       val (niW, niH) = st.niGrid(ci)
       var eobrun = 0
+      var pred = 0
+      var blk = 0
+      var rst = 0
       var by = 0
       while (by < niH) {
         var bx = 0
         while (bx < niW) {
+          if (dri > 0 && blk > 0 && blk % dri == 0) {
+            require(eobrun == 0, "EOB run crosses a restart interval")
+            r.expectRestart(rst)
+            rst += 1
+            pred = 0
+          }
           val block = if (ci == 0) blockOffset(st, bx, by) else -1
-          if (eobrun > 0) eobrun -= 1 // band stays zero in this block
-          else eobrun = decodeAcRange(r, acT.head, st, block, ss, se)
+          if (ss == 0) {
+            val s = decodeSym(r, dcT.head)
+            require(s <= 11, s"DC category $s out of range")
+            pred += extend(r.receive(s), s)
+            if (block >= 0) st.coef0(block) = pred
+          }
+          if (se > 0) {
+            if (eobrun > 0) eobrun -= 1 // band stays zero in this block
+            else eobrun = decodeAcRange(r, acT.head, st, block,
+              math.max(1, ss), se)
+          }
+          blk += 1
           bx += 1
         }
         by += 1

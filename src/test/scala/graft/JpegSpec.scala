@@ -240,6 +240,34 @@ class JpegSpec extends SparkSpec {
         progressive = true)
   }
 
+  test("Ns=1 scans use the NON-interleaved grid: a single-component " +
+      "frame declaring 2x2 factors decodes identically to its 1x1 twin") {
+    // jpegtran-style grayscale keeps the source luma's 2x2 factors in
+    // SOF while the scan data stays on the ceil(w/8) grid (T.81
+    // A.2.2 ignores sampling factors for Ns=1) — patch our blob's SOF
+    // sampling byte and the decode must not change
+    val w = 24; val h = 24
+    val px = noise(w * h, 57L)
+    val blob = Jpeg.encodeJpegGray(px.toSeq, w)
+    val plain = Jpeg.decodeJpegLumas(blob)._3
+    val sofAt = blob.indices.find(i => (blob(i) & 0xff) == 0xff &&
+      i + 1 < blob.length && (blob(i + 1) & 0xff) == 0xc0).get
+    val patched = blob.clone()
+    // SOF0 payload: len(2) P(1) Y(2) X(2) Nf(1) [Cid HV Tq] — HV at +10
+    (patched(sofAt + 11) & 0xff) shouldBe 0x11
+    patched(sofAt + 11) = 0x22.toByte
+    val got = Jpeg.decodeJpeg(patched)
+    (got.width, got.height) shouldBe ((w, h))
+    got.lumas.toSeq shouldBe plain.toSeq
+    // same invariance under a restart interval (blocks, not MCUs)
+    val blobR = Jpeg.encodeJpegGray(px.toSeq, w, restartInterval = 2)
+    val sofR = blobR.indices.find(i => (blobR(i) & 0xff) == 0xff &&
+      i + 1 < blobR.length && (blobR(i + 1) & 0xff) == 0xc0).get
+    val patchedR = blobR.clone()
+    patchedR(sofR + 11) = 0x22.toByte
+    Jpeg.decodeJpeg(patchedR).lumas.toSeq shouldBe plain.toSeq
+  }
+
   test("interop with the JDK's independent JPEG codec: ImageIO reads " +
       "our streams, we read ImageIO's (incl. real 4:2:0 color)") {
     import java.awt.image.BufferedImage

@@ -631,6 +631,20 @@ class MultimodalSpec extends SparkSpec {
     // 6 sees 1 (0), 2 (1), 3 (2), 4 (0), 5 (1)
     IncrementalPerceptualDedup.compactIndex(spark, idx)
     accept("b5", (6L, h)).toSeq shouldBe Seq((6L, 5L, 0, 1L))
+    // a directory that exists but holds no data files compacts as a
+    // no-op (0, 0), not an AnalysisException from schema inference
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_ipd_bare").toString
+    IncrementalPerceptualDedup.compactIndex(spark, bare) shouldBe ((0, 0))
+    // and an empty-batch accept (which may leave a zero-row part
+    // file) followed by compaction must not crash either
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft_ipd_empty").toString
+    IncrementalPerceptualDedup.acceptBatch(
+      Seq.empty[(Long, Long)].toDF("id", "hash"), "id", "hash",
+      empty, "e0", maxHamming = 6).count() shouldBe 0L
+    noException should be thrownBy
+      IncrementalPerceptualDedup.compactIndex(spark, empty)
   }
 
   test("decodeWavSamples round-trips exact samples (with clamping) " +
