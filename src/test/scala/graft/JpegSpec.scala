@@ -345,6 +345,42 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("randomized property: any geometry x any quant table round-trips, " +
+      "progressive == baseline EXACTLY, ImageIO accepts the stream") {
+    val rnd = new scala.util.Random(0x5ca1ab1eL)
+    (0 until 25).foreach { trial =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      // random quant: mix of fine and brutal entries
+      val quant = Array.fill(64)(1 + rnd.nextInt(255))
+      val blob = Jpeg.encodeJpegGray(px.toSeq, w, quant)
+      val (gw, gh, base) = Jpeg.decodeJpegLumas(blob)
+      withClue(s"trial $trial ${w}x$h: ") {
+        (gw, gh) shouldBe ((w, h))
+        // the progressive layout of the SAME coefficients is
+        // pixel-identical regardless of quant — structural, not a
+        // tolerance
+        val (_, _, prog) = Jpeg.decodeJpegLumas(
+          Jpeg.encodeJpegGray(px.toSeq, w, quant, progressive = true))
+        prog.toSeq shouldBe base.toSeq
+        // an independent implementation parses our stream and agrees
+        // on geometry (pixel agreement is checked in the dedicated
+        // interop test; arbitrary quant tables only widen IDCT slack)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(blob))
+        img should not be null
+        (img.getWidth, img.getHeight) shouldBe ((w, h))
+        // restart intervals leave baseline pixels untouched
+        if (trial % 5 == 0) {
+          val (_, _, rst) = Jpeg.decodeJpegLumas(Jpeg.encodeJpegGray(
+            px.toSeq, w, quant, restartInterval = 1 + rnd.nextInt(4)))
+          rst.toSeq shouldBe base.toSeq
+        }
+      }
+    }
+  }
+
   test("RealCodecDecoder routes FFD8 blobs to the real JPEG parser") {
     val blob = Jpeg.encodeJpegGray(noise(16 * 8, 5L).toSeq, 16)
     val d = new graft.operators.Multimodal.RealCodecDecoder()
