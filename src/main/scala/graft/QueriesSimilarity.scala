@@ -719,7 +719,12 @@ object QueriesSimilarity {
     * 10th embedding, perturbed +0.05 on dim 1, ids +10000 — the q18
     * fixture) arrive interleaved across three batches (doc_id mod 3),
     * and each batch probes the quantized index of everything earlier
-    * before merging itself in. The contract under test: the 3-batch
+    * before merging itself in. The index is COMPACTED between batches
+    * 1 and 2 (compactIndex rewrites every per-batch file set into the
+    * partitioned layout), so the row also pins — under an oracle that
+    * knows nothing about files — that compaction preserves the
+    * tag-exclusion and flag semantics (the q397 discipline, ported).
+    * The contract under test: the 3-batch
     * incremental run equals the ONE-SHOT batch computation exactly
     * (flag iff ∃ earlier-in-arrival-order bucket-mate with exact int8
     * dot ≥ 10⁵) — the oracle restates that batch form declaratively
@@ -740,6 +745,8 @@ object QueriesSimilarity {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_sem_idx").toString
     (0 until 3).map { b =>
+      if (b == 2) // flags must be invariant under the file rewrite
+        graft.operators.IncrementalSemanticDedup.compactIndex(s, idx)
       val batch = corpus.filter(pmod(col("doc_id"), lit(3)) === b)
       graft.operators.IncrementalSemanticDedup.acceptBatch(
           batch, "doc_id", "e", idx, s"day$b", minDot = 100000L)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 
@@ -9,10 +9,12 @@ import graft.functions.TextAnalysis
   * must dedup against EVERYTHING already accepted, without rescanning
   * the corpus itself.
   *
-  * The index is a parquet table of 64-bit text fingerprints
-  * (TextAnalysis.fingerprint — md5-derived, engine-portable). A batch
+  * The index is a [[PersistentIndex]] table of 64-bit text
+  * fingerprints (TextAnalysis.fingerprint — md5-derived,
+  * engine-portable) plus the batch tag that wrote each row. A batch
   * is (1) deduped within itself (min-id keeper per fingerprint),
-  * (2) anti-joined against the index, and (3) the survivors'
+  * (2) anti-joined against the index — reading only the fingerprint-
+  * prefix partitions the batch hashes into — and (3) the survivors'
   * fingerprints are appended to the index. Re-submitting an
   * already-accepted batch therefore yields ZERO survivors —
   * exactly-once corpus growth under at-least-once delivery.
@@ -21,11 +23,14 @@ import graft.functions.TextAnalysis
   * a ~30 GB table for a billion docs — and the anti-join shuffles on a
   * uniform hash key (skew-free). The corpus text is never re-read.
   * The index append uses the staged-publish writer, so a retried batch
-  * cannot double-append its fingerprints.
+  * cannot double-append its fingerprints; [[compactIndex]] folds the
+  * accreted per-batch file sets periodically (tag-preserving).
   */
 object IncrementalDedup {
 
   val FpCol = "fp"
+
+  private val IndexSchema = s"$FpCol STRING, tag STRING"
 
   /** Returns the batch rows that are new to the corpus (first
     * occurrence within the batch AND unseen in the index), and appends
@@ -34,37 +39,43 @@ object IncrementalDedup {
     * batch, give distinct batches distinct tags.
     *
     * Idempotence: novelty is evaluated against the index EXCLUDING the
-    * current tag's own files — a retry of a crashed (or even
-    * completed) delivery therefore recomputes the same survivor set
-    * and republishes over its previous partial publish, instead of
-    * either masking its own documents as "seen" or (worse) having the
-    * staged cleanup erase a completed publish and return nothing. */
+    * current tag's own ROWS — the tag COLUMN, so the contract survives
+    * a compaction that moves rows between files (the filename-prefix
+    * skip is only a read optimization) — and the retry republishes
+    * over its previous partial publish, instead of either masking its
+    * own documents as "seen" or (worse) having the staged cleanup
+    * erase a completed publish and return nothing. */
   def acceptBatch(batch: DataFrame, idCol: String, textCol: String,
       indexPath: String, batchTag: String): DataFrame = {
     val spark = batch.sparkSession
-    // within-batch exact dedup, then fingerprint once per survivor
+    // within-batch exact dedup, then fingerprint once per survivor;
+    // materialized: feeds the pruning collect, the anti-join, and the
+    // append
     val fped = Dedup.exactDedup(batch, idCol, textCol)
       .withColumn(FpCol, TextAnalysis.fingerprint(col(textCol)))
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val otherFiles =
-      if (!fs.exists(p)) Array.empty[String]
-      else fs.listStatus(p).map(_.getPath)
-        .filter { f =>
-          f.getName.endsWith(".parquet") || f.getName.contains("part-")
-        }
-        .filterNot(_.getName.startsWith(s"$batchTag-"))
-        .map(_.toString)
-    val novel =
-      if (otherFiles.isEmpty) fped
-      else {
-        val index = spark.read.parquet(otherFiles.toIndexedSeq: _*)
-        fped.join(index, Seq(FpCol), "left_anti")
-      }
+      .withColumn(PersistentIndex.PfxCol,
+        PersistentIndex.pfxOf(col(FpCol)))
+      .localCheckpoint(true)
+    // only partitions a batch fingerprint hashes into can hold an
+    // equal fingerprint — bounded collect (<= NumPfx values)
+    val touched = fped.select(col(PersistentIndex.PfxCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val index = PersistentIndex.readExcluding(spark, indexPath, batchTag,
+      IndexSchema, Some(touched))
     // two consumers (index append + returned rows): materialize so the
-    // dedup pipeline runs once and the lineage is cut before return
-    val kept = novel.localCheckpoint(true)
-    ParquetTable.appendStaged(kept.select(col(FpCol)), indexPath, batchTag)
-    kept.drop(FpCol)
+    // anti-join runs once and the lineage is cut before the append
+    // mutates the index it read
+    val kept = fped.join(index.select(col(FpCol)), Seq(FpCol), "left_anti")
+      .localCheckpoint(true)
+    PersistentIndex.appendStaged(
+      kept.select(col(FpCol), lit(batchTag).as("tag"),
+        col(PersistentIndex.PfxCol)),
+      indexPath, batchTag)
+    kept.drop(FpCol, PersistentIndex.PfxCol)
   }
+
+  /** Tag-preserving atomic compaction — see [[PersistentIndex.compact]].
+    * @return (data files before, after) */
+  def compactIndex(spark: SparkSession, indexPath: String): (Int, Int) =
+    PersistentIndex.compact(spark, indexPath, IndexSchema, _(FpCol))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental SEMANTIC dedup against a persistent quantized-embedding
@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * must therefore probe the vectors of everything already seen,
   * without re-embedding or re-scanning the corpus.
   *
-  * The index is a parquet table of (doc_id, int8-quantized vector,
-  * sign bucket): ~4 bytes/dim — a 64-dim corpus of a billion docs is a
-  * ~260 GB index, scan-free to maintain (append-only via the staged
-  * publisher, so a retried batch cannot double-append).
+  * The index is a [[PersistentIndex]] table of (doc_id, int8-quantized
+  * vector, sign bucket, batch tag): ~4 bytes/dim — a 64-dim corpus of
+  * a billion docs is a ~260 GB index, scan-free to maintain
+  * (append-only via the staged publisher, so a retried batch cannot
+  * double-append; bucket-prefix partitioned, so a batch probe reads
+  * only its buckets' partitions; [[compactIndex]] periodically folds
+  * the accreted per-batch file sets, tag-preserving).
   *
   * Semantics — FLAG-IF-ANY-EARLIER, the order-deterministic contract:
   * a document is flagged iff SOME document earlier in arrival order
@@ -42,6 +45,9 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalSemanticDedup {
 
+  private val IndexSchema =
+    "doc_id BIGINT, qv ARRAY<INT>, bkt INT, tag STRING"
+
   private def signBucket(qv: Column, signBits: Int): Column =
     (0 until signBits).map(i =>
       when(element_at(qv, i + 1) > 0, 1 << i).otherwise(0))
@@ -57,7 +63,8 @@ object IncrementalSemanticDedup {
     * `dup_of` is the smallest earlier near-neighbor id (NULL when
     * accepted). `batchTag` idempotence follows IncrementalDedup:
     * novelty is evaluated against the index EXCLUDING the current
-    * tag's own files, and the append republishes over a previous
+    * tag's own ROWS (the tag column — robust to compaction moving
+    * rows between files), and the append republishes over a previous
     * partial publish of the same tag — retry-safe.
     *
     * `probeFlips` is the multi-probe recall dial (the
@@ -83,29 +90,6 @@ object IncrementalSemanticDedup {
         Similarity.quantizeInt8(col(embCol)).getField("q").as("qv"))
       .withColumn("bkt", signBucket(col("qv"), signBits))
       .localCheckpoint(true)
-    val earlier = {
-      // same batch, smaller id
-      val within = q.select(col("bkt"), col("doc_id").as("__eid"),
-        col("qv").as("__eqv"))
-      // any doc from an earlier batch (index excludes this tag's files)
-      val p = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val otherFiles =
-        if (!fs.exists(p)) Array.empty[String]
-        else fs.listStatus(p).map(_.getPath)
-          .filter { f =>
-            f.getName.endsWith(".parquet") || f.getName.contains("part-")
-          }
-          .filterNot(_.getName.startsWith(s"$batchTag-"))
-          .map(_.toString)
-      val within2 = within.withColumn("__same", lit(true))
-      if (otherFiles.isEmpty) within2
-      else within2.unionAll(
-        spark.read.parquet(otherFiles.toIndexedSeq: _*)
-          .select(col("bkt"), col("doc_id").as("__eid"),
-            col("qv").as("__eqv"))
-          .withColumn("__same", lit(false)))
-    }
     // multi-probe expansion of the PROBING side: XOR the home bucket
     // with every mask of popcount <= probeFlips (plan-time list)
     val probes =
@@ -120,6 +104,26 @@ object IncrementalSemanticDedup {
           .withColumn("bkt", col("bkt").bitwiseXOR(col("__m")))
           .drop("__m")
       }
+    val earlier = {
+      // same batch, smaller id
+      val within = q.select(col("bkt"), col("doc_id").as("__eid"),
+          col("qv").as("__eqv"))
+        .withColumn("__same", lit(true))
+      // any doc from an earlier batch: the index excludes this tag's
+      // rows (tag column; filename skip is just an optimization) and
+      // prunes to the partitions the PROBE buckets hash into —
+      // multi-probe buckets included, or the flipped-bucket probes
+      // would read nothing (bounded collect, <= NumPfx values)
+      val touched = probes
+        .select(PersistentIndex.pfxOf(col("bkt")).as("p")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      within.unionAll(
+        PersistentIndex.readExcluding(spark, indexPath, batchTag,
+            IndexSchema, Some(touched))
+          .select(col("bkt"), col("doc_id").as("__eid"),
+            col("qv").as("__eqv"))
+          .withColumn("__same", lit(false)))
+    }
     val hits = probes.join(earlier, Seq("bkt"))
       .filter(!col("__same") || col("__eid") < col("doc_id"))
       .withColumn("dot", exactDot(col("qv"), col("__eqv")))
@@ -133,8 +137,18 @@ object IncrementalSemanticDedup {
         coalesce(col("n_earlier"), lit(0L)).as("n_earlier"),
         col("max_dot"), col("dup_of"))
       .localCheckpoint(true)
-    ParquetTable.appendStaged(q.select(col("doc_id"), col("qv"),
-      col("bkt")), indexPath, batchTag)
+    PersistentIndex.appendStaged(
+      q.select(col("doc_id"), col("qv"), col("bkt"),
+        lit(batchTag).as("tag"),
+        PersistentIndex.pfxOf(col("bkt")).as(PersistentIndex.PfxCol)),
+      indexPath, batchTag)
     res
   }
+
+  /** Tag-preserving atomic compaction — see [[PersistentIndex.compact]].
+    * Also backfills the tag column of files written before it existed
+    * (from their `<tag>-part-*` filenames), so pre-tag indexes migrate
+    * in place. @return (data files before, after) */
+  def compactIndex(spark: SparkSession, indexPath: String): (Int, Int) =
+    PersistentIndex.compact(spark, indexPath, IndexSchema, _("bkt"))
 }

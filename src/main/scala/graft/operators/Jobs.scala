@@ -110,7 +110,8 @@ object ParquetTable {
   }
 
   def overwriteAtomic(df: DataFrame, path: String,
-      extraFiles: Seq[String] = Nil): Unit = {
+      extraFiles: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
@@ -119,7 +120,9 @@ object ParquetTable {
     val backup = new org.apache.hadoop.fs.Path(path + "__old")
     recoverInterrupted(spark, path) // heal a predecessor's crash window
     fs.delete(staging, true)
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.isEmpty) writer
+     else writer.partitionBy(partitionCols: _*)).parquet(staging.toString)
     extraFiles.foreach { name =>
       require(name.startsWith("_"),
         s"marker file name ($name) must be underscore-prefixed")

@@ -1277,12 +1277,24 @@ object Multimodal {
     * clips differ in ~32 bits; feed [[hammingNearDupPairs]].
     *
     * Long bounds: |coef| ≤ 8·2¹⁵ = 2¹⁸, coef² ≤ 2³⁶, ≤ 2¹⁹ windows
-    * per frame at the 4M-sample cap → energy < 2⁵⁵. Needs ≥ 128
-    * samples (W ≥ 16 keeps every frame non-empty). */
+    * per frame at the 4M-sample cap → energy < 2⁵⁵. That analysis
+    * assumes 16-bit samples, so the range is ENFORCED (strict-contract
+    * convention): [[decodeWavSamples]] output always satisfies it; a
+    * caller feeding wider integers would silently overflow c·c and
+    * hash garbage. Needs ≥ 128 samples (W ≥ 16 keeps every frame
+    * non-empty). */
   def spectralWhtHash64(samples: Array[Int]): Long = {
     val n = samples.length
     require(n >= 128, s"spectral fingerprint needs >= 128 samples, got $n")
     require(n <= 4000000, s"fingerprint chunks must be <= 4M samples ($n)")
+    var i0 = 0
+    while (i0 < n) {
+      val s = samples(i0)
+      require(s >= -32768 && s <= 32767,
+        s"sample $s at $i0 outside 16-bit PCM range (the exact-integer " +
+          "energy bound assumes |sample| < 2^15)")
+      i0 += 1
+    }
     val nw = n / 8
     val energy = Array.ofDim[Long](16, 8)
     var w = 0

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The ONE persistent-index storage layer shared by the three
+  * incremental dedups ([[IncrementalDedup]] exact fingerprints,
+  * [[IncrementalSemanticDedup]] quantized embeddings,
+  * [[IncrementalPerceptualDedup]] perceptual-hash bands) — extracted
+  * so the retry/compaction/restart discipline the perceptual index
+  * proved out cannot drift between siblings (r9 VERDICT: the
+  * tag-column fix stopped at one index while the other two still rode
+  * on filename prefixes).
+  *
+  * Contracts, in probe order:
+  *
+  *  1. HEAL FIRST: every read and every compaction begins with
+  *     [[ParquetTable.recoverInterrupted]] — a crash inside
+  *     overwriteAtomic's swap window leaves the table only at
+  *     `<path>__old`, and a probe that misses it would silently see
+  *     an EMPTY index and accept duplicates.
+  *  2. TAG COLUMN IS CORRECTNESS, FILENAME IS OPTIMIZATION: retry
+  *     idempotence ("novelty is evaluated against the index excluding
+  *     the current tag's own rows") filters on the `tag` COLUMN.
+  *     Skipping files whose names start with `<tag>-` is only a read
+  *     optimization — compaction rewrites file names, so a name-based
+  *     exclusion alone breaks the moment anything rewrites files.
+  *     Rows from files written before the tag column existed get
+  *     their tag BACKFILLED from the `<tag>-part-*` filename during
+  *     the read (and durably during compaction), so pre-tag indexes
+  *     need no manual migration.
+  *  3. PRUNED LAYOUT: rows live in hive-style `pfx=N/` directories,
+  *     N = pmod(hash(bucket key), [[NumPfx]]). A batch probe reads
+  *     ONLY the partitions its own keys hash into — O(touched
+  *     buckets) I/O instead of O(index) — which is what keeps the
+  *     daily-batch probe wall flat as the index grows (legacy flat
+  *     files at the root are still read, unpruned, until a compaction
+  *     migrates them).
+  *  4. ATOMIC COMPACTION: tag-preserving rewrite of all accreted
+  *     per-batch file sets into one file per partition, committed
+  *     with the staging-swap protocol — readers see the old or the
+  *     new index, never a partial one.
+  */
+object PersistentIndex {
+
+  /** Partition-prefix column (hive directory key). 64 partitions:
+    * coarse enough that directory listings stay trivial at any index
+    * size, fine enough that a small daily batch prunes most I/O. */
+  val PfxCol = "pfx"
+  val NumPfx = 64
+
+  /** Partition prefix of a bucket-key column — the SAME murmur hash
+    * Spark uses for shuffle, applied once more for layout. Probe and
+    * layout must use this one definition or pruning silently drops
+    * index rows from the probe. */
+  def pfxOf(key: Column): Column = pmod(hash(key), lit(NumPfx))
+
+  private def isDataFile(f: org.apache.hadoop.fs.FileStatus): Boolean =
+    f.isFile && !f.getPath.getName.startsWith("_") &&
+      !f.getPath.getName.startsWith(".")
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Data files to read for a probe excluding `batchTag`'s own files
+    * (read-skipping; the tag-column filter in [[readExcluding]] is
+    * the correctness guarantee) and pruned to the `pfxs` partitions
+    * (None = all). Legacy flat files at the root are always included:
+    * they predate the partitioned layout, so no pruning information
+    * exists for them. Exposed within graft so the pruning spec can
+    * assert the file-count drop directly. */
+  private[graft] def dataFilesFor(spark: SparkSession, path: String,
+      batchTag: Option[String], pfxs: Option[Set[Int]]): Seq[String] = {
+    val (fs, p) = fsOf(spark, path)
+    ParquetTable.recoverInterrupted(spark, path)
+    if (!fs.exists(p)) return Nil
+    val entries = fs.listStatus(p)
+    def keep(name: String): Boolean =
+      batchTag.forall(t => !name.startsWith(s"$t-"))
+    val legacy = entries.filter(isDataFile)
+      .filter(f => keep(f.getPath.getName)).map(_.getPath.toString)
+    val dirs = entries
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$PfxCol="))
+      .filter { d =>
+        pfxs.forall(_.contains(
+          d.getPath.getName.stripPrefix(s"$PfxCol=").toInt))
+      }
+    val inDirs = dirs.flatMap(d => fs.listStatus(d.getPath))
+      .filter(isDataFile)
+      .filter(f => keep(f.getPath.getName)).map(_.getPath.toString)
+    (legacy ++ inDirs).toIndexedSeq
+  }
+
+  private def emptyFrame(spark: SparkSession, schemaDdl: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType.fromDDL(schemaDdl))
+
+  private def readFiles(spark: SparkSession, files: Seq[String],
+      schemaDdl: String): DataFrame = {
+    val schema = StructType.fromDDL(schemaDdl)
+    require(schema.fieldNames.contains("tag"),
+      s"index schema must carry the tag column: $schemaDdl")
+    // explicit schema: files written before the tag column read their
+    // missing column as NULL, then backfill from the `<tag>-part-*`
+    // filename the staged publisher gave them
+    val cols = schema.fieldNames.filterNot(_ == "tag").map(col).toSeq
+    spark.read.schema(schema).parquet(files: _*)
+      .select(cols :+ coalesce(col("tag"),
+        regexp_extract(col("_metadata.file_name"), "^(.+?)-part-", 1))
+        .as("tag"): _*)
+  }
+
+  /** Heal, then read the index rows NOT written under `batchTag`,
+    * pruned to the `pfxs` partitions. Returns exactly the columns of
+    * `schemaDdl` (which must include `tag STRING`). */
+  def readExcluding(spark: SparkSession, path: String, batchTag: String,
+      schemaDdl: String, pfxs: Option[Set[Int]] = None): DataFrame = {
+    val files = dataFilesFor(spark, path, Some(batchTag), pfxs)
+    if (files.isEmpty) emptyFrame(spark, schemaDdl)
+    else readFiles(spark, files, schemaDdl).filter(col("tag") =!= batchTag)
+  }
+
+  /** Stage-then-publish append of `df` (which must carry [[PfxCol]])
+    * into the partitioned layout — the [[ParquetTable.appendStaged]]
+    * protocol per partition directory: a retry of the SAME tag first
+    * removes every file a previous partial publish left (in the root
+    * and in every partition), so it republishes instead of
+    * double-appending. */
+  def appendStaged(df: DataFrame, path: String, tag: String): Unit = {
+    require(df.columns.contains(PfxCol),
+      s"index append requires the $PfxCol partition column")
+    require(df.columns.contains("tag"),
+      "index append requires the tag column")
+    val spark = df.sparkSession
+    val (fs, target) = fsOf(spark, path)
+    val stage = new org.apache.hadoop.fs.Path(path + s"__stage_$tag")
+    fs.delete(stage, true)
+    df.write.mode(SaveMode.Overwrite).partitionBy(PfxCol)
+      .parquet(stage.toString)
+    fs.mkdirs(target)
+    // idempotent cleanup: this tag's files, wherever they live
+    val dirs = target +: fs.listStatus(target)
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$PfxCol="))
+      .map(_.getPath).toSeq
+    dirs.foreach { d =>
+      fs.listStatus(d).filter(_.getPath.getName.startsWith(s"$tag-"))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    fs.listStatus(stage)
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$PfxCol="))
+      .foreach { d =>
+        val out = new org.apache.hadoop.fs.Path(target, d.getPath.getName)
+        fs.mkdirs(out)
+        fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.startsWith("part-"))
+          .foreach { f =>
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(out,
+                s"$tag-${f.getPath.getName}"))
+          }
+      }
+    fs.delete(stage, true)
+  }
+
+  /** Count of data files, root + partition directories. */
+  private[graft] def dataFileCount(spark: SparkSession,
+      path: String): Int = {
+    val (fs, p) = fsOf(spark, path)
+    if (!fs.exists(p)) return 0
+    val entries = fs.listStatus(p)
+    entries.count(isDataFile) + entries
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$PfxCol="))
+      .map(d => fs.listStatus(d.getPath).count(isDataFile)).sum
+  }
+
+  /** Tag-PRESERVING compaction: rewrite every accreted file set (and
+    * any legacy flat files) into ~one file per partition, keeping
+    * each row's batch tag so flag sets and retry idempotence are
+    * invariant under the rewrite; rows dedup on the full tuple, which
+    * also cleans the double-stored rows a post-compaction retry of an
+    * old tag can leave. Atomic swap; heals a predecessor's crash
+    * window first. `keyFor` derives the partition key column from the
+    * index frame (e.g. `_("band")`).
+    * @return (data files before, after) */
+  def compact(spark: SparkSession, path: String, schemaDdl: String,
+      keyFor: DataFrame => Column): (Int, Int) = {
+    ParquetTable.recoverInterrupted(spark, path)
+    val files = dataFilesFor(spark, path, None, None)
+    if (files.isEmpty) return (0, 0)
+    val before = files.size
+    val all = readFiles(spark, files, schemaDdl).distinct()
+    // materialize BEFORE the swap: overwriteAtomic must not read the
+    // directory it is replacing
+    val out = all.withColumn(PfxCol, pfxOf(keyFor(all)))
+      .repartition(col(PfxCol))
+      .localCheckpoint(true)
+    ParquetTable.overwriteAtomic(out, path, partitionCols = Seq(PfxCol))
+    (before, dataFileCount(spark, path))
+  }
+}

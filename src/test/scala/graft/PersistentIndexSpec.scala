@@ -1,0 +1,168 @@
+package graft
+
+import graft.operators.{IncrementalDedup, IncrementalPerceptualDedup,
+  IncrementalSemanticDedup, PersistentIndex}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** The shared persistent-index layer (r9 VERDICT items 2+3 and the
+  * ADVICE restart finding): heal-before-read, tag-column retry
+  * idempotence that survives compaction, legacy (pre-tag, flat-layout)
+  * index migration, and partition-pruned probes. */
+class PersistentIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString + "/idx"
+
+  private def fsFor(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("probe heals the overwriteAtomic crash window: an index " +
+      "stranded at <path>__old is restored before reading, so the " +
+      "probe never sees an empty index") {
+    val idx = tmp("graft_pidx_heal")
+    val b0 = Seq((1L, 0x1234L)).toDF("doc_id", "h")
+    IncrementalPerceptualDedup.acceptBatch(b0, "doc_id", "h", idx,
+      "day0", maxHamming = 2).collect()
+    // simulate a crash between rename(target, __old) and
+    // rename(staging, target): the table exists ONLY at __old
+    val fs = fsFor(idx)
+    fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + "__old")) shouldBe true
+    fs.exists(new org.apache.hadoop.fs.Path(idx)) shouldBe false
+    // an un-healed probe would silently flag nothing; the healed one
+    // finds the day-0 near-dup
+    val got = IncrementalPerceptualDedup.acceptBatch(
+        Seq((2L, 0x1235L)).toDF("doc_id", "h"), "doc_id", "h", idx,
+        "day1", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe Seq((2L, 1L))
+    // compaction heals the same window (same entry point)
+    fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + "__old")) shouldBe true
+    val (before, after) = IncrementalPerceptualDedup.compactIndex(spark, idx)
+    before should be > 0
+    after should be > 0
+  }
+
+  test("legacy pre-tag flat index: rows without a tag column are " +
+      "backfilled from the <tag>-part-* filename on read AND durably " +
+      "by compaction") {
+    val idx = tmp("graft_pidx_legacy")
+    // hand-author the OLD layout: flat root files named `tag-part-*`
+    // with the pre-tag schema (fp only)
+    val fs = fsFor(idx)
+    def writeLegacy(tag: String, fps: Seq[String]): Unit = {
+      val stage = idx + s"__mk_$tag"
+      fps.toDF(IncrementalDedup.FpCol).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(stage)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(idx))
+      fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .foreach { f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(idx,
+            s"$tag-${f.getPath.getName}"))
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    }
+    writeLegacy("day0", Seq("aaaa", "bbbb"))
+    writeLegacy("day1", Seq("cccc"))
+    val ddl = s"${IncrementalDedup.FpCol} STRING, tag STRING"
+    // tag exclusion works on the legacy files via filename backfill
+    PersistentIndex.readExcluding(spark, idx, "day0", ddl)
+      .select(IncrementalDedup.FpCol).as[String].collect().toSeq shouldBe
+      Seq("cccc")
+    // compaction migrates: partitioned layout, tag column durable
+    val (before, after) = IncrementalDedup.compactIndex(spark, idx)
+    before shouldBe 2
+    fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .exists(_.getPath.getName.startsWith(
+        s"${PersistentIndex.PfxCol}=")) shouldBe true
+    val migrated = spark.read.parquet(idx)
+    migrated.columns should contain("tag")
+    migrated.select(IncrementalDedup.FpCol, "tag").as[(String, String)]
+      .collect().toSet shouldBe
+      Set(("aaaa", "day0"), ("bbbb", "day0"), ("cccc", "day1"))
+    // and tag exclusion still holds AFTER the rewrite renamed files
+    PersistentIndex.readExcluding(spark, idx, "day0", ddl)
+      .select(IncrementalDedup.FpCol).as[String].collect().toSeq shouldBe
+      Seq("cccc")
+  }
+
+  test("partition-pruned probe reads only the batch's pfx " +
+      "partitions: file count drops vs the unpruned listing") {
+    val idx = tmp("graft_pidx_prune")
+    // a wide batch spreads over many partitions
+    val wide = (1L to 400L).map(i => (i, s"document number $i"))
+      .toDF("id", "text")
+    IncrementalDedup.acceptBatch(wide, "id", "text", idx, "day0")
+      .count() shouldBe 400L
+    val allFiles = PersistentIndex.dataFilesFor(spark, idx,
+      Some("day1"), None)
+    // a single-doc batch touches exactly one partition
+    val one = Seq((900L, "a brand new document")).toDF("id", "text")
+    val fp = graft.functions.TextAnalysis.fingerprint(col("text"))
+    val pfx = one.select(PersistentIndex.pfxOf(fp).as("p"))
+      .head().getInt(0)
+    val pruned = PersistentIndex.dataFilesFor(spark, idx,
+      Some("day1"), Some(Set(pfx)))
+    pruned.size should be < allFiles.size
+    pruned.foreach(_ should include(s"${PersistentIndex.PfxCol}=$pfx"))
+    // pruning never drops a true hit: re-deliver doc 17's text
+    IncrementalDedup.acceptBatch(
+      Seq((901L, "document number 17")).toDF("id", "text"),
+      "id", "text", idx, "day1").count() shouldBe 0L
+  }
+
+  test("semantic index: flags and retry idempotence are invariant " +
+      "across TWO compactions interleaved with batches") {
+    val A = Seq(127.0, 0.0, 0.0, 0.0, 100.0, 0.0, 0.0, 0.0)
+    val B = Seq(127.0, 0.0, 0.0, 0.0, 70.0, 70.0, 0.0, 0.0)
+    val C = Seq(127.0, 0.0, 0.0, 0.0, 0.0, 100.0, 0.0, 0.0)
+    def run(withCompaction: Boolean): Seq[(Long, Boolean, Long)] = {
+      val idx = tmp("graft_pidx_sem")
+      Seq(Seq((1L, A)), Seq((2L, B)), Seq((3L, C))).zipWithIndex
+        .flatMap { case (rows, b) =>
+          if (withCompaction && b > 0)
+            IncrementalSemanticDedup.compactIndex(spark, idx)
+          val out = IncrementalSemanticDedup.acceptBatch(
+            rows.toDF("doc_id", "e"), "doc_id", "e", idx, s"day$b",
+            20000L)
+          // retry the same tag AFTER compaction rewrote earlier
+          // batches' files: same verdicts (tag column, not filenames)
+          val retry = IncrementalSemanticDedup.acceptBatch(
+            rows.toDF("doc_id", "e"), "doc_id", "e", idx, s"day$b",
+            20000L)
+          retry.collect().map(r =>
+            (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+        }
+    }
+    val plain = run(withCompaction = false)
+    val compacted = run(withCompaction = true)
+    compacted shouldBe plain
+    compacted shouldBe Seq((1L, false, 0L), (2L, true, 1L),
+      (3L, true, 1L))
+  }
+
+  test("exact index: compaction between batches preserves novelty " +
+      "verdicts and storage row count") {
+    val idx = tmp("graft_pidx_exact")
+    IncrementalDedup.acceptBatch(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text"),
+      "id", "text", idx, "b1").count() shouldBe 2L
+    IncrementalDedup.compactIndex(spark, idx)
+    // post-compaction: dup of batch-1 text still rejected; novel kept
+    IncrementalDedup.acceptBatch(
+        Seq((10L, "beta"), (11L, "gamma")).toDF("id", "text"),
+        "id", "text", idx, "b2")
+      .select("id").as[Long].collect().toSeq shouldBe Seq(11L)
+    // retry the OLD tag after compaction: idempotent (tag column)
+    IncrementalDedup.acceptBatch(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text"),
+      "id", "text", idx, "b1").count() shouldBe 2L
+    IncrementalDedup.compactIndex(spark, idx)
+    spark.read.parquet(idx)
+      .select(IncrementalDedup.FpCol).distinct().count() shouldBe 3L
+  }
+}
