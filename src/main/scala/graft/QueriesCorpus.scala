@@ -2606,8 +2606,11 @@ object QueriesCorpus {
       .orderBy(col("piece"))
   }
 
-  private val q405Sql =
-    """WITH RECURSIVE w AS (
+  /** The q405 oracle machinery shared with q412: seed model, per-word
+    * forward/backward recursive CTEs replaying Scala's logsumexp, and
+    * the posterior terms `tv` — everything up to the per-piece fold. */
+  private val emOracleCtes =
+    """w AS (
       |  SELECT unnest(list_filter(
       |    string_split_regex(lower(text), '[^a-z0-9]+'),
       |    x -> x != '')) AS word
@@ -2706,11 +2709,116 @@ object QueriesCorpus {
       |      - a.dp[length(o.word) + 1]) AS tval
       |  FROM occ o
       |  JOIN astep a ON a.word = o.word AND a.i = length(o.word)
-      |  JOIN bstep b ON b.word = o.word AND b.i = length(o.word))
-      |SELECT piece, CAST(count(*) AS BIGINT) AS n_occ,
-      |  CAST(round(list_reduce(list(tval ORDER BY tval),
-      |    (x, y) -> x + y) * 1e6) AS BIGINT) AS exp_count_micro
-      |FROM tv GROUP BY piece ORDER BY piece""".stripMargin
+      |  JOIN bstep b ON b.word = o.word AND b.i = length(o.word))""".stripMargin
+
+  private val q405Sql =
+    s"""WITH RECURSIVE $emOracleCtes
+       |SELECT piece, CAST(count(*) AS BIGINT) AS n_occ,
+       |  CAST(round(list_reduce(list(tval ORDER BY tval),
+       |    (x, y) -> x + y) * 1e6) AS BIGINT) AS exp_count_micro
+       |FROM tv GROUP BY piece ORDER BY piece""".stripMargin
+
+  // -------------------------------------------------------------- q412
+  /** TWO full EM iterations with the corpus log-likelihood pinned as
+    * DATA (the r9 next-round item: the spec-only monotonicity
+    * guarantee becomes numbers) — iteration 1 scores the q398/q405
+    * seed model, the deterministic M-step (UnigramLm.emIterationSorted:
+    * per-piece term-sorted folds, normalizer folded piece-ascending,
+    * ln(c/total)) produces the updated model, and iteration 2 scores
+    * THAT; `ll_micro` is Σ freq·ln Z folded word-ascending and
+    * micro-rounded, and `monotone` = ll₂ ≥ ll₁ is the EM ascent
+    * guarantee, now oracle-checked. The oracle replays EVERYTHING:
+    * the q405 forward/backward machinery gives iteration-1 α and the
+    * posterior terms, list_reduce folds replay the exact M-step
+    * arithmetic order, a second recursive forward pass runs under the
+    * derived model, and both likelihood folds run in word order —
+    * every double on both sides is the same chain of IEEE ops. */
+  private def q412EmIterations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramLm
+    import s.implicits._
+    val words = docs(s, dir)
+      .select(explode(TA.alnumTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val vocabRows = UnigramLm
+      .seedVocab(UnigramLm.pieceCounts(words, 4), 500)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = vocabRows.map(_._2).sum
+    val lnp1 = vocabRows
+      .map { case (p, c) => p -> math.log(c.toDouble / total.toDouble) }
+      .toMap
+    val top = words.orderBy(col("freq").desc, col("word")).limit(100)
+      .localCheckpoint(true)
+    words.unpersist()
+    // map-only distributed ln Z per word; the 100-term corpus fold is
+    // driver-side in word-ascending order (deterministic, bounded)
+    def ll(lnp: Map[String, Double]): Double = top
+      .select(col("word"), col("freq")).as[(String, Long)]
+      .map { case (w, f) => (w, f * UnigramLm.wordLogZ(w, lnp, 4)) }
+      .collect().sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    val ll1 = ll(lnp1)
+    val lnp2 = UnigramLm.emIterationSorted(top, lnp1, 4)
+    val ll2 = ll(lnp2)
+    Seq((1, math.round(ll1 * 1e6), ll2 >= ll1),
+        (2, math.round(ll2 * 1e6), ll2 >= ll1))
+      .toDF("iter", "ll_micro", "monotone")
+      .orderBy(col("iter"))
+  }
+
+  private val q412Sql =
+    s"""WITH RECURSIVE $emOracleCtes,
+       |ec AS (
+       |  SELECT piece,
+       |    list_reduce(list(tval ORDER BY tval), (x, y) -> x + y) AS c
+       |  FROM tv GROUP BY piece),
+       |tot2 AS (
+       |  SELECT list_reduce(list(c ORDER BY piece), (x, y) -> x + y)
+       |    AS t
+       |  FROM ec),
+       |lp2 AS (SELECT piece, ln(c / tot2.t) AS lnp FROM ec, tot2),
+       |ca2 AS (
+       |  SELECT tw.word, CAST(t.i AS INT) AS i,
+       |    list(struct_pack(l := l.l, lnp := lp2.lnp) ORDER BY l.l)
+       |      AS cands
+       |  FROM tw
+       |  CROSS JOIN (VALUES (1), (2), (3), (4)) AS l(l),
+       |    unnest(range(1, length(tw.word) + 1)) AS t(i)
+       |  JOIN lp2 ON lp2.piece =
+       |    substr(tw.word, CAST(t.i - l.l + 1 AS INT), l.l)
+       |  WHERE t.i >= l.l
+       |  GROUP BY 1, 2),
+       |astep2(word, i, dp) AS (
+       |  SELECT word, 0, [CAST(0.0 AS DOUBLE)] FROM tw
+       |  UNION ALL
+       |  SELECT s.word, s.i + 1,
+       |    s.dp || [
+       |      list_max(list_transform(ca2.cands,
+       |        c -> s.dp[s.i + 2 - c.l] + c.lnp))
+       |      + ln(list_reduce(list_transform(ca2.cands, c ->
+       |          exp(s.dp[s.i + 2 - c.l] + c.lnp
+       |            - list_max(list_transform(ca2.cands,
+       |                c2 -> s.dp[s.i + 2 - c2.l] + c2.lnp)))),
+       |        (a, b) -> a + b))]
+       |  FROM astep2 s
+       |  JOIN tw ON tw.word = s.word
+       |  JOIN ca2 ON ca2.word = s.word AND ca2.i = s.i + 1
+       |  WHERE s.i < length(tw.word)),
+       |lls AS (
+       |  SELECT
+       |    (SELECT list_reduce(list(tw.freq * a.dp[length(tw.word) + 1]
+       |        ORDER BY tw.word), (x, y) -> x + y)
+       |     FROM tw JOIN astep a ON a.word = tw.word
+       |       AND a.i = length(tw.word)) AS ll1,
+       |    (SELECT list_reduce(list(tw.freq * a.dp[length(tw.word) + 1]
+       |        ORDER BY tw.word), (x, y) -> x + y)
+       |     FROM tw JOIN astep2 a ON a.word = tw.word
+       |       AND a.i = length(tw.word)) AS ll2)
+       |SELECT i.iter,
+       |  CAST(round(CASE WHEN i.iter = 1 THEN lls.ll1 ELSE lls.ll2 END
+       |    * 1e6) AS BIGINT) AS ll_micro,
+       |  lls.ll2 >= lls.ll1 AS monotone
+       |FROM lls CROSS JOIN (VALUES (1), (2)) AS i(iter)
+       |ORDER BY i.iter""".stripMargin
 
   // -------------------------------------------------------------- q408
   /** BPE encoding under a FIXED merge list — the inference half of the
@@ -2797,6 +2905,7 @@ object QueriesCorpus {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q408_bpe_encode" -> (q408BpeEncode _),
     "q405_unigram_em_step" -> (q405EmStep _),
+    "q412_em_iterations" -> (q412EmIterations _),
     "q398_unigram_segment" -> (q398UnigramSegment _),
     "q392_incr_drift" -> (q392IncrDrift _),
     "q385_js_divergence" -> (q385JsDivergence _),
@@ -2852,6 +2961,7 @@ object QueriesCorpus {
   val oracles: Map[String, String] = Map(
     "q408_bpe_encode" -> q408Sql,
     "q405_unigram_em_step" -> q405Sql,
+    "q412_em_iterations" -> q412Sql,
     "q358_ddsketch_audit" -> q358Sql,
     "q366_zipf_slope" -> q366Sql,
     "q344_good_turing" -> q344Sql,

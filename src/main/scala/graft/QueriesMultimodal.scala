@@ -1148,10 +1148,232 @@ object QueriesMultimodal {
        |SELECT doc_id, dhash AS dhash_png, TRUE AS collides
        |FROM allh ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- q410
+  /** Perceptual-hash survival of a SUCCESSIVE-APPROXIMATION
+    * progressive JPEG re-encode — the q407 contract extended to the
+    * scan script real web encoders emit (libjpeg's default
+    * progression refines one approximation bit per scan, T.81
+    * G.1.2.3): every q389 fixture image decodes from REAL PNG bytes,
+    * dHashes, re-encodes through the SA-progressive JPEG script
+    * (Al=1 first passes + Ah=1 DC/AC refinement scans with EOB runs
+    * carrying buffered correction bits), decodes back through the
+    * refinement decoder, and dHashes again; `collides` pins
+    * Hamming ≤ 6 — the near-dup join threshold. SA quantizes the
+    * SAME coefficients as baseline (two's-complement bit slicing for
+    * DC, magnitude-bit slicing for AC), so the decoded pixels are
+    * identical to q407's baseline re-encode and the measured bound
+    * carries over; any refinement-layer bug (correction-bit order,
+    * EOB-run interaction, approximation-level bookkeeping) perturbs
+    * pixels and blows the bound. */
+  private def q410JpegSaHashCollision(s: SparkSession, dir: String)
+      : DataFrame = {
+    val imgs = events9Images(s, dir)
+    val png = Multimodal.pngDHashTable(Multimodal.encodePngTable(imgs))
+      .toDF().select(col("doc_id"), col("dhash").as("dhash_png"))
+    val sa = Multimodal.jpegDHashTable(Multimodal.encodeJpegTable(imgs,
+        progressive = true, successiveApprox = true))
+      .toDF().select(col("doc_id"), col("dhash").as("__dhash_sa"))
+    png.join(sa, Seq("doc_id"))
+      .select(col("doc_id"), col("dhash_png"),
+        (bit_count(col("dhash_png").bitwiseXOR(col("__dhash_sa")))
+          <= 6).as("collides"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q410Sql =
+    s"""WITH $dhashSqlCtes
+       |SELECT doc_id, dhash AS dhash_png, TRUE AS collides
+       |FROM allh ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- q411
+  /** SHIFT-robust audio near-dup pinned as data — the r9 next-round
+    * item closing spectralWhtHash64's stated weakness (its fixed
+    * 16-frame grid mis-aligns under any trim, the weakness class the
+    * gain fix closed for amplitude): q406's 8-user clips become REAL
+    * WAV blobs, plus planted TRIMMED copies with the first 256
+    * samples (two 128-sample windows) dropped. The fixed-grid hash
+    * would flip essentially every frame bit on such a copy; the
+    * window-sequence path (audioShiftDedup: per-window WHT
+    * fingerprints → exact-token candidate buckets → codegen'd LCS)
+    * aligns the surviving nw−2 windows exactly, so every
+    * (original, trimmed) pair reports lcs = nw−2 and
+    * sim = 2(nw−2)/(2nw−2) ≥ 0.5 while unrelated clips share no
+    * window hash at all. The oracle restates the WHOLE pipeline —
+    * samples → 128-sample windows → 8-point WHT per 8-sample
+    * sub-window → energy-comparison bits → two's-complement 64-bit
+    * tokens → shared-token candidates → recursive-CTE LCS → sim —
+    * from the events formula, through real RIFF/WAVE encode/decode
+    * on the Spark side. */
+  private def q411AudioShiftDedup(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") <= 500)
+      .select(expr("user_id div 8").as("clip_id"), col("event_id"),
+        col("user_id"),
+        ((pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
+          lit(16384L)) - 8192L) * 2L).cast("int").as("s"))
+    val base = ev.groupBy(col("clip_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"),
+        col("user_id"), col("s")))).as("a"))
+      .select(col("clip_id").as("doc_id"),
+        expr("transform(a, x -> x.s)").as("samples"))
+      .filter(size(col("samples")) >= 512) // >= 4 complete windows
+    val trimmed = base.select((col("doc_id") + 100000L).as("doc_id"),
+      expr("slice(samples, 257, size(samples) - 256)").as("samples"))
+    val pcm = base.unionAll(trimmed).as[Multimodal.PcmRow]
+    Multimodal.audioShiftDedup(
+        Multimodal.encodeWavTable(pcm, sampleRate = 8000),
+        minSim = 0.5, windowSamples = 128)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val q411Sql =
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id // 8 AS doc_id, event_id, user_id,
+      |    (((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 16384)
+      |      + 16384) % 16384 - 8192) * 2 AS s
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, s,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY event_id, user_id, s) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT doc_id, s, rn, n FROM r WHERE n >= 512),
+      |px AS (
+      |  SELECT doc_id, rn, s, n FROM u
+      |  UNION ALL
+      |  SELECT doc_id + 100000, rn - 256, s, n - 256 FROM u
+      |  WHERE rn > 256),
+      |wnd AS (
+      |  SELECT doc_id, CAST((rn - 1) // 128 AS INT) AS w,
+      |    CAST(((rn - 1) % 128) // 8 AS INT) AS sw,
+      |    CAST((rn - 1) % 8 AS INT) AS t, s
+      |  FROM px WHERE rn <= (n // 128) * 128),
+      |coefs AS (
+      |  SELECT doc_id, w, sw, k.k,
+      |    CAST(sum(CASE WHEN bit_count(k.k & t) % 2 = 0 THEN s
+      |      ELSE -s END) AS BIGINT) AS c
+      |  FROM wnd CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5),
+      |    (6), (7)) AS k(k)
+      |  GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT a.doc_id, a.w, (a.sw * 4 + a.k) AS b
+      |  FROM coefs a JOIN coefs b2 ON b2.doc_id = a.doc_id
+      |    AND b2.w = a.w AND b2.sw = a.sw AND b2.k = a.k + 4
+      |  WHERE a.k < 4 AND a.c * a.c > b2.c * b2.c),
+      |hs AS (
+      |  SELECT doc_id, w,
+      |    CAST(sum(CASE WHEN b = 63 THEN -9223372036854775808
+      |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS h
+      |  FROM bits GROUP BY 1, 2),
+      |wd AS (SELECT DISTINCT doc_id, w FROM wnd),
+      |fh AS (
+      |  SELECT wd.doc_id, wd.w,
+      |    CAST(coalesce(hs.h, 0) AS VARCHAR) AS h
+      |  FROM wd LEFT JOIN hs ON hs.doc_id = wd.doc_id AND hs.w = wd.w),
+      |seqs AS (SELECT doc_id, list(h ORDER BY w) AS seq FROM fh
+      |         GROUP BY 1),
+      |cand AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM (SELECT doc_id, unnest(seq) AS h FROM seqs) a
+      |  JOIN (SELECT doc_id, unnest(seq) AS h FROM seqs) b
+      |    ON b.h = a.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT c.id1, c.id2, s1.seq AS c1, s2.seq AS c2
+      |  FROM cand c JOIN seqs s1 ON s1.doc_id = c.id1
+      |  JOIN seqs s2 ON s2.doc_id = c.id2),
+      |step(id1, id2, i, dp) AS (
+      |  SELECT id1, id2, 0, list_transform(range(0, len(c2) + 1), x -> 0)
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT st.id1, st.id2, st.i + 1,
+      |    [0] || list_transform(range(1, len(p.c2) + 1), j ->
+      |      greatest(st.dp[j + 1],
+      |        list_max(list_transform(range(1, j + 1), j2 ->
+      |          st.dp[j2] + CASE WHEN p.c1[st.i + 1] = p.c2[j2]
+      |            THEN 1 ELSE 0 END))))
+      |  FROM step st JOIN pairs p ON p.id1 = st.id1 AND p.id2 = st.id2
+      |  WHERE st.i < len(p.c1))
+      |SELECT p.id1, p.id2,
+      |  CAST(len(p.c1) AS BIGINT) AS n1,
+      |  CAST(len(p.c2) AS BIGINT) AS n2,
+      |  CAST(f.dp[len(p.c2) + 1] AS BIGINT) AS lcs,
+      |  CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+      |    / (len(p.c1) + len(p.c2)) AS sim
+      |FROM pairs p JOIN step f ON f.id1 = p.id1 AND f.id2 = p.id2
+      |  AND f.i = len(p.c1)
+      |WHERE CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+      |    / (len(p.c1) + len(p.c2)) >= 0.5
+      |ORDER BY p.id1, p.id2""".stripMargin
+
+  // -------------------------------------------------------------- q413
+  /** JPEG COLOR features — the q404 tolerance pattern on the RGB
+    * decode path (decodeJpegRgb: per-component coefficient planes,
+    * replication chroma upsampling, JFIF YCbCr→RGB matrix): each
+    * 9-wide fixture image becomes a full 3-component 4:4:4 JPEG with
+    * deterministic chroma planes synthesized from its luma
+    * (cb = 64 + y/2, cr = 64 + (255−y)/2 — full-range, varying), and
+    * the decoded R/G/B planes must sit within ±8 of the EXACT JFIF
+    * conversion of the SOURCE planes per pixel (flat quant bounds
+    * each decoded Y/Cb/Cr plane within ±2, the matrix propagates
+    * that to < 7 per channel, measured max 5). Geometry columns are
+    * oracle-exact; a bug in chroma storage, upsampling, or the
+    * conversion matrix blows a channel's tolerance. Closes the
+    * "multimodal features are gray-only for the dominant web format"
+    * gap: JPEG blobs now yield real color statistics. */
+  private def q413JpegColorFeatures(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    events9Images(s, dir)
+      .map { r =>
+        val w = r.width
+        val n = r.lumas.length
+        val cb = r.lumas.map(v => 64 + v / 2)
+        val cr = r.lumas.map(v => 64 + (255 - v) / 2)
+        val blob = graft.operators.Jpeg.encodeJpegYcc(r.lumas, cb, cr,
+          w, subsample420 = false)
+        val rgb = graft.operators.Jpeg.decodeJpegRgb(blob)
+        def clamp(v: Long): Int = math.max(0, math.min(255, v.toInt))
+        var maxR = 0; var maxG = 0; var maxB = 0
+        var i = 0
+        while (i < n) {
+          val cbv = cb(i) - 128
+          val crv = cr(i) - 128
+          val exR = clamp(Math.round(r.lumas(i) + 1.402 * crv))
+          val exG = clamp(Math.round(r.lumas(i) - 0.344136 * cbv -
+            0.714136 * crv))
+          val exB = clamp(Math.round(r.lumas(i) + 1.772 * cbv))
+          maxR = math.max(maxR, math.abs(rgb.r(i) - exR))
+          maxG = math.max(maxG, math.abs(rgb.g(i) - exG))
+          maxB = math.max(maxB, math.abs(rgb.b(i) - exB))
+          i += 1
+        }
+        (r.doc_id, w, n / w, n.toLong,
+          maxR <= 8, maxG <= 8, maxB <= 8)
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "r_ok", "g_ok",
+        "b_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q413Sql =
+    s"""WITH $dhashSqlCtes
+       |SELECT doc_id, CAST(9 AS INT) AS width,
+       |  CAST(count(*) // 9 AS INT) AS height,
+       |  CAST(count(*) AS BIGINT) AS n_pixels,
+       |  TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q404_jpeg_roundtrip" -> (q404JpegRoundtrip _),
     "q406_spectral_fingerprint" -> (q406SpectralFingerprint _),
     "q409_jpeg_progressive" -> (q409JpegProgressive _),
+    "q410_jpeg_sa_collision" -> (q410JpegSaHashCollision _),
+    "q411_audio_shift_dedup" -> (q411AudioShiftDedup _),
+    "q413_jpeg_color_features" -> (q413JpegColorFeatures _),
     "q407_jpeg_perceptual_collision" -> (q407JpegHashCollision _),
     "q403_codec_invariant_hash" -> (q403CodecInvariantHash _),
     "q397_incr_image_dedup" -> (q397IncrImageDedup _),
@@ -1172,6 +1394,9 @@ object QueriesMultimodal {
     "q404_jpeg_roundtrip" -> q404Sql,
     "q406_spectral_fingerprint" -> q406Sql,
     "q409_jpeg_progressive" -> q409Sql,
+    "q410_jpeg_sa_collision" -> q410Sql,
+    "q411_audio_shift_dedup" -> q411Sql,
+    "q413_jpeg_color_features" -> q413Sql,
     "q407_jpeg_perceptual_collision" -> q407Sql,
     "q403_codec_invariant_hash" -> q403Sql,
     "q397_incr_image_dedup" -> q397Sql,

@@ -9,16 +9,21 @@ package graft.operators
   * defeats.
   *
   * Scope (the strict-parser discipline of the PNG/GIF/WAV walkers):
-  * baseline sequential (SOF0) AND Huffman progressive (SOF2,
-  * spectral-selection scans with EOB-run coding), 8-bit precision,
-  * 1 or 3 components, sampling factors 1..2 (covers 4:4:4, 4:2:2,
-  * 4:2:0), restart intervals in baseline. Extended (SOF1), arithmetic
-  * coding, lossless, 12-bit precision, hierarchical modes, and
-  * successive approximation (Ah/Al ≠ 0) fail LOUDLY naming the
-  * marker/field; every length field, table reference, Huffman code
-  * walk, coefficient position, and scan-coverage mask is
-  * bounds-checked; trailing bytes after EOI are rejected (the GIF
-  * trailer rule).
+  * baseline sequential (SOF0) AND Huffman progressive (SOF2) — BOTH
+  * progressive dimensions: spectral selection (band scans with
+  * EOB-run coding, G.1.2.2) and successive approximation (Ah/Al
+  * point-transform scans with DC/AC refinement, G.1.2.3 — what
+  * libjpeg's default progression script, i.e. most real web
+  * progressive JPEGs, emits) — 8-bit precision, 1 or 3 components,
+  * sampling factors 1..2 (covers 4:4:4, 4:2:2, 4:2:0), restart
+  * intervals in baseline AND progressive scans. Extended (SOF1),
+  * arithmetic coding, lossless, 12-bit precision, and hierarchical
+  * modes fail LOUDLY naming the marker/field; every length field,
+  * table reference, Huffman code walk, coefficient position, and
+  * per-coefficient successive-approximation level is bounds-checked
+  * (a band must be first-scanned once and refined one bit at a time
+  * down to level 0 by EOI); trailing bytes after EOI are rejected
+  * (the GIF trailer rule).
   *
   * Structure, straight from the spec with no codec library at all:
   *  - FDCT/IDCT: separable double-precision transforms from the
@@ -36,10 +41,13 @@ package graft.operators
   *    round-trip-tolerance fixture table); progressive AC scans ship
   *    a purpose-built canonical table carrying the EOBn symbols
   *    Annex K has no code space for.
-  *  - Both modes accumulate QUANTIZED coefficients and share one
-  *    final dequantize + IDCT, so progressive and baseline encodings
-  *    of the same image decode PIXEL-IDENTICAL (q409 pins this as
-  *    data).
+  *  - All modes accumulate QUANTIZED coefficients and share one
+  *    final dequantize + IDCT, so progressive — spectral-selection
+  *    AND successive-approximation — and baseline encodings of the
+  *    same image decode PIXEL-IDENTICAL (q409/q410 pin this as
+  *    data); every component's plane is kept (refinement scans are
+  *    history-dependent), which is also what [[decodeJpegRgb]] turns
+  *    into color (q413).
   *
   * JPEG is LOSSY, so unlike the PNG/GIF rows the round-trip gate
   * contract is a TOLERANCE, not bit equality: q404 pins per-image
@@ -449,13 +457,14 @@ object Jpeg {
 
   private def encodeBaseline(width: Int, height: Int, comps: Seq[EncComp],
       quants: Seq[Array[Int]], restartInterval: Int,
-      progressive: Boolean = false): Array[Byte] = {
+      progressive: Boolean = false,
+      successive: Boolean = false): Array[Byte] = {
     require(width >= 1 && width <= 0xffff, s"bad width $width")
     require(height >= 1 && height <= 0xffff, s"bad height $height")
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"bad restart interval $restartInterval")
-    require(!(progressive && restartInterval > 0),
-      "restart intervals are unsupported in progressive mode")
+    require(!successive || progressive,
+      "successive approximation is a progressive-mode script")
     quants.foreach { q =>
       require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
         "quant table must be 64 entries in [1, 255]")
@@ -555,7 +564,7 @@ object Jpeg {
     } else {
       // precompute each component's quantized blocks ONCE on the
       // interleaved grid (a superset of the AC scans' non-interleaved
-      // grid), so the DC and AC scans don't each pay the FDCT
+      // grid), so no scan pays the FDCT twice
       val blocksW = comps.map(c => mcusX * c.hSamp)
       val coefs: IndexedSeq[Array[Array[Int]]] =
         comps.zipWithIndex.map { case (c, ci) =>
@@ -564,50 +573,84 @@ object Jpeg {
             quantizeBlock(c, i % bwc, i / bwc, quants(c.quantId))
           }
         }.toIndexedSeq
-      // ---- scan 1: DC, all components, interleaved MCU order
-      marker(0xda)
-      u16(6 + 2 * comps.size); u8(comps.size)
-      comps.zipWithIndex.foreach { case (c, i) =>
-        u8(i + 1); u8((c.huffId << 4) | c.huffId)
-      }
-      u8(0); u8(0); u8(0) // Ss=0, Se=0, Ah/Al=0
-      val bw = new BitWriter(out)
-      val preds = Array.fill(comps.size)(0)
-      var my = 0
-      while (my < mcusY) {
-        var mx = 0
-        while (mx < mcusX) {
-          comps.zipWithIndex.foreach { case (c, ci) =>
-            val dcH = if (c.huffId == 0) EncDcLuma else EncDcChroma
-            var v = 0
-            while (v < c.vSamp) {
-              var h = 0
-              while (h < c.hSamp) {
-                val dc = coefs(ci)((my * c.vSamp + v) * blocksW(ci) +
-                  mx * c.hSamp + h)(0)
-                val diff = dc - preds(ci)
-                preds(ci) = dc
-                val s = category(diff)
-                require(s <= 11, s"DC category $s out of range")
-                bw.put(dcH.codes(s), dcH.sizes(s))
-                if (s > 0)
-                  bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-                h += 1
-              }
-              v += 1
-            }
-          }
-          mx += 1
-        }
-        my += 1
-      }
-      bw.flushWithOnes()
-      // ---- scans 2..: one AC band scan (1..63) per component, over
-      // its NON-interleaved grid, with EOB-run coding
-      comps.zipWithIndex.foreach { case (c, ci) =>
+      // point-transform schedule: plain spectral selection sends full
+      // precision at once (Al=0); successive approximation sends the
+      // first pass at Al=1 plus one-bit refinement scans (Ah=1, Al=0)
+      // — both decode to the SAME coefficients exactly, because the
+      // split is two's-complement bit slicing for DC and
+      // magnitude-bit slicing with sign for AC
+      val firstAl = if (successive) 1 else 0
+
+      def sosHeader(scanComps: Seq[Int], ss: Int, se: Int, ah: Int,
+          al: Int): Unit = {
         marker(0xda)
-        u16(8); u8(1); u8(ci + 1); u8((c.huffId << 4) | c.huffId)
-        u8(1); u8(63); u8(0)
+        u16(6 + 2 * scanComps.size); u8(scanComps.size)
+        scanComps.foreach { ci =>
+          u8(ci + 1); u8((comps(ci).huffId << 4) | comps(ci).huffId)
+        }
+        u8(ss); u8(se); u8((ah << 4) | al)
+      }
+
+      // ---- DC scan, all components, interleaved MCU order: first
+      // pass diff-codes the point-transformed DC (arithmetic shift,
+      // G.1.2.1); the refinement pass is one raw bit per block
+      def dcScan(ah: Int, al: Int): Unit = {
+        sosHeader(comps.indices, 0, 0, ah, al)
+        val bw = new BitWriter(out)
+        val preds = Array.fill(comps.size)(0)
+        var mcu = 0
+        var rst = 0
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (restartInterval > 0 && mcu > 0 &&
+                mcu % restartInterval == 0) {
+              bw.flushWithOnes()
+              marker(0xd0 + (rst % 8))
+              rst += 1
+              java.util.Arrays.fill(preds, 0)
+            }
+            comps.zipWithIndex.foreach { case (c, ci) =>
+              val dcH = if (c.huffId == 0) EncDcLuma else EncDcChroma
+              var v = 0
+              while (v < c.vSamp) {
+                var h = 0
+                while (h < c.hSamp) {
+                  val dc = coefs(ci)((my * c.vSamp + v) * blocksW(ci) +
+                    mx * c.hSamp + h)(0)
+                  if (ah == 0) {
+                    val t = dc >> al
+                    val diff = t - preds(ci)
+                    preds(ci) = t
+                    val s = category(diff)
+                    require(s <= 11, s"DC category $s out of range")
+                    bw.put(dcH.codes(s), dcH.sizes(s))
+                    if (s > 0)
+                      bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+                  } else {
+                    bw.put((dc >> al) & 1, 1)
+                  }
+                  h += 1
+                }
+                v += 1
+              }
+            }
+            mcu += 1
+            mx += 1
+          }
+          my += 1
+        }
+        bw.flushWithOnes()
+      }
+
+      // ---- AC band scan (1..63) of one component over its
+      // NON-interleaved grid — FIRST pass: run/size symbols on the
+      // point-transformed magnitudes sign(q)·(|q| >> al), EOB-run
+      // coded (G.1.2.2)
+      def acFirstScan(ci: Int, al: Int): Unit = {
+        val c = comps(ci)
+        sosHeader(Seq(ci), 1, 63, 0, al)
         val acH = EncAcProg
         val bw2 = new BitWriter(out)
         val niW = (c.w + 7) / 8
@@ -619,14 +662,27 @@ object Jpeg {
           if (rb > 0) bw2.put(eobrun - (1 << rb), rb)
           eobrun = 0
         }
+        var blk = 0
+        var rst = 0
         var by = 0
         while (by < niH) {
           var bx = 0
           while (bx < niW) {
+            if (restartInterval > 0 && blk > 0 &&
+                blk % restartInterval == 0) {
+              flushEob() // an EOB run cannot cross a restart point
+              bw2.flushWithOnes()
+              marker(0xd0 + (rst % 8))
+              rst += 1
+            }
             val q = coefs(ci)(by * blocksW(ci) + bx)
-            var last = 0 // last nonzero zigzag index in 1..63
+            def tv(k: Int): Int = {
+              val a = math.abs(q(k)) >> al
+              if (q(k) < 0) -a else a
+            }
+            var last = 0 // last nonzero point-transformed index 1..63
             var k = 63
-            while (k >= 1 && last == 0) { if (q(k) != 0) last = k; k -= 1 }
+            while (k >= 1 && last == 0) { if (tv(k) != 0) last = k; k -= 1 }
             if (last == 0) {
               eobrun += 1
               if (eobrun == 255) flushEob() // extended-table EOBn cap
@@ -635,22 +691,24 @@ object Jpeg {
               var run = 0
               k = 1
               while (k <= last) {
-                if (q(k) == 0) run += 1
+                val v = tv(k)
+                if (v == 0) run += 1
                 else {
                   while (run >= 16) {
                     bw2.put(acH.codes(0xf0), acH.sizes(0xf0)); run -= 16
                   }
-                  val sz = category(q(k))
+                  val sz = category(v)
                   require(sz <= 10, s"AC category $sz out of range")
                   val sym = (run << 4) | sz
                   bw2.put(acH.codes(sym), acH.sizes(sym))
-                  bw2.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
+                  bw2.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
                   run = 0
                 }
                 k += 1
               }
               if (last < 63) eobrun = 1 // band ends early: starts a run
             }
+            blk += 1
             bx += 1
           }
           by += 1
@@ -658,27 +716,126 @@ object Jpeg {
         flushEob()
         bw2.flushWithOnes()
       }
+
+      // ---- AC REFINEMENT scan (Ah = al+1 → Al = al), T.81 G.1.2.3 /
+      // figure G.7: history coefficients (|q| >> al > 1) each send
+      // one correction bit, newly-nonzero ones (|q| >> al == 1) send
+      // a size-1 run symbol plus sign, and all-history blocks fold
+      // into EOB runs that carry their buffered correction bits.
+      // Correction bits buffer until the next emitted symbol (or the
+      // EOB run), which is exactly where the decoder's walk consumes
+      // them; ZRL is emitted only while another new coefficient
+      // follows (k <= eobIdx) — past the last new coefficient the
+      // zeros fold into the EOB run (the figure G.7 annotation)
+      def acRefineScan(ci: Int, al: Int): Unit = {
+        val c = comps(ci)
+        sosHeader(Seq(ci), 1, 63, al + 1, al)
+        val acH = EncAcProg
+        val bw2 = new BitWriter(out)
+        val niW = (c.w + 7) / 8
+        val niH = (c.h + 7) / 8
+        var eobrun = 0
+        val ebuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flushEob(): Unit = if (eobrun > 0) {
+          val rb = 31 - java.lang.Integer.numberOfLeadingZeros(eobrun)
+          bw2.put(acH.codes(rb << 4), acH.sizes(rb << 4))
+          if (rb > 0) bw2.put(eobrun - (1 << rb), rb)
+          eobrun = 0
+          ebuf.foreach(b => bw2.put(b, 1))
+          ebuf.clear()
+        }
+        var blk = 0
+        var rst = 0
+        var by = 0
+        while (by < niH) {
+          var bx = 0
+          while (bx < niW) {
+            if (restartInterval > 0 && blk > 0 &&
+                blk % restartInterval == 0) {
+              flushEob()
+              bw2.flushWithOnes()
+              marker(0xd0 + (rst % 8))
+              rst += 1
+            }
+            val q = coefs(ci)(by * blocksW(ci) + bx)
+            val absv = new Array[Int](64)
+            var eobIdx = 0 // last newly-nonzero index in 1..63
+            var k = 1
+            while (k <= 63) {
+              absv(k) = math.abs(q(k)) >> al
+              if (absv(k) == 1) eobIdx = k
+              k += 1
+            }
+            var run = 0
+            val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+            k = 1
+            while (k <= 63) {
+              val t = absv(k)
+              if (t == 0) run += 1
+              else {
+                while (run > 15 && k <= eobIdx) {
+                  flushEob()
+                  bw2.put(acH.codes(0xf0), acH.sizes(0xf0))
+                  run -= 16
+                  br.foreach(b => bw2.put(b, 1)); br.clear()
+                }
+                if (t > 1) br += (t & 1) // history: correction bit
+                else {
+                  flushEob()
+                  val sym = (run << 4) | 1
+                  bw2.put(acH.codes(sym), acH.sizes(sym))
+                  bw2.put(if (q(k) < 0) 0 else 1, 1) // sign bit
+                  br.foreach(b => bw2.put(b, 1)); br.clear()
+                  run = 0
+                }
+              }
+              k += 1
+            }
+            if (run > 0 || br.nonEmpty) {
+              eobrun += 1
+              ebuf ++= br
+              if (eobrun == 255) flushEob()
+            }
+            blk += 1
+            bx += 1
+          }
+          by += 1
+        }
+        flushEob()
+        bw2.flushWithOnes()
+      }
+
+      dcScan(0, firstAl)
+      comps.indices.foreach(ci => acFirstScan(ci, firstAl))
+      if (successive) {
+        dcScan(1, 0)
+        comps.indices.foreach(ci => acRefineScan(ci, 0))
+      }
     }
     marker(0xd9) // EOI
     out.toByteArray
   }
 
   /** Encode a row-major grayscale plane as a single-component JPEG —
-    * baseline SOF0, or progressive SOF2 when `progressive` (one DC
-    * scan + one spectral-selection AC scan, EOB-run coded). `quant`
-    * in natural order; [[QuantFlat]] ≈ quality 100. Both modes
-    * quantize identical coefficients, so they decode pixel-identical
-    * (the q409 contract). */
+    * baseline SOF0; progressive SOF2 when `progressive` (one DC scan
+    * + one spectral-selection AC scan, EOB-run coded); and the
+    * SUCCESSIVE-APPROXIMATION script when additionally
+    * `successiveApprox` (first passes at Al=1, then DC and AC
+    * refinement scans at Ah=1 — the libjpeg-style real-web
+    * progressive shape). `quant` in natural order; [[QuantFlat]] ≈
+    * quality 100. All modes quantize identical coefficients, so they
+    * decode pixel-identical (the q409/q410 contracts). */
   def encodeJpegGray(lumas: Seq[Int], width: Int,
       quant: Array[Int] = QuantFlat, restartInterval: Int = 0,
-      progressive: Boolean = false): Array[Byte] = {
+      progressive: Boolean = false,
+      successiveApprox: Boolean = false): Array[Byte] = {
     require(width >= 1, s"width ($width) must be >= 1")
     require(lumas.nonEmpty && lumas.length % width == 0,
       s"${lumas.length} pixels do not fill rows of $width")
     val height = lumas.length / width
     encodeBaseline(width, height,
       Seq(EncComp(lumas.toArray, width, height, 1, 1, 0, 0)),
-      Seq(quant), restartInterval, progressive)
+      Seq(quant), restartInterval, progressive, successiveApprox)
   }
 
   /** Encode YCbCr planes as a 3-component baseline JPEG — 4:4:4 when
@@ -689,7 +846,8 @@ object Jpeg {
   def encodeJpegYcc(y: Seq[Int], cb: Seq[Int], cr: Seq[Int], width: Int,
       subsample420: Boolean, quantY: Array[Int] = QuantFlat,
       quantC: Array[Int] = QuantFlat, restartInterval: Int = 0,
-      progressive: Boolean = false): Array[Byte] = {
+      progressive: Boolean = false,
+      successiveApprox: Boolean = false): Array[Byte] = {
     require(width >= 1, s"width ($width) must be >= 1")
     require(y.nonEmpty && y.length % width == 0,
       s"${y.length} luma pixels do not fill rows of $width")
@@ -703,7 +861,7 @@ object Jpeg {
       EncComp(y.toArray, width, height, hs, vs, 0, 0),
       EncComp(cb.toArray, cw, ch, 1, 1, 1, 1),
       EncComp(cr.toArray, cw, ch, 1, 1, 1, 1)),
-      Seq(quantY, quantC), restartInterval, progressive)
+      Seq(quantY, quantC), restartInterval, progressive, successiveApprox)
   }
 
   // ------------------------------------------------------------ decoder
@@ -713,57 +871,138 @@ object Jpeg {
 
   private case class FrameComp(id: Int, hSamp: Int, vSamp: Int, quantId: Int)
 
-  /** Mutable per-frame decode state: the comp-0 (luma) QUANTIZED
-    * coefficient plane accumulated across scans — one scan fills it
-    * for baseline, several for progressive — plus per-component
-    * band-coverage masks (every coefficient band must be scanned
-    * exactly once; overlap and, at EOI, incompleteness fail loudly). */
+  /** Mutable per-frame decode state: EVERY component's QUANTIZED
+    * coefficient plane accumulated across scans — one scan fills them
+    * for baseline, several for progressive. All components are stored
+    * (not just luma) because successive-approximation REFINEMENT
+    * scans are history-dependent: whether the next stream bit is a
+    * correction bit depends on whether the coefficient is already
+    * nonzero, so chroma cannot be decoded-and-discarded — and the
+    * stored chroma is what [[decodeJpegRgb]] turns into color.
+    *
+    * `apLevel(ci)(k)` tracks the successive-approximation state of
+    * coefficient band k: -1 = never scanned; otherwise the current
+    * point-transform level Al. A first scan (Ah=0) requires -1 and
+    * sets Al; a refinement scan requires Ah == current level and
+    * Al == Ah-1 (one bit per scan, T.81 G.1.1.1.1); EOI requires 0
+    * everywhere (fully refined). Baseline is the degenerate Al=0
+    * single-step case. */
   private final class FrameState(val width: Int, val height: Int,
       val comps: Seq[FrameComp], val progressive: Boolean) {
     val hMax: Int = comps.map(_.hSamp).max
     val vMax: Int = comps.map(_.vSamp).max
     val mcusX: Int = (width + 8 * hMax - 1) / (8 * hMax)
     val mcusY: Int = (height + 8 * vMax - 1) / (8 * vMax)
-    // comp-0 blocks on the INTERLEAVED (MCU-padded) grid; chroma
-    // coefficients are decoded to keep the bitstream honest but never
-    // stored (only the luma plane materializes)
-    val bw0: Int = mcusX * comps.head.hSamp
-    val bh0: Int = mcusY * comps.head.vSamp
-    val coef0: Array[Int] = new Array[Int](bw0 * bh0 * 64)
-    val covered: Array[Array[Boolean]] =
-      Array.fill(comps.size)(new Array[Boolean](64))
+    // per-component block grids, INTERLEAVED (MCU-padded) geometry
+    val bwC: Array[Int] = comps.map(c => mcusX * c.hSamp).toArray
+    val bhC: Array[Int] = comps.map(c => mcusY * c.vSamp).toArray
+    val coefs: Array[Array[Int]] =
+      comps.indices.map(ci => new Array[Int](bwC(ci) * bhC(ci) * 64))
+        .toArray
+    val apLevel: Array[Array[Int]] =
+      Array.fill(comps.size)(Array.fill(64)(-1))
     var sawScan: Boolean = false
+    /** Dimensions of component ci's sample plane (A.1.1). */
+    def compDims(ci: Int): (Int, Int) = {
+      val c = comps(ci)
+      ((width * c.hSamp + hMax - 1) / hMax,
+        (height * c.vSamp + vMax - 1) / vMax)
+    }
     /** Non-interleaved block grid of component ci (T.81 A.2.2: a
       * single-component scan iterates ceil(wc/8) × ceil(hc/8), which
       * for subsampled frames is SMALLER than the MCU-padded grid). */
     def niGrid(ci: Int): (Int, Int) = {
-      val c = comps(ci)
-      val wc = (width * c.hSamp + hMax - 1) / hMax
-      val hc = (height * c.vSamp + vMax - 1) / vMax
+      val (wc, hc) = compDims(ci)
       ((wc + 7) / 8, (hc + 7) / 8)
     }
-    def markCovered(ci: Int, ss: Int, se: Int): Unit = {
+    /** coef offset of component ci's block (bx, by). */
+    def blockOffset(ci: Int, bx: Int, by: Int): Int =
+      (by * bwC(ci) + bx) * 64
+    /** Enforce the approximation-sequence rules for one scan. */
+    def enterScan(ci: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      if (ss > 0) require(apLevel(ci)(0) >= 0,
+        s"AC scan before the DC scan of component $ci (G.1.1.1.1)")
       var k = ss
       while (k <= se) {
-        require(!covered(ci)(k),
-          s"scan re-covers coefficient band $k of component $ci")
-        covered(ci)(k) = true
+        if (ah == 0)
+          require(apLevel(ci)(k) == -1,
+            s"scan re-covers coefficient band $k of component $ci")
+        else
+          require(apLevel(ci)(k) == ah,
+            s"refinement scan at Ah=$ah over band $k of component " +
+              s"$ci, which sits at level ${apLevel(ci)(k)}")
+        apLevel(ci)(k) = al
         k += 1
       }
     }
   }
 
-  /** Strict decode of baseline (SOF0) AND progressive (SOF2,
-    * spectral-selection scans — successive approximation rejected by
-    * name) JPEG. Returns geometry plus the LUMA plane (the Y
-    * component for 3-component images — the grayscale projection
-    * every perceptual-hash consumer wants; chroma blocks are
-    * entropy-decoded to keep the stream position honest, then
-    * discarded). Both modes accumulate quantized coefficients and
-    * share one final dequantize + IDCT, so a progressive encode of
-    * the same coefficients decodes PIXEL-IDENTICAL to its baseline
-    * sibling (pinned as data by q409). */
+  /** Strict decode of baseline (SOF0) AND progressive (SOF2 —
+    * spectral selection AND successive approximation) JPEG. Returns
+    * geometry plus the LUMA plane (the Y component for 3-component
+    * images — the grayscale projection every perceptual-hash consumer
+    * wants; [[decodeJpegRgb]] is the color sibling over the same
+    * frame walk). All modes accumulate quantized coefficients and
+    * share one final dequantize + IDCT, so progressive encodes of the
+    * same coefficients decode PIXEL-IDENTICAL to their baseline
+    * sibling (pinned as data by q409 for spectral selection and q410
+    * for successive approximation). */
   def decodeJpeg(bytes: Array[Byte]): JpegImage = {
+    val (st, quants) = decodeFrame(bytes)
+    JpegImage(st.width, st.height, st.comps.size,
+      componentPlane(st, quants, 0))
+  }
+
+  case class JpegRgb(width: Int, height: Int, nComponents: Int,
+      r: Array[Int], g: Array[Int], b: Array[Int])
+
+  /** Color decode: every component's coefficient plane is
+    * reconstructed (the successive-approximation storage already
+    * keeps them all), chroma planes are upsampled by replication
+    * (nearest-neighbor — the resizePixels convention; deterministic,
+    * no filter kernel to disagree about), and YCbCr converts to RGB
+    * with the JFIF matrix R = Y + 1.402·Cr', G = Y − 0.344136·Cb' −
+    * 0.714136·Cr', B = Y + 1.772·Cb' (Cb' = Cb−128), rounded then
+    * clamped to [0, 255]. Single-component frames return the gray
+    * plane on all three channels. */
+  def decodeJpegRgb(bytes: Array[Byte]): JpegRgb = {
+    val (st, quants) = decodeFrame(bytes)
+    val y = componentPlane(st, quants, 0)
+    if (st.comps.size == 1)
+      return JpegRgb(st.width, st.height, 1, y, y.clone(), y.clone())
+    val cb = componentPlane(st, quants, 1)
+    val cr = componentPlane(st, quants, 2)
+    val (cbW, _) = st.compDims(1)
+    val (crW, _) = st.compDims(2)
+    val n = st.width * st.height
+    val ro = new Array[Int](n)
+    val go = new Array[Int](n)
+    val bo = new Array[Int](n)
+    def clamp(v: Long): Int = math.max(0, math.min(255, v.toInt))
+    var yy = 0
+    while (yy < st.height) {
+      val cbRow = (yy * st.comps(1).vSamp / st.vMax) * cbW
+      val crRow = (yy * st.comps(2).vSamp / st.vMax) * crW
+      var xx = 0
+      while (xx < st.width) {
+        val i = yy * st.width + xx
+        val lum = y(i)
+        val cbv = cb(cbRow + xx * st.comps(1).hSamp / st.hMax) - 128
+        val crv = cr(crRow + xx * st.comps(2).hSamp / st.hMax) - 128
+        ro(i) = clamp(Math.round(lum + 1.402 * crv))
+        go(i) = clamp(Math.round(lum - 0.344136 * cbv - 0.714136 * crv))
+        bo(i) = clamp(Math.round(lum + 1.772 * cbv))
+        xx += 1
+      }
+      yy += 1
+    }
+    JpegRgb(st.width, st.height, st.comps.size, ro, go, bo)
+  }
+
+  /** The shared marker walk: SOI through EOI, every scan decoded into
+    * the frame state, completeness checked. */
+  private def decodeFrame(bytes: Array[Byte])
+      : (FrameState, java.util.HashMap[Int, Array[Int]]) = {
     require(bytes.length >= 4, s"truncated JPEG: ${bytes.length} bytes")
     require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
       f"bad magic 0x${bytes(0) & 0xff}%02x${bytes(1) & 0xff}%02x")
@@ -778,8 +1017,8 @@ object Jpeg {
     val acTabs = new java.util.HashMap[Int, DecHuff]()
     var st: FrameState = null
     var dri = 0
-    var result: JpegImage = null
-    while (result == null) {
+    var done = false
+    while (!done) {
       require(u8(pos) == 0xff, f"expected marker at $pos, got 0x${u8(pos)}%02x")
       var m = u8(pos + 1)
       pos += 2
@@ -839,8 +1078,11 @@ object Jpeg {
           val width = u16(pos + 5)
           val nf = u8(pos + 7)
           require(width >= 1 && height >= 1, s"bad geometry ${width}x$height")
-          require(width.toLong * height <= (1L << 28),
-            s"image above 256 megapixels (${width}x$height)")
+          // cap bounds the coefficient storage: EVERY component's
+          // quantized plane persists across scans (successive
+          // approximation needs the history), ~4 B/pixel/component
+          require(width.toLong * height <= (1L << 26),
+            s"image above 64 megapixels (${width}x$height)")
           require(nf == 1 || nf == 3, s"unsupported component count $nf")
           require(len == 8 + 3 * nf, s"SOF length $len for $nf components")
           val comps = (0 until nf).map { i =>
@@ -884,22 +1126,26 @@ object Jpeg {
           require(st != null && st.sawScan, "EOI before any scan")
           require(pos == bytes.length,
             s"${bytes.length - pos} trailing bytes after EOI")
-          result = finishImage(st, quants)
+          checkComplete(st, quants)
+          done = true
         case other =>
           throw new IllegalArgumentException(
             f"unexpected marker 0xff$other%02x at ${pos - 1}")
       }
     }
-    result
+    (st, quants)
   }
 
   /** Parse one SOS header + its entropy segment into the frame state.
-    * Baseline: exactly one full scan (all components, Ss=0..Se=63).
-    * Progressive: a DC scan (all components, Se=0) or a
-    * single-component AC band scan (T.81 requires Ns=1 for AC);
-    * successive approximation (Ah/Al ≠ 0) and restart intervals in
-    * progressive scans are rejected by name. Returns the position
-    * after the entropy data (byte-aligned, next marker). */
+    * Baseline: full-spectrum sequential scans (all components or one).
+    * Progressive: DC scans (all components, Se=0 — first pass at
+    * point-transform Al, or one-bit refinement when Ah≠0) and
+    * single-component AC band scans (T.81 requires Ns=1 for AC) —
+    * spectral-selection first passes with EOB-run coding (G.1.2.2)
+    * and successive-approximation refinement passes with correction
+    * bits (G.1.2.3). Restart intervals apply in every scan kind.
+    * Returns the position after the entropy data (byte-aligned, next
+    * marker). */
   private def decodeScan(bytes: Array[Byte], sosPos: Int, st: FrameState,
       dcTabs: java.util.HashMap[Int, DecHuff],
       acTabs: java.util.HashMap[Int, DecHuff], dri: Int): Int = {
@@ -925,6 +1171,8 @@ object Jpeg {
     val ss = u8(sosPos + 3 + 2 * ns)
     val se = u8(sosPos + 4 + 2 * ns)
     val ahAl = u8(sosPos + 5 + 2 * ns)
+    val ah = ahAl >> 4
+    val al = ahAl & 15
     if (!st.progressive) {
       require(ss == 0 && se == 63 && ahAl == 0,
         "baseline scans are full-spectrum sequential (Ss=0, Se=63, " +
@@ -933,10 +1181,10 @@ object Jpeg {
         s"baseline scans must cover all ${st.comps.size} components " +
           "or exactly one (T.81 multi-scan sequential)")
     } else {
-      require(ahAl == 0, "successive approximation (Ah/Al != 0) is " +
-        "unsupported — spectral-selection progressive scans only")
-      require(dri == 0,
-        "restart intervals in progressive scans are unsupported")
+      require(al <= 13, s"point transform Al=$al out of [0, 13]")
+      require(ah == 0 || ah == al + 1,
+        s"successive approximation refines one bit per scan " +
+          s"(Ah=$ah must be 0 or Al+1=${al + 1})")
       if (ss == 0) {
         require(se == 0, s"progressive DC scan must have Se=0, got $se")
         require(ns == st.comps.size,
@@ -946,10 +1194,12 @@ object Jpeg {
         require(se >= ss && se <= 63, s"bad spectral band [$ss, $se]")
       }
     }
-    scanComps.foreach { case (ci, _, _) => st.markCovered(ci, ss, se) }
+    scanComps.foreach { case (ci, _, _) => st.enterScan(ci, ss, se, ah, al) }
     st.sawScan = true
+    val refining = ah != 0
     val dcT = scanComps.map { case (_, td, _) =>
-      if (ss == 0) {
+      if (ss == 0 && !refining) {
+        // DC REFINEMENT scans carry raw bits, no Huffman table at all
         val t = dcTabs.get(td)
         require(t != null, s"missing DC Huffman table $td")
         t
@@ -966,8 +1216,8 @@ object Jpeg {
     val preds = Array.fill(ns)(0)
     if (ns > 1) {
       // interleaved MCU order: the baseline all-component scan or a
-      // progressive DC scan (identical iteration; the latter stops
-      // each block at the DC coefficient)
+      // progressive DC scan — first pass (decode diffs at level Al)
+      // or refinement (one raw bit per block at level Al)
       var mcu = 0
       var rst = 0
       var my = 0
@@ -988,14 +1238,17 @@ object Jpeg {
               var h = 0
               while (h < c.hSamp) {
                 val block =
-                  if (ci == 0)
-                    blockOffset(st, mx * c.hSamp + h, my * c.vSamp + v)
-                  else -1
-                val s = decodeSym(r, dcT(si))
-                require(s <= 11, s"DC category $s out of range")
-                preds(si) += extend(r.receive(s), s)
-                if (block >= 0) st.coef0(block) = preds(si)
-                if (se > 0) decodeAcRange(r, acT(si), st, block, 1, 63)
+                  st.blockOffset(ci, mx * c.hSamp + h, my * c.vSamp + v)
+                if (refining) { // G.1.2.1: append one bit at level Al
+                  if (r.nextBit() == 1) st.coefs(ci)(block) |= 1 << al
+                } else {
+                  val s = decodeSym(r, dcT(si))
+                  require(s <= 11, s"DC category $s out of range")
+                  preds(si) += extend(r.receive(s), s)
+                  st.coefs(ci)(block) = preds(si) << al
+                  if (se > 0)
+                    decodeAcRange(r, acT(si), st, ci, block, 1, 63, 0)
+                }
                 h += 1
               }
               v += 1
@@ -1012,10 +1265,12 @@ object Jpeg {
       // ceil(wc/8) × ceil(hc/8) — sampling factors do NOT pad it):
       // single-component baseline frames (including ones whose SOF
       // declares 2×2 factors, which jpegtran-style grayscale keeps),
-      // per-component scans of a multi-scan sequential file, and
-      // progressive AC band scans with EOB-run coding (G.1.2.2)
+      // per-component scans of a multi-scan sequential file,
+      // progressive AC band scans with EOB-run coding (G.1.2.2), and
+      // their refinement passes (G.1.2.3)
       val ci = scanComps.head._1
       val (niW, niH) = st.niGrid(ci)
+      val coefArr = st.coefs(ci)
       var eobrun = 0
       var pred = 0
       var blk = 0
@@ -1030,17 +1285,24 @@ object Jpeg {
             rst += 1
             pred = 0
           }
-          val block = if (ci == 0) blockOffset(st, bx, by) else -1
+          val block = st.blockOffset(ci, bx, by)
           if (ss == 0) {
-            val s = decodeSym(r, dcT.head)
-            require(s <= 11, s"DC category $s out of range")
-            pred += extend(r.receive(s), s)
-            if (block >= 0) st.coef0(block) = pred
+            if (refining) {
+              if (r.nextBit() == 1) coefArr(block) |= 1 << al
+            } else {
+              val s = decodeSym(r, dcT.head)
+              require(s <= 11, s"DC category $s out of range")
+              pred += extend(r.receive(s), s)
+              coefArr(block) = pred << al
+            }
           }
           if (se > 0) {
-            if (eobrun > 0) eobrun -= 1 // band stays zero in this block
-            else eobrun = decodeAcRange(r, acT.head, st, block,
-              math.max(1, ss), se)
+            if (refining)
+              eobrun = decodeAcRefine(r, acT.head, coefArr, block,
+                ss, se, al, eobrun)
+            else if (eobrun > 0) eobrun -= 1 // band stays zero here
+            else eobrun = decodeAcRange(r, acT.head, st, ci, block,
+              math.max(1, ss), se, al)
           }
           blk += 1
           bx += 1
@@ -1054,16 +1316,14 @@ object Jpeg {
     r.pos
   }
 
-  /** coef0 offset of comp-0 block (bx, by) on the interleaved grid. */
-  private def blockOffset(st: FrameState, bx: Int, by: Int): Int =
-    (by * st.bw0 + bx) * 64
-
   /** Decode AC coefficients of one block for the zigzag band
-    * [ss, se] into coef0 at `block` (or discard when block < 0).
-    * Returns the remaining EOB run (0 outside progressive AC scans —
-    * a baseline EOB is exactly an EOB run of 1, consumed here). */
+    * [ss, se] — a FIRST pass (Ah=0): full run/size symbols, values
+    * scaled by the point transform (stored << al, G.1.2.2). Returns
+    * the remaining EOB run (0 outside progressive AC scans — a
+    * baseline EOB is exactly an EOB run of 1, consumed here). */
   private def decodeAcRange(r: BitReader, acTab: DecHuff, st: FrameState,
-      block: Int, ss: Int, se: Int): Int = {
+      ci: Int, block: Int, ss: Int, se: Int, al: Int): Int = {
+    val coefArr = st.coefs(ci)
     var k = ss
     while (k <= se) {
       val rs = decodeSym(r, acTab)
@@ -1087,45 +1347,129 @@ object Jpeg {
         require(k <= se, "AC run overruns the spectral band")
         require(size <= 10, s"AC category $size out of range")
         val v = extend(r.receive(size), size)
-        if (block >= 0) st.coef0(block + Zigzag(k)) = v
+        coefArr(block + Zigzag(k)) = v << al
         k += 1
       }
     }
     0
   }
 
-  /** Final pass shared by both modes: coverage check, dequantize,
-    * IDCT, assemble + crop the luma plane. */
-  private def finishImage(st: FrameState,
-      quants: java.util.HashMap[Int, Array[Int]]): JpegImage = {
+  /** Decode one block of an AC REFINEMENT scan (Ah = Al+1): newly
+    * nonzero coefficients arrive as run/size symbols with size 1
+    * (sign bit chooses ±2^Al), coefficients already nonzero from
+    * earlier scans each consume one correction bit (1 = grow the
+    * magnitude by 2^Al), and EOB runs cover whole blocks whose band
+    * gains no new coefficient — but whose HISTORY coefficients still
+    * consume correction bits, which is why refinement cannot skip
+    * blocks the way first passes do (T.81 G.1.2.3). Takes and returns
+    * the cross-block EOB run. */
+  private def decodeAcRefine(r: BitReader, acTab: DecHuff,
+      coefArr: Array[Int], block: Int, ss: Int, se: Int, al: Int,
+      eobrunIn: Int): Int = {
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var eobrun = eobrunIn
+    var k = ss
+    def correct(off: Int): Unit =
+      if (r.nextBit() == 1 && (coefArr(off) & p1) == 0)
+        coefArr(off) += (if (coefArr(off) >= 0) p1 else m1)
+    if (eobrun == 0) {
+      var done = false
+      while (k <= se && !done) {
+        val rs = decodeSym(r, acTab)
+        var run = rs >> 4
+        val size = rs & 15
+        var newval = 0
+        if (size != 0) {
+          require(size == 1,
+            s"refinement AC symbol carries size $size (must be 1: one " +
+              "new bit per coefficient per scan)")
+          newval = if (r.nextBit() == 1) p1 else m1
+        } else if (run != 15) { // EOBn: rest of this block is history
+          eobrun = (1 << run) + (if (run > 0) r.receive(run) else 0)
+          done = true
+        } // else ZRL: skip 16 zero-history coefficients
+        if (!done) {
+          // walk over `run` zero-history coefficients, correcting the
+          // nonzero-history ones passed on the way
+          var stopped = false
+          while (k <= se && !stopped) {
+            val off = block + Zigzag(k)
+            if (coefArr(off) != 0) { correct(off); k += 1 }
+            else {
+              run -= 1
+              if (run < 0) stopped = true else k += 1
+            }
+          }
+          if (size != 0) {
+            require(stopped,
+              "newly-nonzero AC coefficient lands past the band")
+            coefArr(block + Zigzag(k)) = newval
+          }
+          k += 1
+        }
+      }
+    }
+    if (eobrun > 0) {
+      // EOB-run block (or block remainder): every nonzero-history
+      // coefficient in the band still takes its correction bit
+      while (k <= se) {
+        val off = block + Zigzag(k)
+        if (coefArr(off) != 0) correct(off)
+        k += 1
+      }
+      eobrun -= 1
+    }
+    eobrun
+  }
+
+  /** Completeness gate at EOI: every coefficient band of every
+    * component refined down to approximation level 0, every
+    * referenced quant table present. */
+  private def checkComplete(st: FrameState,
+      quants: java.util.HashMap[Int, Array[Int]]): Unit =
     st.comps.zipWithIndex.foreach { case (c, ci) =>
       var k = 0
       while (k < 64) {
-        require(st.covered(ci)(k),
-          s"coefficient band $k of component ${c.id} never scanned")
+        val lvl = st.apLevel(ci)(k)
+        require(lvl == 0,
+          if (lvl == -1)
+            s"coefficient band $k of component ${c.id} never scanned"
+          else s"coefficient band $k of component ${c.id} left at " +
+            s"approximation level $lvl (refinement scans missing)")
         k += 1
       }
       require(quants.get(c.quantId) != null,
         s"component ${c.id} references missing quant table ${c.quantId}")
     }
-    val q = quants.get(st.comps.head.quantId)
-    val lumaPw = st.bw0 * 8
-    val luma = new Array[Int](st.bw0 * 8 * st.bh0 * 8)
+
+  /** Dequantize + IDCT component ci's accumulated coefficients into
+    * its sample plane, cropped to the component's own dimensions
+    * (A.1.1) — full image resolution for the max-factor component,
+    * subsampled for chroma. */
+  private def componentPlane(st: FrameState,
+      quants: java.util.HashMap[Int, Array[Int]], ci: Int): Array[Int] = {
+    val q = quants.get(st.comps(ci).quantId)
+    val coefArr = st.coefs(ci)
+    val bw = st.bwC(ci)
+    val bh = st.bhC(ci)
+    val pw = bw * 8
+    val plane = new Array[Int](pw * bh * 8)
     val coef = new Array[Int](64)
     var by = 0
-    while (by < st.bh0) {
+    while (by < bh) {
       var bx = 0
-      while (bx < st.bw0) {
-        val off = blockOffset(st, bx, by)
+      while (bx < bw) {
+        val off = st.blockOffset(ci, bx, by)
         var k = 0
-        while (k < 64) { coef(k) = st.coef0(off + k) * q(k); k += 1 }
+        while (k < 64) { coef(k) = coefArr(off + k) * q(k); k += 1 }
         val px = idct(coef)
         var rr = 0
         while (rr < 8) {
           var cc = 0
           while (cc < 8) {
             val pix = Math.round(px(rr * 8 + cc)).toInt + 128
-            luma((by * 8 + rr) * lumaPw + bx * 8 + cc) =
+            plane((by * 8 + rr) * pw + bx * 8 + cc) =
               math.max(0, math.min(255, pix))
             cc += 1
           }
@@ -1135,13 +1479,14 @@ object Jpeg {
       }
       by += 1
     }
-    val out = new Array[Int](st.width * st.height)
+    val (wc, hc) = st.compDims(ci)
+    val out = new Array[Int](wc * hc)
     var y = 0
-    while (y < st.height) {
-      System.arraycopy(luma, y * lumaPw, out, y * st.width, st.width)
+    while (y < hc) {
+      System.arraycopy(plane, y * pw, out, y * wc, wc)
       y += 1
     }
-    JpegImage(st.width, st.height, st.comps.size, out)
+    out
   }
 
   /** Decoded luma plane accessor matching decodePngLumas/decodeGifLumas:

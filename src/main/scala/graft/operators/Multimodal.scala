@@ -1175,13 +1175,19 @@ object Multimodal {
       WavRow(r.doc_id, encodeGifGray8(r.lumas, r.width))))
   }
 
-  /** Per-partition baseline-JPEG encode of row-major grayscale images
-    * ([[Jpeg.encodeJpegGray]], flat quant ≈ quality 100). */
+  /** Per-partition JPEG encode of row-major grayscale images
+    * ([[Jpeg.encodeJpegGray]], flat quant ≈ quality 100) — baseline
+    * SOF0 by default; `progressive`/`successiveApprox` select the
+    * SOF2 scripts (the latter is the libjpeg-style real-web
+    * progressive shape the q410 gate re-encodes through). */
   def encodeJpegTable(rows: Dataset[Png2dRow],
-      quant: Array[Int] = Jpeg.QuantFlat): Dataset[WavRow] = {
+      quant: Array[Int] = Jpeg.QuantFlat,
+      progressive: Boolean = false,
+      successiveApprox: Boolean = false): Dataset[WavRow] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions(_.map(r =>
-      WavRow(r.doc_id, Jpeg.encodeJpegGray(r.lumas, r.width, quant))))
+      WavRow(r.doc_id, Jpeg.encodeJpegGray(r.lumas, r.width, quant,
+        progressive = progressive, successiveApprox = successiveApprox))))
   }
 
   /** Per-partition JPEG decode → dHash — [[pngDHashTable]]'s JPEG
@@ -1339,6 +1345,62 @@ object Multimodal {
         spectralWhtHash64(samples))
     })
   }
+
+  /** Per-WINDOW spectral fingerprint sequence — the shift-robust
+    * upgrade of [[spectralWhtHash64]] (whose fixed 16-frame grid a
+    * trim or pad mis-aligns everywhere, the same weakness class the
+    * gain fix closed for q390): the stream chops into consecutive
+    * `windowSamples`-sample windows (remainder dropped) and each
+    * window fingerprints INDEPENDENTLY, so dropping or inserting
+    * whole windows leaves every other window's hash untouched — the
+    * sequences then align by LCS exactly like video frame hashes
+    * (q394's machinery, reused verbatim by [[audioShiftDedup]]).
+    * Window-granular by design: a trim of k·windowSamples samples
+    * shifts the sequence by k tokens and the alignment survives; a
+    * sub-window trim re-phases every window (document upstream:
+    * choose windowSamples to match the edit granularity, or
+    * fingerprint with hop overlap — the standard next dial). Tokens
+    * render as decimal strings (engine-portable join keys). */
+  def audioSpectralSeq(samples: Array[Int],
+      windowSamples: Int): Seq[String] = {
+    require(windowSamples >= 128 && windowSamples % 8 == 0,
+      s"windowSamples ($windowSamples) must be >= 128 and a multiple " +
+        "of 8 (the spectral fingerprint's own minimum and WHT width)")
+    val nw = samples.length / windowSamples
+    require(nw <= 4096,
+      s"$nw windows exceed the LCS alignment bound (4096); use a " +
+        "longer window or chunk upstream")
+    (0 until nw).map { w =>
+      java.lang.Long.toString(spectralWhtHash64(
+        java.util.Arrays.copyOfRange(samples, w * windowSamples,
+          (w + 1) * windowSamples)))
+    }
+  }
+
+  /** Per-partition WAV decode → window-hash sequence (map-only; only
+    * the token sequences shuffle). */
+  def wavSpectralSeqTable(media: Dataset[WavRow],
+      windowSamples: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (_, samples) = decodeWavSamples(r.content)
+      (r.doc_id, audioSpectralSeq(samples, windowSamples))
+    }).toDF("doc_id", "seq")
+  }
+
+  /** SHIFT-robust audio near-dup: window-hash sequences aligned by
+    * LCS — [[videoFrameHashDedup]] applied to audio windows, so a
+    * copy with leading/trailing windows trimmed (or spliced) still
+    * aligns where the fixed-grid [[spectralWhtHash64]] verdict would
+    * flip every frame. Same scale shape: candidates share ≥ 1 exact
+    * window hash (bounded buckets, skew cap), each pair pays one
+    * codegen'd integer LCS on window-COUNT-sized arrays.
+    * @return (id1, id2, n1, n2, lcs, sim) with sim >= minSim */
+  def audioShiftDedup(media: Dataset[WavRow], minSim: Double,
+      windowSamples: Int = 128,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame =
+    videoFrameHashDedup(wavSpectralSeqTable(media, windowSamples),
+      "doc_id", "seq", minSim, maxBucketSize)
 
   /** Video-style near-duplicate detection over FRAME-HASH SEQUENCES —
     * the fourth modality beside bytes ([[binaryNearDups]]), pixels

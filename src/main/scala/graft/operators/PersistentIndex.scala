@@ -31,12 +31,17 @@ import org.apache.spark.sql.types.StructType
   *     the read (and durably during compaction), so pre-tag indexes
   *     need no manual migration.
   *  3. PRUNED LAYOUT: rows live in hive-style `pfx=N/` directories,
-  *     N = pmod(hash(bucket key), [[NumPfx]]). A batch probe reads
-  *     ONLY the partitions its own keys hash into — O(touched
-  *     buckets) I/O instead of O(index) — which is what keeps the
-  *     daily-batch probe wall flat as the index grows (legacy flat
-  *     files at the root are still read, unpruned, until a compaction
-  *     migrates them).
+  *     N = pmod(hash(bucket key), [[NumPfx]]). A probe reads ONLY the
+  *     partitions its own keys hash into — O(touched partitions) I/O
+  *     instead of O(index). The win is proportional to how few
+  *     partitions the probe touches: a trickle batch, retry
+  *     re-verification, or point lookup reads a few files however
+  *     large the index grows (IndexSmoke prices this as data), while
+  *     a bulk batch whose keys cover all [[NumPfx]] partitions reads
+  *     the whole index exactly as the flat layout did — its cost
+  *     stays bounded by the band-join shuffle, unchanged. Legacy
+  *     flat files at the root are always read, unpruned, until a
+  *     compaction migrates them.
   *  4. ATOMIC COMPACTION: tag-preserving rewrite of all accreted
   *     per-batch file sets into one file per partition, committed
   *     with the staging-swap protocol — readers see the old or the

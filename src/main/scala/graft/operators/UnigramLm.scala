@@ -234,21 +234,47 @@ object UnigramLm {
     counts.map { case (p, c) => p -> math.log(c / total) }.toMap
   }
 
+  /** Total segmentation log-probability ln Z of one word — the
+    * forward pass alone (the quantity EM ascends, per word). */
+  def wordLogZ(w: String, lnp: collection.Map[String, Double],
+      maxPieceLen: Int): Double = {
+    val L = w.length
+    val alpha = Array.fill(L + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    for (i <- 1 to L)
+      alpha(i) = logSumExp((1 to math.min(maxPieceLen, i)).flatMap {
+        l => lnp.get(w.substring(i - l, i)).map(alpha(i - l) + _)
+      })
+    alpha(L)
+  }
+
   /** Corpus log-likelihood Σ freq·ln Z(word) under the model (Z = the
     * total probability of all segmentations — the quantity EM
     * ascends). Driver-side over a collected word table (spec use). */
   def corpusLogLikelihood(words: Seq[(String, Long)],
       lnp: Map[String, Double], maxPieceLen: Int): Double =
-    words.map { case (w, f) =>
-      val L = w.length
-      val alpha = Array.fill(L + 1)(Double.NegativeInfinity)
-      alpha(0) = 0.0
-      for (i <- 1 to L)
-        alpha(i) = logSumExp((1 to math.min(maxPieceLen, i)).flatMap {
-          l => lnp.get(w.substring(i - l, i)).map(alpha(i - l) + _)
-        })
-      f * alpha(L)
-    }.sum
+    words.map { case (w, f) => f * wordLogZ(w, lnp, maxPieceLen) }.sum
+
+  /** One full EM iteration with DETERMINISTIC arithmetic order — the
+    * oracle-checkable M-step over [[emExpectedCountsSorted]]'s
+    * E-step (q412): per-piece expected counts fold term-sorted (the
+    * q405 contract), the normalizer folds the counts in
+    * piece-ascending order, and the new model is ln(c/total) per
+    * piece — the same doubles in any engine that replays the same
+    * folds. Pieces with no occurrence in `words` drop out of the
+    * model (their expected count is exactly zero); every character
+    * of every given word occurs, so all given words remain
+    * segmentable. The word table must be BOUNDED (top-k) like
+    * emExpectedCountsSorted's. */
+  def emIterationSorted(words: DataFrame, lnp: Map[String, Double],
+      maxPieceLen: Int): Map[String, Double] = {
+    val counts = emExpectedCountsSorted(words, lnp, maxPieceLen)
+      .select(col("piece"), col("exp_count"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1)
+    val total = counts.foldLeft(0.0)(_ + _._2)
+    counts.map { case (p, c) => p -> math.log(c / total) }.toMap
+  }
 
   /** End-to-end scoring of the corpus' most frequent words: tokenize,
     * count pieces, build the seed vocabulary, and Viterbi-score the

@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{IncrementalPerceptualDedup, Multimodal,
+  PersistentIndex}
+
+/** Scaling stanza for the round-10 band-partitioned persistent index
+  * (PersistentIndex / IncrementalPerceptualDedup): grow the index one
+  * decade (1× → 3× → 10×) by daily appends, and at each size measure
+  * the SMALL-probe wall (a trickle batch / retry re-verification /
+  * point lookup — the shapes partition pruning exists for) plus the
+  * file-level pruning ratio the probe achieved.
+  *
+  * The honest cost model this prints:
+  *  - a SMALL probe (few items → few bands) hashes into few `pfx=N/`
+  *    partitions, so its index READ is O(touched partitions), not
+  *    O(index) — the wall should stay near-flat across the decade;
+  *  - a BULK daily batch (thousands of items) touches essentially all
+  *    64 partitions and reads the whole index — the same cost as the
+  *    pre-partitioned layout, bounded by the band-join shuffle as
+  *    before. Pruning is a small-probe win by construction, priced
+  *    here as data, not asserted.
+  *
+  * Usage: runMain graft.tools.IndexSmoke [batchN] [probeN]
+  */
+object IndexSmoke {
+  def main(args: Array[String]): Unit = {
+    val batchN = args.headOption.map(_.toInt).getOrElse(20000)
+    val probeN = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_index_smoke").toString + "/idx"
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def batch(i: Int, n: Int): DataFrame = spark.range(n).select(
+      (col("id") + lit(i * 10000000L)).as("doc_id"),
+      xxhash64(concat(lit(s"b$i:"), col("id").cast("string")))
+        .as("dhash"))
+
+    var day = 0
+    def growTo(batches: Int): Unit = {
+      while (day < batches) {
+        IncrementalPerceptualDedup.acceptBatch(batch(day, batchN),
+          "doc_id", "dhash", idx, f"day$day%03d", maxHamming = 6)
+          .count()
+        day += 1
+      }
+    }
+
+    var probeId = 9000
+    def probeOnce(): Double = {
+      probeId += 1
+      val (_, w) = time {
+        IncrementalPerceptualDedup.acceptBatch(batch(probeId, probeN),
+          "doc_id", "dhash", idx, s"probe$probeId", maxHamming = 6)
+          .count()
+      }
+      w
+    }
+
+    println(s"[index-smoke] batchN=$batchN probeN=$probeN " +
+      s"pfx-partitions=${PersistentIndex.NumPfx}")
+    Seq(2, 6, 20).foreach { batches =>
+      growTo(batches)
+      // the probe's own pruning set, recomputed here for reporting
+      val pb = batch(probeId + 1, probeN)
+        .select(explode(Multimodal.bands64(col("dhash"))).as("band"))
+        .select(PersistentIndex.pfxOf(col("band")).as("p"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val allFiles = PersistentIndex.dataFilesFor(spark, idx,
+        None, None).size
+      val prunedFiles = PersistentIndex.dataFilesFor(spark, idx,
+        None, Some(pb)).size
+      val w = math.min(probeOnce(), probeOnce()) // min-of-two rule
+      println(f"[index-smoke] size=${batches * batchN}%8d rows " +
+        f"files=$allFiles%4d read=$prunedFiles%4d " +
+        f"(${100.0 * prunedFiles / math.max(1, allFiles)}%5.1f%%) " +
+        f"probe_wall=$w%6.3f s")
+    }
+    // compaction keeps the pruning ratio and the probe wall
+    val (before, after) =
+      IncrementalPerceptualDedup.compactIndex(spark, idx)
+    val w = math.min(probeOnce(), probeOnce())
+    println(f"[index-smoke] compacted $before%d -> $after%d files; " +
+      f"probe_wall=$w%6.3f s")
+    spark.stop()
+  }
+}

@@ -701,6 +701,21 @@ class CorpusOpsSpec extends SparkSpec {
     }
     // probabilities stay normalized: sum of exp(lnp) = 1
     model.values.map(math.exp).sum shouldBe 1.0 +- 1e-12
+    // the deterministic-order iteration (q412's M-step) agrees with
+    // the native one to float noise and preserves the ascent
+    var modelS = lnp
+    var prevS = UnigramLm.corpusLogLikelihood(corpus, modelS, 2)
+    (0 until 3).foreach { _ =>
+      modelS = UnigramLm.emIterationSorted(wdf, modelS, maxPieceLen = 2)
+      val ll = UnigramLm.corpusLogLikelihood(corpus, modelS, 2)
+      ll should be >= prevS - 1e-12
+      prevS = ll
+    }
+    prevS shouldBe prev +- 1e-9
+    modelS.keySet shouldBe model.keySet
+    // wordLogZ is corpusLogLikelihood's per-word factor
+    UnigramLm.corpusLogLikelihood(Seq(("ab", 3L)), lnp, 2) shouldBe
+      (3L * UnigramLm.wordLogZ("ab", lnp, 2)) +- 1e-12
   }
 
   test("token-budget mixture sample respects quotas deterministically") {

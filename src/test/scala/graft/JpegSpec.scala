@@ -215,18 +215,33 @@ class JpegSpec extends SparkSpec {
         Jpeg.QuantAnnexKLuma)).lumas.toSeq
   }
 
-  test("progressive strictness: successive approximation, partial DC " +
-      "scans, incomplete coverage, and DRI are rejected by name") {
+  test("progressive strictness: approximation-sequence violations, " +
+      "partial coverage, and unfinished refinement are rejected by name") {
     val good = Jpeg.encodeJpegGray(noise(16 * 16, 9L).toSeq, 16,
       progressive = true)
-    // flip the first SOS's Ah/Al byte (Ss=0, Se=0 scan -> AhAl at +5+2*ns)
+    // flip the first SOS's Ah/Al byte (Ss=0, Se=0 scan -> AhAl at
+    // +5+2*ns) to claim Al=1: the scan itself is legal, but no
+    // refinement follows, so EOI must flag the unfinished level
     val sosAt = good.indices.find(i => (good(i) & 0xff) == 0xff &&
       i + 1 < good.length && (good(i + 1) & 0xff) == 0xda).get
     val ns = good(sosAt + 4) & 0xff
     val sa = good.clone()
-    sa(sosAt + 7 + 2 * ns) = 0x01.toByte // Al=1
+    sa(sosAt + 7 + 2 * ns) = 0x01.toByte // Al=1, no Ah=1 scan follows
     val e1 = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(sa) }
-    e1.getMessage should include("successive approximation")
+    e1.getMessage should include("approximation level")
+    // a skipped-level refinement claim (Ah=3, Al=1) is rejected at the
+    // scan header: one bit per scan
+    val skip = good.clone()
+    skip(sosAt + 7 + 2 * ns) = 0x31.toByte
+    val e1b = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(skip) }
+    e1b.getMessage should include("one bit per scan")
+    // a refinement over a never-scanned band is rejected by name: make
+    // the FIRST DC scan claim Ah=1 (refining level-1 state that does
+    // not exist)
+    val orphan = good.clone()
+    orphan(sosAt + 7 + 2 * ns) = 0x10.toByte // Ah=1, Al=0
+    val e1c = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(orphan) }
+    e1c.getMessage should include("refinement scan")
     // truncate before the AC scan: DC-only coverage must fail loudly
     val acSosAt = good.indices.drop(sosAt + 2).find(i =>
       (good(i) & 0xff) == 0xff && i + 1 < good.length &&
@@ -235,9 +250,120 @@ class JpegSpec extends SparkSpec {
       Array(0xff.toByte, 0xd9.toByte)
     val e2 = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(dcOnly) }
     e2.getMessage should include("never scanned")
-    an[IllegalArgumentException] should be thrownBy
-      Jpeg.encodeJpegGray(noise(64, 1L).toSeq, 8, restartInterval = 2,
-        progressive = true)
+    // successive approximation: dropping the refinement scans leaves
+    // every band at level 1 — named at EOI
+    val saGood = Jpeg.encodeJpegGray(noise(16 * 16, 9L).toSeq, 16,
+      progressive = true, successiveApprox = true)
+    val saSos = (0 until 3).foldLeft(-1) { (from, _) =>
+      saGood.indices.drop(from + 2).find(i =>
+        (saGood(i) & 0xff) == 0xff && (saGood(i + 1) & 0xff) == 0xda).get
+    } // position of the 3rd SOS (the first refinement scan)
+    val firstHalf = saGood.take(saSos) ++ Array(0xff.toByte, 0xd9.toByte)
+    val e3 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(firstHalf)
+    }
+    e3.getMessage should include("approximation level 1")
+  }
+
+  test("successive approximation (Ah/Al refinement scans) decodes " +
+      "PIXEL-IDENTICAL to baseline: gray, 4:4:4, 4:2:0, coarse quant, " +
+      "and with restart intervals") {
+    for ((w, h) <- Seq((8, 8), (17, 13), (24, 24), (9, 8))) {
+      val px = noise(w * h, w * 31L + h)
+      val base = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(px.toSeq, w))
+      val sa = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(px.toSeq, w,
+        progressive = true, successiveApprox = true))
+      withClue(s"${w}x$h gray SA: ") {
+        sa.lumas.toSeq shouldBe base.lumas.toSeq
+      }
+    }
+    // coarse quant: EOB runs + refinement correction bits interact
+    // (the G.1.2.3 buffered-bit path)
+    val w = 48; val h = 48
+    val smooth = Array.tabulate(w * h)(k => 80 + (k % w) / 2 + (k / w) / 2)
+    Jpeg.decodeJpeg(Jpeg.encodeJpegGray(smooth.toSeq, w,
+        Jpeg.QuantAnnexKLuma, progressive = true,
+        successiveApprox = true)).lumas.toSeq shouldBe
+      Jpeg.decodeJpeg(Jpeg.encodeJpegGray(smooth.toSeq, w,
+        Jpeg.QuantAnnexKLuma)).lumas.toSeq
+    // color, both subsampling shapes
+    val w2 = 20; val h2 = 12
+    val y2 = noise(w2 * h2, 78L)
+    val cw = (w2 + 1) / 2; val ch = (h2 + 1) / 2
+    val cb = noise(cw * ch, 79L).map(v => 64 + v / 2)
+    val cr = noise(cw * ch, 80L).map(v => 64 + v / 2)
+    Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(y2.toSeq, cb.toSeq, cr.toSeq, w2,
+        subsample420 = true, progressive = true,
+        successiveApprox = true)).lumas.toSeq shouldBe
+      Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(y2.toSeq, cb.toSeq, cr.toSeq,
+        w2, subsample420 = true)).lumas.toSeq
+    val cbF = noise(w2 * h2, 81L).map(v => 64 + v / 2)
+    val crF = noise(w2 * h2, 82L).map(v => 64 + v / 2)
+    Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(y2.toSeq, cbF.toSeq, crF.toSeq,
+        w2, subsample420 = false, progressive = true,
+        successiveApprox = true)).lumas.toSeq shouldBe
+      Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(y2.toSeq, cbF.toSeq, crF.toSeq,
+        w2, subsample420 = false)).lumas.toSeq
+    // DRI inside progressive AND successive-approximation scans
+    // (restart markers between DC MCUs and between AC blocks, EOB
+    // runs flushed at each restart point)
+    val px3 = noise(32 * 24, 83L)
+    val plain = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(px3.toSeq, 32))
+    Jpeg.decodeJpeg(Jpeg.encodeJpegGray(px3.toSeq, 32,
+      restartInterval = 3, progressive = true)).lumas.toSeq shouldBe
+      plain.lumas.toSeq
+    Jpeg.decodeJpeg(Jpeg.encodeJpegGray(px3.toSeq, 32,
+      restartInterval = 3, progressive = true,
+      successiveApprox = true)).lumas.toSeq shouldBe plain.lumas.toSeq
+    Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(y2.toSeq, cb.toSeq, cr.toSeq, w2,
+        subsample420 = true, restartInterval = 2, progressive = true,
+        successiveApprox = true)).lumas.toSeq shouldBe
+      Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(y2.toSeq, cb.toSeq, cr.toSeq,
+        w2, subsample420 = true)).lumas.toSeq
+  }
+
+  test("decodeJpegRgb: gray frames replicate the luma; color frames " +
+      "reconstruct RGB within the lossy tolerance of the exact JFIF " +
+      "conversion of the source planes") {
+    val w = 16; val h = 16
+    val px = noise(w * h, 91L)
+    val gray = Jpeg.decodeJpegRgb(Jpeg.encodeJpegGray(px.toSeq, w))
+    gray.nComponents shouldBe 1
+    gray.r.toSeq shouldBe gray.g.toSeq
+    gray.g.toSeq shouldBe gray.b.toSeq
+    gray.r.toSeq shouldBe Jpeg.decodeJpegLumas(
+      Jpeg.encodeJpegGray(px.toSeq, w))._3.toSeq
+    // 4:4:4 flat quant: each decoded plane is within 2 of its source
+    // (the q404 bound), so each RGB channel is within the propagated
+    // JFIF-matrix bound of the exact conversion
+    val y = noise(w * h, 92L)
+    val cb = noise(w * h, 93L).map(v => 64 + v / 2)
+    val cr = noise(w * h, 94L).map(v => 64 + v / 2)
+    val rgb = Jpeg.decodeJpegRgb(Jpeg.encodeJpegYcc(y.toSeq, cb.toSeq,
+      cr.toSeq, w, subsample420 = false))
+    rgb.nComponents shouldBe 3
+    def clamp(v: Long): Int = math.max(0, math.min(255, v.toInt))
+    var maxd = 0
+    for (i <- 0 until w * h) {
+      val exR = clamp(Math.round(y(i) + 1.402 * (cr(i) - 128)))
+      val exG = clamp(Math.round(y(i) - 0.344136 * (cb(i) - 128) -
+        0.714136 * (cr(i) - 128)))
+      val exB = clamp(Math.round(y(i) + 1.772 * (cb(i) - 128)))
+      maxd = math.max(maxd, math.abs(rgb.r(i) - exR))
+      maxd = math.max(maxd, math.abs(rgb.g(i) - exG))
+      maxd = math.max(maxd, math.abs(rgb.b(i) - exB))
+    }
+    maxd should be <= 8
+    // 4:2:0: replication upsampling reads each chroma sample for its
+    // 2x2 pixel quad — check a constant-chroma image is exact there
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val rgb420 = Jpeg.decodeJpegRgb(Jpeg.encodeJpegYcc(y.toSeq,
+      Seq.fill(cw * ch)(160), Seq.fill(cw * ch)(90), w,
+      subsample420 = true))
+    for (i <- Seq(0, w + 1, w * h - 1)) {
+      val exR = clamp(Math.round(y(i) + 1.402 * (90 - 128)))
+      math.abs(rgb420.r(i) - exR) should be <= 6
+    }
   }
 
   test("Ns=1 scans use the NON-interleaved grid: a single-component " +
@@ -318,10 +444,10 @@ class JpegSpec extends SparkSpec {
         dec.lumas(y * w2 + x))
     d2.max should be <= 6
     // the JDK writer's PROGRESSIVE mode uses libjpeg's default scan
-    // script: if it sticks to spectral selection we must decode it
-    // pixel-equivalently; if it uses successive approximation we must
-    // reject it BY NAME (the documented scope boundary) — either way
-    // the outcome is pinned, not left to chance
+    // script — successive-approximation refinement scans, what real
+    // web progressive JPEGs carry. Since r10 this MUST decode here,
+    // pixel-equivalent to ImageIO's own re-decode (the r9 either/or
+    // collapsed to its strong arm)
     val bos2 = new java.io.ByteArrayOutputStream()
     val wr2 = ImageIO.getImageWritersByFormatName("jpeg").next()
     val ios2 = ImageIO.createImageOutputStream(bos2)
@@ -331,18 +457,35 @@ class JpegSpec extends SparkSpec {
     wr2.write(null, new javax.imageio.IIOImage(bi, null, null), p2)
     wr2.dispose(); ios2.close()
     val prog = bos2.toByteArray
-    scala.util.Try(Jpeg.decodeJpeg(prog)) match {
-      case scala.util.Success(d) =>
-        (d.width, d.height) shouldBe ((w2, h2))
-        val re2 = ImageIO.read(new java.io.ByteArrayInputStream(prog))
-        val d3 = for (y <- 0 until h2; x <- 0 until w2)
-          yield math.abs(((re2.getRGB(x, y) >> 8) & 0xff) -
-            d.lumas(y * w2 + x))
-        d3.max should be <= 8
-      case scala.util.Failure(e) =>
-        e.getMessage should (include("successive approximation") or
-          include("unsupported") or include("partial-component"))
+    // confirm the fixture really exercises successive approximation:
+    // some SOS must carry AhAl != 0
+    val sawSa = prog.indices.exists { i =>
+      (prog(i) & 0xff) == 0xff && i + 3 < prog.length &&
+        (prog(i + 1) & 0xff) == 0xda && {
+          val ns = prog(i + 4) & 0xff
+          i + 7 + 2 * ns < prog.length &&
+            (prog(i + 7 + 2 * ns) & 0xff) != 0
+        }
     }
+    sawSa shouldBe true
+    val d = Jpeg.decodeJpeg(prog)
+    (d.width, d.height) shouldBe ((w2, h2))
+    val re2 = ImageIO.read(new java.io.ByteArrayInputStream(prog))
+    val d3 = for (y <- 0 until h2; x <- 0 until w2)
+      yield math.abs(((re2.getRGB(x, y) >> 8) & 0xff) -
+        d.lumas(y * w2 + x))
+    d3.max should be <= 8
+    // the reverse direction: ImageIO reads OUR successive-
+    // approximation stream and agrees with our decode of it
+    val oursSa = Jpeg.encodeJpegGray(px.toSeq, w, progressive = true,
+      successiveApprox = true)
+    val imgSa = ImageIO.read(new java.io.ByteArrayInputStream(oursSa))
+    imgSa should not be null
+    val (_, _, oursSaDec) = Jpeg.decodeJpegLumas(oursSa)
+    val d4 = for (y <- 0 until h; x <- 0 until w)
+      yield math.abs(imgSa.getRaster.getSample(x, y, 0) -
+        oursSaDec(y * w + x))
+    d4.max should be <= 3
   }
 
   test("randomized property: any geometry x any quant table round-trips, " +
@@ -364,6 +507,13 @@ class JpegSpec extends SparkSpec {
         val (_, _, prog) = Jpeg.decodeJpegLumas(
           Jpeg.encodeJpegGray(px.toSeq, w, quant, progressive = true))
         prog.toSeq shouldBe base.toSeq
+        // ... and so is the successive-approximation layout, with a
+        // random restart interval thrown in every third trial
+        val saDri = if (trial % 3 == 0) 1 + rnd.nextInt(4) else 0
+        val (_, _, sa) = Jpeg.decodeJpegLumas(
+          Jpeg.encodeJpegGray(px.toSeq, w, quant, restartInterval = saDri,
+            progressive = true, successiveApprox = true))
+        sa.toSeq shouldBe base.toSeq
         // an independent implementation parses our stream and agrees
         // on geometry (pixel agreement is checked in the dedicated
         // interop test; arbitrary quant tables only widen IDCT slack)

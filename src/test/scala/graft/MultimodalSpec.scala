@@ -736,4 +736,55 @@ class MultimodalSpec extends SparkSpec {
       .agg(max(col("n"))).head().getLong(0)
     hottest should be <= (graft.operators.Dedup.DefaultMaxBucketSize / 100L)
   }
+
+  test("audioShiftDedup aligns window-trimmed copies that the fixed " +
+      "16-frame grid loses, and ignores unrelated clips") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def clip(): Array[Int] =
+      Array.fill(6 * 128)(rnd.nextInt(65536) - 32768)
+    val a = clip()
+    val trimmed = java.util.Arrays.copyOfRange(a, 256, a.length)
+    val other = clip()
+    // the sequence view: dropping two whole windows shifts tokens,
+    // leaving the remaining window hashes untouched
+    val seqA = Multimodal.audioSpectralSeq(a, 128)
+    val seqT = Multimodal.audioSpectralSeq(trimmed, 128)
+    seqA.length shouldBe 6
+    seqT shouldBe seqA.drop(2)
+    // the fixed-grid hash meanwhile flips many bits on the same trim
+    java.lang.Long.bitCount(Multimodal.spectralWhtHash64(a) ^
+      Multimodal.spectralWhtHash64(trimmed)) should be > 6
+    // end to end through real WAV encode/decode + LCS alignment
+    val pcm = Seq(Multimodal.PcmRow(1L, a.toSeq),
+      Multimodal.PcmRow(2L, trimmed.toSeq),
+      Multimodal.PcmRow(3L, other.toSeq)).toDS()
+    val got = Multimodal.audioShiftDedup(
+        Multimodal.encodeWavTable(pcm, 8000), minSim = 0.5,
+        windowSamples = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe Seq((1L, 2L, 6L, 4L, 4L)) // lcs = the 4 shared windows
+    // window constraints are enforced loudly
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.audioSpectralSeq(a, 64)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.audioSpectralSeq(a, 130)
+  }
+
+  test("q410/q413 gate fixtures hold at sf0.001: every SA-progressive " +
+      "re-encode collides within Hamming 6; every decoded RGB channel " +
+      "sits inside the JFIF-conversion tolerance") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val q410 = QueriesMultimodal.registry("q410_jpeg_sa_collision")(
+      spark, dir)
+    q410.count() should be > 0L
+    q410.filter(!col("collides")).count() shouldBe 0L
+    val q413 = QueriesMultimodal.registry("q413_jpeg_color_features")(
+      spark, dir)
+    q413.count() should be > 0L
+    q413.filter(!col("r_ok") || !col("g_ok") || !col("b_ok"))
+      .count() shouldBe 0L
+  }
 }
