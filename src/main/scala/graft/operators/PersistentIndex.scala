@@ -143,7 +143,14 @@ object PersistentIndex {
     val (fs, target) = fsOf(spark, path)
     val stage = new org.apache.hadoop.fs.Path(path + s"__stage_$tag")
     fs.delete(stage, true)
-    df.write.mode(SaveMode.Overwrite).partitionBy(PfxCol)
+    // cluster by the partition column first: WITHOUT this, every
+    // shuffle task writes a file into every pfx directory (tasks ×
+    // NumPfx small files PER BATCH — IndexSmoke measured the probe
+    // wall tripling per decade from file-count alone); with it, each
+    // batch adds at most one file per partition and the probe wall
+    // stays flat until ordinary compaction cadence
+    df.repartition(col(PfxCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(PfxCol)
       .parquet(stage.toString)
     fs.mkdirs(target)
     // idempotent cleanup: this tag's files, wherever they live
