@@ -2759,8 +2759,12 @@ object QueriesCorpus {
     val ll1 = ll(lnp1)
     val lnp2 = UnigramLm.emIterationSorted(top, lnp1, 4)
     val ll2 = ll(lnp2)
-    Seq((1, math.round(ll1 * 1e6), ll2 >= ll1),
-        (2, math.round(ll2 * 1e6), ll2 >= ll1))
+    // HALF_UP away from zero, matching DuckDB's round() on these
+    // NEGATIVE values — JVM math.round is half-toward-+inf, which
+    // would disagree on an exact .5 tie
+    def micro(v: Double): Long = BigDecimal(v * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    Seq((1, micro(ll1), ll2 >= ll1), (2, micro(ll2), ll2 >= ll1))
       .toDF("iter", "ll_micro", "monotone")
       .orderBy(col("iter"))
   }

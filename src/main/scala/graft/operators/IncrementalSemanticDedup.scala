@@ -122,6 +122,12 @@ object IncrementalSemanticDedup {
             IndexSchema, Some(touched))
           .select(col("bkt"), col("doc_id").as("__eid"),
             col("qv").as("__eqv"))
+          // storage-dedup: a post-compaction retry of an old tag can
+          // leave its rows stored twice until the next compaction
+          // (appendStaged can only remove files still carrying the
+          // tag's name); n_earlier counts JOIN rows, so duplicate
+          // index rows would double-count an earlier neighbor
+          .distinct()
           .withColumn("__same", lit(false)))
     }
     val hits = probes.join(earlier, Seq("bkt"))

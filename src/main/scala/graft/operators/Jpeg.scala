@@ -458,13 +458,16 @@ object Jpeg {
   private def encodeBaseline(width: Int, height: Int, comps: Seq[EncComp],
       quants: Seq[Array[Int]], restartInterval: Int,
       progressive: Boolean = false,
-      successive: Boolean = false): Array[Byte] = {
+      successive: Boolean = false,
+      separateDcScans: Boolean = false): Array[Byte] = {
     require(width >= 1 && width <= 0xffff, s"bad width $width")
     require(height >= 1 && height <= 0xffff, s"bad height $height")
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"bad restart interval $restartInterval")
     require(!successive || progressive,
       "successive approximation is a progressive-mode script")
+    require(!separateDcScans || progressive,
+      "separate DC scans are a progressive-mode script")
     quants.foreach { q =>
       require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
         "quant table must be 64 entries in [1, 255]")
@@ -591,9 +594,26 @@ object Jpeg {
         u8(ss); u8(se); u8((ah << 4) | al)
       }
 
-      // ---- DC scan, all components, interleaved MCU order: first
-      // pass diff-codes the point-transformed DC (arithmetic shift,
-      // G.1.2.1); the refinement pass is one raw bit per block
+      // one block's DC emission, shared by the interleaved and the
+      // Ns=1 DC scans: first pass diff-codes the point-transformed DC
+      // (arithmetic shift, G.1.2.1), refinement sends one raw bit;
+      // returns the new predictor
+      def emitDc(bw: BitWriter, dcH: EncHuff, dc: Int, pred: Int,
+          ah: Int, al: Int): Int =
+        if (ah == 0) {
+          val t = dc >> al
+          val diff = t - pred
+          val s = category(diff)
+          require(s <= 11, s"DC category $s out of range")
+          bw.put(dcH.codes(s), dcH.sizes(s))
+          if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          t
+        } else {
+          bw.put((dc >> al) & 1, 1)
+          pred
+        }
+
+      // ---- DC scan, all components, interleaved MCU order
       def dcScan(ah: Int, al: Int): Unit = {
         sosHeader(comps.indices, 0, 0, ah, al)
         val bw = new BitWriter(out)
@@ -619,18 +639,7 @@ object Jpeg {
                 while (h < c.hSamp) {
                   val dc = coefs(ci)((my * c.vSamp + v) * blocksW(ci) +
                     mx * c.hSamp + h)(0)
-                  if (ah == 0) {
-                    val t = dc >> al
-                    val diff = t - preds(ci)
-                    preds(ci) = t
-                    val s = category(diff)
-                    require(s <= 11, s"DC category $s out of range")
-                    bw.put(dcH.codes(s), dcH.sizes(s))
-                    if (s > 0)
-                      bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-                  } else {
-                    bw.put((dc >> al) & 1, 1)
-                  }
+                  preds(ci) = emitDc(bw, dcH, dc, preds(ci), ah, al)
                   h += 1
                 }
                 v += 1
@@ -805,10 +814,48 @@ object Jpeg {
         bw2.flushWithOnes()
       }
 
-      dcScan(0, firstAl)
+      // ---- single-component DC scan (Ns=1, T.81-legal): per-scan DC
+      // prediction over the component's NON-interleaved grid — the
+      // decoder-coverage twin of the interleaved dcScan, emitted by
+      // the separateDcScans script so the Ns=1 DC decode path is
+      // exercised by our own round-trip
+      def dcScanSingle(ci: Int, ah: Int, al: Int): Unit = {
+        val c = comps(ci)
+        sosHeader(Seq(ci), 0, 0, ah, al)
+        val bw = new BitWriter(out)
+        val dcH = if (c.huffId == 0) EncDcLuma else EncDcChroma
+        val niW = (c.w + 7) / 8
+        val niH = (c.h + 7) / 8
+        var pred = 0
+        var blk = 0
+        var rst = 0
+        var by = 0
+        while (by < niH) {
+          var bx = 0
+          while (bx < niW) {
+            if (restartInterval > 0 && blk > 0 &&
+                blk % restartInterval == 0) {
+              bw.flushWithOnes()
+              marker(0xd0 + (rst % 8))
+              rst += 1
+              pred = 0
+            }
+            val dc = coefs(ci)(by * blocksW(ci) + bx)(0)
+            pred = emitDc(bw, dcH, dc, pred, ah, al)
+            blk += 1
+            bx += 1
+          }
+          by += 1
+        }
+        bw.flushWithOnes()
+      }
+
+      if (separateDcScans) comps.indices.foreach(dcScanSingle(_, 0, firstAl))
+      else dcScan(0, firstAl)
       comps.indices.foreach(ci => acFirstScan(ci, firstAl))
       if (successive) {
-        dcScan(1, 0)
+        if (separateDcScans) comps.indices.foreach(dcScanSingle(_, 1, 0))
+        else dcScan(1, 0)
         comps.indices.foreach(ci => acRefineScan(ci, 0))
       }
     }
@@ -847,7 +894,8 @@ object Jpeg {
       subsample420: Boolean, quantY: Array[Int] = QuantFlat,
       quantC: Array[Int] = QuantFlat, restartInterval: Int = 0,
       progressive: Boolean = false,
-      successiveApprox: Boolean = false): Array[Byte] = {
+      successiveApprox: Boolean = false,
+      separateDcScans: Boolean = false): Array[Byte] = {
     require(width >= 1, s"width ($width) must be >= 1")
     require(y.nonEmpty && y.length % width == 0,
       s"${y.length} luma pixels do not fill rows of $width")
@@ -861,7 +909,8 @@ object Jpeg {
       EncComp(y.toArray, width, height, hs, vs, 0, 0),
       EncComp(cb.toArray, cw, ch, 1, 1, 1, 1),
       EncComp(cr.toArray, cw, ch, 1, 1, 1, 1)),
-      Seq(quantY, quantC), restartInterval, progressive, successiveApprox)
+      Seq(quantY, quantC), restartInterval, progressive, successiveApprox,
+      separateDcScans)
   }
 
   // ------------------------------------------------------------ decoder
@@ -1187,8 +1236,13 @@ object Jpeg {
           s"(Ah=$ah must be 0 or Al+1=${al + 1})")
       if (ss == 0) {
         require(se == 0, s"progressive DC scan must have Se=0, got $se")
-        require(ns == st.comps.size,
-          "partial-component DC scans are unsupported")
+        // interleaved all-component DC scans (the common script) or
+        // single-component ones (Ns=1, T.81-legal — per-scan DC
+        // prediction, non-interleaved grid); arbitrary sub-SETS of
+        // components in one scan stay rejected
+        require(ns == st.comps.size || ns == 1,
+          s"DC scans must cover all ${st.comps.size} components or " +
+            "exactly one")
       } else {
         require(ns == 1, "AC band scans must be single-component (T.81)")
         require(se >= ss && se <= 63, s"bad spectral band [$ss, $se]")
@@ -1401,11 +1455,15 @@ object Jpeg {
               if (run < 0) stopped = true else k += 1
             }
           }
-          if (size != 0) {
-            require(stopped,
-              "newly-nonzero AC coefficient lands past the band")
-            coefArr(block + Zigzag(k)) = newval
-          }
+          // the walk must land inside the band for BOTH symbol kinds:
+          // a ZRL promises exactly 16 zero-history coefficients, so
+          // overrunning the band is the same desync the first-pass
+          // path rejects (strict-parser contract; libjpeg tolerates)
+          require(stopped,
+            if (size != 0)
+              "newly-nonzero AC coefficient lands past the band"
+            else "ZRL overruns the spectral band in a refinement scan")
+          if (size != 0) coefArr(block + Zigzag(k)) = newval
           k += 1
         }
       }

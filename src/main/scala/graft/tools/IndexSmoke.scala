@@ -12,6 +12,13 @@ import graft.operators.{IncrementalPerceptualDedup, Multimodal,
   * point lookup — the shapes partition pruning exists for) plus the
   * file-level pruning ratio the probe achieved.
   *
+  * Measurement hygiene: the two timed runs per stanza use the SAME
+  * probe batch under the SAME tag (retry semantics — the second run
+  * excludes its own first publish, so both time identical work), the
+  * reported pruning ratio is computed for that exact batch, and the
+  * probe tag's files are deleted afterwards so the measured index
+  * never accretes probe debris between stanzas.
+  *
   * The honest cost model this prints:
   *  - a SMALL probe (few items → few bands) hashes into few `pfx=N/`
   *    partitions, so its index READ is O(touched partitions), not
@@ -35,9 +42,9 @@ object IndexSmoke {
     val idx = java.nio.file.Files
       .createTempDirectory("graft_index_smoke").toString + "/idx"
 
-    def time[T](f: => T): (T, Double) = {
-      val t0 = System.nanoTime(); val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      (System.nanoTime() - t0) / 1e9
     }
 
     def batch(i: Int, n: Int): DataFrame = spark.range(n).select(
@@ -55,31 +62,41 @@ object IndexSmoke {
       }
     }
 
-    var probeId = 9000
-    def probeOnce(): Double = {
-      probeId += 1
-      val (_, w) = time {
-        IncrementalPerceptualDedup.acceptBatch(batch(probeId, probeN),
-          "doc_id", "dhash", idx, s"probe$probeId", maxHamming = 6)
-          .count()
+    var probeSeq = 9000
+    /** Min-of-two wall for ONE probe batch under ONE tag, plus the
+      * (prunedFiles, allFiles) listing for exactly that batch; the
+      * tag's published files are removed before returning. */
+    def probeWall(): (Double, Int, Int) = {
+      probeSeq += 1
+      val tag = s"probe$probeSeq"
+      val pfxs = batch(probeSeq, probeN)
+        .select(explode(Multimodal.bands64(col("dhash"))).as("band"))
+        .select(PersistentIndex.pfxOf(col("band")).as("p"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val all = PersistentIndex.dataFilesFor(spark, idx,
+        Some(tag), None).size
+      val pruned = PersistentIndex.dataFilesFor(spark, idx,
+        Some(tag), Some(pfxs)).size
+      def run(): Double = time {
+        IncrementalPerceptualDedup.acceptBatch(batch(probeSeq, probeN),
+          "doc_id", "dhash", idx, tag, maxHamming = 6).count()
       }
-      w
+      val w = math.min(run(), run())
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (fs.listStatus(p).filter(_.isDirectory).map(_.getPath) :+ p)
+        .foreach { d =>
+          fs.listStatus(d).filter(_.getPath.getName.startsWith(s"$tag-"))
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+      (w, pruned, all)
     }
 
     println(s"[index-smoke] batchN=$batchN probeN=$probeN " +
       s"pfx-partitions=${PersistentIndex.NumPfx}")
     Seq(2, 6, 20).foreach { batches =>
       growTo(batches)
-      // the probe's own pruning set, recomputed here for reporting
-      val pb = batch(probeId + 1, probeN)
-        .select(explode(Multimodal.bands64(col("dhash"))).as("band"))
-        .select(PersistentIndex.pfxOf(col("band")).as("p"))
-        .distinct().collect().map(_.getInt(0)).toSet
-      val allFiles = PersistentIndex.dataFilesFor(spark, idx,
-        None, None).size
-      val prunedFiles = PersistentIndex.dataFilesFor(spark, idx,
-        None, Some(pb)).size
-      val w = math.min(probeOnce(), probeOnce()) // min-of-two rule
+      val (w, prunedFiles, allFiles) = probeWall()
       println(f"[index-smoke] size=${batches * batchN}%8d rows " +
         f"files=$allFiles%4d read=$prunedFiles%4d " +
         f"(${100.0 * prunedFiles / math.max(1, allFiles)}%5.1f%%) " +
@@ -88,9 +105,9 @@ object IndexSmoke {
     // compaction keeps the pruning ratio and the probe wall
     val (before, after) =
       IncrementalPerceptualDedup.compactIndex(spark, idx)
-    val w = math.min(probeOnce(), probeOnce())
+    val (w2, prunedC, allC) = probeWall()
     println(f"[index-smoke] compacted $before%d -> $after%d files; " +
-      f"probe_wall=$w%6.3f s")
+      f"read=$prunedC%d/$allC%d probe_wall=$w2%6.3f s")
     spark.stop()
   }
 }

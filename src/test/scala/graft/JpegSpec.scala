@@ -322,6 +322,50 @@ class JpegSpec extends SparkSpec {
         w2, subsample420 = true)).lumas.toSeq
   }
 
+  test("single-component (Ns=1) DC scans: the T.81-legal per-component " +
+      "DC script decodes pixel-identical to the interleaved one — " +
+      "plain, successive-approximation, subsampled, and with DRI") {
+    val w = 20; val h = 12
+    val y = noise(w * h, 41L)
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val cb = noise(cw * ch, 42L).map(v => 64 + v / 2)
+    val cr = noise(cw * ch, 43L).map(v => 64 + v / 2)
+    val base = Jpeg.decodeJpeg(Jpeg.encodeJpegYcc(y.toSeq, cb.toSeq,
+      cr.toSeq, w, subsample420 = true))
+    for (sa <- Seq(false, true); dri <- Seq(0, 2)) {
+      withClue(s"sa=$sa dri=$dri: ") {
+        val blob = Jpeg.encodeJpegYcc(y.toSeq, cb.toSeq, cr.toSeq, w,
+          subsample420 = true, restartInterval = dri,
+          progressive = true, successiveApprox = sa,
+          separateDcScans = true)
+        // the stream really carries Ns=1 DC scans
+        val dcNs = blob.indices.filter { i =>
+          (blob(i) & 0xff) == 0xff && i + 9 < blob.length &&
+            (blob(i + 1) & 0xff) == 0xda && {
+              val ns = blob(i + 4) & 0xff
+              (blob(i + 5 + 2 * ns) & 0xff) == 0 && // Ss = 0
+                (blob(i + 6 + 2 * ns) & 0xff) == 0  // Se = 0
+            }
+        }.map(i => blob(i + 4) & 0xff)
+        dcNs should not be empty
+        all(dcNs) shouldBe 1
+        Jpeg.decodeJpeg(blob).lumas.toSeq shouldBe base.lumas.toSeq
+      }
+    }
+    // a DC scan over a strict SUBSET (2 of 3 components) stays
+    // rejected: patch the first Ns=1 DC scan's Ns up to 2 (header
+    // fields shift, so the decoder must fail loudly either on the
+    // count or on the malformed header it implies)
+    val blob2 = Jpeg.encodeJpegYcc(y.toSeq, cb.toSeq, cr.toSeq, w,
+      subsample420 = true, progressive = true, separateDcScans = true)
+    val sosAt = blob2.indices.find(i => (blob2(i) & 0xff) == 0xff &&
+      (blob2(i + 1) & 0xff) == 0xda).get
+    val patched = blob2.clone()
+    patched(sosAt + 4) = 2.toByte // Ns 1 -> 2, length now wrong too
+    an[IllegalArgumentException] should be thrownBy
+      Jpeg.decodeJpeg(patched)
+  }
+
   test("decodeJpegRgb: gray frames replicate the luma; color frames " +
       "reconstruct RGB within the lossy tolerance of the exact JFIF " +
       "conversion of the source planes") {
@@ -486,6 +530,27 @@ class JpegSpec extends SparkSpec {
       yield math.abs(imgSa.getRaster.getSample(x, y, 0) -
         oursSaDec(y * w + x))
     d4.max should be <= 3
+    // GRAYSCALE progressive from ImageIO: the single-component
+    // libjpeg script (chained Al=2 -> 1 -> 0 refinements)
+    val biG = new BufferedImage(w2, h2, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h2; x <- 0 until w2)
+      biG.getRaster.setSample(x, y, 0, px2(y * w2 + x))
+    val bos3 = new java.io.ByteArrayOutputStream()
+    val wr3 = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios3 = ImageIO.createImageOutputStream(bos3)
+    wr3.setOutput(ios3)
+    val p3 = wr3.getDefaultWriteParam
+    p3.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    wr3.write(null, new javax.imageio.IIOImage(biG, null, null), p3)
+    wr3.dispose(); ios3.close()
+    val progG = bos3.toByteArray
+    val dG = Jpeg.decodeJpeg(progG)
+    (dG.width, dG.height, dG.nComponents) shouldBe ((w2, h2, 1))
+    val reG = ImageIO.read(new java.io.ByteArrayInputStream(progG))
+    val d5 = for (y <- 0 until h2; x <- 0 until w2)
+      yield math.abs(reG.getRaster.getSample(x, y, 0) -
+        dG.lumas(y * w2 + x))
+    d5.max should be <= 3
   }
 
   test("randomized property: any geometry x any quant table round-trips, " +

@@ -145,6 +145,31 @@ class PersistentIndexSpec extends SparkSpec {
       (3L, true, 1L))
   }
 
+  test("semantic n_earlier stays exact when a tag retries AFTER " +
+      "compaction absorbed its rows (double-stored until the next " +
+      "compaction, deduped at probe time)") {
+    val idx = tmp("graft_pidx_dup")
+    val A = Seq(127.0, 0.0, 0.0, 0.0, 100.0, 0.0, 0.0, 0.0)
+    def accept(id: Long, tag: String) = IncrementalSemanticDedup
+      .acceptBatch(Seq((id, A)).toDF("doc_id", "e"), "doc_id", "e",
+        idx, tag, 20000L)
+    accept(1L, "day0").collect()
+    IncrementalSemanticDedup.compactIndex(spark, idx)
+    // retry of day0 AFTER compaction: its files lost the tag-name
+    // prefix, so the staged cleanup cannot remove them — the rows are
+    // now stored twice (the documented window until next compaction)
+    accept(1L, "day0").collect()
+    spark.read.parquet(idx).count() shouldBe 2L
+    // ...but a later probe must count doc 1 ONCE, not twice
+    val probe = accept(9L, "day1").collect()
+    probe.map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .toSeq shouldBe Seq((9L, true, 1L))
+    // and the next compaction dedups the storage too
+    IncrementalSemanticDedup.compactIndex(spark, idx)
+    spark.read.parquet(idx)
+      .filter(col("tag") === "day0").count() shouldBe 1L
+  }
+
   test("exact index: compaction between batches preserves novelty " +
       "verdicts and storage row count") {
     val idx = tmp("graft_pidx_exact")
