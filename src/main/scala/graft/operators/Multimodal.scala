@@ -1355,36 +1355,43 @@ object Multimodal {
     * whole windows leaves every other window's hash untouched — the
     * sequences then align by LCS exactly like video frame hashes
     * (q394's machinery, reused verbatim by [[audioShiftDedup]]).
-    * Window-granular by design: a trim of k·windowSamples samples
-    * shifts the sequence by k tokens and the alignment survives; a
-    * sub-window trim re-phases every window (document upstream:
-    * choose windowSamples to match the edit granularity, or
-    * fingerprint with hop overlap — the standard next dial). Tokens
-    * render as decimal strings (engine-portable join keys). */
-  def audioSpectralSeq(samples: Array[Int],
-      windowSamples: Int): Seq[String] = {
+    * Trim granularity equals the HOP: a trim of k·hopSamples samples
+    * shifts the sequence by k tokens (windows at aligned phases are
+    * sample-identical) and the alignment survives; a trim finer than
+    * the hop re-phases every window. The default hop = windowSamples
+    * (non-overlapping, cheapest); lowering the hop buys finer trim
+    * robustness at proportionally more tokens — the standard
+    * overlap/cost dial, spec-pinned both ways. Tokens render as
+    * decimal strings (engine-portable join keys). */
+  def audioSpectralSeq(samples: Array[Int], windowSamples: Int,
+      hopSamples: Int = 0): Seq[String] = {
+    val hop = if (hopSamples == 0) windowSamples else hopSamples
     require(windowSamples >= 128 && windowSamples % 8 == 0,
       s"windowSamples ($windowSamples) must be >= 128 and a multiple " +
         "of 8 (the spectral fingerprint's own minimum and WHT width)")
-    val nw = samples.length / windowSamples
+    require(hop >= 1 && hop <= windowSamples,
+      s"hopSamples ($hop) out of [1, windowSamples]")
+    val nw =
+      if (samples.length < windowSamples) 0
+      else (samples.length - windowSamples) / hop + 1
     require(nw <= 4096,
       s"$nw windows exceed the LCS alignment bound (4096); use a " +
-        "longer window or chunk upstream")
+        "longer window/hop or chunk upstream")
     (0 until nw).map { w =>
       java.lang.Long.toString(spectralWhtHash64(
-        java.util.Arrays.copyOfRange(samples, w * windowSamples,
-          (w + 1) * windowSamples)))
+        java.util.Arrays.copyOfRange(samples, w * hop,
+          w * hop + windowSamples)))
     }
   }
 
   /** Per-partition WAV decode → window-hash sequence (map-only; only
     * the token sequences shuffle). */
   def wavSpectralSeqTable(media: Dataset[WavRow],
-      windowSamples: Int): DataFrame = {
+      windowSamples: Int, hopSamples: Int = 0): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
       val (_, samples) = decodeWavSamples(r.content)
-      (r.doc_id, audioSpectralSeq(samples, windowSamples))
+      (r.doc_id, audioSpectralSeq(samples, windowSamples, hopSamples))
     }).toDF("doc_id", "seq")
   }
 
@@ -1397,9 +1404,10 @@ object Multimodal {
     * codegen'd integer LCS on window-COUNT-sized arrays.
     * @return (id1, id2, n1, n2, lcs, sim) with sim >= minSim */
   def audioShiftDedup(media: Dataset[WavRow], minSim: Double,
-      windowSamples: Int = 128,
+      windowSamples: Int = 128, hopSamples: Int = 0,
       maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame =
-    videoFrameHashDedup(wavSpectralSeqTable(media, windowSamples),
+    videoFrameHashDedup(
+      wavSpectralSeqTable(media, windowSamples, hopSamples),
       "doc_id", "seq", minSim, maxBucketSize)
 
   /** Video-style near-duplicate detection over FRAME-HASH SEQUENCES —

@@ -770,6 +770,18 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioSpectralSeq(a, 64)
     an[IllegalArgumentException] should be thrownBy
       Multimodal.audioSpectralSeq(a, 130)
+    // hop overlap is the trim-granularity dial: a 32-sample trim
+    // (finer than the window) re-phases every non-overlapping window,
+    // but with hop = 32 the trimmed sequence is exactly the original
+    // minus its first token — priced both ways
+    val subTrim = java.util.Arrays.copyOfRange(a, 32, a.length)
+    Multimodal.audioSpectralSeq(subTrim, 128)
+      .intersect(Multimodal.audioSpectralSeq(a, 128)) shouldBe empty
+    val hopA = Multimodal.audioSpectralSeq(a, 128, hopSamples = 32)
+    val hopT = Multimodal.audioSpectralSeq(subTrim, 128, hopSamples = 32)
+    hopT shouldBe hopA.drop(1)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.audioSpectralSeq(a, 128, hopSamples = 129)
   }
 
   test("q410/q413 gate fixtures hold at sf0.001: every SA-progressive " +
