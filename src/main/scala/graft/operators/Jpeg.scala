@@ -16,8 +16,10 @@ package graft.operators
   * libjpeg's default progression script, i.e. most real web
   * progressive JPEGs, emits) — 8-bit precision, 1 or 3 components,
   * sampling factors 1..2 (covers 4:4:4, 4:2:2, 4:2:0), restart
-  * intervals in baseline AND progressive scans. Extended (SOF1),
-  * arithmetic coding, lossless, 12-bit precision, and hierarchical
+  * intervals in baseline AND progressive scans; SOF1 (extended
+  * sequential) accepted at 8-bit precision, where it is
+  * semantically identical to baseline. Arithmetic coding, lossless,
+  * 12-bit precision, and hierarchical
   * modes fail LOUDLY naming the marker/field; every length field,
   * table reference, Huffman code walk, coefficient position, and
   * per-coefficient successive-approximation level is bounds-checked
@@ -1117,7 +1119,13 @@ object Jpeg {
           }
           require(p == end, "DHT length disagrees with its tables")
           pos = end
-        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+        // SOF0 baseline / SOF1 extended sequential / SOF2 progressive.
+        // SOF1 differs from SOF0 only in the LIMITS it lifts (12-bit
+        // precision, 4 Huffman tables per class); at the 8-bit
+        // precision enforced below its streams decode exactly like
+        // baseline, and the DHT parser already accepts table ids
+        // 0-15 — so the marker is accepted rather than rejected
+        case 0xc0 | 0xc1 | 0xc2 =>
           require(st == null, "duplicate SOF")
           val progressive = m == 0xc2
           val len = u16(pos)
@@ -1152,13 +1160,13 @@ object Jpeg {
             "first component must carry the max sampling factors")
           st = new FrameState(width, height, comps, progressive)
           pos += len
-        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
           throw new IllegalArgumentException(
-            f"unsupported SOF marker 0xff$m%02x — only baseline " +
-              "sequential (SOF0) and Huffman progressive (SOF2) are " +
-              "implemented; extended/arithmetic/lossless scans fail " +
-              "loudly by design")
+            f"unsupported SOF marker 0xff$m%02x — only Huffman " +
+              "sequential (SOF0/SOF1, 8-bit) and Huffman progressive " +
+              "(SOF2) are implemented; lossless/arithmetic/" +
+              "hierarchical scans fail loudly by design")
         case 0xdd => // DRI
           require(u16(pos) == 4, s"bad DRI length ${u16(pos)}")
           dri = u16(pos + 2)

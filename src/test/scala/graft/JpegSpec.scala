@@ -322,6 +322,29 @@ class JpegSpec extends SparkSpec {
         w2, subsample420 = true)).lumas.toSeq
   }
 
+  test("SOF1 (extended sequential, 8-bit) decodes exactly like SOF0: " +
+      "the marker lifts limits baseline imposes, not semantics") {
+    val w = 24; val h = 16
+    val px = noise(w * h, 63L)
+    val blob = Jpeg.encodeJpegGray(px.toSeq, w)
+    val base = Jpeg.decodeJpeg(blob)
+    val sofAt = blob.indices.find(i => (blob(i) & 0xff) == 0xff &&
+      (blob(i + 1) & 0xff) == 0xc0).get
+    val sof1 = blob.clone()
+    sof1(sofAt + 1) = 0xc1.toByte
+    Jpeg.decodeJpeg(sof1).lumas.toSeq shouldBe base.lumas.toSeq
+    // 12-bit precision (what SOF1 exists for) stays rejected by name
+    val deep = sof1.clone()
+    deep(sofAt + 4) = 12.toByte // precision byte
+    val e = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(deep) }
+    e.getMessage should include("not 8-bit")
+    // lossless (SOF3) still fails loudly
+    val sof3 = blob.clone()
+    sof3(sofAt + 1) = 0xc3.toByte
+    val e2 = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(sof3) }
+    e2.getMessage should include("unsupported SOF")
+  }
+
   test("single-component (Ns=1) DC scans: the T.81-legal per-component " +
       "DC script decodes pixel-identical to the interleaved one — " +
       "plain, successive-approximation, subsampled, and with DRI") {
