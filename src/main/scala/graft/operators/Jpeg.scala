@@ -15,7 +15,8 @@ package graft.operators
   * point-transform scans with DC/AC refinement, G.1.2.3 — what
   * libjpeg's default progression script, i.e. most real web
   * progressive JPEGs, emits) — 8-bit precision, 1 or 3 components,
-  * sampling factors 1..2 (covers 4:4:4, 4:2:2, 4:2:0), restart
+  * sampling factors 1..4, the full T.81 range (covers 4:4:4, 4:2:2,
+  * 4:2:0, 4:1:1), restart
   * intervals in baseline AND progressive scans; SOF1 (extended
   * sequential) accepted at 8-bit precision, where it is
   * semantically identical to baseline. Arithmetic coding, lossless,
@@ -474,11 +475,14 @@ object Jpeg {
       require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
         "quant table must be 64 entries in [1, 255]")
     }
+    require(comps.size == 1 ||
+      comps.map(c => c.hSamp * c.vSamp).sum <= 10,
+      "MCU exceeds the T.81 bound of 10 blocks (B.2.3)")
     val hMax = comps.map(_.hSamp).max
     val vMax = comps.map(_.vSamp).max
     comps.foreach { c =>
-      require(c.hSamp >= 1 && c.hSamp <= 2 && c.vSamp >= 1 && c.vSamp <= 2,
-        s"sampling factors out of [1, 2]: ${c.hSamp}x${c.vSamp}")
+      require(c.hSamp >= 1 && c.hSamp <= 4 && c.vSamp >= 1 && c.vSamp <= 4,
+        s"sampling factors out of [1, 4]: ${c.hSamp}x${c.vSamp}")
       val wc = (width * c.hSamp + hMax - 1) / hMax
       val hc = (height * c.vSamp + vMax - 1) / vMax
       require(c.w == wc && c.h == hc,
@@ -897,16 +901,43 @@ object Jpeg {
       quantC: Array[Int] = QuantFlat, restartInterval: Int = 0,
       progressive: Boolean = false,
       successiveApprox: Boolean = false,
+      separateDcScans: Boolean = false): Array[Byte] =
+    encodeJpegYccScheme(y, cb, cr, width,
+      if (subsample420) "420" else "444", quantY, quantC,
+      restartInterval, progressive, successiveApprox, separateDcScans)
+
+  /** Chroma-plane geometry of a named subsampling scheme: luma
+    * sampling factors (hs, vs) and the chroma plane dims they imply
+    * for a width×height image. */
+  def chromaDims(scheme: String, width: Int, height: Int)
+      : (Int, Int, Int, Int) = scheme match {
+    case "444" => (width, height, 1, 1)
+    case "422" => ((width + 1) / 2, height, 2, 1)
+    case "420" => ((width + 1) / 2, (height + 1) / 2, 2, 2)
+    case "411" => ((width + 3) / 4, height, 4, 1)
+    case other => throw new IllegalArgumentException(
+      s"unknown subsampling scheme '$other' (444/422/420/411)")
+  }
+
+  /** [[encodeJpegYcc]] generalized over the named subsampling schemes
+    * — 4:2:2 (2×1 luma factors) and 4:1:1 (4×1, the DV-camera shape
+    * that exercises the T.81 factor range beyond 2) beside the
+    * 4:4:4/4:2:0 pair; all decode pixel-identical across the
+    * baseline/progressive/SA scripts like every other geometry
+    * (spec-pinned). */
+  def encodeJpegYccScheme(y: Seq[Int], cb: Seq[Int], cr: Seq[Int],
+      width: Int, scheme: String, quantY: Array[Int] = QuantFlat,
+      quantC: Array[Int] = QuantFlat, restartInterval: Int = 0,
+      progressive: Boolean = false,
+      successiveApprox: Boolean = false,
       separateDcScans: Boolean = false): Array[Byte] = {
     require(width >= 1, s"width ($width) must be >= 1")
     require(y.nonEmpty && y.length % width == 0,
       s"${y.length} luma pixels do not fill rows of $width")
     val height = y.length / width
-    val (cw, ch, hs, vs) =
-      if (subsample420) ((width + 1) / 2, (height + 1) / 2, 2, 2)
-      else (width, height, 1, 1)
+    val (cw, ch, hs, vs) = chromaDims(scheme, width, height)
     require(cb.length == cw * ch && cr.length == cw * ch,
-      s"chroma planes must be ${cw}x$ch")
+      s"chroma planes must be ${cw}x$ch for scheme $scheme")
     encodeBaseline(width, height, Seq(
       EncComp(y.toArray, width, height, hs, vs, 0, 0),
       EncComp(cb.toArray, cw, ch, 1, 1, 1, 1),
@@ -1146,13 +1177,20 @@ object Jpeg {
             val o = pos + 8 + 3 * i
             val hv = u8(o + 1)
             val fc = FrameComp(u8(o), hv >> 4, hv & 15, u8(o + 2))
-            require(fc.hSamp >= 1 && fc.hSamp <= 2 &&
-              fc.vSamp >= 1 && fc.vSamp <= 2,
-              s"unsupported sampling ${fc.hSamp}x${fc.vSamp} (1..2 only)")
+            require(fc.hSamp >= 1 && fc.hSamp <= 4 &&
+              fc.vSamp >= 1 && fc.vSamp <= 4,
+              s"unsupported sampling ${fc.hSamp}x${fc.vSamp} (1..4, " +
+                "the T.81 bound)")
             fc
           }
           require(comps.map(_.id).distinct.size == nf,
             "duplicate component ids in SOF")
+          // B.2.3: an interleaved MCU carries at most 10 blocks (the
+          // bound only binds multi-component frames — Ns=1 scans
+          // ignore sampling factors entirely)
+          require(nf == 1 || comps.map(c => c.hSamp * c.vSamp).sum <= 10,
+            s"MCU of ${comps.map(c => c.hSamp * c.vSamp).sum} blocks " +
+              "exceeds the T.81 bound of 10")
           // the luma plane below is component 0's: it must carry the
           // max factors or its plane would be subsampled vs the image
           require(comps.head.hSamp == comps.map(_.hSamp).max &&

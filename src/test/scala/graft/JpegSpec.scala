@@ -322,6 +322,57 @@ class JpegSpec extends SparkSpec {
         w2, subsample420 = true)).lumas.toSeq
   }
 
+  test("4:2:2 and 4:1:1 subsampling (the full T.81 factor range): Y " +
+      "plane matches the grayscale decode across baseline/progressive/" +
+      "SA, ImageIO agrees on geometry, and the MCU block bound holds") {
+    val w = 24; val h = 16
+    val y = noise(w * h, 71L)
+    val gray = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(y.toSeq, w))
+    for (scheme <- Seq("422", "411")) {
+      val (cw, ch, _, _) = Jpeg.chromaDims(scheme, w, h)
+      val cb = noise(cw * ch, 72L).map(v => 64 + v / 2)
+      val cr = noise(cw * ch, 73L).map(v => 64 + v / 2)
+      def enc(prog: Boolean, sa: Boolean) = Jpeg.encodeJpegYccScheme(
+        y.toSeq, cb.toSeq, cr.toSeq, w, scheme,
+        progressive = prog, successiveApprox = sa)
+      withClue(s"$scheme: ") {
+        val blob = enc(prog = false, sa = false)
+        val dec = Jpeg.decodeJpeg(blob)
+        dec.nComponents shouldBe 3
+        // same luma as the single-component encode of the same pixels
+        dec.lumas.toSeq shouldBe gray.lumas.toSeq
+        // progressive and SA layouts decode pixel-identical
+        Jpeg.decodeJpeg(enc(prog = true, sa = false)).lumas.toSeq shouldBe
+          dec.lumas.toSeq
+        Jpeg.decodeJpeg(enc(prog = true, sa = true)).lumas.toSeq shouldBe
+          dec.lumas.toSeq
+        // the independent JDK codec accepts the stream
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(blob))
+        img should not be null
+        (img.getWidth, img.getHeight) shouldBe ((w, h))
+        // constant-chroma RGB decode: replication upsampling reads
+        // each chroma sample for its pixel span
+        val rgb = Jpeg.decodeJpegRgb(Jpeg.encodeJpegYccScheme(y.toSeq,
+          Seq.fill(cw * ch)(160), Seq.fill(cw * ch)(90), w, scheme))
+        def clamp(v: Long): Int = math.max(0, math.min(255, v.toInt))
+        val exR0 = clamp(Math.round(y(0) + 1.402 * (90 - 128)))
+        math.abs(rgb.r(0) - exR0) should be <= 6
+      }
+    }
+    // a 4x4-luma frame would need a 18-block MCU: rejected by name
+    // on BOTH sides of the codec (T.81 B.2.3 caps an MCU at 10)
+    val sofBlob = Jpeg.encodeJpegYccScheme(y.toSeq,
+      Seq.fill(((w + 3) / 4) * h)(128), Seq.fill(((w + 3) / 4) * h)(128),
+      w, "411")
+    val sofAt2 = sofBlob.indices.find(i => (sofBlob(i) & 0xff) == 0xff &&
+      (sofBlob(i + 1) & 0xff) == 0xc0).get
+    val bad = sofBlob.clone()
+    bad(sofAt2 + 11) = 0x44.toByte // luma factors 4x4 -> MCU 18 blocks
+    val e = intercept[IllegalArgumentException] { Jpeg.decodeJpeg(bad) }
+    e.getMessage should include("bound of 10")
+  }
+
   test("SOF1 (extended sequential, 8-bit) decodes exactly like SOF0: " +
       "the marker lifts limits baseline imposes, not semantics") {
     val w = 24; val h = 16
