@@ -170,6 +170,60 @@ class PersistentIndexSpec extends SparkSpec {
       .filter(col("tag") === "day0").count() shouldBe 1L
   }
 
+  test("randomized lifecycle fuzz: any interleaving of batches, " +
+      "same-tag retries, and compactions matches the driver-side " +
+      "model of the exact-dedup contract") {
+    // the fixed-scenario specs pin known-dangerous orders; this pins
+    // ARBITRARY ones — 3 seeded runs of 14 random steps each against
+    // a model where novelty is just 'fingerprint text unseen in any
+    // PRIOR batch' (retries replay their original batch and must
+    // reproduce its survivor set; compactions must be invisible)
+    val texts = (0 until 12).map(i => s"fuzz document number $i")
+    for (seed <- Seq(11L, 22L, 33L)) {
+      val rnd = new scala.util.Random(seed)
+      val idx = tmp(s"graft_pidx_fuzz$seed")
+      val seen = scala.collection.mutable.Set.empty[String] // model
+      val batches = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Seq[(Long, String)], Set[Long])] // tag, rows, kept
+      var nextId = 0L
+      (0 until 14).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => // new batch of 1..4 docs (possibly seen texts)
+            val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+              nextId += 1
+              (nextId, texts(rnd.nextInt(texts.size)))
+            }
+            val tag = s"b$step"
+            val got = IncrementalDedup.acceptBatch(
+                rows.toDF("id", "text"), "id", "text", idx, tag)
+              .select("id").as[Long].collect().toSet
+            // model: min-id keeper per within-batch text, then unseen
+            val expected = rows.groupBy(_._2).map(_._2.minBy(_._1))
+              .filterNot(r => seen(r._2)).map(_._1).toSet
+            withClue(s"seed $seed step $step new batch: ") {
+              got shouldBe expected
+            }
+            rows.foreach(r => seen += r._2)
+            batches += ((tag, rows, expected))
+          case 2 if batches.nonEmpty => // retry a random earlier tag
+            val (tag, rows, kept) = batches(rnd.nextInt(batches.size))
+            val got = IncrementalDedup.acceptBatch(
+                rows.toDF("id", "text"), "id", "text", idx, tag)
+              .select("id").as[Long].collect().toSet
+            withClue(s"seed $seed step $step retry $tag: ") {
+              got shouldBe kept
+            }
+          case _ => // compaction
+            IncrementalDedup.compactIndex(spark, idx)
+        }
+      }
+      // terminal storage check: one row per accepted fingerprint
+      IncrementalDedup.compactIndex(spark, idx)
+      spark.read.parquet(idx).select(IncrementalDedup.FpCol)
+        .distinct().count() shouldBe seen.size.toLong
+    }
+  }
+
   test("exact index: compaction between batches preserves novelty " +
       "verdicts and storage row count") {
     val idx = tmp("graft_pidx_exact")
