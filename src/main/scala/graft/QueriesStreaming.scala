@@ -447,6 +447,14 @@ object QueriesStreaming {
         .foreachBatch {
           (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               batchId: Long) =>
+            // MID-STREAM compaction before the last micro-batch (the
+            // q397 discipline inside a running query): the file
+            // rewrite must be invisible to the flags — the oracle
+            // knows nothing about files, so any tag-exclusion or
+            // row-loss slip under streaming shifts a verdict and
+            // fails the row
+            if (batchId == 2)
+              IncrementalPerceptualDedup.compactIndex(s, idx)
             val flags = IncrementalPerceptualDedup.acceptBatch(
               df.toDF(), "doc_id", "dhash", idx, s"day$batchId",
               maxHamming = 6)
