@@ -1309,6 +1309,67 @@ object QueriesMultimodal {
       |    / (len(p.c1) + len(p.c2)) >= 0.5
       |ORDER BY p.id1, p.id2""".stripMargin
 
+  // -------------------------------------------------------------- q414
+  /** EXIF orientation normalization pinned as data — the r10
+    * next-round headline (a large share of real crawl photos are
+    * STORED rotated with an APP1 orientation tag; without applying
+    * it, a metadata-rotated copy decodes in stored orientation,
+    * dHashes differently, and silently falls OUT of perceptual
+    * near-dup): every q389 fixture image is re-encoded through the
+    * real JPEG codec in ALL 8 Exif orientations — the stored plane is
+    * the INVERSE flip/rotate of the upright pixels (dimensions swap
+    * for 5–8), the stream carries a minimal CP-3451 APP1 block — and
+    * decoded back through the orientation-applying decoder.
+    * `upright_geom` pins that the decode un-swapped the geometry
+    * (width back to 9 for every orientation) and `collides` pins
+    * Hamming(dhash_png, dhash_oriented) ≤ 6, the near-dup join
+    * threshold — i.e. a rotated-in-metadata copy of a crawl photo
+    * lands back INSIDE perceptual dedup. JPEG is lossy, so the bound
+    * is the q407/q410 contract, not equality; dhash_png is exact and
+    * the oracle recomputes it from events. Malformed-APP1 strictness
+    * (truncated TIFF, bad byte-order mark, wrong tag type,
+    * out-of-range value → loud error; non-Exif APP1 → ignored) is
+    * spec-pinned in JpegSpec, with an ImageIO cross-check that our
+    * upright output equals the 8-case transform applied to ImageIO's
+    * (orientation-ignoring) raw decode. */
+  private def q414ExifOrientationCollision(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val imgs = events9Images(s, dir)
+    val png = Multimodal.pngDHashTable(Multimodal.encodePngTable(imgs))
+      .toDF().select(col("doc_id"), col("dhash").as("dhash_png"))
+    val tagged = imgs.flatMap { r =>
+      val h = r.lumas.length / r.width
+      (1 to 8).map { o =>
+        val (stored, sw, _) = graft.operators.Jpeg.applyExifOrientation(
+          r.lumas.toArray, r.width, h,
+          graft.operators.Jpeg.inverseExifOrientation(o))
+        Multimodal.WavRow(r.doc_id * 8L + (o - 1),
+          graft.operators.Jpeg.encodeJpegGray(stored.toSeq, sw,
+            exifOrientation = o))
+      }
+    }
+    val dec = Multimodal.jpegDHashTable(tagged).toDF()
+      .select(floor(col("doc_id") / 8).cast("long").as("doc_id"),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("orientation"),
+        (col("width") === 9).as("upright_geom"),
+        col("dhash").as("__dhash_o"))
+    png.join(dec, Seq("doc_id"))
+      .select(col("doc_id"), col("orientation"), col("dhash_png"),
+        col("upright_geom"),
+        (bit_count(col("dhash_png").bitwiseXOR(col("__dhash_o")))
+          <= 6).as("collides"))
+      .orderBy(col("doc_id"), col("orientation"))
+  }
+
+  private val q414Sql =
+    s"""WITH $dhashSqlCtes
+       |SELECT a.doc_id, CAST(o.o AS INT) AS orientation,
+       |  a.dhash AS dhash_png, TRUE AS upright_geom, TRUE AS collides
+       |FROM allh a CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6),
+       |  (7), (8)) AS o(o)
+       |ORDER BY a.doc_id, o.o""".stripMargin
+
   // -------------------------------------------------------------- q413
   /** JPEG COLOR features — the q404 tolerance pattern on the RGB
     * decode path (decodeJpegRgb: per-component coefficient planes,
@@ -1374,6 +1435,7 @@ object QueriesMultimodal {
     "q410_jpeg_sa_collision" -> (q410JpegSaHashCollision _),
     "q411_audio_shift_dedup" -> (q411AudioShiftDedup _),
     "q413_jpeg_color_features" -> (q413JpegColorFeatures _),
+    "q414_exif_orientation" -> (q414ExifOrientationCollision _),
     "q407_jpeg_perceptual_collision" -> (q407JpegHashCollision _),
     "q403_codec_invariant_hash" -> (q403CodecInvariantHash _),
     "q397_incr_image_dedup" -> (q397IncrImageDedup _),
@@ -1397,6 +1459,7 @@ object QueriesMultimodal {
     "q410_jpeg_sa_collision" -> q410Sql,
     "q411_audio_shift_dedup" -> q411Sql,
     "q413_jpeg_color_features" -> q413Sql,
+    "q414_exif_orientation" -> q414Sql,
     "q407_jpeg_perceptual_collision" -> q407Sql,
     "q403_codec_invariant_hash" -> q403Sql,
     "q397_incr_image_dedup" -> q397Sql,

@@ -64,6 +64,12 @@ object ParquetTable {
     * without atomic rename want a manifest-based table format
     * instead). */
   def appendStaged(df: DataFrame, path: String, tag: String): Unit = {
+    // '<tag>-part-N' must stay invertible (PersistentIndex backfills
+    // tags from it), and the cleanup below must not catch a DIFFERENT
+    // tag that has this one as a '-'-delimited prefix
+    require(tag.nonEmpty && !tag.contains("-part-") && !tag.contains("/"),
+      s"batch tag ('$tag') must be non-empty and contain neither " +
+        "'-part-' nor '/'")
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
@@ -73,7 +79,7 @@ object ParquetTable {
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     fs.mkdirs(target)
     fs.listStatus(target)
-      .filter(_.getPath.getName.startsWith(s"$tag-"))
+      .filter(_.getPath.getName.startsWith(s"$tag-part-"))
       .foreach(f => fs.delete(f.getPath, false))
     fs.listStatus(stage)
       .filter(_.getPath.getName.startsWith("part-"))

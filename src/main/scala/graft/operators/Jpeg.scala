@@ -462,9 +462,12 @@ object Jpeg {
       quants: Seq[Array[Int]], restartInterval: Int,
       progressive: Boolean = false,
       successive: Boolean = false,
-      separateDcScans: Boolean = false): Array[Byte] = {
+      separateDcScans: Boolean = false,
+      exifOrientation: Int = 1): Array[Byte] = {
     require(width >= 1 && width <= 0xffff, s"bad width $width")
     require(height >= 1 && height <= 0xffff, s"bad height $height")
+    require(exifOrientation >= 1 && exifOrientation <= 8,
+      s"Exif orientation $exifOrientation out of [1, 8]")
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"bad restart interval $restartInterval")
     require(!successive || progressive,
@@ -499,6 +502,19 @@ object Jpeg {
     marker(0xe0) // APP0 / JFIF 1.1
     u16(16); out.write("JFIF".getBytes("US-ASCII")); u8(0)
     u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    if (exifOrientation != 1) {
+      // APP1/Exif with ONE IFD0 entry (Orientation, SHORT) — the
+      // minimal CP-3451 block, big-endian TIFF; omitted entirely for
+      // the upright default so untagged streams stay byte-identical
+      marker(0xe1)
+      u16(34) // 2 len + 6 "Exif\0\0" + 8 TIFF header + 2 + 12 + 4
+      out.write("Exif".getBytes("US-ASCII")); u8(0); u8(0)
+      u8(0x4d); u8(0x4d); u16(42); u16(0); u16(8) // "MM", 42, IFD0@8
+      u16(1) // one entry
+      u16(0x0112); u16(3); u16(0); u16(1) // Orientation, SHORT, count 1
+      u16(exifOrientation); u16(0) // value left-justified
+      u16(0); u16(0) // no next IFD
+    }
     quants.zipWithIndex.foreach { case (q, id) => // DQT, zigzag payload
       marker(0xdb); u16(67); u8(id)
       (0 until 64).foreach(k => u8(q(Zigzag(k))))
@@ -881,14 +897,16 @@ object Jpeg {
   def encodeJpegGray(lumas: Seq[Int], width: Int,
       quant: Array[Int] = QuantFlat, restartInterval: Int = 0,
       progressive: Boolean = false,
-      successiveApprox: Boolean = false): Array[Byte] = {
+      successiveApprox: Boolean = false,
+      exifOrientation: Int = 1): Array[Byte] = {
     require(width >= 1, s"width ($width) must be >= 1")
     require(lumas.nonEmpty && lumas.length % width == 0,
       s"${lumas.length} pixels do not fill rows of $width")
     val height = lumas.length / width
     encodeBaseline(width, height,
       Seq(EncComp(lumas.toArray, width, height, 1, 1, 0, 0)),
-      Seq(quant), restartInterval, progressive, successiveApprox)
+      Seq(quant), restartInterval, progressive, successiveApprox,
+      exifOrientation = exifOrientation)
   }
 
   /** Encode YCbCr planes as a 3-component baseline JPEG — 4:4:4 when
@@ -901,10 +919,12 @@ object Jpeg {
       quantC: Array[Int] = QuantFlat, restartInterval: Int = 0,
       progressive: Boolean = false,
       successiveApprox: Boolean = false,
-      separateDcScans: Boolean = false): Array[Byte] =
+      separateDcScans: Boolean = false,
+      exifOrientation: Int = 1): Array[Byte] =
     encodeJpegYccScheme(y, cb, cr, width,
       if (subsample420) "420" else "444", quantY, quantC,
-      restartInterval, progressive, successiveApprox, separateDcScans)
+      restartInterval, progressive, successiveApprox, separateDcScans,
+      exifOrientation)
 
   /** Chroma-plane geometry of a named subsampling scheme: luma
     * sampling factors (hs, vs) and the chroma plane dims they imply
@@ -930,7 +950,8 @@ object Jpeg {
       quantC: Array[Int] = QuantFlat, restartInterval: Int = 0,
       progressive: Boolean = false,
       successiveApprox: Boolean = false,
-      separateDcScans: Boolean = false): Array[Byte] = {
+      separateDcScans: Boolean = false,
+      exifOrientation: Int = 1): Array[Byte] = {
     require(width >= 1, s"width ($width) must be >= 1")
     require(y.nonEmpty && y.length % width == 0,
       s"${y.length} luma pixels do not fill rows of $width")
@@ -943,13 +964,129 @@ object Jpeg {
       EncComp(cb.toArray, cw, ch, 1, 1, 1, 1),
       EncComp(cr.toArray, cw, ch, 1, 1, 1, 1)),
       Seq(quantY, quantC), restartInterval, progressive, successiveApprox,
-      separateDcScans)
+      separateDcScans, exifOrientation)
   }
 
   // ------------------------------------------------------------ decoder
 
+  /** `orientation` is the Exif tag the decode APPLIED (1 when the
+    * stream carries none): `lumas`/geometry are always UPRIGHT. */
   case class JpegImage(width: Int, height: Int, nComponents: Int,
-      lumas: Array[Int])
+      lumas: Array[Int], orientation: Int = 1)
+
+  /** Exif orientation made upright (TIFF 6.0 "Orientation" / JEITA
+    * CP-3451 Exif 2.3 §4.6.4): the stored plane re-indexes through
+    * one of the 8 flip/rotate cases so row 0 / column 0 end up at the
+    * visual top / left. Orientations 5–8 swap the dimensions.
+    * @return (upright plane, upright width, upright height) */
+  def applyExifOrientation(plane: Array[Int], width: Int, height: Int,
+      orientation: Int): (Array[Int], Int, Int) = {
+    require(orientation >= 1 && orientation <= 8,
+      s"Exif orientation $orientation out of [1, 8]")
+    require(plane.length == width * height,
+      s"plane length ${plane.length} is not ${width}x$height")
+    if (orientation == 1) return (plane, width, height)
+    val swap = orientation >= 5
+    val (ow, oh) = if (swap) (height, width) else (width, height)
+    val out = new Array[Int](plane.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        // stored coordinates of upright pixel (x, y), per the TIFF
+        // row0/col0 placement table
+        val (sx, sy) = orientation match {
+          case 2 => (width - 1 - x, y) // row0 top, col0 right
+          case 3 => (width - 1 - x, height - 1 - y) // 180
+          case 4 => (x, height - 1 - y) // row0 bottom, col0 left
+          case 5 => (y, x) // transpose
+          case 6 => (y, height - 1 - x) // rotate 90 CW to display
+          case 7 => (width - 1 - y, height - 1 - x) // transverse
+          case _ => (width - 1 - y, x) // 8: rotate 90 CCW to display
+        }
+        out(y * ow + x) = plane(sy * width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    (out, ow, oh)
+  }
+
+  /** The orientation whose [[applyExifOrientation]] UNDOES `o`'s —
+    * 6 and 8 (the quarter turns) swap; every other case is its own
+    * inverse. Lets a writer derive the stored plane of an upright
+    * image it wants tagged with `o`. */
+  def inverseExifOrientation(o: Int): Int = {
+    require(o >= 1 && o <= 8, s"Exif orientation $o out of [1, 8]")
+    o match { case 6 => 8; case 8 => 6; case other => other }
+  }
+
+  /** Parse the orientation out of one APP1 payload
+    * (`bytes[from, end)`). Non-Exif APP1 segments (XMP etc. — no
+    * "Exif\0\0" identifier) return None untouched; a segment that
+    * CLAIMS to be Exif must carry a well-formed TIFF header and IFD0
+    * (strict fail-loudly convention: a truncated header, bad
+    * byte-order mark, bad magic, overrunning IFD, or an Orientation
+    * entry with the wrong type/count/value is an error by name, not
+    * a silent upright default). An Exif block whose IFD0 has no
+    * Orientation entry yields Some(1). Only IFD0 is searched — that
+    * is where CP-3451 puts the tag. */
+  private def parseExifOrientation(bytes: Array[Byte], from: Int,
+      end: Int): Option[Int] = {
+    if (end - from < 6) return None
+    val isExif = bytes(from) == 'E' && bytes(from + 1) == 'x' &&
+      bytes(from + 2) == 'i' && bytes(from + 3) == 'f' &&
+      bytes(from + 4) == 0 && bytes(from + 5) == 0
+    if (!isExif) return None
+    val tiff = from + 6 // TIFF header origin: all offsets are relative to it
+    require(end - tiff >= 8, "Exif APP1: TIFF header truncated")
+    def u8(o: Int): Int = bytes(o) & 0xff
+    val little = (u8(tiff), u8(tiff + 1)) match {
+      case (0x49, 0x49) => true // "II"
+      case (0x4d, 0x4d) => false // "MM"
+      case (a, b) => throw new IllegalArgumentException(
+        f"Exif APP1: bad TIFF byte-order mark 0x$a%02x$b%02x " +
+          "(need II or MM)")
+    }
+    def u16(o: Int): Int = {
+      require(o + 2 <= end, "Exif APP1: read past segment end")
+      if (little) u8(o) | (u8(o + 1) << 8) else (u8(o) << 8) | u8(o + 1)
+    }
+    def u32(o: Int): Long = {
+      require(o + 4 <= end, "Exif APP1: read past segment end")
+      if (little)
+        u8(o) | (u8(o + 1).toLong << 8) | (u8(o + 2).toLong << 16) |
+          (u8(o + 3).toLong << 24)
+      else
+        (u8(o).toLong << 24) | (u8(o + 1).toLong << 16) |
+          (u8(o + 2).toLong << 8) | u8(o + 3)
+    }
+    require(u16(tiff + 2) == 42,
+      s"Exif APP1: bad TIFF magic ${u16(tiff + 2)} (need 42)")
+    val ifd0 = u32(tiff + 4)
+    require(ifd0 >= 8 && tiff + ifd0 + 2 <= end,
+      s"Exif APP1: IFD0 offset $ifd0 outside the segment")
+    val ifdPos = tiff + ifd0.toInt
+    val nEntries = u16(ifdPos)
+    require(ifdPos + 2 + 12 * nEntries <= end,
+      s"Exif APP1: IFD0 with $nEntries entries overruns the segment")
+    var i = 0
+    while (i < nEntries) {
+      val e = ifdPos + 2 + 12 * i
+      if (u16(e) == 0x0112) { // Orientation
+        require(u16(e + 2) == 3 && u32(e + 4) == 1L,
+          s"Exif APP1: Orientation entry must be one SHORT (type " +
+            s"${u16(e + 2)}, count ${u32(e + 4)})")
+        // SHORT count 1: value left-justified in the 4-byte field
+        val v = u16(e + 8)
+        require(v >= 1 && v <= 8,
+          s"Exif APP1: Orientation value $v out of [1, 8]")
+        return Some(v)
+      }
+      i += 1
+    }
+    Some(1)
+  }
 
   private case class FrameComp(id: Int, hSamp: Int, vSamp: Int, quantId: Int)
 
@@ -1030,13 +1167,20 @@ object Jpeg {
     * sibling (pinned as data by q409 for spectral selection and q410
     * for successive approximation). */
   def decodeJpeg(bytes: Array[Byte]): JpegImage = {
-    val (st, quants) = decodeFrame(bytes)
-    JpegImage(st.width, st.height, st.comps.size,
-      componentPlane(st, quants, 0))
+    val (st, quants, orient) = decodeFrame(bytes)
+    // orientation applies AFTER reconstruction, BEFORE any consumer
+    // (feature extraction, dHash): a metadata-rotated copy of a crawl
+    // photo must produce the same upright pixels as its original
+    val (lum, w, h) = applyExifOrientation(
+      componentPlane(st, quants, 0), st.width, st.height, orient)
+    JpegImage(w, h, st.comps.size, lum, orient)
   }
 
+  /** `orientation` is the Exif tag the decode APPLIED (1 when the
+    * stream carries none): planes/geometry are always UPRIGHT. */
   case class JpegRgb(width: Int, height: Int, nComponents: Int,
-      r: Array[Int], g: Array[Int], b: Array[Int])
+      r: Array[Int], g: Array[Int], b: Array[Int],
+      orientation: Int = 1)
 
   /** Color decode: every component's coefficient plane is
     * reconstructed (the successive-approximation storage already
@@ -1048,10 +1192,12 @@ object Jpeg {
     * clamped to [0, 255]. Single-component frames return the gray
     * plane on all three channels. */
   def decodeJpegRgb(bytes: Array[Byte]): JpegRgb = {
-    val (st, quants) = decodeFrame(bytes)
+    val (st, quants, orient) = decodeFrame(bytes)
     val y = componentPlane(st, quants, 0)
-    if (st.comps.size == 1)
-      return JpegRgb(st.width, st.height, 1, y, y.clone(), y.clone())
+    if (st.comps.size == 1) {
+      val (up, w, h) = applyExifOrientation(y, st.width, st.height, orient)
+      return JpegRgb(w, h, 1, up, up.clone(), up.clone(), orient)
+    }
     val cb = componentPlane(st, quants, 1)
     val cr = componentPlane(st, quants, 2)
     val (cbW, _) = st.compDims(1)
@@ -1078,13 +1224,17 @@ object Jpeg {
       }
       yy += 1
     }
-    JpegRgb(st.width, st.height, st.comps.size, ro, go, bo)
+    val (ur, w, h) = applyExifOrientation(ro, st.width, st.height, orient)
+    val (ug, _, _) = applyExifOrientation(go, st.width, st.height, orient)
+    val (ub, _, _) = applyExifOrientation(bo, st.width, st.height, orient)
+    JpegRgb(w, h, st.comps.size, ur, ug, ub, orient)
   }
 
   /** The shared marker walk: SOI through EOI, every scan decoded into
-    * the frame state, completeness checked. */
+    * the frame state, completeness checked. Third element: the Exif
+    * orientation to apply (1 when no Exif APP1 carries one). */
   private def decodeFrame(bytes: Array[Byte])
-      : (FrameState, java.util.HashMap[Int, Array[Int]]) = {
+      : (FrameState, java.util.HashMap[Int, Array[Int]], Int) = {
     require(bytes.length >= 4, s"truncated JPEG: ${bytes.length} bytes")
     require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
       f"bad magic 0x${bytes(0) & 0xff}%02x${bytes(1) & 0xff}%02x")
@@ -1099,6 +1249,7 @@ object Jpeg {
     val acTabs = new java.util.HashMap[Int, DecHuff]()
     var st: FrameState = null
     var dri = 0
+    var orient = -1 // -1 = no Exif orientation seen yet
     var done = false
     while (!done) {
       require(u8(pos) == 0xff, f"expected marker at $pos, got 0x${u8(pos)}%02x")
@@ -1166,12 +1317,16 @@ object Jpeg {
           val width = u16(pos + 5)
           val nf = u8(pos + 7)
           require(width >= 1 && height >= 1, s"bad geometry ${width}x$height")
+          require(nf == 1 || nf == 3, s"unsupported component count $nf")
           // cap bounds the coefficient storage: EVERY component's
           // quantized plane persists across scans (successive
-          // approximation needs the history), ~4 B/pixel/component
-          require(width.toLong * height <= (1L << 26),
-            s"image above 64 megapixels (${width}x$height)")
-          require(nf == 1 || nf == 3, s"unsupported component count $nf")
+          // approximation needs the history), ~4 B/pixel/component —
+          // so the budget scales with component count: 192 MP
+          // grayscale / 64 MP color share one ~768 MB ceiling
+          // (documented in ARCHITECTURE.md beside the SA scope)
+          require(width.toLong * height * nf <= 3L * (1L << 26),
+            s"image above ${3 * 64 / nf} megapixels " +
+              s"(${width}x$height, $nf components)")
           require(len == 8 + 3 * nf, s"SOF length $len for $nf components")
           val comps = (0 until nf).map { i =>
             val o = pos + 8 + 3 * i
@@ -1213,6 +1368,14 @@ object Jpeg {
           val len = u16(pos)
           require(len >= 2 && pos + len <= bytes.length,
             f"APP/COM segment overruns blob (len $len)")
+          // APP1/Exif: the orientation tag changes what the decoded
+          // pixels MEAN (a metadata-rotated crawl photo must dHash
+          // like its upright original), so it is parsed rather than
+          // skipped; the FIRST Exif block wins (CP-3451 allows one;
+          // real readers take the first). All other APPn/COM skip.
+          if (a == 0xe1 && orient == -1)
+            parseExifOrientation(bytes, pos + 2, pos + len)
+              .foreach(orient = _)
           pos += len
         case 0xda =>
           require(st != null, "SOS before SOF")
@@ -1228,7 +1391,7 @@ object Jpeg {
             f"unexpected marker 0xff$other%02x at ${pos - 1}")
       }
     }
-    (st, quants)
+    (st, quants, if (orient == -1) 1 else orient)
   }
 
   /** Parse one SOS header + its entropy segment into the frame state.

@@ -32,7 +32,21 @@ object Maintenance {
     def isDataFile(f: org.apache.hadoop.fs.FileStatus): Boolean =
       f.isFile && !f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith(".")
-    val parts = fs.listStatus(p).filter(isDataFile)
+    val entries = fs.listStatus(p)
+    // refuse PersistentIndex layouts BY NAME: this utility lists only
+    // root-level files, so on a `pfx=N/`-partitioned index it would
+    // either silently no-op (no root files) or — if legacy flat files
+    // exist — rewrite the WHOLE tree via spark.read of the root,
+    // demoting every partitioned row to an always-read unpartitioned
+    // file and silently evaporating partition pruning (the tag column
+    // keeps CORRECTNESS either way; the layout is what dies)
+    require(!entries.exists(f => f.isDirectory &&
+        f.getPath.getName.startsWith(s"${PersistentIndex.PfxCol}=")),
+      s"$path carries ${PersistentIndex.PfxCol}= partition " +
+        "directories (a PersistentIndex layout) — use " +
+        "PersistentIndex.compact, which preserves the pruned layout; " +
+        "Maintenance.compact would flatten it")
+    val parts = entries.filter(isDataFile)
     val bytes = parts.map(_.getLen).sum
     val target = math.max(1,
       math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)

@@ -46,6 +46,19 @@ import org.apache.spark.sql.types.StructType
   *     per-batch file sets into one file per partition, committed
   *     with the staging-swap protocol — readers see the old or the
   *     new index, never a partial one.
+  *  5. SINGLE WRITER: at most one mutator (appendStaged or compact)
+  *     may run against an index path at a time. Compaction reads the
+  *     file list, rewrites, then swaps; an append that publishes
+  *     between the read and the swap lands its files in the directory
+  *     that becomes `<path>__old` and is deleted — silent row loss.
+  *     Concurrent READERS are always safe (they see old or new,
+  *     never partial); it is concurrent WRITERS that need external
+  *     serialization (every caller here is a serial foreachBatch /
+  *     job lifecycle). [[compact]] additionally re-lists the
+  *     directory after its rewrite and FAILS LOUDLY — before the
+  *     swap, leaving the index untouched — if files appeared while
+  *     it ran, so a violated contract surfaces as an error instead
+  *     of lost rows whenever the races happen to overlap that way.
   */
 object PersistentIndex {
 
@@ -83,8 +96,12 @@ object PersistentIndex {
     ParquetTable.recoverInterrupted(spark, path)
     if (!fs.exists(p)) return Nil
     val entries = fs.listStatus(p)
+    // the published shape is EXACTLY '<tag>-part-*': matching the
+    // looser '<tag>-' would also skip (and, in appendStaged's cleanup,
+    // DELETE) files of any other tag that has this tag as a
+    // '-'-delimited prefix ('day1' vs 'day1-retry')
     def keep(name: String): Boolean =
-      batchTag.forall(t => !name.startsWith(s"$t-"))
+      batchTag.forall(t => !name.startsWith(s"$t-part-"))
     val legacy = entries.filter(isDataFile)
       .filter(f => keep(f.getPath.getName)).map(_.getPath.toString)
     val dirs = entries
@@ -139,6 +156,13 @@ object PersistentIndex {
       s"index append requires the $PfxCol partition column")
     require(df.columns.contains("tag"),
       "index append requires the tag column")
+    // keep the '<tag>-part-N' filename encoding invertible: a tag
+    // containing '-part-' would backfill-truncate to a DIFFERENT tag
+    // on read (breaking retry idempotence), and a '/' would escape
+    // the directory
+    require(tag.nonEmpty && !tag.contains("-part-") && !tag.contains("/"),
+      s"batch tag ('$tag') must be non-empty and contain neither " +
+        "'-part-' nor '/'")
     val spark = df.sparkSession
     val (fs, target) = fsOf(spark, path)
     val stage = new org.apache.hadoop.fs.Path(path + s"__stage_$tag")
@@ -158,7 +182,7 @@ object PersistentIndex {
       .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$PfxCol="))
       .map(_.getPath).toSeq
     dirs.foreach { d =>
-      fs.listStatus(d).filter(_.getPath.getName.startsWith(s"$tag-"))
+      fs.listStatus(d).filter(_.getPath.getName.startsWith(s"$tag-part-"))
         .foreach(f => fs.delete(f.getPath, false))
     }
     fs.listStatus(stage)
@@ -196,9 +220,19 @@ object PersistentIndex {
     * old tag can leave. Atomic swap; heals a predecessor's crash
     * window first. `keyFor` derives the partition key column from the
     * index frame (e.g. `_("band")`).
+    *
+    * Enforces contract #5 (single writer) as far as a check can:
+    * after the rewrite materializes — and BEFORE the swap, so failing
+    * leaves the index untouched and the interloper's rows readable —
+    * the directory is re-listed and any file that appeared since the
+    * read fails the compaction loudly by name, instead of silently
+    * deleting those rows with the swapped-out directory.
+    * `onBeforeSwap` is a test seam for pinning exactly that race
+    * (default no-op).
     * @return (data files before, after) */
   def compact(spark: SparkSession, path: String, schemaDdl: String,
-      keyFor: DataFrame => Column): (Int, Int) = {
+      keyFor: DataFrame => Column,
+      onBeforeSwap: () => Unit = () => ()): (Int, Int) = {
     ParquetTable.recoverInterrupted(spark, path)
     val files = dataFilesFor(spark, path, None, None)
     if (files.isEmpty) return (0, 0)
@@ -209,7 +243,37 @@ object PersistentIndex {
     val out = all.withColumn(PfxCol, pfxOf(keyFor(all)))
       .repartition(col(PfxCol))
       .localCheckpoint(true)
+    onBeforeSwap()
+    val nowFiles = dataFilesFor(spark, path, None, None).toSet
+    val appeared = nowFiles -- files.toSet
+    if (appeared.nonEmpty)
+      throw new IllegalStateException(
+        s"concurrent writer detected during compaction of $path: " +
+          s"${appeared.size} file(s) appeared since the read (e.g. " +
+          s"${appeared.head}) — the single-writer contract " +
+          "(PersistentIndex contract #5) was violated; aborting " +
+          "before the swap so no rows are lost")
     ParquetTable.overwriteAtomic(out, path, partitionCols = Seq(PfxCol))
     (before, dataFileCount(spark, path))
+  }
+
+  /** Opt-in auto-compaction cadence: compact iff the accreted data
+    * file count exceeds `maxFileFactor × NumPfx` (each batch appends
+    * at most one file per touched partition, so the factor reads as
+    * "roughly how many batch file sets may accrete before folding").
+    * Callers that append forever without remembering to compact —
+    * a year of daily batches — otherwise accrete a file set per
+    * batch and the probe wall grows with file COUNT, not data size
+    * (the failure mode IndexSmoke priced). Verdicts are invariant
+    * under when (or whether) this fires: compaction is
+    * tag-preserving, so it only folds files.
+    * @return Some((before, after)) when a compaction ran */
+  def compactIfAccreted(spark: SparkSession, path: String,
+      schemaDdl: String, keyFor: DataFrame => Column,
+      maxFileFactor: Int = 4): Option[(Int, Int)] = {
+    require(maxFileFactor >= 1, s"maxFileFactor ($maxFileFactor) must be >= 1")
+    if (dataFileCount(spark, path) > maxFileFactor * NumPfx)
+      Some(compact(spark, path, schemaDdl, keyFor))
+    else None
   }
 }

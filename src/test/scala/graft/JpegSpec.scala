@@ -676,4 +676,157 @@ class JpegSpec extends SparkSpec {
       .decode(blob)
     (d.width, d.height, d.nFrames) shouldBe ((16, 8, 1))
   }
+
+  test("Exif orientation: all 8 cases decode back to upright pixels " +
+      "(dims swap for 5-8), the transform pair is exact, color too") {
+    val w = 9; val h = 16
+    val px = noise(w * h, 77L)
+    for (o <- 1 to 8) {
+      val inv = Jpeg.inverseExifOrientation(o)
+      val (stored, sw, sh) = Jpeg.applyExifOrientation(px, w, h, inv)
+      if (o >= 5) (sw, sh) shouldBe ((h, w)) else (sw, sh) shouldBe ((w, h))
+      // the pure transforms are exact inverses
+      val (back, bw, bh) = Jpeg.applyExifOrientation(stored, sw, sh, o)
+      (bw, bh) shouldBe ((w, h))
+      back.toSeq shouldBe px.toSeq
+      // codec round trip under the tag: the decoder re-uprights, so
+      // the result compares against the ORIGINAL upright pixels
+      // within the flat-quant bound (the lossy DCT runs on the stored
+      // grid; the re-index afterwards is lossless)
+      val dec = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(stored.toSeq, sw,
+        exifOrientation = o))
+      dec.orientation shouldBe o
+      (dec.width, dec.height) shouldBe ((w, h))
+      withClue(s"orientation $o: ") {
+        maxErr(px.toSeq, dec.lumas) should be <= 2
+      }
+    }
+    // color path: all three planes re-index (constant chroma makes the
+    // expected planes derivable from the gray case)
+    val (stored6, sw6, _) = Jpeg.applyExifOrientation(px, w, h,
+      Jpeg.inverseExifOrientation(6))
+    val n6 = stored6.length
+    val rgb = Jpeg.decodeJpegRgb(Jpeg.encodeJpegYcc(stored6.toSeq,
+      Seq.fill(n6)(128), Seq.fill(n6)(128), sw6, subsample420 = false,
+      exifOrientation = 6))
+    (rgb.width, rgb.height, rgb.orientation) shouldBe ((w, h, 6))
+    maxErr(px.toSeq, rgb.g) should be <= 3
+  }
+
+  /** Splice a raw APP1 payload (after the 2-byte length) into an
+    * untagged gray blob right after its 18-byte APP0 (offset 20). */
+  private def withApp1(blob: Array[Byte], payload: Array[Byte])
+      : Array[Byte] = {
+    val len = payload.length + 2
+    blob.take(20) ++
+      Array(0xff.toByte, 0xe1.toByte, (len >> 8).toByte, len.toByte) ++
+      payload ++ blob.drop(20)
+  }
+
+  private def bePayload(body: Int*): Array[Byte] =
+    "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      body.map(_.toByte).toArray
+
+  test("Exif APP1 strictness: malformed TIFF fails loudly by name, " +
+      "non-Exif APP1 and orientation-free Exif decode untransformed") {
+    val w = 16; val h = 8
+    val px = noise(w * h, 9L)
+    val blob = Jpeg.encodeJpegGray(px.toSeq, w)
+    val base = Jpeg.decodeJpeg(blob)
+    // a valid big-endian block, as the encoder writes it
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int): Seq[Int] = Seq(
+      tag >> 8, tag & 0xff, typ >> 8, typ & 0xff,
+      cnt >>> 24, (cnt >> 16) & 0xff, (cnt >> 8) & 0xff, cnt & 0xff,
+      v >> 8, v & 0xff, 0, 0)
+    def tiff(orientEntry: Seq[Int], count: Int = 1): Array[Byte] =
+      bePayload(Seq(0x4d, 0x4d, 0, 42, 0, 0, 0, 8, count >> 8,
+        count & 0xff) ++ orientEntry ++ Seq(0, 0, 0, 0): _*)
+    // well-formed: applies
+    val good = withApp1(blob, tiff(entry(0x0112, 3, 1, 3)))
+    Jpeg.decodeJpeg(good).orientation shouldBe 3
+    // truncated TIFF header
+    val e1 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(withApp1(blob, bePayload(0x4d, 0x4d)))
+    }
+    e1.getMessage should include("TIFF header truncated")
+    // bad byte-order mark
+    val e2 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(withApp1(blob, bePayload(
+        'X', 'X', 0, 42, 0, 0, 0, 8)))
+    }
+    e2.getMessage should include("byte-order")
+    // bad magic
+    val e3 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(withApp1(blob, bePayload(
+        0x4d, 0x4d, 0, 43, 0, 0, 0, 8)))
+    }
+    e3.getMessage should include("magic")
+    // IFD0 offset outside the segment
+    val e4 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(withApp1(blob, bePayload(
+        0x4d, 0x4d, 0, 42, 0, 0, 0xff, 0xff)))
+    }
+    e4.getMessage should include("outside the segment")
+    // entry count overruns the segment
+    val e5 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(withApp1(blob, bePayload(
+        0x4d, 0x4d, 0, 42, 0, 0, 0, 8, 0, 200)))
+    }
+    e5.getMessage should include("overruns")
+    // wrong type (LONG, not SHORT)
+    val e6 = intercept[IllegalArgumentException] {
+      Jpeg.decodeJpeg(withApp1(blob, tiff(entry(0x0112, 4, 1, 3))))
+    }
+    e6.getMessage should include("must be one SHORT")
+    // out-of-range values
+    for (bad <- Seq(0, 9)) {
+      val e = intercept[IllegalArgumentException] {
+        Jpeg.decodeJpeg(withApp1(blob, tiff(entry(0x0112, 3, 1, bad))))
+      }
+      e.getMessage should include("out of [1, 8]")
+    }
+    // little-endian block parses too ("II", everything byte-swapped)
+    val ii = bePayload(Seq(0x49, 0x49, 42, 0, 8, 0, 0, 0, 1, 0,
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, 6, 0, 0, 0, 0, 0, 0, 0): _*)
+    Jpeg.decodeJpeg(withApp1(blob, ii)).orientation shouldBe 6
+    // non-Exif APP1 (XMP): ignored entirely
+    val xmp = "http://ns.adobe.com/xap/1.0/ <x:xmpmeta/>"
+      .getBytes("US-ASCII")
+    val decXmp = Jpeg.decodeJpeg(withApp1(blob, xmp))
+    decXmp.orientation shouldBe 1
+    decXmp.lumas.toSeq shouldBe base.lumas.toSeq
+    // Exif with an orientation-free IFD0: upright default
+    val noOrient = withApp1(blob, tiff(entry(0x0100, 3, 1, w), count = 1))
+    Jpeg.decodeJpeg(noOrient).orientation shouldBe 1
+    // two Exif blocks: the FIRST wins (CP-3451 allows one; real
+    // readers take the first)
+    val twice = withApp1(withApp1(blob, tiff(entry(0x0112, 3, 1, 3))),
+      tiff(entry(0x0112, 3, 1, 2)))
+    Jpeg.decodeJpeg(twice).orientation shouldBe 2
+  }
+
+  test("Exif orientation interop: our upright decode equals the 8-case " +
+      "transform applied to ImageIO's orientation-IGNORING raw decode") {
+    import javax.imageio.ImageIO
+    val w = 9; val h = 16
+    val px = noise(w * h, 55L)
+    val (stored, sw, sh) = Jpeg.applyExifOrientation(px, w, h,
+      Jpeg.inverseExifOrientation(6))
+    val blob = Jpeg.encodeJpegGray(stored.toSeq, sw, exifOrientation = 6)
+    val ours = Jpeg.decodeJpeg(blob)
+    (ours.width, ours.height) shouldBe ((w, h))
+    // ImageIO's plain read ignores Exif: raw stored-orientation pixels
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    img should not be null
+    (img.getWidth, img.getHeight) shouldBe ((sw, sh))
+    val raw = Array.tabulate(sw * sh)(k =>
+      img.getRaster.getSample(k % sw, k / sw, 0))
+    val (upright, uw, uh) = Jpeg.applyExifOrientation(raw, sw, sh, 6)
+    (uw, uh) shouldBe ((w, h))
+    // both decoders' pixels agree within IDCT slack; the transform is
+    // the SAME 8-case table on both sides
+    val diffs = upright.toSeq.zip(ours.lumas.toSeq)
+      .map { case (a, b) => math.abs(a - b) }
+    diffs.max should be <= 3
+  }
 }

@@ -224,6 +224,126 @@ class PersistentIndexSpec extends SparkSpec {
     }
   }
 
+  test("single-writer contract: an append that publishes between " +
+      "compaction's read and swap fails the compaction LOUDLY and " +
+      "loses no rows (r10 VERDICT 'what's wrong' #2)") {
+    val idx = tmp("graft_pidx_race")
+    IncrementalDedup.acceptBatch(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text"),
+      "id", "text", idx, "b1").count() shouldBe 2L
+    val ddl = s"${IncrementalDedup.FpCol} STRING, tag STRING"
+    // the interloper publishes while the compactor holds its file list
+    val e = intercept[IllegalStateException] {
+      PersistentIndex.compact(spark, idx, ddl,
+        _(IncrementalDedup.FpCol),
+        onBeforeSwap = () =>
+          IncrementalDedup.acceptBatch(
+            Seq((3L, "gamma")).toDF("id", "text"),
+            "id", "text", idx, "b2").count())
+    }
+    e.getMessage should include("single-writer")
+    // nothing was lost: both the compactor's input AND the
+    // interloper's rows are still probe-visible
+    PersistentIndex.readExcluding(spark, idx, "none", ddl)
+      .select("tag").distinct().as[String].collect().toSet shouldBe
+      Set("b1", "b2")
+    // a clean retry of the compaction now succeeds
+    IncrementalDedup.compactIndex(spark, idx)
+    spark.read.parquet(idx)
+      .select(IncrementalDedup.FpCol).distinct().count() shouldBe 3L
+  }
+
+  test("tag prefix collision closed (ADVICE r10): a retry of tag " +
+      "'day1' neither deletes nor hides tag 'day1-retry' rows") {
+    val idx = tmp("graft_pidx_tagpfx")
+    IncrementalDedup.acceptBatch(
+      Seq((1L, "alpha text")).toDF("id", "text"),
+      "id", "text", idx, "day1").count() shouldBe 1L
+    IncrementalDedup.acceptBatch(
+      Seq((2L, "beta text")).toDF("id", "text"),
+      "id", "text", idx, "day1-retry").count() shouldBe 1L
+    // retry of the SHORTER tag: before the fix its '<tag>-' cleanup
+    // prefix also matched 'day1-retry-part-*' files (deleting them)
+    // and its read-skip hid them from the probe
+    IncrementalDedup.acceptBatch(
+      Seq((1L, "alpha text")).toDF("id", "text"),
+      "id", "text", idx, "day1").count() shouldBe 1L
+    // day1-retry's row survived the retry...
+    val ddl = s"${IncrementalDedup.FpCol} STRING, tag STRING"
+    PersistentIndex.readExcluding(spark, idx, "day1", ddl)
+      .select("tag").as[String].collect().toSeq shouldBe Seq("day1-retry")
+    // ...and still rejects its duplicate
+    IncrementalDedup.acceptBatch(
+      Seq((9L, "beta text")).toDF("id", "text"),
+      "id", "text", idx, "day2").count() shouldBe 0L
+  }
+
+  test("tags containing '-part-' or '/' (or empty) are rejected by " +
+      "BOTH staged writers: the filename encoding must stay invertible") {
+    val df = Seq(("aaaa", "t", 0)).toDF(IncrementalDedup.FpCol, "tag",
+      PersistentIndex.PfxCol)
+    for (bad <- Seq("x-part-y", "a/b", "")) {
+      intercept[IllegalArgumentException] {
+        PersistentIndex.appendStaged(df, tmp("graft_pidx_badtag"), bad)
+      }.getMessage should include("batch tag")
+      intercept[IllegalArgumentException] {
+        graft.operators.ParquetTable.appendStaged(df,
+          tmp("graft_pidx_badtag2"), bad)
+      }.getMessage should include("batch tag")
+    }
+  }
+
+  test("Maintenance.compact refuses a pfx-partitioned index layout " +
+      "by name instead of flattening it (r10 VERDICT 'what's wrong' #1)") {
+    val idx = tmp("graft_pidx_maint")
+    IncrementalDedup.acceptBatch(
+      (1L to 100L).map(i => (i, s"doc $i")).toDF("id", "text"),
+      "id", "text", idx, "b1").count() shouldBe 100L
+    val before = PersistentIndex.dataFilesFor(spark, idx, None, None)
+    before.exists(_.contains(s"${PersistentIndex.PfxCol}=")) shouldBe true
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.compact(spark, idx)
+    }
+    e.getMessage should include("PersistentIndex.compact")
+    // the pruned layout survived the attempt untouched
+    PersistentIndex.dataFilesFor(spark, idx, None, None) shouldBe before
+    // and a plain (non-index) directory still compacts as before
+    val plain = tmp("graft_pidx_plain")
+    (1 to 50).toDF("v").repartition(8).write.parquet(plain)
+    val res = graft.operators.Maintenance.compact(spark, plain)
+    res.filesAfter should be < res.filesBefore
+  }
+
+  test("auto-compaction cadence: compactIfAccreted fires mid-sequence " +
+      "once the file count crosses the threshold, with verdicts " +
+      "invariant (the q397/q402 invariance, now automatic)") {
+    def lifecycle(auto: Boolean): (Seq[Set[Long]], Boolean) = {
+      val idx = tmp("graft_pidx_auto")
+      val ddl = s"${IncrementalDedup.FpCol} STRING, tag STRING"
+      var fired = false
+      val verdicts = (0 until 3).map { b =>
+        // wide batches spread over many partitions: each accretes up
+        // to one file per partition, so 2 batches cross factor-1 × 64
+        val rows = (1L to 150L)
+          .map(i => (b * 1000L + i, s"doc ${(b * 75) + i}"))
+        val got = IncrementalDedup.acceptBatch(rows.toDF("id", "text"),
+          "id", "text", idx, s"b$b").select("id").as[Long].collect().toSet
+        if (auto)
+          fired |= PersistentIndex.compactIfAccreted(spark, idx, ddl,
+            _(IncrementalDedup.FpCol), maxFileFactor = 1).nonEmpty
+        got
+      }
+      (verdicts, fired)
+    }
+    val (plain, firedPlain) = lifecycle(auto = false)
+    val (auto, firedAuto) = lifecycle(auto = true)
+    firedPlain shouldBe false
+    firedAuto shouldBe true // the threshold DID trigger mid-sequence
+    auto shouldBe plain // ...and changed no verdict
+    // overlapping doc ranges: batch b repeats 75 of b-1's texts
+    plain.map(_.size) shouldBe Seq(150, 75, 75)
+  }
+
   test("exact index: compaction between batches preserves novelty " +
       "verdicts and storage row count") {
     val idx = tmp("graft_pidx_exact")
