@@ -2824,6 +2824,108 @@ object QueriesCorpus {
        |FROM lls CROSS JOIN (VALUES (1), (2)) AS i(iter)
        |ORDER BY i.iter""".stripMargin
 
+  // -------------------------------------------------------------- q417
+  /** SentencePiece-style vocabulary PRUNE on the EM loop (r10
+    * next-round #7 — q412 pins EM iterations on a FIXED vocab; real
+    * unigram-LM training alternates EM with pruning): one E-step from
+    * the q398/q405 seed model, keep the top-50 multi-character pieces
+    * by expected count (piece-asc tie-break) plus every single-
+    * character piece (the segmentability floor SentencePiece
+    * protects), M-step-renormalize over the survivors in the q412
+    * deterministic fold order, and score the corpus under the PRUNED
+    * model. One row per surviving piece hash-pins the survival set
+    * AND the pruned model (lnp2_micro); post_ll_micro (constant
+    * column) pins the post-prune corpus log-likelihood Σ freq·ln Z
+    * folded word-ascending. The oracle replays everything: the q405
+    * forward/backward machinery for the E-step terms, the top-50 +
+    * singles survivor cut, list_reduce folds for the M-step, and a
+    * recursive forward pass under the pruned model — every double the
+    * same chain of IEEE ops; micro-rounding is HALF_UP away from zero
+    * on both sides (these are negative values — the q412 rounding
+    * discipline). */
+  private def q417VocabPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramLm
+    import s.implicits._
+    val words = docs(s, dir)
+      .select(explode(TA.alnumTokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val vocabRows = UnigramLm
+      .seedVocab(UnigramLm.pieceCounts(words, 4), 500)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = vocabRows.map(_._2).sum
+    val lnp1 = vocabRows
+      .map { case (p, c) => p -> math.log(c.toDouble / total.toDouble) }
+      .toMap
+    val top = words.orderBy(col("freq").desc, col("word")).limit(100)
+      .localCheckpoint(true)
+    words.unpersist()
+    val lnp2 = UnigramLm.pruneIterationSorted(top, lnp1, 4, keepTopK = 50)
+    val ll2 = top.select(col("word"), col("freq")).as[(String, Long)]
+      .map { case (w, f) => (w, f * UnigramLm.wordLogZ(w, lnp2, 4)) }
+      .collect().sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    def micro(v: Double): Long = BigDecimal(v * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    lnp2.toSeq.sortBy(_._1)
+      .map { case (p, l) => (p, p.length, micro(l), micro(ll2)) }
+      .toDF("piece", "n_chars", "lnp2_micro", "post_ll_micro")
+      .orderBy(col("piece"))
+  }
+
+  private val q417Sql =
+    s"""WITH RECURSIVE $emOracleCtes,
+       |ec AS (
+       |  SELECT piece,
+       |    list_reduce(list(tval ORDER BY tval), (x, y) -> x + y) AS c
+       |  FROM tv GROUP BY piece),
+       |multi AS (SELECT piece, c FROM ec WHERE length(piece) > 1
+       |          ORDER BY c DESC, piece LIMIT 50),
+       |surv AS (
+       |  SELECT piece, c FROM multi
+       |  UNION ALL
+       |  SELECT piece, c FROM ec WHERE length(piece) = 1),
+       |tot2 AS (
+       |  SELECT list_reduce(list(c ORDER BY piece), (x, y) -> x + y)
+       |    AS t
+       |  FROM surv),
+       |lp2 AS (SELECT piece, ln(c / tot2.t) AS lnp FROM surv, tot2),
+       |ca2 AS (
+       |  SELECT tw.word, CAST(t.i AS INT) AS i,
+       |    list(struct_pack(l := l.l, lnp := lp2.lnp) ORDER BY l.l)
+       |      AS cands
+       |  FROM tw
+       |  CROSS JOIN (VALUES (1), (2), (3), (4)) AS l(l),
+       |    unnest(range(1, length(tw.word) + 1)) AS t(i)
+       |  JOIN lp2 ON lp2.piece =
+       |    substr(tw.word, CAST(t.i - l.l + 1 AS INT), l.l)
+       |  WHERE t.i >= l.l
+       |  GROUP BY 1, 2),
+       |astep2(word, i, dp) AS (
+       |  SELECT word, 0, [CAST(0.0 AS DOUBLE)] FROM tw
+       |  UNION ALL
+       |  SELECT s.word, s.i + 1,
+       |    s.dp || [
+       |      list_max(list_transform(ca2.cands,
+       |        c -> s.dp[s.i + 2 - c.l] + c.lnp))
+       |      + ln(list_reduce(list_transform(ca2.cands, c ->
+       |          exp(s.dp[s.i + 2 - c.l] + c.lnp
+       |            - list_max(list_transform(ca2.cands,
+       |                c2 -> s.dp[s.i + 2 - c2.l] + c2.lnp)))),
+       |        (a, b) -> a + b))]
+       |  FROM astep2 s
+       |  JOIN tw ON tw.word = s.word
+       |  JOIN ca2 ON ca2.word = s.word AND ca2.i = s.i + 1
+       |  WHERE s.i < length(tw.word)),
+       |ll AS (
+       |  SELECT list_reduce(list(tw.freq * a.dp[length(tw.word) + 1]
+       |      ORDER BY tw.word), (x, y) -> x + y) AS v
+       |  FROM tw JOIN astep2 a ON a.word = tw.word
+       |    AND a.i = length(tw.word))
+       |SELECT lp2.piece, CAST(length(lp2.piece) AS INT) AS n_chars,
+       |  CAST(round(lp2.lnp * 1e6) AS BIGINT) AS lnp2_micro,
+       |  CAST(round(ll.v * 1e6) AS BIGINT) AS post_ll_micro
+       |FROM lp2, ll ORDER BY lp2.piece""".stripMargin
+
   // -------------------------------------------------------------- q408
   /** BPE encoding under a FIXED merge list — the inference half of the
     * tokenizer family, now oracle-gated (training stays spec-only: its
@@ -2910,6 +3012,7 @@ object QueriesCorpus {
     "q408_bpe_encode" -> (q408BpeEncode _),
     "q405_unigram_em_step" -> (q405EmStep _),
     "q412_em_iterations" -> (q412EmIterations _),
+    "q417_vocab_prune" -> (q417VocabPrune _),
     "q398_unigram_segment" -> (q398UnigramSegment _),
     "q392_incr_drift" -> (q392IncrDrift _),
     "q385_js_divergence" -> (q385JsDivergence _),
@@ -2966,6 +3069,7 @@ object QueriesCorpus {
     "q408_bpe_encode" -> q408Sql,
     "q405_unigram_em_step" -> q405Sql,
     "q412_em_iterations" -> q412Sql,
+    "q417_vocab_prune" -> q417Sql,
     "q358_ddsketch_audit" -> q358Sql,
     "q366_zipf_slope" -> q366Sql,
     "q344_good_turing" -> q344Sql,

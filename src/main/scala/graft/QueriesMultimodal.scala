@@ -1204,21 +1204,27 @@ object QueriesMultimodal {
     * tokens → shared-token candidates → recursive-CTE LCS → sim —
     * from the events formula, through real RIFF/WAVE encode/decode
     * on the Spark side. */
-  private def q411AudioShiftDedup(s: SparkSession, dir: String)
-      : DataFrame = {
-    import s.implicits._
+  /** q411/q415/q416's shared clip fixture: 8-user PCM clips (≥ 512
+    * samples — 4 complete 128-sample windows — even 16-bit values). */
+  private def audioClips(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
       .filter(col("value").isNotNull && col("user_id") <= 500)
       .select(expr("user_id div 8").as("clip_id"), col("event_id"),
         col("user_id"),
         ((pmod((col("value").cast("decimal(18,2)") * 100).cast("long"),
           lit(16384L)) - 8192L) * 2L).cast("int").as("s"))
-    val base = ev.groupBy(col("clip_id"))
+    ev.groupBy(col("clip_id"))
       .agg(sort_array(collect_list(struct(col("event_id"),
         col("user_id"), col("s")))).as("a"))
       .select(col("clip_id").as("doc_id"),
         expr("transform(a, x -> x.s)").as("samples"))
       .filter(size(col("samples")) >= 512) // >= 4 complete windows
+  }
+
+  private def q411AudioShiftDedup(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val base = audioClips(s, dir)
     val trimmed = base.select((col("doc_id") + 100000L).as("doc_id"),
       expr("slice(samples, 257, size(samples) - 256)").as("samples"))
     val pcm = base.unionAll(trimmed).as[Multimodal.PcmRow]
@@ -1307,6 +1313,271 @@ object QueriesMultimodal {
       |  AND f.i = len(p.c1)
       |WHERE CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
       |    / (len(p.c1) + len(p.c2)) >= 0.5
+      |ORDER BY p.id1, p.id2""".stripMargin
+
+  // -------------------------------------------------------------- q415
+  /** The hop dial as GATE DATA (r10 next-round #5 — q411 plants
+    * window-ALIGNED trims, so the hopSamples overlap dial was only
+    * spec-pinned): the q411 clips gain planted copies trimmed by 96
+    * samples — 3 hops of 32, NOT a multiple of the 128-sample window —
+    * and the dedup runs BOTH ways. With hopSamples = windowSamples/4
+    * (4× tokens — the documented cost of the dial, priced in
+    * BENCH_NOTES) every trimmed window is sample-identical to an
+    * original window 3 hop positions later, so all planted pairs
+    * align at lcs = nw−3 and are found; with the dial OFF
+    * (hop = window) the trim re-phases every window, no tokens are
+    * shared, and the planted pairs are MISSED — both arms emitted as
+    * counts, so the miss is pinned as data, not just absent. Trim
+    * granularity IS the hop (a 37-sample trim would need hop 1 at
+    * 128× tokens — the dial trades cost for granularity, it does not
+    * abolish the trade). Oracle restates the full overlapping-window
+    * pipeline for both arms: windows at each hop (a range join of
+    * samples into window spans) → 8-point WHT per 8-sample sub-window
+    * → energy-comparison bits → two's-complement tokens →
+    * shared-token candidates → recursive-CTE LCS → sim ≥ 0.5 →
+    * per-arm counts. */
+  private def q415HopDialTrim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = audioClips(s, dir)
+    val trimmed = base.select((col("doc_id") + 100000L).as("doc_id"),
+      expr("slice(samples, 97, size(samples) - 96)").as("samples"))
+    val wav = Multimodal.encodeWavTable(
+      base.unionAll(trimmed).as[Multimodal.PcmRow], sampleRate = 8000)
+      .localCheckpoint(true) // two arms read the same encoded blobs
+    def arm(name: String, hop: Int): DataFrame =
+      Multimodal.audioShiftDedup(wav, minSim = 0.5,
+          windowSamples = 128, hopSamples = hop)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("id2") === col("id1") + 100000L, 1L)
+            .otherwise(0L)), lit(0L)).as("n_planted_found"))
+        .select(lit(name).as("arm"), col("n_pairs"),
+          col("n_planted_found"))
+    arm("hop32", 32).unionAll(arm("hop128", 128)).orderBy(col("arm"))
+  }
+
+  private val q415Sql =
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id // 8 AS doc_id, event_id, user_id,
+      |    (((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 16384)
+      |      + 16384) % 16384 - 8192) * 2 AS s
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, s,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY event_id, user_id, s) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT doc_id, s, rn, n FROM r WHERE n >= 512),
+      |px AS (
+      |  SELECT doc_id, rn, s, n FROM u
+      |  UNION ALL
+      |  SELECT doc_id + 100000, rn - 96, s, n - 96 FROM u
+      |  WHERE rn > 96),
+      |arms(arm, hop) AS (VALUES ('hop32', 32), ('hop128', 128)),
+      |nws AS (
+      |  SELECT a.arm, a.hop, d.doc_id, CAST(w.w AS INT) AS w
+      |  FROM (SELECT DISTINCT doc_id, n FROM px) d
+      |  CROSS JOIN arms a,
+      |    unnest(range(0, greatest((d.n - 128) // a.hop + 1, 0))) AS w(w)),
+      |wnd AS (
+      |  SELECT nws.arm, nws.doc_id, nws.w,
+      |    CAST((p.rn - 1 - nws.w * nws.hop) // 8 AS INT) AS sw,
+      |    CAST((p.rn - 1 - nws.w * nws.hop) % 8 AS INT) AS t, p.s
+      |  FROM nws JOIN px p ON p.doc_id = nws.doc_id
+      |    AND p.rn >= nws.w * nws.hop + 1
+      |    AND p.rn <= nws.w * nws.hop + 128),
+      |coefs AS (
+      |  SELECT arm, doc_id, w, sw, k.k,
+      |    CAST(sum(CASE WHEN bit_count(k.k & t) % 2 = 0 THEN s
+      |      ELSE -s END) AS BIGINT) AS c
+      |  FROM wnd CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5),
+      |    (6), (7)) AS k(k)
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |bits AS (
+      |  SELECT a.arm, a.doc_id, a.w, (a.sw * 4 + a.k) AS b
+      |  FROM coefs a JOIN coefs b2 ON b2.arm = a.arm
+      |    AND b2.doc_id = a.doc_id AND b2.w = a.w AND b2.sw = a.sw
+      |    AND b2.k = a.k + 4
+      |  WHERE a.k < 4 AND a.c * a.c > b2.c * b2.c),
+      |hs AS (
+      |  SELECT arm, doc_id, w,
+      |    CAST(sum(CASE WHEN b = 63 THEN -9223372036854775808
+      |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS h
+      |  FROM bits GROUP BY 1, 2, 3),
+      |wd AS (SELECT DISTINCT arm, doc_id, w FROM wnd),
+      |fh AS (
+      |  SELECT wd.arm, wd.doc_id, wd.w,
+      |    CAST(coalesce(hs.h, 0) AS VARCHAR) AS h
+      |  FROM wd LEFT JOIN hs ON hs.arm = wd.arm
+      |    AND hs.doc_id = wd.doc_id AND hs.w = wd.w),
+      |seqs AS (SELECT arm, doc_id, list(h ORDER BY w) AS seq FROM fh
+      |         GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT a.arm, a.doc_id AS id1, b.doc_id AS id2
+      |  FROM (SELECT arm, doc_id, unnest(seq) AS h FROM seqs) a
+      |  JOIN (SELECT arm, doc_id, unnest(seq) AS h FROM seqs) b
+      |    ON b.arm = a.arm AND b.h = a.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT c.arm, c.id1, c.id2, s1.seq AS c1, s2.seq AS c2
+      |  FROM cand c JOIN seqs s1 ON s1.arm = c.arm
+      |    AND s1.doc_id = c.id1
+      |  JOIN seqs s2 ON s2.arm = c.arm AND s2.doc_id = c.id2),
+      |step(arm, id1, id2, i, dp) AS (
+      |  SELECT arm, id1, id2, 0,
+      |    list_transform(range(0, len(c2) + 1), x -> 0)
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT st.arm, st.id1, st.id2, st.i + 1,
+      |    [0] || list_transform(range(1, len(p.c2) + 1), j ->
+      |      greatest(st.dp[j + 1],
+      |        list_max(list_transform(range(1, j + 1), j2 ->
+      |          st.dp[j2] + CASE WHEN p.c1[st.i + 1] = p.c2[j2]
+      |            THEN 1 ELSE 0 END))))
+      |  FROM step st JOIN pairs p ON p.arm = st.arm
+      |    AND p.id1 = st.id1 AND p.id2 = st.id2
+      |  WHERE st.i < len(p.c1)),
+      |hits AS (
+      |  SELECT p.arm, p.id1, p.id2
+      |  FROM pairs p JOIN step f ON f.arm = p.arm AND f.id1 = p.id1
+      |    AND f.id2 = p.id2 AND f.i = len(p.c1)
+      |  WHERE CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+      |      / (len(p.c1) + len(p.c2)) >= 0.5)
+      |SELECT a.arm, CAST(count(h.id1) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(sum(CASE WHEN h.id2 = h.id1 + 100000 THEN 1
+      |    ELSE 0 END), 0) AS BIGINT) AS n_planted_found
+      |FROM arms a LEFT JOIN hits h ON h.arm = a.arm
+      |GROUP BY a.arm ORDER BY a.arm""".stripMargin
+
+  // -------------------------------------------------------------- q416
+  /** Resample-robust audio dedup (r10 next-round #6): a sample-rate-
+    * converted copy — the most common real audio transform after
+    * trim/gain — shares NO 128-sample window tokens with its
+    * original, because every window holds different values on a
+    * different time grid. Fix: normalize every clip to a CANONICAL
+    * rate first (resampleLinear — exact-rational positions, floored
+    * linear interpolation, integer in/out), then window. The gate
+    * plants 2×-rate copies: each clip upsamples 8 → 16 kHz through
+    * resampleLinear itself (odd positions exact, even positions
+    * floored midpoints), becomes a REAL 16 kHz WAV blob, and the
+    * dedup runs with canonicalRate = 8000 — the 16 kHz decode
+    * resamples back down, landing EXACTLY on the original samples
+    * (even output positions are exact rational hits — the identity
+    * the scaladoc pins), so every (original, copy) pair aligns at
+    * lcs = nw, sim = 1.0, while unrelated clips share nothing. The
+    * oracle restates the interpolation chain itself — upsample (odd
+    * rn exact, even rn floored midpoint via lead()) → downsample
+    * (odd positions of the upsampled stream) → windows → WHT →
+    * tokens → candidates → recursive-CTE LCS. Non-integer ratios
+    * (where the roundtrip is NOT identity) are spec-pinned in
+    * MultimodalSpec. */
+  private def q416ResampleDedup(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val base = audioClips(s, dir).as[Multimodal.PcmRow]
+    val up = base.map(r => Multimodal.PcmRow(r.doc_id + 100000L,
+      Multimodal.resampleLinear(r.samples.toArray, 8000, 16000).toSeq))
+    val wav = Multimodal.encodeWavTable(base, sampleRate = 8000)
+      .unionAll(Multimodal.encodeWavTable(up, sampleRate = 16000))
+    Multimodal.audioShiftDedup(wav, minSim = 0.9, windowSamples = 128,
+        canonicalRate = 8000)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val q416Sql =
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id // 8 AS doc_id, event_id, user_id,
+      |    (((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 16384)
+      |      + 16384) % 16384 - 8192) * 2 AS s
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, s,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY event_id, user_id, s) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT doc_id, s, rn, n FROM r WHERE n >= 512),
+      |up AS (
+      |  SELECT doc_id + 100000 AS doc_id, 2 * rn - 1 AS rn, s,
+      |    2 * n AS n
+      |  FROM u
+      |  UNION ALL
+      |  SELECT doc_id + 100000, 2 * rn,
+      |    CASE WHEN rn < n
+      |      THEN s + CAST(floor((lead_s - s) / 2.0) AS BIGINT)
+      |      ELSE s END,
+      |    2 * n
+      |  FROM (SELECT doc_id, rn, n, s,
+      |          lead(s) OVER (PARTITION BY doc_id ORDER BY rn) AS lead_s
+      |        FROM u)),
+      |down AS (
+      |  SELECT doc_id, (rn + 1) // 2 AS rn, s, n // 2 AS n FROM up
+      |  WHERE rn % 2 = 1),
+      |px AS (
+      |  SELECT doc_id, rn, s, n FROM u
+      |  UNION ALL
+      |  SELECT doc_id, rn, s, n FROM down),
+      |wnd AS (
+      |  SELECT doc_id, CAST((rn - 1) // 128 AS INT) AS w,
+      |    CAST(((rn - 1) % 128) // 8 AS INT) AS sw,
+      |    CAST((rn - 1) % 8 AS INT) AS t, s
+      |  FROM px WHERE rn <= (n // 128) * 128),
+      |coefs AS (
+      |  SELECT doc_id, w, sw, k.k,
+      |    CAST(sum(CASE WHEN bit_count(k.k & t) % 2 = 0 THEN s
+      |      ELSE -s END) AS BIGINT) AS c
+      |  FROM wnd CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5),
+      |    (6), (7)) AS k(k)
+      |  GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT a.doc_id, a.w, (a.sw * 4 + a.k) AS b
+      |  FROM coefs a JOIN coefs b2 ON b2.doc_id = a.doc_id
+      |    AND b2.w = a.w AND b2.sw = a.sw AND b2.k = a.k + 4
+      |  WHERE a.k < 4 AND a.c * a.c > b2.c * b2.c),
+      |hs AS (
+      |  SELECT doc_id, w,
+      |    CAST(sum(CASE WHEN b = 63 THEN -9223372036854775808
+      |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS h
+      |  FROM bits GROUP BY 1, 2),
+      |wd AS (SELECT DISTINCT doc_id, w FROM wnd),
+      |fh AS (
+      |  SELECT wd.doc_id, wd.w,
+      |    CAST(coalesce(hs.h, 0) AS VARCHAR) AS h
+      |  FROM wd LEFT JOIN hs ON hs.doc_id = wd.doc_id AND hs.w = wd.w),
+      |seqs AS (SELECT doc_id, list(h ORDER BY w) AS seq FROM fh
+      |         GROUP BY 1),
+      |cand AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM (SELECT doc_id, unnest(seq) AS h FROM seqs) a
+      |  JOIN (SELECT doc_id, unnest(seq) AS h FROM seqs) b
+      |    ON b.h = a.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT c.id1, c.id2, s1.seq AS c1, s2.seq AS c2
+      |  FROM cand c JOIN seqs s1 ON s1.doc_id = c.id1
+      |  JOIN seqs s2 ON s2.doc_id = c.id2),
+      |step(id1, id2, i, dp) AS (
+      |  SELECT id1, id2, 0, list_transform(range(0, len(c2) + 1), x -> 0)
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT st.id1, st.id2, st.i + 1,
+      |    [0] || list_transform(range(1, len(p.c2) + 1), j ->
+      |      greatest(st.dp[j + 1],
+      |        list_max(list_transform(range(1, j + 1), j2 ->
+      |          st.dp[j2] + CASE WHEN p.c1[st.i + 1] = p.c2[j2]
+      |            THEN 1 ELSE 0 END))))
+      |  FROM step st JOIN pairs p ON p.id1 = st.id1 AND p.id2 = st.id2
+      |  WHERE st.i < len(p.c1))
+      |SELECT p.id1, p.id2,
+      |  CAST(len(p.c1) AS BIGINT) AS n1,
+      |  CAST(len(p.c2) AS BIGINT) AS n2,
+      |  CAST(f.dp[len(p.c2) + 1] AS BIGINT) AS lcs,
+      |  CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+      |    / (len(p.c1) + len(p.c2)) AS sim
+      |FROM pairs p JOIN step f ON f.id1 = p.id1 AND f.id2 = p.id2
+      |  AND f.i = len(p.c1)
+      |WHERE CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+      |    / (len(p.c1) + len(p.c2)) >= 0.9
       |ORDER BY p.id1, p.id2""".stripMargin
 
   // -------------------------------------------------------------- q414
@@ -1434,6 +1705,8 @@ object QueriesMultimodal {
     "q409_jpeg_progressive" -> (q409JpegProgressive _),
     "q410_jpeg_sa_collision" -> (q410JpegSaHashCollision _),
     "q411_audio_shift_dedup" -> (q411AudioShiftDedup _),
+    "q415_hop_dial_trim" -> (q415HopDialTrim _),
+    "q416_resample_dedup" -> (q416ResampleDedup _),
     "q413_jpeg_color_features" -> (q413JpegColorFeatures _),
     "q414_exif_orientation" -> (q414ExifOrientationCollision _),
     "q407_jpeg_perceptual_collision" -> (q407JpegHashCollision _),
@@ -1458,6 +1731,8 @@ object QueriesMultimodal {
     "q409_jpeg_progressive" -> q409Sql,
     "q410_jpeg_sa_collision" -> q410Sql,
     "q411_audio_shift_dedup" -> q411Sql,
+    "q415_hop_dial_trim" -> q415Sql,
+    "q416_resample_dedup" -> q416Sql,
     "q413_jpeg_color_features" -> q413Sql,
     "q414_exif_orientation" -> q414Sql,
     "q407_jpeg_perceptual_collision" -> q407Sql,

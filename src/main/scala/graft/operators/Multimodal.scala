@@ -1346,6 +1346,46 @@ object Multimodal {
     })
   }
 
+  /** Linear-interpolation PCM resampler, exact integer in and out —
+    * the resizePixels convention brought to the time axis: output
+    * sample i sits at source position i·fromRate/toRate held as an
+    * EXACT rational (numerator i·fromRate, denominator toRate; no
+    * float anywhere), taking the source sample on an exact hit and
+    * the floor of the linear interpolation between the two
+    * neighbors otherwise (floorDiv — one deterministic rounding
+    * rule for positive and negative samples alike). Output length
+    * ⌊n·toRate/fromRate⌋. Doubling then halving a rate is the
+    * IDENTITY by construction (even output positions are exact
+    * hits), which is what makes resample-robust dedup oracle-exact;
+    * non-integer ratios interpolate and are spec-pinned. Values
+    * interpolate between in-range neighbors, so 16-bit inputs stay
+    * 16-bit — [[spectralWhtHash64]]'s range contract survives. */
+  def resampleLinear(samples: Array[Int], fromRate: Int,
+      toRate: Int): Array[Int] = {
+    require(fromRate >= 1 && toRate >= 1,
+      s"sample rates must be >= 1 (got $fromRate -> $toRate)")
+    require(samples.nonEmpty, "cannot resample an empty stream")
+    if (fromRate == toRate) return samples
+    val n = samples.length
+    val nOut = (n.toLong * toRate / fromRate).toInt
+    require(nOut >= 1,
+      s"resampling $n samples $fromRate -> $toRate leaves none")
+    val out = new Array[Int](nOut)
+    var i = 0
+    while (i < nOut) {
+      val p = i.toLong * fromRate
+      val idx = (p / toRate).toInt
+      val rem = p % toRate
+      out(i) =
+        if (rem == 0L || idx + 1 >= n) samples(idx)
+        else samples(idx) + Math.floorDiv(
+          (samples(idx + 1) - samples(idx)).toLong * rem, toRate.toLong)
+          .toInt
+      i += 1
+    }
+    out
+  }
+
   /** Per-WINDOW spectral fingerprint sequence — the shift-robust
     * upgrade of [[spectralWhtHash64]] (whose fixed 16-frame grid a
     * trim or pad mis-aligns everywhere, the same weakness class the
@@ -1385,12 +1425,23 @@ object Multimodal {
   }
 
   /** Per-partition WAV decode → window-hash sequence (map-only; only
-    * the token sequences shuffle). */
+    * the token sequences shuffle). `canonicalRate` > 0 first
+    * [[resampleLinear]]s every clip to that rate — without it, a
+    * sample-rate-converted copy (44.1 → 16 kHz is the most common
+    * real audio transform after trim/gain) shares NO window tokens
+    * with its original, because every window holds different sample
+    * values on a different time grid. 0 = off (clips already share
+    * a rate). */
   def wavSpectralSeqTable(media: Dataset[WavRow],
-      windowSamples: Int, hopSamples: Int = 0): DataFrame = {
+      windowSamples: Int, hopSamples: Int = 0,
+      canonicalRate: Int = 0): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val (_, samples) = decodeWavSamples(r.content)
+      val (rate, decoded) = decodeWavSamples(r.content)
+      val samples =
+        if (canonicalRate > 0 && rate != canonicalRate)
+          resampleLinear(decoded, rate, canonicalRate)
+        else decoded
       (r.doc_id, audioSpectralSeq(samples, windowSamples, hopSamples))
     }).toDF("doc_id", "seq")
   }
@@ -1405,9 +1456,11 @@ object Multimodal {
     * @return (id1, id2, n1, n2, lcs, sim) with sim >= minSim */
   def audioShiftDedup(media: Dataset[WavRow], minSim: Double,
       windowSamples: Int = 128, hopSamples: Int = 0,
-      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame =
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize,
+      canonicalRate: Int = 0): DataFrame =
     videoFrameHashDedup(
-      wavSpectralSeqTable(media, windowSamples, hopSamples),
+      wavSpectralSeqTable(media, windowSamples, hopSamples,
+        canonicalRate),
       "doc_id", "seq", minSim, maxBucketSize)
 
   /** Video-style near-duplicate detection over FRAME-HASH SEQUENCES —

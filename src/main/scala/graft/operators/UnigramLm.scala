@@ -276,6 +276,39 @@ object UnigramLm {
     counts.map { case (p, c) => p -> math.log(c / total) }.toMap
   }
 
+  /** One SentencePiece-style vocabulary PRUNE round — the other half
+    * of the Kudo 2018 training alternation q412 left open (real
+    * unigram-LM training alternates EM with pruning: drop the pieces
+    * contributing least, re-normalize, re-EM): from the E-step's
+    * expected counts under the current model, KEEP the top
+    * `keepTopK` multi-character pieces by (expected count desc,
+    * piece asc) plus EVERY single-character piece — the
+    * segmentability floor; dropping a character could make words
+    * unreachable, which is why SentencePiece protects them — then
+    * M-step-renormalize over the survivors in deterministic
+    * arithmetic order (per-piece term-sorted folds from
+    * [[emExpectedCountsSorted]], normalizer folded piece-ascending,
+    * ln(c/total) — the q412 fold discipline, so the pruned model is
+    * the same doubles in any engine replaying the folds). Expected-
+    * count ranking is the standard cheap surrogate for Kudo's exact
+    * leave-one-out likelihood loss: a piece with negligible expected
+    * mass cannot carry likelihood. Word table must be BOUNDED
+    * (top-k) like emExpectedCountsSorted's. */
+  def pruneIterationSorted(words: DataFrame, lnp: Map[String, Double],
+      maxPieceLen: Int, keepTopK: Int): Map[String, Double] = {
+    require(keepTopK >= 1 && keepTopK <= 100000,
+      s"keepTopK ($keepTopK) out of [1, 100000]")
+    val counts = emExpectedCountsSorted(words, lnp, maxPieceLen)
+      .select(col("piece"), col("exp_count"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val multi = counts.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }.take(keepTopK)
+    val singles = counts.filter(_._1.length == 1)
+    val survivors = (multi ++ singles).sortBy(_._1)
+    val total = survivors.foldLeft(0.0)(_ + _._2)
+    survivors.map { case (p, c) => p -> math.log(c / total) }.toMap
+  }
+
   /** End-to-end scoring of the corpus' most frequent words: tokenize,
     * count pieces, build the seed vocabulary, and Viterbi-score the
     * top-`topWords` words. Output one row per scored word:

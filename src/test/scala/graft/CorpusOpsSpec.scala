@@ -718,6 +718,37 @@ class CorpusOpsSpec extends SparkSpec {
       (3L * UnigramLm.wordLogZ("ab", lnp, 2)) +- 1e-12
   }
 
+  test("UnigramLm pruneIterationSorted: top-K multi-char survival, " +
+      "single-char floor, renormalized and deterministic") {
+    import graft.operators.UnigramLm
+    val lnp = Map("a" -> math.log(0.3), "b" -> math.log(0.2),
+      "ab" -> math.log(0.25), "ba" -> math.log(0.15),
+      "aab" -> math.log(0.1))
+    val words = Seq(("aab", 4L), ("ab", 2L)).toDF("word", "freq")
+    val pruned = UnigramLm.pruneIterationSorted(words, lnp, 3, keepTopK = 1)
+    // the single-char floor always survives; exactly ONE multi-char
+    // piece does, and it is the expected-count argmax of the E-step
+    pruned.keySet should contain allOf ("a", "b")
+    val multis = pruned.keySet.filter(_.length > 1)
+    multis.size shouldBe 1
+    val counts = UnigramLm.emExpectedCountsSorted(words, lnp, 3)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    val bestMulti = counts.filter(_._1.length > 1)
+      .toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+    multis.head shouldBe bestMulti
+    // survivors renormalize to a probability distribution
+    pruned.values.map(math.exp).sum shouldBe 1.0 +- 1e-12
+    // every input word stays segmentable under the pruned model
+    // (the floor's whole point), and the call is deterministic
+    UnigramLm.wordLogZ("aab", pruned, 3) should be > Double.NegativeInfinity
+    UnigramLm.wordLogZ("ab", pruned, 3) should be > Double.NegativeInfinity
+    UnigramLm.pruneIterationSorted(words, lnp, 3, keepTopK = 1) shouldBe
+      pruned
+    // keepTopK beyond the piece count keeps everything with mass
+    UnigramLm.pruneIterationSorted(words, lnp, 3, keepTopK = 100)
+      .keySet shouldBe counts.keySet
+  }
+
   test("token-budget mixture sample respects quotas deterministically") {
     val docs = (1 to 60).map { i =>
       (i.toLong, s"src${i % 3}", 100)

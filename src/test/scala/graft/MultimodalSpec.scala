@@ -784,6 +784,59 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioSpectralSeq(a, 128, hopSamples = 129)
   }
 
+  test("resampleLinear: exact rational positions — 2x up/down is the " +
+      "identity, non-integer ratios interpolate with floor semantics") {
+    // identity roundtrip at 2x, negatives and range extremes included
+    val a = Array(0, -3, 7, 32767, -32768, 100, 5, -5)
+    val up = Multimodal.resampleLinear(a, 8000, 16000)
+    up.length shouldBe 16
+    up(0) shouldBe 0
+    up(1) shouldBe Math.floorDiv(-3 - 0, 2) // floored midpoint
+    Multimodal.resampleLinear(up, 16000, 8000).toSeq shouldBe a.toSeq
+    // same rate: untouched
+    Multimodal.resampleLinear(a, 8000, 8000).toSeq shouldBe a.toSeq
+    // 3 -> 2 (non-integer per-sample phase): hand-computed — exact
+    // hits at even output positions, floored interpolation between
+    Multimodal.resampleLinear(
+      Array(0, 300, -300, 900, 60, -60), 3, 2).toSeq shouldBe
+      Seq(0, 0, 900, 0)
+    // floor, NOT truncation, on negative interpolants
+    Multimodal.resampleLinear(Array(0, -3), 1, 2).toSeq shouldBe
+      Seq(0, -2, -3, -3)
+    // interpolated values stay inside the endpoints' range, so the
+    // spectralWhtHash64 16-bit contract survives resampling
+    val r = Multimodal.resampleLinear(Array(-32768, 32767), 16000, 44100)
+    all(r.toSeq) should (be >= -32768 and be <= 32767)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.resampleLinear(Array.empty[Int], 8000, 16000)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.resampleLinear(a, 0, 8000)
+    // a downsample that leaves no samples fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.resampleLinear(Array(1, 2), 44100, 16000)
+  }
+
+  test("canonicalRate: a 2x-rate copy shares EVERY window token after " +
+      "normalization and NONE without it (the q416 contract)") {
+    val samples = Array.tabulate(512)(i =>
+      ((i * 2654435761L) % 4096).toInt - 2048)
+    val up = Multimodal.resampleLinear(samples, 8000, 16000)
+    val media = Seq(
+      Multimodal.WavRow(1L, Multimodal.encodeWavPcm16(samples.toSeq, 8000)),
+      Multimodal.WavRow(2L, Multimodal.encodeWavPcm16(up.toSeq, 16000)))
+      .toDS()
+    val withNorm = Multimodal.audioShiftDedup(media, minSim = 0.9,
+      windowSamples = 128, canonicalRate = 8000).collect()
+    withNorm.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1L, 2L))
+    withNorm.head.getAs[Double]("sim") shouldBe 1.0
+    // without normalization the copy's windows live on a different
+    // time grid with different values: zero shared tokens, no pair —
+    // the documented miss the canonical rate exists to close
+    Multimodal.audioShiftDedup(media, minSim = 0.1,
+      windowSamples = 128).collect() shouldBe empty
+  }
+
   test("q410/q413 gate fixtures hold at sf0.001: every SA-progressive " +
       "re-encode collides within Hamming 6; every decoded RGB channel " +
       "sits inside the JFIF-conversion tolerance") {
