@@ -78,4 +78,13 @@ object IncrementalDedup {
     * @return (data files before, after) */
   def compactIndex(spark: SparkSession, indexPath: String): (Int, Int) =
     PersistentIndex.compact(spark, indexPath, IndexSchema, _(FpCol))
+
+  /** Opt-in auto-compaction cadence — call after each acceptBatch and
+    * the index folds itself whenever accreted file sets exceed the
+    * threshold (see [[PersistentIndex.compactIfAccreted]]); verdicts
+    * are invariant under when it fires. */
+  def compactIndexIfAccreted(spark: SparkSession, indexPath: String,
+      maxFileFactor: Int = 4): Option[(Int, Int)] =
+    PersistentIndex.compactIfAccreted(spark, indexPath, IndexSchema,
+      _(FpCol), maxFileFactor)
 }

@@ -91,4 +91,11 @@ object IncrementalPerceptualDedup {
   def compactIndex(spark: SparkSession,
       indexPath: String): (Int, Int) =
     PersistentIndex.compact(spark, indexPath, IndexSchema, _("band"))
+
+  /** Opt-in auto-compaction cadence — [[IncrementalDedup
+    * .compactIndexIfAccreted]]'s perceptual sibling. */
+  def compactIndexIfAccreted(spark: SparkSession, indexPath: String,
+      maxFileFactor: Int = 4): Option[(Int, Int)] =
+    PersistentIndex.compactIfAccreted(spark, indexPath, IndexSchema,
+      _("band"), maxFileFactor)
 }

@@ -157,4 +157,11 @@ object IncrementalSemanticDedup {
     * in place. @return (data files before, after) */
   def compactIndex(spark: SparkSession, indexPath: String): (Int, Int) =
     PersistentIndex.compact(spark, indexPath, IndexSchema, _("bkt"))
+
+  /** Opt-in auto-compaction cadence — [[IncrementalDedup
+    * .compactIndexIfAccreted]]'s semantic sibling. */
+  def compactIndexIfAccreted(spark: SparkSession, indexPath: String,
+      maxFileFactor: Int = 4): Option[(Int, Int)] =
+    PersistentIndex.compactIfAccreted(spark, indexPath, IndexSchema,
+      _("bkt"), maxFileFactor)
 }

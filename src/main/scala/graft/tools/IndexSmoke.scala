@@ -108,6 +108,28 @@ object IndexSmoke {
     val (w2, prunedC, allC) = probeWall()
     println(f"[index-smoke] compacted $before%d -> $after%d files; " +
       f"read=$prunedC%d/$allC%d probe_wall=$w2%6.3f s")
+
+    // auto-compaction cadence sawtooth: a fresh index accretes one
+    // file set per daily batch until compactIndexIfAccreted's
+    // threshold trips, folds to ~one file per partition, and accretes
+    // again — the file count saws instead of growing without bound,
+    // with verdicts untouched (spec-pinned; this prints the shape)
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("graft_index_smoke_auto").toString + "/idx"
+    val factor = 2
+    println(s"[index-smoke] auto-compaction sawtooth " +
+      s"(maxFileFactor=$factor, threshold=" +
+      s"${factor * PersistentIndex.NumPfx} files):")
+    (0 until 8).foreach { d =>
+      IncrementalPerceptualDedup.acceptBatch(batch(100 + d, batchN),
+        "doc_id", "dhash", idx2, f"auto$d%03d", maxHamming = 6).count()
+      val beforeAuto = PersistentIndex.dataFileCount(spark, idx2)
+      val compacted = IncrementalPerceptualDedup
+        .compactIndexIfAccreted(spark, idx2, maxFileFactor = factor)
+      val afterAuto = PersistentIndex.dataFileCount(spark, idx2)
+      println(f"[index-smoke]   day=$d%2d files=$beforeAuto%4d -> " +
+        f"$afterAuto%4d ${if (compacted.nonEmpty) "COMPACTED" else ""}")
+    }
     spark.stop()
   }
 }
