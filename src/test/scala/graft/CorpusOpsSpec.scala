@@ -747,6 +747,18 @@ class CorpusOpsSpec extends SparkSpec {
     // keepTopK beyond the piece count keeps everything with mass
     UnigramLm.pruneIterationSorted(words, lnp, 3, keepTopK = 100)
       .keySet shouldBe counts.keySet
+    // the SentencePiece alternation: EM iterations AFTER the prune
+    // still ascend the (pruned-model) corpus likelihood — the EM
+    // guarantee holds from any starting model, including a pruned one
+    val corpus = Seq(("aab", 4L), ("ab", 2L))
+    var m = pruned
+    var prev = UnigramLm.corpusLogLikelihood(corpus, m, 3)
+    (0 until 2).foreach { _ =>
+      m = UnigramLm.emIterationSorted(words, m, 3)
+      val ll = UnigramLm.corpusLogLikelihood(corpus, m, 3)
+      ll should be >= prev - 1e-12
+      prev = ll
+    }
   }
 
   test("token-budget mixture sample respects quotas deterministically") {

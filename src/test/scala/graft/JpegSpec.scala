@@ -653,6 +653,25 @@ class JpegSpec extends SparkSpec {
           Jpeg.encodeJpegGray(px.toSeq, w, quant, restartInterval = saDri,
             progressive = true, successiveApprox = true))
         sa.toSeq shouldBe base.toSeq
+        // a random Exif orientation every 4th trial: the tagged
+        // decode must EXACTLY equal the transform applied to the
+        // untagged decode of the same stored plane — structural
+        // equality (same codec pipeline, the only delta is APP1 +
+        // the final re-index), so arbitrary quant loss cancels out
+        if (trial % 4 == 0) {
+          val o = 2 + rnd.nextInt(7)
+          val (stored, sw, sh) = Jpeg.applyExifOrientation(px, w, h,
+            Jpeg.inverseExifOrientation(o))
+          val tagged = Jpeg.decodeJpeg(Jpeg.encodeJpegGray(
+            stored.toSeq, sw, quant, exifOrientation = o))
+          tagged.orientation shouldBe o
+          (tagged.width, tagged.height) shouldBe ((w, h))
+          val raw = Jpeg.decodeJpeg(
+            Jpeg.encodeJpegGray(stored.toSeq, sw, quant))
+          val (expUp, _, _) =
+            Jpeg.applyExifOrientation(raw.lumas, sw, sh, o)
+          tagged.lumas.toSeq shouldBe expUp.toSeq
+        }
         // an independent implementation parses our stream and agrees
         // on geometry (pixel agreement is checked in the dedicated
         // interop test; arbitrary quant tables only widen IDCT slack)
