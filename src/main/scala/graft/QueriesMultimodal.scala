@@ -1580,6 +1580,148 @@ object QueriesMultimodal {
       |    / (len(p.c1) + len(p.c2)) >= 0.9
       |ORDER BY p.id1, p.id2""".stripMargin
 
+  // -------------------------------------------------------------- q418
+  /** The composed audio transform GAUNTLET — real-web copies rarely
+    * apply one transform; this gate plants a copy that stacks all
+    * three the family defends against, and the three mechanisms must
+    * compose: each clip is gain-halved (exact — fixture samples are
+    * even, and the WHT hash is EXACTLY invariant under exact scaling,
+    * the q406 contract), trimmed by 96 samples (3 hops of 32, NOT a
+    * window multiple — the q415 dial case), and 2×-upsampled to a
+    * REAL 16 kHz WAV (the q416 resample case). Dedup runs with
+    * hopSamples = 32 AND canonicalRate = 8000: the decode resamples
+    * back (landing exactly on the halved samples), the hop granularity
+    * absorbs the trim, and the gain invariance makes every surviving
+    * window token IDENTICAL to its original counterpart — every
+    * (original, copy) pair aligns at lcs = nw−3 like q415's found
+    * arm. Any one mechanism missing breaks the pair: no canonical
+    * rate → zero shared tokens; no hop dial → the trim re-phases
+    * everything; an inexact gain or resampler → tokens flip. Oracle
+    * restates the chain from the events formula: the halved stream
+    * is the pre-×2 base expression itself (no division anywhere),
+    * trim, the q416 upsample/downsample CTEs, the q415 hop-32 window
+    * machinery, WHT, tokens, candidates, recursive-CTE LCS. */
+  private def q418AudioGauntlet(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val base = audioClips(s, dir).as[Multimodal.PcmRow]
+    val copies = base.map { r =>
+      val half = r.samples.map(_ / 2).toArray
+      val trimmed = java.util.Arrays.copyOfRange(half, 96, half.length)
+      Multimodal.PcmRow(r.doc_id + 100000L,
+        Multimodal.resampleLinear(trimmed, 8000, 16000).toSeq)
+    }
+    val wav = Multimodal.encodeWavTable(base, sampleRate = 8000)
+      .unionAll(Multimodal.encodeWavTable(copies, sampleRate = 16000))
+    Multimodal.audioShiftDedup(wav, minSim = 0.5, windowSamples = 128,
+        hopSamples = 32, canonicalRate = 8000)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val q418Sql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT user_id // 8 AS doc_id, event_id, user_id,
+      |    ((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 16384)
+      |      + 16384) % 16384 - 8192 AS s
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, s,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY event_id, user_id, s * 2) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM sh),
+      |u AS (SELECT doc_id, s, rn, n FROM r WHERE n >= 512),
+      |trimmed AS (
+      |  SELECT doc_id, rn - 96 AS rn, s, n - 96 AS n FROM u
+      |  WHERE rn > 96),
+      |up AS (
+      |  SELECT doc_id + 100000 AS doc_id, 2 * rn - 1 AS rn, s,
+      |    2 * n AS n
+      |  FROM trimmed
+      |  UNION ALL
+      |  SELECT doc_id + 100000, 2 * rn,
+      |    CASE WHEN rn < n
+      |      THEN s + CAST(floor((lead_s - s) / 2.0) AS BIGINT)
+      |      ELSE s END,
+      |    2 * n
+      |  FROM (SELECT doc_id, rn, n, s,
+      |          lead(s) OVER (PARTITION BY doc_id ORDER BY rn) AS lead_s
+      |        FROM trimmed)),
+      |down AS (
+      |  SELECT doc_id, (rn + 1) // 2 AS rn, s, n // 2 AS n FROM up
+      |  WHERE rn % 2 = 1),
+      |px AS (
+      |  SELECT doc_id, rn, s * 2 AS s, n FROM u
+      |  UNION ALL
+      |  SELECT doc_id, rn, s, n FROM down),
+      |nws AS (
+      |  SELECT d.doc_id, CAST(w.w AS INT) AS w
+      |  FROM (SELECT DISTINCT doc_id, n FROM px) d,
+      |    unnest(range(0, greatest((d.n - 128) // 32 + 1, 0))) AS w(w)),
+      |wnd AS (
+      |  SELECT nws.doc_id, nws.w,
+      |    CAST((p.rn - 1 - nws.w * 32) // 8 AS INT) AS sw,
+      |    CAST((p.rn - 1 - nws.w * 32) % 8 AS INT) AS t, p.s
+      |  FROM nws JOIN px p ON p.doc_id = nws.doc_id
+      |    AND p.rn >= nws.w * 32 + 1 AND p.rn <= nws.w * 32 + 128),
+      |coefs AS (
+      |  SELECT doc_id, w, sw, k.k,
+      |    CAST(sum(CASE WHEN bit_count(k.k & t) % 2 = 0 THEN s
+      |      ELSE -s END) AS BIGINT) AS c
+      |  FROM wnd CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5),
+      |    (6), (7)) AS k(k)
+      |  GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT a.doc_id, a.w, (a.sw * 4 + a.k) AS b
+      |  FROM coefs a JOIN coefs b2 ON b2.doc_id = a.doc_id
+      |    AND b2.w = a.w AND b2.sw = a.sw AND b2.k = a.k + 4
+      |  WHERE a.k < 4 AND a.c * a.c > b2.c * b2.c),
+      |hs AS (
+      |  SELECT doc_id, w,
+      |    CAST(sum(CASE WHEN b = 63 THEN -9223372036854775808
+      |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS h
+      |  FROM bits GROUP BY 1, 2),
+      |wd AS (SELECT DISTINCT doc_id, w FROM wnd),
+      |fh AS (
+      |  SELECT wd.doc_id, wd.w,
+      |    CAST(coalesce(hs.h, 0) AS VARCHAR) AS h
+      |  FROM wd LEFT JOIN hs ON hs.doc_id = wd.doc_id AND hs.w = wd.w),
+      |seqs AS (SELECT doc_id, list(h ORDER BY w) AS seq FROM fh
+      |         GROUP BY 1),
+      |cand AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM (SELECT doc_id, unnest(seq) AS h FROM seqs) a
+      |  JOIN (SELECT doc_id, unnest(seq) AS h FROM seqs) b
+      |    ON b.h = a.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT c.id1, c.id2, s1.seq AS c1, s2.seq AS c2
+      |  FROM cand c JOIN seqs s1 ON s1.doc_id = c.id1
+      |  JOIN seqs s2 ON s2.doc_id = c.id2),
+      |step(id1, id2, i, dp) AS (
+      |  SELECT id1, id2, 0, list_transform(range(0, len(c2) + 1), x -> 0)
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT st.id1, st.id2, st.i + 1,
+      |    [0] || list_transform(range(1, len(p.c2) + 1), j ->
+      |      greatest(st.dp[j + 1],
+      |        list_max(list_transform(range(1, j + 1), j2 ->
+      |          st.dp[j2] + CASE WHEN p.c1[st.i + 1] = p.c2[j2]
+      |            THEN 1 ELSE 0 END))))
+      |  FROM step st JOIN pairs p ON p.id1 = st.id1 AND p.id2 = st.id2
+      |  WHERE st.i < len(p.c1))
+      |SELECT p.id1, p.id2,
+      |  CAST(len(p.c1) AS BIGINT) AS n1,
+      |  CAST(len(p.c2) AS BIGINT) AS n2,
+      |  CAST(f.dp[len(p.c2) + 1] AS BIGINT) AS lcs,
+      |  CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+      |    / (len(p.c1) + len(p.c2)) AS sim
+      |FROM pairs p JOIN step f ON f.id1 = p.id1 AND f.id2 = p.id2
+      |  AND f.i = len(p.c1)
+      |WHERE CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+      |    / (len(p.c1) + len(p.c2)) >= 0.5
+      |ORDER BY p.id1, p.id2""".stripMargin
+
   // -------------------------------------------------------------- q414
   /** EXIF orientation normalization pinned as data — the r10
     * next-round headline (a large share of real crawl photos are
@@ -1707,6 +1849,7 @@ object QueriesMultimodal {
     "q411_audio_shift_dedup" -> (q411AudioShiftDedup _),
     "q415_hop_dial_trim" -> (q415HopDialTrim _),
     "q416_resample_dedup" -> (q416ResampleDedup _),
+    "q418_audio_gauntlet" -> (q418AudioGauntlet _),
     "q413_jpeg_color_features" -> (q413JpegColorFeatures _),
     "q414_exif_orientation" -> (q414ExifOrientationCollision _),
     "q407_jpeg_perceptual_collision" -> (q407JpegHashCollision _),
@@ -1733,6 +1876,7 @@ object QueriesMultimodal {
     "q411_audio_shift_dedup" -> q411Sql,
     "q415_hop_dial_trim" -> q415Sql,
     "q416_resample_dedup" -> q416Sql,
+    "q418_audio_gauntlet" -> q418Sql,
     "q413_jpeg_color_features" -> q413Sql,
     "q414_exif_orientation" -> q414Sql,
     "q407_jpeg_perceptual_collision" -> q407Sql,

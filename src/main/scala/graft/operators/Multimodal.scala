@@ -1367,9 +1367,16 @@ object Multimodal {
     require(samples.nonEmpty, "cannot resample an empty stream")
     if (fromRate == toRate) return samples
     val n = samples.length
-    val nOut = (n.toLong * toRate / fromRate).toInt
-    require(nOut >= 1,
+    val nOutL = n.toLong * toRate / fromRate
+    require(nOutL >= 1,
       s"resampling $n samples $fromRate -> $toRate leaves none")
+    // loud bound instead of an Int-overflowed allocation on an
+    // extreme upsampling ratio; matches the fingerprint chunk cap's
+    // order of magnitude (chunk upstream, don't resample monoliths)
+    require(nOutL <= 100000000L,
+      s"resampling $n samples $fromRate -> $toRate yields $nOutL " +
+        "(cap 1e8) — chunk upstream first")
+    val nOut = nOutL.toInt
     val out = new Array[Int](nOut)
     var i = 0
     while (i < nOut) {
