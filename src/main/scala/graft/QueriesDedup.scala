@@ -53,6 +53,81 @@ object QueriesDedup {
        |FROM corpus
        |GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin
 
+  // -------------------------------------------------------------- q419
+  /** Index TAKEDOWN lifecycle (IncrementalDedup.deleteBatch /
+    * PersistentIndex.deleteTag) — the right-to-be-forgotten
+    * operation a real corpus pipeline owes its sources: deleting a
+    * retracted batch must reach the DERIVED fingerprint index, not
+    * just the corpus, or the index keeps silently rejecting re-
+    * submissions of documents the pipeline no longer holds. Four
+    * steps, each pinned as (step, n, id_sum): day0 accepts the
+    * doc_id%4=0 documents; day1 accepts the %4=1 documents (cross-
+    * batch dups rejected); the index is COMPACTED (folding day0's
+    * rows into shared files — forcing the takedown's slow rewrite
+    * arm, not just the cheap own-file delete) and day0 is taken
+    * down (n = index rows removed); day2 re-submits day0's texts
+    * (ids +50000) plus the fresh %4=2 documents — the removed texts
+    * are accepted AGAIN (the index kept no memory of day0) while
+    * texts day1 accepted stay rejected. The oracle restates the
+    * whole state machine declaratively from the q14 fingerprint
+    * chain: per-step min-id keepers, day1 = keepers minus day0
+    * texts, takedown count = |day0 keepers|, day2 = keepers minus
+    * day1-accepted texts ONLY. Any takedown bug — rows left behind,
+    * too much removed, layout flattened — shifts a count or an
+    * id_sum. */
+  private def q419IndexTakedown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.IncrementalDedup
+    val d = docs(s, dir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_takedown_idx").toString + "/idx"
+    def accept(batch: org.apache.spark.sql.DataFrame, tag: String,
+        step: String) =
+      IncrementalDedup.acceptBatch(batch, "doc_id", "text", idx, tag)
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+        .select(lit(step).as("step"), col("n"), col("id_sum"))
+        .localCheckpoint(true) // sequence the side effects eagerly
+    val a1 = accept(d.filter(col("doc_id") % 4 === 0), "day0", "1_day0")
+    val a2 = accept(d.filter(col("doc_id") % 4 === 1), "day1", "2_day1")
+    IncrementalDedup.compactIndex(s, idx) // fold day0 into shared files
+    val removed = IncrementalDedup.deleteBatch(s, idx, "day0")
+    val a3 = Seq(("3_takedown", removed, 0L)).toDF("step", "n", "id_sum")
+    val a4 = accept(
+      d.filter(col("doc_id") % 4 === 0 || col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 50000L).as("doc_id"), col("text")),
+      "day2", "4_day2")
+    a1.unionAll(a2).unionAll(a3).unionAll(a4).orderBy(col("step"))
+  }
+
+  private val q419Sql =
+    """WITH d AS (
+      |  SELECT doc_id, substr(md5(regexp_replace(lower(trim(text)),
+      |    '\s+', ' ', 'g')), 1, 16) AS fp
+      |  FROM documents),
+      |b1k AS (SELECT fp, min(doc_id) AS id FROM d
+      |        WHERE doc_id % 4 = 0 GROUP BY fp),
+      |b2k AS (SELECT fp, min(doc_id) AS id FROM d
+      |        WHERE doc_id % 4 = 1 GROUP BY fp),
+      |b2a AS (SELECT fp, id FROM b2k
+      |        WHERE fp NOT IN (SELECT fp FROM b1k)),
+      |b3k AS (SELECT fp, min(doc_id + 50000) AS id FROM d
+      |        WHERE doc_id % 4 IN (0, 2) GROUP BY fp),
+      |b3a AS (SELECT fp, id FROM b3k
+      |        WHERE fp NOT IN (SELECT fp FROM b2a))
+      |SELECT '1_day0' AS step, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(coalesce(sum(id), 0) AS BIGINT) AS id_sum FROM b1k
+      |UNION ALL
+      |SELECT '2_day1', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(id), 0) AS BIGINT) FROM b2a
+      |UNION ALL
+      |SELECT '3_takedown', CAST((SELECT count(*) FROM b1k) AS BIGINT),
+      |  CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT '4_day2', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(id), 0) AS BIGINT) FROM b3a
+      |ORDER BY step""".stripMargin
+
   // --------------------------------------------------------------- q15
   /** n-gram Jaccard on constructed pairs: each near-dup against its
     * original, plus adjacent-doc non-dup controls. */
@@ -1230,6 +1305,7 @@ object QueriesDedup {
     "q65_semdedup" -> (q65SemDedup _),
     "q57_dup_spans" -> (q57Spans _),
     "q14_dedup_exact" -> (q14Exact _),
+    "q419_index_takedown" -> (q419IndexTakedown _),
     "q15_dedup_ngram_jaccard" -> (q15Ngram _),
     "q16_dedup_minhash_lsh" -> (q16Minhash _),
     "q37_dedup_minhash_words" -> (q37MinhashWords _),
@@ -1254,6 +1330,7 @@ object QueriesDedup {
     "q65_semdedup" -> q65Sql,
     "q57_dup_spans" -> q57Sql,
     "q14_dedup_exact" -> q14Sql,
+    "q419_index_takedown" -> q419Sql,
     "q15_dedup_ngram_jaccard" -> q15Sql,
     "q16_dedup_minhash_lsh" -> q16Sql,
     "q37_dedup_minhash_words" -> q37Sql,

@@ -87,4 +87,13 @@ object IncrementalDedup {
       maxFileFactor: Int = 4): Option[(Int, Int)] =
     PersistentIndex.compactIfAccreted(spark, indexPath, IndexSchema,
       _(FpCol), maxFileFactor)
+
+  /** Takedown of one accepted batch's fingerprints — see
+    * [[PersistentIndex.deleteTag]]. Afterwards, re-submitting the
+    * removed documents (under a NEW tag) re-accepts them.
+    * @return index rows removed */
+  def deleteBatch(spark: SparkSession, indexPath: String,
+      batchTag: String): Long =
+    PersistentIndex.deleteTag(spark, indexPath, IndexSchema, _(FpCol),
+      batchTag)
 }

@@ -98,4 +98,11 @@ object IncrementalPerceptualDedup {
       maxFileFactor: Int = 4): Option[(Int, Int)] =
     PersistentIndex.compactIfAccreted(spark, indexPath, IndexSchema,
       _("band"), maxFileFactor)
+
+  /** Takedown of one accepted batch's band rows —
+    * [[IncrementalDedup.deleteBatch]]'s perceptual sibling. */
+  def deleteBatch(spark: SparkSession, indexPath: String,
+      batchTag: String): Long =
+    PersistentIndex.deleteTag(spark, indexPath, IndexSchema, _("band"),
+      batchTag)
 }

@@ -164,4 +164,11 @@ object IncrementalSemanticDedup {
       maxFileFactor: Int = 4): Option[(Int, Int)] =
     PersistentIndex.compactIfAccreted(spark, indexPath, IndexSchema,
       _("bkt"), maxFileFactor)
+
+  /** Takedown of one accepted batch's index rows —
+    * [[IncrementalDedup.deleteBatch]]'s semantic sibling. */
+  def deleteBatch(spark: SparkSession, indexPath: String,
+      batchTag: String): Long =
+    PersistentIndex.deleteTag(spark, indexPath, IndexSchema, _("bkt"),
+      batchTag)
 }

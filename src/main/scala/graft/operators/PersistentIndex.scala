@@ -257,6 +257,59 @@ object PersistentIndex {
     (before, dataFileCount(spark, path))
   }
 
+  /** TAKEDOWN: remove every index row written under `tag` — the
+    * right-to-be-forgotten / retention operation a real corpus
+    * pipeline needs (a retracted batch's fingerprints must stop
+    * rejecting future documents; GDPR-style deletion must reach the
+    * derived index, not just the corpus). Afterwards the index holds
+    * NO memory of the tag: re-submitting the removed documents under
+    * a new tag re-accepts them.
+    *
+    * Two arms, cheapest first: the tag's own published
+    * `<tag>-part-*` files delete directly (O(tag), no rewrite — the
+    * whole tag lives there until a compaction folds it); any residual
+    * rows a compaction moved into shared files force the slow arm —
+    * an atomic layout-preserving rewrite of everything else (same
+    * single-writer contract and pre-swap staleness check as
+    * [[compact]]). Idempotent: a retry after a crash finds less (or
+    * nothing) left to remove.
+    * @return index rows removed */
+  def deleteTag(spark: SparkSession, path: String, schemaDdl: String,
+      keyFor: DataFrame => Column, tag: String): Long = {
+    require(tag.nonEmpty && !tag.contains("-part-") && !tag.contains("/"),
+      s"batch tag ('$tag') must be non-empty and contain neither " +
+        "'-part-' nor '/'")
+    ParquetTable.recoverInterrupted(spark, path)
+    val (fs, p) = fsOf(spark, path)
+    if (!fs.exists(p)) return 0L
+    val all = dataFilesFor(spark, path, None, None)
+    if (all.isEmpty) return 0L
+    val (own, rest) = all.partition(f =>
+      new org.apache.hadoop.fs.Path(f).getName.startsWith(s"$tag-part-"))
+    val ownRows =
+      if (own.isEmpty) 0L else readFiles(spark, own, schemaDdl).count()
+    own.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    if (rest.isEmpty) return ownRows
+    val residualDf = readFiles(spark, rest, schemaDdl)
+    val residual = residualDf.filter(col("tag") === tag).count()
+    if (residual == 0L) return ownRows
+    val keep = residualDf.filter(col("tag") =!= tag)
+    val out = keep.withColumn(PfxCol, pfxOf(keyFor(keep)))
+      .repartition(col(PfxCol))
+      .localCheckpoint(true)
+    val appeared =
+      dataFilesFor(spark, path, None, None).toSet -- rest.toSet
+    if (appeared.nonEmpty)
+      throw new IllegalStateException(
+        s"concurrent writer detected during takedown of tag '$tag' " +
+          s"at $path: ${appeared.size} file(s) appeared since the " +
+          "read — the single-writer contract (contract #5) was " +
+          "violated; aborting before the swap so no rows are lost")
+    ParquetTable.overwriteAtomic(out, path, partitionCols = Seq(PfxCol))
+    ownRows + residual
+  }
+
   /** Opt-in auto-compaction cadence: compact iff the accreted data
     * file count exceeds `maxFileFactor × NumPfx` (each batch appends
     * at most one file per touched partition, so the factor reads as

@@ -344,6 +344,48 @@ class PersistentIndexSpec extends SparkSpec {
     plain.map(_.size) shouldBe Seq(150, 75, 75)
   }
 
+  test("takedown (deleteTag): fast own-file arm before compaction, " +
+      "slow rewrite arm after, idempotent, layout preserved, and the " +
+      "index keeps NO memory of the deleted tag") {
+    val idx = tmp("graft_pidx_takedown")
+    IncrementalDedup.acceptBatch(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text"),
+      "id", "text", idx, "day0").count() shouldBe 2L
+    IncrementalDedup.acceptBatch(
+      Seq((3L, "gamma")).toDF("id", "text"),
+      "id", "text", idx, "day1").count() shouldBe 1L
+    // FAST arm: no compaction yet, day0 lives entirely in its own
+    // published files — removed without touching day1
+    IncrementalDedup.deleteBatch(spark, idx, "day0") shouldBe 2L
+    spark.read.parquet(idx).select("tag").distinct()
+      .as[String].collect().toSeq shouldBe Seq("day1")
+    // the removed texts are re-accepted; day1's is still rejected
+    IncrementalDedup.acceptBatch(
+        Seq((10L, "alpha"), (11L, "gamma")).toDF("id", "text"),
+        "id", "text", idx, "day2")
+      .select("id").as[Long].collect().toSeq shouldBe Seq(10L)
+    // SLOW arm: compaction folds day1+day2 into shared files, so the
+    // takedown must rewrite — and must preserve the pfx layout
+    IncrementalDedup.compactIndex(spark, idx)
+    IncrementalDedup.deleteBatch(spark, idx, "day2") shouldBe 1L
+    val fs = fsFor(idx)
+    fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .exists(_.getPath.getName.startsWith(
+        s"${PersistentIndex.PfxCol}=")) shouldBe true
+    spark.read.parquet(idx).select("tag").distinct()
+      .as[String].collect().toSeq shouldBe Seq("day1")
+    // idempotent: nothing left of day2; unknown tags remove nothing
+    IncrementalDedup.deleteBatch(spark, idx, "day2") shouldBe 0L
+    IncrementalDedup.deleteBatch(spark, idx, "never") shouldBe 0L
+    // empty/missing index is a no-op
+    IncrementalDedup.deleteBatch(spark, tmp("graft_pidx_takedown2"),
+      "day0") shouldBe 0L
+    // malformed tags rejected like the writers'
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.deleteBatch(spark, idx, "a-part-b")
+    }.getMessage should include("batch tag")
+  }
+
   test("exact index: compaction between batches preserves novelty " +
       "verdicts and storage row count") {
     val idx = tmp("graft_pidx_exact")
