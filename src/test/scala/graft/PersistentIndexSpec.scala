@@ -386,6 +386,41 @@ class PersistentIndexSpec extends SparkSpec {
     }.getMessage should include("batch tag")
   }
 
+  test("takedown reaches the semantic and perceptual indexes too: " +
+      "deleted batches stop flagging, surviving batches still flag") {
+    // semantic: A ~ B (dot above threshold); delete A's batch and a
+    // re-probe of B's twin is novel again
+    val A = Seq(127.0, 0.0, 0.0, 0.0, 100.0, 0.0, 0.0, 0.0)
+    val semIdx = tmp("graft_pidx_semdel")
+    IncrementalSemanticDedup.acceptBatch(
+      Seq((1L, A)).toDF("doc_id", "e"), "doc_id", "e", semIdx,
+      "day0", 20000L).collect()
+    IncrementalSemanticDedup.deleteBatch(spark, semIdx, "day0") shouldBe 1L
+    val sem = IncrementalSemanticDedup.acceptBatch(
+        Seq((2L, A)).toDF("doc_id", "e"), "doc_id", "e", semIdx,
+        "day1", 20000L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    sem shouldBe Seq((2L, false)) // nothing earlier left to flag
+    // perceptual: near-identical hash; after takedown the copy stops
+    // flagging (acceptBatch returns FLAGGED rows only)
+    val pIdx = tmp("graft_pidx_pdel")
+    IncrementalPerceptualDedup.acceptBatch(
+      Seq((1L, 0x1234L)).toDF("doc_id", "h"), "doc_id", "h", pIdx,
+      "day0", maxHamming = 2).collect()
+    // each doc writes 4 band rows
+    IncrementalPerceptualDedup.deleteBatch(spark, pIdx, "day0") shouldBe 4L
+    IncrementalPerceptualDedup.acceptBatch(
+      Seq((2L, 0x1235L)).toDF("doc_id", "h"), "doc_id", "h", pIdx,
+      "day1", maxHamming = 2).collect() shouldBe empty
+    // control: the SURVIVING day1 entry still flags a later copy —
+    // the takedown removed day0 and nothing else
+    IncrementalPerceptualDedup.acceptBatch(
+        Seq((3L, 0x1235L)).toDF("doc_id", "h"), "doc_id", "h", pIdx,
+        "day2", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq shouldBe
+      Seq((3L, 2L)) // min_earlier_id = 2, not the deleted 1
+  }
+
   test("exact index: compaction between batches preserves novelty " +
       "verdicts and storage row count") {
     val idx = tmp("graft_pidx_exact")
