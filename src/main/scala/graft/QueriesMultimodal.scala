@@ -1234,30 +1234,16 @@ object QueriesMultimodal {
       .orderBy(col("id1"), col("id2"))
   }
 
-  private val q411Sql =
-    """WITH RECURSIVE s AS (
-      |  SELECT user_id // 8 AS doc_id, event_id, user_id,
-      |    (((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 16384)
-      |      + 16384) % 16384 - 8192) * 2 AS s
-      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
-      |r AS (
-      |  SELECT doc_id, s,
-      |    row_number() OVER (PARTITION BY doc_id
-      |      ORDER BY event_id, user_id, s) AS rn,
-      |    count(*) OVER (PARTITION BY doc_id) AS n
-      |  FROM s),
-      |u AS (SELECT doc_id, s, rn, n FROM r WHERE n >= 512),
-      |px AS (
-      |  SELECT doc_id, rn, s, n FROM u
-      |  UNION ALL
-      |  SELECT doc_id + 100000, rn - 256, s, n - 256 FROM u
-      |  WHERE rn > 256),
-      |wnd AS (
-      |  SELECT doc_id, CAST((rn - 1) // 128 AS INT) AS w,
-      |    CAST(((rn - 1) % 128) // 8 AS INT) AS sw,
-      |    CAST((rn - 1) % 8 AS INT) AS t, s
-      |  FROM px WHERE rn <= (n // 128) * 128),
-      |coefs AS (
+  /** The shared window-token oracle chain (q411/q416/q418 — q415
+    * threads an extra `arm` column through the same shape and stays
+    * standalone): per-window 8-point WHT coefficients →
+    * energy-comparison bits → two's-complement 64-bit tokens →
+    * shared-token candidate pairs → recursive-CTE LCS. Expects a
+    * `wnd(doc_id, w, sw, t, s)` CTE upstream; ends with the `step`
+    * DP table; [[whtSeqLcsSelect]] is the matching final
+    * projection. One definition so a fix lands everywhere at once. */
+  private val whtSeqLcsCtes =
+    """coefs AS (
       |  SELECT doc_id, w, sw, k.k,
       |    CAST(sum(CASE WHEN bit_count(k.k & t) % 2 = 0 THEN s
       |      ELSE -s END) AS BIGINT) AS c
@@ -1302,18 +1288,45 @@ object QueriesMultimodal {
       |          st.dp[j2] + CASE WHEN p.c1[st.i + 1] = p.c2[j2]
       |            THEN 1 ELSE 0 END))))
       |  FROM step st JOIN pairs p ON p.id1 = st.id1 AND p.id2 = st.id2
-      |  WHERE st.i < len(p.c1))
-      |SELECT p.id1, p.id2,
-      |  CAST(len(p.c1) AS BIGINT) AS n1,
-      |  CAST(len(p.c2) AS BIGINT) AS n2,
-      |  CAST(f.dp[len(p.c2) + 1] AS BIGINT) AS lcs,
-      |  CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
-      |    / (len(p.c1) + len(p.c2)) AS sim
-      |FROM pairs p JOIN step f ON f.id1 = p.id1 AND f.id2 = p.id2
-      |  AND f.i = len(p.c1)
-      |WHERE CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
-      |    / (len(p.c1) + len(p.c2)) >= 0.5
-      |ORDER BY p.id1, p.id2""".stripMargin
+      |  WHERE st.i < len(p.c1))""".stripMargin
+
+  private def whtSeqLcsSelect(minSim: String): String =
+    s"""SELECT p.id1, p.id2,
+       |  CAST(len(p.c1) AS BIGINT) AS n1,
+       |  CAST(len(p.c2) AS BIGINT) AS n2,
+       |  CAST(f.dp[len(p.c2) + 1] AS BIGINT) AS lcs,
+       |  CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+       |    / (len(p.c1) + len(p.c2)) AS sim
+       |FROM pairs p JOIN step f ON f.id1 = p.id1 AND f.id2 = p.id2
+       |  AND f.i = len(p.c1)
+       |WHERE CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+       |    / (len(p.c1) + len(p.c2)) >= $minSim
+       |ORDER BY p.id1, p.id2""".stripMargin
+
+  private val q411Sql =
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id // 8 AS doc_id, event_id, user_id,
+      |    (((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 16384)
+      |      + 16384) % 16384 - 8192) * 2 AS s
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, s,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY event_id, user_id, s) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT doc_id, s, rn, n FROM r WHERE n >= 512),
+      |px AS (
+      |  SELECT doc_id, rn, s, n FROM u
+      |  UNION ALL
+      |  SELECT doc_id + 100000, rn - 256, s, n - 256 FROM u
+      |  WHERE rn > 256),
+      |wnd AS (
+      |  SELECT doc_id, CAST((rn - 1) // 128 AS INT) AS w,
+      |    CAST(((rn - 1) % 128) // 8 AS INT) AS sw,
+      |    CAST((rn - 1) % 8 AS INT) AS t, s
+      |  FROM px WHERE rn <= (n // 128) * 128),""".stripMargin +
+      "\n" + whtSeqLcsCtes + "\n" + whtSeqLcsSelect("0.5")
 
   // -------------------------------------------------------------- q415
   /** The hop dial as GATE DATA (r10 next-round #5 — q411 plants
@@ -1522,63 +1535,8 @@ object QueriesMultimodal {
       |    CAST(((rn - 1) % 128) // 8 AS INT) AS sw,
       |    CAST((rn - 1) % 8 AS INT) AS t, s
       |  FROM px WHERE rn <= (n // 128) * 128),
-      |coefs AS (
-      |  SELECT doc_id, w, sw, k.k,
-      |    CAST(sum(CASE WHEN bit_count(k.k & t) % 2 = 0 THEN s
-      |      ELSE -s END) AS BIGINT) AS c
-      |  FROM wnd CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5),
-      |    (6), (7)) AS k(k)
-      |  GROUP BY 1, 2, 3, 4),
-      |bits AS (
-      |  SELECT a.doc_id, a.w, (a.sw * 4 + a.k) AS b
-      |  FROM coefs a JOIN coefs b2 ON b2.doc_id = a.doc_id
-      |    AND b2.w = a.w AND b2.sw = a.sw AND b2.k = a.k + 4
-      |  WHERE a.k < 4 AND a.c * a.c > b2.c * b2.c),
-      |hs AS (
-      |  SELECT doc_id, w,
-      |    CAST(sum(CASE WHEN b = 63 THEN -9223372036854775808
-      |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS h
-      |  FROM bits GROUP BY 1, 2),
-      |wd AS (SELECT DISTINCT doc_id, w FROM wnd),
-      |fh AS (
-      |  SELECT wd.doc_id, wd.w,
-      |    CAST(coalesce(hs.h, 0) AS VARCHAR) AS h
-      |  FROM wd LEFT JOIN hs ON hs.doc_id = wd.doc_id AND hs.w = wd.w),
-      |seqs AS (SELECT doc_id, list(h ORDER BY w) AS seq FROM fh
-      |         GROUP BY 1),
-      |cand AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2
-      |  FROM (SELECT doc_id, unnest(seq) AS h FROM seqs) a
-      |  JOIN (SELECT doc_id, unnest(seq) AS h FROM seqs) b
-      |    ON b.h = a.h AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT c.id1, c.id2, s1.seq AS c1, s2.seq AS c2
-      |  FROM cand c JOIN seqs s1 ON s1.doc_id = c.id1
-      |  JOIN seqs s2 ON s2.doc_id = c.id2),
-      |step(id1, id2, i, dp) AS (
-      |  SELECT id1, id2, 0, list_transform(range(0, len(c2) + 1), x -> 0)
-      |  FROM pairs
-      |  UNION ALL
-      |  SELECT st.id1, st.id2, st.i + 1,
-      |    [0] || list_transform(range(1, len(p.c2) + 1), j ->
-      |      greatest(st.dp[j + 1],
-      |        list_max(list_transform(range(1, j + 1), j2 ->
-      |          st.dp[j2] + CASE WHEN p.c1[st.i + 1] = p.c2[j2]
-      |            THEN 1 ELSE 0 END))))
-      |  FROM step st JOIN pairs p ON p.id1 = st.id1 AND p.id2 = st.id2
-      |  WHERE st.i < len(p.c1))
-      |SELECT p.id1, p.id2,
-      |  CAST(len(p.c1) AS BIGINT) AS n1,
-      |  CAST(len(p.c2) AS BIGINT) AS n2,
-      |  CAST(f.dp[len(p.c2) + 1] AS BIGINT) AS lcs,
-      |  CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
-      |    / (len(p.c1) + len(p.c2)) AS sim
-      |FROM pairs p JOIN step f ON f.id1 = p.id1 AND f.id2 = p.id2
-      |  AND f.i = len(p.c1)
-      |WHERE CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
-      |    / (len(p.c1) + len(p.c2)) >= 0.9
-      |ORDER BY p.id1, p.id2""".stripMargin
+""".stripMargin +
+      "\n" + whtSeqLcsCtes + "\n" + whtSeqLcsSelect("0.9")
 
   // -------------------------------------------------------------- q418
   /** The composed audio transform GAUNTLET — real-web copies rarely
@@ -1664,63 +1622,8 @@ object QueriesMultimodal {
       |    CAST((p.rn - 1 - nws.w * 32) % 8 AS INT) AS t, p.s
       |  FROM nws JOIN px p ON p.doc_id = nws.doc_id
       |    AND p.rn >= nws.w * 32 + 1 AND p.rn <= nws.w * 32 + 128),
-      |coefs AS (
-      |  SELECT doc_id, w, sw, k.k,
-      |    CAST(sum(CASE WHEN bit_count(k.k & t) % 2 = 0 THEN s
-      |      ELSE -s END) AS BIGINT) AS c
-      |  FROM wnd CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5),
-      |    (6), (7)) AS k(k)
-      |  GROUP BY 1, 2, 3, 4),
-      |bits AS (
-      |  SELECT a.doc_id, a.w, (a.sw * 4 + a.k) AS b
-      |  FROM coefs a JOIN coefs b2 ON b2.doc_id = a.doc_id
-      |    AND b2.w = a.w AND b2.sw = a.sw AND b2.k = a.k + 4
-      |  WHERE a.k < 4 AND a.c * a.c > b2.c * b2.c),
-      |hs AS (
-      |  SELECT doc_id, w,
-      |    CAST(sum(CASE WHEN b = 63 THEN -9223372036854775808
-      |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS h
-      |  FROM bits GROUP BY 1, 2),
-      |wd AS (SELECT DISTINCT doc_id, w FROM wnd),
-      |fh AS (
-      |  SELECT wd.doc_id, wd.w,
-      |    CAST(coalesce(hs.h, 0) AS VARCHAR) AS h
-      |  FROM wd LEFT JOIN hs ON hs.doc_id = wd.doc_id AND hs.w = wd.w),
-      |seqs AS (SELECT doc_id, list(h ORDER BY w) AS seq FROM fh
-      |         GROUP BY 1),
-      |cand AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2
-      |  FROM (SELECT doc_id, unnest(seq) AS h FROM seqs) a
-      |  JOIN (SELECT doc_id, unnest(seq) AS h FROM seqs) b
-      |    ON b.h = a.h AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT c.id1, c.id2, s1.seq AS c1, s2.seq AS c2
-      |  FROM cand c JOIN seqs s1 ON s1.doc_id = c.id1
-      |  JOIN seqs s2 ON s2.doc_id = c.id2),
-      |step(id1, id2, i, dp) AS (
-      |  SELECT id1, id2, 0, list_transform(range(0, len(c2) + 1), x -> 0)
-      |  FROM pairs
-      |  UNION ALL
-      |  SELECT st.id1, st.id2, st.i + 1,
-      |    [0] || list_transform(range(1, len(p.c2) + 1), j ->
-      |      greatest(st.dp[j + 1],
-      |        list_max(list_transform(range(1, j + 1), j2 ->
-      |          st.dp[j2] + CASE WHEN p.c1[st.i + 1] = p.c2[j2]
-      |            THEN 1 ELSE 0 END))))
-      |  FROM step st JOIN pairs p ON p.id1 = st.id1 AND p.id2 = st.id2
-      |  WHERE st.i < len(p.c1))
-      |SELECT p.id1, p.id2,
-      |  CAST(len(p.c1) AS BIGINT) AS n1,
-      |  CAST(len(p.c2) AS BIGINT) AS n2,
-      |  CAST(f.dp[len(p.c2) + 1] AS BIGINT) AS lcs,
-      |  CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
-      |    / (len(p.c1) + len(p.c2)) AS sim
-      |FROM pairs p JOIN step f ON f.id1 = p.id1 AND f.id2 = p.id2
-      |  AND f.i = len(p.c1)
-      |WHERE CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
-      |    / (len(p.c1) + len(p.c2)) >= 0.5
-      |ORDER BY p.id1, p.id2""".stripMargin
+""".stripMargin +
+      "\n" + whtSeqLcsCtes + "\n" + whtSeqLcsSelect("0.5")
 
   // -------------------------------------------------------------- q414
   /** EXIF orientation normalization pinned as data — the r10

@@ -13,7 +13,18 @@ import org.apache.spark.sql.SparkSession
   * unions whole input splits per output file with NO shuffle — and the
   * commit is the same atomic staging swap every other writer here uses
   * (readers see old or new, never partial). Per-bucket compaction of a
-  * PartitionedTable is this applied to each `__kb=` directory. */
+  * PartitionedTable is this applied to each `__kb=` directory.
+  *
+  * NOT for [[PersistentIndex]] directories — use
+  * `PersistentIndex.compact`. The modern `pfx=N/` layout is refused
+  * mechanically below; a LEGACY flat index (pre-partition-era,
+  * `<tag>-part-*` files at the root) CANNOT be distinguished from an
+  * ordinary chunk-commit table by its filenames, and rewriting one
+  * here would strip the filename encoding that pre-tag-column rows
+  * backfill their tag from — breaking that index's retry idempotence
+  * and takedown. Migrating such an index is exactly what
+  * `PersistentIndex.compact` does (durable tag backfill +
+  * partitioned layout); run it, not this. */
 object Maintenance {
 
   case class CompactionResult(filesBefore: Int, filesAfter: Int,
@@ -38,8 +49,12 @@ object Maintenance {
     // either silently no-op (no root files) or — if legacy flat files
     // exist — rewrite the WHOLE tree via spark.read of the root,
     // demoting every partitioned row to an always-read unpartitioned
-    // file and silently evaporating partition pruning (the tag column
-    // keeps CORRECTNESS either way; the layout is what dies)
+    // file and silently evaporating partition pruning. For rows that
+    // already CARRY the tag column, correctness survives (only the
+    // layout dies); pre-tag-column legacy rows would additionally
+    // lose their filename-backfilled tag — but a PURELY flat legacy
+    // index has no pfx= marker to detect, so that case is documented
+    // above rather than caught here
     require(!entries.exists(f => f.isDirectory &&
         f.getPath.getName.startsWith(s"${PersistentIndex.PfxCol}=")),
       s"$path carries ${PersistentIndex.PfxCol}= partition " +

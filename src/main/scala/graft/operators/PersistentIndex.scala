@@ -244,17 +244,34 @@ object PersistentIndex {
       .repartition(col(PfxCol))
       .localCheckpoint(true)
     onBeforeSwap()
+    // BOTH directions: files that APPEARED mid-rewrite would be
+    // deleted with the swapped-out directory (a concurrent append's
+    // rows lost); files that VANISHED mean a concurrent deleteTag ran
+    // and the rewrite — built from the pre-delete read — would
+    // silently RESURRECT the taken-down rows
     val nowFiles = dataFilesFor(spark, path, None, None).toSet
-    val appeared = nowFiles -- files.toSet
-    if (appeared.nonEmpty)
-      throw new IllegalStateException(
-        s"concurrent writer detected during compaction of $path: " +
-          s"${appeared.size} file(s) appeared since the read (e.g. " +
-          s"${appeared.head}) — the single-writer contract " +
-          "(PersistentIndex contract #5) was violated; aborting " +
-          "before the swap so no rows are lost")
+    checkStaleness(path, "compaction", files.toSet, nowFiles)
     ParquetTable.overwriteAtomic(out, path, partitionCols = Seq(PfxCol))
     (before, dataFileCount(spark, path))
+  }
+
+  /** Contract-#5 enforcement shared by [[compact]] and [[deleteTag]]:
+    * fail loudly — BEFORE any swap, so the index is untouched — if
+    * the data-file set changed under a running rewrite in either
+    * direction. */
+  private def checkStaleness(path: String, op: String,
+      basis: Set[String], now: Set[String]): Unit = {
+    val appeared = now -- basis
+    val vanished = basis -- now
+    if (appeared.nonEmpty || vanished.nonEmpty)
+      throw new IllegalStateException(
+        s"concurrent writer detected during $op of $path: " +
+          s"${appeared.size} file(s) appeared and ${vanished.size} " +
+          s"vanished since the read (e.g. " +
+          s"${(appeared ++ vanished).head}) — the single-writer " +
+          "contract (PersistentIndex contract #5) was violated; " +
+          "aborting before the swap so no rows are lost or " +
+          "resurrected")
   }
 
   /** TAKEDOWN: remove every index row written under `tag` — the
@@ -291,21 +308,20 @@ object PersistentIndex {
     own.foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(f), false))
     if (rest.isEmpty) return ownRows
+    // ONE read of the shared files serves both the residual count and
+    // the keep-rewrite (the slow arm reads the whole index by
+    // definition — don't read it twice)
     val residualDf = readFiles(spark, rest, schemaDdl)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val residual = residualDf.filter(col("tag") === tag).count()
-    if (residual == 0L) return ownRows
+    if (residual == 0L) { residualDf.unpersist(); return ownRows }
     val keep = residualDf.filter(col("tag") =!= tag)
     val out = keep.withColumn(PfxCol, pfxOf(keyFor(keep)))
       .repartition(col(PfxCol))
       .localCheckpoint(true)
-    val appeared =
-      dataFilesFor(spark, path, None, None).toSet -- rest.toSet
-    if (appeared.nonEmpty)
-      throw new IllegalStateException(
-        s"concurrent writer detected during takedown of tag '$tag' " +
-          s"at $path: ${appeared.size} file(s) appeared since the " +
-          "read — the single-writer contract (contract #5) was " +
-          "violated; aborting before the swap so no rows are lost")
+    residualDf.unpersist()
+    checkStaleness(path, s"takedown of tag '$tag'", rest.toSet,
+      dataFilesFor(spark, path, None, None).toSet)
     ParquetTable.overwriteAtomic(out, path, partitionCols = Seq(PfxCol))
     ownRows + residual
   }

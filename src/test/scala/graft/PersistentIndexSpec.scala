@@ -251,6 +251,24 @@ class PersistentIndexSpec extends SparkSpec {
     IncrementalDedup.compactIndex(spark, idx)
     spark.read.parquet(idx)
       .select(IncrementalDedup.FpCol).distinct().count() shouldBe 3L
+    // the OTHER direction (review finding r11): a concurrent TAKEDOWN
+    // between the read and the swap must also fail the compaction —
+    // its rewrite was built from the pre-delete read and swapping it
+    // in would silently RESURRECT the taken-down rows
+    IncrementalDedup.acceptBatch(
+      Seq((4L, "delta")).toDF("id", "text"),
+      "id", "text", idx, "b3").count() shouldBe 1L
+    val e2 = intercept[IllegalStateException] {
+      PersistentIndex.compact(spark, idx, ddl,
+        _(IncrementalDedup.FpCol),
+        onBeforeSwap = () =>
+          IncrementalDedup.deleteBatch(spark, idx, "b3"))
+    }
+    e2.getMessage should include("single-writer")
+    // the takedown STUCK — b3 was not resurrected by the aborted swap
+    PersistentIndex.readExcluding(spark, idx, "none", ddl)
+      .select("tag").distinct().as[String].collect().toSet shouldBe
+      Set("b1", "b2")
   }
 
   test("tag prefix collision closed (ADVICE r10): a retry of tag " +
