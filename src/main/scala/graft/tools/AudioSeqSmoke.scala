@@ -70,6 +70,38 @@ object AudioSeqSmoke {
       println(f"[audio-smoke] clips=${f * baseN}%7d planted=${f * baseN}%7d " +
         f"candidates=$cands%7d found=$found%7d wall=$wall%7.2f s")
     }
+
+    // the hop dial priced as measured data (round 11): hop = 32
+    // carries ~4x the tokens per clip; candidates must stay linear
+    // (planted pairs only — a finer hop multiplies tokens, not the
+    // collision structure) and the wall factor IS the documented cost
+    // of sub-window trim granularity
+    println(s"[audio-smoke] hop dial (hopSamples=32, 4x tokens, " +
+      "planted trim = 96 samples = 3 hops):")
+    Seq(1, 3).foreach { f =>
+      val w = spark.range(f.toLong * baseN).as[Long].mapPartitions(
+        _.flatMap { id =>
+          val base = samplesOf(id)
+          Iterator(
+            Multimodal.WavRow(id,
+              Multimodal.encodeWavPcm16(base.toSeq, 8000)),
+            Multimodal.WavRow(id + 10000000L,
+              Multimodal.encodeWavPcm16(base.drop(96).toSeq, 8000)))
+        })
+      val tok = Multimodal.wavSpectralSeqTable(w, 128, hopSamples = 32)
+        .localCheckpoint(true)
+        .select(col("doc_id"), explode(col("seq")).as("t"))
+      val cands = tok.as("a").join(tok.as("b"),
+          col("a.t") === col("b.t") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      val (found, wall) = time {
+        Multimodal.audioShiftDedup(w, minSim = 0.5,
+          windowSamples = 128, hopSamples = 32).count()
+      }
+      println(f"[audio-smoke]   clips=${f * baseN}%7d " +
+        f"candidates=$cands%7d found=$found%7d wall=$wall%7.2f s")
+    }
     spark.stop()
   }
 }
