@@ -75,12 +75,29 @@ object QueriesDedup {
     * day1-accepted texts ONLY. Any takedown bug — rows left behind,
     * too much removed, layout flattened — shifts a count or an
     * id_sum. */
+  /** Best-effort recursive delete of a gate's scratch directory —
+    * lifecycle gates that build a real on-disk index must not leave
+    * an orphaned tree per invocation (Verify + min-of-N Bench = four
+    * trees per full round otherwise). Results are localCheckpoint-
+    * materialized before this runs, so the files are no longer
+    * needed. */
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (!Files.exists(root)) return
+    val s = Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    finally s.close()
+  }
+
   private def q419IndexTakedown(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.IncrementalDedup
     val d = docs(s, dir)
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_takedown_idx").toString + "/idx"
+    val idxRoot = java.nio.file.Files
+      .createTempDirectory("graft_takedown_idx")
+    val idx = idxRoot.toString + "/idx"
+    try {
     def accept(batch: org.apache.spark.sql.DataFrame, tag: String,
         step: String) =
       IncrementalDedup.acceptBatch(batch, "doc_id", "text", idx, tag)
@@ -98,6 +115,9 @@ object QueriesDedup {
         .select((col("doc_id") + 50000L).as("doc_id"), col("text")),
       "day2", "4_day2")
     a1.unionAll(a2).unionAll(a3).unionAll(a4).orderBy(col("step"))
+    // every step row is localCheckpoint-materialized above, so the
+    // index tree is dead weight the moment the unions are built
+    } finally deleteRecursively(idxRoot)
   }
 
   private val q419Sql =

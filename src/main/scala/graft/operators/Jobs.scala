@@ -66,10 +66,12 @@ object ParquetTable {
   def appendStaged(df: DataFrame, path: String, tag: String): Unit = {
     // '<tag>-part-N' must stay invertible (PersistentIndex backfills
     // tags from it), and the cleanup below must not catch a DIFFERENT
-    // tag that has this one as a '-'-delimited prefix
-    require(tag.nonEmpty && !tag.contains("-part-") && !tag.contains("/"),
+    // tag that has this one as a '-'-delimited prefix; banning any
+    // '-part' substring (not just '-part-') also rejects tags ENDING
+    // in '-part', whose 'x-part-part-N' files tag 'x' would delete
+    require(tag.nonEmpty && !tag.contains("-part") && !tag.contains("/"),
       s"batch tag ('$tag') must be non-empty and contain neither " +
-        "'-part-' nor '/'")
+        "'-part' nor '/'")
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)

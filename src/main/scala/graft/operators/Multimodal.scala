@@ -1385,9 +1385,12 @@ object Multimodal {
       val rem = p % toRate
       out(i) =
         if (rem == 0L || idx + 1 >= n) samples(idx)
+        // widen BEFORE subtracting: the parameter type admits any Int,
+        // and an Int difference of extreme neighbors would overflow
+        // and interpolate garbage instead of failing or computing
         else samples(idx) + Math.floorDiv(
-          (samples(idx + 1) - samples(idx)).toLong * rem, toRate.toLong)
-          .toInt
+          (samples(idx + 1).toLong - samples(idx).toLong) * rem,
+          toRate.toLong).toInt
       i += 1
     }
     out

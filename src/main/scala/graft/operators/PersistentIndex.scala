@@ -157,12 +157,15 @@ object PersistentIndex {
     require(df.columns.contains("tag"),
       "index append requires the tag column")
     // keep the '<tag>-part-N' filename encoding invertible: a tag
-    // containing '-part-' would backfill-truncate to a DIFFERENT tag
-    // on read (breaking retry idempotence), and a '/' would escape
-    // the directory
-    require(tag.nonEmpty && !tag.contains("-part-") && !tag.contains("/"),
+    // CONTAINING '-part' covers both failure shapes — '-part-' inside
+    // the tag backfill-truncates to a DIFFERENT tag on read (breaking
+    // retry idempotence), and a tag ENDING in '-part' (e.g. 'x-part')
+    // publishes files named 'x-part-part-N' that tag 'x''s cleanup
+    // filter startsWith("x-part-") deletes (cross-tag row loss) — and
+    // a '/' would escape the directory
+    require(tag.nonEmpty && !tag.contains("-part") && !tag.contains("/"),
       s"batch tag ('$tag') must be non-empty and contain neither " +
-        "'-part-' nor '/'")
+        "'-part' nor '/'")
     val spark = df.sparkSession
     val (fs, target) = fsOf(spark, path)
     val stage = new org.apache.hadoop.fs.Path(path + s"__stage_$tag")
@@ -293,9 +296,13 @@ object PersistentIndex {
     * @return index rows removed */
   def deleteTag(spark: SparkSession, path: String, schemaDdl: String,
       keyFor: DataFrame => Column, tag: String): Long = {
-    require(tag.nonEmpty && !tag.contains("-part-") && !tag.contains("/"),
+    // same '-part' ban as appendStaged: 'x-part' would own-file-match
+    // (and delete) tag 'x-part'-part files AND tag 'x''s filter would
+    // shadow it — identical validation at every site or the encoding
+    // stops being invertible
+    require(tag.nonEmpty && !tag.contains("-part") && !tag.contains("/"),
       s"batch tag ('$tag') must be non-empty and contain neither " +
-        "'-part-' nor '/'")
+        "'-part' nor '/'")
     ParquetTable.recoverInterrupted(spark, path)
     val (fs, p) = fsOf(spark, path)
     if (!fs.exists(p)) return 0L
@@ -341,6 +348,11 @@ object PersistentIndex {
       schemaDdl: String, keyFor: DataFrame => Column,
       maxFileFactor: Int = 4): Option[(Int, Int)] = {
     require(maxFileFactor >= 1, s"maxFileFactor ($maxFileFactor) must be >= 1")
+    // heal BEFORE counting (contract #1): after a crash inside an
+    // overwriteAtomic swap the table sits only at <path>__old, where
+    // dataFileCount reads 0 and the cadence would silently skip a
+    // needed compaction
+    ParquetTable.recoverInterrupted(spark, path)
     if (dataFileCount(spark, path) > maxFileFactor * NumPfx)
       Some(compact(spark, path, schemaDdl, keyFor))
     else None

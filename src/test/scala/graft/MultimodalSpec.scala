@@ -814,6 +814,13 @@ class MultimodalSpec extends SparkSpec {
     // a downsample that leaves no samples fails loudly
     an[IllegalArgumentException] should be thrownBy
       Multimodal.resampleLinear(Array(1, 2), 44100, 16000)
+    // ADVICE r11: the neighbor DIFFERENCE widens to Long BEFORE
+    // subtracting — full-Int-range neighbors (outside the documented
+    // 16-bit PCM envelope but admitted by the parameter type) must
+    // interpolate on the true line, not an Int-overflowed one
+    Multimodal.resampleLinear(
+      Array(Int.MinValue, Int.MaxValue), 1, 2).toSeq shouldBe
+      Seq(Int.MinValue, -1, Int.MaxValue, Int.MaxValue)
   }
 
   test("canonicalRate: a 2x-rate copy shares EVERY window token after " +

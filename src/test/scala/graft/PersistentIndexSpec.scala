@@ -296,11 +296,14 @@ class PersistentIndexSpec extends SparkSpec {
       "id", "text", idx, "day2").count() shouldBe 0L
   }
 
-  test("tags containing '-part-' or '/' (or empty) are rejected by " +
-      "BOTH staged writers: the filename encoding must stay invertible") {
+  test("tags containing '-part' or '/' (or empty) are rejected by " +
+      "BOTH staged writers: the filename encoding must stay invertible " +
+      "— including the SUFFIX case (ADVICE r11): tag 'x-part' would " +
+      "publish 'x-part-part-N' files that tag 'x''s cleanup filter " +
+      "startsWith(\"x-part-\") deletes and its read-skip hides") {
     val df = Seq(("aaaa", "t", 0)).toDF(IncrementalDedup.FpCol, "tag",
       PersistentIndex.PfxCol)
-    for (bad <- Seq("x-part-y", "a/b", "")) {
+    for (bad <- Seq("x-part-y", "x-part", "a/b", "")) {
       intercept[IllegalArgumentException] {
         PersistentIndex.appendStaged(df, tmp("graft_pidx_badtag"), bad)
       }.getMessage should include("batch tag")
@@ -362,6 +365,30 @@ class PersistentIndexSpec extends SparkSpec {
     plain.map(_.size) shouldBe Seq(150, 75, 75)
   }
 
+  test("compactIfAccreted heals the crash window BEFORE counting " +
+      "(ADVICE r11): an index stranded at <path>__old must not read " +
+      "as 0 files and silently skip a due compaction") {
+    val idx = tmp("graft_pidx_autoheal")
+    val ddl = s"${IncrementalDedup.FpCol} STRING, tag STRING"
+    IncrementalDedup.acceptBatch(
+      (1L to 150L).map(i => (i, s"doc $i")).toDF("id", "text"),
+      "id", "text", idx, "b0").count() shouldBe 150L
+    IncrementalDedup.acceptBatch(
+      (201L to 350L).map(i => (i, s"doc $i")).toDF("id", "text"),
+      "id", "text", idx, "b1").count() shouldBe 150L
+    PersistentIndex.dataFileCount(spark, idx) should be > 64
+    // crash window: the table exists ONLY at __old
+    val fs = fsFor(idx)
+    fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + "__old")) shouldBe true
+    // un-healed counting would see 0 <= threshold and skip; the fixed
+    // cadence heals first, counts the real accretion, and compacts
+    val fired = PersistentIndex.compactIfAccreted(spark, idx, ddl,
+      _(IncrementalDedup.FpCol), maxFileFactor = 1)
+    fired should not be empty
+    fired.get._2 should be < fired.get._1
+  }
+
   test("takedown (deleteTag): fast own-file arm before compaction, " +
       "slow rewrite arm after, idempotent, layout preserved, and the " +
       "index keeps NO memory of the deleted tag") {
@@ -398,10 +425,13 @@ class PersistentIndexSpec extends SparkSpec {
     // empty/missing index is a no-op
     IncrementalDedup.deleteBatch(spark, tmp("graft_pidx_takedown2"),
       "day0") shouldBe 0L
-    // malformed tags rejected like the writers'
-    intercept[IllegalArgumentException] {
-      IncrementalDedup.deleteBatch(spark, idx, "a-part-b")
-    }.getMessage should include("batch tag")
+    // malformed tags rejected like the writers' — incl. the '-part'
+    // suffix case
+    for (bad <- Seq("a-part-b", "a-part")) {
+      intercept[IllegalArgumentException] {
+        IncrementalDedup.deleteBatch(spark, idx, bad)
+      }.getMessage should include("batch tag")
+    }
   }
 
   test("takedown reaches the semantic and perceptual indexes too: " +
