@@ -16,15 +16,19 @@ import org.apache.spark.sql.SparkSession
   * PartitionedTable is this applied to each `__kb=` directory.
   *
   * NOT for [[PersistentIndex]] directories — use
-  * `PersistentIndex.compact`. The modern `pfx=N/` layout is refused
-  * mechanically below; a LEGACY flat index (pre-partition-era,
-  * `<tag>-part-*` files at the root) CANNOT be distinguished from an
-  * ordinary chunk-commit table by its filenames, and rewriting one
-  * here would strip the filename encoding that pre-tag-column rows
+  * `PersistentIndex.compact`. The modern `pfx=N/` layout AND any
+  * directory carrying the contract-#6 `_graft_index` marker are
+  * refused mechanically below; the marker closes the legacy-flat
+  * gap for every index marker-era code has ever appended to or
+  * compacted. The one remaining undetectable case is a LEGACY flat
+  * index (pre-partition-era, `<tag>-part-*` files at the root)
+  * NEVER touched by marker-era code — indistinguishable from an
+  * ordinary chunk-commit table by its filenames; rewriting one here
+  * would strip the filename encoding that pre-tag-column rows
   * backfill their tag from — breaking that index's retry idempotence
   * and takedown. Migrating such an index is exactly what
   * `PersistentIndex.compact` does (durable tag backfill +
-  * partitioned layout); run it, not this. */
+  * partitioned layout + marker stamp); run it, not this. */
 object Maintenance {
 
   case class CompactionResult(filesBefore: Int, filesAfter: Int,
@@ -61,6 +65,14 @@ object Maintenance {
         "directories (a PersistentIndex layout) — use " +
         "PersistentIndex.compact, which preserves the pruned layout; " +
         "Maintenance.compact would flatten it")
+    // contract #6: the marker catches index directories the layout
+    // check can't — e.g. a legacy FLAT index that marker-era code has
+    // appended to (the r11 VERDICT's undetectable case, now stamped)
+    require(!entries.exists(f => f.isFile &&
+        f.getPath.getName == PersistentIndex.MarkerFile),
+      s"$path carries the ${PersistentIndex.MarkerFile} marker (a " +
+        "PersistentIndex) — use PersistentIndex.compact, which " +
+        "preserves tag encoding and the pruned layout")
     val parts = entries.filter(isDataFile)
     val bytes = parts.map(_.getLen).sum
     val target = math.max(1,

@@ -46,19 +46,43 @@ import org.apache.spark.sql.types.StructType
   *     per-batch file sets into one file per partition, committed
   *     with the staging-swap protocol — readers see the old or the
   *     new index, never a partial one.
-  *  5. SINGLE WRITER: at most one mutator (appendStaged or compact)
-  *     may run against an index path at a time. Compaction reads the
-  *     file list, rewrites, then swaps; an append that publishes
-  *     between the read and the swap lands its files in the directory
-  *     that becomes `<path>__old` and is deleted — silent row loss.
-  *     Concurrent READERS are always safe (they see old or new,
-  *     never partial); it is concurrent WRITERS that need external
-  *     serialization (every caller here is a serial foreachBatch /
-  *     job lifecycle). [[compact]] additionally re-lists the
-  *     directory after its rewrite and FAILS LOUDLY — before the
-  *     swap, leaving the index untouched — if files appeared while
-  *     it ran, so a violated contract surfaces as an error instead
-  *     of lost rows whenever the races happen to overlap that way.
+  *  5. SINGLE WRITER: at most one mutator (appendStaged, compact, or
+  *     deleteTag) may run against an index path at a time. Compaction
+  *     reads the file list, rewrites, then swaps; an append that
+  *     publishes between the read and the swap lands its files in the
+  *     directory that becomes `<path>__old` and is deleted — silent
+  *     row loss. Concurrent READER visibility is PER-FILE atomic,
+  *     not per-operation (scoped precisely, r11 VERDICT): the
+  *     directory-swap operations ([[compact]], [[deleteTag]]'s slow
+  *     rewrite arm) are all-or-nothing — old or new index, never
+  *     partial — while [[appendStaged]] publishes and the fast
+  *     takedown arm deletes FILE AT A TIME, so a reader listing
+  *     mid-operation sees every file whole but the SET mid-growth /
+  *     mid-shrink: a subset of the appending batch's rows, or a
+  *     residue of the tag being taken down. Both reads equal a legal
+  *     serialization at a slightly earlier point (probing before the
+  *     append / before the takedown), so a concurrent probe can at
+  *     worst accept a duplicate the finished append would reject, or
+  *     reject a document the finished takedown would re-accept —
+  *     never corrupt rows, never rows that were in neither state.
+  *     It is concurrent WRITERS that need external serialization
+  *     (every caller here is a serial foreachBatch / job lifecycle).
+  *     [[compact]] and [[deleteTag]] additionally re-list the
+  *     directory after their rewrite and FAIL LOUDLY — before the
+  *     swap, leaving the index untouched — if files appeared or
+  *     vanished while they ran, so a violated contract surfaces as
+  *     an error instead of lost rows whenever the races happen to
+  *     overlap that way.
+  *  6. MARKER FILE: the first [[appendStaged]] stamps an empty
+  *     [[MarkerFile]] at the root, and every directory swap
+  *     ([[compact]], [[deleteTag]]'s rewrite arm) re-commits it
+  *     atomically with the data — so maintenance tooling can refuse
+  *     an index BY NAME independent of its layout (a legacy flat
+  *     index gains the marker on its first marker-era append or
+  *     compaction, even though that compaction also gives it `pfx=`
+  *     directories). Only an index NEVER touched by marker-era code
+  *     lacks it — that one remaining undetectable case stays
+  *     documented in [[Maintenance.compact]].
   */
 object PersistentIndex {
 
@@ -67,6 +91,18 @@ object PersistentIndex {
     * size, fine enough that a small daily batch prunes most I/O. */
   val PfxCol = "pfx"
   val NumPfx = 64
+
+  /** Contract #6: underscore-prefixed (parquet readers ignore it),
+    * stamped on first append, re-committed by every directory swap. */
+  val MarkerFile = "_graft_index"
+
+  /** Does `path` carry the contract-#6 marker? Heals first, so the
+    * marker is found even when the index sits at `<path>__old`. */
+  def isMarkedIndex(spark: SparkSession, path: String): Boolean = {
+    ParquetTable.recoverInterrupted(spark, path)
+    val (fs, p) = fsOf(spark, path)
+    fs.exists(new org.apache.hadoop.fs.Path(p, MarkerFile))
+  }
 
   /** Partition prefix of a bucket-key column — the SAME murmur hash
     * Spark uses for shuffle, applied once more for layout. Probe and
@@ -180,6 +216,9 @@ object PersistentIndex {
       .write.mode(SaveMode.Overwrite).partitionBy(PfxCol)
       .parquet(stage.toString)
     fs.mkdirs(target)
+    // contract #6: stamp the marker before the first data file lands
+    val marker = new org.apache.hadoop.fs.Path(target, MarkerFile)
+    if (!fs.exists(marker)) fs.create(marker, true).close()
     // idempotent cleanup: this tag's files, wherever they live
     val dirs = target +: fs.listStatus(target)
       .filter(f => f.isDirectory && f.getPath.getName.startsWith(s"$PfxCol="))
@@ -254,7 +293,8 @@ object PersistentIndex {
     // silently RESURRECT the taken-down rows
     val nowFiles = dataFilesFor(spark, path, None, None).toSet
     checkStaleness(path, "compaction", files.toSet, nowFiles)
-    ParquetTable.overwriteAtomic(out, path, partitionCols = Seq(PfxCol))
+    ParquetTable.overwriteAtomic(out, path,
+      extraFiles = Seq(MarkerFile), partitionCols = Seq(PfxCol))
     (before, dataFileCount(spark, path))
   }
 
@@ -293,9 +333,20 @@ object PersistentIndex {
     * single-writer contract and pre-swap staleness check as
     * [[compact]]). Idempotent: a retry after a crash finds less (or
     * nothing) left to remove.
+    *
+    * Reader visibility (contract #5's scoping): the SLOW arm is a
+    * directory swap — all-or-nothing. The FAST arm deletes file at a
+    * time, so a concurrent reader can observe the tag PARTIALLY
+    * removed: every file it sees is whole and readable, but some of
+    * the tag's rows may linger mid-arm — equivalent to probing just
+    * before the takedown finished, so the worst outcome is rejecting
+    * a document the completed takedown would re-accept (pinned by
+    * the mid-arm spec via `onMidFastArm`, a test seam fired after
+    * the first own-file delete when more remain; default no-op).
     * @return index rows removed */
   def deleteTag(spark: SparkSession, path: String, schemaDdl: String,
-      keyFor: DataFrame => Column, tag: String): Long = {
+      keyFor: DataFrame => Column, tag: String,
+      onMidFastArm: () => Unit = () => ()): Long = {
     // same '-part' ban as appendStaged: 'x-part' would own-file-match
     // (and delete) tag 'x-part'-part files AND tag 'x''s filter would
     // shadow it — identical validation at every site or the encoding
@@ -312,8 +363,10 @@ object PersistentIndex {
       new org.apache.hadoop.fs.Path(f).getName.startsWith(s"$tag-part-"))
     val ownRows =
       if (own.isEmpty) 0L else readFiles(spark, own, schemaDdl).count()
-    own.foreach(f =>
-      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    own.zipWithIndex.foreach { case (f, i) =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      if (i == 0 && own.size > 1) onMidFastArm()
+    }
     if (rest.isEmpty) return ownRows
     // ONE read of the shared files serves both the residual count and
     // the keep-rewrite (the slow arm reads the whole index by
@@ -329,7 +382,8 @@ object PersistentIndex {
     residualDf.unpersist()
     checkStaleness(path, s"takedown of tag '$tag'", rest.toSet,
       dataFilesFor(spark, path, None, None).toSet)
-    ParquetTable.overwriteAtomic(out, path, partitionCols = Seq(PfxCol))
+    ParquetTable.overwriteAtomic(out, path,
+      extraFiles = Seq(MarkerFile), partitionCols = Seq(PfxCol))
     ownRows + residual
   }
 

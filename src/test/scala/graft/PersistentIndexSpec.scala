@@ -389,6 +389,82 @@ class PersistentIndexSpec extends SparkSpec {
     fired.get._2 should be < fired.get._1
   }
 
+  test("contract #6 marker: stamped on first append, re-committed by " +
+      "compaction and the takedown rewrite, and Maintenance.compact " +
+      "refuses a marker-carrying FLAT directory (the r11 VERDICT's " +
+      "previously undetectable legacy case, once stamped)") {
+    val idx = tmp("graft_pidx_marker")
+    PersistentIndex.isMarkedIndex(spark, idx) shouldBe false
+    IncrementalDedup.acceptBatch(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text"),
+      "id", "text", idx, "day0").count() shouldBe 2L
+    PersistentIndex.isMarkedIndex(spark, idx) shouldBe true
+    // the marker rides every directory swap atomically (extraFiles)
+    IncrementalDedup.compactIndex(spark, idx)
+    PersistentIndex.isMarkedIndex(spark, idx) shouldBe true
+    IncrementalDedup.acceptBatch(
+      Seq((3L, "gamma")).toDF("id", "text"),
+      "id", "text", idx, "day1").count() shouldBe 1L
+    // slow takedown arm (day0 was folded into shared files) = swap
+    IncrementalDedup.deleteBatch(spark, idx, "day0") shouldBe 2L
+    PersistentIndex.isMarkedIndex(spark, idx) shouldBe true
+    // a marker-carrying FLAT dir (no pfx= layout to detect) is still
+    // refused by name
+    val flat = tmp("graft_pidx_markerflat")
+    Seq(("aaaa", "t")).toDF("fp", "tag").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(flat)
+    val fs = fsFor(flat)
+    fs.create(new org.apache.hadoop.fs.Path(flat,
+      PersistentIndex.MarkerFile), true).close()
+    intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.compact(spark, flat)
+    }.getMessage should include(PersistentIndex.MarkerFile)
+    // ...while an unmarked plain table still compacts (guard is
+    // marker-scoped, not a blanket refusal)
+    val plain = tmp("graft_pidx_markerplain")
+    (1 to 50).toDF("v").repartition(8).write.parquet(plain)
+    graft.operators.Maintenance.compact(spark, plain)
+      .filesAfter should be < 8
+  }
+
+  test("fast takedown arm reader visibility (contract #5 scoping, " +
+      "r11 VERDICT #3): mid-arm the index is whole and readable with " +
+      "a strict SUBSET of the tag's rows lingering — never corrupt, " +
+      "never anything but an earlier serialization point") {
+    val idx = tmp("graft_pidx_midarm")
+    val ddl = s"${IncrementalDedup.FpCol} STRING, tag STRING"
+    // wide batch -> many own published files across pfx partitions
+    IncrementalDedup.acceptBatch(
+      (1L to 150L).map(i => (i, s"doc $i")).toDF("id", "text"),
+      "id", "text", idx, "day0").count() shouldBe 150L
+    IncrementalDedup.acceptBatch(
+      Seq((500L, "survivor text")).toDF("id", "text"),
+      "id", "text", idx, "day1").count() shouldBe 1L
+    var midDay0 = -1L
+    var midDay1 = -1L
+    val removed = PersistentIndex.deleteTag(spark, idx, ddl,
+      _(IncrementalDedup.FpCol), "day0", onMidFastArm = () => {
+        val all = PersistentIndex.readExcluding(spark, idx,
+          "__no_such_tag__", ddl).persist()
+        midDay0 = all.filter(col("tag") === "day0").count()
+        midDay1 = all.filter(col("tag") === "day1").count()
+        all.unpersist()
+      })
+    removed shouldBe 150L
+    // mid-arm: strictly fewer day0 rows than before, strictly more
+    // than after — per-FILE atomicity, per-OPERATION in flight
+    midDay0 should be > 0L
+    midDay0 should be < 150L
+    // the untouched tag is never disturbed by the fast arm
+    midDay1 shouldBe 1L
+    // completed arm: no memory of day0, day1 intact
+    val after = PersistentIndex.readExcluding(spark, idx,
+      "__no_such_tag__", ddl).persist()
+    after.filter(col("tag") === "day0").count() shouldBe 0L
+    after.filter(col("tag") === "day1").count() shouldBe 1L
+    after.unpersist()
+  }
+
   test("takedown (deleteTag): fast own-file arm before compaction, " +
       "slow rewrite arm after, idempotent, layout preserved, and the " +
       "index keeps NO memory of the deleted tag") {
