@@ -1625,6 +1625,194 @@ object QueriesMultimodal {
 """.stripMargin +
       "\n" + whtSeqLcsCtes + "\n" + whtSeqLcsSelect("0.5")
 
+  // -------------------------------------------------------------- q420
+  /** The LOSSY frontier of audio dedup (r11 next-round #1): a
+    * NON-INTEGER resample — 44.1 kHz ⇄ 16 kHz, ratio 441:160, the
+    * single most common real conversion — perturbs every sample
+    * (the roundtrip through [[Multimodal.resampleLinear]] is NOT the
+    * identity, unlike the nesting 2× case q416 exploits), flipping a
+    * few bits of nearly every 64-bit window hash; the exact-equality
+    * arm is then a (near-)total miss, where tolerant matching should
+    * still align. Gate: the q411 clips declared as 16 kHz WAVs gain
+    * planted copies upsampled 16 → 44.1 kHz through resampleLinear
+    * itself (so the oracle can replay the exact interpolation chain)
+    * and stored as REAL 44.1 kHz WAVs; dedup canonicalizes both to
+    * 16 kHz — the copy comes back one sample short and every sample
+    * interpolation-perturbed (measured ≤ 9 bits per window at sf0.01
+    * AND sf0.1; unrelated windows ≥ 23) — and runs BOTH arms at
+    * minSim 0.5: `exact` ([[Multimodal.audioShiftDedup]], raw-token
+    * candidates + equality LCS) finds almost nothing, `hamming10`
+    * ([[Multimodal.audioTolerantDedup]], 4×16-bit band candidates +
+    * popcount(xor) ≤ 10 LCS) finds every planted pair — and ONLY
+    * the planted pairs (n_pairs = n_planted_found IS the adversarial
+    * no-false-collision stanza: unrelated clips never collide at
+    * k = 10). Both arms emit count rows, the q415 pattern, so the
+    * exact miss is pinned as data. Oracle restates everything from
+    * the events formula: exact-rational upsample (idx/rem against
+    * denominator 441) → downsample (denominator 160) → windows →
+    * WHT → BIGINT tokens → per-arm candidates (raw token vs 16-bit
+    * bands) → recursive-CTE LCS whose match predicate is
+    * bit_count(xor) ≤ k with k = 0 replaying equality → sim ≥ 0.5 →
+    * per-arm counts. Cost of the dial (×4 candidate tokens per
+    * window) recorded in BENCH_NOTES. */
+  private def q420TolerantResample(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val base = audioClips(s, dir).as[Multimodal.PcmRow]
+    val copies = base.map(r => Multimodal.PcmRow(r.doc_id + 100000L,
+      Multimodal.resampleLinear(r.samples.toArray, 16000, 44100).toSeq))
+    val wav = Multimodal.encodeWavTable(base, sampleRate = 16000)
+      .unionAll(Multimodal.encodeWavTable(copies, sampleRate = 44100))
+      .localCheckpoint(true) // two arms read the same encoded blobs
+    def counts(name: String, pairs: DataFrame): DataFrame =
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("id2") === col("id1") + 100000L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_planted_found"))
+        .select(lit(name).as("arm"), col("n_pairs"),
+          col("n_planted_found"))
+    val exact = counts("exact",
+      Multimodal.audioShiftDedup(wav, minSim = 0.5,
+        windowSamples = 128, canonicalRate = 16000))
+    val tol = counts("hamming10",
+      Multimodal.audioTolerantDedup(wav, minSim = 0.5,
+        windowSamples = 128, maxHamming = 10, canonicalRate = 16000))
+    exact.unionAll(tol).orderBy(col("arm"))
+  }
+
+  private val q420Sql =
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id // 8 AS doc_id, event_id, user_id,
+      |    (((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 16384)
+      |      + 16384) % 16384 - 8192) * 2 AS s
+      |  FROM events WHERE value IS NOT NULL AND user_id <= 500),
+      |r AS (
+      |  SELECT doc_id, s,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY event_id, user_id, s) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM s),
+      |u AS (SELECT doc_id, s, rn, n FROM r WHERE n >= 512),
+      |-- upsample 16 kHz -> 44.1 kHz: output i (0-based) sits at the
+      |-- exact rational source position i*160/441; exact hit when the
+      |-- remainder vanishes, floored linear interpolation otherwise —
+      |-- resampleLinear's arithmetic verbatim (reduced denominators:
+      |-- floor(d*(p%44100)/44100) = floor(d*((i*160)%441)/441))
+      |um AS (SELECT DISTINCT doc_id, n, (n * 441) // 160 AS m FROM u),
+      |upi AS (
+      |  SELECT um.doc_id, um.n, um.m, CAST(i.i AS BIGINT) AS i,
+      |    (CAST(i.i AS BIGINT) * 160) // 441 AS idx,
+      |    (CAST(i.i AS BIGINT) * 160) % 441 AS rem
+      |  FROM um, unnest(range(0, um.m)) AS i(i)),
+      |up AS (
+      |  SELECT upi.doc_id, upi.i + 1 AS rn, upi.m,
+      |    CASE WHEN upi.rem = 0 OR upi.idx + 2 > upi.n THEN u1.s
+      |      ELSE u1.s + CAST(floor((u2.s - u1.s) * upi.rem / 441.0)
+      |        AS BIGINT) END AS s
+      |  FROM upi JOIN u u1 ON u1.doc_id = upi.doc_id
+      |    AND u1.rn = upi.idx + 1
+      |  LEFT JOIN u u2 ON u2.doc_id = upi.doc_id
+      |    AND u2.rn = upi.idx + 2),
+      |-- canonicalize the 44.1 kHz copy back to 16 kHz (denominator
+      |-- 160); the roundtrip is NOT the identity — that is the point
+      |dm AS (SELECT DISTINCT doc_id, m, (m * 160) // 441 AS n2 FROM up),
+      |dni AS (
+      |  SELECT dm.doc_id, dm.m, dm.n2, CAST(i.i AS BIGINT) AS i,
+      |    (CAST(i.i AS BIGINT) * 441) // 160 AS idx,
+      |    (CAST(i.i AS BIGINT) * 441) % 160 AS rem
+      |  FROM dm, unnest(range(0, dm.n2)) AS i(i)),
+      |down AS (
+      |  SELECT dni.doc_id + 100000 AS doc_id, dni.i + 1 AS rn,
+      |    dni.n2 AS n,
+      |    CASE WHEN dni.rem = 0 OR dni.idx + 2 > dni.m THEN p1.s
+      |      ELSE p1.s + CAST(floor((p2.s - p1.s) * dni.rem / 160.0)
+      |        AS BIGINT) END AS s
+      |  FROM dni JOIN up p1 ON p1.doc_id = dni.doc_id
+      |    AND p1.rn = dni.idx + 1
+      |  LEFT JOIN up p2 ON p2.doc_id = dni.doc_id
+      |    AND p2.rn = dni.idx + 2),
+      |px AS (
+      |  SELECT doc_id, rn, s, n FROM u
+      |  UNION ALL
+      |  SELECT doc_id, rn, s, n FROM down),
+      |wnd AS (
+      |  SELECT doc_id, CAST((rn - 1) // 128 AS INT) AS w,
+      |    CAST(((rn - 1) % 128) // 8 AS INT) AS sw,
+      |    CAST((rn - 1) % 8 AS INT) AS t, s
+      |  FROM px WHERE rn <= (n // 128) * 128),
+      |coefs AS (
+      |  SELECT doc_id, w, sw, k.k,
+      |    CAST(sum(CASE WHEN bit_count(k.k & t) % 2 = 0 THEN s
+      |      ELSE -s END) AS BIGINT) AS c
+      |  FROM wnd CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5),
+      |    (6), (7)) AS k(k)
+      |  GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT a.doc_id, a.w, (a.sw * 4 + a.k) AS b
+      |  FROM coefs a JOIN coefs b2 ON b2.doc_id = a.doc_id
+      |    AND b2.w = a.w AND b2.sw = a.sw AND b2.k = a.k + 4
+      |  WHERE a.k < 4 AND a.c * a.c > b2.c * b2.c),
+      |hs AS (
+      |  SELECT doc_id, w,
+      |    CAST(sum(CASE WHEN b = 63 THEN -9223372036854775808
+      |      ELSE CAST(1 AS BIGINT) << b END) AS BIGINT) AS h
+      |  FROM bits GROUP BY 1, 2),
+      |wd AS (SELECT DISTINCT doc_id, w FROM wnd),
+      |fh AS (
+      |  SELECT wd.doc_id, wd.w, CAST(coalesce(hs.h, 0) AS BIGINT) AS h
+      |  FROM wd LEFT JOIN hs ON hs.doc_id = wd.doc_id AND hs.w = wd.w),
+      |seqs AS (SELECT doc_id, list(h ORDER BY w) AS seq FROM fh
+      |         GROUP BY 1),
+      |arms(arm, k) AS (VALUES ('exact', 0), ('hamming10', 10)),
+      |toks AS (SELECT DISTINCT doc_id, h FROM fh),
+      |-- exact-arm candidates share a RAW 64-bit token; tolerant-arm
+      |-- candidates share any 16-bit band of any window token (the
+      |-- bands64 layout: arithmetic shift + mask equals the unsigned
+      |-- shift's low 16 bits)
+      |bandtoks AS (
+      |  SELECT DISTINCT doc_id, b.b,
+      |    (h >> (16 * b.b)) & 65535 AS bv
+      |  FROM toks, (VALUES (0), (1), (2), (3)) AS b(b)),
+      |cand AS (
+      |  SELECT 'exact' AS arm, a.doc_id AS id1, b.doc_id AS id2
+      |  FROM toks a JOIN toks b ON b.h = a.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3
+      |  UNION ALL
+      |  SELECT 'hamming10', a.doc_id, b.doc_id
+      |  FROM bandtoks a JOIN bandtoks b ON b.b = a.b AND b.bv = a.bv
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT c.arm, ar.k, c.id1, c.id2, s1.seq AS c1, s2.seq AS c2
+      |  FROM cand c JOIN arms ar ON ar.arm = c.arm
+      |  JOIN seqs s1 ON s1.doc_id = c.id1
+      |  JOIN seqs s2 ON s2.doc_id = c.id2),
+      |step(arm, id1, id2, i, dp) AS (
+      |  SELECT arm, id1, id2, 0,
+      |    list_transform(range(0, len(c2) + 1), x -> 0)
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT st.arm, st.id1, st.id2, st.i + 1,
+      |    [0] || list_transform(range(1, len(p.c2) + 1), j ->
+      |      greatest(st.dp[j + 1],
+      |        list_max(list_transform(range(1, j + 1), j2 ->
+      |          st.dp[j2] + CASE WHEN
+      |            bit_count(xor(p.c1[st.i + 1], p.c2[j2])) <= p.k
+      |            THEN 1 ELSE 0 END))))
+      |  FROM step st JOIN pairs p ON p.arm = st.arm
+      |    AND p.id1 = st.id1 AND p.id2 = st.id2
+      |  WHERE st.i < len(p.c1)),
+      |hits AS (
+      |  SELECT p.arm, p.id1, p.id2
+      |  FROM pairs p JOIN step f ON f.arm = p.arm AND f.id1 = p.id1
+      |    AND f.id2 = p.id2 AND f.i = len(p.c1)
+      |  WHERE CAST(2 * f.dp[len(p.c2) + 1] AS DOUBLE)
+      |      / (len(p.c1) + len(p.c2)) >= 0.5)
+      |SELECT a.arm, CAST(count(h.id1) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(sum(CASE WHEN h.id2 = h.id1 + 100000 THEN 1
+      |    ELSE 0 END), 0) AS BIGINT) AS n_planted_found
+      |FROM arms a LEFT JOIN hits h ON h.arm = a.arm
+      |GROUP BY a.arm ORDER BY a.arm""".stripMargin
+
   // -------------------------------------------------------------- q414
   /** EXIF orientation normalization pinned as data — the r10
     * next-round headline (a large share of real crawl photos are
@@ -1753,6 +1941,7 @@ object QueriesMultimodal {
     "q415_hop_dial_trim" -> (q415HopDialTrim _),
     "q416_resample_dedup" -> (q416ResampleDedup _),
     "q418_audio_gauntlet" -> (q418AudioGauntlet _),
+    "q420_tolerant_resample" -> (q420TolerantResample _),
     "q413_jpeg_color_features" -> (q413JpegColorFeatures _),
     "q414_exif_orientation" -> (q414ExifOrientationCollision _),
     "q407_jpeg_perceptual_collision" -> (q407JpegHashCollision _),
@@ -1780,6 +1969,7 @@ object QueriesMultimodal {
     "q415_hop_dial_trim" -> q415Sql,
     "q416_resample_dedup" -> q416Sql,
     "q418_audio_gauntlet" -> q418Sql,
+    "q420_tolerant_resample" -> q420Sql,
     "q413_jpeg_color_features" -> q413Sql,
     "q414_exif_orientation" -> q414Sql,
     "q407_jpeg_perceptual_collision" -> q407Sql,

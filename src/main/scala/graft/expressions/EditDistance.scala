@@ -101,6 +101,72 @@ object EditDistanceUtil {
     }
     prev(n)
   }
+
+  /** HAMMING-TOLERANT longest common subsequence over 64-bit
+    * fingerprint ARRAYS — [[tokenLcs]] with the match predicate
+    * relaxed from equality to popcount(xor) ≤ maxHamming, the same
+    * per-token tolerance the perceptual image family grants a single
+    * global hash. This is what lets window/frame-hash sequence
+    * alignment survive VALUE-perturbing transforms (a non-integer
+    * resample, a lossy re-encode, light noise) that flip a few bits
+    * of most tokens, where the exact-equality LCS is a total miss.
+    * maxHamming = 0 degenerates to exact [[tokenLcs]] over longs.
+    * Same rolling-DP shape and 2²⁴-cell bound; null tokens never
+    * match under any tolerance. NOTE: Hamming-tolerant "match" is not
+    * transitive, so this is an alignment SCORE, not an equivalence —
+    * exactly like every other near-dup verdict in the family. */
+  def hammingLcs(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      maxHamming: Int): Int = {
+    val m = a.numElements()
+    val n = b.numElements()
+    if (m == 0 || n == 0) return 0
+    require(m.toLong * n <= (1L << 24),
+      s"hammingLcs pair too large (${m}x$n cells) — truncate inputs")
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming ($maxHamming) out of [0, 64]")
+    val prev = new Array[Int](n + 1)
+    val cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= m) {
+      val aNull = a.isNullAt(i - 1)
+      val ai = if (aNull) 0L else a.getLong(i - 1)
+      var j = 1
+      while (j <= n) {
+        cur(j) =
+          if (!aNull && !b.isNullAt(j - 1) &&
+              java.lang.Long.bitCount(ai ^ b.getLong(j - 1)) <= maxHamming)
+            prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, n + 1)
+      i += 1
+    }
+    prev(n)
+  }
+}
+
+/** Codegen'd scalar node for [[EditDistanceUtil.hammingLcs]]. */
+case class HammingLcsExpression(left: Expression, right: Expression,
+    maxHamming: Int) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hamming_lcs"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    EditDistanceUtil.hammingLcs(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      maxHamming)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.expressions.EditDistanceUtil.hammingLcs($l, $r, $maxHamming)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingLcsExpression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd scalar node for [[EditDistanceUtil.tokenLcs]]. */

@@ -155,6 +155,10 @@ object GraftExtensions {
         "longest common token subsequence"),
       (exprs: Seq[Expression]) =>
         TokenLcsExpression(exprs(0), exprs(1))),
+    ("graft_hamming_lcs", info("graft_hamming_lcs",
+        "hamming-tolerant LCS over 64-bit fingerprint arrays"),
+      (exprs: Seq[Expression]) => HammingLcsExpression(
+        exprs(0), exprs(1), intLit("graft_hamming_lcs", exprs(2)))),
     ("graft_char_shingles", info("graft_char_shingles", "char n-grams"),
       (exprs: Seq[Expression]) => CharShinglesExpression(
         normalizeExpr(exprs.head), intLit("graft_char_shingles", exprs(1)))),

@@ -102,6 +102,60 @@ object AudioSeqSmoke {
       println(f"[audio-smoke]   clips=${f * baseN}%7d " +
         f"candidates=$cands%7d found=$found%7d wall=$wall%7.2f s")
     }
+
+    // the Hamming-tolerance dial priced as measured data (round 12):
+    // planted copies go through the NON-IDENTITY 16 -> 44.1 kHz
+    // upsample (stored as real 44.1 kHz WAVs, canonicalized back on
+    // decode — every sample interpolation-perturbed, the exact arm's
+    // total miss), and the tolerant arm pays TWO documented costs the
+    // exact arm does not: (1) candidates carry the 16-bit-band
+    // birthday term ~4·N²/2¹⁷ (verify-only pairs — N = total window
+    // hashes; measured 321k candidates at 108k hashes vs the model's
+    // 356k), the SAME quadratic model hammingNearDupPairs documents,
+    // so the image family's ~10M-hash shard guidance applies where
+    // exact-token candidates stayed linear; (2) recall beyond
+    // Hamming 3/window is pigeonhole-probabilistic: a window pair
+    // whose 5-8 flipped bits touch all FOUR bands shares no band key,
+    // and a pair is a candidate only if SOME window keeps a band
+    // intact — measured 2 misses in 9000 planted pairs (0.02%), both
+    // with every per-window distance <= 8 but all-band scatter in
+    // every window. Found pairs are still exact (verify never lies);
+    // the dial trades candidate cost + tail recall for crossing the
+    // lossy frontier at all.
+    println(s"[audio-smoke] tolerance dial (maxHamming=10, 4x band " +
+      "tokens, planted copy = 441:160 resample roundtrip):")
+    Seq(1, 3).foreach { f =>
+      val w = spark.range(f.toLong * baseN).as[Long].mapPartitions(
+        _.flatMap { id =>
+          val base = samplesOf(id)
+          Iterator(
+            Multimodal.WavRow(id,
+              Multimodal.encodeWavPcm16(base.toSeq, 16000)),
+            Multimodal.WavRow(id + 10000000L,
+              Multimodal.encodeWavPcm16(
+                Multimodal.resampleLinear(base, 16000, 44100).toSeq,
+                44100)))
+        })
+      val tok = Multimodal.wavSpectralSeqLongTable(w, 128,
+          canonicalRate = 16000)
+        .localCheckpoint(true)
+        .select(col("doc_id"),
+          explode(expr("array_distinct(flatten(transform(seq, h -> " +
+            "transform(array(0, 1, 2, 3), k -> concat('b', k, ':', " +
+            "string(shiftrightunsigned(h, 16 * k) & 65535))))))"))
+            .as("t"))
+      val cands = tok.as("a").join(tok.as("b"),
+          col("a.t") === col("b.t") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      val (found, wall) = time {
+        Multimodal.audioTolerantDedup(w, minSim = 0.5,
+          windowSamples = 128, maxHamming = 10,
+          canonicalRate = 16000).count()
+      }
+      println(f"[audio-smoke]   clips=${f * baseN}%7d " +
+        f"candidates=$cands%7d found=$found%7d wall=$wall%7.2f s")
+    }
     spark.stop()
   }
 }

@@ -72,6 +72,35 @@ class ExpressionsSpec extends SparkSpec {
     r.isNullAt(2) shouldBe true
   }
 
+  test("graft_hamming_lcs: tolerance widens the match predicate to " +
+      "popcount(xor) <= k; k = 0 replays exact equality; null tokens " +
+      "never match") {
+    GraftExtensions.register(spark)
+    // tokens: 5 and 7 differ by 1 bit; 5 and 255 by 6 bits
+    val r = spark.sql(
+      """SELECT
+        |  graft_hamming_lcs(array(5L, 9L), array(7L, 9L), 0) AS exact,
+        |  graft_hamming_lcs(array(5L, 9L), array(7L, 9L), 1) AS tol1,
+        |  graft_hamming_lcs(array(5L, 255L), array(5L, 5L), 5) AS tol5,
+        |  graft_hamming_lcs(array(5L, 255L), array(5L, 5L), 6) AS tol6,
+        |  graft_hamming_lcs(array(CAST(NULL AS BIGINT)),
+        |                    array(CAST(NULL AS BIGINT)), 64) AS nulls,
+        |  graft_hamming_lcs(array(), array(1L), 64) AS empty
+        |""".stripMargin).head()
+    r.getInt(0) shouldBe 1 // only the 9s match exactly
+    r.getInt(1) shouldBe 2 // 5~7 within 1 bit
+    r.getInt(2) shouldBe 1 // 255 vs 5: 6 bits — outside k=5
+    r.getInt(3) shouldBe 2 // ...inside k=6
+    r.getInt(4) shouldBe 0 // null tokens never match at any k
+    r.getInt(5) shouldBe 0
+    // out-of-range tolerance fails loudly
+    an[Exception] should be thrownBy spark.sql(
+      "SELECT graft_hamming_lcs(array(1L), array(1L), 65)").head()
+    // order sensitivity is preserved (it IS an LCS, not a bag match)
+    spark.sql("SELECT graft_hamming_lcs(array(1L, 2L, 4L), " +
+      "array(4L, 1L, 2L), 0) AS v").head().getInt(0) shouldBe 2
+  }
+
   test("graft_c4_quality and graft_gopher_quality are SQL-callable " +
       "with NULL-safe coalescing") {
     GraftExtensions.register(spark)

@@ -844,6 +844,43 @@ class MultimodalSpec extends SparkSpec {
       windowSamples = 128).collect() shouldBe empty
   }
 
+  test("audioTolerantDedup: a 441:160 (44.1 kHz) roundtrip copy — " +
+      "value-perturbed in every sample, NOT the identity — is found " +
+      "by the Hamming-tolerant arm, missed by the exact arm, and " +
+      "unrelated clips never collide (the q420 contract)") {
+    val rnd = new java.util.Random(7)
+    val a = Array.tabulate(640)(_ => (rnd.nextInt(32768) - 16384) * 2)
+    val b = Array.tabulate(640)(_ => (rnd.nextInt(32768) - 16384) * 2)
+    // the real-web chain: studio upsample to 44.1 kHz, stored there;
+    // the pipeline canonicalizes back to 16 kHz — interpolation
+    // composed with interpolation perturbs every sample
+    val aCopy = Multimodal.resampleLinear(a, 16000, 44100)
+    val media = Seq(
+      Multimodal.WavRow(1L, Multimodal.encodeWavPcm16(a.toSeq, 16000)),
+      Multimodal.WavRow(2L, Multimodal.encodeWavPcm16(b.toSeq, 16000)),
+      Multimodal.WavRow(100001L,
+        Multimodal.encodeWavPcm16(aCopy.toSeq, 44100))).toDS()
+    val tol = Multimodal.audioTolerantDedup(media, minSim = 0.5,
+      windowSamples = 128, maxHamming = 10, canonicalRate = 16000)
+      .collect()
+    tol.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe
+      Seq((1L, 100001L)) // found — and ONLY the planted pair
+    // the copy comes back one sample short (floor-of-floor), so the
+    // perfect alignment is 2*min(nw, nw')/(nw+nw')
+    val n1 = tol.head.getAs[Long]("n1")
+    val n2 = tol.head.getAs[Long]("n2")
+    tol.head.getAs[Long]("lcs") shouldBe math.min(n1, n2)
+    // the exact arm is a total miss on the same blobs — the lossy
+    // frontier the tolerance exists to cross
+    Multimodal.audioShiftDedup(media, minSim = 0.1,
+        windowSamples = 128, canonicalRate = 16000)
+      .collect() shouldBe empty
+    // at k = 0 the tolerant operator degenerates to the exact verdict
+    Multimodal.audioTolerantDedup(media, minSim = 0.1,
+        windowSamples = 128, maxHamming = 0, canonicalRate = 16000)
+      .collect() shouldBe empty
+  }
+
   test("q410/q413 gate fixtures hold at sf0.001: every SA-progressive " +
       "re-encode collides within Hamming 6; every decoded RGB channel " +
       "sits inside the JFIF-conversion tolerance") {
