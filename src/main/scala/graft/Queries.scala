@@ -57,7 +57,9 @@ object Queries {
           .when(col("l_orderkey") % 89 === 0, lit("  "))
           .otherwise(regexp_replace(col("l_quantity").cast("string"),
             "\\.", ",")).as("qty_raw"))
-    raw.select(
+    // Scale.spread: the locale parse is per-row-heavy and lineitem is
+    // a single split at fixture scale (guide §2.5; r12)
+    graft.operators.Scale.spread(raw).select(
       col("l_orderkey"), col("l_linenumber"),
       TC.parseLocaleFloat(col("qty_raw"), decimalSep = ",",
         thousandSep = ".").as("qty_parsed"))

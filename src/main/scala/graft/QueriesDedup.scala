@@ -161,7 +161,9 @@ object QueriesDedup {
     // persisted: consumed by both join branches (id1 and id2); without
     // the cache the shingle pass runs twice over the corpus. Sorted
     // once here so the pair verify is the codegen'd merge intersect.
-    val sh = c.select(col("doc_id"),
+    // Scale.spread: the shingle+sort pass is per-row-heavy and the
+    // fixture is single-split (guide §2.5; r12)
+    val sh = graft.operators.Scale.spread(c).select(col("doc_id"),
       array_sort(TA.charShingles(col("text"), 4)).as("sh")).persist()
     pairsIds
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
@@ -283,7 +285,16 @@ object QueriesDedup {
   private def q354TransitivityAudit(s: SparkSession, dir: String)
       : DataFrame = {
     val c = corpus(s, dir)
-    val pairs = Dedup.simhashNearDups(c, "doc_id", "text",
+    // ONE sketch pass (r12): the pair graph and the third-side
+    // Hamming audit read the same 32-bit sketch — the former shape
+    // ran the tokenize+md5 pass twice (once inside simhashNearDups,
+    // once here). Scale.spread parallelizes the single-split fixture
+    // scan (guide §2.5); persisted because the banding branch, both
+    // pair-verify branches, and both third-side joins consume it.
+    val sk = graft.operators.Scale.spread(c).select(col("doc_id"),
+        Dedup.simhash32(TA.tokens(col("text"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.simhashNearDupsFromSketch(sk, "doc_id", "sh",
         maxHamming = 8, maxBucketSize = Int.MaxValue)
       .select(col("id1"), col("id2"))
     val adj = pairs.unionAll(pairs.select(col("id2").as("id1"),
@@ -293,8 +304,6 @@ object QueriesDedup {
         Seq("ctr"))
       .filter(col("x") < col("y"))
       .select(col("x"), col("y")).distinct()
-    val sk = c.select(col("doc_id"),
-      Dedup.simhash32(TA.tokens(col("text"))).as("sh"))
     val third = wedges
       .join(sk.select(col("doc_id").as("x"), col("sh").as("shx")),
         Seq("x"))
@@ -302,7 +311,9 @@ object QueriesDedup {
         Seq("y"))
       .select(bit_count(col("shx").bitwiseXOR(col("shy")))
         .cast("long").as("h3"))
-    third.agg(count(lit(1)).as("n_wedges"),
+    // eager 1-row materialization so the sketch cache releases NOW
+    // instead of leaking for the session lifetime (the r5 discipline)
+    val out = third.agg(count(lit(1)).as("n_wedges"),
         sum(when(col("h3") <= 8L, 1L).otherwise(0L)).as("n_closed"),
         sum(when(col("h3") > 8L, 1L).otherwise(0L)).as("n_violations"),
         max(col("h3")).as("max_third_hamming"))
@@ -310,6 +321,9 @@ object QueriesDedup {
         col("max_third_hamming"),
         (col("n_violations").cast("double") /
           col("n_wedges").cast("double")).as("violation_rate"))
+      .localCheckpoint(true)
+    sk.unpersist(blocking = false)
+    out
   }
 
   private lazy val q354Sql =
@@ -474,25 +488,16 @@ object QueriesDedup {
     * reconstructed with the same band expression the pipeline uses.
     */
   private def q363LshPrecision(s: SparkSession, dir: String)
-      : DataFrame = {
-    import org.apache.spark.sql.graftshim.ColumnBridge.{column => C,
-      expression => E}
-    val c = corpus(s, dir)
-    val banded = c.select(col("doc_id"),
-      C(graft.expressions.MinHashBandsExpression(
-        E(TA.wordShingles(col("text"), 5)), 4, 4)).as("bands"))
-    val nCand = Dedup.candidatePairs(banded, "doc_id", "bands",
-        Int.MaxValue)
-      .agg(count(lit(1)).as("n_candidates"))
-    val nVer = Dedup.minhashNearDupsWords(c, "doc_id", "text",
-        shingleWords = 5, k = 16, bands = 4, threshold = 0.5,
-        maxBucketSize = Int.MaxValue)
-      .agg(count(lit(1)).as("n_verified"))
-    nCand.crossJoin(broadcast(nVer))
-      .select(col("n_candidates"), col("n_verified"),
-        (col("n_verified").cast("double") /
-          col("n_candidates").cast("double")).as("precision"))
-  }
+      : DataFrame =
+    // one-pass audit (r12): the former two-arm form (candidatePairs +
+    // minhashNearDupsWords) shingled, minhashed, banded and generated
+    // candidates TWICE over the corpus; the fused operator computes
+    // the identical (n_candidates, n_verified, precision) row from
+    // one shared pass — same banding (k=16, bands=4 ⇒ 4 rows/band),
+    // same uncapped buckets, same exact-Jaccard verify at 0.5
+    Dedup.minhashPrecisionAuditWords(corpus(s, dir), "doc_id", "text",
+      shingleWords = 5, k = 16, bands = 4, threshold = 0.5,
+      maxBucketSize = Int.MaxValue)
 
   private lazy val q363Sql =
     s"""WITH $corpusSql,

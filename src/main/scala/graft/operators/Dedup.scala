@@ -450,8 +450,10 @@ object Dedup {
     val rowsPerBand = k / bands
     // persisted so the three downstream expressions evaluate over cached
     // shingle arrays — unpersisted, CollapseProject would inline (and
-    // re-run) the shingling into every reference
-    val shingled = df.select(col(idCol), shingles.as("__sh"))
+    // re-run) the shingling into every reference. Scale.spread first:
+    // shingling is the per-row-heavy stage, and a single-split source
+    // would otherwise run it on one core (guide §2.5; r12)
+    val shingled = Scale.spread(df).select(col(idCol), shingles.as("__sh"))
       .persist(storageLevel)
     val prepared = shingled.select(col(idCol),
       C(graft.expressions.MinHashBandsExpression(E(col("__sh")), bands,
@@ -483,6 +485,69 @@ object Dedup {
     val result = scored.filter(j >= threshold)
       .select(col("id1"), col("id2"), j.as("jaccard"))
       .localCheckpoint(eager = true)
+    shingled.unpersist()
+    prepared.unpersist()
+    result
+  }
+
+  /** LSH precision audit in ONE pass: candidate count and verified
+    * count (exact Jaccard ≥ threshold) from the SAME shingle/minhash/
+    * banding computation. Computing the two arms independently — a
+    * candidatePairs call plus a minhashNearDupsWords call, the r11
+    * q363 shape — tokenizes, minhashes, bands, and generates
+    * candidates TWICE over the corpus; here the candidate pair set is
+    * materialized once and feeds both counts (guide §1.2: don't
+    * compute things you throw away). The emitted numbers are
+    * definitionally identical to the two-arm form: same banding ⇒
+    * same candidate set; the verify arm is the minhashNearDups
+    * verify (size-ratio prefilter is result-preserving, exact sorted
+    * intersect) restricted to those candidates.
+    * @return one row: (n_candidates, n_verified, precision) */
+  def minhashPrecisionAuditWords(df: DataFrame, idCol: String,
+      textCol: String, shingleWords: Int, k: Int, bands: Int,
+      threshold: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(bands > 0 && k > 0 && k % bands == 0,
+      s"k ($k) must be a positive multiple of bands ($bands)")
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => C, expression => E}
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Scale.spread: shingling is per-row-heavy; see
+    // minhashNearDupsOnShingles (r12)
+    val shingled = Scale.spread(df).select(col(idCol),
+        TextAnalysis.wordShingles(col(textCol), shingleWords).as("__sh"))
+      .persist(level)
+    val prepared = shingled.select(col(idCol),
+      C(graft.expressions.MinHashBandsExpression(E(col("__sh")), bands,
+        k / bands)).as("__bands"),
+      C(graft.expressions.HashedShinglesExpression(E(col("__sh")))).as("__hs"),
+      size(col("__sh")).as("__n"))
+      .persist(level)
+    // the candidate set feeds BOTH counts: materialize it once
+    val pairs = candidatePairs(prepared.select(col(idCol), col("__bands")),
+        idCol, "__bands", maxBucketSize)
+      .persist(level)
+    val nCand = pairs.agg(count(lit(1)).as("n_candidates"))
+    val p = prepared
+    val scored = pairs
+      .join(p.select(col(idCol).as("id1"), col("__hs").as("__h1"),
+        col("__n").as("__n1")), "id1")
+      .join(p.select(col(idCol).as("id2"), col("__hs").as("__h2"),
+        col("__n").as("__n2")), "id2")
+      .filter(least(col("__n1"), col("__n2")).cast("double") /
+        greatest(col("__n1"), col("__n2")) >= threshold)
+      .select(
+        C(graft.expressions.SortedLongIntersectSizeExpression(
+          E(col("__h1")), E(col("__h2")))).cast("double").as("__i"),
+        col("__n1"), col("__n2"))
+    val j = col("__i") / (col("__n1") + col("__n2") - col("__i"))
+    val nVer = scored.filter(j >= threshold)
+      .agg(count(lit(1)).as("n_verified"))
+    val result = nCand.crossJoin(broadcast(nVer))
+      .select(col("n_candidates"), col("n_verified"),
+        (col("n_verified").cast("double") /
+          col("n_candidates").cast("double")).as("precision"))
+      .localCheckpoint(eager = true)
+    pairs.unpersist()
     shingled.unpersist()
     prepared.unpersist()
     result
@@ -534,30 +599,46 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize,
       storageLevel: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 32,
-      s"maxHamming ($maxHamming) must be in [0, 32]")
     // persisted: the sketch feeds the banding branch plus both
     // verification join branches — unpersisted, the scan+tokenize+md5
-    // chain runs three times
-    val sketch = df.select(col(idCol),
+    // chain runs three times. Scale.spread first: the tokenize+md5
+    // sketch is the per-row-heavy stage, and a single-split source
+    // would otherwise run it on one core (guide §2.5; r12)
+    val sketch = Scale.spread(df).select(col(idCol),
       simhash32(tokensCol).as("__sh"))
       .persist(storageLevel)
-    val banded = sketch.withColumn("__bands", array(
+    val result = simhashNearDupsFromSketch(sketch, idCol, "__sh",
+      maxHamming, maxBucketSize)
+    sketch.unpersist()
+    result
+  }
+
+  /** Band + verify over a PRECOMPUTED 32-bit sketch column — the
+    * sketch-grain entry for callers that need the sketch for their own
+    * downstream arithmetic too (q354's third-side Hamming audit
+    * recomputed the full tokenize+md5 pass before this existed; r12).
+    * `sketch` should be persisted by the caller: it feeds the banding
+    * branch plus both verification join branches. Result rows are
+    * eagerly checkpointed, so the caller may unpersist right after. */
+  def simhashNearDupsFromSketch(sketch: DataFrame, idCol: String,
+      sketchCol: String, maxHamming: Int,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 32,
+      s"maxHamming ($maxHamming) must be in [0, 32]")
+    val s = sketch.select(col(idCol), col(sketchCol).as("__sh"))
+    val banded = s.withColumn("__bands", array(
       concat(lit("lo:"), (col("__sh").bitwiseAND(lit(0xffffL))).cast("string")),
       concat(lit("hi:"), shiftright(col("__sh"), 16).cast("string"))))
     val pairs = candidatePairs(banded, idCol, "__bands", maxBucketSize)
-    val s = sketch
     // eager checkpoint of the (small) result releases the sketch cache
     // immediately instead of leaking it for the session lifetime
-    val result = pairs
+    pairs
       .join(s.withColumnRenamed(idCol, "id1").withColumnRenamed("__sh", "__s1"), "id1")
       .join(s.withColumnRenamed(idCol, "id2").withColumnRenamed("__sh", "__s2"), "id2")
       .withColumn("hamming", bit_count(col("__s1").bitwiseXOR(col("__s2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
       .localCheckpoint(eager = true)
-    sketch.unpersist()
-    result
   }
 
   // ------------------------------------------------- cluster assembly

@@ -27,6 +27,29 @@ object Graph {
       .filter(col("u") =!= col("v") && col("u").isNotNull)
       .distinct()
 
+  /** Edge-count ceiling below which the triangle-closing edge set is
+    * broadcast (two longs per row: ≤ ~64 MB of payload at the cap,
+    * well under the 8 GB broadcast limit). The wedge table is
+    * Σ C(out-deg, 2) rows — orders of magnitude larger than the edge
+    * list — so a broadcast semi-join keeps it IN-PIPELINE (no
+    * exchange, no sort of the wedge rows), while the sort-merge form
+    * shuffles AND sorts every wedge. Above the cap the join falls
+    * back to a shuffled-hash semi-join: still no sort, one wedge
+    * exchange — the 100 TB shape. */
+  private val BroadcastClosingMaxEdges = 4000000L
+
+  /** Close wedges (a, b) against the canonical edge set: broadcast
+    * semi-join when the edge list is small enough to ship, shuffled-
+    * hash semi-join otherwise (never sort-merge — sorting the wedge
+    * table is pure overhead for an existence probe). */
+  private def closeWedges(wedges: DataFrame, closing: DataFrame,
+      edgeCount: Long): DataFrame =
+    if (edgeCount <= BroadcastClosingMaxEdges)
+      wedges.join(broadcast(closing), Seq("a", "b"), "left_semi")
+    else
+      wedges.hint("shuffle_hash")
+        .join(closing, Seq("a", "b"), "left_semi")
+
   /** Total triangle count over an undirected edge list (columns
     * `src`/`dst`; duplicates and orientation are normalized first).
     *
@@ -41,6 +64,9 @@ object Graph {
     // MEMORY_ONLY — evictable, recompute is deterministic
     val canon = canonicalEdges(edges, src, dst)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // materializes the cache (its first consumer pays this anyway) and
+    // sizes the closing-join strategy below
+    val edgeCount = canon.count()
     // degrees over the canonical list
     val deg = canon.select(col("u").as("n"))
       .unionAll(canon.select(col("v").as("n")))
@@ -65,16 +91,18 @@ object Graph {
     val right = oriented.select(col("lo").as("apex"), col("hi").as("b"))
     val wedges = left.hint("shuffle_hash").join(right, Seq("apex"))
       .filter(col("a") < col("b"))
-    // close the wedge: (a, b) must be an edge (canonical: a < b)
+    // close the wedge: (a, b) must be an edge (canonical: a < b) —
+    // broadcast semi-join keeps the wedge table in-pipeline (r12)
     val closing = canon.select(col("u").as("a"), col("v").as("b"))
-    val tris = wedges.join(closing, Seq("a", "b"), "left_semi")
-    // node/edge counts live IN the plan (single-row broadcast cross
-    // joins) — separate driver .count() actions would serialize two
-    // extra jobs into every caller's critical path
+    val tris = closeWedges(wedges, closing, edgeCount)
+    // node count lives IN the plan (single-row broadcast cross join) —
+    // a separate driver .count() action would serialize an extra job
+    // into every caller's critical path; the edge count is already on
+    // the driver (the strategy-sizing count above)
     val out = tris.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
-      .crossJoin(broadcast(canon.agg(count(lit(1)).as("n_edges"))))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      .select(col("n_nodes"), lit(edgeCount).as("n_edges"),
+        col("n_triangles"))
       // eager 1-row materialization so the edge cache can release NOW
       // instead of leaking for the session lifetime (the r5 minhash
       // cache-release discipline)
@@ -101,6 +129,8 @@ object Graph {
       dst: String): DataFrame = {
     val canon = canonicalEdges(edges, src, dst)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // materializes the cache and sizes the closing-join strategy (r12)
+    val edgeCount = canon.count()
     val deg = canon.select(col("u").as("n"))
       .unionAll(canon.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -121,7 +151,7 @@ object Graph {
     val wedges = left.hint("shuffle_hash").join(right, Seq("apex"))
       .filter(col("a") < col("b"))
     val closing = canon.select(col("u").as("a"), col("v").as("b"))
-    val tris = wedges.join(closing, Seq("a", "b"), "left_semi")
+    val tris = closeWedges(wedges, closing, edgeCount)
     val perNode = tris
       .select(explode(array(col("apex"), col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("t"))
@@ -167,7 +197,11 @@ object Graph {
       iterations: Int): DataFrame = {
     require(iterations >= 0, s"iterations ($iterations) must be >= 0")
     val spark = edges.sparkSession
+    // persisted: the sizing count below and BOTH unionAll branches of
+    // the adjacency read it — unpersisted, the scan + distinct ran
+    // three times (r12)
     val canon = canonicalEdges(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val sessionParts = spark.sessionState.conf.numShufflePartitions.toLong
     val edgeCount = canon.count()
     val loopParts = math.max(1L,
@@ -199,6 +233,7 @@ object Graph {
       labels
     } finally {
       adj.unpersist(blocking = false)
+      canon.unpersist(blocking = false)
     }
   }
 
@@ -386,11 +421,14 @@ object Graph {
       maxIter: Int): DataFrame = {
     require(maxIter >= 0, s"maxIter ($maxIter) must be >= 0")
     val spark = edges.sparkSession
+    // persisted: the sizing count and the adjacency repartition both
+    // read it — unpersisted, the dedup aggregate ran twice (r12)
     val e0 = edges.select(col(src).cast("long").as("a"),
         col(dst).cast("long").as("b"), col(weight).cast("long").as("w"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b") && col("w") >= 0)
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val sessionParts = spark.sessionState.conf.numShufflePartitions.toLong
     val edgeCount = e0.count()
     val loopParts = math.max(1L,
@@ -432,6 +470,7 @@ object Graph {
       dist
     } finally {
       adj.unpersist(blocking = false)
+      e0.unpersist(blocking = false)
     }
   }
 
@@ -443,7 +482,10 @@ object Graph {
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops ($maxHops) must be >= 0")
     val spark = edges.sparkSession
+    // persisted: the sizing count and both adjacency branches read it
+    // — unpersisted, the scan + distinct ran three times (r12)
     val canon = canonicalEdges(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // both directions, cached partitioned by the per-round join key
     val sessionParts =
       spark.sessionState.conf.numShufflePartitions.toLong
@@ -484,6 +526,7 @@ object Graph {
       dist
     } finally {
       adj.unpersist(blocking = false)
+      canon.unpersist(blocking = false)
     }
   }
 
@@ -660,9 +703,20 @@ object Graph {
       rounds: Int, satCap: Long = 1L << 53): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds out of range ($rounds)")
     require(satCap >= 1L, s"satCap must be positive ($satCap)")
+    val spark = edges.sparkSession
+    // persisted: the sizing count and both adjacency branches read it
+    // — unpersisted, the scan + distinct ran three times (r12)
     val canon = canonicalEdges(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val sessionParts = spark.sessionState.conf.numShufflePartitions.toLong
+    val loopParts = math.max(1L, math.min(sessionParts,
+      canon.count() / 125000L + 1L)).toInt
+    // cached PRE-PARTITIONED on the per-round join key (`b`): each
+    // round then shuffles only the n-row walk table, not the edge
+    // list — the pageRank loop discipline (r12)
     val adj = canon.select(col("u").as("a"), col("v").as("b"))
       .unionAll(canon.select(col("v").as("a"), col("u").as("b")))
+      .repartition(loopParts, col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = adj.select(col("a").as("node")).distinct()
     var v = nodes.withColumn("w", lit(1L))
@@ -700,6 +754,7 @@ object Graph {
       .localCheckpoint(eager = true)
     rounds_.foreach(Dedup.releaseCheckpoint)
     adj.unpersist(blocking = false)
+    canon.unpersist(blocking = false)
     out
   }
 
@@ -718,9 +773,21 @@ object Graph {
     require(seeds.nonEmpty && maxHops >= 0, "need seeds and maxHops >= 0")
     val spark = edges.sparkSession
     import spark.implicits._
+    // persisted: the sizing count and both adjacency branches read it
+    // — unpersisted, the scan + distinct ran three times (r12)
     val canon = canonicalEdges(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val sessionParts = spark.sessionState.conf.numShufflePartitions.toLong
+    val edgeCount = canon.count()
+    val loopParts = math.max(1L,
+      math.min(sessionParts, edgeCount / 125000L + 1L)).toInt
+    // cached PRE-PARTITIONED on the per-round join key — the
+    // bfsDistances/pageRank loop discipline (this operator alone
+    // persisted the adjacency unpartitioned, so every round's frontier
+    // join re-shuffled the full edge list; r12)
     val adj = canon.select(col("u").as("a"), col("v").as("b"))
       .unionAll(canon.select(col("v").as("a"), col("u").as("b")))
+      .repartition(loopParts, col("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var dist = seeds.distinct.toDF("seed")
@@ -754,6 +821,7 @@ object Graph {
               col("sum_dist").cast("double")).as("closeness"))
     } finally {
       adj.unpersist(blocking = false)
+      canon.unpersist(blocking = false)
     }
   }
 
@@ -780,9 +848,20 @@ object Graph {
   def wlRefine(edges: DataFrame, src: String, dst: String,
       rounds: Int): DataFrame = {
     require(rounds >= 0 && rounds <= 16, s"rounds out of range ($rounds)")
+    val spark = edges.sparkSession
+    // persisted: the sizing count and both adjacency branches read it
+    // — unpersisted, the scan + distinct ran three times (r12)
     val canon = canonicalEdges(edges, src, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val sessionParts = spark.sessionState.conf.numShufflePartitions.toLong
+    val loopParts = math.max(1L, math.min(sessionParts,
+      canon.count() / 125000L + 1L)).toInt
+    // cached PRE-PARTITIONED on the per-round join key (`x`): each
+    // round then shuffles only the n-row color table, not the edge
+    // list — the pageRank loop discipline (r12)
     val adj = canon.select(col("u").as("node"), col("v").as("x"))
       .unionAll(canon.select(col("v").as("node"), col("u").as("x")))
+      .repartition(loopParts, col("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var colors = adj.groupBy(col("node"))
       .agg(count(lit(1)).cast("string").as("color"))
@@ -807,6 +886,7 @@ object Graph {
       .localCheckpoint(eager = true)
     rounds_.foreach(Dedup.releaseCheckpoint)
     adj.unpersist(blocking = false)
+    canon.unpersist(blocking = false)
     result
   }
 

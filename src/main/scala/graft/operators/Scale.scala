@@ -40,6 +40,29 @@ object Scale {
       lit(saltFactor))
   }
 
+  /** Scale-adaptive input spread (guide §2.5, input skew): when a
+    * relation's scan parallelism is BELOW the session's default
+    * parallelism — the single-file / single-row-group fixture shape,
+    * or one giant gzip member at production scale — round-robin
+    * repartition it so downstream per-row-heavy compute (tokenize,
+    * shingle, hash, decode, parse) uses every core instead of one.
+    * No-op whenever the source already has enough splits (any real
+    * multi-file table), so the extra exchange exists only where the
+    * scan itself starves the job. Explicit-N repartition is exempt
+    * from AQE partition coalescing, so the spread survives the tiny
+    * byte sizes that motivate it.
+    *
+    * Place it AFTER source filters (so pushdown still reaches the
+    * scan) and immediately BEFORE the heavy projection. Results are
+    * unchanged: every consumer in this codebase is partitioning-
+    * invariant by design (integer/decimal aggregates, sorted folds,
+    * total-order windows — the cross-engine-oracle contract). */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
   /** Two-phase salted sum/count aggregation. Results are EXACTLY equal
     * to the unsalted `df.groupBy(keys).agg(sum/count)` — only the
     * shuffle distribution changes. Extend with more partial-izable

@@ -62,7 +62,10 @@ object SetSimJoin {
   }
 
   private[graft] def tokenSets(df: DataFrame, idCol: String,
-      tokensCol: Column): DataFrame = df
+      tokensCol: Column): DataFrame = Scale.spread(df)
+    // Scale.spread: tokenize+distinct+sort is the per-row-heavy stage,
+    // and a single-split source would otherwise run it on one core
+    // (guide §2.5; r12)
     .select(col(idCol).as("__id"), array_distinct(tokensCol).as("__toks"))
     .filter(size(col("__toks")) > 0)
     // lexicographically sorted form for the two-pointer verify
@@ -197,7 +200,10 @@ object SetSimJoin {
     * on the REAL stage, not a reimplementation. */
   private[graft] def tfTerms(docs: DataFrame, idCol: String,
       textCol: String, ngramN: Int): DataFrame =
-    docs.select(col(idCol).as("__id"),
+    // Scale.spread: n-gram tokenization + explode is the per-row-heavy
+    // stage; a single-split source would otherwise run it on one core
+    // (guide §2.5; r12)
+    Scale.spread(docs).select(col(idCol).as("__id"),
         explode(graft.functions.TextAnalysis
           .wordNgrams(col(textCol), ngramN)).as("term"))
       .groupBy(col("__id"), col("term"))
