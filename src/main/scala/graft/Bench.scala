@@ -16,6 +16,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let AQE re-optimize (and coalesce) the shuffles INSIDE cached
+      // plans: off by default, which left every persist() materializing
+      // with the static shuffle-partition count — 32 near-empty tasks
+      // per cached exchange here, and at any scale it re-enables the
+      // same size-adaptive coalescing every uncached query already
+      // gets (guide §2.2). Partitioning-sensitive loop caches use
+      // explicit-N repartition, which AQE never coalesces. Env-
+      // overridable for A/B measurement; the driver never sets it, so
+      // driver runs always measure the default. (r12)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warmup on the smallest sf so per-query numbers measure

@@ -4282,8 +4282,12 @@ object QueriesAnalytics {
   private def genPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextAnalysis => TA}
     val tk = TA.alnumTokens(col("text"))
-    Tables.load(s, dir, "documents")
-      .filter(pmod(col("doc_id"), lit(2)) === 0)
+    // Scale.spread AFTER the pushed filter: the tokenize here plus the
+    // n-gram explodes in every consumer (BLEU/ROUGE/chrF/token-F1) are
+    // per-row-heavy and the fixture is single-split (guide §2.5; r12)
+    graft.operators.Scale.spread(
+        Tables.load(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(2)) === 0))
       .select(col("doc_id"), col("text"), tk.as("__tk"))
       .filter(size(col("__tk")) >= 8)
       .select(col("doc_id"),

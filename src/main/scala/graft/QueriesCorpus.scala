@@ -2165,10 +2165,13 @@ object QueriesCorpus {
   private def q358DdsketchAudit(s: SparkSession, dir: String)
       : DataFrame = {
     import graft.operators.{Quantiles, Sketches}
-    val cents = Tables.load(s, dir, "lineitem").select(
-        (col("l_extendedprice").cast("decimal(18,2)") * 100)
-          .cast("long").as("cents"))
-      .filter(col("cents").isNotNull && col("cents") >= 0L)
+    // Scale.spread: the checkpointed frame feeds the sketch fold AND
+    // the exact ecdf; single-split, both consumers ran one-task (r12)
+    val cents = graft.operators.Scale.spread(
+      Tables.load(s, dir, "lineitem").select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .filter(col("cents").isNotNull && col("cents") >= 0L))
       .localCheckpoint(true)
     val est = Sketches.ddSketchQuantiles(
       Sketches.ddSketchCounts(cents, "cents"), Seq(0.5, 0.9, 0.99))

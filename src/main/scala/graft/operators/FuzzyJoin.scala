@@ -48,8 +48,12 @@ object FuzzyJoin {
     * match (SQL comparison semantics). */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .filter(col("__s").isNotNull)
+    // Scale.spread: the deletion-variant explode below is per-row-heavy
+    // (O(len^d) string slices per row) and a single-split source would
+    // generate every variant on one core (guide §2.5; r12)
+    val base = Scale.spread(
+      df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+        .filter(col("__s").isNotNull))
     val keyed = base.select(col("__id"), col("__s"),
       explode(deletionVariants(col("__s"), maxDist)).as("__v"))
     val left = keyed.select(col("__v"), col("__id").as("id1"),

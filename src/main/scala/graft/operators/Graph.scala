@@ -41,14 +41,17 @@ object Graph {
   /** Close wedges (a, b) against the canonical edge set: broadcast
     * semi-join when the edge list is small enough to ship, shuffled-
     * hash semi-join otherwise (never sort-merge — sorting the wedge
-    * table is pure overhead for an existence probe). */
-  private def closeWedges(wedges: DataFrame, closing: DataFrame,
+    * table is pure overhead for an existence probe). private[graft]
+    * so the spec can pin both arms' equivalence directly. */
+  private[graft] def closeWedges(wedges: DataFrame, closing: DataFrame,
       edgeCount: Long): DataFrame =
     if (edgeCount <= BroadcastClosingMaxEdges)
       wedges.join(broadcast(closing), Seq("a", "b"), "left_semi")
     else
-      wedges.hint("shuffle_hash")
-        .join(closing, Seq("a", "b"), "left_semi")
+      // hint the BUILD side: a LeftSemi builds right, so the hint must
+      // sit on the closing relation to force the shuffled-hash strategy
+      wedges.join(closing.hint("shuffle_hash"), Seq("a", "b"),
+        "left_semi")
 
   /** Total triangle count over an undirected edge list (columns
     * `src`/`dst`; duplicates and orientation are normalized first).

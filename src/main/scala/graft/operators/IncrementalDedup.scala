@@ -50,8 +50,10 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     // within-batch exact dedup, then fingerprint once per survivor;
     // materialized: feeds the pruning collect, the anti-join, and the
-    // append
-    val fped = Dedup.exactDedup(batch, idCol, textCol)
+    // append. Scale.spread: the normalize+md5 fingerprint inside
+    // exactDedup's map side is per-row-heavy, and a single-split batch
+    // would run it on one core (guide §2.5; r12)
+    val fped = Dedup.exactDedup(Scale.spread(batch), idCol, textCol)
       .withColumn(FpCol, TextAnalysis.fingerprint(col(textCol)))
       .withColumn(PersistentIndex.PfxCol,
         PersistentIndex.pfxOf(col(FpCol)))

@@ -1147,4 +1147,57 @@ class CorpusOpsSpec extends SparkSpec {
     got("aaaa")._2 shouldBe "a,##a,##a,##a"
     got("aaa")._3 shouldBe 3
   }
+
+  // -------------------------------------------------- r12 optimization
+
+  test("minhashPrecisionAuditWords equals the two-arm form (r12)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy cat today"),
+      (4L, "entirely different text with no shared shingles here at all"),
+      (5L, "another unrelated document body for the control group rows"))
+      .toDF("doc_id", "text")
+    val fused = Dedup.minhashPrecisionAuditWords(docs, "doc_id", "text",
+      shingleWords = 3, k = 16, bands = 4, threshold = 0.5).head()
+    // the r11 two-arm reference shape
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column => C, expression => E}
+    val banded = docs.select(col("doc_id"),
+      C(graft.expressions.MinHashBandsExpression(
+        E(graft.functions.TextAnalysis.wordShingles(col("text"), 3)),
+        4, 4)).as("bands"))
+    val nCand = Dedup.candidatePairs(banded, "doc_id", "bands",
+      Int.MaxValue).count()
+    val nVer = Dedup.minhashNearDupsWords(docs, "doc_id", "text",
+      shingleWords = 3, k = 16, bands = 4, threshold = 0.5,
+      maxBucketSize = Int.MaxValue).count()
+    fused.getLong(0) shouldBe nCand
+    fused.getLong(1) shouldBe nVer
+    fused.getDouble(2) shouldBe nVer.toDouble / nCand.toDouble
+    nCand should be >= nVer
+    nVer should be >= 1L
+  }
+
+  test("simhashNearDupsFromSketch equals simhashNearDups (r12)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta"),
+      (4L, "totally different words everywhere now"))
+      .toDF("doc_id", "text")
+    val viaText = Dedup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = 8, maxBucketSize = Int.MaxValue)
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSeq
+    val sketch = docs.select(col("doc_id"),
+      Dedup.simhash32(graft.functions.TextAnalysis.tokens(col("text")))
+        .as("sh")).persist()
+    val viaSketch = Dedup.simhashNearDupsFromSketch(sketch, "doc_id",
+        "sh", maxHamming = 8, maxBucketSize = Int.MaxValue)
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSeq
+    sketch.unpersist()
+    viaSketch shouldBe viaText
+    viaSketch.nonEmpty shouldBe true
+  }
 }

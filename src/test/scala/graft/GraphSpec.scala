@@ -519,4 +519,34 @@ class GraphSpec extends SparkSpec {
     all(got.map(_.getLong(2))) shouldBe 2L
     all(got.map(_.getDouble(3))) shouldBe 1.0
   }
+
+  test("closeWedges: broadcast and shuffled-hash arms agree (r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // K4 plus a tail: wedges at every apex, some closing, some not
+    val canon = Graph.canonicalEdges(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (4L, 5L)).toDF("s", "d"), "s", "d")
+    val left = canon.select(col("u").as("apex"), col("v").as("a"))
+    val right = canon.select(col("u").as("apex"), col("v").as("b"))
+    val wedges = left.join(right, Seq("apex"))
+      .filter(col("a") < col("b"))
+    val closing = canon.select(col("u").as("a"), col("v").as("b"))
+    def rows(edgeCount: Long): Seq[(Long, Long, Long)] =
+      Graph.closeWedges(wedges, closing, edgeCount)
+        .orderBy("apex", "a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bcast = rows(edgeCount = Long.MaxValue min 4000000L) // broadcast arm
+    val shuffle = rows(edgeCount = 4000001L)                 // fallback arm
+    bcast shouldBe shuffle
+    bcast.nonEmpty shouldBe true
+    // the SEMI-join strategy actually differs per arm (the inner apex
+    // join may broadcast at this fixture size either way)
+    def semiLine(edgeCount: Long): String =
+      Graph.closeWedges(wedges, closing, edgeCount)
+        .queryExecution.executedPlan.toString
+        .split('\n').filter(_.contains("LeftSemi")).mkString
+    semiLine(1L) should include ("BroadcastHashJoin")
+    semiLine(Long.MaxValue) should include ("ShuffledHashJoin")
+  }
 }

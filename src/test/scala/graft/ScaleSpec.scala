@@ -127,4 +127,19 @@ class ScaleSpec extends SparkSpec {
       controlPlan should include ("Exchange hashpartitioning")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("spread: widens starved scans, no-ops elsewhere, keeps rows (r12)") {
+    val target = spark.sparkContext.defaultParallelism
+    // single-partition source (the single-file fixture shape)
+    val narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    val widened = Scale.spread(narrow)
+    widened.rdd.getNumPartitions shouldBe target
+    widened.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) shouldBe
+      (999L * 1000L / 2L)
+    widened.count() shouldBe 1000L
+    // already-parallel source: untouched (same plan, no exchange added)
+    val wide = spark.range(0, 1000, 1, target).toDF("id")
+    Scale.spread(wide).queryExecution.executedPlan.toString should
+      not include ("Exchange")
+  }
 }
