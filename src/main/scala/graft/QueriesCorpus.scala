@@ -1956,7 +1956,12 @@ object QueriesCorpus {
     * relationally. */
   private def q258Containment(s: SparkSession, dir: String): DataFrame =
     graft.operators.SetSimJoin
-      .containmentSelfJoin(Tables.load(s, dir, "documents"), "doc_id",
+      // Scale.spread: 4-gram shingling is the per-row-heavy stage and
+      // the fixture is single-split (guide §2.5; r12 — heavy-token
+      // callers spread their input, see tokenSets)
+      .containmentSelfJoin(
+        graft.operators.Scale.spread(Tables.load(s, dir, "documents")),
+        "doc_id",
         graft.functions.TextAnalysis.wordNgrams(col("text"), 4), 0.8)
       .orderBy(col("id_a"), col("id_b"))
 

@@ -194,7 +194,10 @@ object QueriesPipeline {
     val nIn = full
       .groupBy(pmod(col("doc_id"), lit(3)).as("batch"))
       .agg(count(lit(1)).as("n_in"))
-    survivors
+    // Scale.spread: the Gopher-quality battery + token count below are
+    // the per-row-heavy stage, and the accepted survivors inherit the
+    // micro-batches' narrow layout (guide §2.5; r12)
+    graft.operators.Scale.spread(survivors)
       .withColumn("keep", TA.gopherQuality(col("text")).getField("keep"))
       .groupBy(col("batch"))
       .agg(count(lit(1)).as("n_survivors"),

@@ -50,10 +50,13 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     // within-batch exact dedup, then fingerprint once per survivor;
     // materialized: feeds the pruning collect, the anti-join, and the
-    // append. Scale.spread: the normalize+md5 fingerprint inside
-    // exactDedup's map side is per-row-heavy, and a single-split batch
-    // would run it on one core (guide §2.5; r12)
-    val fped = Dedup.exactDedup(Scale.spread(batch), idCol, textCol)
+    // append. Deliberately NOT Scale.spread here (r12, measured): a
+    // micro-batch's one-pass md5 is milliseconds of CPU, while the
+    // spread's 32-task layout taxes EVERY downstream index job of the
+    // lifecycle with per-stage task overhead (q419 +5.9 s). Callers
+    // whose post-accept work is heavy spread the SURVIVORS themselves
+    // (q324); at production scale a bulk batch is multi-split anyway.
+    val fped = Dedup.exactDedup(batch, idCol, textCol)
       .withColumn(FpCol, TextAnalysis.fingerprint(col(textCol)))
       .withColumn(PersistentIndex.PfxCol,
         PersistentIndex.pfxOf(col(FpCol)))

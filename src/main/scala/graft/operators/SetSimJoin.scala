@@ -62,10 +62,12 @@ object SetSimJoin {
   }
 
   private[graft] def tokenSets(df: DataFrame, idCol: String,
-      tokensCol: Column): DataFrame = Scale.spread(df)
-    // Scale.spread: tokenize+distinct+sort is the per-row-heavy stage,
-    // and a single-split source would otherwise run it on one core
-    // (guide §2.5; r12)
+      tokensCol: Column): DataFrame = df
+    // No unconditional Scale.spread here (r12, measured): tokensCol
+    // ranges from trivial whitespace tokens (q94 — the spread's
+    // 32-task stage tax cost more than the tokenize saved) to heavy
+    // n-gram shingles (q258 — where the spread wins 3 s). The caller
+    // knows which; heavy-token callers spread their input df.
     .select(col(idCol).as("__id"), array_distinct(tokensCol).as("__toks"))
     .filter(size(col("__toks")) > 0)
     // lexicographically sorted form for the two-pointer verify
