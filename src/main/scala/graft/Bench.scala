@@ -157,15 +157,20 @@ object Bench {
     val summary =
       s"""{"metric":"total","unit":"sec","n":${results.size},"sentinel":$sent,"top":$top,"value":$total}"""
     println(summary)
-    // sidecar copy of the same summary object (repo root, overwritten
-    // per run): the driver's log capture prefixes every stdout line
-    // with sbt's `[info] ` and appends a `[success]` tail, so its
-    // json.loads of the captured tail has failed every round — the
-    // structured record must exist as a FILE regardless of how the
-    // stdout line is mangled in transit
+    // sidecar copy of the run record (repo root, overwritten per run):
+    // the driver's log capture prefixes every stdout line with sbt's
+    // `[info] ` and appends a `[success]` tail, so its json.loads of
+    // the captured tail has failed every round — the structured record
+    // must exist as a FILE regardless of how the stdout line is mangled
+    // in transit. Unlike stdout there is no size limit here, so the
+    // sidecar carries the FULL per-query map plus attrib/sentinel/cpus,
+    // restoring per-query round-over-round ground truth (r12 VERDICT
+    // item 2: PERF per_query has been empty every round).
     try {
+      val sidecar =
+        s"""{"metric":"total","unit":"sec","n":${results.size},"cpus":$cpus,"sf":"$sfDir","sentinel":$sent,"top":$top,"queries":$qs,"attrib":$attrib,"value":$total}"""
       val w = new java.io.PrintWriter("BENCH_SUMMARY.json", "UTF-8")
-      try w.println(summary) finally w.close()
+      try w.println(sidecar) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }

@@ -840,8 +840,10 @@ object QueriesMultimodal {
     val hashes = dhashFixture(s, dir)
       .withColumn("__batch", pmod(col("doc_id"), lit(3)).cast("int"))
       .localCheckpoint(true)
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_incr_dhash").toString
+    val idxRoot = java.nio.file.Files
+      .createTempDirectory("graft_incr_dhash")
+    val idx = idxRoot.toString
+    try {
     (0 until 3).map { b =>
       if (b == 2) // flags must be invariant under the file rewrite
         graft.operators.IncrementalPerceptualDedup.compactIndex(s, idx)
@@ -850,6 +852,10 @@ object QueriesMultimodal {
           .select(col("doc_id"), col("dhash")),
         "doc_id", "dhash", idx, s"day$b", maxHamming = 6)
     }.reduce(_ unionAll _).orderBy(col("doc_id"))
+    // each acceptBatch's flags are localCheckpoint-materialized, so
+    // the index tree is dead weight once the union is built (q419's
+    // no-orphaned-/tmp-tree hygiene)
+    } finally QueriesDedup.deleteRecursively(idxRoot)
   }
 
   private[graft] val q397Sql =

@@ -183,8 +183,10 @@ object QueriesPipeline {
   private def q324IncrementalPipeline(s: SparkSession, dir: String)
       : DataFrame = {
     val full = QueriesDedup.corpus(s, dir)
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_incr_idx").toString
+    val idxRoot = java.nio.file.Files
+      .createTempDirectory("graft_incr_idx")
+    val idx = idxRoot.toString
+    try {
     val survivors = (0 until 3).map { b =>
       val batch = full.filter(pmod(col("doc_id"), lit(3)) === b)
       graft.operators.IncrementalDedup
@@ -208,6 +210,10 @@ object QueriesPipeline {
       .select(col("batch"), col("n_in"), col("n_survivors"),
         col("n_quality"), col("quality_tokens"))
       .orderBy(col("batch"))
+    // acceptBatch's survivors are localCheckpoint-materialized, so the
+    // index tree is dead weight once the unions are built (q419's
+    // no-orphaned-/tmp-tree hygiene)
+    } finally QueriesDedup.deleteRecursively(idxRoot)
   }
 
   private val q324Sql =

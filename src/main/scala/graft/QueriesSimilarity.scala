@@ -744,6 +744,7 @@ object QueriesSimilarity {
     val corpus = base.unionAll(copies)
     val idx = java.nio.file.Files
       .createTempDirectory("graft_sem_idx").toString
+    try {
     (0 until 3).map { b =>
       if (b == 2) // flags must be invariant under the file rewrite
         graft.operators.IncrementalSemanticDedup.compactIndex(s, idx)
@@ -756,6 +757,11 @@ object QueriesSimilarity {
       .select(col("doc_id"), col("batch"), col("n_earlier"),
         col("max_dot"), col("dup_of"))
       .orderBy(col("doc_id"))
+    // acceptBatch's verdicts are localCheckpoint-materialized, so the
+    // index tree is dead weight once the union is built (q419's
+    // no-orphaned-/tmp-tree hygiene)
+    } finally QueriesDedup.deleteRecursively(
+      java.nio.file.Paths.get(idx))
   }
 
   private val q375Sql =

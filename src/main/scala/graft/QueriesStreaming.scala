@@ -22,10 +22,30 @@ object QueriesStreaming {
     val stageRoot = java.nio.file.Files.createTempDirectory("graft_stage")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val t0 = System.currentTimeMillis() - (frames.size + 1) * 1000L
-    frames.zipWithIndex.foreach { case (f, i) =>
-      val stage = stageRoot.resolve(s"s$i")
-      f.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val listing = java.nio.file.Files.list(stage)
+    // ONE write job for every frame (r13, guide §1.2): the previous
+    // shape ran frames.size serial single-task coalesce(1) writes —
+    // each a full plan execution plus a parquet commit, measured as
+    // the dominant fixed cost of the streaming lifecycle rows. The
+    // union is partitioned by the frame ordinal (explicit N so AQE
+    // cannot fold two frames' rows into one task) and split back into
+    // one dir per frame by partitionBy; all rows of a frame sit in
+    // one task, so each dir holds exactly one part file, which then
+    // moves to its mtime-stamped destination exactly as before.
+    val stage = stageRoot.resolve("all")
+    frames.zipWithIndex
+      .map { case (f, i) => f.withColumn("__of", lit(i)) }
+      .reduce(_ unionAll _)
+      .repartition(frames.size, col("__of"))
+      .write.mode("overwrite").partitionBy("__of").parquet(stage.toString)
+    frames.indices.foreach { i =>
+      val fdir = stage.resolve(s"__of=$i")
+      // a zero-row frame produces no partition dir in the fused write;
+      // keep the old per-frame path for that (rare) shape so the batch
+      // STRUCTURE — one file per frame, empty or not — is unchanged
+      if (!java.nio.file.Files.isDirectory(fdir))
+        frames(i).coalesce(1).write.mode("overwrite")
+          .parquet(fdir.toString)
+      val listing = java.nio.file.Files.list(fdir)
       val part = try {
         listing.iterator().asScala
           .find(_.getFileName.toString.startsWith("part-"))
@@ -153,6 +173,7 @@ object QueriesStreaming {
   private def q110StreamIncremental(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{IncrementalAgg, ParquetTable}
     val work = java.nio.file.Files.createTempDirectory("graft_sinc")
+    try {
     val pub = work.resolve("published").toString
     val deltaDir = work.resolve("delta").toString
     val ckpt = work.resolve("ckpt").toString
@@ -197,12 +218,17 @@ object QueriesStreaming {
     }
     // gate shape: the exact decimal sum leaves as BIGINT cents (r5
     // adjudication — the driver's hasher rejects decimal128 sums even
-    // when bit-identical; q91/q140 keep the decimal-typed coverage)
+    // when bit-identical; q91/q140 keep the decimal-typed coverage).
+    // localCheckpoint materializes the (6-row) result so the scratch
+    // tree can be deleted before returning (the q419 hygiene: no
+    // orphaned /tmp tree per invocation)
     ParquetTable.read(s, pub)
       .select(col("l_returnflag"), col("l_linestatus"), col("n_items"),
         (col("sum_qty") * 100).cast("long").as("sum_qty_cents"),
         col("min_price"), col("max_price"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .localCheckpoint(true)
+    } finally QueriesDedup.deleteRecursively(work)
   }
 
   private val q110Sql =
@@ -237,6 +263,7 @@ object QueriesStreaming {
     withShufflePartitions(s, 4) {
     import graft.streaming.EventPipeline
     val work = java.nio.file.Files.createTempDirectory("graft_sdd")
+    try {
     val deltaDir = work.resolve("delta").toString
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
@@ -268,6 +295,8 @@ object QueriesStreaming {
       .groupBy((col("k") % 25).as("bucket"))
       .agg(count(lit(1)).as("n_keys"))
       .orderBy(col("bucket"))
+      .localCheckpoint(true) // materialize, then drop the scratch tree
+    } finally QueriesDedup.deleteRecursively(work)
     }
 
   private val q175Sql =
@@ -288,6 +317,7 @@ object QueriesStreaming {
     withShufflePartitions(s, 4) {
     import graft.streaming.EventPipeline
     val work = java.nio.file.Files.createTempDirectory("graft_scu")
+    try {
     val deltaDir = work.resolve("delta").toString
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
@@ -320,6 +350,8 @@ object QueriesStreaming {
         min(col("event_id")).as("first_eid"),
         max(col("event_id")).as("last_eid"))
       .orderBy(col("user_id"))
+      .localCheckpoint(true) // materialize, then drop the scratch tree
+    } finally QueriesDedup.deleteRecursively(work)
     }
 
   private val q222Sql =
@@ -359,6 +391,7 @@ object QueriesStreaming {
     withShufflePartitions(s, 4) {
     import graft.streaming.EventPipeline
     val work = java.nio.file.Files.createTempDirectory("graft_sse")
+    try {
     val deltaDir = work.resolve("delta").toString
     val outDir = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
@@ -392,6 +425,8 @@ object QueriesStreaming {
     s.read.parquet(outDir)
       .filter(col("window_start") < lit("2024-02-01").cast("timestamp"))
       .orderBy(col("window_start"), col("c_mktsegment"))
+      .localCheckpoint(true) // materialize, then drop the scratch tree
+    } finally QueriesDedup.deleteRecursively(work)
     }
 
   private val q194Sql =
@@ -427,6 +462,7 @@ object QueriesStreaming {
   private def q402StreamPerceptual(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{IncrementalPerceptualDedup, ParquetTable}
     val work = java.nio.file.Files.createTempDirectory("graft_sperc")
+    try {
     val deltaDir = work.resolve("delta").toString
     val ckpt = work.resolve("ckpt").toString
     val idx = work.resolve("index").toString
@@ -465,6 +501,8 @@ object QueriesStreaming {
       awaitOrStop(q, "streaming perceptual dedup")
     }
     ParquetTable.read(s, out).orderBy(col("doc_id"))
+      .localCheckpoint(true) // materialize, then drop the scratch tree
+    } finally QueriesDedup.deleteRecursively(work)
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -792,19 +792,21 @@ object Dedup {
     // shuffle saved per round.
     val edges = edgesRaw.repartition(loopParts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize from edgesRaw's cache, then drop it
-    edgesRaw.unpersist()
     try {
     // init folds the first propagation round in: every node starts at
     // min(self, direct neighbors) straight off the edge aggregate. The
     // repartition pins the labels-by-node layout the loop maintains, so
     // round 1's joins already match partition counts on both sides.
+    // This first action also materializes the `edges` cache (from
+    // edgesRaw's cache) as a side effect — the r12 shape paid a
+    // separate edges.count() job for that (r13, guide §1.2).
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("__m"))
       .select(col("src").as("node"),
         least(col("__m"), col("src")).as("cluster"))
       .repartition(loopParts, col("node"))
       .localCheckpoint(eager = true)
+    edgesRaw.unpersist() // edges' cache is filled; the raw copy is dead
     val numericIds = labels.schema("cluster").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): Any =

@@ -49,34 +49,42 @@ object IncrementalDedup {
       indexPath: String, batchTag: String): DataFrame = {
     val spark = batch.sparkSession
     // within-batch exact dedup, then fingerprint once per survivor;
-    // materialized: feeds the pruning collect, the anti-join, and the
-    // append. Deliberately NOT Scale.spread here (r12, measured): a
-    // micro-batch's one-pass md5 is milliseconds of CPU, while the
-    // spread's 32-task layout taxes EVERY downstream index job of the
-    // lifecycle with per-stage task overhead (q419 +5.9 s). Callers
-    // whose post-accept work is heavy spread the SURVIVORS themselves
-    // (q324); at production scale a bulk batch is multi-split anyway.
+    // persisted (not checkpointed): feeds the pruning collect, the
+    // anti-join, and the append, and its lineage is only the caller's
+    // batch frame — never the index — so a cache recompute is always
+    // safe. The pruning collect below is the first action, so ONE job
+    // materializes the cache AND returns the touched partitions (the
+    // r12 shape paid a separate eager-checkpoint job per acceptBatch
+    // first; r13, guide §1.2). Deliberately NOT Scale.spread here
+    // (r12, measured): a micro-batch's one-pass md5 is milliseconds of
+    // CPU, while the spread's 32-task layout taxes EVERY downstream
+    // index job of the lifecycle with per-stage task overhead (q419
+    // +5.9 s). Callers whose post-accept work is heavy spread the
+    // SURVIVORS themselves (q324); at production scale a bulk batch is
+    // multi-split anyway.
     val fped = Dedup.exactDedup(batch, idCol, textCol)
       .withColumn(FpCol, TextAnalysis.fingerprint(col(textCol)))
       .withColumn(PersistentIndex.PfxCol,
         PersistentIndex.pfxOf(col(FpCol)))
-      .localCheckpoint(true)
-    // only partitions a batch fingerprint hashes into can hold an
-    // equal fingerprint — bounded collect (<= NumPfx values)
-    val touched = fped.select(col(PersistentIndex.PfxCol)).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val index = PersistentIndex.readExcluding(spark, indexPath, batchTag,
-      IndexSchema, Some(touched))
-    // two consumers (index append + returned rows): materialize so the
-    // anti-join runs once and the lineage is cut before the append
-    // mutates the index it read
-    val kept = fped.join(index.select(col(FpCol)), Seq(FpCol), "left_anti")
-      .localCheckpoint(true)
-    PersistentIndex.appendStaged(
-      kept.select(col(FpCol), lit(batchTag).as("tag"),
-        col(PersistentIndex.PfxCol)),
-      indexPath, batchTag)
-    kept.drop(FpCol, PersistentIndex.PfxCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // only partitions a batch fingerprint hashes into can hold an
+      // equal fingerprint — bounded collect (<= NumPfx values)
+      val touched = fped.select(col(PersistentIndex.PfxCol)).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val index = PersistentIndex.readExcluding(spark, indexPath, batchTag,
+        IndexSchema, Some(touched))
+      // two consumers (index append + returned rows): materialize so the
+      // anti-join runs once and the lineage is cut before the append
+      // mutates the index it read
+      val kept = fped.join(index.select(col(FpCol)), Seq(FpCol), "left_anti")
+        .localCheckpoint(true)
+      PersistentIndex.appendStaged(
+        kept.select(col(FpCol), lit(batchTag).as("tag"),
+          col(PersistentIndex.PfxCol)),
+        indexPath, batchTag)
+      kept.drop(FpCol, PersistentIndex.PfxCol)
+    } finally fped.unpersist(blocking = false)
   }
 
   /** Tag-preserving atomic compaction — see [[PersistentIndex.compact]].

@@ -53,8 +53,14 @@ object IncrementalPerceptualDedup {
       .withColumn(PersistentIndex.PfxCol,
         PersistentIndex.pfxOf(col("band")))
       // three consumers (pruning set + probe + index append): run the
-      // banding once
-      .localCheckpoint(true)
+      // banding once. Persisted, not checkpointed: the lineage is only
+      // the caller's batch frame (never the index), so a cache
+      // recompute is always safe, and the pruning collect below is the
+      // first action — ONE job materializes the cache AND returns the
+      // touched set (r12 paid a separate eager-checkpoint job per
+      // acceptBatch first; r13, guide §1.2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // partition pruning: only the index partitions this batch's bands
     // hash into can hold an equal band — bounded collect (<= NumPfx)
     val touched = banded.select(col(PersistentIndex.PfxCol)).distinct()
@@ -84,6 +90,7 @@ object IncrementalPerceptualDedup {
         col(PersistentIndex.PfxCol)),
       indexPath, batchTag)
     flagged
+    } finally banded.unpersist(blocking = false)
   }
 
   /** Tag-preserving atomic compaction — see [[PersistentIndex.compact]].

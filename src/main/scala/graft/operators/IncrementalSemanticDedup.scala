@@ -84,12 +84,17 @@ object IncrementalSemanticDedup {
       s"probeFlips ($probeFlips) out of [0, min(signBits, 4)]")
     val spark = batch.sparkSession
     // quantize once: the frame feeds both sides of the within-batch
-    // join, the index probe, and the index append
+    // join, the index probe, and the index append. Persisted, not
+    // checkpointed: the lineage is only the caller's batch frame
+    // (never the index), so a cache recompute is always safe, and the
+    // pruning collect below is the first action — ONE job materializes
+    // the cache AND returns the touched set (r13, guide §1.2)
     val q = batch
       .select(col(idCol).cast("long").as("doc_id"),
         Similarity.quantizeInt8(col(embCol)).getField("q").as("qv"))
       .withColumn("bkt", signBucket(col("qv"), signBits))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // multi-probe expansion of the PROBING side: XOR the home bucket
     // with every mask of popcount <= probeFlips (plan-time list)
     val probes =
@@ -149,6 +154,7 @@ object IncrementalSemanticDedup {
         PersistentIndex.pfxOf(col("bkt")).as(PersistentIndex.PfxCol)),
       indexPath, batchTag)
     res
+    } finally q.unpersist(blocking = false)
   }
 
   /** Tag-preserving atomic compaction — see [[PersistentIndex.compact]].

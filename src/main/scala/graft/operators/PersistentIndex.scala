@@ -119,6 +119,13 @@ object PersistentIndex {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Task count for a pfx-clustered write: one task per partition dir
+    * at most (more would never be used — each dir's rows must sit in
+    * one task to keep ≤1 file per dir), clamped to the session's
+    * parallelism. */
+  private def writeParts(df: DataFrame): Int =
+    math.min(NumPfx, df.sparkSession.sparkContext.defaultParallelism)
+
   /** Data files to read for a probe excluding `batchTag`'s own files
     * (read-skipping; the tag-column filter in [[readExcluding]] is
     * the correctness guarantee) and pruned to the `pfxs` partitions
@@ -211,8 +218,15 @@ object PersistentIndex {
     // NumPfx small files PER BATCH — IndexSmoke measured the probe
     // wall tripling per decade from file-count alone); with it, each
     // batch adds at most one file per partition and the probe wall
-    // stays flat until ordinary compaction cadence
-    df.repartition(col(PfxCol))
+    // stays flat until ordinary compaction cadence. Explicit N (r13):
+    // a keyless repartition(col) of a small batch gets AQE-coalesced
+    // to ONE task, which then creates all touched partition dirs'
+    // files serially (~1 s/append measured via StageProbe — pure file
+    // open/commit latency, not CPU); explicit N is AQE-exempt, so the
+    // file creation parallelizes while the layout is unchanged (all
+    // rows of a pfx still land in one task ⇒ still ≤1 file per dir
+    // per batch). N caps at the dir count and the session parallelism.
+    df.repartition(writeParts(df), col(PfxCol))
       .write.mode(SaveMode.Overwrite).partitionBy(PfxCol)
       .parquet(stage.toString)
     fs.mkdirs(target)
@@ -281,9 +295,11 @@ object PersistentIndex {
     val before = files.size
     val all = readFiles(spark, files, schemaDdl).distinct()
     // materialize BEFORE the swap: overwriteAtomic must not read the
-    // directory it is replacing
+    // directory it is replacing. Explicit N (r13): same parallel-write
+    // rationale as appendStaged — AQE coalesced the keyless column
+    // repartition of a small index to one task writing every dir
     val out = all.withColumn(PfxCol, pfxOf(keyFor(all)))
-      .repartition(col(PfxCol))
+      .repartition(writeParts(all), col(PfxCol))
       .localCheckpoint(true)
     onBeforeSwap()
     // BOTH directions: files that APPEARED mid-rewrite would be
@@ -377,7 +393,7 @@ object PersistentIndex {
     if (residual == 0L) { residualDf.unpersist(); return ownRows }
     val keep = residualDf.filter(col("tag") =!= tag)
     val out = keep.withColumn(PfxCol, pfxOf(keyFor(keep)))
-      .repartition(col(PfxCol))
+      .repartition(writeParts(keep), col(PfxCol))
       .localCheckpoint(true)
     residualDf.unpersist()
     checkStaleness(path, s"takedown of tag '$tag'", rest.toSet,

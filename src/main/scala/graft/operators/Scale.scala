@@ -56,11 +56,39 @@ object Scale {
     * scan) and immediately BEFORE the heavy projection. Results are
     * unchanged: every consumer in this codebase is partitioning-
     * invariant by design (integer/decimal aggregates, sorted folds,
-    * total-order windows — the cross-engine-oracle contract). */
+    * total-order windows — the cross-engine-oracle contract).
+    *
+    * CONTRACT (r12 VERDICT): the parallelism probe reads
+    * `df.rdd.getNumPartitions`, and on an AQE plan with upstream
+    * exchanges forcing the RDD MATERIALIZES those query stages —
+    * executing part of the query before the caller's action. So the
+    * probe only runs on SCAN-SHAPED inputs (narrow chains of
+    * project/filter/generate/union over leaves: file scans,
+    * checkpoints, local relations — where `.rdd` just compiles the
+    * plan). Anything else returns unchanged: a post-exchange frame
+    * already carries the session's shuffle parallelism, and callers
+    * that need a specific layout use an explicit repartition. Enforced
+    * structurally below, not by scaladoc alone (ScaleSpec pins the
+    * no-op-without-execution behavior on a post-shuffle input). */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    if (!scanShaped(df.queryExecution.logical)) df
+    else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
+  }
+
+  /** True iff the plan is a narrow (exchange-free) chain over leaves,
+    * so compiling its RDD cannot trigger eager stage execution. */
+  private[graft] def scanShaped(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
+          _: Union => plan.children.forall(scanShaped)
+      case _ => false
+    }
   }
 
   /** Two-phase salted sum/count aggregation. Results are EXACTLY equal

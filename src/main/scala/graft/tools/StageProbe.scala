@@ -19,6 +19,11 @@ object StageProbe {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // match the Bench/Verify session exactly — without this, every
+      // persist() materializes at the static partition count and the
+      // probe's stage tables stop matching what the bench executes
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

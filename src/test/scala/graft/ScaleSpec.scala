@@ -142,4 +142,33 @@ class ScaleSpec extends SparkSpec {
     Scale.spread(wide).queryExecution.executedPlan.toString should
       not include ("Exchange")
   }
+
+  test("spread: post-shuffle input returns unchanged without executing " +
+      "stages (r13 contract hardening)") {
+    import org.apache.spark.sql.functions._
+    // aggregate output = exchange-bearing plan; spread must not probe
+    // .rdd on it (which would materialize the shuffle stage eagerly
+    // under AQE) — it returns the frame untouched
+    val shuffled = spark.range(0, 1000, 1, 1).toDF("id")
+      .groupBy((col("id") % 7).as("k")).agg(sum(col("id")).as("s"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = Scale.spread(shuffled)
+      out should be theSameInstanceAs shuffled
+      spark.sparkContext.listenerBus.waitUntilEmpty()
+      jobs.get() shouldBe 0
+    } finally spark.sparkContext.removeSparkListener(l)
+    // scan-shaped inputs still probe and widen
+    Scale.scanShaped(shuffled.queryExecution.logical) shouldBe false
+    val narrowUnion = spark.range(0, 10, 1, 1).toDF("id")
+      .unionAll(spark.range(10, 20, 1, 1).toDF("id"))
+      .filter(col("id") >= 0).select(col("id"))
+    Scale.scanShaped(narrowUnion.queryExecution.logical) shouldBe true
+  }
 }
